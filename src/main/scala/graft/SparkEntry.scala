@@ -17,7 +17,11 @@ object SparkEntry {
     queries_relational ++ queries_extensions
 
   private def queries_relational: Seq[GateQuery] = graft.queries.RelationalQueries.all
-  private def queries_extensions: Seq[GateQuery] = Seq.empty
+  private def queries_extensions: Seq[GateQuery] =
+    graft.queries.DedupQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.SimilarityQueries.all ++
+      graft.queries.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 pricing summary — the same shape the reference exercises

@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing, gate-verified end-to-end: payloads travel
+  * as opaque `binary` columns with a typed metadata struct alongside. The
+  * "decode" here is the deterministic stub (no image/audio libs in this
+  * container — see [[graft.ops.Multimodal]] for the batch-decode
+  * pipeline); what is REAL and verified is the Spark-side schema,
+  * binary handling, and metadata derivation.
+  */
+object MultimodalQueries {
+
+  private def q(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): GateQuery =
+    GateQuery(name, (s, dir) => { Tables.register(s, dir); f(s, dir) }, Some(oracle))
+
+  val all: Seq[GateQuery] = Seq(
+    // Binary payload + metadata extraction: byte length, checksum, and a
+    // deterministic fake decode (width/height derived from the checksum,
+    // standing in for a real image header parse).
+    q("m01_multimodal_binary_meta",
+      """SELECT doc_id, source,
+        |  octet_length(text::BLOB) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  64 + (('0x' || substr(md5(text), 1, 4))::BIGINT % 512) AS fake_width,
+        |  64 + (('0x' || substr(md5(text), 5, 4))::BIGINT % 512) AS fake_height
+        |FROM documents""".stripMargin) { (s, _) =>
+      s.table("documents")
+        .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+        .select(
+          col("doc_id"), col("source"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("checksum"),
+          (lit(64) + conv(substring(md5(col("payload")), 1, 4), 16, 10)
+            .cast("bigint") % 512).as("fake_width"),
+          (lit(64) + conv(substring(md5(col("payload")), 5, 4), 16, 10)
+            .cast("bigint") % 512).as("fake_height"))
+    }
+  )
+}

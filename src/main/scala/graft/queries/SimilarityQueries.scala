@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (the correctness
+  * baseline) and threshold near-duplicate pairs. The scale path (LSH
+  * bucketing, see [[graft.ops.AnnLsh]]) is verified against these by
+  * recall in ScalaTest.
+  *
+  * Numerics: both engines compute cosine over float32 vectors cast to
+  * double; intermediate products are exact (24-bit x 24-bit mantissas fit
+  * in a double), sums are sequential folds, and outputs are rounded to 6
+  * decimals on both sides, so the hash-compare is stable.
+  *
+  * Scale notes:
+  *  - The probe side is a FIXED-size set (vec_id < 500), so cost is
+  *    probes x corpus, linear in corpus size; the probe set broadcasts.
+  *  - Top-k per probe is a window over the probe partition — k small,
+  *    partial top-k would be the next optimization (rank pushdown).
+  */
+object SimilarityQueries {
+
+  private def q(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): GateQuery =
+    GateQuery(name, (s, dir) => { Tables.register(s, dir); f(s, dir) }, Some(oracle))
+
+  /** dot(a, b) as a sequential double fold — matches DuckDB's loop order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  private def embDouble(tbl: String): Column =
+    col(s"$tbl.embedding").cast("array<double>")
+
+  val all: Seq[GateQuery] = Seq(
+
+    // ---- brute-force cosine top-k (ANN correctness baseline) ----
+    q("s01_knn_brute_force",
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 100),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = s.table("embeddings")
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val pairs = broadcast(probes)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+          col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          cosine(col("pe").cast("array<double>"), col("ne").cast("array<double>")).as("cos"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+      pairs
+        .select(col("probe_id"), col("neighbor_id"), col("cos"),
+          row_number().over(w).as("rank"))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"),
+          col("rank"))
+    },
+
+    // ---- threshold near-duplicate pairs over a fixed probe band ----
+    q("s02_embed_near_dup",
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+        |    AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 500
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""".stripMargin) {
+      (s, _) =>
+        val e = s.table("embeddings")
+        val a = e.filter(col("vec_id") < 500)
+          .select(col("vec_id").as("a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+        val cos = cosine(col("ea").cast("array<double>"), col("eb").cast("array<double>"))
+        broadcast(a).join(b, col("a") < col("b"))
+          .select(col("a"), col("b"), cos.as("cos"))
+          .filter(col("cos") >= 0.35)
+          .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
+    }
+  )
+}

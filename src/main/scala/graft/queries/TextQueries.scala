@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines: token statistics,
+  * quality scoring, language-ID heuristics, and document fingerprinting.
+  * All are per-row narrow transformations (no shuffle at all — they scale
+  * linearly with the corpus and stay inside whole-stage codegen), built on
+  * native `functions._` expressions, never Scala UDFs.
+  */
+object TextQueries {
+
+  private def q(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): GateQuery =
+    GateQuery(name, (s, dir) => { Tables.register(s, dir); f(s, dir) }, Some(oracle))
+
+  val all: Seq[GateQuery] = Seq(
+
+    // ---- token counting (whitespace tokenizer) ----
+    q("t01_token_stats",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |  round(len(list_distinct(string_split(text, ' ')))
+        |        / len(string_split(text, ' ')), 6) AS uniq_ratio,
+        |  length(text) AS n_chars_computed
+        |FROM documents""".stripMargin) { (s, _) =>
+      val ts = split(col("text"), " ")
+      s.table("documents").select(
+        col("doc_id"),
+        size(ts).as("n_tokens"),
+        size(array_distinct(ts)).as("n_uniq"),
+        round(size(array_distinct(ts)).cast("double") / size(ts), 6).as("uniq_ratio"),
+        length(col("text")).as("n_chars_computed"))
+    },
+
+    // ---- quality scoring: length + stopword ratio + vocabulary diversity ----
+    q("t02_quality_score",
+      """SELECT doc_id,
+        |  round(least(1.0, length(text) / 500.0), 6) AS len_score,
+        |  round(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))
+        |        / len(string_split(text, ' ')), 6) AS stop_ratio,
+        |  round(0.5 * least(1.0, length(text) / 500.0)
+        |    + 0.3 * (1 - len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))
+        |             / len(string_split(text, ' ')))
+        |    + 0.2 * (len(list_distinct(string_split(text, ' ')))
+        |             / len(string_split(text, ' '))), 6) AS quality
+        |FROM documents""".stripMargin) { (s, _) =>
+      val ts = split(col("text"), " ")
+      val nTok = size(ts)
+      val lenScore = least(lit(1.0), length(col("text")) / 500.0)
+      val stopRatio =
+        size(filter(ts, t => t === "the" || t === "a")).cast("double") / nTok
+      val uniqRatio = size(array_distinct(ts)).cast("double") / nTok
+      s.table("documents").select(
+        col("doc_id"),
+        round(lenScore, 6).as("len_score"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(lit(0.5) * lenScore + lit(0.3) * (lit(1) - stopRatio)
+          + lit(0.2) * uniqRatio, 6).as("quality"))
+    },
+
+    // ---- language-ID heuristic (stopword-frequency n-gram signal) ----
+    // The corpus vocabulary is language-independent by construction, so
+    // the heuristic's output is graded on determinism, not accuracy; the
+    // true label is carried alongside for inspection.
+    q("t03_langid_heuristic",
+      """SELECT doc_id, lang,
+        |  round(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))
+        |        / len(string_split(text, ' ')), 6) AS en_signal,
+        |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))
+        |            / len(string_split(text, ' ')) >= 0.05
+        |       THEN 'en' ELSE 'unk' END AS guess
+        |FROM documents""".stripMargin) { (s, _) =>
+      val ts = split(col("text"), " ")
+      val sig = size(filter(ts, t => t === "the" || t === "a")).cast("double") / size(ts)
+      s.table("documents").select(
+        col("doc_id"), col("lang"),
+        round(sig, 6).as("en_signal"),
+        when(sig >= 0.05, "en").otherwise("unk").as("guess"))
+    },
+
+    // ---- document fingerprinting ----
+    // Whole-content md5 plus a min-shingle fingerprint (the 1-hash MinHash
+    // of word-3-gram shingles — a robust rolling-hash content signature).
+    q("t04_fingerprint",
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |  CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |    list_aggregate([md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))
+        |                    for i in generate_series(1, len(string_split(text, ' '))-2)],
+        |                   'min')
+        |  END AS fp_min_shingle
+        |FROM documents""".stripMargin) { (s, _) =>
+      val ts = split(col("text"), " ")
+      val shingleHashes = transform(sequence(lit(1), size(ts) - 2),
+        i => md5(concat_ws(" ", slice(ts, i, lit(3))).cast("binary")))
+      s.table("documents").select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_md5"),
+        when(size(ts) >= 3, array_min(shingleHashes)).as("fp_min_shingle"))
+    }
+  )
+}
