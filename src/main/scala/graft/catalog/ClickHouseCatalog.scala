@@ -1,0 +1,156 @@
+package graft.catalog
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.client.{ClickHouseClient, EmbeddedClickHouse}
+import graft.connector.ClickHouseTable
+import graft.types.ClickHouseType
+
+/** Spark catalog plugin exposing a ClickHouse server as a catalog:
+  * namespaces = ClickHouse databases, tables = remote tables with schemas
+  * fetched from the server (the Spark analog of the reference's
+  * `ClickHouseCatalogProvider`/`SchemaProvider`,
+  * /root/reference/src/providers/catalog.rs, and its table factory /
+  * CREATE EXTERNAL TABLE option grammar, table_factory.rs + utils/params.rs).
+  *
+  * Register with:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.clickhouse", classOf[ClickHouseCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.clickhouse.path", "/path/to/store")
+  *   spark.sql("SELECT * FROM clickhouse.db.tbl")
+  * }}}
+  *
+  * Table properties understood by createTable (mirrors utils/params.rs
+  * engine/order_by/partition_by/primary_keys/ttl/settings/defaults):
+  * `engine` (default MergeTree), `order_by`, `partition_by`, `ttl`,
+  * `settings`, `external_paths` (embedded transport: attach existing
+  * parquet zero-copy).
+  */
+class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var client: ClickHouseClient with Serializable = _
+  private var readStreams: Int = 4
+
+  def clickHouseClient: ClickHouseClient = client
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val path = Option(options.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog $name requires option 'path' (embedded store root)"))
+    client = new EmbeddedClickHouse(path)
+    readStreams = Option(options.get("read.streams")).map(_.toInt).getOrElse(4)
+  }
+
+  override def name(): String = catalogName
+
+  // ---- namespaces = databases ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    client.listDatabases().map(db => Array(db)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    namespace match {
+      case Array() => listNamespaces()
+      case Array(db) if client.listDatabases().contains(db) => Array.empty
+      case _ => throw new NoSuchNamespaceException(namespace)
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = namespace match {
+    case Array(db) => client.listDatabases().contains(db)
+    case _ => false
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = namespace match {
+    case Array(db) => client.createDatabase(db)
+    case _ => throw new IllegalArgumentException(
+      s"ClickHouse namespaces are single-level databases: ${namespace.mkString(".")}")
+  }
+
+  override def alterNamespace(
+      namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    namespace match {
+      case Array(db) if namespaceExists(namespace) =>
+        if (!cascade && client.listTables(db).nonEmpty)
+          throw new IllegalStateException(s"database $db is not empty")
+        client.dropDatabase(db); true
+      case _ => false
+    }
+
+  // ---- tables ----
+
+  private def dbOf(ident: Identifier): String = ident.namespace() match {
+    case Array(db) => db
+    case ns => throw new NoSuchTableException(ns :+ ident.name())
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = namespace match {
+    case Array(db) =>
+      client.listTables(db).map(t => Identifier.of(namespace, t)).toArray
+    case _ => throw new NoSuchNamespaceException(namespace)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && client.tableExists(dbOf(ident), ident.name())
+
+  override def loadTable(ident: Identifier): Table = {
+    val db = dbOf(ident)
+    if (!client.tableExists(db, ident.name()))
+      throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    val schema = ClickHouseType.toStructType(client.fetchColumns(db, ident.name()))
+    new ClickHouseTable(client, db, ident.name(), schema, readStreams)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val db = dbOf(ident)
+    if (client.tableExists(db, ident.name()))
+      throw new TableAlreadyExistsException(ident.namespace() :+ ident.name())
+    val props = properties.asScala.toMap
+    val columns = schema.fields.toSeq.map { f =>
+      f.name -> ClickHouseType.render(f.dataType, f.nullable)
+    }
+    val options = Map("engine" -> props.getOrElse("engine", "MergeTree")) ++
+      props.view.filterKeys(Set("order_by", "partition_by", "ttl", "settings",
+        "primary_keys", "external_paths")).toMap
+    client.createTable(db, ident.name(), columns, options)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+
+  /** Remote DROP TABLE, like deregister_table issuing `DROP TABLE IF
+    * EXISTS` (providers/catalog.rs:202-240).
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val db = dbOf(ident)
+    if (!client.tableExists(db, ident.name())) false
+    else { client.dropTable(db, ident.name()); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE not supported")
+}

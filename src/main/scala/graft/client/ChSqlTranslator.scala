@@ -1,0 +1,123 @@
+package graft.client
+
+/** Translates the ClickHouse-dialect SQL our unparser generates into Spark
+  * SQL for the embedded server engine. A real ClickHouse server would
+  * execute the SQL as-is; the translator models the server's function
+  * surface (the functions the reference's tests exercise through
+  * passthrough — SURVEY.md §2.8) on top of Spark.
+  *
+  * Scope is intentionally the dialect WE generate: backtick quoting is
+  * shared by both dialects; lambda syntax `x -> body` is shared by
+  * ClickHouse HOFs and Spark HOFs; so translation is table-reference
+  * rewriting plus a function-name map and a few special forms.
+  */
+object ChSqlTranslator {
+
+  def viewName(db: String, table: String): String = s"__ch_${db}_$table"
+
+  /** ClickHouse function name → Spark equivalent (1:1 name swaps). */
+  private val fnMap: Map[String, String] = Map(
+    "arrayMap" -> "transform",
+    "arrayFilter" -> "filter",
+    "arrayExists" -> "exists",
+    "arrayReduce" -> "aggregate",
+    "arraySum" -> "aggregate", // special-cased below
+    "arrayJoin" -> "explode",
+    "base64Encode" -> "base64",
+    "lengthUTF8" -> "char_length",
+    "toUpperCase" -> "upper",
+    "toLowerCase" -> "lower",
+    "toInt64" -> "bigint",
+    "toInt32" -> "int",
+    "toFloat64" -> "double",
+    "toString" -> "string",
+    "modulo" -> "mod",
+    "intDiv" -> "div",
+    "plus" -> "+", // never emitted as function form by our unparser; safety
+    "empty" -> "isnull")
+
+  def translate(chSql: String, tables: Seq[(String, String)]): String = {
+    var s = chSql
+    // table references: `db`.`table` or db.table → __ch_db_table
+    tables.foreach { case (db, t) =>
+      s = s.replace(s"`$db`.`$t`", viewName(db, t))
+      s = s.replaceAll(s"(?<![`\\w])${java.util.regex.Pattern.quote(db)}\\.$t(?![`\\w])",
+        viewName(db, t))
+    }
+    // special forms first (arg rewrites), then plain name swaps
+    s = translateSpecialForms(s)
+    fnMap.foreach { case (ch, sp) =>
+      s = s.replaceAll(s"\\b${java.util.regex.Pattern.quote(ch)}\\s*\\(", sp + "(")
+    }
+    // ClickHouse case-sensitive names survive quoting: `arrayMap`(...) etc.
+    fnMap.foreach { case (ch, sp) =>
+      s = s.replace(s"`$ch`(", sp + "(")
+    }
+    s
+  }
+
+  /** Forms that need more than a name swap. Operates on the single level
+    * of nesting our unparser emits.
+    */
+  private def translateSpecialForms(in: String): String = {
+    var s = in
+    // sigmoid(x) → (1.0 / (1.0 + exp(-(x))))
+    s = rewriteCall(s, "sigmoid", args => s"(1.0 / (1.0 + exp(-(${args.head}))))")
+    // splitByChar('c', s) → split(s, 'c')  (argument order swap)
+    s = rewriteCall(s, "splitByChar", args => s"split(${args(1)}, ${args(0)})")
+    // arraySum(x) → aggregate(x, cast(0 as double), (a, v) -> a + v)
+    s = rewriteCall(s, "arraySum",
+      args => s"aggregate(${args.head}, cast(0 as double), (a, v) -> a + v)")
+    s
+  }
+
+  /** Rewrite every `name(args...)` call via `f(topLevelArgs)`, handling
+    * nested parens/quotes in the arguments.
+    */
+  private def rewriteCall(s: String, name: String, f: Seq[String] => String): String = {
+    val out = new StringBuilder
+    var i = 0
+    val pat = name + "("
+    while (i < s.length) {
+      val at = s.indexOf(pat, i)
+      val boundaryOk = at >= 0 &&
+        (at == 0 || !(s.charAt(at - 1).isLetterOrDigit || s.charAt(at - 1) == '_'))
+      if (at < 0) { out.append(s.substring(i)); i = s.length }
+      else if (!boundaryOk) { out.append(s.substring(i, at + pat.length)); i = at + pat.length }
+      else {
+        out.append(s.substring(i, at))
+        val (args, end) = parseArgs(s, at + pat.length)
+        out.append(f(args))
+        i = end
+      }
+    }
+    out.result()
+  }
+
+  /** Parse balanced argument list starting just after '('; returns
+    * (top-level args, index just past the closing paren).
+    */
+  private def parseArgs(s: String, start: Int): (Seq[String], Int) = {
+    var depth = 1
+    var i = start
+    var inStr = false
+    val args = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur.append(c); if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => inStr = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' =>
+          depth -= 1
+          if (depth == 0) { args += cur.result().trim } else cur.append(c)
+        case ',' if depth == 1 => args += cur.result().trim; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    (args.result().filter(_.nonEmpty), i)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.client
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+/** Transport abstraction over a ClickHouse server (mirrors the reference's
+  * connection layer, /root/reference/src/connection.rs:216-296, whose
+  * `mocks` feature swaps the wire for a unit type so the whole stack tests
+  * hermetically — here the swap-in is [[EmbeddedClickHouse]]).
+  *
+  * A production implementation would speak the Native protocol and stream
+  * columnar blocks per shard; everything above this trait (catalog, scan,
+  * sink, pushdown, federation) is transport-agnostic.
+  */
+trait ClickHouseClient extends Serializable {
+
+  /** Connection identity: two tables may collapse into one remote query
+    * (join/federation pushdown) only if their clients share this key —
+    * the analog of the reference's `JoinPushDown::AllowedFor(pool key)`
+    * gating (src/sql.rs:47-59, :413-425).
+    */
+  def connectionKey: String
+
+  def listDatabases(): Seq[String]
+  def listTables(db: String): Seq[String]
+  def tableExists(db: String, table: String): Boolean
+
+  /** Remote schema fetch — schemas are authoritative server-side and never
+    * inferred (connection.rs:247-264). Returns ClickHouse column types.
+    */
+  def fetchColumns(db: String, table: String): Seq[(String, String)]
+
+  /** Engine/options metadata for a table (engine, order_by, ...). */
+  def fetchTableOptions(db: String, table: String): Map[String, String]
+
+  def createDatabase(db: String, ifNotExists: Boolean = true): Unit
+  def dropDatabase(db: String): Unit
+
+  /** CREATE TABLE with ClickHouse engine options (engine, order_by,
+    * partition_by, ttl, settings — the option grammar of
+    * src/utils/params.rs:22-69).
+    */
+  def createTable(
+      db: String,
+      table: String,
+      columns: Seq[(String, String)],
+      options: Map[String, String]): Unit
+
+  def dropTable(db: String, table: String): Unit
+
+  /** Execute a ClickHouse-dialect SELECT remotely; returns the result
+    * schema and row groups, one group per remote stream/shard (each group
+    * becomes one Spark input partition).
+    */
+  def query(sql: String, numStreams: Int): (StructType, Seq[Seq[Row]])
+
+  /** Append rows (INSERT ... FORMAT Native analog). Returns row count. */
+  def insert(db: String, table: String, schema: StructType, rows: Seq[Row]): Long
+}

@@ -1,0 +1,172 @@
+package graft.client
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.types.ClickHouseType
+
+/** Embedded, parquet-backed stand-in for a ClickHouse server (the dev
+  * sandbox has no server — this mirrors the reference's `mocks` transport,
+  * /root/reference/src/connection.rs:1-37, but executes real queries so
+  * the entire pushdown path is exercised hermetically).
+  *
+  * Store layout: `<root>/<db>/<table>/table.meta` (TSV: columns with
+  * ClickHouse types, engine options, external data paths) plus inserted
+  * parquet part files. "Remote" SQL — the ClickHouse dialect our unparser
+  * generates — is translated by [[ChSqlTranslator]] and executed on an
+  * isolated child SparkSession, standing in for the server's own engine.
+  *
+  * Driver-side only: `query` runs at plan/execute time on the driver and
+  * partitions the result into `numStreams` groups (a real client would
+  * stream per shard); `insert` lands parquet part files atomically.
+  */
+final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
+
+  override def connectionKey: String = s"embedded:${Paths.get(root).toAbsolutePath}"
+
+  private def dbPath(db: String): Path = Paths.get(root, db)
+  private def tablePath(db: String, table: String): Path = Paths.get(root, db, table)
+  private def metaPath(db: String, table: String): Path =
+    tablePath(db, table).resolve("table.meta")
+
+  override def listDatabases(): Seq[String] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) Seq.empty
+    else Files.list(r).iterator.asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  override def listTables(db: String): Seq[String] = {
+    val d = dbPath(db)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator.asScala
+      .filter(p => Files.exists(p.resolve("table.meta")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  override def tableExists(db: String, table: String): Boolean =
+    Files.exists(metaPath(db, table))
+
+  private def readMeta(db: String, table: String): (Seq[(String, String)], Map[String, String], Seq[String]) = {
+    require(tableExists(db, table), s"no such table: $db.$table")
+    val lines = Files.readAllLines(metaPath(db, table)).asScala.toSeq
+    val cols = lines.collect { case l if l.startsWith("column\t") =>
+      val Array(_, n, t) = l.split("\t", 3); (n, t)
+    }
+    val opts = lines.collect { case l if l.startsWith("option\t") =>
+      val Array(_, k, v) = l.split("\t", 3); (k, v)
+    }.toMap
+    val ext = lines.collect { case l if l.startsWith("external\t") => l.split("\t", 2)(1) }
+    (cols, opts, ext)
+  }
+
+  override def fetchColumns(db: String, table: String): Seq[(String, String)] =
+    readMeta(db, table)._1
+
+  override def fetchTableOptions(db: String, table: String): Map[String, String] =
+    readMeta(db, table)._2
+
+  override def createDatabase(db: String, ifNotExists: Boolean): Unit = {
+    val d = dbPath(db)
+    if (Files.exists(d) && !ifNotExists) sys.error(s"database $db already exists")
+    Files.createDirectories(d)
+  }
+
+  override def dropDatabase(db: String): Unit = deleteRecursively(dbPath(db))
+
+  override def createTable(
+      db: String,
+      table: String,
+      columns: Seq[(String, String)],
+      options: Map[String, String]): Unit = {
+    createDatabase(db, ifNotExists = true)
+    // validate every type string parses before persisting anything
+    columns.foreach { case (_, t) => ClickHouseType.parse(t) }
+    val dir = tablePath(db, table)
+    Files.createDirectories(dir)
+    val lines =
+      columns.map { case (n, t) => s"column\t$n\t$t" } ++
+        options.toSeq.sortBy(_._1).map { case (k, v) => s"option\t$k\t$v" } ++
+        options.get("external_paths").toSeq.flatMap(_.split(",")).map(p => s"external\t$p")
+    Files.write(metaPath(db, table), lines.asJava)
+  }
+
+  /** Attach existing parquet files as the table's data (zero-copy). */
+  def attachExternal(db: String, table: String, paths: Seq[String]): Unit = {
+    val (cols, opts, ext) = readMeta(db, table)
+    val lines =
+      cols.map { case (n, t) => s"column\t$n\t$t" } ++
+        opts.toSeq.sortBy(_._1).map { case (k, v) => s"option\t$k\t$v" } ++
+        (ext ++ paths).distinct.map(p => s"external\t$p")
+    Files.write(metaPath(db, table), lines.asJava)
+  }
+
+  override def dropTable(db: String, table: String): Unit =
+    deleteRecursively(tablePath(db, table))
+
+  def sparkSchema(db: String, table: String): StructType =
+    ClickHouseType.toStructType(fetchColumns(db, table))
+
+  private def dataFiles(db: String, table: String): Seq[String] = {
+    val (_, _, ext) = readMeta(db, table)
+    val parts =
+      if (!Files.isDirectory(tablePath(db, table))) Seq.empty
+      else Files.list(tablePath(db, table)).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+    ext ++ parts
+  }
+
+  /** The "server engine": a child session of the active SparkSession with
+    * every store table registered, running the translated remote SQL.
+    */
+  private def serverSession(): SparkSession = {
+    val active = SparkSession.active
+    val child = active.newSession()
+    for (db <- listDatabases(); t <- listTables(db)) {
+      val files = dataFiles(db, t)
+      val df =
+        if (files.isEmpty)
+          child.createDataFrame(java.util.Collections.emptyList[Row](), sparkSchema(db, t))
+        else child.read.schema(sparkSchema(db, t)).parquet(files: _*)
+      df.createOrReplaceTempView(ChSqlTranslator.viewName(db, t))
+    }
+    child
+  }
+
+  override def query(sql: String, numStreams: Int): (StructType, Seq[Seq[Row]]) = {
+    val spark = serverSession()
+    val translated = ChSqlTranslator.translate(sql, knownTables)
+    val df = spark.sql(translated)
+    val rows = df.collect().toSeq
+    val n = math.max(1, math.min(numStreams, rows.length max 1))
+    val chunk = math.max(1, (rows.length + n - 1) / n)
+    (df.schema, if (rows.isEmpty) Seq(Seq.empty) else rows.grouped(chunk).toSeq)
+  }
+
+  private def knownTables: Seq[(String, String)] =
+    for (db <- listDatabases(); t <- listTables(db)) yield (db, t)
+
+  override def insert(db: String, table: String, schema: StructType, rows: Seq[Row]): Long = {
+    val sink = sparkSchema(db, table)
+    val errs = ClickHouseType.verifyWriteSchema(sink, schema)
+    require(errs.isEmpty, s"insert schema mismatch for $db.$table: ${errs.mkString("; ")}")
+    // input column order may differ from the sink's (names matched
+    // order-insensitively, as in the reference) — reorder values to sink order
+    val idx = sink.fields.map(f => schema.fieldIndex(f.name))
+    val reordered = rows.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
+    val spark = SparkSession.active
+    spark.createDataFrame(reordered.asJava, sink)
+      .coalesce(1)
+      .write.mode("append").parquet(tablePath(db, table).toString)
+    rows.length.toLong
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.client.EmbeddedClickHouse
+
+/** Gate queries routed THROUGH the ClickHouse connector (catalog + DSv2
+  * scan/write): the embedded store attaches the driver's parquet tables
+  * zero-copy as "remote" ClickHouse tables, every query below addresses
+  * them via the `clickhouse` catalog, and the DuckDB oracle runs the
+  * equivalent SQL on the raw tables — so catalog resolution, scan
+  * pushdown, the write path, and federation are all hash-verified.
+  */
+object ConnectorQueries {
+
+  /** Idempotently build the embedded store for a scale dir and register
+    * the catalog on the session. All columns are declared Nullable so the
+    * connector schema matches parquet's nullable-everything reality.
+    */
+  def harness(spark: SparkSession, dir: String): Unit = synchronized {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/chstore_$tag"
+    val client = new EmbeddedClickHouse(root)
+    val tables: Map[String, Seq[(String, String)]] = Map(
+      "lineitem" -> Seq(
+        "l_orderkey" -> "Nullable(Int64)", "l_partkey" -> "Nullable(Int64)",
+        "l_suppkey" -> "Nullable(Int64)", "l_linenumber" -> "Nullable(Int32)",
+        "l_quantity" -> "Nullable(Float64)", "l_extendedprice" -> "Nullable(Float64)",
+        "l_discount" -> "Nullable(Float64)", "l_tax" -> "Nullable(Float64)",
+        "l_returnflag" -> "Nullable(String)", "l_linestatus" -> "Nullable(String)",
+        "l_shipdate" -> "Nullable(DateTime64(3))"),
+      "orders" -> Seq(
+        "o_orderkey" -> "Nullable(Int64)", "o_custkey" -> "Nullable(Int64)",
+        "o_orderstatus" -> "Nullable(String)", "o_totalprice" -> "Nullable(Float64)",
+        "o_orderdate" -> "Nullable(DateTime64(3))", "o_orderpriority" -> "Nullable(String)"),
+      "customer" -> Seq(
+        "c_custkey" -> "Nullable(Int64)", "c_name" -> "Nullable(String)",
+        "c_nationkey" -> "Nullable(Int32)", "c_acctbal" -> "Nullable(Float64)",
+        "c_mktsegment" -> "Nullable(String)"),
+      "nation" -> Seq(
+        "n_nationkey" -> "Nullable(Int32)", "n_name" -> "Nullable(String)",
+        "n_regionkey" -> "Nullable(Int32)"))
+    tables.foreach { case (t, cols) =>
+      if (!client.tableExists("main", t)) {
+        client.createTable("main", t, cols, Map("engine" -> "MergeTree"))
+        client.attachExternal("main", t, Seq(s"$dir/$t.parquet"))
+      }
+    }
+    spark.conf.set("spark.sql.catalog.clickhouse",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.clickhouse.path", root)
+    spark.conf.set("spark.sql.catalog.clickhouse.read.streams", "8")
+  }
+
+  private def q(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): GateQuery =
+    GateQuery(name,
+      (s, dir) => { harness(s, dir); Tables.register(s, dir); f(s, dir) },
+      Some(oracle))
+
+  val all: Seq[GateQuery] = Seq(
+
+    // scan with filter+projection pushdown into generated ClickHouse SQL
+    q("r01_connector_scan_pushdown",
+      """SELECT l_orderkey, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'A'""".stripMargin) { (s, _) =>
+      s.table("clickhouse.main.lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "A")
+        .select("l_orderkey", "l_quantity")
+    },
+
+    // COUNT(*) → empty-projection remote scan (SELECT 1 FROM t)
+    q("r02_connector_count",
+      "SELECT count(*) AS n FROM lineitem") { (s, _) =>
+      s.table("clickhouse.main.lineitem").agg(count(lit(1)).as("n"))
+    },
+
+    // local aggregation over the remote scan (column pruning only)
+    q("r03_connector_agg",
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("clickhouse.main.lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+    },
+
+    // federated join: remote ClickHouse table x local parquet view
+    q("r04_connector_federated_join",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, _) =>
+      s.table("clickhouse.main.orders")
+        .join(broadcast(s.table("customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    },
+
+    // write path: CREATE + INSERT INTO ... SELECT + readback
+    q("r05_connector_insert_readback",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.nation_copy")
+      s.sql(
+        """CREATE TABLE clickhouse.main.nation_copy
+          |(n_nationkey INT, n_name STRING, n_regionkey INT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'n_nationkey')""".stripMargin)
+      s.sql("INSERT INTO clickhouse.main.nation_copy SELECT * FROM nation")
+      s.table("clickhouse.main.nation_copy")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }
+  )
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.client.EmbeddedClickHouse
+import graft.sql.ChSql
+
+/** End-to-end connector battery mirroring the reference's e2e shapes
+  * (tests/e2e.rs): catalog DDL, scan with projection/filter/limit
+  * pushdown, COUNT(*) empty projection, insert + readback, overwrite
+  * rejection, drop table.
+  */
+class ConnectorSpec extends AnyFunSuite {
+
+  private lazy val root = Files.createTempDirectory("graft_store_").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .appName("connector-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.clickhouse", classOf[graft.catalog.ClickHouseCatalog].getName)
+      .config("spark.sql.catalog.clickhouse.path", root)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("DDL: create database + table via SQL, list, describe") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS clickhouse.testdb")
+    spark.sql(
+      """CREATE TABLE clickhouse.testdb.people (id BIGINT NOT NULL, name STRING)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    val tables = spark.sql("SHOW TABLES IN clickhouse.testdb").collect()
+    assert(tables.map(_.getString(1)).contains("people"))
+    // engine options persisted in the store metadata
+    val client = new EmbeddedClickHouse(root)
+    assert(client.fetchTableOptions("testdb", "people")("engine") == "MergeTree")
+    assert(client.fetchTableOptions("testdb", "people")("order_by") == "id")
+    assert(client.fetchColumns("testdb", "people") ==
+      Seq("id" -> "Int64", "name" -> "Nullable(String)"))
+  }
+
+  test("insert + readback through the connector (reference e2e.rs:424)") {
+    spark.sql("INSERT INTO clickhouse.testdb.people VALUES (1, 'Alice'), (2, 'Bob')")
+    spark.sql("INSERT INTO clickhouse.testdb.people SELECT 3, 'Charlie'")
+    val rows = spark.table("clickhouse.testdb.people")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "Alice"), (2L, "Bob"), (3L, "Charlie")))
+  }
+
+  test("filter + projection + limit pushdown reach the generated SQL") {
+    val df = spark.table("clickhouse.testdb.people")
+      .filter(col("id") > 1).select("name").limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan description carries the generated remote SQL: filter,
+    // pruned projection, and limit all landed in it
+    assert(plan.contains("ClickHouseScan[SELECT `name` FROM `testdb`.`people` " +
+      "WHERE `id` > 1 LIMIT 5]"), s"pushdown missing from plan:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSet == Set("Bob", "Charlie"))
+  }
+
+  test("COUNT(*) works via empty-projection scan (sql.rs:259-276)") {
+    assert(spark.table("clickhouse.testdb.people").count() == 3L)
+  }
+
+  test("overwrite is rejected (reference table.rs:144-152)") {
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE clickhouse.testdb.people VALUES (9, 'X')")
+    }
+    assert(e.isInstanceOf[AnalysisException] ||
+      e.getMessage.toLowerCase.contains("overwrite"))
+  }
+
+  test("unsupported filters stay local as residuals") {
+    // a modulus filter does not compile in our probe -> stays local, still correct
+    val df = spark.table("clickhouse.testdb.people").filter("id % 2 = 1")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("external attach: zero-copy parquet tables") {
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("testdb", "nation_ext",
+      Seq("n_nationkey" -> "Int32", "n_name" -> "String", "n_regionkey" -> "Int32"),
+      Map("engine" -> "MergeTree"))
+    client.attachExternal("testdb", "nation_ext",
+      Seq("/root/testdata/sf0.001/nation.parquet"))
+    assert(spark.table("clickhouse.testdb.nation_ext").count() == 25)
+    // predicate pushdown against external data
+    val af = spark.table("clickhouse.testdb.nation_ext")
+      .filter(col("n_regionkey") === 0).select("n_name")
+    assert(af.count() > 0)
+  }
+
+  test("multi-stream read produces multiple partitions") {
+    val df = spark.table("clickhouse.testdb.nation_ext")
+    assert(df.rdd.getNumPartitions > 1)
+  }
+
+  test("federated join: clickhouse table x local view (e2e.rs:799-860)") {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val joined = spark.table("clickhouse.testdb.nation_ext")
+      .join(spark.table("region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("n"))
+    assert(joined.collect().map(_.getLong(1)).sum == 25)
+  }
+
+  test("DROP TABLE deletes remotely (providers/catalog.rs:202-240)") {
+    spark.sql("CREATE TABLE clickhouse.testdb.tmp_drop (x INT)")
+    spark.sql("DROP TABLE clickhouse.testdb.tmp_drop")
+    val client = new EmbeddedClickHouse(root)
+    assert(!client.tableExists("testdb", "tmp_drop"))
+  }
+
+  test("filter compile probe: supported and unsupported shapes") {
+    import org.apache.spark.sql.sources._
+    assert(ChSql.compileFilter(EqualTo("a", 1)).contains("`a` = 1"))
+    assert(ChSql.compileFilter(And(GreaterThan("a", 1), IsNotNull("b")))
+      .contains("(`a` > 1 AND `b` IS NOT NULL)"))
+    assert(ChSql.compileFilter(In("s", Array("x", "y")))
+      .contains("`s` IN ('x', 'y')"))
+    assert(ChSql.compileFilter(StringContains("s", "o'brien"))
+      .contains("position(`s`, 'o\\'brien') > 0"))
+    // NaN can't be a ClickHouse literal -> not compilable
+    assert(ChSql.compileFilter(EqualTo("d", Double.NaN)).isEmpty)
+  }
+}

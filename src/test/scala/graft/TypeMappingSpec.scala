@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.types.ClickHouseType
+import graft.types.ClickHouseType.Parsed
+
+class TypeMappingSpec extends AnyFunSuite {
+
+  test("scalar type parsing") {
+    assert(ClickHouseType.parse("Int32") == Parsed(IntegerType, false))
+    assert(ClickHouseType.parse("Int64") == Parsed(LongType, false))
+    assert(ClickHouseType.parse("UInt32") == Parsed(LongType, false))
+    assert(ClickHouseType.parse("UInt64") == Parsed(DecimalType(20, 0), false))
+    assert(ClickHouseType.parse("Float64") == Parsed(DoubleType, false))
+    assert(ClickHouseType.parse("String") == Parsed(StringType, false))
+    assert(ClickHouseType.parse("Bool") == Parsed(BooleanType, false))
+    assert(ClickHouseType.parse("Date") == Parsed(DateType, false))
+    assert(ClickHouseType.parse("DateTime64(6)") == Parsed(TimestampType, false))
+    assert(ClickHouseType.parse("FixedString(16)") == Parsed(StringType, false))
+    assert(ClickHouseType.parse("Decimal(20, 4)") == Parsed(DecimalType(20, 4), false))
+  }
+
+  test("arrow-ish aliases from the reference's return-type strings") {
+    // mirrors /root/reference/src/udfs.rs:30-43 acceptance
+    assert(ClickHouseType.parse("Utf8") == Parsed(StringType, false))
+    assert(ClickHouseType.parse("LargeUtf8") == Parsed(StringType, false))
+    assert(ClickHouseType.parse("Utf8View") == Parsed(StringType, false))
+    assert(ClickHouseType.parse("List(Utf8)") ==
+      Parsed(ArrayType(StringType, containsNull = false), false))
+    assert(ClickHouseType.parse("Boolean") == Parsed(BooleanType, false))
+  }
+
+  test("nullability: Nullable wrapper, non-nullable arrays") {
+    assert(ClickHouseType.parse("Nullable(String)") == Parsed(StringType, true))
+    // ClickHouse arrays are never nullable unless the ELEMENT is Nullable
+    // (udfs.rs:66-73)
+    assert(ClickHouseType.parse("Array(Int64)") ==
+      Parsed(ArrayType(LongType, containsNull = false), false))
+    assert(ClickHouseType.parse("Array(Nullable(Int64))") ==
+      Parsed(ArrayType(LongType, containsNull = true), false))
+    assert(ClickHouseType.parse("LowCardinality(Nullable(String))") ==
+      Parsed(StringType, true))
+  }
+
+  test("nested types") {
+    assert(ClickHouseType.parse("Map(String, Nullable(Int64))") ==
+      Parsed(MapType(StringType, LongType, valueContainsNull = true), false))
+    assert(ClickHouseType.parse("Array(Array(String))") ==
+      Parsed(ArrayType(ArrayType(StringType, false), false), false))
+    val t = ClickHouseType.parse("Tuple(a Int32, b Nullable(String))")
+    assert(t.dataType == StructType(Seq(
+      StructField("a", IntegerType, false), StructField("b", StringType, true))))
+  }
+
+  test("render round-trips through parse") {
+    val types = Seq("Int8", "Int16", "Int32", "Int64", "Float32", "Float64",
+      "String", "Bool", "Nullable(Int64)", "Array(String)",
+      "Array(Nullable(Float64))", "Map(String, Int64)", "Decimal(10, 2)", "UInt64")
+    types.foreach { t =>
+      val p = ClickHouseType.parse(t)
+      val rendered = ClickHouseType.render(p.dataType, p.nullable)
+      val p2 = ClickHouseType.parse(rendered)
+      assert(p2 == p, s"round-trip failed for $t -> $rendered")
+    }
+  }
+
+  test("unsupported types raise") {
+    intercept[IllegalArgumentException](ClickHouseType.parse("Frobnicate"))
+  }
+
+  test("write-schema verification mirrors sink.rs:46-81") {
+    val sink = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    // exact match, order-insensitive
+    assert(ClickHouseType.verifyWriteSchema(sink,
+      StructType(Seq(StructField("name", StringType, true),
+        StructField("id", LongType, false)))).isEmpty)
+    // arity mismatch
+    assert(ClickHouseType.verifyWriteSchema(sink,
+      StructType(Seq(StructField("id", LongType, false)))).nonEmpty)
+    // type mismatch
+    assert(ClickHouseType.verifyWriteSchema(sink,
+      StructType(Seq(StructField("id", IntegerType, false),
+        StructField("name", StringType, true)))).nonEmpty)
+    // nullable input into non-nullable sink
+    assert(ClickHouseType.verifyWriteSchema(sink,
+      StructType(Seq(StructField("id", LongType, true),
+        StructField("name", StringType, true)))).nonEmpty)
+    // non-nullable input into nullable sink is fine
+    assert(ClickHouseType.verifyWriteSchema(sink,
+      StructType(Seq(StructField("id", LongType, false),
+        StructField("name", StringType, false)))).isEmpty)
+  }
+}
