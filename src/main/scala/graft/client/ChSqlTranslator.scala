@@ -17,11 +17,6 @@ object ChSqlTranslator {
 
   /** ClickHouse function name → Spark equivalent (1:1 name swaps). */
   private val fnMap: Map[String, String] = Map(
-    "arrayMap" -> "transform",
-    "arrayFilter" -> "filter",
-    "arrayExists" -> "exists",
-    "arrayReduce" -> "aggregate",
-    "arraySum" -> "aggregate", // special-cased below
     "arrayJoin" -> "explode",
     "base64Encode" -> "base64",
     "lengthUTF8" -> "char_length",
@@ -56,8 +51,32 @@ object ChSqlTranslator {
     s
   }
 
-  /** Forms that need more than a name swap. Operates on the single level
-    * of nesting our unparser emits.
+  /** ClickHouse type name → Spark DDL type (for CAST targets). */
+  private def sparkTypeName(ch: String): String = {
+    val t = ch.trim
+    t match {
+      case "Int8" => "TINYINT"
+      case "Int16" | "UInt8" => "SMALLINT"
+      case "Int32" | "UInt16" => "INT"
+      case "Int64" | "UInt32" => "BIGINT"
+      case "UInt64" => "DECIMAL(20, 0)"
+      case "Float32" => "FLOAT"
+      case "Float64" => "DOUBLE"
+      case "String" => "STRING"
+      case "Bool" => "BOOLEAN"
+      case "Date" | "Date32" => "DATE"
+      case _ if t.startsWith("DateTime") => "TIMESTAMP"
+      case _ if t.startsWith("Decimal(") => "DECIMAL" + t.stripPrefix("Decimal")
+      case _ if t.startsWith("Array(") && t.endsWith(")") =>
+        s"ARRAY<${sparkTypeName(t.substring(6, t.length - 1))}>"
+      case _ if t.startsWith("Nullable(") && t.endsWith(")") =>
+        sparkTypeName(t.substring(9, t.length - 1))
+      case other => other
+    }
+  }
+
+  /** Forms that need more than a name swap. Operates on the nesting our
+    * unparser emits (balanced-paren argument parsing).
     */
   private def translateSpecialForms(in: String): String = {
     var s = in
@@ -68,6 +87,33 @@ object ChSqlTranslator {
     // arraySum(x) → aggregate(x, cast(0 as double), (a, v) -> a + v)
     s = rewriteCall(s, "arraySum",
       args => s"aggregate(${args.head}, cast(0 as double), (a, v) -> a + v)")
+    // ClickHouse HOFs take the lambda FIRST, Spark takes the array first:
+    // arrayMap(x -> f(x), arr) → transform(arr, x -> f(x))
+    s = rewriteCall(s, "arrayMap", args => s"transform(${args(1)}, ${args(0)})")
+    s = rewriteCall(s, "arrayFilter", args => s"filter(${args(1)}, ${args(0)})")
+    s = rewriteCall(s, "arrayExists", args => s"exists(${args(1)}, ${args(0)})")
+    // CAST(x AS <ClickHouse type>) → CAST(x AS <Spark type>)
+    s = rewriteCall(s, "CAST", args => {
+      val a = args.head
+      val i = a.lastIndexOf(" AS ")
+      if (i < 0) s"CAST($a)"
+      else s"CAST(${a.substring(0, i)} AS ${sparkTypeName(a.substring(i + 4))})"
+    })
+    // position(haystack, needle) → locate(needle, haystack)
+    s = rewriteCall(s, "position", args => s"locate(${args(1)}, ${args(0)})")
+    // countDistinct(x...) → count(DISTINCT x...)
+    s = rewriteCall(s, "countDistinct", args => s"count(DISTINCT ${args.mkString(", ")})")
+    // positiveModulo → pmod
+    s = rewriteCall(s, "positiveModulo", args => s"pmod(${args.mkString(", ")})")
+    // trimBoth → trim, replaceAll → replace
+    s = rewriteCall(s, "trimBoth", args => s"trim(${args.head})")
+    s = rewriteCall(s, "replaceAll", args => s"replace(${args.mkString(", ")})")
+    // startsWith/endsWith → Spark lowercase names
+    s = rewriteCall(s, "startsWith", args => s"startswith(${args.mkString(", ")})")
+    s = rewriteCall(s, "endsWith", args => s"endswith(${args.mkString(", ")})")
+    // literal constructors emitted by ChSql.literal
+    s = rewriteCall(s, "toDateTime64", args => s"to_timestamp(${args.head})")
+    s = rewriteCall(s, "toDate", args => s"to_date(${args.head})")
     s
   }
 

@@ -101,6 +101,13 @@ class ChScanBuilder(
 class ChScan(client: ClickHouseClient, sql: String, out: StructType, readStreams: Int)
   extends Scan with Batch {
 
+  /** Exposed for subtree collapse (graft.pushdown): the scan's generated
+    * remote SQL becomes the leaf FROM clause of a collapsed query.
+    */
+  def generatedSql: String = sql
+  def chClient: ClickHouseClient = client
+  def chStreams: Int = readStreams
+
   override def readSchema(): StructType = out
   override def description(): String = s"ClickHouseScan[$sql]"
   override def toBatch: Batch = this

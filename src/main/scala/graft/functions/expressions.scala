@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, LeafExpression, Literal, Unevaluable}
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.types.ClickHouseType
+
+/** The passthrough expression family (the Spark analog of the reference's
+  * three planning-only UDFs, /root/reference/src/udfs/):
+  *
+  *  - [[ClickHousePassthrough]] ⇔ `clickhouse(expr, 'Type')`
+  *    (udfs/clickhouse.rs:39-66): marks an expression subtree for remote
+  *    execution with a declared return type. Unevaluable — it MUST be
+  *    eliminated by the pushdown rule before execution, exactly like the
+  *    reference's `invoke()` that always errors.
+  *  - [[ClickHouseEval]] ⇔ `clickhouse_eval('raw syntax', 'Type')`
+  *    (udfs/eval.rs:58-142): a raw ClickHouse SQL fragment spliced
+  *    verbatim into the generated remote SQL.
+  *  - [[ClickHouseFn]] ⇔ the `PlaceholderUDF` (udfs/placeholder.rs:22-74):
+  *    call ANY remote function by name — unknown names become remote
+  *    calls instead of analysis errors. Case-sensitive, as ClickHouse
+  *    function names are (context.rs:49-53).
+  *
+  * Nullability rules mirror udfs.rs:50-73: result is nullable iff any
+  * referenced non-array child is nullable (ClickHouse arrays are never
+  * nullable themselves).
+  */
+case class ClickHousePassthrough(child: Expression, declaredType: String)
+  extends Expression with Unevaluable {
+
+  private val parsed = ClickHouseType.parse(declaredType)
+  override def dataType: DataType = parsed.dataType
+  override def nullable: Boolean = parsed.nullable || child.nullable
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "clickhouse"
+  override def sql: String = s"clickhouse(${child.sql}, '$declaredType')"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+case class ClickHouseEval(rawSql: String, declaredType: String)
+  extends LeafExpression with Unevaluable {
+
+  private val parsed = ClickHouseType.parse(declaredType)
+  override def dataType: DataType = parsed.dataType
+  override def nullable: Boolean = true // raw fragment: nullability unknown
+  override def prettyName: String = "clickhouse_eval"
+  override def sql: String = s"clickhouse_eval('$rawSql', '$declaredType')"
+  // like the reference's Volatility::Volatile (udfs/eval.rs:46-55): never
+  // fold or reorder a raw remote fragment
+  override lazy val deterministic: Boolean = false
+}
+
+case class ClickHouseFn(name: String, args: Seq[Expression], declaredType: String)
+  extends Expression with Unevaluable {
+
+  private val parsed = ClickHouseType.parse(declaredType)
+  override def dataType: DataType = parsed.dataType
+  override def nullable: Boolean =
+    parsed.nullable || args.exists(a =>
+      a.nullable && !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+  override def children: Seq[Expression] = args
+  override def prettyName: String = name
+  override def sql: String =
+    s"clickhouse_fn('$name', ${args.map(_.sql).mkString(", ")}, '$declaredType')"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(args = newChildren)
+}
+
+object Registration {
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, org.apache.spark.sql.types.StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
+
+  private def buildClickhouse(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "clickhouse(expr, 'Type') takes 2 arguments")
+    ClickHousePassthrough(exprs.head, strArg(exprs(1), "return type"))
+  }
+
+  private def buildEval(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "clickhouse_eval('sql', 'Type') takes 2 arguments")
+    ClickHouseEval(strArg(exprs.head, "sql fragment"), strArg(exprs(1), "return type"))
+  }
+
+  private def buildFn(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 2, "clickhouse_fn('name', args..., 'Type') takes >= 2 arguments")
+    ClickHouseFn(strArg(exprs.head, "function name"), exprs.drop(1).dropRight(1),
+      strArg(exprs.last, "return type"))
+  }
+
+  /** SQL-surface registration (runtime, no extensions required):
+    * `clickhouse(expr, 'Type')`, `clickhouse_eval('sql', 'Type')`,
+    * `clickhouse_fn('name', args..., 'Type')`.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("clickhouse", buildClickhouse, "built-in")
+    reg.createOrReplaceTempFunction("clickhouse_eval", buildEval, "built-in")
+    reg.createOrReplaceTempFunction("clickhouse_fn", buildFn, "built-in")
+  }
+
+  /** FunctionDescriptions for `SparkSessionExtensions.injectFunction`. */
+  def descriptors: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    Seq(
+      (FunctionIdentifier("clickhouse"),
+        new ExpressionInfo(classOf[ClickHousePassthrough].getName, "clickhouse"),
+        buildClickhouse _),
+      (FunctionIdentifier("clickhouse_eval"),
+        new ExpressionInfo(classOf[ClickHouseEval].getName, "clickhouse_eval"),
+        buildEval _),
+      (FunctionIdentifier("clickhouse_fn"),
+        new ExpressionInfo(classOf[ClickHouseFn].getName, "clickhouse_fn"),
+        buildFn _))
+  }
+}

@@ -1,0 +1,201 @@
+package graft.pushdown
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{ClickHouseEval, ClickHouseFn, ClickHousePassthrough}
+import graft.sql.ChSql
+import graft.types.ClickHouseType
+
+/** Catalyst `Expression` → ClickHouse SQL compiler (the analog of the
+  * reference's unparser dialect + lambda rewriter,
+  * /root/reference/src/dialect.rs and src/udfs/apply.rs:126-217).
+  *
+  * `None` = not compilable → the enclosing subtree cannot be pushed (the
+  * same "does it unparse?" exactness probe the scan filters use,
+  * sql.rs:215-228). Attribute references resolve through `scope`
+  * (exprId → generated remote alias).
+  */
+object ChExprUnparser {
+
+  def compile(e: Expression, scope: Map[ExprId, String]): Option[String] = {
+    def go(e: Expression): Option[String] = compile(e, scope)
+    def fn(name: String, args: Seq[Expression]): Option[String] = {
+      val parts = args.map(go)
+      if (parts.exists(_.isEmpty)) None
+      else Some(s"$name(${parts.flatten.mkString(", ")})")
+    }
+    def bin(op: String, l: Expression, r: Expression): Option[String] =
+      for (ls <- go(l); rs <- go(r)) yield s"($ls $op $rs)"
+
+    e match {
+      // ---- passthrough family: unwrap into remote syntax ----
+      case ClickHousePassthrough(child, _) => go(child)
+      case ClickHouseEval(raw, _) => Some(s"($raw)")
+      case ClickHouseFn(name, args, _) => fn(name, args)
+
+      // ---- leaves ----
+      case a: AttributeReference => scope.get(a.exprId)
+      case v: NamedLambdaVariable => scope.get(v.exprId)
+      case Alias(child, _) => go(child)
+      case l: Literal => literal(l)
+
+      // ---- arithmetic ----
+      case Add(l, r, _) => bin("+", l, r)
+      case Subtract(l, r, _) => bin("-", l, r)
+      case Multiply(l, r, _) => bin("*", l, r)
+      case Divide(l, r, _) => bin("/", l, r)
+      case Remainder(l, r, _) => bin("%", l, r)
+      case UnaryMinus(c, _) => go(c).map(s => s"(-$s)")
+
+      // ---- comparison / logic ----
+      case EqualTo(l, r) => bin("=", l, r)
+      case EqualNullSafe(l, r) =>
+        for (ls <- go(l); rs <- go(r)) yield s"($ls IS NOT DISTINCT FROM $rs)"
+      case GreaterThan(l, r) => bin(">", l, r)
+      case GreaterThanOrEqual(l, r) => bin(">=", l, r)
+      case LessThan(l, r) => bin("<", l, r)
+      case LessThanOrEqual(l, r) => bin("<=", l, r)
+      case And(l, r) => bin("AND", l, r)
+      case Or(l, r) => bin("OR", l, r)
+      case Not(c) => go(c).map(s => s"(NOT $s)")
+      case IsNull(c) => go(c).map(s => s"($s IS NULL)")
+      case IsNotNull(c) => go(c).map(s => s"($s IS NOT NULL)")
+      case In(v, list) =>
+        for {
+          vs <- go(v)
+          items <- sequence(list.map(go))
+        } yield s"($vs IN (${items.mkString(", ")}))"
+      case InSet(v, hset) =>
+        for {
+          vs <- go(v)
+          items <- sequence(hset.toSeq.sortBy(_.toString)
+            .map(x => literal(Literal(x, v.dataType))))
+        } yield s"($vs IN (${items.mkString(", ")}))"
+      case CaseWhen(branches, elseValue) =>
+        val parts = branches.map { case (c, v) =>
+          for (cs <- go(c); vs <- go(v)) yield s"WHEN $cs THEN $vs"
+        }
+        for {
+          ps <- sequence(parts)
+          el <- elseValue.map(go).getOrElse(Some(""))
+        } yield s"(CASE ${ps.mkString(" ")}${if (el.nonEmpty) s" ELSE $el" else ""} END)"
+      case If(c, t, f) => fn("if", Seq(c, t, f))
+      case Coalesce(children) => fn("coalesce", children)
+      case Greatest(children) => fn("greatest", children)
+      case Least(children) => fn("least", children)
+
+      // ---- casts ----
+      case Cast(child, dt, _, _) =>
+        for {
+          cs <- go(child)
+          t <- renderType(dt)
+        } yield s"CAST($cs AS $t)"
+
+      // ---- strings ----
+      case Upper(c) => fn("upper", Seq(c))
+      case Lower(c) => fn("lower", Seq(c))
+      case Length(c) => fn("length", Seq(c))
+      case Concat(cs) => fn("concat", cs)
+      case Substring(s, p, l) => fn("substring", Seq(s, p, l))
+      case StartsWith(l, r) => fn("startsWith", Seq(l, r))
+      case EndsWith(l, r) => fn("endsWith", Seq(l, r))
+      case Contains(l, r) =>
+        for (ls <- go(l); rs <- go(r)) yield s"(position($ls, $rs) > 0)"
+      case StringTrim(c, None) => fn("trimBoth", Seq(c))
+      case StringReplace(s, f, r) => fn("replaceAll", Seq(s, f, r))
+      case _: Like => None // ClickHouse LIKE exists but escape semantics differ; keep local
+
+      // ---- math ----
+      case Abs(c, _) => fn("abs", Seq(c))
+      case Exp(c) => fn("exp", Seq(c))
+      case Log(c) => fn("log", Seq(c))
+      case Log10(c) => fn("log10", Seq(c))
+      case Log2(c) => fn("log2", Seq(c))
+      case Sqrt(c) => fn("sqrt", Seq(c))
+      case Pow(l, r) => fn("pow", Seq(l, r))
+      case Floor(c) => fn("floor", Seq(c))
+      case Ceil(c) => fn("ceil", Seq(c))
+      case Round(c, s, _) => fn("round", Seq(c, s))
+      case Pmod(l, r, _) =>
+        // pmod(a, b) = ((a % b) + b) % b; ClickHouse has positiveModulo
+        fn("positiveModulo", Seq(l, r))
+
+      // ---- higher-order array functions (the apply/lambda surface,
+      //      udfs/apply.rs: fn(x -> body, cols...)) ----
+      case ArrayTransform(arg, f) => hof("arrayMap", arg, f, scope)
+      case ArrayFilter(arg, f) => hof("arrayFilter", arg, f, scope)
+      case ArrayExists(arg, f, _) => hof("arrayExists", arg, f, scope)
+      case Size(c, _) => fn("length", Seq(c))
+
+      // ---- aggregates (for whole-subtree aggregation pushdown) ----
+      case AggregateExpression(af, _, isDistinct, None, _) =>
+        af match {
+          case Sum(c, _) => fn("sum", Seq(c))
+          case Min(c) => fn("min", Seq(c))
+          case Max(c) => fn("max", Seq(c))
+          case Average(c, _) => fn("avg", Seq(c))
+          case Count(cs) if isDistinct => fn("countDistinct", cs)
+          case Count(Seq(Literal(1, IntegerType))) => Some("count(*)")
+          case Count(cs) => fn("count", cs)
+          case _ => None
+        }
+
+      case _ => None
+    }
+  }
+
+  private def hof(
+      chName: String,
+      arg: Expression,
+      f: Expression,
+      scope: Map[ExprId, String]): Option[String] = f match {
+    case LambdaFunction(body, args, _) =>
+      val vars = args.collect { case v: NamedLambdaVariable => v }
+      if (vars.length != args.length) None
+      else {
+        // lambda variables enter scope under fresh remote names x0, x1...
+        val inner = scope ++ vars.zipWithIndex.map { case (v, i) =>
+          v.exprId -> s"x$i"
+        }
+        for {
+          bodySql <- compile(body, inner)
+          argSql <- compile(arg, scope)
+        } yield {
+          val params =
+            if (vars.length == 1) s"x0"
+            else s"(${vars.indices.map(i => s"x$i").mkString(", ")})"
+          s"$chName($params -> $bodySql, $argSql)"
+        }
+      }
+    case _ => None
+  }
+
+  private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =
+    if (xs.exists(_.isEmpty)) None else Some(xs.flatten)
+
+  /** Render an internal (Catalyst) literal value as ClickHouse SQL. */
+  def literal(l: Literal): Option[String] = (l.value, l.dataType) match {
+    case (null, _) => Some("NULL")
+    case (v: UTF8String, StringType) => Some(ChSql.stringLit(v.toString))
+    case (v: Boolean, BooleanType) => Some(if (v) "true" else "false")
+    case (v, ByteType | ShortType | IntegerType | LongType) => Some(v.toString)
+    case (v: Float, FloatType) =>
+      if (v.isNaN || v.isInfinite) None else Some(v.toString)
+    case (v: Double, DoubleType) =>
+      if (v.isNaN || v.isInfinite) None else Some(v.toString)
+    case (v: Decimal, _: DecimalType) => Some(v.toBigDecimal.underlying.toPlainString)
+    case (micros: Long, TimestampType) =>
+      val inst = java.time.Instant.EPOCH.plusNanos(micros * 1000L)
+      ChSql.literal(inst)
+    case (days: Int, DateType) =>
+      ChSql.literal(java.time.LocalDate.ofEpochDay(days.toLong))
+    case _ => None
+  }
+
+  /** Spark type → ClickHouse type for CAST targets. */
+  def renderType(dt: DataType): Option[String] =
+    try Some(ClickHouseType.render(dt)) catch { case _: IllegalArgumentException => None }
+}

@@ -1,0 +1,129 @@
+package graft.pushdown
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+import graft.connector.ChScan
+import graft.sql.ChSql
+
+/** Catalyst `LogicalPlan` subtree → ClickHouse SQL (the analog of the
+  * reference's `Unparser(ClickHouseDialect).plan_to_sql`,
+  * /root/reference/src/context/plan_node.rs:75-80).
+  *
+  * Every level becomes a derived table whose columns are aliased
+  * `a<exprId>` — exprIds are unique across the plan, so parent references
+  * stay unambiguous even through joins (this sidesteps the subquery-alias
+  * bugs the reference hit, plan_node.rs:104-155). The leaf FROM clause is
+  * the DSv2 scan's own generated SQL, so column pruning and filter
+  * pushdown compose with subtree collapse.
+  *
+  * Limits/sorts are intentionally NOT unparsed — kept outside the wrapped
+  * subtree, matching the reference's deliberate choice (plan_node.rs:150-155).
+  */
+object ChPlanUnparser {
+
+  final case class Unparsed(sql: String, scope: Map[ExprId, String])
+
+  def aliasOf(id: ExprId): String = s"a${id.id}"
+
+  /** Unparse a subtree; None = subtree not expressible remotely. */
+  def unparse(plan: LogicalPlan): Option[Unparsed] = {
+    val fresh = new AtomicInteger()
+    def sub(): String = s"t${fresh.getAndIncrement()}"
+
+    def go(p: LogicalPlan): Option[Unparsed] = p match {
+
+      case DataSourceV2ScanRelation(_, scan: ChScan, output, _, _) =>
+        if (output.isEmpty) None // empty-projection scans handled by DSv2 alone
+        else {
+          val cols = output.map(a => s"${ChSql.quoteIdent(a.name)} AS ${aliasOf(a.exprId)}")
+          Some(Unparsed(
+            s"SELECT ${cols.mkString(", ")} FROM (${scan.generatedSql}) AS ${sub()}",
+            output.map(a => a.exprId -> aliasOf(a.exprId)).toMap))
+        }
+
+      case Project(list, child) =>
+        for {
+          c <- go(child)
+          items <- sequence(list.map {
+            case a: Alias =>
+              ChExprUnparser.compile(a.child, c.scope)
+                .map(s => (s"$s AS ${aliasOf(a.exprId)}", a.exprId))
+            case ar: AttributeReference =>
+              c.scope.get(ar.exprId).map(n => (s"$n AS ${aliasOf(ar.exprId)}", ar.exprId))
+            case _ => None
+          })
+        } yield Unparsed(
+          s"SELECT ${items.map(_._1).mkString(", ")} FROM (${c.sql}) AS ${sub()}",
+          items.map { case (_, id) => id -> aliasOf(id) }.toMap)
+
+      case Filter(cond, child) =>
+        for {
+          c <- go(child)
+          w <- ChExprUnparser.compile(cond, c.scope)
+        } yield Unparsed(s"SELECT * FROM (${c.sql}) AS ${sub()} WHERE $w", c.scope)
+
+      case j @ Join(left, right, joinType, cond, _) =>
+        val kw = joinType match {
+          case Inner => Some("JOIN")
+          case LeftOuter => Some("LEFT JOIN")
+          case RightOuter => Some("RIGHT JOIN")
+          case FullOuter => Some("FULL JOIN")
+          case LeftSemi => Some("LEFT SEMI JOIN")
+          case LeftAnti => Some("LEFT ANTI JOIN")
+          case Cross => Some("CROSS JOIN")
+          case _ => None
+        }
+        for {
+          k <- kw
+          l <- go(left)
+          r <- go(right)
+          scope = l.scope ++ r.scope
+          on <- cond match {
+            case Some(cd) => ChExprUnparser.compile(cd, scope).map(s => s" ON $s")
+            case None if joinType == Cross || joinType == Inner => Some("")
+            case None => None
+          }
+          outScope = joinType match {
+            case LeftSemi | LeftAnti => l.scope
+            case _ => scope
+          }
+          outCols = j.output.flatMap(a => outScope.get(a.exprId))
+          if outCols.length == j.output.length
+        } yield Unparsed(
+          s"SELECT ${outCols.mkString(", ")} FROM (${l.sql}) AS ${sub()} " +
+            s"$k (${r.sql}) AS ${sub()}$on",
+          j.output.map(a => a.exprId -> outScope(a.exprId)).toMap)
+
+      case Aggregate(groupingExprs, aggExprs, child, _) =>
+        for {
+          c <- go(child)
+          items <- sequence(aggExprs.map {
+            case a: Alias =>
+              ChExprUnparser.compile(a.child, c.scope)
+                .map(s => (s"$s AS ${aliasOf(a.exprId)}", a.exprId))
+            case ar: AttributeReference =>
+              c.scope.get(ar.exprId).map(n => (s"$n AS ${aliasOf(ar.exprId)}", ar.exprId))
+            case _ => None
+          })
+          groups <- sequence(groupingExprs.map(g => ChExprUnparser.compile(g, c.scope)))
+        } yield {
+          val gb = if (groups.isEmpty) "" else s" GROUP BY ${groups.mkString(", ")}"
+          Unparsed(
+            s"SELECT ${items.map(_._1).mkString(", ")} FROM (${c.sql}) AS ${sub()}$gb",
+            items.map { case (_, id) => id -> aliasOf(id) }.toMap)
+        }
+
+      case _ => None
+    }
+
+    go(plan)
+  }
+
+  private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =
+    if (xs.exists(_.isEmpty)) None else Some(xs.flatten)
+}

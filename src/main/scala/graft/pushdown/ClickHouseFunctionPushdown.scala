@@ -1,0 +1,183 @@
+package graft.pushdown
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+import graft.connector.ChScan
+import graft.functions.{ClickHouseEval, ClickHouseFn, ClickHousePassthrough}
+
+/** The function-pushdown / federation rule — the Spark analog of the
+  * reference's 1540-LoC `ClickHouseFunctionPushdown` AnalyzerRule
+  * (/root/reference/src/analyzer/function_pushdown.rs) plus the
+  * datafusion-federation subtree collapse (src/federation.rs).
+  *
+  * Runs in the optimizer's user-provided batch, after Catalyst has done
+  * column pruning / filter pushdown into the DSv2 scans, so the collapsed
+  * SQL composes with scan pushdown. Three behaviors:
+  *
+  *  1. Passthrough elimination: any subtree containing `clickhouse(...)`/
+  *     `clickhouse_eval`/`clickhouse_fn` expressions is unparsed to
+  *     ClickHouse SQL and replaced by a [[ClickHouseRemoteNode]] — the
+  *     expressions are Unevaluable, so this rule MUST consume them.
+  *  2. Hoisting: when a passthrough sits in a node we cannot collapse
+  *     (window, sort, unsupported agg...), it is hoisted into a Project
+  *     over the child whose output covers its references — the reference's
+  *     "push functions into the child that covers their columns"
+  *     (function_pushdown.rs:40-74) — and wrapped there.
+  *  3. Federation: joins whose both sides reach only ClickHouse scans that
+  *     share one connection key collapse into a single remote query, and
+  *     aggregates directly over collapsible subtrees ship whole (the
+  *     compute_context gating of sql.rs:413-425).
+  *
+  * Spark's globally-unique ExprIds replace the reference's ColumnId/
+  * SourceContext lineage machinery (source_visitor.rs, source_context.rs):
+  * attribute identity IS lineage, which collapses ~1100 LoC of the
+  * reference into the scope maps of [[ChPlanUnparser]].
+  */
+object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val hasOurScan = plan.exists {
+      case DataSourceV2ScanRelation(_, _: ChScan, _, _, _) => true
+      case _ => false
+    }
+    lazy val hasPassthrough = plan.exists(_.expressions.exists(containsPassthrough))
+    if (!hasOurScan && !hasPassthrough) return plan
+    if (!hasOurScan && hasPassthrough)
+      throw new IllegalStateException(
+        "clickhouse()/clickhouse_eval()/clickhouse_fn() require at least one " +
+          "ClickHouse table in the query (no remote source to ship the expression to)")
+    rewrite(plan)
+  }
+
+  private def rewrite(p: LogicalPlan): LogicalPlan = p match {
+    case _: ClickHouseRemoteNode => p
+    case _ if shouldWrap(p) =>
+      wrap(p).getOrElse(hoistAndRecurse(p))
+    case _ => hoistAndRecurse(p)
+  }
+
+  private def hoistAndRecurse(p: LogicalPlan): LogicalPlan = {
+    val hoisted = hoistPassthroughs(p)
+    hoisted.mapChildren(rewrite)
+  }
+
+  /** A subtree is worth collapsing when it must be (passthroughs) or when
+    * federation wins (multi-scan join, or aggregation over remote data
+    * that shrinks the transfer).
+    */
+  private def shouldWrap(p: LogicalPlan): Boolean = {
+    def ourScans(q: LogicalPlan): Int = q.collectLeaves().count {
+      case DataSourceV2ScanRelation(_, _: ChScan, _, _, _) => true
+      case _ => false
+    }
+    def allLeavesOurs(q: LogicalPlan): Boolean = {
+      val leaves = q.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case DataSourceV2ScanRelation(_, _: ChScan, _, _, _) => true
+        case _ => false
+      }
+    }
+    if (!allLeavesOurs(p)) false
+    else {
+      val subtreeHasPassthrough =
+        p.exists(_.expressions.exists(containsPassthrough))
+      val federatable = p match {
+        case _: Join => ourScans(p) >= 2
+        case _: Aggregate => true
+        case _ => false
+      }
+      subtreeHasPassthrough || federatable
+    }
+  }
+
+  /** Collapse subtree → remote node, gated on a single connection key for
+    * every scan (JoinPushDown::AllowedFor semantics).
+    */
+  private def wrap(p: LogicalPlan): Option[LogicalPlan] = {
+    val scans = p.collectLeaves().collect {
+      case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s
+    }
+    val keys = scans.map(_.chClient.connectionKey).distinct
+    if (keys.length != 1) None
+    else
+      ChPlanUnparser.unparse(p).map { u =>
+        val finalCols = p.output.zipWithIndex
+          .map { case (a, i) => s"${u.scope(a.exprId)} AS c$i" }
+        val sql = s"SELECT ${finalCols.mkString(", ")} FROM (${u.sql}) AS fin"
+        ClickHouseRemoteNode(p.output, sql, scans.head.chClient, scans.head.chStreams)
+      }
+  }
+
+  /** Move passthrough expressions out of a node we will not collapse into
+    * a Project over the child whose output covers their references; the
+    * recursion then wraps that Project.
+    */
+  private def hoistPassthroughs(p: LogicalPlan): LogicalPlan = {
+    if (p.children.isEmpty || !p.expressions.exists(containsPassthrough)) return p
+
+    val hoistedPerChild =
+      scala.collection.mutable.Map.empty[Int, Vector[Alias]].withDefaultValue(Vector.empty)
+
+    // a passthrough may hoist into a child only if (a) the child covers its
+    // references and can collapse, and (b) the expression provably compiles
+    // to remote SQL — otherwise hoisting would loop: wrap fails, hoist
+    // again, forever (the reference guards this with its semantic-violation
+    // checks, function_pushdown.rs:475-643)
+    def compilesAgainst(e: Expression, c: LogicalPlan): Boolean = {
+      val dummyScope = c.output.map(a => a.exprId -> "x").toMap
+      ChExprUnparser.compile(e, dummyScope).isDefined
+    }
+
+    def coveringChild(e: Expression): Option[Int] = {
+      val candidates = p.children.zipWithIndex.filter { case (c, _) =>
+        e.references.subsetOf(c.outputSet) && collapsible(c) && compilesAgainst(e, c)
+      }
+      candidates.headOption.map(_._2)
+    }
+
+    val rewritten = p.mapExpressions { e =>
+      e.transformDown {
+        case pt if isPassthrough(pt) =>
+          coveringChild(pt) match {
+            case Some(i) =>
+              val alias = Alias(pt, s"__ch_pushed_${pt.hashCode.abs}")()
+              hoistedPerChild(i) = hoistedPerChild(i) :+ alias
+              alias.toAttribute
+            case None => throw new IllegalStateException(
+              s"cannot push ClickHouse expression to a remote source " +
+                s"(unsupported expression shape or mixed sources): ${pt.sql}")
+          }
+      }
+    }
+
+    if (hoistedPerChild.isEmpty || hoistedPerChild.values.forall(_.isEmpty)) p
+    else {
+      val newChildren = p.children.zipWithIndex.map { case (c, i) =>
+        val extra = hoistedPerChild(i)
+        if (extra.isEmpty) c
+        else Project(c.output ++ extra, c)
+      }
+      rewritten.withNewChildren(newChildren)
+    }
+  }
+
+  /** Can this subtree in principle collapse (all leaves ours, one key)? */
+  private def collapsible(p: LogicalPlan): Boolean = {
+    val leaves = p.collectLeaves()
+    val scans = leaves.collect {
+      case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s
+    }
+    scans.length == leaves.length && leaves.nonEmpty &&
+      scans.map(_.chClient.connectionKey).distinct.length == 1
+  }
+
+  private def isPassthrough(e: Expression): Boolean = e match {
+    case _: ClickHousePassthrough | _: ClickHouseEval | _: ClickHouseFn => true
+    case _ => false
+  }
+
+  private def containsPassthrough(e: Expression): Boolean = e.exists(isPassthrough)
+}

@@ -1,0 +1,78 @@
+package graft.pushdown
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Cast, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.client.ClickHouseClient
+
+/** Leaf logical node holding a collapsed remote query (the analog of the
+  * reference's `ClickHouseFunctionNode` extension node,
+  * /root/reference/src/context/plan_node.rs). Opaque to the optimizer —
+  * exactly like the reference's node, which exposes no children/exprs so
+  * rewrites can't reach through it (plan_node.rs:86-155).
+  */
+case class ClickHouseRemoteNode(
+    output: Seq[Attribute],
+    sql: String,
+    client: ClickHouseClient,
+    streams: Int)
+  extends LeafNode {
+
+  // Remote results are usually aggregates/filtered rows — report a small
+  // size so Spark will happily broadcast them in federated joins.
+  override def computeStats(): Statistics = Statistics(sizeInBytes = BigInt(1) << 20)
+
+  override def simpleString(maxFields: Int): String =
+    s"ClickHouseRemoteNode [$sql]"
+}
+
+/** Planner strategy (the `ClickHouseExtensionPlanner` analog,
+  * /root/reference/src/context/planner.rs:18-37).
+  */
+object ClickHouseRemoteStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: ClickHouseRemoteNode =>
+      ClickHouseRemoteExec(n.output, n.sql, n.client, n.streams) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical node executing the remote SQL (the `ClickHouseSqlExec` analog,
+  * /root/reference/src/sql.rs:278-369): one input partition per remote
+  * stream; per-batch schema coercion via Cast projection when the wire
+  * schema differs from the declared plan schema (the reference's opt-in
+  * coercion, stream.rs:45-78).
+  */
+case class ClickHouseRemoteExec(
+    output: Seq[Attribute],
+    sql: String,
+    client: ClickHouseClient,
+    streams: Int)
+  extends SparkPlan with LeafExecNode {
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val expected = output.map(_.dataType)
+    val (remoteSchema, groups) = client.query(sql, streams)
+    require(remoteSchema.length == output.length,
+      s"remote arity ${remoteSchema.length} != plan arity ${output.length} for: $sql")
+    val remote = StructType(remoteSchema.fields.map(f => f.copy(nullable = true)))
+    sparkContext.parallelize(groups, math.max(1, groups.length)).mapPartitions { it =>
+      val toInternal = ExpressionEncoder(remote).createSerializer()
+      val projExprs = expected.zipWithIndex.map { case (dt, i) =>
+        val ref = BoundReference(i, remote(i).dataType, nullable = true)
+        if (remote(i).dataType == dt) ref
+        else Cast(ref, dt, Some(java.time.ZoneOffset.UTC.getId))
+      }
+      val proj = UnsafeProjection.create(projExprs)
+      it.flatMap(rows => rows.iterator.map(r => proj(toInternal(r)).copy(): InternalRow))
+    }
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"ClickHouseRemoteExec [$sql]"
+}

@@ -52,6 +52,7 @@ object ConnectorQueries {
       classOf[graft.catalog.ClickHouseCatalog].getName)
     spark.conf.set("spark.sql.catalog.clickhouse.path", root)
     spark.conf.set("spark.sql.catalog.clickhouse.read.streams", "8")
+    graft.GraftSession.install(spark)
   }
 
   private def q(name: String, oracle: String)(
@@ -109,6 +110,57 @@ object ConnectorQueries {
       s.sql("INSERT INTO clickhouse.main.nation_copy SELECT * FROM nation")
       s.table("clickhouse.main.nation_copy")
         .select("n_nationkey", "n_name", "n_regionkey")
+    },
+
+    // function passthrough: clickhouse(expr,'Type') eliminated by the
+    // pushdown rule, executed remotely, hash-matched against local SQL
+    q("r06_pushdown_function",
+      """SELECT c_custkey, upper(c_name) AS uname, length(c_name) AS nlen
+        |FROM customer WHERE c_acctbal > 1000""".stripMargin) { (s, _) =>
+      import graft.chfunctions._
+      s.table("clickhouse.main.customer")
+        .filter(col("c_acctbal") > 1000)
+        .select(col("c_custkey"),
+          clickhouse(upper(col("c_name")), "String").as("uname"),
+          clickhouse(length(col("c_name")), "Int32").as("nlen"))
+    },
+
+    // aggregation ships whole to the remote engine (federation collapse),
+    // with a passthrough in the grouping key
+    q("r07_pushdown_agg",
+      """SELECT upper(l_returnflag) AS rf, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY upper(l_returnflag)""".stripMargin) { (s, _) =>
+      import graft.chfunctions._
+      s.table("clickhouse.main.lineitem")
+        .groupBy(clickhouse(upper(col("l_returnflag")), "String").as("rf"))
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+    },
+
+    // join of two remote tables collapses into ONE remote SQL
+    q("r08_remote_join_collapse",
+      """SELECT n_name, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (s, _) =>
+      s.table("clickhouse.main.customer")
+        .join(s.table("clickhouse.main.nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"))
+    },
+
+    // passthrough arithmetic executed remotely. NOTE: no division before
+    // round() — Spark rounds the shortest decimal repr of a double while
+    // DuckDB rounds the exact binary value, so values landing on .xx5
+    // boundaries (e.g. price/100) diverge; doubling a 2-decimal price
+    // creates no new decimal digits, keeping both engines exact.
+    q("r09_pushdown_arithmetic",
+      """SELECT o_orderkey, round(o_totalprice * 2, 2) AS price2
+        |FROM orders WHERE o_orderkey < 300""".stripMargin) { (s, _) =>
+      import graft.chfunctions._
+      s.table("clickhouse.main.orders")
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          clickhouse(round(col("o_totalprice") * 2, 2), "Float64").as("price2"))
     }
   )
 }

@@ -24,19 +24,20 @@ class ConnectorSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.catalog.clickhouse", classOf[graft.catalog.ClickHouseCatalog].getName)
-      .config("spark.sql.catalog.clickhouse.path", root)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // unique catalog name per suite: suites share one JVM-wide session
+    s.conf.set("spark.sql.catalog.chconn", classOf[graft.catalog.ClickHouseCatalog].getName)
+    s.conf.set("spark.sql.catalog.chconn.path", root)
     s
   }
 
   test("DDL: create database + table via SQL, list, describe") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS clickhouse.testdb")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chconn.testdb")
     spark.sql(
-      """CREATE TABLE clickhouse.testdb.people (id BIGINT NOT NULL, name STRING)
+      """CREATE TABLE chconn.testdb.people (id BIGINT NOT NULL, name STRING)
         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
-    val tables = spark.sql("SHOW TABLES IN clickhouse.testdb").collect()
+    val tables = spark.sql("SHOW TABLES IN chconn.testdb").collect()
     assert(tables.map(_.getString(1)).contains("people"))
     // engine options persisted in the store metadata
     val client = new EmbeddedClickHouse(root)
@@ -47,15 +48,15 @@ class ConnectorSpec extends AnyFunSuite {
   }
 
   test("insert + readback through the connector (reference e2e.rs:424)") {
-    spark.sql("INSERT INTO clickhouse.testdb.people VALUES (1, 'Alice'), (2, 'Bob')")
-    spark.sql("INSERT INTO clickhouse.testdb.people SELECT 3, 'Charlie'")
-    val rows = spark.table("clickhouse.testdb.people")
+    spark.sql("INSERT INTO chconn.testdb.people VALUES (1, 'Alice'), (2, 'Bob')")
+    spark.sql("INSERT INTO chconn.testdb.people SELECT 3, 'Charlie'")
+    val rows = spark.table("chconn.testdb.people")
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(rows.toSeq == Seq((1L, "Alice"), (2L, "Bob"), (3L, "Charlie")))
   }
 
   test("filter + projection + limit pushdown reach the generated SQL") {
-    val df = spark.table("clickhouse.testdb.people")
+    val df = spark.table("chconn.testdb.people")
       .filter(col("id") > 1).select("name").limit(5)
     val plan = df.queryExecution.executedPlan.toString
     // the scan description carries the generated remote SQL: filter,
@@ -66,12 +67,12 @@ class ConnectorSpec extends AnyFunSuite {
   }
 
   test("COUNT(*) works via empty-projection scan (sql.rs:259-276)") {
-    assert(spark.table("clickhouse.testdb.people").count() == 3L)
+    assert(spark.table("chconn.testdb.people").count() == 3L)
   }
 
   test("overwrite is rejected (reference table.rs:144-152)") {
     val e = intercept[Exception] {
-      spark.sql("INSERT OVERWRITE clickhouse.testdb.people VALUES (9, 'X')")
+      spark.sql("INSERT OVERWRITE chconn.testdb.people VALUES (9, 'X')")
     }
     assert(e.isInstanceOf[AnalysisException] ||
       e.getMessage.toLowerCase.contains("overwrite"))
@@ -79,7 +80,7 @@ class ConnectorSpec extends AnyFunSuite {
 
   test("unsupported filters stay local as residuals") {
     // a modulus filter does not compile in our probe -> stays local, still correct
-    val df = spark.table("clickhouse.testdb.people").filter("id % 2 = 1")
+    val df = spark.table("chconn.testdb.people").filter("id % 2 = 1")
     assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
@@ -90,29 +91,29 @@ class ConnectorSpec extends AnyFunSuite {
       Map("engine" -> "MergeTree"))
     client.attachExternal("testdb", "nation_ext",
       Seq("/root/testdata/sf0.001/nation.parquet"))
-    assert(spark.table("clickhouse.testdb.nation_ext").count() == 25)
+    assert(spark.table("chconn.testdb.nation_ext").count() == 25)
     // predicate pushdown against external data
-    val af = spark.table("clickhouse.testdb.nation_ext")
+    val af = spark.table("chconn.testdb.nation_ext")
       .filter(col("n_regionkey") === 0).select("n_name")
     assert(af.count() > 0)
   }
 
   test("multi-stream read produces multiple partitions") {
-    val df = spark.table("clickhouse.testdb.nation_ext")
+    val df = spark.table("chconn.testdb.nation_ext")
     assert(df.rdd.getNumPartitions > 1)
   }
 
   test("federated join: clickhouse table x local view (e2e.rs:799-860)") {
     Tables.register(spark, "/root/testdata/sf0.001")
-    val joined = spark.table("clickhouse.testdb.nation_ext")
+    val joined = spark.table("chconn.testdb.nation_ext")
       .join(spark.table("region"), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name").agg(count(lit(1)).as("n"))
     assert(joined.collect().map(_.getLong(1)).sum == 25)
   }
 
   test("DROP TABLE deletes remotely (providers/catalog.rs:202-240)") {
-    spark.sql("CREATE TABLE clickhouse.testdb.tmp_drop (x INT)")
-    spark.sql("DROP TABLE clickhouse.testdb.tmp_drop")
+    spark.sql("CREATE TABLE chconn.testdb.tmp_drop (x INT)")
+    spark.sql("DROP TABLE chconn.testdb.tmp_drop")
     val client = new EmbeddedClickHouse(root)
     assert(!client.tableExists("testdb", "tmp_drop"))
   }

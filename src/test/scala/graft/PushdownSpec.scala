@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.chfunctions._
+import graft.client.EmbeddedClickHouse
+import graft.pushdown.ClickHouseRemoteExec
+
+/** Function-pushdown + federation battery, mirroring the reference's UDF
+  * e2e tests (tests/e2e.rs:526-997 deep pushdown, :1087 lambdas,
+  * :1223 negative tests).
+  */
+class PushdownSpec extends AnyFunSuite {
+
+  private lazy val root = Files.createTempDirectory("graft_pd_").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .appName("pushdown-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // unique catalog name per suite: suites share one JVM-wide session
+    s.conf.set("spark.sql.catalog.chpd", classOf[graft.catalog.ClickHouseCatalog].getName)
+    s.conf.set("spark.sql.catalog.chpd.path", root)
+    GraftSession.install(s)
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("db", "people",
+      Seq("id" -> "Int32", "name" -> "String"), Map("engine" -> "MergeTree"))
+    client.insert("db", "people",
+      client.sparkSchema("db", "people"),
+      Seq(Row(1, "Alice"), Row(2, "Bob"), Row(3, "Charlie")))
+    client.createTable("db", "knicknames",
+      Seq("id" -> "Int32", "other_name" -> "String"), Map("engine" -> "MergeTree"))
+    client.insert("db", "knicknames",
+      client.sparkSchema("db", "knicknames"),
+      Seq(Row(1, "Al"), Row(2, "Bobby")))
+    // the reference's people2 fixture: Array(String) column (FIXTURES.md §1)
+    client.createTable("db", "people2",
+      Seq("id" -> "Int32", "name" -> "String", "names" -> "Array(String)"),
+      Map("engine" -> "MergeTree"))
+    client.insert("db", "people2",
+      client.sparkSchema("db", "people2"),
+      Seq(Row(1, "Bob", Seq("Buddha", "Zugus", "Lulu")),
+        Row(2, "Alice", Seq("Jazz", "Kaya", "Vienna"))))
+    s
+  }
+
+  private def remoteExecs(df: org.apache.spark.sql.DataFrame): Seq[ClickHouseRemoteExec] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val top = df.queryExecution.executedPlan
+    val plans = top +: top.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    plans.flatMap(_.collect { case e: ClickHouseRemoteExec => e })
+  }
+
+  test("clickhouse(expr, 'Type') pushes to remote execution (SQL surface)") {
+    val df = spark.sql(
+      "SELECT clickhouse(upper(name), 'String') AS uname FROM chpd.db.people")
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec in:\n${df.queryExecution.executedPlan}")
+    assert(execs.head.sql.contains("upper"))
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("ALICE", "BOB", "CHARLIE"))
+  }
+
+  test("clickhouse() via DataFrame API (chfunctions)") {
+    val df = spark.table("chpd.db.people")
+      .select(clickhouse(concat(upper(col("name")), lit("!")), "String").as("x"))
+    assert(remoteExecs(df).nonEmpty)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("ALICE!", "BOB!", "CHARLIE!"))
+  }
+
+  test("clickhouse_fn calls an arbitrary remote function by name") {
+    val df = spark.table("chpd.db.people")
+      .select(col("id"), clickhouse_fn("base64Encode", Seq(col("name")), "String").as("b64"))
+    assert(remoteExecs(df).nonEmpty)
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(got(1) == java.util.Base64.getEncoder.encodeToString("Alice".getBytes))
+  }
+
+  test("pushdown composes with scan filter pushdown") {
+    val df = spark.table("chpd.db.people")
+      .filter(col("id") > 1)
+      .select(clickhouse(lower(col("name")), "String").as("lname"))
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty)
+    // scan-level WHERE survived inside the collapsed SQL
+    assert(execs.head.sql.contains("`id` > 1"), execs.head.sql)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("bob", "charlie"))
+  }
+
+  test("federation: join of two ClickHouse tables collapses into one remote SQL") {
+    val df = spark.table("chpd.db.people").as("p")
+      .join(spark.table("chpd.db.knicknames").as("k"), col("p.id") === col("k.id"))
+      .select(col("p.name"), col("k.other_name"))
+    val execs = remoteExecs(df)
+    assert(execs.length == 1, s"expected single remote exec:\n${df.queryExecution.executedPlan}")
+    assert(execs.head.sql.toUpperCase.contains("JOIN"))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      Seq(("Alice", "Al"), ("Bob", "Bobby")))
+  }
+
+  test("federation: aggregate over a ClickHouse table ships whole") {
+    val df = spark.table("chpd.db.people")
+      .groupBy((col("id") % 2).as("parity"))
+      .agg(count(lit(1)).as("n"), max(col("name")).as("max_name"))
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    assert(execs.head.sql.toUpperCase.contains("GROUP BY"))
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((0, 1L, "Bob"), (1, 2L, "Charlie")))
+  }
+
+  test("passthrough under a sort is hoisted then pushed (function_pushdown.rs:40-74)") {
+    val df = spark.table("chpd.db.people")
+      .orderBy(clickhouse(length(col("name")), "UInt64").desc, col("id"))
+      .select(col("name"))
+    assert(remoteExecs(df).nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("Charlie", "Alice", "Bob"))
+  }
+
+  test("federated mix: ClickHouse side computes passthrough, local side stays local") {
+    val local = spark.createDataFrame(Seq((1, "x"), (2, "y"))).toDF("lid", "tag")
+    local.createOrReplaceTempView("local_tags")
+    val df = spark.table("chpd.db.people")
+      .select(col("id"), clickhouse(upper(col("name")), "String").as("uname"))
+      .join(spark.table("local_tags"), col("id") === col("lid"))
+      .select(col("uname"), col("tag"))
+    assert(remoteExecs(df).nonEmpty)
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      Seq(("ALICE", "x"), ("BOB", "y")))
+  }
+
+  test("lambda HOF unparse: arrayMap/arrayFilter/arrayExists through clickhouse()") {
+    val df = spark.sql(
+      """SELECT clickhouse(transform(names, x -> upper(x)), 'Array(String)') AS unames,
+        |  clickhouse(filter(names, x -> length(x) > 4), 'Array(String)') AS longnames,
+        |  clickhouse(exists(names, x -> x = 'Lulu'), 'Boolean') AS has_lulu
+        |FROM chpd.db.people2 WHERE id = 1""".stripMargin)
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty)
+    assert(execs.head.sql.contains("arrayMap"), execs.head.sql)
+    assert(execs.head.sql.contains("arrayFilter"), execs.head.sql)
+    assert(execs.head.sql.contains("arrayExists"), execs.head.sql)
+    val r = df.collect().head
+    assert(r.getSeq[String](0) == Seq("BUDDHA", "ZUGUS", "LULU"))
+    assert(r.getSeq[String](1) == Seq("Buddha", "Zugus"))
+    assert(r.getBoolean(2))
+  }
+
+  test("negative: passthrough with no ClickHouse table errors (e2e.rs:1223)") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT clickhouse(upper('x'), 'String')").collect()
+    }
+    assert(e.getMessage.contains("ClickHouse") || e.getMessage.contains("clickhouse"),
+      e.getMessage)
+  }
+
+  test("clickhouse_eval splices raw remote syntax (udfs/eval.rs)") {
+    val df = spark.sql(
+      """SELECT id, clickhouse_eval('length(concat(''ab'', ''c''))', 'Int32') AS v
+        |FROM chpd.db.people WHERE id = 1""".stripMargin)
+    assert(remoteExecs(df).nonEmpty)
+    assert(df.collect().head.getInt(1) == 3)
+  }
+}
