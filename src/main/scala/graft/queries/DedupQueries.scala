@@ -107,14 +107,21 @@ object DedupQueries {
     },
 
     // ---- MinHash + LSH banding ----
-    // Signature_i(doc) = lexicographic min over shingles of
-    // md5(i || ':' || shingle); band bucket = md5 of its 4 signatures.
-    // Candidate pairs share >= 1 band bucket; est_jaccard = matching
-    // signature fraction. Full pipeline is oracle-verified.
+    // One md5 per shingle (the expensive hash happens ONCE), rehashed into
+    // NumHashes universal-family hashes h_i = (a_i*h32 + b_i) mod P over
+    // the md5-derived 32-bit value — the standard trick that makes MinHash
+    // linear in corpus size rather than k x corpus. Signature_i(doc) =
+    // min_i; band bucket = the 4 signatures joined; candidate pairs share
+    // >= 1 band bucket; est_jaccard = matching-signature fraction.
+    // Identical arithmetic on both engines -> oracle-verified end to end
+    // (all values stay < 2^52, inside exact BIGINT range for both).
     q("d03_dedup_minhash_lsh",
       s"""WITH $shingleCte,
-         |hx AS (SELECT doc_id, i, min(md5(i || ':' || sh)) AS sig
-         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS i)
+         |h32 AS (SELECT doc_id,
+         |          ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+         |hx AS (SELECT doc_id, i,
+         |          min(((37 + 101 * i) * h + 17 + 97 * i) % 2147483647) AS sig
+         |       FROM h32 CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS i)
          |       GROUP BY doc_id, i),
          |bands AS (SELECT doc_id, i // $BandSize AS band,
          |            md5(array_to_string(list(sig ORDER BY i), '|')) AS bucket
@@ -129,61 +136,75 @@ object DedupQueries {
          |JOIN hx ha ON ha.doc_id = a
          |JOIN hx hb ON hb.doc_id = b AND hb.i = ha.i
          |GROUP BY a, b""".stripMargin) { (s, _) =>
-      val sh = shingles(s)
-      val hx = sh
-        .select(col("doc_id"), explode(sequence(lit(0), lit(NumHashes - 1))).as("i"), col("sh"))
-        .select(col("doc_id"), col("i"),
-          md5(concat(col("i").cast("string"), lit(":"), col("sh")).cast("binary")).as("h"))
-        .groupBy("doc_id", "i")
-        .agg(min("h").as("sig"))
-        .cache()
-      val bands = hx
-        .groupBy(col("doc_id"), (col("i") / BandSize).cast("int").as("band"))
-        .agg(sort_array(collect_list(struct(col("i"), col("sig")))).as("ps"))
-        .select(col("doc_id"), col("band"),
-          md5(concat_ws("|", transform(col("ps"), p => p.getField("sig"))).cast("binary"))
-            .as("bucket"))
+      // Spark shape: signatures live as NumHashes COLUMNS, not exploded
+      // rows — the groupBy collapses map-side (partial min per column)
+      // over corpus-sized input instead of shuffling a 16x row blowup.
+      // At 100 TB this is the difference between shuffling 16x the corpus
+      // and shuffling one signature row per document.
+      val h32 = shingles(s)
+        .select(col("doc_id"),
+          conv(substring(md5(col("sh").cast("binary")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+      val sigCols = (0 until NumHashes).map { i =>
+        min((lit(37 + 101 * i) * col("h") + lit(17 + 97 * i)) % 2147483647L).as(s"s$i")
+      }
+      val sigs = h32.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).cache()
+      val numBands = NumHashes / BandSize
+      val bandStructs = (0 until numBands).map { j =>
+        val sigsInBand = (0 until BandSize).map(k => col(s"s${BandSize * j + k}").cast("string"))
+        struct(lit(j).as("band"),
+          md5(concat_ws("|", sigsInBand: _*).cast("binary")).as("bucket"))
+      }
+      val bands = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
+      val matches = (0 until NumHashes)
+        .map(i => when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0))
+        .reduce(_ + _)
       cand
-        .join(hx.as("ha"), col("a") === col("ha.doc_id"))
-        .join(hx.as("hb"), col("b") === col("hb.doc_id") && col("hb.i") === col("ha.i"))
-        .groupBy("a", "b")
-        .agg((sum(when(col("ha.sig") === col("hb.sig"), 1).otherwise(0)) / NumHashes.toDouble)
-          .as("est_jaccard"))
+        .join(sigs.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sigs.as("sb"), col("b") === col("sb.doc_id"))
+        .select(col("a"), col("b"),
+          (matches.cast("long") / NumHashes.toDouble).as("est_jaccard"))
     },
 
-    // ---- SimHash: 16 deterministic md5-derived hyperplane bits ----
-    // bit_p(token) = first hex digit of md5(p || ':' || token) >= 8;
-    // doc bit p = majority vote over tokens (with multiplicity).
+    // ---- SimHash: 16 hyperplane bits from ONE md5 per token ----
+    // bit_p(token) = (p+1)-th hex digit of md5(token) >= '8' (each hex
+    // digit's high bit is an independent uniform bit); doc bit p =
+    // majority vote over tokens (with multiplicity); fingerprint packs
+    // the 16 voted bits. One expensive hash per token, not per (token,p).
     q("d04_dedup_simhash",
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |  SELECT doc_id, md5(tok) AS th FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
         |bits AS (
         |  SELECT doc_id, p,
-        |    sum(CASE WHEN substr(md5(p || ':' || tok), 1, 1) >= '8'
-        |             THEN 1 ELSE -1 END) AS vote
+        |    sum(CASE WHEN substr(th, p + 1, 1) >= '8' THEN 1 ELSE -1 END) AS vote
         |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
         |  GROUP BY doc_id, p)
         |SELECT doc_id,
         |  sum(CASE WHEN vote > 0 THEN CAST(round(2 ** p) AS BIGINT) ELSE 0 END) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin) { (s, _) =>
+      // Spark shape: 16 vote columns aggregated map-side in ONE pass over
+      // the token stream (no 16x row explosion, single shuffle of one
+      // row per document), then the bits pack in a final projection.
       val toks = s.table("documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val bits = toks
-        .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("p"), col("tok"))
-        .select(col("doc_id"), col("p"),
-          when(substring(md5(concat(col("p").cast("string"), lit(":"), col("tok"))
-            .cast("binary")), 1, 1) >= "8", 1).otherwise(-1).as("v"))
-        .groupBy("doc_id", "p")
-        .agg(sum("v").as("vote"))
-      bits.groupBy("doc_id")
-        .agg(sum(when(col("vote") > 0,
-          round(pow(lit(2), col("p"))).cast("bigint")).otherwise(0L)).as("simhash"))
+        .select(col("doc_id"), md5(col("tok").cast("binary")).as("th"))
+      val voteCols = (0 until 16).map { p =>
+        sum(when(substring(col("th"), p + 1, 1) >= "8", 1).otherwise(-1)).as(s"v$p")
+      }
+      val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      val packed = (0 until 16)
+        .map(p => when(col(s"v$p") > 0, lit(1L << p)).otherwise(0L))
+        .reduce(_ + _)
+      votes.select(col("doc_id"), packed.as("simhash"))
     }
   )
 }

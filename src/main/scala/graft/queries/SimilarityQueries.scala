@@ -26,15 +26,11 @@ object SimilarityQueries {
       f: (SparkSession, String) => DataFrame): GateQuery =
     GateQuery(name, (s, dir) => { Tables.register(s, dir); f(s, dir) }, Some(oracle))
 
-  /** dot(a, b) as a sequential double fold — matches DuckDB's loop order. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-
-  private def embDouble(tbl: String): Column =
-    col(s"$tbl.embedding").cast("array<double>")
+  /** dot(a, b) via the native codegen kernel [[graft.ops.DotProduct]] —
+    * a fused no-allocation loop, bit-identical to the sequential double
+    * fold DuckDB's list_cosine_similarity performs.
+    */
+  private def dot(a: Column, b: Column): Column = graft.ops.vector.vec_dot(a, b)
 
   val all: Seq[GateQuery] = Seq(
 
@@ -54,13 +50,18 @@ object SimilarityQueries {
         |FROM ranked WHERE rank <= 5""".stripMargin) { (s, _) =>
       import org.apache.spark.sql.expressions.Window
       val e = s.table("embeddings")
+      // norms are computed ONCE per row before the pair join (probes x N),
+      // so the join evaluates a single dot product per pair
       val probes = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        .withColumn("pn", graft.ops.vector.vec_norm_sq(col("pe")))
+      val neighbors = e
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+        .withColumn("nn", graft.ops.vector.vec_norm_sq(col("ne")))
       val pairs = broadcast(probes)
-        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
-          col("probe_id") =!= col("neighbor_id"))
+        .join(neighbors, col("probe_id") =!= col("neighbor_id"))
         .select(col("probe_id"), col("neighbor_id"),
-          cosine(col("pe").cast("array<double>"), col("ne").cast("array<double>")).as("cos"))
+          (dot(col("pe"), col("ne")) / sqrt(col("pn") * col("nn"))).as("cos"))
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
       pairs
         .select(col("probe_id"), col("neighbor_id"), col("cos"),
@@ -82,10 +83,12 @@ object SimilarityQueries {
         val e = s.table("embeddings")
         val a = e.filter(col("vec_id") < 500)
           .select(col("vec_id").as("a"), col("embedding").as("ea"))
+          .withColumn("na", graft.ops.vector.vec_norm_sq(col("ea")))
         val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
-        val cos = cosine(col("ea").cast("array<double>"), col("eb").cast("array<double>"))
+          .withColumn("nb", graft.ops.vector.vec_norm_sq(col("eb")))
         broadcast(a).join(b, col("a") < col("b"))
-          .select(col("a"), col("b"), cos.as("cos"))
+          .select(col("a"), col("b"),
+            (dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))).as("cos"))
           .filter(col("cos") >= 0.35)
           .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
     }
