@@ -1,0 +1,100 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest neighbors via random-hyperplane LSH — the SCALE
+  * path for similarity search (the brute-force baseline in
+  * [[graft.queries.SimilarityQueries]] is the correctness oracle).
+  *
+  * Hyperplanes are derived deterministically from md5 (no RNG state to
+  * ship), so bucket assignment is reproducible across sessions and
+  * engines. `numTables` independent tables of `numPlanes` bits each trade
+  * recall against candidate volume: collision probability for angle θ is
+  * (1 - θ/π)^numPlanes per table.
+  *
+  * Scale shape: bucketing is a narrow projection (no shuffle); the
+  * candidate join shuffles on (table, bucket) — bounded-width buckets,
+  * key cardinality grows with the corpus — then only candidates pay the
+  * exact-cosine re-rank. No driver-side materialization anywhere.
+  */
+object AnnLsh {
+
+  /** Deterministic plane weight for (table, plane, dim) in [-7.5, +7.5]:
+    * the first hex digit of md5("t:p:d") minus 7.5.
+    */
+  private def planeWeight(table: Int, plane: Int, dim: Int): Double = {
+    val md = MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$table:$plane:$dim".getBytes(StandardCharsets.UTF_8))
+    ((h(0) >> 4) & 0xf) - 7.5
+  }
+
+  private def planes(numTables: Int, numPlanes: Int, dims: Int): Seq[Seq[Seq[Double]]] =
+    (0 until numTables).map(t => (0 until numPlanes).map(p =>
+      (0 until dims).map(d => planeWeight(t, p, d))))
+
+  /** Add (table, bucket) rows for each vector: one output row per LSH
+    * table, bucket = the sign-bit string of the vector against that
+    * table's hyperplanes.
+    */
+  def withBuckets(
+      df: DataFrame,
+      embCol: String,
+      dims: Int,
+      numTables: Int = 8,
+      numPlanes: Int = 8): DataFrame = {
+    val ps = planes(numTables, numPlanes, dims)
+    val v = col(embCol).cast("array<double>")
+    val tableStructs = (0 until numTables).map { t =>
+      val bits = (0 until numPlanes).map { p =>
+        when(vector.vec_dot(v, typedlit(ps(t)(p))) > 0, "1").otherwise("0")
+      }
+      struct(lit(t).as("lsh_table"), concat(bits: _*).as("lsh_bucket"))
+    }
+    df.withColumn("__tb", explode(array(tableStructs: _*)))
+      .withColumn("lsh_table", col("__tb.lsh_table"))
+      .withColumn("lsh_bucket", col("__tb.lsh_bucket"))
+      .drop("__tb")
+  }
+
+  /** Approximate top-k: bucket both sides, join candidates on
+    * (table, bucket), exact-cosine re-rank, keep k per probe.
+    *
+    * @param corpus  (id, emb) rows
+    * @param probes  (id, emb) rows (typically far smaller; broadcast)
+    */
+  def annTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      embCol: String,
+      dims: Int,
+      k: Int = 5,
+      numTables: Int = 8,
+      numPlanes: Int = 8): DataFrame = {
+    val cb = withBuckets(corpus, embCol, dims, numTables, numPlanes)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("ne"),
+        col("lsh_table"), col("lsh_bucket"))
+    val pb = withBuckets(probes, embCol, dims, numTables, numPlanes)
+      .select(col(idCol).as("probe_id"), col(embCol).as("pe"),
+        col("lsh_table"), col("lsh_bucket"))
+    val cand = broadcast(pb)
+      .join(cb, Seq("lsh_table", "lsh_bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "neighbor_id", "pe", "ne")
+      .distinct()
+    val pe = col("pe").cast("array<double>")
+    val ne = col("ne").cast("array<double>")
+    val cos = vector.vec_dot(pe, ne) /
+      sqrt(vector.vec_dot(pe, pe) * vector.vec_dot(ne, ne))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.select(col("probe_id"), col("neighbor_id"), cos.as("cos"))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+}

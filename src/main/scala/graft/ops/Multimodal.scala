@@ -1,0 +1,134 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: media travel
+  * as opaque `binary` payloads with a typed metadata struct alongside;
+  * decode / feature-extraction / frame-sampling run as partition-local
+  * batch transforms.
+  *
+  * The ACTUAL decoders are stubbed (this container ships no image/audio
+  * codecs): [[StubDecoder]] produces deterministic fake decodes from the
+  * payload hash, so schemas, batching, partitioning, and determinism are
+  * all real and tested while `decodeImage` is a swap-in point for an
+  * ImageIO/ffmpeg-backed implementation.
+  *
+  * Scale notes: every transform here is a narrow `mapPartitions` — no
+  * shuffle, constant memory (iterator in, iterator out, no partition
+  * materialization), codec state created once per partition (the
+  * expensive part of real decoders) rather than per row.
+  */
+object Multimodal {
+
+  /** Canonical media-row schema: id + payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType, nullable = true),
+      StructField("source", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true))), nullable = true)))
+
+  final case class DecodedImage(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  /** Swap-in point for a real codec. Implementations must be
+    * deterministic and partition-safe (one instance per partition).
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeImage(payload: Array[Byte]): DecodedImage
+  }
+
+  /** Deterministic fake: dimensions and pixel sample derived from the
+    * payload md5 — stands in for a real header parse + decode.
+    */
+  object StubDecoder extends MediaDecoder {
+    override def decodeImage(payload: Array[Byte]): DecodedImage = {
+      val h = MessageDigest.getInstance("MD5").digest(payload)
+      def u(i: Int): Int = h(i) & 0xff
+      val w = 64 + ((u(0) << 8 | u(1)) % 512)
+      val ht = 64 + ((u(2) << 8 | u(3)) % 512)
+      DecodedImage(w, ht, 3, h.take(8))
+    }
+  }
+
+  /** Wrap an id + binary column (+ source metadata) into the canonical
+    * media shape.
+    */
+  def toMediaTable(df: DataFrame, idCol: String, payloadCol: String,
+      kind: String, sourceCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      struct(
+        lit(kind).as("kind"),
+        col(sourceCol).cast("string").as("source"),
+        length(col(payloadCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  private val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pixel_sample", BinaryType, nullable = true)))
+
+  /** Batch-decode a media table: partition-local, iterator-to-iterator
+    * (constant memory), decoder instantiated once per partition.
+    */
+  def decodeImages(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    val enc = ExpressionEncoder(decodedSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = enc
+    media.mapPartitions { it =>
+      it.map { r =>
+        val d = decoder.decodeImage(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), d.width, d.height, d.channels, d.pixels)
+      }
+    }
+  }
+
+  /** Per-payload byte-histogram feature vector (16 buckets, L1-normed) —
+    * a real feature-extraction pass (no stub): array<double> output ready
+    * for the ANN/similarity kernels.
+    */
+  def byteHistogramFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = enc
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val hist = new Array[Double](16)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1.0; i += 1 }
+        val n = math.max(1.0, bytes.length.toDouble)
+        Row(r.getLong(idIdx), hist.map(_ / n).toSeq)
+      }
+    }
+  }
+
+  /** Fixed-stride frame sampling over a "video" payload: emits every
+    * `frameSize`-byte slice at `stride` frames — pure column expressions
+    * (posexplode over a computed index sequence), fully codegen'd.
+    */
+  def sampleFrames(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    val nFrames = (length(col("payload")) + frameSize - 1) / frameSize
+    media
+      .select(col("media_id"), col("payload"),
+        posexplode(sequence(lit(0), (nFrames - 1).cast("int"), lit(stride))).as(Seq("pos", "idx")))
+      .select(col("media_id"), col("idx").as("frame_idx"),
+        col("payload").substr(col("idx") * frameSize + 1, lit(frameSize)).as("frame"))
+  }
+}

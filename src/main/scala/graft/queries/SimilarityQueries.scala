@@ -91,6 +91,20 @@ object SimilarityQueries {
             (dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))).as("cos"))
           .filter(col("cos") >= 0.35)
           .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
-    }
+    },
+
+    // ---- LSH-bucketed ANN: the scale path (no SQL oracle — approximate;
+    // recall vs brute force is asserted in OpsSpec) ----
+    GateQuery("s03_ann_lsh",
+      (s, dir) => {
+        Tables.register(s, dir)
+        val e = s.table("embeddings")
+        val probes = e.filter(col("vec_id") < 100)
+        graft.ops.AnnLsh.annTopK(e, probes, "vec_id", "embedding", 64,
+          k = 5, numTables = 12, numPlanes = 5)
+          .select(col("probe_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cosine"), col("rank"))
+      },
+      oracle = None)
   )
 }

@@ -1,0 +1,96 @@
+package graft.session
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.client.{ClickHouseClient, EmbeddedClickHouse}
+
+/** Fluent convenience wrapper (the analog of the reference's
+  * `ClickHouseBuilder` / `ClickHouseCatalogBuilder` /
+  * `ClickHouseTableCreator` DDL chain, /root/reference/src/builders.rs):
+  *
+  * {{{
+  *   val ch = ClickHouseSession.builder(spark)
+  *     .storePath("/data/chstore").catalogName("clickhouse").build()
+  *   ch.createDatabase("analytics")
+  *   ch.newTable("analytics", "events")
+  *     .column("id", "Int64").column("name", "Nullable(String)")
+  *     .engine("MergeTree").orderBy("id").create()
+  *   ch.table("analytics", "events")          // DataFrame via the catalog
+  *   ch.sql("SELECT * FROM clickhouse.analytics.events")
+  * }}}
+  */
+final class ClickHouseSession private (
+    val spark: SparkSession,
+    val catalogName: String,
+    val client: ClickHouseClient) {
+
+  /** Reads resolve through the catalog plugin — full pushdown applies. */
+  def table(db: String, name: String): DataFrame =
+    spark.table(s"$catalogName.$db.$name")
+
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  def createDatabase(db: String): Unit = client.createDatabase(db)
+  def dropDatabase(db: String): Unit = client.dropDatabase(db)
+  def dropTable(db: String, name: String): Unit = client.dropTable(db, name)
+  def databases: Seq[String] = client.listDatabases()
+  def tables(db: String): Seq[String] = client.listTables(db)
+
+  def newTable(db: String, name: String): TableCreator =
+    new TableCreator(this, db, name)
+
+  /** Mirrors ClickHouseTableCreator (builders.rs:358-401): columns with
+    * ClickHouse types + engine options, funneled through the same create
+    * path as SQL DDL.
+    */
+  final class TableCreator private[ClickHouseSession] (
+      session: ClickHouseSession, db: String, name: String) {
+    private var cols = Vector.empty[(String, String)]
+    private var opts = Map("engine" -> "MergeTree")
+
+    def column(colName: String, chType: String): TableCreator = {
+      cols :+= (colName -> chType); this
+    }
+    def engine(e: String): TableCreator = { opts += ("engine" -> e); this }
+    def orderBy(keys: String*): TableCreator = {
+      opts += ("order_by" -> keys.mkString(", ")); this
+    }
+    def partitionBy(expr: String): TableCreator = {
+      opts += ("partition_by" -> expr); this
+    }
+    def ttl(expr: String): TableCreator = { opts += ("ttl" -> expr); this }
+    def setting(k: String, v: String): TableCreator = { opts += (k -> v); this }
+
+    def create(): Unit = {
+      require(cols.nonEmpty, s"table $db.$name needs at least one column")
+      session.client.createTable(db, name, cols, opts)
+    }
+  }
+}
+
+object ClickHouseSession {
+
+  def builder(spark: SparkSession): Builder = new Builder(spark)
+
+  final class Builder private[ClickHouseSession] (spark: SparkSession) {
+    private var path: Option[String] = None
+    private var name: String = "clickhouse"
+
+    def storePath(p: String): Builder = { path = Some(p); this }
+    def catalogName(n: String): Builder = { name = n; this }
+
+    /** Registers the catalog plugin + pushdown machinery on the session
+      * (the `prepare_session_context` + `build_catalog` chain,
+      * builders.rs:94-244).
+      */
+    def build(): ClickHouseSession = {
+      val p = path.getOrElse(
+        throw new IllegalArgumentException("storePath is required"))
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.path", p)
+      graft.GraftSession.install(spark)
+      new ClickHouseSession(spark, name, new EmbeddedClickHouse(p))
+    }
+  }
+}

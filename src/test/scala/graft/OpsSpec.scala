@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AnnLsh, Multimodal, vector}
+
+/** LLM-pipeline ops: ANN-LSH scale path (recall vs the brute-force
+  * baseline), multimodal plumbing, vector kernels.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .appName("ops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private lazy val emb: DataFrame =
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings").cache()
+
+  test("vec_dot matches the composed-HOF fold bit-for-bit") {
+    val viaKernel = emb.select(vector.vec_dot(col("embedding"), col("embedding")).as("d"))
+    val viaHof = emb.select(aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x).as("d"))
+    val k = viaKernel.collect().map(_.getDouble(0))
+    val h = viaHof.collect().map(_.getDouble(0))
+    assert(k.length == h.length)
+    k.zip(h).foreach { case (a, b) => assert(a == b, s"bitwise mismatch: $a vs $b") }
+  }
+
+  test("LSH bucketing is deterministic and produces numTables rows per vector") {
+    val b1 = AnnLsh.withBuckets(emb, "embedding", 64, numTables = 4, numPlanes = 6)
+    val b2 = AnnLsh.withBuckets(emb, "embedding", 64, numTables = 4, numPlanes = 6)
+    assert(b1.count() == emb.count() * 4)
+    val x1 = b1.select("vec_id", "lsh_table", "lsh_bucket").collect().map(_.toSeq).toSet
+    val x2 = b2.select("vec_id", "lsh_table", "lsh_bucket").collect().map(_.toSeq).toSet
+    assert(x1 == x2)
+  }
+
+  test("ANN top-k: recall vs brute force with candidate reduction") {
+    val probes = emb.filter(col("vec_id") < 50)
+    val ann = AnnLsh.annTopK(emb, probes, "vec_id", "embedding", 64,
+      k = 5, numTables = 12, numPlanes = 5)
+    val annPairs = ann.select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute-force top-5 per probe (the oracle)
+    val pe = col("pe").cast("array<double>")
+    val ne = col("ne").cast("array<double>")
+    val cos = vector.vec_dot(pe, ne) /
+      sqrt(vector.vec_dot(pe, pe) * vector.vec_dot(ne, ne))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val brute = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val brutePairs = brute.select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (annPairs & brutePairs).size.toDouble / brutePairs.size
+    info(f"ANN recall@5 = $recall%.3f (${annPairs.size} ann pairs)")
+    assert(recall >= 0.3, f"recall too low: $recall%.3f")
+    // and the ANN result is honest about its cosines: spot-check one pair
+    val one = ann.limit(1).collect()
+    assert(one.head.getDouble(2) <= 1.0001 && one.head.getDouble(2) >= -1.0001)
+  }
+
+  test("multimodal: media table schema + deterministic stub decode") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.toMediaTable(
+      docs.withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", "image", "source")
+    // compare shape (names + types); nullability differs per input lineage
+    assert(media.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Multimodal.mediaSchema.map(f => (f.name, f.dataType.simpleString)))
+    val decoded = Multimodal.decodeImages(media)
+    assert(decoded.count() == docs.count())
+    val r = decoded.filter(col("media_id") === 0).collect().head
+    val r2 = Multimodal.decodeImages(media).filter(col("media_id") === 0).collect().head
+    assert(r.getLong(0) == r2.getLong(0) && r.getInt(1) == r2.getInt(1) &&
+      r.getInt(2) == r2.getInt(2) &&
+      r.getAs[Array[Byte]](4).sameElements(r2.getAs[Array[Byte]](4)),
+      "decode must be deterministic")
+    assert(r.getInt(1) >= 64 && r.getInt(1) < 576) // width in stub range
+  }
+
+  test("multimodal: byte-histogram features are L1-normalized array<double>") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    val media = Multimodal.toMediaTable(
+      docs.withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", "image", "source")
+    val feats = Multimodal.byteHistogramFeatures(media).collect()
+    feats.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.length == 16)
+      assert(math.abs(v.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("multimodal: frame sampling slices payloads with fixed stride") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(5)
+    val media = Multimodal.toMediaTable(
+      docs.withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", "video", "source")
+    val frames = Multimodal.sampleFrames(media, frameSize = 32, stride = 2)
+    val byDoc = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
+      max(length(col("frame"))).as("maxlen")).collect()
+    byDoc.foreach { r => assert(r.getInt(2) <= 32) }
+    assert(frames.count() > 0)
+  }
+}
