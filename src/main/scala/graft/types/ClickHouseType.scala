@@ -32,7 +32,15 @@ object ClickHouseType {
       t.substring(prefix.length + 1, t.length - 1))
     t match {
       case _ if t.startsWith("Nullable(") && t.endsWith(")") =>
-        parseInner(t.substring("Nullable(".length, t.length - 1)).copy(nullable = true)
+        val inner = parseInner(t.substring("Nullable(".length, t.length - 1))
+        // ClickHouse rejects Nullable around composite types:
+        // "Nested type Array(...) cannot be inside Nullable type"
+        inner.dataType match {
+          case _: ArrayType | _: MapType | _: StructType =>
+            throw new IllegalArgumentException(
+              s"nested type cannot be inside Nullable: '$t'")
+          case _ => inner.copy(nullable = true)
+        }
       case _ if t.startsWith("LowCardinality(") && t.endsWith(")") =>
         parseInner(t.substring("LowCardinality(".length, t.length - 1))
       case _ if (t.startsWith("Array(") || t.startsWith("List(")) && t.endsWith(")") =>

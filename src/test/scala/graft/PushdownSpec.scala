@@ -162,6 +162,52 @@ class PushdownSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("window function over a pushed remote column (e2e.rs:938-943)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("namelen").desc, col("id"))
+    val df = spark.table("chpd.db.people")
+      .select(col("id"), clickhouse(length(col("name")), "Int32").as("namelen"))
+      .withColumn("len_rank", rank().over(w))
+    assert(remoteExecs(df).nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(2))).toMap
+    assert(got == Map(3 -> 1, 1 -> 2, 2 -> 3)) // Charlie(7), Alice(5), Bob(3)
+  }
+
+  test("join across DIFFERENT stores does NOT collapse (JoinPushDown gating)") {
+    // second, distinct embedded store = different connection key
+    val root2 = Files.createTempDirectory("graft_pd2_").toString
+    spark.conf.set("spark.sql.catalog.chpd2",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chpd2.path", root2)
+    val client2 = new EmbeddedClickHouse(root2)
+    client2.createTable("db", "other",
+      Seq("id" -> "Int32", "v" -> "String"), Map("engine" -> "MergeTree"))
+    client2.insert("db", "other", client2.sparkSchema("db", "other"),
+      Seq(Row(1, "one"), Row(2, "two")))
+
+    val df = spark.table("chpd.db.people")
+      .join(spark.table("chpd2.db.other"), Seq("id"))
+      .select(col("id"), col("name"), col("v"))
+    // both sides scan remotely, but the JOIN stays in Spark: two scans,
+    // no single collapsed remote SQL containing a JOIN
+    val collapsed = remoteExecs(df).filter(_.sql.toUpperCase.contains(" JOIN "))
+    assert(collapsed.isEmpty, s"cross-store join wrongly collapsed:\n${collapsed.map(_.sql)}")
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq ==
+      Seq((1, "Alice", "one"), (2, "Bob", "two")))
+  }
+
+  test("remote function surface through clickhouse_fn: sigmoid/toString/splitByChar") {
+    val df = spark.table("chpd.db.people").filter(col("id") === 1).select(
+      clickhouse_fn("sigmoid", Seq(col("id").cast("double")), "Float64").as("sig"),
+      clickhouse_fn("toString", Seq(col("id")), "String").as("ids"),
+      clickhouse_fn("splitByChar", Seq(lit("i"), col("name")), "Array(String)").as("parts"))
+    assert(remoteExecs(df).nonEmpty)
+    val r = df.collect().head
+    assert(math.abs(r.getDouble(0) - 1.0 / (1.0 + math.exp(-1.0))) < 1e-12)
+    assert(r.getString(1) == "1")
+    assert(r.getSeq[String](2) == Seq("Al", "ce"))
+  }
+
   test("clickhouse_eval splices raw remote syntax (udfs/eval.rs)") {
     val df = spark.sql(
       """SELECT id, clickhouse_eval('length(concat(''ab'', ''c''))', 'Int32') AS v

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.client.ChSqlTranslator
+import graft.types.ClickHouseType
+
+/** Unit coverage for the remote-dialect translator and property-based
+  * round-trips for the type grammar (SURVEY §5: property tests for
+  * type-mapping and unparser round-trip).
+  */
+class TranslatorSpec extends AnyFunSuite {
+
+  private def t(sql: String): String =
+    ChSqlTranslator.translate(sql, Seq("db" -> "tbl"))
+
+  test("table references rewrite to embedded view names") {
+    assert(t("SELECT * FROM `db`.`tbl`") == "SELECT * FROM __ch_db_tbl")
+    assert(t("SELECT * FROM db.tbl WHERE x > 1") ==
+      "SELECT * FROM __ch_db_tbl WHERE x > 1")
+  }
+
+  test("CAST rewrites ClickHouse type names, including nested parens") {
+    assert(t("SELECT CAST(x AS Int64)") == "SELECT CAST(x AS BIGINT)")
+    assert(t("SELECT CAST(f(a, b) AS Float64)") == "SELECT CAST(f(a, b) AS DOUBLE)")
+    assert(t("SELECT CAST(x AS Decimal(20, 4))") == "SELECT CAST(x AS DECIMAL(20, 4))")
+    assert(t("SELECT CAST(x AS Array(Int32))") == "SELECT CAST(x AS ARRAY<INT>)")
+  }
+
+  test("function-surface special forms") {
+    assert(t("SELECT sigmoid(x)") == "SELECT (1.0 / (1.0 + exp(-(x))))")
+    assert(t("SELECT splitByChar(',', s)") == "SELECT split(s, ',')")
+    assert(t("SELECT position(h, n)") == "SELECT locate(n, h)")
+    assert(t("SELECT countDistinct(a, b)") == "SELECT count(DISTINCT a, b)")
+    assert(t("SELECT positiveModulo(a, b)") == "SELECT pmod(a, b)")
+    assert(t("SELECT arrayMap(x -> x + 1, arr)") == "SELECT transform(arr, x -> x + 1)")
+    assert(t("SELECT arrayFilter(x -> x > 2, arr)") == "SELECT filter(arr, x -> x > 2)")
+    assert(t("SELECT arrayExists(x -> x = 'a', arr)") == "SELECT exists(arr, x -> x = 'a')")
+    assert(t("SELECT toDateTime64('2024-01-01 00:00:00.000000', 6)") ==
+      "SELECT to_timestamp('2024-01-01 00:00:00.000000')")
+    assert(t("SELECT toDate('2024-01-01')") == "SELECT to_date('2024-01-01')")
+    assert(t("SELECT base64Encode(s)") == "SELECT base64(s)")
+    assert(t("SELECT toString(x)") == "SELECT string(x)")
+  }
+
+  test("string literals with parens/quotes survive arg parsing") {
+    assert(t("SELECT splitByChar('(', concat(a, '),'))") ==
+      "SELECT split(concat(a, '),'), '(')")
+  }
+
+  test("word boundaries: no rewrite inside longer identifiers") {
+    assert(t("SELECT my_position(a, b)") == "SELECT my_position(a, b)")
+    assert(t("SELECT repositioned(a)") == "SELECT repositioned(a)")
+  }
+
+  // ---- property: CH type grammar round-trips through parse -> render ----
+  private val leafGen: Gen[String] = Gen.oneOf(
+    "Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32", "UInt64",
+    "Float32", "Float64", "String", "Bool", "Date")
+  private def typeGen(depth: Int): Gen[String] =
+    if (depth <= 0) leafGen
+    else Gen.frequency(
+      4 -> leafGen,
+      // ClickHouse forbids Nullable around Nullable/Array/Map/Tuple
+      2 -> leafGen.map(t => s"Nullable($t)"),
+      2 -> typeGen(depth - 1).map(t => s"Array($t)"),
+      1 -> Gen.zip(leafGen, typeGen(depth - 1)).map { case (k, v) => s"Map($k, $v)" })
+
+  test("property: parse(render(parse(t))) == parse(t) over 300 generated types") {
+    val samples = Iterator.continually(typeGen(3).sample).flatten
+      .filter(!_.contains("Nullable(Nullable")).take(300)
+    samples.foreach { s =>
+      val p = ClickHouseType.parse(s)
+      val rendered = ClickHouseType.render(p.dataType, p.nullable)
+      assert(ClickHouseType.parse(rendered) == p, s"$s via $rendered")
+    }
+  }
+}
