@@ -38,6 +38,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var client: ClickHouseClient with Serializable = _
   private var readStreams: Int = 4
+  private var writeConcurrency: Int = 4
 
   def clickHouseClient: ClickHouseClient = client
 
@@ -48,6 +49,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
         s"catalog $name requires option 'path' (embedded store root)"))
     client = new EmbeddedClickHouse(path)
     readStreams = Option(options.get("read.streams")).map(_.toInt).getOrElse(4)
+    writeConcurrency = Option(options.get("write.concurrency")).map(_.toInt).getOrElse(4)
   }
 
   override def name(): String = catalogName
@@ -117,7 +119,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
     if (!client.tableExists(db, ident.name()))
       throw new NoSuchTableException(ident.namespace() :+ ident.name())
     val schema = ClickHouseType.toStructType(client.fetchColumns(db, ident.name()))
-    new ClickHouseTable(client, db, ident.name(), schema, readStreams)
+    new ClickHouseTable(client, db, ident.name(), schema, readStreams, writeConcurrency)
   }
 
   override def createTable(

@@ -159,9 +159,23 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     val idx = sink.fields.map(f => schema.fieldIndex(f.name))
     val reordered = rows.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
     val spark = SparkSession.active
-    spark.createDataFrame(reordered.asJava, sink)
-      .coalesce(1)
-      .write.mode("append").parquet(tablePath(db, table).toString)
+    // concurrency-safe append: each insert lands in its own staging dir,
+    // then its part file moves atomically into the table dir (concurrent
+    // Spark writes into ONE directory would race on the shared committer
+    // _temporary path) — the parquet analog of one Native-protocol block
+    // per in-flight insert
+    val staging = Files.createTempDirectory(s"chins_${db}_$table")
+    try {
+      spark.createDataFrame(reordered.asJava, sink)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      Files.list(staging).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { p =>
+          Files.move(p, tablePath(db, table)
+            .resolve(s"part-${java.util.UUID.randomUUID}.parquet"))
+        }
+    } finally deleteRecursively(staging)
     rows.length.toLong
   }
 

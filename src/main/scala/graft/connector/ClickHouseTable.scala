@@ -38,7 +38,8 @@ class ClickHouseTable(
     db: String,
     table: String,
     tableSchema: StructType,
-    readStreams: Int)
+    readStreams: Int,
+    writeConcurrency: Int = 4)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"$db.$table"
@@ -50,7 +51,7 @@ class ClickHouseTable(
     new ChScanBuilder(client, db, table, tableSchema, readStreams)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ChWriteBuilder(client, db, table, info.schema())
+    new ChWriteBuilder(client, db, table, info.schema(), writeConcurrency)
 }
 
 /** Pushdown-capable scan builder (mirrors sql.rs:215-239): filters are
@@ -160,11 +161,13 @@ class ChWriteBuilder(
     client: ClickHouseClient,
     db: String,
     table: String,
-    inputSchema: StructType)
+    inputSchema: StructType,
+    writeConcurrency: Int)
   extends WriteBuilder {
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ChBatchWrite(client, db, table, inputSchema)
+    override def toBatch: BatchWrite =
+      new ChBatchWrite(client, db, table, inputSchema, writeConcurrency)
   }
 }
 
@@ -172,7 +175,8 @@ class ChBatchWrite(
     client: ClickHouseClient,
     db: String,
     table: String,
-    inputSchema: StructType)
+    inputSchema: StructType,
+    writeConcurrency: Int)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -181,12 +185,25 @@ class ChBatchWrite(
   // The reference returns the inserted count as a one-row result batch
   // (examples/99:295-304); Spark DML returns no rows — a semantic
   // difference documented in SURVEY §2.1. Count is observable via readback.
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case ChRowsMessage(rows) if rows.nonEmpty =>
-        client.insert(db, table, inputSchema, rows)
-      case _ => ()
+  //
+  // Batches flush with bounded concurrency — the reference's
+  // buffer_unordered(write_concurrency) pattern (sink.rs:129-208,
+  // default 4, connection.rs:47).
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val batches = messages.collect { case ChRowsMessage(rows) if rows.nonEmpty => rows }
+    if (batches.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(writeConcurrency, batches.length)))
+      try {
+        val futures = batches.map { rows =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = client.insert(db, table, inputSchema, rows)
+          })
+        }
+        futures.foreach(_.get()) // propagate the first failure
+      } finally pool.shutdown()
     }
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
