@@ -76,6 +76,48 @@ class OpsSpec extends AnyFunSuite {
     assert(one.head.getDouble(2) <= 1.0001 && one.head.getDouble(2) >= -1.0001)
   }
 
+  test("MinHashSketch aggregator matches the columnar d03 signature path") {
+    import graft.ops.MinHashSketch
+    // shingle hashes exactly as d03 derives them
+    val h32 = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("ts")) - 2),
+          i => concat_ws(" ", slice(col("ts"), i, lit(3)))))).as("sh"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .filter(col("doc_id") < 20)
+
+    val viaAggregator = h32.groupBy("doc_id")
+      .agg(MinHashSketch.minhash_sketch(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+    val sigCols = (0 until 16).map { i =>
+      min((lit(37 + 101 * i) * col("h") + lit(17 + 97 * i)) % 2147483647L).as(s"s$i")
+    }
+    val viaColumns = h32.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+
+    assert(viaAggregator.keySet == viaColumns.keySet)
+    viaAggregator.foreach { case (d, sig) =>
+      assert(sig == viaColumns(d), s"sketch mismatch for doc $d")
+    }
+    // sketch union property: identical inputs -> estJaccard 1.0
+    val d0 = viaAggregator.head._2
+    assert(MinHashSketch.estJaccard(d0, d0) == 1.0)
+  }
+
+  test("approx_count_distinct within tolerance of exact (SURVEY 2.4)") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect().head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("multimodal: media table schema + deterministic stub decode") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.toMediaTable(
