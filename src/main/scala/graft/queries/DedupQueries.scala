@@ -174,6 +174,26 @@ object DedupQueries {
           (matches.cast("long") / NumHashes.toDouble).as("est_jaccard"))
     },
 
+    // ---- dedup APPLY step: keep one canonical row per group ----
+    // (the d01-d04 operators DETECT duplicates; pipelines then keep a
+    // canonical survivor — here the longest doc per (lang, source),
+    // deterministic tie-break on doc_id)
+    q("d05_dedup_keep_canonical",
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t WHERE rn = 1""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      s.table("documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    },
+
     // ---- SimHash: 16 hyperplane bits from ONE md5 per token ----
     // bit_p(token) = (p+1)-th hex digit of md5(token) >= '8' (each hex
     // digit's high bit is an independent uniform bit); doc bit p =
