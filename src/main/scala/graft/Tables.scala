@@ -30,7 +30,17 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  // one registration per (session, dir): every gate query calls register,
+  // and re-reading 10 parquet footers per query dominates small-query
+  // latency; key on the session so concurrent suites stay isolated
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register all tables as temp views for the given scale-factor dir. */
   def register(spark: SparkSession, dir: String): Unit =
-    names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+    if (registered.get(spark) != dir) {
+      names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+      registered.put(spark, dir)
+    }
 }
