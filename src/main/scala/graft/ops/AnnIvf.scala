@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbors: a k-means coarse
+  * quantizer partitions the corpus into cells; probes search only the
+  * `nprobe` nearest cells, then exact-cosine re-rank.
+  *
+  * Complements [[AnnLsh]]: IVF adapts to the data distribution (cells
+  * follow the clusters), LSH is data-independent. Both share the codegen
+  * [[DotProduct]] re-rank kernel.
+  *
+  * Scale shape: training samples the corpus (bounded driver cost for the
+  * k x dims centroid matrix, which is small and broadcast); assignment is
+  * a narrow projection; the candidate join shuffles on cell id (corpus/k
+  * rows per cell on balanced data). Determinism: fixed seed.
+  */
+object AnnIvf {
+
+  final case class IvfIndex(
+      assigned: DataFrame, // idCol, emb, __cell
+      centers: Seq[Seq[Double]])
+
+  /** Train the coarse quantizer and assign every corpus vector a cell. */
+  def buildIndex(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      numCells: Int = 16,
+      trainSampleFraction: Double = 1.0,
+      seed: Long = 42L): IvfIndex = {
+    val withVec = corpus
+      .select(col(idCol), col(embCol))
+      .withColumn("__features", array_to_vector(col(embCol).cast("array<double>")))
+    val train =
+      if (trainSampleFraction >= 1.0) withVec
+      else withVec.sample(withReplacement = false, trainSampleFraction, seed)
+    val model = new KMeans()
+      .setK(numCells).setSeed(seed).setFeaturesCol("__features")
+      .setPredictionCol("__cell")
+      .fit(train)
+    val assigned = model.transform(withVec).drop("__features")
+    IvfIndex(assigned, model.clusterCenters.toSeq.map(_.toArray.toSeq))
+  }
+
+  /** Approximate top-k: probes search their `nprobe` nearest cells. */
+  def annTopK(
+      index: IvfIndex,
+      probes: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 5,
+      nprobe: Int = 4): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val centersDf = index.centers.zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toDF("__cell", "center")
+    // nearest nprobe cells per probe: k is small → cross join vs centers
+    val pe = col("pe").cast("array<double>")
+    val ce = col("center").cast("array<double>")
+    val dist2 = vector.vec_dot(pe, pe) - lit(2.0) * vector.vec_dot(pe, ce) +
+      vector.vec_dot(ce, ce)
+    val wCell = Window.partitionBy("probe_id").orderBy(col("d2"), col("__cell"))
+    val probeCells = probes
+      .select(col(idCol).as("probe_id"), col(embCol).as("pe"))
+      .crossJoin(broadcast(centersDf))
+      .select(col("probe_id"), col("pe"), col("__cell"), dist2.as("d2"))
+      .select(col("probe_id"), col("pe"), col("__cell"),
+        row_number().over(wCell).as("cr"))
+      .filter(col("cr") <= nprobe)
+      .select("probe_id", "pe", "__cell")
+    val corpus = index.assigned
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("ne"), col("__cell"))
+    val ne = col("ne").cast("array<double>")
+    val pe2 = col("pe").cast("array<double>")
+    val cos = vector.vec_dot(pe2, ne) /
+      sqrt(vector.vec_dot(pe2, pe2) * vector.vec_dot(ne, ne))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probeCells)
+      .join(corpus, Seq("__cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), cos.as("cos"))
+      .distinct()
+      .select(col("probe_id"), col("neighbor_id"), col("cos"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics beyond the time-bucket aggregation of q33:
+  * gap-based sessionization and funnel-ish sequence analysis — the
+  * shapes a training-data pipeline runs over interaction logs.
+  *
+  * Scale notes: both queries window by user_id (high-cardinality
+  * partition key → even shuffle), and all timestamp math happens on
+  * exact integer microseconds (epoch micros on both engines truncate ns
+  * identically, so the oracle hash-matches).
+  */
+object EventQueries {
+
+  private def q(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): GateQuery =
+    GateQuery(name, (s, dir) => { Tables.register(s, dir); f(s, dir) }, Some(oracle))
+
+  val all: Seq[GateQuery] = Seq(
+
+    // gap-based sessionization: a new session starts after > 1h idle
+    q("q36_sessionization",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |flags AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |           OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY event_id)
+        |              > 3600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e)
+        |SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        |FROM flags GROUP BY user_id""".stripMargin) { (s, _) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val tus = unix_micros(col("ts"))
+      s.table("events")
+        .select(col("user_id"), col("event_id"), tus.as("tus"))
+        .select(col("user_id"),
+          when(lag("tus", 1).over(w).isNull ||
+            col("tus") - lag("tus", 1).over(w) > 3600000000L, 1)
+            .otherwise(0).as("new_sess"))
+        .groupBy("user_id")
+        .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+
+    // sequence analysis: per user, how often does 'view' directly precede
+    // 'purchase' (the conversion step of a funnel)
+    q("q37_event_sequence",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN event_type = 'view' AND next_type = 'purchase'
+        |           THEN 1 ELSE 0 END) AS view_to_purchase,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views
+        |FROM seq GROUP BY user_id
+        |HAVING sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0""".stripMargin) {
+      (s, _) =>
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        s.table("events")
+          .select(col("user_id"), col("event_type"),
+            lead("event_type", 1).over(w).as("next_type"))
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "view" && col("next_type") === "purchase", 1)
+              .otherwise(0)).as("view_to_purchase"),
+            sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_views"))
+          .filter(col("n_views") > 0)
+    }
+  )
+}

@@ -82,6 +82,25 @@ object TextQueries {
         when(sig >= 0.05, "en").otherwise("unk").as("guess"))
     },
 
+    // ---- BPE-ish regex tokenization (vs whitespace) ----
+    // Subword-style token classes ([a-z]+ runs, digit runs, single other
+    // chars) — the cheap proxy for BPE token counting pipelines budget by.
+    q("t05_token_bpe_regex",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  round(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |        / len(string_split(text, ' ')), 6) AS bpe_per_word
+        |FROM documents""".stripMargin) { (s, _) =>
+      val bpe = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      val ws = size(split(col("text"), " "))
+      s.table("documents").select(
+        col("doc_id"),
+        bpe.as("n_bpe_tokens"),
+        ws.as("n_ws_tokens"),
+        round(bpe.cast("double") / ws, 6).as("bpe_per_word"))
+    },
+
     // ---- document fingerprinting ----
     // Whole-content md5 plus a min-shingle fingerprint (the 1-hash MinHash
     // of word-3-gram shingles — a robust rolling-hash content signature).

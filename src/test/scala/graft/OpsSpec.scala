@@ -76,6 +76,40 @@ class OpsSpec extends AnyFunSuite {
     assert(one.head.getDouble(2) <= 1.0001 && one.head.getDouble(2) >= -1.0001)
   }
 
+  test("IVF ANN: recall vs brute force, searching only nprobe cells") {
+    import graft.ops.AnnIvf
+    val probes = emb.filter(col("vec_id") < 50)
+    val index = AnnIvf.buildIndex(emb, "vec_id", "embedding", numCells = 12)
+    assert(index.centers.length == 12)
+    val ann = AnnIvf.annTopK(index, probes, "vec_id", "embedding", k = 5, nprobe = 4)
+    val annPairs = ann.select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val pe = col("pe").cast("array<double>")
+    val ne = col("ne").cast("array<double>")
+    val cos = vector.vec_dot(pe, ne) /
+      sqrt(vector.vec_dot(pe, pe) * vector.vec_dot(ne, ne))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val brutePairs = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (annPairs & brutePairs).size.toDouble / brutePairs.size
+    info(f"IVF recall@5 = $recall%.3f with nprobe=4/12 cells")
+    assert(recall >= 0.3, f"recall too low: $recall%.3f")
+    // determinism: rebuilt index gives identical assignments
+    val again = AnnIvf.buildIndex(emb, "vec_id", "embedding", numCells = 12)
+    val a1 = index.assigned.select("vec_id", "__cell").collect().map(_.toSeq).toSet
+    val a2 = again.assigned.select("vec_id", "__cell").collect().map(_.toSeq).toSet
+    assert(a1 == a2)
+  }
+
   test("MinHashSketch aggregator matches the columnar d03 signature path") {
     import graft.ops.MinHashSketch
     // shingle hashes exactly as d03 derives them
