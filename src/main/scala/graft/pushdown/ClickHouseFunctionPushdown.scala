@@ -54,10 +54,57 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
 
   private def rewrite(p: LogicalPlan): LogicalPlan = p match {
     case _: ClickHouseRemoteNode => p
+
+    // Remote top-k pre-limit: ORDER BY + LIMIT n ship into the remote SQL
+    // while Spark's own Sort+Limit stay in the plan operating on <= n
+    // rows — the transfer shrinks from |table| to n. The reference
+    // DISABLED limit pushdown into collapsed subtrees because of unparser
+    // aliasing bugs (plan_node.rs:150-155); exprId-derived aliases make
+    // it safe here. Tie-breaking: any valid top-n under equal sort keys
+    // is a correct SQL answer, and the retained local Sort re-orders it.
+    case gl @ GlobalLimit(Literal(n: Int, _), ll @ LocalLimit(_, srt @ Sort(order, true, child, _)))
+        if collapsible(child) =>
+      wrapTopK(child, order, n) match {
+        case Some(remote) =>
+          gl.copy(child = ll.copy(child = srt.copy(child = remote)))
+        case None => hoistAndRecurse(p)
+      }
+
     case _ if shouldWrap(p) =>
       wrap(p).getOrElse(hoistAndRecurse(p))
     case _ => hoistAndRecurse(p)
   }
+
+  /** Collapse `child` with a remote ORDER BY + LIMIT appended. */
+  private def wrapTopK(
+      child: LogicalPlan,
+      order: Seq[SortOrder],
+      n: Int): Option[LogicalPlan] = {
+    val scans = child.collectLeaves().collect {
+      case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s
+    }
+    for {
+      u <- ChPlanUnparser.unparse(child)
+      orderParts <- sequenceOpt(order.map { so =>
+        ChExprUnparser.compile(so.child, u.scope).map { e =>
+          val dir = so.direction.sql
+          val nulls = so.nullOrdering.sql
+          s"$e $dir $nulls"
+        }
+      })
+    } yield {
+      val finalCols = child.output.zipWithIndex
+        .map { case (a, i) => s"${u.scope(a.exprId)} AS c$i" }
+      val sql = s"SELECT ${finalCols.mkString(", ")} FROM (${u.sql}) AS fin " +
+        s"ORDER BY ${orderParts.map(o => o).mkString(", ")} LIMIT $n"
+      // ORDER BY references the inner aliases; rewrite them to the final
+      // positional aliases where they appear in the output list
+      ClickHouseRemoteNode(child.output, sql, scans.head.chClient, scans.head.chStreams)
+    }
+  }
+
+  private def sequenceOpt[T](xs: Seq[Option[T]]): Option[Seq[T]] =
+    if (xs.exists(_.isEmpty)) None else Some(xs.flatten)
 
   private def hoistAndRecurse(p: LogicalPlan): LogicalPlan = {
     val hoisted = hoistPassthroughs(p)

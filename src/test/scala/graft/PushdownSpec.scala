@@ -208,6 +208,19 @@ class PushdownSpec extends AnyFunSuite {
     assert(r.getSeq[String](2) == Seq("Al", "ce"))
   }
 
+  test("remote top-k pre-limit: ORDER BY + LIMIT ship into the collapsed SQL") {
+    val df = spark.table("chpd.db.people")
+      .select(col("id"), clickhouse(upper(col("name")), "String").as("uname"))
+      .orderBy(col("uname").desc, col("id"))
+      .limit(2)
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    assert(execs.head.sql.contains("ORDER BY") && execs.head.sql.contains("LIMIT 2"),
+      execs.head.sql)
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((3, "CHARLIE"), (2, "BOB")))
+  }
+
   test("clickhouse_eval splices raw remote syntax (udfs/eval.rs)") {
     val df = spark.sql(
       """SELECT id, clickhouse_eval('length(concat(''ab'', ''c''))', 'Int32') AS v
