@@ -113,6 +113,18 @@ object ChSqlTranslator {
     s = rewriteCall(s, "endsWith", args => s"endswith(${args.mkString(", ")})")
     // literal constructors emitted by ChSql.literal
     s = rewriteCall(s, "toDateTime64", args => s"to_timestamp(${args.head})")
+    // date/time family (ClickHouse names → Spark equivalents)
+    s = rewriteCall(s, "toYear", args => s"year(${args.head})")
+    s = rewriteCall(s, "toMonth", args => s"month(${args.head})")
+    s = rewriteCall(s, "toDayOfMonth", args => s"dayofmonth(${args.head})")
+    s = rewriteCall(s, "toHour", args => s"hour(${args.head})")
+    s = rewriteCall(s, "toMinute", args => s"minute(${args.head})")
+    s = rewriteCall(s, "toSecond", args => s"second(${args.head})")
+    s = rewriteCall(s, "toStartOfYear", args => s"date_trunc('year', ${args.head})")
+    s = rewriteCall(s, "toStartOfMonth", args => s"date_trunc('month', ${args.head})")
+    s = rewriteCall(s, "toStartOfDay", args => s"date_trunc('day', ${args.head})")
+    s = rewriteCall(s, "toStartOfHour", args => s"date_trunc('hour', ${args.head})")
+    s = rewriteCall(s, "toStartOfMinute", args => s"date_trunc('minute', ${args.head})")
     s = rewriteCall(s, "toDate", args => s"to_date(${args.head})")
     s
   }

@@ -123,6 +123,24 @@ object ChExprUnparser {
         // pmod(a, b) = ((a % b) + b) % b; ClickHouse has positiveModulo
         fn("positiveModulo", Seq(l, r))
 
+      // ---- date/time ----
+      case Year(c) => fn("toYear", Seq(c))
+      case Month(c) => fn("toMonth", Seq(c))
+      case DayOfMonth(c) => fn("toDayOfMonth", Seq(c))
+      case Hour(c, _) => fn("toHour", Seq(c))
+      case Minute(c, _) => fn("toMinute", Seq(c))
+      case Second(c, _) => fn("toSecond", Seq(c))
+      case TruncTimestamp(Literal(fmt: UTF8String, StringType), ts, _) =>
+        val chTrunc = fmt.toString.toLowerCase match {
+          case "year" | "yyyy" | "yy" => Some("toStartOfYear")
+          case "month" | "mon" | "mm" => Some("toStartOfMonth")
+          case "day" | "dd" => Some("toStartOfDay")
+          case "hour" => Some("toStartOfHour")
+          case "minute" => Some("toStartOfMinute")
+          case _ => None
+        }
+        chTrunc.flatMap(name => go(ts).map(t => s"$name($t)"))
+
       // ---- higher-order array functions (the apply/lambda surface,
       //      udfs/apply.rs: fn(x -> body, cols...)) ----
       case ArrayTransform(arg, f) => hof("arrayMap", arg, f, scope)

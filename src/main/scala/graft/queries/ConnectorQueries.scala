@@ -148,6 +148,17 @@ object ConnectorQueries {
         .agg(count(lit(1)).as("n_cust"))
     },
 
+    // remote date-grouped aggregation: toYear ships inside the collapsed
+    // GROUP BY (the whole aggregate runs on the "server")
+    q("r10_remote_date_agg",
+      """SELECT year(o_orderdate) AS yr, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY year(o_orderdate)""".stripMargin) { (s, _) =>
+      s.table("clickhouse.main.orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    },
+
     // passthrough arithmetic executed remotely. NOTE: no division before
     // round() — Spark rounds the shortest decimal repr of a double while
     // DuckDB rounds the exact binary value, so values landing on .xx5
