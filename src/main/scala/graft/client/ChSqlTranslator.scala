@@ -27,9 +27,7 @@ object ChSqlTranslator {
     "toFloat64" -> "double",
     "toString" -> "string",
     "modulo" -> "mod",
-    "intDiv" -> "div",
-    "plus" -> "+", // never emitted as function form by our unparser; safety
-    "empty" -> "isnull")
+    "intDiv" -> "div")
 
   def translate(chSql: String, tables: Seq[(String, String)]): String = {
     var s = chSql
