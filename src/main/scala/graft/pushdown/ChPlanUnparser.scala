@@ -118,6 +118,25 @@ object ChPlanUnparser {
             items.map { case (_, id) => id -> aliasOf(id) }.toMap)
         }
 
+      // UNION ALL: children align positionally under fresh aliases
+      // (each child's own aliases differ, so every branch re-projects to
+      // u0..un and the union's output binds to those positions)
+      case u @ Union(children, false, false) =>
+        val colNames = u.output.indices.map(i => s"u$i")
+        val parts = children.map { c =>
+          go(c).flatMap { cu =>
+            val cols = c.output.zipWithIndex.map { case (a, i) =>
+              cu.scope.get(a.exprId).map(n => s"$n AS ${colNames(i)}")
+            }
+            if (cols.exists(_.isEmpty)) None
+            else Some(s"SELECT ${cols.flatten.mkString(", ")} FROM (${cu.sql}) AS ${sub()}")
+          }
+        }
+        if (parts.exists(_.isEmpty)) None
+        else Some(Unparsed(
+          parts.flatten.mkString(" UNION ALL "),
+          u.output.zipWithIndex.map { case (a, i) => a.exprId -> colNames(i) }.toMap))
+
       case _ => None
     }
 

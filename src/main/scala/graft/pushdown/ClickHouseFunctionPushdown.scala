@@ -132,7 +132,7 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       val subtreeHasPassthrough =
         p.exists(_.expressions.exists(containsPassthrough))
       val federatable = p match {
-        case _: Join => ourScans(p) >= 2
+        case _: Join | _: Union => ourScans(p) >= 2
         case _: Aggregate => true
         case _ => false
       }

@@ -221,6 +221,17 @@ class PushdownSpec extends AnyFunSuite {
       Seq((3, "CHARLIE"), (2, "BOB")))
   }
 
+  test("UNION ALL of two remote tables collapses into one remote SQL") {
+    val df = spark.table("chpd.db.people").select(col("id"), col("name"))
+      .unionAll(spark.table("chpd.db.knicknames").select(col("id"), col("other_name")))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    assert(execs.exists(_.sql.contains("UNION ALL")), execs.map(_.sql))
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == Map(1 -> 2L, 2 -> 2L, 3 -> 1L))
+  }
+
   test("clickhouse_eval splices raw remote syntax (udfs/eval.rs)") {
     val df = spark.sql(
       """SELECT id, clickhouse_eval('length(concat(''ab'', ''c''))', 'Int32') AS v
