@@ -70,6 +70,15 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
         case None => hoistAndRecurse(p)
       }
 
+    // Pure LIMIT (no sort) over a collapsible subtree: any n rows are a
+    // valid answer — ship LIMIT n remotely, keep the outer limits.
+    case gl @ GlobalLimit(Literal(n: Int, _), ll @ LocalLimit(_, child))
+        if !child.isInstanceOf[Sort] && collapsible(child) && shouldWrap(child) =>
+      wrapWithSuffix(child, s" LIMIT $n") match {
+        case Some(remote) => gl.copy(child = ll.copy(child = remote))
+        case None => hoistAndRecurse(p)
+      }
+
     case _ if shouldWrap(p) =>
       wrap(p).getOrElse(hoistAndRecurse(p))
     case _ => hoistAndRecurse(p)
@@ -79,27 +88,36 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
   private def wrapTopK(
       child: LogicalPlan,
       order: Seq[SortOrder],
-      n: Int): Option[LogicalPlan] = {
+      n: Int): Option[LogicalPlan] =
+    ChPlanUnparser.unparse(child).flatMap { u =>
+      sequenceOpt(order.map { so =>
+        ChExprUnparser.compile(so.child, u.scope).map { e =>
+          s"$e ${so.direction.sql} ${so.nullOrdering.sql}"
+        }
+      }).flatMap { orderParts =>
+        // ORDER BY references the inner aliases, still in scope under fin
+        buildRemote(child, u, s" ORDER BY ${orderParts.mkString(", ")} LIMIT $n")
+      }
+    }
+
+  /** Collapse `child` and append a SQL suffix to the final select. */
+  private def wrapWithSuffix(child: LogicalPlan, suffix: String): Option[LogicalPlan] =
+    ChPlanUnparser.unparse(child).flatMap(u => buildRemote(child, u, suffix))
+
+  private def buildRemote(
+      child: LogicalPlan,
+      u: ChPlanUnparser.Unparsed,
+      suffix: String): Option[LogicalPlan] = {
     val scans = child.collectLeaves().collect {
       case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s
     }
-    for {
-      u <- ChPlanUnparser.unparse(child)
-      orderParts <- sequenceOpt(order.map { so =>
-        ChExprUnparser.compile(so.child, u.scope).map { e =>
-          val dir = so.direction.sql
-          val nulls = so.nullOrdering.sql
-          s"$e $dir $nulls"
-        }
-      })
-    } yield {
+    if (scans.isEmpty) None
+    else {
       val finalCols = child.output.zipWithIndex
         .map { case (a, i) => s"${u.scope(a.exprId)} AS c$i" }
-      val sql = s"SELECT ${finalCols.mkString(", ")} FROM (${u.sql}) AS fin " +
-        s"ORDER BY ${orderParts.map(o => o).mkString(", ")} LIMIT $n"
-      // ORDER BY references the inner aliases; rewrite them to the final
-      // positional aliases where they appear in the output list
-      ClickHouseRemoteNode(child.output, sql, scans.head.chClient, scans.head.chStreams)
+      val sql = s"SELECT ${finalCols.mkString(", ")} FROM (${u.sql}) AS fin$suffix"
+      Some(ClickHouseRemoteNode(child.output, sql, scans.head.chClient,
+        scans.head.chStreams))
     }
   }
 
@@ -144,18 +162,11 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
     * every scan (JoinPushDown::AllowedFor semantics).
     */
   private def wrap(p: LogicalPlan): Option[LogicalPlan] = {
-    val scans = p.collectLeaves().collect {
-      case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s
-    }
-    val keys = scans.map(_.chClient.connectionKey).distinct
+    val keys = p.collectLeaves().collect {
+      case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s.chClient.connectionKey
+    }.distinct
     if (keys.length != 1) None
-    else
-      ChPlanUnparser.unparse(p).map { u =>
-        val finalCols = p.output.zipWithIndex
-          .map { case (a, i) => s"${u.scope(a.exprId)} AS c$i" }
-        val sql = s"SELECT ${finalCols.mkString(", ")} FROM (${u.sql}) AS fin"
-        ClickHouseRemoteNode(p.output, sql, scans.head.chClient, scans.head.chStreams)
-      }
+    else ChPlanUnparser.unparse(p).flatMap(u => buildRemote(p, u, ""))
   }
 
   /** Move passthrough expressions out of a node we will not collapse into

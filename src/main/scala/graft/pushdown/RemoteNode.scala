@@ -55,8 +55,13 @@ case class ClickHouseRemoteExec(
     streams: Int)
   extends SparkPlan with LeafExecNode {
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val expected = output.map(_.dataType)
+    val numOutputRows = longMetric("numOutputRows")
     val (remoteSchema, groups) = client.query(sql, streams)
     require(remoteSchema.length == output.length,
       s"remote arity ${remoteSchema.length} != plan arity ${output.length} for: $sql")
@@ -69,7 +74,10 @@ case class ClickHouseRemoteExec(
         else Cast(ref, dt, Some(java.time.ZoneOffset.UTC.getId))
       }
       val proj = UnsafeProjection.create(projExprs)
-      it.flatMap(rows => rows.iterator.map(r => proj(toInternal(r)).copy(): InternalRow))
+      it.flatMap(rows => rows.iterator.map { r =>
+        numOutputRows += 1
+        proj(toInternal(r)).copy(): InternalRow
+      })
     }
   }
 
