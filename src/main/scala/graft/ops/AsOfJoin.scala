@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: for every left row, the latest right row
+  * with `rightTs <= leftTs` in the same key group.
+  *
+  * Spark lacks this operator; per the custom-operator preference order we
+  * COMPOSE built-ins rather than write a custom physical node: both
+  * sides union into one tagged stream, a single window pass per key
+  * (ordered by time, right-before-left on ties) carries the most recent
+  * right payload forward via last(ignoreNulls), and left rows filter out
+  * with their match attached.
+  *
+  * Scale shape: ONE shuffle on the key column (vs the naive
+  * range-join/correlated-subquery which explodes to |L|x|R| per key);
+  * the window is a linear scan per partition. Ties resolve
+  * deterministically: among equal timestamps the right row latest in
+  * `rightOrder` wins, and an equal-timestamp right row DOES match
+  * (rightTs <= leftTs inclusive).
+  */
+object AsOfJoin {
+
+  /** @param left       rows to enrich
+    * @param right      rows providing the as-of payload
+    * @param keyCol     equi-key column name (present on both sides)
+    * @param leftTs     left event-time column (long or timestamp)
+    * @param rightTs    right event-time column
+    * @param rightOrder tie-break column on the right side
+    * @param payload    right-side columns to attach (prefixed `asof_`)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      rightOrder: String,
+      payload: Seq[String]): DataFrame = {
+    val payloadStruct = struct(payload.map(right(_)): _*)
+    val r = right.select(
+      col(keyCol).as("__k"), col(rightTs).as("__t"),
+      lit(0).as("__kind"), col(rightOrder).as("__ord"),
+      payloadStruct.as("__payload"))
+    val leftCols = left.columns
+    val l = left.select(
+      col(keyCol).as("__k"), col(leftTs).as("__t"),
+      lit(1).as("__kind"), lit(null).cast(r.schema("__ord").dataType).as("__ord"),
+      lit(null).cast(r.schema("__payload").dataType).as("__payload"),
+      struct(leftCols.map(left(_)): _*).as("__left"))
+    val unioned = r.withColumn("__left", lit(null).cast(l.schema("__left").dataType))
+      .unionByName(l)
+    // right rows sort before left rows at equal time (inclusive <=);
+    // among equal-time right rows the greatest __ord wins
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__kind"), col("__ord").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+    val leftOut = leftCols.map(c => matched.col(s"__left.$c").as(c))
+    val payloadOut = payload.map(c => matched.col(s"__match.$c").as(s"asof_$c"))
+    matched.select(leftOut ++ payloadOut: _*)
+  }
+}

@@ -47,6 +47,40 @@ object EventQueries {
         .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
     },
 
+    // as-of (point-in-time) join: each purchase matched with the latest
+    // preceding (or same-instant) view by the same user — composed as a
+    // tagged union + one window pass (graft.ops.AsOfJoin), the
+    // single-shuffle shape that replaces a per-key range join
+    q("q38_asof_join",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |u AS (
+        |  SELECT user_id AS k, tus AS t, 0 AS kind, event_id AS ord,
+        |         event_id AS v_id, NULL::BIGINT AS p_id
+        |  FROM e WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, tus, 1, NULL, NULL, event_id
+        |  FROM e WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT *, last_value(v_id IGNORE NULLS) OVER (
+        |      PARTITION BY k ORDER BY t, kind, ord ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched
+        |  FROM u)
+        |SELECT p_id AS purchase_id, k AS user_id, matched AS matched_view
+        |FROM m WHERE kind = 1""".stripMargin) { (s, _) =>
+      val e = s.table("events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val views = e.filter(col("event_type") === "view")
+      val purchases = e.filter(col("event_type") === "purchase")
+      graft.ops.AsOfJoin.asofJoin(
+        purchases, views,
+        keyCol = "user_id", leftTs = "tus", rightTs = "tus",
+        rightOrder = "event_id", payload = Seq("event_id"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("asof_event_id").as("matched_view"))
+    },
+
     // sequence analysis: per user, how often does 'view' directly precede
     // 'purchase' (the conversion step of a funnel)
     q("q37_event_sequence",

@@ -152,6 +152,23 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
   }
 
+  test("as-of join: match is the latest right row at-or-before each left ts") {
+    import graft.ops.AsOfJoin
+    import spark.implicits._
+    val views = Seq((1L, 100L, 10L), (1L, 200L, 11L), (1L, 200L, 12L), (2L, 50L, 20L))
+      .toDF("user_id", "tus", "event_id")
+    val purchases = Seq((1L, 150L, 90L), (1L, 200L, 91L), (2L, 40L, 92L), (3L, 10L, 93L))
+      .toDF("user_id", "tus", "event_id")
+    val got = AsOfJoin.asofJoin(purchases, views,
+      "user_id", "tus", "tus", "event_id", Seq("event_id"))
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got(90L).contains(10L)) // 150 matches the view at 100
+    assert(got(91L).contains(12L)) // same-instant view matches; max event_id wins ties
+    assert(got(92L).isEmpty)       // no view at-or-before 40
+    assert(got(93L).isEmpty)       // key with no right rows
+  }
+
   test("multimodal: media table schema + deterministic stub decode") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.toMediaTable(
