@@ -82,17 +82,20 @@ object AnnLsh {
     val pb = withBuckets(probes, embCol, dims, numTables, numPlanes)
       .select(col(idCol).as("probe_id"), col(embCol).as("pe"),
         col("lsh_table"), col("lsh_bucket"))
-    val cand = broadcast(pb)
-      .join(cb, Seq("lsh_table", "lsh_bucket"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .select("probe_id", "neighbor_id", "pe", "ne")
-      .distinct()
     val pe = col("pe").cast("array<double>")
     val ne = col("ne").cast("array<double>")
     val cos = vector.vec_dot(pe, ne) /
       sqrt(vector.vec_dot(pe, pe) * vector.vec_dot(ne, ne))
+    // compute cosine per bucket collision, THEN dedupe multi-table hits on
+    // the scalar id pair: recomputing a 64-dim dot (codegen, ~100ns) is
+    // far cheaper than shuffling embedding arrays through a distinct()
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand.select(col("probe_id"), col("neighbor_id"), cos.as("cos"))
+    broadcast(pb)
+      .join(cb, Seq("lsh_table", "lsh_bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), cos.as("cos"))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(max("cos").as("cos"))
       .select(col("probe_id"), col("neighbor_id"), col("cos"),
         row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
