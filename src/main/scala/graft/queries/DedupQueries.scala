@@ -50,20 +50,30 @@ object DedupQueries {
       |                 for i in generate_series(1, len(ts)-2)]) AS sh
       |       FROM ts WHERE len(ts) >= 3)""".stripMargin
 
-  /** Rare shingles only: doc_id, sh with document frequency <= MaxDf. */
+  /** Rare shingles only, keyed by the 8-byte md5-derived hash rather than
+    * the shingle string: the self-join then shuffles longs instead of
+    * ~20-char strings (hash collisions merge shingles identically on both
+    * engines, so the oracle still matches bit-for-bit).
+    */
   private def rareShingles(s: SparkSession): DataFrame = {
-    val sh = shingles(s)
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // 15 hex digits = 60 bits: comfortably inside BIGINT on both engines
+    val sh = shingles(s).select(col("doc_id"),
+      conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("hsh"))
+      .distinct()
+    val df = sh.groupBy("hsh").agg(count(lit(1)).as("df"))
     // df fits in memory at any scale (bounded by vocab), but is derived —
-    // a shuffle join on sh keeps it fully distributed; AQE converts it to
-    // a broadcast join when small.
-    sh.join(df.filter(col("df") <= MaxDf), "sh").select("doc_id", "sh")
+    // a shuffle join keeps it fully distributed; AQE converts it to a
+    // broadcast join when small.
+    sh.join(df.filter(col("df") <= MaxDf), "hsh").select("doc_id", "hsh")
   }
 
   private val rareCte =
     s"""$shingleCte,
-       |dfx AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
-       |keep AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfx USING (sh)
+       |hs AS (SELECT DISTINCT doc_id,
+       |         ('0x' || substr(md5(sh), 1, 15))::BIGINT AS hsh FROM sh),
+       |dfx AS (SELECT hsh, count(*) AS df FROM hs GROUP BY hsh),
+       |keep AS (SELECT h.doc_id, h.hsh FROM hs h JOIN dfx USING (hsh)
        |         WHERE df <= $MaxDf)""".stripMargin
 
   val all: Seq[GateQuery] = Seq(
@@ -83,7 +93,7 @@ object DedupQueries {
       s"""WITH $rareCte,
          |sizes AS (SELECT doc_id, count(*) AS nsh FROM keep GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-         |          FROM keep x JOIN keep y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |          FROM keep x JOIN keep y ON x.hsh = y.hsh AND x.doc_id < y.doc_id
          |          GROUP BY x.doc_id, y.doc_id)
          |SELECT a, b,
          |  round(n_common / (sa.nsh + sb.nsh - n_common), 6) AS jaccard
@@ -95,7 +105,7 @@ object DedupQueries {
       val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = keep.as("x")
         .join(keep.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+          col("x.hsh") === col("y.hsh") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("n_common"))
       val jac = col("n_common") / (col("sa.nsh") + col("sb.nsh") - col("n_common"))

@@ -221,6 +221,16 @@ class PushdownSpec extends AnyFunSuite {
       Seq((3, "CHARLIE"), (2, "BOB")))
   }
 
+  test("pure remote LIMIT (no sort) ships into the collapsed SQL") {
+    val df = spark.table("chpd.db.people")
+      .select(clickhouse(upper(col("name")), "String").as("uname"))
+      .limit(2)
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    assert(execs.head.sql.endsWith("LIMIT 2"), execs.head.sql)
+    assert(df.collect().length == 2)
+  }
+
   test("UNION ALL of two remote tables collapses into one remote SQL") {
     val df = spark.table("chpd.db.people").select(col("id"), col("name"))
       .unionAll(spark.table("chpd.db.knicknames").select(col("id"), col("other_name")))
