@@ -412,6 +412,20 @@ object RelationalQueries {
         sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"))
     },
 
+    // ordered string aggregation (LISTAGG / string_agg analog): built
+    // deterministically from collect_set -> sort -> join so both engines
+    // agree without relying on aggregation order
+    q("q39_string_agg",
+      """SELECT n_regionkey, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation GROUP BY n_regionkey""".stripMargin) { (s, _) =>
+      s.table("nation")
+        .groupBy("n_regionkey")
+        .agg(
+          array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+    },
+
     // 5-way dim join through the normalized star (region→nation→customer→
     // orders→lineitem): all dims broadcast; only fact tables shuffle.
     q("q35_star_join",
