@@ -219,7 +219,8 @@ object DedupQueries {
         |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
         |  GROUP BY doc_id, p)
         |SELECT doc_id,
-        |  sum(CASE WHEN vote > 0 THEN CAST(round(2 ** p) AS BIGINT) ELSE 0 END) AS simhash
+        |  CAST(sum(CASE WHEN vote > 0 THEN CAST(round(2 ** p) AS BIGINT) ELSE 0 END)
+        |       AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin) { (s, _) =>
       // Spark shape: 16 vote columns aggregated map-side in ONE pass over
       // the token stream (no 16x row explosion, single shuffle of one

@@ -33,7 +33,7 @@ object EventQueries {
         |              > 3600000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM e)
-        |SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM flags GROUP BY user_id""".stripMargin) { (s, _) =>
       val w = Window.partitionBy("user_id").orderBy("event_id")
       val tus = unix_micros(col("ts"))
@@ -89,9 +89,9 @@ object EventQueries {
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
         |  FROM events)
         |SELECT user_id,
-        |  sum(CASE WHEN event_type = 'view' AND next_type = 'purchase'
-        |           THEN 1 ELSE 0 END) AS view_to_purchase,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views
+        |  CAST(sum(CASE WHEN event_type = 'view' AND next_type = 'purchase'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS view_to_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views
         |FROM seq GROUP BY user_id
         |HAVING sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0""".stripMargin) {
       (s, _) =>

@@ -383,7 +383,7 @@ object RelationalQueries {
     q("q32_case_conditional_agg",
       """SELECT l_linestatus,
         |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS returned_qty,
-        |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
         |  round(avg(CASE WHEN l_tax > 0 THEN l_extendedprice END), 4) AS avg_taxed_price
         |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, _) =>
       s.table("lineitem").groupBy("l_linestatus").agg(
@@ -405,7 +405,7 @@ object RelationalQueries {
 
     q("q34_json_extract",
       """SELECT event_type, count(*) AS cnt,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type""".stripMargin) { (s, _) =>
       s.table("events").groupBy("event_type").agg(
         count(lit(1)).as("cnt"),

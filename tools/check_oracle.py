@@ -22,15 +22,22 @@ for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
 oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
 def norm(v):
+    """Hash-faithful canonical form: the driver hashes RENDERED values, so
+    5 (BIGINT) and 5.0 (HUGEINT fetched as float) must NOT compare equal.
+    Encode every scalar as (kind, string)."""
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, list):
+            return ("f", "NaN")
+        return ("f", repr(v))
+    if isinstance(v, bool):
+        return ("b", str(v))
+    if isinstance(v, int):
+        return ("i", str(v))
+    if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
-    return v
+    return (type(v).__name__[:1], str(v))
 
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -49,6 +56,14 @@ for name in sorted(oracles):
     try:
         o = con.sql(sql)
         o_cols, o_rows = o.columns, o.fetchall()
+        # HUGEINT leaves duckdb as float64/decimal through Arrow — the
+        # driver's hash then sees "5.0" vs Spark's "5". Ban it outright.
+        huge = [c for c, t in zip(o.columns, o.types)
+                if str(t) in ("HUGEINT", "UHUGEINT", "INT128")]
+        if huge:
+            print(f"FAIL {name}: oracle returns HUGEINT columns {huge}; CAST them to BIGINT")
+            fails += 1
+            continue
     except Exception as e:
         print(f"FAIL {name}: oracle error: {str(e)[:200]}")
         fails += 1
