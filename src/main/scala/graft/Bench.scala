@@ -38,8 +38,11 @@ object Bench {
     // several-x from GC/JIT/CPU contention; the minimum is the stable
     // estimate of the query's true cost (reference harness reports best
     // alongside trimmed mean, examples/10_large_scale.rs:53-58)
-    val iters = sys.env.getOrElse("GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.gateQueries.sortBy(_.name).map { g =>
+    val iters = sys.env.getOrElse("GRAFT_BENCH_ITERS", "3").toInt
+    // GRAFT_BENCH_ONLY=q01,t04 — dev-loop filter; driver leaves it unset
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.gateQueries.sortBy(_.name)
+      .filter(g => only.forall(_.contains(g.name))).map { g =>
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
         try g.run(spark, sfDir).write.format("noop").mode("overwrite").save()

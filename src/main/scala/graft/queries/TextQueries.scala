@@ -112,13 +112,10 @@ object TextQueries {
         |                   'min')
         |  END AS fp_min_shingle
         |FROM documents""".stripMargin) { (s, _) =>
-      val ts = split(col("text"), " ")
-      val shingleHashes = transform(sequence(lit(1), size(ts) - 2),
-        i => md5(concat_ws(" ", slice(ts, i, lit(3))).cast("binary")))
       s.table("documents").select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("fp_md5"),
-        when(size(ts) >= 3, array_min(shingleHashes)).as("fp_min_shingle"))
+        graft.ops.MinShingleMd5.min_shingle_md5(col("text")).as("fp_min_shingle"))
     }
   )
 }

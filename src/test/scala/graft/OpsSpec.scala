@@ -36,6 +36,22 @@ class OpsSpec extends AnyFunSuite {
     k.zip(h).foreach { case (a, b) => assert(a == b, s"bitwise mismatch: $a vs $b") }
   }
 
+  test("min_shingle_md5 matches the composed HOF form and handles short texts") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+      .union(spark.createDataFrame(Seq(
+        Tuple1(""), Tuple1("one"), Tuple1("two words"), Tuple1("exactly three tokens"),
+        Tuple1("  leading double space"), Tuple1("trailing space "))).toDF("text"))
+    val ts = split(col("text"), " ")
+    val viaHof = when(size(ts) >= 3,
+      array_min(transform(sequence(lit(1), size(ts) - 2),
+        i => md5(concat_ws(" ", slice(ts, i, lit(3))).cast("binary")))))
+    val rows = docs.select(
+      graft.ops.MinShingleMd5.min_shingle_md5(col("text")).as("k"),
+      viaHof.as("h")).collect()
+    rows.foreach(r => assert(r.get(0) == r.get(1), s"mismatch: ${r.get(0)} vs ${r.get(1)}"))
+  }
+
   test("LSH bucketing is deterministic and produces numTables rows per vector") {
     val b1 = AnnLsh.withBuckets(emb, "embedding", 64, numTables = 4, numPlanes = 6)
     val b2 = AnnLsh.withBuckets(emb, "embedding", 64, numTables = 4, numPlanes = 6)
