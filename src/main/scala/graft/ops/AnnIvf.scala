@@ -61,7 +61,7 @@ object AnnIvf {
       .map { case (c, i) => (i, c) }
       .toDF("__cell", "center")
     // nearest nprobe cells per probe: k is small → cross join vs centers
-    val pe = col("pe").cast("array<double>")
+    val pe = col("pe")
     val ce = col("center").cast("array<double>")
     val dist2 = vector.vec_dot(pe, pe) - lit(2.0) * vector.vec_dot(pe, ce) +
       vector.vec_dot(ce, ce)
@@ -76,8 +76,8 @@ object AnnIvf {
       .select("probe_id", "pe", "__cell")
     val corpus = index.assigned
       .select(col(idCol).as("neighbor_id"), col(embCol).as("ne"), col("__cell"))
-    val ne = col("ne").cast("array<double>")
-    val pe2 = col("pe").cast("array<double>")
+    val ne = col("ne")
+    val pe2 = col("pe")
     val cos = vector.vec_dot(pe2, ne) /
       sqrt(vector.vec_dot(pe2, pe2) * vector.vec_dot(ne, ne))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))

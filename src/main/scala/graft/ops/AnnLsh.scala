@@ -48,7 +48,7 @@ object AnnLsh {
       numTables: Int = 8,
       numPlanes: Int = 8): DataFrame = {
     val ps = planes(numTables, numPlanes, dims)
-    val v = col(embCol).cast("array<double>")
+    val v = col(embCol)
     val tableStructs = (0 until numTables).map { t =>
       val bits = (0 until numPlanes).map { p =>
         when(vector.vec_dot(v, typedlit(ps(t)(p))) > 0, "1").otherwise("0")
@@ -82,8 +82,8 @@ object AnnLsh {
     val pb = withBuckets(probes, embCol, dims, numTables, numPlanes)
       .select(col(idCol).as("probe_id"), col(embCol).as("pe"),
         col("lsh_table"), col("lsh_bucket"))
-    val pe = col("pe").cast("array<double>")
-    val ne = col("ne").cast("array<double>")
+    val pe = col("pe")
+    val ne = col("ne")
     val cos = vector.vec_dot(pe, ne) /
       sqrt(vector.vec_dot(pe, pe) * vector.vec_dot(ne, ne))
     // compute cosine per bucket collision, THEN dedupe multi-table hits on

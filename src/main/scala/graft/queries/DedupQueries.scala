@@ -33,14 +33,23 @@ object DedupQueries {
       f: (SparkSession, String) => DataFrame): GateQuery =
     GateQuery(name, (s, dir) => { Tables.register(s, dir); f(s, dir) }, Some(oracle))
 
-  /** doc_id, sh — distinct word-3-gram shingles per document. */
-  private def shingles(s: SparkSession): DataFrame =
+  /** doc_id, hsh — distinct md5-prefix hashes (hexDigits nibbles) of the
+    * word-3-gram shingles per document, via the fused byte-span kernel
+    * (graft.ops.ShingleMd5Hashes): no shingle strings, hex strings, or
+    * interpreted lambdas materialize on the scan side. The DuckDB oracle
+    * keeps hashing the literal strings — values are identical because a
+    * shingle's md5 input is a contiguous byte span of the text.
+    */
+  private def shingleHashes(s: SparkSession, hexDigits: Int): DataFrame =
     s.table("documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("ts")) - 2),
-          i => concat_ws(" ", slice(col("ts"), i, lit(3)))))).as("sh"))
+      .select(col("doc_id"), col("text"))
+      // spread the CPU-bound digest loop across all cores: the local
+      // testdata is a single row group (one scan task); on a real fleet
+      // the scan is already thousands of tasks and AQE elides this
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(graft.ops.MinShingleMd5.shingle_md5_hashes(col("text"), hexDigits))
+          .as("hsh"))
 
   /** Same shingle derivation in DuckDB SQL (list comprehension + unnest). */
   private val shingleCte =
@@ -57,10 +66,7 @@ object DedupQueries {
     */
   private def rareShingles(s: SparkSession): DataFrame = {
     // 15 hex digits = 60 bits: comfortably inside BIGINT on both engines
-    val sh = shingles(s).select(col("doc_id"),
-      conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
-        .cast("long").as("hsh"))
-      .distinct()
+    val sh = shingleHashes(s, 15)
     val df = sh.groupBy("hsh").agg(count(lit(1)).as("df"))
     // df fits in memory at any scale (bounded by vocab), but is derived —
     // a shuffle join keeps it fully distributed; AQE converts it to a
@@ -151,10 +157,9 @@ object DedupQueries {
       // over corpus-sized input instead of shuffling a 16x row blowup.
       // At 100 TB this is the difference between shuffling 16x the corpus
       // and shuffling one signature row per document.
-      val h32 = shingles(s)
-        .select(col("doc_id"),
-          conv(substring(md5(col("sh").cast("binary")), 1, 8), 16, 10)
-            .cast("long").as("h"))
+      // distinct-on-hash vs the oracle's distinct-on-string is min-stable:
+      // duplicate h values cannot change any min_i
+      val h32 = shingleHashes(s, 8).select(col("doc_id"), col("hsh").as("h"))
       val sigCols = (0 until NumHashes).map { i =>
         min((lit(37 + 101 * i) * col("h") + lit(17 + 97 * i)) % 2147483647L).as(s"s$i")
       }

@@ -32,6 +32,16 @@ object SimilarityQueries {
     */
   private def dot(a: Column, b: Column): Column = graft.ops.vector.vec_dot(a, b)
 
+  /** The corpus side of every probe×corpus broadcast join. The broadcast
+    * join preserves the corpus partitioning, so with the local single-row-
+    * group testdata the whole pair loop would run in ONE scan task;
+    * repartitioning spreads it across cores. On a real fleet the scan is
+    * already thousands of tasks and this shuffle is corpus-linear (no
+    * pair blow-up crosses the wire).
+    */
+  private def corpus(s: SparkSession): DataFrame =
+    s.table("embeddings").repartition(s.sparkContext.defaultParallelism)
+
   val all: Seq[GateQuery] = Seq(
 
     // ---- brute-force cosine top-k (ANN correctness baseline) ----
@@ -55,7 +65,7 @@ object SimilarityQueries {
       val probes = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
         .withColumn("pn", graft.ops.vector.vec_norm_sq(col("pe")))
-      val neighbors = e
+      val neighbors = corpus(s)
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
         .withColumn("nn", graft.ops.vector.vec_norm_sq(col("ne")))
       val pairs = broadcast(probes)
@@ -84,7 +94,7 @@ object SimilarityQueries {
         val a = e.filter(col("vec_id") < 500)
           .select(col("vec_id").as("a"), col("embedding").as("ea"))
           .withColumn("na", graft.ops.vector.vec_norm_sq(col("ea")))
-        val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+        val b = corpus(s).select(col("vec_id").as("b"), col("embedding").as("eb"))
           .withColumn("nb", graft.ops.vector.vec_norm_sq(col("eb")))
         broadcast(a).join(b, col("a") < col("b"))
           .select(col("a"), col("b"),
@@ -98,10 +108,11 @@ object SimilarityQueries {
     GateQuery("s03_ann_lsh",
       (s, dir) => {
         Tables.register(s, dir)
-        val e = s.table("embeddings")
-        val probes = e.filter(col("vec_id") < 100)
-        graft.ops.AnnLsh.annTopK(e, probes, "vec_id", "embedding", 64,
-          k = 5, numTables = 12, numPlanes = 5)
+        val probes = s.table("embeddings").filter(col("vec_id") < 100)
+        // 7 planes = 128 buckets/table: candidate volume per probe stays
+        // ~tables*corpus/128 while 12 independent tables hold recall
+        graft.ops.AnnLsh.annTopK(corpus(s), probes, "vec_id", "embedding", 64,
+          k = 5, numTables = 12, numPlanes = 7)
           .select(col("probe_id"), col("neighbor_id"),
             round(col("cos"), 6).as("cosine"), col("rank"))
       },
