@@ -106,6 +106,9 @@ object ChSqlTranslator {
     // trimBoth → trim, replaceAll → replace
     s = rewriteCall(s, "trimBoth", args => s"trim(${args.head})")
     s = rewriteCall(s, "replaceAll", args => s"replace(${args.mkString(", ")})")
+    // match(haystack, re) → regexp_like (the embedded engine's Java regex
+    // stands in for ClickHouse's RE2; shared-subset fidelity)
+    s = rewriteCall(s, "match", args => s"regexp_like(${args.mkString(", ")})")
     // startsWith/endsWith → Spark lowercase names
     s = rewriteCall(s, "startsWith", args => s"startswith(${args.mkString(", ")})")
     s = rewriteCall(s, "endsWith", args => s"endswith(${args.mkString(", ")})")

@@ -106,7 +106,15 @@ object ChExprUnparser {
         for (ls <- go(l); rs <- go(r)) yield s"(position($ls, $rs) > 0)"
       case StringTrim(c, None) => fn("trimBoth", Seq(c))
       case StringReplace(s, f, r) => fn("replaceAll", Seq(s, f, r))
-      case _: Like => None // ClickHouse LIKE exists but escape semantics differ; keep local
+      // LIKE: both dialects use backslash escaping for % and _, so the
+      // default escape char unparses exactly; a custom ESCAPE clause has
+      // no ClickHouse equivalent → stays local
+      case Like(l, r, escapeChar) if escapeChar == '\\' => bin("LIKE", l, r)
+      case ILike(l, r, escapeChar) if escapeChar == '\\' => bin("ILIKE", l, r)
+      // regex flavors differ at the edges (RE2 remotely vs Java locally);
+      // the shared subset (literals, classes, anchors, quantifiers) is
+      // what the reference exercises through match() passthrough
+      case RLike(l, r) => fn("match", Seq(l, r))
 
       // ---- math ----
       case Abs(c, _) => fn("abs", Seq(c))
@@ -161,7 +169,68 @@ object ChExprUnparser {
           case _ => None
         }
 
+      // ---- window expressions (for whole-subtree window pushdown;
+      //      ClickHouse has standard OVER syntax since 21.x) ----
+      case WindowExpression(func, spec) =>
+        val fnSql = func match {
+          case _: RowNumber => Some(("row_number()", true))
+          case _: Rank => Some(("rank()", true))
+          case _: DenseRank => Some(("dense_rank()", true))
+          case agg: AggregateExpression => go(agg).map(s => (s, false))
+          case _ => None // lag/lead: ClickHouse spells them lagInFrame with
+          // an explicit frame Spark's lag cannot carry — keep local
+        }
+        for {
+          (f, isRanking) <- fnSql
+          over <- windowSpec(spec, isRanking, scope)
+        } yield s"$f OVER $over"
+
       case _ => None
+    }
+  }
+
+  /** WindowSpecDefinition → `(PARTITION BY ... ORDER BY ... [frame])`.
+    * Ranking functions must not carry a frame clause (both dialects
+    * reject it); aggregate frames are emitted explicitly so the remote
+    * engine cannot differ on defaults. Only unbounded/current-row
+    * boundaries unparse — offset frames stay local.
+    */
+  private def windowSpec(
+      spec: WindowSpecDefinition,
+      forRanking: Boolean,
+      scope: Map[ExprId, String]): Option[String] = {
+    def bound(e: Expression): Option[String] = e match {
+      case UnboundedPreceding => Some("UNBOUNDED PRECEDING")
+      case UnboundedFollowing => Some("UNBOUNDED FOLLOWING")
+      case CurrentRow => Some("CURRENT ROW")
+      case _ => None
+    }
+    val parts = sequence(spec.partitionSpec.map(compile(_, scope)))
+    val orders = sequence(spec.orderSpec.map { so =>
+      compile(so.child, scope).map { c =>
+        val dir = so.direction match {
+          case Ascending => "ASC"
+          case Descending => "DESC"
+        }
+        val nulls = so.nullOrdering match {
+          case NullsFirst => "NULLS FIRST"
+          case NullsLast => "NULLS LAST"
+        }
+        s"$c $dir $nulls"
+      }
+    })
+    val frame: Option[String] = spec.frameSpecification match {
+      case _ if forRanking => Some("")
+      case UnspecifiedFrame => Some("")
+      case SpecifiedWindowFrame(frameType, lower, upper) =>
+        val ft = frameType match { case RowFrame => "ROWS"; case RangeFrame => "RANGE" }
+        for (lo <- bound(lower); hi <- bound(upper))
+          yield s" $ft BETWEEN $lo AND $hi"
+    }
+    for (ps <- parts; os <- orders; fr <- frame) yield {
+      val pb = if (ps.isEmpty) "" else s"PARTITION BY ${ps.mkString(", ")}"
+      val ob = if (os.isEmpty) "" else s"ORDER BY ${os.mkString(", ")}"
+      s"(${Seq(pb, ob).filter(_.nonEmpty).mkString(" ")}$fr)"
     }
   }
 

@@ -46,6 +46,12 @@ object ChPlanUnparser {
             output.map(a => a.exprId -> aliasOf(a.exprId)).toMap))
         }
 
+      // column-pruned COUNT(*) shape: a no-column Project feeding an
+      // aggregate — emit a constant column (`SELECT  FROM` is invalid)
+      case Project(Nil, child) =>
+        go(child).map(c =>
+          Unparsed(s"SELECT 1 AS __one FROM (${c.sql}) AS ${sub()}", Map.empty))
+
       case Project(list, child) =>
         for {
           c <- go(child)
@@ -116,6 +122,28 @@ object ChPlanUnparser {
           Unparsed(
             s"SELECT ${items.map(_._1).mkString(", ")} FROM (${c.sql}) AS ${sub()}$gb",
             items.map { case (_, id) => id -> aliasOf(id) }.toMap)
+        }
+
+      // Window: child columns pass through; each window expression
+      // compiles with its own OVER spec (ChExprUnparser.windowSpec).
+      // ClickHouse executes standard window SQL, so a remote sort/window
+      // no longer forces the subtree local.
+      case w @ Window(windowExprs, _, _, child, _) =>
+        for {
+          c <- go(child)
+          wins <- sequence(windowExprs.map {
+            case a: Alias =>
+              ChExprUnparser.compile(a.child, c.scope)
+                .map(s => (s"$s AS ${aliasOf(a.exprId)}", a.exprId))
+            case _ => None
+          })
+        } yield {
+          val passthrough = child.output.flatMap(a => c.scope.get(a.exprId))
+            .map(n => s"$n AS $n")
+          val items = passthrough ++ wins.map(_._1)
+          Unparsed(
+            s"SELECT ${items.mkString(", ")} FROM (${c.sql}) AS ${sub()}",
+            c.scope ++ wins.map { case (_, id) => id -> aliasOf(id) })
         }
 
       // UNION ALL: children align positionally under fresh aliases

@@ -152,6 +152,14 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       val federatable = p match {
         case _: Join | _: Union => ourScans(p) >= 2
         case _: Aggregate => true
+        // window compute ships to the store that already holds the rows
+        // (same row count back, but the sort/partition work stays remote)
+        case _: Window => true
+        // a residual Filter here means V2 scan pushdown could NOT express
+        // the predicate (OR-of-LIKE, regex, ...); collapsing it shrinks
+        // the transfer to the matching rows. wrap() falls back when the
+        // predicate doesn't unparse either.
+        case _: Filter => true
         case _ => false
       }
       subtreeHasPassthrough || federatable

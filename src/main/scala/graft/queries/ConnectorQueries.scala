@@ -172,6 +172,32 @@ object ConnectorQueries {
         .filter(col("o_orderkey") < 300)
         .select(col("o_orderkey"),
           clickhouse(round(col("o_totalprice") * 2, 2), "Float64").as("price2"))
+    },
+
+    // window function collapses INTO the remote query (standard OVER
+    // syntax ships; rank per customer over order price)
+    q("r11_remote_window",
+      """SELECT o_orderkey, o_custkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders WHERE o_custkey < 50""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      s.table("clickhouse.main.orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).as("rn"))
+    },
+
+    // LIKE / regex predicates unparse into the remote WHERE clause
+    q("r12_remote_like_regex",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_name LIKE 'Customer#0000000_5' OR regexp_matches(c_name, '00[12]$')""".stripMargin) {
+      (s, _) =>
+        s.table("clickhouse.main.customer")
+          .filter(col("c_name").like("Customer#0000000_5") || col("c_name").rlike("00[12]$"))
+          .select("c_custkey", "c_name")
     }
   )
 }

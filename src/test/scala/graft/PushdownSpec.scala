@@ -173,6 +173,45 @@ class PushdownSpec extends AnyFunSuite {
     assert(got == Map(3 -> 1, 1 -> 2, 2 -> 3)) // Charlie(7), Alice(5), Bob(3)
   }
 
+  test("LIKE / ILIKE / RLIKE unparse into the remote SQL") {
+    // patterns mix _ and % so LikeSimplification cannot rewrite them away;
+    // ILike is canonicalized by Catalyst into Like(lower(...)) before our
+    // batch, so it reaches the unparser as LIKE + lower (also remote)
+    val df = spark.table("chpd.db.people")
+      .filter(col("name").like("_li%") || col("name").ilike("_HARL%") ||
+        col("name").rlike("^B"))
+      .groupBy().agg(count(lit(1)).as("n")) // aggregate makes the subtree federatable
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    assert(execs.head.sql.contains(" LIKE "), execs.head.sql)
+    assert(execs.head.sql.contains("match("), execs.head.sql)
+    assert(df.collect().head.getLong(0) == 3L) // Alice, Charlie, Bob
+  }
+
+  test("window over a remote table collapses into one remote query") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy().orderBy(col("id").desc)
+    val df = spark.table("chpd.db.people")
+      .select(col("id"), col("name"), row_number().over(w).as("rn"))
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    assert(execs.head.sql.contains("row_number() OVER"), execs.head.sql)
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(2))).toMap
+    assert(got == Map(3 -> 1, 2 -> 2, 1 -> 3))
+  }
+
+  test("windowed aggregate (running sum) ships remotely with explicit frame") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("id"))
+    val df = spark.table("chpd.db.people")
+      .select(col("id"), sum(col("id")).over(w).as("run"))
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    assert(execs.head.sql.contains("OVER"), execs.head.sql)
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == Map(1 -> 1L, 2 -> 3L, 3 -> 6L))
+  }
+
   test("join across DIFFERENT stores does NOT collapse (JoinPushDown gating)") {
     // second, distinct embedded store = different connection key
     val root2 = Files.createTempDirectory("graft_pd2_").toString
