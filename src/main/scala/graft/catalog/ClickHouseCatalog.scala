@@ -39,6 +39,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
   private var client: ClickHouseClient with Serializable = _
   private var readStreams: Int = 4
   private var writeConcurrency: Int = 4
+  private var writeBatchSize: Int = 10000
 
   def clickHouseClient: ClickHouseClient = client
 
@@ -50,6 +51,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
     client = new EmbeddedClickHouse(path)
     readStreams = Option(options.get("read.streams")).map(_.toInt).getOrElse(4)
     writeConcurrency = Option(options.get("write.concurrency")).map(_.toInt).getOrElse(4)
+    writeBatchSize = Option(options.get("write.batch_size")).map(_.toInt).getOrElse(10000)
   }
 
   override def name(): String = catalogName
@@ -119,7 +121,8 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
     if (!client.tableExists(db, ident.name()))
       throw new NoSuchTableException(ident.namespace() :+ ident.name())
     val schema = ClickHouseType.toStructType(client.fetchColumns(db, ident.name()))
-    new ClickHouseTable(client, db, ident.name(), schema, readStreams, writeConcurrency)
+    new ClickHouseTable(client, db, ident.name(), schema, readStreams,
+      writeConcurrency, writeBatchSize)
   }
 
   override def createTable(

@@ -158,25 +158,11 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     // order-insensitively, as in the reference) — reorder values to sink order
     val idx = sink.fields.map(f => schema.fieldIndex(f.name))
     val reordered = rows.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
-    val spark = SparkSession.active
-    // concurrency-safe append: each insert lands in its own staging dir,
-    // then its part file moves atomically into the table dir (concurrent
-    // Spark writes into ONE directory would race on the shared committer
-    // _temporary path) — the parquet analog of one Native-protocol block
-    // per in-flight insert
-    val staging = Files.createTempDirectory(s"chins_${db}_$table")
-    try {
-      spark.createDataFrame(reordered.asJava, sink)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(staging.toString)
-      Files.list(staging).iterator.asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .foreach { p =>
-          Files.move(p, tablePath(db, table)
-            .resolve(s"part-${java.util.UUID.randomUUID}.parquet"))
-        }
-    } finally deleteRecursively(staging)
-    rows.length.toLong
+    // one Native-protocol block = one atomically-moved parquet part file,
+    // written WITHOUT a SparkSession (ParquetBlockWriter drives parquet-mr
+    // directly), so inserts can run from DSv2 write tasks on executors —
+    // the per-partition streaming shape of the reference's sink
+    ParquetBlockWriter.writeBlock(tablePath(db, table), sink, reordered)
   }
 
   private def deleteRecursively(p: Path): Unit =

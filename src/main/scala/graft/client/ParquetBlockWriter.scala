@@ -1,0 +1,77 @@
+package graft.client
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.types.StructType
+
+/** Writes one batch of rows as a single parquet part file — the embedded
+  * transport's stand-in for a ClickHouse Native-protocol block
+  * (/root/reference/src/sink.rs:129-208 streams one Arrow batch per
+  * in-flight insert).
+  *
+  * Uses Spark's own `ParquetWriteSupport` (public) directly over
+  * parquet-mr, so a block can be written from ANY thread — including a
+  * DSv2 write task on an executor — without a SparkSession or a Spark
+  * job. The file is written in a temp directory and moved atomically
+  * into the table directory, so concurrent inserts never observe a
+  * partial part.
+  */
+object ParquetBlockWriter {
+
+  private final class Builder(path: org.apache.hadoop.fs.Path)
+    extends ParquetWriter.Builder[org.apache.spark.sql.catalyst.InternalRow, Builder](path) {
+    override def self(): Builder = this
+    override def getWriteSupport(conf: Configuration)
+      : WriteSupport[org.apache.spark.sql.catalyst.InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  /** Spark-equivalent writer config (what ParquetUtils.prepareWrite sets),
+    * keyed through SQLConf entries so names track the Spark version.
+    */
+  private def conf(schema: StructType): Configuration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val c = new Configuration(false)
+    c.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    ParquetWriteSupport.setSchema(schema, c)
+    c.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    c.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    c.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    c.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    c.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    c.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    c.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    c
+  }
+
+  /** Write `rows` (already in `schema` field order) to
+    * `targetDir/part-<uuid>.parquet`; returns the row count.
+    */
+  def writeBlock(targetDir: Path, schema: StructType, rows: Seq[Row]): Long = {
+    val ser = ExpressionEncoder(schema).resolveAndBind().createSerializer()
+    val tmpDir = Files.createTempDirectory("chblock_")
+    val tmp = tmpDir.resolve("block.parquet")
+    try {
+      val w = new Builder(new org.apache.hadoop.fs.Path(tmp.toUri))
+        .withConf(conf(schema))
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+      try rows.foreach(r => w.write(ser(r)))
+      finally w.close()
+      Files.move(tmp, targetDir.resolve(s"part-${java.util.UUID.randomUUID}.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      rows.length.toLong
+    } finally {
+      if (Files.exists(tmp)) Files.delete(tmp)
+      Files.list(tmpDir).iterator().forEachRemaining(p => Files.delete(p))
+      Files.delete(tmpDir)
+    }
+  }
+}

@@ -26,12 +26,11 @@ import graft.sql.ChSql
   * result streams becoming input partitions.
   *
   * Write path: append-only ([[ChWriteBuilder]]); overwrite is rejected
-  * exactly like the reference (table.rs:144-152). Each task buffers its
-  * partition's rows; the driver-side commit performs the remote inserts —
-  * with the embedded transport the "network" is a local parquet append. A
-  * wire client would instead flush bounded batches inside each DataWriter
-  * (the reference's buffer_unordered(write_concurrency) pattern) and
-  * commit() would only aggregate counts.
+  * exactly like the reference (table.rs:144-152). Each write task streams
+  * bounded batches to the store as it consumes its partition (the
+  * reference's buffer_unordered(write_concurrency) pattern, sink.rs:
+  * 129-208); commit() only aggregates counts, so no row ever crosses the
+  * driver.
   */
 class ClickHouseTable(
     client: ClickHouseClient,
@@ -39,7 +38,8 @@ class ClickHouseTable(
     table: String,
     tableSchema: StructType,
     readStreams: Int,
-    writeConcurrency: Int = 4)
+    writeConcurrency: Int = 4,
+    writeBatchSize: Int = 10000)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"$db.$table"
@@ -51,7 +51,7 @@ class ClickHouseTable(
     new ChScanBuilder(client, db, table, tableSchema, readStreams)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ChWriteBuilder(client, db, table, info.schema(), writeConcurrency)
+    new ChWriteBuilder(client, db, table, info.schema(), writeConcurrency, writeBatchSize)
 }
 
 /** Pushdown-capable scan builder (mirrors sql.rs:215-239): filters are
@@ -162,12 +162,13 @@ class ChWriteBuilder(
     db: String,
     table: String,
     inputSchema: StructType,
-    writeConcurrency: Int)
+    writeConcurrency: Int,
+    batchSize: Int)
   extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new ChBatchWrite(client, db, table, inputSchema, writeConcurrency)
+      new ChBatchWrite(client, db, table, inputSchema, writeConcurrency, batchSize)
   }
 }
 
@@ -176,50 +177,77 @@ class ChBatchWrite(
     db: String,
     table: String,
     inputSchema: StructType,
-    writeConcurrency: Int)
+    writeConcurrency: Int,
+    batchSize: Int)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ChDataWriterFactory(inputSchema)
+    new ChDataWriterFactory(client, db, table, inputSchema, writeConcurrency, batchSize)
 
   // The reference returns the inserted count as a one-row result batch
   // (examples/99:295-304); Spark DML returns no rows — a semantic
   // difference documented in SURVEY §2.1. Count is observable via readback.
-  //
-  // Batches flush with bounded concurrency — the reference's
-  // buffer_unordered(write_concurrency) pattern (sink.rs:129-208,
-  // default 4, connection.rs:47).
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val batches = messages.collect { case ChRowsMessage(rows) if rows.nonEmpty => rows }
-    if (batches.nonEmpty) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(writeConcurrency, batches.length)))
-      try {
-        val futures = batches.map { rows =>
-          pool.submit(new java.util.concurrent.Callable[Long] {
-            override def call(): Long = client.insert(db, table, inputSchema, rows)
-          })
-        }
-        futures.foreach(_.get()) // propagate the first failure
-      } finally pool.shutdown()
-    }
-  }
+  // All data has already streamed from the write tasks; commit only sees
+  // counts, so the driver never holds rows regardless of insert size.
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final case class ChRowsMessage(rows: Seq[Row]) extends WriterCommitMessage
+final case class ChCountMessage(rows: Long) extends WriterCommitMessage
 
-class ChDataWriterFactory(schema: StructType) extends DataWriterFactory {
+/** Streams bounded batches to the store from INSIDE each write task —
+  * the reference's `buffer_unordered(write_concurrency)` pattern
+  * (sink.rs:129-208, default 4, connection.rs:47) at per-partition
+  * granularity: up to `writeConcurrency` inserts in flight per task,
+  * `batchSize` rows each (the reference's insert-bench default batch,
+  * examples/10_large_scale.rs:28). Memory per task is O(batchSize ×
+  * concurrency), independent of partition size — at 100 TB the previous
+  * collect-to-driver-commit shape is a guaranteed OOM.
+  */
+class ChDataWriterFactory(
+    client: ClickHouseClient,
+    db: String,
+    table: String,
+    schema: StructType,
+    writeConcurrency: Int,
+    batchSize: Int) extends DataWriterFactory {
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val toRow =
         ExpressionEncoder(schema).resolveAndBind().createDeserializer()
-      private val buf = Vector.newBuilder[Row]
-      override def write(record: InternalRow): Unit =
+      private val buf = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
+      private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, writeConcurrency))
+      private val inFlight =
+        new scala.collection.mutable.Queue[java.util.concurrent.Future[Long]]
+      private var written = 0L
+
+      override def write(record: InternalRow): Unit = {
         buf += toRow(record.copy())
-      override def commit(): WriterCommitMessage = ChRowsMessage(buf.result())
-      override def abort(): Unit = ()
-      override def close(): Unit = ()
+        if (buf.length >= batchSize) flush()
+      }
+
+      private def flush(): Unit = if (buf.nonEmpty) {
+        val rows = buf.toVector
+        buf.clear()
+        // bound the in-flight window: block on the oldest insert before
+        // admitting a new one (buffer_unordered semantics)
+        while (inFlight.length >= math.max(1, writeConcurrency))
+          written += inFlight.dequeue().get()
+        inFlight.enqueue(pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = client.insert(db, table, schema, rows)
+        }))
+      }
+
+      override def commit(): WriterCommitMessage = {
+        flush()
+        while (inFlight.nonEmpty) written += inFlight.dequeue().get()
+        ChCountMessage(written)
+      }
+
+      override def abort(): Unit = pool.shutdownNow()
+      override def close(): Unit = pool.shutdown()
     }
 }
