@@ -22,6 +22,84 @@ class StreamingSpec extends AnyFunSuite {
     s
   }
 
+  test("streaming dedup within watermark matches batch distinct") {
+    import graft.streaming.StreamingOps
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val deduped = StreamingOps.dedupWithinWatermark(
+      stream, "ts", "1 hour", Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ev_dedup").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_dedup").distinct().count()
+      val batch = Tables.load(spark, dir, "events")
+        .select("user_id", "event_type").distinct().count()
+      assert(streamed == batch, s"stream $streamed vs batch $batch distinct pairs")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization (flatMapGroupsWithState) matches the batch answer") {
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val gap = 3600000000L // 1h in micros, same as batch gate query q36
+
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id").cast("long"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDS()
+      .withColumn("et", timestamp_micros(col("_2")))
+      .withWatermark("et", "0 seconds")
+      .select(col("_1").as("key"), col("_2").as("tsMicros"), col("et"))
+      .as[StreamingOps.KeyedEvent]
+    val sessions = StreamingOps.sessionize(events, gap)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("ev_sessions").start()
+    try {
+      input.addData(ev.toSeq)
+      q.processAllAvailable()
+      // a far-future sentinel per user advances the watermark past every
+      // real session's gap, closing them via event-time timeout
+      val maxTs = ev.map(_._2).max
+      input.addData(ev.map(_._1).distinct.toSeq.map(u => (u, maxTs + 10L * gap)))
+      q.processAllAvailable()
+      input.addData(Seq((-1L, maxTs + 20L * gap))) // push watermark once more
+      q.processAllAvailable()
+
+      val streamed = spark.table("ev_sessions")
+        .filter(col("startMicros") <= maxTs) // exclude sentinel sessions
+        .groupBy(col("key")).agg(count(lit(1)).as("n_sessions"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tus")
+      val batch = Tables.load(spark, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("tus"))
+        .select(col("user_id"),
+          when(lag("tus", 1).over(w).isNull ||
+            col("tus") - lag("tus", 1).over(w) > gap, 1).otherwise(0).as("ns"))
+        .groupBy("user_id").agg(sum("ns").as("n_sessions"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      assert(streamed == batch,
+        s"stream/batch sessionization divergence: ${streamed.size} vs ${batch.size} users")
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregation matches the batch answer") {
     val dir = "/root/testdata/sf0.001"
     // file-source streams read directories: stage the events file into one
