@@ -30,12 +30,31 @@ object GraftSession {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    // Pre-CBO runs after V2ScanRelationPushDown, so the rule sees the
-    // pushed-down scans whose generated SQL seeds the collapsed query —
-    // the same ordering the runtime install path gets from the
-    // user-provided optimizer batch.
-    e.injectPreCBORule(_ => ClickHouseFunctionPushdown)
+    // The "Pre CBO Rules" batch runs BEFORE "Early Filter and Projection
+    // Push-Down" (V2ScanRelationPushDown) on Spark 4.1, so the pushdown
+    // rule cannot live there: it consumes ChScan scan relations that only
+    // exist afterwards. The one post-scan-pushdown optimizer seam is the
+    // "User Provided Optimizers" batch, so the injected builder (invoked
+    // when the session assembles its optimizer batches, i.e. before the
+    // first optimization completes) registers the rule there — same seam
+    // as the runtime GraftSession.install path — and contributes nothing
+    // to the pre-CBO batch itself.
+    e.injectPreCBORule { session =>
+      val em = session.experimental
+      if (!em.extraOptimizations.contains(ClickHouseFunctionPushdown))
+        em.extraOptimizations = em.extraOptimizations :+ ClickHouseFunctionPushdown
+      GraftExtensions.Noop
+    }
     e.injectPlannerStrategy(_ => ClickHouseRemoteStrategy)
     graft.functions.Registration.descriptors.foreach(e.injectFunction)
+  }
+}
+
+object GraftExtensions {
+  private object Noop
+      extends org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    override def apply(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p
   }
 }

@@ -58,4 +58,38 @@ class SessionSpec extends AnyFunSuite {
     ch.dropDatabase("analytics")
     assert(!ch.databases.contains("analytics"))
   }
+
+  test("GraftExtensions (spark.sql.extensions path) wires rule/strategy/functions") {
+    // suites share one JVM session, so build-time extensions are exercised
+    // on a SIBLING session over the same SparkContext — exactly what
+    // spark.sql.extensions=graft.GraftExtensions produces at build
+    // create() builds a NEW session (unlike getOrCreate) and reuses the
+    // already-running SparkContext
+    val s2: SparkSession = org.apache.spark.sql.classic.SparkSession.builder()
+      .master(spark.sparkContext.master)
+      .withExtensions(new GraftExtensions().apply(_))
+      .create()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+
+    val root = Files.createTempDirectory("graft_ext_").toString
+    val client = new graft.client.EmbeddedClickHouse(root)
+    client.createTable("db", "people",
+      Seq("id" -> "Int32", "name" -> "String"), Map("engine" -> "MergeTree"))
+    client.insert("db", "people", client.sparkSchema("db", "people"),
+      Seq(Row(1, "Alice"), Row(2, "Bob")))
+    s2.conf.set("spark.sql.catalog.chext", classOf[graft.catalog.ClickHouseCatalog].getName)
+    s2.conf.set("spark.sql.catalog.chext.path", root)
+
+    // NO GraftSession.install(s2): the injected rule must consume the
+    // passthrough and the injected strategy must plan the remote node
+    val df = s2.sql(
+      "SELECT clickhouse(upper(name), 'String') AS u FROM chext.db.people")
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val top = df.queryExecution.executedPlan
+    val plans = top +: top.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val remotes = plans.flatMap(_.collect {
+      case e: graft.pushdown.ClickHouseRemoteExec => e })
+    assert(remotes.nonEmpty, s"no remote exec in:\n$top")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("ALICE", "BOB"))
+  }
 }
