@@ -7,14 +7,17 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.client.ClickHouseClient
-import graft.sql.ChSql
+import graft.sql.{ChSql, ChV2Exprs}
 
 /** DSv2 table over a remote ClickHouse table (the Spark analog of the
   * reference's `SqlTable` provider + `ClickHouseDataSink`,
@@ -56,7 +59,11 @@ class ClickHouseTable(
 
 /** Pushdown-capable scan builder (mirrors sql.rs:215-239): filters are
   * pushed iff they compile to ClickHouse SQL ("exactness probe");
-  * projection prunes the remote select list; limit lands in the SQL.
+  * projection prunes the remote select list; limit / ORDER BY+LIMIT
+  * (top-k) / whole GROUP BY aggregations land in the SQL. Aggregate
+  * pushdown is COMPLETE (not partial): the store holds the entire
+  * table, so its aggregate result is final — at 100 TB this ships
+  * one row per group instead of every raw row.
   */
 class ChScanBuilder(
     client: ClickHouseClient,
@@ -67,17 +74,24 @@ class ChScanBuilder(
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownTopN
+  with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var compiled: Seq[String] = Seq.empty
+  private var hadResidual = false
   private var limit: Option[Int] = None
+  private var orderBy: Seq[String] = Seq.empty
+  // (groupBy column fields, aggregate (sql, field) pairs)
+  private var agg: Option[(Seq[StructField], Seq[(String, StructField)])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition(f => ChSql.compileFilter(f).isDefined)
     pushed = ok
     compiled = ok.toSeq.flatMap(ChSql.compileFilter)
+    hadResidual = residual.nonEmpty
     residual // Spark re-applies only these locally; pushed ones are Exact
   }
 
@@ -89,28 +103,133 @@ class ChScanBuilder(
   override def pushLimit(l: Int): Boolean = {
     // only safe to push when all filters were pushed too (otherwise the
     // remote LIMIT truncates before the residual local filter runs)
-    if (compiled.length == pushed.length && limit.isEmpty) { limit = Some(l); true }
+    if (!hadResidual && limit.isEmpty) { limit = Some(l); true }
     else false
   }
 
+  /** ORDER BY + LIMIT pushed as remote top-k; exact (isPartiallyPushed
+    * = false) because the store sorts its full table. Sort columns may
+    * reference any table column, or — after aggregate pushdown — any
+    * produced output column (both are valid ORDER BY targets remotely).
+    */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    val scope = agg.fold(fullSchema)(a => outputSchema)
+    val compiledOrders = orders.toSeq.map(ChV2Exprs.compileSortOrder(_, scope))
+    if (hadResidual || limit.isDefined || compiledOrders.exists(_.isEmpty)) false
+    else {
+      orderBy = compiledOrders.flatten
+      limit = Some(l)
+      true
+    }
+  }
+
+  override def isPartiallyPushed: Boolean = false
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    compileAggregation(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    compileAggregation(aggregation) match {
+      case Some(a) if !hadResidual && limit.isEmpty => agg = Some(a); true
+      case _ => false
+    }
+
+  private def compileAggregation(
+      aggregation: Aggregation): Option[(Seq[StructField], Seq[(String, StructField)])] = {
+    val groups = aggregation.groupByExpressions.toSeq
+      .map(ChV2Exprs.columnRef(_, fullSchema))
+    val aggs = aggregation.aggregateExpressions.toSeq
+      .map(ChV2Exprs.compileAggregate(_, fullSchema))
+    if (groups.exists(_.isEmpty) || aggs.exists(_.isEmpty) || aggs.isEmpty) None
+    else Some((groups.flatten, aggs.flatten))
+  }
+
+  /** Scan output: group columns then uniquely-named aggregate columns
+    * (Spark maps them positionally; the names also become the remote
+    * select-list aliases so collapsed subqueries can reference them).
+    */
+  private def outputSchema: StructType = agg match {
+    case Some((groups, aggs)) =>
+      StructType(groups ++ aggs.zipWithIndex.map { case ((_, f), i) =>
+        f.copy(name = s"agg$i")
+      })
+    case None => required
+  }
+
   override def build(): Scan = {
-    val sql = ChSql.buildScanSql(db, table, required.fieldNames.toSeq, compiled, limit)
-    new ChScan(client, sql, required, readStreams)
+    val select = agg match {
+      case Some((groups, aggs)) =>
+        groups.map(g => ChSql.quoteIdent(g.name) -> g.name) ++
+          aggs.zipWithIndex.map { case ((sql, _), i) => sql -> s"agg$i" }
+      case None => required.fieldNames.toSeq.map(n => ChSql.quoteIdent(n) -> n)
+    }
+    val groupBy = agg.fold(Seq.empty[String])(_._1.map(g => ChSql.quoteIdent(g.name)))
+    new ChScan(client, db, table, select, compiled, groupBy, orderBy, limit,
+      outputSchema, readStreams)
   }
 }
 
-class ChScan(client: ClickHouseClient, sql: String, out: StructType, readStreams: Int)
-  extends Scan with Batch {
+/** Remote scan: assembles the ClickHouse SQL from its pushed-down parts.
+  * `select` is (expression SQL, output alias) per column — empty for the
+  * COUNT(*) empty projection. Runtime filters (join-key IN-lists from
+  * dynamic pruning, [[SupportsRuntimeV2Filtering]]) arrive after planning
+  * and narrow the remote read: inside the WHERE for a plain scan, or
+  * wrapped OUTSIDE any GROUP BY / ORDER BY / LIMIT so pushed aggregate and
+  * top-k semantics are unchanged (a runtime filter inside a LIMIT would
+  * change which rows are the top-k).
+  */
+class ChScan(
+    client: ClickHouseClient,
+    db: String,
+    table: String,
+    select: Seq[(String, String)],
+    where: Seq[String],
+    groupBy: Seq[String],
+    orderBy: Seq[String],
+    limit: Option[Int],
+    out: StructType,
+    readStreams: Int)
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var runtimeWhere: Seq[String] = Seq.empty
+
+  private def baseSql(extraWhere: Seq[String]): String = {
+    val sel =
+      if (select.isEmpty) "1"
+      else select.map { case (e, a) =>
+        if (e == ChSql.quoteIdent(a)) e else s"$e AS ${ChSql.quoteIdent(a)}"
+      }.mkString(", ")
+    val allWhere = where ++ extraWhere
+    val b = new StringBuilder(s"SELECT $sel FROM ${ChSql.quoteTable(db, table)}")
+    if (allWhere.nonEmpty) b.append(" WHERE ").append(allWhere.mkString(" AND "))
+    if (groupBy.nonEmpty) b.append(" GROUP BY ").append(groupBy.mkString(", "))
+    if (orderBy.nonEmpty) b.append(" ORDER BY ").append(orderBy.mkString(", "))
+    limit.foreach(n => b.append(s" LIMIT $n"))
+    b.toString
+  }
 
   /** Exposed for subtree collapse (graft.pushdown): the scan's generated
     * remote SQL becomes the leaf FROM clause of a collapsed query.
     */
-  def generatedSql: String = sql
+  def generatedSql: String =
+    if (runtimeWhere.isEmpty) baseSql(Seq.empty)
+    else if (groupBy.isEmpty && orderBy.isEmpty && limit.isEmpty) baseSql(runtimeWhere)
+    else s"SELECT * FROM (${baseSql(Seq.empty)}) AS __rf WHERE ${runtimeWhere.mkString(" AND ")}"
+
   def chClient: ClickHouseClient = client
   def chStreams: Int = readStreams
 
+  override def filterAttributes(): Array[NamedReference] =
+    out.fieldNames.map(org.apache.spark.sql.graft.bridge.namedRef)
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    // output aliases = output field names, so predicates compile against
+    // `out` verbatim; non-compilable ones are skipped (Spark still applies
+    // the actual join — runtime filters only reduce rows shipped)
+    runtimeWhere = predicates.toSeq.flatMap(ChV2Exprs.compilePredicate(_, out))
+
   override def readSchema(): StructType = out
-  override def description(): String = s"ClickHouseScan[$sql]"
+  override def description(): String = s"ClickHouseScan[$generatedSql]"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -118,6 +237,7 @@ class ChScan(client: ClickHouseClient, sql: String, out: StructType, readStreams
     // result streams become partitions. A wire client returns one
     // partition per shard/stream cursor instead, each reader pulling its
     // own stream on the executor.
+    val sql = generatedSql
     val (resultSchema, groups) = client.query(sql, readStreams)
     if (out.isEmpty) {
       // empty projection (COUNT(*)): the remote SQL is `SELECT 1 FROM t`

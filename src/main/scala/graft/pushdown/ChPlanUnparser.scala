@@ -68,10 +68,19 @@ object ChPlanUnparser {
           items.map { case (_, id) => id -> aliasOf(id) }.toMap)
 
       case Filter(cond, child) =>
-        for {
-          c <- go(child)
-          w <- ChExprUnparser.compile(cond, c.scope)
-        } yield Unparsed(s"SELECT * FROM (${c.sql}) AS ${sub()} WHERE $w", c.scope)
+        // Runtime-filter (dynamic pruning) conjuncts are redundant inside a
+        // collapsed subtree — the join they pre-filter for ships remotely in
+        // the same SQL — so drop them rather than letting an unparseable
+        // subquery expression block the collapse.
+        val conjuncts = splitConjuncts(cond).filterNot(
+          _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+        if (conjuncts.isEmpty) go(child)
+        else
+          for {
+            c <- go(child)
+            ws <- sequence(conjuncts.map(ChExprUnparser.compile(_, c.scope)))
+          } yield Unparsed(
+            s"SELECT * FROM (${c.sql}) AS ${sub()} WHERE ${ws.mkString(" AND ")}", c.scope)
 
       case j @ Join(left, right, joinType, cond, _) =>
         val kw = joinType match {
@@ -169,6 +178,11 @@ object ChPlanUnparser {
     }
 
     go(plan)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 
   private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =

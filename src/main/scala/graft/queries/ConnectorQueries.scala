@@ -78,7 +78,8 @@ object ConnectorQueries {
       s.table("clickhouse.main.lineitem").agg(count(lit(1)).as("n"))
     },
 
-    // local aggregation over the remote scan (column pruning only)
+    // plain-column aggregation: DSv2 complete aggregate pushdown ships
+    // the whole GROUP BY into the scan SQL (one row per group transfers)
     q("r03_connector_agg",
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
@@ -198,6 +199,50 @@ object ConnectorQueries {
         s.table("clickhouse.main.customer")
           .filter(col("c_name").like("Customer#0000000_5") || col("c_name").rlike("00[12]$"))
           .select("c_custkey", "c_name")
+    },
+
+    // DSv2 scan-level min/max/avg pushdown (SupportsPushDownAggregates):
+    // WHERE + whole aggregate compile into one remote SQL, no raw row
+    // crosses the transport. avg is unrounded: sum and count are exact
+    // here, so the IEEE division is bit-identical on both engines.
+    q("r13_scan_agg_minmax",
+      """SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  avg(l_quantity) AS avg_qty, count(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem WHERE l_quantity > 10""".stripMargin) { (s, _) =>
+      s.table("clickhouse.main.lineitem")
+        .filter(col("l_quantity") > 10)
+        .agg(min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"),
+          avg("l_quantity").as("avg_qty"),
+          countDistinct("l_returnflag").as("n_flags"))
+    },
+
+    // DSv2 top-k pushdown (SupportsPushDownTopN): ORDER BY + LIMIT run
+    // remotely; only k rows transfer — the scan ships `ORDER BY ... LIMIT`
+    q("r14_scan_topk",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, _) =>
+      s.table("clickhouse.main.orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "price")
+    },
+
+    // runtime (dynamic) filtering: the federated broadcast join's build
+    // side feeds an IN-list into the remote probe scan's WHERE at
+    // execution time (SupportsRuntimeV2Filtering) — at 100 TB the store
+    // reads only matching join keys instead of the full fact table
+    q("r15_runtime_filter_join",
+      """SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin) { (s, _) =>
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      s.table("clickhouse.main.orders")
+        .join(broadcast(s.table("customer").filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
     }
   )
 }

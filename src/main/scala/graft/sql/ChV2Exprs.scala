@@ -1,0 +1,134 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, GeneralScalarExpression, NullOrdering, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** DSv2 (`connector.expressions`) → ClickHouse SQL compilers, the v2
+  * counterpart of [[ChSql.compileFilter]]'s v1-`Filter` probe. Same
+  * contract everywhere: `None` = not expressible remotely, caller keeps
+  * the construct local (the reference's exactness probe,
+  * /root/reference/src/sql.rs:215-228, applied to aggregates / top-k /
+  * runtime filters instead of scan filters).
+  */
+object ChV2Exprs {
+
+  /** Single-part column reference → its field in `schema`. */
+  def columnRef(e: V2Expression, schema: StructType): Option[StructField] =
+    bridge.fieldRefName(e).flatMap(n => schema.fields.find(_.name == n))
+
+  private def colSql(e: V2Expression, schema: StructType): Option[String] =
+    columnRef(e, schema).map(f => ChSql.quoteIdent(f.name))
+
+  /** v2 literal (Catalyst-internal value) → ClickHouse literal. */
+  def literalSql(e: V2Expression): Option[String] =
+    bridge.literalParts(e).flatMap { case (v, dt) =>
+      ChSql.literal(CatalystTypeConverters.convertToScala(v, dt))
+    }
+
+  /** Aggregate function → (SQL, result field). Result types mirror the
+    * store engine's ANSI aggregate typing so `readSchema` matches what
+    * the remote query actually returns.
+    */
+  def compileAggregate(f: AggregateFunc, schema: StructType): Option[(String, StructField)] = {
+    def sumType(dt: DataType): Option[DataType] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(LongType)
+      case FloatType | DoubleType => Some(DoubleType)
+      case d if bridge.decimalParts(d).isDefined =>
+        bridge.decimalParts(d).map { case (p, s) => DecimalType(math.min(38, p + 10), s) }
+      case _ => None
+    }
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+      case _ => false
+    }
+    f match {
+      case _: CountStar =>
+        Some(("count(*)", StructField("agg", LongType, nullable = false)))
+      case c: Count =>
+        colSql(c.column, schema).map { col =>
+          val d = if (c.isDistinct) "DISTINCT " else ""
+          (s"count($d$col)", StructField("agg", LongType, nullable = false))
+        }
+      case s: Sum =>
+        for {
+          fld <- columnRef(s.column, schema)
+          rt <- sumType(fld.dataType)
+        } yield {
+          val d = if (s.isDistinct) "DISTINCT " else ""
+          (s"sum($d${ChSql.quoteIdent(fld.name)})", StructField("agg", rt))
+        }
+      case m: Min =>
+        columnRef(m.column, schema).filter(f => orderable(f.dataType)).map(fld =>
+          (s"min(${ChSql.quoteIdent(fld.name)})", StructField("agg", fld.dataType)))
+      case m: Max =>
+        columnRef(m.column, schema).filter(f => orderable(f.dataType)).map(fld =>
+          (s"max(${ChSql.quoteIdent(fld.name)})", StructField("agg", fld.dataType)))
+      case a: Avg =>
+        columnRef(a.column, schema).collect {
+          // integral/floating only: decimal avg widens scale engine-specifically
+          case fld if (fld.dataType match {
+            case FloatType | DoubleType => true
+            case d => bridge.isIntegral(d)
+          }) =>
+            val d = if (a.isDistinct) "DISTINCT " else ""
+            (s"avg($d${ChSql.quoteIdent(fld.name)})", StructField("agg", DoubleType))
+        }
+      case _ => None
+    }
+  }
+
+  /** Sort order → `col ASC|DESC NULLS FIRST|LAST` over `schema`'s cols. */
+  def compileSortOrder(o: SortOrder, schema: StructType): Option[String] =
+    colSql(o.expression, schema).map { col =>
+      val dir = if (o.direction == SortDirection.ASCENDING) "ASC" else "DESC"
+      val nulls =
+        if (o.nullOrdering == NullOrdering.NULLS_FIRST) "NULLS FIRST" else "NULLS LAST"
+      s"$col $dir $nulls"
+    }
+
+  /** Runtime-filter predicate → boolean SQL over `schema`'s columns.
+    * Conservative: anything unrecognized returns None and is simply not
+    * applied (runtime filters are an optimization, never required for
+    * correctness — Spark re-applies the join itself).
+    */
+  def compilePredicate(p: Predicate, schema: StructType): Option[String] = {
+    def operands(g: GeneralScalarExpression): Array[V2Expression] = g.children()
+    val kids = operands(p)
+    p.name() match {
+      case "IN" if kids.length >= 2 =>
+        for {
+          col <- colSql(kids.head, schema)
+          lits <- sequence(kids.tail.toSeq.map(literalSql))
+        } yield s"$col IN (${lits.mkString(", ")})"
+      case op @ ("=" | "<" | "<=" | ">" | ">=" | "<>") if kids.length == 2 =>
+        for {
+          col <- colSql(kids(0), schema)
+          lit <- literalSql(kids(1))
+        } yield s"$col $op $lit"
+      case "IS_NOT_NULL" if kids.length == 1 =>
+        colSql(kids(0), schema).map(c => s"$c IS NOT NULL")
+      case "IS_NULL" if kids.length == 1 =>
+        colSql(kids(0), schema).map(c => s"$c IS NULL")
+      case "AND" if kids.length == 2 =>
+        both(kids, schema).map { case (l, r) => s"($l AND $r)" }
+      case "OR" if kids.length == 2 =>
+        both(kids, schema).map { case (l, r) => s"($l OR $r)" }
+      case _ => None
+    }
+  }
+
+  private def both(kids: Array[V2Expression], schema: StructType): Option[(String, String)] =
+    (kids(0), kids(1)) match {
+      case (l: Predicate, r: Predicate) =>
+        for (cl <- compilePredicate(l, schema); cr <- compilePredicate(r, schema))
+          yield (cl, cr)
+      case _ => None
+    }
+
+  private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.flatten) else None
+}

@@ -8,8 +8,27 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, FieldReference, LiteralValue, NamedReference}
+import org.apache.spark.sql.types.{DataType, DecimalType, IntegralType}
 
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  // `private[sql]` DSv2 expression shapes, re-exposed for the connector's
+  // v2 pushdown compilers (graft.sql.ChV2Exprs)
+  def fieldRefName(e: V2Expression): Option[String] = e match {
+    case fr: FieldReference if fr.parts.length == 1 => Some(fr.parts.head)
+    case _ => None
+  }
+  def literalParts(e: V2Expression): Option[(Any, DataType)] = e match {
+    case lv: LiteralValue[_] => Some((lv.value, lv.dataType))
+    case _ => None
+  }
+  def namedRef(column: String): NamedReference = FieldReference.column(column)
+  def decimalParts(dt: DataType): Option[(Int, Int)] = dt match {
+    case d: DecimalType => Some((d.precision, d.scale))
+    case _ => None
+  }
+  def isIntegral(dt: DataType): Boolean = dt.isInstanceOf[IntegralType]
 }

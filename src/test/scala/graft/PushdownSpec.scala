@@ -266,7 +266,10 @@ class PushdownSpec extends AnyFunSuite {
       .limit(2)
     val execs = remoteExecs(df)
     assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
-    assert(execs.head.sql.endsWith("LIMIT 2"), execs.head.sql)
+    // the limit may land either in the DSv2 scan SQL (innermost, via
+    // SupportsPushDownLimit) or appended by the collapse rule — both are
+    // remote; it must appear exactly once
+    assert("LIMIT 2".r.findAllIn(execs.head.sql).length == 1, execs.head.sql)
     assert(df.collect().length == 2)
   }
 
