@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.all ++
       graft.queries.MultimodalQueries.all ++
       graft.queries.ConnectorQueries.all ++
-      graft.queries.EventQueries.all
+      graft.queries.EventQueries.all ++
+      graft.queries.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 pricing summary — the same shape the reference exercises

@@ -1,0 +1,86 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.GateQuery
+
+/** Structured-Streaming gate queries (beyond-reference surface, SURVEY
+  * §2.10: the reference has no streaming — these prove the engine's
+  * operators carry over to unbounded input). Each runs the events table
+  * AS A STREAM (file source + Trigger.AvailableNow, the replayable-batch
+  * idiom) into a memory sink, and its DuckDB oracle is the equivalent
+  * BATCH query — so streaming results are hash-verified to match batch
+  * semantics exactly, which is the whole contract of the Dataflow model.
+  *
+  * At scale the same code points `readStream` at a bucket/queue and the
+  * sink at a real table; state stays bounded (watermarked windows /
+  * dedup-within-watermark), so a 100 TB/day stream holds only the open
+  * windows per key in memory.
+  */
+object StreamingQueries {
+
+  private val runSeq = new AtomicInteger()
+
+  /** Stream the events table through `build`, drain with AvailableNow,
+    * return the sink table. The parquet file carries TIMESTAMP(NANOS), so
+    * (as in graft.Tables.load) nanos are read as long and truncated to
+    * micros.
+    */
+  private def runStream(
+      spark: SparkSession,
+      dir: String,
+      mode: String)(build: DataFrame => DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file stream source wants a directory: stream the sf dir with a
+    // glob pinned to the events file
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val sink = s"graft_stream_${runSeq.incrementAndGet()}"
+    val q = build(stream).writeStream
+      .format("memory").queryName(sink).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  val all: Seq[GateQuery] = Seq(
+
+    // watermarked tumbling-window aggregation; Complete mode emits every
+    // window, so the finite stream must equal the batch time-bucket agg
+    GateQuery("q40_stream_window_agg",
+      (s, dir) => {
+        graft.Tables.register(s, dir)
+        runStream(s, dir, "complete") { ev =>
+          ev.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+            .select(unix_micros(col("window.start")).as("hour_us"),
+              col("event_type"), col("cnt"), col("total_value"))
+        }
+      },
+      Some("""SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_us,
+             |  event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+             |FROM events
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // streaming exact dedup with watermark-bounded state: the distinct
+    // key set of the drained stream equals batch SELECT DISTINCT
+    GateQuery("q41_stream_dedup",
+      (s, dir) => {
+        graft.Tables.register(s, dir)
+        runStream(s, dir, "append") { ev =>
+          graft.streaming.StreamingOps
+            .dedupWithinWatermark(ev, "ts", "1 hour", Seq("user_id", "event_type"))
+            .select("user_id", "event_type")
+        }
+      },
+      Some("SELECT DISTINCT user_id, event_type FROM events"))
+  )
+}
