@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt -batch 'runMain
+// graft.Bench'` as the bench JSON (BENCH_r01.json came back
+// parsed:null because sbt's "[success] Total time" trailer was the
+// last line). showSuccess drops that trailer; StdoutOutput pipes the
+// forked JVM's stdout through directly rather than via the logger.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -52,6 +52,13 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // d02/d03 cache intermediate tables (reused across this query's
+      // iterations, as a real pipeline would); drop them before the next
+      // query so accumulated cache blocks don't evict/GC-thrash later
+      // queries — leaving them resident inflated unrelated timings
+      // several-x in full-battery runs.
+      spark.catalog.clearCache()
+      System.gc()
       g.name -> times.min
     }
 
