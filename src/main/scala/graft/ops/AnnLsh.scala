@@ -33,13 +33,21 @@ object AnnLsh {
     ((h(0) >> 4) & 0xf) - 7.5
   }
 
-  private def planes(numTables: Int, numPlanes: Int, dims: Int): Seq[Seq[Seq[Double]]] =
-    (0 until numTables).map(t => (0 until numPlanes).map(p =>
-      (0 until dims).map(d => planeWeight(t, p, d))))
+  /** Flat [t][p][d] plane matrix for the fused [[LshBucketKeys]] kernel. */
+  private def flatPlanes(numTables: Int, numPlanes: Int, dims: Int): Array[Double] = {
+    val out = new Array[Double](numTables * numPlanes * dims)
+    var i = 0
+    for (t <- 0 until numTables; p <- 0 until numPlanes; d <- 0 until dims) {
+      out(i) = planeWeight(t, p, d); i += 1
+    }
+    out
+  }
 
-  /** Add (table, bucket) rows for each vector: one output row per LSH
-    * table, bucket = the sign-bit string of the vector against that
-    * table's hyperplanes.
+  /** Add bucket rows for each vector: one output row per LSH table.
+    * `lsh_key` packs (table, bucket) into one int — the single join
+    * column — via the fused [[LshBucketKeys]] kernel (one codegen pass
+    * computes all tables x planes sign bits); `lsh_table`/`lsh_bucket`
+    * are unpacked views of the key.
     */
   def withBuckets(
       df: DataFrame,
@@ -47,18 +55,11 @@ object AnnLsh {
       dims: Int,
       numTables: Int = 8,
       numPlanes: Int = 8): DataFrame = {
-    val ps = planes(numTables, numPlanes, dims)
-    val v = col(embCol)
-    val tableStructs = (0 until numTables).map { t =>
-      val bits = (0 until numPlanes).map { p =>
-        when(vector.vec_dot(v, typedlit(ps(t)(p))) > 0, "1").otherwise("0")
-      }
-      struct(lit(t).as("lsh_table"), concat(bits: _*).as("lsh_bucket"))
-    }
-    df.withColumn("__tb", explode(array(tableStructs: _*)))
-      .withColumn("lsh_table", col("__tb.lsh_table"))
-      .withColumn("lsh_bucket", col("__tb.lsh_bucket"))
-      .drop("__tb")
+    val keys = LshBucketKeys(col(embCol), flatPlanes(numTables, numPlanes, dims),
+      numTables, numPlanes, dims)
+    df.withColumn("lsh_key", explode(keys))
+      .withColumn("lsh_table", shiftright(col("lsh_key"), numPlanes))
+      .withColumn("lsh_bucket", col("lsh_key").bitwiseAND(lit((1 << numPlanes) - 1)))
   }
 
   /** Approximate top-k: bucket both sides, join candidates on
@@ -77,11 +78,9 @@ object AnnLsh {
       numTables: Int = 8,
       numPlanes: Int = 8): DataFrame = {
     val cb = withBuckets(corpus, embCol, dims, numTables, numPlanes)
-      .select(col(idCol).as("neighbor_id"), col(embCol).as("ne"),
-        col("lsh_table"), col("lsh_bucket"))
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("ne"), col("lsh_key"))
     val pb = withBuckets(probes, embCol, dims, numTables, numPlanes)
-      .select(col(idCol).as("probe_id"), col(embCol).as("pe"),
-        col("lsh_table"), col("lsh_bucket"))
+      .select(col(idCol).as("probe_id"), col(embCol).as("pe"), col("lsh_key"))
     val pe = col("pe")
     val ne = col("ne")
     val cos = vector.vec_dot(pe, ne) /
@@ -91,7 +90,7 @@ object AnnLsh {
     // far cheaper than shuffling embedding arrays through a distinct()
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(pb)
-      .join(cb, Seq("lsh_table", "lsh_bucket"))
+      .join(cb, Seq("lsh_key"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), cos.as("cos"))
       .groupBy("probe_id", "neighbor_id")

@@ -43,10 +43,27 @@ object StreamingQueries {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
     val sink = s"graft_stream_${runSeq.incrementAndGet()}"
-    val q = build(stream).writeStream
-      .format("memory").queryName(sink).outputMode(mode)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // one state-store instance per shuffle partition, each with its own
+    // checkpoint delta files: 8 is plenty for a drained finite stream and
+    // cuts per-microbatch commit fanout 4x vs the batch default; the
+    // checkpoint goes to tmpfs when available (state commit latency is
+    // fsync-bound, not compute-bound)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
+      sys.props("java.io.tmpdir")
+    val ck = s"$ckBase/graft_ck_$sink"
+    try {
+      val q = build(stream).writeStream
+        .format("memory").queryName(sink).outputMode(mode)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // checkpoints are per-run throwaways (AvailableNow drains fully)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    }
     spark.table(sink)
   }
 
