@@ -116,6 +116,56 @@ object SimilarityQueries {
           .select(col("probe_id"), col("neighbor_id"),
             round(col("cos"), 6).as("cosine"), col("rank"))
       },
-      oracle = None)
+      oracle = None),
+
+    // ---- IVF ANN: the data-adaptive scale path (k-means coarse
+    // quantizer; approximate → no SQL oracle; recall vs brute force is
+    // asserted in OpsSpec) ----
+    GateQuery("s04_ann_ivf",
+      (s, dir) => {
+        Tables.register(s, dir)
+        val probes = s.table("embeddings").filter(col("vec_id") < 100)
+        val index = graft.ops.AnnIvf.buildIndex(
+          corpus(s), "vec_id", "embedding", numCells = 16)
+        graft.ops.AnnIvf.annTopK(index, probes, "vec_id", "embedding",
+          k = 5, nprobe = 4)
+          .select(col("probe_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cosine"), col("rank"))
+      },
+      oracle = None),
+
+    // ---- int8 embedding quantization (the storage/bandwidth side of
+    // similarity search at 100 TB: 4x smaller vectors for the ANN coarse
+    // pass). Symmetric per-vector scale = 127/max|x|; quantized value =
+    // floor(x*scale + 0.5) — floor, NOT round, because both engines
+    // compute it as the same IEEE double op (round()'s half-way tie
+    // handling differs between Spark and DuckDB). The q8 vector is
+    // hash-compared via md5 of its comma-join so the driver compares
+    // scalar strings, not engine-specific list renderings.
+    q("s05_embed_quantize_int8",
+      """WITH q AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    127.0 / list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max')
+        |      AS scale
+        |  FROM embeddings WHERE vec_id < 300)
+        |SELECT vec_id,
+        |  md5(array_to_string(list_transform(e,
+        |      x -> CAST(floor(x * scale + 0.5) AS BIGINT)), ',')) AS q8_hash,
+        |  CAST(list_aggregate(list_transform(e,
+        |      x -> CAST(floor(x * scale + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS sum_q,
+        |  CAST(len(list_filter(e,
+        |      x -> abs(CAST(floor(x * scale + 0.5) AS BIGINT)) = 127)) AS BIGINT) AS n_sat
+        |FROM q""".stripMargin) { (s, _) =>
+      val ed = transform(col("embedding"), x => x.cast("double"))
+      val scale = lit(127.0) / array_max(transform(ed, x => abs(x)))
+      val df = s.table("embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), ed.as("e"), scale.as("scale"))
+      val q8 = transform(col("e"), x => floor(x * col("scale") + 0.5))
+      df.select(
+        col("vec_id"),
+        md5(concat_ws(",", q8.cast("array<string>")).cast("binary")).as("q8_hash"),
+        aggregate(q8, lit(0L), (a, x) => a + x).as("sum_q"),
+        size(filter(q8, x => abs(x) === 127)).cast("long").as("n_sat"))
+    }
   )
 }

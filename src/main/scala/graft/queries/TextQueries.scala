@@ -116,6 +116,29 @@ object TextQueries {
         col("doc_id"),
         md5(col("text").cast("binary")).as("fp_md5"),
         graft.ops.MinShingleMd5.min_shingle_md5(col("text")).as("fp_min_shingle"))
+    },
+
+    // ---- cleaning / normalization: whitespace collapse + stopword strip
+    // (the "scrub before dedup/train" stage of a data pipeline; a narrow
+    // codegen projection — no shuffle at any corpus size) ----
+    q("t06_text_clean",
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(
+        |        string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' '),
+        |        t -> t NOT IN ('a', 'the', 'of', 'and')), ' ')) AS cleaned_md5,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  CAST(len(list_filter(
+        |        string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' '),
+        |        t -> t NOT IN ('a', 'the', 'of', 'and'))) AS BIGINT) AS n_kept
+        |FROM documents""".stripMargin) { (s, _) =>
+      val stop = Seq("a", "the", "of", "and")
+      val toks = split(trim(regexp_replace(col("text"), " +", " ")), " ")
+      val kept = filter(toks, t => !t.isin(stop: _*))
+      s.table("documents").select(
+        col("doc_id"),
+        md5(array_join(kept, " ").cast("binary")).as("cleaned_md5"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(kept).cast("long").as("n_kept"))
     }
   )
 }
