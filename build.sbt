@@ -17,6 +17,7 @@ run / fork := true
 // last line). showSuccess drops that trailer; StdoutOutput pipes the
 // forked JVM's stdout through directly rather than via the logger.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

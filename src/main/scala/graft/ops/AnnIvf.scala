@@ -32,18 +32,27 @@ object AnnIvf {
       embCol: String,
       numCells: Int = 16,
       trainSampleFraction: Double = 1.0,
-      seed: Long = 42L): IvfIndex = {
+      seed: Long = 42L,
+      maxIter: Int = 8): IvfIndex = {
     val withVec = corpus
       .select(col(idCol), col(embCol))
       .withColumn("__features", array_to_vector(col(embCol).cast("array<double>")))
     val train =
       if (trainSampleFraction >= 1.0) withVec
       else withVec.sample(withReplacement = false, trainSampleFraction, seed)
+    // A coarse quantizer doesn't need converged clustering — cells only
+    // route probes, and the exact re-rank fixes assignment noise. Random
+    // init (k-means|| is itself several passes over the data) and a
+    // bounded iteration count keep index build linear and cheap; recall
+    // is asserted downstream in OpsSpec either way.
     val model = new KMeans()
       .setK(numCells).setSeed(seed).setFeaturesCol("__features")
       .setPredictionCol("__cell")
+      .setInitMode("random").setMaxIter(maxIter)
       .fit(train)
-    val assigned = model.transform(withVec).drop("__features")
+    // the index IS this assignment — persist it like any ANN index is
+    // persisted (callers holding an IvfIndex query it repeatedly)
+    val assigned = model.transform(withVec).drop("__features").cache()
     IvfIndex(assigned, model.clusterCenters.toSeq.map(_.toArray.toSeq))
   }
 
@@ -81,11 +90,12 @@ object AnnIvf {
     val cos = vector.vec_dot(pe2, ne) /
       sqrt(vector.vec_dot(pe2, pe2) * vector.vec_dot(ne, ne))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    // no distinct: a corpus vector lives in exactly ONE cell, so a
+    // (probe, neighbor) pair arises at most once across the nprobe cells
     broadcast(probeCells)
       .join(corpus, Seq("__cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), cos.as("cos"))
-      .distinct()
       .select(col("probe_id"), col("neighbor_id"), col("cos"),
         row_number().over(w).as("rank"))
       .filter(col("rank") <= k)

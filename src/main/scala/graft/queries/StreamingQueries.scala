@@ -98,6 +98,93 @@ object StreamingQueries {
             .select("user_id", "event_type")
         }
       },
-      Some("SELECT DISTINCT user_id, event_type FROM events"))
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
+    // stateful streaming gap-sessionization (flatMapGroupsWithState with
+    // ONE open session per key) drained over the events stream: closed
+    // sessions aggregate to exactly the batch answer. A far-future
+    // sentinel event per user (staged as a second parquet file) closes
+    // every real session inline — the replayable-batch idiom for
+    // verifying Append-mode stateful operators end-of-stream. Oracle
+    // orders by event TIME (the stream's semantics; q36 orders by
+    // event_id): tie-handling is count-invariant either way.
+    GateQuery("q42_stream_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        graft.Tables.register(s, dir)
+        val gap = 3600000000L // 1h in micros
+        val ev = graft.Tables.load(s, dir, "events")
+        val maxTus = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+
+        // stage dir: the raw events file + one sentinel row per user at
+        // maxTs + 2*gap (raw schema: ts is int64 nanos under nanosAsLong)
+        val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+          else sys.props("java.io.tmpdir")
+        val stage = new java.io.File(s"$base/graft_sess_stage_${runSeq.incrementAndGet()}")
+        org.apache.commons.io.FileUtils.deleteQuietly(stage)
+        stage.mkdirs()
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.toPath.resolve("events.parquet"))
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val sentNanos = (maxTus + 2 * gap) * 1000L
+        val sentinels = ev.select(col("user_id")).distinct()
+          .select(rawSchema.fields.map { f =>
+            f.name match {
+              case "user_id" => col("user_id").cast(f.dataType).as(f.name)
+              case "ts" => lit(sentNanos).cast(f.dataType).as(f.name)
+              case "event_type" => lit("sentinel").cast(f.dataType).as(f.name)
+              case _ => lit(null).cast(f.dataType).as(f.name)
+            }
+          }: _*)
+        val sentTmp = new java.io.File(stage, "_sent_tmp")
+        sentinels.coalesce(1).write.mode("overwrite").parquet(sentTmp.getPath)
+        val part = sentTmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, stage.toPath.resolve("zz_sentinel.parquet"))
+        org.apache.commons.io.FileUtils.deleteQuietly(sentTmp)
+
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "*.parquet").parquet(stage.getPath)
+          .withColumn("et", timestamp_micros((col("ts") / 1000L).cast("long")))
+          .withWatermark("et", "0 seconds")
+        val keyed = stream.select(
+          col("user_id").cast("long").as("key"),
+          unix_micros(col("et")).as("tsMicros"), col("et"))
+          .as[graft.streaming.StreamingOps.KeyedEvent]
+        val sessions = graft.streaming.StreamingOps.sessionize(keyed, gap)
+
+        val sink = s"graft_stream_${runSeq.incrementAndGet()}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val ck = s"$base/graft_ck_$sink"
+        try {
+          val q = sessions.writeStream
+            .format("memory").queryName(sink).outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+          org.apache.commons.io.FileUtils.deleteQuietly(stage)
+        }
+        s.table(sink)
+          .filter(col("startMicros") <= maxTus) // sentinel sessions never close, belt+braces
+          .groupBy(col("key").cast("long").as("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), sum("nEvents").as("n_events"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS tus FROM events),
+             |flags AS (
+             |  SELECT user_id,
+             |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+             |           OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+             |              > 3600000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM e)
+             |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM flags GROUP BY user_id""".stripMargin))
   )
 }
