@@ -38,6 +38,26 @@ object MultimodalQueries {
             .cast("bigint") % 512).as("fake_width"),
           (lit(64) + conv(substring(md5(col("payload")), 5, 4), 16, 10)
             .cast("bigint") % 512).as("fake_height"))
+    },
+
+    // Fixed-stride frame sampling through the REAL Multimodal pipeline
+    // (toMediaTable -> sampleFrames): every 4th 16-byte slice of the
+    // payload, fingerprinted. The oracle recomputes the same slicing
+    // arithmetic over the text bytes — frame boundaries, ragged tails,
+    // and binary md5s must all agree.
+    q("m02_multimodal_frames",
+      """SELECT doc_id, idx AS frame_idx,
+        |  md5(substring(text, CAST(idx * 16 + 1 AS BIGINT), 16)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0,
+        |          CAST(ceil(length(text) / 16.0) AS BIGINT) - 1, 4)) AS idx
+        |      FROM documents)""".stripMargin) { (s, _) =>
+      val media = graft.ops.Multimodal.toMediaTable(
+        s.table("documents"), "doc_id", "text", kind = "video", sourceCol = "source")
+      graft.ops.Multimodal.sampleFrames(media, frameSize = 16, stride = 4)
+        .select(col("media_id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
     }
   )
 }

@@ -291,4 +291,25 @@ class PushdownSpec extends AnyFunSuite {
     assert(remoteExecs(df).nonEmpty)
     assert(df.collect().head.getInt(1) == 3)
   }
+
+  test("arrayJoin passthrough expands rows remotely (e2e.rs:599, 615)") {
+    val df = spark.sql(
+      """SELECT id, clickhouse_fn('arrayJoin', names, 'Utf8') AS name
+        |FROM chpd.db.people2""".stripMargin)
+    assert(remoteExecs(df).nonEmpty, "arrayJoin subtree must ship remotely")
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "Buddha"), (1, "Zugus"), (1, "Lulu"),
+      (2, "Jazz"), (2, "Kaya"), (2, "Vienna")))
+  }
+
+  test("arrayJoin under a filter + union composes (e2e.rs:608-621)") {
+    val df = spark.sql(
+      """SELECT id, clickhouse_fn('upper', name, 'Utf8') AS v
+        |FROM chpd.db.people WHERE id = 1
+        |UNION ALL
+        |SELECT id, clickhouse_fn('arrayJoin', names, 'Utf8') AS v
+        |FROM chpd.db.people2 WHERE id = 1""".stripMargin)
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "ALICE"), (1, "Buddha"), (1, "Zugus"), (1, "Lulu")))
+  }
 }
