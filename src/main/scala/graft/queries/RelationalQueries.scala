@@ -445,6 +445,44 @@ object RelationalQueries {
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_lines"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    },
+
+    // exact percentiles (interpolated + discrete): both engines use the
+    // (n-1)*p rank formula over sorted values; l_quantity is
+    // integer-valued double, so the interpolation arithmetic is exact and
+    // the hashes match without rounding
+    q("q43_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  quantile_cont(l_quantity, 0.5) AS med
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_returnflag").agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"),
+        median(col("l_quantity")).as("med"))
+    },
+
+    // null-handling battery: NULLIF / IFNULL / NVL2 / conditional nulls
+    // flowing through aggregation (count skips nulls, count(*) doesn't)
+    q("q44_null_handling",
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  count(nullif(o_orderstatus, o_orderstatus)) AS n_never,
+        |  CAST(sum(CASE WHEN o_totalprice > 100000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  count(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big_via_count,
+        |  coalesce(min(nullif(o_orderstatus, 'O')), '~') AS min_nonopen_status
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, _) =>
+      s.table("orders").groupBy("o_orderpriority").agg(
+        count(lit(1)).as("n"),
+        count(nullif(col("o_orderstatus"), col("o_orderstatus"))).as("n_never"),
+        sum(when(col("o_totalprice") > 100000, 1).otherwise(0)).as("n_big"),
+        count(when(col("o_totalprice") > 100000, 1)).as("n_big_via_count"),
+        coalesce(min(nullif(col("o_orderstatus"), lit("O"))), lit("~"))
+          .as("min_nonopen_status"))
     }
   )
 }
