@@ -41,6 +41,14 @@ class BucketingSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val li = Tables.load(spark, dir, "lineitem")
     val ord = Tables.load(spark, dir, "orders")
+    // suites share one JVM session, so the builder's warehouse.dir may be
+    // ignored — drop tables AND their leftover locations for idempotence
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
     li.write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")
