@@ -483,6 +483,46 @@ object RelationalQueries {
         count(when(col("o_totalprice") > 100000, 1)).as("n_big_via_count"),
         coalesce(min(nullif(col("o_orderstatus"), lit("O"))), lit("~"))
           .as("min_nonopen_status"))
+    },
+
+    // PIVOT: wide conditional aggregation via the DataFrame pivot API
+    // (explicit value list -> stable column names; the oracle is the
+    // equivalent CASE-per-value aggregation)
+    q("q45_pivot",
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(coalesce(col("l_quantity"), lit(0.0))), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .select(col("l_returnflag"),
+          coalesce(col("qty_f"), lit(0.0)).as("qty_f"),
+          coalesce(col("qty_o"), lit(0.0)).as("qty_o"))
+    },
+
+    // UNPIVOT / melt: wide -> long via the Dataset unpivot API; oracle =
+    // the UNION ALL expansion
+    q("q46_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS val
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin) { (s, _) =>
+      s.table("lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("price"),
+          col("l_discount").as("discount"), col("l_tax").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("price"), col("discount"), col("tax")),
+          "measure", "val")
     }
   )
 }

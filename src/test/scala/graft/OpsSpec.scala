@@ -168,6 +168,16 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
   }
 
+  test("percentile_approx within tolerance of exact percentile (SURVEY 2.4)") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val r = li.agg(
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx"))
+      .collect().head
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.02, s"$approx vs $exact")
+  }
+
   test("as-of join: match is the latest right row at-or-before each left ts") {
     import graft.ops.AsOfJoin
     import spark.implicits._
