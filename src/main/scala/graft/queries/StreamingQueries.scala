@@ -30,18 +30,21 @@ object StreamingQueries {
     * (as in graft.Tables.load) nanos are read as long and truncated to
     * micros.
     */
-  private def runStream(
-      spark: SparkSession,
-      dir: String,
-      mode: String)(build: DataFrame => DataFrame): DataFrame = {
+  /** A fresh streaming read of the events table (micros timestamps). */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file stream source wants a directory: stream the sf dir with a
     // glob pinned to the events file
-    val stream = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Drain a built streaming DataFrame with AvailableNow into a memory
+    * sink; return the sink table.
+    */
+  private def drain(spark: SparkSession, built: DataFrame, mode: String): DataFrame = {
     val sink = s"graft_stream_${runSeq.incrementAndGet()}"
     // one state-store instance per shuffle partition, each with its own
     // checkpoint delta files: 8 is plenty for a drained finite stream and
@@ -54,7 +57,7 @@ object StreamingQueries {
       sys.props("java.io.tmpdir")
     val ck = s"$ckBase/graft_ck_$sink"
     try {
-      val q = build(stream).writeStream
+      val q = built.writeStream
         .format("memory").queryName(sink).outputMode(mode)
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow()).start()
@@ -66,6 +69,12 @@ object StreamingQueries {
     }
     spark.table(sink)
   }
+
+  private def runStream(
+      spark: SparkSession,
+      dir: String,
+      mode: String)(build: DataFrame => DataFrame): DataFrame =
+    drain(spark, build(eventsStream(spark, dir)), mode)
 
   val all: Seq[GateQuery] = Seq(
 
@@ -186,5 +195,39 @@ object StreamingQueries {
              |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
              |  count(*) AS n_events
              |FROM flags GROUP BY user_id""".stripMargin))
+    ,
+
+    // stream-stream inner join with a time-range condition: each purchase
+    // pairs with every view by the same user in the preceding hour. Both
+    // sides are independent watermarked streams; the range condition
+    // bounds join state to one hour per side — the canonical unbounded-
+    // join-with-bounded-state shape. Drained, it must equal the batch
+    // range join exactly.
+    GateQuery("q47_stream_stream_join",
+      (s, dir) => {
+        graft.Tables.register(s, dir)
+        val views = eventsStream(s, dir)
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "0 seconds")
+        val purchases = eventsStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "0 seconds")
+        val joined = purchases.join(views,
+          col("p_user") === col("v_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") <= col("p_ts"))
+          .select(col("purchase_id"), col("view_id"))
+        drain(s, joined, "append")
+      },
+      Some("""SELECT p.event_id AS purchase_id, v.event_id AS view_id
+             |FROM events p JOIN events v
+             |  ON p.user_id = v.user_id
+             | AND p.event_type = 'purchase' AND v.event_type = 'view'
+             | AND epoch_us(v.ts) BETWEEN epoch_us(p.ts) - 3600000000
+             |                        AND epoch_us(p.ts)""".stripMargin))
   )
 }
