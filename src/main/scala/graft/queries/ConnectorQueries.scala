@@ -243,6 +243,43 @@ object ConnectorQueries {
         .join(broadcast(s.table("customer").filter(col("c_mktsegment") === "BUILDING")),
           col("o_custkey") === col("c_custkey"))
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    },
+
+    // streaming ingest INTO the connector: the events stream lands in a
+    // ClickHouse table via foreachBatch append (each micro-batch is one
+    // bounded-concurrency DSv2 write), then the readback aggregates
+    // through the connector scan. At scale this is the continuous-ingest
+    // topology: readStream from the queue, foreachBatch into the store.
+    q("r16_stream_insert_connector",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.ev_ingest")
+      s.sql(
+        """CREATE TABLE clickhouse.main.ev_ingest
+          |(event_type STRING, k BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree')""".stripMargin)
+      val stream = StreamingQueries.eventsStream(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else sys.props("java.io.tmpdir")
+      val ck = s"$ckBase/graft_ck_ingest_${System.nanoTime()}"
+      try {
+        val q = stream.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.writeTo("clickhouse.main.ev_ingest").append()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      }
+      s.table("clickhouse.main.ev_ingest")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
     }
   )
 }

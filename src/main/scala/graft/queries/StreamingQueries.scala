@@ -31,7 +31,7 @@ object StreamingQueries {
     * micros.
     */
   /** A fresh streaming read of the events table (micros timestamps). */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file stream source wants a directory: stream the sf dir with a
