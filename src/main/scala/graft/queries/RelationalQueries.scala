@@ -523,6 +523,62 @@ object RelationalQueries {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("price"), col("discount"), col("tax")),
           "measure", "val")
+    },
+
+    // correlated EXISTS / NOT EXISTS (the subquery shapes q24-q26 don't
+    // cover) — shared ANSI text runs verbatim on both engines
+    GateQuery.sharedSql("q48_exists_subquery",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')""".stripMargin),
+
+    // date/time arithmetic battery over the orders timestamps
+    q("q49_date_arithmetic",
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS d30,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS days_to_2026,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin) { (s, _) =>
+      val d = to_date(col("o_orderdate"))
+      s.table("orders").filter(col("o_orderkey") < 1000).select(
+        col("o_orderkey"),
+        d.as("d"),
+        date_add(d, 30).as("d30"),
+        last_day(d).as("eom"),
+        datediff(lit("2026-01-01").cast("date"), d).as("days_to_2026"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+    },
+
+    // explicit GROUPING SETS with grouping() markers (rollup/cube are
+    // q27/q28; this is the free-form shape) — shared ANSI text
+    GateQuery.sharedSql("q50_grouping_sets",
+      """SELECT n_regionkey, n_name, count(*) AS n,
+        |  CAST(grouping(n_regionkey) AS BIGINT) AS g_r,
+        |  CAST(grouping(n_name) AS BIGINT) AS g_n
+        |FROM nation
+        |GROUP BY GROUPING SETS ((n_regionkey), (n_name), ())""".stripMargin),
+
+    // value-based RANGE window frame: events per user in the trailing
+    // hour, on exact integer micros (both engines use standard peer-
+    // inclusive RANGE semantics, so ties are deterministic)
+    q("q51_range_frame",
+      """SELECT user_id, event_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_last_hour
+        |FROM events""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tus")
+        .rangeBetween(-3600000000L, 0L)
+      s.table("events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_last_hour"))
     }
   )
 }
