@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GateQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines: token statistics,
@@ -139,6 +139,51 @@ object TextQueries {
         md5(array_join(kept, " ").cast("binary")).as("cleaned_md5"),
         size(split(col("text"), " ")).as("n_tokens"),
         size(kept).cast("long").as("n_kept"))
+    },
+
+    // ---- repetition-based quality filter (Gopher-style rules): a doc
+    // dominated by one word or one bigram is boilerplate/spam. All-integer
+    // counts with ONE final division, so both engines agree exactly. ----
+    q("t07_repetition_filter",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |uni AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+        |unic AS (SELECT doc_id, w, count(*) AS c FROM uni GROUP BY doc_id, w),
+        |umax AS (SELECT doc_id, max(c) AS max_w, CAST(sum(c) AS BIGINT) AS n_w
+        |         FROM unic GROUP BY doc_id),
+        |bg AS (SELECT doc_id,
+        |         unnest([ts[i] || ' ' || ts[i+1] for i in generate_series(1, len(ts)-1)]) AS b
+        |       FROM toks WHERE len(ts) >= 2),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |bmax AS (SELECT doc_id, max(c) AS max_bg, CAST(sum(c) AS BIGINT) AS n_bg
+        |         FROM bgc GROUP BY doc_id)
+        |SELECT u.doc_id,
+        |  round(max_w * 1.0 / n_w, 6) AS top_word_frac,
+        |  round(max_bg * 1.0 / n_bg, 6) AS top_bigram_frac,
+        |  CASE WHEN max_w * 1.0 / n_w > 0.1 OR max_bg * 1.0 / n_bg > 0.05
+        |       THEN 'reject' ELSE 'keep' END AS verdict
+        |FROM umax u JOIN bmax b ON u.doc_id = b.doc_id""".stripMargin) { (s, _) =>
+      // A document is self-contained, so max token multiplicity is a
+      // narrow per-row computation with ZERO shuffles at any corpus
+      // size (the explode + groupBy(doc, token) alternative shuffles
+      // the full token stream twice — the 100 TB bottleneck shape this
+      // avoids). graft.ops.TokenMaxRuns fuses tokenize + sort + run-scan
+      // for unigrams AND bigrams into one byte-level kernel pass.
+      // Local testdata is one row group = one scan task; repartition
+      // spreads the kernel across cores (a real fleet's scan is wide).
+      val docs = s.table("documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism)
+      val r = graft.ops.TokenMaxRuns.token_max_runs(col("text"))
+      val wf = col("max_w") * 1.0 / col("n_w")
+      val bf = col("max_bg") * 1.0 / col("n_bg")
+      docs.select(col("doc_id"), r.as("r")).filter(col("r").isNotNull)
+        .select(col("doc_id"),
+          col("r").getItem(0).as("max_w"), col("r").getItem(1).as("n_w"),
+          col("r").getItem(2).as("max_bg"), col("r").getItem(3).as("n_bg"))
+        .select(
+          col("doc_id"),
+          round(wf, 6).as("top_word_frac"),
+          round(bf, 6).as("top_bigram_frac"),
+          when(wf > 0.1 || bf > 0.05, "reject").otherwise("keep").as("verdict"))
     }
   )
 }
