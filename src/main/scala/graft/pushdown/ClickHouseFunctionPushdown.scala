@@ -186,6 +186,7 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
 
     val hoistedPerChild =
       scala.collection.mutable.Map.empty[Int, Vector[Alias]].withDefaultValue(Vector.empty)
+    var folded = false
 
     // a passthrough may hoist into a child only if (a) the child covers its
     // references and can collapse, and (b) the expression provably compiles
@@ -212,6 +213,14 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
               val alias = Alias(pt, s"__ch_pushed_${pt.hashCode.abs}")()
               hoistedPerChild(i) = hoistedPerChild(i) :+ alias
               alias.toAttribute
+            // a reference-free passthrough (e.g. clickhouse(abs(2)) above
+            // a FEDERATED join, e2e.rs:856) has no child to hoist into —
+            // it is a remote SCALAR: evaluate it on the store once and
+            // fold to a literal, as the reference's scalar resolution does
+            case None if pt.references.isEmpty =>
+              folded = true
+              remoteScalarLiteral(p, pt).getOrElse(throw new IllegalStateException(
+                s"cannot evaluate ClickHouse scalar remotely: ${pt.sql}"))
             case None => throw new IllegalStateException(
               s"cannot push ClickHouse expression to a remote source " +
                 s"(unsupported expression shape or mixed sources): ${pt.sql}")
@@ -219,7 +228,10 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       }
     }
 
-    if (hoistedPerChild.isEmpty || hoistedPerChild.values.forall(_.isEmpty)) p
+    if (hoistedPerChild.values.forall(_.isEmpty))
+      // scalar folds rewrite expressions without adding child Projects —
+      // returning the ORIGINAL p here would silently discard them
+      (if (folded) rewritten else p)
     else {
       val newChildren = p.children.zipWithIndex.map { case (c, i) =>
         val extra = hoistedPerChild(i)
@@ -227,6 +239,26 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
         else Project(c.output ++ extra, c)
       }
       rewritten.withNewChildren(newChildren)
+    }
+  }
+
+  /** Evaluate a reference-free passthrough as a one-row remote scalar
+    * query against any ClickHouse scan reachable from `p`, folding the
+    * result to a (cast) literal.
+    */
+  private def remoteScalarLiteral(p: LogicalPlan, pt: Expression): Option[Expression] = {
+    val scanOpt = p.collectLeaves().collectFirst {
+      case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s
+    }
+    for {
+      scan <- scanOpt
+      sql <- ChExprUnparser.compile(pt, Map.empty)
+    } yield {
+      val (schema, parts) = scan.chClient.query(s"SELECT $sql AS v", 1)
+      val v = parts.flatten.headOption.map(_.get(0)).orNull
+      val lit = Literal.create(v, schema.fields(0).dataType)
+      if (lit.dataType == pt.dataType) lit
+      else Cast(lit, pt.dataType, Some("UTC"))
     }
   }
 

@@ -292,6 +292,39 @@ class PushdownSpec extends AnyFunSuite {
     assert(df.collect().head.getInt(1) == 3)
   }
 
+  test("passthroughs inside CASE branches (e2e.rs:953-966)") {
+    val df = spark.sql(
+      """SELECT id, CASE
+        |  WHEN name = 'Alice' THEN clickhouse_fn('upper', name, 'Utf8')
+        |  WHEN name = 'Bob' THEN clickhouse_fn('lower', name, 'Utf8')
+        |  ELSE clickhouse_fn('concat', name, ' (other)', 'Utf8')
+        |END AS name_transformed
+        |FROM chpd.db.people""".stripMargin)
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "ALICE"), (2, "bob"), (3, "Charlie (other)")))
+  }
+
+  test("cross-table columns in ONE passthrough across a join (e2e.rs:880 regression)") {
+    val df = spark.sql(
+      """SELECT p.id, clickhouse_fn('abs', p.id * k.id, 'Int64') AS prod
+        |FROM chpd.db.people p JOIN chpd.db.knicknames k ON p.id = k.id""".stripMargin)
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((1, 1L), (2, 4L)))
+  }
+
+  test("scalar-only passthrough with a federated join (e2e.rs:856-866)") {
+    import spark.implicits._
+    Seq((1, 100L), (2, 200L)).toDF("event_id", "payload")
+      .createOrReplaceTempView("mem_events")
+    val df = spark.sql(
+      """SELECT p.name, p.id, m.event_id, clickhouse_fn('abs', -2, 'Int64') AS c
+        |FROM chpd.db.people p
+        |JOIN mem_events m ON m.event_id = p.id
+        |ORDER BY p.id""".stripMargin)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(got == Set(("Alice", 2L), ("Bob", 2L)))
+  }
+
   test("arrayJoin passthrough expands rows remotely (e2e.rs:599, 615)") {
     val df = spark.sql(
       """SELECT id, clickhouse_fn('arrayJoin', names, 'Utf8') AS name
