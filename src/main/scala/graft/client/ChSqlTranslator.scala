@@ -18,6 +18,9 @@ object ChSqlTranslator {
   /** ClickHouse function name → Spark equivalent (1:1 name swaps). */
   private val fnMap: Map[String, String] = Map(
     "arrayJoin" -> "explode",
+    // ClickHouse length() is polymorphic (strings AND arrays); Spark's is
+    // string-only, so the embedded session registers a type-agnostic UDF
+    "length" -> "graft_length",
     "base64Encode" -> "base64",
     "lengthUTF8" -> "char_length",
     "toUpperCase" -> "upper",

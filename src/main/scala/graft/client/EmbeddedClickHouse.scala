@@ -126,6 +126,22 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   private def serverSession(): SparkSession = {
     val active = SparkSession.active
     val child = active.newSession()
+    // ClickHouse's length() is polymorphic over strings/arrays; a Java
+    // UDF skips Spark's input type check so one function covers both
+    // (server-model shim — the embedded engine is a test double)
+    child.udf.register("graft_length",
+      new org.apache.spark.sql.api.java.UDF1[AnyRef, Integer] {
+        override def call(x: AnyRef): Integer = x match {
+          case null => null
+          case s: String => s.length
+          case b: Array[Byte] => b.length
+          case a: scala.collection.Seq[_] => a.length
+          case m: scala.collection.Map[_, _] => m.size
+          case other => throw new IllegalArgumentException(
+            s"graft_length: unsupported type ${other.getClass}")
+        }
+      },
+      org.apache.spark.sql.types.IntegerType)
     for (db <- listDatabases(); t <- listTables(db)) {
       val files = dataFiles(db, t)
       val df =

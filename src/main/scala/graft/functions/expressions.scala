@@ -90,8 +90,19 @@ object Registration {
 
   private def buildFn(exprs: Seq[Expression]): Expression = {
     require(exprs.length >= 2, "clickhouse_fn('name', args..., 'Type') takes >= 2 arguments")
-    ClickHouseFn(strArg(exprs.head, "function name"), exprs.drop(1).dropRight(1),
-      strArg(exprs.last, "return type"))
+    val name = strArg(exprs.head, "function name")
+    val args = exprs.drop(1).dropRight(1)
+    // arrayJoin is ROW-EXPANDING — modeling it as a scalar Project
+    // expression is unsound: Catalyst assumes projections are 1:1 and
+    // will prune an unreferenced arrayJoin (e.g. under COUNT(*),
+    // e2e.rs:1253), silently losing the expansion. Rewriting to Spark's
+    // native generator at build time gives Catalyst the true cardinality;
+    // the generate still collapses remotely (ChPlanUnparser maps explode
+    // back to arrayJoin) when it sits in a collapsible subtree.
+    if (name == "arrayJoin") {
+      require(args.length == 1, "arrayJoin takes exactly one array argument")
+      org.apache.spark.sql.catalyst.expressions.Explode(args.head)
+    } else ClickHouseFn(name, args, strArg(exprs.last, "return type"))
   }
 
   /** SQL-surface registration (runtime, no extensions required):

@@ -25,7 +25,14 @@ object chfunctions {
   def clickhouse_eval(rawSql: String, returnType: String): Column =
     column(ClickHouseEval(rawSql, returnType))
 
-  /** Call any remote function by (case-sensitive) name. */
+  /** Call any remote function by (case-sensitive) name. arrayJoin — the
+    * one ROW-EXPANDING function in the surface — becomes Spark's native
+    * explode generator so Catalyst sees the true cardinality (see
+    * Registration.buildFn).
+    */
   def clickhouse_fn(name: String, args: Seq[Column], returnType: String): Column =
-    column(ClickHouseFn(name, args.map(expression), returnType))
+    if (name == "arrayJoin") {
+      require(args.length == 1, "arrayJoin takes exactly one array argument")
+      column(org.apache.spark.sql.catalyst.expressions.Explode(expression(args.head)))
+    } else column(ClickHouseFn(name, args.map(expression), returnType))
 }

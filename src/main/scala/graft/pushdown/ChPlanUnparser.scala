@@ -174,6 +174,37 @@ object ChPlanUnparser {
           parts.flatten.mkString(" UNION ALL "),
           u.output.zipWithIndex.map { case (a, i) => a.exprId -> colNames(i) }.toMap))
 
+      // row expansion: explode (the rewritten clickhouse arrayJoin)
+      // becomes ClickHouse's arrayJoin — same SELECT-level row-expanding
+      // semantics. Non-outer only (arrayJoin drops empty arrays, as does
+      // inner explode). InferFiltersFromGenerate's size(arr)>0 /
+      // isnotnull(arr) conjuncts are peeled: arrayJoin already emits no
+      // rows for null/empty arrays, and ClickHouse length() on the array
+      // wouldn't survive the embedded translator's string length().
+      case Generate(Explode(arr), _, false, _, generatorOutput, child0)
+          if generatorOutput.length == 1 =>
+        val child = child0 match {
+          case Filter(cond, gc) =>
+            val kept = splitConjuncts(cond).filterNot {
+              case GreaterThan(s: Size, Literal(0, _)) => s.child.semanticEquals(arr)
+              case IsNotNull(a) => a.semanticEquals(arr)
+              case _ => false
+            }
+            if (kept.isEmpty) gc else Filter(kept.reduce(And), gc)
+          case other => other
+        }
+        for {
+          c <- go(child)
+          arrSql <- ChExprUnparser.compile(arr, c.scope)
+        } yield {
+          val out = generatorOutput.head
+          val passCols = child.output.flatMap(a => c.scope.get(a.exprId)).map(n => s"$n AS $n")
+          val cols = passCols :+ s"arrayJoin($arrSql) AS ${aliasOf(out.exprId)}"
+          Unparsed(
+            s"SELECT ${cols.mkString(", ")} FROM (${c.sql}) AS ${sub()}",
+            c.scope ++ Map(out.exprId -> aliasOf(out.exprId)))
+        }
+
       case _ => None
     }
 

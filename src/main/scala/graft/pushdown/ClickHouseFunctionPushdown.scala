@@ -184,11 +184,13 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
   private def hoistPassthroughs(p: LogicalPlan): LogicalPlan = {
     if (p.children.isEmpty || !p.expressions.exists(containsPassthrough)) return p
 
-    val hoistedPerChild =
-      scala.collection.mutable.Map.empty[Int, Vector[Alias]].withDefaultValue(Vector.empty)
+    // aliases to add at each hoist site, keyed by node IDENTITY (the same
+    // subtree can appear structurally equal in two places)
+    val aliasesBySite =
+      new java.util.IdentityHashMap[LogicalPlan, Vector[Alias]]()
     var folded = false
 
-    // a passthrough may hoist into a child only if (a) the child covers its
+    // a passthrough may hoist into a site only if (a) the site covers its
     // references and can collapse, and (b) the expression provably compiles
     // to remote SQL — otherwise hoisting would loop: wrap fails, hoist
     // again, forever (the reference guards this with its semantic-violation
@@ -198,20 +200,31 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       ChExprUnparser.compile(e, dummyScope).isDefined
     }
 
-    def coveringChild(e: Expression): Option[Int] = {
-      val candidates = p.children.zipWithIndex.filter { case (c, _) =>
-        e.references.subsetOf(c.outputSet) && collapsible(c) && compilesAgainst(e, c)
+    def qualifies(d: LogicalPlan, e: Expression): Boolean =
+      e.references.subsetOf(d.outputSet) && collapsible(d) && compilesAgainst(e, d)
+
+    // Hoist site: the shallowest qualifying node reachable from a child
+    // through OUTPUT-PRESERVING nodes (Join/Filter pass their children's
+    // attributes through, so a column added at the site surfaces at p
+    // unchanged). Descending past the direct child matters when a
+    // federated/decorrelated join mixes a ClickHouse side with a local
+    // side: the join itself can't collapse, but the ClickHouse branch can.
+    def findSite(c: LogicalPlan, e: Expression): Option[LogicalPlan] =
+      if (qualifies(c, e)) Some(c)
+      else c match {
+        case _: Join | _: Filter =>
+          c.children.view.flatMap(ch => findSite(ch, e)).headOption
+        case _ => None
       }
-      candidates.headOption.map(_._2)
-    }
 
     val rewritten = p.mapExpressions { e =>
       e.transformDown {
         case pt if isPassthrough(pt) =>
-          coveringChild(pt) match {
-            case Some(i) =>
+          p.children.view.flatMap(c => findSite(c, pt)).headOption match {
+            case Some(site) =>
               val alias = Alias(pt, s"__ch_pushed_${pt.hashCode.abs}")()
-              hoistedPerChild(i) = hoistedPerChild(i) :+ alias
+              aliasesBySite.put(site,
+                Option(aliasesBySite.get(site)).getOrElse(Vector.empty) :+ alias)
               alias.toAttribute
             // a reference-free passthrough (e.g. clickhouse(abs(2)) above
             // a FEDERATED join, e2e.rs:856) has no child to hoist into —
@@ -228,19 +241,29 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       }
     }
 
-    if (hoistedPerChild.values.forall(_.isEmpty))
+    if (aliasesBySite.isEmpty)
       // scalar folds rewrite expressions without adding child Projects —
       // returning the ORIGINAL p here would silently discard them
       (if (folded) rewritten else p)
     else {
-      val newChildren = p.children.zipWithIndex.map { case (c, i) =>
-        val extra = hoistedPerChild(i)
-        if (extra.isEmpty) c
-        else Project(c.output ++ extra, c)
+      val newChildren = p.children.map { c =>
+        if (!subtreeHasSite(c, aliasesBySite)) c
+        else c.transformDown {
+          case node if aliasesBySite.containsKey(node) =>
+            // remove after applying: transformDown revisits the inserted
+            // Project's child (same identity) and must not wrap twice
+            val extra = aliasesBySite.remove(node)
+            Project(node.output ++ extra, node)
+        }
       }
       rewritten.withNewChildren(newChildren)
     }
   }
+
+  private def subtreeHasSite(
+      c: LogicalPlan,
+      sites: java.util.IdentityHashMap[LogicalPlan, Vector[Alias]]): Boolean =
+    c.exists(n => sites.containsKey(n))
 
   /** Evaluate a reference-free passthrough as a one-row remote scalar
     * query against any ClickHouse scan reachable from `p`, folding the

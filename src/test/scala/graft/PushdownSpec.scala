@@ -292,6 +292,56 @@ class PushdownSpec extends AnyFunSuite {
     assert(df.collect().head.getInt(1) == 3)
   }
 
+  test("join of remote table with arrayJoin subquery + fn over joined column (e2e.rs:592-606)") {
+    val df = spark.sql(
+      """SELECT p.name, clickhouse_fn('exp', p2.id, 'Float64') AS e, p2.names
+        |FROM chpd.db.people p
+        |JOIN (SELECT id, clickhouse_fn('arrayJoin', names, 'Utf8') AS names
+        |      FROM chpd.db.people2) p2 ON p.id = p2.id""".stripMargin)
+    val got = df.collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(got == Set(("Alice", "Buddha"), ("Alice", "Zugus"), ("Alice", "Lulu"),
+      ("Bob", "Jazz"), ("Bob", "Kaya"), ("Bob", "Vienna")))
+    assert(df.collect().forall(r => math.abs(r.getDouble(1) - math.exp(r.getString(0) match {
+      case "Alice" => 1.0; case _ => 2.0
+    })) < 1e-9))
+  }
+
+  test("window functions ordered/partitioned by passthrough results (e2e.rs:938-950)") {
+    val df = spark.sql(
+      """SELECT id, name,
+        |  clickhouse_fn('exp', id, 'Float64') AS exp_id,
+        |  SUM(id) OVER (ORDER BY clickhouse_fn('exp', id, 'Float64')) AS sum_by_exp,
+        |  RANK() OVER (ORDER BY clickhouse_fn('upper', name, 'Utf8')) AS rank_by_upper,
+        |  ROW_NUMBER() OVER (PARTITION BY clickhouse_fn('modulo', id, 2, 'Int32')
+        |                     ORDER BY id) AS rn_by_mod
+        |FROM chpd.db.people""".stripMargin)
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(3), r.getInt(4), r.getInt(5)))
+      .sortBy(_._1)
+    // exp is increasing in id → running sum 1,3,6; names sorted A,B,C; mod
+    // partitions {1,3} and {2}
+    assert(rows.toSeq == Seq((1, 1L, 1, 1), (2, 3L, 2, 1), (3, 6L, 3, 2)), rows.mkString(","))
+  }
+
+  test("deeply nested correlated scalar subquery over arrayJoin (e2e.rs:1253-1282)") {
+    // the reference only passes this WITHOUT federation; here the inner
+    // arrayJoin subtree collapses remotely and Spark runs the correlated
+    // COUNT(*) on top
+    val df = spark.sql(
+      """SELECT outer_name, clickhouse_fn('upper', outer_name, 'Utf8') AS upper_name,
+        |       inner_sum
+        |FROM (
+        |  SELECT p.name AS outer_name, p.id AS outer_id,
+        |    (SELECT COUNT(*) FROM (
+        |       SELECT id, clickhouse_fn('arrayJoin', names, 'Utf8') AS name
+        |       FROM chpd.db.people2) p2_inner
+        |     WHERE p2_inner.id <= p.id) AS inner_sum
+        |  FROM chpd.db.people p) t""".stripMargin)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // people2: id 1 (3 names), id 2 (3 names) → counts 3, 6, 6
+    assert(got == Set(("Alice", "ALICE", 3L), ("Bob", "BOB", 6L),
+      ("Charlie", "CHARLIE", 6L)))
+  }
+
   test("passthroughs inside CASE branches (e2e.rs:953-966)") {
     val df = spark.sql(
       """SELECT id, CASE
