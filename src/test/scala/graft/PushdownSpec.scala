@@ -342,6 +342,25 @@ class PushdownSpec extends AnyFunSuite {
       ("Charlie", "CHARLIE", 6L)))
   }
 
+  test("federated 3-way join, fns over the remote branch, coercing types (e2e.rs:1028-1045)") {
+    import spark.implicits._
+    Seq(1L, 2L).toDF("event_id").createOrReplaceTempView("mem_events3")
+    val df = spark.sql(
+      """SELECT p.name, m.event_id,
+        |  clickhouse_fn('exp', p2.id, 'Int32') AS exp_id,
+        |  clickhouse_fn('concat', p2.names, 'hello', 'Utf8') AS concat_names
+        |FROM mem_events3 m
+        |JOIN chpd.db.people p ON p.id = m.event_id
+        |JOIN (SELECT id, clickhouse_fn('arrayJoin', names, 'Utf8') AS names
+        |      FROM chpd.db.people2) p2 ON p.id = p2.id""".stripMargin)
+    val got = df.collect().map(r => (r.getString(0), r.getInt(2), r.getString(3))).toSet
+    // exp(1)=2.71→Int32 3 (CH rounds) or 2 (truncation)? assert set of names
+    assert(got.map(_._3) == Set("Buddhahello", "Zugushello", "Luluhello",
+      "Jazzhello", "Kayahello", "Viennahello"), got.mkString(","))
+    assert(got.forall(t => t._2 == math.exp(if (t._1 == "Alice") 1 else 2).toInt ||
+      t._2 == math.round(math.exp(if (t._1 == "Alice") 1 else 2)).toInt))
+  }
+
   test("passthroughs inside CASE branches (e2e.rs:953-966)") {
     val df = spark.sql(
       """SELECT id, CASE
