@@ -361,6 +361,40 @@ class PushdownSpec extends AnyFunSuite {
       t._2 == math.round(math.exp(if (t._1 == "Alice") 1 else 2)).toInt))
   }
 
+  test("indeterminate pushdown across a memory-split join errors cleanly (e2e.rs:1297-1312)") {
+    import spark.implicits._
+    Seq(1L, 2L).toDF("event_id").createOrReplaceTempView("mem_events4")
+    // p and p2 are ClickHouse but separated by the memory join: the fn
+    // references span branches with no collapsible covering site — the
+    // reference also rejects this shape
+    val df = spark.sql(
+      """SELECT m.event_id, p.name, p2.id,
+        |  clickhouse_fn('plus', p.id, p2.id, 'Int64') AS sum_ids
+        |FROM mem_events4 m
+        |JOIN chpd.db.people p ON p.id = m.event_id
+        |JOIN chpd.db.people2 p2 ON p.id = p2.id""".stripMargin)
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage.contains("cannot push ClickHouse expression"),
+      s"unexpected error: ${e.getMessage.take(200)}")
+  }
+
+  test("aggregation over mixed passthrough results WORKS (reference known-failure, e2e.rs:1316-1328)") {
+    // the reference asserts this errors ("mixed functions"); hoisting the
+    // inner passthroughs below the aggregate makes it just work here
+    val df = spark.sql(
+      """SELECT clickhouse_fn('toString', clickhouse_fn('modulo', id, 2, 'Int32'), 'Utf8') AS id_mod,
+        |  COUNT(id) AS total,
+        |  MAX(clickhouse_fn('exp', id, 'Float64')) AS max_exp,
+        |  array_join(array_sort(collect_list(name)), ',') AS all_names
+        |FROM chpd.db.people
+        |GROUP BY clickhouse_fn('toString', clickhouse_fn('modulo', id, 2, 'Int32'), 'Utf8')""".stripMargin)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("0", 1L, math.exp(2), "Bob"),
+      ("1", 2L, math.exp(3), "Alice,Charlie")), got.mkString(","))
+  }
+
   test("passthroughs inside CASE branches (e2e.rs:953-966)") {
     val df = spark.sql(
       """SELECT id, CASE
