@@ -73,9 +73,13 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     val d = dbPath(db)
     if (Files.exists(d) && !ifNotExists) sys.error(s"database $db already exists")
     Files.createDirectories(d)
+    invalidate()
   }
 
-  override def dropDatabase(db: String): Unit = deleteRecursively(dbPath(db))
+  override def dropDatabase(db: String): Unit = {
+    deleteRecursively(dbPath(db))
+    invalidate()
+  }
 
   override def createTable(
       db: String,
@@ -92,6 +96,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         options.toSeq.sortBy(_._1).map { case (k, v) => s"option\t$k\t$v" } ++
         options.get("external_paths").toSeq.flatMap(_.split(",")).map(p => s"external\t$p")
     Files.write(metaPath(db, table), lines.asJava)
+    invalidate()
   }
 
   /** Attach existing parquet files as the table's data (zero-copy). */
@@ -102,10 +107,13 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         opts.toSeq.sortBy(_._1).map { case (k, v) => s"option\t$k\t$v" } ++
         (ext ++ paths).distinct.map(p => s"external\t$p")
     Files.write(metaPath(db, table), lines.asJava)
+    invalidate()
   }
 
-  override def dropTable(db: String, table: String): Unit =
+  override def dropTable(db: String, table: String): Unit = {
     deleteRecursively(tablePath(db, table))
+    invalidate()
+  }
 
   def sparkSchema(db: String, table: String): StructType =
     ClickHouseType.toStructType(fetchColumns(db, table))
@@ -122,9 +130,27 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
 
   /** The "server engine": a child session of the active SparkSession with
     * every store table registered, running the translated remote SQL.
+    *
+    * Cached per store root (a real server keeps its catalog resident; a
+    * rebuild per query is pure overhead growing with store size) and
+    * invalidated by a version counter bumped on every DDL / insert /
+    * attach — the registered temp views capture the part-file list, so
+    * any mutation must force re-registration. Single-JVM by design: the
+    * embedded store is a test double, and local-mode executors share the
+    * driver's companion object.
     */
   private def serverSession(): SparkSession = {
     val active = SparkSession.active
+    val v = EmbeddedClickHouse.storeVersion(root).get()
+    val cached = EmbeddedClickHouse.sessionCache.get(connectionKey)
+    if (cached != null && cached.version == v && (cached.parent eq active)) return cached.session
+    val child = buildServerSession(active)
+    EmbeddedClickHouse.sessionCache.put(
+      connectionKey, EmbeddedClickHouse.CachedServer(child, v, active))
+    child
+  }
+
+  private def buildServerSession(active: SparkSession): SparkSession = {
     val child = active.newSession()
     // ClickHouse's length() is polymorphic over strings/arrays; a Java
     // UDF skips Spark's input type check so one function covers both
@@ -178,11 +204,35 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     // written WITHOUT a SparkSession (ParquetBlockWriter drives parquet-mr
     // directly), so inserts can run from DSv2 write tasks on executors —
     // the per-partition streaming shape of the reference's sink
-    ParquetBlockWriter.writeBlock(tablePath(db, table), sink, reordered)
+    val n = ParquetBlockWriter.writeBlock(tablePath(db, table), sink, reordered)
+    invalidate()
+    n
   }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
     }
+
+  /** Bump the store version so the next query re-registers views. */
+  private def invalidate(): Unit = EmbeddedClickHouse.invalidate(root)
+}
+
+object EmbeddedClickHouse {
+  private[client] final case class CachedServer(
+      session: SparkSession, version: Long, parent: SparkSession)
+
+  private[client] val sessionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedServer]
+
+  private val versions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+
+  private[client] def storeVersion(root: String): java.util.concurrent.atomic.AtomicLong =
+    versions.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.toString,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L))
+
+  /** Any mutation of the store (DDL, insert, attach) must call this. */
+  def invalidate(root: String): Unit = storeVersion(root).incrementAndGet()
 }

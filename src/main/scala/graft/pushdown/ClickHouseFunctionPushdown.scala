@@ -158,8 +158,14 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
         // a residual Filter here means V2 scan pushdown could NOT express
         // the predicate (OR-of-LIKE, regex, ...); collapsing it shrinks
         // the transfer to the matching rows. wrap() falls back when the
-        // predicate doesn't unparse either.
-        case _: Filter => true
+        // predicate doesn't unparse either. A DynamicPruning conjunct,
+        // though, marks a runtime-filter site whose join is an ANCESTOR
+        // (outside this subtree): keep the DSv2 scan so its
+        // SupportsRuntimeV2Filtering IN-list narrows the remote read at
+        // execution — collapsing would silently discard it. (When the
+        // pruned join itself collapses, the DPP filter is nested inside
+        // that subtree and ChPlanUnparser drops it as redundant.)
+        case f: Filter => !f.condition.exists(_.isInstanceOf[DynamicPruning])
         case _ => false
       }
       subtreeHasPassthrough || federatable

@@ -438,6 +438,42 @@ class PushdownSpec extends AnyFunSuite {
       (2, "Jazz"), (2, "Kaya"), (2, "Vienna")))
   }
 
+  test("runtime filter still narrows the remote scan with the rule installed") {
+    // regression: a DPP Filter(dynamicpruning) over a scan must NOT be
+    // collapsed into a remote node (ChPlanUnparser would drop the DPP
+    // conjunct and the remote node cannot receive runtime filters) — the
+    // DSv2 scan survives and its SupportsRuntimeV2Filtering IN-list
+    // narrows the remote read at execution
+    import spark.implicits._
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try {
+      val dimPath = root + "/rf_dims.parquet"
+      Seq((1, "keep"), (99, "drop")).toDF("code", "label")
+        .write.mode("overwrite").parquet(dimPath)
+      val dims = spark.read.parquet(dimPath).filter(col("label") === "keep")
+      val fact = spark.table("chpd.db.people")
+      val joined = fact.join(broadcast(dims), fact("id") === dims("code"))
+        .select(col("id"), col("name"), col("label"))
+      val rows = joined.collect()
+      assert(rows.length == 1 && rows.head.getString(1) == "Alice")
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def walk(p: SparkPlan): Seq[graft.connector.ChScan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case b: BatchScanExec =>
+          b.scan match { case s: graft.connector.ChScan => Seq(s); case _ => Seq.empty }
+        case other => other.children.flatMap(walk)
+      }
+      val sqls = walk(joined.queryExecution.executedPlan).map(_.generatedSql)
+      assert(sqls.exists(s => s.contains("IN (")),
+        s"runtime IN-filter not applied to remote scan: ${sqls.mkString("; ")}")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    }
+  }
+
   test("arrayJoin under a filter + union composes (e2e.rs:608-621)") {
     val df = spark.sql(
       """SELECT id, clickhouse_fn('upper', name, 'Utf8') AS v
