@@ -53,10 +53,16 @@ object ParquetBlockWriter {
 
   /** Write `rows` (already in `schema` field order) to
     * `targetDir/part-<uuid>.parquet`; returns the row count.
+    *
+    * Staged NEXT TO the table directory, not in java.io.tmpdir: /tmp is
+    * tmpfs on many distros and ATOMIC_MOVE across filesystems throws
+    * AtomicMoveNotSupportedException — same-directory staging guarantees
+    * a same-fs atomic rename.
     */
   def writeBlock(targetDir: Path, schema: StructType, rows: Seq[Row]): Long = {
     val ser = ExpressionEncoder(schema).resolveAndBind().createSerializer()
-    val tmpDir = Files.createTempDirectory("chblock_")
+    val tmpDir = Files.createDirectories(
+      targetDir.resolve(s".staging-${java.util.UUID.randomUUID}"))
     val tmp = tmpDir.resolve("block.parquet")
     try {
       val w = new Builder(new org.apache.hadoop.fs.Path(tmp.toUri))

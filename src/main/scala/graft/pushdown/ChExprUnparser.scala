@@ -111,10 +111,12 @@ object ChExprUnparser {
       // no ClickHouse equivalent → stays local
       case Like(l, r, escapeChar) if escapeChar == '\\' => bin("LIKE", l, r)
       case ILike(l, r, escapeChar) if escapeChar == '\\' => bin("ILIKE", l, r)
-      // regex flavors differ at the edges (RE2 remotely vs Java locally);
-      // the shared subset (literals, classes, anchors, quantifiers) is
-      // what the reference exercises through match() passthrough
-      case RLike(l, r) => fn("match", Seq(l, r))
+      // regex flavors differ at the edges (RE2 remotely vs Java locally):
+      // backreferences/lookarounds ERROR remotely, and possessive
+      // quantifiers silently change matches. Push only literal patterns
+      // within the shared Java/RE2 subset; anything else stays local.
+      case RLike(l, r @ Literal(pat: UTF8String, StringType))
+          if re2SafePattern(pat.toString) => fn("match", Seq(l, r))
 
       // ---- math ----
       case Abs(c, _) => fn("abs", Seq(c))
@@ -262,6 +264,19 @@ object ChExprUnparser {
 
   private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =
     if (xs.exists(_.isEmpty)) None else Some(xs.flatten)
+
+  /** Conservative check that a regex stays inside the Java∩RE2 subset:
+    * no backreferences (`\1`), no lookarounds / atomic groups (`(?=`,
+    * `(?!`, `(?<`, `(?>`), no possessive quantifiers (`a*+`). False
+    * negatives only force the predicate local — never a wrong answer.
+    */
+  private def re2SafePattern(p: String): Boolean = {
+    val hasBackref = raw"\\[1-9]".r.findFirstIn(p).isDefined
+    val hasLookaround =
+      p.contains("(?=") || p.contains("(?!") || p.contains("(?<") || p.contains("(?>")
+    val hasPossessive = raw"[*+?}]\+".r.findFirstIn(p).isDefined
+    !hasBackref && !hasLookaround && !hasPossessive
+  }
 
   /** Render an internal (Catalyst) literal value as ClickHouse SQL. */
   def literal(l: Literal): Option[String] = (l.value, l.dataType) match {

@@ -1,6 +1,7 @@
 package graft.pushdown
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
@@ -215,11 +216,22 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
     // unchanged). Descending past the direct child matters when a
     // federated/decorrelated join mixes a ClickHouse side with a local
     // side: the join itself can't collapse, but the ClickHouse branch can.
+    // Only sides NOT null-padded by the join may host the hoist: an
+    // expression computed below e.g. the right side of a LEFT OUTER join
+    // sees the stored value where the join would emit NULL, so f(NULL)
+    // (ifNull/toString/...) would silently differ for unmatched rows.
     def findSite(c: LogicalPlan, e: Expression): Option[LogicalPlan] =
       if (qualifies(c, e)) Some(c)
       else c match {
-        case _: Join | _: Filter =>
-          c.children.view.flatMap(ch => findSite(ch, e)).headOption
+        case j: Join =>
+          val sides = j.joinType match {
+            case Inner | Cross => j.children
+            case LeftOuter | LeftSemi | LeftAnti => Seq(j.left)
+            case RightOuter => Seq(j.right)
+            case _ => Seq.empty // FullOuter & exotic types: both sides padded
+          }
+          sides.view.flatMap(ch => findSite(ch, e)).headOption
+        case f: Filter => findSite(f.child, e)
         case _ => None
       }
 
@@ -271,6 +283,16 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       sites: java.util.IdentityHashMap[LogicalPlan, Vector[Alias]]): Boolean =
     c.exists(n => sites.containsKey(n))
 
+  // Memoized remote scalar folds: the rule re-runs on every optimizer
+  // pass (and on each AQE re-plan), and each re-run repeated the blocking
+  // remote round-trip. Volatile functions are excluded so e.g. now() is
+  // still re-evaluated per fold site rather than frozen for the JVM.
+  private val scalarCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Any, org.apache.spark.sql.types.DataType)]
+
+  private val volatileFns =
+    Seq("now", "today", "yesterday", "rand", "random", "uuid", "generateuuid")
+
   /** Evaluate a reference-free passthrough as a one-row remote scalar
     * query against any ClickHouse scan reachable from `p`, folding the
     * result to a (cast) literal.
@@ -283,9 +305,26 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       scan <- scanOpt
       sql <- ChExprUnparser.compile(pt, Map.empty)
     } yield {
-      val (schema, parts) = scan.chClient.query(s"SELECT $sql AS v", 1)
-      val v = parts.flatten.headOption.map(_.get(0)).orNull
-      val lit = Literal.create(v, schema.fields(0).dataType)
+      val key = (scan.chClient.connectionKey, sql)
+      val lower = sql.toLowerCase
+      val cacheable = !volatileFns.exists(f => lower.contains(f + "("))
+      val (v, dt) = {
+        val hit = if (cacheable) scalarCache.get(key) else null
+        if (hit != null) hit
+        else {
+          val evaluated =
+            try {
+              val (schema, parts) = scan.chClient.query(s"SELECT $sql AS v", 1)
+              (parts.flatten.headOption.map(_.get(0)).orNull, schema.fields(0).dataType)
+            } catch {
+              case e: Exception => throw new IllegalStateException(
+                s"remote evaluation of ClickHouse scalar failed for `$sql`: ${e.getMessage}", e)
+            }
+          if (cacheable) scalarCache.put(key, evaluated)
+          evaluated
+        }
+      }
+      val lit = Literal.create(v, dt)
       if (lit.dataType == pt.dataType) lit
       else Cast(lit, pt.dataType, Some("UTC"))
     }

@@ -438,6 +438,31 @@ class PushdownSpec extends AnyFunSuite {
       (2, "Jazz"), (2, "Kaya"), (2, "Vienna")))
   }
 
+  test("passthrough referencing the null-padded side of an outer join errors (no pre-join hoist)") {
+    // previously findSite descended into ANY join side: the ifNull was
+    // computed below the LEFT JOIN, so unmatched rows returned NULL where
+    // the query semantics demand 'missing'. Now the padded side is not a
+    // hoist site and the shape errors cleanly (the reference also rejects
+    // placements it cannot prove, function_pushdown.rs:475-643).
+    import spark.implicits._
+    Seq((1, "x"), (99, "z")).toDF("lid", "tag").createOrReplaceTempView("lo_tags")
+    val df = spark.sql(
+      """SELECT t.lid, clickhouse_fn('ifNull', p.name, 'missing', 'Utf8') AS nm
+        |FROM lo_tags t LEFT JOIN chpd.db.people p ON p.id = t.lid""".stripMargin)
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage.contains("cannot push ClickHouse expression"),
+      s"unexpected error: ${e.getMessage.take(300)}")
+  }
+
+  test("RLIKE with a non-RE2 pattern stays local (backref/lookaround guard)") {
+    val df = spark.table("chpd.db.people")
+      .filter(col("name").rlike("(?=A)A.*"))
+      .groupBy().agg(count(lit(1)).as("n"))
+    assert(df.collect().head.getLong(0) == 1L) // Alice
+    assert(remoteExecs(df).forall(e => !e.sql.contains("match(")),
+      "lookaround pattern must not be pushed as ClickHouse match()")
+  }
+
   test("runtime filter still narrows the remote scan with the rule installed") {
     // regression: a DPP Filter(dynamicpruning) over a scan must NOT be
     // collapsed into a remote node (ChPlanUnparser would drop the DPP
