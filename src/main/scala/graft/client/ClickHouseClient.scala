@@ -48,12 +48,35 @@ trait ClickHouseClient extends Serializable {
 
   def dropTable(db: String, table: String): Unit
 
-  /** Execute a ClickHouse-dialect SELECT remotely; returns the result
-    * schema and row groups, one group per remote stream/shard (each group
-    * becomes one Spark input partition).
+  /** Plan a ClickHouse-dialect SELECT: initiate the remote query and
+    * return the result schema plus one cheap, serializable handle per
+    * remote stream/shard. NO ROW may cross the driver here — handles are
+    * metadata (shard cursors, file ranges), the analog of the reference's
+    * per-stream `RecordBatchStream` setup (src/sql.rs:304-369,
+    * src/stream.rs:21-28). Each handle becomes one Spark input partition.
     */
-  def query(sql: String, numStreams: Int): (StructType, Seq[Seq[Row]])
+  def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle])
+
+  /** Open one stream EXECUTOR-SIDE and pull its rows incrementally (the
+    * reference's `poll_next` loop, stream.rs:30-43). Must be callable from
+    * any task thread after the client deserializes into the closure.
+    */
+  def readPartition(handle: ChPartitionHandle): Iterator[Row]
+
+  /** Driver-side convenience (tests, one-row scalar folds): materializes
+    * the whole result — never use on the scan/exec path.
+    */
+  final def query(sql: String, numStreams: Int): (StructType, Seq[Seq[Row]]) = {
+    val (schema, handles) = planQuery(sql, numStreams)
+    (schema, handles.map(h => readPartition(h).toSeq))
+  }
 
   /** Append rows (INSERT ... FORMAT Native analog). Returns row count. */
   def insert(db: String, table: String, schema: StructType, rows: Seq[Row]): Long
 }
+
+/** Opaque per-stream result handle; implementations carry whatever
+  * metadata their transport needs (shard cursor id, spill file ranges).
+  * Must be small and serializable — it ships inside task closures.
+  */
+trait ChPartitionHandle extends Serializable

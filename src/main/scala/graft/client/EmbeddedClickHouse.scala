@@ -36,7 +36,8 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) Seq.empty
     else Files.list(r).iterator.asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")) // .spill etc.
+      .toSeq.sorted
   }
 
   override def listTables(db: String): Seq[String] = {
@@ -179,15 +180,73 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     child
   }
 
-  override def query(sql: String, numStreams: Int): (StructType, Seq[Seq[Row]]) = {
+  /** "Remote" query execution without driver materialization: the
+    * translated SQL runs on the server session, but each EXECUTOR task
+    * spills its own result partition to a stream file under
+    * `<root>/.spill/<query-uuid>/` — only (path, count) metadata returns
+    * to the driver. Handles are contiguous file groups, so a pushed
+    * ORDER BY's global order survives (partition i of a sorted result
+    * precedes partition i+1, and files sort by zero-padded index).
+    * A wire client would return shard cursor ids here instead.
+    */
+  override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
     val spark = serverSession()
     val translated = ChSqlTranslator.translate(sql, knownTables)
     val df = spark.sql(translated)
-    val rows = df.collect().toSeq
-    val n = math.max(1, math.min(numStreams, rows.length max 1))
-    val chunk = math.max(1, (rows.length + n - 1) / n)
-    (df.schema, if (rows.isEmpty) Seq(Seq.empty) else rows.grouped(chunk).toSeq)
+    val schema = df.schema
+    val spillRoot = Paths.get(root, ".spill")
+    cleanStaleSpills(spillRoot)
+    val dir = spillRoot.resolve(java.util.UUID.randomUUID.toString)
+    Files.createDirectories(dir)
+    val dirStr = dir.toString
+    // honor the requested stream count for un-ordered results (a server
+    // fans even small results across max_threads streams); an ORDER BY
+    // result keeps its range partitioning so global order survives
+    val rdd0 = df.rdd
+    val rdd =
+      if (rdd0.getNumPartitions < numStreams && !sql.toUpperCase.contains("ORDER BY"))
+        df.repartition(numStreams).rdd
+      else rdd0
+    val files = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val f = Paths.get(dirStr, f"stream-$i%05d.rows")
+        RowSpill.write(f, it)
+        Iterator.single(f.toString)
+      }
+    }.collect().toSeq.sorted
+    val n = math.max(1, math.min(numStreams, math.max(files.length, 1)))
+    val groups =
+      if (files.isEmpty) Seq(Seq.empty[String])
+      else {
+        val chunk = math.max(1, (files.length + n - 1) / n)
+        files.grouped(chunk).toSeq
+      }
+    (schema, groups.map(g => ChSpillHandle(g)))
   }
+
+  override def readPartition(handle: ChPartitionHandle): Iterator[Row] = handle match {
+    case ChSpillHandle(files) => files.iterator.flatMap(f => RowSpill.read(Paths.get(f)))
+    case other => throw new IllegalArgumentException(
+      s"not an embedded-store handle: ${other.getClass.getName}")
+  }
+
+  /** Spill dirs from finished queries are garbage once their readers are
+    * done; reap anything older than [[EmbeddedClickHouse.SpillTtlMillis]]
+    * on the next plan (readers never outlive a query by that much).
+    */
+  private def cleanStaleSpills(spillRoot: Path): Unit =
+    if (Files.isDirectory(spillRoot)) {
+      val cutoff = System.currentTimeMillis() - EmbeddedClickHouse.SpillTtlMillis
+      Files.list(spillRoot).iterator.asScala
+        .filter { p =>
+          try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: Exception => false }
+        }
+        .foreach { p =>
+          try deleteRecursively(p) catch { case _: Exception => () }
+        }
+    }
 
   private def knownTables: Seq[(String, String)] =
     for (db <- listDatabases(); t <- listTables(db)) yield (db, t)
@@ -218,7 +277,12 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   private def invalidate(): Unit = EmbeddedClickHouse.invalidate(root)
 }
 
+/** Embedded-store partition handle: one contiguous group of spill files. */
+final case class ChSpillHandle(files: Seq[String]) extends ChPartitionHandle
+
 object EmbeddedClickHouse {
+  private[client] val SpillTtlMillis: Long = 30L * 60 * 1000
+
   private[client] final case class CachedServer(
       session: SparkSession, version: Long, parent: SparkSession)
 

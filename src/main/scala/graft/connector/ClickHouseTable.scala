@@ -233,39 +233,48 @@ class ChScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // Embedded transport: the "remote" query runs here (driver) and its
-    // result streams become partitions. A wire client returns one
-    // partition per shard/stream cursor instead, each reader pulling its
-    // own stream on the executor.
+    // Plan-time work is METADATA ONLY: the client initiates the remote
+    // query and hands back one cheap handle per stream — rows are pulled
+    // executor-side by the reader factory (sql.rs:304-369 semantics).
+    // A non-aggregated scan of an arbitrarily large remote table never
+    // touches driver memory.
     val sql = generatedSql
-    val (resultSchema, groups) = client.query(sql, readStreams)
-    if (out.isEmpty) {
-      // empty projection (COUNT(*)): the remote SQL is `SELECT 1 FROM t`
-      // (sql.rs:259-276) — only the row COUNT matters, emit empty rows
-      groups.map(g => ChInputPartition(g.map(_ => Row.empty)): InputPartition).toArray
-    } else {
+    val (resultSchema, handles) = client.planQuery(sql, readStreams)
+    if (out.nonEmpty) {
       require(resultSchema.length == out.length,
         s"remote result arity ${resultSchema.length} != expected ${out.length} for $sql")
-      groups.map(g => ChInputPartition(g): InputPartition).toArray
     }
+    handles.map(h => ChInputPartition(h): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChReaderFactory(out)
+    new ChReaderFactory(client, out)
 }
 
-final case class ChInputPartition(rows: Seq[Row]) extends InputPartition
+final case class ChInputPartition(handle: graft.client.ChPartitionHandle)
+  extends InputPartition
 
-class ChReaderFactory(schema: StructType) extends PartitionReaderFactory {
+/** Executor-side reader: deserializes with the client and pulls the
+  * handle's stream incrementally. For the empty projection (COUNT(*),
+  * remote SQL `SELECT 1 FROM t`, sql.rs:259-276) only the row COUNT
+  * matters — each pulled row becomes an empty InternalRow.
+  */
+class ChReaderFactory(client: ClickHouseClient, schema: StructType)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[ChInputPartition].rows
+    val handle = partition.asInstanceOf[ChInputPartition].handle
     new PartitionReader[InternalRow] {
-      private val toInternal = ExpressionEncoder(schema).createSerializer()
-      private val it = rows.iterator
+      private val toInternal =
+        if (schema.isEmpty) null else ExpressionEncoder(schema).createSerializer()
+      private lazy val it = client.readPartition(handle)
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) false
-        else { current = toInternal(it.next()); true }
+        else {
+          val r = it.next()
+          current = if (toInternal == null) InternalRow.empty else toInternal(r)
+          true
+        }
       }
       override def get(): InternalRow = current
       override def close(): Unit = ()

@@ -62,11 +62,13 @@ case class ClickHouseRemoteExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val expected = output.map(_.dataType)
     val numOutputRows = longMetric("numOutputRows")
-    val (remoteSchema, groups) = client.query(sql, streams)
+    // plan-time: metadata-only handles; rows are pulled on the executors
+    val (remoteSchema, handles) = client.planQuery(sql, streams)
     require(remoteSchema.length == output.length,
       s"remote arity ${remoteSchema.length} != plan arity ${output.length} for: $sql")
     val remote = StructType(remoteSchema.fields.map(f => f.copy(nullable = true)))
-    sparkContext.parallelize(groups, math.max(1, groups.length)).mapPartitions { it =>
+    val cl = client
+    sparkContext.parallelize(handles, math.max(1, handles.length)).mapPartitions { hs =>
       val toInternal = ExpressionEncoder(remote).createSerializer()
       val projExprs = expected.zipWithIndex.map { case (dt, i) =>
         val ref = BoundReference(i, remote(i).dataType, nullable = true)
@@ -74,7 +76,7 @@ case class ClickHouseRemoteExec(
         else Cast(ref, dt, Some(java.time.ZoneOffset.UTC.getId))
       }
       val proj = UnsafeProjection.create(projExprs)
-      it.flatMap(rows => rows.iterator.map { r =>
+      hs.flatMap(h => cl.readPartition(h).map { r =>
         numOutputRows += 1
         proj(toInternal(r)).copy(): InternalRow
       })

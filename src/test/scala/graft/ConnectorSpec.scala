@@ -23,6 +23,7 @@ class ConnectorSpec extends AnyFunSuite {
       .appName("connector-spec")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -116,6 +117,33 @@ class ConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE chconn.testdb.tmp_drop")
     val client = new EmbeddedClickHouse(root)
     assert(!client.tableExists("testdb", "tmp_drop"))
+  }
+
+  test("remote read larger than spark.driver.maxResultSize never lands on the driver") {
+    // all suites pin spark.driver.maxResultSize=32m; this table's payload
+    // is ~48 MB. The pre-round-3 read path materialized every remote
+    // result on the driver inside planInputPartitions (a collect() in the
+    // embedded engine) and would die on maxResultSize here; the streaming
+    // path ships only partition handles, executors pull their own streams.
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("testdb", "big",
+      Seq("id" -> "Int64", "payload" -> "String"), Map("engine" -> "MergeTree"))
+    val schema = client.sparkSchema("testdb", "big")
+    val payload = "x" * 400
+    val batch = 20000
+    val totalRows = 120000
+    (0 until totalRows by batch).foreach { start =>
+      client.insert("testdb", "big", schema,
+        (start until start + batch).map(i => Row(i.toLong, payload)))
+    }
+    import spark.implicits._
+    // mapPartitions defeats aggregate pushdown: every payload byte must
+    // cross the (emulated) wire, but only per-partition sums reach the driver
+    val totalChars = spark.table("chconn.testdb.big").select("payload").as[String]
+      .mapPartitions(it => Iterator.single(it.map(_.length.toLong).sum))
+      .reduce(_ + _)
+    assert(totalChars == totalRows.toLong * payload.length)
+    spark.sql("DROP TABLE chconn.testdb.big")
   }
 
   test("filter compile probe: supported and unsupported shapes") {

@@ -9,6 +9,7 @@ class EntrySpec extends AnyFunSuite {
   test("SparkEntry.entry returns rows on sf0.001 with a vanilla session") {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

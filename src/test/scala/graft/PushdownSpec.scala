@@ -23,6 +23,7 @@ class PushdownSpec extends AnyFunSuite {
       .appName("pushdown-spec")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

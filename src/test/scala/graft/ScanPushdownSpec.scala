@@ -25,6 +25,7 @@ class ScanPushdownSpec extends AnyFunSuite {
       .appName("scan-pushdown-spec")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
