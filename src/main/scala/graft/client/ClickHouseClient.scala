@@ -33,6 +33,12 @@ trait ClickHouseClient extends Serializable {
   /** Engine/options metadata for a table (engine, order_by, ...). */
   def fetchTableOptions(db: String, table: String): Map[String, String]
 
+  /** On-disk size of a table, if the transport can tell (ClickHouse:
+    * system.parts sum; embedded: part-file sizes). Feeds scan statistics
+    * so Spark's join placement sees real remote sizes instead of a guess.
+    */
+  def tableSizeBytes(db: String, table: String): Option[Long] = None
+
   def createDatabase(db: String, ifNotExists: Boolean = true): Unit
   def dropDatabase(db: String): Unit
 

@@ -119,6 +119,12 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   def sparkSchema(db: String, table: String): StructType =
     ClickHouseType.toStructType(fetchColumns(db, table))
 
+  override def tableSizeBytes(db: String, table: String): Option[Long] =
+    if (!tableExists(db, table)) None
+    else Some(dataFiles(db, table).map { f =>
+      try Files.size(Paths.get(f)) catch { case _: Exception => 0L }
+    }.sum)
+
   private def dataFiles(db: String, table: String): Seq[String] = {
     val (_, _, ext) = readMeta(db, table)
     val parts =

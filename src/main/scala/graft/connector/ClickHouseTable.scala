@@ -165,7 +165,7 @@ class ChScanBuilder(
     }
     val groupBy = agg.fold(Seq.empty[String])(_._1.map(g => ChSql.quoteIdent(g.name)))
     new ChScan(client, db, table, select, compiled, groupBy, orderBy, limit,
-      outputSchema, readStreams)
+      outputSchema, readStreams, aggregated = agg.isDefined)
   }
 }
 
@@ -188,10 +188,38 @@ class ChScan(
     orderBy: Seq[String],
     limit: Option[Int],
     out: StructType,
-    readStreams: Int)
-  extends Scan with Batch with SupportsRuntimeV2Filtering {
+    readStreams: Int,
+    aggregated: Boolean = false)
+  extends Scan with Batch with SupportsRuntimeV2Filtering
+  with SupportsReportStatistics {
 
   @volatile private var runtimeWhere: Seq[String] = Seq.empty
+
+  /** Shape-aware size estimate so join placement (broadcast vs shuffle)
+    * sees real remote sizes: base = the store's on-disk table size; a
+    * pushed LIMIT caps at limit × row width; a pushed aggregate (and the
+    * COUNT(*) empty projection) shrinks two orders — grouped results are
+    * orders-of-magnitude smaller than their input, but NOT guaranteed
+    * tiny, so floor 8 KiB / cap 1 MiB. Unknown table size → empty and
+    * Spark falls back to defaultSizeInBytes (never broadcast blindly).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes: java.util.OptionalLong =
+      client.tableSizeBytes(db, table) match {
+        case None => java.util.OptionalLong.empty()
+        case Some(base) =>
+          val shaped =
+            if (aggregated || out.isEmpty)
+              math.min(1L << 20, math.max(8L << 10, base / 100))
+            else {
+              val rowWidth =
+                math.max(1L, out.fields.map(_.dataType.defaultSize.toLong).sum)
+              limit.fold(base)(n => math.min(base, n.toLong * rowWidth))
+            }
+          java.util.OptionalLong.of(shaped)
+      }
+    override def numRows: java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   private def baseSql(extraWhere: Seq[String]): String = {
     val sel =

@@ -118,7 +118,24 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
         .map { case (a, i) => s"${u.scope(a.exprId)} AS c$i" }
       val sql = s"SELECT ${finalCols.mkString(", ")} FROM (${u.sql}) AS fin$suffix"
       Some(ClickHouseRemoteNode(child.output, sql, scans.head.chClient,
-        scans.head.chStreams))
+        scans.head.chStreams, remoteSizeEstimate(child, suffix)))
+    }
+  }
+
+  /** Shape-aware transfer estimate for a collapsed subtree: grouped
+    * aggregates shrink ~two orders vs their input (floor 8 KiB, cap
+    * 1 MiB — broadcastable but honest about non-trivial group counts); a
+    * LIMIT-topped collapse is bounded small; row-preserving shapes
+    * (window/filter/join) keep the child plan's own statistics, which
+    * flow up from the scans' SupportsReportStatistics. Join placement
+    * and AQE then decide from real sizes instead of a hardcoded "tiny".
+    */
+  private def remoteSizeEstimate(child: LogicalPlan, suffix: String): BigInt = {
+    val base = child.stats.sizeInBytes
+    child match {
+      case _: Aggregate => (base / 100).max(BigInt(8) << 10).min(BigInt(1) << 20)
+      case _ if suffix.contains(" LIMIT ") => base.min(BigInt(1) << 20)
+      case _ => base
     }
   }
 

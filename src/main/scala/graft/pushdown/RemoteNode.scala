@@ -20,12 +20,17 @@ case class ClickHouseRemoteNode(
     output: Seq[Attribute],
     sql: String,
     client: ClickHouseClient,
-    streams: Int)
+    streams: Int,
+    sizeEstimate: BigInt = BigInt(1) << 20)
   extends LeafNode {
 
-  // Remote results are usually aggregates/filtered rows — report a small
-  // size so Spark will happily broadcast them in federated joins.
-  override def computeStats(): Statistics = Statistics(sizeInBytes = BigInt(1) << 20)
+  // Shape-aware: the collapse rule passes an estimate derived from the
+  // pre-collapse subtree (Aggregate/LIMIT-topped → small; row-preserving
+  // window/filter/join shapes inherit the child plan's stats, which now
+  // flow from the scan's SupportsReportStatistics). A hardcoded "small"
+  // here made Spark broadcast EVERY remote side — a collapsed window
+  // returns the full table and would broadcast unbounded rows.
+  override def computeStats(): Statistics = Statistics(sizeInBytes = sizeEstimate)
 
   override def simpleString(maxFields: Int): String =
     s"ClickHouseRemoteNode [$sql]"

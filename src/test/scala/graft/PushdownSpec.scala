@@ -439,6 +439,56 @@ class PushdownSpec extends AnyFunSuite {
       (2, "Jazz"), (2, "Kaya"), (2, "Vienna")))
   }
 
+  test("shape-aware remote stats: row-preserving collapse SMJs, aggregate collapse broadcasts") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.expressions.{Window => W}
+    def hasBroadcastUnder(p: SparkPlan): Boolean = {
+      def walk(q: SparkPlan): Seq[SparkPlan] = q match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => s +: walk(s.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      walk(p).exists {
+        case _: BroadcastExchangeLike => true
+        case s: QueryStageExec => s.plan.isInstanceOf[BroadcastExchangeLike]
+        case _ => false
+      }
+    }
+    // ~800 KB of incompressible payload so on-disk size is honest
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("db", "wide",
+      Seq("id" -> "Int64", "payload" -> "String"), Map("engine" -> "MergeTree"))
+    val rnd = new scala.util.Random(42)
+    client.insert("db", "wide", client.sparkSchema("db", "wide"),
+      (0 until 2000).map(i => Row(i.toLong, rnd.alphanumeric.take(400).mkString)))
+    val local = spark.range(50000).toDF("lid")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (100 * 1024).toString)
+    try {
+      // row-preserving collapse (window over the full table): ~800 KB
+      // estimate > 100 KB threshold -> must NOT broadcast the remote side.
+      // payload rides through the join so AQE's RUNTIME size agrees with
+      // the static estimate (both above threshold).
+      val win = spark.table("chpd.db.wide")
+        .select(col("id"), col("payload"), row_number().over(W.orderBy(col("id"))).as("rn"))
+      val smj = win.join(local, col("id") === col("lid")).select("id", "rn", "payload")
+      smj.collect()
+      assert(!hasBroadcastUnder(smj.queryExecution.executedPlan),
+        s"row-preserving remote collapse was broadcast:\n${smj.queryExecution.executedPlan}")
+      // aggregate collapse: shrunk estimate (~8 KB) -> broadcast is right
+      val agg = spark.table("chpd.db.wide")
+        .groupBy((col("id") % 10).as("g")).agg(count(lit(1)).as("n"))
+      val bc = agg.join(local, col("g") === col("lid")).select("g", "n")
+      bc.collect()
+      assert(hasBroadcastUnder(bc.queryExecution.executedPlan),
+        s"aggregate remote collapse was not broadcast:\n${bc.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      client.dropTable("db", "wide")
+    }
+  }
+
   test("passthrough referencing the null-padded side of an outer join errors (no pre-join hoist)") {
     // previously findSite descended into ANY join side: the ifNull was
     // computed below the LEFT JOIN, so unmatched rows returned NULL where
