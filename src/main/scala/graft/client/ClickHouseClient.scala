@@ -77,8 +77,30 @@ trait ClickHouseClient extends Serializable {
     (schema, handles.map(h => readPartition(h).toSeq))
   }
 
-  /** Append rows (INSERT ... FORMAT Native analog). Returns row count. */
+  /** Append rows (INSERT ... FORMAT Native analog). Returns row count.
+    * Immediately visible — direct-API use only; the DSv2 write path goes
+    * through the staged protocol below for exactly-once semantics.
+    */
   def insert(db: String, table: String, schema: StructType, rows: Seq[Row]): Long
+
+  /** Stage rows under a task-scoped staging id WITHOUT publishing them.
+    * A wire client maps this to insert dedup tokens or a temp table +
+    * ATTACH; the embedded store lands part files in a staging directory.
+    * Returns the row count staged.
+    */
+  def stageInsert(
+      db: String, table: String, schema: StructType, rows: Seq[Row],
+      stagingId: String): Long
+
+  /** Publish everything staged under `stagingId` atomically-per-part.
+    * Called from the DRIVER in BatchWrite.commit — only task attempts
+    * Spark actually committed are published, so speculative/retried
+    * attempts never duplicate rows.
+    */
+  def commitStaged(db: String, table: String, stagingId: String): Unit
+
+  /** Discard everything staged under `stagingId` (task abort / job abort). */
+  def abortStaged(db: String, table: String, stagingId: String): Unit
 }
 
 /** Opaque per-stream result handle; implementations carry whatever

@@ -258,21 +258,62 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     for (db <- listDatabases(); t <- listTables(db)) yield (db, t)
 
   override def insert(db: String, table: String, schema: StructType, rows: Seq[Row]): Long = {
+    // one Native-protocol block = one atomically-moved parquet part file,
+    // written WITHOUT a SparkSession (ParquetBlockWriter drives parquet-mr
+    // directly), so inserts can run from DSv2 write tasks on executors —
+    // the per-partition streaming shape of the reference's sink
+    val n = ParquetBlockWriter.writeBlock(
+      tablePath(db, table), sparkSchema(db, table), reorderToSink(db, table, schema, rows))
+    invalidate()
+    n
+  }
+
+  private def reorderToSink(
+      db: String, table: String, schema: StructType, rows: Seq[Row]): Seq[Row] = {
     val sink = sparkSchema(db, table)
     val errs = ClickHouseType.verifyWriteSchema(sink, schema)
     require(errs.isEmpty, s"insert schema mismatch for $db.$table: ${errs.mkString("; ")}")
     // input column order may differ from the sink's (names matched
     // order-insensitively, as in the reference) — reorder values to sink order
     val idx = sink.fields.map(f => schema.fieldIndex(f.name))
-    val reordered = rows.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
-    // one Native-protocol block = one atomically-moved parquet part file,
-    // written WITHOUT a SparkSession (ParquetBlockWriter drives parquet-mr
-    // directly), so inserts can run from DSv2 write tasks on executors —
-    // the per-partition streaming shape of the reference's sink
-    val n = ParquetBlockWriter.writeBlock(tablePath(db, table), sink, reordered)
-    invalidate()
-    n
+    rows.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
   }
+
+  private def stagingPath(db: String, table: String, stagingId: String): Path = {
+    require(!stagingId.contains("/") && !stagingId.contains(".."),
+      s"invalid staging id: $stagingId")
+    tablePath(db, table).resolve(".insert-staging").resolve(stagingId)
+  }
+
+  override def stageInsert(
+      db: String, table: String, schema: StructType, rows: Seq[Row],
+      stagingId: String): Long = {
+    val dir = stagingPath(db, table, stagingId)
+    Files.createDirectories(dir)
+    // no invalidate: staged parts are invisible (dataFiles only lists the
+    // table dir itself) until commitStaged renames them in
+    ParquetBlockWriter.writeBlock(dir, sparkSchema(db, table),
+      reorderToSink(db, table, schema, rows))
+  }
+
+  override def commitStaged(db: String, table: String, stagingId: String): Unit = {
+    val dir = stagingPath(db, table, stagingId)
+    if (Files.isDirectory(dir)) {
+      val parts = Files.list(dir).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sorted
+      // same-filesystem renames: each part becomes visible atomically, and
+      // a re-driven commit of the same staging id is a no-op (dir empty)
+      parts.foreach { p =>
+        Files.move(p, tablePath(db, table).resolve(p.getFileName),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      deleteRecursively(dir)
+      invalidate()
+    }
+  }
+
+  override def abortStaged(db: String, table: String, stagingId: String): Unit =
+    deleteRecursively(stagingPath(db, table, stagingId))
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.Filter
@@ -326,8 +327,23 @@ class ChWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ChBatchWrite(client, db, table, inputSchema, writeConcurrency, batchSize)
+
+    // the reference returns the inserted count as a one-row result batch
+    // (examples/99:295-304); Spark DML returns no rows, so the count
+    // surfaces as a write metric instead (SURVEY §2.1) — visible in the
+    // SQL UI and to QueryExecutionListeners
+    override def supportedCustomMetrics(): Array[CustomMetric] =
+      Array(new ChRowsInsertedMetric)
   }
 }
+
+/** Sum-aggregated "rows inserted" metric reported by every write task. */
+class ChRowsInsertedMetric extends CustomSumMetric {
+  override def name(): String = ChRowsInsertedMetric.Name
+  override def description(): String = "number of rows inserted"
+}
+
+object ChRowsInsertedMetric { val Name = "chRowsInserted" }
 
 class ChBatchWrite(
     client: ClickHouseClient,
@@ -341,17 +357,27 @@ class ChBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ChDataWriterFactory(client, db, table, inputSchema, writeConcurrency, batchSize)
 
-  // The reference returns the inserted count as a one-row result batch
-  // (examples/99:295-304); Spark DML returns no rows — a semantic
-  // difference documented in SURVEY §2.1. Count is observable via readback.
-  // All data has already streamed from the write tasks; commit only sees
-  // counts, so the driver never holds rows regardless of insert size.
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  // Exactly-once: tasks STAGE their part files under task-attempt-scoped
+  // staging ids; only the attempts Spark committed reach this message
+  // array, and publishing is per-part atomic renames. A speculative or
+  // retried attempt's parts are never published (its own abort — or a
+  // stale staging dir — never becomes visible). Only metadata (staging
+  // ids + counts) crosses the driver.
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ChStagedCommit(stagingId, _) => client.commitStaged(db, table, stagingId)
+      case _ => ()
+    }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ChStagedCommit(stagingId, _) => client.abortStaged(db, table, stagingId)
+      case _ => ()
+    }
 }
 
-final case class ChCountMessage(rows: Long) extends WriterCommitMessage
+final case class ChStagedCommit(stagingId: String, rows: Long)
+  extends WriterCommitMessage
 
 /** Streams bounded batches to the store from INSIDE each write task —
   * the reference's `buffer_unordered(write_concurrency)` pattern
@@ -372,6 +398,10 @@ class ChDataWriterFactory(
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
+      // task-ATTEMPT-scoped: retries/speculation get fresh ids, so an
+      // abandoned attempt's staged parts can never be published
+      private val stagingId =
+        s"task-$partitionId-$taskId-${java.util.UUID.randomUUID.toString.take(8)}"
       private val toRow =
         ExpressionEncoder(schema).resolveAndBind().createDeserializer()
       private val buf = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
@@ -380,9 +410,15 @@ class ChDataWriterFactory(
       private val inFlight =
         new scala.collection.mutable.Queue[java.util.concurrent.Future[Long]]
       private var written = 0L
+      // rows accepted into the writer: Spark polls currentMetricsValues
+      // during the write loop (before commit drains the async inserts),
+      // so the metric tracks acceptance; a failed task's updates are
+      // discarded with the task, keeping the published metric exact
+      private var accepted = 0L
 
       override def write(record: InternalRow): Unit = {
         buf += toRow(record.copy())
+        accepted += 1
         if (buf.length >= batchSize) flush()
       }
 
@@ -394,17 +430,30 @@ class ChDataWriterFactory(
         while (inFlight.length >= math.max(1, writeConcurrency))
           written += inFlight.dequeue().get()
         inFlight.enqueue(pool.submit(new java.util.concurrent.Callable[Long] {
-          override def call(): Long = client.insert(db, table, schema, rows)
+          override def call(): Long =
+            client.stageInsert(db, table, schema, rows, stagingId)
         }))
       }
+
+      override def currentMetricsValues(): Array[CustomTaskMetric] =
+        Array(new CustomTaskMetric {
+          override def name(): String = ChRowsInsertedMetric.Name
+          override def value(): Long = accepted
+        })
 
       override def commit(): WriterCommitMessage = {
         flush()
         while (inFlight.nonEmpty) written += inFlight.dequeue().get()
-        ChCountMessage(written)
+        ChStagedCommit(stagingId, written)
       }
 
-      override def abort(): Unit = pool.shutdownNow()
+      override def abort(): Unit = {
+        pool.shutdownNow()
+        // drop this attempt's already-staged parts (previously they were
+        // left behind: a retried task silently duplicated rows)
+        try client.abortStaged(db, table, stagingId)
+        catch { case _: Exception => () }
+      }
       override def close(): Unit = pool.shutdown()
     }
 }

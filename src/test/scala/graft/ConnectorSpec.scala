@@ -146,6 +146,70 @@ class ConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE chconn.testdb.big")
   }
 
+  test("insert surfaces the row count as a write metric (multi-partition)") {
+    import graft.connector.ChRowsInsertedMetric
+    spark.sql(
+      """CREATE TABLE chconn.testdb.metric_t (id BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree')""".stripMargin)
+    @volatile var captured = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val vals = qe.executedPlan.collect {
+          case p if p.metrics.contains(ChRowsInsertedMetric.Name) =>
+            p.metrics(ChRowsInsertedMetric.Name).value
+        }
+        if (vals.nonEmpty) captured = vals.max
+      }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.range(0, 1000, 1, 4).toDF("id")
+        .writeTo("chconn.testdb.metric_t").append()
+      // the execution listener bus is async
+      val deadline = System.currentTimeMillis() + 30000
+      while (captured < 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(captured == 1000L,
+        s"write metric ${ChRowsInsertedMetric.Name} = $captured, expected 1000")
+      assert(spark.table("chconn.testdb.metric_t").count() == 1000L)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.sql("DROP TABLE chconn.testdb.metric_t")
+    }
+  }
+
+  test("failed insert publishes nothing (staged-write exactly-once)") {
+    spark.sql(
+      """CREATE TABLE chconn.testdb.abort_t (id BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree')""".stripMargin)
+    spark.sql("INSERT INTO chconn.testdb.abort_t VALUES (1), (2), (3)")
+    val boom = udf((x: Long) => {
+      if (x == 57L) throw new RuntimeException("boom"); x
+    })
+    val failing = spark.range(0, 100, 1, 4).select(boom(col("id")).as("id"))
+    intercept[Exception](failing.writeTo("chconn.testdb.abort_t").append())
+    // pre-staging design: partitions that flushed before the failure had
+    // already landed parts -> silent partial write. Staged design: nothing
+    // published, no staging residue
+    val rows = spark.table("chconn.testdb.abort_t").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L), s"partial rows leaked: ${rows.length}")
+    val stagingRoot = java.nio.file.Paths.get(root, "testdb", "abort_t", ".insert-staging")
+    val leftover =
+      if (!java.nio.file.Files.isDirectory(stagingRoot)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(stagingRoot).iterator.asScala.toSeq
+      }
+    assert(leftover.isEmpty, s"staging residue: $leftover")
+    spark.sql("DROP TABLE chconn.testdb.abort_t")
+  }
+
   test("filter compile probe: supported and unsupported shapes") {
     import org.apache.spark.sql.sources._
     assert(ChSql.compileFilter(EqualTo("a", 1)).contains("`a` = 1"))
