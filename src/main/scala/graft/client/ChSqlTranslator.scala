@@ -130,7 +130,69 @@ object ChSqlTranslator {
     s = rewriteCall(s, "toStartOfHour", args => s"date_trunc('hour', ${args.head})")
     s = rewriteCall(s, "toStartOfMinute", args => s"date_trunc('minute', ${args.head})")
     s = rewriteCall(s, "toDate", args => s"to_date(${args.head})")
+    // lagInFrame/leadInFrame → lag/lead; Spark REJECTS an explicit frame
+    // on offset functions, so the forced full frame our unparser emits is
+    // stripped from the OVER clause that follows
+    s = rewriteCall(s, "lagInFrame", args => s"lag(${args.mkString(", ")})")
+    s = rewriteCall(s, "leadInFrame", args => s"lead(${args.mkString(", ")})")
+    s = stripOffsetFrames(s)
     s
+  }
+
+  private val FullFrame = " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+
+  /** Remove the frame clause from the OVER spec directly following a
+    * lag()/lead() call (balanced-paren aware; other windows keep theirs).
+    */
+  private def stripOffsetFrames(in: String): String = {
+    var s = in
+    for (fn <- Seq("lag", "lead")) {
+      val out = new StringBuilder
+      var i = 0
+      val pat = fn + "("
+      while (i < s.length) {
+        val at = s.indexOf(pat, i)
+        val boundaryOk = at >= 0 &&
+          (at == 0 || !(s.charAt(at - 1).isLetterOrDigit || s.charAt(at - 1) == '_'))
+        if (at < 0) { out.append(s.substring(i)); i = s.length }
+        else if (!boundaryOk) {
+          out.append(s.substring(i, at + pat.length)); i = at + pat.length
+        } else {
+          val (callEnd, _) = skipBalanced(s, at + pat.length)
+          out.append(s.substring(i, callEnd))
+          i = callEnd
+          val overPrefix = " OVER ("
+          if (s.regionMatches(true, i, overPrefix, 0, overPrefix.length)) {
+            val (overEnd, overBody) = skipBalanced(s, i + overPrefix.length)
+            out.append(" OVER (").append(overBody.replace(FullFrame, "")).append(")")
+            i = overEnd
+          }
+        }
+      }
+      s = out.result()
+    }
+    s
+  }
+
+  /** From just after an opening '(', return (index past the matching ')',
+    * the body between the parens) — quote-aware.
+    */
+  private def skipBalanced(s: String, start: Int): (Int, String) = {
+    var depth = 1
+    var i = start
+    var inStr = false
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    (i, s.substring(start, i - 1))
   }
 
   /** Rewrite every `name(args...)` call via `f(topLevelArgs)`, handling

@@ -174,32 +174,49 @@ object ChExprUnparser {
       // ---- window expressions (for whole-subtree window pushdown;
       //      ClickHouse has standard OVER syntax since 21.x) ----
       case WindowExpression(func, spec) =>
-        val fnSql = func match {
-          case _: RowNumber => Some(("row_number()", true))
-          case _: Rank => Some(("rank()", true))
-          case _: DenseRank => Some(("dense_rank()", true))
-          case agg: AggregateExpression => go(agg).map(s => (s, false))
-          case _ => None // lag/lead: ClickHouse spells them lagInFrame with
-          // an explicit frame Spark's lag cannot carry — keep local
+        val fnSql: Option[(String, WindowFnKind)] = func match {
+          case _: RowNumber => Some(("row_number()", RankingFn))
+          case _: Rank => Some(("rank()", RankingFn))
+          case _: DenseRank => Some(("dense_rank()", RankingFn))
+          // ClickHouse spells lag/lead `lagInFrame`/`leadInFrame`, which
+          // obey the window frame — standard lag/lead semantics require
+          // the explicit full frame (forced in windowSpec). The default
+          // is always passed explicitly so the two engines cannot differ
+          // on type-default vs NULL. ignoreNulls has no remote equivalent.
+          case Lag(in, off, dflt, false) =>
+            for (i <- go(in); o <- go(off); d <- go(dflt))
+              yield (s"lagInFrame($i, $o, $d)", OffsetFn)
+          case Lead(in, off, dflt, false) =>
+            for (i <- go(in); o <- go(off); d <- go(dflt))
+              yield (s"leadInFrame($i, $o, $d)", OffsetFn)
+          case agg: AggregateExpression => go(agg).map(s => (s, AggFn))
+          case _ => None
         }
         for {
-          (f, isRanking) <- fnSql
-          over <- windowSpec(spec, isRanking, scope)
+          (f, kind) <- fnSql
+          over <- windowSpec(spec, kind, scope)
         } yield s"$f OVER $over"
 
       case _ => None
     }
   }
 
+  private sealed trait WindowFnKind
+  private case object RankingFn extends WindowFnKind // no frame clause
+  private case object AggFn extends WindowFnKind     // explicit frame
+  private case object OffsetFn extends WindowFnKind  // forced full frame
+
   /** WindowSpecDefinition → `(PARTITION BY ... ORDER BY ... [frame])`.
     * Ranking functions must not carry a frame clause (both dialects
     * reject it); aggregate frames are emitted explicitly so the remote
-    * engine cannot differ on defaults. Only unbounded/current-row
-    * boundaries unparse — offset frames stay local.
+    * engine cannot differ on defaults; lagInFrame/leadInFrame force the
+    * full frame (Spark's offset frame spec has no remote spelling — the
+    * full frame + InFrame functions reproduce standard lag/lead). Only
+    * unbounded/current-row boundaries unparse — other frames stay local.
     */
   private def windowSpec(
       spec: WindowSpecDefinition,
-      forRanking: Boolean,
+      kind: WindowFnKind,
       scope: Map[ExprId, String]): Option[String] = {
     def bound(e: Expression): Option[String] = e match {
       case UnboundedPreceding => Some("UNBOUNDED PRECEDING")
@@ -221,13 +238,16 @@ object ChExprUnparser {
         s"$c $dir $nulls"
       }
     })
-    val frame: Option[String] = spec.frameSpecification match {
-      case _ if forRanking => Some("")
-      case UnspecifiedFrame => Some("")
-      case SpecifiedWindowFrame(frameType, lower, upper) =>
-        val ft = frameType match { case RowFrame => "ROWS"; case RangeFrame => "RANGE" }
-        for (lo <- bound(lower); hi <- bound(upper))
-          yield s" $ft BETWEEN $lo AND $hi"
+    val frame: Option[String] = kind match {
+      case RankingFn => Some("")
+      case OffsetFn => Some(" ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
+      case AggFn => spec.frameSpecification match {
+        case UnspecifiedFrame => Some("")
+        case SpecifiedWindowFrame(frameType, lower, upper) =>
+          val ft = frameType match { case RowFrame => "ROWS"; case RangeFrame => "RANGE" }
+          for (lo <- bound(lower); hi <- bound(upper))
+            yield s" $ft BETWEEN $lo AND $hi"
+      }
     }
     for (ps <- parts; os <- orders; fr <- frame) yield {
       val pb = if (ps.isEmpty) "" else s"PARTITION BY ${ps.mkString(", ")}"

@@ -280,6 +280,23 @@ object ConnectorQueries {
       s.table("clickhouse.main.ev_ingest")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+    },
+
+    // lag/lead collapse remotely as ClickHouse lagInFrame/leadInFrame with
+    // the explicit full frame they require (the window-over-pushed-column
+    // capability of reference tests/e2e.rs:938-943, extended to offsets)
+    q("r17_remote_lag",
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+        |  lead(o_orderkey, 1, -1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
+        |FROM orders WHERE o_custkey < 100""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      s.table("clickhouse.main.orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag(col("o_totalprice"), 1, 0.0).over(w).as("prev_price"),
+          lead(col("o_orderkey"), 1, -1).over(w).as("next_key"))
     }
   )
 }

@@ -201,6 +201,22 @@ class PushdownSpec extends AnyFunSuite {
     assert(got == Map(3 -> 1, 2 -> 2, 1 -> 3))
   }
 
+  test("lag/lead ship remotely as lagInFrame/leadInFrame with the forced full frame") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("id"))
+    val df = spark.table("chpd.db.people")
+      .select(col("id"), lag(col("name"), 1, "none").over(w).as("prev"),
+        lead(col("name"), 1, "none").over(w).as("next"))
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    assert(execs.head.sql.contains("lagInFrame("), execs.head.sql)
+    assert(execs.head.sql.contains("leadInFrame("), execs.head.sql)
+    assert(execs.head.sql.contains("ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"),
+      execs.head.sql)
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1, "none", "Bob"), (2, "Alice", "Charlie"), (3, "Bob", "none")))
+  }
+
   test("windowed aggregate (running sum) ships remotely with explicit frame") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("id"))
