@@ -44,6 +44,10 @@ case class ClickHousePassthrough(child: Expression, declaredType: String)
 case class ClickHouseEval(rawSql: String, declaredType: String)
   extends LeafExpression with Unevaluable {
 
+  // analysis-time fragment validation (eval.rs:58-142): malformed syntax
+  // or an embedded `;` fails here, not as an opaque remote error
+  graft.sql.ChFragment.validate(rawSql)
+
   private val parsed = ClickHouseType.parse(declaredType)
   override def dataType: DataType = parsed.dataType
   override def nullable: Boolean = true // raw fragment: nullability unknown

@@ -54,6 +54,34 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT repositioned(a)") == "SELECT repositioned(a)")
   }
 
+  test("clickhouse_eval fragment validation rejects malformed/unsafe fragments (eval.rs:58-142)") {
+    import graft.sql.ChFragment
+    // valid single expressions pass
+    ChFragment.validate("length(concat('ab', 'c'))")
+    ChFragment.validate("arrayMap(x -> x + 1, [1, 2, 3])")
+    ChFragment.validate("if(a > 1, 'it''s', 'not')")
+    ChFragment.validate("`weird col` + 1")
+    def bad(frag: String, why: String): Unit = {
+      val e = intercept[IllegalArgumentException](ChFragment.validate(frag))
+      assert(e.getMessage.contains("clickhouse_eval"), s"$why: ${e.getMessage}")
+    }
+    bad("upper(name", "unbalanced open paren")
+    bad("upper(name))", "unbalanced close paren")
+    bad("1; DROP TABLE x", "statement smuggling")
+    bad("concat('ab", "unterminated string")
+    bad("a, b", "two expressions")
+    bad("x -- comment", "line comment")
+    bad("x /* c */", "block comment")
+    bad("   ", "empty")
+    bad("`oops", "unterminated identifier")
+  }
+
+  test("ClickHouseEval construction fails fast on a malformed fragment") {
+    val e = intercept[IllegalArgumentException](
+      graft.functions.ClickHouseEval("broken(", "Int32"))
+    assert(e.getMessage.contains("clickhouse_eval"))
+  }
+
   // ---- property: CH type grammar round-trips through parse -> render ----
   private val leafGen: Gen[String] = Gen.oneOf(
     "Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32", "UInt64",
