@@ -45,6 +45,47 @@ object SimilarityQueries {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.AnnIvf.IvfIndex]
 
+  /** Constant oracle for the ANN quality gates: the Spark side emits this
+    * row only when measured recall@5 >= 0.90, so the hash compare IS the
+    * quality assertion (rows+schema+hash green instead of `no_oracle`).
+    */
+  private val RecallOracle =
+    """SELECT CAST(100 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k,
+      |  CAST(1 AS BIGINT) AS recall_at5_ok""".stripMargin
+
+  /** Exact top-5 per probe (vec_id < 100) — the in-Spark recall baseline,
+    * the same brute-force shape s01 hash-verifies against DuckDB.
+    */
+  private def exactTop5(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = s.table("embeddings")
+    val p = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .withColumn("pn", graft.ops.vector.vec_norm_sq(col("pe")))
+    val n = corpus(s)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("nn", graft.ops.vector.vec_norm_sq(col("ne")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(p).join(n, col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dot(col("pe"), col("ne")) / sqrt(col("pn") * col("nn"))).as("cos"))
+      .select(col("probe_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "neighbor_id")
+  }
+
+  /** recall@5 of `ann` vs the exact baseline → one threshold row. */
+  private def recallGate(s: SparkSession, ann: DataFrame): DataFrame = {
+    import s.implicits._
+    val exact = exactTop5(s)
+    val total = exact.count().toDouble
+    val hits = ann.select("probe_id", "neighbor_id")
+      .join(exact, Seq("probe_id", "neighbor_id")).count()
+    val recall = hits / total
+    Seq((100L, 5L, if (recall >= 0.90) 1L else 0L))
+      .toDF("n_probes", "k", "recall_at5_ok")
+  }
+
   val all: Seq[GateQuery] = Seq(
 
     // ---- brute-force cosine top-k (ANN correctness baseline) ----
@@ -106,43 +147,46 @@ object SimilarityQueries {
           .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
     },
 
-    // ---- LSH-bucketed ANN: the scale path (no SQL oracle — approximate;
-    // recall vs brute force is asserted in OpsSpec) ----
+    // ---- LSH-bucketed ANN, verified by a deterministic recall@5 gate:
+    // the query computes BOTH the ANN result and the exact top-5 (in
+    // Spark), joins them, and emits a threshold row the DuckDB oracle can
+    // check exactly — recall >= 0.90 or the battery fails. The testdata
+    // embeddings are near-uniform (max pairwise cosine ~0.43), the
+    // hardest case for LSH: holding 0.9 recall needs wide buckets
+    // (32 tables x 5 planes). On corpora with real locality (near-dup
+    // clusters) the same machinery is sublinear at far leaner settings.
     GateQuery("s03_ann_lsh",
       (s, dir) => {
         Tables.register(s, dir)
         val probes = s.table("embeddings").filter(col("vec_id") < 100)
-        // 7 planes = 128 buckets/table: candidate volume per probe stays
-        // ~tables*corpus/128 while 12 independent tables hold recall
-        graft.ops.AnnLsh.annTopK(corpus(s), probes, "vec_id", "embedding", 64,
-          k = 5, numTables = 12, numPlanes = 7)
-          .select(col("probe_id"), col("neighbor_id"),
-            round(col("cos"), 6).as("cosine"), col("rank"))
+        val ann = graft.ops.AnnLsh.annTopK(corpus(s), probes, "vec_id", "embedding", 64,
+          k = 5, numTables = 32, numPlanes = 5)
+        recallGate(s, ann)
       },
-      oracle = None),
+      oracle = Some(RecallOracle)),
 
-    // ---- IVF ANN: the data-adaptive scale path (k-means coarse
-    // quantizer; approximate → no SQL oracle; recall vs brute force is
-    // asserted in OpsSpec) ----
+    // ---- IVF ANN (k-means coarse quantizer), same deterministic
+    // recall@5 >= 0.90 gate. Fixed seed + full-corpus training keep the
+    // quantizer deterministic; probing 12/16 cells holds >= 0.93 recall
+    // at every driver scale factor (measured 0.93-0.95) on this
+    // near-uniform corpus. At 100 TB the quantizer still trains on a
+    // bounded sample — cells only route probes; exact re-rank fixes noise.
     GateQuery("s04_ann_ivf",
       (s, dir) => {
         Tables.register(s, dir)
         val probes = s.table("embeddings").filter(col("vec_id") < 100)
         // An IVF index is a build-once offline artifact (like Tables
         // registration): memoize per (session, dir) so repeated runs
-        // measure the probe path, not quantizer re-training. At 100 TB
-        // the quantizer trains on a bounded sample regardless of corpus
-        // size — cells only route probes; exact re-rank fixes the noise.
+        // measure the probe path, not quantizer re-training.
         val index = ivfIndexCache.getOrElseUpdate((s, dir),
           graft.ops.AnnIvf.buildIndex(
             corpus(s), "vec_id", "embedding", numCells = 16,
-            trainSampleFraction = 0.2, maxIter = 6))
-        graft.ops.AnnIvf.annTopK(index, probes, "vec_id", "embedding",
-          k = 5, nprobe = 4)
-          .select(col("probe_id"), col("neighbor_id"),
-            round(col("cos"), 6).as("cosine"), col("rank"))
+            trainSampleFraction = 1.0, maxIter = 10))
+        val ann = graft.ops.AnnIvf.annTopK(index, probes, "vec_id", "embedding",
+          k = 5, nprobe = 12)
+        recallGate(s, ann)
       },
-      oracle = None),
+      oracle = Some(RecallOracle)),
 
     // ---- int8 embedding quantization (the storage/bandwidth side of
     // similarity search at 100 TB: 4x smaller vectors for the ANN coarse
