@@ -1,0 +1,80 @@
+package graft.catalog
+
+/** Option grammar for the catalog and CREATE TABLE — the key surface (and
+  * its validation errors) of the reference's params round-trip
+  * (/root/reference/src/utils/params.rs:22-69): client/pool keys at
+  * catalog level, engine keys at table level. The embedded transport
+  * ignores most client keys' VALUES, but unknown keys and mistyped values
+  * fail fast with the valid-key list, matching the reference's UX.
+  */
+object ChOptions {
+
+  /** Client/pool keys (params.rs client surface) + this engine's own. */
+  val CatalogKeys: Set[String] = Set(
+    // transport / auth
+    "path", "endpoint", "username", "password", "default_database",
+    "compression", "domain", "cafile", "use_tls", "strings_as_strings",
+    "cloud_timeout", "cloud_wakeup",
+    // pool
+    "pool_max_size", "pool_min_idle", "pool_test_on_check_out",
+    "pool_max_lifetime", "pool_idle_timeout", "pool_connection_timeout",
+    "pool_retry_connection",
+    // engine knobs
+    "coerce_schemas", "read.streams", "write.concurrency", "write.batch_size")
+
+  private val BoolCatalogKeys = Set(
+    "use_tls", "strings_as_strings", "pool_test_on_check_out",
+    "pool_retry_connection", "coerce_schemas")
+
+  private val IntCatalogKeys = Set(
+    "cloud_timeout", "cloud_wakeup", "pool_max_size", "pool_min_idle",
+    "pool_max_lifetime", "pool_idle_timeout", "pool_connection_timeout",
+    "read.streams", "write.concurrency", "write.batch_size")
+
+  /** Table-creation keys (params.rs create surface) + embedded attach. */
+  val TableKeys: Set[String] = Set(
+    "engine", "order_by", "primary_keys", "partition_by", "sampling",
+    "ttl", "settings", "defaults", "defaults_for_nullable", "external_paths")
+
+  /** Properties Spark itself may attach to a CREATE TABLE — passed
+    * through silently, never forwarded to the store.
+    */
+  private val SparkReservedTableProps = Set(
+    "provider", "location", "comment", "owner", "external")
+
+  def validateCatalogOptions(catalog: String, options: Map[String, String]): Unit = {
+    val unknown = options.keySet.map(_.toLowerCase).diff(CatalogKeys)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown option(s) ${unknown.toSeq.sorted.mkString(", ")} for ClickHouse " +
+          s"catalog '$catalog'; valid options: ${CatalogKeys.toSeq.sorted.mkString(", ")}")
+    options.foreach { case (k0, v) =>
+      val k = k0.toLowerCase
+      if (BoolCatalogKeys.contains(k) && !v.equalsIgnoreCase("true") &&
+        !v.equalsIgnoreCase("false"))
+        throw new IllegalArgumentException(
+          s"option '$k' of catalog '$catalog' must be true/false, got: $v")
+      if (IntCatalogKeys.contains(k) && scala.util.Try(v.toInt).isFailure)
+        throw new IllegalArgumentException(
+          s"option '$k' of catalog '$catalog' must be an integer, got: $v")
+    }
+  }
+
+  /** Split CREATE TABLE properties into (store options, ignored). Unknown
+    * keys error with the valid-key list (params.rs rejects them too).
+    */
+  def validateTableProps(
+      table: String, props: Map[String, String]): Map[String, String] = {
+    val (reserved, rest) = props.partition { case (k, _) =>
+      SparkReservedTableProps.contains(k.toLowerCase) || k.startsWith("option.")
+    }
+    val unknown = rest.keySet.map(_.toLowerCase).diff(TableKeys)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown table propert${if (unknown.size == 1) "y" else "ies"} " +
+          s"${unknown.toSeq.sorted.mkString(", ")} for ClickHouse table '$table'; " +
+          s"valid: ${TableKeys.toSeq.sorted.mkString(", ")}")
+    val _ = reserved
+    rest.map { case (k, v) => k.toLowerCase -> v }
+  }
+}

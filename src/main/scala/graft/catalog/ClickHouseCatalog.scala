@@ -40,11 +40,15 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
   private var readStreams: Int = 4
   private var writeConcurrency: Int = 4
   private var writeBatchSize: Int = 10000
+  private var coerceSchemas: Boolean = true
 
   def clickHouseClient: ClickHouseClient = client
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    // full params.rs-style key validation: unknown keys and mistyped
+    // values fail here, at catalog setup, not mid-query
+    ChOptions.validateCatalogOptions(name, options.asScala.toMap)
     val path = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException(
         s"catalog $name requires option 'path' (embedded store root)"))
@@ -52,6 +56,10 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
     readStreams = Option(options.get("read.streams")).map(_.toInt).getOrElse(4)
     writeConcurrency = Option(options.get("write.concurrency")).map(_.toInt).getOrElse(4)
     writeBatchSize = Option(options.get("write.batch_size")).map(_.toInt).getOrElse(10000)
+    // per-catalog schema-coercion toggle (reference builders.rs:131-135):
+    // ON casts remote batches whose wire types drift from the declared
+    // plan schema (per-batch projection cost); OFF fails fast instead
+    coerceSchemas = Option(options.get("coerce_schemas")).forall(_.toBoolean)
   }
 
   override def name(): String = catalogName
@@ -122,7 +130,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(ident.namespace() :+ ident.name())
     val schema = ClickHouseType.toStructType(client.fetchColumns(db, ident.name()))
     new ClickHouseTable(client, db, ident.name(), schema, readStreams,
-      writeConcurrency, writeBatchSize)
+      writeConcurrency, writeBatchSize, coerceSchemas)
   }
 
   override def createTable(
@@ -133,13 +141,14 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
     val db = dbOf(ident)
     if (client.tableExists(db, ident.name()))
       throw new TableAlreadyExistsException(ident.namespace() :+ ident.name())
-    val props = properties.asScala.toMap
+    // params.rs-style table-property validation: unknown TBLPROPERTIES
+    // error with the valid-key list (Spark-reserved props pass through)
+    val props = ChOptions.validateTableProps(
+      ident.name(), properties.asScala.toMap)
     val columns = schema.fields.toSeq.map { f =>
       f.name -> ClickHouseType.render(f.dataType, f.nullable)
     }
-    val options = Map("engine" -> props.getOrElse("engine", "MergeTree")) ++
-      props.view.filterKeys(Set("order_by", "partition_by", "ttl", "settings",
-        "primary_keys", "external_paths")).toMap
+    val options = Map("engine" -> props.getOrElse("engine", "MergeTree")) ++ props
     client.createTable(db, ident.name(), columns, options)
     loadTable(ident)
   }

@@ -43,7 +43,8 @@ class ClickHouseTable(
     tableSchema: StructType,
     readStreams: Int,
     writeConcurrency: Int = 4,
-    writeBatchSize: Int = 10000)
+    writeBatchSize: Int = 10000,
+    coerceSchemas: Boolean = true)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"$db.$table"
@@ -52,7 +53,7 @@ class ClickHouseTable(
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChScanBuilder(client, db, table, tableSchema, readStreams)
+    new ChScanBuilder(client, db, table, tableSchema, readStreams, coerceSchemas)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ChWriteBuilder(client, db, table, info.schema(), writeConcurrency, writeBatchSize)
@@ -71,7 +72,8 @@ class ChScanBuilder(
     db: String,
     table: String,
     fullSchema: StructType,
-    readStreams: Int)
+    readStreams: Int,
+    coerceSchemas: Boolean = true)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -166,7 +168,8 @@ class ChScanBuilder(
     }
     val groupBy = agg.fold(Seq.empty[String])(_._1.map(g => ChSql.quoteIdent(g.name)))
     new ChScan(client, db, table, select, compiled, groupBy, orderBy, limit,
-      outputSchema, readStreams, aggregated = agg.isDefined)
+      outputSchema, readStreams, aggregated = agg.isDefined,
+      coerceSchemas = coerceSchemas)
   }
 }
 
@@ -190,7 +193,8 @@ class ChScan(
     limit: Option[Int],
     out: StructType,
     readStreams: Int,
-    aggregated: Boolean = false)
+    aggregated: Boolean = false,
+    coerceSchemas: Boolean = true)
   extends Scan with Batch with SupportsRuntimeV2Filtering
   with SupportsReportStatistics {
 
@@ -247,6 +251,7 @@ class ChScan(
 
   def chClient: ClickHouseClient = client
   def chStreams: Int = readStreams
+  def chCoerce: Boolean = coerceSchemas
 
   override def filterAttributes(): Array[NamedReference] =
     out.fieldNames.map(org.apache.spark.sql.graft.bridge.namedRef)

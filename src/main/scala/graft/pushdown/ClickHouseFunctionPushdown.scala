@@ -118,7 +118,8 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
         .map { case (a, i) => s"${u.scope(a.exprId)} AS c$i" }
       val sql = s"SELECT ${finalCols.mkString(", ")} FROM (${u.sql}) AS fin$suffix"
       Some(ClickHouseRemoteNode(child.output, sql, scans.head.chClient,
-        scans.head.chStreams, remoteSizeEstimate(child, suffix)))
+        scans.head.chStreams, remoteSizeEstimate(child, suffix),
+        coerce = scans.forall(_.chCoerce)))
     }
   }
 

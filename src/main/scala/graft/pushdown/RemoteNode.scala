@@ -21,7 +21,8 @@ case class ClickHouseRemoteNode(
     sql: String,
     client: ClickHouseClient,
     streams: Int,
-    sizeEstimate: BigInt = BigInt(1) << 20)
+    sizeEstimate: BigInt = BigInt(1) << 20,
+    coerce: Boolean = true)
   extends LeafNode {
 
   // Shape-aware: the collapse rule passes an estimate derived from the
@@ -42,7 +43,7 @@ case class ClickHouseRemoteNode(
 object ClickHouseRemoteStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: ClickHouseRemoteNode =>
-      ClickHouseRemoteExec(n.output, n.sql, n.client, n.streams) :: Nil
+      ClickHouseRemoteExec(n.output, n.sql, n.client, n.streams, n.coerce) :: Nil
     case _ => Nil
   }
 }
@@ -57,7 +58,8 @@ case class ClickHouseRemoteExec(
     output: Seq[Attribute],
     sql: String,
     client: ClickHouseClient,
-    streams: Int)
+    streams: Int,
+    coerce: Boolean = true)
   extends SparkPlan with LeafExecNode {
 
   override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
@@ -72,6 +74,16 @@ case class ClickHouseRemoteExec(
     require(remoteSchema.length == output.length,
       s"remote arity ${remoteSchema.length} != plan arity ${output.length} for: $sql")
     val remote = StructType(remoteSchema.fields.map(f => f.copy(nullable = true)))
+    // opt-out schema coercion (the reference's per-catalog toggle,
+    // builders.rs:131-135): OFF = wire-type drift is an error, not a
+    // silent per-batch Cast projection
+    if (!coerce) {
+      val drift = expected.zip(remote.fields).zipWithIndex.collect {
+        case ((dt, f), i) if f.dataType != dt => s"col $i: remote ${f.dataType} != plan $dt"
+      }
+      require(drift.isEmpty,
+        s"remote schema drift with coerce_schemas=false for $sql: ${drift.mkString("; ")}")
+    }
     val cl = client
     sparkContext.parallelize(handles, math.max(1, handles.length)).mapPartitions { hs =>
       val toInternal = ExpressionEncoder(remote).createSerializer()

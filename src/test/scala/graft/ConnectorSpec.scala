@@ -210,6 +210,66 @@ class ConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE chconn.testdb.abort_t")
   }
 
+  test("catalog option grammar: unknown keys and mistyped values rejected (params.rs:22-69)") {
+    spark.conf.set("spark.sql.catalog.chbad", classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chbad.path", root)
+    spark.conf.set("spark.sql.catalog.chbad.bogus_knob", "42")
+    val e = intercept[Exception](spark.sql("SHOW TABLES IN chbad.testdb").collect())
+    assert(e.getMessage.contains("bogus_knob") && e.getMessage.contains("valid options"),
+      e.getMessage)
+    spark.conf.unset("spark.sql.catalog.chbad.bogus_knob")
+    spark.conf.set("spark.sql.catalog.chbad2", classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chbad2.path", root)
+    spark.conf.set("spark.sql.catalog.chbad2.pool_max_size", "lots")
+    val e2 = intercept[Exception](spark.sql("SHOW TABLES IN chbad2.testdb").collect())
+    assert(e2.getMessage.contains("pool_max_size") && e2.getMessage.contains("integer"),
+      e2.getMessage)
+    spark.conf.unset("spark.sql.catalog.chbad2.pool_max_size")
+    // full reference client/pool surface accepted (values moot for embedded)
+    spark.conf.set("spark.sql.catalog.chok", classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chok.path", root)
+    spark.conf.set("spark.sql.catalog.chok.endpoint", "localhost:9000")
+    spark.conf.set("spark.sql.catalog.chok.username", "default")
+    spark.conf.set("spark.sql.catalog.chok.use_tls", "false")
+    spark.conf.set("spark.sql.catalog.chok.pool_max_size", "8")
+    spark.conf.set("spark.sql.catalog.chok.coerce_schemas", "true")
+    assert(spark.sql("SHOW TABLES IN chok.testdb").collect().nonEmpty)
+  }
+
+  test("table property grammar: unknown TBLPROPERTIES rejected, full create surface accepted") {
+    val e = intercept[Exception](spark.sql(
+      """CREATE TABLE chconn.testdb.typo_t (x INT)
+        |TBLPROPERTIES ('engin' = 'MergeTree')""".stripMargin))
+    assert(e.getMessage.contains("engin") && e.getMessage.contains("valid"), e.getMessage)
+    // the reference's full create-option surface round-trips
+    spark.sql(
+      """CREATE TABLE chconn.testdb.full_opts (id BIGINT, ts TIMESTAMP)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id',
+        |  'partition_by' = 'toYYYYMM(ts)', 'primary_keys' = 'id',
+        |  'sampling' = 'intHash32(id)', 'ttl' = 'ts + INTERVAL 30 DAY',
+        |  'settings' = 'index_granularity=8192',
+        |  'defaults_for_nullable' = 'true')""".stripMargin)
+    val client = new EmbeddedClickHouse(root)
+    val opts = client.fetchTableOptions("testdb", "full_opts")
+    assert(opts("partition_by") == "toYYYYMM(ts)" && opts("sampling") == "intHash32(id)" &&
+      opts("ttl") == "ts + INTERVAL 30 DAY" && opts("defaults_for_nullable") == "true")
+    spark.sql("DROP TABLE chconn.testdb.full_opts")
+  }
+
+  test("coerce_schemas toggle: ON casts wire-schema drift, OFF fails fast (builders.rs:131-135)") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+    import graft.pushdown.ClickHouseRemoteExec
+    val client = new EmbeddedClickHouse(root)
+    // remote SELECT 1 comes back Int32; the plan declares Int64
+    val out = Seq(AttributeReference("v", LongType, nullable = true)())
+    val on = ClickHouseRemoteExec(out, "SELECT 1 AS v", client, 1, coerce = true)
+    assert(on.executeCollect().map(_.getLong(0)).toSeq == Seq(1L))
+    val off = ClickHouseRemoteExec(out, "SELECT 1 AS v", client, 1, coerce = false)
+    val e = intercept[Exception](off.executeCollect())
+    assert(e.getMessage.contains("coerce_schemas"), e.getMessage)
+  }
+
   test("filter compile probe: supported and unsupported shapes") {
     import org.apache.spark.sql.sources._
     assert(ChSql.compileFilter(EqualTo("a", 1)).contains("`a` = 1"))
