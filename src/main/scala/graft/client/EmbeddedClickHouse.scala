@@ -146,16 +146,19 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     * embedded store is a test double, and local-mode executors share the
     * driver's companion object.
     */
-  private def serverSession(): SparkSession = {
+  private def serverEntry(): EmbeddedClickHouse.CachedServer = {
     val active = SparkSession.active
     val v = EmbeddedClickHouse.storeVersion(root).get()
     val cached = EmbeddedClickHouse.sessionCache.get(connectionKey)
-    if (cached != null && cached.version == v && (cached.parent eq active)) return cached.session
-    val child = buildServerSession(active)
-    EmbeddedClickHouse.sessionCache.put(
-      connectionKey, EmbeddedClickHouse.CachedServer(child, v, active))
-    child
+    if (cached != null && cached.version == v && (cached.parent eq active)) return cached
+    val entry = EmbeddedClickHouse.CachedServer(
+      buildServerSession(active), v, active,
+      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame])
+    EmbeddedClickHouse.sessionCache.put(connectionKey, entry)
+    entry
   }
+
+  private def serverSession(): SparkSession = serverEntry().session
 
   private def buildServerSession(active: SparkSession): SparkSession = {
     val child = active.newSession()
@@ -196,9 +199,14 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     * A wire client would return shard cursor ids here instead.
     */
   override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
-    val spark = serverSession()
-    val translated = ChSqlTranslator.translate(sql, knownTables)
-    val df = spark.sql(translated)
+    val entry = serverEntry()
+    val spark = entry.session
+    // analyzed-plan cache: a server keeps prepared statements; repeated
+    // identical remote SQL (bench iterations, re-planned scans) skips
+    // parse+analysis. Keyed inside the per-version entry, so any store
+    // mutation drops it with the session.
+    val df = entry.dfCache.computeIfAbsent(sql, _ =>
+      spark.sql(ChSqlTranslator.translate(sql, knownTables)))
     val schema = df.schema
     val spillRoot = Paths.get(root, ".spill")
     cleanStaleSpills(spillRoot)
@@ -331,7 +339,8 @@ object EmbeddedClickHouse {
   private[client] val SpillTtlMillis: Long = 30L * 60 * 1000
 
   private[client] final case class CachedServer(
-      session: SparkSession, version: Long, parent: SparkSession)
+      session: SparkSession, version: Long, parent: SparkSession,
+      dfCache: java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame])
 
   private[client] val sessionCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedServer]

@@ -59,6 +59,15 @@ class ClickHouseTable(
     new ChWriteBuilder(client, db, table, info.schema(), writeConcurrency, writeBatchSize)
 }
 
+object ClickHouseTable {
+  /** Above this many values a runtime IN-list ships as its bounding range
+    * instead (the cap real engines apply to IN pushdown — giant literal
+    * lists cost more to parse remotely than they save, and SQL size must
+    * stay bounded no matter how large the build side is).
+    */
+  val RuntimeFilterMaxInValues = 1000
+}
+
 /** Pushdown-capable scan builder (mirrors sql.rs:215-239): filters are
   * pushed iff they compile to ClickHouse SQL ("exactness probe");
   * projection prunes the remote select list; limit / ORDER BY+LIMIT
@@ -259,8 +268,10 @@ class ChScan(
   override def filter(predicates: Array[Predicate]): Unit =
     // output aliases = output field names, so predicates compile against
     // `out` verbatim; non-compilable ones are skipped (Spark still applies
-    // the actual join — runtime filters only reduce rows shipped)
-    runtimeWhere = predicates.toSeq.flatMap(ChV2Exprs.compilePredicate(_, out))
+    // the actual join — runtime filters only reduce rows shipped). IN-lists
+    // above the cap degrade to their bounding range: O(1) SQL size.
+    runtimeWhere = predicates.toSeq.flatMap(
+      ChV2Exprs.compilePredicate(_, out, ClickHouseTable.RuntimeFilterMaxInValues))
 
   override def readSchema(): StructType = out
   override def description(): String = s"ClickHouseScan[$generatedSql]"

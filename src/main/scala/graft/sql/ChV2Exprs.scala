@@ -95,15 +95,31 @@ object ChV2Exprs {
     * applied (runtime filters are an optimization, never required for
     * correctness — Spark re-applies the join itself).
     */
-  def compilePredicate(p: Predicate, schema: StructType): Option[String] = {
+  def compilePredicate(
+      p: Predicate, schema: StructType, maxInValues: Int = Int.MaxValue): Option[String] = {
     def operands(g: GeneralScalarExpression): Array[V2Expression] = g.children()
     val kids = operands(p)
     p.name() match {
-      case "IN" if kids.length >= 2 =>
+      case "IN" if kids.length >= 2 && kids.length - 1 <= maxInValues =>
         for {
           col <- colSql(kids.head, schema)
           lits <- sequence(kids.tail.toSeq.map(literalSql))
         } yield s"$col IN (${lits.mkString(", ")})"
+      // an oversized runtime IN-list still narrows ordered keys via its
+      // bounding range — O(1) SQL size regardless of value count (real
+      // engines cap IN pushdown the same way; the join re-applies exactly)
+      case "IN" if kids.length >= 2 =>
+        val nums = kids.tail.toSeq.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value() != null && l.value().isInstanceOf[Number] =>
+            new java.math.BigDecimal(l.value().toString)
+        }
+        if (nums.length != kids.length - 1) None
+        else colSql(kids.head, schema).map { col =>
+          val lo = nums.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)
+          val hi = nums.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
+          s"($col >= $lo AND $col <= $hi)"
+        }
       case op @ ("=" | "<" | "<=" | ">" | ">=" | "<>") if kids.length == 2 =>
         for {
           col <- colSql(kids(0), schema)
