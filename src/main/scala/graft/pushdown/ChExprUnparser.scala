@@ -189,6 +189,20 @@ object ChExprUnparser {
           case Lead(in, off, dflt, false) =>
             for (i <- go(in); o <- go(off); d <- go(dflt))
               yield (s"leadInFrame($i, $o, $d)", OffsetFn)
+          case NTile(buckets) =>
+            go(buckets).map(b => (s"ntile($b)", RankingFn))
+          // Spark rewrites windowed first() into nth_value(x, 1); both
+          // dialects spell nth_value identically (1-based, frame-respecting)
+          case NthValue(in, off, false) =>
+            for (i <- go(in); o <- go(off)) yield (s"nth_value($i, $o)", AggFn)
+          // first/last are frame-respecting value functions in BOTH
+          // dialects (same names); only the respect-nulls default form
+          // unparses. NOT valid in the grouped-aggregate path — order
+          // comes from the window, never from a group.
+          case AggregateExpression(First(c, false), _, false, None, _) =>
+            go(c).map(s => (s"first_value($s)", AggFn))
+          case AggregateExpression(Last(c, false), _, false, None, _) =>
+            go(c).map(s => (s"last_value($s)", AggFn))
           case agg: AggregateExpression => go(agg).map(s => (s, AggFn))
           case _ => None
         }

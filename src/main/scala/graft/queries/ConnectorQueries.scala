@@ -297,6 +297,31 @@ object ConnectorQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           lag(col("o_totalprice"), 1, 0.0).over(w).as("prev_price"),
           lead(col("o_orderkey"), 1, -1).over(w).as("next_key"))
+    },
+
+    // value window functions collapse remotely: first_value/last_value
+    // with an explicit full frame (identical spelling in both dialects)
+    // and ntile bucketing
+    q("r18_remote_value_windows",
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+        |  last_value(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+        |  ntile(4) OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_orderdate, o_orderkey) AS quartile
+        |FROM orders WHERE o_custkey < 100""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      s.table("clickhouse.main.orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(full).as("first_key"),
+          last(col("o_orderkey")).over(full).as("last_key"),
+          ntile(4).over(base).as("quartile"))
     }
   )
 }

@@ -217,6 +217,27 @@ class PushdownSpec extends AnyFunSuite {
     assert(got == Set((1, "none", "Bob"), (2, "Alice", "Charlie"), (3, "Bob", "none")))
   }
 
+  test("first_value/last_value/ntile ship remotely") {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.orderBy(col("id"))
+    val full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val df = spark.table("chpd.db.people")
+      .select(col("id"),
+        first(col("name")).over(full).as("fv"),
+        last(col("name")).over(full).as("lv"),
+        ntile(2).over(base).as("half"))
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    // Spark canonicalizes windowed first() to nth_value(x, 1)
+    assert(execs.head.sql.contains("nth_value(") &&
+      execs.head.sql.contains("last_value(") && execs.head.sql.contains("ntile("),
+      execs.head.sql)
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(got == Set((1, "Alice", "Charlie", 1), (2, "Alice", "Charlie", 1),
+      (3, "Alice", "Charlie", 2)))
+  }
+
   test("windowed aggregate (running sum) ships remotely with explicit frame") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("id"))
