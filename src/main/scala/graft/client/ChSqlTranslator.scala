@@ -130,6 +130,15 @@ object ChSqlTranslator {
     s = rewriteCall(s, "toStartOfHour", args => s"date_trunc('hour', ${args.head})")
     s = rewriteCall(s, "toStartOfMinute", args => s"date_trunc('minute', ${args.head})")
     s = rewriteCall(s, "toDate", args => s"to_date(${args.head})")
+    s = rewriteCall(s, "toQuarter", args => s"quarter(${args.head})")
+    s = rewriteCall(s, "toDayOfYear", args => s"dayofyear(${args.head})")
+    s = rewriteCall(s, "toISOWeek", args => s"weekofyear(${args.head})")
+    // extended string family
+    s = rewriteCall(s, "leftPad", args => s"lpad(${args.mkString(", ")})")
+    s = rewriteCall(s, "rightPad", args => s"rpad(${args.mkString(", ")})")
+    s = rewriteCall(s, "trimLeft", args => s"ltrim(${args.head})")
+    s = rewriteCall(s, "trimRight", args => s"rtrim(${args.head})")
+    s = rewriteCall(s, "isNaN", args => s"isnan(${args.head})")
     // lagInFrame/leadInFrame → lag/lead; Spark REJECTS an explicit frame
     // on offset functions, so the forced full frame our unparser emits is
     // stripped from the OVER clause that follows

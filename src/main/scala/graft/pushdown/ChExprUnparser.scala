@@ -105,7 +105,14 @@ object ChExprUnparser {
       case Contains(l, r) =>
         for (ls <- go(l); rs <- go(r)) yield s"(position($ls, $rs) > 0)"
       case StringTrim(c, None) => fn("trimBoth", Seq(c))
+      case StringTrimLeft(c, None) => fn("trimLeft", Seq(c))
+      case StringTrimRight(c, None) => fn("trimRight", Seq(c))
       case StringReplace(s, f, r) => fn("replaceAll", Seq(s, f, r))
+      // reverse: both dialects reverse strings AND arrays elementwise
+      case Reverse(c) => fn("reverse", Seq(c))
+      case StringRepeat(s, n) => fn("repeat", Seq(s, n))
+      case StringLPad(s, l, p) => fn("leftPad", Seq(s, l, p))
+      case StringRPad(s, l, p) => fn("rightPad", Seq(s, l, p))
       // LIKE: both dialects use backslash escaping for % and _, so the
       // default escape char unparses exactly; a custom ESCAPE clause has
       // no ClickHouse equivalent → stays local
@@ -132,11 +139,30 @@ object ChExprUnparser {
       case Pmod(l, r, _) =>
         // pmod(a, b) = ((a % b) + b) % b; ClickHouse has positiveModulo
         fn("positiveModulo", Seq(l, r))
+      // trig/hyperbolic/sign family: identical names and IEEE semantics
+      case Sin(c) => fn("sin", Seq(c))
+      case Cos(c) => fn("cos", Seq(c))
+      case Tan(c) => fn("tan", Seq(c))
+      case Asin(c) => fn("asin", Seq(c))
+      case Acos(c) => fn("acos", Seq(c))
+      case Atan(c) => fn("atan", Seq(c))
+      case Atan2(l, r) => fn("atan2", Seq(l, r))
+      case Sinh(c) => fn("sinh", Seq(c))
+      case Cosh(c) => fn("cosh", Seq(c))
+      case Tanh(c) => fn("tanh", Seq(c))
+      case Signum(c) => fn("sign", Seq(c))
+      case Cbrt(c) => fn("cbrt", Seq(c))
+      case IsNaN(c) => fn("isNaN", Seq(c))
 
       // ---- date/time ----
       case Year(c) => fn("toYear", Seq(c))
+      case Quarter(c) => fn("toQuarter", Seq(c))
       case Month(c) => fn("toMonth", Seq(c))
       case DayOfMonth(c) => fn("toDayOfMonth", Seq(c))
+      case DayOfYear(c) => fn("toDayOfYear", Seq(c))
+      // Spark weekofyear is the ISO week — toISOWeek, NOT toWeek
+      case WeekOfYear(c) => fn("toISOWeek", Seq(c))
+      // NOT DayOfWeek: Spark counts 1=Sunday, ClickHouse 1=Monday — stays local
       case Hour(c, _) => fn("toHour", Seq(c))
       case Minute(c, _) => fn("toMinute", Seq(c))
       case Second(c, _) => fn("toSecond", Seq(c))

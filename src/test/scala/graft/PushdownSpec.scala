@@ -238,6 +238,41 @@ class PushdownSpec extends AnyFunSuite {
       (3, "Alice", "Charlie", 2)))
   }
 
+  test("extended scalar surface ships remotely: trig/string/date families end-to-end") {
+    val client = new EmbeddedClickHouse(root)
+    if (!client.tableExists("db", "evts")) {
+      client.createTable("db", "evts",
+        Seq("id" -> "Int32", "ts" -> "DateTime64(3)"), Map("engine" -> "MergeTree"))
+      client.insert("db", "evts", client.sparkSchema("db", "evts"),
+        Seq(Row(1, java.sql.Timestamp.valueOf("2024-05-15 10:30:00")),
+          Row(2, java.sql.Timestamp.valueOf("2024-11-02 23:10:00"))))
+    }
+    val df = spark.table("chpd.db.evts")
+      .select(col("id"),
+        clickhouse(sin(col("id").cast("double")), "Float64").as("s"),
+        clickhouse(atan2(col("id").cast("double"), lit(2.0)), "Float64").as("a2"),
+        clickhouse(signum(col("id").cast("double")), "Float64").as("sg"),
+        clickhouse(lpad(col("id").cast("string"), 3, "*"), "String").as("pad"),
+        clickhouse(repeat(col("id").cast("string"), 2), "String").as("rep"),
+        clickhouse(reverse(concat(col("id").cast("string"), lit("bc"))), "String").as("rev"),
+        clickhouse(quarter(col("ts")), "Int32").as("q"),
+        clickhouse(dayofyear(col("ts")), "Int32").as("doy"),
+        clickhouse(weekofyear(col("ts")), "Int32").as("wk"))
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    val sql = execs.head.sql
+    for (f <- Seq("sin(", "atan2(", "sign(", "leftPad(", "repeat(", "reverse(",
+      "toQuarter(", "toDayOfYear(", "toISOWeek("))
+      assert(sql.contains(f), s"$f missing from: $sql")
+    val got = df.collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(3),
+      r.getString(4), r.getString(5), r.getString(6), r.getInt(7), r.getInt(8))).sortBy(_._1)
+    val r1 = got(0)
+    assert(math.abs(r1._2 - math.sin(1.0)) < 1e-12)
+    assert(r1._3 == 1.0 && r1._4 == "**1" && r1._5 == "11" && r1._6 == "cb1")
+    assert(r1._7 == 2 && r1._8 == 136) // 2024-05-15: Q2, day 136
+    assert(got(1)._7 == 4) // November: Q4
+  }
+
   test("windowed aggregate (running sum) ships remotely with explicit frame") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("id"))
@@ -320,6 +355,19 @@ class PushdownSpec extends AnyFunSuite {
     assert(execs.exists(_.sql.contains("UNION ALL")), execs.map(_.sql))
     val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(got == Map(1 -> 2L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("INTERSECT/EXCEPT of two remote tables collapse (semi/anti rewrite + distinct)") {
+    val inter = spark.table("chpd.db.people").select("id")
+      .intersect(spark.table("chpd.db.knicknames").select("id"))
+    assert(remoteExecs(inter).nonEmpty,
+      s"INTERSECT did not collapse:\n${inter.queryExecution.executedPlan}")
+    assert(inter.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    val except = spark.table("chpd.db.people").select("id")
+      .except(spark.table("chpd.db.knicknames").select("id"))
+    assert(remoteExecs(except).nonEmpty,
+      s"EXCEPT did not collapse:\n${except.queryExecution.executedPlan}")
+    assert(except.collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
   test("clickhouse_eval splices raw remote syntax (udfs/eval.rs)") {
