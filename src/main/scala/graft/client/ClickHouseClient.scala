@@ -69,6 +69,18 @@ trait ClickHouseClient extends Serializable {
     */
   def readPartition(handle: ChPartitionHandle): Iterator[Row]
 
+  /** Internal-format variant for the scan/exec hot path: a wire client
+    * decodes blocks straight to InternalRow (no external-row detour).
+    * Default adapts the external iterator; native transports override.
+    */
+  def readPartitionInternal(
+      handle: ChPartitionHandle,
+      schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(schema)
+      .createSerializer()
+    readPartition(handle).map(r => ser(r).copy())
+  }
+
   /** Driver-side convenience (tests, one-row scalar folds): materializes
     * the whole result — never use on the scan/exec path.
     */

@@ -215,17 +215,19 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     val dirStr = dir.toString
     // honor the requested stream count for un-ordered results (a server
     // fans even small results across max_threads streams); an ORDER BY
-    // result keeps its range partitioning so global order survives
-    val rdd0 = df.rdd
-    val rdd =
-      if (rdd0.getNumPartitions < numStreams && !sql.toUpperCase.contains("ORDER BY"))
-        df.repartition(numStreams).rdd
-      else rdd0
-    val files = rdd.mapPartitionsWithIndex { (i, it) =>
+    // result keeps its range partitioning so global order survives.
+    // toRdd = INTERNAL rows: spill is UnsafeRow bytes, no external-row
+    // conversion on either side of the "wire"
+    val source =
+      if (df.rdd.getNumPartitions < numStreams && !sql.toUpperCase.contains("ORDER BY"))
+        df.repartition(numStreams)
+      else df
+    val internal = source.queryExecution.toRdd
+    val files = internal.mapPartitionsWithIndex { (i, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val f = Paths.get(dirStr, f"stream-$i%05d.rows")
-        RowSpill.write(f, it)
+        RowSpill.write(f, schema, it)
         Iterator.single(f.toString)
       }
     }.collect().toSeq.sorted
@@ -236,11 +238,26 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         val chunk = math.max(1, (files.length + n - 1) / n)
         files.grouped(chunk).toSeq
       }
-    (schema, groups.map(g => ChSpillHandle(g)))
+    (schema, groups.map(g => ChSpillHandle(g, schema.length, schema.json)))
   }
 
+  override def readPartitionInternal(
+      handle: ChPartitionHandle,
+      schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    handle match {
+      case ChSpillHandle(files, numFields, _) =>
+        files.iterator.flatMap(f => RowSpill.read(Paths.get(f), numFields))
+      case other => throw new IllegalArgumentException(
+        s"not an embedded-store handle: ${other.getClass.getName}")
+    }
+
   override def readPartition(handle: ChPartitionHandle): Iterator[Row] = handle match {
-    case ChSpillHandle(files) => files.iterator.flatMap(f => RowSpill.read(Paths.get(f)))
+    case h @ ChSpillHandle(_, _, schemaJson) =>
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType]
+      val de = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(schema)
+        .resolveAndBind().createDeserializer()
+      readPartitionInternal(h, schema).map(de(_))
     case other => throw new IllegalArgumentException(
       s"not an embedded-store handle: ${other.getClass.getName}")
   }
@@ -332,8 +349,12 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   private def invalidate(): Unit = EmbeddedClickHouse.invalidate(root)
 }
 
-/** Embedded-store partition handle: one contiguous group of spill files. */
-final case class ChSpillHandle(files: Seq[String]) extends ChPartitionHandle
+/** Embedded-store partition handle: one contiguous group of spill files
+  * plus the result schema (field count for the UnsafeRow reader; JSON for
+  * external-row adaptation).
+  */
+final case class ChSpillHandle(files: Seq[String], numFields: Int, schemaJson: String)
+  extends ChPartitionHandle
 
 object EmbeddedClickHouse {
   private[client] val SpillTtlMillis: Long = 30L * 60 * 1000

@@ -1,57 +1,75 @@
 package graft.client
 
-import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, ObjectInputStream, ObjectOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
 import java.nio.file.{Files, Path}
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.types.StructType
 
 /** Streamed row spill for the embedded transport: executors write their
-  * result partitions as length-unknown sequences of value arrays; readers
+  * result partitions as length-prefixed UnsafeRow byte images; readers
   * pull them back one row at a time with O(1) memory. This is the
   * embedded stand-in for a wire protocol's per-stream block cursor — the
-  * full result is never resident on any single node, matching the
-  * reference's incremental `RecordBatchStream` emission
-  * (/root/reference/src/stream.rs:21-43).
+  * full result is never resident on any single node, and rows move in
+  * Spark's INTERNAL format end to end (a wire client likewise decodes
+  * blocks straight to InternalRow), matching the reference's incremental
+  * `RecordBatchStream` emission (/root/reference/src/stream.rs:21-43).
   *
-  * Format: Java-serialized `Array[Any]` per row (external Spark types:
-  * String/Timestamp/BigDecimal/Seq/...), stream reset every [[ResetEvery]]
-  * rows so the back-reference table stays bounded; EOF terminates.
+  * Format per row: 4-byte big-endian length, then the UnsafeRow bytes.
+  * Length 0 never occurs (UnsafeRow has a fixed-width null bitset), so
+  * EOF cleanly terminates.
   */
 object RowSpill {
 
-  private val ResetEvery = 512
-
-  /** Write all of `rows` to `path`; returns the row count. */
-  def write(path: Path, rows: Iterator[Row]): Long = {
-    val oos = new ObjectOutputStream(
+  /** Write all of `rows` (any InternalRow; converted to UnsafeRow if
+    * needed) to `path`; returns the row count.
+    */
+  def write(path: Path, schema: StructType, rows: Iterator[InternalRow]): Long = {
+    val out = new DataOutputStream(
       new BufferedOutputStream(Files.newOutputStream(path), 1 << 16))
+    // rows from a codegen pipeline are UnsafeRow already; anything else
+    // (e.g. a LocalTableScan) converts once here
+    lazy val toUnsafe = UnsafeProjection.create(schema)
     var n = 0L
     try {
       rows.foreach { r =>
-        oos.writeObject(r.toSeq.toArray)
+        val u = r match {
+          case u: UnsafeRow => u
+          case other => toUnsafe(other)
+        }
+        val bytes = u.getBytes
+        out.writeInt(bytes.length)
+        out.write(bytes)
         n += 1
-        if (n % ResetEvery == 0) oos.reset()
       }
-    } finally oos.close()
+    } finally out.close()
     n
   }
 
-  /** Lazily stream rows back from `path` (opens on first `hasNext`). */
-  def read(path: Path): Iterator[Row] = new Iterator[Row] {
-    private var ois: ObjectInputStream = _
-    private var nextRow: Row = _
+  /** Lazily stream UnsafeRows back from `path` (opens on first hasNext).
+    * Each returned row is freshly backed — safe to buffer downstream.
+    */
+  def read(path: Path, numFields: Int): Iterator[InternalRow] = new Iterator[InternalRow] {
+    private var in: DataInputStream = _
+    private var nextRow: UnsafeRow = _
     private var finished = false
 
     private def advance(): Unit = {
-      if (ois == null)
-        ois = new ObjectInputStream(
+      if (in == null)
+        in = new DataInputStream(
           new BufferedInputStream(Files.newInputStream(path), 1 << 16))
-      try nextRow = Row.fromSeq(
-        ois.readObject().asInstanceOf[Array[Any]].toSeq)
-      catch {
+      try {
+        val len = in.readInt()
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        val row = new UnsafeRow(numFields)
+        row.pointTo(bytes, len)
+        nextRow = row
+      } catch {
         case _: EOFException =>
           finished = true
-          ois.close()
+          in.close()
       }
     }
 
@@ -60,7 +78,7 @@ object RowSpill {
       !finished
     }
 
-    override def next(): Row = {
+    override def next(): InternalRow = {
       if (!hasNext) throw new NoSuchElementException
       val r = nextRow
       nextRow = null

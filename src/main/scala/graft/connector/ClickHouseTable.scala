@@ -299,25 +299,24 @@ class ChScan(
 final case class ChInputPartition(handle: graft.client.ChPartitionHandle)
   extends InputPartition
 
-/** Executor-side reader: deserializes with the client and pulls the
-  * handle's stream incrementally. For the empty projection (COUNT(*),
-  * remote SQL `SELECT 1 FROM t`, sql.rs:259-276) only the row COUNT
-  * matters — each pulled row becomes an empty InternalRow.
+/** Executor-side reader: pulls the handle's stream incrementally in
+  * INTERNAL format (no external-row detour — the transport decodes
+  * straight to InternalRow). For the empty projection (COUNT(*), remote
+  * SQL `SELECT 1 FROM t`, sql.rs:259-276) only the row COUNT matters —
+  * each pulled row becomes an empty InternalRow.
   */
 class ChReaderFactory(client: ClickHouseClient, schema: StructType)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val handle = partition.asInstanceOf[ChInputPartition].handle
     new PartitionReader[InternalRow] {
-      private val toInternal =
-        if (schema.isEmpty) null else ExpressionEncoder(schema).createSerializer()
-      private lazy val it = client.readPartition(handle)
+      private lazy val it = client.readPartitionInternal(handle, schema)
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) false
         else {
           val r = it.next()
-          current = if (toInternal == null) InternalRow.empty else toInternal(r)
+          current = if (schema.isEmpty) InternalRow.empty else r
           true
         }
       }

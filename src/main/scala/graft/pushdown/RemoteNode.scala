@@ -85,18 +85,27 @@ case class ClickHouseRemoteExec(
         s"remote schema drift with coerce_schemas=false for $sql: ${drift.mkString("; ")}")
     }
     val cl = client
+    val needsProjection = expected.zip(remote.fields).exists { case (dt, f) => f.dataType != dt }
     sparkContext.parallelize(handles, math.max(1, handles.length)).mapPartitions { hs =>
-      val toInternal = ExpressionEncoder(remote).createSerializer()
-      val projExprs = expected.zipWithIndex.map { case (dt, i) =>
-        val ref = BoundReference(i, remote(i).dataType, nullable = true)
-        if (remote(i).dataType == dt) ref
-        else Cast(ref, dt, Some(java.time.ZoneOffset.UTC.getId))
+      if (!needsProjection)
+        // internal rows pass through untouched — the transport decoded
+        // them into exactly the plan's format
+        hs.flatMap(h => cl.readPartitionInternal(h, remote).map { r =>
+          numOutputRows += 1
+          r
+        })
+      else {
+        val projExprs = expected.zipWithIndex.map { case (dt, i) =>
+          val ref = BoundReference(i, remote(i).dataType, nullable = true)
+          if (remote(i).dataType == dt) ref
+          else Cast(ref, dt, Some(java.time.ZoneOffset.UTC.getId))
+        }
+        val proj = UnsafeProjection.create(projExprs)
+        hs.flatMap(h => cl.readPartitionInternal(h, remote).map { r =>
+          numOutputRows += 1
+          proj(r).copy(): InternalRow
+        })
       }
-      val proj = UnsafeProjection.create(projExprs)
-      hs.flatMap(h => cl.readPartition(h).map { r =>
-        numOutputRows += 1
-        proj(toInternal(r)).copy(): InternalRow
-      })
     }
   }
 
