@@ -113,6 +113,15 @@ trait ClickHouseClient extends Serializable {
 
   /** Discard everything staged under `stagingId` (task abort / job abort). */
   def abortStaged(db: String, table: String, stagingId: String): Unit
+
+  /** Atomically record that a streaming epoch committed; returns false if
+    * the marker already existed (a replayed epoch — the caller must drop
+    * its re-staged parts instead of publishing). Transports without a
+    * durable marker may return true (at-least-once), but the embedded
+    * store and any real server (e.g. a keeper-backed insert token) give
+    * exactly-once.
+    */
+  def tryMarkEpochCommitted(db: String, table: String, marker: String): Boolean = true
 }
 
 /** Opaque per-stream result handle; implementations carry whatever

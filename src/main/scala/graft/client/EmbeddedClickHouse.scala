@@ -340,6 +340,14 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   override def abortStaged(db: String, table: String, stagingId: String): Unit =
     deleteRecursively(stagingPath(db, table, stagingId))
 
+  override def tryMarkEpochCommitted(db: String, table: String, marker: String): Boolean = {
+    require(!marker.contains("/") && !marker.contains(".."), s"invalid marker: $marker")
+    val dir = tablePath(db, table).resolve(".epochs")
+    Files.createDirectories(dir)
+    try { Files.createFile(dir.resolve(marker)); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)

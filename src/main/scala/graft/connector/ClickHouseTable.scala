@@ -50,13 +50,15 @@ class ClickHouseTable(
   override def name(): String = s"$db.$table"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChScanBuilder(client, db, table, tableSchema, readStreams, coerceSchemas)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ChWriteBuilder(client, db, table, info.schema(), writeConcurrency, writeBatchSize)
+    new ChWriteBuilder(client, db, table, info.schema(), writeConcurrency,
+      writeBatchSize, info.queryId())
 }
 
 object ClickHouseTable {
@@ -336,12 +338,20 @@ class ChWriteBuilder(
     table: String,
     inputSchema: StructType,
     writeConcurrency: Int,
-    batchSize: Int)
+    batchSize: Int,
+    queryId: String = "batch")
   extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ChBatchWrite(client, db, table, inputSchema, writeConcurrency, batchSize)
+
+    // continuous ingest without foreachBatch: writeStream.toTable lands
+    // micro-batches through the same staged protocol, exactly-once per
+    // epoch (SURVEY §2.10's "expose the sink as a StreamingWrite")
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new ChStreamingWrite(client, db, table, inputSchema, writeConcurrency,
+        batchSize, queryId)
 
     // the reference returns the inserted count as a one-row result batch
     // (examples/99:295-304); Spark DML returns no rows, so the count
@@ -350,6 +360,54 @@ class ChWriteBuilder(
     override def supportedCustomMetrics(): Array[CustomMetric] =
       Array(new ChRowsInsertedMetric)
   }
+}
+
+/** Epoch-aware streaming sink over the staged-insert protocol. Spark may
+  * REPLAY an epoch after a failure (commit-then-crash before checkpoint
+  * advance): the first commit of each (queryId, epoch) publishes and
+  * records a marker in the store; replays see the marker and discard
+  * their re-staged parts — exactly-once end to end.
+  */
+class ChStreamingWrite(
+    client: ClickHouseClient,
+    db: String,
+    table: String,
+    schema: StructType,
+    writeConcurrency: Int,
+    batchSize: Int,
+    queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val factory =
+    new ChDataWriterFactory(client, db, table, schema, writeConcurrency, batchSize)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new ChStreamingDataWriterFactory(factory)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val first = client.tryMarkEpochCommitted(db, table, s"$queryId-$epochId")
+    messages.foreach {
+      case ChStagedCommit(stagingId, _) =>
+        if (first) client.commitStaged(db, table, stagingId)
+        else client.abortStaged(db, table, stagingId) // replayed epoch: drop
+      case _ => ()
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ChStagedCommit(stagingId, _) => client.abortStaged(db, table, stagingId)
+      case _ => ()
+    }
+}
+
+class ChStreamingDataWriterFactory(factory: ChDataWriterFactory)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    factory.createWriterWithId(
+      s"epoch-$epochId-task-$partitionId-$taskId-${java.util.UUID.randomUUID.toString.take(8)}")
 }
 
 /** Sum-aggregated "rows inserted" metric reported by every write task. */
@@ -412,11 +470,14 @@ class ChDataWriterFactory(
     batchSize: Int) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    // task-ATTEMPT-scoped: retries/speculation get fresh ids, so an
+    // abandoned attempt's staged parts can never be published
+    createWriterWithId(
+      s"task-$partitionId-$taskId-${java.util.UUID.randomUUID.toString.take(8)}")
+
+  private[connector] def createWriterWithId(id: String): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      // task-ATTEMPT-scoped: retries/speculation get fresh ids, so an
-      // abandoned attempt's staged parts can never be published
-      private val stagingId =
-        s"task-$partitionId-$taskId-${java.util.UUID.randomUUID.toString.take(8)}"
+      private val stagingId = id
       private val toRow =
         ExpressionEncoder(schema).resolveAndBind().createDeserializer()
       private val buf = new scala.collection.mutable.ArrayBuffer[Row](batchSize)

@@ -48,6 +48,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("writeStream.toTable lands micro-batches in the connector exactly-once") {
+    import graft.client.EmbeddedClickHouse
+    val root = java.nio.file.Files.createTempDirectory("graft_swsink_").toString
+    spark.conf.set("spark.sql.catalog.chsws", classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chsws.path", root)
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("db", "sink",
+      Seq("user_id" -> "Nullable(Int64)", "event_type" -> "Nullable(String)"),
+      Map("engine" -> "MergeTree"))
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sws_in_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val ck = java.nio.file.Files.createTempDirectory("graft_sws_ck_").toString
+    // DIRECT DSv2 streaming write — no foreachBatch; the sink is the
+    // table's own StreamingWrite (staged parts, epoch markers)
+    val q = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("chsws.db.sink")
+    q.awaitTermination()
+    val streamed = spark.table("chsws.db.sink").count()
+    val batch = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(streamed == batch, s"streamed $streamed vs batch $batch rows")
+    // epoch replay (commit-then-crash-before-checkpoint): a second commit
+    // of the SAME epoch must drop its re-staged parts, not duplicate
+    val schema = client.sparkSchema("db", "sink")
+    import org.apache.spark.sql.Row
+    client.stageInsert("db", "sink", schema, Seq(Row(999L, "replay")), "replay-stage-1")
+    val sw = new graft.connector.ChStreamingWrite(
+      client, "db", "sink", schema, 1, 100, "qidX")
+    sw.commit(7L, Array(graft.connector.ChStagedCommit("replay-stage-1", 1)))
+    val afterFirst = spark.table("chsws.db.sink").count()
+    assert(afterFirst == batch + 1)
+    client.stageInsert("db", "sink", schema, Seq(Row(999L, "replay")), "replay-stage-2")
+    sw.commit(7L, Array(graft.connector.ChStagedCommit("replay-stage-2", 1)))
+    assert(spark.table("chsws.db.sink").count() == batch + 1,
+      "replayed epoch duplicated rows")
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) matches the batch answer") {
     import graft.streaming.StreamingOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
