@@ -299,6 +299,39 @@ object ConnectorQueries {
           lead(col("o_orderkey"), 1, -1).over(w).as("next_key"))
     },
 
+    // DIRECT streaming sink (no foreachBatch): writeStream.toTable lands
+    // micro-batches through the table's own StreamingWrite — staged parts
+    // + epoch markers give exactly-once; readback aggregates through the
+    // connector scan and hash-matches the batch oracle
+    q("r19_stream_totable_sink",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.ev_totable")
+      s.sql(
+        """CREATE TABLE clickhouse.main.ev_totable
+          |(event_type STRING, k BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree')""".stripMargin)
+      val stream = StreamingQueries.eventsStream(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else sys.props("java.io.tmpdir")
+      val ck = s"$ckBase/graft_ck_totable_${System.nanoTime()}"
+      try {
+        val q = stream.writeStream
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("clickhouse.main.ev_totable")
+        q.awaitTermination()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      }
+      s.table("clickhouse.main.ev_totable")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+    },
+
     // value window functions collapse remotely: first_value/last_value
     // with an explicit full frame (identical spelling in both dialects)
     // and ntile bucketing

@@ -333,6 +333,20 @@ class PushdownSpec extends AnyFunSuite {
       Seq((3, "CHARLIE"), (2, "BOB")))
   }
 
+  test("top-k OVER a collapsed aggregate ships ORDER BY + LIMIT remotely") {
+    val df = spark.table("chpd.db.people")
+      .groupBy((col("id") % 2).as("parity"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("parity"))
+      .limit(1)
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    assert(execs.head.sql.contains("GROUP BY") && execs.head.sql.contains("ORDER BY") &&
+      execs.head.sql.contains("LIMIT 1"), execs.head.sql)
+    val r = df.collect().head
+    assert(r.getInt(0) == 1 && r.getLong(1) == 2L) // parity 1: Alice, Charlie
+  }
+
   test("pure remote LIMIT (no sort) ships into the collapsed SQL") {
     val df = spark.table("chpd.db.people")
       .select(clickhouse(upper(col("name")), "String").as("uname"))
