@@ -30,7 +30,14 @@ object ChSqlTranslator {
     "toFloat64" -> "double",
     "toString" -> "string",
     "modulo" -> "mod",
-    "intDiv" -> "div")
+    "intDiv" -> "div",
+    // statistical aggregates (scan-level complete pushdown)
+    "varSamp" -> "var_samp",
+    "varPop" -> "var_pop",
+    "stddevSamp" -> "stddev_samp",
+    "stddevPop" -> "stddev_pop",
+    "covarSamp" -> "covar_samp",
+    "covarPop" -> "covar_pop")
 
   def translate(chSql: String, tables: Seq[(String, String)]): String = {
     var s = chSql

@@ -90,6 +90,7 @@ class ChScanBuilder(
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
   with SupportsPushDownTopN
+  with SupportsPushDownOffset
   with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
@@ -97,6 +98,7 @@ class ChScanBuilder(
   private var compiled: Seq[String] = Seq.empty
   private var hadResidual = false
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
   private var orderBy: Seq[String] = Seq.empty
   // (groupBy column fields, aggregate (sql, field) pairs)
   private var agg: Option[(Seq[StructField], Seq[(String, StructField)])] = None
@@ -118,6 +120,15 @@ class ChScanBuilder(
     // only safe to push when all filters were pushed too (otherwise the
     // remote LIMIT truncates before the residual local filter runs)
     if (!hadResidual && limit.isEmpty) { limit = Some(l); true }
+    else false
+  }
+
+  /** OFFSET composes with pushed LIMIT / top-k: the remote engine skips
+    * `offset` rows before applying the limit — `LIMIT n OFFSET m` means
+    * the same thing in both dialects. Same residual guard as LIMIT.
+    */
+  override def pushOffset(o: Int): Boolean = {
+    if (!hadResidual && offset.isEmpty) { offset = Some(o); true }
     else false
   }
 
@@ -180,7 +191,7 @@ class ChScanBuilder(
     val groupBy = agg.fold(Seq.empty[String])(_._1.map(g => ChSql.quoteIdent(g.name)))
     new ChScan(client, db, table, select, compiled, groupBy, orderBy, limit,
       outputSchema, readStreams, aggregated = agg.isDefined,
-      coerceSchemas = coerceSchemas)
+      coerceSchemas = coerceSchemas, offset = offset)
   }
 }
 
@@ -205,7 +216,8 @@ class ChScan(
     out: StructType,
     readStreams: Int,
     aggregated: Boolean = false,
-    coerceSchemas: Boolean = true)
+    coerceSchemas: Boolean = true,
+    offset: Option[Int] = None)
   extends Scan with Batch with SupportsRuntimeV2Filtering
   with SupportsReportStatistics {
 
@@ -248,7 +260,10 @@ class ChScan(
     if (allWhere.nonEmpty) b.append(" WHERE ").append(allWhere.mkString(" AND "))
     if (groupBy.nonEmpty) b.append(" GROUP BY ").append(groupBy.mkString(", "))
     if (orderBy.nonEmpty) b.append(" ORDER BY ").append(orderBy.mkString(", "))
-    limit.foreach(n => b.append(s" LIMIT $n"))
+    // DSv2 hands us limit = n + offset (limit counted BEFORE the skip);
+    // SQL's OFFSET applies first, so the emitted LIMIT subtracts it
+    limit.foreach(n => b.append(s" LIMIT ${n - offset.getOrElse(0)}"))
+    offset.foreach(m => b.append(s" OFFSET $m"))
     b.toString
   }
 
@@ -257,7 +272,8 @@ class ChScan(
     */
   def generatedSql: String =
     if (runtimeWhere.isEmpty) baseSql(Seq.empty)
-    else if (groupBy.isEmpty && orderBy.isEmpty && limit.isEmpty) baseSql(runtimeWhere)
+    else if (groupBy.isEmpty && orderBy.isEmpty && limit.isEmpty && offset.isEmpty)
+      baseSql(runtimeWhere)
     else s"SELECT * FROM (${baseSql(Seq.empty)}) AS __rf WHERE ${runtimeWhere.mkString(" AND ")}"
 
   def chClient: ClickHouseClient = client

@@ -77,6 +77,38 @@ object ChV2Exprs {
             val d = if (a.isDistinct) "DISTINCT " else ""
             (s"avg($d${ChSql.quoteIdent(fld.name)})", StructField("agg", DoubleType))
         }
+      // statistical aggregates: ClickHouse computes them over Float64
+      // exactly like Spark's double-based implementations
+      case g: GeneralAggregateFunc if !g.isDistinct =>
+        val chName = g.name() match {
+          case "VAR_POP" => Some("varPop")
+          case "VAR_SAMP" => Some("varSamp")
+          case "STDDEV_POP" => Some("stddevPop")
+          case "STDDEV_SAMP" => Some("stddevSamp")
+          case "COVAR_POP" => Some("covarPop")
+          case "COVAR_SAMP" => Some("covarSamp")
+          case "CORR" => Some("corr")
+          case _ => None
+        }
+        // Spark wraps integral inputs in CAST(col AS double) — compile
+        // the cast through (ClickHouse computes over Float64 either way)
+        def numericInput(e: V2Expression): Option[String] = e match {
+          case c: org.apache.spark.sql.connector.expressions.Cast =>
+            for {
+              f <- columnRef(c.expression(), schema)
+              if f.dataType.isInstanceOf[NumericType]
+              t <- scala.util.Try(graft.types.ClickHouseType.render(c.dataType())).toOption
+            } yield s"CAST(${ChSql.quoteIdent(f.name)} AS $t)"
+          case other =>
+            columnRef(other, schema)
+              .filter(_.dataType.isInstanceOf[NumericType])
+              .map(f => ChSql.quoteIdent(f.name))
+        }
+        for {
+          n <- chName
+          cols <- sequence(g.children().toSeq.map(numericInput))
+          if cols.nonEmpty
+        } yield (s"$n(${cols.mkString(", ")})", StructField("agg", DoubleType))
       case _ => None
     }
   }

@@ -99,6 +99,30 @@ class ScanPushdownSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("b", "c"))
   }
 
+  test("statistical aggregates push completely (var/stddev/corr)") {
+    val df = spark.sql(
+      """SELECT var_samp(price) AS vs, stddev_pop(price) AS sp, corr(price, qty) AS c
+        |FROM chspd.db.sales""".stripMargin)
+    val sql = chScans(df).head.generatedSql
+    assert(sql.contains("varSamp(`price`)") && sql.contains("stddevPop(`price`)") &&
+      sql.contains("corr(`price`, CAST(`qty` AS Float64))"), s"remote SQL: $sql")
+    val r = df.collect().head
+    val prices = Seq(10.0, 20.0, 5.0, 1.0, 2.5, 7.0)
+    val mean = prices.sum / prices.length
+    val varS = prices.map(p => (p - mean) * (p - mean)).sum / (prices.length - 1)
+    assert(math.abs(r.getDouble(0) - varS) < 1e-9)
+    assert(math.abs(r.getDouble(1) - math.sqrt(varS * (prices.length - 1) / prices.length)) < 1e-9)
+    assert(r.getDouble(2).abs <= 1.0)
+  }
+
+  test("OFFSET pushes with LIMIT and top-k into the scan SQL") {
+    val paged = spark.sql(
+      "SELECT item, qty FROM chspd.db.sales ORDER BY qty DESC, item LIMIT 2 OFFSET 1")
+    val sql = chScans(paged).head.generatedSql
+    assert(sql.contains("LIMIT 2") && sql.contains("OFFSET 1"), s"paging not pushed: $sql")
+    assert(paged.collect().map(_.getString(0)).toSeq == Seq("c", "a"))
+  }
+
   test("runtime filter from a federated broadcast join narrows the remote scan") {
     import spark.implicits._
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
