@@ -333,6 +333,17 @@ class PushdownSpec extends AnyFunSuite {
       Seq((3, "CHARLIE"), (2, "BOB")))
   }
 
+  test("HAVING over a remote aggregate collapses (Filter-over-Aggregate)") {
+    val df = spark.sql(
+      """SELECT id % 2 AS parity, count(*) AS n FROM chpd.db.people
+        |GROUP BY id % 2 HAVING count(*) > 1""".stripMargin)
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    assert(execs.head.sql.contains("GROUP BY"), execs.head.sql)
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((1, 2L)))
+  }
+
   test("top-k OVER a collapsed aggregate ships ORDER BY + LIMIT remotely") {
     val df = spark.table("chpd.db.people")
       .groupBy((col("id") % 2).as("parity"))
