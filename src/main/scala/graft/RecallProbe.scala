@@ -23,22 +23,8 @@ object RecallProbe {
     val probes = e.filter(col("vec_id") < 100)
     val corpus = e.repartition(8)
 
-    def exactTop5: DataFrame = {
-      val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-        .withColumn("pn", graft.ops.vector.vec_norm_sq(col("pe")))
-      val n = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-        .withColumn("nn", graft.ops.vector.vec_norm_sq(col("ne")))
-      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-      broadcast(p).join(n, col("probe_id") =!= col("neighbor_id"))
-        .select(col("probe_id"), col("neighbor_id"),
-          (graft.ops.vector.vec_dot(col("pe"), col("ne")) /
-            sqrt(col("pn") * col("nn"))).as("cos"))
-        .select(col("probe_id"), col("neighbor_id"), row_number().over(w).as("rank"))
-        .filter(col("rank") <= 5)
-        .select("probe_id", "neighbor_id")
-    }
-
-    val exact = exactTop5.cache()
+    // the gates' own baseline — shared so the sweep can't drift from s03/s04
+    val exact = graft.queries.SimilarityQueries.exactTop5(spark).cache()
     val total = exact.count().toDouble
 
     def recall(ann: DataFrame): Double =

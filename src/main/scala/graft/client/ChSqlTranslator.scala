@@ -140,7 +140,10 @@ object ChSqlTranslator {
     s = rewriteCall(s, "toQuarter", args => s"quarter(${args.head})")
     s = rewriteCall(s, "toDayOfYear", args => s"dayofyear(${args.head})")
     s = rewriteCall(s, "toISOWeek", args => s"weekofyear(${args.head})")
-    // extended string family
+    // extended string family (UTF8 variants = Spark's codepoint semantics)
+    s = rewriteCall(s, "leftPadUTF8", args => s"lpad(${args.mkString(", ")})")
+    s = rewriteCall(s, "rightPadUTF8", args => s"rpad(${args.mkString(", ")})")
+    s = rewriteCall(s, "reverseUTF8", args => s"reverse(${args.head})")
     s = rewriteCall(s, "leftPad", args => s"lpad(${args.mkString(", ")})")
     s = rewriteCall(s, "rightPad", args => s"rpad(${args.mkString(", ")})")
     s = rewriteCall(s, "trimLeft", args => s"ltrim(${args.head})")

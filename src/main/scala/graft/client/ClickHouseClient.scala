@@ -122,6 +122,24 @@ trait ClickHouseClient extends Serializable {
     * exactly-once.
     */
   def tryMarkEpochCommitted(db: String, table: String, marker: String): Boolean = true
+
+  /** Publish a streaming epoch's staged inserts exactly-once, CONVERGING
+    * under replay: a crash anywhere inside a commit must leave a state a
+    * replayed commit repairs — neither losing the epoch's rows nor
+    * duplicating them. `staged` pairs each staging id with its partition
+    * id (the dedup key across attempts). The default is the naive
+    * marker-gated publish (exactly-once only if commit itself never
+    * crashes mid-way); transports with atomic renames/insert tokens
+    * override with a true converging protocol.
+    */
+  def commitEpochStaged(
+      db: String, table: String, epochMarker: String,
+      staged: Seq[(String, Int)]): Unit = {
+    if (tryMarkEpochCommitted(db, table, epochMarker))
+      staged.foreach { case (id, _) => commitStaged(db, table, id) }
+    else
+      staged.foreach { case (id, _) => abortStaged(db, table, id) }
+  }
 }
 
 /** Opaque per-stream result handle; implementations carry whatever

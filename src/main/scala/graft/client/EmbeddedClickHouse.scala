@@ -127,12 +127,25 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
 
   private def dataFiles(db: String, table: String): Seq[String] = {
     val (_, _, ext) = readMeta(db, table)
+    val dir = tablePath(db, table)
     val parts =
-      if (!Files.isDirectory(tablePath(db, table))) Seq.empty
-      else Files.list(tablePath(db, table)).iterator.asScala
+      if (!Files.isDirectory(dir)) Seq.empty
+      else Files.list(dir).iterator.asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(_.toString).toSeq.sorted
-    ext ++ parts
+    // streaming epoch publishes live under .epoch-parts/<marker>/p<id>/
+    // and are visible IFF their epoch marker exists (the converging
+    // commit's atomic visibility switch)
+    val epochRoot = dir.resolve(".epoch-parts")
+    val markerDir = dir.resolve(".epochs")
+    val epochParts =
+      if (!Files.isDirectory(epochRoot)) Seq.empty
+      else Files.list(epochRoot).iterator.asScala
+        .filter(e => Files.exists(markerDir.resolve(e.getFileName)))
+        .flatMap(e => Files.walk(e).iterator.asScala)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+    ext ++ parts ++ epochParts
   }
 
   /** The "server engine": a child session of the active SparkSession with
@@ -204,7 +217,10 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     // analyzed-plan cache: a server keeps prepared statements; repeated
     // identical remote SQL (bench iterations, re-planned scans) skips
     // parse+analysis. Keyed inside the per-version entry, so any store
-    // mutation drops it with the session.
+    // mutation drops it with the session. Bounded: runtime-filter
+    // literals make distinct SQL per execution, so the cache resets
+    // rather than growing without limit on long read-only sessions.
+    if (entry.dfCache.size > 64) entry.dfCache.clear()
     val df = entry.dfCache.computeIfAbsent(sql, _ =>
       spark.sql(ChSqlTranslator.translate(sql, knownTables)))
     val schema = df.schema
@@ -246,7 +262,20 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
     handle match {
       case ChSpillHandle(files, numFields, _) =>
-        files.iterator.flatMap(f => RowSpill.read(Paths.get(f), numFields))
+        // liveness pin: touching the spill dir's mtime keeps the TTL
+        // reaper away while this result still has readers (late retries,
+        // recomputed cached plans)
+        files.headOption.foreach { f =>
+          try Files.setLastModifiedTime(Paths.get(f).getParent,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch { case _: Exception => () }
+        }
+        val it = new EmbeddedClickHouse.SpillPartitionIterator(files, numFields)
+        // abandoned reads (pushed limits, killed tasks) close at task
+        // completion rather than waiting for GC
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => it.close()))
+        it
       case other => throw new IllegalArgumentException(
         s"not an embedded-store handle: ${other.getClass.getName}")
     }
@@ -348,6 +377,52 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
   }
 
+  /** Converging epoch publish: each task's staged dir renames atomically
+    * into the epoch's per-PARTITION slot (`.epoch-parts/<marker>/p<id>`),
+    * then the marker makes the whole epoch visible (dataFiles only lists
+    * marked epochs). A crash anywhere replays safely: occupied slots drop
+    * the replayed staging (no duplication), unoccupied slots fill from
+    * the replay (no loss), and the marker is create-if-absent.
+    */
+  override def commitEpochStaged(
+      db: String, table: String, epochMarker: String,
+      staged: Seq[(String, Int)]): Unit = {
+    require(!epochMarker.contains("/") && !epochMarker.contains(".."),
+      s"invalid epoch marker: $epochMarker")
+    val epochDir = tablePath(db, table).resolve(".epoch-parts").resolve(epochMarker)
+    Files.createDirectories(epochDir)
+    staged.foreach { case (stagingId, partitionId) =>
+      val src = stagingPath(db, table, stagingId)
+      val dest = epochDir.resolve(s"p$partitionId")
+      if (Files.exists(dest) || !Files.isDirectory(src)) deleteRecursively(src)
+      else Files.move(src, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    tryMarkEpochCommitted(db, table, epochMarker)
+    reapStaleWriteDirs(db, table)
+    invalidate()
+  }
+
+  /** Orphan reaping: staging dirs from hard-crashed tasks and epoch dirs
+    * whose query never completed (no marker) leak otherwise — anything
+    * inactive past the spill TTL goes.
+    */
+  private def reapStaleWriteDirs(db: String, table: String): Unit = {
+    val cutoff = System.currentTimeMillis() - EmbeddedClickHouse.SpillTtlMillis
+    def stale(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < cutoff
+      catch { case _: Exception => false }
+    val staging = tablePath(db, table).resolve(".insert-staging")
+    if (Files.isDirectory(staging))
+      Files.list(staging).iterator.asScala.filter(stale)
+        .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
+    val epochs = tablePath(db, table).resolve(".epoch-parts")
+    val markers = tablePath(db, table).resolve(".epochs")
+    if (Files.isDirectory(epochs))
+      Files.list(epochs).iterator.asScala
+        .filter(p => stale(p) && !Files.exists(markers.resolve(p.getFileName)))
+        .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
@@ -366,6 +441,28 @@ final case class ChSpillHandle(files: Seq[String], numFields: Int, schemaJson: S
 
 object EmbeddedClickHouse {
   private[client] val SpillTtlMillis: Long = 30L * 60 * 1000
+
+  /** Sequential reader over one handle's spill files; closing releases
+    * the in-flight file's descriptor immediately.
+    */
+  private[client] final class SpillPartitionIterator(files: Seq[String], numFields: Int)
+    extends Iterator[org.apache.spark.sql.catalyst.InternalRow] with AutoCloseable {
+    private val fileIt = files.iterator
+    private var cur: RowSpill.SpillFileIterator = _
+
+    override def hasNext: Boolean = {
+      while ((cur == null || !cur.hasNext) && fileIt.hasNext)
+        cur = RowSpill.read(Paths.get(fileIt.next()), numFields)
+      cur != null && cur.hasNext
+    }
+
+    override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+      if (!hasNext) throw new NoSuchElementException
+      cur.next()
+    }
+
+    override def close(): Unit = if (cur != null) cur.close()
+  }
 
   private[client] final case class CachedServer(
       session: SparkSession, version: Long, parent: SparkSession,

@@ -49,8 +49,14 @@ object RowSpill {
 
   /** Lazily stream UnsafeRows back from `path` (opens on first hasNext).
     * Each returned row is freshly backed — safe to buffer downstream.
+    * Closeable so abandoned reads (pushed limits, killed tasks) release
+    * the file descriptor immediately instead of waiting for GC.
     */
-  def read(path: Path, numFields: Int): Iterator[InternalRow] = new Iterator[InternalRow] {
+  def read(path: Path, numFields: Int): SpillFileIterator =
+    new SpillFileIterator(path, numFields)
+
+  final class SpillFileIterator(path: Path, numFields: Int)
+    extends Iterator[InternalRow] with AutoCloseable {
     private var in: DataInputStream = _
     private var nextRow: UnsafeRow = _
     private var finished = false
@@ -59,18 +65,28 @@ object RowSpill {
       if (in == null)
         in = new DataInputStream(
           new BufferedInputStream(Files.newInputStream(path), 1 << 16))
-      try {
-        val len = in.readInt()
-        val bytes = new Array[Byte](len)
-        in.readFully(bytes)
-        val row = new UnsafeRow(numFields)
-        row.pointTo(bytes, len)
-        nextRow = row
-      } catch {
-        case _: EOFException =>
-          finished = true
-          in.close()
+      // EOF is clean ONLY at a record boundary (the length prefix); EOF
+      // inside the payload means a truncated file — silent row loss is
+      // never acceptable, so that errors loudly
+      val len =
+        try in.readInt()
+        catch {
+          case _: EOFException =>
+            finished = true
+            close()
+            return
+        }
+      val bytes = new Array[Byte](len)
+      try in.readFully(bytes)
+      catch {
+        case e: EOFException =>
+          close()
+          throw new java.io.IOException(
+            s"truncated spill file $path: EOF inside a $len-byte record", e)
       }
+      val row = new UnsafeRow(numFields)
+      row.pointTo(bytes, len)
+      nextRow = row
     }
 
     override def hasNext: Boolean = {
@@ -83,6 +99,11 @@ object RowSpill {
       val r = nextRow
       nextRow = null
       r
+    }
+
+    override def close(): Unit = {
+      finished = true
+      if (in != null) { in.close(); in = null }
     }
   }
 }

@@ -328,7 +328,11 @@ class ChReaderFactory(client: ClickHouseClient, schema: StructType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val handle = partition.asInstanceOf[ChInputPartition].handle
     new PartitionReader[InternalRow] {
-      private lazy val it = client.readPartitionInternal(handle, schema)
+      private var itOpt: Iterator[InternalRow] = _
+      private def it: Iterator[InternalRow] = {
+        if (itOpt == null) itOpt = client.readPartitionInternal(handle, schema)
+        itOpt
+      }
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) false
@@ -339,7 +343,10 @@ class ChReaderFactory(client: ClickHouseClient, schema: StructType)
         }
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = itOpt match {
+        case c: AutoCloseable => c.close()
+        case _ => ()
+      }
     }
   }
 }
@@ -379,10 +386,11 @@ class ChWriteBuilder(
 }
 
 /** Epoch-aware streaming sink over the staged-insert protocol. Spark may
-  * REPLAY an epoch after a failure (commit-then-crash before checkpoint
-  * advance): the first commit of each (queryId, epoch) publishes and
-  * records a marker in the store; replays see the marker and discard
-  * their re-staged parts — exactly-once end to end.
+  * REPLAY an epoch after a failure (including a crash MID-COMMIT): the
+  * client's converging commitEpochStaged publishes each task's staging
+  * into a per-partition epoch slot and flips visibility with an atomic
+  * marker — occupied slots drop replayed parts, unoccupied slots fill
+  * from the replay, so no crash point loses or duplicates rows.
   */
 class ChStreamingWrite(
     client: ClickHouseClient,
@@ -401,19 +409,13 @@ class ChStreamingWrite(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new ChStreamingDataWriterFactory(factory)
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val first = client.tryMarkEpochCommitted(db, table, s"$queryId-$epochId")
-    messages.foreach {
-      case ChStagedCommit(stagingId, _) =>
-        if (first) client.commitStaged(db, table, stagingId)
-        else client.abortStaged(db, table, stagingId) // replayed epoch: drop
-      case _ => ()
-    }
-  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    client.commitEpochStaged(db, table, s"$queryId-$epochId",
+      messages.toSeq.collect { case ChStagedCommit(id, _, pid) => (id, pid) })
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case ChStagedCommit(stagingId, _) => client.abortStaged(db, table, stagingId)
+      case ChStagedCommit(stagingId, _, _) => client.abortStaged(db, table, stagingId)
       case _ => ()
     }
 }
@@ -423,7 +425,8 @@ class ChStreamingDataWriterFactory(factory: ChDataWriterFactory)
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     factory.createWriterWithId(
-      s"epoch-$epochId-task-$partitionId-$taskId-${java.util.UUID.randomUUID.toString.take(8)}")
+      s"epoch-$epochId-task-$partitionId-$taskId-${java.util.UUID.randomUUID.toString.take(8)}",
+      partitionId)
 }
 
 /** Sum-aggregated "rows inserted" metric reported by every write task. */
@@ -454,18 +457,18 @@ class ChBatchWrite(
   // ids + counts) crosses the driver.
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case ChStagedCommit(stagingId, _) => client.commitStaged(db, table, stagingId)
+      case ChStagedCommit(stagingId, _, _) => client.commitStaged(db, table, stagingId)
       case _ => ()
     }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case ChStagedCommit(stagingId, _) => client.abortStaged(db, table, stagingId)
+      case ChStagedCommit(stagingId, _, _) => client.abortStaged(db, table, stagingId)
       case _ => ()
     }
 }
 
-final case class ChStagedCommit(stagingId: String, rows: Long)
+final case class ChStagedCommit(stagingId: String, rows: Long, partitionId: Int = -1)
   extends WriterCommitMessage
 
 /** Streams bounded batches to the store from INSIDE each write task —
@@ -489,9 +492,11 @@ class ChDataWriterFactory(
     // task-ATTEMPT-scoped: retries/speculation get fresh ids, so an
     // abandoned attempt's staged parts can never be published
     createWriterWithId(
-      s"task-$partitionId-$taskId-${java.util.UUID.randomUUID.toString.take(8)}")
+      s"task-$partitionId-$taskId-${java.util.UUID.randomUUID.toString.take(8)}",
+      partitionId)
 
-  private[connector] def createWriterWithId(id: String): DataWriter[InternalRow] =
+  private[connector] def createWriterWithId(
+      id: String, partitionId: Int): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val stagingId = id
       private val toRow =
@@ -536,7 +541,7 @@ class ChDataWriterFactory(
       override def commit(): WriterCommitMessage = {
         flush()
         while (inFlight.nonEmpty) written += inFlight.dequeue().get()
-        ChStagedCommit(stagingId, written)
+        ChStagedCommit(stagingId, written, partitionId)
       }
 
       override def abort(): Unit = {

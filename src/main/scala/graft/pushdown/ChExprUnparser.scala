@@ -108,11 +108,14 @@ object ChExprUnparser {
       case StringTrimLeft(c, None) => fn("trimLeft", Seq(c))
       case StringTrimRight(c, None) => fn("trimRight", Seq(c))
       case StringReplace(s, f, r) => fn("replaceAll", Seq(s, f, r))
-      // reverse: both dialects reverse strings AND arrays elementwise
-      case Reverse(c) => fn("reverse", Seq(c))
+      // ClickHouse string reverse/pads are BYTE-based; Spark's are
+      // codepoint-based — the UTF8 variants are the matching semantics.
+      // Array reverse is elementwise in both dialects.
+      case Reverse(c) if c.dataType == StringType => fn("reverseUTF8", Seq(c))
+      case Reverse(c) if c.dataType.isInstanceOf[ArrayType] => fn("reverse", Seq(c))
       case StringRepeat(s, n) => fn("repeat", Seq(s, n))
-      case StringLPad(s, l, p) => fn("leftPad", Seq(s, l, p))
-      case StringRPad(s, l, p) => fn("rightPad", Seq(s, l, p))
+      case StringLPad(s, l, p) => fn("leftPadUTF8", Seq(s, l, p))
+      case StringRPad(s, l, p) => fn("rightPadUTF8", Seq(s, l, p))
       // LIKE: both dialects use backslash escaping for % and _, so the
       // default escape char unparses exactly; a custom ESCAPE clause has
       // no ClickHouse equivalent → stays local

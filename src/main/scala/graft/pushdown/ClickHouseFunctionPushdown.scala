@@ -308,8 +308,10 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
   private val scalarCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (Any, org.apache.spark.sql.types.DataType)]
 
-  private val volatileFns =
-    Seq("now", "today", "yesterday", "rand", "random", "uuid", "generateuuid")
+  // prefix-matched on call sites so now64(, rand32(, generateUUIDv4( and
+  // friends are all caught, not just the bare names
+  private val volatileFnCall =
+    raw"(?i)\b(now|today|yesterday|rand|random|uuid|generateuuid)\w*\s*\(".r
 
   /** Evaluate a reference-free passthrough as a one-row remote scalar
     * query against any ClickHouse scan reachable from `p`, folding the
@@ -324,8 +326,7 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       sql <- ChExprUnparser.compile(pt, Map.empty)
     } yield {
       val key = (scan.chClient.connectionKey, sql)
-      val lower = sql.toLowerCase
-      val cacheable = !volatileFns.exists(f => lower.contains(f + "("))
+      val cacheable = volatileFnCall.findFirstIn(sql).isEmpty
       val (v, dt) = {
         val hit = if (cacheable) scalarCache.get(key) else null
         if (hit != null) hit

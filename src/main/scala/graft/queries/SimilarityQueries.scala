@@ -54,9 +54,11 @@ object SimilarityQueries {
       |  CAST(1 AS BIGINT) AS recall_at5_ok""".stripMargin
 
   /** Exact top-5 per probe (vec_id < 100) — the in-Spark recall baseline,
-    * the same brute-force shape s01 hash-verifies against DuckDB.
+    * the same brute-force shape s01 hash-verifies against DuckDB. Shared
+    * with [[graft.RecallProbe]] so the sweep tool and the gates can never
+    * drift on tie-breaks or norms.
     */
-  private def exactTop5(s: SparkSession): DataFrame = {
+  private[graft] def exactTop5(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = s.table("embeddings")
     val p = e.filter(col("vec_id") < 100)

@@ -141,9 +141,18 @@ object ChV2Exprs {
       // bounding range — O(1) SQL size regardless of value count (real
       // engines cap IN pushdown the same way; the join re-applies exactly)
       case "IN" if kids.length >= 2 =>
+        // finite numerics only: NaN/Infinity have no BigDecimal form and
+        // no meaningful range — their presence skips the degrade entirely
+        // (runtime filters are optional, never required for correctness)
+        def finite(v: Any): Boolean = v match {
+          case d: java.lang.Double => !d.isNaN && !d.isInfinite
+          case f: java.lang.Float => !f.isNaN && !f.isInfinite
+          case _: Number => true
+          case _ => false
+        }
         val nums = kids.tail.toSeq.collect {
           case l: org.apache.spark.sql.connector.expressions.Literal[_]
-              if l.value() != null && l.value().isInstanceOf[Number] =>
+              if l.value() != null && finite(l.value()) =>
             new java.math.BigDecimal(l.value().toString)
         }
         if (nums.length != kids.length - 1) None

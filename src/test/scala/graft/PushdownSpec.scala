@@ -261,7 +261,7 @@ class PushdownSpec extends AnyFunSuite {
     val execs = remoteExecs(df)
     assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
     val sql = execs.head.sql
-    for (f <- Seq("sin(", "atan2(", "sign(", "leftPad(", "repeat(", "reverse(",
+    for (f <- Seq("sin(", "atan2(", "sign(", "leftPadUTF8(", "repeat(", "reverseUTF8(",
       "toQuarter(", "toDayOfYear(", "toISOWeek("))
       assert(sql.contains(f), s"$f missing from: $sql")
     val got = df.collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(3),
