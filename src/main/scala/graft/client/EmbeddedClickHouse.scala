@@ -377,27 +377,37 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
   }
 
-  /** Converging epoch publish: each task's staged dir renames atomically
-    * into the epoch's per-PARTITION slot (`.epoch-parts/<marker>/p<id>`),
-    * then the marker makes the whole epoch visible (dataFiles only lists
-    * marked epochs). A crash anywhere replays safely: occupied slots drop
-    * the replayed staging (no duplication), unoccupied slots fill from
-    * the replay (no loss), and the marker is create-if-absent.
+  /** Converging epoch publish, all-or-nothing per attempt: if the epoch
+    * is already marked, this is a replay after a successful commit — drop
+    * everything re-staged. Otherwise any UNMARKED debris from a crashed
+    * prior attempt is wiped (it was never visible), this attempt's staged
+    * dirs rename in whole, and the marker flips visibility atomically
+    * (dataFiles only lists marked epochs). Wipe-then-fill rather than
+    * per-slot dedup: a replay may partition differently (stateless sinks
+    * re-plan across restarts), and mixing two attempts' partitionings
+    * would duplicate rows. Every crash point replays into the same
+    * terminal state: exactly one complete copy of the epoch.
     */
   override def commitEpochStaged(
       db: String, table: String, epochMarker: String,
       staged: Seq[(String, Int)]): Unit = {
     require(!epochMarker.contains("/") && !epochMarker.contains(".."),
       s"invalid epoch marker: $epochMarker")
+    val markerFile = tablePath(db, table).resolve(".epochs").resolve(epochMarker)
     val epochDir = tablePath(db, table).resolve(".epoch-parts").resolve(epochMarker)
-    Files.createDirectories(epochDir)
-    staged.foreach { case (stagingId, partitionId) =>
-      val src = stagingPath(db, table, stagingId)
-      val dest = epochDir.resolve(s"p$partitionId")
-      if (Files.exists(dest) || !Files.isDirectory(src)) deleteRecursively(src)
-      else Files.move(src, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(markerFile)) {
+      staged.foreach { case (stagingId, _) => abortStaged(db, table, stagingId) }
+    } else {
+      deleteRecursively(epochDir) // unmarked partial-attempt debris
+      Files.createDirectories(epochDir)
+      staged.foreach { case (stagingId, partitionId) =>
+        val src = stagingPath(db, table, stagingId)
+        if (Files.isDirectory(src))
+          Files.move(src, epochDir.resolve(s"p$partitionId"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      tryMarkEpochCommitted(db, table, epochMarker)
     }
-    tryMarkEpochCommitted(db, table, epochMarker)
     reapStaleWriteDirs(db, table)
     invalidate()
   }
