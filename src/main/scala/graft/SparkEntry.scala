@@ -20,6 +20,7 @@ object SparkEntry {
   private def queries_extensions: Seq[GateQuery] =
     graft.queries.DedupQueries.all ++
       graft.queries.TextQueries.all ++
+      graft.queries.SamplingQueries.all ++
       graft.queries.SimilarityQueries.all ++
       graft.queries.MultimodalQueries.all ++
       graft.queries.ConnectorQueries.all ++

@@ -82,6 +82,41 @@ object DedupQueries {
        |keep AS (SELECT h.doc_id, h.hsh FROM hs h JOIN dfx USING (hsh)
        |         WHERE df <= $MaxDf)""".stripMargin
 
+  /** Near-duplicate pairs: exact Jaccard >= 0.5 over rare shingles
+    * (shared by d02, which reports them, and d06, which clusters them).
+    * Returns (a, b, jaccard) with jaccard the raw double — d02 rounds it
+    * for display, d06 only consumes the edge list.
+    */
+  private def jaccardPairs(s: SparkSession): DataFrame = {
+    val keep = rareShingles(s).cache()
+    val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = keep.as("x")
+      .join(keep.as("y"),
+        col("x.hsh") === col("y.hsh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") / (col("sa.nsh") + col("sb.nsh") - col("n_common"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("a"), col("b"), jac.as("jaccard"))
+  }
+
+  /** The same pair derivation as DuckDB CTEs (extends rareCte). */
+  private val pairsCte =
+    s"""$rareCte,
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM keep GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+       |          FROM keep x JOIN keep y ON x.hsh = y.hsh AND x.doc_id < y.doc_id
+       |          GROUP BY x.doc_id, y.doc_id),
+       |pairs AS (SELECT a, b,
+       |    n_common / (sa.nsh + sb.nsh - n_common) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a
+       |  JOIN sizes sb ON sb.doc_id = b
+       |  WHERE n_common / (sa.nsh + sb.nsh - n_common) >= 0.5)""".stripMargin
+
   val all: Seq[GateQuery] = Seq(
 
     // ---- exact dedup: hash-groupBy on content ----
@@ -96,30 +131,10 @@ object DedupQueries {
 
     // ---- n-gram Jaccard near-dup: shingle join with hot-key filter ----
     q("d02_dedup_ngram_jaccard",
-      s"""WITH $rareCte,
-         |sizes AS (SELECT doc_id, count(*) AS nsh FROM keep GROUP BY doc_id),
-         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-         |          FROM keep x JOIN keep y ON x.hsh = y.hsh AND x.doc_id < y.doc_id
-         |          GROUP BY x.doc_id, y.doc_id)
-         |SELECT a, b,
-         |  round(n_common / (sa.nsh + sb.nsh - n_common), 6) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON sa.doc_id = a
-         |JOIN sizes sb ON sb.doc_id = b
-         |WHERE n_common / (sa.nsh + sb.nsh - n_common) >= 0.5""".stripMargin) { (s, _) =>
-      val keep = rareShingles(s).cache()
-      val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val inter = keep.as("x")
-        .join(keep.as("y"),
-          col("x.hsh") === col("y.hsh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("n_common"))
-      val jac = col("n_common") / (col("sa.nsh") + col("sb.nsh") - col("n_common"))
-      inter
-        .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .select(col("a"), col("b"), round(jac, 6).as("jaccard"))
+      s"""WITH $pairsCte
+         |SELECT a, b, round(jaccard, 6) AS jaccard FROM pairs""".stripMargin) { (s, _) =>
+      jaccardPairs(s)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
     // ---- MinHash + LSH banding ----
@@ -241,6 +256,57 @@ object DedupQueries {
         .map(p => when(col(s"v$p") > 0, lit(1L << p)).otherwise(0L))
         .reduce(_ + _)
       votes.select(col("doc_id"), packed.as("simhash"))
+    },
+
+    // ---- transitive duplicate clusters: connected components ----
+    // The pair generators (d02/d03/d04) emit near-dup EDGES; keeping one
+    // copy per duplicate GROUP needs the transitive closure (A~B, B~C =>
+    // {A,B,C} is one cluster even if A~C was never emitted). Spark side:
+    // alternating large-star/small-star contraction (graft.ops
+    // .ConnectedComponents) — O(log n) distributed rounds, no driver-side
+    // graph. The DuckDB oracle computes the same fixpoint by recursive
+    // CTE (min reachable doc_id). Singletons label themselves.
+    q("d06_dedup_cluster_cc",
+      s"""WITH RECURSIVE $pairsCte,
+         |edges AS (SELECT a AS u, b AS v FROM pairs
+         |          UNION ALL SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin) { (s, _) =>
+      graft.ops.ConnectedComponents
+        .label(s.table("documents").select("doc_id"),
+          jaccardPairs(s).select("a", "b"))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    },
+
+    // ---- benchmark decontamination: n-gram overlap vs an eval set ----
+    // Before training, documents sharing >= K shingles with any benchmark/
+    // eval document must be dropped (test-set leakage). The benchmark set
+    // here is the deterministic doc_id % 97 == 0 slice standing in for an
+    // external eval corpus. Scale shape: the benchmark shingle set is tiny
+    // relative to the corpus (eval suites are fixed-size), so it BROADCASTS
+    // to the corpus-sized side — no corpus shuffle at all; the per-doc
+    // overlap count aggregates map-side.
+    q("d07_decontaminate",
+      s"""WITH $shingleCte,
+         |hs AS (SELECT DISTINCT doc_id,
+         |         ('0x' || substr(md5(sh), 1, 15))::BIGINT AS hsh FROM sh),
+         |bench AS (SELECT DISTINCT hsh FROM hs WHERE doc_id % 97 = 0),
+         |train AS (SELECT doc_id, hsh FROM hs WHERE doc_id % 97 <> 0)
+         |SELECT t.doc_id, count(*) AS n_shared
+         |FROM train t JOIN bench b USING (hsh)
+         |GROUP BY t.doc_id HAVING count(*) >= 3""".stripMargin) { (s, _) =>
+      val hs = shingleHashes(s, 15)
+      val bench = hs.filter(col("doc_id") % 97 === 0).select("hsh").distinct()
+      val train = hs.filter(col("doc_id") % 97 =!= 0)
+      // (doc_id, hsh) is distinct on both sides, so the post-join count
+      // per doc IS the count of distinct shared shingles
+      train.join(broadcast(bench), "hsh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
     }
   )
 }

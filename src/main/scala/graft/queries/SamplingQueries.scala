@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Random sampling (rand()/TABLESAMPLE) is non-reproducible across runs,
+  * engines, and partitionings — a pipeline that re-runs must select the
+  * SAME sample or every downstream artifact churns. Both operators here
+  * key the sampling decision on md5(doc_id) (identical in Spark and
+  * DuckDB, so the DuckDB oracle verifies the exact selected set):
+  *
+  *  - p01: per-stratum Bernoulli by hash bucket — rate varies by stratum
+  *    (down-sample the over-represented language, keep the rest). A pure
+  *    narrow filter: no shuffle, scales linearly, fully reproducible.
+  *  - p02: fixed-size uniform sample = the k smallest hashes. Spark plans
+  *    orderBy+limit as TakeOrderedAndProject (per-partition top-k, then a
+  *    k-row merge) — no global sort, driver sees k rows only.
+  */
+object SamplingQueries {
+
+  private def q(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): GateQuery =
+    GateQuery(name, (s, dir) => { Tables.register(s, dir); f(s, dir) }, Some(oracle))
+
+  /** Uniform hash bucket in [0, 100) from the doc id — the same
+    * arithmetic the oracle runs, so the selected sets are identical.
+    */
+  private def hashBucket100: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  val all: Seq[GateQuery] = Seq(
+
+    // ---- stratified Bernoulli sampling, deterministic by hash ----
+    q("p01_sample_stratified",
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin) { (s, _) =>
+      s.table("documents")
+        .select(col("doc_id"), col("lang"))
+        .filter(hashBucket100 <
+          when(col("lang") === "en", 10).otherwise(50))
+    },
+
+    // ---- fixed-size uniform sample: k smallest hashes ----
+    q("p02_sample_fixed_k",
+      """SELECT doc_id FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50""".stripMargin) { (s, _) =>
+      s.table("documents")
+        .select(col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(50)
+        .select("doc_id")
+    }
+  )
+}

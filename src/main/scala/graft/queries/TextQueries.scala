@@ -184,6 +184,25 @@ object TextQueries {
           round(wf, 6).as("top_word_frac"),
           round(bf, 6).as("top_bigram_frac"),
           when(wf > 0.1 || bf > 0.05, "reject").otherwise("keep").as("verdict"))
+    },
+
+    // ---- vocabulary building: corpus-wide top-k token frequencies ----
+    // The first step of tokenizer training / frequency-based filtering.
+    // Scale shape: partial (map-side) aggregation collapses the exploded
+    // token stream before the single shuffle — the wire carries one row
+    // per (partition, distinct token), bounded by vocabulary size, not
+    // corpus size; the top-k is TakeOrderedAndProject (per-partition
+    // heap, k-row merge), never a global sort. Deterministic tie-break
+    // on the token string.
+    q("t08_vocab_topk",
+      """SELECT tok, count(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY freq DESC, tok LIMIT 100""".stripMargin) { (s, _) =>
+      s.table("documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(100)
     }
   )
 }
