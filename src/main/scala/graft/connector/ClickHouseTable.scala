@@ -51,10 +51,11 @@ class ClickHouseTable(
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChScanBuilder(client, db, table, tableSchema, readStreams, coerceSchemas)
+    new ChScanBuilder(client, db, table, tableSchema, readStreams, coerceSchemas,
+      scanOptions = options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ChWriteBuilder(client, db, table, info.schema(), writeConcurrency,
@@ -84,7 +85,9 @@ class ChScanBuilder(
     table: String,
     fullSchema: StructType,
     readStreams: Int,
-    coerceSchemas: Boolean = true)
+    coerceSchemas: Boolean = true,
+    scanOptions: CaseInsensitiveStringMap =
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -191,7 +194,8 @@ class ChScanBuilder(
     val groupBy = agg.fold(Seq.empty[String])(_._1.map(g => ChSql.quoteIdent(g.name)))
     new ChScan(client, db, table, select, compiled, groupBy, orderBy, limit,
       outputSchema, readStreams, aggregated = agg.isDefined,
-      coerceSchemas = coerceSchemas, offset = offset)
+      coerceSchemas = coerceSchemas, offset = offset,
+      fullSchema = fullSchema, scanOptions = scanOptions)
   }
 }
 
@@ -217,7 +221,10 @@ class ChScan(
     readStreams: Int,
     aggregated: Boolean = false,
     coerceSchemas: Boolean = true,
-    offset: Option[Int] = None)
+    offset: Option[Int] = None,
+    fullSchema: StructType = StructType(Nil),
+    scanOptions: CaseInsensitiveStringMap =
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
   extends Scan with Batch with SupportsRuntimeV2Filtering
   with SupportsReportStatistics {
 
@@ -294,6 +301,36 @@ class ChScan(
   override def readSchema(): StructType = out
   override def description(): String = s"ClickHouseScan[$generatedSql]"
   override def toBatch: Batch = this
+
+  /** Incremental read: `readStream.table("clickhouse.db.t")` tails the
+    * table by a monotonic integral cursor column (reader options:
+    * `stream_cursor` required, `stream_max_per_batch` / `stream_start`
+    * optional). Pushed projection and filters carry into every
+    * micro-batch's remote range query.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!aggregated && limit.isEmpty && offset.isEmpty && orderBy.isEmpty,
+      "streaming read supports projection/filter scans only")
+    val cursor = Option(scanOptions.get("stream_cursor")).getOrElse(
+      throw new IllegalArgumentException(
+        "streaming read requires reader option stream_cursor = " +
+          "<monotonically increasing integral column>"))
+    val cursorField = fullSchema.fields.find(_.name == cursor).getOrElse(
+      throw new IllegalArgumentException(
+        s"stream_cursor column '$cursor' not in ${fullSchema.fieldNames.mkString(", ")}"))
+    cursorField.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"stream_cursor column '$cursor' must be integral, got ${t.simpleString}")
+    }
+    val maxPerBatch = Option(scanOptions.get("stream_max_per_batch")).map(_.toLong)
+    val start = Option(scanOptions.get("stream_start"))
+      .map(_.toLong).getOrElse(Long.MinValue)
+    new ChMicroBatchStream(client, db, table, select, where, out, readStreams,
+      cursor, maxPerBatch, start)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // Plan-time work is METADATA ONLY: the client initiates the remote

@@ -332,6 +332,47 @@ object ConnectorQueries {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
     },
 
+    // streaming READ from the connector (source-side complement of r19's
+    // native sink): readStream.table tails the remote table by event_id
+    // cursor ranges (MicroBatchStream); stream_max_per_batch forces the
+    // drain through MULTIPLE micro-batches, so the hash-match against the
+    // batch oracle proves range planning loses/duplicates nothing across
+    // batch boundaries. At scale this is CDC-lite: each micro-batch ships
+    // one bounded remote range query; only cursor bounds cross the driver.
+    q("r20_stream_read_connector",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val nEvents = s.table("events").count()
+      // idempotent setup: the source table is append-only input, so a
+      // fully-landed copy from an earlier run (same row count) is reused
+      val fresh = !s.catalog.tableExists("clickhouse.main.ev_src") ||
+        s.table("clickhouse.main.ev_src").count() != nEvents
+      if (fresh) {
+        s.sql("DROP TABLE IF EXISTS clickhouse.main.ev_src")
+        s.sql(
+          """CREATE TABLE clickhouse.main.ev_src
+            |(event_id BIGINT, event_type STRING, k BIGINT)
+            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'event_id')""".stripMargin)
+        s.sql(
+          """INSERT INTO clickhouse.main.ev_src
+            |SELECT event_id, event_type,
+            |  CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+            |FROM events""".stripMargin)
+      }
+      val maxId = s.table("events").agg(max("event_id")).head.getLong(0)
+      val built = s.readStream
+        .option("stream_cursor", "event_id")
+        // 3 micro-batches: enough to prove range planning loses/dupes
+        // nothing across batch boundaries (the spec drives 4+ with
+        // restarts); each extra batch is a full remote query cycle
+        .option("stream_max_per_batch", math.max(1L, maxId / 2).toString)
+        .table("clickhouse.main.ev_src")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      StreamingQueries.drain(s, built, "complete")
+    },
+
     // value window functions collapse remotely: first_value/last_value
     // with an explicit full frame (identical spelling in both dialects)
     // and ntile bucketing

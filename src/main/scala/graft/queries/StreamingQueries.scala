@@ -44,7 +44,7 @@ object StreamingQueries {
   /** Drain a built streaming DataFrame with AvailableNow into a memory
     * sink; return the sink table.
     */
-  private def drain(spark: SparkSession, built: DataFrame, mode: String): DataFrame = {
+  private[queries] def drain(spark: SparkSession, built: DataFrame, mode: String): DataFrame = {
     val sink = s"graft_stream_${runSeq.incrementAndGet()}"
     // one state-store instance per shuffle partition, each with its own
     // checkpoint delta files: 8 is plenty for a drained finite stream and
