@@ -563,6 +563,23 @@ object RelationalQueries {
         |FROM nation
         |GROUP BY GROUPING SETS ((n_regionkey), (n_name), ())""".stripMargin),
 
+    // recursive CTE (Spark 4's UnionLoop): generate a contiguous day
+    // series and gap-fill daily event counts with zeros — the ClickHouse
+    // `ORDER BY ... WITH FILL` use-case expressed through recursion.
+    // SURVEY §2.7 marked this out-of-scope for Spark <4.0; Spark 4.1
+    // supports WITH RECURSIVE natively, closing the last coverage row.
+    GateQuery.sharedSql("q52_recursive_cte",
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT DATE '2024-01-01' AS d
+        |  UNION ALL
+        |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days WHERE d < DATE '2024-02-05'
+        |), agg AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(event_id) AS n
+        |  FROM events GROUP BY CAST(ts AS DATE)
+        |)
+        |SELECT days.d AS day, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_events
+        |FROM days LEFT JOIN agg ON agg.d = days.d""".stripMargin),
+
     // value-based RANGE window frame: events per user in the trailing
     // hour, on exact integer micros (both engines use standard peer-
     // inclusive RANGE semantics, so ties are deterministic)
