@@ -105,6 +105,30 @@ object EventQueries {
               .otherwise(0)).as("view_to_purchase"),
             sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_views"))
           .filter(col("n_views") > 0)
+    },
+
+    // running DISTINCT count over a window — Spark has no DISTINCT
+    // aggregates in window frames, so the engine composes it as
+    // size(collect_set() OVER w): same semantics, one shuffle on the
+    // high-cardinality user_id. Per-frame state is bounded by the
+    // DISTINCT domain (event types), not the frame length, so memory
+    // stays O(1) per user at any event volume. Ordering carries the
+    // unique event_id tie-break for determinism.
+    q("q53_window_distinct",
+      """SELECT user_id, event_id,
+        |  CAST(count(DISTINCT event_type) OVER (
+        |       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_types_so_far
+        |FROM events""".stripMargin) { (s, _) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.table("events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .select(col("user_id"), col("event_id"),
+          size(collect_set(col("event_type")).over(w)).cast("long").as("n_types_so_far"))
     }
   )
 }

@@ -45,6 +45,30 @@ object SamplingQueries {
           when(col("lang") === "en", 10).otherwise(50))
     },
 
+    // ---- deterministic train/val/test split ----
+    // Content-hash bucketing (md5 of the text, not the id) so the split
+    // is stable under re-ingestion and id reshuffles — the property a
+    // training pipeline needs to avoid train/test leakage across
+    // snapshots. Pure projection + one tiny 3-row aggregate: no
+    // shuffle of the corpus itself at any scale.
+    q("p03_hash_split",
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT n_chars,
+        |        ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin) { (s, _) =>
+      val b = conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100
+      s.table("documents")
+        .select(
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"),
+          col("n_chars"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    },
+
     // ---- fixed-size uniform sample: k smallest hashes ----
     q("p02_sample_fixed_k",
       """SELECT doc_id FROM documents

@@ -186,6 +186,39 @@ object TextQueries {
           when(wf > 0.1 || bf > 0.05, "reject").otherwise("keep").as("verdict"))
     },
 
+    // ---- PII redaction (emails/phones → placeholder tokens) ----
+    // The corpus is synthetic (no real PII), so both sides append a
+    // deterministic email+phone derived from doc_id, then redact — the
+    // redaction regexes are exercised on real matches, not vacuously.
+    // Patterns stay in the Java∩RE2 shared subset (no backrefs /
+    // lookarounds) so Spark and any RE2-based remote agree. Narrow
+    // codegen projection: no shuffle at any corpus size.
+    q("t09_pii_redact",
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(
+        |        text || ' contact user' || doc_id || '@example.com or +1-555-0' || doc_id,
+        |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+1-555-[0-9]+', '<PHONE>', 'g')) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(
+        |        text || ' contact user' || doc_id || '@example.com or +1-555-0' || doc_id,
+        |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(
+        |        text || ' contact user' || doc_id || '@example.com or +1-555-0' || doc_id,
+        |        '\+1-555-[0-9]+')) AS BIGINT) AS n_phones
+        |FROM documents""".stripMargin) { (s, _) =>
+      val withPii = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +1-555-0"),
+        col("doc_id").cast("string"))
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]+"
+      s.table("documents").select(
+        col("doc_id"),
+        md5(regexp_replace(regexp_replace(withPii, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").cast("binary")).as("redacted_md5"),
+        size(regexp_extract_all(withPii, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(withPii, lit(phoneRe), lit(0))).cast("long").as("n_phones"))
+    },
+
     // ---- vocabulary building: corpus-wide top-k token frequencies ----
     // The first step of tokenizer training / frequency-based filtering.
     // Scale shape: partial (map-side) aggregation collapses the exploded
