@@ -69,6 +69,36 @@ object SamplingQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     },
 
+    // ---- token-budget packing (context-window fill planning) ----
+    // Assign docs to 2048-token bins by prefix-sum of token counts in
+    // doc_id order WITHIN each source — the near-optimal streaming
+    // packing when docs are small vs the budget, and the scale-correct
+    // shape: packing is per-shard (source), so the window partitions by
+    // a real key instead of forcing a single global ordering. All
+    // integer arithmetic (floor division), so both engines agree bit-
+    // for-bit.
+    q("p04_token_pack",
+      """WITH t AS (SELECT source, doc_id,
+        |             len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT source, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        |      FROM t)
+        |SELECT source, CAST(floor(coalesce(prior, 0) / 2048) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY source, bin""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      s.table("documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .select(col("source"), col("n_tok"),
+          floor(coalesce(sum("n_tok").over(w), lit(0)) / 2048).cast("long").as("bin"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"))
+    },
+
     // ---- fixed-size uniform sample: k smallest hashes ----
     q("p02_sample_fixed_k",
       """SELECT doc_id FROM documents

@@ -219,6 +219,37 @@ object TextQueries {
         size(regexp_extract_all(withPii, lit(phoneRe), lit(0))).cast("long").as("n_phones"))
     },
 
+    // ---- overlapping document chunking (RAG / training-window prep) ----
+    // 50-token chunks on a 40-token stride (10-token overlap). explode of
+    // a per-row start index keeps it a narrow generator — rows fan out
+    // ~n_tokens/40× with no shuffle, so it scales linearly and stays in
+    // codegen. slice() is 1-based on both engines and truncates at the
+    // end of the document identically.
+    q("t10_chunk_overlap",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |ch AS (SELECT doc_id,
+        |         unnest([{'cid': CAST((s - 1) / 40 AS BIGINT),
+        |                  'chunk': ts[s : s + 49]}
+        |                 for s in generate_series(1, len(ts), 40)]) AS u
+        |       FROM toks)
+        |SELECT doc_id, u.cid AS chunk_id,
+        |  CAST(len(u.chunk) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(u.chunk, ' ')) AS chunk_md5
+        |FROM ch""".stripMargin) { (s, _) =>
+      val ts = split(col("text"), " ")
+      s.table("documents")
+        .select(col("doc_id"), ts.as("ts"),
+          explode(sequence(lit(1), size(ts), lit(40))).as("s"))
+        .select(
+          col("doc_id"),
+          ((col("s") - 1) / 40).cast("long").as("chunk_id"),
+          slice(col("ts"), col("s"), lit(50)).as("chunk"))
+        .select(
+          col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+    },
+
     // ---- vocabulary building: corpus-wide top-k token frequencies ----
     // The first step of tokenizer training / frequency-based filtering.
     // Scale shape: partial (map-side) aggregation collapses the exploded
