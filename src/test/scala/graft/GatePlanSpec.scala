@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-count regression guards for the round-3 pipeline gates: the
+  * scale arguments in their Scaladoc ("narrow, no shuffle", "one
+  * exchange reused by window and aggregate") are asserted against the
+  * executed plan so a future Catalyst or query change can't silently
+  * reintroduce a shuffle the design removed.
+  */
+class GatePlanSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def run(name: String): (Long, Int) = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    val n = df.count()
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = root.collect { case e: ShuffleExchangeLike => e }.size
+    (n, shuffles)
+  }
+
+  test("t10 chunking is a pure generator: zero shuffles") {
+    val (n, shuffles) = run("t10_chunk_overlap")
+    assert(n > 0)
+    assert(shuffles == 0)
+  }
+
+  test("t09 PII redaction is a narrow projection: zero shuffles") {
+    val (n, shuffles) = run("t09_pii_redact")
+    assert(n > 0)
+    assert(shuffles == 0)
+  }
+
+  test("p04 packing reuses one source-keyed exchange for window AND agg") {
+    val (n, shuffles) = run("p04_token_pack")
+    assert(n > 0)
+    // window partitions by source; groupBy(source, bin) is satisfied by
+    // the same hash partitioning, so a second exchange would be a bug
+    assert(shuffles == 1)
+  }
+
+  test("p03 hash split aggregates 3 rows with a single tiny exchange") {
+    val (n, shuffles) = run("p03_hash_split")
+    assert(n == 3)
+    assert(shuffles == 1)
+  }
+
+  test("q53 windowed distinct shuffles once on user_id") {
+    val (n, shuffles) = run("q53_window_distinct")
+    assert(n > 0)
+    assert(shuffles == 1)
+  }
+
+  test("q52 recursive CTE gap-fills: series rows survive with zero counts") {
+    val df = SparkEntry.queries("q52_recursive_cte")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 36)
+    // sf0.001 events also end 2024-01-30 → the first-of-Feb tail is gap-filled
+    assert(rows.count(_.getLong(1) == 0L) >= 5)
+  }
+}
