@@ -41,7 +41,11 @@ object ConnectorQueries {
         "c_mktsegment" -> "Nullable(String)"),
       "nation" -> Seq(
         "n_nationkey" -> "Nullable(Int32)", "n_name" -> "Nullable(String)",
-        "n_regionkey" -> "Nullable(Int32)"))
+        "n_regionkey" -> "Nullable(Int32)"),
+      "documents" -> Seq(
+        "doc_id" -> "Nullable(Int64)", "text" -> "Nullable(String)",
+        "lang" -> "Nullable(String)", "source" -> "Nullable(String)",
+        "n_chars" -> "Nullable(Int64)"))
     tables.foreach { case (t, cols) =>
       if (!client.tableExists("main", t)) {
         client.createTable("main", t, cols, Map("engine" -> "MergeTree"))
@@ -396,6 +400,24 @@ object ConnectorQueries {
           first(col("o_orderkey")).over(full).as("first_key"),
           last(col("o_orderkey")).over(full).as("last_key"),
           ntile(4).over(base).as("quartile"))
+    },
+
+    // the dedup pipeline composed WITH the connector: prefix-based exact
+    // dedup (boilerplate detection) over a REMOTE corpus. The whole
+    // Filter(Aggregate(scan)) subtree collapses into one remote SQL —
+    // GROUP BY substring(text,1,40) runs in the store and only one row
+    // per duplicate-prefix group crosses the wire, never the corpus.
+    // (Corpus is ASCII, so byte- vs codepoint-substring agree.)
+    q("r21_remote_prefix_dedup",
+      """SELECT substring(text, 1, 40) AS prefix,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY substring(text, 1, 40)
+        |HAVING count(*) > 1""".stripMargin) { (s, _) =>
+      s.table("clickhouse.main.documents")
+        .groupBy(substring(col("text"), 1, 40).as("prefix"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
     }
   )
 }
