@@ -69,6 +69,23 @@ class GatePlanSpec extends AnyFunSuite {
     assert(shuffles == 1)
   }
 
+  test("r21 remote prefix dedup collapses fully into the store") {
+    val df = SparkEntry.queries("r21_remote_prefix_dedup")(spark, sfDir)
+    df.collect()
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the whole Filter(Aggregate(scan)) became one remote SQL: a remote
+    // exec is present and NO local aggregation remains
+    assert(root.collect {
+      case e: graft.pushdown.ClickHouseRemoteExec => e
+    }.nonEmpty)
+    assert(root.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.isEmpty)
+  }
+
   test("q52 recursive CTE gap-fills: series rows survive with zero counts") {
     val df = SparkEntry.queries("q52_recursive_cte")(spark, sfDir)
     val rows = df.collect()
