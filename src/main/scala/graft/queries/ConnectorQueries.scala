@@ -45,7 +45,13 @@ object ConnectorQueries {
       "documents" -> Seq(
         "doc_id" -> "Nullable(Int64)", "text" -> "Nullable(String)",
         "lang" -> "Nullable(String)", "source" -> "Nullable(String)",
-        "n_chars" -> "Nullable(Int64)"))
+        "n_chars" -> "Nullable(Int64)"),
+      // Array cannot be inside Nullable in ClickHouse; element-level
+      // Nullable matches parquet's nullable list elements
+      "embeddings" -> Seq(
+        "vec_id" -> "Nullable(Int64)",
+        "embedding" -> "Array(Nullable(Float32))",
+        "label" -> "Nullable(Int32)"))
     tables.foreach { case (t, cols) =>
       if (!client.tableExists("main", t)) {
         client.createTable("main", t, cols, Map("engine" -> "MergeTree"))
@@ -418,6 +424,46 @@ object ConnectorQueries {
         .groupBy(substring(col("text"), 1, 40).as("prefix"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)
+    },
+
+    // vector search composed WITH the connector: Array(Float32)
+    // embeddings stream out of the remote store (array columns survive
+    // the UnsafeRow spill path end to end) and the s01 brute-force
+    // cosine kernel runs on top — fixed probe set broadcasts, corpus
+    // side scales out with the remote stream count.
+    q("r22_remote_knn",
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 20),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.vector.{vec_dot, vec_norm_sq}
+      val e = s.table("clickhouse.main.embeddings")
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        .withColumn("pn", vec_norm_sq(col("pe")))
+      val neighbors = e
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+        .withColumn("nn", vec_norm_sq(col("ne")))
+      val pairs = broadcast(probes)
+        .join(neighbors, col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          (vec_dot(col("pe"), col("ne")) / sqrt(col("pn") * col("nn"))).as("cos"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+      pairs
+        .select(col("probe_id"), col("neighbor_id"), col("cos"),
+          row_number().over(w).as("rank"))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cosine"), col("rank"))
     }
   )
 }
