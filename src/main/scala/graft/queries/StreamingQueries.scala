@@ -229,5 +229,27 @@ object StreamingQueries {
              | AND p.event_type = 'purchase' AND v.event_type = 'view'
              | AND epoch_us(v.ts) BETWEEN epoch_us(p.ts) - 3600000000
              |                        AND epoch_us(p.ts)""".stripMargin))
+      ,
+
+    // stream-static join: the canonical enrichment shape — an unbounded
+    // event stream joins a bounded dimension (re-read per micro-batch;
+    // broadcast, so NO stream-side shuffle for the join), then a global
+    // aggregate in Complete mode. Drained, it must equal the batch join.
+    GateQuery("q54_stream_static_join",
+      (s, dir) => {
+        graft.Tables.register(s, dir)
+        val dim = broadcast(
+          s.table("customer").select(col("c_custkey"), col("c_mktsegment")))
+        val built = eventsStream(s, dir)
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("total_value"))
+        drain(s, built, "complete")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_events,
+             |  round(sum(value), 2) AS total_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin))
   )
 }
