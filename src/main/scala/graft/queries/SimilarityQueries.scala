@@ -228,6 +228,39 @@ object SimilarityQueries {
         md5(concat_ws(",", q8.cast("array<string>")).cast("binary")).as("q8_hash"),
         aggregate(q8, lit(0L), (a, x) => a + x).as("sum_q"),
         size(filter(q8, x => abs(x) === 127)).cast("long").as("n_sat"))
+    },
+
+    // cross-family composition: embedding near-dup EDGES (the s02 shape)
+    // fed through the same transitive-closure clustering d06 uses — A~B
+    // and B~C land A,B,C in one cluster even when A~C never crossed the
+    // cosine threshold. Oracle = DuckDB recursive closure; Spark side =
+    // large-star/small-star contraction, O(log n) rounds, no driver graph.
+    q("s06_embed_cluster",
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 500
+        |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35),
+        |edges AS (SELECT a AS u, b AS v FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
+        |SELECT id AS vec_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin) { (s, _) =>
+      val e = s.table("embeddings")
+      val a = e.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("a"), col("embedding").as("ea"))
+        .withColumn("na", graft.ops.vector.vec_norm_sq(col("ea")))
+      val b = corpus(s).select(col("vec_id").as("b"), col("embedding").as("eb"))
+        .withColumn("nb", graft.ops.vector.vec_norm_sq(col("eb")))
+      val edges = broadcast(a).join(b, col("a") < col("b"))
+        .filter(dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")) >= 0.35)
+        .select(col("a"), col("b"))
+      graft.ops.ConnectedComponents
+        .label(e.select("vec_id"), edges)
+        .select(col("id").as("vec_id"), col("component").as("cluster_id"))
     }
   )
 }
