@@ -31,6 +31,9 @@ object ChSqlTranslator {
     "toString" -> "string",
     "modulo" -> "mod",
     "intDiv" -> "div",
+    // binary MD5 digest (Spark's md5() is hex-string; the server model
+    // registers a digest-returning UDF so hex()/lower() compose on top)
+    "MD5" -> "graft_md5bin",
     // statistical aggregates (scan-level complete pushdown)
     "varSamp" -> "var_samp",
     "varPop" -> "var_pop",

@@ -191,6 +191,22 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         }
       },
       org.apache.spark.sql.types.IntegerType)
+    // ClickHouse MD5() returns the 16-byte digest (not hex); generated
+    // SQL wraps it as lower(hex(MD5(x))) which composes on this UDF
+    child.udf.register("graft_md5bin",
+      new org.apache.spark.sql.api.java.UDF1[AnyRef, Array[Byte]] {
+        override def call(x: AnyRef): Array[Byte] = {
+          val bytes = x match {
+            case null => return null
+            case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case b: Array[Byte] => b
+            case other => throw new IllegalArgumentException(
+              s"graft_md5bin: unsupported type ${other.getClass}")
+          }
+          java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        }
+      },
+      org.apache.spark.sql.types.BinaryType)
     for (db <- listDatabases(); t <- listTables(db)) {
       val files = dataFiles(db, t)
       val df =

@@ -104,6 +104,14 @@ object ChExprUnparser {
       case EndsWith(l, r) => fn("endsWith", Seq(l, r))
       case Contains(l, r) =>
         for (ls <- go(l); rs <- go(r)) yield s"(position($ls, $rs) > 0)"
+      // md5 fingerprinting (dedup pipelines): ClickHouse MD5 returns the
+      // binary digest, so the hex-string form Spark produces is
+      // lower(hex(MD5(s))). Spark's Md5 takes binary — unwrap the
+      // string→binary Cast (UTF-8 bytes on both sides).
+      case Md5(Cast(c, BinaryType, _, _)) if c.dataType == StringType =>
+        go(c).map(cs => s"lower(hex(MD5($cs)))")
+      case Md5(c) if c.dataType == StringType =>
+        go(c).map(cs => s"lower(hex(MD5($cs)))")
       case StringTrim(c, None) => fn("trimBoth", Seq(c))
       case StringTrimLeft(c, None) => fn("trimLeft", Seq(c))
       case StringTrimRight(c, None) => fn("trimRight", Seq(c))

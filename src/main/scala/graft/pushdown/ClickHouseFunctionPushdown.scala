@@ -185,6 +185,31 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
         // pruned join itself collapses, the DPP filter is nested inside
         // that subtree and ChPlanUnparser drops it as redundant.)
         case f: Filter => !f.condition.exists(_.isInstanceOf[DynamicPruning])
+        // a projection that provably SHRINKS the wire: every output is
+        // bounded-width (narrow type, or a digest with fixed output)
+        // while at least one consumed column is unbounded — computing it
+        // in the store ships digests instead of documents. DPP-marked
+        // subtrees keep their DSv2 scan (same reasoning as Filter above).
+        case prj: Project =>
+          def wide(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+            case org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.BinaryType => true
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType => true
+            case _ => false
+          }
+          def bounded(e: Expression): Boolean = e match {
+            case a: Alias => bounded(a.child)
+            case _: Md5 => true // 32-char hex regardless of input size
+            case _ => !wide(e.dataType)
+          }
+          val noDpp = !prj.exists {
+            case f: Filter => f.condition.exists(_.isInstanceOf[DynamicPruning])
+            case _ => false
+          }
+          noDpp && prj.projectList.forall(bounded) &&
+            prj.references.exists(a => wide(a.dataType))
         case _ => false
       }
       subtreeHasPassthrough || federatable

@@ -464,6 +464,18 @@ object ConnectorQueries {
         .filter(col("rank") <= 3)
         .select(col("probe_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cosine"), col("rank"))
+    },
+
+    // content fingerprinting computed IN the store: Spark's md5 unparsers
+    // as lower(hex(MD5(s))), so the digest of every document is produced
+    // remotely and only (id, 32-char fp) rows cross the wire — the first
+    // stage of cross-store exact dedup without moving the corpus.
+    q("r23_remote_fingerprint",
+      """SELECT doc_id, md5(text) AS fp
+        |FROM documents WHERE n_chars > 300""".stripMargin) { (s, _) =>
+      s.table("clickhouse.main.documents")
+        .filter(col("n_chars") > 300)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
     }
   )
 }

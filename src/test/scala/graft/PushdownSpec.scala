@@ -670,4 +670,25 @@ class PushdownSpec extends AnyFunSuite {
     val got = df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
     assert(got == Set((1, "ALICE"), (1, "Buddha"), (1, "Zugus"), (1, "Lulu")))
   }
+
+  test("byte-reducing projection (md5 digest) collapses into the store") {
+    val df = spark.table("chpd.db.people")
+      .select(col("id"), md5(col("name").cast("binary")).as("fp"))
+    assert(remoteExecs(df).nonEmpty)
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    // digest equals Spark's own md5 (the store computes lower(hex(MD5)))
+    assert(got(1) == "64489c85dc2fe0787b85cd87214b3810") // md5("Alice")
+  }
+
+  test("width-preserving projection does NOT collapse (keeps the DSv2 scan)") {
+    // upper(name) output is as wide as its input: no wire win, and the
+    // DSv2 scan keeps runtime-filter capability — must stay a scan
+    val wide = spark.table("chpd.db.people")
+      .select(col("id"), upper(col("name")).as("u"))
+    assert(remoteExecs(wide).isEmpty)
+    // numeric-only projections consume no unbounded column: same rule
+    val narrow = spark.table("chpd.db.people").select((col("id") + 1).as("id2"))
+    assert(remoteExecs(narrow).isEmpty)
+    assert(narrow.collect().map(_.getInt(0)).toSet == Set(2, 3, 4))
+  }
 }
