@@ -34,6 +34,9 @@ object ChSqlTranslator {
     // binary MD5 digest (Spark's md5() is hex-string; the server model
     // registers a digest-returning UDF so hex()/lower() compose on top)
     "MD5" -> "graft_md5bin",
+    "SHA1" -> "graft_sha1bin",
+    "SHA256" -> "graft_sha256bin",
+    "CRC32" -> "graft_crc32",
     // statistical aggregates (scan-level complete pushdown)
     "varSamp" -> "var_samp",
     "varPop" -> "var_pop",

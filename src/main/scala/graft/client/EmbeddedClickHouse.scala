@@ -191,22 +191,40 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         }
       },
       org.apache.spark.sql.types.IntegerType)
-    // ClickHouse MD5() returns the 16-byte digest (not hex); generated
-    // SQL wraps it as lower(hex(MD5(x))) which composes on this UDF
-    child.udf.register("graft_md5bin",
-      new org.apache.spark.sql.api.java.UDF1[AnyRef, Array[Byte]] {
-        override def call(x: AnyRef): Array[Byte] = {
-          val bytes = x match {
-            case null => return null
-            case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            case b: Array[Byte] => b
-            case other => throw new IllegalArgumentException(
-              s"graft_md5bin: unsupported type ${other.getClass}")
+    // ClickHouse MD5()/SHA1()/SHA256() return the binary digest (not
+    // hex); generated SQL wraps them as lower(hex(F(x))) which composes
+    // on these UDFs. CRC32 is zlib's (IEEE 802.3, init 0xFFFFFFFF) in
+    // both engines.
+    def digestBytes(x: AnyRef, fn: String): Array[Byte] = x match {
+      case null => null
+      case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case b: Array[Byte] => b
+      case other => throw new IllegalArgumentException(
+        s"$fn: unsupported type ${other.getClass}")
+    }
+    for ((udf, algo) <- Seq("graft_md5bin" -> "MD5", "graft_sha1bin" -> "SHA-1",
+      "graft_sha256bin" -> "SHA-256")) {
+      child.udf.register(udf,
+        new org.apache.spark.sql.api.java.UDF1[AnyRef, Array[Byte]] {
+          override def call(x: AnyRef): Array[Byte] = {
+            val bytes = digestBytes(x, udf)
+            if (bytes == null) null
+            else java.security.MessageDigest.getInstance(algo).digest(bytes)
           }
-          java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        },
+        org.apache.spark.sql.types.BinaryType)
+    }
+    child.udf.register("graft_crc32",
+      new org.apache.spark.sql.api.java.UDF1[AnyRef, java.lang.Long] {
+        override def call(x: AnyRef): java.lang.Long = {
+          val bytes = digestBytes(x, "graft_crc32")
+          if (bytes == null) null
+          else {
+            val c = new java.util.zip.CRC32(); c.update(bytes); c.getValue
+          }
         }
       },
-      org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.types.LongType)
     for (db <- listDatabases(); t <- listTables(db)) {
       val files = dataFiles(db, t)
       val df =

@@ -112,6 +112,14 @@ object ChExprUnparser {
         go(c).map(cs => s"lower(hex(MD5($cs)))")
       case Md5(c) if c.dataType == StringType =>
         go(c).map(cs => s"lower(hex(MD5($cs)))")
+      case Sha1(Cast(c, BinaryType, _, _)) if c.dataType == StringType =>
+        go(c).map(cs => s"lower(hex(SHA1($cs)))")
+      case Sha2(Cast(c, BinaryType, _, _), Literal(256, IntegerType))
+          if c.dataType == StringType =>
+        go(c).map(cs => s"lower(hex(SHA256($cs)))")
+      // both engines use zlib's CRC-32 (IEEE 802.3, init 0xFFFFFFFF)
+      case Crc32(Cast(c, BinaryType, _, _)) if c.dataType == StringType =>
+        go(c).map(cs => s"CRC32($cs)")
       case StringTrim(c, None) => fn("trimBoth", Seq(c))
       case StringTrimLeft(c, None) => fn("trimLeft", Seq(c))
       case StringTrimRight(c, None) => fn("trimRight", Seq(c))

@@ -201,7 +201,7 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
           }
           def bounded(e: Expression): Boolean = e match {
             case a: Alias => bounded(a.child)
-            case _: Md5 => true // 32-char hex regardless of input size
+            case _: Md5 | _: Sha1 | _: Sha2 => true // fixed-size hex digests
             case _ => !wide(e.dataType)
           }
           val noDpp = !prj.exists {

@@ -471,11 +471,14 @@ object ConnectorQueries {
     // remotely and only (id, 32-char fp) rows cross the wire — the first
     // stage of cross-store exact dedup without moving the corpus.
     q("r23_remote_fingerprint",
-      """SELECT doc_id, md5(text) AS fp
+      """SELECT doc_id, md5(text) AS fp,
+        |  sha256(text) AS fp_sha256
         |FROM documents WHERE n_chars > 300""".stripMargin) { (s, _) =>
       s.table("clickhouse.main.documents")
         .filter(col("n_chars") > 300)
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("fp"),
+          sha2(col("text").cast("binary"), 256).as("fp_sha256"))
     }
   )
 }

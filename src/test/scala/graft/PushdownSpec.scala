@@ -680,6 +680,27 @@ class PushdownSpec extends AnyFunSuite {
     assert(got(1) == "64489c85dc2fe0787b85cd87214b3810") // md5("Alice")
   }
 
+  test("sha1/sha256/crc32 digests compute remotely and equal Spark's own") {
+    val remote = spark.table("chpd.db.people")
+      .select(col("id"),
+        sha1(col("name").cast("binary")).as("s1"),
+        sha2(col("name").cast("binary"), 256).as("s2"),
+        crc32(col("name").cast("binary")).as("c"))
+    assert(remoteExecs(remote).nonEmpty)
+    val local = spark.table("chpd.db.people").select(col("id"), col("name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    remote.collect().foreach { r =>
+      val name = local(r.getInt(0))
+      val bytes = name.getBytes("UTF-8")
+      def hex(algo: String) = java.security.MessageDigest.getInstance(algo)
+        .digest(bytes).map("%02x".format(_)).mkString
+      assert(r.getString(1) == hex("SHA-1"))
+      assert(r.getString(2) == hex("SHA-256"))
+      val c = new java.util.zip.CRC32(); c.update(bytes)
+      assert(r.getLong(3) == c.getValue)
+    }
+  }
+
   test("width-preserving projection does NOT collapse (keeps the DSv2 scan)") {
     // upper(name) output is as wide as its input: no wire win, and the
     // DSv2 scan keeps runtime-filter capability — must stay a scan
