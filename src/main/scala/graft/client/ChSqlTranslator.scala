@@ -37,6 +37,7 @@ object ChSqlTranslator {
     "SHA1" -> "graft_sha1bin",
     "SHA256" -> "graft_sha256bin",
     "CRC32" -> "graft_crc32",
+    "arrayDistinct" -> "array_distinct",
     // statistical aggregates (scan-level complete pushdown)
     "varSamp" -> "var_samp",
     "varPop" -> "var_pop",

@@ -120,6 +120,13 @@ object ChExprUnparser {
       // both engines use zlib's CRC-32 (IEEE 802.3, init 0xFFFFFFFF)
       case Crc32(Cast(c, BinaryType, _, _)) if c.dataType == StringType =>
         go(c).map(cs => s"CRC32($cs)")
+      // split on a literal single non-regex-meta char: Spark's regex
+      // split and ClickHouse splitByChar agree exactly there (and the
+      // guard keeps regex separators local, where Java semantics apply)
+      case StringSplit(str, l @ Literal(sep: UTF8String, StringType), Literal(-1, IntegerType))
+          if sep.toString.length == 1 &&
+            !"\\^$.|?*+()[]{}".contains(sep.toString.charAt(0)) =>
+        fn("splitByChar", Seq(l, str))
       case StringTrim(c, None) => fn("trimBoth", Seq(c))
       case StringTrimLeft(c, None) => fn("trimLeft", Seq(c))
       case StringTrimRight(c, None) => fn("trimRight", Seq(c))
@@ -201,6 +208,11 @@ object ChExprUnparser {
       case ArrayTransform(arg, f) => hof("arrayMap", arg, f, scope)
       case ArrayFilter(arg, f) => hof("arrayFilter", arg, f, scope)
       case ArrayExists(arg, f, _) => hof("arrayExists", arg, f, scope)
+      // distinct-count composition only: ClickHouse arrayDistinct does
+      // not guarantee Spark's first-occurrence order, but under length()
+      // ordering is irrelevant — bare array_distinct stays local
+      case Size(ArrayDistinct(c), _) =>
+        go(c).map(cs => s"length(arrayDistinct($cs))")
       case Size(c, _) => fn("length", Seq(c))
 
       // ---- aggregates (for whole-subtree aggregation pushdown) ----

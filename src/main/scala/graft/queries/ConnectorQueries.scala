@@ -479,6 +479,24 @@ object ConnectorQueries {
         .select(col("doc_id"),
           md5(col("text").cast("binary")).as("fp"),
           sha2(col("text").cast("binary"), 256).as("fp_sha256"))
+    },
+
+    // text statistics computed IN the store: split unparsers as
+    // splitByChar, so tokenization happens remotely and only three
+    // narrow integers per document cross the wire (the t01 shape,
+    // connector-composed — the 100 TB corpus never moves)
+    q("r24_remote_token_stats",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_c,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+        |FROM documents""".stripMargin) { (s, _) =>
+      val ts = split(col("text"), " ")
+      s.table("clickhouse.main.documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_c"),
+        size(ts).cast("long").as("n_tokens"),
+        size(array_distinct(ts)).cast("long").as("n_uniq"))
     }
   )
 }
