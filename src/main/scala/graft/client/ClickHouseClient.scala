@@ -95,6 +95,15 @@ trait ClickHouseClient extends Serializable {
     */
   def insert(db: String, table: String, schema: StructType, rows: Seq[Row]): Long
 
+  /** Server-side `INSERT INTO db.table <chSelectSql>`: the SELECT runs
+    * where the data lives and lands directly in the target table — ZERO
+    * rows cross the wire, the canonical store-internal ETL copy. A wire
+    * client ships the statement verbatim; the embedded store executes
+    * the translated SELECT and publishes the result through the staged-
+    * insert protocol (atomic per part). Returns the inserted row count.
+    */
+  def insertSelect(db: String, table: String, chSelectSql: String): Long
+
   /** Stage rows under a task-scoped staging id WITHOUT publishing them.
     * A wire client maps this to insert dedup tokens or a temp table +
     * ATTACH; the embedded store lands part files in a staging directory.

@@ -356,6 +356,52 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     n
   }
 
+  override def insertSelect(db: String, table: String, chSelectSql: String): Long = {
+    val spark = serverSession()
+    val df = spark.sql(ChSqlTranslator.translate(chSelectSql, knownTables))
+    val sink = sparkSchema(db, table)
+    // names+types must match; nullability is enforced at RUNTIME like a
+    // real server (parquet-backed reads are always nullable, so a static
+    // check would reject even an identical-schema copy — instead a NULL
+    // reaching a non-Nullable sink column fails the copy)
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    val errs =
+      sink.fields.flatMap { sf =>
+        byName.get(sf.name) match {
+          case None => Some(s"missing column '${sf.name}'")
+          case Some(inf) if inf.dataType != sf.dataType =>
+            Some(s"field '${sf.name}' type mismatch: ${inf.dataType.sql} vs ${sf.dataType.sql}")
+          case _ => None
+        }
+      } ++ df.schema.fieldNames.filterNot(sink.fieldNames.contains)
+        .map(n => s"unexpected column '$n'")
+    require(errs.isEmpty, s"INSERT SELECT schema mismatch for $db.$table: ${errs.mkString("; ")}")
+    // write through the staged protocol: Spark lands part files in the
+    // staging dir executor-side (never via the driver), commitStaged
+    // renames them in atomically — a crash mid-copy leaves the target
+    // untouched and the stale staging dir is reaped
+    val stagingId = s"copy-${java.util.UUID.randomUUID}"
+    val dir = stagingPath(db, table, stagingId)
+    Files.createDirectories(dir.getParent)
+    try {
+      import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+      val guarded = sink.fields.toSeq.map { sf =>
+        val c = col(sf.name)
+        if (!sf.nullable && byName(sf.name).nullable)
+          when(c.isNull, raise_error(
+            lit(s"Cannot insert NULL into non-Nullable column $db.$table.${sf.name}")))
+            .otherwise(c).as(sf.name)
+        else c
+      }
+      df.select(guarded: _*).write.parquet(dir.toString)
+      val n = spark.read.parquet(dir.toString).count()
+      commitStaged(db, table, stagingId)
+      n
+    } catch {
+      case e: Throwable => abortStaged(db, table, stagingId); throw e
+    }
+  }
+
   private def reorderToSink(
       db: String, table: String, schema: StructType, rows: Seq[Row]): Seq[Row] = {
     val sink = sparkSchema(db, table)
@@ -396,6 +442,10 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       deleteRecursively(dir)
+      // a failed job can orphan a staged dir when its task's commit
+      // message raced the failure and never reached BatchWrite.abort —
+      // the next successful write to the table reaps anything past TTL
+      reapStaleWriteDirs(db, table)
       invalidate()
     }
   }

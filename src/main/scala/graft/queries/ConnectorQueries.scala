@@ -481,6 +481,23 @@ object ConnectorQueries {
           sha2(col("text").cast("binary"), 256).as("fp_sha256"))
     },
 
+    // server-side ETL copy: INSERT INTO ... SELECT runs entirely in the
+    // store (zero rows cross the wire), then the result reads back
+    // through the connector — the canonical "materialize a filtered
+    // corpus slice next to the data" pipeline step.
+    q("r25_remote_copy",
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'") { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val client = new EmbeddedClickHouse(s"/root/repo/target/chstore_$tag")
+      if (client.tableExists("main", "docs_en")) client.dropTable("main", "docs_en")
+      client.createTable("main", "docs_en", Seq(
+        "doc_id" -> "Nullable(Int64)", "lang" -> "Nullable(String)",
+        "n_chars" -> "Nullable(Int64)"), Map("engine" -> "MergeTree"))
+      client.insertSelect("main", "docs_en",
+        "SELECT `doc_id`, `lang`, `n_chars` FROM `main`.`documents` WHERE `lang` = 'en'")
+      s.table("clickhouse.main.docs_en")
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

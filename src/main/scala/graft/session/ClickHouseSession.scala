@@ -31,6 +31,12 @@ final class ClickHouseSession private (
   def sql(query: String): DataFrame = spark.sql(query)
 
   def createDatabase(db: String): Unit = client.createDatabase(db)
+
+  /** Server-side `INSERT INTO db.table SELECT ...` — the SELECT is
+    * ClickHouse SQL executed where the data lives; zero rows transfer.
+    */
+  def insertSelect(db: String, table: String, chSelectSql: String): Long =
+    client.insertSelect(db, table, chSelectSql)
   def dropDatabase(db: String): Unit = client.dropDatabase(db)
   def dropTable(db: String, name: String): Unit = client.dropTable(db, name)
   def databases: Seq[String] = client.listDatabases()

@@ -199,14 +199,25 @@ class ConnectorSpec extends AnyFunSuite {
     // published, no staging residue
     val rows = spark.table("chconn.testdb.abort_t").collect().map(_.getLong(0)).sorted
     assert(rows.toSeq == Seq(1L, 2L, 3L), s"partial rows leaked: ${rows.length}")
+    // a task whose commit message RACED the job failure can leave an
+    // orphaned staging dir (it never reached BatchWrite.abort — the
+    // documented lost-commit-message case). The orphan is unpublished by
+    // construction (asserted above) and the TTL reaper cleans it on the
+    // next successful write: age any residue past the TTL, write once,
+    // then the staging area must be empty.
     val stagingRoot = java.nio.file.Paths.get(root, "testdb", "abort_t", ".insert-staging")
-    val leftover =
+    def leftover: Seq[java.nio.file.Path] =
       if (!java.nio.file.Files.isDirectory(stagingRoot)) Seq.empty
       else {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.list(stagingRoot).iterator.asScala.toSeq
       }
-    assert(leftover.isEmpty, s"staging residue: $leftover")
+    leftover.foreach(p => java.nio.file.Files.setLastModifiedTime(
+      p, java.nio.file.attribute.FileTime.fromMillis(0)))
+    spark.sql("INSERT INTO chconn.testdb.abort_t VALUES (4)")
+    assert(leftover.isEmpty, s"staging residue survived the reaper: $leftover")
+    val after = spark.table("chconn.testdb.abort_t").collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == Seq(1L, 2L, 3L, 4L))
     spark.sql("DROP TABLE chconn.testdb.abort_t")
   }
 
@@ -281,5 +292,29 @@ class ConnectorSpec extends AnyFunSuite {
       .contains("position(`s`, 'o\\'brien') > 0"))
     // NaN can't be a ClickHouse literal -> not compilable
     assert(ChSql.compileFilter(EqualTo("d", Double.NaN)).isEmpty)
+  }
+
+  test("insertSelect copies server-side and returns the inserted count") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chconn.etl")
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("etl", "src",
+      Seq("id" -> "Int64", "v" -> "Nullable(String)"), Map("engine" -> "MergeTree"))
+    client.insert("etl", "src", client.sparkSchema("etl", "src"),
+      (1 to 10).map(i => org.apache.spark.sql.Row(i.toLong, s"v$i")))
+    client.createTable("etl", "dst",
+      Seq("id" -> "Int64", "v" -> "Nullable(String)"), Map("engine" -> "MergeTree"))
+    val n = client.insertSelect("etl", "dst",
+      "SELECT `id`, `v` FROM `etl`.`src` WHERE `id` > 4")
+    assert(n == 6)
+    assert(spark.table("chconn.etl.dst").count() == 6)
+    // copy is idempotent per call, additive across calls
+    client.insertSelect("etl", "dst", "SELECT `id`, `v` FROM `etl`.`src` WHERE `id` = 1")
+    assert(spark.table("chconn.etl.dst").count() == 7)
+    // schema mismatch rejects before anything lands
+    val e = intercept[IllegalArgumentException] {
+      client.insertSelect("etl", "dst", "SELECT `id` FROM `etl`.`src`")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    assert(spark.table("chconn.etl.dst").count() == 7)
   }
 }
