@@ -103,6 +103,49 @@ object DedupQueries {
       .select(col("a"), col("b"), jac.as("jaccard"))
   }
 
+  /** MinHash signatures as NumHashes COLUMNS per doc (shared by d03 and
+    * d08): the groupBy collapses map-side (partial min per column) over
+    * corpus-sized input instead of shuffling a 16x row blowup. At 100 TB
+    * this is the difference between shuffling 16x the corpus and shuffling
+    * one signature row per document.
+    */
+  private def minhashSigs(s: SparkSession): DataFrame = {
+    val h32 = shingleHashes(s, 8).select(col("doc_id"), col("hsh").as("h"))
+    val sigCols = (0 until NumHashes).map { i =>
+      min((lit(37 + 101 * i) * col("h") + lit(17 + 97 * i)) % 2147483647L).as(s"s$i")
+    }
+    h32.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH band buckets (band, bucket) per doc from column-wise signatures. */
+  private def bandsOf(sigs: DataFrame): DataFrame = {
+    val numBands = NumHashes / BandSize
+    val bandStructs = (0 until numBands).map { j =>
+      val sigsInBand = (0 until BandSize).map(k => col(s"s${BandSize * j + k}").cast("string"))
+      struct(lit(j).as("band"),
+        md5(concat_ws("|", sigsInBand: _*).cast("binary")).as("bucket"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** The d03/d08 signature+band derivation as DuckDB CTEs (extends
+    * shingleCte): identical universal-hash arithmetic — all values stay
+    * < 2^52, inside exact BIGINT range for both engines.
+    */
+  private val sigBandsCte =
+    s"""$shingleCte,
+       |h32 AS (SELECT doc_id,
+       |          ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+       |hx AS (SELECT doc_id, i,
+       |          min(((37 + 101 * i) * h + 17 + 97 * i) % 2147483647) AS sig
+       |       FROM h32 CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS i)
+       |       GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // $BandSize AS band,
+       |            md5(array_to_string(list(sig ORDER BY i), '|')) AS bucket
+       |          FROM hx GROUP BY doc_id, i // $BandSize)""".stripMargin
+
   /** The same pair derivation as DuckDB CTEs (extends rareCte). */
   private val pairsCte =
     s"""$rareCte,
@@ -147,16 +190,7 @@ object DedupQueries {
     // Identical arithmetic on both engines -> oracle-verified end to end
     // (all values stay < 2^52, inside exact BIGINT range for both).
     q("d03_dedup_minhash_lsh",
-      s"""WITH $shingleCte,
-         |h32 AS (SELECT doc_id,
-         |          ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
-         |hx AS (SELECT doc_id, i,
-         |          min(((37 + 101 * i) * h + 17 + 97 * i) % 2147483647) AS sig
-         |       FROM h32 CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS i)
-         |       GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, i // $BandSize AS band,
-         |            md5(array_to_string(list(sig ORDER BY i), '|')) AS bucket
-         |          FROM hx GROUP BY doc_id, i // $BandSize),
+      s"""WITH $sigBandsCte,
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |         FROM bands x JOIN bands y
          |           ON x.band = y.band AND x.bucket = y.bucket
@@ -167,27 +201,10 @@ object DedupQueries {
          |JOIN hx ha ON ha.doc_id = a
          |JOIN hx hb ON hb.doc_id = b AND hb.i = ha.i
          |GROUP BY a, b""".stripMargin) { (s, _) =>
-      // Spark shape: signatures live as NumHashes COLUMNS, not exploded
-      // rows — the groupBy collapses map-side (partial min per column)
-      // over corpus-sized input instead of shuffling a 16x row blowup.
-      // At 100 TB this is the difference between shuffling 16x the corpus
-      // and shuffling one signature row per document.
       // distinct-on-hash vs the oracle's distinct-on-string is min-stable:
       // duplicate h values cannot change any min_i
-      val h32 = shingleHashes(s, 8).select(col("doc_id"), col("hsh").as("h"))
-      val sigCols = (0 until NumHashes).map { i =>
-        min((lit(37 + 101 * i) * col("h") + lit(17 + 97 * i)) % 2147483647L).as(s"s$i")
-      }
-      val sigs = h32.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).cache()
-      val numBands = NumHashes / BandSize
-      val bandStructs = (0 until numBands).map { j =>
-        val sigsInBand = (0 until BandSize).map(k => col(s"s${BandSize * j + k}").cast("string"))
-        struct(lit(j).as("band"),
-          md5(concat_ws("|", sigsInBand: _*).cast("binary")).as("bucket"))
-      }
-      val bands = sigs
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val sigs = minhashSigs(s).cache()
+      val bands = bandsOf(sigs)
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -307,6 +324,84 @@ object DedupQueries {
       train.join(broadcast(bench), "hsh")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
+    },
+
+    // ---- incremental dedup: a NEW batch vs the EXISTING corpus ----
+    // The real 100 TB ingest pattern: a crawl shard arrives and must be
+    // deduped against the already-indexed corpus WITHOUT reprocessing the
+    // corpus — in production the corpus side of this join is the stored
+    // signature table, computed once at ingest; here both sides derive
+    // from one signature pass (batch = doc_id % 7 = 3 stands in for the
+    // arriving shard). Scale shape: the batch is small relative to the
+    // corpus, so its band table BROADCASTS to the corpus-sized side — the
+    // corpus never shuffles; candidate verification joins signatures only
+    // for the candidate pairs (bounded by LSH bucket collisions, not
+    // corpus^2). est_jaccard = k/16 is dyadic-exact on both engines.
+    q("d08_dedup_incremental",
+      s"""WITH $sigBandsCte,
+         |cand AS (SELECT DISTINCT y.doc_id AS new_id, x.doc_id AS existing_id
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bucket = y.bucket
+         |         WHERE y.doc_id % 7 = 3 AND x.doc_id % 7 <> 3),
+         |scored AS (SELECT new_id, existing_id,
+         |             sum(CASE WHEN ha.sig = hb.sig THEN 1 ELSE 0 END) / ${NumHashes}.0 AS ej
+         |           FROM cand JOIN hx ha ON ha.doc_id = new_id
+         |                     JOIN hx hb ON hb.doc_id = existing_id AND hb.i = ha.i
+         |           GROUP BY new_id, existing_id)
+         |SELECT new_id, count(*) AS n_dups, min(existing_id) AS dup_of,
+         |  max(ej) AS best_jaccard
+         |FROM scored WHERE ej >= 0.5 GROUP BY new_id""".stripMargin) { (s, _) =>
+      val sigs = minhashSigs(s).cache()
+      val isBatch = col("doc_id") % 7 === 3
+      val corpusBands = bandsOf(sigs.filter(!isBatch))
+      val batchBands = bandsOf(sigs.filter(isBatch))
+      val cand = corpusBands.as("x")
+        .join(broadcast(batchBands.as("y")),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+        .select(col("y.doc_id").as("new_id"), col("x.doc_id").as("existing_id"))
+        .distinct()
+      val matches = (0 until NumHashes)
+        .map(i => when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(broadcast(sigs.filter(isBatch).as("sa")), col("new_id") === col("sa.doc_id"))
+        .join(sigs.as("sb"), col("existing_id") === col("sb.doc_id"))
+        .select(col("new_id"), col("existing_id"),
+          (matches.cast("long") / NumHashes.toDouble).as("ej"))
+        .filter(col("ej") >= 0.5)
+        .groupBy("new_id")
+        .agg(count(lit(1)).as("n_dups"), min("existing_id").as("dup_of"),
+          max("ej").as("best_jaccard"))
+    },
+
+    // ---- duplicated-span detection (exact substring dedup, strided) ----
+    // Approximates suffix-array exact-substring dedup (Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better") with
+    // strided windows: every 15-token span starting at a stride-5 offset
+    // is hashed, and spans appearing in >= 2 distinct documents are
+    // reported. Scale shape: spans never materialize as strings past the
+    // md5 — a 60-bit int per span crosses the single shuffle, volume =
+    // corpus tokens / stride; the group-by is map-side-combinable.
+    q("d09_dedup_span",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sp AS (SELECT doc_id,
+        |         unnest([('0x' || substr(md5(array_to_string(ts[i:i+14], ' ')), 1, 15))::BIGINT
+        |                 for i in generate_series(1, len(ts) - 14, 5)]) AS span_h
+        |       FROM toks WHERE len(ts) >= 15)
+        |SELECT span_h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        |FROM sp GROUP BY span_h HAVING count(DISTINCT doc_id) >= 2""".stripMargin) { (s, _) =>
+      val ts = split(col("text"), " ")
+      s.table("documents")
+        .select(col("doc_id"), ts.as("ts"))
+        .filter(size(col("ts")) >= 15)
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(1), size(col("ts")) - 14, lit(5))).as("i"))
+        .select(col("doc_id"),
+          conv(substring(md5(array_join(slice(col("ts"), col("i"), lit(15)), " ")
+            .cast("binary")), 1, 15), 16, 10).cast("long").as("span_h"))
+        .groupBy("span_h")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
     }
   )
 }

@@ -267,6 +267,43 @@ object TextQueries {
         .groupBy("tok").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("tok"))
         .limit(100)
+    },
+
+    // ---- quantile quality filter from an aggregated histogram ----
+    // Keep each language's top quartile by length WITHOUT a corpus-wide
+    // sort: the only corpus-sized operation is the map-side-combinable
+    // GROUP BY (lang, n_chars); the cumulative window and the threshold
+    // derivation run over the tiny histogram (bounded by distinct lengths
+    // x languages, not corpus size), and the thresholds broadcast back as
+    // a join filter. Contrast with percent_rank()/ntile() over the corpus,
+    // which would sort one task per language (skew-fatal at 100 TB).
+    // Threshold = min length v with |{docs >= v}| * 4 <= n, all-integer
+    // arithmetic, so both engines agree exactly; ties at the threshold are
+    // included on both sides (RANGE window frame semantics are identical).
+    q("t11_quantile_filter",
+      """WITH hist AS (SELECT lang, n_chars, count(*) AS c
+        |              FROM documents GROUP BY lang, n_chars),
+        |cum AS (SELECT lang, n_chars,
+        |          sum(c) OVER (PARTITION BY lang ORDER BY n_chars DESC) AS cum,
+        |          sum(c) OVER (PARTITION BY lang) AS n
+        |        FROM hist),
+        |thr AS (SELECT lang, min(n_chars) AS thr FROM cum
+        |        WHERE cum * 4 <= n GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE d.n_chars >= thr.thr""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val hist = s.table("documents")
+        .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+      val cum = hist.select(col("lang"), col("n_chars"),
+        sum("c").over(Window.partitionBy("lang").orderBy(col("n_chars").desc)).as("cum"),
+        sum("c").over(Window.partitionBy("lang")).as("n"))
+      val thr = cum.filter(col("cum") * 4 <= col("n"))
+        .groupBy("lang").agg(min("n_chars").as("thr"))
+      s.table("documents").as("d")
+        .join(broadcast(thr).as("t"), "lang")
+        .filter(col("n_chars") >= col("thr"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
     }
   )
 }

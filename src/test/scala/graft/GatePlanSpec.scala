@@ -86,6 +86,51 @@ class GatePlanSpec extends AnyFunSuite {
     }.isEmpty)
   }
 
+  test("d08 incremental dedup broadcasts the batch side: corpus never " +
+    "shuffles for the candidate join") {
+    val df = SparkEntry.queries("d08_dedup_incremental")(spark, sfDir)
+    assert(df.count() > 0)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // batch bands + batch sigs are broadcast; the corpus-sided joins must
+    // all be broadcast-hash, never sort-merge (a corpus shuffle at 100 TB)
+    val bhj = root.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    val smj = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(bhj.size >= 2)
+    assert(smj.isEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("d09 span dedup ships 60-bit ints: bounded shuffles, no span strings") {
+    val (n, shuffles) = run("d09_dedup_span")
+    assert(n > 0)
+    // partial-agg on (span_h, doc_id) + final on span_h: two exchanges of
+    // long keys; anything more means the distinct-agg rewrite regressed
+    assert(shuffles <= 2)
+  }
+
+  test("t11 quantile filter joins documents by broadcast: the corpus-sized " +
+    "side shuffles only for the histogram") {
+    val df = SparkEntry.queries("t11_quantile_filter")(spark, sfDir)
+    assert(df.count() > 0)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(root.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty)
+    assert(root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty)
+  }
+
   test("q52 recursive CTE gap-fills: series rows survive with zero counts") {
     val df = SparkEntry.queries("q52_recursive_cte")(spark, sfDir)
     val rows = df.collect()
