@@ -498,6 +498,29 @@ object ConnectorQueries {
       s.table("clickhouse.main.docs_en")
     },
 
+    // incremental dedup composed WITH the connector: the corpus MinHash
+    // signature table lives IN the store (built once at ingest — the
+    // "signature index next to the data" pattern), so deduping an
+    // arriving shard moves only 17 ints per corpus doc, never the corpus
+    // text. The batch side computes its signatures locally and
+    // broadcasts; the stored signatures stream out executor-side with
+    // only (doc_id, s0..s15) in the projection. Same oracle as d08: the
+    // stored table is derived, so the full derivation re-runs in DuckDB.
+    q("r26_remote_incremental_dedup", DedupQueries.incrementalOracle) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val client = new EmbeddedClickHouse(s"/root/repo/target/chstore_$tag")
+      if (!client.tableExists("main", "doc_sigs")) {
+        client.createTable("main", "doc_sigs",
+          ("doc_id" -> "Nullable(Int64)") +:
+            (0 until 16).map(i => s"s$i" -> "Nullable(Int64)"),
+          Map("engine" -> "MergeTree"))
+        DedupQueries.minhashSigs(s).filter(col("doc_id") % 7 =!= 3)
+          .writeTo("clickhouse.main.doc_sigs").append()
+      }
+      val batchSigs = DedupQueries.minhashSigs(s).filter(col("doc_id") % 7 === 3)
+      DedupQueries.incrementalMatch(batchSigs, s.table("clickhouse.main.doc_sigs"))
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

@@ -109,7 +109,7 @@ object DedupQueries {
     * this is the difference between shuffling 16x the corpus and shuffling
     * one signature row per document.
     */
-  private def minhashSigs(s: SparkSession): DataFrame = {
+  private[queries] def minhashSigs(s: SparkSession): DataFrame = {
     val h32 = shingleHashes(s, 8).select(col("doc_id"), col("hsh").as("h"))
     val sigCols = (0 until NumHashes).map { i =>
       min((lit(37 + 101 * i) * col("h") + lit(17 + 97 * i)) % 2147483647L).as(s"s$i")
@@ -118,7 +118,7 @@ object DedupQueries {
   }
 
   /** LSH band buckets (band, bucket) per doc from column-wise signatures. */
-  private def bandsOf(sigs: DataFrame): DataFrame = {
+  private[queries] def bandsOf(sigs: DataFrame): DataFrame = {
     val numBands = NumHashes / BandSize
     val bandStructs = (0 until numBands).map { j =>
       val sigsInBand = (0 until BandSize).map(k => col(s"s${BandSize * j + k}").cast("string"))
@@ -145,6 +145,51 @@ object DedupQueries {
        |bands AS (SELECT doc_id, i // $BandSize AS band,
        |            md5(array_to_string(list(sig ORDER BY i), '|')) AS bucket
        |          FROM hx GROUP BY doc_id, i // $BandSize)""".stripMargin
+
+  /** Batch-vs-corpus candidate generation + verification (shared by d08
+    * and the connector-composed r26): the batch band table and batch
+    * signatures BROADCAST to the corpus-sized side — the corpus never
+    * shuffles; candidate verification joins signatures only for the
+    * candidate pairs (bounded by LSH bucket collisions, not corpus^2).
+    */
+  private[queries] def incrementalMatch(
+      batchSigs: DataFrame, corpusSigs: DataFrame): DataFrame = {
+    val cand = bandsOf(corpusSigs).as("x")
+      .join(broadcast(bandsOf(batchSigs).as("y")),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("y.doc_id").as("new_id"), col("x.doc_id").as("existing_id"))
+      .distinct()
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(broadcast(batchSigs.as("sa")), col("new_id") === col("sa.doc_id"))
+      .join(corpusSigs.as("sb"), col("existing_id") === col("sb.doc_id"))
+      .select(col("new_id"), col("existing_id"),
+        (matches.cast("long") / NumHashes.toDouble).as("ej"))
+      .filter(col("ej") >= 0.5)
+      .groupBy("new_id")
+      .agg(count(lit(1)).as("n_dups"), min("existing_id").as("dup_of"),
+        max("ej").as("best_jaccard"))
+  }
+
+  /** Full-derivation oracle for the incremental match (shared by d08/r26):
+    * est_jaccard = k/16 is dyadic-exact on both engines.
+    */
+  private[queries] val incrementalOracle: String =
+    s"""WITH $sigBandsCte,
+       |cand AS (SELECT DISTINCT y.doc_id AS new_id, x.doc_id AS existing_id
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bucket = y.bucket
+       |         WHERE y.doc_id % 7 = 3 AND x.doc_id % 7 <> 3),
+       |scored AS (SELECT new_id, existing_id,
+       |             sum(CASE WHEN ha.sig = hb.sig THEN 1 ELSE 0 END) / ${NumHashes}.0 AS ej
+       |           FROM cand JOIN hx ha ON ha.doc_id = new_id
+       |                     JOIN hx hb ON hb.doc_id = existing_id AND hb.i = ha.i
+       |           GROUP BY new_id, existing_id)
+       |SELECT new_id, count(*) AS n_dups, min(existing_id) AS dup_of,
+       |  max(ej) AS best_jaccard
+       |FROM scored WHERE ej >= 0.5 GROUP BY new_id""".stripMargin
 
   /** The same pair derivation as DuckDB CTEs (extends rareCte). */
   private val pairsCte =
@@ -337,41 +382,10 @@ object DedupQueries {
     // corpus never shuffles; candidate verification joins signatures only
     // for the candidate pairs (bounded by LSH bucket collisions, not
     // corpus^2). est_jaccard = k/16 is dyadic-exact on both engines.
-    q("d08_dedup_incremental",
-      s"""WITH $sigBandsCte,
-         |cand AS (SELECT DISTINCT y.doc_id AS new_id, x.doc_id AS existing_id
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bucket = y.bucket
-         |         WHERE y.doc_id % 7 = 3 AND x.doc_id % 7 <> 3),
-         |scored AS (SELECT new_id, existing_id,
-         |             sum(CASE WHEN ha.sig = hb.sig THEN 1 ELSE 0 END) / ${NumHashes}.0 AS ej
-         |           FROM cand JOIN hx ha ON ha.doc_id = new_id
-         |                     JOIN hx hb ON hb.doc_id = existing_id AND hb.i = ha.i
-         |           GROUP BY new_id, existing_id)
-         |SELECT new_id, count(*) AS n_dups, min(existing_id) AS dup_of,
-         |  max(ej) AS best_jaccard
-         |FROM scored WHERE ej >= 0.5 GROUP BY new_id""".stripMargin) { (s, _) =>
+    q("d08_dedup_incremental", incrementalOracle) { (s, _) =>
       val sigs = minhashSigs(s).cache()
       val isBatch = col("doc_id") % 7 === 3
-      val corpusBands = bandsOf(sigs.filter(!isBatch))
-      val batchBands = bandsOf(sigs.filter(isBatch))
-      val cand = corpusBands.as("x")
-        .join(broadcast(batchBands.as("y")),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-        .select(col("y.doc_id").as("new_id"), col("x.doc_id").as("existing_id"))
-        .distinct()
-      val matches = (0 until NumHashes)
-        .map(i => when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand
-        .join(broadcast(sigs.filter(isBatch).as("sa")), col("new_id") === col("sa.doc_id"))
-        .join(sigs.as("sb"), col("existing_id") === col("sb.doc_id"))
-        .select(col("new_id"), col("existing_id"),
-          (matches.cast("long") / NumHashes.toDouble).as("ej"))
-        .filter(col("ej") >= 0.5)
-        .groupBy("new_id")
-        .agg(count(lit(1)).as("n_dups"), min("existing_id").as("dup_of"),
-          max("ej").as("best_jaccard"))
+      incrementalMatch(sigs.filter(isBatch), sigs.filter(!isBatch))
     },
 
     // ---- duplicated-span detection (exact substring dedup, strided) ----
