@@ -383,6 +383,102 @@ object ConnectorQueries {
       StreamingQueries.drain(s, built, "complete")
     },
 
+    // CROSS-STORE federation: two catalogs over two DISTINCT store roots
+    // (different connection keys). The pushdown rule must NOT collapse
+    // the join into either store — each side executes as its own remote
+    // scan (supplier's filter pushed into store 2, nation pruned in
+    // store 1) and the join runs in Spark, the only engine that can see
+    // both. The dimension side broadcasts. This is the multi-warehouse
+    // topology (e.g. per-region ClickHouse clusters joined for a global
+    // report) that single-store collapse can't serve.
+    q("r28_cross_store_join",
+      """SELECT n_name, count(*) AS n_sup, round(sum(s_acctbal), 2) AS acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 0
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root2 = s"/root/repo/target/chstore2_$tag"
+      val client2 = new EmbeddedClickHouse(root2)
+      if (!client2.tableExists("main", "supplier")) {
+        client2.createTable("main", "supplier", Seq(
+          "s_suppkey" -> "Nullable(Int64)", "s_name" -> "Nullable(String)",
+          "s_nationkey" -> "Nullable(Int32)", "s_acctbal" -> "Nullable(Float64)"),
+          Map("engine" -> "MergeTree"))
+        client2.attachExternal("main", "supplier", Seq(s"$dir/supplier.parquet"))
+      }
+      s.conf.set("spark.sql.catalog.clickhouse2",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      s.conf.set("spark.sql.catalog.clickhouse2.path", root2)
+      s.table("clickhouse2.main.supplier")
+        .filter(col("s_acctbal") > 0)
+        .join(broadcast(s.table("clickhouse.main.nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_sup"), round(sum("s_acctbal"), 2).as("acctbal"))
+    },
+
+    // STREAMING incremental dedup against a stored fingerprint index:
+    // the ingest-dedup pattern in its production shape — events stream out of the
+    // remote source by cursor ranges (multiple micro-batches), each batch
+    // first-occurrence-dedups within itself (groupBy fp -> min event_id),
+    // anti-joins the store's fingerprint index, and appends only novel
+    // fingerprints. Because cursor ranges ascend, the first batch seeing
+    // a fingerprint holds its global-min event_id, so the drained index
+    // equals the batch oracle exactly. The anti-join also makes the
+    // append IDEMPOTENT under micro-batch replay: re-staged rows are
+    // filtered because they already landed. At 100 TB the anti-join
+    // co-partitions on fp (32-byte keys, index rows are 40 bytes/doc);
+    // the stream side is one micro-batch, never the corpus.
+    q("r27_stream_incremental_dedup",
+      """SELECT md5(event_type || '|' || props) AS fp,
+        |  CAST(min(event_id) AS BIGINT) AS first_event
+        |FROM events GROUP BY md5(event_type || '|' || props)""".stripMargin) { (s, dir) =>
+      val nEvents = s.table("events").count()
+      val fresh = !s.catalog.tableExists("clickhouse.main.ev_fp_src") ||
+        s.table("clickhouse.main.ev_fp_src").count() != nEvents
+      if (fresh) {
+        s.sql("DROP TABLE IF EXISTS clickhouse.main.ev_fp_src")
+        s.sql(
+          """CREATE TABLE clickhouse.main.ev_fp_src
+            |(event_id BIGINT, event_type STRING, props STRING)
+            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'event_id')""".stripMargin)
+        s.sql(
+          """INSERT INTO clickhouse.main.ev_fp_src
+            |SELECT event_id, event_type, props FROM events""".stripMargin)
+      }
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.fp_index")
+      s.sql(
+        """CREATE TABLE clickhouse.main.fp_index (fp STRING, first_event BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'fp')""".stripMargin)
+      val maxId = s.table("events").agg(max("event_id")).head().getLong(0)
+      val stream = s.readStream
+        .option("stream_cursor", "event_id")
+        .option("stream_max_per_batch", math.max(1L, maxId / 2).toString)
+        .table("clickhouse.main.ev_fp_src")
+      val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else sys.props("java.io.tmpdir")
+      val ck = s"$ckBase/graft_ck_fpdedup_${System.nanoTime()}"
+      try {
+        val q = stream.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.select(
+                md5(concat_ws("|", col("event_type"), col("props")).cast("binary")).as("fp"),
+                col("event_id"))
+              .groupBy("fp").agg(min("event_id").as("first_event"))
+              .join(b.sparkSession.table("clickhouse.main.fp_index"),
+                Seq("fp"), "left_anti")
+              .writeTo("clickhouse.main.fp_index").append()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      }
+      s.table("clickhouse.main.fp_index")
+    },
+
     // value window functions collapse remotely: first_value/last_value
     // with an explicit full frame (identical spelling in both dialects)
     // and ntile bucketing

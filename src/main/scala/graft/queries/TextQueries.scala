@@ -304,6 +304,83 @@ object TextQueries {
         .join(broadcast(thr).as("t"), "lang")
         .filter(col("n_chars") >= col("thr"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+
+    // ---- inverted phrase index (retrieval / RAG prep) ----
+    // term -> sorted posting list over word-3-gram phrases, with the df
+    // band filter that real indexes apply (df=1 is noise, hot phrases go
+    // to a stopword path). Scale shape: the (doc, phrase) distinct and
+    // the phrase group-by are the only shuffles, both map-side
+    // combinable; posting-list width is bounded by the df cap, so no
+    // group blows up. The list is deterministically sorted and digested
+    // so the oracle compares exact posting content, not just counts.
+    q("t12_inverted_index",
+      """WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([array_to_string(ts[i:i+2], ' ')
+        |                 for i in generate_series(1, len(ts)-2)]) AS phrase
+        |       FROM ts WHERE len(ts) >= 3),
+        |idx AS (SELECT phrase, count(*) AS df,
+        |          md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS posting_md5
+        |        FROM sh GROUP BY phrase)
+        |SELECT phrase, df, posting_md5 FROM idx
+        |WHERE df BETWEEN 2 AND 50""".stripMargin) { (s, _) =>
+      val ts = split(col("text"), " ")
+      s.table("documents")
+        .select(col("doc_id"), ts.as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(1), size(col("ts")) - 2)).as("i"))
+        .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(3)), " ").as("phrase"))
+        .distinct()
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("df"),
+          md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").cast("binary")).as("posting_md5"))
+        .filter(col("df").between(2, 50))
+    },
+
+    // ---- BM25 retrieval scoring (rational variant, k1=1, b=1) ----
+    // Ranked retrieval over the corpus for a fixed term set, with the
+    // idf expressed as Robertson's rational form (N-df+0.5)/(df+0.5) and
+    // k1=b=1, which collapses the tf normalization to
+    // 2*tf*TT / (tf*TT + dl*N): every operand is an exact integer (or
+    // x.5, exactly representable), so each score is ONE division and ONE
+    // multiplication of bit-identical operands — deterministic across
+    // engines with NO rounding, hash-compared at full float64 precision.
+    // Scale shape: zero corpus shuffle — tf/dl are narrow per-row
+    // computations against the broadcast term list, and N/TT/df are
+    // one-row/3-row aggregates broadcast back.
+    q("t13_bm25_score",
+      """WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |stats AS (SELECT count(*) AS n, sum(len(ts)) AS tt FROM ts),
+        |terms AS (SELECT unnest(['column','scan','window']) AS term),
+        |tf AS (SELECT doc_id, term, len(list_filter(ts, x -> x = term)) AS tf,
+        |         len(ts) AS dl
+        |       FROM ts CROSS JOIN terms),
+        |dfx AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term)
+        |SELECT t.doc_id, t.term,
+        |  (2.0 * t.tf * s.tt) / (t.tf * s.tt + t.dl * s.n)
+        |    * ((s.n - d.df + 0.5) / (d.df + 0.5)) AS score
+        |FROM tf t JOIN dfx d USING (term) CROSS JOIN stats s
+        |WHERE t.tf > 0""".stripMargin) { (s, _) =>
+      val docs = s.table("documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val stats = docs.agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("tt"))
+      val terms = s.range(1).select(
+        explode(array(lit("column"), lit("scan"), lit("window"))).as("term"))
+      val tf = docs.crossJoin(broadcast(terms))
+        .select(col("doc_id"), col("term"),
+          size(filter(col("ts"), _ === col("term"))).cast("long").as("tf"),
+          size(col("ts")).cast("long").as("dl"))
+        .filter(col("tf") > 0)
+      val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf
+        .join(broadcast(dfx), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"),
+          ((lit(2.0) * col("tf") * col("tt")) / (col("tf") * col("tt") + col("dl") * col("n"))
+            * ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))).as("score"))
     }
   )
 }

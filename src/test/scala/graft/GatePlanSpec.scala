@@ -131,6 +131,28 @@ class GatePlanSpec extends AnyFunSuite {
     }.isEmpty)
   }
 
+  test("r28 cross-store join: two separate remote scans, join stays local") {
+    val df = SparkEntry.queries("r28_cross_store_join")(spark, sfDir)
+    assert(df.count() > 0)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // different connection keys: neither a single collapsed remote SQL
+    // nor a remote join — two DSv2 scans and a local broadcast join
+    val scans = root.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[graft.connector.ChScan] => b
+    }
+    assert(scans.size == 2)
+    assert(root.collect {
+      case e: graft.pushdown.ClickHouseRemoteExec => e
+    }.isEmpty)
+    assert(root.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty)
+  }
+
   test("q52 recursive CTE gap-fills: series rows survive with zero counts") {
     val df = SparkEntry.queries("q52_recursive_cte")(spark, sfDir)
     val rows = df.collect()
