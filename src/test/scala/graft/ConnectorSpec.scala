@@ -317,4 +317,32 @@ class ConnectorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("schema mismatch"))
     assert(spark.table("chconn.etl.dst").count() == 7)
   }
+
+  test("anti-join append is idempotent under micro-batch replay (r27 core)") {
+    // the streaming fp-index dedup appends `novel = batch ANTI JOIN index`;
+    // a replayed (or partially-landed-then-retried) batch must converge to
+    // the same index content, never duplicate it
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chconn.dedup")
+    spark.sql(
+      """CREATE TABLE chconn.dedup.fpi (fp STRING, first_event BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree')""".stripMargin)
+    import spark.implicits._
+    def appendBatch(batch: Seq[(String, Long)]): Unit =
+      batch.toDF("fp", "first_event")
+        .groupBy("fp").agg(min("first_event").as("first_event"))
+        .join(spark.table("chconn.dedup.fpi"), Seq("fp"), "left_anti")
+        .writeTo("chconn.dedup.fpi").append()
+
+    val b1 = Seq("a" -> 1L, "b" -> 2L, "a" -> 3L)
+    appendBatch(b1)
+    assert(spark.table("chconn.dedup.fpi").count() == 2)
+    appendBatch(b1) // full replay: nothing new lands
+    assert(spark.table("chconn.dedup.fpi").count() == 2)
+    // next batch with one overlap: only the novel fp lands, and the
+    // stored first_event for the replayed fp is untouched (first wins)
+    appendBatch(Seq("b" -> 9L, "c" -> 10L))
+    val rows = spark.table("chconn.dedup.fpi").orderBy("fp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 1L), ("b", 2L), ("c", 10L)))
+  }
 }
