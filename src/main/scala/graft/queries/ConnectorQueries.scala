@@ -383,6 +383,25 @@ object ConnectorQueries {
       StreamingQueries.drain(s, built, "complete")
     },
 
+    // anti-join collapse: customer LEFT ANTI orders, then the dimension
+    // join and the aggregate — ALL of it one remote SQL (ClickHouse
+    // spells anti joins natively; the reference's semi/anti coverage is
+    // local-only). Finding the "inactive" slice of a corpus-sized table
+    // without moving it is the canonical retention/orphan query.
+    q("r29_remote_anti_join",
+      """SELECT n_name, count(*) AS n_inactive
+        |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY n_name""".stripMargin) { (s, _) =>
+      s.table("clickhouse.main.customer")
+        .join(s.table("clickhouse.main.orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(s.table("clickhouse.main.nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_inactive"))
+    },
+
     // CROSS-STORE federation: two catalogs over two DISTINCT store roots
     // (different connection keys). The pushdown rule must NOT collapse
     // the join into either store — each side executes as its own remote

@@ -153,6 +153,25 @@ class GatePlanSpec extends AnyFunSuite {
     }.nonEmpty)
   }
 
+  test("r29 anti-join + dim join + agg collapse into one remote SQL") {
+    val df = SparkEntry.queries("r29_remote_anti_join")(spark, sfDir)
+    df.collect()
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(root.collect {
+      case e: graft.pushdown.ClickHouseRemoteExec => e
+    }.nonEmpty)
+    // no local join or aggregation survives — the whole tree shipped
+    assert(root.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.isEmpty)
+    assert(root.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty)
+  }
+
   test("q52 recursive CTE gap-fills: series rows survive with zero counts") {
     val df = SparkEntry.queries("q52_recursive_cte")(spark, sfDir)
     val rows = df.collect()
