@@ -156,6 +156,10 @@ object ChSqlTranslator {
     s = rewriteCall(s, "trimLeft", args => s"ltrim(${args.head})")
     s = rewriteCall(s, "trimRight", args => s"rtrim(${args.head})")
     s = rewriteCall(s, "isNaN", args => s"isnan(${args.head})")
+    // parameterized aggregate: quantileExactInclusive(p)(x) →
+    // percentile(x, p) (percentile_cont semantics in both)
+    s = rewriteParamCall(s, "quantileExactInclusive",
+      (params, args) => s"percentile(${args.head}, ${params.head})")
     // lagInFrame/leadInFrame → lag/lead; Spark REJECTS an explicit frame
     // on offset functions, so the forced full frame our unparser emits is
     // stripped from the OVER clause that follows
@@ -219,6 +223,37 @@ object ChSqlTranslator {
       i += 1
     }
     (i, s.substring(start, i - 1))
+  }
+
+  /** Rewrite ClickHouse parameterized-aggregate syntax
+    * `name(params...)(args...)` via `f(params, args)` (both groups
+    * balanced-paren parsed). Calls without the second group pass through.
+    */
+  private def rewriteParamCall(
+      s: String, name: String, f: (Seq[String], Seq[String]) => String): String = {
+    val out = new StringBuilder
+    var i = 0
+    val pat = name + "("
+    while (i < s.length) {
+      val at = s.indexOf(pat, i)
+      val boundaryOk = at >= 0 &&
+        (at == 0 || !(s.charAt(at - 1).isLetterOrDigit || s.charAt(at - 1) == '_'))
+      if (at < 0) { out.append(s.substring(i)); i = s.length }
+      else if (!boundaryOk) { out.append(s.substring(i, at + pat.length)); i = at + pat.length }
+      else {
+        out.append(s.substring(i, at))
+        val (params, afterParams) = parseArgs(s, at + pat.length)
+        if (afterParams < s.length && s.charAt(afterParams) == '(') {
+          val (args, end) = parseArgs(s, afterParams + 1)
+          out.append(f(params, args))
+          i = end
+        } else {
+          out.append(s.substring(at, afterParams))
+          i = afterParams
+        }
+      }
+    }
+    out.result()
   }
 
   /** Rewrite every `name(args...)` call via `f(topLevelArgs)`, handling

@@ -225,6 +225,14 @@ object ChExprUnparser {
           case Count(cs) if isDistinct => fn("countDistinct", cs)
           case Count(Seq(Literal(1, IntegerType))) => Some("count(*)")
           case Count(cs) => fn("count", cs)
+          // exact interpolating percentile: ClickHouse's
+          // quantileExactInclusive implements percentile_cont semantics
+          // (linear interpolation over the sorted exact set), which is
+          // what Spark's percentile() computes. Only literal fractions
+          // and the default frequency (1) unparse; weighted or
+          // column-driven fractions stay local.
+          case Percentile(c, Literal(p: Double, DoubleType), Literal(1L, LongType), _, _, false) =>
+            go(c).map(cs => s"quantileExactInclusive($p)($cs)")
           case _ => None
         }
 

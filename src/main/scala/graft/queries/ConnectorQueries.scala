@@ -383,6 +383,24 @@ object ConnectorQueries {
       StreamingQueries.drain(s, built, "complete")
     },
 
+    // exact quantiles collapse remotely: Spark percentile() unparses as
+    // quantileExactInclusive(p)(x) (identical percentile_cont
+    // interpolation), so the per-group sort happens in the store and one
+    // row per group crosses the wire — the corpus-sized sort never
+    // reaches Spark.
+    q("r30_remote_quantile",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("clickhouse.main.lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("med"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90"),
+          count(lit(1)).as("n"))
+    },
+
     // anti-join collapse: customer LEFT ANTI orders, then the dimension
     // join and the aggregate — ALL of it one remote SQL (ClickHouse
     // spells anti joins natively; the reference's semi/anti coverage is

@@ -96,6 +96,31 @@ object StreamingQueries {
              |FROM events
              |GROUP BY 1, 2""".stripMargin)),
 
+    // hopping (sliding) windows: each event lands in length/slide
+    // overlapping windows — Spark's window(ts, '2 hours', '1 hour')
+    // assigns starts {floor_hour(ts) - 1h, floor_hour(ts)}, which the
+    // oracle replays as an explicit two-row UNION ALL per event. State
+    // stays bounded: watermark closes a window one hour after its end.
+    GateQuery("q55_stream_hopping_window",
+      (s, dir) => {
+        graft.Tables.register(s, dir)
+        runStream(s, dir, "complete") { ev =>
+          ev.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(unix_micros(col("window.start")).as("win_us"),
+              col("event_type"), col("cnt"))
+        }
+      },
+      Some("""WITH h AS (
+             |  SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS h_us,
+             |    event_type
+             |  FROM events),
+             |w AS (SELECT h_us AS win_us, event_type FROM h
+             |      UNION ALL SELECT h_us - 3600000000, event_type FROM h)
+             |SELECT win_us, event_type, count(*) AS cnt
+             |FROM w GROUP BY win_us, event_type""".stripMargin)),
+
     // streaming exact dedup with watermark-bounded state: the distinct
     // key set of the drained stream equals batch SELECT DISTINCT
     GateQuery("q41_stream_dedup",

@@ -172,6 +172,21 @@ class GatePlanSpec extends AnyFunSuite {
     }.isEmpty)
   }
 
+  test("r30 exact quantiles aggregate in the store, no local sort/agg") {
+    val df = SparkEntry.queries("r30_remote_quantile")(spark, sfDir)
+    df.collect()
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(root.collect {
+      case e: graft.pushdown.ClickHouseRemoteExec => e
+    }.nonEmpty)
+    assert(root.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.isEmpty)
+  }
+
   test("q52 recursive CTE gap-fills: series rows survive with zero counts") {
     val df = SparkEntry.queries("q52_recursive_cte")(spark, sfDir)
     val rows = df.collect()
