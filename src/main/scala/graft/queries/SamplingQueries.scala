@@ -109,6 +109,45 @@ object SamplingQueries {
         .orderBy(col("h"), col("doc_id"))
         .limit(50)
         .select("doc_id")
+    },
+
+    // ---- mixture sampling with upsampling (the data-mixing step) ----
+    // Training mixes weight sources at different RATES, possibly > 1
+    // (multiple epochs of a high-quality source): rate 2.3 means 2 full
+    // copies plus a deterministic 30% Bernoulli third copy. The rates
+    // live in a SPEC TABLE (basis points), as a mixture config does in
+    // production — broadcast-joined, never shuffling the corpus; the
+    // copy fan-out is a narrow generator. Reproducible across runs,
+    // engines, and partitionings (hash-bucketed, like p01/p03).
+    q("p05_sample_mixture",
+      """WITH spec AS (
+        |  SELECT 'src' || i AS source,
+        |    CASE WHEN i < 5 THEN 5000 WHEN i < 10 THEN 23000
+        |         ELSE 10000 END AS rate_bp
+        |  FROM (SELECT unnest(generate_series(0, 19)) AS i)),
+        |n_of AS (
+        |  SELECT d.doc_id, d.source,
+        |    rate_bp // 10000
+        |      + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |               % 10000 < rate_bp % 10000 THEN 1 ELSE 0 END AS n
+        |  FROM documents d JOIN spec USING (source))
+        |SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS copy
+        |FROM n_of WHERE n > 0""".stripMargin) { (s, _) =>
+      val spec = s.range(20).select(
+        concat(lit("src"), col("id").cast("string")).as("source"),
+        when(col("id") < 5, 5000L).when(col("id") < 10, 23000L)
+          .otherwise(10000L).as("rate_bp"))
+      val bucket = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 10000
+      s.table("documents")
+        .join(broadcast(spec), "source")
+        .select(col("doc_id"), col("source"),
+          ((col("rate_bp") / 10000).cast("long")
+            + when(bucket < col("rate_bp") % 10000, 1L).otherwise(0L)).as("n"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0L), col("n") - 1, lit(1L))).as("copy"))
     }
   )
 }
