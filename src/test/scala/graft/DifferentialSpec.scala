@@ -78,6 +78,14 @@ class DifferentialSpec extends AnyFunSuite {
     df.collect().map(_.toSeq.map {
       case null => "NULL"
       case d: Double => java.lang.Double.toString(d)
+      // the connector maps DateTime64 to TimestampType (an instant, as
+      // the official ClickHouse connector does) while the raw parquet
+      // view reads TIMESTAMP_NTZ — under the UTC session both denote
+      // the same wall time but collect() as different JVM types; compare
+      // the wall time
+      case t: java.sql.Timestamp => java.time.Instant.ofEpochMilli(t.getTime)
+        .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      case d: java.time.LocalDateTime => d.toString
       case v => v.toString
     }.mkString("|")).sorted.toSeq
 
@@ -124,6 +132,39 @@ class DifferentialSpec extends AnyFunSuite {
       val b = canon(local.filter(p).groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
       assert(a == b, s"agg case $i diverged")
     }
+  }
+
+  test("random timestamp/date predicate shapes agree remote vs local (orders)") {
+    val r = new Random(99)
+    val remote = spark.table("clickhouse.main.orders")
+    val local = spark.table("orders")
+    def tsPred(): Column = r.nextInt(6) match {
+      case 0 => col("o_orderdate") >= lit(s"${1995 + r.nextInt(8)}-0${1 + r.nextInt(9)}-15")
+        .cast("timestamp")
+      case 1 => col("o_orderdate") < lit(s"${1996 + r.nextInt(6)}-11-01").cast("timestamp")
+      case 2 => year(col("o_orderdate")) === (1995 + r.nextInt(9))
+      case 3 => month(col("o_orderdate")).isin(1 + r.nextInt(6), 7 + r.nextInt(6))
+      case 4 => dayofmonth(col("o_orderdate")) <= 1 + r.nextInt(28)
+      case 5 => col("o_totalprice") > r.nextInt(300000).toDouble &&
+        year(col("o_orderdate")) >= 1995 + r.nextInt(8)
+    }
+    def tsProj(): Seq[Column] = r.nextInt(3) match {
+      case 0 => Seq(col("o_orderkey"), col("o_orderdate"))
+      case 1 => Seq(col("o_orderkey"), year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"))
+      case 2 => Seq(col("o_orderkey"), date_trunc("month", col("o_orderdate")).as("m"),
+        col("o_orderstatus"))
+    }
+    var nonEmpty = 0
+    (1 to 30).foreach { i =>
+      val p = tsPred()
+      val cols = tsProj()
+      val a = canon(remote.filter(p).select(cols: _*))
+      val b = canon(local.filter(p).select(cols: _*))
+      assert(a == b, s"ts case $i diverged for ${p.toString}")
+      if (a.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 15)
   }
 
   test("random ORDER BY + LIMIT shapes agree remote vs local") {
