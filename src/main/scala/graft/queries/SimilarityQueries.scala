@@ -133,6 +133,51 @@ object SimilarityQueries {
           col("rank"))
     },
 
+    // ---- FILTERED vector search (metadata-constrained top-k) ----
+    // The vector-DB staple: nearest neighbors restricted by a metadata
+    // predicate — here "same label as the probe" (same-class retrieval).
+    // The label equality lands IN the join condition, so the pair space
+    // prunes BEFORE any dot product is evaluated; at 100 TB the same
+    // query buckets by (label, IVF cell) and the filter becomes part of
+    // the bucket key — the pre-filter never scans excluded vectors.
+    q("s07_knn_filtered",
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id <> b.vec_id AND a.label = b.label
+        |  WHERE a.vec_id < 100),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = s.table("embeddings")
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("label").as("pl"))
+        .withColumn("pn", graft.ops.vector.vec_norm_sq(col("pe")))
+      val neighbors = corpus(s)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+          col("label").as("nl"))
+        .withColumn("nn", graft.ops.vector.vec_norm_sq(col("ne")))
+      val pairs = broadcast(probes)
+        .join(neighbors,
+          col("probe_id") =!= col("neighbor_id") && col("pl") === col("nl"))
+        .select(col("probe_id"), col("neighbor_id"),
+          (dot(col("pe"), col("ne")) / sqrt(col("pn") * col("nn"))).as("cos"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+      pairs
+        .select(col("probe_id"), col("neighbor_id"), col("cos"),
+          row_number().over(w).as("rank"))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"),
+          col("rank"))
+    },
+
     // ---- threshold near-duplicate pairs over a fixed probe band ----
     q("s02_embed_near_dup",
       """SELECT a.vec_id AS a, b.vec_id AS b,
