@@ -255,8 +255,11 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     // literals make distinct SQL per execution, so the cache resets
     // rather than growing without limit on long read-only sessions.
     if (entry.dfCache.size > 64) entry.dfCache.clear()
-    val df = entry.dfCache.computeIfAbsent(sql, _ =>
-      spark.sql(ChSqlTranslator.translate(sql, knownTables)))
+    val df = entry.dfCache.computeIfAbsent(sql, _ => {
+      val tr = ChSqlTranslator.translate(sql, knownTables)
+      try spark.sql(tr) catch { case e: Throwable =>
+        System.err.println("TRANSLATED SQL FAILED:\n" + tr); throw e }
+    })
     val schema = df.schema
     val spillRoot = Paths.get(root, ".spill")
     cleanStaleSpills(spillRoot)

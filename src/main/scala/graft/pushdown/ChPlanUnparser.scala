@@ -128,8 +128,13 @@ object ChPlanUnparser {
           groups <- sequence(groupingExprs.map(g => ChExprUnparser.compile(g, c.scope)))
         } yield {
           val gb = if (groups.isEmpty) "" else s" GROUP BY ${groups.mkString(", ")}"
+          // Spark's count() rewrite leaves an Aggregate with group keys but
+          // ZERO output columns — `SELECT  FROM` is invalid SQL, so emit a
+          // constant (cardinality is one row per group either way)
+          val sel =
+            if (items.isEmpty) "1 AS __one" else items.map(_._1).mkString(", ")
           Unparsed(
-            s"SELECT ${items.map(_._1).mkString(", ")} FROM (${c.sql}) AS ${sub()}$gb",
+            s"SELECT $sel FROM (${c.sql}) AS ${sub()}$gb",
             items.map { case (_, id) => id -> aliasOf(id) }.toMap)
         }
 

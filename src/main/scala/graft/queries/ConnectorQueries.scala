@@ -401,18 +401,25 @@ object ConnectorQueries {
           count(lit(1)).as("n"))
     },
 
-    // anti-join collapse: customer LEFT ANTI orders, then the dimension
-    // join and the aggregate — ALL of it one remote SQL (ClickHouse
-    // spells anti joins natively; the reference's semi/anti coverage is
-    // local-only). Finding the "inactive" slice of a corpus-sized table
-    // without moving it is the canonical retention/orphan query.
+    // anti-join collapse: customer LEFT ANTI a date-restricted orders
+    // slice, then the dimension join and the aggregate — ALL of it one
+    // remote SQL (ClickHouse spells anti joins natively; the reference's
+    // semi/anti coverage is local-only). The date restriction keeps the
+    // "inactive" slice non-trivial at every sf (customers-without-ANY-
+    // order is near-empty in TPC-H data, which would make the gate an
+    // empty-vs-empty compare): "customers with no order since 2000" is
+    // the canonical retention query, and the filter pushes into the
+    // anti side's scan before the store runs the join.
     q("r29_remote_anti_join",
       """SELECT n_name, count(*) AS n_inactive
         |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY n_name""".stripMargin) { (s, _) =>
       s.table("clickhouse.main.customer")
-        .join(s.table("clickhouse.main.orders"),
+        .join(s.table("clickhouse.main.orders")
+            .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .join(s.table("clickhouse.main.nation"),
           col("c_nationkey") === col("n_nationkey"))
@@ -443,10 +450,16 @@ object ConnectorQueries {
           Map("engine" -> "MergeTree"))
         client2.attachExternal("main", "supplier", Seq(s"$dir/supplier.parquet"))
       }
-      s.conf.set("spark.sql.catalog.clickhouse2",
+      // catalog name carries the sfDir tag: Spark's CatalogManager caches
+      // the catalog instance on first load, so a fixed name would silently
+      // keep reading the first store root if the same JVM session runs a
+      // second sfDir — one name per root makes the cache correct by
+      // construction (same reason gate suites use unique catalog names)
+      val cat = s"clickhouse2_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.catalog.ClickHouseCatalog].getName)
-      s.conf.set("spark.sql.catalog.clickhouse2.path", root2)
-      s.table("clickhouse2.main.supplier")
+      s.conf.set(s"spark.sql.catalog.$cat.path", root2)
+      s.table(s"$cat.main.supplier")
         .filter(col("s_acctbal") > 0)
         .join(broadcast(s.table("clickhouse.main.nation")),
           col("s_nationkey") === col("n_nationkey"))
@@ -458,18 +471,23 @@ object ConnectorQueries {
     // the ingest-dedup pattern in its production shape — events stream out of the
     // remote source by cursor ranges (multiple micro-batches), each batch
     // first-occurrence-dedups within itself (groupBy fp -> min event_id),
-    // anti-joins the store's fingerprint index, and appends only novel
-    // fingerprints. Because cursor ranges ascend, the first batch seeing
-    // a fingerprint holds its global-min event_id, so the drained index
-    // equals the batch oracle exactly. The anti-join also makes the
-    // append IDEMPOTENT under micro-batch replay: re-staged rows are
-    // filtered because they already landed. At 100 TB the anti-join
-    // co-partitions on fp (32-byte keys, index rows are 40 bytes/doc);
-    // the stream side is one micro-batch, never the corpus.
+    // stages the deduped rows into a remote staging table, and the store
+    // itself runs the anti-insert (`INSERT INTO fp_index SELECT ... WHERE
+    // fp NOT IN (SELECT fp FROM fp_index)`) — the corpus-scale index is
+    // NEVER shipped into Spark, not even once per micro-batch; only the
+    // batch's own (fp, first_event) rows cross the wire. Because cursor
+    // ranges ascend, the first batch seeing a fingerprint holds its
+    // global-min event_id, so the drained index equals the batch oracle
+    // exactly. The server-side NOT IN also makes the append IDEMPOTENT
+    // under micro-batch replay: re-staged rows are filtered because they
+    // already landed. (GatePlanSpec asserts no connector scan of fp_index
+    // appears in any micro-batch plan.)
     q("r27_stream_incremental_dedup",
       """SELECT md5(event_type || '|' || props) AS fp,
         |  CAST(min(event_id) AS BIGINT) AS first_event
         |FROM events GROUP BY md5(event_type || '|' || props)""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val client = new EmbeddedClickHouse(s"/root/repo/target/chstore_$tag")
       val nEvents = s.table("events").count()
       val fresh = !s.catalog.tableExists("clickhouse.main.ev_fp_src") ||
         s.table("clickhouse.main.ev_fp_src").count() != nEvents
@@ -498,13 +516,27 @@ object ConnectorQueries {
       try {
         val q = stream.writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
+            val s2 = b.sparkSession
+            // per-batch staging table (cheap DDL; replay-safe: a re-run
+            // batch re-stages and the server-side NOT IN filters it out).
+            // concat (not concat_ws) so a NULL event_type/props propagates
+            // to a NULL fp — identical to the oracle's || semantics.
+            s2.sql("DROP TABLE IF EXISTS clickhouse.main.fp_stage")
+            s2.sql(
+              """CREATE TABLE clickhouse.main.fp_stage (fp STRING, first_event BIGINT)
+                |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'fp')""".stripMargin)
             b.select(
-                md5(concat_ws("|", col("event_type"), col("props")).cast("binary")).as("fp"),
+                md5(concat(col("event_type"), lit("|"), col("props")).cast("binary")).as("fp"),
                 col("event_id"))
               .groupBy("fp").agg(min("event_id").as("first_event"))
-              .join(b.sparkSession.table("clickhouse.main.fp_index"),
-                Seq("fp"), "left_anti")
-              .writeTo("clickhouse.main.fp_index").append()
+              .writeTo("clickhouse.main.fp_stage").append()
+            // the anti-join runs WHERE THE INDEX LIVES: zero index rows
+            // cross the wire (reference analog: whole-subtree federation
+            // pushdown, /root/reference/src/federation.rs:19-43)
+            client.insertSelect("main", "fp_index",
+              """SELECT `fp`, `first_event` FROM `main`.`fp_stage`
+                |WHERE `fp` NOT IN (SELECT `fp` FROM `main`.`fp_index`)""".stripMargin)
+            ()
           }
           .option("checkpointLocation", ck)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -99,8 +99,12 @@ object StreamingQueries {
     // hopping (sliding) windows: each event lands in length/slide
     // overlapping windows — Spark's window(ts, '2 hours', '1 hour')
     // assigns starts {floor_hour(ts) - 1h, floor_hour(ts)}, which the
-    // oracle replays as an explicit two-row UNION ALL per event. State
-    // stays bounded: watermark closes a window one hour after its end.
+    // oracle replays as an explicit two-row UNION ALL per event. The
+    // watermark bounds state only in update/append output; this gate
+    // drains in complete mode (so the oracle sees every window), where
+    // Spark keeps all windows — the production deployment of this query
+    // would run update mode, where the 1-hour watermark evicts a
+    // window's state one hour after its end.
     GateQuery("q55_stream_hopping_window",
       (s, dir) => {
         graft.Tables.register(s, dir)

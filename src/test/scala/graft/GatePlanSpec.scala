@@ -155,6 +155,10 @@ class GatePlanSpec extends AnyFunSuite {
 
   test("r29 anti-join + dim join + agg collapse into one remote SQL") {
     val df = SparkEntry.queries("r29_remote_anti_join")(spark, sfDir)
+    // non-vacuous: the date-restricted anti slice must produce rows at
+    // every sf (an empty result would make the oracle compare
+    // empty-vs-empty and hide a broken NOT EXISTS translation)
+    assert(df.count() > 0)
     df.collect()
     val root = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -185,6 +189,55 @@ class GatePlanSpec extends AnyFunSuite {
     assert(root.collect {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
     }.isEmpty)
+  }
+
+  test("r27 streaming dedup never ships fp_index into Spark: no connector " +
+    "scan of the index in any micro-batch plan") {
+    // capture every batch-side plan executed while the gate drains its
+    // stream (foreachBatch bodies run as regular batch actions, so the
+    // old per-batch `s.table(...fp_index)` anti-join WOULD appear here);
+    // the server-side anti-insert runs in the embedded store's own
+    // session and never produces a connector scan of the index
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val root = qe.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        root.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[graft.connector.ChScan] =>
+              plans.add(b.scan.description())
+        }
+        ()
+      }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = SparkEntry.queries("r27_stream_incremental_dedup")(spark, sfDir)
+      // quiesce the async listener bus before asserting (poll until the
+      // captured set stops growing)
+      var last = -1
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(200)
+        val n = plans.size
+        if (n == last) same += 1 else { same = 0; last = n }
+      }
+      val idxScans = plans.toArray(Array.empty[String]).filter(_.contains("fp_index"))
+      assert(idxScans.isEmpty,
+        s"fp_index was shipped into Spark during the stream: ${idxScans.mkString("; ")}")
+      // and the gate still yields the full index
+      assert(df.count() > 0)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("q52 recursive CTE gap-fills: series rows survive with zero counts") {
