@@ -81,6 +81,19 @@ trait ClickHouseClient extends Serializable {
     readPartition(handle).map(r => ser(r).copy())
   }
 
+  /** Columnar read: decode one stream into reused ColumnarBatch blocks.
+    * The default packs [[readPartitionInternal]] rows into OnHeap vectors
+    * (graft.connector.ColumnarPack); a wire client speaking the Native
+    * protocol overrides this to decode server blocks straight into
+    * vectors — the Arrow-columnar transport of the reference
+    * (connection.rs:163-178) — and never materializes rows at all.
+    * Callers must gate on ColumnarPack.supports(schema).
+    */
+  def readPartitionColumnar(
+      handle: ChPartitionHandle,
+      schema: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    graft.connector.ColumnarPack.iterator(readPartitionInternal(handle, schema), schema)
+
   /** Driver-side convenience (tests, one-row scalar folds): materializes
     * the whole result — never use on the scan/exec path.
     */

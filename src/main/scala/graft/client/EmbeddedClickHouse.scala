@@ -397,7 +397,16 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         else c
       }
       df.select(guarded: _*).write.parquet(dir.toString)
-      val n = spark.read.parquet(dir.toString).count()
+      // inserted-row count from the part-file footers (local metadata —
+      // no second Spark job over data that was just written)
+      val n = Files.walk(dir).iterator.asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toString), new org.apache.hadoop.conf.Configuration())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
       commitStaged(db, table, stagingId)
       n
     } catch {

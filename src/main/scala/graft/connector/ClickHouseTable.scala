@@ -362,6 +362,36 @@ final case class ChInputPartition(handle: graft.client.ChPartitionHandle)
   */
 class ChReaderFactory(client: ClickHouseClient, schema: StructType)
   extends PartitionReaderFactory {
+
+  /** Vectorized boundary: every supported-schema scan reads ColumnarBatch
+    * blocks (one virtual call per ~4K rows + codegen ColumnarToRow above)
+    * instead of per-row next()/get(). Empty projections (COUNT(*)) and
+    * nested types keep the row path.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    ColumnarPack.supports(schema)
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val handle = partition.asInstanceOf[ChInputPartition].handle
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var itOpt: Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = _
+      private def it = {
+        if (itOpt == null) itOpt = client.readPartitionColumnar(handle, schema)
+        itOpt
+      }
+      private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (!it.hasNext) false
+        else { current = it.next(); true }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
+      override def close(): Unit = itOpt match {
+        case c: AutoCloseable => c.close()
+        case _ => ()
+      }
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val handle = partition.asInstanceOf[ChInputPartition].handle
     new PartitionReader[InternalRow] {

@@ -1,0 +1,145 @@
+package graft.connector
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+/** Row→vector packer for the remote read path: turns the transport's
+  * InternalRow stream into reused [[ColumnarBatch]] blocks so the
+  * scan boundary is vectorized (one virtual call per ~4K rows instead of
+  * per row, and Spark's codegen'd ColumnarToRow on top). This is the
+  * engine-side half of the reference's Arrow-native transport
+  * (/root/reference/src/connection.rs:163-178, src/stream.rs:21-28 —
+  * RecordBatch streams end to end); a real wire client overrides
+  * [[graft.client.ClickHouseClient.readPartitionColumnar]] to decode
+  * server blocks straight into vectors and skips this packer entirely.
+  *
+  * Vectors are REUSED across batches (the standard vectorized-reader
+  * contract: consumers must not hold a batch across next()).
+  */
+object ColumnarPack {
+
+  val DefaultBatchSize = 4096
+
+  /** Types the packer (and the OnHeap vectors) can carry. Nested structs
+    * and maps stay on the row path — they are rare in scan output and the
+    * row fallback is always correct.
+    */
+  def supports(schema: StructType): Boolean =
+    schema.nonEmpty && schema.fields.forall(f => supportsType(f.dataType))
+
+  private def supportsType(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case ArrayType(et, _) => atomic(et)
+    case _ => false
+  }
+
+  private def atomic(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Pack an internal-row iterator into reused columnar batches. */
+  def iterator(
+      rows: Iterator[InternalRow],
+      schema: StructType,
+      batchSize: Int = DefaultBatchSize): Iterator[ColumnarBatch] with AutoCloseable =
+    new Iterator[ColumnarBatch] with AutoCloseable {
+      private val vectors = OnHeapColumnVector.allocateColumns(batchSize, schema)
+      private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+      // running element offset per array column (child vectors grow
+      // monotonically within a batch, reset with the parent)
+      private val childOffsets = new Array[Int](schema.length)
+      private val types = schema.fields.map(_.dataType)
+
+      override def hasNext: Boolean = rows.hasNext
+
+      override def next(): ColumnarBatch = {
+        var i = 0
+        while (i < vectors.length) { vectors(i).reset(); childOffsets(i) = 0; i += 1 }
+        var n = 0
+        while (n < batchSize && rows.hasNext) {
+          val r = rows.next()
+          var c = 0
+          while (c < types.length) {
+            if (r.isNullAt(c)) vectors(c).putNull(n)
+            else write(vectors(c), n, r, c, types(c), c)
+            c += 1
+          }
+          n += 1
+        }
+        batch.setNumRows(n)
+        batch
+      }
+
+      override def close(): Unit = batch.close()
+
+      private def write(
+          v: WritableColumnVector, rowId: Int, r: InternalRow, ord: Int,
+          dt: DataType, col: Int): Unit = dt match {
+        case BooleanType => v.putBoolean(rowId, r.getBoolean(ord))
+        case ByteType => v.putByte(rowId, r.getByte(ord))
+        case ShortType => v.putShort(rowId, r.getShort(ord))
+        case IntegerType | DateType => v.putInt(rowId, r.getInt(ord))
+        case LongType | TimestampType | TimestampNTZType =>
+          v.putLong(rowId, r.getLong(ord))
+        case FloatType => v.putFloat(rowId, r.getFloat(ord))
+        case DoubleType => v.putDouble(rowId, r.getDouble(ord))
+        case StringType =>
+          val b = r.getUTF8String(ord).getBytes
+          v.putByteArray(rowId, b, 0, b.length)
+        case BinaryType =>
+          val b = r.getBinary(ord)
+          v.putByteArray(rowId, b, 0, b.length)
+        case d: DecimalType =>
+          v.putDecimal(rowId, r.getDecimal(ord, d.precision, d.scale), d.precision)
+        case ArrayType(et, _) =>
+          val arr = r.getArray(ord)
+          val m = arr.numElements()
+          val child = v.arrayData()
+          val start = childOffsets(col)
+          child.reserve(start + m)
+          var j = 0
+          while (j < m) {
+            if (arr.isNullAt(j)) child.putNull(start + j)
+            else writeElem(child, start + j, arr, j, et)
+            j += 1
+          }
+          v.putArray(rowId, start, m)
+          childOffsets(col) = start + m
+        case other =>
+          throw new IllegalStateException(s"unsupported columnar type $other")
+      }
+
+      private def writeElem(
+          v: WritableColumnVector, idx: Int,
+          arr: org.apache.spark.sql.catalyst.util.ArrayData, ord: Int,
+          dt: DataType): Unit = dt match {
+        case BooleanType => v.putBoolean(idx, arr.getBoolean(ord))
+        case ByteType => v.putByte(idx, arr.getByte(ord))
+        case ShortType => v.putShort(idx, arr.getShort(ord))
+        case IntegerType | DateType => v.putInt(idx, arr.getInt(ord))
+        case LongType | TimestampType | TimestampNTZType =>
+          v.putLong(idx, arr.getLong(ord))
+        case FloatType => v.putFloat(idx, arr.getFloat(ord))
+        case DoubleType => v.putDouble(idx, arr.getDouble(ord))
+        case StringType =>
+          val b = arr.getUTF8String(ord).getBytes
+          v.putByteArray(idx, b, 0, b.length)
+        case BinaryType =>
+          val b = arr.getBinary(ord)
+          v.putByteArray(idx, b, 0, b.length)
+        case d: DecimalType =>
+          v.putDecimal(idx, arr.getDecimal(ord, d.precision, d.scale), d.precision)
+        case other =>
+          throw new IllegalStateException(s"unsupported columnar element type $other")
+      }
+    }
+}

@@ -109,6 +109,62 @@ case class ClickHouseRemoteExec(
     }
   }
 
+  /** Vectorized output whenever the plan schema fits the packer: Spark
+    * plans a codegen ColumnarToRow on top, so the remote boundary moves
+    * batches, not rows (the reference's RecordBatch streams,
+    * src/stream.rs:21-28). Schema drift still coerces — rows project
+    * through the Cast first, then pack.
+    */
+  override def supportsColumnar: Boolean =
+    graft.connector.ColumnarPack.supports(
+      StructType(output.map(a => StructField(a.name, a.dataType, nullable = true))))
+
+  override protected def doExecuteColumnar()
+      : RDD[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val expected = output.map(_.dataType)
+    val numOutputRows = longMetric("numOutputRows")
+    val (remoteSchema, handles) = client.planQuery(sql, streams)
+    require(remoteSchema.length == output.length,
+      s"remote arity ${remoteSchema.length} != plan arity ${output.length} for: $sql")
+    val remote = StructType(remoteSchema.fields.map(f => f.copy(nullable = true)))
+    if (!coerce) {
+      val drift = expected.zip(remote.fields).zipWithIndex.collect {
+        case ((dt, f), i) if f.dataType != dt => s"col $i: remote ${f.dataType} != plan $dt"
+      }
+      require(drift.isEmpty,
+        s"remote schema drift with coerce_schemas=false for $sql: ${drift.mkString("; ")}")
+    }
+    val cl = client
+    val planSchema = StructType(
+      output.map(a => StructField(a.name, a.dataType, nullable = true)))
+    val needsProjection = expected.zip(remote.fields).exists { case (dt, f) => f.dataType != dt }
+    sparkContext.parallelize(handles, math.max(1, handles.length)).mapPartitions { hs =>
+      if (!needsProjection)
+        // the transport decodes straight to vectors (wire clients) or
+        // packs its row stream (embedded default)
+        hs.flatMap(h => cl.readPartitionColumnar(h, remote).map { b =>
+          numOutputRows += b.numRows()
+          b
+        })
+      else {
+        val projExprs = expected.zipWithIndex.map { case (dt, i) =>
+          val ref = BoundReference(i, remote(i).dataType, nullable = true)
+          if (remote(i).dataType == dt) ref
+          else Cast(ref, dt, Some(java.time.ZoneOffset.UTC.getId))
+        }
+        hs.flatMap { h =>
+          val proj = UnsafeProjection.create(projExprs)
+          graft.connector.ColumnarPack.iterator(
+            cl.readPartitionInternal(h, remote).map(r => proj(r): InternalRow),
+            planSchema).map { b =>
+            numOutputRows += b.numRows()
+            b
+          }
+        }
+      }
+    }
+  }
+
   override def simpleString(maxFields: Int): String =
     s"ClickHouseRemoteExec [$sql]"
 }

@@ -345,4 +345,76 @@ class ConnectorSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows == Seq(("a", 1L), ("b", 2L), ("c", 10L)))
   }
+
+  test("connector scans are columnar: batch reader + codegen ColumnarToRow " +
+    "(the reference's Arrow transport boundary, connection.rs:163-178)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = spark.table("chconn.testdb.nation_ext")
+      .filter(col("n_regionkey") >= 0)
+      .select("n_nationkey", "n_name")
+    assert(df.count() == 25)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = root.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[graft.connector.ChScan] => b
+    }
+    assert(scans.nonEmpty)
+    // the DSv2 scan itself reports columnar, and Spark planned the
+    // codegen'd transition on top
+    assert(scans.forall(_.supportsColumnar))
+    assert(root.collect {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }.nonEmpty)
+  }
+
+  test("columnar packer round-trips every scan type incl. arrays and nulls") {
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("testdb", "col_types", Seq(
+      "id" -> "Nullable(Int64)", "f32" -> "Nullable(Float32)",
+      "s" -> "Nullable(String)", "d" -> "Nullable(Float64)",
+      "flag" -> "Nullable(Bool)", "arr" -> "Array(Nullable(Float32))",
+      "tags" -> "Array(Nullable(String))"),
+      Map("engine" -> "MergeTree"))
+    spark.sql(
+      """INSERT INTO chconn.testdb.col_types VALUES
+        |(1, CAST(1.5 AS FLOAT), 'alpha', 2.25, true,
+        | array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array('x', 'y')),
+        |(2, NULL, NULL, NULL, false, array(), array('z')),
+        |(NULL, CAST(-0.5 AS FLOAT), 'beta', -1.0, NULL,
+        | array(CAST(3.0 AS FLOAT), NULL), array(NULL, 'w'))""".stripMargin)
+    val got = spark.table("chconn.testdb.col_types")
+      .orderBy(col("id").asc_nulls_last).collect()
+    assert(got.length == 3)
+    assert(got(0).getLong(0) == 1L && got(0).getFloat(1) == 1.5f &&
+      got(0).getString(2) == "alpha" && got(0).getBoolean(4) &&
+      got(0).getSeq[Float](5) == Seq(1.0f, 2.0f) &&
+      got(0).getSeq[String](6) == Seq("x", "y"))
+    assert(got(1).getLong(0) == 2L && got(1).isNullAt(1) && got(1).isNullAt(2) &&
+      got(1).getSeq[Float](5).isEmpty && got(1).getSeq[String](6) == Seq("z"))
+    assert(got(2).isNullAt(0) && got(2).getFloat(1) == -0.5f &&
+      got(2).getSeq[Any](5) == Seq(3.0f, null) &&
+      got(2).getSeq[Any](6) == Seq(null, "w"))
+  }
+
+  test("collapsed remote subtrees execute columnar (ClickHouseRemoteExec)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    graft.GraftSession.install(spark)
+    // window over a remote scan collapses into ClickHouseRemoteExec
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    val df = spark.table("chconn.testdb.nation_ext")
+      .select(col("n_nationkey"), col("n_regionkey"),
+        row_number().over(w).as("rn"))
+    df.collect()
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val remotes = root.collect { case e: graft.pushdown.ClickHouseRemoteExec => e }
+    assert(remotes.nonEmpty)
+    assert(remotes.forall(_.supportsColumnar))
+  }
 }
