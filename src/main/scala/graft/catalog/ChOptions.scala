@@ -20,7 +20,8 @@ object ChOptions {
     "pool_max_lifetime", "pool_idle_timeout", "pool_connection_timeout",
     "pool_retry_connection",
     // engine knobs
-    "coerce_schemas", "read.streams", "write.concurrency", "write.batch_size")
+    "coerce_schemas", "read.streams", "read.split_by", "write.concurrency",
+    "write.batch_size")
 
   private val BoolCatalogKeys = Set(
     "use_tls", "strings_as_strings", "pool_test_on_check_out",

@@ -41,6 +41,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
   private var writeConcurrency: Int = 4
   private var writeBatchSize: Int = 10000
   private var coerceSchemas: Boolean = true
+  private var readDefaults: Map[String, String] = Map.empty
 
   def clickHouseClient: ClickHouseClient = client
 
@@ -49,10 +50,25 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
     // full params.rs-style key validation: unknown keys and mistyped
     // values fail here, at catalog setup, not mid-query
     ChOptions.validateCatalogOptions(name, options.asScala.toMap)
-    val path = Option(options.get("path"))
-      .getOrElse(throw new IllegalArgumentException(
-        s"catalog $name requires option 'path' (embedded store root)"))
-    client = new EmbeddedClickHouse(path)
+    // transport selection (the reference's mock-vs-real split,
+    // connection.rs:1-37): `endpoint` = real ClickHouse over HTTP;
+    // `path` = the hermetic embedded store
+    client = Option(options.get("endpoint")) match {
+      case Some(ep) =>
+        new graft.client.HttpClickHouseClient(
+          ep.stripSuffix("/"),
+          user = Option(options.get("username")).getOrElse("default"),
+          password = Option(options.get("password")).getOrElse(""),
+          defaultDatabase = Option(options.get("default_database")).getOrElse("default"),
+          connectTimeoutMs =
+            Option(options.get("pool_connection_timeout")).map(_.toInt).getOrElse(10000))
+      case None =>
+        val path = Option(options.get("path"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"catalog $name requires option 'path' (embedded store root) " +
+              "or 'endpoint' (ClickHouse HTTP url)"))
+        new EmbeddedClickHouse(path)
+    }
     readStreams = Option(options.get("read.streams")).map(_.toInt).getOrElse(4)
     writeConcurrency = Option(options.get("write.concurrency")).map(_.toInt).getOrElse(4)
     writeBatchSize = Option(options.get("write.batch_size")).map(_.toInt).getOrElse(10000)
@@ -60,6 +76,8 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
     // ON casts remote batches whose wire types drift from the declared
     // plan schema (per-batch projection cost); OFF fails fast instead
     coerceSchemas = Option(options.get("coerce_schemas")).forall(_.toBoolean)
+    readDefaults = Option(options.get("read.split_by"))
+      .map(v => Map("split_by" -> v)).getOrElse(Map.empty)
   }
 
   override def name(): String = catalogName
@@ -130,7 +148,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(ident.namespace() :+ ident.name())
     val schema = ClickHouseType.toStructType(client.fetchColumns(db, ident.name()))
     new ClickHouseTable(client, db, ident.name(), schema, readStreams,
-      writeConcurrency, writeBatchSize, coerceSchemas)
+      writeConcurrency, writeBatchSize, coerceSchemas, readDefaults)
   }
 
   override def createTable(

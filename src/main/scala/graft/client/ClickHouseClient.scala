@@ -63,6 +63,20 @@ trait ClickHouseClient extends Serializable {
     */
   def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle])
 
+  /** Range-split variant of [[planQuery]]: when the transport can carve
+    * ONE remote query into N disjoint covering slices of `splitColumn`
+    * (integral), each handle reads only its slice — a single huge remote
+    * scan then parallelizes across executors with predictable ranges
+    * (SURVEY §4 "split by shard/ORDER BY ranges"). The default ignores
+    * the column (the embedded store already fans results across spill
+    * streams); wire transports override.
+    */
+  def planQueryRanges(
+      sql: String,
+      splitColumn: String,
+      numStreams: Int): (StructType, Seq[ChPartitionHandle]) =
+    planQuery(sql, numStreams)
+
   /** Open one stream EXECUTOR-SIDE and pull its rows incrementally (the
     * reference's `poll_next` loop, stream.rs:30-43). Must be callable from
     * any task thread after the client deserializes into the closure.

@@ -44,7 +44,8 @@ class ClickHouseTable(
     readStreams: Int,
     writeConcurrency: Int = 4,
     writeBatchSize: Int = 10000,
-    coerceSchemas: Boolean = true)
+    coerceSchemas: Boolean = true,
+    readDefaults: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"$db.$table"
@@ -53,9 +54,15 @@ class ClickHouseTable(
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // catalog-level read defaults (e.g. read.split_by) under per-read
+    // .option() overrides
+    val merged = new java.util.HashMap[String, String]()
+    readDefaults.foreach { case (k, v) => merged.put(k, v) }
+    options.asScala.foreach { case (k, v) => merged.put(k, v) }
     new ChScanBuilder(client, db, table, tableSchema, readStreams, coerceSchemas,
-      scanOptions = options)
+      scanOptions = new CaseInsensitiveStringMap(merged))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ChWriteBuilder(client, db, table, info.schema(), writeConcurrency,
@@ -339,7 +346,17 @@ class ChScan(
     // A non-aggregated scan of an arbitrarily large remote table never
     // touches driver memory.
     val sql = generatedSql
-    val (resultSchema, handles) = client.planQuery(sql, readStreams)
+    // range-split read: a plain scan (no agg/limit/order, split column in
+    // the projection) splits into disjoint covering ranges when the
+    // transport supports it — one huge remote scan parallelizes across
+    // executors with predictable slices instead of one fat stream
+    val splitBy = Option(scanOptions.get("split_by")).filter(c =>
+      !aggregated && limit.isEmpty && offset.isEmpty && orderBy.isEmpty &&
+        select.exists(_._2 == c))
+    val (resultSchema, handles) = splitBy match {
+      case Some(c) => client.planQueryRanges(sql, c, readStreams)
+      case None => client.planQuery(sql, readStreams)
+    }
     if (out.nonEmpty) {
       require(resultSchema.length == out.length,
         s"remote result arity ${resultSchema.length} != expected ${out.length} for $sql")

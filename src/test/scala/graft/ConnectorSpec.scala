@@ -236,10 +236,11 @@ class ConnectorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pool_max_size") && e2.getMessage.contains("integer"),
       e2.getMessage)
     spark.conf.unset("spark.sql.catalog.chbad2.pool_max_size")
-    // full reference client/pool surface accepted (values moot for embedded)
+    // full reference client/pool surface accepted (values moot for
+    // embedded; `endpoint` is EXCLUDED here because it now selects the
+    // HTTP transport — HttpClientSpec covers that path)
     spark.conf.set("spark.sql.catalog.chok", classOf[graft.catalog.ClickHouseCatalog].getName)
     spark.conf.set("spark.sql.catalog.chok.path", root)
-    spark.conf.set("spark.sql.catalog.chok.endpoint", "localhost:9000")
     spark.conf.set("spark.sql.catalog.chok.username", "default")
     spark.conf.set("spark.sql.catalog.chok.use_tls", "false")
     spark.conf.set("spark.sql.catalog.chok.pool_max_size", "8")
