@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectPlannerStrategy(_ => ClickHouseRemoteStrategy)
     graft.functions.Registration.descriptors.foreach(e.injectFunction)
+    // implicit unknown-function resolution + apply/lambda builders
+    // (PlaceholderUDF parity — see GraftSqlParser)
+    e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
   }
 }
 

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Expression, LambdaFunction, Literal}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.ClickHouseFn
+import graft.types.ClickHouseType
+
+/** SQL-surface parity with the reference's implicit function resolution
+  * (/root/reference/src/context.rs:375-402 + udfs/placeholder.rs:22-74):
+  * a function name the session does NOT know becomes a remote ClickHouse
+  * call instead of an analysis error, so users write
+  * `` SELECT `base64Encode`(name) `` directly — no `clickhouse_fn`
+  * wrapper. Installed via [[GraftExtensions]] (`injectParser`); the parse
+  * tree is rewritten before analysis, mirroring the reference's
+  * ContextProvider fallback that hands the planner a PlaceholderUDF.
+  *
+  * Semantics match the reference:
+  *  - names are CASE-SENSITIVE (ClickHouse's registry is), and only names
+  *    unknown to Spark's function/table-function registries are wrapped —
+  *    known builtins, temp functions and aggregates resolve normally;
+  *  - the return type is the trailing `'Type'` string literal when one
+  *    parses as a ClickHouse type (the `clickhouse_fn` convention /
+  *    `extract_return_field_from_args`), otherwise the LAST argument's
+  *    resolved type (placeholder.rs `return_type`);
+  *  - the `apply`/`lambda` named-builder family (udfs/apply.rs:26-34)
+  *    maps `apply(x -> body, arr)` to Spark's native `transform`
+  *    (= ClickHouse `arrayMap` under collapse), so the lambda executes
+  *    locally AND remotely with one spelling;
+  *  - bare `` `arrayJoin`(arr) `` becomes a true row-expanding generator
+  *    (explode), the cardinality-safe rewrite Registration.buildFn makes.
+  *
+  * Like the reference's planning-only UDFs, a wrapped call that never
+  * reaches a remote subtree fails at execution — the price of accepting
+  * any name is deferring "no such function" from analysis to pushdown.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewritePlan(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    rewritePlan(delegate.parseQuery(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    rewriteExpr(delegate.parseExpression(sqlText))
+
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+
+  private def rewritePlan(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions { case e => rewriteExpr(e) }
+
+  private def rewriteExpr(e: Expression): Expression = e.transformUp {
+    case uf: UnresolvedFunction
+        if uf.nameParts.length == 1 && !uf.isDistinct && uf.filter.isEmpty &&
+          !uf.ignoreNulls && uf.orderingWithinGroup.isEmpty &&
+          !isKnown(session, uf.nameParts.head) =>
+      build(uf.nameParts.head, uf.arguments)
+  }
+
+  private def build(name: String, args: Seq[Expression]): Expression =
+    if (ApplyAliases.contains(name.toLowerCase(java.util.Locale.ROOT))) {
+      val (lambdas, rest) = args.partition(_.isInstanceOf[LambdaFunction])
+      require(lambdas.length == 1 && rest.length == 1,
+        s"$name(lambda, collection) takes exactly one lambda and one collection")
+      org.apache.spark.sql.catalyst.expressions.ArrayTransform(
+        rest.head, lambdas.head.asInstanceOf[LambdaFunction])
+    } else if (name == "arrayJoin") {
+      require(args.length == 1, "arrayJoin takes exactly one array argument")
+      org.apache.spark.sql.catalyst.expressions.Explode(args.head)
+    } else {
+      val declared = args.lastOption.collect {
+        case Literal(s: UTF8String, StringType)
+            if args.length >= 2 &&
+              scala.util.Try(ClickHouseType.parse(s.toString)).isSuccess =>
+          s.toString
+      }
+      declared match {
+        case Some(t) => ClickHouseFn(name, args.dropRight(1), t)
+        case None =>
+          // reference parity: placeholder return_type demands >= 1 arg
+          require(args.nonEmpty, s"implicit remote function '$name' requires " +
+            "at least one argument (its return type is the last argument's)")
+          ClickHouseFn(name, args, "")
+      }
+    }
+}
+
+object GraftSqlParser {
+
+  /** The reference's named-builder alias family (udfs/apply.rs:26-34). */
+  val ApplyAliases: Set[String] = Set(
+    "apply", "lambda", "clickhouse_apply", "clickhouse_lambda",
+    "clickhouse_map", "clickhouse_fmap", "clickhouse_hof")
+
+  /** Known to Spark = NOT wrapped (the reference skips registered scalar/
+    * aggregate/window functions the same way, context.rs:387-398).
+    */
+  private def isKnown(session: SparkSession, name: String): Boolean = {
+    val id = FunctionIdentifier(name)
+    session.sessionState.functionRegistry.functionExists(id) ||
+      session.sessionState.tableFunctionRegistry.functionExists(id)
+  }
+}

@@ -61,10 +61,16 @@ case class ClickHouseEval(rawSql: String, declaredType: String)
 case class ClickHouseFn(name: String, args: Seq[Expression], declaredType: String)
   extends Expression with Unevaluable {
 
-  private val parsed = ClickHouseType.parse(declaredType)
-  override def dataType: DataType = parsed.dataType
+  // empty declaredType = implicit-resolution path (GraftSqlParser): the
+  // return type is the LAST argument's resolved type, exactly the
+  // reference PlaceholderUDF's `return_type(arg_types.last)`
+  // (udfs/placeholder.rs:53-58)
+  private val parsed: Option[ClickHouseType.Parsed] =
+    if (declaredType.isEmpty) None else Some(ClickHouseType.parse(declaredType))
+  override def dataType: DataType =
+    parsed.map(_.dataType).getOrElse(args.last.dataType)
   override def nullable: Boolean =
-    parsed.nullable || args.exists(a =>
+    parsed.exists(_.nullable) || args.exists(a =>
       a.nullable && !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
   override def children: Seq[Expression] = args
   override def prettyName: String = name

@@ -712,4 +712,78 @@ class PushdownSpec extends AnyFunSuite {
     assert(remoteExecs(narrow).isEmpty)
     assert(narrow.collect().map(_.getInt(0)).toSet == Set(2, 3, 4))
   }
+
+  // ---- implicit unknown-function resolution (PlaceholderUDF parity,
+  // udfs/placeholder.rs:22-74 + context.rs:375-402): extensions session ----
+
+  private lazy val extSession: SparkSession = {
+    val s2: SparkSession = org.apache.spark.sql.classic.SparkSession.builder()
+      .master(spark.sparkContext.master)
+      .withExtensions(new GraftExtensions().apply(_))
+      .create()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    s2.conf.set("spark.sql.catalog.chpdx", classOf[graft.catalog.ClickHouseCatalog].getName)
+    s2.conf.set("spark.sql.catalog.chpdx.path", root)
+    spark // force base fixtures built first
+    s2
+  }
+
+  private def extRemotes(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val top = df.queryExecution.executedPlan
+    (top +: top.collect { case a: AdaptiveSparkPlanExec => a.executedPlan })
+      .flatMap(_.collect { case e: ClickHouseRemoteExec => e })
+  }
+
+  test("bare unknown function name resolves implicitly and ships remotely " +
+    "(no clickhouse_fn wrapper)") {
+    val df = extSession.sql(
+      "SELECT id, `base64Encode`(name) AS b64 FROM chpdx.db.people")
+    assert(extRemotes(df).nonEmpty, "implicit remote call did not collapse")
+    val got = df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val enc = java.util.Base64.getEncoder
+    assert(got(1) == enc.encodeToString("Alice".getBytes("UTF-8")))
+    assert(got(3) == enc.encodeToString("Charlie".getBytes("UTF-8")))
+  }
+
+  test("implicit resolution: trailing 'Type' literal declares the return " +
+    "type (clickhouse_fn convention)") {
+    val df = extSession.sql(
+      "SELECT `lengthUTF8`(name, 'Int64') AS n FROM chpdx.db.people WHERE id = 1")
+    assert(df.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.collect().head.getLong(0) == 5L)
+  }
+
+  test("known functions are NOT wrapped: builtins and temp functions " +
+    "resolve normally on the extensions session") {
+    val df = extSession.sql(
+      "SELECT upper(name) AS u, clickhouse(lower(name), 'String') AS l " +
+        "FROM chpdx.db.people WHERE id = 2")
+    val r = df.collect().head
+    assert(r.getString(0) == "BOB" && r.getString(1) == "bob")
+  }
+
+  test("apply/lambda named builders map to native HOFs (udfs/apply.rs:26-34)") {
+    val df = extSession.sql(
+      "SELECT id, apply(x -> x * 2, array(id, id + 1)) AS doubled, " +
+        "lambda(s -> concat(s, '!'), array(name)) AS shouted " +
+        "FROM chpdx.db.people WHERE id = 1")
+    val r = df.collect().head
+    assert(r.getSeq[Int](1) == Seq(2, 4))
+    assert(r.getSeq[String](2) == Seq("Alice!"))
+    // and the lambda STILL collapses remotely when the subtree qualifies
+    // (transform unparses as arrayMap — the q31 surface)
+    val remote = extSession.sql(
+      "SELECT id, apply(x -> concat(x, '?'), names) AS qs FROM chpdx.db.people2")
+    assert(remote.collect().nonEmpty)
+  }
+
+  test("bare arrayJoin is a true generator (cardinality-safe explode)") {
+    val df = extSession.sql(
+      "SELECT id, `arrayJoin`(names) AS n FROM chpdx.db.people2")
+    // people2 fixture: 3 rows with multi-element names arrays — the
+    // expansion must multiply rows, not project 1:1
+    assert(df.count() > extSession.table("chpdx.db.people2").count())
+  }
 }
