@@ -12,7 +12,9 @@ import graft.session.ClickHouseSession
   * the connector at each concurrency level and reports rows/sec.
   *
   * Env knobs (reference parity): GRAFT_ROWS (default 1,000,000),
-  * GRAFT_CONCURRENCIES (default "1,4,8,16"), GRAFT_ITERS (default 3).
+  * GRAFT_CONCURRENCIES (default "1,4,8,16"), GRAFT_ITERS (default 3),
+  * GRAFT_BATCH_SIZES (default "10000" — the per-block insert size,
+  * 10_large_scale.rs BATCH_SIZES).
   */
 object InsertBench {
   def main(args: Array[String]): Unit = {
@@ -20,6 +22,8 @@ object InsertBench {
     val concurrencies = sys.env.getOrElse("GRAFT_CONCURRENCIES", "1,4,8,16")
       .split(",").map(_.trim.toInt).toSeq
     val iters = sys.env.getOrElse("GRAFT_ITERS", "3").toInt
+    val batchSizes = sys.env.getOrElse("GRAFT_BATCH_SIZES", "10000")
+      .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     val spark = SparkSession.builder()
@@ -31,13 +35,16 @@ object InsertBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = java.nio.file.Files.createTempDirectory("graft_insbench_").toString
-    val results = concurrencies.map { wc =>
+    val cells = for (wc <- concurrencies; bs <- batchSizes) yield (wc, bs)
+    val results = cells.map { case (wc, bs) =>
       spark.conf.set("spark.sql.catalog.chbench.write.concurrency", wc.toString)
+      spark.conf.set("spark.sql.catalog.chbench.write.batch_size", bs.toString)
       val ch = ClickHouseSession.builder(spark)
         .storePath(root).catalogName("chbench").build()
       spark.conf.set("spark.sql.catalog.chbench.write.concurrency", wc.toString)
+      spark.conf.set("spark.sql.catalog.chbench.write.batch_size", bs.toString)
       val times = (0 until iters).map { it =>
-        val tbl = s"bench_${wc}_$it"
+        val tbl = s"bench_${wc}_${bs}_$it"
         ch.newTable("bench", tbl)
           .column("id", "Int64").column("v", "Float64").column("tag", "String")
           .engine("MergeTree").orderBy("id").create()
@@ -56,16 +63,16 @@ object InsertBench {
         if (times.length >= 3) times.sorted.drop(1).dropRight(1) else times
       val avg = trimmed.sum / trimmed.length
       val best = times.min
-      (wc, avg, best)
+      (wc, bs, avg, best)
     }
 
-    results.foreach { case (wc, avg, best) =>
-      println(f"concurrency=$wc%2d avg=${avg}%.2fs (${rowsN / avg}%.0f rows/s) " +
-        f"best=${best}%.2fs (${rowsN / best}%.0f rows/s)")
+    results.foreach { case (wc, bs, avg, best) =>
+      println(f"concurrency=$wc%2d batch=$bs%6d avg=${avg}%.2fs " +
+        f"(${rowsN / avg}%.0f rows/s) best=${best}%.2fs (${rowsN / best}%.0f rows/s)")
     }
-    val qs = results.map { case (wc, avg, _) => s""""c$wc":${rowsN / avg}""" }
+    val qs = results.map { case (wc, bs, avg, _) => s""""c${wc}_b$bs":${rowsN / avg}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"insert_rows_per_sec","value":${rowsN / results.map(_._2).min},"unit":"rows/sec","queries":$qs,"sf":"$rowsN rows"}""")
+    println(s"""{"metric":"insert_rows_per_sec","value":${rowsN / results.map(_._3).min},"unit":"rows/sec","queries":$qs,"sf":"$rowsN rows"}""")
     spark.stop()
   }
 }

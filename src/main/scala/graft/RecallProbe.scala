@@ -32,12 +32,13 @@ object RecallProbe {
         .count() / total
 
     println(s"corpus=${corpus.count()}")
-    for ((cells, nprobe) <- Seq((16, 12))) {
+    for ((cells, nprobe) <- Seq((16, 12));
+         frac <- Seq(1.0, 0.5, 0.25, 0.1)) {
       val idx = graft.ops.AnnIvf.buildIndex(corpus, "vec_id", "embedding",
-        numCells = cells, trainSampleFraction = 1.0, maxIter = 10)
+        numCells = cells, trainSampleFraction = frac, maxIter = 10)
       val r = recall(graft.ops.AnnIvf.annTopK(idx, probes, "vec_id", "embedding",
         k = 5, nprobe = nprobe))
-      println(f"IVF cells=$cells nprobe=$nprobe recall@5=$r%.3f")
+      println(f"IVF cells=$cells nprobe=$nprobe train=$frac recall@5=$r%.3f")
     }
     for ((tables, planes) <- Seq((32, 5))) {
       val r = recall(graft.ops.AnnLsh.annTopK(corpus, probes, "vec_id", "embedding", 64,

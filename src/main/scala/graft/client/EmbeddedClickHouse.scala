@@ -35,7 +35,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   override def listDatabases(): Seq[String] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) Seq.empty
-    else Files.list(r).iterator.asScala.filter(Files.isDirectory(_))
+    else NioFiles.list(r).iterator.filter(Files.isDirectory(_))
       .map(_.getFileName.toString).filterNot(_.startsWith(".")) // .spill etc.
       .toSeq.sorted
   }
@@ -43,7 +43,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   override def listTables(db: String): Seq[String] = {
     val d = dbPath(db)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator.asScala
+    else NioFiles.list(d).iterator
       .filter(p => Files.exists(p.resolve("table.meta")))
       .map(_.getFileName.toString).toSeq.sorted
   }
@@ -130,7 +130,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     val dir = tablePath(db, table)
     val parts =
       if (!Files.isDirectory(dir)) Seq.empty
-      else Files.list(dir).iterator.asScala
+      else NioFiles.list(dir).iterator
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(_.toString).toSeq.sorted
     // streaming epoch publishes live under .epoch-parts/<marker>/p<id>/
@@ -140,9 +140,9 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     val markerDir = dir.resolve(".epochs")
     val epochParts =
       if (!Files.isDirectory(epochRoot)) Seq.empty
-      else Files.list(epochRoot).iterator.asScala
+      else NioFiles.list(epochRoot).iterator
         .filter(e => Files.exists(markerDir.resolve(e.getFileName)))
-        .flatMap(e => Files.walk(e).iterator.asScala)
+        .flatMap(e => NioFiles.walk(e).iterator)
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .map(_.toString).toSeq.sorted
     ext ++ parts ++ epochParts
@@ -335,7 +335,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   private def cleanStaleSpills(spillRoot: Path): Unit =
     if (Files.isDirectory(spillRoot)) {
       val cutoff = System.currentTimeMillis() - EmbeddedClickHouse.SpillTtlMillis
-      Files.list(spillRoot).iterator.asScala
+      NioFiles.list(spillRoot).iterator
         .filter { p =>
           try Files.getLastModifiedTime(p).toMillis < cutoff
           catch { case _: Exception => false }
@@ -399,7 +399,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       df.select(guarded: _*).write.parquet(dir.toString)
       // inserted-row count from the part-file footers (local metadata —
       // no second Spark job over data that was just written)
-      val n = Files.walk(dir).iterator.asScala
+      val n = NioFiles.walk(dir).iterator
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .map { p =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -445,7 +445,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   override def commitStaged(db: String, table: String, stagingId: String): Unit = {
     val dir = stagingPath(db, table, stagingId)
     if (Files.isDirectory(dir)) {
-      val parts = Files.list(dir).iterator.asScala
+      val parts = NioFiles.list(dir).iterator
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sorted
       // same-filesystem renames: each part becomes visible atomically, and
       // a re-driven commit of the same staging id is a no-op (dir empty)
@@ -519,19 +519,19 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       catch { case _: Exception => false }
     val staging = tablePath(db, table).resolve(".insert-staging")
     if (Files.isDirectory(staging))
-      Files.list(staging).iterator.asScala.filter(stale)
+      NioFiles.list(staging).iterator.filter(stale)
         .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
     val epochs = tablePath(db, table).resolve(".epoch-parts")
     val markers = tablePath(db, table).resolve(".epochs")
     if (Files.isDirectory(epochs))
-      Files.list(epochs).iterator.asScala
+      NioFiles.list(epochs).iterator
         .filter(p => stale(p) && !Files.exists(markers.resolve(p.getFileName)))
         .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
   }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      NioFiles.walk(p).reverse.foreach(Files.delete)
     }
 
   /** Bump the store version so the next query re-registers views. */

@@ -76,7 +76,7 @@ object ParquetBlockWriter {
       rows.length.toLong
     } finally {
       if (Files.exists(tmp)) Files.delete(tmp)
-      Files.list(tmpDir).iterator().forEachRemaining(p => Files.delete(p))
+      NioFiles.list(tmpDir).foreach(Files.delete(_))
       Files.delete(tmpDir)
     }
   }

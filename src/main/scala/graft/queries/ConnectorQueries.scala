@@ -686,6 +686,44 @@ object ConnectorQueries {
       DedupQueries.incrementalMatch(batchSigs, s.table("clickhouse.main.doc_sigs"))
     },
 
+    // typed round-trip: Decimal(20,4) + DateTime64 + Map(String,Int64)
+    // columns survive the FULL connector path — catalog DDL renders the
+    // Spark types as ClickHouse types, the staged insert writes them, the
+    // scan reads them back (maps take the row read path; the columnar
+    // boundary covers atomic/array schemas) — and every value
+    // hash-matches DuckDB recomputing the same derivation from the raw
+    // table. Decimals are built by STRING cast (identical cross-engine;
+    // arithmetic-derived decimals hit each engine's own precision/scale
+    // propagation rules), timestamps compare as exact unix micros, maps
+    // as ordered key/value renderings (SURVEY §1.2 "support from day 1").
+    q("r31_typed_roundtrip",
+      """SELECT n_nationkey AS nk,
+        |  (n_nationkey::VARCHAR || '.1234')::DECIMAL(20,4) AS dec_v,
+        |  epoch_us(TIMESTAMP '2024-03-01 00:00:00'
+        |           + n_nationkey * INTERVAL 1 HOUR) AS ts_us,
+        |  'k;r' AS mk,
+        |  CAST(n_nationkey + n_regionkey AS BIGINT) AS mv_sum
+        |FROM nation""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.typed_rt")
+      s.sql(
+        """CREATE TABLE clickhouse.main.typed_rt
+          |(nk INT, dec_v DECIMAL(20,4), ts TIMESTAMP, m MAP<STRING, BIGINT>)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'nk')""".stripMargin)
+      s.sql(
+        """INSERT INTO clickhouse.main.typed_rt
+          |SELECT CAST(n_nationkey AS INT),
+          |  CAST(concat(CAST(n_nationkey AS STRING), '.1234') AS DECIMAL(20, 4)),
+          |  timestamp'2024-03-01 00:00:00'
+          |    + make_interval(0, 0, 0, 0, CAST(n_nationkey AS INT), 0, 0),
+          |  map('k', CAST(n_nationkey AS BIGINT), 'r', CAST(n_regionkey AS BIGINT))
+          |FROM nation""".stripMargin)
+      s.table("clickhouse.main.typed_rt").select(
+        col("nk"), col("dec_v"),
+        unix_micros(col("ts")).as("ts_us"),
+        concat_ws(";", map_keys(col("m"))).as("mk"),
+        aggregate(map_values(col("m")), lit(0L), (a, b) => a + b).as("mv_sum"))
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

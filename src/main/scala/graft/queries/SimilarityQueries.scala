@@ -219,11 +219,13 @@ object SimilarityQueries {
       oracle = Some(RecallOracle)),
 
     // ---- IVF ANN (k-means coarse quantizer), same deterministic
-    // recall@5 >= 0.90 gate. Fixed seed + full-corpus training keep the
-    // quantizer deterministic; probing 12/16 cells holds >= 0.93 recall
-    // at every driver scale factor (measured 0.93-0.95) on this
-    // near-uniform corpus. At 100 TB the quantizer still trains on a
-    // bounded sample — cells only route probes; exact re-rank fixes noise.
+    // recall@5 >= 0.90 gate. The quantizer trains on a 50% SAMPLE of the
+    // corpus (fixed seed, deterministic) — the property the 100 TB story
+    // rests on: training cost is bounded by the sample, cells only route
+    // probes, and exact re-rank fixes quantization noise. RecallProbe
+    // sweep: sampled training holds 0.926-0.950 recall at every driver
+    // scale factor (full-corpus training measures 0.93-0.95 — sampling
+    // costs nothing on this near-uniform corpus, the hardest case).
     GateQuery("s04_ann_ivf",
       (s, dir) => {
         Tables.register(s, dir)
@@ -234,7 +236,7 @@ object SimilarityQueries {
         val index = ivfIndexCache.getOrElseUpdate((s, dir),
           graft.ops.AnnIvf.buildIndex(
             corpus(s), "vec_id", "embedding", numCells = 16,
-            trainSampleFraction = 1.0, maxIter = 10))
+            trainSampleFraction = 0.5, maxIter = 10))
         val ann = graft.ops.AnnIvf.annTopK(index, probes, "vec_id", "embedding",
           k = 5, nprobe = 12)
         recallGate(s, dir, ann)
