@@ -163,15 +163,49 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     val active = SparkSession.active
     val v = EmbeddedClickHouse.storeVersion(root).get()
     val cached = EmbeddedClickHouse.sessionCache.get(connectionKey)
-    if (cached != null && cached.version == v && (cached.parent eq active)) return cached
-    val entry = EmbeddedClickHouse.CachedServer(
+    if (cached != null && (cached.parent eq active)) {
+      // store mutated since last query: keep the child session (UDFs and
+      // unchanged views stay), drop only the prepared-statement cache —
+      // stale views refresh lazily per referenced table (ensureViews)
+      if (cached.version != v) { cached.dfCache.clear(); cached.version = v }
+      return cached
+    }
+    val entry = new EmbeddedClickHouse.CachedServer(
       buildServerSession(active), v, active,
-      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame])
+      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame],
+      new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long])
     EmbeddedClickHouse.sessionCache.put(connectionKey, entry)
     entry
   }
 
-  private def serverSession(): SparkSession = serverEntry().session
+  /** Register (or refresh) the temp views a translated SQL references, at
+    * the current store version. Only referenced tables pay the parquet
+    * (re-)listing; everything else keeps its registered view.
+    */
+  private def ensureViews(
+      entry: EmbeddedClickHouse.CachedServer,
+      translatedSql: String,
+      tables: Seq[(String, String)]): Unit = {
+    val v = entry.version
+    tables.foreach { case (db, t) =>
+      if (translatedSql.contains(ChSqlTranslator.viewName(db, t))) {
+        val reg = entry.viewVersions.get((db, t))
+        if (reg == null || reg.longValue != v) {
+          registerView(entry.session, db, t)
+          entry.viewVersions.put((db, t), java.lang.Long.valueOf(v))
+        }
+      }
+    }
+  }
+
+  private def registerView(child: SparkSession, db: String, t: String): Unit = {
+    val files = dataFiles(db, t)
+    val df =
+      if (files.isEmpty)
+        child.createDataFrame(java.util.Collections.emptyList[Row](), sparkSchema(db, t))
+      else child.read.schema(sparkSchema(db, t)).parquet(files: _*)
+    df.createOrReplaceTempView(ChSqlTranslator.viewName(db, t))
+  }
 
   private def buildServerSession(active: SparkSession): SparkSession = {
     val child = active.newSession()
@@ -225,14 +259,8 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         }
       },
       org.apache.spark.sql.types.LongType)
-    for (db <- listDatabases(); t <- listTables(db)) {
-      val files = dataFiles(db, t)
-      val df =
-        if (files.isEmpty)
-          child.createDataFrame(java.util.Collections.emptyList[Row](), sparkSchema(db, t))
-        else child.read.schema(sparkSchema(db, t)).parquet(files: _*)
-      df.createOrReplaceTempView(ChSqlTranslator.viewName(db, t))
-    }
+    // table views register LAZILY (ensureViews) — a fresh session starts
+    // with UDFs only, and each query registers just the views it touches
     child
   }
 
@@ -256,7 +284,9 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     // rather than growing without limit on long read-only sessions.
     if (entry.dfCache.size > 64) entry.dfCache.clear()
     val df = entry.dfCache.computeIfAbsent(sql, _ => {
-      val tr = ChSqlTranslator.translate(sql, knownTables)
+      val tables = knownTables
+      val tr = ChSqlTranslator.translate(sql, tables)
+      ensureViews(entry, tr, tables)
       try spark.sql(tr) catch { case e: Throwable =>
         System.err.println("TRANSLATED SQL FAILED:\n" + tr); throw e }
     })
@@ -360,8 +390,12 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   }
 
   override def insertSelect(db: String, table: String, chSelectSql: String): Long = {
-    val spark = serverSession()
-    val df = spark.sql(ChSqlTranslator.translate(chSelectSql, knownTables))
+    val entry = serverEntry()
+    val spark = entry.session
+    val tables = knownTables
+    val tr = ChSqlTranslator.translate(chSelectSql, tables)
+    ensureViews(entry, tr, tables)
+    val df = spark.sql(tr)
     val sink = sparkSchema(db, table)
     // names+types must match; nullability is enforced at RUNTIME like a
     // real server (parquet-backed reads are always nullable, so a static
@@ -570,9 +604,16 @@ object EmbeddedClickHouse {
     override def close(): Unit = if (cur != null) cur.close()
   }
 
-  private[client] final case class CachedServer(
-      session: SparkSession, version: Long, parent: SparkSession,
-      dfCache: java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame])
+  private[client] final class CachedServer(
+      val session: SparkSession,
+      @volatile var version: Long,
+      val parent: SparkSession,
+      val dfCache: java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame],
+      // (db, table) -> store version its temp view was registered at:
+      // views refresh LAZILY, one table at a time, only when a query
+      // references them at a newer version — a real server never re-reads
+      // its whole catalog because one table got an insert
+      val viewVersions: java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long])
 
   private[client] val sessionCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedServer]
