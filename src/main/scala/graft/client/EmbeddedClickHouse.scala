@@ -288,7 +288,8 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       val tr = ChSqlTranslator.translate(sql, tables)
       ensureViews(entry, tr, tables)
       try spark.sql(tr) catch { case e: Throwable =>
-        System.err.println("TRANSLATED SQL FAILED:\n" + tr); throw e }
+        throw new IllegalArgumentException(
+          s"translated SQL failed: ${e.getMessage}\n--- translated ---\n$tr", e) }
     })
     val schema = df.schema
     val spillRoot = Paths.get(root, ".spill")

@@ -208,17 +208,26 @@ class HttpClickHouseClient(
           return (schema, Seq(HttpQueryHandle(endpoint, user, password, sql,
             schema.json, connectTimeoutMs, readTimeoutMs)))
       }
-    val n = math.min(numStreams.toLong, math.max(1L, hi - lo + 1)).toInt
-    val span = (hi - lo) / n + 1
-    val handles = (0 until n).map { i =>
-      val rlo = lo + i * span
-      val rhi = math.min(hi, rlo + span - 1)
-      val cond =
-        if (i == 0) s"(`$splitColumn` <= $rhi OR `$splitColumn` IS NULL)"
-        else s"(`$splitColumn` >= $rlo AND `$splitColumn` <= $rhi)"
-      HttpQueryHandle(endpoint, user, password,
-        s"SELECT * FROM ($sql) AS __rs WHERE $cond", schema.json,
-        connectTimeoutMs, readTimeoutMs)
+    // Range arithmetic in BigInt: `hi - lo` overflows Long when the cursor
+    // spans more than half the 64-bit range (hash cursors like cityHash64
+    // do), and a wrapped-negative span would silently confine every range
+    // to range 0 and drop rows. BigInt keeps the slices exact; only the
+    // final bounds (each within [lo, hi]) are narrowed back to Long.
+    val width = BigInt(hi) - BigInt(lo)
+    val n = (BigInt(numStreams) min (width + 1)).toInt
+    val span = width / n + 1
+    val handles = (0 until n).flatMap { i =>
+      val rlo = BigInt(lo) + BigInt(i) * span
+      if (rlo > hi) None
+      else {
+        val rhi = (rlo + span - 1) min BigInt(hi)
+        val cond =
+          if (i == 0) s"(`$splitColumn` <= ${rhi.toLong} OR `$splitColumn` IS NULL)"
+          else s"(`$splitColumn` >= ${rlo.toLong} AND `$splitColumn` <= ${rhi.toLong})"
+        Some(HttpQueryHandle(endpoint, user, password,
+          s"SELECT * FROM ($sql) AS __rs WHERE $cond", schema.json,
+          connectTimeoutMs, readTimeoutMs))
+      }
     }
     (schema, handles)
   }
@@ -321,7 +330,12 @@ final case class HttpQueryHandle(
     schemaJson: String,
     connectTimeoutMs: Int,
     readTimeoutMs: Int)
-  extends ChPartitionHandle
+  extends ChPartitionHandle {
+  // case-class toString reaches partition debug strings and task-failure
+  // logs — never echo the credential
+  override def toString: String =
+    s"HttpQueryHandle($endpoint,$user,***,${sql.take(120)},...)"
+}
 
 object HttpClickHouseClient {
 

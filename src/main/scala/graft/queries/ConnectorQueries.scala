@@ -533,9 +533,20 @@ object ConnectorQueries {
             // the anti-join runs WHERE THE INDEX LIVES: zero index rows
             // cross the wire (reference analog: whole-subtree federation
             // pushdown, /root/reference/src/federation.rs:19-43)
+            // NULL-safe anti-insert: plain NOT IN under 3-valued logic both
+            // drops NULL-fp batch rows silently AND turns into an all-row
+            // no-op the moment one NULL fp lands in the index. Split the
+            // NULL group out explicitly: non-null fps anti-join non-null
+            // index fps; the NULL-fp group inserts once (first batch wins,
+            // matching the oracle's GROUP BY over a NULL md5).
             client.insertSelect("main", "fp_index",
               """SELECT `fp`, `first_event` FROM `main`.`fp_stage`
-                |WHERE `fp` NOT IN (SELECT `fp` FROM `main`.`fp_index`)""".stripMargin)
+                |WHERE `fp` IS NOT NULL AND `fp` NOT IN
+                |  (SELECT `fp` FROM `main`.`fp_index` WHERE `fp` IS NOT NULL)
+                |UNION ALL
+                |SELECT `fp`, `first_event` FROM `main`.`fp_stage`
+                |WHERE `fp` IS NULL AND
+                |  (SELECT count(*) FROM `main`.`fp_index` WHERE `fp` IS NULL) = 0""".stripMargin)
             ()
           }
           .option("checkpointLocation", ck)

@@ -341,6 +341,23 @@ class HttpClientSpec extends AnyFunSuite {
     assert(client.tryMarkEpochCommitted("main", "scores", "epoch-8"))
   }
 
+  test("planQueryRanges survives a full-64-bit cursor span (hash cursors): " +
+    "`hi - lo` would wrap Long; slices stay disjoint-covering, no row lost") {
+    dynTables("hash_t") = (colTypes, mutable.ArrayBuffer(
+      Map[String, Any]("id" -> Long.MinValue, "name" -> "lo", "val" -> 0.1),
+      Map[String, Any]("id" -> -1L, "name" -> "m1", "val" -> 0.2),
+      Map[String, Any]("id" -> 0L, "name" -> "z0", "val" -> 0.3),
+      Map[String, Any]("id" -> (Long.MaxValue - 1), "name" -> "hi", "val" -> 0.4),
+      Map[String, Any]("id" -> null, "name" -> "nn", "val" -> 0.5)))
+    val (schema, handles) = client.planQueryRanges(
+      "SELECT `id`, `name`, `val` FROM `main`.`hash_t`", "id", 4)
+    assert(handles.size == 4)
+    val rows = handles.flatMap(h => client.readPartition(h).toSeq)
+    assert(rows.size == 5) // every row exactly once, NULL id included
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(schema.fieldNames.head == "id")
+  }
+
   test("planQueryRanges falls back to one stream for empty results") {
     dynTables("empty_t") = (colTypes, mutable.ArrayBuffer.empty)
     val (_, handles) = client.planQueryRanges(
