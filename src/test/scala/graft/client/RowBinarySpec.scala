@@ -1,0 +1,291 @@
+package graft.client
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip and wire-layout tests for the RowBinary codec
+  * (graft.client.RowBinary). Wire layout facts are from the public
+  * format doc (clickhouse.com/docs/en/interfaces/formats#rowbinary);
+  * each layout test pins one byte-level fact so a codec regression
+  * fails here, not against a live server.
+  */
+class RowBinarySpec extends AnyFunSuite {
+
+  private def enc(chType: String, v: Any): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    RowBinary.encoder(chType).write(out, v)
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def dec(chType: String, bytes: Array[Byte]): Any =
+    RowBinary.decoder(chType).read(new DataInputStream(new ByteArrayInputStream(bytes)))
+
+  /** external value --encode--> wire --decode--> catalyst value */
+  private def roundTrip(chType: String, external: Any): Any = dec(chType, enc(chType, external))
+
+  // ---- varint ----
+
+  test("LEB128 varint round-trips boundary values") {
+    for (n <- Seq(0, 1, 127, 128, 129, 255, 256, 16383, 16384, 1 << 20, Int.MaxValue)) {
+      val bos = new ByteArrayOutputStream()
+      RowBinary.writeVarInt(bos, n)
+      val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+      assert(RowBinary.readVarInt(in) === n, s"varint $n")
+    }
+  }
+
+  test("varint wire bytes: 127 is one byte, 128 is two") {
+    val b127 = new ByteArrayOutputStream(); RowBinary.writeVarInt(b127, 127)
+    val b128 = new ByteArrayOutputStream(); RowBinary.writeVarInt(b128, 128)
+    assert(b127.toByteArray.toSeq === Seq(127.toByte))
+    assert(b128.toByteArray.toSeq === Seq(0x80.toByte, 0x01.toByte))
+  }
+
+  // ---- header ----
+
+  test("WithNamesAndTypes header round-trips") {
+    val cols = Seq("id" -> "UInt64", "name" -> "Nullable(String)", "v" -> "Array(Float32)")
+    val bos = new ByteArrayOutputStream()
+    RowBinary.writeHeader(bos, cols)
+    val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+    assert(RowBinary.readHeader(in) === cols)
+  }
+
+  // ---- integers ----
+
+  test("integer widths round-trip (incl. unsigned expansion)") {
+    assert(roundTrip("Int8", 120.toByte) === 120.toByte)
+    assert(roundTrip("Int8", (-7).toByte) === (-7).toByte)
+    assert(roundTrip("UInt8", 200.toShort) === 200.toShort) // UInt8 -> Short
+    assert(roundTrip("Int16", (-12345).toShort) === (-12345).toShort)
+    assert(roundTrip("UInt16", 65000) === 65000) // UInt16 -> Int
+    assert(roundTrip("Int32", -2000000000) === -2000000000)
+    assert(roundTrip("UInt32", 4000000000L) === 4000000000L) // UInt32 -> Long
+    assert(roundTrip("Int64", Long.MinValue) === Long.MinValue)
+    assert(roundTrip("Bool", true) === true)
+    assert(roundTrip("Bool", false) === false)
+  }
+
+  test("Int32 wire bytes are little-endian") {
+    assert(enc("Int32", 0x01020304).toSeq ===
+      Seq(0x04.toByte, 0x03.toByte, 0x02.toByte, 0x01.toByte))
+  }
+
+  test("UInt64 above Long.MaxValue decodes to Decimal(20,0)") {
+    // 2^63 = 9223372036854775808 encodes as raw long Long.MinValue
+    val bytes = enc("Int64", Long.MinValue)
+    val d = dec("UInt64", bytes).asInstanceOf[Decimal]
+    assert(d.toJavaBigDecimal.toBigInteger.toString === "9223372036854775808")
+    // and a BigDecimal input encodes back to the same 8 bytes
+    assert(enc("UInt64", new java.math.BigDecimal("9223372036854775808")).toSeq === bytes.toSeq)
+  }
+
+  // ---- floats ----
+
+  test("floats round-trip bit-exactly") {
+    assert(roundTrip("Float32", 3.14f) === 3.14f)
+    assert(roundTrip("Float64", -2.718281828) === -2.718281828)
+    assert(java.lang.Float.isNaN(roundTrip("Float32", Float.NaN).asInstanceOf[Float]))
+    assert(roundTrip("Float64", Double.NegativeInfinity) === Double.NegativeInfinity)
+  }
+
+  // ---- strings ----
+
+  test("String round-trips UTF-8, empty, and multibyte") {
+    assert(roundTrip("String", "hello") === UTF8String.fromString("hello"))
+    assert(roundTrip("String", "") === UTF8String.fromString(""))
+    assert(roundTrip("String", "héllo — 世界") === UTF8String.fromString("héllo — 世界"))
+  }
+
+  test("FixedString pads with zero bytes to width") {
+    val bytes = enc("FixedString(5)", "ab")
+    assert(bytes.length === 5)
+    assert(bytes.toSeq === Seq[Byte]('a', 'b', 0, 0, 0))
+    assert(dec("FixedString(5)", bytes).asInstanceOf[UTF8String].numBytes === 5)
+    intercept[IllegalArgumentException](enc("FixedString(2)", "toolong"))
+  }
+
+  // ---- Nullable ----
+
+  test("Nullable flag byte: 1=NULL nothing follows, 0=value") {
+    assert(enc("Nullable(Int32)", null).toSeq === Seq(1.toByte))
+    val some = enc("Nullable(Int32)", 7)
+    assert(some.length === 5 && some(0) === 0.toByte)
+    assert(roundTrip("Nullable(Int32)", null) === null)
+    assert(roundTrip("Nullable(String)", "x") === UTF8String.fromString("x"))
+  }
+
+  // ---- dates & times (decode returns Catalyst epoch ints/micros) ----
+
+  test("Date is UInt16 epoch days; Date32 is Int32") {
+    val d = java.time.LocalDate.of(2024, 3, 1)
+    val days = d.toEpochDay.toInt
+    assert(roundTrip("Date", d) === days)
+    assert(enc("Date", d).length === 2)
+    assert(roundTrip("Date32", java.time.LocalDate.of(1900, 1, 1)) ===
+      java.time.LocalDate.of(1900, 1, 1).toEpochDay.toInt)
+  }
+
+  test("DateTime is UInt32 seconds; DateTime64(p) scales ticks to micros") {
+    val inst = java.time.Instant.parse("2024-06-01T12:34:56Z")
+    assert(roundTrip("DateTime", inst) === inst.getEpochSecond * 1000000L)
+    assert(enc("DateTime", inst).length === 4)
+    val withMicros = java.time.Instant.parse("2024-06-01T12:34:56.123456Z")
+    assert(roundTrip("DateTime64(6)", withMicros) ===
+      withMicros.getEpochSecond * 1000000L + 123456L)
+    // p=3: millis precision — micros below the tick truncate
+    assert(roundTrip("DateTime64(3)", withMicros) ===
+      withMicros.getEpochSecond * 1000000L + 123000L)
+    // p=9: nanos ticks on the wire, floorDiv back to micros
+    assert(roundTrip("DateTime64(9)", withMicros) ===
+      withMicros.getEpochSecond * 1000000L + 123456L)
+    // pre-epoch value through signed Int64 ticks
+    val pre = java.time.Instant.parse("1960-01-01T00:00:00.5Z")
+    assert(roundTrip("DateTime64(3)", pre) ===
+      pre.getEpochSecond * 1000000L + 500000L)
+  }
+
+  // ---- decimals ----
+
+  test("Decimal widths 4/8/16/32 bytes by precision") {
+    assert(enc("Decimal(9, 2)", new java.math.BigDecimal("12345.67")).length === 4)
+    assert(enc("Decimal(18, 4)", new java.math.BigDecimal("-1.2345")).length === 8)
+    assert(enc("Decimal(38, 10)", new java.math.BigDecimal("1e20")).length === 16)
+    assert(enc("Decimal(76, 0)", new java.math.BigDecimal("-1e50")).length === 32)
+    for ((p, s, v) <- Seq((9, 2, "12345.67"), (18, 4, "-9999999999999.9999"),
+        (20, 4, "1234567890123456.7890"), (38, 10, "-12345678901234567890.0123456789"),
+        (76, 2, "123456789012345678901234567890.12"))) {
+      val bd = new java.math.BigDecimal(v)
+      val got = roundTrip(s"Decimal($p, $s)", bd).asInstanceOf[Decimal]
+      assert(got.toJavaBigDecimal.compareTo(bd) === 0, s"Decimal($p,$s) $v")
+    }
+  }
+
+  // ---- enum / uuid ----
+
+  test("Enum8/Enum16 decode to names") {
+    assert(dec("Enum8('a' = 1, 'b' = 2)", Array(2.toByte)) === UTF8String.fromString("b"))
+    assert(dec("Enum8('neg' = -1)", Array((-1).toByte)) === UTF8String.fromString("neg"))
+    assert(dec("Enum16('x' = 300)", enc("Int16", 300.toShort)) === UTF8String.fromString("x"))
+    intercept[IllegalArgumentException](dec("Enum8('a' = 1)", Array(9.toByte)))
+  }
+
+  test("UUID encodes as two LE UInt64 halves and round-trips") {
+    val u = "123e4567-e89b-12d3-a456-426614174000"
+    val bytes = enc("UUID", u)
+    assert(bytes.length === 16)
+    assert(roundTrip("UUID", u) === UTF8String.fromString(u))
+  }
+
+  // ---- composites ----
+
+  test("Array round-trips incl. nested and nullable elements") {
+    val got = roundTrip("Array(Int64)", Seq(1L, 2L, 3L)).asInstanceOf[GenericArrayData]
+    assert(got.array.toSeq === Seq(1L, 2L, 3L))
+    val empty = roundTrip("Array(String)", Seq.empty[String]).asInstanceOf[GenericArrayData]
+    assert(empty.numElements() === 0)
+    val nn = roundTrip("Array(Nullable(Int32))", Seq(1, null, 3)).asInstanceOf[GenericArrayData]
+    assert(nn.array.toSeq === Seq(1, null, 3))
+    val nested = roundTrip("Array(Array(Int32))", Seq(Seq(1, 2), Seq(3)))
+      .asInstanceOf[GenericArrayData]
+    assert(nested.array.map(_.asInstanceOf[GenericArrayData].array.toSeq).toSeq ===
+      Seq(Seq(1, 2), Seq(3)))
+  }
+
+  test("Map round-trips as interleaved key/value pairs") {
+    val m = scala.collection.immutable.ListMap("a" -> 1L, "b" -> 2L)
+    val got = roundTrip("Map(String, Int64)", m).asInstanceOf[ArrayBasedMapData]
+    val keys = got.keyArray.asInstanceOf[GenericArrayData].array.map(_.toString).toSeq
+    val vals = got.valueArray.asInstanceOf[GenericArrayData].array.toSeq
+    assert(keys.zip(vals).toMap === Map("a" -> 1L, "b" -> 2L))
+  }
+
+  test("Tuple decodes positionally; named elements parse") {
+    val bytes = enc("Int32", 7) ++ enc("String", "x")
+    val row = dec("Tuple(Int32, String)", bytes).asInstanceOf[GenericInternalRow]
+    assert(row.getInt(0) === 7 && row.getUTF8String(1) === UTF8String.fromString("x"))
+    val named = dec("Tuple(a Int32, b String)", bytes).asInstanceOf[GenericInternalRow]
+    assert(named.getInt(0) === 7)
+  }
+
+  test("LowCardinality is transparent in RowBinary") {
+    assert(roundTrip("LowCardinality(String)", "tag") === UTF8String.fromString("tag"))
+    assert(roundTrip("LowCardinality(Nullable(String))", null) === null)
+  }
+
+  test("unknown types fail fast, both directions") {
+    intercept[IllegalArgumentException](RowBinary.decoder("AggregateFunction(sum, Int64)"))
+    intercept[IllegalArgumentException](RowBinary.encoder("IPv6"))
+  }
+
+  // ---- RowReader stream framing ----
+
+  test("RowReader reads rows to clean EOF") {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val encId = RowBinary.encoder("Int64")
+    val encNm = RowBinary.encoder("Nullable(String)")
+    for (i <- 1 to 3) { encId.write(out, i.toLong); encNm.write(out, if (i == 2) null else s"r$i") }
+    out.flush()
+    val decs = Array(RowBinary.decoder("Int64"), RowBinary.decoder("Nullable(String)"))
+    val rdr = new RowBinary.RowReader(
+      new DataInputStream(new ByteArrayInputStream(bos.toByteArray)), decs)
+    val rows = Iterator.continually(rdr.readRow()).takeWhile(_ != null).toSeq
+    assert(rows.map(_.getLong(0)) === Seq(1L, 2L, 3L))
+    assert(rows(1).isNullAt(1) && rows(0).getUTF8String(1) === UTF8String.fromString("r1"))
+  }
+
+  // ---- vector decode path ----
+
+  test("readInto decodes primitives and strings straight into vectors") {
+    val rows = 4
+    val specs = Seq[(String, DataType, Seq[Any])](
+      ("Int32", IntegerType, Seq(1, -2, 3, 4)),
+      ("Int64", LongType, Seq(10L, 20L, -30L, 40L)),
+      ("Float64", DoubleType, Seq(1.5, -2.5, 0.0, 9.75)),
+      ("Nullable(String)", StringType, Seq("a", null, "ccc", "")),
+      ("Date", DateType, Seq(19000, 19001, 19002, 19003)),
+      ("DateTime64(6)", TimestampType,
+        Seq(1700000000000000L, 1700000000000001L, 0L, 1234567890123456L)))
+    for ((chType, sparkType, vals) <- specs) {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      val enc = RowBinary.internalEncoder(chType, sparkType)
+      val src = new GenericInternalRow(1)
+      vals.foreach { v =>
+        src.update(0, v match {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        })
+        enc(out, src, 0)
+      }
+      out.flush()
+      val vec = new OnHeapColumnVector(rows, sparkType)
+      val d = RowBinary.decoder(chType)
+      val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+      (0 until rows).foreach(r => d.readInto(in, vec, r))
+      vals.zipWithIndex.foreach { case (v, r) =>
+        if (v == null) assert(vec.isNullAt(r), s"$chType row $r null")
+        else {
+          val got = sparkType match {
+            case IntegerType | DateType => vec.getInt(r)
+            case LongType | TimestampType => vec.getLong(r)
+            case DoubleType => vec.getDouble(r)
+            case StringType => vec.getUTF8String(r).toString
+            case _ => fail("unhandled")
+          }
+          assert(got === v, s"$chType row $r")
+        }
+      }
+      vec.close()
+    }
+  }
+}
