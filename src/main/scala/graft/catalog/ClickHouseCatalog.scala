@@ -55,13 +55,32 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
     // `path` = the hermetic embedded store
     client = Option(options.get("endpoint")) match {
       case Some(ep) =>
+        // every option reaching the HTTP transport is HONORED or REJECTED
+        // here — never accepted-but-inert (the reference errors on
+        // unusable params too, utils/params.rs)
+        val inert = Seq(
+          "domain", "cafile", "strings_as_strings", "cloud_timeout",
+          "cloud_wakeup", "pool_min_idle", "pool_test_on_check_out",
+          "pool_max_lifetime", "pool_idle_timeout").filter(options.containsKey)
+        if (inert.nonEmpty)
+          throw new IllegalArgumentException(
+            s"option(s) ${inert.sorted.mkString(", ")} are not supported by the " +
+              s"HTTP transport of catalog '$name' (JDK HTTP keep-alive manages " +
+              "connection lifetimes; configure TLS trust via the JVM truststore). " +
+              "Supported here: compression (none|gzip), use_tls, pool_max_size, " +
+              "pool_connection_timeout, pool_retry_connection")
         new graft.client.HttpClickHouseClient(
           ep.stripSuffix("/"),
           user = Option(options.get("username")).getOrElse("default"),
           password = Option(options.get("password")).getOrElse(""),
           defaultDatabase = Option(options.get("default_database")).getOrElse("default"),
           connectTimeoutMs =
-            Option(options.get("pool_connection_timeout")).map(_.toInt).getOrElse(10000))
+            Option(options.get("pool_connection_timeout")).map(_.toInt).getOrElse(10000),
+          compression = Option(options.get("compression")).getOrElse("none"),
+          poolMaxSize = Option(options.get("pool_max_size")).map(_.toInt).getOrElse(0),
+          retryConnection =
+            Option(options.get("pool_retry_connection")).exists(_.toBoolean),
+          useTls = Option(options.get("use_tls")).map(_.toBoolean))
       case None =>
         val path = Option(options.get("path"))
           .getOrElse(throw new IllegalArgumentException(

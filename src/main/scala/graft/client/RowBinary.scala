@@ -655,4 +655,73 @@ object RowBinary {
     * epoch days / epoch micros (ints/longs) — already the Catalyst
     * internal representation, so decoded rows feed InternalRow directly.
     */
+
+  // ===================================================== vector decode ==
+
+  /** Column decoder for the columnar scan path: wire bytes straight into a
+    * [[WritableColumnVector]], no row materialization. Covers the same
+    * shapes as ColumnarPack.supports (atomics + arrays of atomics); the
+    * caller falls back to the row path for anything else. Array decoders
+    * keep a running child-vector offset, so call [[reset]] whenever the
+    * parent vector is reset for a new batch.
+    */
+  abstract class VecDec {
+    def readInto(in: DataInputStream, vec: WritableColumnVector, rowId: Int): Unit
+    def reset(): Unit = ()
+  }
+
+  /** Compile a vector decoder, or None when this type needs the row path. */
+  def vectorDecoder(chType: String): Option[VecDec] = {
+    val t = chType.trim
+    if (t.startsWith("Array(")) {
+      val elemType = inner(t, "Array")
+      val e = elemType.trim
+      val bare = if (e.startsWith("Nullable(")) inner(e, "Nullable") else e
+      if (!vectorAtomic(bare)) None
+      else {
+        val elem = decoder(elemType)
+        Some(new VecDec {
+          private var off = 0
+          override def reset(): Unit = off = 0
+          override def readInto(
+              in: DataInputStream, vec: WritableColumnVector, rowId: Int): Unit = {
+            val n = readVarInt(in)
+            val child = vec.arrayData()
+            child.reserve(off + n)
+            var j = 0
+            while (j < n) { elem.readInto(in, child, off + j); j += 1 }
+            vec.putArray(rowId, off, n)
+            off += n
+          }
+        })
+      }
+    } else {
+      val bare0 = if (t.startsWith("Nullable(")) inner(t, "Nullable").trim else t
+      val bare = if (bare0.startsWith("LowCardinality(")) inner(bare0, "LowCardinality").trim else bare0
+      if (!vectorAtomic(if (bare.startsWith("Nullable(")) inner(bare, "Nullable") else bare)) None
+      else {
+        val d = decoder(t)
+        Some(new VecDec {
+          override def readInto(
+              in: DataInputStream, vec: WritableColumnVector, rowId: Int): Unit =
+            d.readInto(in, vec, rowId)
+        })
+      }
+    }
+  }
+
+  /** Types whose [[Dec.readInto]] writes vectors directly (everything
+    * scalar; Array/Map/Tuple go through the composite handling above).
+    */
+  private def vectorAtomic(bare0: String): Boolean = {
+    val bare = bare0.trim
+    bare match {
+      case "Int8" | "UInt8" | "Bool" | "Int16" | "UInt16" | "Int32" | "UInt32" |
+           "Int64" | "UInt64" | "Float32" | "Float64" | "String" | "Utf8" |
+           "LargeUtf8" | "Utf8View" | "Date" | "Date32" | "UUID" => true
+      case _ => bare.startsWith("FixedString(") || bare.startsWith("DateTime") ||
+        bare.startsWith("Decimal(") || bare.startsWith("Enum8(") ||
+        bare.startsWith("Enum16(")
+    }
+  }
 }

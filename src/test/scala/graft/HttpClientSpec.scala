@@ -1,33 +1,45 @@
 package graft
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import scala.collection.mutable
-import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.client.HttpClickHouseClient
+import graft.client.{HttpClickHouseClient, RowBinary}
 
 /** The real-protocol transport, tested hermetically: an in-JVM HTTP server
   * emulates the slice of ClickHouse's public HTTP interface the client
-  * speaks (system.* metadata, DESCRIBE, JSONCompactEachRow SELECT streams,
-  * JSONEachRow INSERT bodies, DDL) — the counterpart of the reference's
-  * `mocks` feature (/root/reference/src/connection.rs:1-37,
+  * speaks — system.* metadata and DESCRIBE as TabSeparated, SELECT streams
+  * as `RowBinaryWithNamesAndTypes`, INSERT bodies as `RowBinary` blocks
+  * (query in the URL, data in the body — the documented INSERT shape),
+  * gzip content-coding both directions, DDL — the counterpart of the
+  * reference's `mocks` feature (/root/reference/src/connection.rs:1-37,
   * connection/mock.rs). Point the same client at a live server by setting
   * CH_ENDPOINT (integration path; skipped here, no egress in the sandbox).
+  *
+  * Protocol facts pinned by this mock (vs the public docs, see
+  * docs/en/interfaces/http + formats#rowbinary):
+  *  - `enable_http_compression=1` + `Accept-Encoding: gzip` → gzip
+  *    response with `Content-Encoding: gzip` (doc §Compression)
+  *  - a gzip `Content-Encoding` REQUEST body is decompressed server-side
+  *  - RowBinaryWithNamesAndTypes: LEB128 column count, names, type
+  *    strings, then raw rows (formats doc §RowBinaryWithNamesAndTypes)
+  *  - Nullable wire flag byte precedes the value (1 = NULL)
   */
 class HttpClientSpec extends AnyFunSuite {
 
   // ---- mock ClickHouse: one table main.events_http + DDL/insert support ----
 
-  private val mapper = new ObjectMapper()
   private val queries = mutable.ArrayBuffer.empty[String]
+  private val gzippedResponses = new AtomicInteger(0)
+  private val gzippedRequestBodies = new AtomicInteger(0)
 
   // (id, name, val) with one NULL id — range splits must not lose it
   private val baseRows = mutable.ArrayBuffer[(Option[Long], String, Double)](
@@ -39,6 +51,15 @@ class HttpClientSpec extends AnyFunSuite {
   // extra tables created via DDL at runtime: name -> (columns, rows as JSON maps)
   private val dynTables =
     mutable.Map.empty[String, (Seq[(String, String)], mutable.ArrayBuffer[Map[String, Any]])]
+
+  /** Column types of the table a statement references (NOT a flat merged
+    * map — different tables may reuse a column name with another type).
+    */
+  private def typesFor(sql: String): Map[String, String] =
+    (if (sql.contains("`events_http`")) colTypes
+     else dynTables.collectFirst {
+       case (t, (c, _)) if sql.contains(s"`$t`") => c
+     }.getOrElse(colTypes)).toMap
 
   private def selectCols(sql: String): Seq[String] = {
     var s = sql
@@ -73,17 +94,64 @@ class HttpClientSpec extends AnyFunSuite {
     }
   }
 
-  private def jsonVal(v: Any): String = v match {
-    case null => "null"
-    case s: String => mapper.writeValueAsString(s)
-    case d: Double => d.toString
-    case other => other.toString
+  /** RowBinaryWithNamesAndTypes response: header + rows, encoded with the
+    * production codec's ENCODER (the decoder under test is exercised by
+    * the client; RowBinarySpec pins the codec's own round-trip).
+    */
+  private def rowBinaryResponse(
+      sql: String, cols: Seq[String], rows: Seq[Map[String, Any]]): Array[Byte] = {
+    val byName = typesFor(sql)
+    val types = cols.map {
+      case "1" => "UInt8"
+      case c => byName.getOrElse(c, "Nullable(String)")
+    }
+    val bos = new ByteArrayOutputStream()
+    RowBinary.writeHeader(bos, cols.zip(types))
+    val out = new DataOutputStream(bos)
+    val encs = types.map(RowBinary.encoder)
+    rows.foreach { r =>
+      cols.indices.foreach { i =>
+        val v: Any = if (cols(i) == "1") 1.toByte else r.getOrElse(cols(i), null)
+        encs(i).write(out, v)
+      }
+    }
+    out.flush()
+    bos.toByteArray
   }
 
-  private def handleQuery(sql: String): (Int, String, Map[String, String]) = {
+  /** Decode a RowBinary INSERT body using the target table's declared
+    * column types, into the mock's plain-value row maps.
+    */
+  private def decodeInsert(
+      table: String, cols: Seq[String], data: Array[Byte]): Seq[Map[String, Any]] = {
+    val types = dynTables.get(table).map(_._1.toMap).getOrElse(colTypes.toMap)
+    val decs = cols.map(c => RowBinary.decoder(types.getOrElse(c, "Nullable(String)")))
+    val in = new DataInputStream(new ByteArrayInputStream(data))
+    val rows = mutable.ArrayBuffer.empty[Map[String, Any]]
+    var done = false
+    while (!done) {
+      val first =
+        try decs.head.read(in)
+        catch { case _: EOFException => done = true; null }
+      if (!done) {
+        val vals = first +: decs.tail.map(_.read(in))
+        rows += cols.zip(vals.map(plain)).toMap
+      }
+    }
+    rows.toSeq
+  }
+
+  private def plain(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case x => x
+  }
+
+  private def tsvOk(s: String) = (200, s.getBytes(UTF_8), Map.empty[String, String])
+
+  private def handleQuery(sql: String, data: Array[Byte]): (Int, Array[Byte], Map[String, String]) = {
     queries.synchronized { queries += sql }
     val q = sql.trim
-    def tsvOk(s: String) = (200, s, Map.empty[String, String])
     if (q.startsWith("SELECT name FROM system.databases"))
       tsvOk("default\nmain\n")
     else if (q.startsWith("SELECT name FROM system.tables"))
@@ -113,10 +181,10 @@ class HttpClientSpec extends AnyFunSuite {
     else if (q.startsWith("DESCRIBE TABLE")) {
       val inner = q.stripPrefix("DESCRIBE TABLE (")
       val names = selectCols(inner)
-      val typesByName = (colTypes ++ dynTables.values.flatMap(_._1)).toMap
+      val byName = typesFor(inner)
       val out = names.map {
         case "1" => "1\tUInt8"
-        case n => s"$n\t${typesByName.getOrElse(n, "Nullable(String)")}"
+        case n => s"$n\t${byName.getOrElse(n, "Nullable(String)")}"
       }
       tsvOk(out.mkString("", "\n", "\n"))
     } else if (q.startsWith("SELECT min(`id`), max(`id`)")) {
@@ -174,26 +242,17 @@ class HttpClientSpec extends AnyFunSuite {
       val Name = raw"`main`\.`([^`]+)`".r.unanchored
       q match { case Name(t) => dynTables.remove(t); case _ => () }
       tsvOk("")
-    } else if (q.startsWith("INSERT INTO") && q.contains("FORMAT JSONEachRow")) {
-      val Name = raw"INSERT INTO `main`\.`([^`]+)`".r.unanchored
-      val t = q match { case Name(x) => x; case _ => fail(s"bad insert: $q") }
-      val body = q.substring(q.indexOf("FORMAT JSONEachRow") + "FORMAT JSONEachRow".length)
-      val rows = body.split("\n").iterator.filter(_.trim.nonEmpty).map { line =>
-        val node = mapper.readTree(line)
-        node.properties().asScala.map { e =>
-          val v: Any = e.getValue match {
-            case n if n.isNull => null
-            case n if n.isIntegralNumber => n.asLong
-            case n if n.isFloatingPointNumber => n.asDouble
-            case n => n.asText
-          }
-          e.getKey -> v
-        }.toMap
-      }.toSeq
-      dynTables.getOrElseUpdate(t,
-        (colTypes, mutable.ArrayBuffer.empty))._2 ++= rows
-      tsvOk("")
-    } else if (q.startsWith("INSERT INTO") && q.contains("SELECT")) {
+    } else if (q.startsWith("INSERT INTO") && q.contains("FORMAT RowBinary")) {
+      val Ins = raw"INSERT INTO `main`\.`([^`]+)` \(([^)]*)\) FORMAT RowBinary".r.unanchored
+      q match {
+        case Ins(t, colList) =>
+          val cols = colList.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+          val rows = decodeInsert(t, cols, data)
+          dynTables.getOrElseUpdate(t, (colTypes, mutable.ArrayBuffer.empty))._2 ++= rows
+          tsvOk("")
+        case _ => (500, s"mock: bad RowBinary insert: $q".getBytes(UTF_8), Map.empty)
+      }
+    } else if (q.startsWith("INSERT INTO") && q.contains(" SELECT ")) {
       // server-side INSERT SELECT (staged commit): move rows
       val Tgt = raw"INSERT INTO `main`\.`([^`]+)`".r.unanchored
       val Src = raw"FROM `main`\.`([^`]+)`".r.unanchored
@@ -201,37 +260,81 @@ class HttpClientSpec extends AnyFunSuite {
         case (Tgt(t), Src(s)) =>
           val moved = dynTables.get(s).map(_._2.toSeq).getOrElse(Seq.empty)
           dynTables.getOrElseUpdate(t, (colTypes, mutable.ArrayBuffer.empty))._2 ++= moved
-          (200, "", Map("X-ClickHouse-Summary" ->
+          (200, Array.empty[Byte], Map("X-ClickHouse-Summary" ->
             s"""{"written_rows":${moved.size}}"""))
         case _ => tsvOk("")
       }
-    } else if (q.toUpperCase.contains("FORMAT JSONCOMPACTEACHROW")) {
+    } else if (q.startsWith("INSERT INTO") && q.contains("VALUES")) {
+      // small driver-side literal insert (epoch markers)
+      val Ins = raw"INSERT INTO `main`\.`([^`]+)` \(([^)]*)\) VALUES \('([^']*)'\)".r.unanchored
+      q match {
+        case Ins(t, colList, v) =>
+          val col = colList.trim.stripPrefix("`").stripSuffix("`")
+          dynTables.getOrElseUpdate(t, (Seq(col -> "String"), mutable.ArrayBuffer.empty))
+            ._2 += Map(col -> v)
+          tsvOk("")
+        case _ => (500, s"mock: bad VALUES insert: $q".getBytes(UTF_8), Map.empty)
+      }
+    } else if (q.toUpperCase.contains("FORMAT ROWBINARYWITHNAMESANDTYPES")) {
       val cols = selectCols(q)
-      val rows = rowsFor(q)
-      val body = rows.map { r =>
-        cols.map {
-          case "*" => fail("mock does not expand *")
-          case c => jsonVal(r.getOrElse(c, null))
-        }.mkString("[", ",", "]")
-      }.mkString("", "\n", if (rows.nonEmpty) "\n" else "")
-      (200, body, Map.empty[String, String])
-    } else (500, s"mock: unhandled query: $q", Map.empty[String, String])
+      (200, rowBinaryResponse(q, cols, rowsFor(q)), Map.empty[String, String])
+    } else (500, s"mock: unhandled query: $q".getBytes(UTF_8), Map.empty[String, String])
+  }
+
+  private def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(b))
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new GZIPOutputStream(bos)
+    out.write(b); out.close()
+    bos.toByteArray
   }
 
   private lazy val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val params = Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+          .iterator.filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            java.net.URLDecoder.decode(k, UTF_8) -> java.net.URLDecoder.decode(v, UTF_8)
+          }.toMap
+        val rawBody = ex.getRequestBody.readAllBytes()
+        // a gzip Content-Encoding request body is decompressed server-side
+        // (http doc §Compression)
+        val reqGz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .exists(_.toLowerCase.contains("gzip"))
+        if (reqGz) gzippedRequestBodies.incrementAndGet()
+        val body = if (reqGz) gunzip(rawBody) else rawBody
+        // INSERT shape: query in the URL, data in the body
+        val (sql, data) = params.get("query") match {
+          case Some(qq) => (qq, body)
+          case None => (new String(body, UTF_8), Array.empty[Byte])
+        }
         val (code, resp, headers) =
-          try handleQuery(body)
-          catch { case e: Throwable => (500, s"mock error: $e", Map.empty[String, String]) }
+          try handleQuery(sql, data)
+          catch {
+            case e: Throwable =>
+              (500, s"mock error: $e".getBytes(UTF_8), Map.empty[String, String])
+          }
+        // response compression requires BOTH the setting and the header
+        // (http doc §Compression)
+        val wantGz = params.get("enable_http_compression").contains("1") &&
+          Option(ex.getRequestHeaders.getFirst("Accept-Encoding")).exists(_.contains("gzip"))
+        val outBytes =
+          if (wantGz && code == 200 && resp.nonEmpty) {
+            gzippedResponses.incrementAndGet()
+            ex.getResponseHeaders.set("Content-Encoding", "gzip")
+            gzipBytes(resp)
+          } else resp
         headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
-        val bytes = resp.getBytes(UTF_8)
-        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
-        if (bytes.nonEmpty) {
+        ex.sendResponseHeaders(code, if (outBytes.isEmpty) -1 else outBytes.length)
+        if (outBytes.nonEmpty) {
           val os = ex.getResponseBody
-          try os.write(bytes) finally os.close()
+          try os.write(outBytes) finally os.close()
         }
         ex.close()
       }
@@ -270,15 +373,42 @@ class HttpClientSpec extends AnyFunSuite {
     assert(client.tableSizeBytes("main", "events_http").contains(123456L))
   }
 
-  test("planQuery streams JSONCompactEachRow executor-side") {
+  test("planQuery streams RowBinaryWithNamesAndTypes executor-side") {
     val (schema, handles) = client.planQuery(
       "SELECT `id`, `name`, `val` FROM `main`.`events_http`", 1)
     assert(schema.fieldNames.toSeq == Seq("id", "name", "val"))
     assert(handles.size == 1)
+    val sent = queries.synchronized(queries.toSeq)
     val rows = client.readPartition(handles.head).toSeq
     assert(rows.size == baseRows.size)
-    assert(rows.exists(_.isNullAt(0))) // NULL id survives decode
+    assert(rows.exists(_.isNullAt(0))) // NULL id survives binary decode
     assert(rows.map(r => Option(r.get(1)).orNull).contains("z"))
+    // the data statement went over the wire in the binary format
+    val dataQ = queries.synchronized(queries.toSeq).diff(sent)
+    assert(dataQ.exists(_.endsWith("FORMAT RowBinaryWithNamesAndTypes")))
+    assert(!dataQ.exists(_.contains("JSON")))
+  }
+
+  test("columnar read decodes wire blocks straight into vectors") {
+    val (schema, handles) = client.planQuery(
+      "SELECT `id`, `name`, `val` FROM `main`.`events_http`", 1)
+    val before = HttpClickHouseClient.binaryBatchesDecoded.get()
+    val it = client.readPartitionColumnar(handles.head, schema)
+    val batches = it.toSeq
+    assert(batches.map(_.numRows).sum == baseRows.size)
+    assert(HttpClickHouseClient.binaryBatchesDecoded.get() > before)
+    // spot-check values through the vector API (last batch still live)
+    val b = batches.head
+    assert(b.column(0).isNullAt(baseRows.size - 1)) // NULL id row
+    assert(b.column(1).getUTF8String(0).toString == "a")
+    assert(b.column(2).getDouble(2) == 3.5)
+  }
+
+  test("catalog scan end-to-end rides the binary columnar path") {
+    val before = HttpClickHouseClient.binaryBatchesDecoded.get()
+    val got = spark.table("chhttp.main.events_http").collect()
+    assert(got.length == baseRows.size)
+    assert(HttpClickHouseClient.binaryBatchesDecoded.get() > before)
   }
 
   test("range-split read: N disjoint covering slices, nothing lost") {
@@ -306,7 +436,7 @@ class HttpClientSpec extends AnyFunSuite {
     assert(bounds.last._2 == 21L)
   }
 
-  test("catalog DDL + staged DSv2 write land via wire inserts") {
+  test("catalog DDL + staged DSv2 write land via RowBinary wire inserts") {
     spark.sql(
       """CREATE TABLE chhttp.main.scores (id BIGINT, score DOUBLE)
         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
@@ -323,6 +453,78 @@ class HttpClientSpec extends AnyFunSuite {
         q.contains("AS `main`.`scores`")))
     assert(staged)
     assert(dynTables.keys.filter(_.startsWith("scores__stg")).isEmpty) // dropped
+    // and the insert data went as a binary block, not JSON text
+    val ins = queries.synchronized(queries.filter(q =>
+      q.startsWith("INSERT INTO `main`.`scores__stg_")).toSeq)
+    assert(ins.nonEmpty && ins.forall(_.contains("FORMAT RowBinary")))
+  }
+
+  test("gzip compression round-trips both directions and is really on the wire") {
+    val gz = new HttpClickHouseClient(endpoint, compression = "gzip")
+    val respBefore = gzippedResponses.get()
+    val (schema, handles) = gz.planQuery(
+      "SELECT `id`, `name`, `val` FROM `main`.`events_http`", 1)
+    val rows = gz.readPartition(handles.head).toSeq
+    assert(rows.size == baseRows.size)
+    assert(gzippedResponses.get() > respBefore) // response was compressed
+    // compressed RowBinary insert body
+    val reqBefore = gzippedRequestBodies.get()
+    gz.createTable("main", "gz_sink",
+      Seq("id" -> "Int64", "tag" -> "Nullable(String)"), Map("engine" -> "MergeTree"))
+    val n = gz.insert("main", "gz_sink",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType))),
+      Seq(org.apache.spark.sql.Row(5L, "x"), org.apache.spark.sql.Row(6L, null)))
+    assert(n == 2)
+    assert(gzippedRequestBodies.get() > reqBefore) // body was compressed
+    val landed = dynTables("gz_sink")._2
+    assert(landed.exists(r => r("id") == 5L && r("tag") == "x"))
+    assert(landed.exists(r => r("id") == 6L && r("tag") == null))
+    val _ = schema
+  }
+
+  test("unsupported compression codecs are rejected, not silently inert") {
+    val e = intercept[IllegalArgumentException](
+      new HttpClickHouseClient(endpoint, compression = "lz4"))
+    assert(e.getMessage.contains("lz4"))
+  }
+
+  test("use_tls is asserted against the endpoint scheme") {
+    val e = intercept[IllegalArgumentException](
+      new HttpClickHouseClient(endpoint, useTls = Some(true)))
+    assert(e.getMessage.contains("use_tls"))
+    // matching declaration is fine
+    new HttpClickHouseClient(endpoint, useTls = Some(false))
+  }
+
+  test("options the HTTP transport cannot honor fail at catalog setup") {
+    val cat = new graft.catalog.ClickHouseCatalog
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("endpoint", endpoint, "pool_idle_timeout", "30"))
+    val e = intercept[IllegalArgumentException](cat.initialize("badcat", opts))
+    assert(e.getMessage.contains("pool_idle_timeout"))
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("pool_max_size bounds concurrent wire requests") {
+    val pooled = new HttpClickHouseClient(endpoint, poolMaxSize = 2)
+    val (schema, handles) = pooled.planQuery(
+      "SELECT `id`, `name`, `val` FROM `main`.`events_http`", 1)
+    // open two streams without draining them: both slots taken
+    val it1 = pooled.readPartitionInternal(handles.head, schema)
+    val it2 = pooled.readPartitionInternal(handles.head, schema)
+    assert(it1.hasNext && it2.hasNext) // both opened (and hold a slot)
+    // a third request must wait for a slot — probe with a timed thread
+    val third = new Thread(() => pooled.tableExists("main", "events_http"))
+    third.start()
+    third.join(300)
+    assert(third.isAlive, "third request should be blocked by the pool bound")
+    // drain one stream → its slot frees → the blocked request completes
+    while (it1.hasNext) it1.next()
+    third.join(5000)
+    assert(!third.isAlive)
+    while (it2.hasNext) it2.next()
   }
 
   test("insertSelect returns written_rows from the summary header") {
