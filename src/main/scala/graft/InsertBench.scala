@@ -26,6 +26,17 @@ object InsertBench {
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+    // GRAFT_TRANSPORT=http: the same workers x batch envelope through the
+    // HTTP wire client against an in-JVM decode-and-count server — what
+    // the RowBinary block-insert path (encode + HTTP + optional gzip +
+    // server-side decode) costs, storage excluded. GRAFT_COMPRESSION=gzip
+    // adds the content-coding legs.
+    if (sys.env.get("GRAFT_TRANSPORT").contains("http")) {
+      runHttp(rowsN, concurrencies, batchSizes, iters,
+        sys.env.getOrElse("GRAFT_COMPRESSION", "none"))
+      return
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-insert-bench")
@@ -74,5 +85,72 @@ object InsertBench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"insert_rows_per_sec","value":${rowsN / results.map(_._3).min},"unit":"rows/sec","queries":$qs,"sf":"$rowsN rows"}""")
     spark.stop()
+  }
+
+  /** Wire-insert envelope: wc client threads each push rowsN/wc generated
+    * rows in `bs`-row RowBinary blocks (the reference's workers x batch
+    * matrix, examples/10_large_scale.rs), server decodes and counts.
+    */
+  private def runHttp(
+      rowsN: Long, concurrencies: Seq[Int], batchSizes: Seq[Int], iters: Int,
+      compression: String): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false),
+      StructField("tag", StringType, nullable = false)))
+    val server = new graft.client.MockClickHouseHttp
+    try {
+      val client = new graft.client.HttpClickHouseClient(
+        server.endpoint, compression = compression)
+      client.createTable("bench", "wire",
+        Seq("id" -> "Int64", "v" -> "Float64", "tag" -> "String"),
+        Map("engine" -> "MergeTree", "order_by" -> "id"))
+      val cells = for (wc <- concurrencies; bs <- batchSizes) yield (wc, bs)
+      val results = cells.map { case (wc, bs) =>
+        val times = (0 until iters).map { _ =>
+          server.rowsReceived.set(0)
+          val perWorker = rowsN / wc
+          val t0 = System.nanoTime()
+          val threads = (0 until wc).map { w =>
+            val t = new Thread(() => {
+              var off = w * perWorker
+              val end = off + perWorker
+              while (off < end) {
+                val n = math.min(bs.toLong, end - off).toInt
+                val rows = new Array[Row](n)
+                var i = 0
+                while (i < n) {
+                  val id = off + i
+                  rows(i) = Row(id, (id % 997).toDouble, s"tag${id % 31}")
+                  i += 1
+                }
+                client.insert("bench", "wire", schema,
+                  scala.collection.immutable.ArraySeq.unsafeWrapArray(rows))
+                off += n
+              }
+            })
+            t.start(); t
+          }
+          threads.foreach(_.join())
+          val dt = (System.nanoTime() - t0) / 1e9
+          val got = server.rowsReceived.get()
+          val want = perWorker * wc
+          require(got == want, s"server decoded $got rows, expected $want")
+          dt
+        }
+        val trimmed =
+          if (times.length >= 3) times.sorted.drop(1).dropRight(1) else times
+        (wc, bs, trimmed.sum / trimmed.length, times.min)
+      }
+      results.foreach { case (wc, bs, avg, best) =>
+        println(f"http concurrency=$wc%2d batch=$bs%6d avg=${avg}%.2fs " +
+          f"(${rowsN / avg}%.0f rows/s) best=${best}%.2fs (${rowsN / best}%.0f rows/s)")
+      }
+      val qs = results.map { case (wc, bs, avg, _) => s""""c${wc}_b$bs":${rowsN / avg}""" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"http_insert_rows_per_sec","value":${rowsN / results.map(_._3).min},"unit":"rows/sec","queries":$qs,"sf":"$rowsN rows","compression":"$compression"}""")
+    } finally server.close()
   }
 }

@@ -1,0 +1,166 @@
+package graft.client
+
+import java.io.{ByteArrayInputStream, DataInputStream, EOFException}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
+import java.util.zip.GZIPInputStream
+
+import scala.collection.concurrent.TrieMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** Minimal in-JVM ClickHouse HTTP emulator for client-level benchmarks
+  * and hermetic experiments — the analog of the reference shipping its
+  * `mocks` connection inside the main crate
+  * (/root/reference/src/connection.rs:1-37, connection/mock.rs).
+  *
+  * Surface: system.columns / system.tables metadata, CREATE/DROP TABLE,
+  * and a `FORMAT RowBinary` INSERT sink that DECODES every row with the
+  * production codec and counts it, then discards — so a benchmark through
+  * this server pays the full wire cost (client encode + HTTP + gzip +
+  * server decode) without storage noise. The richer query-capable mock
+  * lives in HttpClientSpec; this one is deliberately write-path-only.
+  */
+final class MockClickHouseHttp extends AutoCloseable {
+
+  private val tables = TrieMap.empty[String, Seq[(String, String)]]
+  val rowsReceived = new AtomicLong(0)
+  val bytesReceived = new AtomicLong(0)
+
+  private val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (code, resp) =
+          try route(ex)
+          catch { case e: Throwable => (500, s"mock error: $e") }
+        val bytes = resp.getBytes(UTF_8)
+        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) {
+          val os = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+        }
+        ex.close()
+      }
+    })
+    // a real server handles many concurrent inserts; so does the mock.
+    // Daemon threads: HttpServer.stop does NOT stop a user-supplied
+    // executor, and non-daemon pool threads would pin the JVM open.
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(32, r => {
+      val t = new Thread(r, "mock-ch-http")
+      t.setDaemon(true)
+      t
+    }))
+    s.start()
+    s
+  }
+
+  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  override def close(): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
+  }
+
+  private def route(ex: HttpExchange): (Int, String) = {
+    val params = Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .iterator.filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, UTF_8) -> java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
+    val rawBody = ex.getRequestBody.readAllBytes()
+    bytesReceived.addAndGet(rawBody.length.toLong)
+    val gz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+      .exists(_.toLowerCase.contains("gzip"))
+    val body =
+      if (gz) {
+        val in = new GZIPInputStream(new ByteArrayInputStream(rawBody))
+        try in.readAllBytes() finally in.close()
+      } else rawBody
+    params.get("query") match {
+      case Some(q) => statement(q.trim, body)
+      case None => statement(new String(body, UTF_8).trim, Array.empty)
+    }
+  }
+
+  private def statement(q: String, data: Array[Byte]): (Int, String) = {
+    if (q.startsWith("SELECT name, type FROM system.columns")) {
+      val t = raw"table = '([^']+)'".r.unanchored.findFirstMatchIn(q).map(_.group(1))
+      val cols = t.flatMap(tables.get).getOrElse(Seq.empty)
+      (200, cols.map { case (n, tp) => s"$n\t$tp" }.mkString("", "\n", "\n"))
+    } else if (q.startsWith("SELECT count() FROM system.tables")) {
+      val t = raw"name = '([^']+)'".r.unanchored.findFirstMatchIn(q).map(_.group(1))
+      (200, if (t.exists(tables.contains)) "1\n" else "0\n")
+    } else if (q.startsWith("CREATE DATABASE") || q.startsWith("DROP DATABASE")) {
+      (200, "")
+    } else if (q.startsWith("CREATE TABLE")) {
+      val Name = raw"CREATE TABLE (?:IF NOT EXISTS )?`[^`]+`\.`([^`]+)`".r.unanchored
+      Name.findFirstMatchIn(q).foreach { m =>
+        val start = q.indexOf('(', m.end - 1) + 1
+        var depth = 1
+        var i = start
+        while (i < q.length && depth > 0) {
+          q.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        val cols = splitTop(q.substring(start, i - 1)).map { it =>
+          val sp = it.indexOf(' ')
+          it.substring(0, sp).stripPrefix("`").stripSuffix("`") ->
+            it.substring(sp + 1).trim
+        }
+        tables.put(m.group(1), cols)
+      }
+      (200, "")
+    } else if (q.startsWith("DROP TABLE")) {
+      raw"`[^`]+`\.`([^`]+)`".r.unanchored.findFirstMatchIn(q)
+        .foreach(m => tables.remove(m.group(1)))
+      (200, "")
+    } else if (q.startsWith("INSERT INTO") && q.contains("FORMAT RowBinary")) {
+      val Ins = raw"INSERT INTO `[^`]+`\.`([^`]+)` \(([^)]*)\) FORMAT RowBinary".r.unanchored
+      Ins.findFirstMatchIn(q) match {
+        case Some(m) =>
+          val byName = tables.get(m.group(1)).map(_.toMap).getOrElse(Map.empty)
+          val cols = m.group(2).split(",")
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+          val decs = cols.map(c =>
+            RowBinary.decoder(byName.getOrElse(c, "Nullable(String)"))).toArray
+          val in = new DataInputStream(new ByteArrayInputStream(data))
+          var n = 0L
+          var done = false
+          while (!done) {
+            try {
+              decs(0).read(in)
+              var i = 1
+              while (i < decs.length) { decs(i).read(in); i += 1 }
+              n += 1
+            } catch { case _: EOFException => done = true }
+          }
+          rowsReceived.addAndGet(n)
+          (200, "")
+        case None => (500, s"mock: bad insert: ${q.take(200)}")
+      }
+    } else (500, s"mock: unhandled statement: ${q.take(200)}")
+  }
+
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var d = 0
+    s.foreach {
+      case ',' if d == 0 => out += cur.result().trim; cur.clear()
+      case c =>
+        if (c == '(') d += 1 else if (c == ')') d -= 1
+        cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.result().trim
+    out.result().filter(_.nonEmpty)
+  }
+}
