@@ -268,6 +268,20 @@ class HttpClickHouseClient(
     * covering ranges, and emit one range-bounded handle per stream — each
     * executor task then pulls only its slice, the HTTP analog of
     * per-shard native streams. NULL cursor rows ride with the first range.
+    *
+    * Cursor families (SURVEY §4 "split by shard/ORDER BY ranges"):
+    *  - integral: exact value ranges (BigInt arithmetic — a hash cursor
+    *    like cityHash64 spans more than half the 64-bit range and plain
+    *    `hi - lo` would wrap)
+    *  - Date / DateTime: day / second ranges as literals; the LAST slice
+    *    is open-ended upward so sub-second fractions above the probed
+    *    max's whole second can't fall out
+    *  - anything else (strings, UUIDs, ...): server-side hash-mod
+    *    bucketing `cityHash64(col) % N = i` — no ordering assumption,
+    *    uniform slices, NULLs ride bucket 0
+    * Works on ANY planned query, not just plain scans: slices wrap the
+    * whole statement (`SELECT * FROM (sql) WHERE <slice>`), so a
+    * collapsed join/window subtree reads sliced too.
     */
   override def planQueryRanges(
       sql: String,
@@ -279,32 +293,80 @@ class HttpClickHouseClient(
     if (numStreams <= 1) return (schema, Seq(handle(sql, schema)))
     val mm = tsv(s"SELECT min(`$splitColumn`), max(`$splitColumn`) FROM ($sql) AS __mm " +
       "FORMAT TabSeparated").head
-    val (lo, hi) =
-      (scala.util.Try(mm(0).toLong).toOption, scala.util.Try(mm(1).toLong).toOption) match {
-        case (Some(a), Some(b)) => (a, b)
-        case _ => // empty table or non-integral column: single stream
-          return (schema, Seq(handle(sql, schema)))
-      }
-    // Range arithmetic in BigInt: `hi - lo` overflows Long when the cursor
-    // spans more than half the 64-bit range (hash cursors like cityHash64
-    // do), and a wrapped-negative span would silently confine every range
-    // to range 0 and drop rows. BigInt keeps the slices exact; only the
-    // final bounds (each within [lo, hi]) are narrowed back to Long.
-    val width = BigInt(hi) - BigInt(lo)
-    val n = (BigInt(numStreams) min (width + 1)).toInt
-    val span = width / n + 1
-    val handles = (0 until n).flatMap { i =>
-      val rlo = BigInt(lo) + BigInt(i) * span
-      if (rlo > hi) None
-      else {
-        val rhi = (rlo + span - 1) min BigInt(hi)
-        val cond =
-          if (i == 0) s"(`$splitColumn` <= ${rhi.toLong} OR `$splitColumn` IS NULL)"
-          else s"(`$splitColumn` >= ${rlo.toLong} AND `$splitColumn` <= ${rhi.toLong})"
-        Some(handle(s"SELECT * FROM ($sql) AS __rs WHERE $cond", schema))
-      }
+    val (loS, hiS) = (mm(0), mm(1))
+    if (loS == "\\N" || hiS == "\\N" || loS.isEmpty)
+      return (schema, Seq(handle(sql, schema))) // empty result: single stream
+    def sliced(conds: Seq[String]): (StructType, Seq[ChPartitionHandle]) =
+      (schema, conds.map(c => handle(s"SELECT * FROM ($sql) AS __rs WHERE $c", schema)))
+    val DateRe = raw"\d{4}-\d{2}-\d{2}".r
+    val TimeRe = raw"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?".r
+    (scala.util.Try(loS.toLong).toOption, scala.util.Try(hiS.toLong).toOption) match {
+      case (Some(lo), Some(hi)) =>
+        val width = BigInt(hi) - BigInt(lo)
+        val n = (BigInt(numStreams) min (width + 1)).toInt
+        val span = width / n + 1
+        sliced((0 until n).flatMap { i =>
+          val rlo = BigInt(lo) + BigInt(i) * span
+          if (rlo > hi) None
+          else {
+            val rhi = (rlo + span - 1) min BigInt(hi)
+            Some(
+              if (i == 0) s"(`$splitColumn` <= ${rhi.toLong} OR `$splitColumn` IS NULL)"
+              else s"(`$splitColumn` >= ${rlo.toLong} AND `$splitColumn` <= ${rhi.toLong})")
+          }
+        })
+      case _ if DateRe.matches(loS) && DateRe.matches(hiS) =>
+        // Date / Date32 cursor: epoch-day ranges, date-literal bounds
+        val lo = java.time.LocalDate.parse(loS).toEpochDay
+        val hi = java.time.LocalDate.parse(hiS).toEpochDay
+        val n = (BigInt(numStreams) min (BigInt(hi) - BigInt(lo) + 1)).toInt
+        val span = (hi - lo) / n + 1
+        sliced((0 until n).flatMap { i =>
+          val rlo = lo + i * span
+          if (rlo > hi) None
+          else {
+            val rhi = math.min(rlo + span - 1, hi)
+            def d(x: Long) = java.time.LocalDate.ofEpochDay(x).toString
+            Some(
+              if (i == 0) s"(`$splitColumn` <= '${d(rhi)}' OR `$splitColumn` IS NULL)"
+              else if (rhi >= hi) s"(`$splitColumn` >= '${d(rlo)}')" // open top
+              else s"(`$splitColumn` >= '${d(rlo)}' AND `$splitColumn` <= '${d(rhi)}')")
+          }
+        })
+      case _ if TimeRe.matches(loS) && TimeRe.matches(hiS) =>
+        // DateTime / DateTime64 cursor: whole-second ranges; open-ended
+        // top slice so fractional ticks above max's second survive
+        def secs(s: String) = java.time.LocalDateTime
+          .parse(s.replace(' ', 'T').takeWhile(_ != '.'))
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        val (lo, hi) = (secs(loS), secs(hiS))
+        val n = (BigInt(numStreams) min (BigInt(hi) - BigInt(lo) + 1)).toInt
+        val span = (hi - lo) / n + 1
+        val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        def ts(x: Long) = java.time.LocalDateTime
+          .ofEpochSecond(x, 0, java.time.ZoneOffset.UTC).format(fmt)
+        sliced((0 until n).flatMap { i =>
+          val rlo = lo + i * span
+          if (rlo > hi) None
+          else {
+            val rhi = math.min(rlo + span - 1, hi)
+            Some(
+              if (i == 0 && rhi >= hi) s"(1 = 1 OR `$splitColumn` IS NULL)" // single slice
+              else if (i == 0) s"(`$splitColumn` < '${ts(rhi + 1)}' OR `$splitColumn` IS NULL)"
+              else if (rhi >= hi) s"(`$splitColumn` >= '${ts(rlo)}')" // open top
+              else s"(`$splitColumn` >= '${ts(rlo)}' AND `$splitColumn` < '${ts(rhi + 1)}')")
+          }
+        })
+      case _ =>
+        // orderless cursor (String, UUID, ...): uniform server-side hash
+        // buckets; no min/max math, no skew from lexicographic clumping
+        sliced((0 until numStreams).map { i =>
+          if (i == 0)
+            s"(`$splitColumn` IS NULL OR cityHash64(`$splitColumn`) % $numStreams = $i)"
+          else
+            s"(`$splitColumn` IS NOT NULL AND cityHash64(`$splitColumn`) % $numStreams = $i)"
+        })
     }
-    (schema, handles)
   }
 
   private def describe(sql: String): StructType = {

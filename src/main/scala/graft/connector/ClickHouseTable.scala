@@ -293,6 +293,8 @@ class ChScan(
   def chClient: ClickHouseClient = client
   def chStreams: Int = readStreams
   def chCoerce: Boolean = coerceSchemas
+  /** Configured range-split cursor (read.split_by), for subtree collapse. */
+  def chSplitBy: Option[String] = Option(scanOptions.get("split_by"))
 
   override def filterAttributes(): Array[NamedReference] =
     out.fieldNames.map(org.apache.spark.sql.graft.bridge.namedRef)

@@ -117,9 +117,28 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       val finalCols = child.output.zipWithIndex
         .map { case (a, i) => s"${u.scope(a.exprId)} AS c$i" }
       val sql = s"SELECT ${finalCols.mkString(", ")} FROM (${u.sql}) AS fin$suffix"
+      // Range-split cursor for the collapsed read: only for shapes a
+      // per-slice re-execution cannot corrupt — no LIMIT anywhere (its
+      // row choice is per-execution), no nondeterministic expressions,
+      // and not an Aggregate top (small result; slicing buys nothing and
+      // re-runs the whole aggregation per slice). Output columns are
+      // aliased c0..cn on the wire, so the cursor maps to its alias.
+      val splitSafe = !suffix.contains(" LIMIT ") &&
+        !child.isInstanceOf[Aggregate] &&
+        !child.exists {
+          case _: GlobalLimit | _: LocalLimit => true
+          case p => p.expressions.exists(e => !e.deterministic)
+        }
+      val splitBy =
+        if (!splitSafe) None
+        else scans.head.chSplitBy.flatMap { c =>
+          child.output.zipWithIndex.collectFirst {
+            case (a, i) if a.name.equalsIgnoreCase(c) => s"c$i"
+          }
+        }
       Some(ClickHouseRemoteNode(child.output, sql, scans.head.chClient,
         scans.head.chStreams, remoteSizeEstimate(child, suffix),
-        coerce = scans.forall(_.chCoerce)))
+        coerce = scans.forall(_.chCoerce), splitBy = splitBy))
     }
   }
 

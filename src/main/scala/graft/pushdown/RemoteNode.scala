@@ -22,7 +22,8 @@ case class ClickHouseRemoteNode(
     client: ClickHouseClient,
     streams: Int,
     sizeEstimate: BigInt = BigInt(1) << 20,
-    coerce: Boolean = true)
+    coerce: Boolean = true,
+    splitBy: Option[String] = None)
   extends LeafNode {
 
   // Shape-aware: the collapse rule passes an estimate derived from the
@@ -43,7 +44,7 @@ case class ClickHouseRemoteNode(
 object ClickHouseRemoteStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: ClickHouseRemoteNode =>
-      ClickHouseRemoteExec(n.output, n.sql, n.client, n.streams, n.coerce) :: Nil
+      ClickHouseRemoteExec(n.output, n.sql, n.client, n.streams, n.coerce, n.splitBy) :: Nil
     case _ => Nil
   }
 }
@@ -59,8 +60,20 @@ case class ClickHouseRemoteExec(
     sql: String,
     client: ClickHouseClient,
     streams: Int,
-    coerce: Boolean = true)
+    coerce: Boolean = true,
+    splitBy: Option[String] = None)
   extends SparkPlan with LeafExecNode {
+
+  /** Range-split even a COLLAPSED subtree when a cursor is configured:
+    * the transport wraps the whole collapsed SQL in per-slice WHERE
+    * bounds, so a big join/window result streams over N parallel
+    * connections instead of one fat stream (the collapse rule only
+    * passes a cursor for row-preserving, re-executable shapes).
+    */
+  private def plan(): (StructType, Seq[graft.client.ChPartitionHandle]) = splitBy match {
+    case Some(c) => client.planQueryRanges(sql, c, streams)
+    case None => client.planQuery(sql, streams)
+  }
 
   override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
     Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
@@ -70,7 +83,7 @@ case class ClickHouseRemoteExec(
     val expected = output.map(_.dataType)
     val numOutputRows = longMetric("numOutputRows")
     // plan-time: metadata-only handles; rows are pulled on the executors
-    val (remoteSchema, handles) = client.planQuery(sql, streams)
+    val (remoteSchema, handles) = plan()
     require(remoteSchema.length == output.length,
       s"remote arity ${remoteSchema.length} != plan arity ${output.length} for: $sql")
     val remote = StructType(remoteSchema.fields.map(f => f.copy(nullable = true)))
@@ -123,7 +136,7 @@ case class ClickHouseRemoteExec(
       : RDD[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val expected = output.map(_.dataType)
     val numOutputRows = longMetric("numOutputRows")
-    val (remoteSchema, handles) = client.planQuery(sql, streams)
+    val (remoteSchema, handles) = plan()
     require(remoteSchema.length == output.length,
       s"remote arity ${remoteSchema.length} != plan arity ${output.length} for: $sql")
     val remote = StructType(remoteSchema.fields.map(f => f.copy(nullable = true)))

@@ -61,7 +61,12 @@ class HttpClientSpec extends AnyFunSuite {
        case (t, (c, _)) if sql.contains(s"`$t`") => c
      }.getOrElse(colTypes)).toMap
 
-  private def selectCols(sql: String): Seq[String] = {
+  /** (source, output) pairs of the innermost explicit select list,
+    * alias-aware: "`id` AS c0" -> ("id","c0"), "`id`" -> ("id","id").
+    * Collapsed-subtree SQL aliases outputs c0..cn, so the mock must
+    * resolve those back to storage columns.
+    */
+  private def selectPairs(sql: String): Seq[(String, String)] = {
     var s = sql
     var sel = ""
     // `SELECT * FROM (inner)` wrappers (range slices): descend to the
@@ -71,8 +76,21 @@ class HttpClientSpec extends AnyFunSuite {
       sel = s.substring(s.toUpperCase.indexOf("SELECT") + 6, from).trim
       sel == "*" && s.indexOf('(', from) >= 0
     }) s = s.substring(s.indexOf('(', s.toUpperCase.indexOf(" FROM ")) + 1)
-    sel.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+    val As = raw"(?i)`?([\w.]+)`?\s+AS\s+`?(\w+)`?".r
+    sel.split(",").map(_.trim).map {
+      case As(src, out) => (src, out)
+      case x =>
+        val c = x.stripPrefix("`").stripSuffix("`")
+        (c, c)
+    }.toSeq
   }
+
+  private def selectCols(sql: String): Seq[String] = selectPairs(sql).map(_._2)
+
+  private def srcOf(sql: String, col: String): String =
+    scala.util.Try(selectPairs(sql)).toOption.flatMap(_.collectFirst {
+      case (s, o) if o == col => s
+    }).getOrElse(col)
 
   private def rowsFor(sql: String): Seq[Map[String, Any]] = {
     val all: Seq[Map[String, Any]] =
@@ -82,16 +100,60 @@ class HttpClientSpec extends AnyFunSuite {
       else dynTables.collectFirst {
         case (t, (_, rows)) if sql.contains(s"`$t`") => rows.toSeq
       }.getOrElse(Seq.empty)
-    // emulate the range predicates planQueryRanges emits
-    val Range = raw"\(`id` >= (-?\d+) AND `id` <= (-?\d+)\)".r.unanchored
-    val First = raw"\(`id` <= (-?\d+) OR `id` IS NULL\)".r.unanchored
-    sql match {
-      case First(hi) => all.filter(r =>
-        r.get("id").forall(v => v == null || v.asInstanceOf[Long] <= hi.toLong))
-      case Range(lo, hi) => all.filter(r => r.get("id").exists(v =>
-        v != null && v.asInstanceOf[Long] >= lo.toLong && v.asInstanceOf[Long] <= hi.toLong))
+    // emulate every slice-predicate family planQueryRanges emits:
+    // numeric ranges, date/datetime literal ranges (incl. the open-ended
+    // top slice), and cityHash64-mod buckets. Bounds compare the way the
+    // server would: numerically for integers, lexicographically for the
+    // fixed-width date/time renderings.
+    def cmp(v: Any, bound: String): Int = v match {
+      case l: Long => java.lang.Long.compare(l, bound.toLong)
+      case other => render(other).compareTo(bound)
+    }
+    def bucket(v: Any, n: Long): Long = mockHash(v) % n
+    def col(c: String) = srcOf(sql, c)
+    val NFirst = raw"\(`(\w+)` <= (-?\d+) OR `\w+` IS NULL\)".r.unanchored
+    val NRange = raw"\(`(\w+)` >= (-?\d+) AND `\w+` <= (-?\d+)\)".r.unanchored
+    val LFirst = raw"\(`(\w+)` <= '([^']+)' OR `\w+` IS NULL\)".r.unanchored
+    val TFirst = raw"\(`(\w+)` < '([^']+)' OR `\w+` IS NULL\)".r.unanchored
+    val LRange = raw"\(`(\w+)` >= '([^']+)' AND `\w+` <= '([^']+)'\)".r.unanchored
+    val TRange = raw"\(`(\w+)` >= '([^']+)' AND `\w+` < '([^']+)'\)".r.unanchored
+    val LTop = raw"\(`(\w+)` >= '([^']+)'\)".r.unanchored
+    val H0 = raw"\(`(\w+)` IS NULL OR cityHash64\(`\w+`\) % (\d+) = (\d+)\)".r.unanchored
+    val HK = raw"\(`(\w+)` IS NOT NULL AND cityHash64\(`\w+`\) % (\d+) = (\d+)\)".r.unanchored
+    if (!sql.contains(" WHERE ")) all
+    else sql match {
+      case NFirst(c, hi) => all.filter(r =>
+        r.get(col(c)).forall(v => v == null || cmp(v, hi) <= 0))
+      case NRange(c, lo, hi) => all.filter(r => r.get(col(c)).exists(v =>
+        v != null && cmp(v, lo) >= 0 && cmp(v, hi) <= 0))
+      case LFirst(c, hi) => all.filter(r =>
+        r.get(col(c)).forall(v => v == null || cmp(v, hi) <= 0))
+      case TFirst(c, hi) => all.filter(r =>
+        r.get(col(c)).forall(v => v == null || cmp(v, hi) < 0))
+      case LRange(c, lo, hi) => all.filter(r => r.get(col(c)).exists(v =>
+        v != null && cmp(v, lo) >= 0 && cmp(v, hi) <= 0))
+      case TRange(c, lo, hi) => all.filter(r => r.get(col(c)).exists(v =>
+        v != null && cmp(v, lo) >= 0 && cmp(v, hi) < 0))
+      case LTop(c, lo) => all.filter(r => r.get(col(c)).exists(v =>
+        v != null && cmp(v, lo) >= 0))
+      case H0(c, n, k) => all.filter(r =>
+        r.get(col(c)).forall(v => v == null || bucket(v, n.toLong) == k.toLong))
+      case HK(c, n, k) => all.filter(r => r.get(col(c)).exists(v =>
+        v != null && bucket(v, n.toLong) == k.toLong))
       case _ => all
     }
+  }
+
+  /** The mock's own deterministic stand-in for server-side cityHash64 —
+    * slice tests only need within-server consistency, not the real hash.
+    */
+  private def mockHash(v: Any): Long = (render(v).hashCode.toLong & Long.MaxValue)
+
+  /** Render a value the way ClickHouse TSV would (UTC, fixed-width). */
+  private def render(v: Any): String = v match {
+    case i: java.time.Instant => java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC).format(i)
+    case x => x.toString
   }
 
   /** RowBinaryWithNamesAndTypes response: header + rows, encoded with the
@@ -99,19 +161,19 @@ class HttpClientSpec extends AnyFunSuite {
     * the client; RowBinarySpec pins the codec's own round-trip).
     */
   private def rowBinaryResponse(
-      sql: String, cols: Seq[String], rows: Seq[Map[String, Any]]): Array[Byte] = {
+      sql: String, pairs: Seq[(String, String)], rows: Seq[Map[String, Any]]): Array[Byte] = {
     val byName = typesFor(sql)
-    val types = cols.map {
-      case "1" => "UInt8"
-      case c => byName.getOrElse(c, "Nullable(String)")
+    val types = pairs.map {
+      case ("1", _) => "UInt8"
+      case (src, _) => byName.getOrElse(src, "Nullable(String)")
     }
     val bos = new ByteArrayOutputStream()
-    RowBinary.writeHeader(bos, cols.zip(types))
+    RowBinary.writeHeader(bos, pairs.map(_._2).zip(types))
     val out = new DataOutputStream(bos)
     val encs = types.map(RowBinary.encoder)
     rows.foreach { r =>
-      cols.indices.foreach { i =>
-        val v: Any = if (cols(i) == "1") 1.toByte else r.getOrElse(cols(i), null)
+      pairs.indices.foreach { i =>
+        val v: Any = if (pairs(i)._1 == "1") 1.toByte else r.getOrElse(pairs(i)._1, null)
         encs(i).write(out, v)
       }
     }
@@ -180,16 +242,28 @@ class HttpClientSpec extends AnyFunSuite {
       tsvOk("123456\n")
     else if (q.startsWith("DESCRIBE TABLE")) {
       val inner = q.stripPrefix("DESCRIBE TABLE (")
-      val names = selectCols(inner)
       val byName = typesFor(inner)
-      val out = names.map {
-        case "1" => "1\tUInt8"
-        case n => s"$n\t${byName.getOrElse(n, "Nullable(String)")}"
+      val out = selectPairs(inner).map {
+        case ("1", o) => s"$o\tUInt8"
+        case (src, o) => s"$o\t${byName.getOrElse(src, "Nullable(String)")}"
       }
       tsvOk(out.mkString("", "\n", "\n"))
-    } else if (q.startsWith("SELECT min(`id`), max(`id`)")) {
-      val ids = rowsFor(q).flatMap(r => Option(r("id")).map(_.asInstanceOf[Long]))
-      tsvOk(if (ids.isEmpty) "\\N\t\\N\n" else s"${ids.min}\t${ids.max}\n")
+    } else if (q.startsWith("SELECT min(`")) {
+      val MinMax = raw"SELECT min\(`(\w+)`\), max\(`\w+`\) FROM \((.*)\) AS __mm.*".r
+      q match {
+        case MinMax(c, inner) =>
+          val src = srcOf(inner, c)
+          val vals = rowsFor(inner).flatMap(r => Option(r.getOrElse(src, null)))
+          if (vals.isEmpty) tsvOk("\\N\t\\N\n")
+          else {
+            implicit val ord: Ordering[Any] = vals.head match {
+              case _: Long => Ordering.by((x: Any) => x.asInstanceOf[Long])
+              case _ => Ordering.by((x: Any) => render(x))
+            }
+            tsvOk(s"${render(vals.min)}\t${render(vals.max)}\n")
+          }
+        case _ => (500, s"mock: bad min/max probe: $q".getBytes(UTF_8), Map.empty[String, String])
+      }
     } else if (q.startsWith("CREATE DATABASE") || q.startsWith("DROP DATABASE"))
       tsvOk("")
     else if (q.startsWith("CREATE TABLE")) {
@@ -276,8 +350,7 @@ class HttpClientSpec extends AnyFunSuite {
         case _ => (500, s"mock: bad VALUES insert: $q".getBytes(UTF_8), Map.empty)
       }
     } else if (q.toUpperCase.contains("FORMAT ROWBINARYWITHNAMESANDTYPES")) {
-      val cols = selectCols(q)
-      (200, rowBinaryResponse(q, cols, rowsFor(q)), Map.empty[String, String])
+      (200, rowBinaryResponse(q, selectPairs(q), rowsFor(q)), Map.empty[String, String])
     } else (500, s"mock: unhandled query: $q".getBytes(UTF_8), Map.empty[String, String])
   }
 
@@ -434,6 +507,81 @@ class HttpClientSpec extends AnyFunSuite {
       case _ => true
     })
     assert(bounds.last._2 == 21L)
+  }
+
+  test("date cursor: planQueryRanges slices by date literals, disjoint-covering") {
+    dynTables("date_t") = (Seq("d" -> "Date", "name" -> "Nullable(String)"),
+      mutable.ArrayBuffer((0 until 14).map { i =>
+        Map[String, Any](
+          "d" -> java.time.LocalDate.of(2024, 3, 1).plusDays(i), "name" -> s"r$i")
+      }: _*))
+    queries.synchronized(queries.clear())
+    val (schema, handles) = client.planQueryRanges(
+      "SELECT `d`, `name` FROM `main`.`date_t`", "d", 4)
+    assert(handles.size == 4)
+    val rows = handles.flatMap(h => client.readPartition(h).toSeq)
+    assert(rows.size == 14) // every row exactly once
+    assert(schema("d").dataType == org.apache.spark.sql.types.DateType)
+    val ranged = queries.synchronized(queries.filter(_.contains("WHERE (`d`")).toSeq)
+    assert(ranged.size == 4)
+    assert(ranged.forall(_.contains("'2024-03-"))) // date literals on the wire
+    // top slice is open-ended upward (no AND upper bound)
+    assert(ranged.exists(q => q.contains("`d` >= '") && !q.contains(" AND ")))
+  }
+
+  test("datetime cursor slices whole seconds; fractional ticks above the " +
+    "probed max's second survive via the open-ended top slice") {
+    val base = java.time.Instant.parse("2024-06-01T10:00:00Z")
+    dynTables("dt64_t") = (Seq("ts" -> "DateTime64(3)", "name" -> "Nullable(String)"),
+      mutable.ArrayBuffer((0 until 10).map { i =>
+        Map[String, Any]("ts" -> base.plusMillis(i * 1700L), "name" -> s"r$i")
+      }: _*))
+    val (_, handles) = client.planQueryRanges(
+      "SELECT `ts`, `name` FROM `main`.`dt64_t`", "ts", 4)
+    assert(handles.size == 4)
+    val rows = handles.flatMap(h => client.readPartition(h).toSeq)
+    assert(rows.size == 10) // max row carries .300 fraction — not dropped
+  }
+
+  test("string cursor: server-side hash-mod buckets, NULLs ride bucket 0") {
+    dynTables("str_t") = (Seq("name" -> "Nullable(String)", "val" -> "Float64"),
+      mutable.ArrayBuffer(Seq(
+        "apple", "banana", "cherry", "date", "elder", "fig", "grape", null)
+        .zipWithIndex.map { case (n, i) =>
+          Map[String, Any]("name" -> n, "val" -> (i + 0.5))
+        }: _*))
+    queries.synchronized(queries.clear())
+    val (_, handles) = client.planQueryRanges(
+      "SELECT `name`, `val` FROM `main`.`str_t`", "name", 4)
+    assert(handles.size == 4)
+    val rows = handles.flatMap(h => client.readPartition(h).toSeq)
+    assert(rows.size == 8) // union covers, buckets are disjoint by construction
+    assert(rows.count(_.isNullAt(0)) == 1)
+    val hq = queries.synchronized(queries.filter(_.contains("cityHash64")).toSeq)
+    assert(hq.size == 4)
+  }
+
+  test("collapsed-subtree SQL range-splits through the exec node (c0 alias cursor)") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val _ = spark // session active for SparkPlan execution
+    queries.synchronized(queries.clear())
+    // the shape the collapse rule emits: outputs aliased c0..cn over an
+    // inner subquery
+    val sql = "SELECT `id` AS c0, `val` AS c1 FROM " +
+      "(SELECT `id`, `name`, `val` FROM `main`.`events_http`) AS fin"
+    val out = Seq(
+      AttributeReference("c0", LongType, nullable = true)(),
+      AttributeReference("c1", DoubleType, nullable = true)())
+    val exec = graft.pushdown.ClickHouseRemoteExec(
+      out, sql, client, 4, splitBy = Some("c0"))
+    // raw RDD collect: the planner normally adds the unsafe-row/columnar
+    // conversion above this node, so executeCollect() doesn't apply here
+    val rows = exec.execute().map(_.copy()).collect()
+    assert(rows.length == baseRows.size) // all rows exactly once, NULL id incl.
+    assert(rows.count(_.isNullAt(0)) == 1)
+    val slices = queries.synchronized(queries.count(_.contains("WHERE (`c0`")))
+    assert(slices == 4) // the collapsed statement itself was sliced
   }
 
   test("catalog DDL + staged DSv2 write land via RowBinary wire inserts") {

@@ -60,6 +60,35 @@ class PushdownSpec extends AnyFunSuite {
     plans.flatMap(_.collect { case e: ClickHouseRemoteExec => e })
   }
 
+  test("collapse rule passes the range-split cursor mapped to its output " +
+    "alias; LIMIT-topped collapses never carry one") {
+    // same store, separate catalog carrying read.split_by (catalog
+    // instances cache per name — a fresh name picks up the option)
+    spark.conf.set("spark.sql.catalog.chpdsb",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chpdsb.path", root)
+    spark.conf.set("spark.sql.catalog.chpdsb.read.split_by", "id")
+    val df = spark.sql(
+      "SELECT id, clickhouse(upper(name), 'String') AS uname FROM chpdsb.db.people")
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty)
+    // id is output ordinal 0 → wire alias c0
+    assert(execs.head.splitBy.contains("c0"))
+    // embedded transport ignores ranges (default planQueryRanges):
+    // results identical
+    assert(df.collect().map(_.getString(1)).sorted.toSeq ==
+      Seq("ALICE", "BOB", "CHARLIE"))
+    // LIMIT-topped collapse: per-slice re-execution could pick different
+    // rows — the rule must NOT attach a cursor
+    val lim = spark.sql(
+      "SELECT id, clickhouse(upper(name), 'String') AS uname " +
+        "FROM chpdsb.db.people ORDER BY uname LIMIT 2")
+    val limExecs = remoteExecs(lim)
+    assert(limExecs.nonEmpty)
+    assert(limExecs.head.splitBy.isEmpty)
+    assert(lim.collect().length == 2)
+  }
+
   test("clickhouse(expr, 'Type') pushes to remote execution (SQL surface)") {
     val df = spark.sql(
       "SELECT clickhouse(upper(name), 'String') AS uname FROM chpd.db.people")
