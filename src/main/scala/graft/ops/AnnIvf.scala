@@ -56,6 +56,37 @@ object AnnIvf {
     IvfIndex(assigned, model.clusterCenters.toSeq.map(_.toArray.toSeq))
   }
 
+  /** Store-shaped views of an index and reconstruction from them — at
+    * 100 TB an ANN index is a PERSISTED artifact (a pair of remote
+    * tables written once at ingest), not a session cache. `cellsTable` /
+    * `centroidsTable` are what gets written; [[fromTables]] rebuilds a
+    * probe-ready index in a session that never trained anything (gate
+    * r32 drives the full cycle through the connector).
+    */
+  def cellsTable(index: IvfIndex, idCol: String, embCol: String): DataFrame =
+    index.assigned.select(
+      col(idCol), col(embCol), col("__cell").cast("int").as("cell"))
+
+  def centroidsTable(index: IvfIndex, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    index.centers.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "center")
+  }
+
+  /** Rebuild an index from its persisted tables. The centroid matrix is
+    * k x dims — tiny by construction — so the driver collect is bounded;
+    * the cell assignment stays a DataFrame (streams from the store).
+    */
+  def fromTables(
+      cells: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String): IvfIndex = {
+    val centers = centroids.select("cell", "center").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).map(_._2).toSeq
+    IvfIndex(
+      cells.select(col(idCol), col(embCol), col("cell").as("__cell")),
+      centers)
+  }
+
   /** Approximate top-k: probes search their `nprobe` nearest cells. */
   def annTopK(
       index: IvfIndex,

@@ -243,6 +243,54 @@ object SimilarityQueries {
       },
       oracle = Some(RecallOracle)),
 
+    // ---- the same IVF index as a PERSISTED STORE ARTIFACT: cell
+    // assignment + centroids written through the connector once, then a
+    // probe-only path rebuilds the index purely from the store tables
+    // (no training, no parquet corpus scan for the index side) and must
+    // clear the same recall gate. This is the 100 TB shape: the index
+    // lives next to the data, probe sessions just read it.
+    GateQuery("r32_ann_index_persisted",
+      (s, dir) => {
+        Tables.register(s, dir)
+        ConnectorQueries.harness(s, dir)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val client = new graft.client.EmbeddedClickHouse(
+          s"/root/repo/target/chstore_$tag")
+        // build-once, but resilient to a crashed half-build: either
+        // BOTH index tables exist (one consistent training run) or both
+        // rebuild together
+        if (!client.tableExists("main", "ivf_cells") ||
+            !client.tableExists("main", "ivf_centroids")) {
+          if (client.tableExists("main", "ivf_cells"))
+            client.dropTable("main", "ivf_cells")
+          if (client.tableExists("main", "ivf_centroids"))
+            client.dropTable("main", "ivf_centroids")
+          val index = graft.ops.AnnIvf.buildIndex(
+            corpus(s), "vec_id", "embedding", numCells = 16,
+            trainSampleFraction = 0.5, maxIter = 10)
+          client.createTable("main", "ivf_cells", Seq(
+            "vec_id" -> "Nullable(Int64)",
+            "embedding" -> "Array(Nullable(Float32))",
+            "cell" -> "Nullable(Int32)"), Map("engine" -> "MergeTree"))
+          graft.ops.AnnIvf.cellsTable(index, "vec_id", "embedding")
+            .writeTo("clickhouse.main.ivf_cells").append()
+          client.createTable("main", "ivf_centroids", Seq(
+            "cell" -> "Nullable(Int32)",
+            "center" -> "Array(Nullable(Float64))"), Map("engine" -> "MergeTree"))
+          graft.ops.AnnIvf.centroidsTable(index, s)
+            .writeTo("clickhouse.main.ivf_centroids").append()
+        }
+        // probe-only path: index rebuilt ENTIRELY from the store
+        val stored = graft.ops.AnnIvf.fromTables(
+          s.table("clickhouse.main.ivf_cells"),
+          s.table("clickhouse.main.ivf_centroids"), "vec_id", "embedding")
+        val probes = s.table("embeddings").filter(col("vec_id") < 100)
+        val ann = graft.ops.AnnIvf.annTopK(
+          stored, probes, "vec_id", "embedding", k = 5, nprobe = 12)
+        recallGate(s, dir, ann)
+      },
+      oracle = Some(RecallOracle)),
+
     // ---- int8 embedding quantization (the storage/bandwidth side of
     // similarity search at 100 TB: 4x smaller vectors for the ANN coarse
     // pass). Symmetric per-vector scale = 127/max|x|; quantized value =

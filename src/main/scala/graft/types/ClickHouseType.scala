@@ -157,7 +157,7 @@ object ClickHouseType {
       sinkByName.get(in.name) match {
         case None => errs += s"input field '${in.name}' not in sink schema"
         case Some(sk) =>
-          if (sk.dataType != in.dataType)
+          if (!typeWritable(sk.dataType, in.dataType))
             errs += s"field '${in.name}' type mismatch: sink=${sk.dataType.simpleString} input=${in.dataType.simpleString}"
           else if (in.nullable && !sk.nullable)
             errs += s"field '${in.name}' nullability mismatch: nullable input into non-nullable sink"
@@ -165,4 +165,25 @@ object ClickHouseType {
     }
     errs.result()
   }
+
+  /** Structural type compatibility for writes: identical types, or equal
+    * up to NULLABILITY WIDENING — non-nullable elements/values may write
+    * into nullable slots (never the reverse). Without this, an
+    * `array<double>` of non-null elements cannot insert into an
+    * `Array(Nullable(Float64))` column even though every value fits.
+    */
+  private def typeWritable(sink: DataType, input: DataType): Boolean =
+    (sink, input) match {
+      case (s, i) if s == i => true
+      case (ArrayType(se, sn), ArrayType(ie, in_)) =>
+        (sn || !in_) && typeWritable(se, ie)
+      case (MapType(sk, sv, sn), MapType(ik, iv, in_)) =>
+        (sn || !in_) && typeWritable(sk, ik) && typeWritable(sv, iv)
+      case (StructType(sf), StructType(inf)) =>
+        sf.length == inf.length && sf.zip(inf).forall { case (a, b) =>
+          a.name == b.name && (a.nullable || !b.nullable) &&
+            typeWritable(a.dataType, b.dataType)
+        }
+      case _ => false
+    }
 }
