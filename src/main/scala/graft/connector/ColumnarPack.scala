@@ -22,9 +22,10 @@ object ColumnarPack {
 
   val DefaultBatchSize = 4096
 
-  /** Types the packer (and the OnHeap vectors) can carry. Nested structs
-    * and maps stay on the row path — they are rare in scan output and the
-    * row fallback is always correct.
+  /** Types the packer (and the OnHeap vectors) can carry: atomics,
+    * arrays/maps of atomics, and one-level structs of atomics. Deeper
+    * nesting stays on the row path — rare in scan output, and the row
+    * fallback is always correct.
     */
   def supports(schema: StructType): Boolean =
     schema.nonEmpty && schema.fields.forall(f => supportsType(f.dataType))
@@ -35,6 +36,8 @@ object ColumnarPack {
          TimestampType | TimestampNTZType => true
     case _: DecimalType => true
     case ArrayType(et, _) => atomic(et)
+    case MapType(kt, vt, _) => atomic(kt) && atomic(vt)
+    case StructType(fields) => fields.forall(f => atomic(f.dataType))
     case _ => false
   }
 
@@ -114,6 +117,37 @@ object ColumnarPack {
           }
           v.putArray(rowId, start, m)
           childOffsets(col) = start + m
+        case MapType(kt, vt, _) =>
+          // maps share the array offsets mechanism: child 0 = keys,
+          // child 1 = values, both growing at the same element offsets
+          val map = r.getMap(ord)
+          val m = map.numElements()
+          val keys = v.getChild(0)
+          val vals = v.getChild(1)
+          val start = childOffsets(col)
+          keys.reserve(start + m)
+          vals.reserve(start + m)
+          val ka = map.keyArray()
+          val va = map.valueArray()
+          var j = 0
+          while (j < m) {
+            writeElem(keys, start + j, ka, j, kt) // SQL map keys are never null
+            if (va.isNullAt(j)) vals.putNull(start + j)
+            else writeElem(vals, start + j, va, j, vt)
+            j += 1
+          }
+          v.putArray(rowId, start, m)
+          childOffsets(col) = start + m
+        case st: StructType =>
+          // struct children index by rowId directly (no offsets)
+          val sr = r.getStruct(ord, st.length)
+          var j = 0
+          while (j < st.length) {
+            val child = v.getChild(j)
+            if (sr.isNullAt(j)) child.putNull(rowId)
+            else write(child, rowId, sr, j, st.fields(j).dataType, col)
+            j += 1
+          }
         case other =>
           throw new IllegalStateException(s"unsupported columnar type $other")
       }

@@ -400,6 +400,101 @@ class ConnectorSpec extends AnyFunSuite {
       got(2).getSeq[Any](6) == Seq(null, "w"))
   }
 
+  test("columnar packer carries maps and one-level structs (no row fallback)") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("m", MapType(StringType, LongType)),
+      StructField("st", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType))))))
+    assert(graft.connector.ColumnarPack.supports(schema))
+    def mk(id: Long, m: Seq[(String, Any)], a: Any, b: Any): GenericInternalRow = {
+      val r = new GenericInternalRow(3)
+      r.update(0, id)
+      r.update(1, ArrayBasedMapData(
+        m.map(kv => UTF8String.fromString(kv._1)).toArray,
+        m.map(_._2).toArray))
+      val st = new GenericInternalRow(2)
+      st.update(0, a); st.update(1, b)
+      r.update(2, st)
+      r
+    }
+    val rows: Seq[org.apache.spark.sql.catalyst.InternalRow] = Seq(
+      mk(1L, Seq("x" -> 10L, "y" -> 20L), 7, UTF8String.fromString("hi")),
+      mk(2L, Seq.empty, null, UTF8String.fromString("lo")),
+      mk(3L, Seq("z" -> null), 9, null))
+    val it = graft.connector.ColumnarPack.iterator(rows.iterator, schema, batchSize = 2)
+    val got = it.flatMap { b =>
+      (0 until b.numRows).map { i =>
+        val m = b.column(1).getMap(i)
+        val keys = (0 until m.numElements()).map(j => m.keyArray.getUTF8String(j).toString)
+        val vals = (0 until m.numElements()).map(j =>
+          if (m.valueArray.isNullAt(j)) null else m.valueArray.getLong(j))
+        val st = b.column(2).getStruct(i)
+        (b.column(0).getLong(i), keys.zip(vals).toMap,
+          if (st.isNullAt(0)) null else st.getInt(0),
+          if (st.isNullAt(1)) null else st.getUTF8String(1).toString)
+      }.toList
+    }.toList
+    assert(got == List(
+      (1L, Map("x" -> 10L, "y" -> 20L), 7, "hi"),
+      (2L, Map.empty[String, Any], null, "lo"),
+      (3L, Map("z" -> null), 9, null)))
+  }
+
+  test("map-column scans ride the columnar path (r31 shape: Map(String,Int64))") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val client = new EmbeddedClickHouse(root)
+    if (!client.tableExists("testdb", "map_cols")) {
+      client.createTable("testdb", "map_cols", Seq(
+        "id" -> "Nullable(Int64)", "attrs" -> "Map(String, Nullable(Int64))"),
+        Map("engine" -> "MergeTree"))
+      spark.sql(
+        """INSERT INTO chconn.testdb.map_cols VALUES
+          |(1, map('a', 1L, 'b', 2L)), (2, map()), (3, map('c', NULL))""".stripMargin)
+    }
+    // no ORDER BY: a remote sort-hoist would collapse the scan into
+    // ClickHouseRemoteExec — this test pins the DSv2 scan path
+    val df = spark.table("chconn.testdb.map_cols")
+    val got = df.collect().sortBy(r => Option(r.get(0)).map(_.toString).getOrElse(""))
+    assert(got.length == 3)
+    assert(got(0).getMap[String, Any](1) == Map("a" -> 1L, "b" -> 2L))
+    assert(got(2).getMap[String, Any](1) == Map("c" -> null))
+    val root2 = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = root2.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[graft.connector.ChScan] => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.supportsColumnar)) // no silent row fallback anymore
+    assert(root2.collect {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }.nonEmpty)
+  }
+
+  test("coerce_schemas casts wire drift on the COLUMNAR path too " +
+    "(widened Int32 store column read as Long, batches stay vectorized)") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+    import graft.pushdown.ClickHouseRemoteExec
+    val client = new EmbeddedClickHouse(root)
+    // remote SELECT returns Int32; the plan declares Int64 (widening)
+    val out = Seq(AttributeReference("v", LongType, nullable = true)())
+    val exec = ClickHouseRemoteExec(
+      out, "SELECT CAST(7 AS INTEGER) AS v", client, 1, coerce = true)
+    assert(exec.supportsColumnar)
+    val vals = exec.executeColumnar().mapPartitions { it =>
+      it.flatMap(b => (0 until b.numRows).map(i => b.column(0).getLong(i)).toList).iterator
+    }.collect()
+    assert(vals.toSeq == Seq(7L))
+  }
+
   test("collapsed remote subtrees execute columnar (ClickHouseRemoteExec)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     graft.GraftSession.install(spark)
