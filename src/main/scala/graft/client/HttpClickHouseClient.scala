@@ -142,13 +142,8 @@ class HttpClickHouseClient(
     if ("gzip".equalsIgnoreCase(c.getContentEncoding)) new GZIPInputStream(raw) else raw
   }
 
-  private def failFor(c: HttpURLConnection, sql: String): Nothing = {
-    val err = Option(c.getErrorStream).map { es =>
-      try scala.io.Source.fromInputStream(es, "UTF-8").mkString finally es.close()
-    }.getOrElse("")
-    throw new RuntimeException(
-      s"ClickHouse HTTP ${c.getResponseCode} for: ${sql.take(500)}\n$err")
-  }
+  private def failFor(c: HttpURLConnection, sql: String): Nothing =
+    throw HttpClickHouseClient.httpError(c, sql)
 
   /** Driver-side statement: send, return the full (small) response body. */
   private def exec(sql: String, settings: Map[String, String] = Map.empty): String =
@@ -527,6 +522,22 @@ final case class HttpQueryHandle(
 
 object HttpClickHouseClient {
 
+  /** Server failure → exception carrying the SERVER'S error code: the
+    * HTTP interface reports the ClickHouse exception code in the
+    * `X-ClickHouse-Exception-Code` response header alongside the text
+    * body (http doc §Response, e.g. code 60 = UNKNOWN_TABLE) — surfacing
+    * it lets callers map errors the way native-protocol clients do.
+    */
+  private[client] def httpError(c: HttpURLConnection, sql: String): RuntimeException = {
+    val err = Option(c.getErrorStream).map { es =>
+      try scala.io.Source.fromInputStream(es, "UTF-8").mkString finally es.close()
+    }.getOrElse("")
+    val code = Option(c.getHeaderField("X-ClickHouse-Exception-Code"))
+      .map(ec => s" (server error code $ec)").getOrElse("")
+    new RuntimeException(
+      s"ClickHouse HTTP ${c.getResponseCode}$code for: ${sql.take(500)}\n$err")
+  }
+
   /** Per-(endpoint, size) JVM-wide request gates: the pool bound shared by
     * driver statements and executor streams alike. Size 0 = unbounded.
     */
@@ -572,13 +583,7 @@ object HttpClickHouseClient {
         val out: OutputStream = conn.getOutputStream
         try out.write(s"${h.sql} FORMAT RowBinaryWithNamesAndTypes".getBytes(UTF_8))
         finally out.close()
-        if (conn.getResponseCode != 200) {
-          val err = Option(conn.getErrorStream).map { es =>
-            try scala.io.Source.fromInputStream(es, "UTF-8").mkString finally es.close()
-          }.getOrElse("")
-          throw new RuntimeException(
-            s"ClickHouse HTTP ${conn.getResponseCode} for: ${h.sql.take(500)}\n$err")
-        }
+        if (conn.getResponseCode != 200) throw httpError(conn, h.sql)
         val raw = conn.getInputStream
         val in = new DataInputStream(new java.io.BufferedInputStream(
           if ("gzip".equalsIgnoreCase(conn.getContentEncoding)) new GZIPInputStream(raw)

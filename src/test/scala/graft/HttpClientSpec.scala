@@ -214,7 +214,14 @@ class HttpClientSpec extends AnyFunSuite {
   private def handleQuery(sql: String, data: Array[Byte]): (Int, Array[Byte], Map[String, String]) = {
     queries.synchronized { queries += sql }
     val q = sql.trim
-    if (q.startsWith("SELECT name FROM system.databases"))
+    if (q.contains("`no_such_table`"))
+      // error shape of the HTTP interface: non-200, text body, and the
+      // ClickHouse exception code in X-ClickHouse-Exception-Code
+      // (http doc §Response; 60 = UNKNOWN_TABLE)
+      (404,
+        "Code: 60. DB::Exception: Table main.no_such_table does not exist".getBytes(UTF_8),
+        Map("X-ClickHouse-Exception-Code" -> "60"))
+    else if (q.startsWith("SELECT name FROM system.databases"))
       tsvOk("default\nmain\n")
     else if (q.startsWith("SELECT name FROM system.tables"))
       tsvOk((Seq("events_http") ++ dynTables.keys.toSeq.sorted).mkString("", "\n", "\n"))
@@ -714,4 +721,52 @@ class HttpClientSpec extends AnyFunSuite {
       "SELECT `id`, `name`, `val` FROM `main`.`empty_t`", "id", 4)
     assert(handles.size == 1)
   }
+
+  test("server failures surface the X-ClickHouse-Exception-Code header " +
+    "(http doc §Response: code rides a header next to the text body)") {
+    val (schema, handles) = client.planQuery(
+      "SELECT `id`, `name`, `val` FROM `main`.`events_http`", 1)
+    val bad = handles.head.asInstanceOf[graft.client.HttpQueryHandle]
+      .copy(sql = "SELECT `id` FROM `main`.`no_such_table`")
+    val e = intercept[RuntimeException](client.readPartition(bad).toSeq)
+    assert(e.getMessage.contains("server error code 60"), e.getMessage)
+    assert(e.getMessage.contains("does not exist"))
+    val _ = schema
+  }
+
+  /* ==================== protocol verification ledger ====================
+   *
+   * Every wire behavior this client depends on, with its verification
+   * status. "doc" = pinned against the public ClickHouse documentation
+   * and enforced by this suite's mock; "live" = additionally exercised
+   * against a real server (set CH_ENDPOINT; blocked in this sandbox —
+   * zero egress).
+   *
+   * | behavior                                        | source                      | status |
+   * |-------------------------------------------------|-----------------------------|--------|
+   * | RowBinary(WithNamesAndTypes) layout: LEB128     | formats doc §RowBinary      | doc    |
+   * |   header, LE fixed-width values, length-prefixed|                             |        |
+   * |   strings (RowBinarySpec pins bytes)            |                             |        |
+   * | Nullable = flag byte 1/0 before the value       | formats doc §RowBinary      | doc    |
+   * | DateTime64(p) = Int64 ticks at 10^-p, epoch-    | formats doc + data-types    | doc    |
+   * |   based (timezone-unambiguous on the wire)      |   doc §DateTime64           |        |
+   * | Date = UInt16 epoch days / Date32 = Int32       | data-types doc §Date        | doc    |
+   * | Decimal(P,S) width 4/8/16/32 by precision       | data-types doc §Decimal     | doc    |
+   * | INSERT: query in URL ?query=, data as body      | http doc §Usage (INSERT)    | doc    |
+   * | gzip response: enable_http_compression=1 +      | http doc §Compression       | doc    |
+   * |   Accept-Encoding; gzip request body decoded    |                             |        |
+   * |   when Content-Encoding: gzip                   |                             |        |
+   * | errors: non-200 + X-ClickHouse-Exception-Code   | http doc §Response          | doc    |
+   * |   header + text body                            |                             |        |
+   * | X-ClickHouse-Summary on INSERT SELECT           | http doc §Response headers  | doc    |
+   * |   (written_rows JSON)                           |                             |        |
+   * | TSV metadata: \N for NULL, tab-separated       | formats doc §TabSeparated   | doc    |
+   * | session_timezone pins text DateTime rendering   | settings doc                | doc    |
+   * | DESCRIBE TABLE (subquery) returns name+type     | sql-reference §DESCRIBE     | doc    |
+   * | keep-alive connection reuse across requests     | http doc §HTTP interface    | doc    |
+   *
+   * Not yet live-verified (needs CH_ENDPOINT): exact server renderings
+   * of DateTime64 precision >6 in TSV probes, progress headers on
+   * multi-second queries, LowCardinality serialization version guards.
+   * ===================================================================== */
 }
