@@ -208,6 +208,7 @@ object RowBinary {
             if (in.readUnsignedByte() != 0) v.putNull(rowId) else d.readInto(in, v, rowId)
         }
       case _ if t.startsWith("LowCardinality(") => decoder(inner(t, "LowCardinality"))
+      case _ if t.startsWith("List(") => decoder("Array(" + inner(t, "List") + ")")
       case "Int8" => new Dec {
         override def read(in: DataInputStream): Any = in.readByte()
         override def readInto(in: DataInputStream, v: WritableColumnVector, r: Int): Unit =
@@ -218,7 +219,7 @@ object RowBinary {
         override def readInto(in: DataInputStream, v: WritableColumnVector, r: Int): Unit =
           v.putShort(r, in.readUnsignedByte().toShort)
       }
-      case "Bool" => new Dec {
+      case "Bool" | "Boolean" => new Dec {
         override def read(in: DataInputStream): Any = in.readUnsignedByte() != 0
         override def readInto(in: DataInputStream, v: WritableColumnVector, r: Int): Unit =
           v.putBoolean(r, in.readUnsignedByte() != 0)
@@ -452,9 +453,10 @@ object RowBinary {
         (out: DataOutputStream, v: Any) =>
           if (v == null) out.write(1) else { out.write(0); e.write(out, v) }
       case _ if t.startsWith("LowCardinality(") => encoder(inner(t, "LowCardinality"))
+      case _ if t.startsWith("List(") => encoder("Array(" + inner(t, "List") + ")")
       case "Int8" | "UInt8" => (out: DataOutputStream, v: Any) =>
         out.write(asLong(t, v).toInt & 0xff)
-      case "Bool" => (out: DataOutputStream, v: Any) =>
+      case "Bool" | "Boolean" => (out: DataOutputStream, v: Any) =>
         out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
       case "Int16" | "UInt16" => (out: DataOutputStream, v: Any) =>
         writeShortLE(out, asLong(t, v).toInt)
@@ -559,6 +561,23 @@ object RowBinary {
           }
           writeVarInt(out, m.length)
           m.foreach { case (k, x) => ke.write(out, k); ve.write(out, x) }
+        }
+      case _ if t.startsWith("Tuple(") =>
+        val els = splitTopLevel(inner(t, "Tuple")).map { f =>
+          // named tuple element: "name Type"
+          val sp = f.trim.split(" ", 2)
+          encoder(if (sp.length == 2 && !sp(0).headOption.exists(_.isUpper)) sp(1) else f)
+        }
+        (out: DataOutputStream, v: Any) => {
+          val vals: Seq[Any] = v match {
+            case r: org.apache.spark.sql.Row => r.toSeq
+            case s2: scala.collection.Seq[_] => s2.toSeq
+            case p: Product => p.productIterator.toSeq
+          }
+          require(vals.length == els.length,
+            s"tuple arity ${vals.length} != ${els.length} for $t")
+          var i = 0
+          while (i < els.length) { els(i).write(out, vals(i)); i += 1 }
         }
       case other =>
         throw new IllegalArgumentException(s"RowBinary: unsupported insert type '$other'")

@@ -216,6 +216,18 @@ class RowBinarySpec extends AnyFunSuite {
     assert(named.getInt(0) === 7)
   }
 
+  test("type aliases: List = Array, Boolean = Bool; Tuple encodes from Row/Seq") {
+    val got = roundTrip("List(Int64)", Seq(5L, 6L)).asInstanceOf[GenericArrayData]
+    assert(got.array.toSeq === Seq(5L, 6L))
+    assert(roundTrip("Boolean", true) === true)
+    val bytes = enc("Tuple(a Int32, b String)", org.apache.spark.sql.Row(7, "x"))
+    val row = dec("Tuple(a Int32, b String)", bytes).asInstanceOf[GenericInternalRow]
+    assert(row.getInt(0) === 7 && row.getUTF8String(1) === UTF8String.fromString("x"))
+    val bytes2 = enc("Tuple(Int32, String)", Seq(9, "y"))
+    val row2 = dec("Tuple(Int32, String)", bytes2).asInstanceOf[GenericInternalRow]
+    assert(row2.getInt(0) === 9)
+  }
+
   test("LowCardinality is transparent in RowBinary") {
     assert(roundTrip("LowCardinality(String)", "tag") === UTF8String.fromString("tag"))
     assert(roundTrip("LowCardinality(Nullable(String))", null) === null)
