@@ -714,10 +714,56 @@ object RowBinary {
           }
         })
       }
+    } else if (t.startsWith("Map(")) {
+      // maps use the array offsets mechanism: child 0 = keys, child 1 =
+      // values, interleaved on the wire
+      val Seq(kt, vt) = splitTopLevel(inner(t, "Map"))
+      val kBare = stripMods(kt)
+      val vBare = stripMods(vt)
+      if (!vectorAtomic(kBare) || !vectorAtomic(vBare)) None
+      else {
+        val kd = decoder(kt)
+        val vd = decoder(vt)
+        Some(new VecDec {
+          private var off = 0
+          override def reset(): Unit = off = 0
+          override def readInto(
+              in: DataInputStream, vec: WritableColumnVector, rowId: Int): Unit = {
+            val n = readVarInt(in)
+            val keys = vec.getChild(0)
+            val vals = vec.getChild(1)
+            keys.reserve(off + n)
+            vals.reserve(off + n)
+            var j = 0
+            while (j < n) {
+              kd.readInto(in, keys, off + j)
+              vd.readInto(in, vals, off + j)
+              j += 1
+            }
+            vec.putArray(rowId, off, n)
+            off += n
+          }
+        })
+      }
+    } else if (t.startsWith("Tuple(")) {
+      // tuple -> struct: children index by rowId directly
+      val parts = splitTopLevel(inner(t, "Tuple")).map { f =>
+        val sp = f.trim.split(" ", 2)
+        if (sp.length == 2 && !sp(0).headOption.exists(_.isUpper)) sp(1) else f
+      }
+      if (!parts.forall(p2 => vectorAtomic(stripMods(p2)))) None
+      else {
+        val els = parts.map(decoder).toArray
+        Some(new VecDec {
+          override def readInto(
+              in: DataInputStream, vec: WritableColumnVector, rowId: Int): Unit = {
+            var j = 0
+            while (j < els.length) { els(j).readInto(in, vec.getChild(j), rowId); j += 1 }
+          }
+        })
+      }
     } else {
-      val bare0 = if (t.startsWith("Nullable(")) inner(t, "Nullable").trim else t
-      val bare = if (bare0.startsWith("LowCardinality(")) inner(bare0, "LowCardinality").trim else bare0
-      if (!vectorAtomic(if (bare.startsWith("Nullable(")) inner(bare, "Nullable") else bare)) None
+      if (!vectorAtomic(stripMods(t))) None
       else {
         val d = decoder(t)
         Some(new VecDec {
@@ -727,6 +773,18 @@ object RowBinary {
         })
       }
     }
+  }
+
+  /** Strip Nullable/LowCardinality wrappers (in either nesting order). */
+  private def stripMods(t0: String): String = {
+    var t = t0.trim
+    var changed = true
+    while (changed) {
+      changed = false
+      if (t.startsWith("Nullable(")) { t = inner(t, "Nullable").trim; changed = true }
+      if (t.startsWith("LowCardinality(")) { t = inner(t, "LowCardinality").trim; changed = true }
+    }
+    t
   }
 
   /** Types whose [[Dec.readInto]] writes vectors directly (everything

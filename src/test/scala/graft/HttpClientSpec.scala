@@ -491,6 +491,27 @@ class HttpClientSpec extends AnyFunSuite {
     assert(HttpClickHouseClient.binaryBatchesDecoded.get() > before)
   }
 
+  test("map columns decode wire-to-vector on the binary columnar path") {
+    dynTables("map_http") = (Seq(
+      "id" -> "Nullable(Int64)", "attrs" -> "Map(String, Nullable(Int64))"),
+      mutable.ArrayBuffer(
+        Map[String, Any]("id" -> 1L,
+          "attrs" -> scala.collection.immutable.ListMap("a" -> 1L, "b" -> null)),
+        Map[String, Any]("id" -> 2L, "attrs" -> Map.empty[String, Any])))
+    val before = HttpClickHouseClient.binaryBatchesDecoded.get()
+    val (schema, handles) = client.planQuery(
+      "SELECT `id`, `attrs` FROM `main`.`map_http`", 1)
+    val batches = client.readPartitionColumnar(handles.head, schema).toSeq
+    assert(batches.map(_.numRows).sum == 2)
+    // wire blocks decoded DIRECTLY into vectors — not the row-pack fallback
+    assert(HttpClickHouseClient.binaryBatchesDecoded.get() > before)
+    val m = batches.head.column(1).getMap(0)
+    assert(m.numElements() == 2)
+    assert(m.keyArray.getUTF8String(0).toString == "a" && m.valueArray.getLong(0) == 1L)
+    assert(m.valueArray.isNullAt(1))
+    assert(batches.head.column(1).getMap(1).numElements() == 0)
+  }
+
   test("range-split read: N disjoint covering slices, nothing lost") {
     queries.synchronized(queries.clear())
     val df = spark.table("chhttp.main.events_http")

@@ -257,6 +257,48 @@ class RowBinarySpec extends AnyFunSuite {
 
   // ---- vector decode path ----
 
+  test("vectorDecoder decodes maps and tuples straight into vectors") {
+    // Map(String, Nullable(Int64)) column
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val menc = RowBinary.encoder("Map(String, Nullable(Int64))")
+    menc.write(out, scala.collection.immutable.ListMap("a" -> 1L, "b" -> null))
+    menc.write(out, Map.empty[String, Any])
+    menc.write(out, Map("c" -> 3L))
+    out.flush()
+    val mt = MapType(StringType, LongType, valueContainsNull = true)
+    val vec = new OnHeapColumnVector(3, mt)
+    val vd = RowBinary.vectorDecoder("Map(String, Nullable(Int64))").get
+    val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+    (0 until 3).foreach(r => vd.readInto(in, vec, r))
+    val m0 = vec.getMap(0)
+    assert(m0.numElements() === 2)
+    assert(m0.keyArray.getUTF8String(0).toString === "a" && m0.valueArray.getLong(0) === 1L)
+    assert(m0.valueArray.isNullAt(1))
+    assert(vec.getMap(1).numElements() === 0)
+    assert(vec.getMap(2).numElements() === 1 && vec.getMap(2).valueArray.getLong(0) === 3L)
+    vec.close()
+    // Tuple(a Int32, b Nullable(String)) column
+    val bos2 = new ByteArrayOutputStream()
+    val out2 = new DataOutputStream(bos2)
+    val tenc = RowBinary.encoder("Tuple(a Int32, b Nullable(String))")
+    tenc.write(out2, Seq(7, "x"))
+    tenc.write(out2, Seq(8, null))
+    out2.flush()
+    val st = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val vec2 = new OnHeapColumnVector(2, st)
+    val td = RowBinary.vectorDecoder("Tuple(a Int32, b Nullable(String))").get
+    val in2 = new DataInputStream(new ByteArrayInputStream(bos2.toByteArray))
+    (0 until 2).foreach(r => td.readInto(in2, vec2, r))
+    assert(vec2.getStruct(0).getInt(0) === 7)
+    assert(vec2.getStruct(0).getUTF8String(1).toString === "x")
+    assert(vec2.getStruct(1).getInt(0) === 8 && vec2.getStruct(1).isNullAt(1))
+    vec2.close()
+    // deeper nesting correctly refuses the vector path
+    assert(RowBinary.vectorDecoder("Map(String, Array(Int64))").isEmpty)
+    assert(RowBinary.vectorDecoder("Array(Array(Int64))").isEmpty)
+  }
+
   test("readInto decodes primitives and strings straight into vectors") {
     val rows = 4
     val specs = Seq[(String, DataType, Seq[Any])](
