@@ -145,20 +145,29 @@ class HttpClickHouseClient(
   private def failFor(c: HttpURLConnection, sql: String): Nothing =
     throw HttpClickHouseClient.httpError(c, sql)
 
-  /** Driver-side statement: send, return the full (small) response body. */
-  private def exec(sql: String, settings: Map[String, String] = Map.empty): String =
-    withGate { withRetry {
+  /** Driver-side statement: send, return the full (small) response body.
+    * pool_retry_connection re-sends only IDEMPOTENT statements — an
+    * INSERT whose connection died after the server committed would
+    * duplicate rows on re-send, so writes never retry.
+    */
+  private def exec(sql: String, settings: Map[String, String] = Map.empty): String = {
+    val idempotent = !sql.trim.toUpperCase.startsWith("INSERT")
+    def once(): String = {
       val c = open(settings)
       val out = c.getOutputStream
       try { out.write(sql.getBytes(UTF_8)) } finally out.close()
       if (c.getResponseCode != 200) failFor(c, sql)
       val in = responseStream(c)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    } }
+    }
+    withGate { if (idempotent) withRetry(once()) else once() }
+  }
 
-  /** Like exec but returns a response header (X-ClickHouse-Summary). */
+  /** Like exec but returns a response header (X-ClickHouse-Summary).
+    * Callers are INSERT SELECTs — non-idempotent, never retried.
+    */
   private def execWithSummary(sql: String): (String, Option[String]) =
-    withGate { withRetry {
+    withGate {
       val c = open(Map("send_progress_in_http_headers" -> "1"))
       val out = c.getOutputStream
       try { out.write(sql.getBytes(UTF_8)) } finally out.close()
@@ -166,7 +175,7 @@ class HttpClickHouseClient(
       val in = responseStream(c)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       (body, Option(c.getHeaderField("X-ClickHouse-Summary")))
-    } }
+    }
 
   private def withGate[T](f: => T): T = gate match {
     case Some(g) => g.acquire(); try f finally g.release()
@@ -295,8 +304,21 @@ class HttpClickHouseClient(
       (schema, conds.map(c => handle(s"SELECT * FROM ($sql) AS __rs WHERE $c", schema)))
     val DateRe = raw"\d{4}-\d{2}-\d{2}".r
     val TimeRe = raw"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?".r
-    (scala.util.Try(loS.toLong).toOption, scala.util.Try(hiS.toLong).toOption) match {
-      case (Some(lo), Some(hi)) =>
+    // Dispatch the slice family by the column's DECLARED type, never by
+    // the shape of the min/max values: a String column whose extremes
+    // happen to look like dates would otherwise get closed date
+    // intervals with lexicographic gaps between them — silent row loss
+    // for values like '2022-05-01x' falling between two slices.
+    val family: Int = schema(splitColumn).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => 0
+      case org.apache.spark.sql.types.DateType => 1
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => 2
+      case _ => 3 // strings, UUIDs, UInt64-as-Decimal, ... -> hash buckets
+    }
+    (family, scala.util.Try(loS.toLong).toOption, scala.util.Try(hiS.toLong).toOption) match {
+      case (0, Some(lo), Some(hi)) =>
         val width = BigInt(hi) - BigInt(lo)
         val n = (BigInt(numStreams) min (width + 1)).toInt
         val span = width / n + 1
@@ -310,7 +332,9 @@ class HttpClickHouseClient(
               else s"(`$splitColumn` >= ${rlo.toLong} AND `$splitColumn` <= ${rhi.toLong})")
           }
         })
-      case _ if DateRe.matches(loS) && DateRe.matches(hiS) =>
+      case (0, _, _) => // unparseable integral extremes: single stream
+        (schema, Seq(handle(sql, schema)))
+      case (1, _, _) if DateRe.matches(loS) && DateRe.matches(hiS) =>
         // Date / Date32 cursor: epoch-day ranges, date-literal bounds
         val lo = java.time.LocalDate.parse(loS).toEpochDay
         val hi = java.time.LocalDate.parse(hiS).toEpochDay
@@ -328,7 +352,8 @@ class HttpClickHouseClient(
               else s"(`$splitColumn` >= '${d(rlo)}' AND `$splitColumn` <= '${d(rhi)}')")
           }
         })
-      case _ if TimeRe.matches(loS) && TimeRe.matches(hiS) =>
+      case (1, _, _) => (schema, Seq(handle(sql, schema)))
+      case (2, _, _) if TimeRe.matches(loS) && TimeRe.matches(hiS) =>
         // DateTime / DateTime64 cursor: whole-second ranges; open-ended
         // top slice so fractional ticks above max's second survive
         def secs(s: String) = java.time.LocalDateTime
@@ -352,6 +377,7 @@ class HttpClickHouseClient(
               else s"(`$splitColumn` >= '${ts(rlo)}' AND `$splitColumn` < '${ts(rhi + 1)}')")
           }
         })
+      case (2, _, _) => (schema, Seq(handle(sql, schema)))
       case _ =>
         // orderless cursor (String, UUID, ...): uniform server-side hash
         // buckets; no min/max math, no skew from lexicographic clumping
@@ -419,10 +445,14 @@ class HttpClickHouseClient(
     if (rows.isEmpty) return 0L
     val cols = schema.fieldNames.map(n => s"`$n`").mkString(", ")
     val encs = schema.fields.map(f => RowBinary.encoder(chTypeFor(db, table, f)))
-    withGate { withRetry {
+    // NEVER retried (a committed-then-dropped connection would duplicate
+    // the block); chunked mode streams the body with constant memory
+    // instead of buffering the whole encoded block in the JDK connection
+    withGate {
       val c = open(Map.empty,
         query = Some(s"INSERT INTO `$db`.`$table` ($cols) FORMAT RowBinary"),
         gzipBody = gzip)
+      c.setChunkedStreamingMode(1 << 16)
       val raw = c.getOutputStream
       val out = new DataOutputStream(
         if (gzip) new GZIPOutputStream(raw, 8192) else new java.io.BufferedOutputStream(raw, 8192))
@@ -439,7 +469,7 @@ class HttpClickHouseClient(
       if (c.getResponseCode != 200) failFor(c, s"INSERT INTO `$db`.`$table`")
       val in = responseStream(c)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    } }
+    }
     rows.length.toLong
   }
 
@@ -561,11 +591,13 @@ object HttpClickHouseClient {
     */
   private def openStream(
       h: HttpQueryHandle,
-      schema: StructType): (HttpURLConnection, DataInputStream, Seq[(String, String)], Option[Semaphore]) = {
+      schema: StructType): (HttpURLConnection, DataInputStream,
+        Seq[(String, String)], Option[Semaphore], RowBinary.CountingInputStream) = {
     val g = gate(h.endpoint, h.poolMaxSize)
     g.foreach(_.acquire())
     try {
-      def attempt(): (HttpURLConnection, DataInputStream, Seq[(String, String)]) = {
+      def attempt(): (HttpURLConnection, DataInputStream,
+          Seq[(String, String)], RowBinary.CountingInputStream) = {
         val qs = (Map("session_timezone" -> "UTC") ++
           (if (h.gzip) Map("enable_http_compression" -> "1") else Map.empty))
           .map { case (k, v) =>
@@ -585,19 +617,25 @@ object HttpClickHouseClient {
         finally out.close()
         if (conn.getResponseCode != 200) throw httpError(conn, h.sql)
         val raw = conn.getInputStream
-        val in = new DataInputStream(new java.io.BufferedInputStream(
+        val counter = new RowBinary.CountingInputStream(
           if ("gzip".equalsIgnoreCase(conn.getContentEncoding)) new GZIPInputStream(raw)
-          else raw, 1 << 16))
+          else raw)
+        val in = new DataInputStream(new java.io.BufferedInputStream(counter, 1 << 16))
         val header = RowBinary.readHeader(in)
-        require(header.length == schema.length,
-          s"wire header has ${header.length} columns, plan schema has ${schema.length}: " +
-            s"${header.map(_._1).mkString(",")} vs ${schema.fieldNames.mkString(",")}")
-        header.map(_._1).zip(schema.fieldNames).foreach { case (wire, plan) =>
-          require(wire == plan,
-            s"wire column '$wire' does not match plan column '$plan' " +
-              s"(header ${header.map(_._1).mkString(",")})")
+        // empty plan schema = empty-projection COUNT(*) scan: the remote
+        // statement is `SELECT 1 FROM t`, the wire carries one column,
+        // and only the ROW COUNT matters — skip the arity/name checks
+        if (schema.nonEmpty) {
+          require(header.length == schema.length,
+            s"wire header has ${header.length} columns, plan schema has ${schema.length}: " +
+              s"${header.map(_._1).mkString(",")} vs ${schema.fieldNames.mkString(",")}")
+          header.map(_._1).zip(schema.fieldNames).foreach { case (wire, plan) =>
+            require(wire == plan,
+              s"wire column '$wire' does not match plan column '$plan' " +
+                s"(header ${header.map(_._1).mkString(",")})")
+          }
         }
-        (conn, in, header)
+        (conn, in, header, counter)
       }
       val r =
         try attempt()
@@ -605,8 +643,30 @@ object HttpClickHouseClient {
           try attempt()
           catch { case e2: IOException => e2.addSuppressed(e); throw e2 }
         }
-      (r._1, r._2, r._3, g)
+      (r._1, r._2, r._3, g, r._4)
     } catch { case t: Throwable => g.foreach(_.release()); throw t }
+  }
+
+  /** Wire-vs-plan type drift (e.g. a pushed COUNT arrives as UInt64 →
+    * Decimal(20,0) while Spark's plan declares Long): decode by the
+    * server's header types, then cast into the plan types — the scan-
+    * level analog of ClickHouseRemoteExec's coercion projection.
+    * Returns None when every column already matches.
+    */
+  private def driftProjection(
+      header: Seq[(String, String)],
+      schema: StructType): Option[org.apache.spark.sql.catalyst.expressions.UnsafeProjection] = {
+    if (schema.isEmpty) return None
+    val wire = graft.types.ClickHouseType.toStructType(header)
+    if (wire.fields.map(_.dataType).sameElements(schema.fields.map(_.dataType))) None
+    else Some(org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        val ref = org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, wire(i).dataType, nullable = true)
+        if (wire(i).dataType == f.dataType) (ref: org.apache.spark.sql.catalyst.expressions.Expression)
+        else org.apache.spark.sql.catalyst.expressions.Cast(
+          ref, f.dataType, Some(java.time.ZoneOffset.UTC.getId))
+      }))
   }
 
   /** Row path: decode the binary stream row by row into InternalRow —
@@ -622,18 +682,31 @@ object HttpClickHouseClient {
       private var nextRow: InternalRow = _
       private var opened = false
       private var closed = false
+      // empty-projection scans emit one shared empty row per wire row
+      private val emptyRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(0)
 
       private def ensureOpen(): Unit = if (!opened) {
         opened = true
-        val (c, s, header, gt) = openStream(h, schema)
+        // a task killed early (LIMIT, cancellation) never drains the
+        // iterator — the completion listener guarantees the connection
+        // and pool permit are released anyway
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        val (c, s, header, gt, counter) = openStream(h, schema)
         conn = c; in = s; g = gt
-        reader = new RowBinary.RowReader(s, header.map(t => RowBinary.decoder(t._2)).toArray)
+        reader = new RowBinary.RowReader(
+          s, header.map(t => RowBinary.decoder(t._2)).toArray, counter)
+        proj = driftProjection(header, schema).orNull
         advance()
       }
+
+      private var proj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
 
       private def advance(): Unit = {
         nextRow = reader.readRow()
         if (nextRow == null) close()
+        else if (proj != null) nextRow = proj(nextRow).copy()
       }
 
       override def hasNext: Boolean = { ensureOpen(); nextRow != null }
@@ -643,7 +716,7 @@ object HttpClickHouseClient {
         if (nextRow == null) throw new NoSuchElementException
         val r = nextRow
         advance()
-        r
+        if (schema.isEmpty) emptyRow else r
       }
 
       override def close(): Unit = if (!closed) {
@@ -674,20 +747,38 @@ object HttpClickHouseClient {
       private var opened = false
       private var closed = false
 
+      private var counter: RowBinary.CountingInputStream = _
+
       private def ensureOpen(): Unit = if (!opened) {
         opened = true
-        val (c, s, header, gt) = openStream(h, schema)
-        conn = c; in = s; g = gt
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        val (c, s, header, gt, ctr) = openStream(h, schema)
+        conn = c; in = s; g = gt; counter = ctr
         val vds = header.map(t => RowBinary.vectorDecoder(t._2))
-        if (vds.forall(_.isDefined)) {
+        val drift = driftProjection(header, schema)
+        if (drift.isEmpty && vds.forall(_.isDefined)) {
           decs = vds.map(_.get).toArray
           vectors = OnHeapColumnVector.allocateColumns(batchSize, schema)
           batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
         } else {
-          // map/struct/tuple columns: row-decode the same binary stream,
-          // pack into vectors where possible (ColumnarPack row fallback)
-          val reader = new RowBinary.RowReader(s, header.map(t => RowBinary.decoder(t._2)).toArray)
-          val rows = Iterator.continually(reader.readRow()).takeWhile(_ != null)
+          // deeply-nested columns: row-decode the same binary stream,
+          // pack into vectors (ColumnarPack row fallback). Exhaustion
+          // closes the connection and releases the pool permit — without
+          // this, fully-drained fallback reads leak their permit.
+          val reader = new RowBinary.RowReader(
+            s, header.map(t => RowBinary.decoder(t._2)).toArray, ctr)
+          // exhaustion releases ONLY the wire (connection + pool permit);
+          // closing the packer here would free the batch vectors mid-fill,
+          // before the consumer reads the final batch
+          val raw = Iterator.continually(reader.readRow()).takeWhile { r =>
+            if (r == null) releaseWire()
+            r != null
+          }
+          val rows = drift match {
+            case Some(p2) => raw.map(r => p2(r): InternalRow)
+            case None => raw
+          }
           fallback = ColumnarPack.iterator(rows, schema, batchSize)
         }
       }
@@ -707,29 +798,45 @@ object HttpClickHouseClient {
         var n = 0
         var eof = false
         while (n < batchSize && !eof) {
-          // clean EOF can only surface on the first column's first byte
+          // clean EOF = zero bytes of the next row consumed; EOF after
+          // any byte (or in a later column) is a TRUNCATED stream and
+          // must fail loudly, not return a silently partial batch
+          val before = counter.count
           try decs(0).readInto(in, vectors(0), n)
-          catch { case _: EOFException => eof = true }
+          catch {
+            case e: EOFException =>
+              if (counter.count != before) throw RowBinary.truncated(e)
+              eof = true
+          }
           if (!eof) {
             var c = 1
-            while (c < decs.length) { decs(c).readInto(in, vectors(c), n); c += 1 }
+            try {
+              while (c < decs.length) { decs(c).readInto(in, vectors(c), n); c += 1 }
+            } catch { case e: EOFException => throw RowBinary.truncated(e) }
             n += 1
           }
         }
-        if (eof) { finished = true; close() }
+        if (eof) { finished = true; releaseWire() }
         batch.setNumRows(n)
         binaryBatchesDecoded.incrementAndGet()
         batch
       }
 
-      override def close(): Unit = if (!closed) {
+      /** Close the connection and release the pool permit — idempotent,
+        * and safe while the consumer still holds the current batch.
+        */
+      private def releaseWire(): Unit = if (!closed) {
         closed = true
-        if (fallback != null) fallback.close()
         if (in != null) { try in.close() catch { case _: Exception => () } }
         if (conn != null) conn.disconnect()
         g.foreach(_.release())
-        // vectors/batch stay open until the consumer's own close if it
-        // still holds the last batch; OnHeap vectors are GC-managed
+      }
+
+      override def close(): Unit = {
+        releaseWire()
+        // consumer-initiated close: the batch may now be freed too
+        if (fallback != null) fallback.close()
+        // direct-path vectors/batch are OnHeap (GC-managed)
       }
     }
 }

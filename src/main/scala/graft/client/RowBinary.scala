@@ -401,11 +401,7 @@ object RowBinary {
         }
       }
       case _ if t.startsWith("Tuple(") => new Dec {
-        private val els = splitTopLevel(inner(t, "Tuple")).map { f =>
-          // named tuple element: "name Type"
-          val sp = f.trim.split(" ", 2)
-          decoder(if (sp.length == 2 && !sp(0).headOption.exists(_.isUpper)) sp(1) else f)
-        }
+        private val els = splitTopLevel(inner(t, "Tuple")).map(f => decoder(tupleElemType(f)))
         override def read(in: DataInputStream): Any = {
           val row = new GenericInternalRow(els.length)
           var i = 0
@@ -420,20 +416,78 @@ object RowBinary {
 
   private val TwoPow64 = java.math.BigInteger.ONE.shiftLeft(64)
 
-  /** Row-stream decode: one InternalRow per wire row. */
-  final class RowReader(in: DataInputStream, decs: Array[Dec]) {
+  /** Type string of one tuple element, which may be named ("amount
+    * UInt32" — and legally "Amount UInt32": names can start uppercase,
+    * so a first-letter heuristic misparses). Named iff the remainder
+    * after the first space compiles as a type and the WHOLE string does
+    * not ("Map(String, Int64)" contains a space but is one type).
+    */
+  private def tupleElemType(f: String): String = {
+    val t = f.trim
+    val sp = t.split(" ", 2)
+    if (sp.length != 2) t
+    else if (compiles(t)) t
+    else if (compiles(sp(1))) sp(1)
+    else t
+  }
+
+  private def compiles(t: String): Boolean =
+    try { decoder(t); true } catch { case _: IllegalArgumentException => false }
+
+  /** FilterInputStream counting consumed bytes — lets readers tell a
+    * CLEAN end-of-stream (EOF before any byte of the next row) from a
+    * TRUNCATED stream (EOF mid-row), which must fail loudly instead of
+    * returning a silently partial result.
+    */
+  final class CountingInputStream(in0: java.io.InputStream)
+    extends java.io.FilterInputStream(in0) {
+    private var n = 0L
+    def count: Long = n
+    override def read(): Int = {
+      val b = super.read()
+      if (b >= 0) n += 1
+      b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val r = super.read(b, off, len)
+      if (r > 0) n += r
+      r
+    }
+  }
+
+  /** Row-stream decode: one InternalRow per wire row. `counter` (when
+    * provided, wrapping the same stream) upgrades mid-row EOF from
+    * "silent partial result" to an explicit transport error.
+    */
+  final class RowReader(
+      in: DataInputStream, decs: Array[Dec],
+      counter: CountingInputStream = null) {
     /** Reads one row, or null at a clean end-of-stream. */
     def readRow(): GenericInternalRow = {
+      val before = if (counter != null) counter.count else 0L
       val first =
         try decs(0).read(in)
-        catch { case _: EOFException => return null }
+        catch {
+          case e: EOFException =>
+            if (counter != null && counter.count != before) throw truncated(e)
+            return null
+        }
       val row = new GenericInternalRow(decs.length)
       row.update(0, first)
       var i = 1
-      while (i < decs.length) { row.update(i, decs(i).read(in)); i += 1 }
+      while (i < decs.length) {
+        try row.update(i, decs(i).read(in))
+        catch { case e: EOFException => throw truncated(e) }
+        i += 1
+      }
       row
     }
   }
+
+  private[client] def truncated(e: EOFException): RuntimeException =
+    new RuntimeException(
+      "RowBinary stream truncated mid-row (connection dropped or " +
+        "response incomplete) — partial results discarded", e)
 
   // ============================================================ encode ==
 
@@ -510,13 +564,15 @@ object RowBinary {
         val p = args.headOption.map(_.trim.toInt).getOrElse(3)
         (out: DataOutputStream, v: Any) => {
           val us = asMicros(v)
+          // floorDiv, matching the decoder: plain division truncates
+          // toward zero and shifts pre-epoch sub-tick values by one tick
           val ticks =
-            if (p <= 6) us / math.pow(10, 6 - p).toLong
+            if (p <= 6) Math.floorDiv(us, math.pow(10, 6 - p).toLong)
             else Math.multiplyExact(us, math.pow(10, p - 6).toLong)
           writeLongLE(out, ticks)
         }
       case _ if t.startsWith("DateTime") => (out: DataOutputStream, v: Any) =>
-        writeIntLE(out, (asMicros(v) / 1000000L).toInt)
+        writeIntLE(out, Math.floorDiv(asMicros(v), 1000000L).toInt)
       case _ if t.startsWith("Decimal(") =>
         val Seq(ps, ss) = splitTopLevel(inner(t, "Decimal"))
         val (p, s) = (ps.trim.toInt, ss.trim.toInt)
@@ -563,11 +619,7 @@ object RowBinary {
           m.foreach { case (k, x) => ke.write(out, k); ve.write(out, x) }
         }
       case _ if t.startsWith("Tuple(") =>
-        val els = splitTopLevel(inner(t, "Tuple")).map { f =>
-          // named tuple element: "name Type"
-          val sp = f.trim.split(" ", 2)
-          encoder(if (sp.length == 2 && !sp(0).headOption.exists(_.isUpper)) sp(1) else f)
-        }
+        val els = splitTopLevel(inner(t, "Tuple")).map(f => encoder(tupleElemType(f)))
         (out: DataOutputStream, v: Any) => {
           val vals: Seq[Any] = v match {
             case r: org.apache.spark.sql.Row => r.toSeq
@@ -691,7 +743,8 @@ object RowBinary {
 
   /** Compile a vector decoder, or None when this type needs the row path. */
   def vectorDecoder(chType: String): Option[VecDec] = {
-    val t = chType.trim
+    val t0 = chType.trim
+    val t = if (t0.startsWith("List(")) "Array(" + inner(t0, "List") + ")" else t0
     if (t.startsWith("Array(")) {
       val elemType = inner(t, "Array")
       val e = elemType.trim
@@ -747,10 +800,7 @@ object RowBinary {
       }
     } else if (t.startsWith("Tuple(")) {
       // tuple -> struct: children index by rowId directly
-      val parts = splitTopLevel(inner(t, "Tuple")).map { f =>
-        val sp = f.trim.split(" ", 2)
-        if (sp.length == 2 && !sp(0).headOption.exists(_.isUpper)) sp(1) else f
-      }
+      val parts = splitTopLevel(inner(t, "Tuple")).map(tupleElemType)
       if (!parts.forall(p2 => vectorAtomic(stripMods(p2)))) None
       else {
         val els = parts.map(decoder).toArray
@@ -793,9 +843,9 @@ object RowBinary {
   private def vectorAtomic(bare0: String): Boolean = {
     val bare = bare0.trim
     bare match {
-      case "Int8" | "UInt8" | "Bool" | "Int16" | "UInt16" | "Int32" | "UInt32" |
-           "Int64" | "UInt64" | "Float32" | "Float64" | "String" | "Utf8" |
-           "LargeUtf8" | "Utf8View" | "Date" | "Date32" | "UUID" => true
+      case "Int8" | "UInt8" | "Bool" | "Boolean" | "Int16" | "UInt16" | "Int32" |
+           "UInt32" | "Int64" | "UInt64" | "Float32" | "Float64" | "String" |
+           "Utf8" | "LargeUtf8" | "Utf8View" | "Date" | "Date32" | "UUID" => true
       case _ => bare.startsWith("FixedString(") || bare.startsWith("DateTime") ||
         bare.startsWith("Decimal(") || bare.startsWith("Enum8(") ||
         bare.startsWith("Enum16(")

@@ -256,12 +256,16 @@ object SimilarityQueries {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val client = new graft.client.EmbeddedClickHouse(
           s"/root/repo/target/chstore_$tag")
-        // build-once, but resilient to a crashed half-build: either
-        // BOTH index tables exist (one consistent training run) or both
-        // rebuild together
-        if (!client.tableExists("main", "ivf_cells") ||
-            !client.tableExists("main", "ivf_centroids")) {
-          if (client.tableExists("main", "ivf_cells"))
+        // build-once, but resilient to a crashed half-build: both index
+        // tables must exist AND hold rows from one consistent training
+        // run (createTable precedes the append, so existence alone can
+        // mask an empty table from a crash between the two)
+        def populated(t: String): Boolean =
+          client.tableExists("main", t) &&
+            client.query(s"SELECT count(*) AS n FROM `main`.`$t`", 1)
+              ._2.flatten.headOption.exists(_.getLong(0) > 0)
+        if (!populated("ivf_cells") || !populated("ivf_centroids")) {
+          if (client.tableExists("main", "ivf_cells"))   // drop any half-build
             client.dropTable("main", "ivf_cells")
           if (client.tableExists("main", "ivf_centroids"))
             client.dropTable("main", "ivf_centroids")

@@ -76,12 +76,15 @@ class HttpClientSpec extends AnyFunSuite {
       sel = s.substring(s.toUpperCase.indexOf("SELECT") + 6, from).trim
       sel == "*" && s.indexOf('(', from) >= 0
     }) s = s.substring(s.indexOf('(', s.toUpperCase.indexOf(" FROM ")) + 1)
-    val As = raw"(?i)`?([\w.]+)`?\s+AS\s+`?(\w+)`?".r
-    sel.split(",").map(_.trim).map {
-      case As(src, out) => (src, out)
-      case x =>
-        val c = x.stripPrefix("`").stripSuffix("`")
+    sel.split(",").map(_.trim).map { item =>
+      val i = item.toUpperCase.lastIndexOf(" AS ")
+      if (i > 0)
+        (item.substring(0, i).trim.stripPrefix("`").stripSuffix("`"),
+          item.substring(i + 4).trim.stripPrefix("`").stripSuffix("`"))
+      else {
+        val c = item.stripPrefix("`").stripSuffix("`")
         (c, c)
+      }
     }.toSeq
   }
 
@@ -252,6 +255,7 @@ class HttpClientSpec extends AnyFunSuite {
       val byName = typesFor(inner)
       val out = selectPairs(inner).map {
         case ("1", o) => s"$o\tUInt8"
+        case ("count(*)", o) => s"$o\tUInt64" // ClickHouse count() is UInt64
         case (src, o) => s"$o\t${byName.getOrElse(src, "Nullable(String)")}"
       }
       tsvOk(out.mkString("", "\n", "\n"))
@@ -357,7 +361,17 @@ class HttpClientSpec extends AnyFunSuite {
         case _ => (500, s"mock: bad VALUES insert: $q".getBytes(UTF_8), Map.empty)
       }
     } else if (q.toUpperCase.contains("FORMAT ROWBINARYWITHNAMESANDTYPES")) {
-      (200, rowBinaryResponse(q, selectPairs(q), rowsFor(q)), Map.empty[String, String])
+      val pairs = selectPairs(q)
+      if (pairs.exists(_._1 == "count(*)")) {
+        // pushed-down COUNT scan: one UInt64 row
+        val bos = new java.io.ByteArrayOutputStream()
+        RowBinary.writeHeader(bos, pairs.map(p => (p._2, "UInt64")))
+        val out = new DataOutputStream(bos)
+        RowBinary.encoder("UInt64").write(out, rowsFor(q).size.toLong)
+        out.flush()
+        (200, bos.toByteArray, Map.empty[String, String])
+      } else
+        (200, rowBinaryResponse(q, pairs, rowsFor(q)), Map.empty[String, String])
     } else (500, s"mock: unhandled query: $q".getBytes(UTF_8), Map.empty[String, String])
   }
 
@@ -569,6 +583,43 @@ class HttpClientSpec extends AnyFunSuite {
     assert(handles.size == 4)
     val rows = handles.flatMap(h => client.readPartition(h).toSeq)
     assert(rows.size == 10) // max row carries .300 fraction — not dropped
+  }
+
+  test("wire-vs-plan type drift coerces on both stream paths " +
+    "(pushed COUNT arrives as UInt64, plan declares Long)") {
+    import org.apache.spark.sql.types._
+    val (wireSchema, handles) = client.planQuery(
+      "SELECT count(*) AS `agg0` FROM `main`.`events_http`", 1)
+    assert(wireSchema("agg0").dataType == DecimalType(20, 0)) // the drift
+    val plan = StructType(Seq(StructField("agg0", LongType, nullable = false)))
+    val rows = client.readPartitionInternal(handles.head, plan).toSeq
+    assert(rows.map(_.getLong(0)) == Seq(baseRows.size.toLong))
+    val batches = client.readPartitionColumnar(handles.head, plan).toList
+    assert(batches.map(_.numRows).sum == 1)
+    assert(batches.head.column(0).getLong(0) == baseRows.size.toLong)
+  }
+
+  test("COUNT(*) empty-projection scan works over the binary wire") {
+    val n = spark.table("chhttp.main.events_http").count()
+    assert(n == baseRows.size)
+  }
+
+  test("a String column with date-shaped values takes the hash family, " +
+    "never date intervals (declared type drives the slice dispatch)") {
+    dynTables("datestr_t") = (Seq("tag" -> "Nullable(String)", "val" -> "Float64"),
+      mutable.ArrayBuffer(
+        // '2022-05-01x' sorts BETWEEN '2022-05-01' and '2022-05-02' —
+        // closed date intervals would lose it
+        Map[String, Any]("tag" -> "2020-01-01", "val" -> 1.0),
+        Map[String, Any]("tag" -> "2022-05-01x", "val" -> 2.0),
+        Map[String, Any]("tag" -> "2024-12-31", "val" -> 3.0)))
+    queries.synchronized(queries.clear())
+    val (_, handles) = client.planQueryRanges(
+      "SELECT `tag`, `val` FROM `main`.`datestr_t`", "tag", 3)
+    val rows = handles.flatMap(h => client.readPartition(h).toSeq)
+    assert(rows.size == 3) // nothing lost
+    val qs = queries.synchronized(queries.filter(_.contains(" WHERE ")).toSeq)
+    assert(qs.forall(_.contains("cityHash64")), qs.mkString("\n"))
   }
 
   test("string cursor: server-side hash-mod buckets, NULLs ride bucket 0") {

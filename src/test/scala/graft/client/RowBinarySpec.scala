@@ -228,6 +228,55 @@ class RowBinarySpec extends AnyFunSuite {
     assert(row2.getInt(0) === 9)
   }
 
+  test("pre-epoch sub-tick DateTime64 values floor consistently on both legs") {
+    // -1500us into DateTime64(3): floorDiv gives tick -2 -> decodes -2000us.
+    // Truncate-toward-zero would give -1 -> -1000us (a 1ms forward shift).
+    assert(roundTrip("DateTime64(3)", -1500L) === -2000L)
+    assert(roundTrip("DateTime64(3)", 1500L) === 1000L)
+  }
+
+  test("named tuple elements may start uppercase (no first-letter heuristic)") {
+    val bytes = enc("Int32", 7) ++ enc("String", "x")
+    val row = dec("Tuple(Amount Int32, Note String)", bytes)
+      .asInstanceOf[GenericInternalRow]
+    assert(row.getInt(0) === 7 && row.getUTF8String(1) === UTF8String.fromString("x"))
+    // unnamed multi-word types (contain spaces) still parse as one type
+    val mb = enc("Map(String, Int64)", Map("k" -> 1L))
+    val row2 = dec("Tuple(Map(String, Int64))", mb).asInstanceOf[GenericInternalRow]
+    assert(row2.numFields === 1)
+  }
+
+  test("Boolean and List aliases ride the vector path") {
+    assert(RowBinary.vectorDecoder("Boolean").isDefined)
+    assert(RowBinary.vectorDecoder("Nullable(Boolean)").isDefined)
+    assert(RowBinary.vectorDecoder("List(Int64)").isDefined)
+  }
+
+  test("mid-row EOF is a loud truncation error, not a silent clean end") {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val encId = RowBinary.encoder("Int64")
+    val encNm = RowBinary.encoder("String")
+    encId.write(out, 1L); encNm.write(out, "complete row")
+    encId.write(out, 2L); encNm.write(out, "this row gets cut")
+    out.flush()
+    val full = bos.toByteArray
+    val cut = full.take(full.length - 5) // truncate inside row 2's string
+    val counter = new RowBinary.CountingInputStream(new ByteArrayInputStream(cut))
+    val rdr = new RowBinary.RowReader(
+      new DataInputStream(counter),
+      Array(RowBinary.decoder("Int64"), RowBinary.decoder("String")), counter)
+    assert(rdr.readRow().getLong(0) === 1L)
+    val e = intercept[RuntimeException](rdr.readRow())
+    assert(e.getMessage.contains("truncated"))
+    // clean EOF at an exact row boundary is still a clean end
+    val counter2 = new RowBinary.CountingInputStream(new ByteArrayInputStream(full))
+    val rdr2 = new RowBinary.RowReader(
+      new DataInputStream(counter2),
+      Array(RowBinary.decoder("Int64"), RowBinary.decoder("String")), counter2)
+    assert(rdr2.readRow() != null && rdr2.readRow() != null && rdr2.readRow() == null)
+  }
+
   test("LowCardinality is transparent in RowBinary") {
     assert(roundTrip("LowCardinality(String)", "tag") === UTF8String.fromString("tag"))
     assert(roundTrip("LowCardinality(Nullable(String))", null) === null)
