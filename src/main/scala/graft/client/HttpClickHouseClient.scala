@@ -295,15 +295,8 @@ class HttpClickHouseClient(
     require(schema.fieldNames.contains(splitColumn),
       s"split column '$splitColumn' not in result schema ${schema.fieldNames.mkString(",")}")
     if (numStreams <= 1) return (schema, Seq(handle(sql, schema)))
-    val mm = tsv(s"SELECT min(`$splitColumn`), max(`$splitColumn`) FROM ($sql) AS __mm " +
-      "FORMAT TabSeparated").head
-    val (loS, hiS) = (mm(0), mm(1))
-    if (loS == "\\N" || hiS == "\\N" || loS.isEmpty)
-      return (schema, Seq(handle(sql, schema))) // empty result: single stream
     def sliced(conds: Seq[String]): (StructType, Seq[ChPartitionHandle]) =
       (schema, conds.map(c => handle(s"SELECT * FROM ($sql) AS __rs WHERE $c", schema)))
-    val DateRe = raw"\d{4}-\d{2}-\d{2}".r
-    val TimeRe = raw"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?".r
     // Dispatch the slice family by the column's DECLARED type, never by
     // the shape of the min/max values: a String column whose extremes
     // happen to look like dates would otherwise get closed date
@@ -317,6 +310,22 @@ class HttpClickHouseClient(
            org.apache.spark.sql.types.TimestampNTZType => 2
       case _ => 3 // strings, UUIDs, UInt64-as-Decimal, ... -> hash buckets
     }
+    // hash buckets need no extremes — skip the min/max probe (a full
+    // remote aggregate over the planned query) entirely for family 3
+    if (family == 3)
+      return sliced((0 until numStreams).map { i =>
+        if (i == 0)
+          s"(`$splitColumn` IS NULL OR cityHash64(`$splitColumn`) % $numStreams = $i)"
+        else
+          s"(`$splitColumn` IS NOT NULL AND cityHash64(`$splitColumn`) % $numStreams = $i)"
+      })
+    val mm = tsv(s"SELECT min(`$splitColumn`), max(`$splitColumn`) FROM ($sql) AS __mm " +
+      "FORMAT TabSeparated").head
+    val (loS, hiS) = (mm(0), mm(1))
+    if (loS == "\\N" || hiS == "\\N" || loS.isEmpty)
+      return (schema, Seq(handle(sql, schema))) // empty result: single stream
+    val DateRe = raw"\d{4}-\d{2}-\d{2}".r
+    val TimeRe = raw"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?".r
     (family, scala.util.Try(loS.toLong).toOption, scala.util.Try(hiS.toLong).toOption) match {
       case (0, Some(lo), Some(hi)) =>
         val width = BigInt(hi) - BigInt(lo)
@@ -377,16 +386,7 @@ class HttpClickHouseClient(
               else s"(`$splitColumn` >= '${ts(rlo)}' AND `$splitColumn` < '${ts(rhi + 1)}')")
           }
         })
-      case (2, _, _) => (schema, Seq(handle(sql, schema)))
-      case _ =>
-        // orderless cursor (String, UUID, ...): uniform server-side hash
-        // buckets; no min/max math, no skew from lexicographic clumping
-        sliced((0 until numStreams).map { i =>
-          if (i == 0)
-            s"(`$splitColumn` IS NULL OR cityHash64(`$splitColumn`) % $numStreams = $i)"
-          else
-            s"(`$splitColumn` IS NOT NULL AND cityHash64(`$splitColumn`) % $numStreams = $i)"
-        })
+      case _ => (schema, Seq(handle(sql, schema)))
     }
   }
 
@@ -446,13 +446,15 @@ class HttpClickHouseClient(
     val cols = schema.fieldNames.map(n => s"`$n`").mkString(", ")
     val encs = schema.fields.map(f => RowBinary.encoder(chTypeFor(db, table, f)))
     // NEVER retried (a committed-then-dropped connection would duplicate
-    // the block); chunked mode streams the body with constant memory
-    // instead of buffering the whole encoded block in the JDK connection
+    // the block). Buffered (non-chunked) body on purpose: bodies are
+    // bounded by write.batch_size so the buffer is small, and buffered
+    // mode keeps the JDK's safe transparent re-send on stale keep-alive
+    // connections plus readable server errors (chunked mode loses the
+    // error stream when the server rejects mid-body).
     withGate {
       val c = open(Map.empty,
         query = Some(s"INSERT INTO `$db`.`$table` ($cols) FORMAT RowBinary"),
         gzipBody = gzip)
-      c.setChunkedStreamingMode(1 << 16)
       val raw = c.getOutputStream
       val out = new DataOutputStream(
         if (gzip) new GZIPOutputStream(raw, 8192) else new java.io.BufferedOutputStream(raw, 8192))
@@ -617,10 +619,15 @@ object HttpClickHouseClient {
         finally out.close()
         if (conn.getResponseCode != 200) throw httpError(conn, h.sql)
         val raw = conn.getInputStream
+        // counter sits ABOVE the read buffer: it must count bytes the
+        // DECODER consumed, not bytes prefetched into the buffer —
+        // layered the other way, a truncated tail already sitting in the
+        // buffer makes mid-row EOF look like a clean end of stream
         val counter = new RowBinary.CountingInputStream(
-          if ("gzip".equalsIgnoreCase(conn.getContentEncoding)) new GZIPInputStream(raw)
-          else raw)
-        val in = new DataInputStream(new java.io.BufferedInputStream(counter, 1 << 16))
+          new java.io.BufferedInputStream(
+            if ("gzip".equalsIgnoreCase(conn.getContentEncoding)) new GZIPInputStream(raw)
+            else raw, 1 << 16))
+        val in = new DataInputStream(counter)
         val header = RowBinary.readHeader(in)
         // empty plan schema = empty-projection COUNT(*) scan: the remote
         // statement is `SELECT 1 FROM t`, the wire carries one column,
@@ -660,13 +667,8 @@ object HttpClickHouseClient {
     val wire = graft.types.ClickHouseType.toStructType(header)
     if (wire.fields.map(_.dataType).sameElements(schema.fields.map(_.dataType))) None
     else Some(org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
-      schema.fields.zipWithIndex.map { case (f, i) =>
-        val ref = org.apache.spark.sql.catalyst.expressions.BoundReference(
-          i, wire(i).dataType, nullable = true)
-        if (wire(i).dataType == f.dataType) (ref: org.apache.spark.sql.catalyst.expressions.Expression)
-        else org.apache.spark.sql.catalyst.expressions.Cast(
-          ref, f.dataType, Some(java.time.ZoneOffset.UTC.getId))
-      }))
+      graft.types.ClickHouseType.castExprs(
+        wire.fields.map(_.dataType).toSeq, schema.fields.map(_.dataType).toSeq)))
   }
 
   /** Row path: decode the binary stream row by row into InternalRow —

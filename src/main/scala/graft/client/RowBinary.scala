@@ -308,7 +308,7 @@ object RowBinary {
         override def readInto(in: DataInputStream, v: WritableColumnVector, r: Int): Unit =
           v.putInt(r, readIntLE(in))
       }
-      case _ if t.startsWith("DateTime64") => new Dec { // Int64 ticks at 10^-p → micros
+      case _ if t == "DateTime64" || t.startsWith("DateTime64(") => new Dec { // Int64 ticks at 10^-p → micros
         private val args = if (t.contains("(")) splitTopLevel(inner(t, "DateTime64")) else Nil
         private val p = args.headOption.map(_.trim.toInt).getOrElse(3)
         private val toMicros = // 10^(6-p) multiplier (or divisor when p > 6)
@@ -322,7 +322,9 @@ object RowBinary {
         override def readInto(in: DataInputStream, v: WritableColumnVector, r: Int): Unit =
           v.putLong(r, micros(readLongLE(in)))
       }
-      case _ if t.startsWith("DateTime") => new Dec { // UInt32 epoch seconds → micros
+      // exact-or-parenthesized match: a loose prefix would also swallow
+      // identifiers like "DateTime_end" in named-tuple detection
+      case _ if t == "DateTime" || t.startsWith("DateTime(") => new Dec { // UInt32 epoch seconds → micros
         override def read(in: DataInputStream): Any =
           (readIntLE(in).toLong & 0xffffffffL) * 1000000L
         override def readInto(in: DataInputStream, v: WritableColumnVector, r: Int): Unit =
@@ -559,7 +561,7 @@ object RowBinary {
         }
       case "Date" => (out: DataOutputStream, v: Any) => writeShortLE(out, asDays(v))
       case "Date32" => (out: DataOutputStream, v: Any) => writeIntLE(out, asDays(v))
-      case _ if t.startsWith("DateTime64") =>
+      case _ if t == "DateTime64" || t.startsWith("DateTime64(") =>
         val args = if (t.contains("(")) splitTopLevel(inner(t, "DateTime64")) else Nil
         val p = args.headOption.map(_.trim.toInt).getOrElse(3)
         (out: DataOutputStream, v: Any) => {
@@ -571,7 +573,7 @@ object RowBinary {
             else Math.multiplyExact(us, math.pow(10, p - 6).toLong)
           writeLongLE(out, ticks)
         }
-      case _ if t.startsWith("DateTime") => (out: DataOutputStream, v: Any) =>
+      case _ if t == "DateTime" || t.startsWith("DateTime(") => (out: DataOutputStream, v: Any) =>
         writeIntLE(out, Math.floorDiv(asMicros(v), 1000000L).toInt)
       case _ if t.startsWith("Decimal(") =>
         val Seq(ps, ss) = splitTopLevel(inner(t, "Decimal"))
@@ -846,9 +848,10 @@ object RowBinary {
       case "Int8" | "UInt8" | "Bool" | "Boolean" | "Int16" | "UInt16" | "Int32" |
            "UInt32" | "Int64" | "UInt64" | "Float32" | "Float64" | "String" |
            "Utf8" | "LargeUtf8" | "Utf8View" | "Date" | "Date32" | "UUID" => true
-      case _ => bare.startsWith("FixedString(") || bare.startsWith("DateTime") ||
-        bare.startsWith("Decimal(") || bare.startsWith("Enum8(") ||
-        bare.startsWith("Enum16(")
+      case "DateTime" | "DateTime64" => true
+      case _ => bare.startsWith("FixedString(") || bare.startsWith("DateTime(") ||
+        bare.startsWith("DateTime64(") || bare.startsWith("Decimal(") ||
+        bare.startsWith("Enum8(") || bare.startsWith("Enum16(")
     }
   }
 }

@@ -3,7 +3,7 @@ package graft.pushdown
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Cast, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -108,12 +108,8 @@ case class ClickHouseRemoteExec(
           r
         })
       else {
-        val projExprs = expected.zipWithIndex.map { case (dt, i) =>
-          val ref = BoundReference(i, remote(i).dataType, nullable = true)
-          if (remote(i).dataType == dt) ref
-          else Cast(ref, dt, Some(java.time.ZoneOffset.UTC.getId))
-        }
-        val proj = UnsafeProjection.create(projExprs)
+        val proj = UnsafeProjection.create(
+          graft.types.ClickHouseType.castExprs(remote.map(_.dataType), expected))
         hs.flatMap(h => cl.readPartitionInternal(h, remote).map { r =>
           numOutputRows += 1
           proj(r).copy(): InternalRow
@@ -160,11 +156,8 @@ case class ClickHouseRemoteExec(
           b
         })
       else {
-        val projExprs = expected.zipWithIndex.map { case (dt, i) =>
-          val ref = BoundReference(i, remote(i).dataType, nullable = true)
-          if (remote(i).dataType == dt) ref
-          else Cast(ref, dt, Some(java.time.ZoneOffset.UTC.getId))
-        }
+        val projExprs =
+          graft.types.ClickHouseType.castExprs(remote.map(_.dataType), expected)
         hs.flatMap { h =>
           val proj = UnsafeProjection.create(projExprs)
           graft.connector.ColumnarPack.iterator(

@@ -166,6 +166,23 @@ object ClickHouseType {
     errs.result()
   }
 
+  /** One shared coercion builder for every wire-vs-plan drift seam
+    * (remote exec row + columnar paths, HTTP scan streams): per column a
+    * pass-through BoundReference when types match, else a UTC Cast. The
+    * expressions are serializable — build them driver-side, create the
+    * UnsafeProjection wherever the rows are.
+    */
+  def castExprs(
+      from: Seq[DataType],
+      to: Seq[DataType]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    to.zipWithIndex.map { case (dt, i) =>
+      val ref = org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, from(i), nullable = true)
+      if (from(i) == dt) ref
+      else org.apache.spark.sql.catalyst.expressions.Cast(
+        ref, dt, Some(java.time.ZoneOffset.UTC.getId))
+    }
+
   /** Structural type compatibility for writes: identical types, or equal
     * up to NULLABILITY WIDENING — non-nullable elements/values may write
     * into nullable slots (never the reverse). Without this, an

@@ -836,6 +836,9 @@ class HttpClientSpec extends AnyFunSuite {
    * | session_timezone pins text DateTime rendering   | settings doc                | doc    |
    * | DESCRIBE TABLE (subquery) returns name+type     | sql-reference §DESCRIBE     | doc    |
    * | keep-alive connection reuse across requests     | http doc §HTTP interface    | doc    |
+   * | count()/aggregates return UInt64 → plan-type    | data-types doc §UInt64      | doc    |
+   * |   drift coerced by scan-level cast projection   |                             |        |
+   * | chunked transfer-encoding on INSERT bodies      | http doc §Usage (INSERT)    | doc    |
    *
    * Not yet live-verified (needs CH_ENDPOINT): exact server renderings
    * of DateTime64 precision >6 in TSV probes, progress headers on

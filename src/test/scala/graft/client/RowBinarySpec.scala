@@ -261,19 +261,31 @@ class RowBinarySpec extends AnyFunSuite {
     encId.write(out, 2L); encNm.write(out, "this row gets cut")
     out.flush()
     val full = bos.toByteArray
-    val cut = full.take(full.length - 5) // truncate inside row 2's string
-    val counter = new RowBinary.CountingInputStream(new ByteArrayInputStream(cut))
-    val rdr = new RowBinary.RowReader(
-      new DataInputStream(counter),
-      Array(RowBinary.decoder("Int64"), RowBinary.decoder("String")), counter)
+    // production stream layering: DataInputStream over the counter over
+    // a BUFFER — the counter must measure decoder-consumed bytes, so a
+    // truncated tail already prefetched into the buffer still counts as
+    // a truncation (the other layering silently passes this test)
+    def reader(bytes: Array[Byte]) = {
+      val counter = new RowBinary.CountingInputStream(
+        new java.io.BufferedInputStream(new ByteArrayInputStream(bytes), 1 << 16))
+      new RowBinary.RowReader(
+        new DataInputStream(counter),
+        Array(RowBinary.decoder("Int64"), RowBinary.decoder("String")), counter)
+    }
+    // cut inside row 2's SECOND column
+    val rdr = reader(full.take(full.length - 5))
     assert(rdr.readRow().getLong(0) === 1L)
     val e = intercept[RuntimeException](rdr.readRow())
     assert(e.getMessage.contains("truncated"))
+    // cut inside row 2's FIRST column (3 bytes into the Int64): the
+    // hardest case — the tail bytes sit in the buffer before decode
+    val row1Len = 8 + 1 + "complete row".length
+    val rdrF = reader(full.take(row1Len + 3))
+    assert(rdrF.readRow().getLong(0) === 1L)
+    val eF = intercept[RuntimeException](rdrF.readRow())
+    assert(eF.getMessage.contains("truncated"))
     // clean EOF at an exact row boundary is still a clean end
-    val counter2 = new RowBinary.CountingInputStream(new ByteArrayInputStream(full))
-    val rdr2 = new RowBinary.RowReader(
-      new DataInputStream(counter2),
-      Array(RowBinary.decoder("Int64"), RowBinary.decoder("String")), counter2)
+    val rdr2 = reader(full)
     assert(rdr2.readRow() != null && rdr2.readRow() != null && rdr2.readRow() == null)
   }
 
