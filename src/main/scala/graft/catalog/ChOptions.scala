@@ -27,6 +27,18 @@ object ChOptions {
     "use_tls", "strings_as_strings", "pool_test_on_check_out",
     "pool_retry_connection", "coerce_schemas")
 
+  /** Keys the HTTP transport actually honors — the catalog rejects any
+    * other key when `endpoint` is set (honored-or-rejected contract; a
+    * denylist here would silently accept future unhonored keys).
+    */
+  val HttpHonoredKeys: Set[String] = Set(
+    "endpoint", "username", "password", "default_database", "compression",
+    "use_tls", "pool_max_size", "pool_connection_timeout",
+    "pool_retry_connection",
+    // transport-agnostic connector knobs, consumed by the catalog itself
+    "coerce_schemas", "read.streams", "read.split_by", "write.concurrency",
+    "write.batch_size")
+
   private val IntCatalogKeys = Set(
     "cloud_timeout", "cloud_wakeup", "pool_max_size", "pool_min_idle",
     "pool_max_lifetime", "pool_idle_timeout", "pool_connection_timeout",

@@ -57,18 +57,18 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
       case Some(ep) =>
         // every option reaching the HTTP transport is HONORED or REJECTED
         // here — never accepted-but-inert (the reference errors on
-        // unusable params too, utils/params.rs)
-        val inert = Seq(
-          "domain", "cafile", "strings_as_strings", "cloud_timeout",
-          "cloud_wakeup", "pool_min_idle", "pool_test_on_check_out",
-          "pool_max_lifetime", "pool_idle_timeout").filter(options.containsKey)
+        // unusable params too, utils/params.rs). An ALLOWLIST, not a
+        // denylist: any catalog-valid key this transport does not honor
+        // (including ones added later) is rejected rather than ignored.
+        val inert = options.asScala.keys.map(_.toLowerCase)
+          .filterNot(ChOptions.HttpHonoredKeys).toSeq
         if (inert.nonEmpty)
           throw new IllegalArgumentException(
-            s"option(s) ${inert.sorted.mkString(", ")} are not supported by the " +
+            s"option(s) ${inert.sorted.mkString(", ")} are not honored by the " +
               s"HTTP transport of catalog '$name' (JDK HTTP keep-alive manages " +
               "connection lifetimes; configure TLS trust via the JVM truststore). " +
-              "Supported here: compression (none|gzip), use_tls, pool_max_size, " +
-              "pool_connection_timeout, pool_retry_connection")
+              s"Supported here: ${ChOptions.HttpHonoredKeys.toSeq.sorted.mkString(", ")} " +
+              "(compression: none|gzip)")
         new graft.client.HttpClickHouseClient(
           ep.stripSuffix("/"),
           user = Option(options.get("username")).getOrElse("default"),

@@ -132,6 +132,12 @@ object RowBinary {
 
   private def writeBigIntLE(
       out: OutputStream, v: java.math.BigInteger, width: Int): Unit = {
+    // bitLength excludes the sign bit, so the value fits `width` bytes of
+    // two's-complement iff bitLength <= width*8 - 1; anything larger used
+    // to have its high bytes silently dropped on the wire
+    if (v.bitLength() >= width * 8)
+      throw new IllegalArgumentException(
+        s"unscaled value $v does not fit in $width-byte two's-complement")
     val src = v.toByteArray // big-endian, minimal length, sign-extended
     val sign: Byte = if (v.signum() < 0) -1 else 0
     var i = 0
@@ -149,12 +155,24 @@ object RowBinary {
     var depth = 0
     var inQuote = false
     val cur = new StringBuilder
-    s.foreach {
-      case '\'' => inQuote = !inQuote; cur.append('\'')
-      case '(' if !inQuote => depth += 1; cur.append('(')
-      case ')' if !inQuote => depth -= 1; cur.append(')')
-      case ',' if depth == 0 && !inQuote => out += cur.result(); cur.clear()
-      case c => cur.append(c)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote && c == '\\' && i + 1 < s.length) {
+        // ClickHouse escapes quotes in type strings (Enum8('a\'b' = 1)):
+        // the escaped char must not toggle the quote state
+        cur.append(c).append(s.charAt(i + 1))
+        i += 2
+      } else {
+        c match {
+          case '\'' => inQuote = !inQuote; cur.append('\'')
+          case '(' if !inQuote => depth += 1; cur.append('(')
+          case ')' if !inQuote => depth -= 1; cur.append(')')
+          case ',' if depth == 0 && !inQuote => out += cur.result(); cur.clear()
+          case _ => cur.append(c)
+        }
+        i += 1
+      }
     }
     if (cur.nonEmpty) out += cur.result()
     out.result().map(_.trim)
@@ -510,19 +528,32 @@ object RowBinary {
           if (v == null) out.write(1) else { out.write(0); e.write(out, v) }
       case _ if t.startsWith("LowCardinality(") => encoder(inner(t, "LowCardinality"))
       case _ if t.startsWith("List(") => encoder("Array(" + inner(t, "List") + ")")
-      case "Int8" | "UInt8" => (out: DataOutputStream, v: Any) =>
-        out.write(asLong(t, v).toInt & 0xff)
+      case "Int8" => (out: DataOutputStream, v: Any) =>
+        out.write(inRange(t, asLong(t, v), Byte.MinValue, Byte.MaxValue).toInt & 0xff)
+      case "UInt8" => (out: DataOutputStream, v: Any) =>
+        out.write(inRange(t, asLong(t, v), 0L, 255L).toInt)
       case "Bool" | "Boolean" => (out: DataOutputStream, v: Any) =>
         out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
-      case "Int16" | "UInt16" => (out: DataOutputStream, v: Any) =>
-        writeShortLE(out, asLong(t, v).toInt)
-      case "Int32" | "UInt32" => (out: DataOutputStream, v: Any) =>
-        writeIntLE(out, asLong(t, v).toInt)
+      case "Int16" => (out: DataOutputStream, v: Any) =>
+        writeShortLE(out, inRange(t, asLong(t, v), Short.MinValue, Short.MaxValue).toInt)
+      case "UInt16" => (out: DataOutputStream, v: Any) =>
+        writeShortLE(out, inRange(t, asLong(t, v), 0L, 65535L).toInt)
+      case "Int32" => (out: DataOutputStream, v: Any) =>
+        writeIntLE(out, inRange(t, asLong(t, v), Int.MinValue, Int.MaxValue).toInt)
+      case "UInt32" => (out: DataOutputStream, v: Any) =>
+        writeIntLE(out, inRange(t, asLong(t, v), 0L, 0xffffffffL).toInt)
       case "Int64" => (out: DataOutputStream, v: Any) => writeLongLE(out, asLong(t, v))
-      case "UInt64" => (out: DataOutputStream, v: Any) => v match {
-        case d: java.math.BigDecimal => writeLongLE(out, d.toBigInteger.longValue)
-        case d: BigDecimal => writeLongLE(out, d.underlying.toBigInteger.longValue)
-        case other => writeLongLE(out, asLong(t, other))
+      case "UInt64" => (out: DataOutputStream, v: Any) => {
+        val bi = v match {
+          case d: java.math.BigDecimal => d.toBigIntegerExact
+          case d: BigDecimal => d.underlying.toBigIntegerExact
+          case d: Decimal => d.toJavaBigDecimal.toBigIntegerExact
+          case other => java.math.BigInteger.valueOf(asLong(t, other))
+        }
+        if (bi.signum() < 0 || bi.bitLength() > 64)
+          throw new IllegalArgumentException(
+            s"value $bi out of range for ClickHouse UInt64 [0, 2^64)")
+        writeLongLE(out, bi.longValue) // low 64 bits == value, range-checked
       }
       case "Float32" => (out: DataOutputStream, v: Any) =>
         writeIntLE(out, java.lang.Float.floatToRawIntBits(v match {
@@ -559,7 +590,8 @@ object RowBinary {
           var i = b.length
           while (i < n) { out.write(0); i += 1 }
         }
-      case "Date" => (out: DataOutputStream, v: Any) => writeShortLE(out, asDays(v))
+      case "Date" => (out: DataOutputStream, v: Any) => // UInt16 epoch days
+        writeShortLE(out, inRange(t, asDays(v), 0L, 65535L).toInt)
       case "Date32" => (out: DataOutputStream, v: Any) => writeIntLE(out, asDays(v))
       case _ if t == "DateTime64" || t.startsWith("DateTime64(") =>
         val args = if (t.contains("(")) splitTopLevel(inner(t, "DateTime64")) else Nil
@@ -574,7 +606,9 @@ object RowBinary {
           writeLongLE(out, ticks)
         }
       case _ if t == "DateTime" || t.startsWith("DateTime(") => (out: DataOutputStream, v: Any) =>
-        writeIntLE(out, Math.floorDiv(asMicros(v), 1000000L).toInt)
+        // UInt32 epoch seconds: timestamps outside 1970-2106 used to wrap
+        writeIntLE(out,
+          inRange(t, Math.floorDiv(asMicros(v), 1000000L), 0L, 0xffffffffL).toInt)
       case _ if t.startsWith("Decimal(") =>
         val Seq(ps, ss) = splitTopLevel(inner(t, "Decimal"))
         val (p, s) = (ps.trim.toInt, ss.trim.toInt)
@@ -638,6 +672,16 @@ object RowBinary {
     }
   }
 
+  /** Honored-or-rejected: a value outside the target column's range must
+    * fail the insert, not land as valid-looking corrupted wire bytes.
+    */
+  private def inRange(t: String, v: Long, lo: Long, hi: Long): Long = {
+    if (v < lo || v > hi)
+      throw new IllegalArgumentException(
+        s"value $v out of range for ClickHouse $t [$lo, $hi]")
+    v
+  }
+
   private def asLong(t: String, v: Any): Long = v match {
     case x: Byte => x.toLong
     case x: Short => x.toLong
@@ -650,8 +694,8 @@ object RowBinary {
   }
 
   private def asDays(v: Any): Int = v match {
-    case d: java.time.LocalDate => d.toEpochDay.toInt
-    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => Math.toIntExact(d.toEpochDay)
+    case d: java.sql.Date => Math.toIntExact(d.toLocalDate.toEpochDay)
     case i: Int => i
     case other => throw new IllegalArgumentException(
       s"cannot encode ${other.getClass.getName} as Date")

@@ -79,9 +79,16 @@ object AnnIvf {
   def fromTables(
       cells: DataFrame, centroids: DataFrame,
       idCol: String, embCol: String): IvfIndex = {
-    val centers = centroids.select("cell", "center").collect()
+    val byCell = centroids.select("cell", "center").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
-      .sortBy(_._1).map(_._2).toSeq
+      .sortBy(_._1)
+    // centroid row index IS the cell id after this point: a missing or
+    // duplicated cell row would silently shift every center to the wrong
+    // index (and every probe to the wrong cells) — fail instead
+    val ids = byCell.map(_._1).toSeq
+    require(ids == (0 until byCell.length),
+      s"centroids table must contain exactly cells 0..k-1, got: ${ids.mkString(", ")}")
+    val centers = byCell.map(_._2).toSeq
     IvfIndex(
       cells.select(col(idCol), col(embCol), col("cell").as("__cell")),
       centers)

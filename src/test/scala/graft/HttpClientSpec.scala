@@ -731,7 +731,33 @@ class HttpClientSpec extends AnyFunSuite {
       java.util.Map.of("endpoint", endpoint, "pool_idle_timeout", "30"))
     val e = intercept[IllegalArgumentException](cat.initialize("badcat", opts))
     assert(e.getMessage.contains("pool_idle_timeout"))
-    assert(e.getMessage.contains("not supported"))
+    assert(e.getMessage.contains("not honored"))
+  }
+
+  test("HTTP option validation is an allowlist: catalog-valid keys the " +
+    "transport does not honor are rejected, not silently inert") {
+    // `path` is a perfectly valid catalog key (embedded transport) but
+    // means nothing once `endpoint` selects HTTP — accepting it would be
+    // the silent-lie failure mode the honored-or-rejected contract bans
+    val cat = new graft.catalog.ClickHouseCatalog
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("endpoint", endpoint, "path", "/tmp/ignored"))
+    val e = intercept[IllegalArgumentException](cat.initialize("badcat2", opts))
+    assert(e.getMessage.contains("path") && e.getMessage.contains("not honored"))
+    // every honored key together passes setup
+    val ok = new graft.catalog.ClickHouseCatalog
+    val okOpts = new java.util.HashMap[String, String]()
+    okOpts.put("endpoint", endpoint)
+    okOpts.put("username", "default"); okOpts.put("password", "")
+    okOpts.put("default_database", "main"); okOpts.put("compression", "gzip")
+    okOpts.put("use_tls", "false"); okOpts.put("pool_max_size", "4")
+    okOpts.put("pool_connection_timeout", "5000")
+    okOpts.put("pool_retry_connection", "true")
+    okOpts.put("coerce_schemas", "true"); okOpts.put("read.streams", "2")
+    okOpts.put("read.split_by", "id"); okOpts.put("write.concurrency", "2")
+    okOpts.put("write.batch_size", "1000")
+    ok.initialize("okcat_allow",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(okOpts))
   }
 
   test("pool_max_size bounds concurrent wire requests") {
@@ -838,7 +864,10 @@ class HttpClientSpec extends AnyFunSuite {
    * | keep-alive connection reuse across requests     | http doc §HTTP interface    | doc    |
    * | count()/aggregates return UInt64 → plan-type    | data-types doc §UInt64      | doc    |
    * |   drift coerced by scan-level cast projection   |                             |        |
-   * | chunked transfer-encoding on INSERT bodies      | http doc §Usage (INSERT)    | doc    |
+   * | buffered Content-Length INSERT bodies (client   | http doc §Usage (INSERT)    | doc    |
+   * |   deliberately avoids chunked mode: blocks are  |                             |        |
+   * |   bounded by write.batch_size, and a length-    |                             |        |
+   * |   framed body lets the server reject truncation)|                             |        |
    *
    * Not yet live-verified (needs CH_ENDPOINT): exact server renderings
    * of DateTime64 precision >6 in TSV probes, progress headers on

@@ -127,6 +127,26 @@ class OpsSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("IVF fromTables rejects non-contiguous or missing centroid cells") {
+    import graft.ops.AnnIvf
+    import spark.implicits._
+    val cells = Seq((1L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "cell")
+    val good = Seq(
+      (0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell", "center")
+    assert(AnnIvf.fromTables(cells, good, "vec_id", "embedding")
+      .centers === Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    // a centroid matrix indexes centers by row position: a gap or dup
+    // would silently shift every center — must fail loudly instead
+    val gap = Seq((0, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0))).toDF("cell", "center")
+    val e1 = intercept[IllegalArgumentException](
+      AnnIvf.fromTables(cells, gap, "vec_id", "embedding"))
+    assert(e1.getMessage.contains("0..k-1"))
+    val dup = Seq((0, Seq(1.0, 0.0)), (0, Seq(0.0, 1.0))).toDF("cell", "center")
+    val e2 = intercept[IllegalArgumentException](
+      AnnIvf.fromTables(cells, dup, "vec_id", "embedding"))
+    assert(e2.getMessage.contains("0..k-1"))
+  }
+
   test("MinHashSketch aggregator matches the columnar d03 signature path") {
     import graft.ops.MinHashSketch
     // shingle hashes exactly as d03 derives them

@@ -294,6 +294,46 @@ class RowBinarySpec extends AnyFunSuite {
     assert(roundTrip("LowCardinality(Nullable(String))", null) === null)
   }
 
+  test("insert encoders reject out-of-range values instead of corrupting") {
+    // each of these used to narrow/mask/wrap into valid-looking wire bytes
+    intercept[IllegalArgumentException](enc("UInt8", 300.toShort)) //  & 0xff → 44
+    intercept[IllegalArgumentException](enc("Int8", 200))
+    intercept[IllegalArgumentException](enc("UInt16", -1))
+    intercept[IllegalArgumentException](enc("Int16", 70000))
+    intercept[IllegalArgumentException](enc("UInt32", -5L))
+    intercept[IllegalArgumentException](enc("UInt32", 1L << 33))
+    intercept[IllegalArgumentException](enc("Int32", Long.MaxValue))
+    intercept[IllegalArgumentException](enc("UInt64", -1L))
+    intercept[IllegalArgumentException]( // >= 2^64 wraps longValue
+      enc("UInt64", new java.math.BigDecimal(
+        java.math.BigInteger.ONE.shiftLeft(64))))
+    intercept[IllegalArgumentException]( // DateTime is UInt32 seconds (1970-2106)
+      enc("DateTime", java.time.Instant.parse("1969-12-31T00:00:00Z")))
+    intercept[IllegalArgumentException](
+      enc("DateTime", java.time.Instant.parse("2107-01-01T00:00:00Z")))
+    intercept[IllegalArgumentException]( // Date is UInt16 days
+      enc("Date", java.time.LocalDate.of(2150, 1, 1)))
+    intercept[IllegalArgumentException]( // Decimal(38,0) is 16 bytes: 2^127
+      enc("Decimal(38, 0)", // doesn't fit signed — high bytes used to drop
+        new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(127))))
+    // boundary values still encode
+    assert(roundTrip("UInt8", 255.toShort) === 255.toShort)
+    assert(roundTrip("UInt32", 0xffffffffL) === 0xffffffffL)
+    assert(roundTrip("Date", java.time.LocalDate.ofEpochDay(65535)) === 65535)
+    val maxU64 = new java.math.BigDecimal(
+      java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE))
+    assert(roundTrip("UInt64", maxU64).asInstanceOf[Decimal]
+      .toJavaBigDecimal.toBigInteger === maxU64.toBigInteger)
+  }
+
+  test("Enum8 with escaped quote in a name parses and decodes") {
+    // splitTopLevel must not toggle quote state on an escaped \' —
+    // ClickHouse renders Enum8('a\'b' = 1, 'c,d' = 2) in type strings
+    val t = "Enum8('a\\'b' = 1, 'c,d' = 2)"
+    assert(dec(t, Array[Byte](1)) === UTF8String.fromString("a'b"))
+    assert(dec(t, Array[Byte](2)) === UTF8String.fromString("c,d"))
+  }
+
   test("unknown types fail fast, both directions") {
     intercept[IllegalArgumentException](RowBinary.decoder("AggregateFunction(sum, Int64)"))
     intercept[IllegalArgumentException](RowBinary.encoder("IPv6"))
