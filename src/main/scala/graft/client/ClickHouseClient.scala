@@ -116,6 +116,14 @@ trait ClickHouseClient extends Serializable {
     (schema, handles.map(h => readPartition(h).toSeq))
   }
 
+  /** Delete the rows where `whereSql` (a ClickHouse boolean expression
+    * over the table's columns) evaluates TRUE — NULL keeps the row, like
+    * the server's `ALTER TABLE ... DELETE WHERE` mutation semantics. A
+    * wire transport ships the mutation and waits for it; the embedded
+    * store rewrites its parts (which is what a server mutation does too).
+    */
+  def deleteWhere(db: String, table: String, whereSql: String): Unit
+
   /** Append rows (INSERT ... FORMAT Native analog). Returns row count.
     * Immediately visible — direct-API use only; the DSv2 write path goes
     * through the staged protocol below for exactly-once semantics.

@@ -390,6 +390,49 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     n
   }
 
+  /** `ALTER TABLE ... DELETE WHERE` analog: rewrites the table's parts
+    * without the matching rows — exactly what a server mutation does,
+    * expressed through the staged-write machinery (kept rows land in a
+    * staging dir, old parts are removed, staged parts move in atomically
+    * per file). NULL predicate results keep the row, matching the server.
+    */
+  override def deleteWhere(db: String, table: String, whereSql: String): Unit = {
+    require(tableExists(db, table), s"no such table $db.$table")
+    val (_, _, ext) = readMeta(db, table)
+    // attached external parquet is a zero-copy read-only view over files
+    // the store does not own — rewriting them is out of contract
+    require(ext.isEmpty,
+      s"DELETE from $db.$table: table has attached external data (read-only)")
+    val entry = serverEntry()
+    val spark = entry.session
+    val tables = knownTables
+    val qt = graft.sql.ChSql.quoteTable(db, table)
+    // DELETE WHERE cond removes rows where cond IS TRUE; NULL keeps.
+    // CAST: ClickHouse conditions may be integral (e.g. the `1` of an
+    // unconditional delete) — Spark's coalesce/NOT need a real boolean
+    val pred = s"coalesce(CAST(($whereSql) AS BOOLEAN), false)"
+    val keepSql = ChSqlTranslator.translate(
+      s"SELECT * FROM $qt WHERE NOT $pred", tables)
+    ensureViews(entry, keepSql, tables)
+    val anySql = ChSqlTranslator.translate(
+      s"SELECT count(*) AS n FROM $qt WHERE $pred", tables)
+    ensureViews(entry, anySql, tables)
+    if (spark.sql(anySql).head.getLong(0) == 0L) return // nothing to rewrite
+    // snapshot the parts being rewritten BEFORE materializing the keep-set
+    val snapshot = dataFiles(db, table)
+    val stagingId = s"delete-${java.util.UUID.randomUUID}"
+    val dir = stagingPath(db, table, stagingId)
+    Files.createDirectories(dir.getParent)
+    try {
+      spark.sql(keepSql).write.parquet(dir.toString)
+      snapshot.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      commitStaged(db, table, stagingId)
+    } catch {
+      case e: Throwable => abortStaged(db, table, stagingId); throw e
+    }
+    invalidate()
+  }
+
   override def insertSelect(db: String, table: String, chSelectSql: String): Long = {
     val entry = serverEntry()
     val spark = entry.session

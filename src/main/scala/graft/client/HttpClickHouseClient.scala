@@ -475,6 +475,17 @@ class HttpClickHouseClient(
     rows.length.toLong
   }
 
+  /** Lightweight-mutation delete: `ALTER TABLE ... DELETE WHERE` with
+    * mutations_sync=1 so the call returns only after this replica
+    * rewrote its parts (public ALTER semantics; settings ride the URL
+    * like every other per-query setting).
+    */
+  override def deleteWhere(db: String, table: String, whereSql: String): Unit = {
+    exec(s"ALTER TABLE `$db`.`$table` DELETE WHERE $whereSql",
+      Map("mutations_sync" -> "1"))
+    ()
+  }
+
   override def insertSelect(db: String, table: String, chSelectSql: String): Long = {
     val (_, summary) = execWithSummary(s"INSERT INTO `$db`.`$table` $chSelectSql")
     summary.flatMap { s =>

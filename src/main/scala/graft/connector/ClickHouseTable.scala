@@ -46,9 +46,27 @@ class ClickHouseTable(
     writeBatchSize: Int = 10000,
     coerceSchemas: Boolean = true,
     readDefaults: Map[String, String] = Map.empty)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"$db.$table"
+
+  /** `DELETE FROM` support, the same honored-or-rejected way as scan
+    * pushdown: a predicate is deletable iff it compiles to ClickHouse SQL
+    * (the exactness probe); anything else fails the statement instead of
+    * deleting the wrong rows. An empty predicate list (unconditional
+    * DELETE / TRUNCATE TABLE) deletes every row — ClickHouse itself has
+    * TRUNCATE; only write-path OVERWRITE stays rejected (reference
+    * parity, table.rs:144-152).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => ChSql.compileFilter(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val where =
+      if (filters.isEmpty) "1"
+      else filters.flatMap(f => ChSql.compileFilter(f)).mkString(" AND ")
+    client.deleteWhere(db, table, where)
+  }
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,

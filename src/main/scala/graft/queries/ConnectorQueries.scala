@@ -735,6 +735,31 @@ object ConnectorQueries {
         aggregate(map_values(col("m")), lit(0L), (a, b) => a + b).as("mv_sum"))
     },
 
+    // DELETE pushdown: Spark's `DELETE FROM` compiles its predicates to
+    // ClickHouse SQL (SupportsDelete + the same exactness probe as scan
+    // pushdown) and the store rewrites its parts — the mutation runs
+    // where the data lives; zero rows cross the wire in either
+    // direction. Oracle recomputes the kept set from the raw table with
+    // the exact NULL semantics of `ALTER TABLE ... DELETE WHERE`
+    // (a NULL condition keeps the row).
+    q("r33_delete_where",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT coalesce(
+        |  (c_acctbal < 500 OR c_mktsegment = 'BUILDING'), false)""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.cust_del")
+      s.sql(
+        """CREATE TABLE clickhouse.main.cust_del
+          |(c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'c_custkey')""".stripMargin)
+      s.sql(
+        """INSERT INTO clickhouse.main.cust_del
+          |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer""".stripMargin)
+      s.sql(
+        "DELETE FROM clickhouse.main.cust_del " +
+          "WHERE c_acctbal < 500 OR c_mktsegment = 'BUILDING'")
+      s.table("clickhouse.main.cust_del").select("c_custkey", "c_name", "c_acctbal")
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

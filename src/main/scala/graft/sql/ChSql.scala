@@ -45,6 +45,8 @@ object ChSql {
     * None = not compilable (kept as a local residual).
     */
   def compileFilter(f: Filter): Option[String] = f match {
+    case AlwaysTrue() => Some("1") // unconditional DELETE / TRUNCATE
+    case AlwaysFalse() => Some("0")
     case EqualTo(a, v) => binOp(a, "=", v)
     case EqualNullSafe(a, null) => Some(s"${quoteIdent(a)} IS NULL")
     case EqualNullSafe(a, v) => binOp(a, "=", v) // non-null literal: same as =

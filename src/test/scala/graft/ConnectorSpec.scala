@@ -295,6 +295,45 @@ class ConnectorSpec extends AnyFunSuite {
     assert(ChSql.compileFilter(EqualTo("d", Double.NaN)).isEmpty)
   }
 
+  test("DELETE FROM rewrites store parts; NULL predicate keeps the row") {
+    spark.sql("DROP TABLE IF EXISTS chconn.testdb.del_t")
+    spark.sql(
+      """CREATE TABLE chconn.testdb.del_t (id BIGINT, tag STRING)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql(
+      "INSERT INTO chconn.testdb.del_t VALUES " +
+        "(1, 'keep'), (2, 'drop'), (3, 'drop'), (4, 'keep'), (5, NULL)")
+    spark.sql("DELETE FROM chconn.testdb.del_t WHERE tag = 'drop'")
+    // NULL = 'drop' is NULL → row 5 survives, like the server's mutation
+    assert(spark.table("chconn.testdb.del_t").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
+    // unconditional DELETE empties the table (TRUNCATE-equivalent)
+    spark.sql("DELETE FROM chconn.testdb.del_t")
+    assert(spark.table("chconn.testdb.del_t").count() == 0)
+    spark.sql("DROP TABLE chconn.testdb.del_t")
+  }
+
+  test("DELETE with a non-compilable predicate fails instead of deleting " +
+    "the wrong rows; attached external tables are read-only") {
+    spark.sql("DROP TABLE IF EXISTS chconn.testdb.del_g")
+    spark.sql(
+      """CREATE TABLE chconn.testdb.del_g (id BIGINT, name STRING)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql("INSERT INTO chconn.testdb.del_g VALUES (1, 'a')")
+    // rlike has no ChSql.compileFilter rendering → canDeleteWhere = false
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM chconn.testdb.del_g WHERE name rlike 'a.*'"))
+    assert(e.isInstanceOf[AnalysisException] ||
+      e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(spark.table("chconn.testdb.del_g").count() == 1, "no rows may be lost")
+    spark.sql("DROP TABLE chconn.testdb.del_g")
+    // zero-copy attached parquet is data the store does not own
+    val e2 = intercept[Exception](
+      spark.sql("DELETE FROM chconn.testdb.nation_ext WHERE n_nationkey = 1"))
+    assert(e2.getMessage.contains("external"), e2.getMessage)
+    assert(spark.table("chconn.testdb.nation_ext").count() == 25)
+  }
+
   test("insertSelect copies server-side and returns the inserted count") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS chconn.etl")
     val client = new EmbeddedClickHouse(root)

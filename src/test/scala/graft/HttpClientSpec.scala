@@ -214,6 +214,39 @@ class HttpClientSpec extends AnyFunSuite {
 
   private def tsvOk(s: String) = (200, s.getBytes(UTF_8), Map.empty[String, String])
 
+  /** Evaluate the subset of delete predicates the client generates that
+    * this suite exercises: `1`, backticked comparisons vs numeric/string
+    * literals, joined by top-level AND.
+    */
+  private def evalDeleteCond(cond: String, row: Map[String, Any]): Boolean = {
+    val Cmp = raw"`([^`]+)`\s*(>=|<=|=|>|<)\s*(.+)".r
+    def one(c0: String): Boolean = {
+      val c = c0.trim.stripPrefix("(").stripSuffix(")").trim
+      if (c == "1") true
+      else c match {
+        case Cmp(colName, op, lit0) =>
+          val lit = lit0.trim
+          row.getOrElse(colName, null) match {
+            case null => false // NULL comparison keeps the row
+            case v if lit.startsWith("'") =>
+              op == "=" && v.toString == lit.stripPrefix("'").stripSuffix("'")
+            case v =>
+              val x = v match { case n: Number => n.doubleValue; case s => s.toString.toDouble }
+              val y = lit.toDouble
+              op match {
+                case "=" => x == y
+                case ">" => x > y
+                case "<" => x < y
+                case ">=" => x >= y
+                case "<=" => x <= y
+              }
+          }
+        case other => throw new IllegalArgumentException(s"mock cannot evaluate: $other")
+      }
+    }
+    cond.split(" AND ").forall(one)
+  }
+
   private def handleQuery(sql: String, data: Array[Byte]): (Int, Array[Byte], Map[String, String]) = {
     queries.synchronized { queries += sql }
     val q = sql.trim
@@ -322,6 +355,19 @@ class HttpClientSpec extends AnyFunSuite {
           }
           tsvOk("")
         case _ => tsvOk("")
+      }
+    } else if (q.startsWith("ALTER TABLE") && q.contains(" DELETE WHERE ")) {
+      // mutation: rewrite the dyn table without the matching rows
+      val Alt = raw"ALTER TABLE `main`\.`([^`]+)` DELETE WHERE (.+)".r.unanchored
+      q match {
+        case Alt(t, cond) if dynTables.contains(t) =>
+          val rows = dynTables(t)._2
+          val kept = rows.filterNot(r => evalDeleteCond(cond, r)).toList
+          rows.clear(); rows ++= kept
+          tsvOk("")
+        case _ => (404,
+          s"Code: 60. DB::Exception: cannot mutate: $q".getBytes(UTF_8),
+          Map("X-ClickHouse-Exception-Code" -> "60"))
       }
     } else if (q.startsWith("DROP TABLE")) {
       val Name = raw"`main`\.`([^`]+)`".r.unanchored
@@ -780,6 +826,25 @@ class HttpClientSpec extends AnyFunSuite {
     while (it2.hasNext) it2.next()
   }
 
+  test("DELETE FROM ships an ALTER TABLE ... DELETE mutation over the wire") {
+    dynTables("del_http") = (colTypes, mutable.ArrayBuffer(
+      (1 to 10).map(i =>
+        Map[String, Any]("id" -> i.toLong, "name" -> s"n$i", "val" -> i * 0.5)): _*))
+    spark.sql("DELETE FROM chhttp.main.del_http WHERE id > 5 AND name = 'n7'")
+    // server-side semantics: only the row matching BOTH conjuncts is gone
+    assert(dynTables("del_http")._2.map(_("id")).toSet ==
+      ((1 to 10).toSet - 7).map(_.toLong))
+    val alters = queries.synchronized {
+      queries.filter(_.startsWith("ALTER TABLE `main`.`del_http` DELETE WHERE")).toSeq
+    }
+    assert(alters.nonEmpty, "expected an ALTER TABLE ... DELETE on the wire")
+    // unconditional DELETE compiles to WHERE 1 (TRUNCATE-equivalent)
+    spark.sql("DELETE FROM chhttp.main.del_http")
+    assert(dynTables("del_http")._2.isEmpty)
+    dynTables.remove("del_http")
+    ()
+  }
+
   test("insertSelect returns written_rows from the summary header") {
     dynTables("src_copy") = (colTypes, mutable.ArrayBuffer(
       Map[String, Any]("id" -> 7L, "name" -> "s", "val" -> 0.25)))
@@ -864,6 +929,9 @@ class HttpClientSpec extends AnyFunSuite {
    * | keep-alive connection reuse across requests     | http doc §HTTP interface    | doc    |
    * | count()/aggregates return UInt64 → plan-type    | data-types doc §UInt64      | doc    |
    * |   drift coerced by scan-level cast projection   |                             |        |
+   * | ALTER TABLE ... DELETE WHERE mutation;          | sql-reference §ALTER DELETE | doc    |
+   * |   mutations_sync=1 waits for this replica's     |   + settings doc            |        |
+   * |   parts to rewrite before returning             |                             |        |
    * | buffered Content-Length INSERT bodies (client   | http doc §Usage (INSERT)    | doc    |
    * |   deliberately avoids chunked mode: blocks are  |                             |        |
    * |   bounded by write.batch_size, and a length-    |                             |        |
