@@ -124,6 +124,17 @@ trait ClickHouseClient extends Serializable {
     */
   def deleteWhere(db: String, table: String, whereSql: String): Unit
 
+  /** `ALTER TABLE ... UPDATE` mutation: set each assigned column to its
+    * ClickHouse expression on the rows where `whereSql` evaluates TRUE
+    * (NULL keeps the row unchanged, like [[deleteWhere]]). Assignments
+    * are (column, ClickHouse expression) pairs evaluated against the
+    * row's OLD values — server mutation semantics. The expression and
+    * condition run where the data lives; no row crosses the wire.
+    */
+  def updateWhere(
+      db: String, table: String,
+      assignments: Seq[(String, String)], whereSql: String): Unit
+
   /** Append rows (INSERT ... FORMAT Native analog). Returns row count.
     * Immediately visible — direct-API use only; the DSv2 write path goes
     * through the staged protocol below for exactly-once semantics.

@@ -418,13 +418,64 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       s"SELECT count(*) AS n FROM $qt WHERE $pred", tables)
     ensureViews(entry, anySql, tables)
     if (spark.sql(anySql).head.getLong(0) == 0L) return // nothing to rewrite
-    // snapshot the parts being rewritten BEFORE materializing the keep-set
+    rewriteParts(db, table, keepSql)
+  }
+
+  /** `ALTER TABLE ... UPDATE` analog: rewrite parts with assigned columns
+    * recomputed where the condition holds (CASE over the OLD row values,
+    * which is exactly what a server mutation evaluates). Unassigned
+    * columns pass through; results cast back to the column's type so the
+    * table schema is invariant under mutation.
+    */
+  override def updateWhere(
+      db: String, table: String,
+      assignments: Seq[(String, String)], whereSql: String): Unit = {
+    require(tableExists(db, table), s"no such table $db.$table")
+    require(assignments.nonEmpty, "UPDATE requires at least one assignment")
+    val (_, _, ext) = readMeta(db, table)
+    require(ext.isEmpty,
+      s"UPDATE on $db.$table: table has attached external data (read-only)")
+    val schema = sparkSchema(db, table)
+    val byName = assignments.toMap
+    val unknown = byName.keySet.diff(schema.fieldNames.toSet)
+    require(unknown.isEmpty,
+      s"UPDATE on $db.$table: unknown column(s) ${unknown.toSeq.sorted.mkString(", ")}")
+    val entry = serverEntry()
+    val spark = entry.session
+    val tables = knownTables
+    val qt = graft.sql.ChSql.quoteTable(db, table)
+    val pred = s"coalesce(CAST(($whereSql) AS BOOLEAN), false)"
+    val cols = schema.fields.map { f =>
+      val q = graft.sql.ChSql.quoteIdent(f.name)
+      byName.get(f.name) match {
+        case Some(expr) =>
+          s"CAST(CASE WHEN $pred THEN ($expr) ELSE $q END AS ${f.dataType.sql}) AS $q"
+        case None => q
+      }
+    }
+    val rewriteSql = ChSqlTranslator.translate(
+      s"SELECT ${cols.mkString(", ")} FROM $qt", tables)
+    ensureViews(entry, rewriteSql, tables)
+    val anySql = ChSqlTranslator.translate(
+      s"SELECT count(*) AS n FROM $qt WHERE $pred", tables)
+    ensureViews(entry, anySql, tables)
+    if (spark.sql(anySql).head.getLong(0) == 0L) return
+    rewriteParts(db, table, rewriteSql)
+  }
+
+  /** Shared mutation core: materialize `translatedSql` (already Spark
+    * dialect, views ensured) into a staging dir, drop the snapshot of
+    * current parts, publish the staged rewrite atomically per file.
+    */
+  private def rewriteParts(db: String, table: String, translatedSql: String): Unit = {
+    val spark = serverEntry().session
+    // snapshot the parts being rewritten BEFORE materializing the result
     val snapshot = dataFiles(db, table)
-    val stagingId = s"delete-${java.util.UUID.randomUUID}"
+    val stagingId = s"mutate-${java.util.UUID.randomUUID}"
     val dir = stagingPath(db, table, stagingId)
     Files.createDirectories(dir.getParent)
     try {
-      spark.sql(keepSql).write.parquet(dir.toString)
+      spark.sql(translatedSql).write.parquet(dir.toString)
       snapshot.foreach(f => Files.deleteIfExists(Paths.get(f)))
       commitStaged(db, table, stagingId)
     } catch {

@@ -486,6 +486,18 @@ class HttpClickHouseClient(
     ()
   }
 
+  /** `ALTER TABLE ... UPDATE` mutation, same waited-on shape as delete. */
+  override def updateWhere(
+      db: String, table: String,
+      assignments: Seq[(String, String)], whereSql: String): Unit = {
+    require(assignments.nonEmpty, "UPDATE requires at least one assignment")
+    val sets = assignments
+      .map { case (c, e) => s"`${c.replace("`", "``")}` = $e" }.mkString(", ")
+    exec(s"ALTER TABLE `$db`.`$table` UPDATE $sets WHERE $whereSql",
+      Map("mutations_sync" -> "1"))
+    ()
+  }
+
   override def insertSelect(db: String, table: String, chSelectSql: String): Long = {
     val (_, summary) = execWithSummary(s"INSERT INTO `$db`.`$table` $chSelectSql")
     summary.flatMap { s =>

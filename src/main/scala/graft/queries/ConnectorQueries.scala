@@ -760,6 +760,31 @@ object ConnectorQueries {
       s.table("clickhouse.main.cust_del").select("c_custkey", "c_name", "c_acctbal")
     },
 
+    // UPDATE mutation: ChMutations.updateWhere ships an ALTER-style
+    // mutation; the store recomputes the assigned column from OLD row
+    // values where the condition holds and rewrites its parts — the
+    // 100 TB shape for point updates (Spark's row-level-operation
+    // rewrite would re-shuffle every matched group through the cluster).
+    // Oracle recomputes the same CASE over the raw table.
+    q("r34_update_where",
+      """SELECT c_custkey,
+        |  CASE WHEN coalesce((c_mktsegment = 'BUILDING'), false)
+        |    THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.cust_upd")
+      s.sql(
+        """CREATE TABLE clickhouse.main.cust_upd
+          |(c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'c_custkey')""".stripMargin)
+      s.sql(
+        """INSERT INTO clickhouse.main.cust_upd
+          |SELECT c_custkey, c_acctbal, c_mktsegment FROM customer""".stripMargin)
+      graft.connector.ChMutations.updateWhere(
+        s, "clickhouse.main.cust_upd",
+        Seq("c_acctbal" -> "c_acctbal + 100"), "c_mktsegment = 'BUILDING'")
+      s.table("clickhouse.main.cust_upd").select("c_custkey", "c_acctbal")
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

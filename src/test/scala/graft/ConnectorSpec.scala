@@ -334,6 +334,37 @@ class ConnectorSpec extends AnyFunSuite {
     assert(spark.table("chconn.testdb.nation_ext").count() == 25)
   }
 
+  test("ChMutations.updateWhere recomputes assigned columns in the store " +
+    "(old-value semantics, schema invariant, NULL condition keeps rows)") {
+    spark.sql("DROP TABLE IF EXISTS chconn.testdb.upd_t")
+    spark.sql(
+      """CREATE TABLE chconn.testdb.upd_t (id BIGINT, score DOUBLE, tag STRING)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql(
+      "INSERT INTO chconn.testdb.upd_t VALUES " +
+        "(1, 1.5, 'x'), (2, 2.5, 'y'), (3, 3.5, 'x'), (4, 4.5, NULL)")
+    graft.connector.ChMutations.updateWhere(
+      spark, "chconn.testdb.upd_t", Seq("score" -> "score * 2"), "tag = 'x'")
+    val scores = spark.table("chconn.testdb.upd_t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores == Map(1L -> 3.0, 2L -> 2.5, 3L -> 7.0, 4L -> 4.5))
+    // schema unchanged after the rewrite
+    val client = new EmbeddedClickHouse(root)
+    assert(client.fetchColumns("testdb", "upd_t").map(_._1) ==
+      Seq("id", "score", "tag"))
+    // unknown assignment column fails before touching anything
+    val e = intercept[IllegalArgumentException](
+      graft.connector.ChMutations.updateWhere(
+        spark, "chconn.testdb.upd_t", Seq("nope" -> "1"), "id = 1"))
+    assert(e.getMessage.contains("nope"))
+    // attached external data is read-only for UPDATE too
+    val e2 = intercept[Exception](
+      graft.connector.ChMutations.updateWhere(
+        spark, "chconn.testdb.nation_ext", Seq("n_name" -> "'X'"), "n_nationkey = 1"))
+    assert(e2.getMessage.contains("external"), e2.getMessage)
+    spark.sql("DROP TABLE chconn.testdb.upd_t")
+  }
+
   test("insertSelect copies server-side and returns the inserted count") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS chconn.etl")
     val client = new EmbeddedClickHouse(root)

@@ -247,6 +247,21 @@ class HttpClientSpec extends AnyFunSuite {
     cond.split(" AND ").forall(one)
   }
 
+  /** UPDATE right-hand sides this suite exercises: string/numeric
+    * literals and `` `col` + n `` arithmetic over the OLD row value.
+    */
+  private def evalUpdateRhs(rhs: String, row: Map[String, Any]): Any = {
+    val Plus = raw"`([^`]+)`\s*\+\s*([0-9.]+)".r
+    rhs.trim match {
+      case s if s.startsWith("'") => s.stripPrefix("'").stripSuffix("'")
+      case Plus(c, n) => row(c) match {
+        case x: Number => x.doubleValue + n.toDouble
+        case other => throw new IllegalArgumentException(s"mock: non-numeric $other")
+      }
+      case n => n.toDouble
+    }
+  }
+
   private def handleQuery(sql: String, data: Array[Byte]): (Int, Array[Byte], Map[String, String]) = {
     queries.synchronized { queries += sql }
     val q = sql.trim
@@ -355,6 +370,28 @@ class HttpClientSpec extends AnyFunSuite {
           }
           tsvOk("")
         case _ => tsvOk("")
+      }
+    } else if (q.startsWith("ALTER TABLE") && q.contains(" UPDATE ") &&
+      q.contains(" WHERE ")) {
+      // mutation: recompute assigned columns on matching rows (OLD values)
+      val Alt = raw"ALTER TABLE `main`\.`([^`]+)` UPDATE (.+) WHERE (.+)".r.unanchored
+      q match {
+        case Alt(t, sets, cond) if dynTables.contains(t) =>
+          val assigns = sets.split(",").map(_.trim).map { a =>
+            val i = a.indexOf('=')
+            a.substring(0, i).trim.stripPrefix("`").stripSuffix("`") ->
+              a.substring(i + 1).trim
+          }.toSeq
+          val rows = dynTables(t)._2
+          val updated = rows.map { r =>
+            if (!evalDeleteCond(cond, r)) r
+            else r ++ assigns.map { case (c, rhs) => c -> evalUpdateRhs(rhs, r) }
+          }.toList
+          rows.clear(); rows ++= updated
+          tsvOk("")
+        case _ => (404,
+          s"Code: 60. DB::Exception: cannot mutate: $q".getBytes(UTF_8),
+          Map("X-ClickHouse-Exception-Code" -> "60"))
       }
     } else if (q.startsWith("ALTER TABLE") && q.contains(" DELETE WHERE ")) {
       // mutation: rewrite the dyn table without the matching rows
@@ -842,6 +879,26 @@ class HttpClientSpec extends AnyFunSuite {
     spark.sql("DELETE FROM chhttp.main.del_http")
     assert(dynTables("del_http")._2.isEmpty)
     dynTables.remove("del_http")
+    ()
+  }
+
+  test("updateWhere ships ALTER TABLE ... UPDATE over the wire " +
+    "(old-value semantics on the matching rows only)") {
+    dynTables("upd_http") = (colTypes, mutable.ArrayBuffer(
+      (1 to 6).map(i =>
+        Map[String, Any]("id" -> i.toLong, "name" -> s"n$i", "val" -> i * 1.0)): _*))
+    client.updateWhere(
+      "main", "upd_http", Seq("val" -> "`val` + 10"), "`id` > 4")
+    val byId = dynTables("upd_http")._2
+      .map(r => r("id").asInstanceOf[Long] -> r("val")).toMap
+    assert(byId(1L) == 1.0 && byId(4L) == 4.0, "non-matching rows unchanged")
+    assert(byId(5L) == 15.0 && byId(6L) == 16.0, "matching rows updated from OLD values")
+    val alters = queries.synchronized {
+      queries.filter(_.startsWith("ALTER TABLE `main`.`upd_http` UPDATE ")).toSeq
+    }
+    assert(alters.exists(_.contains("UPDATE `val` = `val` + 10 WHERE `id` > 4")),
+      s"wire statements: $alters")
+    dynTables.remove("upd_http")
     ()
   }
 
