@@ -76,9 +76,40 @@ object AnnLsh {
       dims: Int,
       k: Int = 5,
       numTables: Int = 8,
-      numPlanes: Int = 8): DataFrame = {
-    val cb = withBuckets(corpus, embCol, dims, numTables, numPlanes)
+      numPlanes: Int = 8): DataFrame =
+    annTopKFromBuckets(
+      bucketsTable(corpus, idCol, embCol, dims, numTables, numPlanes),
+      probes, idCol, embCol, dims, k, numTables, numPlanes)
+
+  /** The corpus bucket assignment as a store-shaped frame (neighbor_id,
+    * ne, lsh_key) — at 100 TB this is a PERSISTED artifact written once
+    * at ingest; the planes are deterministic functions of (table, plane,
+    * dim), so any probe session recomputes identical probe-side keys
+    * with no stored quantizer state at all (unlike IVF's centroids).
+    */
+  def bucketsTable(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dims: Int,
+      numTables: Int = 8,
+      numPlanes: Int = 8): DataFrame =
+    withBuckets(corpus, embCol, dims, numTables, numPlanes)
       .select(col(idCol).as("neighbor_id"), col(embCol).as("ne"), col("lsh_key"))
+
+  /** Probe against a prepared corpus bucket frame — typically
+    * [[bucketsTable]] read back from a connector table (gate s08 drives
+    * the persisted cycle).
+    */
+  def annTopKFromBuckets(
+      cb: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      embCol: String,
+      dims: Int,
+      k: Int = 5,
+      numTables: Int = 8,
+      numPlanes: Int = 8): DataFrame = {
     val pb = withBuckets(probes, embCol, dims, numTables, numPlanes)
       .select(col(idCol).as("probe_id"), col(embCol).as("pe"), col("lsh_key"))
     val pe = col("pe")

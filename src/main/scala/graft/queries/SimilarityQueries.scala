@@ -295,6 +295,41 @@ object SimilarityQueries {
       },
       oracle = Some(RecallOracle)),
 
+    // ---- the LSH analog of r32: the corpus bucket table as a PERSISTED
+    // store artifact. LSH needs no stored quantizer (planes are
+    // deterministic), so ONE table suffices: probe sessions recompute
+    // their own keys and bucket-join against the stored assignment —
+    // written once at ingest, no per-session corpus re-bucketing.
+    GateQuery("s08_ann_lsh_persisted",
+      (s, dir) => {
+        Tables.register(s, dir)
+        ConnectorQueries.harness(s, dir)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val client = new graft.client.EmbeddedClickHouse(
+          s"/root/repo/target/chstore_$tag")
+        def populated(t: String): Boolean =
+          client.tableExists("main", t) &&
+            client.query(s"SELECT count(*) AS n FROM `main`.`$t`", 1)
+              ._2.flatten.headOption.exists(_.getLong(0) > 0)
+        if (!populated("lsh_buckets")) {
+          if (client.tableExists("main", "lsh_buckets")) // drop any half-build
+            client.dropTable("main", "lsh_buckets")
+          client.createTable("main", "lsh_buckets", Seq(
+            "neighbor_id" -> "Nullable(Int64)",
+            "ne" -> "Array(Nullable(Float32))",
+            "lsh_key" -> "Nullable(Int32)"), Map("engine" -> "MergeTree"))
+          graft.ops.AnnLsh.bucketsTable(
+            corpus(s), "vec_id", "embedding", 64, numTables = 32, numPlanes = 5)
+            .writeTo("clickhouse.main.lsh_buckets").append()
+        }
+        val probes = s.table("embeddings").filter(col("vec_id") < 100)
+        val ann = graft.ops.AnnLsh.annTopKFromBuckets(
+          s.table("clickhouse.main.lsh_buckets"), probes, "vec_id", "embedding",
+          64, k = 5, numTables = 32, numPlanes = 5)
+        recallGate(s, dir, ann)
+      },
+      oracle = Some(RecallOracle)),
+
     // ---- int8 embedding quantization (the storage/bandwidth side of
     // similarity search at 100 TB: 4x smaller vectors for the ANN coarse
     // pass). Symmetric per-vector scale = 127/max|x|; quantized value =

@@ -160,6 +160,24 @@ class GatePlanSpec extends AnyFunSuite {
     val _ = scans
   }
 
+  test("s08 persisted-LSH probe path bucket-joins the STORE-backed " +
+    "bucket table (no in-session corpus re-bucketing)") {
+    val df = SparkEntry.queries("s08_ann_lsh_persisted")(spark, sfDir)
+    assert(df.count() == 1)
+    val stored = spark.table("clickhouse.main.lsh_buckets")
+    val probes = spark.table("embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 100)
+    val ann = graft.ops.AnnLsh.annTopKFromBuckets(
+      stored, probes, "vec_id", "embedding", 64, k = 5,
+      numTables = 32, numPlanes = 5)
+    val annScans = ann.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.name.contains("lsh_buckets") => r
+    }
+    assert(annScans.nonEmpty,
+      "ANN probe plan must scan the persisted lsh_buckets table")
+  }
+
   test("r28 cross-store join: two separate remote scans, join stays local") {
     val df = SparkEntry.queries("r28_cross_store_join")(spark, sfDir)
     assert(df.count() > 0)
