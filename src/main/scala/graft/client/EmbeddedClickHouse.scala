@@ -273,6 +273,41 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     * precedes partition i+1, and files sort by zero-padded index).
     * A wire client would return shard cursor ids here instead.
     */
+  /** `FROM db.t SAMPLE f [OFFSET o]` — the embedded model of the
+    * server's storage-level sampling clause. Semantics (deterministic,
+    * engine-reproducible): keep the rows whose unit-interval hash of the
+    * table's DECLARED sampling key falls in [o, o+f) wrapping at 1,
+    * where the hash is the repo's standard cheap rehash
+    * (first-8-hex-of-md5 as integer, mod 1e6). Rewritten to an
+    * equivalent WHERE conjunct before translation; a table without a
+    * declared `sampling` key rejects the clause, like the server.
+    */
+  private val SampleClause =
+    ("FROM `([^`]+)`\\.`([^`]+)` SAMPLE ([0-9.]+)" +
+      "(?: OFFSET ([0-9.]+))?( WHERE )?").r
+
+  private def rewriteSample(sql: String): String =
+    SampleClause.replaceAllIn(sql, m => {
+      val (db, t) = (m.group(1), m.group(2))
+      val f = m.group(3).toDouble
+      val o = Option(m.group(4)).map(_.toDouble).getOrElse(0.0)
+      val hadWhere = m.group(5) != null
+      require(tableExists(db, t), s"no such table $db.$t")
+      val (_, opts, _) = readMeta(db, t)
+      val key = opts.getOrElse("sampling", throw new IllegalArgumentException(
+        s"SAMPLE on $db.$t: table has no declared sampling key " +
+          "(create it with TBLPROPERTIES sampling = '<expr>')"))
+      val lo = math.round(o * 1000000.0)
+      val hi = lo + math.round(f * 1000000.0)
+      val bucket = "pmod(CAST(conv(substring(md5(CAST((" + key +
+        ") AS STRING)), 1, 8), 16, 10) AS BIGINT), 1000000)"
+      val cond =
+        if (hi <= 1000000L) s"($bucket >= $lo AND $bucket < $hi)"
+        else s"($bucket >= $lo OR $bucket < ${hi - 1000000L})"
+      java.util.regex.Matcher.quoteReplacement(
+        s"FROM `$db`.`$t` WHERE $cond" + (if (hadWhere) " AND " else " "))
+    })
+
   override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
     val entry = serverEntry()
     val spark = entry.session
@@ -285,7 +320,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     if (entry.dfCache.size > 64) entry.dfCache.clear()
     val df = entry.dfCache.computeIfAbsent(sql, _ => {
       val tables = knownTables
-      val tr = ChSqlTranslator.translate(sql, tables)
+      val tr = ChSqlTranslator.translate(rewriteSample(sql), tables)
       ensureViews(entry, tr, tables)
       try spark.sql(tr) catch { case e: Throwable =>
         throw new IllegalArgumentException(

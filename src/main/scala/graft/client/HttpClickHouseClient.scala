@@ -206,12 +206,13 @@ class HttpClickHouseClient(
       .map(a => a(0) -> a(1))
 
   override def fetchTableOptions(db: String, table: String): Map[String, String] =
-    tsv(s"SELECT engine, sorting_key, partition_key FROM system.tables " +
+    tsv(s"SELECT engine, sorting_key, partition_key, sampling_key FROM system.tables " +
       s"WHERE database = ${lit(db)} AND name = ${lit(table)} FORMAT TabSeparated")
       .headOption.map { a =>
         Map("engine" -> a(0)) ++
           (if (a.length > 1 && a(1).nonEmpty) Map("order_by" -> a(1)) else Map.empty) ++
-          (if (a.length > 2 && a(2).nonEmpty) Map("partition_by" -> a(2)) else Map.empty)
+          (if (a.length > 2 && a(2).nonEmpty) Map("partition_by" -> a(2)) else Map.empty) ++
+          (if (a.length > 3 && a(3).nonEmpty) Map("sampling" -> a(3)) else Map.empty)
       }.getOrElse(Map.empty)
 
   override def tableSizeBytes(db: String, table: String): Option[Long] =
@@ -243,6 +244,7 @@ class HttpClickHouseClient(
       b.append(" ORDER BY ").append(
         options.get("order_by").map(o => s"($o)").getOrElse("tuple()"))
     options.get("partition_by").foreach(p => b.append(s" PARTITION BY ($p)"))
+    options.get("sampling").foreach(smp => b.append(s" SAMPLE BY ($smp)"))
     options.get("ttl").foreach(t => b.append(s" TTL $t"))
     options.get("settings").foreach(s => b.append(s" SETTINGS $s"))
     exec(b.toString)

@@ -119,7 +119,8 @@ class ChScanBuilder(
   with SupportsPushDownLimit
   with SupportsPushDownTopN
   with SupportsPushDownOffset
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with SupportsPushDownTableSample {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -128,8 +129,33 @@ class ChScanBuilder(
   private var limit: Option[Int] = None
   private var offset: Option[Int] = None
   private var orderBy: Seq[String] = Seq.empty
+  private var sample: Option[(Double, Double)] = None // (fraction, offset frac)
   // (groupBy column fields, aggregate (sql, field) pairs)
   private var agg: Option[(Seq[StructField], Seq[(String, StructField)])] = None
+
+  /** TABLESAMPLE / df.sample pushed as ClickHouse `SAMPLE f OFFSET o` —
+    * the storage-level sampling clause (public SELECT doc §SAMPLE):
+    * sampling happens IN the store on its declared sampling key, so a
+    * 1% probe of a 100 TB table reads ~1% of the data instead of
+    * shipping everything for Spark to discard. Honored-or-rejected: only
+    * the shape the clause can express is pushed (Bernoulli fraction,
+    * no replacement, lower bound 0) and only on tables that DECLARED a
+    * `sampling` key; everything else stays a local Sample node. The
+    * seed maps to `OFFSET` (seed mod 1e6 / 1e6), so REPEATABLE(seed)
+    * keeps its promise: deterministic, seed-dependent row ranges.
+    */
+  override def pushTableSample(
+      lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement || lowerBound != 0.0 || upperBound <= 0.0 ||
+      upperBound >= 1.0) false
+    else if (!client.fetchTableOptions(db, table).contains("sampling")) false
+    else {
+      sample = Some((upperBound,
+        java.lang.Long.remainderUnsigned(seed, 1000000L).toDouble / 1000000.0))
+      true
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition(f => ChSql.compileFilter(f).isDefined)
@@ -220,7 +246,7 @@ class ChScanBuilder(
     new ChScan(client, db, table, select, compiled, groupBy, orderBy, limit,
       outputSchema, readStreams, aggregated = agg.isDefined,
       coerceSchemas = coerceSchemas, offset = offset,
-      fullSchema = fullSchema, scanOptions = scanOptions)
+      fullSchema = fullSchema, scanOptions = scanOptions, sample = sample)
   }
 }
 
@@ -249,7 +275,8 @@ class ChScan(
     offset: Option[Int] = None,
     fullSchema: StructType = StructType(Nil),
     scanOptions: CaseInsensitiveStringMap =
-      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
+    sample: Option[(Double, Double)] = None)
   extends Scan with Batch with SupportsRuntimeV2Filtering
   with SupportsReportStatistics {
 
@@ -274,7 +301,11 @@ class ChScan(
             else {
               val rowWidth =
                 math.max(1L, out.fields.map(_.dataType.defaultSize.toLong).sum)
-              limit.fold(base)(n => math.min(base, n.toLong * rowWidth))
+              // a pushed SAMPLE reads ~fraction of the table
+              val sampled = sample.fold(base) { case (f, _) =>
+                math.max(1L, (base * f).toLong)
+              }
+              limit.fold(sampled)(n => math.min(sampled, n.toLong * rowWidth))
             }
           java.util.OptionalLong.of(shaped)
       }
@@ -289,6 +320,13 @@ class ChScan(
       }.mkString(", ")
     val allWhere = where ++ extraWhere
     val b = new StringBuilder(s"SELECT $sel FROM ${ChSql.quoteTable(db, table)}")
+    // SAMPLE sits between the table and WHERE in ClickHouse syntax
+    sample.foreach { case (f, o) =>
+      def plain(d: Double): String =
+        java.math.BigDecimal.valueOf(d).stripTrailingZeros.toPlainString
+      b.append(" SAMPLE ").append(plain(f))
+      if (o != 0.0) b.append(" OFFSET ").append(plain(o))
+    }
     if (allWhere.nonEmpty) b.append(" WHERE ").append(allWhere.mkString(" AND "))
     if (groupBy.nonEmpty) b.append(" GROUP BY ").append(groupBy.mkString(", "))
     if (orderBy.nonEmpty) b.append(" ORDER BY ").append(orderBy.mkString(", "))

@@ -785,6 +785,32 @@ object ConnectorQueries {
       s.table("clickhouse.main.cust_upd").select("c_custkey", "c_acctbal")
     },
 
+    // SAMPLE pushdown: df.sample on a sampling-keyed connector table
+    // ships as ClickHouse `SAMPLE f OFFSET o` — sampling happens IN the
+    // store on the declared key, so a 20% probe reads ~20% of the data
+    // instead of shipping everything for Spark to discard. The embedded
+    // model is the repo's deterministic md5-bucket hash, so the oracle
+    // recomputes the EXACT kept set (a local seeded Bernoulli sample
+    // could never hash-match — this gate fails loudly if the sample ever
+    // stops pushing). seed 7 → OFFSET 0.000007 → buckets [7, 200007).
+    q("r35_remote_sample",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 1000000
+        |  BETWEEN 7 AND 200006""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.ord_smp")
+      s.sql(
+        """CREATE TABLE clickhouse.main.ord_smp
+          |(o_orderkey BIGINT, o_totalprice DOUBLE)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'o_orderkey',
+          |  'sampling' = 'o_orderkey')""".stripMargin)
+      s.sql(
+        """INSERT INTO clickhouse.main.ord_smp
+          |SELECT o_orderkey, o_totalprice FROM orders""".stripMargin)
+      s.table("clickhouse.main.ord_smp")
+        .sample(withReplacement = false, 0.2, 7L)
+        .select("o_orderkey", "o_totalprice")
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

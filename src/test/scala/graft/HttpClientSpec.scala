@@ -264,7 +264,9 @@ class HttpClientSpec extends AnyFunSuite {
 
   private def handleQuery(sql: String, data: Array[Byte]): (Int, Array[Byte], Map[String, String]) = {
     queries.synchronized { queries += sql }
-    val q = sql.trim
+    // a real server executes SAMPLE in storage; this mock pins only the
+    // wire SHAPE (asserted against `queries`) and serves unsampled rows
+    val q = sql.trim.replaceAll(" SAMPLE [0-9.]+( OFFSET [0-9.]+)?", "")
     if (q.contains("`no_such_table`"))
       // error shape of the HTTP interface: non-200, text body, and the
       // ClickHouse exception code in X-ClickHouse-Exception-Code
@@ -294,6 +296,10 @@ class HttpClientSpec extends AnyFunSuite {
           case (t, (c, _)) if q.contains(s"table = '$t'") => c
         }.getOrElse(Seq.empty)
       tsvOk(cols.map { case (n, t) => s"$n\t$t" }.mkString("", "\n", "\n"))
+    } else if (q.startsWith("SELECT engine, sorting_key, partition_key, sampling_key")) {
+      // tables named smp_* declare a sampling key (SAMPLE BY id)
+      val smp = if (q.contains("name = 'smp_")) "id" else ""
+      tsvOk(s"MergeTree\tid\t\t$smp\n")
     } else if (q.startsWith("SELECT engine, sorting_key, partition_key"))
       tsvOk("MergeTree\tid\t\n")
     else if (q.startsWith("SELECT sum(bytes_on_disk)"))
@@ -902,6 +908,31 @@ class HttpClientSpec extends AnyFunSuite {
     ()
   }
 
+  test("df.sample ships a SAMPLE clause only for sampling-keyed tables " +
+    "(system.tables sampling_key gates the pushdown)") {
+    dynTables("smp_http") = (colTypes, mutable.ArrayBuffer(
+      (1 to 8).map(i =>
+        Map[String, Any]("id" -> i.toLong, "name" -> s"n$i", "val" -> i * 0.5)): _*))
+    assert(client.fetchTableOptions("main", "smp_http").get("sampling").contains("id"))
+    val df = spark.table("chhttp.main.smp_http")
+      .sample(withReplacement = false, 0.25, 3L)
+    df.collect() // mock serves unsampled rows; the WIRE SHAPE is the pin
+    val sampled = queries.synchronized {
+      queries.filter(q => q.contains("`smp_http`") && q.contains(" SAMPLE ")).toSeq
+    }
+    assert(sampled.exists(_.contains("SAMPLE 0.25 OFFSET 0.000003")),
+      s"wire statements: $sampled")
+    // events_http has no sampling key → sample stays local, no clause
+    val df2 = spark.table("chhttp.main.events_http")
+      .sample(withReplacement = false, 0.25, 3L)
+    df2.collect()
+    assert(!queries.synchronized {
+      queries.exists(q => q.contains("`events_http`") && q.contains(" SAMPLE "))
+    })
+    dynTables.remove("smp_http")
+    ()
+  }
+
   test("insertSelect returns written_rows from the summary header") {
     dynTables("src_copy") = (colTypes, mutable.ArrayBuffer(
       Map[String, Any]("id" -> 7L, "name" -> "s", "val" -> 0.25)))
@@ -986,6 +1017,9 @@ class HttpClientSpec extends AnyFunSuite {
    * | keep-alive connection reuse across requests     | http doc §HTTP interface    | doc    |
    * | count()/aggregates return UInt64 → plan-type    | data-types doc §UInt64      | doc    |
    * |   drift coerced by scan-level cast projection   |                             |        |
+   * | SELECT ... SAMPLE f OFFSET o storage sampling;  | select doc §SAMPLE clause + | doc    |
+   * |   SAMPLE BY in CREATE DDL; sampling_key column  |   system.tables doc         |        |
+   * |   of system.tables gates the pushdown           |                             |        |
    * | ALTER TABLE ... DELETE WHERE mutation;          | sql-reference §ALTER DELETE | doc    |
    * |   mutations_sync=1 waits for this replica's     |   + settings doc            |        |
    * |   parts to rewrite before returning             |                             |        |

@@ -123,6 +123,43 @@ class ScanPushdownSpec extends AnyFunSuite {
     assert(paged.collect().map(_.getString(0)).toSeq == Seq("c", "a"))
   }
 
+  test("df.sample pushes as remote SAMPLE on a sampling-keyed table; " +
+    "semantics are the declared md5-bucket model, seed maps to OFFSET") {
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("db", "smp",
+      Seq("id" -> "Int64", "v" -> "Float64"),
+      Map("engine" -> "MergeTree", "sampling" -> "id"))
+    val schema = client.sparkSchema("db", "smp")
+    client.insert("db", "smp", schema,
+      (1L to 500L).map(i => Row(i, i * 0.5)))
+    val df = spark.table("chspd.db.smp").sample(withReplacement = false, 0.2, 7L)
+    val got = df.collect().map(_.getLong(0)).toSet
+    val sql = chScans(df).head.generatedSql
+    assert(sql.contains("SAMPLE 0.2 OFFSET 0.000007"), sql)
+    // expected subset: the documented deterministic bucket model,
+    // recomputed independently with Spark expressions
+    import spark.implicits._
+    val expected = (1L to 500L).toDF("id")
+      .filter(expr(
+        "pmod(CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT), 1000000) BETWEEN 7 AND 200006"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"got ${got.size} rows, expected ${expected.size}")
+    // a pushed sample composes with a pushed filter (sample clause sits
+    // between table and WHERE, server applies sampling first)
+    val df2 = spark.table("chspd.db.smp")
+      .sample(withReplacement = false, 0.2, 7L).filter(col("id") <= 250)
+    val sql2 = chScans(df2).head.generatedSql
+    assert(sql2.contains("SAMPLE 0.2 OFFSET 0.000007 WHERE `id` <= 250"), sql2)
+    assert(df2.collect().map(_.getLong(0)).toSet == expected.filter(_ <= 250L))
+    // no declared sampling key → honored-or-rejected: stays a LOCAL
+    // Sample node, the scan SQL carries no SAMPLE clause
+    val df3 = spark.table("chspd.db.sales").sample(withReplacement = false, 0.5, 1L)
+    df3.collect()
+    assert(!chScans(df3).head.generatedSql.contains("SAMPLE"))
+    client.dropTable("db", "smp")
+  }
+
   test("runtime filter from a federated broadcast join narrows the remote scan") {
     import spark.implicits._
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
