@@ -19,15 +19,47 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) in parquet, which Spark's reader
-      // rejects. Read nanos as long and convert to TimestampType (micros) —
-      // monotonic truncation, so ordering/date_trunc semantics survive.
+      // events.ts has shipped as TIMESTAMP(NANOS) (which Spark's reader
+      // rejects — read nanos as long, truncate to micros) and as plain
+      // timestamp[us] (reads as TIMESTAMP_NTZ). Normalize BY RESOLVED TYPE
+      // to session-zoned TimestampType micros so every query downstream
+      // sees one shape regardless of which corpus generation is on disk.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros((org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", normalizedTs(raw.schema("ts").dataType))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts raw column → TimestampType micros, dispatched on the raw
+    * parquet type (see [[load]]). Sessions run UTC, so the NTZ cast and
+    * DuckDB's native read of the same file agree on instants.
+    */
+  def normalizedTs(raw: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw match {
+      case LongType => timestamp_micros((col("ts") / 1000L).cast("long"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType => col("ts")
+      case other => throw new IllegalStateException(
+        s"unexpected events.ts parquet type: ${other.simpleString}")
+    }
+  }
+
+  /** A literal of `micros` rendered in the RAW events.ts type — for rows
+    * appended next to the raw file (streaming sentinels).
+    */
+  def rawTsLit(micros: Long, raw: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw match {
+      case LongType => lit(micros * 1000L)
+      case TimestampNTZType => timestamp_micros(lit(micros)).cast(TimestampNTZType)
+      case TimestampType => timestamp_micros(lit(micros))
+      case other => throw new IllegalStateException(
+        s"unexpected events.ts parquet type: ${other.simpleString}")
+    }
   }
 
   // one registration per (session, dir): every gate query calls register,

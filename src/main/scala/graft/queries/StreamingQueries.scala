@@ -25,12 +25,10 @@ object StreamingQueries {
 
   private val runSeq = new AtomicInteger()
 
-  /** Stream the events table through `build`, drain with AvailableNow,
-    * return the sink table. The parquet file carries TIMESTAMP(NANOS), so
-    * (as in graft.Tables.load) nanos are read as long and truncated to
-    * micros.
+  /** A fresh streaming read of the events table, ts normalized to
+    * TimestampType micros whatever the raw parquet type is (nanos-as-long
+    * or native timestamp[us] — graft.Tables.normalizedTs).
     */
-  /** A fresh streaming read of the events table (micros timestamps). */
   private[queries] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -38,7 +36,7 @@ object StreamingQueries {
     // glob pinned to the events file
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
   }
 
   /** Drain a built streaming DataFrame with AvailableNow into a memory
@@ -155,7 +153,7 @@ object StreamingQueries {
         val maxTus = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
 
         // stage dir: the raw events file + one sentinel row per user at
-        // maxTs + 2*gap (raw schema: ts is int64 nanos under nanosAsLong)
+        // maxTs + 2*gap, written in the file's own raw ts type
         val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
           else sys.props("java.io.tmpdir")
         val stage = new java.io.File(s"$base/graft_sess_stage_${runSeq.incrementAndGet()}")
@@ -166,12 +164,12 @@ object StreamingQueries {
           stage.toPath.resolve("events.parquet"))
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val sentNanos = (maxTus + 2 * gap) * 1000L
         val sentinels = ev.select(col("user_id")).distinct()
           .select(rawSchema.fields.map { f =>
             f.name match {
               case "user_id" => col("user_id").cast(f.dataType).as(f.name)
-              case "ts" => lit(sentNanos).cast(f.dataType).as(f.name)
+              case "ts" =>
+                graft.Tables.rawTsLit(maxTus + 2 * gap, f.dataType).as(f.name)
               case "event_type" => lit("sentinel").cast(f.dataType).as(f.name)
               case _ => lit(null).cast(f.dataType).as(f.name)
             }
@@ -184,7 +182,7 @@ object StreamingQueries {
 
         val stream = s.readStream.schema(rawSchema)
           .option("pathGlobFilter", "*.parquet").parquet(stage.getPath)
-          .withColumn("et", timestamp_micros((col("ts") / 1000L).cast("long")))
+          .withColumn("et", graft.Tables.normalizedTs(rawSchema("ts").dataType))
           .withWatermark("et", "0 seconds")
         val keyed = stream.select(
           col("user_id").cast("long").as("key"),

@@ -33,7 +33,7 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", graft.Tables.normalizedTs(rawSchema("ts").dataType))
     val deduped = StreamingOps.dedupWithinWatermark(
       stream, "ts", "1 hour", Seq("user_id", "event_type"))
       .select("user_id", "event_type")
@@ -168,14 +168,14 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    // events.ts is TIMESTAMP(NANOS): read ns-as-long then convert, same as
-    // the batch path in Tables.load
+    // normalize ts by resolved raw type, same as the batch path in
+    // Tables.load (nanos-as-long and native-micros corpora both occur)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
 
     val stream = spark.readStream.schema(rawSchema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", graft.Tables.normalizedTs(rawSchema("ts").dataType))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
