@@ -20,8 +20,8 @@ object ChOptions {
     "pool_max_lifetime", "pool_idle_timeout", "pool_connection_timeout",
     "pool_retry_connection",
     // engine knobs
-    "coerce_schemas", "read.streams", "read.split_by", "write.concurrency",
-    "write.batch_size")
+    "coerce_schemas", "read.streams", "read.split_by", "read.bucket_by",
+    "read.buckets", "write.concurrency", "write.batch_size")
 
   private val BoolCatalogKeys = Set(
     "use_tls", "strings_as_strings", "pool_test_on_check_out",
@@ -42,7 +42,7 @@ object ChOptions {
   private val IntCatalogKeys = Set(
     "cloud_timeout", "cloud_wakeup", "pool_max_size", "pool_min_idle",
     "pool_max_lifetime", "pool_idle_timeout", "pool_connection_timeout",
-    "read.streams", "write.concurrency", "write.batch_size")
+    "read.streams", "read.buckets", "write.concurrency", "write.batch_size")
 
   /** Table-creation keys (params.rs create surface) + embedded attach. */
   val TableKeys: Set[String] = Set(

@@ -33,7 +33,8 @@ import graft.types.ClickHouseType
   * `settings`, `external_paths` (embedded transport: attach existing
   * parquet zero-copy).
   */
-class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
+class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
 
   private var catalogName: String = _
   private var client: ClickHouseClient with Serializable = _
@@ -95,9 +96,31 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces {
     // ON casts remote batches whose wire types drift from the declared
     // plan schema (per-batch projection cost); OFF fails fast instead
     coerceSchemas = Option(options.get("coerce_schemas")).forall(_.toBoolean)
-    readDefaults = Option(options.get("read.split_by"))
-      .map(v => Map("split_by" -> v)).getOrElse(Map.empty)
+    readDefaults = Seq(
+      "split_by" -> "read.split_by",
+      "bucket_by" -> "read.bucket_by",
+      "buckets" -> "read.buckets")
+      .flatMap { case (k, opt) => Option(options.get(opt)).map(k -> _) }
+      .toMap
   }
+
+  // ---- functions: the co-partitioning bucket transform ----
+
+  /** The `bucket(n, col)` transform that bucketed reads report in their
+    * KeyGroupedPartitioning resolves HERE — Spark looks the name up in
+    * the scan relation's owning catalog (FunctionCatalog surface) to
+    * build the TransformExpression that storage-partitioned joins
+    * compare across the two sides.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespaceExists(namespace))
+      Array(Identifier.of(Array.empty, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) ChBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def name(): String = catalogName
 

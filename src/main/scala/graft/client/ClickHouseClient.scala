@@ -77,6 +77,20 @@ trait ClickHouseClient extends Serializable {
       numStreams: Int): (StructType, Seq[ChPartitionHandle]) =
     planQuery(sql, numStreams)
 
+  /** Bucket-keyed variant of [[planQuery]]: partition the result into
+    * EXACTLY `numBuckets` handles where handle i holds precisely the rows
+    * with `pmod(murmur3(bucketColumn, 42), numBuckets) = i` (the contract
+    * [[graft.catalog.ChBoundBucket]] declares to Spark). Two scans
+    * bucketed this way on their join keys are co-partitioned, so Spark's
+    * storage-partitioned join runs with ZERO shuffle — the 100 TB
+    * federated-join path. `None` = this transport cannot key its streams
+    * by bucket (callers must reject the option, never silently degrade).
+    */
+  def planQueryBuckets(
+      sql: String,
+      bucketColumn: String,
+      numBuckets: Int): Option[(StructType, Seq[ChPartitionHandle])] = None
+
   /** Open one stream EXECUTOR-SIDE and pull its rows incrementally (the
     * reference's `poll_next` loop, stream.rs:30-43). Must be callable from
     * any task thread after the client deserializes into the closure.

@@ -308,24 +308,32 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         s"FROM `$db`.`$t` WHERE $cond" + (if (hadWhere) " AND " else " "))
     })
 
-  override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
-    val entry = serverEntry()
-    val spark = entry.session
-    // analyzed-plan cache: a server keeps prepared statements; repeated
-    // identical remote SQL (bench iterations, re-planned scans) skips
-    // parse+analysis. Keyed inside the per-version entry, so any store
-    // mutation drops it with the session. Bounded: runtime-filter
-    // literals make distinct SQL per execution, so the cache resets
-    // rather than growing without limit on long read-only sessions.
+  /** Translate + analyze `sql` on the server session, through the
+    * analyzed-plan cache: a server keeps prepared statements; repeated
+    * identical remote SQL (bench iterations, re-planned scans) skips
+    * parse+analysis. Keyed inside the per-version entry, so any store
+    * mutation drops it with the session. Bounded: runtime-filter
+    * literals make distinct SQL per execution, so the cache resets
+    * rather than growing without limit on long read-only sessions.
+    */
+  private def resolveQueryDf(
+      entry: EmbeddedClickHouse.CachedServer,
+      sql: String): org.apache.spark.sql.DataFrame = {
     if (entry.dfCache.size > 64) entry.dfCache.clear()
-    val df = entry.dfCache.computeIfAbsent(sql, _ => {
+    entry.dfCache.computeIfAbsent(sql, _ => {
       val tables = knownTables
       val tr = ChSqlTranslator.translate(rewriteSample(sql), tables)
       ensureViews(entry, tr, tables)
-      try spark.sql(tr) catch { case e: Throwable =>
+      try entry.session.sql(tr) catch { case e: Throwable =>
         throw new IllegalArgumentException(
           s"translated SQL failed: ${e.getMessage}\n--- translated ---\n$tr", e) }
     })
+  }
+
+  override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
+    val entry = serverEntry()
+    val spark = entry.session
+    val df = resolveQueryDf(entry, sql)
     val schema = df.schema
     val spillRoot = Paths.get(root, ".spill")
     cleanStaleSpills(spillRoot)
@@ -358,6 +366,44 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         files.grouped(chunk).toSeq
       }
     (schema, groups.map(g => ChSpillHandle(g, schema.length, schema.json)))
+  }
+
+  /** Bucket-keyed read ([[ClickHouseClient.planQueryBuckets]]): route the
+    * result through Spark's own HashPartitioning on the bucket column —
+    * partition i then holds exactly the rows with
+    * `pmod(murmur3(col, 42), n) = i`, which is bit-for-bit the contract
+    * [[graft.catalog.ChBoundBucket]] reports to Spark's storage-
+    * partitioned join. EXACTLY n handles come back, index = bucket id
+    * (empty buckets stay as empty handles so both join sides always
+    * align positionally).
+    */
+  override def planQueryBuckets(
+      sql: String,
+      bucketColumn: String,
+      numBuckets: Int): Option[(StructType, Seq[ChPartitionHandle])] = {
+    val entry = serverEntry()
+    val df = resolveQueryDf(entry, sql)
+    val schema = df.schema
+    require(schema.fieldNames.contains(bucketColumn),
+      s"bucket column '$bucketColumn' not in result schema " +
+        schema.fieldNames.mkString(", "))
+    val spillRoot = Paths.get(root, ".spill")
+    cleanStaleSpills(spillRoot)
+    val dir = spillRoot.resolve(java.util.UUID.randomUUID.toString)
+    Files.createDirectories(dir)
+    val dirStr = dir.toString
+    val source = df.repartition(numBuckets, df(bucketColumn))
+    val internal = source.queryExecution.toRdd
+    val files = internal.mapPartitionsWithIndex { (i, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val f = Paths.get(dirStr, f"stream-$i%05d.rows")
+        RowSpill.write(f, schema, it)
+        Iterator.single(i -> f.toString)
+      }
+    }.collect().toMap
+    Some((schema, (0 until numBuckets).map(i =>
+      ChSpillHandle(files.get(i).toSeq, schema.length, schema.json))))
   }
 
   override def readPartitionInternal(

@@ -278,9 +278,56 @@ class ChScan(
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
     sample: Option[(Double, Double)] = None)
   extends Scan with Batch with SupportsRuntimeV2Filtering
-  with SupportsReportStatistics {
+  with SupportsReportStatistics with SupportsReportPartitioning {
 
   @volatile private var runtimeWhere: Seq[String] = Seq.empty
+
+  /** Bucketed read (`bucket_by` + `buckets` read options): validated
+    * spec, or None when the scan shape can't key its streams by bucket
+    * (pushed agg/top-k/limit/sample reshape or drop rows positionally —
+    * only a plain projected-filtered scan routes whole rows). Option
+    * errors are loud: half-set pairs, unknown columns, or combining with
+    * `split_by` fail here rather than silently degrading (the transport
+    * itself rejects inside planInputPartitions if it can't bucket).
+    */
+  private def bucketSpec: Option[(String, Int)] = {
+    val by = Option(scanOptions.get("bucket_by"))
+    val n = Option(scanOptions.get("buckets")).map(_.toInt)
+    (by, n) match {
+      case (None, None) => None
+      case (Some(_), None) => throw new IllegalArgumentException(
+        "bucket_by requires buckets = <numBuckets>")
+      case (None, Some(_)) => throw new IllegalArgumentException(
+        "buckets requires bucket_by = <column>")
+      case (Some(c), Some(k)) =>
+        require(k > 0, s"buckets must be positive, got $k")
+        require(Option(scanOptions.get("split_by")).isEmpty,
+          "bucket_by and split_by are mutually exclusive read options")
+        require(fullSchema.fieldNames.contains(c),
+          s"bucket_by column '$c' not in ${fullSchema.fieldNames.mkString(", ")}")
+        if (!aggregated && limit.isEmpty && offset.isEmpty &&
+          orderBy.isEmpty && sample.isEmpty && select.exists(_._2 == c))
+          Some((c, k))
+        else None
+    }
+  }
+
+  /** Storage-partitioned-join surface: a bucketed read reports
+    * `KeyGroupedPartitioning(bucket(n, col))` — two such scans bucketed
+    * the same way on their join keys co-partition, and Spark plans the
+    * join with ZERO shuffle (the bucket function identity lives in
+    * [[graft.catalog.ChBucketFunction]], resolved through the catalog's
+    * FunctionCatalog surface). Needs
+    * spark.sql.sources.v2.bucketing.enabled=true on the session.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketSpec match {
+      case Some((c, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** Shape-aware size estimate so join placement (broadcast vs shuffle)
     * sees real remote sizes: base = the store's on-disk table size; a
@@ -411,15 +458,34 @@ class ChScan(
     val splitBy = Option(scanOptions.get("split_by")).filter(c =>
       !aggregated && limit.isEmpty && offset.isEmpty && orderBy.isEmpty &&
         select.exists(_._2 == c))
-    val (resultSchema, handles) = splitBy match {
-      case Some(c) => client.planQueryRanges(sql, c, readStreams)
-      case None => client.planQuery(sql, readStreams)
+    bucketSpec match {
+      case Some((c, n)) =>
+        // bucket-keyed read: handle i = bucket i, reported to Spark via
+        // HasPartitionKey so storage-partitioned joins line partitions up
+        val (resultSchema, handles) = client.planQueryBuckets(sql, c, n)
+          .getOrElse(throw new IllegalArgumentException(
+            s"this transport cannot bucket reads (bucket_by=$c); " +
+              "bucketed reads need a transport that keys streams by bucket"))
+        require(handles.length == n,
+          s"transport returned ${handles.length} buckets, expected $n")
+        if (out.nonEmpty) {
+          require(resultSchema.length == out.length,
+            s"remote result arity ${resultSchema.length} != expected ${out.length} for $sql")
+        }
+        handles.zipWithIndex.map { case (h, i) =>
+          ChBucketInputPartition(h, i): InputPartition
+        }.toArray
+      case None =>
+        val (resultSchema, handles) = splitBy match {
+          case Some(c) => client.planQueryRanges(sql, c, readStreams)
+          case None => client.planQuery(sql, readStreams)
+        }
+        if (out.nonEmpty) {
+          require(resultSchema.length == out.length,
+            s"remote result arity ${resultSchema.length} != expected ${out.length} for $sql")
+        }
+        handles.map(h => ChInputPartition(h): InputPartition).toArray
     }
-    if (out.nonEmpty) {
-      require(resultSchema.length == out.length,
-        s"remote result arity ${resultSchema.length} != expected ${out.length} for $sql")
-    }
-    handles.map(h => ChInputPartition(h): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -428,6 +494,33 @@ class ChScan(
 
 final case class ChInputPartition(handle: graft.client.ChPartitionHandle)
   extends InputPartition
+
+/** A bucket-keyed input partition: `partitionKey` carries the bucket id
+  * in the shape of the reported `bucket(n, col)` transform's result
+  * (one INT), which is how Spark matches partitions across the two sides
+  * of a storage-partitioned join.
+  */
+final case class ChBucketInputPartition(
+    handle: graft.client.ChPartitionHandle,
+    bucketId: Int)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucketId))
+}
+
+object ChReaderFactory {
+  /** Both partition shapes (plain and bucket-keyed) carry the same kind
+    * of transport handle; readers are shape-agnostic.
+    */
+  def handleOf(partition: InputPartition): graft.client.ChPartitionHandle =
+    partition match {
+      case ChInputPartition(h) => h
+      case ChBucketInputPartition(h, _) => h
+      case other => throw new IllegalArgumentException(
+        s"not a ClickHouse partition: ${other.getClass.getName}")
+    }
+}
 
 /** Executor-side reader: pulls the handle's stream incrementally in
   * INTERNAL format (no external-row detour — the transport decodes
@@ -448,7 +541,7 @@ class ChReaderFactory(client: ClickHouseClient, schema: StructType)
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val handle = partition.asInstanceOf[ChInputPartition].handle
+    val handle = ChReaderFactory.handleOf(partition)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var itOpt: Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = _
       private def it = {
@@ -468,7 +561,7 @@ class ChReaderFactory(client: ClickHouseClient, schema: StructType)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val handle = partition.asInstanceOf[ChInputPartition].handle
+    val handle = ChReaderFactory.handleOf(partition)
     new PartitionReader[InternalRow] {
       private var itOpt: Iterator[InternalRow] = _
       private def it: Iterator[InternalRow] = {

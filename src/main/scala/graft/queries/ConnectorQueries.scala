@@ -811,6 +811,51 @@ object ConnectorQueries {
         .select("o_orderkey", "o_totalprice")
     },
 
+    // STORAGE-PARTITIONED cross-store join: each store reads bucket-keyed
+    // (`bucket_by`/`buckets` options — the transport routes rows with
+    // pmod(murmur3(key),n) and each scan reports
+    // KeyGroupedPartitioning(bucket(n, key), catalog FunctionCatalog +
+    // HasPartitionKey), so Spark lines the two sides' buckets up and
+    // plans the join with ZERO exchange between the scans and the join.
+    // Cross-store joins can never collapse into one remote SQL (r28), so
+    // at 100 TB this is the difference between shuffling both warehouses
+    // over the cluster and streaming co-located buckets straight into
+    // the join. The merge hint pins the co-partitioned plan where gate-
+    // scale stats would pick a broadcast; GatePlanSpec asserts the
+    // join subtree is exchange-free.
+    q("r36_spj_cross_store",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root2 = s"/root/repo/target/chstore2_$tag"
+      val client2 = new EmbeddedClickHouse(root2)
+      if (!client2.tableExists("main", "customer")) {
+        client2.createTable("main", "customer", Seq(
+          "c_custkey" -> "Nullable(Int64)", "c_name" -> "Nullable(String)",
+          "c_nationkey" -> "Nullable(Int32)", "c_acctbal" -> "Nullable(Float64)",
+          "c_mktsegment" -> "Nullable(String)"),
+          Map("engine" -> "MergeTree"))
+        client2.attachExternal("main", "customer", Seq(s"$dir/customer.parquet"))
+      }
+      val cat = s"clickhouse2_$tag" // per-sfdir name, same reason as r28
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", root2)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val o = s.read.option("bucket_by", "o_custkey").option("buckets", "8")
+        .table("clickhouse.main.orders")
+      val c = s.read.option("bucket_by", "c_custkey").option("buckets", "8")
+        .table(s"$cat.main.customer")
+      o.join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

@@ -200,6 +200,38 @@ class GatePlanSpec extends AnyFunSuite {
     }.nonEmpty)
   }
 
+  test("r36 storage-partitioned cross-store join: exchange-free join subtree") {
+    val df = SparkEntry.queries("r36_spj_cross_store")(spark, sfDir)
+    assert(df.count() > 0)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val all = flatten(df.queryExecution.executedPlan)
+    // the co-partitioned join: a real join node whose SUBTREE holds both
+    // bucket-keyed scans and not one exchange — the buckets line up via
+    // KeyGroupedPartitioning, nothing reshuffles before the join
+    val join = all.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.getOrElse(fail(s"no join node in:\n${all.head}"))
+    val sub = flatten(join)
+    assert(sub.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"join subtree must be exchange-free:\n$join")
+    val scans = sub.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[graft.connector.ChScan] => b
+    }
+    assert(scans.size == 2, s"expected both bucket-keyed scans under the join")
+    // and they really are keyed: every input partition advertises its
+    // bucket via HasPartitionKey
+    scans.foreach { b =>
+      assert(b.inputRDD.partitions.length == 8)
+    }
+  }
+
   test("r29 anti-join + dim join + agg collapse into one remote SQL") {
     val df = SparkEntry.queries("r29_remote_anti_join")(spark, sfDir)
     // non-vacuous: the date-restricted anti slice must produce rows at
