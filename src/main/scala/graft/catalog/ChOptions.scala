@@ -21,11 +21,12 @@ object ChOptions {
     "pool_retry_connection",
     // engine knobs
     "coerce_schemas", "read.streams", "read.split_by", "read.bucket_by",
-    "read.buckets", "write.concurrency", "write.batch_size")
+    "read.buckets", "write.concurrency", "write.batch_size",
+    "write.distribute")
 
   private val BoolCatalogKeys = Set(
     "use_tls", "strings_as_strings", "pool_test_on_check_out",
-    "pool_retry_connection", "coerce_schemas")
+    "pool_retry_connection", "coerce_schemas", "write.distribute")
 
   /** Keys the HTTP transport actually honors — the catalog rejects any
     * other key when `endpoint` is set (honored-or-rejected contract; a
@@ -37,7 +38,7 @@ object ChOptions {
     "pool_retry_connection",
     // transport-agnostic connector knobs, consumed by the catalog itself
     "coerce_schemas", "read.streams", "read.split_by", "write.concurrency",
-    "write.batch_size")
+    "write.batch_size", "write.distribute")
 
   private val IntCatalogKeys = Set(
     "cloud_timeout", "cloud_wakeup", "pool_max_size", "pool_min_idle",

@@ -41,6 +41,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
   private var readStreams: Int = 4
   private var writeConcurrency: Int = 4
   private var writeBatchSize: Int = 10000
+  private var writeDistribute: Boolean = true
   private var coerceSchemas: Boolean = true
   private var readDefaults: Map[String, String] = Map.empty
 
@@ -92,6 +93,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
     readStreams = Option(options.get("read.streams")).map(_.toInt).getOrElse(4)
     writeConcurrency = Option(options.get("write.concurrency")).map(_.toInt).getOrElse(4)
     writeBatchSize = Option(options.get("write.batch_size")).map(_.toInt).getOrElse(10000)
+    writeDistribute = Option(options.get("write.distribute")).forall(_.toBoolean)
     // per-catalog schema-coercion toggle (reference builders.rs:131-135):
     // ON casts remote batches whose wire types drift from the declared
     // plan schema (per-batch projection cost); OFF fails fast instead
@@ -190,7 +192,8 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(ident.namespace() :+ ident.name())
     val schema = ClickHouseType.toStructType(client.fetchColumns(db, ident.name()))
     new ClickHouseTable(client, db, ident.name(), schema, readStreams,
-      writeConcurrency, writeBatchSize, coerceSchemas, readDefaults)
+      writeConcurrency, writeBatchSize, coerceSchemas, readDefaults,
+      writeDistribute)
   }
 
   override def createTable(

@@ -282,6 +282,44 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     * equivalent WHERE conjunct before translation; a table without a
     * declared `sampling` key rejects the clause, like the server.
     */
+  /** `FROM db.t FINAL` — dedup-on-read for ReplacingMergeTree tables.
+    * The embedded model keeps, per ORDER BY key, the row with the MAX
+    * declared version column (`ReplacingMergeTree(ver)`), which is the
+    * server's documented survivor rule when a version column exists.
+    * Engines without a version column are rejected: their tiebreak is
+    * part-insertion order, which this store cannot reproduce
+    * deterministically — failing loudly beats a wrong dedup. (Rows tying
+    * on (key, ver) have no deterministic survivor on the server either;
+    * callers wanting hash-stable FINAL reads keep (key, ver) unique.)
+    */
+  private val FinalClause = "FROM `([^`]+)`\\.`([^`]+)` FINAL".r
+
+  private def rewriteFinal(sql: String): String =
+    FinalClause.replaceAllIn(sql, m => {
+      val (db, t) = (m.group(1), m.group(2))
+      require(tableExists(db, t), s"no such table $db.$t")
+      val (cols, opts, _) = readMeta(db, t)
+      val VerRe = "ReplacingMergeTree\\(\\s*([^)\\s]+)\\s*\\)".r
+      val ver = opts.getOrElse("engine", "") match {
+        case VerRe(v) => v
+        case e => throw new IllegalArgumentException(
+          s"FINAL on $db.$t: the embedded store supports FINAL only on " +
+            s"ReplacingMergeTree(<version_column>) (engine is '$e'; without " +
+            "a version column the server's part-order tiebreak is not " +
+            "reproducible here)")
+      }
+      require(cols.exists(_._1 == ver),
+        s"FINAL on $db.$t: version column '$ver' not in table columns")
+      val keys = opts.getOrElse("order_by", throw new IllegalArgumentException(
+        s"FINAL on $db.$t: table declares no order_by key"))
+        .split(",").map(k => s"`${k.trim}`").mkString(", ")
+      val colList = cols.map { case (c, _) => s"`$c`" }.mkString(", ")
+      java.util.regex.Matcher.quoteReplacement(
+        s"FROM (SELECT $colList FROM (SELECT *, ROW_NUMBER() OVER " +
+          s"(PARTITION BY $keys ORDER BY `$ver` DESC) AS __gf_rn " +
+          s"FROM `$db`.`$t`) AS __gf_in WHERE __gf_rn = 1) AS `$t`")
+    })
+
   private val SampleClause =
     ("FROM `([^`]+)`\\.`([^`]+)` SAMPLE ([0-9.]+)" +
       "(?: OFFSET ([0-9.]+))?( WHERE )?").r
@@ -322,7 +360,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     if (entry.dfCache.size > 64) entry.dfCache.clear()
     entry.dfCache.computeIfAbsent(sql, _ => {
       val tables = knownTables
-      val tr = ChSqlTranslator.translate(rewriteSample(sql), tables)
+      val tr = ChSqlTranslator.translate(rewriteSample(rewriteFinal(sql)), tables)
       ensureViews(entry, tr, tables)
       try entry.session.sql(tr) catch { case e: Throwable =>
         throw new IllegalArgumentException(

@@ -45,7 +45,8 @@ class ClickHouseTable(
     writeConcurrency: Int = 4,
     writeBatchSize: Int = 10000,
     coerceSchemas: Boolean = true,
-    readDefaults: Map[String, String] = Map.empty)
+    readDefaults: Map[String, String] = Map.empty,
+    writeDistribute: Boolean = true)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"$db.$table"
@@ -84,7 +85,7 @@ class ClickHouseTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ChWriteBuilder(client, db, table, info.schema(), writeConcurrency,
-      writeBatchSize, info.queryId())
+      writeBatchSize, info.queryId(), distribute = writeDistribute)
 }
 
 object ClickHouseTable {
@@ -243,10 +244,28 @@ class ChScanBuilder(
       case None => required.fieldNames.toSeq.map(n => ChSql.quoteIdent(n) -> n)
     }
     val groupBy = agg.fold(Seq.empty[String])(_._1.map(g => ChSql.quoteIdent(g.name)))
+    // FINAL (`final=true` read option): dedup-on-read for Replacing-family
+    // engines — `FROM t FINAL` collapses rows sharing the table's ORDER BY
+    // key to the surviving version BEFORE filters/aggregates apply, the
+    // mutable-dimension read (upserts modeled as inserts, resolved at
+    // read). Honored-or-rejected: only engines with replace semantics
+    // accept it, and SAMPLE cannot combine (the embedded model can't
+    // express FINAL+SAMPLE; rejecting beats silently dropping either).
+    val finalRead = Option(scanOptions.get("final")).exists(_.toBoolean)
+    if (finalRead) {
+      val engine = client.fetchTableOptions(db, table).getOrElse("engine", "")
+      require(engine.startsWith("ReplacingMergeTree"),
+        s"final=true requires a ReplacingMergeTree engine, $db.$table is " +
+          s"'$engine' (FINAL has no effect on append-only engines — " +
+          "rejected rather than silently inert)")
+      require(sample.isEmpty,
+        "final=true cannot combine with a pushed TABLESAMPLE")
+    }
     new ChScan(client, db, table, select, compiled, groupBy, orderBy, limit,
       outputSchema, readStreams, aggregated = agg.isDefined,
       coerceSchemas = coerceSchemas, offset = offset,
-      fullSchema = fullSchema, scanOptions = scanOptions, sample = sample)
+      fullSchema = fullSchema, scanOptions = scanOptions, sample = sample,
+      finalMod = finalRead)
   }
 }
 
@@ -276,7 +295,8 @@ class ChScan(
     fullSchema: StructType = StructType(Nil),
     scanOptions: CaseInsensitiveStringMap =
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
-    sample: Option[(Double, Double)] = None)
+    sample: Option[(Double, Double)] = None,
+    finalMod: Boolean = false)
   extends Scan with Batch with SupportsRuntimeV2Filtering
   with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -367,7 +387,8 @@ class ChScan(
       }.mkString(", ")
     val allWhere = where ++ extraWhere
     val b = new StringBuilder(s"SELECT $sel FROM ${ChSql.quoteTable(db, table)}")
-    // SAMPLE sits between the table and WHERE in ClickHouse syntax
+    // FINAL directly follows the table; SAMPLE sits between it and WHERE
+    if (finalMod) b.append(" FINAL")
     sample.foreach { case (f, o) =>
       def plain(d: Double): String =
         java.math.BigDecimal.valueOf(d).stripTrailingZeros.toPlainString
@@ -424,6 +445,10 @@ class ChScan(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(!aggregated && limit.isEmpty && offset.isEmpty && orderBy.isEmpty,
       "streaming read supports projection/filter scans only")
+    require(!finalMod,
+      "streaming read cannot combine with final=true: FINAL re-resolves " +
+        "versions per query, so cursor-range micro-batches would not " +
+        "compose deterministically")
     val cursor = Option(scanOptions.get("stream_cursor")).getOrElse(
       throw new IllegalArgumentException(
         "streaming read requires reader option stream_cursor = " +
@@ -597,10 +622,60 @@ class ChWriteBuilder(
     inputSchema: StructType,
     writeConcurrency: Int,
     batchSize: Int,
-    queryId: String = "batch")
+    queryId: String = "batch",
+    distribute: Boolean = true)
   extends WriteBuilder {
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+    with RequiresDistributionAndOrdering {
+
+    /** Layout-aware ingest: rows arrive at write tasks CLUSTERED by the
+      * table's `partition_by` columns and SORTED by its `order_by`
+      * columns. Per the server's storage model each (task × touched
+      * partition) becomes a part — unaligned inserts into a
+      * partitioned 100 TB table fan every task across every partition
+      * ("too many parts" is the canonical ClickHouse ingest failure),
+      * and the server re-sorts every block by the table key on arrival.
+      * Clustering makes parts-per-insert O(partitions), not
+      * O(tasks × partitions); pre-sorting makes the server's sort a
+      * no-op merge. Only plain column names participate (expression
+      * keys like toYYYYMM(d) stay server-side); `write.distribute =
+      * false` opts out.
+      */
+    private lazy val layout: (Seq[String], Seq[String]) = {
+      if (!distribute) (Nil, Nil)
+      else {
+        val opts = try client.fetchTableOptions(db, table)
+          catch { case _: Exception => Map.empty[String, String] }
+        def cols(key: String): Seq[String] =
+          opts.get(key).toSeq.flatMap(_.split(",")).map(_.trim)
+            .filter(c => inputSchema.fieldNames.contains(c))
+        (cols("partition_by"), cols("order_by"))
+      }
+    }
+
+    override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
+      val cluster = layout._1
+      if (cluster.isEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      else
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          cluster.map(c => org.apache.spark.sql.connector.expressions.Expressions
+            .identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    }
+
+    // clustering is an optimization, not a correctness requirement: let
+    // Spark skip the exchange when its cost model says so (e.g. tiny
+    // single-partition inserts)
+    override def distributionStrictlyRequired(): Boolean = false
+
+    override def requiredOrdering(): Array[V2SortOrder] =
+      layout._2.map { c =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+      }.toArray
+
     override def toBatch: BatchWrite =
       new ChBatchWrite(client, db, table, inputSchema, writeConcurrency, batchSize)
 

@@ -856,6 +856,36 @@ object ConnectorQueries {
           countDistinct(col("o_custkey")).as("n_cust"))
     },
 
+    // FINAL dedup-on-read (ReplacingMergeTree): upserts modeled as plain
+    // inserts — base rows at ver=1, a second wave re-inserting keys < 10
+    // at ver=2 — resolve AT READ to the max-version survivor per ORDER
+    // BY key (`final=true` read option → `FROM t FINAL`). This is the
+    // mutable-dimension pattern at 100 TB: no row is ever rewritten on
+    // ingest; the store collapses versions in merges and FINAL forces
+    // the collapsed view. The oracle recomputes the survivor set in
+    // closed form from the raw table, so the gate hash-fails if FINAL
+    // ever stops deduplicating (or dedups by the wrong rule).
+    q("r37_final_dedup",
+      """SELECT n_nationkey AS k,
+        |  CASE WHEN n_nationkey < 10 THEN n_name || '_v2' ELSE n_name END AS v,
+        |  CAST(CASE WHEN n_nationkey < 10 THEN 2 ELSE 1 END AS INT) AS ver
+        |FROM nation""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.dim_nation")
+      s.sql(
+        """CREATE TABLE clickhouse.main.dim_nation (k INT, v STRING, ver INT)
+          |TBLPROPERTIES ('engine' = 'ReplacingMergeTree(ver)',
+          |  'order_by' = 'k')""".stripMargin)
+      s.sql(
+        """INSERT INTO clickhouse.main.dim_nation
+          |SELECT CAST(n_nationkey AS INT), n_name, 1 FROM nation""".stripMargin)
+      s.sql(
+        """INSERT INTO clickhouse.main.dim_nation
+          |SELECT CAST(n_nationkey AS INT), concat(n_name, '_v2'), 2
+          |FROM nation WHERE n_nationkey < 10""".stripMargin)
+      s.read.option("final", "true").table("clickhouse.main.dim_nation")
+        .select("k", "v", "ver")
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

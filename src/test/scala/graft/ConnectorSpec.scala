@@ -56,6 +56,91 @@ class ConnectorSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, "Alice"), (2L, "Bob"), (3L, "Charlie")))
   }
 
+  test("writes arrive clustered by partition_by and sorted by order_by " +
+    "(RequiresDistributionAndOrdering)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chconn.wdist")
+    spark.sql(
+      """CREATE TABLE chconn.wdist.layout (k INT, grp INT, v STRING)
+        |TBLPROPERTIES ('engine' = 'MergeTree',
+        |  'partition_by' = 'grp', 'order_by' = 'k')""".stripMargin)
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val src = spark.table("nation").select(
+      col("n_nationkey").cast("int").as("k"),
+      (col("n_nationkey") % 3).cast("int").as("grp"),
+      col("n_name").as("v"))
+    val ins = spark.sql(
+      """INSERT INTO chconn.wdist.layout
+        |SELECT CAST(n_nationkey AS INT),
+        |  CAST(n_nationkey % 3 AS INT), n_name FROM nation""".stripMargin)
+    val _ = src
+    // the write plan must carry the layout: a SortExec on k under the
+    // append node (the exchange for grp is advisory — Spark may elide it
+    // for tiny inputs, but the sort is always applied)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case c: org.apache.spark.sql.execution.CommandResultExec =>
+        c +: flatten(c.commandPhysicalPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val plan = ins.queryExecution.executedPlan
+    val sorts = flatten(plan).collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.nonEmpty, s"expected a pre-write sort on order_by:\n$plan")
+    assert(sorts.exists(_.sortOrder.exists(_.child.toString.contains("k"))),
+      s"sort must be on the order_by column:\n${sorts.map(_.sortOrder)}")
+    assert(spark.table("chconn.wdist.layout").count() == 25)
+    // opt-out: write.distribute=false catalogs plan no pre-write sort
+    val root2 = Files.createTempDirectory("graft_wdist_off_").toString
+    spark.conf.set("spark.sql.catalog.chwoff",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chwoff.path", root2)
+    spark.conf.set("spark.sql.catalog.chwoff.write.distribute", "false")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chwoff.wdist")
+    spark.sql(
+      """CREATE TABLE chwoff.wdist.layout (k INT, grp INT, v STRING)
+        |TBLPROPERTIES ('engine' = 'MergeTree',
+        |  'partition_by' = 'grp', 'order_by' = 'k')""".stripMargin)
+    val insOff = spark.sql(
+      """INSERT INTO chwoff.wdist.layout
+        |SELECT CAST(n_nationkey AS INT),
+        |  CAST(n_nationkey % 3 AS INT), n_name FROM nation""".stripMargin)
+    val sortsOff = flatten(insOff.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sortsOff.isEmpty,
+      s"write.distribute=false must not sort:\n${insOff.queryExecution.executedPlan}")
+  }
+
+  test("FINAL reads dedup ReplacingMergeTree to the max version per key") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chconn.fin")
+    spark.sql(
+      """CREATE TABLE chconn.fin.dim (k INT, v STRING, ver INT)
+        |TBLPROPERTIES ('engine' = 'ReplacingMergeTree(ver)', 'order_by' = 'k')""".stripMargin)
+    spark.sql("INSERT INTO chconn.fin.dim VALUES (1, 'a', 1), (2, 'b', 1), (3, 'c', 1)")
+    spark.sql("INSERT INTO chconn.fin.dim VALUES (1, 'a2', 2), (3, 'c2', 2)")
+    // plain read sees all 5 physical rows; FINAL collapses to 3 survivors
+    assert(spark.table("chconn.fin.dim").count() == 5)
+    val fin = spark.read.option("final", "true").table("chconn.fin.dim")
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(fin.toSeq == Seq((1, "a2", 2), (2, "b", 1), (3, "c2", 2)))
+    // FINAL composes with pushed filters and aggregates (dedup FIRST)
+    val agg = spark.read.option("final", "true").table("chconn.fin.dim")
+      .filter(col("ver") === 2).agg(count(lit(1))).head.getLong(0)
+    assert(agg == 2)
+  }
+
+  test("FINAL is honored-or-rejected: append-only engines refuse it") {
+    val e = intercept[Exception] {
+      spark.read.option("final", "true").table("chconn.testdb.people").collect()
+    }
+    assert(e.getMessage.contains("ReplacingMergeTree"), e.getMessage)
+  }
+
   test("filter + projection + limit pushdown reach the generated SQL") {
     val df = spark.table("chconn.testdb.people")
       .filter(col("id") > 1).select("name").limit(5)
