@@ -321,8 +321,10 @@ class ChScan(
         "buckets requires bucket_by = <column>")
       case (Some(c), Some(k)) =>
         require(k > 0, s"buckets must be positive, got $k")
-        require(Option(scanOptions.get("split_by")).isEmpty,
-          "bucket_by and split_by are mutually exclusive read options")
+        // bucket_by outranks split_by (a catalog-level read.split_by
+        // default must not veto an explicit bucketed read): both are
+        // read-routing hints and bucketing is strictly more structured —
+        // planInputPartitions consults bucketSpec first
         require(fullSchema.fieldNames.contains(c),
           s"bucket_by column '$c' not in ${fullSchema.fieldNames.mkString(", ")}")
         if (!aggregated && limit.isEmpty && offset.isEmpty &&

@@ -264,9 +264,10 @@ class HttpClientSpec extends AnyFunSuite {
 
   private def handleQuery(sql: String, data: Array[Byte]): (Int, Array[Byte], Map[String, String]) = {
     queries.synchronized { queries += sql }
-    // a real server executes SAMPLE in storage; this mock pins only the
-    // wire SHAPE (asserted against `queries`) and serves unsampled rows
+    // a real server executes SAMPLE/FINAL in storage; this mock pins only
+    // the wire SHAPE (asserted against `queries`) and serves raw rows
     val q = sql.trim.replaceAll(" SAMPLE [0-9.]+( OFFSET [0-9.]+)?", "")
+      .replaceAll(" FINAL(?=[ )]|$)", "")
     if (q.contains("`no_such_table`"))
       // error shape of the HTTP interface: non-200, text body, and the
       // ClickHouse exception code in X-ClickHouse-Exception-Code
@@ -297,9 +298,12 @@ class HttpClientSpec extends AnyFunSuite {
         }.getOrElse(Seq.empty)
       tsvOk(cols.map { case (n, t) => s"$n\t$t" }.mkString("", "\n", "\n"))
     } else if (q.startsWith("SELECT engine, sorting_key, partition_key, sampling_key")) {
-      // tables named smp_* declare a sampling key (SAMPLE BY id)
+      // tables named smp_* declare a sampling key (SAMPLE BY id);
+      // rep_* tables are ReplacingMergeTree (system.tables reports the
+      // engine NAME without its arguments, doc §system.tables)
       val smp = if (q.contains("name = 'smp_")) "id" else ""
-      tsvOk(s"MergeTree\tid\t\t$smp\n")
+      val eng = if (q.contains("name = 'rep_")) "ReplacingMergeTree" else "MergeTree"
+      tsvOk(s"$eng\tid\t\t$smp\n")
     } else if (q.startsWith("SELECT engine, sorting_key, partition_key"))
       tsvOk("MergeTree\tid\t\n")
     else if (q.startsWith("SELECT sum(bytes_on_disk)"))
@@ -931,6 +935,48 @@ class HttpClientSpec extends AnyFunSuite {
     })
     dynTables.remove("smp_http")
     ()
+  }
+
+  test("final=true ships FROM t FINAL for Replacing engines and rejects " +
+    "append-only ones (system.tables engine gates the option)") {
+    dynTables("rep_http") = (colTypes, mutable.ArrayBuffer(
+      (1 to 4).map(i =>
+        Map[String, Any]("id" -> i.toLong, "name" -> s"n$i", "val" -> i * 0.5)): _*))
+    assert(client.fetchTableOptions("main", "rep_http")("engine") == "ReplacingMergeTree")
+    val df = spark.read.option("final", "true").table("chhttp.main.rep_http")
+      .select("id", "name")
+    assert(df.count() == 4) // mock serves raw rows; the WIRE SHAPE is the pin
+    val finals = queries.synchronized {
+      queries.filter(q => q.contains("`rep_http`") && q.contains(" FINAL")).toSeq
+    }
+    assert(finals.exists(_.contains("FROM `main`.`rep_http` FINAL")),
+      s"wire statements: $finals")
+    // MergeTree table: the option is rejected, never silently inert
+    val e = intercept[Exception] {
+      spark.read.option("final", "true").table("chhttp.main.events_http").collect()
+    }
+    assert(e.getMessage.contains("ReplacingMergeTree"), e.getMessage)
+    dynTables.remove("rep_http")
+    ()
+  }
+
+  test("bucketed reads are rejected by the HTTP transport, loudly") {
+    // per-read option: planQueryBuckets is None for this transport — the
+    // scan refuses rather than silently reading unkeyed partitions
+    val e = intercept[Exception] {
+      spark.read.option("bucket_by", "id").option("buckets", "4")
+        .table("chhttp.main.events_http").collect()
+    }
+    assert(e.getMessage.contains("cannot bucket"), e.getMessage)
+    // catalog-level option: the honored-or-rejected allowlist refuses it
+    // at catalog setup
+    val cat = new graft.catalog.ClickHouseCatalog
+    val e2 = intercept[IllegalArgumentException] {
+      cat.initialize("chbad", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("endpoint", endpoint, "read.bucket_by", "id",
+          "read.buckets", "4")))
+    }
+    assert(e2.getMessage.contains("not honored"), e2.getMessage)
   }
 
   test("insertSelect returns written_rows from the summary header") {

@@ -166,12 +166,13 @@ class SpjSpec extends AnyFunSuite {
         .table("chspja.main.orders_b").collect()
     }
     assert(e2.getMessage.contains("nope"), e2.getMessage)
-    val e3 = intercept[Exception] {
-      spark.read.option("bucket_by", "o_custkey").option("buckets", "4")
-        .option("split_by", "o_orderkey")
-        .table("chspja.main.orders_b").collect()
-    }
-    assert(e3.getMessage.contains("mutually exclusive"), e3.getMessage)
+    // bucket_by outranks split_by (a catalog-level read.split_by default
+    // must not veto an explicit bucketed read): the read proceeds bucketed
+    val both = spark.read.option("bucket_by", "o_custkey").option("buckets", "4")
+      .option("split_by", "o_orderkey")
+      .table("chspja.main.orders_b")
+    assert(both.rdd.getNumPartitions == 4)
+    assert(both.count() == spark.table("orders").count())
   }
 
   test("ineligible shapes fall back silently (pushed agg keeps its pushdown)") {
