@@ -180,4 +180,50 @@ class DifferentialSpec extends AnyFunSuite {
       assert(a == b, s"topk case $i diverged")
     }
   }
+
+  test("random shapes over BUCKETED reads agree with plain reads, bit for bit") {
+    // bucket routing must be invisible to semantics: any predicate +
+    // projection over a bucket-keyed read returns exactly the plain
+    // scan's rows, whatever bucket count the reader picked
+    val r = new Random(4242)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val local = spark.table("customer")
+    (1 to 15).foreach { i =>
+      val n = Seq(2, 3, 5, 8, 13)(r.nextInt(5))
+      val bucketed = spark.read
+        .option("bucket_by", "c_custkey").option("buckets", n.toString)
+        .table("clickhouse.main.customer")
+      val p = pred(r, 2)
+      val cols = proj(r)
+      val a = canon(bucketed.filter(p).select(cols: _*))
+      val b = canon(local.filter(p).select(cols: _*))
+      assert(a == b, s"bucketed case $i (n=$n) diverged for ${p.toString}")
+    }
+  }
+
+  test("random FINAL reads agree with an explicit max-version window dedup") {
+    // seed a Replacing table with 2-3 versions per key, then compare
+    // `final=true` against the survivor rule computed locally
+    val r = new Random(99099)
+    spark.sql("DROP TABLE IF EXISTS clickhouse.main.diff_rep")
+    spark.sql(
+      """CREATE TABLE clickhouse.main.diff_rep (k INT, payload STRING, ver INT)
+        |TBLPROPERTIES ('engine' = 'ReplacingMergeTree(ver)', 'order_by' = 'k')""".stripMargin)
+    val rows = (0 until 200).flatMap { k =>
+      (1 to r.nextInt(3) + 1).map(v => (k, s"p${k}_$v", v))
+    }
+    import spark.implicits._
+    rows.toDF("k", "payload", "ver")
+      .writeTo("clickhouse.main.diff_rep").append()
+    val expected = rows.groupBy(_._1).map { case (_, vs) => vs.maxBy(_._3) }
+      .toSeq.map { case (k, p, v) => s"$k|$p|$v" }.sorted
+    (1 to 8).foreach { i =>
+      val hi = r.nextInt(200)
+      val fin = spark.read.option("final", "true")
+        .table("clickhouse.main.diff_rep")
+      val a = canon(fin.filter(col("k") < hi))
+      val b = expected.filter(_.split('|')(0).toInt < hi)
+      assert(a == b, s"final case $i (k<$hi) diverged")
+    }
+  }
 }
