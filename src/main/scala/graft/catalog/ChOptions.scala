@@ -37,8 +37,9 @@ object ChOptions {
     "use_tls", "pool_max_size", "pool_connection_timeout",
     "pool_retry_connection",
     // transport-agnostic connector knobs, consumed by the catalog itself
-    "coerce_schemas", "read.streams", "read.split_by", "write.concurrency",
-    "write.batch_size", "write.distribute")
+    "coerce_schemas", "read.streams", "read.split_by", "read.bucket_by",
+    "read.buckets", "write.concurrency", "write.batch_size",
+    "write.distribute")
 
   private val IntCatalogKeys = Set(
     "cloud_timeout", "cloud_wakeup", "pool_max_size", "pool_min_idle",

@@ -115,14 +115,19 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
     * compare across the two sides.
     */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty || namespaceExists(namespace))
+    if (client.bucketFamily.isEmpty) Array.empty
+    else if (namespace.isEmpty || namespaceExists(namespace))
       Array(Identifier.of(Array.empty, "bucket"))
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(
       ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name.equalsIgnoreCase("bucket")) ChBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    client.bucketFamily match {
+      case Some(family) if ident.name.equalsIgnoreCase("bucket") =>
+        ChBucketFunction(family)
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
 
   override def name(): String = catalogName
 

@@ -91,6 +91,14 @@ trait ClickHouseClient extends Serializable {
       bucketColumn: String,
       numBuckets: Int): Option[(StructType, Seq[ChPartitionHandle])] = None
 
+  /** The hash family [[planQueryBuckets]] routes with — the identity of
+    * the `bucket` transform this transport's scans report (see
+    * [[graft.catalog.ChBucketFunction]]). None = no bucketed reads.
+    * Transports with different families never co-partition with each
+    * other (the same key would land in different buckets).
+    */
+  def bucketFamily: Option[String] = None
+
   /** Open one stream EXECUTOR-SIDE and pull its rows incrementally (the
     * reference's `poll_next` loop, stream.rs:30-43). Must be callable from
     * any task thread after the client deserializes into the closure.

@@ -415,6 +415,8 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     * (empty buckets stay as empty handles so both join sides always
     * align positionally).
     */
+  override def bucketFamily: Option[String] = Some("murmur3")
+
   override def planQueryBuckets(
       sql: String,
       bucketColumn: String,

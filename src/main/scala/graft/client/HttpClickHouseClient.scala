@@ -289,6 +289,33 @@ class HttpClickHouseClient(
     * whole statement (`SELECT * FROM (sql) WHERE <slice>`), so a
     * collapsed join/window subtree reads sliced too.
     */
+  override def bucketFamily: Option[String] = Some("cityhash64")
+
+  /** Bucket-keyed read: EXACTLY `numBuckets` handles, handle i reading
+    * `cityHash64(col) % n = i` (NULLs ride bucket 0) — the server does
+    * the routing, so two tables bucketed this way on their join keys
+    * are co-partitioned BY the server's own hash; no local CityHash
+    * re-implementation is needed (and none is claimed —
+    * graft.catalog.ChBoundBucket("cityhash64") refuses produceResult).
+    */
+  override def planQueryBuckets(
+      sql: String,
+      bucketColumn: String,
+      numBuckets: Int): Option[(StructType, Seq[ChPartitionHandle])] = {
+    val schema = describe(sql)
+    require(schema.fieldNames.contains(bucketColumn),
+      s"bucket column '$bucketColumn' not in result schema " +
+        schema.fieldNames.mkString(","))
+    Some((schema, (0 until numBuckets).map { i =>
+      val cond =
+        if (i == 0)
+          s"(`$bucketColumn` IS NULL OR cityHash64(`$bucketColumn`) % $numBuckets = $i)"
+        else
+          s"(`$bucketColumn` IS NOT NULL AND cityHash64(`$bucketColumn`) % $numBuckets = $i)"
+      handle(s"SELECT * FROM ($sql) AS __rb WHERE $cond", schema)
+    }))
+  }
+
   override def planQueryRanges(
       sql: String,
       splitColumn: String,

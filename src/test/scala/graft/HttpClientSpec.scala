@@ -960,23 +960,53 @@ class HttpClientSpec extends AnyFunSuite {
     ()
   }
 
-  test("bucketed reads are rejected by the HTTP transport, loudly") {
-    // per-read option: planQueryBuckets is None for this transport — the
-    // scan refuses rather than silently reading unkeyed partitions
-    val e = intercept[Exception] {
-      spark.read.option("bucket_by", "id").option("buckets", "4")
-        .table("chhttp.main.events_http").collect()
+  test("bucketed HTTP reads: server-side cityHash64 slices, co-partitioned " +
+    "join plans zero exchange") {
+    def seedRows(tag: String) = mutable.ArrayBuffer(
+      (1 to 12).map(i =>
+        Map[String, Any]("id" -> i.toLong, "name" -> s"$tag$i", "val" -> i * 0.5)): _*)
+    dynTables("bkt_l") = (colTypes, seedRows("l"))
+    dynTables("bkt_r") = (colTypes, seedRows("r"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def bucketed(t: String) = spark.read
+        .option("bucket_by", "id").option("buckets", "4").table(s"chhttp.main.$t")
+      import org.apache.spark.sql.functions.{col => c}
+      val l = bucketed("bkt_l").select(c("id"), c("name").as("ln"))
+      val rt = bucketed("bkt_r").select(c("id").as("rid"), c("name").as("rn"))
+      val joined = l.join(rt, c("id") === c("rid")).select("id", "ln", "rn")
+      val got = joined.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == (1 to 12).map(i => (i.toLong, s"l$i", s"r$i")).toSet)
+      // the join subtree is exchange-free: buckets line up via the
+      // server-routed cityHash64 identity
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val all = flatten(joined.queryExecution.executedPlan)
+      assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]))
+      assert(!all.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+        s"bucketed HTTP join must be exchange-free:\n${all.head}")
+      // wire shape: each side read 4 slice queries with the server-side
+      // hash predicate; NULLs ride bucket 0
+      val slices = queries.synchronized {
+        queries.filter(q => q.contains("`bkt_l`") && q.contains("cityHash64")).toSeq
+      }
+      assert(slices.size == 4, slices.mkString("\n"))
+      assert(slices.exists(_.contains("`id` IS NULL OR cityHash64(`id`) % 4 = 0")))
+      assert(slices.exists(_.contains("`id` IS NOT NULL AND cityHash64(`id`) % 4 = 3")))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      dynTables.remove("bkt_l"); dynTables.remove("bkt_r")
     }
-    assert(e.getMessage.contains("cannot bucket"), e.getMessage)
-    // catalog-level option: the honored-or-rejected allowlist refuses it
-    // at catalog setup
-    val cat = new graft.catalog.ClickHouseCatalog
-    val e2 = intercept[IllegalArgumentException] {
-      cat.initialize("chbad", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-        java.util.Map.of("endpoint", endpoint, "read.bucket_by", "id",
-          "read.buckets", "4")))
-    }
-    assert(e2.getMessage.contains("not honored"), e2.getMessage)
+    ()
   }
 
   test("insertSelect returns written_rows from the summary header") {

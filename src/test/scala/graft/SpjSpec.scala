@@ -131,7 +131,7 @@ class SpjSpec extends AnyFunSuite {
     // partition id — the exact contract ChBoundBucket reports
     val misrouted = df.select(col("o_custkey")).rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        val bucket = graft.catalog.ChBoundBucket(
+        val bucket = graft.catalog.ChBoundBucket("murmur3",
           org.apache.spark.sql.types.LongType)
         it.filter { r =>
           val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
