@@ -201,6 +201,67 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random DELETE/UPDATE mutations agree with local recompute " +
+    "(NULL condition keeps the row / leaves it unchanged)") {
+    val r = new Random(31337)
+    import spark.implicits._
+    // grammar: each case yields the SAME predicate as ClickHouse SQL
+    // (for the mutation) and a Spark Column (for the local recompute)
+    def predPair(): (String, Column) = r.nextInt(6) match {
+      case 0 => val n = r.nextInt(100); (s"`k` > $n", col("k") > n)
+      case 1 => val d = r.nextInt(50) / 2.0; (s"`x` < $d", col("x") < d)
+      case 2 => val m = r.nextInt(5); (s"`s` = 'v$m'", col("s") === s"v$m")
+      case 3 => ("`s` IS NULL", col("s").isNull)
+      case 4 =>
+        val vs = Seq.fill(r.nextInt(3) + 1)(r.nextInt(100))
+        (s"`k` IN (${vs.mkString(", ")})", col("k").isin(vs: _*))
+      case 5 =>
+        val (s1, c1) = (s"`k` > ${r.nextInt(80)}", col("k") > r.nextInt(80))
+        // regenerate to keep SQL and Column in sync
+        val n = r.nextInt(80); val (s2, c2) = (s"`k` <= $n", col("k") <= n)
+        val _ = (s1, c1)
+        (s"($s2 OR `x` IS NULL)", c2 || col("x").isNull)
+    }
+    def seed(): Seq[(Int, Option[String], Option[Double])] =
+      (0 until 120).map { k =>
+        (k,
+          if (k % 7 == 0) None else Some(s"v${k % 5}"),
+          if (k % 11 == 0) None else Some(k / 2.0))
+      }
+    (1 to 6).foreach { i =>
+      spark.sql("DROP TABLE IF EXISTS clickhouse.main.diff_mut")
+      spark.sql(
+        """CREATE TABLE clickhouse.main.diff_mut (k INT, s STRING, x DOUBLE)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      val rows = seed()
+      rows.toDF("k", "s", "x").writeTo("clickhouse.main.diff_mut").append()
+      val local = rows.toDF("k", "s", "x")
+      if (i % 2 == 1) {
+        val (sqlP, colP) = predPair()
+        spark.sql(s"DELETE FROM clickhouse.main.diff_mut WHERE " +
+          sqlP.replace("`", ""))
+        // server keeps rows where the condition is NOT TRUE (NULL keeps)
+        val expect = canon(local.filter(!coalesce(colP, lit(false))))
+        val got = canon(spark.table("clickhouse.main.diff_mut"))
+        assert(got == expect, s"DELETE case $i ($sqlP) diverged")
+      } else {
+        val (sqlP, colP) = predPair()
+        graft.connector.ChMutations.updateWhere(spark,
+          "clickhouse.main.diff_mut",
+          Seq("x" -> "`x` * 2 + 1", "s" -> "concat(`s`, '!')"), sqlP)
+        // assigned columns recompute from OLD values where cond is TRUE;
+        // NULL/false leave the row unchanged
+        val hit = coalesce(colP, lit(false))
+        val expect = canon(local.select(
+          col("k"),
+          when(hit, concat(col("s"), lit("!"))).otherwise(col("s")).as("s"),
+          when(hit, col("x") * 2 + 1).otherwise(col("x")).as("x")))
+        val got = canon(spark.table("clickhouse.main.diff_mut"))
+        assert(got == expect, s"UPDATE case $i ($sqlP) diverged")
+      }
+    }
+  }
+
   test("random FINAL reads agree with an explicit max-version window dedup") {
     // seed a Replacing table with 2-3 versions per key, then compare
     // `final=true` against the survivor rule computed locally
