@@ -1103,6 +1103,12 @@ class HttpClientSpec extends AnyFunSuite {
    * |   deliberately avoids chunked mode: blocks are  |                             |        |
    * |   bounded by write.batch_size, and a length-    |                             |        |
    * |   framed body lets the server reject truncation)|                             |        |
+   * | FROM t FINAL collapses Replacing-family rows    | select doc §FINAL modifier  | doc    |
+   * |   before WHERE/aggregates; engine column of     |   + system.tables doc       |        |
+   * |   system.tables gates the read option           |                             |        |
+   * | cityHash64(col) % n = i slice predicates are    | functions doc §cityHash64   | doc    |
+   * |   server-computed, disjoint-covering per query  |   (stable across versions)  |        |
+   * |   (bucket-keyed reads; NULLs ride slice 0)      |                             |        |
    *
    * Not yet live-verified (needs CH_ENDPOINT): exact server renderings
    * of DateTime64 precision >6 in TSV probes, progress headers on
