@@ -235,14 +235,42 @@ class HttpClickHouseClient(
       table: String,
       columns: Seq[(String, String)],
       options: Map[String, String]): Unit = {
+    // embedded-only concept: a zero-copy attach of local parquet has no
+    // server-side meaning — reject, never silently drop (params.rs UX)
+    require(!options.contains("external_paths"),
+      s"external_paths on $db.$table: the HTTP transport creates tables " +
+        "in the server; attaching local parquet is an embedded-store feature")
     columns.foreach { case (_, t) => ClickHouseType.parse(t) } // validate early
-    val cols = columns.map { case (n, t) => s"`$n` $t" }.mkString(", ")
+    // `defaults` = "col=expr,col=expr" per-column DEFAULT expressions;
+    // `defaults_for_nullable` = explicit DEFAULT NULL on each remaining
+    // Nullable column (the reference's CreateOptions surface) — both
+    // render into the column list, so every accepted key is REAL DDL
+    val defaults: Map[String, String] =
+      options.get("defaults").toSeq.flatMap(_.split(",")).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"defaults entry '$kv' must be col=expr")
+        kv.substring(0, i).trim -> kv.substring(i + 1).trim
+      }.toMap
+    val unknownDefault = defaults.keySet.diff(columns.map(_._1).toSet)
+    require(unknownDefault.isEmpty,
+      s"defaults reference unknown column(s): ${unknownDefault.mkString(", ")}")
+    val nullableDefault =
+      options.get("defaults_for_nullable").exists(_.equalsIgnoreCase("true"))
+    val cols = columns.map { case (n, t) =>
+      defaults.get(n) match {
+        case Some(expr) => s"`$n` $t DEFAULT $expr"
+        case None if nullableDefault && t.startsWith("Nullable(") =>
+          s"`$n` $t DEFAULT NULL"
+        case None => s"`$n` $t"
+      }
+    }.mkString(", ")
     val engine = options.getOrElse("engine", "MergeTree")
     val b = new StringBuilder(s"CREATE TABLE `$db`.`$table` ($cols) ENGINE = $engine")
     // MergeTree family requires ORDER BY; tuple() = unordered
     if (engine.contains("MergeTree"))
       b.append(" ORDER BY ").append(
         options.get("order_by").map(o => s"($o)").getOrElse("tuple()"))
+    options.get("primary_keys").foreach(pk => b.append(s" PRIMARY KEY ($pk)"))
     options.get("partition_by").foreach(p => b.append(s" PARTITION BY ($p)"))
     options.get("sampling").foreach(smp => b.append(s" SAMPLE BY ($smp)"))
     options.get("ttl").foreach(t => b.append(s" TTL $t"))

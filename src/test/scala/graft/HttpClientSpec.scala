@@ -779,6 +779,42 @@ class HttpClientSpec extends AnyFunSuite {
     assert(ins.nonEmpty && ins.forall(_.contains("FORMAT RowBinary")))
   }
 
+  test("every accepted CREATE TABLE key renders real DDL: primary_keys, " +
+    "defaults, defaults_for_nullable; external_paths is rejected") {
+    client.createTable("main", "ddl_full",
+      Seq("id" -> "Int64", "grp" -> "Int32", "note" -> "Nullable(String)",
+        "score" -> "Float64"),
+      Map("engine" -> "MergeTree", "order_by" -> "id, grp",
+        "primary_keys" -> "id", "partition_by" -> "grp",
+        "ttl" -> "toDateTime(id) + INTERVAL 30 DAY",
+        "defaults" -> "score=0.0", "defaults_for_nullable" -> "true",
+        "settings" -> "index_granularity = 8192"))
+    val ddl = queries.synchronized(
+      queries.filter(_.startsWith("CREATE TABLE `main`.`ddl_full`")).toSeq)
+    assert(ddl.size == 1, ddl.mkString("\n"))
+    val sql = ddl.head
+    assert(sql.contains("`score` Float64 DEFAULT 0.0"), sql)
+    assert(sql.contains("`note` Nullable(String) DEFAULT NULL"), sql)
+    assert(sql.contains("PRIMARY KEY (id)"), sql)
+    assert(sql.contains("ORDER BY (id, grp)"), sql)
+    assert(sql.contains("PARTITION BY (grp)"), sql)
+    assert(sql.contains("TTL toDateTime(id) + INTERVAL 30 DAY"), sql)
+    assert(sql.contains("SETTINGS index_granularity = 8192"), sql)
+    dynTables.remove("ddl_full")
+    // defaults naming an unknown column fail before any wire call
+    val e = intercept[IllegalArgumentException] {
+      client.createTable("main", "ddl_bad", Seq("id" -> "Int64"),
+        Map("defaults" -> "nope=1"))
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    // embedded-only attach concept: rejected, never silently dropped
+    val e2 = intercept[IllegalArgumentException] {
+      client.createTable("main", "ddl_ext", Seq("id" -> "Int64"),
+        Map("external_paths" -> "/tmp/x.parquet"))
+    }
+    assert(e2.getMessage.contains("embedded"), e2.getMessage)
+  }
+
   test("gzip compression round-trips both directions and is really on the wire") {
     val gz = new HttpClickHouseClient(endpoint, compression = "gzip")
     val respBefore = gzippedResponses.get()
