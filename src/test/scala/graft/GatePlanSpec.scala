@@ -232,6 +232,29 @@ class GatePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r37 FINAL dedup ships in the remote SQL: bare scan, no local " +
+    "window fallback") {
+    val df = SparkEntry.queries("r37_final_dedup")(spark, sfDir)
+    assert(df.count() == 25)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the dedup happens IN the store — the plan is a scan whose SQL
+    // carries FINAL, with zero local exchanges/windows above it
+    val scans = root.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[graft.connector.ChScan] => b
+    }
+    assert(scans.size == 1)
+    assert(scans.head.scan.description().contains(" FINAL"),
+      scans.head.scan.description())
+    assert(root.collect { case e: ShuffleExchangeLike => e }.isEmpty)
+    assert(root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+  }
+
   test("r29 anti-join + dim join + agg collapse into one remote SQL") {
     val df = SparkEntry.queries("r29_remote_anti_join")(spark, sfDir)
     // non-vacuous: the date-restricted anti slice must produce rows at
