@@ -286,5 +286,12 @@ class DifferentialSpec extends AnyFunSuite {
       val b = expected.filter(_.split('|')(0).toInt < hi)
       assert(a == b, s"final case $i (k<$hi) diverged")
     }
+    // FINAL composes with bucket-keyed reads: each slice sees the
+    // globally-deduped rows restricted to its bucket, union = FINAL
+    val finB = spark.read.option("final", "true")
+      .option("bucket_by", "k").option("buckets", "4")
+      .table("clickhouse.main.diff_rep")
+    assert(finB.rdd.getNumPartitions == 4)
+    assert(canon(finB) == expected)
   }
 }
