@@ -47,13 +47,18 @@ object InsertBench {
 
     val root = java.nio.file.Files.createTempDirectory("graft_insbench_").toString
     val cells = for (wc <- concurrencies; bs <- batchSizes) yield (wc, bs)
+    // GRAFT_DISTRIBUTE=false A/Bs the layout-aware write path (the
+    // pre-write order_by sort) against raw appends
+    val distribute = sys.env.getOrElse("GRAFT_DISTRIBUTE", "true")
     val results = cells.map { case (wc, bs) =>
       spark.conf.set("spark.sql.catalog.chbench.write.concurrency", wc.toString)
       spark.conf.set("spark.sql.catalog.chbench.write.batch_size", bs.toString)
+      spark.conf.set("spark.sql.catalog.chbench.write.distribute", distribute)
       val ch = ClickHouseSession.builder(spark)
         .storePath(root).catalogName("chbench").build()
       spark.conf.set("spark.sql.catalog.chbench.write.concurrency", wc.toString)
       spark.conf.set("spark.sql.catalog.chbench.write.batch_size", bs.toString)
+      spark.conf.set("spark.sql.catalog.chbench.write.distribute", distribute)
       val times = (0 until iters).map { it =>
         val tbl = s"bench_${wc}_${bs}_$it"
         ch.newTable("bench", tbl)

@@ -22,11 +22,12 @@ object ChOptions {
     // engine knobs
     "coerce_schemas", "read.streams", "read.split_by", "read.bucket_by",
     "read.buckets", "write.concurrency", "write.batch_size",
-    "write.distribute")
+    "write.distribute", "write.sort_on_insert")
 
   private val BoolCatalogKeys = Set(
     "use_tls", "strings_as_strings", "pool_test_on_check_out",
-    "pool_retry_connection", "coerce_schemas", "write.distribute")
+    "pool_retry_connection", "coerce_schemas", "write.distribute",
+    "write.sort_on_insert")
 
   /** Keys the HTTP transport actually honors — the catalog rejects any
     * other key when `endpoint` is set (honored-or-rejected contract; a
@@ -39,7 +40,7 @@ object ChOptions {
     // transport-agnostic connector knobs, consumed by the catalog itself
     "coerce_schemas", "read.streams", "read.split_by", "read.bucket_by",
     "read.buckets", "write.concurrency", "write.batch_size",
-    "write.distribute")
+    "write.distribute", "write.sort_on_insert")
 
   private val IntCatalogKeys = Set(
     "cloud_timeout", "cloud_wakeup", "pool_max_size", "pool_min_idle",

@@ -42,6 +42,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
   private var writeConcurrency: Int = 4
   private var writeBatchSize: Int = 10000
   private var writeDistribute: Boolean = true
+  private var writeSortOnInsert: Boolean = false
   private var coerceSchemas: Boolean = true
   private var readDefaults: Map[String, String] = Map.empty
 
@@ -94,6 +95,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
     writeConcurrency = Option(options.get("write.concurrency")).map(_.toInt).getOrElse(4)
     writeBatchSize = Option(options.get("write.batch_size")).map(_.toInt).getOrElse(10000)
     writeDistribute = Option(options.get("write.distribute")).forall(_.toBoolean)
+    writeSortOnInsert = Option(options.get("write.sort_on_insert")).exists(_.toBoolean)
     // per-catalog schema-coercion toggle (reference builders.rs:131-135):
     // ON casts remote batches whose wire types drift from the declared
     // plan schema (per-batch projection cost); OFF fails fast instead
@@ -198,7 +200,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
     val schema = ClickHouseType.toStructType(client.fetchColumns(db, ident.name()))
     new ClickHouseTable(client, db, ident.name(), schema, readStreams,
       writeConcurrency, writeBatchSize, coerceSchemas, readDefaults,
-      writeDistribute)
+      writeDistribute, writeSortOnInsert)
   }
 
   override def createTable(

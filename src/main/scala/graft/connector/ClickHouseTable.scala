@@ -46,7 +46,8 @@ class ClickHouseTable(
     writeBatchSize: Int = 10000,
     coerceSchemas: Boolean = true,
     readDefaults: Map[String, String] = Map.empty,
-    writeDistribute: Boolean = true)
+    writeDistribute: Boolean = true,
+    writeSortOnInsert: Boolean = false)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"$db.$table"
@@ -85,7 +86,8 @@ class ClickHouseTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ChWriteBuilder(client, db, table, info.schema(), writeConcurrency,
-      writeBatchSize, info.queryId(), distribute = writeDistribute)
+      writeBatchSize, info.queryId(), distribute = writeDistribute,
+      sortOnInsert = writeSortOnInsert)
 }
 
 object ClickHouseTable {
@@ -625,24 +627,32 @@ class ChWriteBuilder(
     writeConcurrency: Int,
     batchSize: Int,
     queryId: String = "batch",
-    distribute: Boolean = true)
+    distribute: Boolean = true,
+    sortOnInsert: Boolean = false)
   extends WriteBuilder {
 
   override def build(): Write = new Write
     with RequiresDistributionAndOrdering {
 
     /** Layout-aware ingest: rows arrive at write tasks CLUSTERED by the
-      * table's `partition_by` columns and SORTED by its `order_by`
-      * columns. Per the server's storage model each (task × touched
-      * partition) becomes a part — unaligned inserts into a
-      * partitioned 100 TB table fan every task across every partition
-      * ("too many parts" is the canonical ClickHouse ingest failure),
-      * and the server re-sorts every block by the table key on arrival.
-      * Clustering makes parts-per-insert O(partitions), not
-      * O(tasks × partitions); pre-sorting makes the server's sort a
-      * no-op merge. Only plain column names participate (expression
-      * keys like toYYYYMM(d) stay server-side); `write.distribute =
-      * false` opts out.
+      * table's `partition_by` columns. Per the server's storage model
+      * each (insert block × touched partition) becomes a part —
+      * unaligned inserts into a partitioned 100 TB table fan every task
+      * across every partition ("too many parts" is the canonical
+      * ClickHouse ingest failure); clustering makes parts-per-insert
+      * O(partitions), not O(tasks × partitions), and costs nothing on
+      * unpartitioned tables (no requirement at all). `write.distribute
+      * = false` opts out.
+      *
+      * Pre-sorting by `order_by` is OPT-IN (`write.sort_on_insert`):
+      * the server sorts every arriving block by the table key
+      * regardless (MergeTree insert contract), so the client-side sort
+      * only shifts that work — measured 2.4× slower client ingest at
+      * the 5M-row envelope (c16_b10000: 0.73M vs 1.76M rows/s) for a
+      * server-side saving this envelope cannot see. The reference's
+      * sink streams blocks unsorted too (sink.rs buffer_unordered).
+      * Only plain column names participate (expression keys like
+      * toYYYYMM(d) stay server-side).
       */
     private lazy val layout: (Seq[String], Seq[String]) = {
       if (!distribute) (Nil, Nil)
@@ -652,7 +662,7 @@ class ChWriteBuilder(
         def cols(key: String): Seq[String] =
           opts.get(key).toSeq.flatMap(_.split(",")).map(_.trim)
             .filter(c => inputSchema.fieldNames.contains(c))
-        (cols("partition_by"), cols("order_by"))
+        (cols("partition_by"), if (sortOnInsert) cols("order_by") else Nil)
       }
     }
 

@@ -73,9 +73,6 @@ class ConnectorSpec extends AnyFunSuite {
         |SELECT CAST(n_nationkey AS INT),
         |  CAST(n_nationkey % 3 AS INT), n_name FROM nation""".stripMargin)
     val _ = src
-    // the write plan must carry the layout: a SortExec on k under the
-    // append node (the exchange for grp is advisory — Spark may elide it
-    // for tiny inputs, but the sort is always applied)
     def flatten(p: org.apache.spark.sql.execution.SparkPlan):
         Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
       case c: org.apache.spark.sql.execution.CommandResultExec =>
@@ -86,19 +83,46 @@ class ConnectorSpec extends AnyFunSuite {
         q +: flatten(q.plan)
       case other => other +: other.children.flatMap(flatten)
     }
-    val plan = ins.queryExecution.executedPlan
-    val sorts = flatten(plan).collect {
-      case s: org.apache.spark.sql.execution.SortExec => s
-    }
-    assert(sorts.nonEmpty, s"expected a pre-write sort on order_by:\n$plan")
-    assert(sorts.exists(_.sortOrder.exists(_.child.toString.contains("k"))),
-      s"sort must be on the order_by column:\n${sorts.map(_.sortOrder)}")
+    def sortsOf(df: org.apache.spark.sql.DataFrame) =
+      flatten(df.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+    def exchangesOf(df: org.apache.spark.sql.DataFrame) =
+      flatten(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+    // default: CLUSTERED by partition_by (the part-explosion preventer),
+    // NO pre-sort (the server sorts every block by the table key anyway;
+    // a client sort measured 2.4x slower ingest at the 5M envelope)
+    assert(exchangesOf(ins).nonEmpty,
+      s"expected a clustering exchange on partition_by:\n${ins.queryExecution.executedPlan}")
+    assert(sortsOf(ins).isEmpty,
+      s"default write must not pre-sort:\n${ins.queryExecution.executedPlan}")
     assert(spark.table("chconn.wdist.layout").count() == 25)
-    // opt-out: write.distribute=false catalogs plan no pre-write sort
-    val root2 = Files.createTempDirectory("graft_wdist_off_").toString
+    // write.sort_on_insert=true opts INTO the order_by pre-sort
+    val root2 = Files.createTempDirectory("graft_wdist_sort_").toString
+    spark.conf.set("spark.sql.catalog.chwsort",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chwsort.path", root2)
+    spark.conf.set("spark.sql.catalog.chwsort.write.sort_on_insert", "true")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chwsort.wdist")
+    spark.sql(
+      """CREATE TABLE chwsort.wdist.layout (k INT, grp INT, v STRING)
+        |TBLPROPERTIES ('engine' = 'MergeTree',
+        |  'partition_by' = 'grp', 'order_by' = 'k')""".stripMargin)
+    val insSort = spark.sql(
+      """INSERT INTO chwsort.wdist.layout
+        |SELECT CAST(n_nationkey AS INT),
+        |  CAST(n_nationkey % 3 AS INT), n_name FROM nation""".stripMargin)
+    val sorts = sortsOf(insSort)
+    assert(sorts.nonEmpty && sorts.exists(
+      _.sortOrder.exists(_.child.toString.contains("k"))),
+      s"sort_on_insert must sort by order_by:\n${insSort.queryExecution.executedPlan}")
+    // write.distribute=false opts out of everything
+    val root3 = Files.createTempDirectory("graft_wdist_off_").toString
     spark.conf.set("spark.sql.catalog.chwoff",
       classOf[graft.catalog.ClickHouseCatalog].getName)
-    spark.conf.set("spark.sql.catalog.chwoff.path", root2)
+    spark.conf.set("spark.sql.catalog.chwoff.path", root3)
     spark.conf.set("spark.sql.catalog.chwoff.write.distribute", "false")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS chwoff.wdist")
     spark.sql(
@@ -109,11 +133,8 @@ class ConnectorSpec extends AnyFunSuite {
       """INSERT INTO chwoff.wdist.layout
         |SELECT CAST(n_nationkey AS INT),
         |  CAST(n_nationkey % 3 AS INT), n_name FROM nation""".stripMargin)
-    val sortsOff = flatten(insOff.queryExecution.executedPlan).collect {
-      case s: org.apache.spark.sql.execution.SortExec => s
-    }
-    assert(sortsOff.isEmpty,
-      s"write.distribute=false must not sort:\n${insOff.queryExecution.executedPlan}")
+    assert(sortsOf(insOff).isEmpty && exchangesOf(insOff).isEmpty,
+      s"write.distribute=false must not reshape:\n${insOff.queryExecution.executedPlan}")
   }
 
   test("FINAL reads dedup ReplacingMergeTree to the max version per key") {
