@@ -24,6 +24,32 @@ object ChOptions {
     "read.buckets", "write.concurrency", "write.batch_size",
     "write.distribute", "write.sort_on_insert")
 
+  /** Catalog keys `settings.<name>` carry ClickHouse SERVER settings, the
+    * reference's leftover-params-become-Settings surface
+    * (params.rs:256-266) made explicit: the reference forwards any
+    * unreserved key as a server setting, but an allowlisted grammar
+    * cannot accept arbitrary bare keys without reopening the
+    * accepted-but-inert hole — so server settings are namespaced. A
+    * handful of names the transport itself pins are reserved (the
+    * reference errors on ClientOption collisions the same way,
+    * params.rs:186-189).
+    */
+  val SettingsPrefix = "settings."
+
+  /** Setting names the HTTP transport reserves for itself: overriding
+    * them would silently break the wire contract (UTC text rendering,
+    * codec negotiation, the query slot in the URL).
+    */
+  val ReservedServerSettings: Set[String] =
+    Set("session_timezone", "enable_http_compression", "query", "database")
+
+  /** Extract `settings.*` catalog options as a server-settings map. */
+  def serverSettings(options: Map[String, String]): Map[String, String] =
+    options.collect {
+      case (k, v) if k.toLowerCase.startsWith(SettingsPrefix) =>
+        k.toLowerCase.stripPrefix(SettingsPrefix) -> v
+    }
+
   private val BoolCatalogKeys = Set(
     "use_tls", "strings_as_strings", "pool_test_on_check_out",
     "pool_retry_connection", "coerce_schemas", "write.distribute",
@@ -59,7 +85,19 @@ object ChOptions {
     "provider", "location", "comment", "owner", "external")
 
   def validateCatalogOptions(catalog: String, options: Map[String, String]): Unit = {
-    val unknown = options.keySet.map(_.toLowerCase).diff(CatalogKeys)
+    options.keys.filter(_.toLowerCase.startsWith(SettingsPrefix)).foreach { k =>
+      val name = k.toLowerCase.stripPrefix(SettingsPrefix)
+      if (name.isEmpty)
+        throw new IllegalArgumentException(
+          s"option '$k' of catalog '$catalog': empty server-setting name")
+      if (ReservedServerSettings.contains(name))
+        throw new IllegalArgumentException(
+          s"option '$k' of catalog '$catalog': server setting '$name' is reserved " +
+            "by the transport (it pins UTC rendering / compression negotiation / " +
+            "statement framing) and cannot be overridden")
+    }
+    val unknown = options.keySet.map(_.toLowerCase)
+      .filterNot(_.startsWith(SettingsPrefix)).diff(CatalogKeys)
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"unknown option(s) ${unknown.toSeq.sorted.mkString(", ")} for ClickHouse " +

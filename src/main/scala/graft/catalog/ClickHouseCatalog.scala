@@ -64,14 +64,15 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
         // denylist: any catalog-valid key this transport does not honor
         // (including ones added later) is rejected rather than ignored.
         val inert = options.asScala.keys.map(_.toLowerCase)
-          .filterNot(ChOptions.HttpHonoredKeys).toSeq
+          .filterNot(k => ChOptions.HttpHonoredKeys(k) ||
+            k.startsWith(ChOptions.SettingsPrefix)).toSeq
         if (inert.nonEmpty)
           throw new IllegalArgumentException(
             s"option(s) ${inert.sorted.mkString(", ")} are not honored by the " +
               s"HTTP transport of catalog '$name' (JDK HTTP keep-alive manages " +
               "connection lifetimes; configure TLS trust via the JVM truststore). " +
               s"Supported here: ${ChOptions.HttpHonoredKeys.toSeq.sorted.mkString(", ")} " +
-              "(compression: none|gzip)")
+              "(compression: none|gzip|lz4|zstd)")
         new graft.client.HttpClickHouseClient(
           ep.stripSuffix("/"),
           user = Option(options.get("username")).getOrElse("default"),
@@ -83,12 +84,22 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
           poolMaxSize = Option(options.get("pool_max_size")).map(_.toInt).getOrElse(0),
           retryConnection =
             Option(options.get("pool_retry_connection")).exists(_.toBoolean),
-          useTls = Option(options.get("use_tls")).map(_.toBoolean))
+          useTls = Option(options.get("use_tls")).map(_.toBoolean),
+          serverSettings = ChOptions.serverSettings(options.asScala.toMap))
       case None =>
         val path = Option(options.get("path"))
           .getOrElse(throw new IllegalArgumentException(
             s"catalog $name requires option 'path' (embedded store root) " +
               "or 'endpoint' (ClickHouse HTTP url)"))
+        // honored-or-rejected: the embedded store executes locally — a
+        // ClickHouse SERVER setting has no server to land on
+        val settings = ChOptions.serverSettings(options.asScala.toMap)
+        if (settings.nonEmpty)
+          throw new IllegalArgumentException(
+            s"option(s) ${settings.keys.map(ChOptions.SettingsPrefix + _).toSeq.sorted
+              .mkString(", ")} of catalog '$name' carry ClickHouse server " +
+              "settings, but the embedded store runs in-process — there is no " +
+              "server to honor them (set them on an endpoint-backed catalog)")
         new EmbeddedClickHouse(path)
     }
     readStreams = Option(options.get("read.streams")).map(_.toInt).getOrElse(4)

@@ -4,7 +4,6 @@ import java.io.{DataInputStream, DataOutputStream, EOFException, IOException, In
 import java.net.{HttpURLConnection, URI, URLEncoder}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.{ConcurrentHashMap, Semaphore}
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.Row
@@ -28,10 +27,11 @@ import graft.types.ClickHouseType
   * (already on Spark's classpath).
   *
   * Options are HONORED or REJECTED, never silently inert:
-  *  - `compression`: `none` or `gzip` (HTTP content-codings of this
-  *    interface: `enable_http_compression=1` + `Accept-Encoding` downstream,
-  *    `Content-Encoding: gzip` upstream; doc §"Compression"). LZ4/ZSTD are
-  *    native-protocol codecs → rejected with that explanation.
+  *  - `compression`: `none`, `gzip`, `lz4` or `zstd` (HTTP content-codings
+  *    of this interface: `enable_http_compression=1` + `Accept-Encoding`
+  *    downstream, `Content-Encoding` upstream; doc §"Compression"). `lz4`
+  *    matches the codec the reference pins on its native transport
+  *    (tests/common/helpers.rs:29); see [[HttpCodec]].
   *  - `pool_max_size`: bounds CONCURRENT requests per (endpoint, JVM) via a
   *    shared semaphore — executor-side streams acquire a slot before
   *    opening and release on close, the bb8-pool bound of the reference
@@ -39,6 +39,12 @@ import graft.types.ClickHouseType
   *  - `pool_retry_connection`: one reconnect retry on transport-level
   *    IOException (never on an HTTP error status).
   *  - `use_tls`: asserted against the endpoint scheme at construction.
+  *  - `settings.<name>` catalog keys arrive as [[serverSettings]] and ride
+  *    EVERY request (driver statements and executor streams alike) as URL
+  *    parameters — ClickHouse's documented per-query settings surface,
+  *    the reference's leftover-params-become-Settings behavior
+  *    (utils/params.rs:256-266) namespaced explicitly. Transport-pinned
+  *    names are rejected (params.rs:186-189 errors on collisions too).
   *  - Anything the HTTP stack cannot honor (cafile, pool idle/lifetime
   *    tuning, ...) is rejected at catalog setup — see ClickHouseCatalog.
   *
@@ -68,17 +74,23 @@ class HttpClickHouseClient(
     compression: String = "none",
     poolMaxSize: Int = 0,
     retryConnection: Boolean = false,
-    useTls: Option[Boolean] = None)
+    useTls: Option[Boolean] = None,
+    serverSettings: Map[String, String] = Map.empty)
   extends ClickHouseClient {
 
-  private val gzip: Boolean = compression.toLowerCase match {
-    case "" | "none" => false
-    case "gzip" => true
-    case other => throw new IllegalArgumentException(
-      s"compression '$other' is not available on the ClickHouse HTTP interface " +
-        "(supported: none, gzip); lz4/zstd are native-protocol block codecs — " +
-        "use a native transport for those")
-  }
+  private val codec: String = HttpCodec.normalize(compression)
+
+  // ClickHouse SERVER settings riding every request as URL parameters
+  // (http doc §Settings) — the reference's Settings surface
+  // (utils/params.rs:256-266). Names the transport pins for itself are
+  // rejected, mirroring the reference's ClientOption-collision error
+  // (params.rs:186-189).
+  serverSettings.keys
+    .find(k => graft.catalog.ChOptions.ReservedServerSettings(k.toLowerCase))
+    .foreach { k =>
+      throw new IllegalArgumentException(
+        s"server setting '$k' is reserved by the HTTP transport and cannot be overridden")
+    }
 
   useTls.foreach { tls =>
     val isHttps = endpoint.toLowerCase.startsWith("https://")
@@ -94,8 +106,8 @@ class HttpClickHouseClient(
   // metadata (and any server-side date math) is wall-time-stable
   // regardless of server tz. (The data path is RowBinary: epoch-based,
   // timezone-unambiguous by construction.)
-  private def baseSettings: Map[String, String] = Map(
-    "session_timezone" -> "UTC")
+  private def baseSettings: Map[String, String] =
+    serverSettings + ("session_timezone" -> "UTC")
 
   // ---- low-level HTTP ----
 
@@ -115,9 +127,9 @@ class HttpClickHouseClient(
   private def open(
       settings: Map[String, String],
       query: Option[String] = None,
-      gzipBody: Boolean = false): HttpURLConnection = {
+      encodeBody: Boolean = false): HttpURLConnection = {
     val all = baseSettings ++ settings ++
-      (if (gzip) Map("enable_http_compression" -> "1") else Map.empty) ++
+      (if (codec != "none") Map("enable_http_compression" -> "1") else Map.empty) ++
       query.map("query" -> _)
     val qs = all.map { case (k, v) =>
       s"${URLEncoder.encode(k, UTF_8)}=${URLEncoder.encode(v, UTF_8)}"
@@ -130,17 +142,15 @@ class HttpClickHouseClient(
     c.setReadTimeout(readTimeoutMs)
     c.setRequestProperty("X-ClickHouse-User", user)
     if (password.nonEmpty) c.setRequestProperty("X-ClickHouse-Key", password)
-    if (gzip) c.setRequestProperty("Accept-Encoding", "gzip")
-    if (gzipBody) c.setRequestProperty("Content-Encoding", "gzip")
+    if (codec != "none") c.setRequestProperty("Accept-Encoding", codec)
+    if (encodeBody && codec != "none") c.setRequestProperty("Content-Encoding", codec)
     c.setRequestProperty("Content-Type",
       if (query.isDefined) "application/octet-stream" else "text/plain; charset=UTF-8")
     c
   }
 
-  private def responseStream(c: HttpURLConnection): InputStream = {
-    val raw = c.getInputStream
-    if ("gzip".equalsIgnoreCase(c.getContentEncoding)) new GZIPInputStream(raw) else raw
-  }
+  private def responseStream(c: HttpURLConnection): InputStream =
+    HttpCodec.wrapInput(c.getContentEncoding, c.getInputStream)
 
   private def failFor(c: HttpURLConnection, sql: String): Nothing =
     throw HttpClickHouseClient.httpError(c, sql)
@@ -295,7 +305,8 @@ class HttpClickHouseClient(
 
   private def handle(sql: String, schema: StructType): HttpQueryHandle =
     HttpQueryHandle(endpoint, user, password, sql, schema.json,
-      connectTimeoutMs, readTimeoutMs, gzip, poolMaxSize, retryConnection)
+      connectTimeoutMs, readTimeoutMs, codec, poolMaxSize, retryConnection,
+      serverSettings)
 
   /** Parallel read of ONE remote query: probe min/max of the split column
     * (one scalar statement), carve [lo, hi] into `numStreams` disjoint
@@ -511,10 +522,10 @@ class HttpClickHouseClient(
     withGate {
       val c = open(Map.empty,
         query = Some(s"INSERT INTO `$db`.`$table` ($cols) FORMAT RowBinary"),
-        gzipBody = gzip)
+        encodeBody = true)
       val raw = c.getOutputStream
       val out = new DataOutputStream(
-        if (gzip) new GZIPOutputStream(raw, 8192) else new java.io.BufferedOutputStream(raw, 8192))
+        HttpCodec.wrapOutput(codec, new java.io.BufferedOutputStream(raw, 8192)))
       try {
         rows.foreach { r =>
           var i = 0
@@ -622,9 +633,10 @@ final case class HttpQueryHandle(
     schemaJson: String,
     connectTimeoutMs: Int,
     readTimeoutMs: Int,
-    gzip: Boolean = false,
+    codec: String = "none",
     poolMaxSize: Int = 0,
-    retryConnection: Boolean = false)
+    retryConnection: Boolean = false,
+    serverSettings: Map[String, String] = Map.empty)
   extends ChPartitionHandle {
   // case-class toString reaches partition debug strings and task-failure
   // logs — never echo the credential
@@ -665,7 +677,7 @@ object HttpClickHouseClient {
   val binaryBatchesDecoded = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Open the handle's query as a RowBinaryWithNamesAndTypes response
-    * stream: returns the live connection, the (possibly gzip-wrapped)
+    * stream: returns the live connection, the (possibly codec-wrapped)
     * stream positioned after the header, the header itself, and the gate
     * to release on close. The header's server-declared types drive
     * decoding; names are validated against the plan schema so silent
@@ -680,8 +692,8 @@ object HttpClickHouseClient {
     try {
       def attempt(): (HttpURLConnection, DataInputStream,
           Seq[(String, String)], RowBinary.CountingInputStream) = {
-        val qs = (Map("session_timezone" -> "UTC") ++
-          (if (h.gzip) Map("enable_http_compression" -> "1") else Map.empty))
+        val qs = (h.serverSettings ++ Map("session_timezone" -> "UTC") ++
+          (if (h.codec != "none") Map("enable_http_compression" -> "1") else Map.empty))
           .map { case (k, v) =>
             s"${URLEncoder.encode(k, UTF_8)}=${URLEncoder.encode(v, UTF_8)}"
           }.mkString("&")
@@ -693,7 +705,7 @@ object HttpClickHouseClient {
         conn.setReadTimeout(h.readTimeoutMs)
         conn.setRequestProperty("X-ClickHouse-User", h.user)
         if (h.password.nonEmpty) conn.setRequestProperty("X-ClickHouse-Key", h.password)
-        if (h.gzip) conn.setRequestProperty("Accept-Encoding", "gzip")
+        if (h.codec != "none") conn.setRequestProperty("Accept-Encoding", h.codec)
         val out: OutputStream = conn.getOutputStream
         try out.write(s"${h.sql} FORMAT RowBinaryWithNamesAndTypes".getBytes(UTF_8))
         finally out.close()
@@ -705,8 +717,7 @@ object HttpClickHouseClient {
         // buffer makes mid-row EOF look like a clean end of stream
         val counter = new RowBinary.CountingInputStream(
           new java.io.BufferedInputStream(
-            if ("gzip".equalsIgnoreCase(conn.getContentEncoding)) new GZIPInputStream(raw)
-            else raw, 1 << 16))
+            HttpCodec.wrapInput(conn.getContentEncoding, raw), 1 << 16))
         val in = new DataInputStream(counter)
         val header = RowBinary.readHeader(in)
         // empty plan schema = empty-projection COUNT(*) scan: the remote

@@ -4,7 +4,6 @@ import java.io.{ByteArrayInputStream, DataInputStream, EOFException}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.atomic.AtomicLong
-import java.util.zip.GZIPInputStream
 
 import scala.collection.concurrent.TrieMap
 
@@ -18,7 +17,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * Surface: system.columns / system.tables metadata, CREATE/DROP TABLE,
   * and a `FORMAT RowBinary` INSERT sink that DECODES every row with the
   * production codec and counts it, then discards — so a benchmark through
-  * this server pays the full wire cost (client encode + HTTP + gzip +
+  * this server pays the full wire cost (client encode + HTTP + content-coding +
   * server decode) without storage noise. The richer query-capable mock
   * lives in HttpClientSpec; this one is deliberately write-path-only.
   */
@@ -74,11 +73,10 @@ final class MockClickHouseHttp extends AutoCloseable {
       }.toMap
     val rawBody = ex.getRequestBody.readAllBytes()
     bytesReceived.addAndGet(rawBody.length.toLong)
-    val gz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
-      .exists(_.toLowerCase.contains("gzip"))
+    val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding")).getOrElse("")
     val body =
-      if (gz) {
-        val in = new GZIPInputStream(new ByteArrayInputStream(rawBody))
+      if (enc.nonEmpty) {
+        val in = HttpCodec.wrapInput(enc, new ByteArrayInputStream(rawBody))
         try in.readAllBytes() finally in.close()
       } else rawBody
     params.get("query") match {

@@ -886,6 +886,44 @@ object ConnectorQueries {
         .select("k", "v", "ver")
     },
 
+    // Mergeable-sketch incremental distinct count: per-group HLL sketches
+    // (DataSketches via Spark's codegen'd hll_sketch_agg) are PERSISTED
+    // into the store as base64 strings — the 100 TB pattern where each
+    // ingest shard/day writes a KB-sized sketch once and any later
+    // "distinct across everything" answer merges k sketches instead of
+    // re-shuffling the corpus (ClickHouse's own uniqState/uniqMerge
+    // shape, composed through the connector). The gate re-opens the
+    // persisted sketch table, hll_union_agg-merges it, and pins the
+    // estimate within 2% of the exact distinct — a hash row, not
+    // rows-only (the s03/s04 threshold pattern).
+    q("r38_sketch_distinct",
+      """SELECT (SELECT count(*) FROM
+        |    (SELECT DISTINCT coalesce(lang, '') FROM documents) x) AS n_groups,
+        |  count(DISTINCT text) AS exact_distinct, TRUE AS estimate_ok
+        |FROM documents""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.hll_lang")
+      s.sql(
+        """CREATE TABLE clickhouse.main.hll_lang
+          |(lang STRING NOT NULL, sk STRING)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'lang')""".stripMargin)
+      // one tiny row per group lands in the store; the corpus shuffles
+      // ONCE (map-side partial sketches combine before the exchange)
+      s.sql(
+        """INSERT INTO clickhouse.main.hll_lang
+          |SELECT coalesce(lang, '') AS lang, base64(hll_sketch_agg(text)) AS sk
+          |FROM documents GROUP BY coalesce(lang, '')""".stripMargin)
+      val merged = s.table("clickhouse.main.hll_lang").agg(
+        count(lit(1)).as("n_groups"),
+        hll_sketch_estimate(hll_union_agg(unbase64(col("sk")))).as("est"))
+      val exact = s.table("documents")
+        .agg(countDistinct(col("text")).as("exact_distinct"))
+      merged.crossJoin(exact).select(
+        col("n_groups"),
+        col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) <=
+          col("exact_distinct") * lit(0.02)).as("estimate_ok"))
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

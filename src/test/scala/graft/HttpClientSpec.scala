@@ -26,9 +26,11 @@ import graft.client.{HttpClickHouseClient, RowBinary}
   *
   * Protocol facts pinned by this mock (vs the public docs, see
   * docs/en/interfaces/http + formats#rowbinary):
-  *  - `enable_http_compression=1` + `Accept-Encoding: gzip` → gzip
-  *    response with `Content-Encoding: gzip` (doc §Compression)
-  *  - a gzip `Content-Encoding` REQUEST body is decompressed server-side
+  *  - `enable_http_compression=1` + `Accept-Encoding: gzip|lz4|zstd` →
+  *    response in that coding with matching `Content-Encoding`
+  *    (doc §Compression; lz4 rides the LZ4 frame format)
+  *  - a gzip/lz4/zstd `Content-Encoding` REQUEST body is decompressed
+  *    server-side
   *  - RowBinaryWithNamesAndTypes: LEB128 column count, names, type
   *    strings, then raw rows (formats doc §RowBinaryWithNamesAndTypes)
   *  - Nullable wire flag byte precedes the value (1 = NULL)
@@ -38,8 +40,21 @@ class HttpClientSpec extends AnyFunSuite {
   // ---- mock ClickHouse: one table main.events_http + DDL/insert support ----
 
   private val queries = mutable.ArrayBuffer.empty[String]
-  private val gzippedResponses = new AtomicInteger(0)
-  private val gzippedRequestBodies = new AtomicInteger(0)
+  // per-codec wire counters: (codec -> how many response bodies / request
+  // bodies actually crossed the wire in that coding)
+  private val encodedResponses =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+  private val encodedRequestBodies =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+  private def bump(m: java.util.concurrent.ConcurrentHashMap[String, AtomicInteger],
+      codec: String): Unit = {
+    m.computeIfAbsent(codec, _ => new AtomicInteger(0)).incrementAndGet(); ()
+  }
+  private def countOf(m: java.util.concurrent.ConcurrentHashMap[String, AtomicInteger],
+      codec: String): Int = Option(m.get(codec)).map(_.get()).getOrElse(0)
+  // URL parameters of every request, in arrival order (server settings
+  // ride here — http doc §Settings)
+  private val paramsLog = new java.util.concurrent.CopyOnWriteArrayList[Map[String, String]]()
 
   // (id, name, val) with one NULL id — range splits must not lose it
   private val baseRows = mutable.ArrayBuffer[(Option[Long], String, Double)](
@@ -468,14 +483,27 @@ class HttpClientSpec extends AnyFunSuite {
     } else (500, s"mock: unhandled query: $q".getBytes(UTF_8), Map.empty[String, String])
   }
 
-  private def gunzip(b: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(b))
+  // The mock speaks each content-coding through the codec libraries
+  // DIRECTLY (not through the client's HttpCodec helper) so an asymmetry
+  // bug in the client's wrapper cannot cancel itself out in the tests.
+  private def decodeBytes(codec: String, b: Array[Byte]): Array[Byte] = {
+    val in = codec match {
+      case "gzip" => new GZIPInputStream(new ByteArrayInputStream(b))
+      case "lz4" => new net.jpountz.lz4.LZ4FrameInputStream(new ByteArrayInputStream(b))
+      case "zstd" => new com.github.luben.zstd.ZstdInputStream(new ByteArrayInputStream(b))
+      case other => throw new IllegalArgumentException(s"mock: unknown coding $other")
+    }
     try in.readAllBytes() finally in.close()
   }
 
-  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+  private def encodeBytes(codec: String, b: Array[Byte]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    val out = new GZIPOutputStream(bos)
+    val out: java.io.OutputStream = codec match {
+      case "gzip" => new GZIPOutputStream(bos)
+      case "lz4" => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case "zstd" => new com.github.luben.zstd.ZstdOutputStream(bos)
+      case other => throw new IllegalArgumentException(s"mock: unknown coding $other")
+    }
     out.write(b); out.close()
     bos.toByteArray
   }
@@ -489,13 +517,14 @@ class HttpClientSpec extends AnyFunSuite {
             val Array(k, v) = kv.split("=", 2)
             java.net.URLDecoder.decode(k, UTF_8) -> java.net.URLDecoder.decode(v, UTF_8)
           }.toMap
+        paramsLog.add(params)
         val rawBody = ex.getRequestBody.readAllBytes()
-        // a gzip Content-Encoding request body is decompressed server-side
-        // (http doc §Compression)
-        val reqGz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
-          .exists(_.toLowerCase.contains("gzip"))
-        if (reqGz) gzippedRequestBodies.incrementAndGet()
-        val body = if (reqGz) gunzip(rawBody) else rawBody
+        // a gzip/lz4/zstd Content-Encoding request body is decompressed
+        // server-side (http doc §Compression)
+        val reqEnc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .map(_.trim.toLowerCase).filter(_.nonEmpty)
+        reqEnc.foreach(bump(encodedRequestBodies, _))
+        val body = reqEnc.map(decodeBytes(_, rawBody)).getOrElse(rawBody)
         // INSERT shape: query in the URL, data in the body
         val (sql, data) = params.get("query") match {
           case Some(qq) => (qq, body)
@@ -508,15 +537,21 @@ class HttpClientSpec extends AnyFunSuite {
               (500, s"mock error: $e".getBytes(UTF_8), Map.empty[String, String])
           }
         // response compression requires BOTH the setting and the header
-        // (http doc §Compression)
-        val wantGz = params.get("enable_http_compression").contains("1") &&
-          Option(ex.getRequestHeaders.getFirst("Accept-Encoding")).exists(_.contains("gzip"))
-        val outBytes =
-          if (wantGz && code == 200 && resp.nonEmpty) {
-            gzippedResponses.incrementAndGet()
-            ex.getResponseHeaders.set("Content-Encoding", "gzip")
-            gzipBytes(resp)
-          } else resp
+        // (http doc §Compression); the server answers in the FIRST coding
+        // it supports from Accept-Encoding
+        val accept = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+          .map(_.toLowerCase).getOrElse("")
+        val respCodec =
+          if (!params.get("enable_http_compression").contains("1")) None
+          else accept.split(",").map(_.trim.takeWhile(_ != ';'))
+            .find(Set("gzip", "lz4", "zstd"))
+        val outBytes = respCodec match {
+          case Some(cod) if code == 200 && resp.nonEmpty =>
+            bump(encodedResponses, cod)
+            ex.getResponseHeaders.set("Content-Encoding", cod)
+            encodeBytes(cod, resp)
+          case _ => resp
+        }
         headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
         ex.sendResponseHeaders(code, if (outBytes.isEmpty) -1 else outBytes.length)
         if (outBytes.nonEmpty) {
@@ -815,35 +850,111 @@ class HttpClientSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("embedded"), e2.getMessage)
   }
 
-  test("gzip compression round-trips both directions and is really on the wire") {
-    val gz = new HttpClickHouseClient(endpoint, compression = "gzip")
-    val respBefore = gzippedResponses.get()
-    val (schema, handles) = gz.planQuery(
+  /** One full both-directions wire check per content-coding: the RESPONSE
+    * must arrive `Content-Encoding: <codec>` (counted server-side before
+    * decode) and the INSERT body must leave `Content-Encoding: <codec>`
+    * (counted server-side before decompression) — so compression is
+    * verified ON THE WIRE, not just configured.
+    */
+  private def compressionRoundTrip(codec: String): Unit = {
+    val cl = new HttpClickHouseClient(endpoint, compression = codec)
+    val respBefore = countOf(encodedResponses, codec)
+    val (schema, handles) = cl.planQuery(
       "SELECT `id`, `name`, `val` FROM `main`.`events_http`", 1)
-    val rows = gz.readPartition(handles.head).toSeq
+    val rows = cl.readPartition(handles.head).toSeq
     assert(rows.size == baseRows.size)
-    assert(gzippedResponses.get() > respBefore) // response was compressed
+    assert(countOf(encodedResponses, codec) > respBefore) // response was compressed
     // compressed RowBinary insert body
-    val reqBefore = gzippedRequestBodies.get()
-    gz.createTable("main", "gz_sink",
+    val reqBefore = countOf(encodedRequestBodies, codec)
+    cl.createTable("main", s"${codec}_sink",
       Seq("id" -> "Int64", "tag" -> "Nullable(String)"), Map("engine" -> "MergeTree"))
-    val n = gz.insert("main", "gz_sink",
+    val n = cl.insert("main", s"${codec}_sink",
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType))),
       Seq(org.apache.spark.sql.Row(5L, "x"), org.apache.spark.sql.Row(6L, null)))
     assert(n == 2)
-    assert(gzippedRequestBodies.get() > reqBefore) // body was compressed
-    val landed = dynTables("gz_sink")._2
+    assert(countOf(encodedRequestBodies, codec) > reqBefore) // body was compressed
+    val landed = dynTables(s"${codec}_sink")._2
     assert(landed.exists(r => r("id") == 5L && r("tag") == "x"))
     assert(landed.exists(r => r("id") == 6L && r("tag") == null))
     val _ = schema
   }
 
+  test("gzip compression round-trips both directions and is really on the wire") {
+    compressionRoundTrip("gzip")
+  }
+
+  test("lz4 compression round-trips both directions (the codec the " +
+    "reference pins, tests/common/helpers.rs:29)") {
+    compressionRoundTrip("lz4")
+  }
+
+  test("zstd compression round-trips both directions") {
+    compressionRoundTrip("zstd")
+  }
+
   test("unsupported compression codecs are rejected, not silently inert") {
     val e = intercept[IllegalArgumentException](
-      new HttpClickHouseClient(endpoint, compression = "lz4"))
-    assert(e.getMessage.contains("lz4"))
+      new HttpClickHouseClient(endpoint, compression = "br"))
+    assert(e.getMessage.contains("br"))
+    assert(e.getMessage.contains("zstd")) // error names what IS supported
+  }
+
+  test("server settings ride EVERY request as URL parameters — driver " +
+    "statements, executor data streams, and insert bodies alike " +
+    "(reference utils/params.rs:256-266; http doc §Settings)") {
+    val st = new HttpClickHouseClient(endpoint,
+      serverSettings = Map("max_threads" -> "7", "max_memory_usage" -> "1000000000"))
+    val mark = paramsLog.size()
+    val (schema, handles) = st.planQuery(
+      "SELECT `id`, `name`, `val` FROM `main`.`events_http`", 1)
+    val rows = st.readPartition(handles.head).toSeq // executor-side stream path
+    assert(rows.size == baseRows.size)
+    st.createTable("main", "settings_sink",
+      Seq("id" -> "Int64"), Map("engine" -> "MergeTree"))
+    st.insert("main", "settings_sink",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))),
+      Seq(org.apache.spark.sql.Row(1L)))
+    val since = (mark until paramsLog.size()).map(paramsLog.get)
+    assert(since.nonEmpty)
+    since.foreach { p =>
+      assert(p.get("max_threads").contains("7"), s"missing max_threads in $p")
+      assert(p.get("max_memory_usage").contains("1000000000"))
+      assert(p.get("session_timezone").contains("UTC")) // pinned value survives
+    }
+    val _ = schema
+  }
+
+  test("transport-reserved server settings are rejected at construction") {
+    val e = intercept[IllegalArgumentException](new HttpClickHouseClient(
+      endpoint, serverSettings = Map("session_timezone" -> "America/New_York")))
+    assert(e.getMessage.contains("session_timezone"))
+  }
+
+  test("settings.* catalog options: honored on HTTP, rejected on the " +
+    "embedded store (no server to land on), reserved names rejected") {
+    // HTTP: accepted at setup
+    val ok = new graft.catalog.ClickHouseCatalog
+    ok.initialize("okcat_settings",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+        "endpoint", endpoint, "settings.max_threads", "4")))
+    // HTTP + reserved name: rejected by the option grammar
+    val e1 = intercept[IllegalArgumentException] {
+      new graft.catalog.ClickHouseCatalog().initialize("badcat_settings",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", endpoint, "settings.enable_http_compression", "1")))
+    }
+    assert(e1.getMessage.contains("reserved"))
+    // embedded: any settings.* errors — honored-or-rejected
+    val e2 = intercept[IllegalArgumentException] {
+      new graft.catalog.ClickHouseCatalog().initialize("badcat_settings2",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "path", "/tmp/graft_settings_embedded", "settings.max_threads", "4")))
+    }
+    assert(e2.getMessage.contains("embedded") || e2.getMessage.contains("server"),
+      e2.getMessage)
   }
 
   test("use_tls is asserted against the endpoint scheme") {
@@ -1116,9 +1227,10 @@ class HttpClientSpec extends AnyFunSuite {
    * | Date = UInt16 epoch days / Date32 = Int32       | data-types doc §Date        | doc    |
    * | Decimal(P,S) width 4/8/16/32 by precision       | data-types doc §Decimal     | doc    |
    * | INSERT: query in URL ?query=, data as body      | http doc §Usage (INSERT)    | doc    |
-   * | gzip response: enable_http_compression=1 +      | http doc §Compression       | doc    |
-   * |   Accept-Encoding; gzip request body decoded    |                             |        |
-   * |   when Content-Encoding: gzip                   |                             |        |
+   * | gzip/lz4/zstd responses: enable_http_compression| http doc §Compression       | doc    |
+   * |   =1 + Accept-Encoding; request bodies decoded  |                             |        |
+   * |   per Content-Encoding (lz4 = LZ4 FRAME format, |                             |        |
+   * |   the coding the reference pins, helpers.rs:29) |                             |        |
    * | errors: non-200 + X-ClickHouse-Exception-Code   | http doc §Response          | doc    |
    * |   header + text body                            |                             |        |
    * | X-ClickHouse-Summary on INSERT SELECT           | http doc §Response headers  | doc    |
@@ -1142,6 +1254,9 @@ class HttpClientSpec extends AnyFunSuite {
    * | FROM t FINAL collapses Replacing-family rows    | select doc §FINAL modifier  | doc    |
    * |   before WHERE/aggregates; engine column of     |   + system.tables doc       |        |
    * |   system.tables gates the read option           |                             |        |
+   * | server settings as URL parameters on any        | http doc §Settings          | doc    |
+   * |   request (settings.* catalog keys; reserved    |                             |        |
+   * |   transport-pinned names rejected)              |                             |        |
    * | cityHash64(col) % n = i slice predicates are    | functions doc §cityHash64   | doc    |
    * |   server-computed, disjoint-covering per query  |   (stable across versions)  |        |
    * |   (bucket-keyed reads; NULLs ride slice 0)      |                             |        |
