@@ -48,6 +48,23 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
 
   def clickHouseClient: ClickHouseClient = client
 
+  /** One URL/root → that transport; N → the sharded composite. `shard_by`
+    * names the write-routing column and is only meaningful with shards.
+    */
+  private def shardedOrSingle(
+      name: String,
+      options: CaseInsensitiveStringMap,
+      clients: IndexedSeq[ClickHouseClient with Serializable])
+      : ClickHouseClient with Serializable = {
+    val shardBy = Option(options.get("shard_by")).map(_.trim).filter(_.nonEmpty)
+    if (clients.size == 1) {
+      if (shardBy.isDefined) throw new IllegalArgumentException(
+        s"option 'shard_by' of catalog '$name' requires a comma-separated " +
+          "shard list in endpoint/path (a single store has nothing to route)")
+      clients.head
+    } else new graft.client.ShardedClickHouseClient(clients, shardBy)
+  }
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     // full params.rs-style key validation: unknown keys and mistyped
@@ -73,8 +90,11 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
               "connection lifetimes; configure TLS trust via the JVM truststore). " +
               s"Supported here: ${ChOptions.HttpHonoredKeys.toSeq.sorted.mkString(", ")} " +
               "(compression: none|gzip|lz4|zstd)")
-        new graft.client.HttpClickHouseClient(
-          ep.stripSuffix("/"),
+        // `endpoint` accepts a comma-separated SHARD list: each URL gets
+        // its own transport and the composite executes per shard (the
+        // client-side Distributed-table shape; see ShardedClickHouseClient)
+        def mkHttp(one: String) = new graft.client.HttpClickHouseClient(
+          one.trim.stripSuffix("/"),
           user = Option(options.get("username")).getOrElse("default"),
           password = Option(options.get("password")).getOrElse(""),
           defaultDatabase = Option(options.get("default_database")).getOrElse("default"),
@@ -86,6 +106,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
             Option(options.get("pool_retry_connection")).exists(_.toBoolean),
           useTls = Option(options.get("use_tls")).map(_.toBoolean),
           serverSettings = ChOptions.serverSettings(options.asScala.toMap))
+        shardedOrSingle(name, options, ep.split(",").toIndexedSeq.map(mkHttp))
       case None =>
         val path = Option(options.get("path"))
           .getOrElse(throw new IllegalArgumentException(
@@ -100,7 +121,11 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
               .mkString(", ")} of catalog '$name' carry ClickHouse server " +
               "settings, but the embedded store runs in-process — there is no " +
               "server to honor them (set them on an endpoint-backed catalog)")
-        new EmbeddedClickHouse(path)
+        // `path` accepts a comma-separated shard list too — the hermetic
+        // cluster (one embedded store per root), so sharded semantics are
+        // oracle-testable without a wire
+        shardedOrSingle(name, options,
+          path.split(",").toIndexedSeq.map(p => new EmbeddedClickHouse(p.trim)))
     }
     readStreams = Option(options.get("read.streams")).map(_.toInt).getOrElse(4)
     writeConcurrency = Option(options.get("write.concurrency")).map(_.toInt).getOrElse(4)

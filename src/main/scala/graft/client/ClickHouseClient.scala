@@ -21,6 +21,29 @@ trait ClickHouseClient extends Serializable {
     */
   def connectionKey: String
 
+  /** True when executing a planned statement ONCE produces the whole
+    * result. False for sharded/cluster transports, where every planned
+    * statement runs once PER SHARD and the observable result is the
+    * UNION of shard-local results — row-local operations (projection,
+    * filter, per-row expressions) distribute over that union unchanged,
+    * but whole-result operations (complete aggregates, joins, windows,
+    * exact top-k, OFFSET) do NOT, so planners must either keep them
+    * local, push them in a merge-safe partial form, or re-apply them
+    * above the union. The scan builder and the subtree-collapse rule
+    * both consult this flag (the same split ClickHouse itself makes
+    * between shard-local and initiator-side execution for Distributed
+    * tables).
+    */
+  def singleExecutionDomain: Boolean = true
+
+  /** True when a FINAL (dedup-on-read) scan of this table is exact:
+    * always, for a single store; for a sharded transport only when the
+    * routing key guarantees all versions of a given ORDER BY key land on
+    * the same shard (per-shard FINAL is then globally correct — the same
+    * caveat real ClickHouse Distributed tables carry).
+    */
+  def finalReadExact(db: String, table: String): Boolean = true
+
   def listDatabases(): Seq[String]
   def listTables(db: String): Seq[String]
   def tableExists(db: String, table: String): Boolean

@@ -33,7 +33,11 @@ object HttpCodec {
   def wrapOutput(codec: String, raw: OutputStream): OutputStream = codec match {
     case "none" => raw
     case "gzip" => new GZIPOutputStream(raw, 8192)
-    case "lz4" => new net.jpountz.lz4.LZ4FrameOutputStream(raw)
+    // 256 KB frame blocks: insert bodies are write.batch_size-bounded
+    // (~100s of KB), so the default 4 MB block buffer would be allocated
+    // per call and mostly unused
+    case "lz4" => new net.jpountz.lz4.LZ4FrameOutputStream(raw,
+      net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_256KB)
     case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
     case other => throw new IllegalArgumentException(s"unknown codec: $other")
   }

@@ -1,0 +1,197 @@
+package graft.client
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+/** A ClickHouse CLUSTER as one [[ClickHouseClient]]: N shard transports
+  * composed behind the single-store interface, the client-side analog of
+  * a `Distributed` table (shard-local execution + initiator-side merge).
+  * The reference connects to one endpoint (its pool holds connections to
+  * a single `Destination`, /root/reference/src/connection.rs:107-118);
+  * this composite is the 100 TB extension of that surface: a corpus that
+  * outgrows one server reads and writes through the same catalog,
+  * unchanged.
+  *
+  * Execution semantics (see [[ClickHouseClient.singleExecutionDomain]]):
+  * every planned statement runs once PER SHARD and the observable result
+  * is the union of shard-local results. That is exactly correct for
+  * row-local work (scan/filter/projection/per-row expressions, mutations,
+  * sampling) and for MERGE-SAFE partial aggregates (the scan builder
+  * downgrades aggregate pushdown to partial mode so Spark's final
+  * aggregate merges per-shard rows); whole-result operations (complete
+  * aggregates, collapsed joins/windows, exact top-k, OFFSET) are kept in
+  * Spark by the planners consulting the flag. LIMIT still pushes as a
+  * per-shard upper bound (Spark re-applies the global limit).
+  *
+  * Writes route by `shardBy` — `floorMod(value.hashCode, n)` on the
+  * routing column, a CLIENT-side placement hash (documented as such; no
+  * server hash parity is claimed, so no co-partitioning is reported:
+  * [[planQueryBuckets]] stays None). Without `shardBy`, whole blocks
+  * round-robin. DDL and mutations broadcast to every shard; schemas are
+  * authoritative on shard 0 (DDL broadcast keeps them aligned). FINAL
+  * reads are exact only when `shardBy` equals the table's ORDER BY head —
+  * the same caveat ClickHouse documents for FINAL over Distributed
+  * tables ([[finalReadExact]] enforces it; rejected, never silently
+  * wrong).
+  */
+class ShardedClickHouseClient(
+    val shards: IndexedSeq[ClickHouseClient],
+    val shardBy: Option[String] = None)
+  extends ClickHouseClient {
+
+  require(shards.size >= 2, s"a sharded client needs >= 2 shards, got ${shards.size}")
+
+  override def singleExecutionDomain: Boolean = false
+
+  override def connectionKey: String =
+    s"sharded[${shards.map(_.connectionKey).mkString("|")}]"
+
+  // ---- metadata: shard 0 is authoritative (DDL broadcasts keep shards
+  // aligned; a drifted shard fails loudly at scan time via the wire
+  // header/name checks, never silently) ----
+
+  override def listDatabases(): Seq[String] = shards.head.listDatabases()
+  override def listTables(db: String): Seq[String] = shards.head.listTables(db)
+  override def tableExists(db: String, table: String): Boolean =
+    shards.head.tableExists(db, table)
+  override def fetchColumns(db: String, table: String): Seq[(String, String)] =
+    shards.head.fetchColumns(db, table)
+  override def fetchTableOptions(db: String, table: String): Map[String, String] =
+    shards.head.fetchTableOptions(db, table)
+  override def tableSizeBytes(db: String, table: String): Option[Long] = {
+    val sizes = shards.map(_.tableSizeBytes(db, table))
+    if (sizes.forall(_.isDefined)) Some(sizes.flatten.sum) else None
+  }
+
+  override def finalReadExact(db: String, table: String): Boolean =
+    shardBy.exists { key =>
+      fetchTableOptions(db, table).get("order_by")
+        .exists(_.split(",").headOption.map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .contains(key))
+    }
+
+  // ---- DDL: broadcast ----
+
+  override def createDatabase(db: String, ifNotExists: Boolean = true): Unit =
+    shards.foreach(_.createDatabase(db, ifNotExists))
+  override def dropDatabase(db: String): Unit = shards.foreach(_.dropDatabase(db))
+  override def createTable(
+      db: String, table: String,
+      columns: Seq[(String, String)], options: Map[String, String]): Unit =
+    shards.foreach(_.createTable(db, table, columns, options))
+  override def dropTable(db: String, table: String): Unit =
+    shards.foreach(_.dropTable(db, table))
+
+  // ---- reads: one statement per shard, handles tagged with their shard ----
+
+  override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
+    val per = math.max(1, numStreams / shards.size)
+    val planned = shards.map(_.planQuery(sql, per))
+    (planned.head._1, tag(planned.map(_._2)))
+  }
+
+  override def planQueryRanges(
+      sql: String, splitColumn: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
+    val per = math.max(1, numStreams / shards.size)
+    val planned = shards.map(_.planQueryRanges(sql, splitColumn, per))
+    (planned.head._1, tag(planned.map(_._2)))
+  }
+
+  private def tag(perShard: Seq[Seq[ChPartitionHandle]]): Seq[ChPartitionHandle] =
+    perShard.zipWithIndex.flatMap { case (hs, i) => hs.map(ShardHandle(i, _)) }
+
+  private def shardOf(handle: ChPartitionHandle): (ClickHouseClient, ChPartitionHandle) =
+    handle match {
+      case ShardHandle(i, inner) => (shards(i), inner)
+      case other => throw new IllegalArgumentException(
+        s"sharded client got a foreign handle: ${other.getClass.getName}")
+    }
+
+  override def readPartition(handle: ChPartitionHandle): Iterator[Row] = {
+    val (c, h) = shardOf(handle); c.readPartition(h)
+  }
+  override def readPartitionInternal(
+      handle: ChPartitionHandle,
+      schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (c, h) = shardOf(handle); c.readPartitionInternal(h, schema)
+  }
+  override def readPartitionColumnar(
+      handle: ChPartitionHandle,
+      schema: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (c, h) = shardOf(handle); c.readPartitionColumnar(h, schema)
+  }
+
+  // ---- mutations: row-local, broadcast ----
+
+  override def deleteWhere(db: String, table: String, whereSql: String): Unit =
+    shards.foreach(_.deleteWhere(db, table, whereSql))
+  override def updateWhere(
+      db: String, table: String,
+      assignments: Seq[(String, String)], whereSql: String): Unit =
+    shards.foreach(_.updateWhere(db, table, assignments, whereSql))
+
+  // ---- writes: hash-routed by shardBy, else round-robin blocks ----
+
+  private val rr = new AtomicLong(0)
+
+  /** Client-side placement hash: stable across JVMs for the types a
+    * routing key can be (String/Long/Int hashCode are specified by the
+    * JLS), NULLs ride shard 0. This routes PLACEMENT only — no
+    * co-partitioning with any server hash family is claimed.
+    */
+  private def route(schema: StructType, rows: Seq[Row]): Seq[(Int, Seq[Row])] =
+    shardBy match {
+      case Some(key) =>
+        val idx = schema.fieldNames.indexOf(key)
+        require(idx >= 0,
+          s"shard_by column '$key' is not in the insert schema " +
+            s"(${schema.fieldNames.mkString(", ")}) — cannot route rows")
+        rows.groupBy { r =>
+          if (r.isNullAt(idx)) 0 else math.floorMod(r.get(idx).hashCode, shards.size)
+        }.toSeq.sortBy(_._1)
+      case None =>
+        Seq((math.floorMod(rr.getAndIncrement(), shards.size.toLong).toInt, rows))
+    }
+
+  override def insert(db: String, table: String, schema: StructType, rows: Seq[Row]): Long =
+    route(schema, rows).map { case (i, rs) => shards(i).insert(db, table, schema, rs) }.sum
+
+  /** Shard-local ETL: the statement runs on EVERY shard against that
+    * shard's data — the `ON CLUSTER` INSERT SELECT shape. Correct
+    * whenever source and target tables co-reside (they do: DDL
+    * broadcasts), because each row is read and written on its own shard.
+    */
+  override def insertSelect(db: String, table: String, chSelectSql: String): Long =
+    shards.map(_.insertSelect(db, table, chSelectSql)).sum
+
+  // ---- staged (exactly-once) writes: split rows per shard under the
+  // same staging id; commit/abort broadcast (a shard with nothing staged
+  // under the id is a no-op) ----
+
+  override def stageInsert(
+      db: String, table: String, schema: StructType, rows: Seq[Row],
+      stagingId: String): Long =
+    route(schema, rows).map { case (i, rs) =>
+      shards(i).stageInsert(db, table, schema, rs, stagingId)
+    }.sum
+
+  override def commitStaged(db: String, table: String, stagingId: String): Unit =
+    shards.foreach(_.commitStaged(db, table, stagingId))
+
+  override def abortStaged(db: String, table: String, stagingId: String): Unit =
+    shards.foreach(_.abortStaged(db, table, stagingId))
+
+  /** Epoch markers live on shard 0 — one authority, so a replayed epoch
+    * is dropped on EVERY shard or published on every shard, never mixed.
+    */
+  override def tryMarkEpochCommitted(db: String, table: String, marker: String): Boolean =
+    shards.head.tryMarkEpochCommitted(db, table, marker)
+}
+
+/** Shard-tagged handle: remembers which shard planned `inner` so the
+  * executor-side read routes to the right transport.
+  */
+final case class ShardHandle(shard: Int, inner: ChPartitionHandle)
+  extends ChPartitionHandle

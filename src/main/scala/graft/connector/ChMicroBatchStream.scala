@@ -79,10 +79,14 @@ class ChMicroBatchStream(
         throw new IllegalStateException(
           s"stream_cursor $cursorCol must be integral, got ${other.getClass}")
     }
-    rows.flatten.headOption.flatMap { r =>
-      if (r.isNullAt(0) || r.isNullAt(1)) None
-      else Some((asLong(r.get(0)), asLong(r.get(1))))
+    // FOLD over every returned row, not head: a sharded client returns
+    // one (min, max) row PER SHARD — the global range is min-of-mins /
+    // max-of-maxes (a single store returns exactly one row, same fold)
+    val ranges = rows.flatten.collect {
+      case r if !r.isNullAt(0) && !r.isNullAt(1) => (asLong(r.get(0)), asLong(r.get(1)))
     }
+    if (ranges.isEmpty) None
+    else Some((ranges.map(_._1).min, ranges.map(_._2).max))
   }
 
   override def initialOffset(): Offset = ChStreamOffset(startExclusive)

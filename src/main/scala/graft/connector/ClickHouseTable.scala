@@ -185,8 +185,11 @@ class ChScanBuilder(
     * the same thing in both dialects. Same residual guard as LIMIT.
     */
   override def pushOffset(o: Int): Boolean = {
-    if (!hadResidual && offset.isEmpty) { offset = Some(o); true }
-    else false
+    // a sharded client would skip `o` rows PER SHARD (s*o total) and
+    // Spark removes the local offset once pushed — never push there
+    if (!hadResidual && offset.isEmpty && client.singleExecutionDomain) {
+      offset = Some(o); true
+    } else false
   }
 
   /** ORDER BY + LIMIT pushed as remote top-k; exact (isPartiallyPushed
@@ -205,10 +208,24 @@ class ChScanBuilder(
     }
   }
 
-  override def isPartiallyPushed: Boolean = false
+  /** Exact for one store (it sorts/limits its whole table). A sharded
+    * client returns each shard's local top-k/limit — a superset upper
+    * bound — so Spark must keep its own sort+limit above the union.
+    */
+  override def isPartiallyPushed: Boolean = !client.singleExecutionDomain
 
+  /** One store evaluates the whole aggregate remotely (complete
+    * pushdown: one row per group crosses the wire, Spark plans no
+    * aggregate at all). A sharded client must NOT claim completeness —
+    * per-shard aggregation is a partial result — so this returns false
+    * there and Spark downgrades to partial-aggregate pushdown: the scan
+    * still ships `GROUP BY` per shard (merge-safe min/max/sum/count
+    * only, Spark enforces), one row per group PER SHARD crosses, and
+    * Spark's final aggregate merges them — the initiator-side merge of a
+    * Distributed query, expressed in the DSv2 contract.
+    */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    compileAggregation(aggregation).isDefined
+    client.singleExecutionDomain && compileAggregation(aggregation).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     compileAggregation(aggregation) match {
@@ -262,6 +279,12 @@ class ChScanBuilder(
           "rejected rather than silently inert)")
       require(sample.isEmpty,
         "final=true cannot combine with a pushed TABLESAMPLE")
+      require(client.finalReadExact(db, table),
+        s"final=true on $db.$table is not exact through this transport: a " +
+          "sharded read runs FINAL per shard, which only collapses versions " +
+          "correctly when the routing key (shard_by) equals the table's " +
+          "ORDER BY head — align them or read without FINAL (the same " +
+          "caveat ClickHouse documents for FINAL over Distributed tables)")
     }
     new ChScan(client, db, table, select, compiled, groupBy, orderBy, limit,
       outputSchema, readStreams, aggregated = agg.isDefined,

@@ -239,10 +239,16 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
     * every scan (JoinPushDown::AllowedFor semantics).
     */
   private def wrap(p: LogicalPlan): Option[LogicalPlan] = {
-    val keys = p.collectLeaves().collect {
-      case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s.chClient.connectionKey
-    }.distinct
+    val scans = p.collectLeaves().collect {
+      case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s
+    }
+    val keys = scans.map(_.chClient.connectionKey).distinct
     if (keys.length != 1) None
+    // same execution-domain gate as collapsible(): a sharded client runs
+    // the collapsed statement per shard — only row-local subtrees
+    // distribute over that union (a collapsed Aggregate would return one
+    // SHARD's aggregate as if it were the whole result)
+    else if (!scans.forall(_.chClient.singleExecutionDomain) && !rowLocal(p)) None
     else ChPlanUnparser.unparse(p).flatMap(u => buildRemote(p, u, ""))
   }
 
@@ -400,7 +406,27 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s
     }
     scans.length == leaves.length && leaves.nonEmpty &&
-      scans.map(_.chClient.connectionKey).distinct.length == 1
+      scans.map(_.chClient.connectionKey).distinct.length == 1 &&
+      // a collapsed subtree executes as ONE remote statement; a sharded
+      // client runs it per shard and unions — wrong for joins/aggregates/
+      // windows/set-ops (shard-local results are not the whole-result
+      // semantics the subtree declared). ROW-LOCAL subtrees (projections/
+      // filters over one table, incl. clickhouse() expression shipping)
+      // distribute over the union unchanged, and the rule's LIMIT/top-k
+      // entry points RETAIN the outer Sort/Limit nodes, so a per-shard
+      // LIMIT/ORDER-BY suffix is a correct superset bound there too.
+      (scans.forall(_.chClient.singleExecutionDomain) || rowLocal(p))
+  }
+
+  /** Projections/filters over exactly one scan: semantics distribute over
+    * a union of shard-local executions.
+    */
+  private def rowLocal(p: LogicalPlan): Boolean = p match {
+    case DataSourceV2ScanRelation(_, _: ChScan, _, _, _) => true
+    case proj: Project => rowLocal(proj.child)
+    case f: Filter => rowLocal(f.child)
+    case sa: SubqueryAlias => rowLocal(sa.child)
+    case _ => false
   }
 
   private def isPassthrough(e: Expression): Boolean = e match {

@@ -924,6 +924,44 @@ object ConnectorQueries {
           col("exact_distinct") * lit(0.02)).as("estimate_ok"))
     },
 
+    // Sharded cluster catalog, end-to-end: `path=a,b` composes two
+    // embedded stores behind one catalog (ShardedClickHouseClient — the
+    // client-side Distributed-table shape), `shard_by` hash-routes the
+    // connector INSERT, and the aggregate read exercises the PARTIAL
+    // pushdown downgrade: each shard ships one row per group, Spark's
+    // final aggregate merges — the initiator-side merge a 100 TB sharded
+    // corpus needs (no shard ever sees the others' rows; no complete-agg
+    // wrong-answer shortcut, plan-guarded in ShardedClientSpec). Money
+    // sums run in DECIMAL so the merge is exact cross-engine.
+    q("r39_sharded_agg",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val cat = s"chsharded_$tag" // per-sfdir name: CatalogManager caches instances (r28)
+      val roots = s"/root/repo/target/chshard0_$tag,/root/repo/target/chshard1_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", roots)
+      s.conf.set(s"spark.sql.catalog.$cat.shard_by", "c_custkey")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+      if (!new EmbeddedClickHouse(s"/root/repo/target/chshard0_$tag")
+        .tableExists("main", "cust_sh")) {
+        s.sql(
+          s"""CREATE TABLE $cat.main.cust_sh
+             |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DECIMAL(18,2))
+             |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'c_custkey')""".stripMargin)
+        s.sql(
+          s"""INSERT INTO $cat.main.cust_sh
+             |SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2))
+             |FROM customer""".stripMargin)
+      }
+      s.table(s"$cat.main.cust_sh")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("c_acctbal").cast("decimal(18,2)").as("bal"))
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

@@ -283,7 +283,14 @@ class HttpClientSpec extends AnyFunSuite {
     // the wire SHAPE (asserted against `queries`) and serves raw rows
     val q = sql.trim.replaceAll(" SAMPLE [0-9.]+( OFFSET [0-9.]+)?", "")
       .replaceAll(" FINAL(?=[ )]|$)", "")
-    if (q.contains("`no_such_table`"))
+    if (q.contains(" JOIN ") || q.contains(" UNION "))
+      // this mock executes single-table statements only; answering a
+      // collapsed multi-relation query with one table's rows would be
+      // valid-looking garbage (NULL-padded columns) — fail LOUDLY the
+      // way a fidelity mock must
+      (500, s"mock: multi-relation SQL is not executable here: ${q.take(200)}"
+        .getBytes(UTF_8), Map.empty[String, String])
+    else if (q.contains("`no_such_table`"))
       // error shape of the HTTP interface: non-200, text body, and the
       // ClickHouse exception code in X-ClickHouse-Exception-Code
       // (http doc §Response; 60 = UNKNOWN_TABLE)
@@ -1115,14 +1122,25 @@ class HttpClientSpec extends AnyFunSuite {
     dynTables("bkt_l") = (colTypes, seedRows("l"))
     dynTables("bkt_r") = (colTypes, seedRows("r"))
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // second catalog, same server, DIFFERENT user: distinct connection
+    // keys make this the cross-connection federated-join shape — the
+    // subtree-collapse rule refuses it (r28 semantics), so the plan must
+    // go through storage-partitioned buckets REGARDLESS of whether an
+    // earlier suite installed the pushdown extensions on the shared
+    // session (same-key same-store joins legitimately collapse into one
+    // remote SQL instead — that path is PushdownSpec's r08 territory)
+    spark.conf.set("spark.sql.catalog.chhttpb",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chhttpb.endpoint", endpoint)
+    spark.conf.set("spark.sql.catalog.chhttpb.username", "reader")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      def bucketed(t: String) = spark.read
-        .option("bucket_by", "id").option("buckets", "4").table(s"chhttp.main.$t")
+      def bucketed(catalog: String, t: String) = spark.read
+        .option("bucket_by", "id").option("buckets", "4").table(s"$catalog.main.$t")
       import org.apache.spark.sql.functions.{col => c}
-      val l = bucketed("bkt_l").select(c("id"), c("name").as("ln"))
-      val rt = bucketed("bkt_r").select(c("id").as("rid"), c("name").as("rn"))
+      val l = bucketed("chhttp", "bkt_l").select(c("id"), c("name").as("ln"))
+      val rt = bucketed("chhttpb", "bkt_r").select(c("id").as("rid"), c("name").as("rn"))
       val joined = l.join(rt, c("id") === c("rid")).select("id", "ln", "rn")
       val got = joined.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
       assert(got == (1 to 12).map(i => (i.toLong, s"l$i", s"r$i")).toSet)

@@ -1,0 +1,237 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.client.{EmbeddedClickHouse, MockClickHouseHttp}
+
+/** The sharded composite client (ShardedClickHouseClient): N stores
+  * behind one catalog — per-shard statement execution, union semantics,
+  * hash-routed writes, broadcast DDL/mutations. The hermetic cluster is
+  * two embedded stores (`path=a,b`); wire-level distribution is checked
+  * against two in-JVM mock HTTP servers. Every whole-result operation
+  * must either stay in Spark (no collapse, partial-aggregate pushdown,
+  * retained sort/limit) or be rejected (OFFSET pushdown, misaligned
+  * FINAL) — never silently wrong.
+  */
+class ShardedClientSpec extends AnyFunSuite {
+
+  private lazy val rootA = Files.createTempDirectory("graft_shard_a_").toString
+  private lazy val rootB = Files.createTempDirectory("graft_shard_b_").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .appName("sharded-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // unique catalog name per suite (shared JVM session)
+    s.conf.set("spark.sql.catalog.chshard", classOf[graft.catalog.ClickHouseCatalog].getName)
+    s.conf.set("spark.sql.catalog.chshard.path", s"$rootA,$rootB")
+    s.conf.set("spark.sql.catalog.chshard.shard_by", "k")
+    s.conf.set("spark.sql.catalog.chshard.read.streams", "2")
+    graft.GraftSession.install(s)
+    s
+  }
+
+  private def seed(): Unit = synchronized {
+    if (!new EmbeddedClickHouse(rootA).tableExists("main", "sh_events")) {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS chshard.main")
+      spark.sql(
+        """CREATE TABLE chshard.main.sh_events (k BIGINT, cat STRING, v DOUBLE)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      val rows = (1L to 200L).map(i => (i, s"c${i % 5}", i * 1.5))
+      import spark.implicits._
+      rows.toDF("k", "cat", "v").writeTo("chshard.main.sh_events").append()
+    }
+  }
+
+  test("DDL broadcasts: the table exists on every shard") {
+    seed()
+    assert(new EmbeddedClickHouse(rootA).tableExists("main", "sh_events"))
+    assert(new EmbeddedClickHouse(rootB).tableExists("main", "sh_events"))
+  }
+
+  test("hash-routed inserts land DISJOINT shard-local slices whose union " +
+    "is exactly the input") {
+    seed()
+    val a = new EmbeddedClickHouse(rootA)
+      .query("SELECT k FROM `main`.`sh_events`", 1)._2.flatten.map(_.getLong(0)).toSet
+    val b = new EmbeddedClickHouse(rootB)
+      .query("SELECT k FROM `main`.`sh_events`", 1)._2.flatten.map(_.getLong(0)).toSet
+    assert(a.nonEmpty && b.nonEmpty, s"both shards must hold data: |a|=${a.size} |b|=${b.size}")
+    assert(a.intersect(b).isEmpty, "shard slices must be disjoint")
+    assert(a.union(b) == (1L to 200L).toSet)
+    // catalog read = the union
+    assert(spark.table("chshard.main.sh_events").count() == 200)
+  }
+
+  test("aggregate pushdown DOWNGRADES to partial on a sharded client: " +
+    "per-shard rows merge in Spark's final aggregate, values exact") {
+    seed()
+    val df = spark.table("chshard.main.sh_events")
+      .groupBy("cat")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), max("k").as("mk"))
+    // partial mode keeps a Spark-side Aggregate (complete mode removes it)
+    assert(df.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      "sharded aggregate pushdown must keep the merging Aggregate:\n" +
+        df.queryExecution.optimizedPlan)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = (1L to 200L).map(i => (s"c${i % 5}", i))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, xs) =>
+        (c, xs.size.toLong, xs.map(_._2 * 1.5).sum, xs.map(_._2).max)
+      }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gc, gn, gs, gm), (wc, wn, ws, wm)) =>
+      assert(gc == wc && gn == wn && gm == wm)
+      assert(math.abs(gs - ws) < 1e-6)
+    }
+  }
+
+  test("LIMIT pushes as a per-shard upper bound, Spark re-applies the " +
+    "global limit; ORDER BY + LIMIT stays exact; OFFSET is never pushed") {
+    seed()
+    assert(spark.table("chshard.main.sh_events").limit(7).count() == 7)
+    val top = spark.table("chshard.main.sh_events")
+      .orderBy(desc("k")).limit(5).select("k").collect().map(_.getLong(0)).toSeq
+    assert(top == (196L to 200L).reverse)
+    val page = spark.sql(
+      "SELECT k FROM chshard.main.sh_events ORDER BY k LIMIT 5 OFFSET 3")
+      .collect().map(_.getLong(0)).toSeq
+    assert(page == (4L to 8L), s"OFFSET must stay exact over shards, got $page")
+  }
+
+  test("row-local clickhouse() expressions still ship per shard; " +
+    "whole-result subtrees never collapse") {
+    seed()
+    import graft.chfunctions._
+    val df = spark.table("chshard.main.sh_events")
+      .filter(col("k") <= 10)
+      .select(col("k"), clickhouse_fn("upper", Seq(col("cat")), "String").as("u"))
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == (1L to 10L).map(i => (i, s"C${i % 5}")))
+    // a whole-result subtree (here: a window spanning all rows) is NOT
+    // row-local — the rule must refuse to collapse it into per-shard SQL.
+    // Collapsed per shard, rank() would emit two independent rankings
+    // (duplicate rank 1s); computed in Spark over the union, ranks are
+    // globally dense — the values prove where it ran.
+    val win = spark.sql(
+      """SELECT k, rank() OVER (ORDER BY k) AS r
+        |FROM chshard.main.sh_events WHERE k <= 6""".stripMargin)
+    val ranks = win.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(ranks == (1L to 6L).map(i => (i, i.toInt)),
+      s"window must run over the union of shards, got $ranks")
+  }
+
+  test("FINAL is rejected unless shard_by aligns with the ORDER BY key; " +
+    "aligned FINAL dedups exactly") {
+    seed()
+    spark.sql("DROP TABLE IF EXISTS chshard.main.sh_dim")
+    spark.sql(
+      """CREATE TABLE chshard.main.sh_dim (k BIGINT, v STRING, ver INT)
+        |TBLPROPERTIES ('engine' = 'ReplacingMergeTree(ver)', 'order_by' = 'k')""".stripMargin)
+    import spark.implicits._
+    (1L to 20L).map(i => (i, s"v1_$i", 1)).toDF("k", "v", "ver")
+      .writeTo("chshard.main.sh_dim").append()
+    (1L to 10L).map(i => (i, s"v2_$i", 2)).toDF("k", "v", "ver")
+      .writeTo("chshard.main.sh_dim").append()
+    val fin = spark.read.option("final", "true").table("chshard.main.sh_dim")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(fin.length == 20)
+    assert(fin.take(10).forall { case (k, v) => v == s"v2_$k" })
+    assert(fin.drop(10).forall { case (k, v) => v == s"v1_$k" })
+    // misaligned: a ReplacingMergeTree keyed by something other than the
+    // routing column → versions of one key may split across shards
+    spark.sql("DROP TABLE IF EXISTS chshard.main.sh_dim2")
+    spark.sql(
+      """CREATE TABLE chshard.main.sh_dim2 (id BIGINT, k BIGINT, ver INT)
+        |TBLPROPERTIES ('engine' = 'ReplacingMergeTree(ver)', 'order_by' = 'id')""".stripMargin)
+    (1L to 5L).map(i => (i, i, 1)).toDF("id", "k", "ver")
+      .writeTo("chshard.main.sh_dim2").append()
+    val bad = intercept[Exception] {
+      spark.read.option("final", "true").table("chshard.main.sh_dim2").collect()
+    }
+    assert(bad.getMessage.contains("shard"), bad.getMessage)
+  }
+
+  test("mutations broadcast: DELETE/UPDATE apply on every shard") {
+    seed()
+    spark.sql("DROP TABLE IF EXISTS chshard.main.sh_mut")
+    spark.sql(
+      """CREATE TABLE chshard.main.sh_mut (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+    import spark.implicits._
+    (1L to 50L).map(i => (i, i.toDouble)).toDF("k", "v")
+      .writeTo("chshard.main.sh_mut").append()
+    spark.sql("DELETE FROM chshard.main.sh_mut WHERE k > 40")
+    assert(spark.table("chshard.main.sh_mut").count() == 40)
+    graft.connector.ChMutations.updateWhere(
+      spark, "chshard.main.sh_mut", Seq("v" -> "v + 1000"), "k <= 10")
+    val bumped = spark.table("chshard.main.sh_mut")
+      .filter(col("v") >= 1000).count()
+    assert(bumped == 10)
+  }
+
+  test("streaming cursor reads fold min/max ACROSS shards: an " +
+    "AvailableNow drain sees every shard's rows exactly once") {
+    seed()
+    val q = spark.readStream
+      .option("stream_cursor", "k")
+      .table("chshard.main.sh_events")
+      .writeStream
+      .format("memory")
+      .queryName("sh_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_shard_ckpt_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("sh_stream_out").select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 200L),
+      s"drain must cover both shards without dupes, got ${got.size} rows")
+  }
+
+  test("shard_by on a single-store catalog is rejected, not silently inert") {
+    val e = intercept[IllegalArgumentException] {
+      new graft.catalog.ClickHouseCatalog().initialize("badshard",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "path", rootA, "shard_by", "k")))
+    }
+    assert(e.getMessage.contains("shard_by"))
+  }
+
+  test("HTTP transport shards too: comma-separated endpoints distribute " +
+    "wire inserts across both servers") {
+    val s1 = new MockClickHouseHttp
+    val s2 = new MockClickHouseHttp
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chhttp2",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${s1.endpoint},${s2.endpoint}", "shard_by", "id")))
+      val client = cat.clickHouseClient
+      client.createTable("bench", "sharded_wire",
+        Seq("id" -> "Int64", "v" -> "Float64"),
+        Map("engine" -> "MergeTree", "order_by" -> "id"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+      val n = client.insert("bench", "sharded_wire", schema,
+        (1L to 100L).map(i => Row(i, i * 0.5)))
+      assert(n == 100)
+      assert(s1.rowsReceived.get() > 0 && s2.rowsReceived.get() > 0,
+        s"both wire shards must receive rows: ${s1.rowsReceived.get()} / ${s2.rowsReceived.get()}")
+      assert(s1.rowsReceived.get() + s2.rowsReceived.get() == 100)
+    } finally { s1.close(); s2.close() }
+  }
+}
