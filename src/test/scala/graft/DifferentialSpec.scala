@@ -134,6 +134,73 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random shapes over a SHARDED catalog agree with local, bit for bit " +
+    "(per-shard execution + union / partial-agg merge semantics)") {
+    // two-shard hermetic cluster seeded through the hash-routed connector
+    // write path; the SAME grammar then runs sharded-vs-local — any
+    // operation whose semantics do NOT distribute over the shard union
+    // (a wrongly-collapsed aggregate, a per-shard OFFSET, a dropped
+    // LIMIT re-apply) diverges here instead of in production
+    val rootA = java.nio.file.Files.createTempDirectory("graft_diffsh_a_").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft_diffsh_b_").toString
+    spark.conf.set("spark.sql.catalog.chdiffsh",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chdiffsh.path", s"$rootA,$rootB")
+    spark.conf.set("spark.sql.catalog.chdiffsh.shard_by", "c_custkey")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chdiffsh.main")
+    spark.sql(
+      """CREATE TABLE chdiffsh.main.customer
+        |(c_custkey BIGINT, c_name STRING, c_nationkey INT,
+        | c_acctbal DOUBLE, c_mktsegment STRING)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'c_custkey')""".stripMargin)
+    spark.sql(
+      """INSERT INTO chdiffsh.main.customer
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin)
+    val sharded = spark.table("chdiffsh.main.customer")
+    val local = spark.table("customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    // both shards must actually hold data or the sweep is vacuous
+    val perShard = Seq(rootA, rootB).map(p =>
+      new graft.client.EmbeddedClickHouse(p)
+        .query("SELECT count(*) AS n FROM `main`.`customer`", 1)._2.flatten.head.getLong(0))
+    assert(perShard.forall(_ > 0), s"shard row counts: $perShard")
+    val r = new Random(7177)
+    (1 to 30).foreach { i =>
+      val p = pred(r, 2)
+      val cols = proj(r)
+      val a = canon(sharded.filter(p).select(cols: _*))
+      val b = canon(local.filter(p).select(cols: _*))
+      assert(a == b, s"sharded filter case $i diverged for ${p.toString}")
+    }
+    // merge-safe aggregates through the partial-pushdown downgrade
+    val aggPool: Seq[() => Column] = Seq(
+      () => count(lit(1)).as("cnt"),
+      () => sum(col("c_custkey")).as("sk"),
+      () => min(col("c_acctbal")).as("mn"),
+      () => max(col("c_acctbal")).as("mx"),
+      () => countDistinct(col("c_nationkey")).as("nd"))
+    val keyPool: Seq[Seq[Column]] = Seq(
+      Seq(col("c_mktsegment")),
+      Seq(col("c_nationkey")),
+      Seq((col("c_custkey") % 7).as("bucket")))
+    (1 to 15).foreach { i =>
+      val p = pred(r, 1)
+      val keys = keyPool(r.nextInt(keyPool.size))
+      val aggs = r.shuffle(aggPool).take(r.nextInt(3) + 1).map(_.apply())
+      val a = canon(sharded.filter(p).groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
+      val b = canon(local.filter(p).groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
+      assert(a == b, s"sharded agg case $i diverged")
+    }
+    // ORDER BY + LIMIT: per-shard upper bounds re-limited by Spark
+    (1 to 10).foreach { i =>
+      val n = r.nextInt(20) + 1
+      val a = canon(sharded.orderBy(col("c_custkey")).limit(n))
+      val b = canon(local.orderBy(col("c_custkey")).limit(n))
+      assert(a == b, s"sharded top-$n case $i diverged")
+    }
+  }
+
   test("random timestamp/date predicate shapes agree remote vs local (orders)") {
     val r = new Random(99)
     val remote = spark.table("clickhouse.main.orders")
