@@ -178,6 +178,57 @@ class GatePlanSpec extends AnyFunSuite {
       "ANN probe plan must scan the persisted lsh_buckets table")
   }
 
+  test("r39 sharded aggregate: per-shard GROUP BY in the scan SQL, Spark " +
+    "merge aggregate ABOVE it (partial downgrade, never complete pushdown)") {
+    val df: DataFrame = SparkEntry.queries("r39_sharded_agg")(spark, sfDir)
+    assert(df.count() > 0)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val all = flatten(root)
+    // the scan ships a per-shard GROUP BY...
+    val scan = all.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.isDefined, s"no BatchScan in:\n$root")
+    assert(scan.get.scan.description().contains("GROUP BY"),
+      s"per-shard aggregate must be in the scan SQL: ${scan.get.scan.description()}")
+    // ...and a Spark-side aggregate MERGES the per-shard partials — a
+    // collapsed/complete pushdown here would return one shard's numbers
+    assert(all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+      s"merging aggregate missing (complete pushdown on a sharded client?):\n$root")
+    assert(!all.exists(_.isInstanceOf[graft.pushdown.ClickHouseRemoteExec]),
+      "sharded aggregate must not collapse into one remote statement")
+  }
+
+  test("r38 sketch-merge probe reads ONLY the sketch column from the store") {
+    val df: DataFrame = SparkEntry.queries("r38_sketch_distinct")(spark, sfDir)
+    assert(df.count() == 1)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val all = flatten(df.queryExecution.executedPlan)
+    val sketchScan = all.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.description().contains("hll_lang") => b.scan.description()
+    }
+    assert(sketchScan.isDefined, "probe must scan the persisted sketch table")
+    // column pruning reached the remote SQL: sk only, never lang re-read
+    assert(sketchScan.get.contains("SELECT `sk` FROM"),
+      s"sketch scan must prune to the sketch column: $sketchScan")
+  }
+
   test("r28 cross-store join: two separate remote scans, join stays local") {
     val df = SparkEntry.queries("r28_cross_store_join")(spark, sfDir)
     assert(df.count() > 0)
