@@ -27,6 +27,16 @@ final class MockClickHouseHttp extends AutoCloseable {
   val rowsReceived = new AtomicLong(0)
   val bytesReceived = new AtomicLong(0)
 
+  /** Read-path envelope: when > 0, `bench.wire_read` exists with this
+    * many synthetic rows, served as a STREAMED RowBinaryWithNamesAndTypes
+    * response (chunked, codec-encoded per Accept-Encoding) — so a read
+    * benchmark pays the full wire cost (server encode + HTTP +
+    * content-coding + client decode) without storage noise, the mirror
+    * of the insert sink above.
+    */
+  @volatile var wireReadRows: Long = 0L
+  private val wireReadCols = Seq("id" -> "Int64", "v" -> "Float64", "tag" -> "String")
+
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/", new HttpHandler {
@@ -34,11 +44,13 @@ final class MockClickHouseHttp extends AutoCloseable {
         val (code, resp) =
           try route(ex)
           catch { case e: Throwable => (500, s"mock error: $e") }
-        val bytes = resp.getBytes(UTF_8)
-        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
-        if (bytes.nonEmpty) {
-          val os = ex.getResponseBody
-          try os.write(bytes) finally os.close()
+        if (code != -1) { // -1 = response already streamed by the route
+          val bytes = resp.getBytes(UTF_8)
+          ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+          if (bytes.nonEmpty) {
+            val os = ex.getResponseBody
+            try os.write(bytes) finally os.close()
+          }
         }
         ex.close()
       }
@@ -79,10 +91,52 @@ final class MockClickHouseHttp extends AutoCloseable {
         val in = HttpCodec.wrapInput(enc, new ByteArrayInputStream(rawBody))
         try in.readAllBytes() finally in.close()
       } else rawBody
+    val sqlText = params.get("query").getOrElse(new String(body, UTF_8)).trim
+    if (wireReadRows > 0 && sqlText.contains("`wire_read`")) {
+      if (sqlText.startsWith("DESCRIBE"))
+        return (200, wireReadCols.map { case (n, t) => s"$n\t$t" }.mkString("", "\n", "\n"))
+      if (sqlText.startsWith("SELECT") &&
+        sqlText.endsWith("FORMAT RowBinaryWithNamesAndTypes")) {
+        streamWireRead(ex, params)
+        return (-1, "") // response already streamed
+      }
+    }
     params.get("query") match {
       case Some(q) => statement(q.trim, body)
       case None => statement(new String(body, UTF_8).trim, Array.empty)
     }
+  }
+
+  /** Stream `wireReadRows` synthetic rows, chunked, in the client's
+    * requested content-coding — rows are generated on the fly so the
+    * response never materializes server-side either.
+    */
+  private def streamWireRead(ex: HttpExchange, params: Map[String, String]): Unit = {
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .map(_.toLowerCase).getOrElse("")
+    val codec =
+      if (!params.get("enable_http_compression").contains("1")) "none"
+      else accept.split(",").map(_.trim.takeWhile(_ != ';'))
+        .find(Set("gzip", "lz4", "zstd")).getOrElse("none")
+    if (codec != "none") ex.getResponseHeaders.set("Content-Encoding", codec)
+    ex.sendResponseHeaders(200, 0) // chunked
+    val raw = ex.getResponseBody
+    val out = new java.io.DataOutputStream(
+      HttpCodec.wrapOutput(codec, new java.io.BufferedOutputStream(raw, 1 << 16)))
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      RowBinary.writeHeader(bos, wireReadCols)
+      out.write(bos.toByteArray)
+      val encs = wireReadCols.map { case (_, t) => RowBinary.encoder(t) }.toArray
+      var i = 0L
+      while (i < wireReadRows) {
+        encs(0).write(out, java.lang.Long.valueOf(i))
+        encs(1).write(out, java.lang.Double.valueOf(i * 0.5))
+        encs(2).write(out, s"tag_${i % 1000}")
+        i += 1
+      }
+      out.flush()
+    } finally out.close()
   }
 
   private def statement(q: String, data: Array[Byte]): (Int, String) = {

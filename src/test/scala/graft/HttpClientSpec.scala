@@ -964,6 +964,22 @@ class HttpClientSpec extends AnyFunSuite {
       e2.getMessage)
   }
 
+  test("wire-read envelope mock streams correct RowBinary rows (codec on): " +
+    "the read benchmark measures a correct decode, not garbage") {
+    val srv = new graft.client.MockClickHouseHttp
+    srv.wireReadRows = 1000
+    try {
+      val cl = new HttpClickHouseClient(srv.endpoint, compression = "lz4")
+      val (schema, handles) = cl.planQuery(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", 1)
+      assert(schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+      val rows = cl.readPartition(handles.head).toSeq
+      assert(rows.size == 1000)
+      assert(rows.head.getLong(0) == 0L && rows.head.getString(2) == "tag_0")
+      assert(rows.last.getLong(0) == 999L && rows.last.getDouble(1) == 999 * 0.5)
+    } finally srv.close()
+  }
+
   test("use_tls is asserted against the endpoint scheme") {
     val e = intercept[IllegalArgumentException](
       new HttpClickHouseClient(endpoint, useTls = Some(true)))
