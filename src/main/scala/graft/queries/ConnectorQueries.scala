@@ -962,6 +962,43 @@ object ConnectorQueries {
           sum("c_acctbal").cast("decimal(18,2)").as("bal"))
     },
 
+    // Sharded FINAL dedup-on-read: upserts-as-inserts over a TWO-shard
+    // ReplacingMergeTree whose routing key (shard_by) equals the ORDER BY
+    // head — all versions of a key land on one shard, so per-shard FINAL
+    // is globally exact (finalReadExact gates exactly this alignment;
+    // ShardedClientSpec proves the misaligned case REJECTS). Oracle
+    // recomputes the max-version survivors from the raw table.
+    q("r40_sharded_final",
+      """SELECT n_nationkey AS k,
+        |  CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_u' ELSE n_name END AS v
+        |FROM nation""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // own catalog + roots: r39's catalog routes by c_custkey, and
+      // CatalogManager caches instances per name — reusing it here would
+      // try to route dim_sh rows by a column they don't have
+      val cat = s"chshfin_$tag"
+      val roots = s"/root/repo/target/chshfin0_$tag,/root/repo/target/chshfin1_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", roots)
+      s.conf.set(s"spark.sql.catalog.$cat.shard_by", "k")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+      s.sql(s"DROP TABLE IF EXISTS $cat.main.dim_sh")
+      s.sql(
+        s"""CREATE TABLE $cat.main.dim_sh (k INT, v STRING, ver INT)
+           |TBLPROPERTIES ('engine' = 'ReplacingMergeTree(ver)',
+           |  'order_by' = 'k')""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.main.dim_sh
+           |SELECT CAST(n_nationkey AS INT), n_name, 1 FROM nation""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.main.dim_sh
+           |SELECT CAST(n_nationkey AS INT), concat(n_name, '_u'), 2
+           |FROM nation WHERE n_nationkey % 3 = 0""".stripMargin)
+      s.read.option("final", "true").table(s"$cat.main.dim_sh")
+        .select(col("k"), col("v"))
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

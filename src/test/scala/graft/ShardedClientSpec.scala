@@ -210,6 +210,28 @@ class ShardedClientSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shard_by"))
   }
 
+  test("HTTP sharded reads: per-shard RowBinary streams route to the " +
+    "right server and union") {
+    val s1 = new MockClickHouseHttp
+    val s2 = new MockClickHouseHttp
+    s1.wireReadRows = 100
+    s2.wireReadRows = 40
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chhttp2r",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${s1.endpoint},${s2.endpoint}")))
+      val client = cat.clickHouseClient
+      val (schema, handles) = client.planQuery(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", 2)
+      assert(schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+      assert(handles.size == 2)
+      val counts = handles.map(h => client.readPartition(h).size)
+      // each handle drained ITS shard's rows — routing, not duplication
+      assert(counts.sorted == Seq(40, 100), s"per-shard counts: $counts")
+    } finally { s1.close(); s2.close() }
+  }
+
   test("HTTP transport shards too: comma-separated endpoints distribute " +
     "wire inserts across both servers") {
     val s1 = new MockClickHouseHttp
