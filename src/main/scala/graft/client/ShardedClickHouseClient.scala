@@ -26,9 +26,10 @@ import org.apache.spark.sql.types.StructType
   * per-shard upper bound (Spark re-applies the global limit).
   *
   * Writes route by `shardBy` — `floorMod(value.hashCode, n)` on the
-  * routing column, a CLIENT-side placement hash (documented as such; no
-  * server hash parity is claimed, so no co-partitioning is reported:
-  * [[planQueryBuckets]] stays None). Without `shardBy`, whole blocks
+  * routing column, a CLIENT-side placement hash (documented as such — no
+  * server hash parity is claimed; bucket-keyed READS stay exact anyway
+  * because [[planQueryBuckets]] unions every shard's slice of each
+  * bucket, see ShardMultiHandle). Without `shardBy`, whole blocks
   * round-robin. DDL and mutations broadcast to every shard; schemas are
   * authoritative on shard 0 (DDL broadcast keeps them aligned). FINAL
   * reads are exact only when `shardBy` equals the table's ORDER BY head —
@@ -102,6 +103,36 @@ class ShardedClickHouseClient(
   private def tag(perShard: Seq[Seq[ChPartitionHandle]]): Seq[ChPartitionHandle] =
     perShard.zipWithIndex.flatMap { case (hs, i) => hs.map(ShardHandle(i, _)) }
 
+  /** Bucket-keyed sharded read: bucket i must hold ALL rows whose key
+    * hashes to bucket i — across every shard — or the reported
+    * KeyGroupedPartitioning would be a lie. So handle i is the UNION of
+    * each shard's bucket-i slice (one remote statement per shard, read
+    * sequentially inside the task). The bucket function family is the
+    * shards' common one (they share a transport type by construction);
+    * mixed families would co-partition keys into different buckets →
+    * refuse (None) rather than degrade.
+    */
+  override def bucketFamily: Option[String] = {
+    val fams = shards.map(_.bucketFamily).distinct
+    if (fams.length == 1) fams.head else None
+  }
+
+  override def planQueryBuckets(
+      sql: String,
+      bucketColumn: String,
+      numBuckets: Int): Option[(StructType, Seq[ChPartitionHandle])] = {
+    if (bucketFamily.isEmpty) return None
+    val planned = shards.map(_.planQueryBuckets(sql, bucketColumn, numBuckets))
+    if (planned.exists(_.isEmpty)) return None
+    val schema = planned.head.get._1
+    val perShard = planned.map(_.get._2)
+    require(perShard.forall(_.length == numBuckets),
+      s"every shard must return exactly $numBuckets buckets")
+    Some((schema, (0 until numBuckets).map { b =>
+      ShardMultiHandle(perShard.zipWithIndex.map { case (hs, i) => (i, hs(b)) })
+    }))
+  }
+
   private def shardOf(handle: ChPartitionHandle): (ClickHouseClient, ChPartitionHandle) =
     handle match {
       case ShardHandle(i, inner) => (shards(i), inner)
@@ -109,19 +140,27 @@ class ShardedClickHouseClient(
         s"sharded client got a foreign handle: ${other.getClass.getName}")
     }
 
-  override def readPartition(handle: ChPartitionHandle): Iterator[Row] = {
-    val (c, h) = shardOf(handle); c.readPartition(h)
+  override def readPartition(handle: ChPartitionHandle): Iterator[Row] = handle match {
+    case ShardMultiHandle(parts) =>
+      parts.iterator.flatMap { case (i, h) => shards(i).readPartition(h) }
+    case _ => val (c, h) = shardOf(handle); c.readPartition(h)
   }
   override def readPartitionInternal(
       handle: ChPartitionHandle,
-      schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
-    val (c, h) = shardOf(handle); c.readPartitionInternal(h, schema)
-  }
+      schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    handle match {
+      case ShardMultiHandle(parts) =>
+        parts.iterator.flatMap { case (i, h) => shards(i).readPartitionInternal(h, schema) }
+      case _ => val (c, h) = shardOf(handle); c.readPartitionInternal(h, schema)
+    }
   override def readPartitionColumnar(
       handle: ChPartitionHandle,
-      schema: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (c, h) = shardOf(handle); c.readPartitionColumnar(h, schema)
-  }
+      schema: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    handle match {
+      case ShardMultiHandle(parts) =>
+        parts.iterator.flatMap { case (i, h) => shards(i).readPartitionColumnar(h, schema) }
+      case _ => val (c, h) = shardOf(handle); c.readPartitionColumnar(h, schema)
+    }
 
   // ---- mutations: row-local, broadcast ----
 
@@ -194,4 +233,10 @@ class ShardedClickHouseClient(
   * executor-side read routes to the right transport.
   */
 final case class ShardHandle(shard: Int, inner: ChPartitionHandle)
+  extends ChPartitionHandle
+
+/** One bucket of a bucket-keyed sharded read: the union of every shard's
+  * slice of that bucket, drained sequentially inside one task.
+  */
+final case class ShardMultiHandle(parts: Seq[(Int, ChPartitionHandle)])
   extends ChPartitionHandle

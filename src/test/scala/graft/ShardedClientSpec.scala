@@ -201,6 +201,55 @@ class ShardedClientSpec extends AnyFunSuite {
       s"drain must cover both shards without dupes, got ${got.size} rows")
   }
 
+  test("bucket-keyed sharded reads union every shard's bucket slice: " +
+    "storage-partitioned join over a sharded cluster, zero exchange") {
+    seed()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // a second sharded catalog (distinct roots + connection key) for the
+    // right side: cross-connection joins never collapse, so the plan
+    // must go through the bucket co-partitioning
+    val rootC = Files.createTempDirectory("graft_shard_c_").toString
+    val rootD = Files.createTempDirectory("graft_shard_d_").toString
+    spark.conf.set("spark.sql.catalog.chshard2",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chshard2.path", s"$rootC,$rootD")
+    spark.conf.set("spark.sql.catalog.chshard2.shard_by", "k")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS chshard2.main")
+      spark.sql(
+        """CREATE TABLE chshard2.main.sh_dim_r (k BIGINT, label STRING)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      import spark.implicits._
+      (1L to 200L).map(i => (i, s"lab$i")).toDF("k", "label")
+        .writeTo("chshard2.main.sh_dim_r").append()
+      def bucketed(cat: String, t: String) = spark.read
+        .option("bucket_by", "k").option("buckets", "4").table(s"$cat.main.$t")
+      val l = bucketed("chshard", "sh_events").select(col("k"), col("v"))
+      val rt = bucketed("chshard2", "sh_dim_r")
+        .select(col("k").as("rk"), col("label"))
+      val joined = l.join(rt, col("k") === col("rk")).select("k", "v", "label")
+      val got = joined.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(got == (1L to 200L).map(i => (i, s"lab$i")).toSet)
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val all = flatten(joined.queryExecution.executedPlan)
+      assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]))
+      assert(!all.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+        s"sharded bucketed join must be exchange-free:\n${all.head}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("shard_by on a single-store catalog is rejected, not silently inert") {
     val e = intercept[IllegalArgumentException] {
       new graft.catalog.ClickHouseCatalog().initialize("badshard",
