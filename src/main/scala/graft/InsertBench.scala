@@ -105,17 +105,28 @@ object InsertBench {
       StructField("id", LongType, nullable = false),
       StructField("v", DoubleType, nullable = false),
       StructField("tag", StringType, nullable = false)))
-    val server = new graft.client.MockClickHouseHttp
+    // GRAFT_SHARDS=N > 1: one mock server per shard behind the sharded
+    // composite client — the scale-OUT write envelope (each block routes
+    // to one shard by id-hash; servers decode in parallel)
+    val nShards = sys.env.getOrElse("GRAFT_SHARDS", "1").toInt
+    val servers = IndexedSeq.fill(math.max(1, nShards))(new graft.client.MockClickHouseHttp)
     try {
-      val client = new graft.client.HttpClickHouseClient(
-        server.endpoint, compression = compression)
+      val client: graft.client.ClickHouseClient =
+        if (servers.size == 1)
+          new graft.client.HttpClickHouseClient(
+            servers.head.endpoint, compression = compression)
+        else new graft.client.ShardedClickHouseClient(
+          servers.map(sv => new graft.client.HttpClickHouseClient(
+            sv.endpoint, compression = compression)
+            : graft.client.ClickHouseClient),
+          Some("id"))
       client.createTable("bench", "wire",
         Seq("id" -> "Int64", "v" -> "Float64", "tag" -> "String"),
         Map("engine" -> "MergeTree", "order_by" -> "id"))
       val cells = for (wc <- concurrencies; bs <- batchSizes) yield (wc, bs)
       val results = cells.map { case (wc, bs) =>
         val times = (0 until iters).map { _ =>
-          server.rowsReceived.set(0)
+          servers.foreach(_.rowsReceived.set(0))
           val perWorker = rowsN / wc
           val t0 = System.nanoTime()
           val threads = (0 until wc).map { w =>
@@ -140,9 +151,12 @@ object InsertBench {
           }
           threads.foreach(_.join())
           val dt = (System.nanoTime() - t0) / 1e9
-          val got = server.rowsReceived.get()
+          val got = servers.map(_.rowsReceived.get()).sum
           val want = perWorker * wc
-          require(got == want, s"server decoded $got rows, expected $want")
+          require(got == want, s"servers decoded $got rows, expected $want")
+          if (servers.size > 1)
+            require(servers.forall(_.rowsReceived.get() > 0),
+              s"every shard must receive rows: ${servers.map(_.rowsReceived.get())}")
           dt
         }
         val trimmed =
@@ -155,7 +169,7 @@ object InsertBench {
       }
       val qs = results.map { case (wc, bs, avg, _) => s""""c${wc}_b$bs":${rowsN / avg}""" }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"http_insert_rows_per_sec","value":${rowsN / results.map(_._3).min},"unit":"rows/sec","queries":$qs,"sf":"$rowsN rows","compression":"$compression"}""")
-    } finally server.close()
+      println(s"""{"metric":"http_insert_rows_per_sec","value":${rowsN / results.map(_._3).min},"unit":"rows/sec","queries":$qs,"sf":"$rowsN rows","compression":"$compression","shards":${servers.size}}""")
+    } finally servers.foreach(_.close())
   }
 }

@@ -281,6 +281,31 @@ class ShardedClientSpec extends AnyFunSuite {
     } finally { s1.close(); s2.close() }
   }
 
+  test("a dead shard fails the read LOUDLY — never a silent partial result") {
+    val s1 = new MockClickHouseHttp
+    val s2 = new MockClickHouseHttp
+    s1.wireReadRows = 50
+    s2.wireReadRows = 50
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chhttp2dead",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${s1.endpoint},${s2.endpoint}")))
+      val client = cat.clickHouseClient
+      val (_, handles) = client.planQuery(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", 2)
+      s2.close() // shard 1 dies between planning and execution
+      val counts = handles.map { h =>
+        try Right(client.readPartition(h).size)
+        catch { case e: Exception => Left(e) }
+      }
+      assert(counts.count(_.isRight) == 1, s"only the live shard may serve: $counts")
+      assert(counts.count(_.isLeft) == 1,
+        "the dead shard's partition must throw — a swallowed error would " +
+          "surface as a silently-partial result set")
+    } finally { s1.close() }
+  }
+
   test("HTTP transport shards too: comma-separated endpoints distribute " +
     "wire inserts across both servers") {
     val s1 = new MockClickHouseHttp
