@@ -106,7 +106,16 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
             Option(options.get("pool_retry_connection")).exists(_.toBoolean),
           useTls = Option(options.get("use_tls")).map(_.toBoolean),
           serverSettings = ChOptions.serverSettings(options.asScala.toMap))
-        shardedOrSingle(name, options, ep.split(",").toIndexedSeq.map(mkHttp))
+        // each comma-separated SHARD may itself be a `|`-separated REPLICA
+        // set (ClickHouse's shard-with-replicas cluster entry): reads fail
+        // over among replicas, writes pin to the first (the primary; see
+        // FailoverClickHouseClient for the exact contract)
+        def mkShard(spec: String): graft.client.ClickHouseClient with Serializable = {
+          val reps = spec.split("\\|").toIndexedSeq.map(r => mkHttp(r))
+          if (reps.size == 1) reps.head
+          else new graft.client.FailoverClickHouseClient(reps)
+        }
+        shardedOrSingle(name, options, ep.split(",").toIndexedSeq.map(mkShard))
       case None =>
         val path = Option(options.get("path"))
           .getOrElse(throw new IllegalArgumentException(
@@ -123,7 +132,13 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
               "server to honor them (set them on an endpoint-backed catalog)")
         // `path` accepts a comma-separated shard list too — the hermetic
         // cluster (one embedded store per root), so sharded semantics are
-        // oracle-testable without a wire
+        // oracle-testable without a wire. Replica syntax (`|`) is
+        // endpoint-only: two embedded roots cannot replicate each other,
+        // so accepting it would promise availability the store can't give
+        if (path.contains("|"))
+          throw new IllegalArgumentException(
+            s"catalog '$name': replica syntax ('|') is only valid in " +
+              "'endpoint' — embedded store roots do not replicate")
         shardedOrSingle(name, options,
           path.split(",").toIndexedSeq.map(p => new EmbeddedClickHouse(p.trim)))
     }

@@ -36,6 +36,23 @@ trait ClickHouseClient extends Serializable {
     */
   def singleExecutionDomain: Boolean = true
 
+  /** The declared row-placement key of a sharded transport, if any: every
+    * write through this client routes rows by this column, so two rows
+    * with EQUAL values in it (of the same type) reside on the same shard.
+    * Planners may use that co-location guarantee to run key-aligned
+    * whole-result operations shard-locally — a join whose equi-condition
+    * includes this column on both sides, or a GROUP BY containing it,
+    * distributes over the per-shard union (ClickHouse's co-located
+    * Distributed JOIN / `optimize_distributed_group_by_sharding_key`
+    * shape). None for single stores (no placement to exploit) and for
+    * sharded clients without `shard_by` (round-robin placement promises
+    * nothing). The guarantee covers data written THROUGH the catalog;
+    * server-side `insertSelect` ETL preserves it only if the SELECT
+    * carries the routing column through unchanged (documented contract,
+    * same as ClickHouse's own sharding-key declaration).
+    */
+  def shardRoutingColumn: Option[String] = None
+
   /** True when a FINAL (dedup-on-read) scan of this table is exact:
     * always, for a single store; for a sharded transport only when the
     * routing key guarantees all versions of a given ORDER BY key land on

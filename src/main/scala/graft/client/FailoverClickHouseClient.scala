@@ -1,0 +1,195 @@
+package graft.client
+
+import java.io.IOException
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+/** One ClickHouse SHARD as a replica set behind the single-store
+  * interface: N transports holding (by the server's replication — e.g.
+  * ReplicatedMergeTree / a Distributed table with
+  * `internal_replication=true`) the same data, composed for read
+  * availability. The client-side analog of ClickHouse's own
+  * shard-with-replicas cluster entry; catalogs spell it
+  * `endpoint = "http://r1:8123|http://r2:8123"` (and a sharded cluster
+  * composes it per shard: `"r1|r2,r3|r4"`).
+  *
+  * Semantics — honored or rejected, never silently wrong:
+  *  - READS (metadata, planQuery*, scalar probes) run on one LIVE
+  *    replica: statements try replicas from a sticky cursor and fail
+  *    over on transport-level IOException (never on an HTTP error
+  *    status — a bad query is bad on every replica). Once a stream is
+  *    OPEN, a mid-read death stays LOUD: rows may already be consumed,
+  *    so a silent re-read could duplicate or reorder; the task retry is
+  *    Spark's (the whole partition re-plans and re-reads).
+  *  - WRITES (insert, staged protocol, insertSelect, epoch markers) pin
+  *    to replica 0 — the write PRIMARY. Staged-insert ids and epoch
+  *    markers are replica-local state, so spraying them across replicas
+  *    would break exactly-once; a dead primary fails writes loudly
+  *    (ClickHouse's own behavior when the targeted replica is down).
+  *    Replicating written data to the others is the SERVER's job; with a
+  *    non-replicating backend a failover read may observe that replica's
+  *    own (possibly older) state — precisely ClickHouse's documented
+  *    eventual-consistency caveat for reading replicas.
+  *  - DDL and mutations BROADCAST to every replica (the per-replica
+  *    CREATE TABLE setup shape / `ON CLUSTER`), keeping schemas aligned
+  *    so metadata may be served from any live replica.
+  */
+class FailoverClickHouseClient(
+    val replicas: IndexedSeq[ClickHouseClient])
+  extends ClickHouseClient {
+
+  require(replicas.size >= 2,
+    s"a replica set needs >= 2 replicas, got ${replicas.size}")
+
+  override def connectionKey: String =
+    s"replicated[${replicas.map(_.connectionKey).mkString("|")}]"
+
+  // one replica holds the whole data set: single execution domain
+  override def singleExecutionDomain: Boolean = true
+  override def finalReadExact(db: String, table: String): Boolean =
+    replicas.head.finalReadExact(db, table)
+  override def bucketFamily: Option[String] = {
+    val fams = replicas.map(_.bucketFamily).distinct
+    if (fams.length == 1) fams.head else None
+  }
+
+  /** Sticky read cursor: starts at the primary so reads see their own
+    * writes when replication lags; advances only on transport death.
+    */
+  private val preferred = new AtomicInteger(0)
+
+  private def withLive[T](f: ClickHouseClient => T): (Int, T) = {
+    val start = preferred.get()
+    var lastErr: IOException = null
+    var i = 0
+    while (i < replicas.size) {
+      val idx = (start + i) % replicas.size
+      try {
+        val r = f(replicas(idx))
+        preferred.set(idx)
+        return (idx, r)
+      } catch {
+        case e: IOException =>
+          if (lastErr != null) e.addSuppressed(lastErr)
+          lastErr = e
+          i += 1
+      }
+    }
+    throw new IOException(
+      s"all ${replicas.size} replicas failed (last: ${lastErr.getMessage})", lastErr)
+  }
+
+  // ---- metadata: any live replica (DDL broadcast keeps them aligned) ----
+
+  override def listDatabases(): Seq[String] = withLive(_.listDatabases())._2
+  override def listTables(db: String): Seq[String] = withLive(_.listTables(db))._2
+  override def tableExists(db: String, table: String): Boolean =
+    withLive(_.tableExists(db, table))._2
+  override def fetchColumns(db: String, table: String): Seq[(String, String)] =
+    withLive(_.fetchColumns(db, table))._2
+  override def fetchTableOptions(db: String, table: String): Map[String, String] =
+    withLive(_.fetchTableOptions(db, table))._2
+  override def tableSizeBytes(db: String, table: String): Option[Long] =
+    withLive(_.tableSizeBytes(db, table))._2
+
+  // ---- DDL + mutations: broadcast (per-replica setup / ON CLUSTER) ----
+
+  override def createDatabase(db: String, ifNotExists: Boolean = true): Unit =
+    replicas.foreach(_.createDatabase(db, ifNotExists))
+  override def dropDatabase(db: String): Unit = replicas.foreach(_.dropDatabase(db))
+  override def createTable(
+      db: String, table: String,
+      columns: Seq[(String, String)], options: Map[String, String]): Unit =
+    replicas.foreach(_.createTable(db, table, columns, options))
+  override def dropTable(db: String, table: String): Unit =
+    replicas.foreach(_.dropTable(db, table))
+  override def deleteWhere(db: String, table: String, whereSql: String): Unit =
+    replicas.foreach(_.deleteWhere(db, table, whereSql))
+  override def updateWhere(
+      db: String, table: String,
+      assignments: Seq[(String, String)], whereSql: String): Unit =
+    replicas.foreach(_.updateWhere(db, table, assignments, whereSql))
+
+  // ---- reads: plan on a live replica, tag handles with its index ----
+
+  override def planQuery(
+      sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
+    val (idx, (schema, handles)) = withLive(_.planQuery(sql, numStreams))
+    (schema, handles.map(ReplicaHandle(idx, _)))
+  }
+
+  override def planQueryRanges(
+      sql: String, splitColumn: String,
+      numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
+    val (idx, (schema, handles)) =
+      withLive(_.planQueryRanges(sql, splitColumn, numStreams))
+    (schema, handles.map(ReplicaHandle(idx, _)))
+  }
+
+  override def planQueryBuckets(
+      sql: String, bucketColumn: String,
+      numBuckets: Int): Option[(StructType, Seq[ChPartitionHandle])] = {
+    val (idx, planned) =
+      withLive(_.planQueryBuckets(sql, bucketColumn, numBuckets))
+    planned.map { case (schema, handles) =>
+      (schema, handles.map(ReplicaHandle(idx, _)))
+    }
+  }
+
+  private def replicaOf(
+      handle: ChPartitionHandle): (ClickHouseClient, ChPartitionHandle) =
+    handle match {
+      case ReplicaHandle(i, inner) => (replicas(i), inner)
+      case other => throw new IllegalArgumentException(
+        s"replica set got a foreign handle: ${other.getClass.getName}")
+    }
+
+  override def readPartition(handle: ChPartitionHandle): Iterator[Row] = {
+    val (c, h) = replicaOf(handle); c.readPartition(h)
+  }
+  override def readPartitionInternal(
+      handle: ChPartitionHandle,
+      schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (c, h) = replicaOf(handle); c.readPartitionInternal(h, schema)
+  }
+  override def readPartitionColumnar(
+      handle: ChPartitionHandle,
+      schema: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (c, h) = replicaOf(handle); c.readPartitionColumnar(h, schema)
+  }
+
+  // ---- writes: the PRIMARY only (replica 0) — staging ids and epoch
+  // markers are replica-local, so they must all land on one replica ----
+
+  private def primary: ClickHouseClient = replicas.head
+
+  override def insert(
+      db: String, table: String, schema: StructType, rows: Seq[Row]): Long =
+    primary.insert(db, table, schema, rows)
+  override def insertSelect(db: String, table: String, chSelectSql: String): Long =
+    primary.insertSelect(db, table, chSelectSql)
+  override def stageInsert(
+      db: String, table: String, schema: StructType, rows: Seq[Row],
+      stagingId: String): Long =
+    primary.stageInsert(db, table, schema, rows, stagingId)
+  override def commitStaged(db: String, table: String, stagingId: String): Unit =
+    primary.commitStaged(db, table, stagingId)
+  override def abortStaged(db: String, table: String, stagingId: String): Unit =
+    primary.abortStaged(db, table, stagingId)
+  override def tryMarkEpochCommitted(
+      db: String, table: String, marker: String): Boolean =
+    primary.tryMarkEpochCommitted(db, table, marker)
+  override def commitEpochStaged(
+      db: String, table: String, epochMarker: String,
+      staged: Seq[(String, Int)]): Unit =
+    primary.commitEpochStaged(db, table, epochMarker, staged)
+}
+
+/** Replica-tagged handle: remembers which replica planned `inner` so the
+  * executor-side read streams from the replica whose cursor/spill state
+  * the plan created.
+  */
+final case class ReplicaHandle(replica: Int, inner: ChPartitionHandle)
+  extends ChPartitionHandle

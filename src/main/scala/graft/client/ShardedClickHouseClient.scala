@@ -46,6 +46,10 @@ class ShardedClickHouseClient(
 
   override def singleExecutionDomain: Boolean = false
 
+  /** `shard_by` IS the placement declaration: insert/stageInsert route by
+    * it (see [[route]]), so equal same-typed values co-reside. */
+  override def shardRoutingColumn: Option[String] = shardBy
+
   override def connectionKey: String =
     s"sharded[${shards.map(_.connectionKey).mkString("|")}]"
 

@@ -223,9 +223,23 @@ class ChScanBuilder(
     * only, Spark enforces), one row per group PER SHARD crosses, and
     * Spark's final aggregate merges them — the initiator-side merge of a
     * Distributed query, expressed in the DSv2 contract.
+    *
+    * EXCEPTION, and the 100 TB payoff of declaring `shard_by`: when the
+    * GROUP BY contains the routing column, every group lives wholly on
+    * one shard (equal routing values co-reside; NULLs all ride shard 0),
+    * so the union of per-shard COMPLETE aggregates IS the whole result —
+    * ClickHouse's `optimize_distributed_group_by_sharding_key`. This
+    * also re-enables non-merge-safe aggregates (AVG & friends) that the
+    * partial form cannot ship.
     */
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    client.singleExecutionDomain && compileAggregation(aggregation).isDefined
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    def shardKeyGrouped = client.shardRoutingColumn.exists { k =>
+      aggregation.groupByExpressions.toSeq
+        .flatMap(ChV2Exprs.columnRef(_, fullSchema)).exists(_.name == k)
+    }
+    (client.singleExecutionDomain || shardKeyGrouped) &&
+      compileAggregation(aggregation).isDefined
+  }
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     compileAggregation(aggregation) match {

@@ -114,8 +114,18 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
     }
     if (scans.isEmpty) None
     else {
-      val finalCols = child.output.zipWithIndex
-        .map { case (a, i) => s"${u.scope(a.exprId)} AS c$i" }
+      // a fully column-pruned child (count() over a collapsed join/agg)
+      // has ZERO output columns — `SELECT  FROM` is invalid SQL, so ship
+      // a constant column and surface it as a synthetic attribute (the
+      // parent count references nothing, extra output is legal)
+      val nodeOutput =
+        if (child.output.nonEmpty) child.output
+        else Seq(AttributeReference("__one", org.apache.spark.sql.types.IntegerType,
+          nullable = false)())
+      val finalCols =
+        if (child.output.isEmpty) Seq("1 AS c0")
+        else child.output.zipWithIndex
+          .map { case (a, i) => s"${u.scope(a.exprId)} AS c$i" }
       val sql = s"SELECT ${finalCols.mkString(", ")} FROM (${u.sql}) AS fin$suffix"
       // Range-split cursor for the collapsed read: only for shapes a
       // per-slice re-execution cannot corrupt — no LIMIT anywhere (its
@@ -136,7 +146,7 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
             case (a, i) if a.name.equalsIgnoreCase(c) => s"c$i"
           }
         }
-      Some(ClickHouseRemoteNode(child.output, sql, scans.head.chClient,
+      Some(ClickHouseRemoteNode(nodeOutput, sql, scans.head.chClient,
         scans.head.chStreams, remoteSizeEstimate(child, suffix),
         coerce = scans.forall(_.chCoerce), splitBy = splitBy))
     }
@@ -245,10 +255,12 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
     val keys = scans.map(_.chClient.connectionKey).distinct
     if (keys.length != 1) None
     // same execution-domain gate as collapsible(): a sharded client runs
-    // the collapsed statement per shard — only row-local subtrees
-    // distribute over that union (a collapsed Aggregate would return one
-    // SHARD's aggregate as if it were the whole result)
-    else if (!scans.forall(_.chClient.singleExecutionDomain) && !rowLocal(p)) None
+    // the collapsed statement per shard — only row-local or shard-key-
+    // local subtrees distribute over that union (a collapsed ungrouped
+    // Aggregate would return one SHARD's aggregate as if it were the
+    // whole result)
+    else if (!scans.forall(_.chClient.singleExecutionDomain) && !rowLocal(p) &&
+      !shardKeyLocal(p, scans)) None
     else ChPlanUnparser.unparse(p).flatMap(u => buildRemote(p, u, ""))
   }
 
@@ -415,7 +427,105 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       // distribute over the union unchanged, and the rule's LIMIT/top-k
       // entry points RETAIN the outer Sort/Limit nodes, so a per-shard
       // LIMIT/ORDER-BY suffix is a correct superset bound there too.
-      (scans.forall(_.chClient.singleExecutionDomain) || rowLocal(p))
+      // SHARD-KEY-LOCAL subtrees (joins/aggregates/windows keyed on the
+      // catalog's declared shard_by routing column) ALSO distribute:
+      // co-located keys make each shard's slice self-contained.
+      (scans.forall(_.chClient.singleExecutionDomain) || rowLocal(p) ||
+        shardKeyLocal(p, scans))
+  }
+
+  /** True when every cross-row operator in `p` is keyed on the sharded
+    * client's declared routing column — then `p`'s semantics distribute
+    * over the union of per-shard executions (equal routing values
+    * co-reside by the write path's placement hash; NULLs all ride shard
+    * 0, so the NULL group is whole too and NULL join keys never match).
+    * The client-side expression of ClickHouse's co-located Distributed
+    * JOIN (`distributed_product_mode = 'local'`) and
+    * `optimize_distributed_group_by_sharding_key`.
+    */
+  private def shardKeyLocal(p: LogicalPlan, scans: Seq[ChScan]): Boolean =
+    scans.headOption.flatMap(_.chClient.shardRoutingColumn)
+      .exists(key => shardKeyAttrs(p, key).isDefined)
+
+  /** Some(attrs) iff `p` distributes over the per-shard union given rows
+    * co-located by `key`; `attrs` = output attributes still carrying the
+    * resident shard's routing value (what a parent join/aggregate may key
+    * on). None = does not distribute. Scans of tables WITHOUT the routing
+    * column return Some(empty): row-local work over them distributes, but
+    * nothing above can claim key-alignment through them.
+    */
+  private def shardKeyAttrs(p: LogicalPlan, key: String): Option[AttributeSet] = p match {
+    case DataSourceV2ScanRelation(_, _: ChScan, output, _, _) =>
+      Some(AttributeSet(output.filter(_.name == key)))
+    case proj: Project =>
+      shardKeyAttrs(proj.child, key).map { ks =>
+        AttributeSet(proj.projectList.collect {
+          case a: AttributeReference if ks.contains(a) => a
+          case al @ Alias(ar: AttributeReference, _) if ks.contains(ar) =>
+            al.toAttribute
+        })
+      }
+    case f: Filter => shardKeyAttrs(f.child, key)
+    case sa: SubqueryAlias => shardKeyAttrs(sa.child, key)
+    case j: Join =>
+      for {
+        lk <- shardKeyAttrs(j.left, key)
+        rk <- shardKeyAttrs(j.right, key)
+        out <- shardKeyJoin(j, lk, rk)
+      } yield out
+    case agg: Aggregate =>
+      shardKeyAttrs(agg.child, key).flatMap { ks =>
+        val keyGrouped = agg.groupingExpressions.exists {
+          case a: AttributeReference => ks.contains(a)
+          case _ => false
+        }
+        if (!keyGrouped) None // cross-shard groups would double-count
+        else Some(AttributeSet(agg.aggregateExpressions.collect {
+          case a: AttributeReference if ks.contains(a) => a
+          case al @ Alias(ar: AttributeReference, _) if ks.contains(ar) =>
+            al.toAttribute
+        }))
+      }
+    case w: Window =>
+      shardKeyAttrs(w.child, key).flatMap { ks =>
+        val keyPartitioned = w.partitionSpec.exists {
+          case a: AttributeReference => ks.contains(a)
+          case _ => false
+        }
+        if (keyPartitioned) Some(ks) else None // frames stay intra-shard
+      }
+    case _ => None
+  }
+
+  /** A join distributes iff its condition CONJUNCTION includes equality
+    * between routing-carrying attributes of both sides with IDENTICAL
+    * types (the placement hash is the JVM value hash — equal values of
+    * different widths may box to different hashCodes, so a cross-type
+    * equi-join could match rows living on different shards). Extra
+    * conjuncts only restrict matches further — still co-located.
+    */
+  private def shardKeyJoin(
+      j: Join, lk: AttributeSet, rk: AttributeSet): Option[AttributeSet] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val keyEq = j.condition.toSeq.flatMap(conjuncts).exists {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.dataType == b.dataType =>
+        (lk.contains(a) && rk.contains(b)) || (lk.contains(b) && rk.contains(a))
+      case _ => false
+    }
+    if (!keyEq) None
+    else j.joinType match {
+      case Inner => Some(lk ++ rk)
+      // semi/anti/outer: every potential match is on the probe row's own
+      // shard, so per-shard existence checks and null-padding are exact;
+      // only the non-padded side still carries placement truth
+      case LeftSemi | LeftAnti | LeftOuter => Some(lk)
+      case RightOuter => Some(rk)
+      case _ => None // FullOuter pads both sides; Cross has no key at all
+    }
   }
 
   /** Projections/filters over exactly one scan: semantics distribute over

@@ -999,6 +999,91 @@ object ConnectorQueries {
         .select(col("k"), col("v"))
     },
 
+    // Shard-key-LOCAL join+aggregate collapse: both tables route by the
+    // catalog's shard_by column (`custkey`), so equal keys co-reside and
+    // the whole join+GROUP BY subtree is self-contained per shard — the
+    // rule collapses it into ONE remote statement per shard and unions
+    // (ClickHouse's co-located Distributed JOIN,
+    // `distributed_product_mode = 'local'`). At 100 TB this is the
+    // difference between zero data movement and shuffling both fact
+    // tables; GatePlanSpec asserts no Spark join/aggregate remains.
+    q("r41_sharded_colocated_join",
+      """SELECT c_custkey AS custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val cat = s"chcoloc_$tag" // per-sfdir: CatalogManager caches instances (r28)
+      val roots = s"/root/repo/target/chcoloc0_$tag,/root/repo/target/chcoloc1_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", roots)
+      s.conf.set(s"spark.sql.catalog.$cat.shard_by", "custkey")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+      if (!new EmbeddedClickHouse(s"/root/repo/target/chcoloc0_$tag")
+        .tableExists("main", "cust_co")) {
+        s.sql(
+          s"""CREATE TABLE $cat.main.cust_co (custkey BIGINT, mkt STRING)
+             |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'custkey')""".stripMargin)
+        s.sql(
+          s"""INSERT INTO $cat.main.cust_co
+             |SELECT c_custkey, c_mktsegment FROM customer""".stripMargin)
+        s.sql(
+          s"""CREATE TABLE $cat.main.ord_co (custkey BIGINT, price DECIMAL(18,2))
+             |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'custkey')""".stripMargin)
+        s.sql(
+          s"""INSERT INTO $cat.main.ord_co
+             |SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2))
+             |FROM orders""".stripMargin)
+      }
+      val c = s.table(s"$cat.main.cust_co").as("c")
+      val o = s.table(s"$cat.main.ord_co").as("o")
+      c.join(o, col("c.custkey") === col("o.custkey"))
+        .groupBy(col("c.custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o.price")).cast("decimal(18,2)").as("total"))
+    },
+
+    // Shard-key-grouped COMPLETE aggregate pushdown: GROUP BY contains
+    // the routing column, so every group lives wholly on one shard and
+    // the per-shard aggregate union IS the final answer — the scan claims
+    // complete pushdown (ClickHouse's
+    // `optimize_distributed_group_by_sharding_key`), Spark plans NO
+    // aggregate, and non-merge-safe AVG becomes pushable again (the
+    // partial downgrade r39 exercises cannot ship it). avg stays
+    // hash-exact: integer operands, one division (the t13/d08 rule).
+    q("r42_sharded_keyed_agg",
+      """SELECT o_custkey AS custkey, count(*) AS n,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS minp,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS maxp,
+        |  avg(o_orderkey) AS avg_okey
+        |FROM orders GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val cat = s"chshagg_$tag"
+      val roots = s"/root/repo/target/chshagg0_$tag,/root/repo/target/chshagg1_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", roots)
+      s.conf.set(s"spark.sql.catalog.$cat.shard_by", "custkey")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+      if (!new EmbeddedClickHouse(s"/root/repo/target/chshagg0_$tag")
+        .tableExists("main", "ord_ka")) {
+        s.sql(
+          s"""CREATE TABLE $cat.main.ord_ka
+             |(custkey BIGINT, okey BIGINT, price DECIMAL(18,2))
+             |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'custkey')""".stripMargin)
+        s.sql(
+          s"""INSERT INTO $cat.main.ord_ka
+             |SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))
+             |FROM orders""".stripMargin)
+      }
+      s.table(s"$cat.main.ord_ka")
+        .groupBy(col("custkey"))
+        .agg(count(lit(1)).as("n"),
+          min("price").as("minp"), max("price").as("maxp"),
+          avg("okey").as("avg_okey"))
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

@@ -209,6 +209,48 @@ class GatePlanSpec extends AnyFunSuite {
       "sharded aggregate must not collapse into one remote statement")
   }
 
+  test("r41 shard-key-local join+aggregate collapses into one remote " +
+    "statement per shard: no Spark join, no Spark aggregate") {
+    val df: DataFrame = SparkEntry.queries("r41_sharded_colocated_join")(spark, sfDir)
+    assert(df.count() > 0)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val all = flatten(df.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[graft.pushdown.ClickHouseRemoteExec]),
+      s"co-located join must collapse into the remote node:\n${all.head}")
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"no Spark-side join may remain:\n${all.head}")
+    assert(!all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+      s"no Spark-side aggregate may remain (groups are shard-whole):\n${all.head}")
+  }
+
+  test("r42 shard-key-grouped aggregate pushes COMPLETE: GROUP BY in the " +
+    "scan SQL and NO merging Spark aggregate (contrast r39's partial)") {
+    val df: DataFrame = SparkEntry.queries("r42_sharded_keyed_agg")(spark, sfDir)
+    assert(df.count() > 0)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val all = flatten(df.queryExecution.executedPlan)
+    val scan = all.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.isDefined, s"no BatchScan in:\n${all.head}")
+    assert(scan.get.scan.description().contains("GROUP BY"),
+      s"keyed aggregate must ship in the scan SQL: ${scan.get.scan.description()}")
+    assert(!all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+      s"complete pushdown must leave no Spark aggregate:\n${all.head}")
+  }
+
   test("r38 sketch-merge probe reads ONLY the sketch column from the store") {
     val df: DataFrame = SparkEntry.queries("r38_sketch_distinct")(spark, sfDir)
     assert(df.count() == 1)

@@ -132,6 +132,77 @@ class ShardedClientSpec extends AnyFunSuite {
       s"window must run over the union of shards, got $ranks")
   }
 
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a +: flattenPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: flattenPlan(q.plan)
+    case other => other +: other.children.flatMap(flattenPlan)
+  }
+
+  test("GROUP BY containing the routing key upgrades sharded aggregate " +
+    "pushdown to COMPLETE: groups are shard-whole, no merging Aggregate") {
+    seed()
+    val df = spark.table("chshard.main.sh_events")
+      .groupBy("k").agg(avg("v").as("av")) // avg: partial mode could never push it
+    assert(!df.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      "shard-key-grouped aggregate must push COMPLETE (no Spark aggregate):\n" +
+        df.queryExecution.optimizedPlan)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.length == 200)
+    got.foreach { case (k, av) => assert(math.abs(av - k * 1.5) < 1e-9, s"k=$k av=$av") }
+    // grouping by a NON-routing column must still downgrade to partial
+    val part = spark.table("chshard.main.sh_events")
+      .groupBy("cat").agg(sum("v").as("sv"))
+    assert(part.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      "non-key grouping must keep the merging Aggregate")
+  }
+
+  test("a join whose equi-condition carries shard_by on both sides " +
+    "collapses shard-locally: one remote statement per shard, no join exec") {
+    seed()
+    if (!new EmbeddedClickHouse(rootA).tableExists("main", "sh_dim_j")) {
+      spark.sql(
+        """CREATE TABLE chshard.main.sh_dim_j (k BIGINT, label STRING)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      import spark.implicits._
+      (1L to 200L).map(i => (i, s"lab$i")).toDF("k", "label")
+        .writeTo("chshard.main.sh_dim_j").append()
+    }
+    import graft.chfunctions._
+    val ev = spark.table("chshard.main.sh_events").as("e")
+    val dm = spark.table("chshard.main.sh_dim_j").as("d")
+    val j = ev.join(dm, col("e.k") === col("d.k"))
+      .select(col("e.k").as("k"),
+        clickhouse_fn("upper", Seq(col("d.label")), "String").as("u"))
+    val all = flattenPlan(j.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[graft.pushdown.ClickHouseRemoteExec]),
+      s"keyed join must collapse into the remote node:\n${all.head}")
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"no Spark-side join may remain:\n${all.head}")
+    val got = j.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == (1L to 200L).map(i => (i, s"LAB$i")))
+  }
+
+  test("a join on a NON-routing column does not collapse: the passthrough " +
+    "hoists into the shard-local side and Spark runs the join") {
+    seed()
+    import graft.chfunctions._
+    val ev = spark.table("chshard.main.sh_events").as("e")
+    val dm = spark.table("chshard.main.sh_events").as("d")
+    // cat = cat matches across shards — collapsing per shard would LOSE
+    // cross-shard pairs; count proves the join ran over the union
+    val j = ev.join(dm, col("e.cat") === col("d.cat"))
+      .select(col("e.k"), clickhouse_fn("upper", Seq(col("d.cat")), "String").as("u"))
+    val all = flattenPlan(j.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"non-key join must stay in Spark:\n${all.head}")
+    assert(j.count() == 5 * 40L * 40L) // 5 cats x 40 rows each, squared per cat
+  }
+
   test("FINAL is rejected unless shard_by aligns with the ORDER BY key; " +
     "aligned FINAL dedups exactly") {
     seed()
