@@ -510,8 +510,14 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case other => Seq(other)
     }
+    // EqualNullSafe too: the INTERSECT/EXCEPT-to-semi-join rewrite
+    // compares with <=>, and NULL routing values all ride shard 0, so
+    // null-safe key matches are co-located as well
     val keyEq = j.condition.toSeq.flatMap(conjuncts).exists {
       case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.dataType == b.dataType =>
+        (lk.contains(a) && rk.contains(b)) || (lk.contains(b) && rk.contains(a))
+      case EqualNullSafe(a: AttributeReference, b: AttributeReference)
           if a.dataType == b.dataType =>
         (lk.contains(a) && rk.contains(b)) || (lk.contains(b) && rk.contains(a))
       case _ => false

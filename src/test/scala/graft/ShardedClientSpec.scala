@@ -187,6 +187,35 @@ class ShardedClientSpec extends AnyFunSuite {
     assert(got.toSeq == (1L to 200L).map(i => (i, s"LAB$i")))
   }
 
+  test("a window PARTITIONED BY the routing key collapses shard-locally; " +
+    "INTERSECT on key-bearing rows distributes too") {
+    seed()
+    import graft.chfunctions._
+    // rank() within each k-partition: every partition is shard-whole
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v"))
+    val df = spark.table("chshard.main.sh_events")
+      .select(col("k"), col("cat"),
+        clickhouse_fn("upper", Seq(col("cat")), "String").as("u"),
+        org.apache.spark.sql.functions.rank().over(w).as("rnk"))
+    val all = flattenPlan(df.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[graft.pushdown.ClickHouseRemoteExec]),
+      s"key-partitioned window must collapse:\n${all.head}")
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"no Spark-side window may remain:\n${all.head}")
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(got.length == 200 && got.forall(_._2 == 1)) // one row per k
+    // INTERSECT rewrites to a null-safe semi join on all columns incl.
+    // the routing key — distributes per shard (values prove correctness
+    // either way; the executed shape is covered by the join/window
+    // asserts above, so just pin semantics here)
+    val i = spark.sql(
+      """SELECT k FROM chshard.main.sh_events WHERE k <= 120
+        |INTERSECT
+        |SELECT k FROM chshard.main.sh_events WHERE k >= 100""".stripMargin)
+    assert(i.collect().map(_.getLong(0)).sorted.toSeq == (100L to 120L))
+  }
+
   test("a join on a NON-routing column does not collapse: the passthrough " +
     "hoists into the shard-local side and Spark runs the join") {
     seed()
@@ -375,6 +404,88 @@ class ShardedClientSpec extends AnyFunSuite {
         "the dead shard's partition must throw — a swallowed error would " +
           "surface as a silently-partial result set")
     } finally { s1.close() }
+  }
+
+  test("replica failover: reads move to a live replica when the sticky " +
+    "one dies; DDL broadcasts; writes pin to the primary") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 30
+    r2.wireReadRows = 30
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chrep",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+      val client = cat.clickHouseClient
+      assert(client.isInstanceOf[graft.client.FailoverClickHouseClient])
+      assert(client.singleExecutionDomain, "a replica set is ONE domain")
+      // DDL broadcasts: both replicas learn the table
+      client.createTable("bench", "rep_t",
+        Seq("id" -> "Int64", "v" -> "Float64"),
+        Map("engine" -> "MergeTree", "order_by" -> "id"))
+      Seq(r1, r2).foreach { m =>
+        val one = new graft.client.HttpClickHouseClient(m.endpoint)
+        assert(one.fetchColumns("bench", "rep_t").map(_._1) == Seq("id", "v"),
+          s"replica at ${m.endpoint} must have the broadcast table")
+      }
+      // writes pin to the primary (replica 0) — nothing sprays
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+      val n = client.insert("bench", "rep_t", schema,
+        (1L to 50L).map(i => Row(i, i * 0.5)))
+      assert(n == 50)
+      assert(r1.rowsReceived.get() == 50 && r2.rowsReceived.get() == 0,
+        s"writes must pin to the primary: ${r1.rowsReceived.get()} / ${r2.rowsReceived.get()}")
+      // reads prefer the primary...
+      val (_, h1) = client.planQuery(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", 1)
+      assert(client.readPartition(h1.head).size == 30)
+      // ...and fail over when it dies — same statement, replica 2 serves
+      r1.close()
+      val (_, h2) = client.planQuery(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", 1)
+      assert(client.readPartition(h2.head).size == 30,
+        "failover read must stream from the surviving replica")
+      // with every replica dead, the failure is LOUD and names the set
+      r2.close()
+      val e = intercept[java.io.IOException] {
+        client.planQuery("SELECT `id` FROM `bench`.`wire_read`", 1)
+      }
+      assert(e.getMessage.contains("replicas failed"), e.getMessage)
+    } finally { r1.close(); r2.close() }
+  }
+
+  test("shard-with-replicas composition: 'a|b,c' fails over inside shard " +
+    "0 while the union across shards stays exact") {
+    val a = new MockClickHouseHttp; val b = new MockClickHouseHttp
+    val c = new MockClickHouseHttp
+    a.wireReadRows = 20; b.wireReadRows = 20; c.wireReadRows = 7
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chrepsh",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${a.endpoint}|${b.endpoint},${c.endpoint}")))
+      val client = cat.clickHouseClient
+      assert(!client.singleExecutionDomain, "two shards = sharded semantics")
+      a.close() // shard 0's preferred replica dies before planning
+      val (_, handles) = client.planQuery(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", 2)
+      val counts = handles.map(h => client.readPartition(h).size).sorted
+      assert(counts == Seq(7, 20),
+        s"shard 0 must serve from replica b, shard 1 from c: $counts")
+    } finally { a.close(); b.close(); c.close() }
+  }
+
+  test("replica syntax in an embedded 'path' is rejected — two roots " +
+    "cannot replicate each other") {
+    val e = intercept[IllegalArgumentException] {
+      new graft.catalog.ClickHouseCatalog().initialize("badrep",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "path", s"$rootA|$rootB")))
+    }
+    assert(e.getMessage.contains("replica"), e.getMessage)
   }
 
   test("HTTP transport shards too: comma-separated endpoints distribute " +
