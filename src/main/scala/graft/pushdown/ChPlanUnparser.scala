@@ -109,10 +109,15 @@ object ChPlanUnparser {
           }
           outCols = j.output.flatMap(a => outScope.get(a.exprId))
           if outCols.length == j.output.length
-        } yield Unparsed(
-          s"SELECT ${outCols.mkString(", ")} FROM (${l.sql}) AS ${sub()} " +
-            s"$k (${r.sql}) AS ${sub()}$on",
-          j.output.map(a => a.exprId -> outScope(a.exprId)).toMap)
+        } yield {
+          // a join whose every output column was pruned away (count()
+          // over a join) still needs a select list — emit a constant
+          val sel = if (outCols.isEmpty) "1 AS __one" else outCols.mkString(", ")
+          Unparsed(
+            s"SELECT $sel FROM (${l.sql}) AS ${sub()} " +
+              s"$k (${r.sql}) AS ${sub()}$on",
+            j.output.map(a => a.exprId -> outScope(a.exprId)).toMap)
+        }
 
       case Aggregate(groupingExprs, aggExprs, child, _) =>
         for {
@@ -128,11 +133,16 @@ object ChPlanUnparser {
           groups <- sequence(groupingExprs.map(g => ChExprUnparser.compile(g, c.scope)))
         } yield {
           val gb = if (groups.isEmpty) "" else s" GROUP BY ${groups.mkString(", ")}"
-          // Spark's count() rewrite leaves an Aggregate with group keys but
-          // ZERO output columns — `SELECT  FROM` is invalid SQL, so emit a
-          // constant (cardinality is one row per group either way)
+          // Spark's count() rewrite leaves an Aggregate with ZERO output
+          // columns — `SELECT  FROM` is invalid SQL, so emit a constant.
+          // Grouped: `SELECT 1 ... GROUP BY k` is one row per group, the
+          // Aggregate's own cardinality. UNGROUPED the same shape would
+          // be one row per INPUT row — a global aggregate must still
+          // aggregate, so ship an actual aggregate function instead.
           val sel =
-            if (items.isEmpty) "1 AS __one" else items.map(_._1).mkString(", ")
+            if (items.nonEmpty) items.map(_._1).mkString(", ")
+            else if (groups.nonEmpty) "1 AS __one"
+            else "count(*) AS __one"
           Unparsed(
             s"SELECT $sel FROM (${c.sql}) AS ${sub()}$gb",
             items.map { case (_, id) => id -> aliasOf(id) }.toMap)

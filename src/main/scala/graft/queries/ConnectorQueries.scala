@@ -924,6 +924,65 @@ object ConnectorQueries {
           col("exact_distinct") * lit(0.02)).as("estimate_ok"))
     },
 
+    // Mergeable QUANTILE sketch persisted into the store — the r38
+    // pattern for order statistics (ClickHouse's quantileState/
+    // quantileMerge shape): each source writes a tiny fixed-width
+    // histogram ONCE (bucket = n_chars DIV 16, integer counts —
+    // deterministic and mergeable by addition), and any later "median
+    // across everything" answer merges k histograms instead of
+    // re-reading the corpus. The estimate brackets the true median
+    // between the buckets of the two middle order statistics, so its
+    // error is < one bucket width; the gate pins |est - exact| <= 16
+    // as a hash row against DuckDB's exact quantile_cont.
+    q("r43_sketch_quantile",
+      """SELECT (SELECT count(*) FROM (
+        |    SELECT DISTINCT coalesce(source, '') FROM documents
+        |    WHERE n_chars IS NOT NULL) x) AS n_groups,
+        |  quantile_cont(n_chars, 0.5) AS exact_median,
+        |  TRUE AS estimate_ok
+        |FROM documents""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.qh_hist")
+      s.sql(
+        """CREATE TABLE clickhouse.main.qh_hist
+          |(src STRING NOT NULL, bucket BIGINT, cnt BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'src')""".stripMargin)
+      // one small row per (source, bucket) lands in the store; the
+      // corpus shuffles ONCE with map-side partials
+      s.sql(
+        """INSERT INTO clickhouse.main.qh_hist
+          |SELECT coalesce(source, '') AS src,
+          |  CAST(n_chars DIV 16 AS BIGINT) AS bucket, count(*) AS cnt
+          |FROM documents WHERE n_chars IS NOT NULL
+          |GROUP BY coalesce(source, ''), CAST(n_chars DIV 16 AS BIGINT)""".stripMargin)
+      // probe: merge the persisted sketches (sum per bucket), walk the
+      // cumulative histogram to bracket the two middle order statistics
+      val merged = s.table("clickhouse.main.qh_hist")
+        .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      val cumW = org.apache.spark.sql.expressions.Window
+        .orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val withCum = merged.withColumn("cum", sum("cnt").over(cumW))
+      val total = merged.agg(sum("cnt").as("N"))
+      // lower middle: first bucket with cum >= floor((N+1)/2)
+      val bLo = withCum.crossJoin(total)
+        .filter(col("cum") * 2 >= col("N")).agg(min("bucket").as("b_lo"))
+      // upper middle: first bucket with cum >= floor(N/2) + 1
+      val bHi = withCum.crossJoin(total)
+        .filter(col("cum") * 2 >= col("N") + lit(2) - (col("N") % 2))
+        .agg(min("bucket").as("b_hi"))
+      val est = bLo.crossJoin(bHi).select(
+        (((col("b_lo") + col("b_hi")) * 16 + 16) / 2).cast("double").as("est"))
+      val nGroups = s.table("clickhouse.main.qh_hist")
+        .agg(countDistinct(col("src")).as("n_groups"))
+      val exact = s.table("documents")
+        .agg(median(col("n_chars")).as("exact_median"))
+      nGroups.crossJoin(exact).crossJoin(est).select(
+        col("n_groups"),
+        col("exact_median"),
+        (abs(col("est") - col("exact_median")) <= 16.0).as("estimate_ok"))
+    },
+
     // Sharded cluster catalog, end-to-end: `path=a,b` composes two
     // embedded stores behind one catalog (ShardedClickHouseClient — the
     // client-side Distributed-table shape), `shard_by` hash-routes the

@@ -271,6 +271,34 @@ class GatePlanSpec extends AnyFunSuite {
       s"sketch scan must prune to the sketch column: $sketchScan")
   }
 
+  test("r43 quantile-sketch probe merges the persisted histogram: scan " +
+    "prunes to (bucket, cnt), corpus is read only for the exact check") {
+    val df: DataFrame = SparkEntry.queries("r43_sketch_quantile")(spark, sfDir)
+    assert(df.count() == 1)
+    val got = df.collect().head
+    assert(got.getBoolean(2), s"estimate must bracket the exact median: $got")
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val all = flatten(df.queryExecution.executedPlan)
+    // the bucket-merge collapses INTO the store (sum per bucket runs
+    // remotely) — or, absent the collapse, a scan pruned to (bucket, cnt)
+    val histReads = all.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.description().contains("qh_hist") => b.scan.description()
+      case r: graft.pushdown.ClickHouseRemoteExec
+        if r.sql.contains("qh_hist") => r.sql
+    }
+    assert(histReads.nonEmpty, "probe must read the persisted sketch table")
+    assert(histReads.exists(d =>
+      (d.contains("sum(`cnt`)") && d.contains("GROUP BY")) ||
+        d.contains("SELECT `bucket`, `cnt` FROM")),
+      s"the merge must happen in the store or over a pruned scan: $histReads")
+  }
+
   test("r28 cross-store join: two separate remote scans, join stays local") {
     val df = SparkEntry.queries("r28_cross_store_join")(spark, sfDir)
     assert(df.count() > 0)

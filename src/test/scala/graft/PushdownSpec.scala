@@ -147,6 +147,22 @@ class PushdownSpec extends AnyFunSuite {
     assert(got == Set((0, 1L, "Bob"), (1, 2L, "Charlie")))
   }
 
+  test("count() over a collapsed join/aggregate keeps remote cardinality " +
+    "(fully-pruned outputs ship constants, global aggregates still aggregate)") {
+    // count() prunes every output column: the collapsed SQL must emit a
+    // constant select list (never `SELECT  FROM`) and a GLOBAL aggregate
+    // must stay one row (a bare `SELECT 1 FROM t` would be one per input)
+    val joined = spark.table("chpd.db.people").as("p")
+      .join(spark.table("chpd.db.knicknames").as("k"), col("p.id") === col("k.id"))
+    assert(joined.count() == 2)
+    val globalAgg = spark.table("chpd.db.people")
+      .agg(max(col("name")).as("mx")) // global aggregate, then prune via count
+    assert(globalAgg.count() == 1)
+    val groupedCount = spark.table("chpd.db.people")
+      .groupBy(col("id") % 2).agg(max(col("name")))
+    assert(groupedCount.count() == 2)
+  }
+
   test("passthrough under a sort is hoisted then pushed (function_pushdown.rs:40-74)") {
     val df = spark.table("chpd.db.people")
       .orderBy(clickhouse(length(col("name")), "UInt64").desc, col("id"))
