@@ -50,8 +50,12 @@ class ShardedClickHouseClient(
     * it (see [[route]]), so equal same-typed values co-reside. */
   override def shardRoutingColumn: Option[String] = shardBy
 
+  // shardBy is part of the identity: two catalogs over the SAME roots
+  // with different routing columns place rows differently, so their
+  // scans must never share a collapse domain (shard-key-local joins
+  // would falsely co-locate them)
   override def connectionKey: String =
-    s"sharded[${shards.map(_.connectionKey).mkString("|")}]"
+    s"sharded[${shards.map(_.connectionKey).mkString("|")};by=${shardBy.getOrElse("-")}]"
 
   // ---- metadata: shard 0 is authoritative (DDL broadcasts keep shards
   // aligned; a drifted shard fails loudly at scan time via the wire

@@ -232,6 +232,28 @@ class ShardedClientSpec extends AnyFunSuite {
     assert(j.count() == 5 * 40L * 40L) // 5 cats x 40 rows each, squared per cat
   }
 
+  test("two catalogs over the SAME roots with different shard_by never " +
+    "share a collapse domain (routing is part of connection identity)") {
+    seed()
+    spark.conf.set("spark.sql.catalog.chshardalt",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chshardalt.path", s"$rootA,$rootB")
+    spark.conf.set("spark.sql.catalog.chshardalt.shard_by", "cat")
+    import graft.chfunctions._
+    val l = spark.table("chshard.main.sh_events").as("l")
+    val r2 = spark.table("chshardalt.main.sh_events").as("r")
+    // l.k = r.k IS k's routing on the left, but the right catalog
+    // DECLARES cat-routing — placement is unprovable, so the join must
+    // stay in Spark (a collapse would trust a lie)
+    val j = l.join(r2, col("l.k") === col("r.k"))
+      .select(col("l.k"),
+        clickhouse_fn("upper", Seq(col("r.cat")), "String").as("u"))
+    val all = flattenPlan(j.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"mismatched shard_by must keep the join in Spark:\n${all.head}")
+    assert(j.count() == 200)
+  }
+
   test("FINAL is rejected unless shard_by aligns with the ORDER BY key; " +
     "aligned FINAL dedups exactly") {
     seed()
