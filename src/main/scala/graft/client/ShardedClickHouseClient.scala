@@ -230,11 +230,30 @@ class ShardedClickHouseClient(
   override def abortStaged(db: String, table: String, stagingId: String): Unit =
     shards.foreach(_.abortStaged(db, table, stagingId))
 
-  /** Epoch markers live on shard 0 — one authority, so a replayed epoch
-    * is dropped on EVERY shard or published on every shard, never mixed.
+  /** Epoch markers live on shard 0 — one authority for direct
+    * marker-probe callers. The streaming WRITE path does NOT go through
+    * this: see [[commitEpochStaged]].
     */
   override def tryMarkEpochCommitted(db: String, table: String, marker: String): Boolean =
     shards.head.tryMarkEpochCommitted(db, table, marker)
+
+  /** Converging streaming-epoch publish, per shard: each shard runs its
+    * OWN converging protocol (publish-staged-then-mark) over its slice
+    * of the epoch's rows. The inherited default (mark on one authority,
+    * then broadcast publish) would NOT converge: a crash between the
+    * mark and the publish makes the replay see "already committed" and
+    * abort the re-staged rows — losing the un-published shards' slice.
+    * Per-shard convergence is global convergence because routing is
+    * deterministic: a replayed epoch re-stages the SAME rows on the same
+    * shards, each shard's marker covers exactly its own slice, and a
+    * shard that already published aborts the re-staged duplicate while a
+    * shard that crashed pre-mark publishes — never mixed within a shard,
+    * and cross-shard mixes repair themselves on the next replay.
+    */
+  override def commitEpochStaged(
+      db: String, table: String, epochMarker: String,
+      staged: Seq[(String, Int)]): Unit =
+    shards.foreach(_.commitEpochStaged(db, table, epochMarker, staged))
 }
 
 /** Shard-tagged handle: remembers which shard planned `inner` so the

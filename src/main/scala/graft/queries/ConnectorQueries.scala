@@ -1143,6 +1143,55 @@ object ConnectorQueries {
           avg("okey").as("avg_okey"))
     },
 
+    // Streaming ingest into a SHARDED cluster: writeStream.toTable lands
+    // micro-batches through the DSv2 StreamingWrite with rows hash-routed
+    // by shard_by and the per-shard CONVERGING epoch protocol (each shard
+    // publishes-then-marks its own slice; a replayed epoch aborts on
+    // shards that already published and repairs the ones that crashed —
+    // ShardedClientSpec proves the partial-crash repair). The 100 TB
+    // continuous-ingest topology: queue -> stream -> cluster, exactly
+    // once, no single-store bottleneck.
+    q("r44_sharded_stream_sink",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val cat = s"chshstr_$tag"
+      val roots = s"/root/repo/target/chshstr0_$tag,/root/repo/target/chshstr1_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", roots)
+      s.conf.set(s"spark.sql.catalog.$cat.shard_by", "user_id")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+      s.sql(s"DROP TABLE IF EXISTS $cat.main.ev_sh")
+      s.sql(
+        s"""CREATE TABLE $cat.main.ev_sh (event_type STRING, user_id BIGINT)
+           |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'user_id')""".stripMargin)
+      val stream = StreamingQueries.eventsStream(s, dir)
+        .select(col("event_type"), col("user_id"))
+      val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else sys.props("java.io.tmpdir")
+      val ck = s"$ckBase/graft_ck_shstr_${System.nanoTime()}"
+      try {
+        val q = stream.writeStream
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.main.ev_sh")
+        q.awaitTermination()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      }
+      // both shards must hold a slice, or the gate silently degrades to
+      // a single-store test (user_id spreads across the placement hash)
+      val perShard = roots.split(",").map(r =>
+        new EmbeddedClickHouse(r).query(
+          "SELECT count(*) AS n FROM `main`.`ev_sh`", 1)._2.flatten.head.getLong(0))
+      require(perShard.forall(_ > 0), s"shard slices: ${perShard.mkString(",")}")
+      s.table(s"$cat.main.ev_sh")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("user_id").cast("bigint").as("sum_uid"))
+    },
+
     // text statistics computed IN the store: split unparsers as
     // splitByChar, so tokenization happens remotely and only three
     // narrow integers per document cross the wire (the t01 shape,

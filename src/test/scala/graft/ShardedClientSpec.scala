@@ -303,6 +303,51 @@ class ShardedClientSpec extends AnyFunSuite {
     assert(bumped == 10)
   }
 
+  test("sharded streaming epochs CONVERGE: replay never duplicates, and " +
+    "a crash that published only one shard repairs on the next attempt") {
+    seed() // the embedded store executes on the suite's Spark session
+    val ra = Files.createTempDirectory("graft_ep_a_").toString
+    val rb = Files.createTempDirectory("graft_ep_b_").toString
+    val client = new graft.client.ShardedClickHouseClient(
+      IndexedSeq(new EmbeddedClickHouse(ra), new EmbeddedClickHouse(rb)),
+      shardBy = Some("k"))
+    client.createDatabase("main")
+    client.createTable("main", "ep_t",
+      Seq("k" -> "Int64", "v" -> "Float64"),
+      Map("engine" -> "MergeTree", "order_by" -> "k"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    def stage(id: String, lo: Long, hi: Long): Unit =
+      client.stageInsert("main", "ep_t", schema,
+        (lo to hi).map(i => Row(i, i * 0.5)), id)
+    def count(): Long = client.query(
+      "SELECT count(*) AS n FROM `main`.`ep_t`", 1)._2.flatten.map(_.getLong(0)).sum
+    // epoch 1: normal publish, rows land exactly once across both shards
+    stage("s1", 1, 100)
+    client.commitEpochStaged("main", "ep_t", "ep1", Seq(("s1", 0)))
+    assert(count() == 100)
+    // epoch 1 REPLAYED (driver died after commit, before checkpoint):
+    // the micro-batch re-stages under a fresh id; both shards hold the
+    // marker, so every re-staged slice aborts — no duplicates
+    stage("s2", 1, 100)
+    client.commitEpochStaged("main", "ep_t", "ep1", Seq(("s2", 0)))
+    assert(count() == 100, "replayed epoch must not duplicate")
+    // epoch 2, PARTIAL crash: shard B published its slice and marked,
+    // shard A crashed before publishing. The replay re-stages everything
+    // and commits with only ITS OWN staging id (the crashed attempt's
+    // ids are debris): shard B aborts the re-stage, shard A publishes —
+    // the epoch lands exactly once overall
+    stage("s3", 101, 200)
+    client.shards(1).commitEpochStaged("main", "ep_t", "ep2", Seq(("s3", 0)))
+    stage("s4", 101, 200)
+    client.commitEpochStaged("main", "ep_t", "ep2", Seq(("s4", 0)))
+    assert(count() == 200,
+      "partial-crash replay must repair to exactly-once: " + count())
+  }
+
   test("streaming cursor reads fold min/max ACROSS shards: an " +
     "AvailableNow drain sees every shard's rows exactly once") {
     seed()
