@@ -14,7 +14,7 @@ object ChOptions {
     // transport / auth
     "path", "endpoint", "username", "password", "default_database",
     "compression", "domain", "cafile", "use_tls", "strings_as_strings",
-    "cloud_timeout", "cloud_wakeup", "shard_by",
+    "cloud_timeout", "cloud_wakeup", "shard_by", "load_balancing",
     // pool
     "pool_max_size", "pool_min_idle", "pool_test_on_check_out",
     "pool_max_lifetime", "pool_idle_timeout", "pool_connection_timeout",
@@ -62,7 +62,7 @@ object ChOptions {
   val HttpHonoredKeys: Set[String] = Set(
     "endpoint", "username", "password", "default_database", "compression",
     "use_tls", "pool_max_size", "pool_connection_timeout",
-    "pool_retry_connection", "shard_by",
+    "pool_retry_connection", "shard_by", "load_balancing",
     // transport-agnostic connector knobs, consumed by the catalog itself
     "coerce_schemas", "read.streams", "read.split_by", "read.bucket_by",
     "read.buckets", "write.concurrency", "write.batch_size",

@@ -110,10 +110,18 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
         // set (ClickHouse's shard-with-replicas cluster entry): reads fail
         // over among replicas, writes pin to the first (the primary; see
         // FailoverClickHouseClient for the exact contract)
+        // load_balancing is a replica-set knob — honored-or-rejected:
+        // without replicas there is no read placement to balance
+        val lb = Option(options.get("load_balancing"))
+        if (lb.isDefined && !ep.contains("|"))
+          throw new IllegalArgumentException(
+            s"option 'load_balancing' of catalog '$name' requires " +
+              "'|'-separated replica sets in endpoint (a single replica " +
+              "per shard has nothing to balance)")
         def mkShard(spec: String): graft.client.ClickHouseClient with Serializable = {
           val reps = spec.split("\\|").toIndexedSeq.map(r => mkHttp(r))
           if (reps.size == 1) reps.head
-          else new graft.client.FailoverClickHouseClient(reps)
+          else new graft.client.FailoverClickHouseClient(reps, lb.getOrElse("first"))
         }
         shardedOrSingle(name, options, ep.split(",").toIndexedSeq.map(mkShard))
       case None =>
@@ -139,6 +147,10 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
           throw new IllegalArgumentException(
             s"catalog '$name': replica syntax ('|') is only valid in " +
               "'endpoint' — embedded store roots do not replicate")
+        if (options.containsKey("load_balancing"))
+          throw new IllegalArgumentException(
+            s"option 'load_balancing' of catalog '$name' is a replica-set " +
+              "knob — the embedded store has no replicas to balance")
         shardedOrSingle(name, options,
           path.split(",").toIndexedSeq.map(p => new EmbeddedClickHouse(p.trim)))
     }

@@ -37,11 +37,17 @@ import org.apache.spark.sql.types.StructType
   *    so metadata may be served from any live replica.
   */
 class FailoverClickHouseClient(
-    val replicas: IndexedSeq[ClickHouseClient])
+    val replicas: IndexedSeq[ClickHouseClient],
+    val loadBalancing: String = "first")
   extends ClickHouseClient {
 
   require(replicas.size >= 2,
     s"a replica set needs >= 2 replicas, got ${replicas.size}")
+  require(loadBalancing == "first" || loadBalancing == "random",
+    s"load_balancing must be 'first' (sticky primary-first: read-your-" +
+      s"writes against a lagging replica) or 'random' (spread read load " +
+      s"across replicas, ClickHouse's first_or_random analog), got " +
+      s"'$loadBalancing'")
 
   override def connectionKey: String =
     s"replicated[${replicas.map(_.connectionKey).mkString("|")}]"
@@ -61,7 +67,10 @@ class FailoverClickHouseClient(
   private val preferred = new AtomicInteger(0)
 
   private def withLive[T](f: ClickHouseClient => T): (Int, T) = {
-    val start = preferred.get()
+    val start =
+      if (loadBalancing == "random")
+        java.util.concurrent.ThreadLocalRandom.current().nextInt(replicas.size)
+      else preferred.get()
     var lastErr: IOException = null
     var i = 0
     while (i < replicas.size) {

@@ -95,16 +95,30 @@ class ShardedClickHouseClient(
 
   // ---- reads: one statement per shard, handles tagged with their shard ----
 
+  /** Dispatch a per-shard planning call CONCURRENTLY — the Distributed
+    * initiator fans statements out to every shard at once, it does not
+    * visit them one by one. For wire transports planning is a cheap
+    * DESCRIBE and this hardly matters; for the embedded transport (whose
+    * plan step executes the statement into spill) serial dispatch made a
+    * collapsed shard-local statement pay #shards × its latency.
+    */
+  private def perShard[T](f: ClickHouseClient => T): IndexedSeq[T] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(shards.map(c => Future(f(c)))), Duration.Inf)
+  }
+
   override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
     val per = math.max(1, numStreams / shards.size)
-    val planned = shards.map(_.planQuery(sql, per))
+    val planned = perShard(_.planQuery(sql, per))
     (planned.head._1, tag(planned.map(_._2)))
   }
 
   override def planQueryRanges(
       sql: String, splitColumn: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
     val per = math.max(1, numStreams / shards.size)
-    val planned = shards.map(_.planQueryRanges(sql, splitColumn, per))
+    val planned = perShard(_.planQueryRanges(sql, splitColumn, per))
     (planned.head._1, tag(planned.map(_._2)))
   }
 
@@ -130,14 +144,14 @@ class ShardedClickHouseClient(
       bucketColumn: String,
       numBuckets: Int): Option[(StructType, Seq[ChPartitionHandle])] = {
     if (bucketFamily.isEmpty) return None
-    val planned = shards.map(_.planQueryBuckets(sql, bucketColumn, numBuckets))
+    val planned = perShard(_.planQueryBuckets(sql, bucketColumn, numBuckets))
     if (planned.exists(_.isEmpty)) return None
     val schema = planned.head.get._1
-    val perShard = planned.map(_.get._2)
-    require(perShard.forall(_.length == numBuckets),
+    val byShard = planned.map(_.get._2)
+    require(byShard.forall(_.length == numBuckets),
       s"every shard must return exactly $numBuckets buckets")
     Some((schema, (0 until numBuckets).map { b =>
-      ShardMultiHandle(perShard.zipWithIndex.map { case (hs, i) => (i, hs(b)) })
+      ShardMultiHandle(byShard.zipWithIndex.map { case (hs, i) => (i, hs(b)) })
     }))
   }
 
@@ -211,7 +225,7 @@ class ShardedClickHouseClient(
     * broadcasts), because each row is read and written on its own shard.
     */
   override def insertSelect(db: String, table: String, chSelectSql: String): Long =
-    shards.map(_.insertSelect(db, table, chSelectSql)).sum
+    perShard(_.insertSelect(db, table, chSelectSql)).sum
 
   // ---- staged (exactly-once) writes: split rows per shard under the
   // same staging id; commit/abort broadcast (a shard with nothing staged

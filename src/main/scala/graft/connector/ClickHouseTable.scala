@@ -341,6 +341,15 @@ class ChScan(
 
   @volatile private var runtimeWhere: Seq[String] = Seq.empty
 
+  /** Read-side observability: `chRowsRead` sums the rows each executor
+    * task streamed off the wire — the read mirror of the write path's
+    * `chRowsInserted`, surfaced in the Spark UI per scan node. At scale
+    * this is how you see which shard/range/bucket streams carry the
+    * data (task-level values) without a debugger on an executor.
+    */
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new ChRowsReadMetric)
+
   /** Bucketed read (`bucket_by` + `buckets` read options): validated
     * spec, or None when the scan shape can't key its streams by bucket
     * (pushed agg/top-k/limit/sample reshape or drop rows positionally —
@@ -586,6 +595,11 @@ object ChReaderFactory {
       case other => throw new IllegalArgumentException(
         s"not a ClickHouse partition: ${other.getClass.getName}")
     }
+
+  def rowsReadMetric(v: Long): CustomTaskMetric = new CustomTaskMetric {
+    override def name(): String = "chRowsRead"
+    override def value(): Long = v
+  }
 }
 
 /** Executor-side reader: pulls the handle's stream incrementally in
@@ -615,10 +629,13 @@ class ChReaderFactory(client: ClickHouseClient, schema: StructType)
         itOpt
       }
       private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      private var rowsRead = 0L
       override def next(): Boolean =
         if (!it.hasNext) false
-        else { current = it.next(); true }
+        else { current = it.next(); rowsRead += current.numRows(); true }
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
+      override def currentMetricsValues(): Array[CustomTaskMetric] =
+        Array(ChReaderFactory.rowsReadMetric(rowsRead))
       override def close(): Unit = itOpt match {
         case c: AutoCloseable => c.close()
         case _ => ()
@@ -635,21 +652,33 @@ class ChReaderFactory(client: ClickHouseClient, schema: StructType)
         itOpt
       }
       private var current: InternalRow = _
+      private var rowsRead = 0L
       override def next(): Boolean = {
         if (!it.hasNext) false
         else {
           val r = it.next()
           current = if (schema.isEmpty) InternalRow.empty else r
+          rowsRead += 1
           true
         }
       }
       override def get(): InternalRow = current
+      override def currentMetricsValues(): Array[CustomTaskMetric] =
+        Array(ChReaderFactory.rowsReadMetric(rowsRead))
       override def close(): Unit = itOpt match {
         case c: AutoCloseable => c.close()
         case _ => ()
       }
     }
   }
+}
+
+/** Spark-UI metric: rows streamed off the wire by remote scans (the read
+  * mirror of `chRowsInserted`).
+  */
+class ChRowsReadMetric extends CustomSumMetric {
+  override def name(): String = "chRowsRead"
+  override def description(): String = "rows read from ClickHouse"
 }
 
 /** Append-only write path. No SupportsTruncate/SupportsOverwrite →

@@ -252,6 +252,30 @@ class ConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE chconn.testdb.big")
   }
 
+  test("scans surface chRowsRead — the read mirror of the insert metric, " +
+    "counting rows streamed off the wire per scan node") {
+    spark.sql(
+      """CREATE TABLE chconn.testdb.readmetric_t (id BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree')""".stripMargin)
+    import spark.implicits._
+    (1L to 123L).toDF("id").writeTo("chconn.testdb.readmetric_t").append()
+    val df = spark.table("chconn.testdb.readmetric_t")
+    assert(df.collect().length == 123)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val read = flatten(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.metrics.contains("chRowsRead") => b.metrics("chRowsRead").value
+    }
+    assert(read.contains(123L), s"chRowsRead must count streamed rows: $read")
+    spark.sql("DROP TABLE chconn.testdb.readmetric_t")
+  }
+
   test("insert surfaces the row count as a write metric (multi-partition)") {
     import graft.connector.ChRowsInsertedMetric
     spark.sql(

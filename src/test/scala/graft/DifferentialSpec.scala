@@ -250,6 +250,22 @@ class DifferentialSpec extends AnyFunSuite {
       val b = canon(shape(local))
       assert(a == b, s"keyed join case $i diverged (pl=$pl pr=$pr)")
     }
+    // ORDER BY + LIMIT over a keyed self-join: the collapsed per-shard
+    // statement gets a top-k suffix (superset bound) and Spark's
+    // retained Sort+Limit re-applies the global order
+    (1 to 8).foreach { i =>
+      val n = r.nextInt(15) + 1
+      def shape(t: DataFrame): DataFrame = {
+        val l = t.as("l")
+        val rt = t.select(col("c_custkey").as("rk"), col("c_acctbal").as("rb")).as("r")
+        l.join(rt, col("l.c_custkey") === col("r.rk"))
+          .select(col("l.c_custkey"), col("r.rb"))
+          .orderBy(col("l.c_custkey")).limit(n)
+      }
+      val a = canon(shape(sharded))
+      val b = canon(shape(local))
+      assert(a == b, s"keyed top-$n case $i diverged")
+    }
   }
 
   test("random timestamp/date predicate shapes agree remote vs local (orders)") {

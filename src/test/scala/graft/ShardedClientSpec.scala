@@ -232,6 +232,29 @@ class ShardedClientSpec extends AnyFunSuite {
     assert(j.count() == 5 * 40L * 40L) // 5 cats x 40 rows each, squared per cat
   }
 
+  test("a cross-TYPE key equality does not collapse: the placement hash " +
+    "is the JVM value hash, so Int-vs-Long equality proves nothing") {
+    seed()
+    if (!new EmbeddedClickHouse(rootA).tableExists("main", "sh_dim_int")) {
+      // same key VALUES but a 32-bit column: routed by Integer.hashCode
+      spark.sql(
+        """CREATE TABLE chshard.main.sh_dim_int (k INT, tag STRING)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      import spark.implicits._
+      (1 to 200).map(i => (i, s"t$i")).toDF("k", "tag")
+        .writeTo("chshard.main.sh_dim_int").append()
+    }
+    import graft.chfunctions._
+    val l = spark.table("chshard.main.sh_events").as("l")
+    val r2 = spark.table("chshard.main.sh_dim_int").as("r")
+    val j = l.join(r2, col("l.k") === col("r.k").cast("bigint"))
+      .select(col("l.k"), clickhouse_fn("upper", Seq(col("r.tag")), "String").as("u"))
+    val all = flattenPlan(j.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"cross-type key join must stay in Spark:\n${all.head}")
+    assert(j.count() == 200)
+  }
+
   test("two catalogs over the SAME roots with different shard_by never " +
     "share a collapse domain (routing is part of connection identity)") {
     seed()
@@ -543,6 +566,47 @@ class ShardedClientSpec extends AnyFunSuite {
       assert(counts == Seq(7, 20),
         s"shard 0 must serve from replica b, shard 1 from c: $counts")
     } finally { a.close(); b.close(); c.close() }
+  }
+
+  test("load_balancing=random spreads reads across replicas; the option " +
+    "is rejected wherever there are no replicas to balance") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 5; r2.wireReadRows = 5
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chreplb",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}",
+          "load_balancing", "random")))
+      val client = cat.clickHouseClient
+      val served = (1 to 40).map { _ =>
+        val (_, hs) = client.planQuery(
+          "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", 1)
+        hs.head.asInstanceOf[graft.client.ReplicaHandle].replica
+      }.toSet
+      assert(served == Set(0, 1),
+        s"random balancing must reach both replicas over 40 statements: $served")
+      // no replicas → nothing to balance → rejected, not inert
+      val e1 = intercept[IllegalArgumentException] {
+        new graft.catalog.ClickHouseCatalog().initialize("chreplb2",
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+            "endpoint", r1.endpoint, "load_balancing", "random")))
+      }
+      assert(e1.getMessage.contains("load_balancing"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        new graft.catalog.ClickHouseCatalog().initialize("chreplb3",
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+            "path", rootA, "load_balancing", "random")))
+      }
+      assert(e2.getMessage.contains("load_balancing"), e2.getMessage)
+      val e3 = intercept[IllegalArgumentException] {
+        new graft.client.FailoverClickHouseClient(
+          IndexedSeq(new graft.client.HttpClickHouseClient(r1.endpoint),
+            new graft.client.HttpClickHouseClient(r2.endpoint)), "fastest")
+      }
+      assert(e3.getMessage.contains("load_balancing"), e3.getMessage)
+    } finally { r1.close(); r2.close() }
   }
 
   test("replica syntax in an embedded 'path' is rejected — two roots " +
