@@ -559,6 +559,100 @@ object ConnectorQueries {
       s.table("clickhouse.main.fp_index")
     },
 
+    // STREAMING dedup against a SHARDED fingerprint index — r27 at
+    // cluster scale. The index routes by fp (shard_by), so equal
+    // fingerprints co-reside and the per-shard anti-insert
+    // (`INSERT INTO fp_index SELECT ... WHERE fp NOT IN (local index)`)
+    // is GLOBALLY exact: no shard ever needs another shard's index, no
+    // index row ever crosses the wire, and the index itself can outgrow
+    // any single server. Each micro-batch dedups within itself, stages
+    // into the sharded fp_stage (rows hash-routed by fp on insert), and
+    // the cluster runs the anti-insert shard-locally — the same
+    // placement argument that makes r41's co-located join collapse.
+    // NULL fps all ride shard 0, so the NULL group's first-batch-wins
+    // check is shard-local too.
+    q("r45_sharded_stream_dedup",
+      """SELECT md5(event_type || '|' || props) AS fp,
+        |  CAST(min(event_id) AS BIGINT) AS first_event
+        |FROM events GROUP BY md5(event_type || '|' || props)""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val nEvents = s.table("events").count()
+      val fresh = !s.catalog.tableExists("clickhouse.main.ev_fp_src") ||
+        s.table("clickhouse.main.ev_fp_src").count() != nEvents
+      if (fresh) {
+        s.sql("DROP TABLE IF EXISTS clickhouse.main.ev_fp_src")
+        s.sql(
+          """CREATE TABLE clickhouse.main.ev_fp_src
+            |(event_id BIGINT, event_type STRING, props STRING)
+            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'event_id')""".stripMargin)
+        s.sql(
+          """INSERT INTO clickhouse.main.ev_fp_src
+            |SELECT event_id, event_type, props FROM events""".stripMargin)
+      }
+      val cat = s"chshfp_$tag"
+      val roots = IndexedSeq(
+        s"/root/repo/target/chshfp0_$tag", s"/root/repo/target/chshfp1_$tag")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", roots.mkString(","))
+      s.conf.set(s"spark.sql.catalog.$cat.shard_by", "fp")
+      val shClient = new graft.client.ShardedClickHouseClient(
+        roots.map(r => new EmbeddedClickHouse(r)), shardBy = Some("fp"))
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+      s.sql(s"DROP TABLE IF EXISTS $cat.main.fp_index")
+      s.sql(
+        s"""CREATE TABLE $cat.main.fp_index (fp STRING, first_event BIGINT)
+           |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'fp')""".stripMargin)
+      val maxId = s.table("events").agg(max("event_id")).head().getLong(0)
+      val stream = s.readStream
+        .option("stream_cursor", "event_id")
+        .option("stream_max_per_batch", math.max(1L, maxId / 2).toString)
+        .table("clickhouse.main.ev_fp_src")
+      val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else sys.props("java.io.tmpdir")
+      val ck = s"$ckBase/graft_ck_shfp_${System.nanoTime()}"
+      try {
+        val q = stream.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val s2 = b.sparkSession
+            s2.sql(s"DROP TABLE IF EXISTS $cat.main.fp_stage")
+            s2.sql(
+              s"""CREATE TABLE $cat.main.fp_stage (fp STRING, first_event BIGINT)
+                 |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'fp')""".stripMargin)
+            b.select(
+                md5(concat(col("event_type"), lit("|"), col("props")).cast("binary")).as("fp"),
+                col("event_id"))
+              .groupBy("fp").agg(min("event_id").as("first_event"))
+              .writeTo(s"$cat.main.fp_stage").append()
+            // runs ONCE PER SHARD against that shard's stage+index slice;
+            // fp routing makes the shard-local NOT IN globally exact
+            shClient.insertSelect("main", "fp_index",
+              """SELECT `fp`, `first_event` FROM `main`.`fp_stage`
+                |WHERE `fp` IS NOT NULL AND `fp` NOT IN
+                |  (SELECT `fp` FROM `main`.`fp_index` WHERE `fp` IS NOT NULL)
+                |UNION ALL
+                |SELECT `fp`, `first_event` FROM `main`.`fp_stage`
+                |WHERE `fp` IS NULL AND
+                |  (SELECT count(*) FROM `main`.`fp_index` WHERE `fp` IS NULL) = 0""".stripMargin)
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      }
+      // the index must actually be DISTRIBUTED (both shards hold a
+      // disjoint slice), or the gate silently degrades to single-store
+      val slices = roots.map(r => new EmbeddedClickHouse(r)
+        .query("SELECT `fp` FROM `main`.`fp_index`", 1)._2.flatten
+        .map(x => Option(x.getString(0)).getOrElse(" null")).toSet)
+      require(slices.forall(_.nonEmpty), s"shard slice sizes: ${slices.map(_.size)}")
+      require(slices(0).intersect(slices(1)).isEmpty, "shard slices must be disjoint")
+      s.table(s"$cat.main.fp_index")
+    },
+
     // value window functions collapse remotely: first_value/last_value
     // with an explicit full frame (identical spelling in both dialects)
     // and ntile bucketing

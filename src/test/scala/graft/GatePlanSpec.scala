@@ -463,6 +463,48 @@ class GatePlanSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("r45 sharded streaming dedup keeps the index OUT of Spark: no " +
+    "connector scan of fp_index in any micro-batch plan (anti-insert " +
+    "runs shard-locally)") {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val root = qe.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        root.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[graft.connector.ChScan] =>
+              plans.add(b.scan.description())
+        }
+        ()
+      }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = SparkEntry.queries("r45_sharded_stream_dedup")(spark, sfDir)
+      var last = -1
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(200)
+        val n = plans.size
+        if (n == last) same += 1 else { same = 0; last = n }
+      }
+      val idxScans = plans.toArray(Array.empty[String]).filter(_.contains("fp_index"))
+      assert(idxScans.isEmpty,
+        s"the sharded fp_index was shipped into Spark: ${idxScans.mkString("; ")}")
+      assert(df.count() > 0)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("q52 recursive CTE gap-fills: series rows survive with zero counts") {
     val df = SparkEntry.queries("q52_recursive_cte")(spark, sfDir)
     val rows = df.collect()
