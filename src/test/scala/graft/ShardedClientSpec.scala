@@ -568,6 +568,35 @@ class ShardedClientSpec extends AnyFunSuite {
     } finally { a.close(); b.close(); c.close() }
   }
 
+  test("bucketed reads compose with replica failover: bucket slices plan " +
+    "on the surviving replica and union to the full table") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 32; r2.wireReadRows = 32
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chrepbk",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+      val client = cat.clickHouseClient
+      r1.close() // the preferred replica dies before planning
+      val planned = client.planQueryBuckets(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "id", 4)
+      assert(planned.isDefined, "replica set must keep its bucket family")
+      val (_, hs) = planned.get
+      assert(hs.size == 4)
+      // every slice is replica-tagged to the SURVIVING replica and reads
+      // through it (the predicate fidelity of cityHash64 slicing itself
+      // is pinned by HttpClientSpec's filtering mock — this mock streams
+      // unfiltered, so only routing is asserted here)
+      hs.foreach { h =>
+        val rh = h.asInstanceOf[graft.client.ReplicaHandle]
+        assert(rh.replica == 1, s"slice must plan on the live replica: $rh")
+        assert(client.readPartition(h).nonEmpty)
+      }
+    } finally { r1.close(); r2.close() }
+  }
+
   test("load_balancing=random spreads reads across replicas; the option " +
     "is rejected wherever there are no replicas to balance") {
     val r1 = new MockClickHouseHttp
