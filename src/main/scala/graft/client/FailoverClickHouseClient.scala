@@ -19,10 +19,14 @@ import org.apache.spark.sql.types.StructType
   *  - READS (metadata, planQuery*, scalar probes) run on one LIVE
   *    replica: statements try replicas from a sticky cursor and fail
   *    over on transport-level IOException (never on an HTTP error
-  *    status — a bad query is bad on every replica). Once a stream is
-  *    OPEN, a mid-read death stays LOUD: rows may already be consumed,
-  *    so a silent re-read could duplicate or reorder; the task retry is
-  *    Spark's (the whole partition re-plans and re-reads).
+  *    status — a bad query is bad on every replica). Once PLANNED,
+  *    handles are pinned to the replica that planned them (its cursor/
+  *    spill state is replica-local), so a replica death after planning
+  *    fails the query LOUDLY — including across Spark task retries,
+  *    which reuse the same pinned handle. That is deliberate: rows may
+  *    already be consumed, so a silent re-read elsewhere could
+  *    duplicate or reorder; the recovery unit is the STATEMENT — re-run
+  *    it and planning fails over to a live replica.
   *  - WRITES (insert, staged protocol, insertSelect, epoch markers) pin
   *    to replica 0 — the write PRIMARY. Staged-insert ids and epoch
   *    markers are replica-local state, so spraying them across replicas

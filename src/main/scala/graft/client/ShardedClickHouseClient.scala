@@ -103,10 +103,19 @@ class ShardedClickHouseClient(
     * collapsed shard-local statement pay #shards × its latency.
     */
   private def perShard[T](f: ClickHouseClient => T): IndexedSeq[T] = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(shards.map(c => Future(f(c)))), Duration.Inf)
+    // the embedded transport resolves SparkSession.active PER CALL to
+    // bind its child session — pool worker threads inherit whatever
+    // thread-local was captured at pool creation (possibly a stale
+    // micro-batch clone), so propagate the CALLER's session explicitly
+    // or every sharded call thrashes the child-session cache
+    val callerSession = org.apache.spark.sql.SparkSession.getActiveSession
+    Await.result(Future.sequence(shards.map(c => Future(blocking {
+      callerSession.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      f(c)
+    }))), Duration.Inf)
   }
 
   override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
@@ -266,8 +275,21 @@ class ShardedClickHouseClient(
     */
   override def commitEpochStaged(
       db: String, table: String, epochMarker: String,
-      staged: Seq[(String, Int)]): Unit =
+      staged: Seq[(String, Int)]): Unit = {
+    // per-shard convergence REQUIRES deterministic placement: a replayed
+    // epoch must re-stage each row on the shard that may already hold
+    // it. Round-robin placement re-routes replayed rows, so a partially
+    // committed epoch (one shard published+marked, another crashed
+    // before its commit) would publish the same rows on a SECOND shard
+    // on replay — duplicates. Honored-or-rejected: refuse rather than
+    // silently break exactly-once.
+    require(shardBy.isDefined,
+      s"exactly-once streaming writes into sharded table $db.$table " +
+        "require a declared shard_by routing column (round-robin " +
+        "placement is not replay-deterministic, so a partially-committed " +
+        "epoch could duplicate rows on replay)")
     shards.foreach(_.commitEpochStaged(db, table, epochMarker, staged))
+  }
 }
 
 /** Shard-tagged handle: remembers which shard planned `inner` so the

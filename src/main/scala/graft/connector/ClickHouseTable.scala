@@ -759,10 +759,18 @@ class ChWriteBuilder(
 
     // continuous ingest without foreachBatch: writeStream.toTable lands
     // micro-batches through the same staged protocol, exactly-once per
-    // epoch (SURVEY §2.10's "expose the sink as a StreamingWrite")
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    // epoch (SURVEY §2.10's "expose the sink as a StreamingWrite").
+    // Fail at sink CREATION, not at the first epoch commit: a sharded
+    // target without a routing declaration cannot replay exactly-once
+    // (see ShardedClickHouseClient.commitEpochStaged)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(client.singleExecutionDomain || client.shardRoutingColumn.isDefined,
+        s"streaming writes into sharded table $db.$table require the " +
+          "catalog to declare shard_by (round-robin placement is not " +
+          "replay-deterministic, so exactly-once cannot be kept)")
       new ChStreamingWrite(client, db, table, inputSchema, writeConcurrency,
         batchSize, queryId)
+    }
 
     // the reference returns the inserted count as a one-row result batch
     // (examples/99:295-304); Spark DML returns no rows, so the count

@@ -117,13 +117,17 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       // a fully column-pruned child (count() over a collapsed join/agg)
       // has ZERO output columns — `SELECT  FROM` is invalid SQL, so ship
       // a constant column and surface it as a synthetic attribute (the
-      // parent count references nothing, extra output is legal)
+      // parent count references nothing, extra output is legal). The
+      // constant is CAST to Int32 because a bare `1` types UInt8 on a
+      // real server — decoded ShortType, which the strict
+      // coerce_schemas=false drift check would (rightly) refuse against
+      // the declared IntegerType.
       val nodeOutput =
         if (child.output.nonEmpty) child.output
         else Seq(AttributeReference("__one", org.apache.spark.sql.types.IntegerType,
           nullable = false)())
       val finalCols =
-        if (child.output.isEmpty) Seq("1 AS c0")
+        if (child.output.isEmpty) Seq("CAST(1 AS Int32) AS c0")
         else child.output.zipWithIndex
           .map { case (a, i) => s"${u.scope(a.exprId)} AS c$i" }
       val sql = s"SELECT ${finalCols.mkString(", ")} FROM (${u.sql}) AS fin$suffix"

@@ -73,22 +73,12 @@ class ConnectorSpec extends AnyFunSuite {
         |SELECT CAST(n_nationkey AS INT),
         |  CAST(n_nationkey % 3 AS INT), n_name FROM nation""".stripMargin)
     val _ = src
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case c: org.apache.spark.sql.execution.CommandResultExec =>
-        c +: flatten(c.commandPhysicalPlan)
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a +: flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        q +: flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
     def sortsOf(df: org.apache.spark.sql.DataFrame) =
-      flatten(df.queryExecution.executedPlan).collect {
+      PlanAsserts.flatten(df.queryExecution.executedPlan).collect {
         case s: org.apache.spark.sql.execution.SortExec => s
       }
     def exchangesOf(df: org.apache.spark.sql.DataFrame) =
-      flatten(df.queryExecution.executedPlan).collect {
+      PlanAsserts.flatten(df.queryExecution.executedPlan).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
       }
     // default: CLUSTERED by partition_by (the part-explosion preventer),
@@ -261,14 +251,7 @@ class ConnectorSpec extends AnyFunSuite {
     (1L to 123L).toDF("id").writeTo("chconn.testdb.readmetric_t").append()
     val df = spark.table("chconn.testdb.readmetric_t")
     assert(df.collect().length == 123)
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a +: flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
-    val read = flatten(df.queryExecution.executedPlan).collectFirst {
+    val read = PlanAsserts.flatten(df.queryExecution.executedPlan).collectFirst {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
         if b.metrics.contains("chRowsRead") => b.metrics("chRowsRead").value
     }

@@ -250,6 +250,28 @@ class DifferentialSpec extends AnyFunSuite {
       val b = canon(shape(local))
       assert(a == b, s"keyed join case $i diverged (pl=$pl pr=$pr)")
     }
+    // outer/semi/anti keyed joins: null-padding and existence checks are
+    // per-shard exact because every potential match is co-located
+    (1 to 10).foreach { i =>
+      val pl = pred(r, 1)
+      val pr = pred(r, 1)
+      val joinType = Seq("left_outer", "left_semi", "left_anti", "right_outer")(r.nextInt(4))
+      def shape(t: DataFrame): DataFrame = {
+        val l = t.filter(pl).as("l")
+        val rt = t.filter(pr)
+          .select(col("c_custkey").as("rk"), col("c_acctbal").as("rb")).as("r")
+        val j = l.join(rt, col("l.c_custkey") === col("r.rk"), joinType)
+        joinType match {
+          case "left_semi" | "left_anti" =>
+            j.select(col("l.c_custkey"), col("l.c_mktsegment"))
+          case "right_outer" => j.select(col("r.rk"), col("r.rb"))
+          case _ => j.select(col("l.c_custkey"), col("l.c_mktsegment"), col("r.rb"))
+        }
+      }
+      val a = canon(shape(sharded))
+      val b = canon(shape(local))
+      assert(a == b, s"keyed $joinType case $i diverged (pl=$pl pr=$pr)")
+    }
     // ORDER BY + LIMIT over a keyed self-join: the collapsed per-shard
     // statement gets a top-k suffix (superset bound) and Spark's
     // retained Sort+Limit re-applies the global order

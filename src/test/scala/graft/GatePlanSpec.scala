@@ -186,13 +186,7 @@ class GatePlanSpec extends AnyFunSuite {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
-    val all = flatten(root)
+    val all = PlanAsserts.flatten(root)
     // the scan ships a per-shard GROUP BY...
     val scan = all.collectFirst {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
@@ -213,13 +207,7 @@ class GatePlanSpec extends AnyFunSuite {
     "statement per shard: no Spark join, no Spark aggregate") {
     val df: DataFrame = SparkEntry.queries("r41_sharded_colocated_join")(spark, sfDir)
     assert(df.count() > 0)
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
-    val all = flatten(df.queryExecution.executedPlan)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
     assert(all.exists(_.isInstanceOf[graft.pushdown.ClickHouseRemoteExec]),
       s"co-located join must collapse into the remote node:\n${all.head}")
     assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
@@ -233,13 +221,7 @@ class GatePlanSpec extends AnyFunSuite {
     "scan SQL and NO merging Spark aggregate (contrast r39's partial)") {
     val df: DataFrame = SparkEntry.queries("r42_sharded_keyed_agg")(spark, sfDir)
     assert(df.count() > 0)
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
-    val all = flatten(df.queryExecution.executedPlan)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
     val scan = all.collectFirst {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
@@ -254,13 +236,7 @@ class GatePlanSpec extends AnyFunSuite {
   test("r38 sketch-merge probe reads ONLY the sketch column from the store") {
     val df: DataFrame = SparkEntry.queries("r38_sketch_distinct")(spark, sfDir)
     assert(df.count() == 1)
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
-    val all = flatten(df.queryExecution.executedPlan)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
     val sketchScan = all.collectFirst {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
         if b.scan.description().contains("hll_lang") => b.scan.description()
@@ -277,13 +253,7 @@ class GatePlanSpec extends AnyFunSuite {
     assert(df.count() == 1)
     val got = df.collect().head
     assert(got.getBoolean(2), s"estimate must bracket the exact median: $got")
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
-    val all = flatten(df.queryExecution.executedPlan)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
     // the bucket-merge collapses INTO the store (sum per bucket runs
     // remotely) — or, absent the collapse, a scan pruned to (bucket, cnt)
     val histReads = all.collect {
@@ -324,21 +294,14 @@ class GatePlanSpec extends AnyFunSuite {
   test("r36 storage-partitioned cross-store join: exchange-free join subtree") {
     val df = SparkEntry.queries("r36_spj_cross_store")(spark, sfDir)
     assert(df.count() > 0)
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        q +: flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
-    val all = flatten(df.queryExecution.executedPlan)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
     // the co-partitioned join: a real join node whose SUBTREE holds both
     // bucket-keyed scans and not one exchange — the buckets line up via
     // KeyGroupedPartitioning, nothing reshuffles before the join
     val join = all.collectFirst {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }.getOrElse(fail(s"no join node in:\n${all.head}"))
-    val sub = flatten(join)
+    val sub = PlanAsserts.flatten(join)
     assert(sub.collect { case e: ShuffleExchangeLike => e }.isEmpty,
       s"join subtree must be exchange-free:\n$join")
     val scans = sub.collect {

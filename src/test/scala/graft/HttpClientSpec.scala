@@ -1162,15 +1162,7 @@ class HttpClientSpec extends AnyFunSuite {
       assert(got == (1 to 12).map(i => (i.toLong, s"l$i", s"r$i")).toSet)
       // the join subtree is exchange-free: buckets line up via the
       // server-routed cityHash64 identity
-      def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a +: flatten(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          q +: flatten(q.plan)
-        case other => other +: other.children.flatMap(flatten)
-      }
-      val all = flatten(joined.queryExecution.executedPlan)
+      val all = PlanAsserts.flatten(joined.queryExecution.executedPlan)
       assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]))
       assert(!all.exists(
         _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),

@@ -132,14 +132,6 @@ class ShardedClientSpec extends AnyFunSuite {
       s"window must run over the union of shards, got $ranks")
   }
 
-  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan):
-      Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      a +: flattenPlan(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      q +: flattenPlan(q.plan)
-    case other => other +: other.children.flatMap(flattenPlan)
-  }
 
   test("GROUP BY containing the routing key upgrades sharded aggregate " +
     "pushdown to COMPLETE: groups are shard-whole, no merging Aggregate") {
@@ -178,7 +170,7 @@ class ShardedClientSpec extends AnyFunSuite {
     val j = ev.join(dm, col("e.k") === col("d.k"))
       .select(col("e.k").as("k"),
         clickhouse_fn("upper", Seq(col("d.label")), "String").as("u"))
-    val all = flattenPlan(j.queryExecution.executedPlan)
+    val all = PlanAsserts.flatten(j.queryExecution.executedPlan)
     assert(all.exists(_.isInstanceOf[graft.pushdown.ClickHouseRemoteExec]),
       s"keyed join must collapse into the remote node:\n${all.head}")
     assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
@@ -198,7 +190,7 @@ class ShardedClientSpec extends AnyFunSuite {
       .select(col("k"), col("cat"),
         clickhouse_fn("upper", Seq(col("cat")), "String").as("u"),
         org.apache.spark.sql.functions.rank().over(w).as("rnk"))
-    val all = flattenPlan(df.queryExecution.executedPlan)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
     assert(all.exists(_.isInstanceOf[graft.pushdown.ClickHouseRemoteExec]),
       s"key-partitioned window must collapse:\n${all.head}")
     assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
@@ -226,7 +218,7 @@ class ShardedClientSpec extends AnyFunSuite {
     // cross-shard pairs; count proves the join ran over the union
     val j = ev.join(dm, col("e.cat") === col("d.cat"))
       .select(col("e.k"), clickhouse_fn("upper", Seq(col("d.cat")), "String").as("u"))
-    val all = flattenPlan(j.queryExecution.executedPlan)
+    val all = PlanAsserts.flatten(j.queryExecution.executedPlan)
     assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
       s"non-key join must stay in Spark:\n${all.head}")
     assert(j.count() == 5 * 40L * 40L) // 5 cats x 40 rows each, squared per cat
@@ -249,7 +241,7 @@ class ShardedClientSpec extends AnyFunSuite {
     val r2 = spark.table("chshard.main.sh_dim_int").as("r")
     val j = l.join(r2, col("l.k") === col("r.k").cast("bigint"))
       .select(col("l.k"), clickhouse_fn("upper", Seq(col("r.tag")), "String").as("u"))
-    val all = flattenPlan(j.queryExecution.executedPlan)
+    val all = PlanAsserts.flatten(j.queryExecution.executedPlan)
     assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
       s"cross-type key join must stay in Spark:\n${all.head}")
     assert(j.count() == 200)
@@ -271,7 +263,7 @@ class ShardedClientSpec extends AnyFunSuite {
     val j = l.join(r2, col("l.k") === col("r.k"))
       .select(col("l.k"),
         clickhouse_fn("upper", Seq(col("r.cat")), "String").as("u"))
-    val all = flattenPlan(j.queryExecution.executedPlan)
+    val all = PlanAsserts.flatten(j.queryExecution.executedPlan)
     assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
       s"mismatched shard_by must keep the join in Spark:\n${all.head}")
     assert(j.count() == 200)
@@ -371,6 +363,39 @@ class ShardedClientSpec extends AnyFunSuite {
       "partial-crash replay must repair to exactly-once: " + count())
   }
 
+  test("streaming writes into a sharded catalog REQUIRE shard_by: " +
+    "round-robin placement is not replay-deterministic, rejected at sink " +
+    "creation") {
+    seed()
+    val rc = Files.createTempDirectory("graft_norr_a_").toString
+    val rd = Files.createTempDirectory("graft_norr_b_").toString
+    spark.conf.set("spark.sql.catalog.chnorr",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chnorr.path", s"$rc,$rd")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chnorr.main")
+    spark.sql(
+      """CREATE TABLE chnorr.main.rr_sink (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+    import spark.implicits._
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)](spark)
+    src.addData((1L, 0.5))
+    val e = intercept[Exception] {
+      val q = src.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_norr_ck_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("chnorr.main.rr_sink")
+      q.awaitTermination(30000)
+      throw new IllegalStateException(
+        "round-robin streaming sink must have been rejected")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("shard_by")), msgs(e).mkString(" | "))
+    // the same rows through a shard_by-declaring catalog still stream fine
+    // (r44 covers the positive path end-to-end at gate scale)
+  }
+
   test("streaming cursor reads fold min/max ACROSS shards: an " +
     "AvailableNow drain sees every shard's rows exactly once") {
     seed()
@@ -422,15 +447,7 @@ class ShardedClientSpec extends AnyFunSuite {
       val joined = l.join(rt, col("k") === col("rk")).select("k", "v", "label")
       val got = joined.collect().map(r => (r.getLong(0), r.getString(2))).toSet
       assert(got == (1L to 200L).map(i => (i, s"lab$i")).toSet)
-      def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a +: flatten(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          q +: flatten(q.plan)
-        case other => other +: other.children.flatMap(flatten)
-      }
-      val all = flatten(joined.queryExecution.executedPlan)
+      val all = PlanAsserts.flatten(joined.queryExecution.executedPlan)
       assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]))
       assert(!all.exists(
         _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),

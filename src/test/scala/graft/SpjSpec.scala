@@ -74,15 +74,9 @@ class SpjSpec extends AnyFunSuite {
   /** Every node of the finalized physical plan, traversing INTO AQE query
     * stages (collect() alone stops at stage boundaries).
     */
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      q +: flatten(q.plan)
-    case other => other +: other.children.flatMap(flatten)
-  }
 
   private def shuffles(plan: SparkPlan): Seq[SparkPlan] =
-    flatten(plan).collect { case s: ShuffleExchangeLike => s }
+    PlanAsserts.flatten(plan).collect { case s: ShuffleExchangeLike => s }
 
   private def bucketed(cat: String, tbl: String, col: String, n: Int) =
     spark.read.option("bucket_by", col).option("buckets", n.toString)
@@ -111,7 +105,7 @@ class SpjSpec extends AnyFunSuite {
       assert(got == expected)
 
       val plan = executed(joined)
-      val joinNode = flatten(plan).collectFirst {
+      val joinNode = PlanAsserts.flatten(plan).collectFirst {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
       }.getOrElse(fail(s"no join node in:\n$plan"))
       assert(shuffles(plan).isEmpty,
