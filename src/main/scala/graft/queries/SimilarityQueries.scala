@@ -330,6 +330,66 @@ object SimilarityQueries {
       },
       oracle = Some(RecallOracle)),
 
+    // ---- r32's persisted IVF index on a SHARDED cluster, routed by
+    // `cell`: every vector of a cell co-resides on one shard, so a
+    // probe's nprobe cell reads touch exactly the shards holding those
+    // cells — and at 100 TB the cell table (the corpus) is spread
+    // across the cluster instead of capped by one server. Same
+    // deterministic recall >= 0.90 hash gate as r32/s04; the gate also
+    // requires both shards to hold cells (the placement must actually
+    // distribute) before the probe path runs.
+    GateQuery("r46_sharded_ann_index",
+      (s, dir) => {
+        Tables.register(s, dir)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val cat = s"chshann_$tag"
+        val roots = IndexedSeq(
+          s"/root/repo/target/chshann0_$tag", s"/root/repo/target/chshann1_$tag")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.catalog.ClickHouseCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.path", roots.mkString(","))
+        s.conf.set(s"spark.sql.catalog.$cat.shard_by", "cell")
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        val clients = roots.map(r => new graft.client.EmbeddedClickHouse(r))
+        def populated(t: String): Boolean =
+          clients.head.tableExists("main", t) && clients.exists(c =>
+            c.tableExists("main", t) &&
+              c.query(s"SELECT count(*) AS n FROM `main`.`$t`", 1)
+                ._2.flatten.headOption.exists(_.getLong(0) > 0))
+        if (!populated("ivf_cells_sh") || !populated("ivf_centroids_sh")) {
+          s.sql(s"DROP TABLE IF EXISTS $cat.main.ivf_cells_sh")
+          s.sql(s"DROP TABLE IF EXISTS $cat.main.ivf_centroids_sh")
+          val index = graft.ops.AnnIvf.buildIndex(
+            corpus(s), "vec_id", "embedding", numCells = 16,
+            trainSampleFraction = 0.5, maxIter = 10)
+          s.sql(
+            s"""CREATE TABLE $cat.main.ivf_cells_sh
+               |(vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT)
+               |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'cell')""".stripMargin)
+          graft.ops.AnnIvf.cellsTable(index, "vec_id", "embedding")
+            .writeTo(s"$cat.main.ivf_cells_sh").append()
+          s.sql(
+            s"""CREATE TABLE $cat.main.ivf_centroids_sh
+               |(cell INT, center ARRAY<DOUBLE>)
+               |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'cell')""".stripMargin)
+          graft.ops.AnnIvf.centroidsTable(index, s)
+            .writeTo(s"$cat.main.ivf_centroids_sh").append()
+        }
+        // the index must actually be distributed across the cluster
+        val perShard = clients.map(c =>
+          c.query("SELECT count(*) AS n FROM `main`.`ivf_cells_sh`", 1)
+            ._2.flatten.head.getLong(0))
+        require(perShard.forall(_ > 0), s"cell slices: ${perShard.mkString(",")}")
+        val stored = graft.ops.AnnIvf.fromTables(
+          s.table(s"$cat.main.ivf_cells_sh"),
+          s.table(s"$cat.main.ivf_centroids_sh"), "vec_id", "embedding")
+        val probes = s.table("embeddings").filter(col("vec_id") < 100)
+        val ann = graft.ops.AnnIvf.annTopK(
+          stored, probes, "vec_id", "embedding", k = 5, nprobe = 12)
+        recallGate(s, dir, ann)
+      },
+      oracle = Some(RecallOracle)),
+
     // ---- int8 embedding quantization (the storage/bandwidth side of
     // similarity search at 100 TB: 4x smaller vectors for the ANN coarse
     // pass). Symmetric per-vector scale = 127/max|x|; quantized value =
