@@ -160,6 +160,26 @@ class GatePlanSpec extends AnyFunSuite {
     val _ = scans
   }
 
+  test("r46 sharded-index probe path reads the SHARDED store tables " +
+    "(cell-routed ivf_cells_sh scan, no in-session retrain)") {
+    val df = SparkEntry.queries("r46_sharded_ann_index")(spark, sfDir)
+    assert(df.count() == 1)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stored = graft.ops.AnnIvf.fromTables(
+      spark.table(s"chshann_$tag.main.ivf_cells_sh"),
+      spark.table(s"chshann_$tag.main.ivf_centroids_sh"), "vec_id", "embedding")
+    val probes = spark.table("embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 100)
+    val ann = graft.ops.AnnIvf.annTopK(
+      stored, probes, "vec_id", "embedding", k = 5, nprobe = 12)
+    val annScans = ann.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.name.contains("ivf_cells_sh") => r
+    }
+    assert(annScans.nonEmpty,
+      "ANN probe plan must scan the sharded persisted cells table")
+  }
+
   test("s08 persisted-LSH probe path bucket-joins the STORE-backed " +
     "bucket table (no in-session corpus re-bucketing)") {
     val df = SparkEntry.queries("s08_ann_lsh_persisted")(spark, sfDir)
