@@ -110,14 +110,16 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
         // set (ClickHouse's shard-with-replicas cluster entry): reads fail
         // over among replicas, writes pin to the first (the primary; see
         // FailoverClickHouseClient for the exact contract)
-        // load_balancing is a replica-set knob — honored-or-rejected:
-        // without replicas there is no read placement to balance
+        // load_balancing is a replica-set knob — honored-or-rejected PER
+        // SHARD: in a mixed endpoint like 'a,b|c' the single-replica
+        // shard would silently ignore it (the accepted-but-inert state
+        // the option grammar exists to prevent)
         val lb = Option(options.get("load_balancing"))
-        if (lb.isDefined && !ep.contains("|"))
+        if (lb.isDefined && ep.split(",").exists(!_.contains("|")))
           throw new IllegalArgumentException(
-            s"option 'load_balancing' of catalog '$name' requires " +
-              "'|'-separated replica sets in endpoint (a single replica " +
-              "per shard has nothing to balance)")
+            s"option 'load_balancing' of catalog '$name' requires EVERY " +
+              "shard in endpoint to carry a '|'-separated replica set " +
+              "(a single-replica shard has nothing to balance)")
         def mkShard(spec: String): graft.client.ClickHouseClient with Serializable = {
           val reps = spec.split("\\|").toIndexedSeq.map(r => mkHttp(r))
           if (reps.size == 1) reps.head

@@ -112,10 +112,21 @@ class ShardedClickHouseClient(
     // micro-batch clone), so propagate the CALLER's session explicitly
     // or every sharded call thrashes the child-session cache
     val callerSession = org.apache.spark.sql.SparkSession.getActiveSession
-    Await.result(Future.sequence(shards.map(c => Future(blocking {
+    val futs = shards.map(c => Future(blocking {
       callerSession.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
       f(c)
-    }))), Duration.Inf)
+    }))
+    // JOIN EVERY future before surfacing a failure: a fail-fast
+    // Future.sequence returns while the other shards' calls are still
+    // executing — for a write (insertSelect) the caller would observe
+    // failure (and maybe retry) while the first attempt's mutation is
+    // still landing on another shard, a lost-update race the old serial
+    // dispatch could never produce
+    val results = futs.map(fu => scala.util.Try(Await.result(fu, Duration.Inf)))
+    results.collect { case scala.util.Failure(e) => e }.reduceOption { (a, b) =>
+      a.addSuppressed(b); a
+    }.foreach(throw _)
+    results.map(_.get)
   }
 
   override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
@@ -218,6 +229,16 @@ class ShardedClickHouseClient(
         require(idx >= 0,
           s"shard_by column '$key' is not in the insert schema " +
             s"(${schema.fieldNames.mkString(", ")}) — cannot route rows")
+        // placement must be VALUE-stable or the co-location promise the
+        // planner exploits is a lie: Float/Double break it (-0.0 and 0.0
+        // are equal keys to Spark but hash to different shards),
+        // Decimal's hashCode varies with scale representation — reject
+        // rather than place wrongly (honored-or-rejected)
+        require(ShardedClickHouseClient.placementStable(schema(idx).dataType),
+          s"shard_by column '$key' has type ${schema(idx).dataType.sql}, " +
+            "which is not placement-stable (equal-comparing values can " +
+            "hash apart, e.g. 0.0 vs -0.0, or box differently across " +
+            "writers) — route by an integral, string or boolean column")
         rows.groupBy { r =>
           if (r.isNullAt(idx)) 0 else math.floorMod(r.get(idx).hashCode, shards.size)
         }.toSeq.sortBy(_._1)
@@ -289,6 +310,21 @@ class ShardedClickHouseClient(
         "placement is not replay-deterministic, so a partially-committed " +
         "epoch could duplicate rows on replay)")
     shards.foreach(_.commitEpochStaged(db, table, epochMarker, staged))
+  }
+}
+
+object ShardedClickHouseClient {
+  /** Types whose JVM boxed hashCode is a pure, representation-free
+    * function of the value (JLS-specified), so equal keys ALWAYS
+    * co-locate: integrals, strings, booleans. Float/Double (-0.0 vs
+    * 0.0), Decimal (scale-dependent), and date/time (java.sql vs
+    * java.time boxing differs per session config) are excluded.
+    */
+  def placementStable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType => true
+    case _ => false
   }
 }
 

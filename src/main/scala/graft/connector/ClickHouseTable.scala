@@ -235,7 +235,9 @@ class ChScanBuilder(
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
     def shardKeyGrouped = client.shardRoutingColumn.exists { k =>
       aggregation.groupByExpressions.toSeq
-        .flatMap(ChV2Exprs.columnRef(_, fullSchema)).exists(_.name == k)
+        .flatMap(ChV2Exprs.columnRef(_, fullSchema))
+        .exists(f => f.name == k &&
+          graft.client.ShardedClickHouseClient.placementStable(f.dataType))
     }
     (client.singleExecutionDomain || shardKeyGrouped) &&
       compileAggregation(aggregation).isDefined

@@ -460,7 +460,12 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
     */
   private def shardKeyAttrs(p: LogicalPlan, key: String): Option[AttributeSet] = p match {
     case DataSourceV2ScanRelation(_, _: ChScan, output, _, _) =>
-      Some(AttributeSet(output.filter(_.name == key)))
+      // only placement-STABLE key types carry co-location (the write
+      // path rejects unstable shard_by types, but data loaded before
+      // that guard — or read-only declarations — must not be trusted)
+      Some(AttributeSet(output.filter(a =>
+        a.name == key &&
+          graft.client.ShardedClickHouseClient.placementStable(a.dataType))))
     case proj: Project =>
       shardKeyAttrs(proj.child, key).map { ks =>
         AttributeSet(proj.projectList.collect {

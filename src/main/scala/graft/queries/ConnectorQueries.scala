@@ -644,12 +644,22 @@ object ConnectorQueries {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
       }
       // the index must actually be DISTRIBUTED (both shards hold a
-      // disjoint slice), or the gate silently degrades to single-store
-      val slices = roots.map(r => new EmbeddedClickHouse(r)
-        .query("SELECT `fp` FROM `main`.`fp_index`", 1)._2.flatten
-        .map(x => Option(x.getString(0)).getOrElse(" null")).toSet)
-      require(slices.forall(_.nonEmpty), s"shard slice sizes: ${slices.map(_.size)}")
-      require(slices(0).intersect(slices(1)).isEmpty, "shard slices must be disjoint")
+      // disjoint slice), or the gate silently degrades to single-store.
+      // Scalar probes only: at scale the index IS the full fingerprint
+      // set, so materializing per-shard Sets on the driver (the naive
+      // check) is exactly the anti-pattern the gate exists to prevent.
+      // Disjoint <=> per-shard row counts sum to distinct-plus-nulls
+      // over the union (each shard holds one row per fp it owns).
+      val perShardN = roots.map(r => new EmbeddedClickHouse(r)
+        .query("SELECT count(*) AS n FROM `main`.`fp_index`", 1)
+        ._2.flatten.head.getLong(0))
+      require(perShardN.forall(_ > 0), s"shard slice sizes: ${perShardN.mkString(",")}")
+      val u = s.table(s"$cat.main.fp_index")
+        .agg(count_distinct(col("fp")).as("nd"),
+          sum(when(col("fp").isNull, 1L).otherwise(0L)).as("nn")).head()
+      require(perShardN.sum == u.getLong(0) + u.getLong(1),
+        s"shard slices must be disjoint: ${perShardN.sum} rows vs " +
+          s"${u.getLong(0)} distinct + ${u.getLong(1)} null")
       s.table(s"$cat.main.fp_index")
     },
 

@@ -457,6 +457,34 @@ class ShardedClientSpec extends AnyFunSuite {
     }
   }
 
+  test("placement-unstable shard_by types are rejected at routing time " +
+    "(0.0 and -0.0 compare equal but hash to different shards)") {
+    val client = new graft.client.ShardedClickHouseClient(
+      IndexedSeq(new EmbeddedClickHouse(rootA), new EmbeddedClickHouse(rootB)),
+      shardBy = Some("d"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val e = intercept[IllegalArgumentException] {
+      client.insert("main", "whatever", schema, Seq(Row(0.0), Row(-0.0)))
+    }
+    assert(e.getMessage.contains("placement-stable"), e.getMessage)
+  }
+
+  test("load_balancing on a MIXED endpoint (one shard without replicas) " +
+    "is rejected — a single-replica shard would silently ignore it") {
+    val m = new MockClickHouseHttp
+    try {
+      val e = intercept[IllegalArgumentException] {
+        new graft.catalog.ClickHouseCatalog().initialize("chmixedlb",
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+            "endpoint", s"${m.endpoint},${m.endpoint}|${m.endpoint}",
+            "load_balancing", "random")))
+      }
+      assert(e.getMessage.contains("EVERY"), e.getMessage)
+    } finally m.close()
+  }
+
   test("shard_by on a single-store catalog is rejected, not silently inert") {
     val e = intercept[IllegalArgumentException] {
       new graft.catalog.ClickHouseCatalog().initialize("badshard",
