@@ -115,17 +115,29 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
         // shard would silently ignore it (the accepted-but-inert state
         // the option grammar exists to prevent)
         val lb = Option(options.get("load_balancing"))
-        if (lb.isDefined && ep.split(",").exists(!_.contains("|")))
+        // validate on the PARSED shape, not the raw string: "r1|" contains
+        // '|' but parses to a single replica, which would make
+        // load_balancing silently inert — and an empty segment ("a,,b",
+        // "r1|") is always a spec typo, rejected rather than guessed at
+        val shardSpecs = ep.split(",", -1).toIndexedSeq.map { spec =>
+          val reps = spec.split("\\|", -1).toIndexedSeq.map(_.trim)
+          if (reps.exists(_.isEmpty))
+            throw new IllegalArgumentException(
+              s"endpoint of catalog '$name' has an empty shard/replica " +
+                s"segment in '$spec'")
+          reps
+        }
+        if (lb.isDefined && shardSpecs.exists(_.size < 2))
           throw new IllegalArgumentException(
             s"option 'load_balancing' of catalog '$name' requires EVERY " +
               "shard in endpoint to carry a '|'-separated replica set " +
               "(a single-replica shard has nothing to balance)")
-        def mkShard(spec: String): graft.client.ClickHouseClient with Serializable = {
-          val reps = spec.split("\\|").toIndexedSeq.map(r => mkHttp(r))
-          if (reps.size == 1) reps.head
-          else new graft.client.FailoverClickHouseClient(reps, lb.getOrElse("first"))
+        def mkShard(reps: IndexedSeq[String]): graft.client.ClickHouseClient with Serializable = {
+          val cs = reps.map(mkHttp)
+          if (cs.size == 1) cs.head
+          else new graft.client.FailoverClickHouseClient(cs, lb.getOrElse("first"))
         }
-        shardedOrSingle(name, options, ep.split(",").toIndexedSeq.map(mkShard))
+        shardedOrSingle(name, options, shardSpecs.map(mkShard))
       case None =>
         val path = Option(options.get("path"))
           .getOrElse(throw new IllegalArgumentException(
@@ -153,8 +165,11 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
           throw new IllegalArgumentException(
             s"option 'load_balancing' of catalog '$name' is a replica-set " +
               "knob — the embedded store has no replicas to balance")
-        shardedOrSingle(name, options,
-          path.split(",").toIndexedSeq.map(p => new EmbeddedClickHouse(p.trim)))
+        val roots = path.split(",", -1).toIndexedSeq.map(_.trim)
+        if (roots.exists(_.isEmpty))
+          throw new IllegalArgumentException(
+            s"path of catalog '$name' has an empty shard segment")
+        shardedOrSingle(name, options, roots.map(p => new EmbeddedClickHouse(p)))
     }
     readStreams = Option(options.get("read.streams")).map(_.toInt).getOrElse(4)
     writeConcurrency = Option(options.get("write.concurrency")).map(_.toInt).getOrElse(4)
@@ -263,6 +278,26 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
     if (!client.tableExists(db, ident.name()))
       throw new NoSuchTableException(ident.namespace() :+ ident.name())
     val schema = ClickHouseType.toStructType(client.fetchColumns(db, ident.name()))
+    // shard_by matches case-SENSITIVELY everywhere downstream (route(),
+    // complete-agg pushdown, collapse attrs — the placement hash works on
+    // exact names), while Spark resolves identifiers case-insensitively:
+    // a shard_by differing only in case from a real column would silently
+    // disable co-location and reject routed inserts with a confusing
+    // "not in the insert schema" error. Honored-or-rejected: fail the
+    // load with the exact spelling. (Tables without the routing column at
+    // all stay loadable — un-routed tables in a sharded catalog are
+    // legitimate, they just claim no co-location.)
+    client.shardRoutingColumn.foreach { key =>
+      schema.fields.find(f => f.name.equalsIgnoreCase(key) && f.name != key)
+        .foreach { f =>
+          throw new IllegalArgumentException(
+            s"catalog '$catalogName' routes by shard_by '$key', but table " +
+              s"$db.${ident.name()} spells the column '${f.name}' — shard_by " +
+              "matching is case-sensitive (placement hash, pushdown, " +
+              "collapse all use exact names); declare shard_by with the " +
+              "exact column spelling")
+        }
+    }
     new ClickHouseTable(client, db, ident.name(), schema, readStreams,
       writeConcurrency, writeBatchSize, coerceSchemas, readDefaults,
       writeDistribute, writeSortOnInsert)
@@ -296,8 +331,12 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
     */
   override def dropTable(ident: Identifier): Boolean = {
     val db = dbOf(ident)
-    if (!client.tableExists(db, ident.name())) false
-    else { client.dropTable(db, ident.name()); true }
+    val existed = client.tableExists(db, ident.name())
+    // always delegate: client drops are IF-EXISTS idempotent, and on a
+    // sharded client tableExists consults only the head shard — a
+    // half-build living on a non-head shard must still be cleared
+    client.dropTable(db, ident.name())
+    existed
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

@@ -107,7 +107,7 @@ class FailoverClickHouseClient(
   override def tableSizeBytes(db: String, table: String): Option[Long] =
     withLive(_.tableSizeBytes(db, table))._2
 
-  // ---- DDL + mutations: broadcast (per-replica setup / ON CLUSTER) ----
+  // ---- DDL: broadcast (per-replica setup / ON CLUSTER) ----
 
   override def createDatabase(db: String, ifNotExists: Boolean = true): Unit =
     replicas.foreach(_.createDatabase(db, ifNotExists))
@@ -118,12 +118,24 @@ class FailoverClickHouseClient(
     replicas.foreach(_.createTable(db, table, columns, options))
   override def dropTable(db: String, table: String): Unit =
     replicas.foreach(_.dropTable(db, table))
+
+  // ---- mutations: the PRIMARY only, like inserts. The class model is a
+  // server-replicated backend (ReplicatedMergeTree), where an ALTER
+  // UPDATE/DELETE replicates BY ITSELF — broadcasting it would apply a
+  // non-idempotent assignment (v = v + 1) once per replica: silent data
+  // corruption on exactly the backend the write-pinning assumes. One
+  // data-change model for every mutation path: issue once at the
+  // primary, replication is the server's job, lagging replicas may
+  // briefly serve pre-mutation state (the same documented caveat as
+  // inserts). DDL stays broadcast: schema objects are per-replica state
+  // (the ON CLUSTER analog) and re-applying DDL is idempotent. ----
+
   override def deleteWhere(db: String, table: String, whereSql: String): Unit =
-    replicas.foreach(_.deleteWhere(db, table, whereSql))
+    primary.deleteWhere(db, table, whereSql)
   override def updateWhere(
       db: String, table: String,
       assignments: Seq[(String, String)], whereSql: String): Unit =
-    replicas.foreach(_.updateWhere(db, table, assignments, whereSql))
+    primary.updateWhere(db, table, assignments, whereSql)
 
   // ---- reads: plan on a live replica, tag handles with its index ----
 

@@ -27,6 +27,12 @@ final class MockClickHouseHttp extends AutoCloseable {
   val rowsReceived = new AtomicLong(0)
   val bytesReceived = new AtomicLong(0)
 
+  /** Every SQL statement this server saw, in arrival order — lets specs
+    * assert WHERE a statement landed (e.g. mutations pin to the primary
+    * of a replica set, never broadcast).
+    */
+  val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   /** Read-path envelope: when > 0, `bench.wire_read` exists with this
     * many synthetic rows, served as a STREAMED RowBinaryWithNamesAndTypes
     * response (chunked, codec-encoded per Accept-Encoding) — so a read
@@ -92,6 +98,7 @@ final class MockClickHouseHttp extends AutoCloseable {
         try in.readAllBytes() finally in.close()
       } else rawBody
     val sqlText = params.get("query").getOrElse(new String(body, UTF_8)).trim
+    statements.add(sqlText)
     if (wireReadRows > 0 && sqlText.contains("`wire_read`")) {
       if (sqlText.startsWith("DESCRIBE"))
         return (200, wireReadCols.map { case (n, t) => s"$n\t$t" }.mkString("", "\n", "\n"))
@@ -199,6 +206,11 @@ final class MockClickHouseHttp extends AutoCloseable {
           (200, "")
         case None => (500, s"mock: bad insert: ${q.take(200)}")
       }
+    } else if (q.startsWith("ALTER TABLE") &&
+      (q.contains(" UPDATE ") || q.contains(" DELETE "))) {
+      // mutations are accepted as no-ops: the mock has no row store to
+      // mutate; specs assert WHERE they landed via `statements`
+      (200, "")
     } else (500, s"mock: unhandled statement: ${q.take(200)}")
   }
 

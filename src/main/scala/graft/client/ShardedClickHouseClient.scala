@@ -113,8 +113,17 @@ class ShardedClickHouseClient(
     // or every sharded call thrashes the child-session cache
     val callerSession = org.apache.spark.sql.SparkSession.getActiveSession
     val futs = shards.map(c => Future(blocking {
+      // restore the worker thread's previous active session afterwards:
+      // the global pool is JVM-shared, and leaking the caller's session
+      // (possibly a stopped one or a micro-batch clone) into it would
+      // hand unrelated code a thread-local it never set
+      val prev = org.apache.spark.sql.SparkSession.getActiveSession
       callerSession.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
-      f(c)
+      try f(c)
+      finally prev match {
+        case Some(p) => org.apache.spark.sql.SparkSession.setActiveSession(p)
+        case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
     }))
     // JOIN EVERY future before surfacing a failure: a fail-fast
     // Future.sequence returns while the other shards' calls are still

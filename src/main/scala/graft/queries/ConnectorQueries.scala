@@ -71,6 +71,85 @@ object ConnectorQueries {
       (s, dir) => { harness(s, dir); Tables.register(s, dir); f(s, dir) },
       Some(oracle))
 
+  /** Stores already content-verified this JVM (keyed by store table set):
+    * the poisoning hazard is a PERSISTED artifact from an earlier run, so
+    * once a store fingerprints clean it stays trusted for the session.
+    */
+  private val verifiedStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** (row count, sum of per-row crc32 over the '|'-joined string render
+    * of `cols`) — the cheap content fingerprint build-once gate stores
+    * are verified against. Both sides are computed BY SPARK (store side
+    * through the connector, expected side from the corpus derivation),
+    * so renderings agree whenever the types agree — build expected
+    * frames with the exact store column types (cast decimals etc.).
+    */
+  private def contentFp(df: DataFrame, cols: Seq[String]): (Long, Long) = {
+    val row = df.agg(
+      count(lit(1)),
+      sum(crc32(concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+        .cast("binary")))).head
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  /** Build-once gate stores are reused across driver runs, which round 6
+    * proved is a poisoning hazard: an artifact written by an interrupted
+    * or mid-development run passes a bare tableExists() check forever
+    * (the r41/r42 driver hash failures — partial/duplicated inserts from
+    * a dev run predating the final routing code). A store table is
+    * therefore trusted only while its content fingerprint matches the
+    * corpus derivation it claims to hold; ANY mismatch (half-build,
+    * duplicated insert, corpus regeneration) drops every table in the
+    * set and rebuilds. Tables here are <=150K rows at sf0.1 so the
+    * verification scan is ~free, and it runs once per JVM per store.
+    *
+    * `tables`: (fully-qualified catalog name, fingerprint columns,
+    * expected frame with IDENTICAL column names+types). The catalog for
+    * each name must be configured before calling. After a rebuild the
+    * fingerprints are re-checked and a residual mismatch fails loudly —
+    * a silently-wrong store must never survive to poison a gate hash.
+    */
+  private[queries] def ensureStore(s: SparkSession,
+      tables: Seq[(String, Seq[String], () => DataFrame)])(build: => Unit): Unit =
+    synchronized {
+      val memoKey = tables.map(_._1).mkString(",")
+      if (!verifiedStores.contains(memoKey)) {
+        def mismatches(): Seq[String] = tables.flatMap { case (t, cols, exp) =>
+          // a probe that THROWS (e.g. the table exists on the head shard
+          // but a crashed build never created it on another) is as
+          // mismatched as a wrong fingerprint
+          val ok = scala.util.Try(s.catalog.tableExists(t) &&
+            contentFp(s.table(t), cols) == contentFp(exp(), cols)).getOrElse(false)
+          if (ok) None else Some(t)
+        }
+        if (mismatches().nonEmpty) {
+          tables.foreach { case (t, _, _) => s.sql(s"DROP TABLE IF EXISTS $t") }
+          build
+          val bad = mismatches()
+          require(bad.isEmpty,
+            s"gate store rebuild left content mismatched vs corpus: ${bad.mkString(", ")}")
+        }
+        verifiedStores.add(memoKey)
+      }
+    }
+
+  /** Shared append-only source table for the r27/r45 streaming-dedup
+    * gates, content-fingerprinted against the events corpus.
+    */
+  private def ensureEvFpSrc(s: SparkSession): Unit =
+    ensureStore(s, Seq(("clickhouse.main.ev_fp_src",
+      Seq("event_id", "event_type", "props"),
+      () => s.table("events").select("event_id", "event_type", "props")))) {
+      s.sql(
+        """CREATE TABLE clickhouse.main.ev_fp_src
+          |(event_id BIGINT, event_type STRING, props STRING)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'event_id')""".stripMargin)
+      s.sql(
+        """INSERT INTO clickhouse.main.ev_fp_src
+          |SELECT event_id, event_type, props FROM events""".stripMargin)
+    }
+
   val all: Seq[GateQuery] = Seq(
 
     // scan with filter+projection pushdown into generated ClickHouse SQL
@@ -353,13 +432,13 @@ object ConnectorQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
-      val nEvents = s.table("events").count()
       // idempotent setup: the source table is append-only input, so a
-      // fully-landed copy from an earlier run (same row count) is reused
-      val fresh = !s.catalog.tableExists("clickhouse.main.ev_src") ||
-        s.table("clickhouse.main.ev_src").count() != nEvents
-      if (fresh) {
-        s.sql("DROP TABLE IF EXISTS clickhouse.main.ev_src")
+      // fully-landed copy from an earlier run (content-fingerprinted
+      // against the corpus derivation) is reused
+      ensureStore(s, Seq(("clickhouse.main.ev_src",
+        Seq("event_id", "event_type", "k"),
+        () => s.table("events").select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))))) {
         s.sql(
           """CREATE TABLE clickhouse.main.ev_src
             |(event_id BIGINT, event_type STRING, k BIGINT)
@@ -443,13 +522,6 @@ object ConnectorQueries {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val root2 = s"/root/repo/target/chstore2_$tag"
       val client2 = new EmbeddedClickHouse(root2)
-      if (!client2.tableExists("main", "supplier")) {
-        client2.createTable("main", "supplier", Seq(
-          "s_suppkey" -> "Nullable(Int64)", "s_name" -> "Nullable(String)",
-          "s_nationkey" -> "Nullable(Int32)", "s_acctbal" -> "Nullable(Float64)"),
-          Map("engine" -> "MergeTree"))
-        client2.attachExternal("main", "supplier", Seq(s"$dir/supplier.parquet"))
-      }
       // catalog name carries the sfDir tag: Spark's CatalogManager caches
       // the catalog instance on first load, so a fixed name would silently
       // keep reading the first store root if the same JVM session runs a
@@ -459,6 +531,16 @@ object ConnectorQueries {
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.catalog.ClickHouseCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.path", root2)
+      ensureStore(s, Seq((s"$cat.main.supplier",
+        Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        () => s.table("supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")))) {
+        client2.createTable("main", "supplier", Seq(
+          "s_suppkey" -> "Nullable(Int64)", "s_name" -> "Nullable(String)",
+          "s_nationkey" -> "Nullable(Int32)", "s_acctbal" -> "Nullable(Float64)"),
+          Map("engine" -> "MergeTree"))
+        client2.attachExternal("main", "supplier", Seq(s"$dir/supplier.parquet"))
+      }
       s.table(s"$cat.main.supplier")
         .filter(col("s_acctbal") > 0)
         .join(broadcast(s.table("clickhouse.main.nation")),
@@ -488,19 +570,7 @@ object ConnectorQueries {
         |FROM events GROUP BY md5(event_type || '|' || props)""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val client = new EmbeddedClickHouse(s"/root/repo/target/chstore_$tag")
-      val nEvents = s.table("events").count()
-      val fresh = !s.catalog.tableExists("clickhouse.main.ev_fp_src") ||
-        s.table("clickhouse.main.ev_fp_src").count() != nEvents
-      if (fresh) {
-        s.sql("DROP TABLE IF EXISTS clickhouse.main.ev_fp_src")
-        s.sql(
-          """CREATE TABLE clickhouse.main.ev_fp_src
-            |(event_id BIGINT, event_type STRING, props STRING)
-            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'event_id')""".stripMargin)
-        s.sql(
-          """INSERT INTO clickhouse.main.ev_fp_src
-            |SELECT event_id, event_type, props FROM events""".stripMargin)
-      }
+      ensureEvFpSrc(s)
       s.sql("DROP TABLE IF EXISTS clickhouse.main.fp_index")
       s.sql(
         """CREATE TABLE clickhouse.main.fp_index (fp STRING, first_event BIGINT)
@@ -576,19 +646,7 @@ object ConnectorQueries {
         |  CAST(min(event_id) AS BIGINT) AS first_event
         |FROM events GROUP BY md5(event_type || '|' || props)""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val nEvents = s.table("events").count()
-      val fresh = !s.catalog.tableExists("clickhouse.main.ev_fp_src") ||
-        s.table("clickhouse.main.ev_fp_src").count() != nEvents
-      if (fresh) {
-        s.sql("DROP TABLE IF EXISTS clickhouse.main.ev_fp_src")
-        s.sql(
-          """CREATE TABLE clickhouse.main.ev_fp_src
-            |(event_id BIGINT, event_type STRING, props STRING)
-            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'event_id')""".stripMargin)
-        s.sql(
-          """INSERT INTO clickhouse.main.ev_fp_src
-            |SELECT event_id, event_type, props FROM events""".stripMargin)
-      }
+      ensureEvFpSrc(s)
       val cat = s"chshfp_$tag"
       val roots = IndexedSeq(
         s"/root/repo/target/chshfp0_$tag", s"/root/repo/target/chshfp1_$tag")
@@ -789,7 +847,12 @@ object ConnectorQueries {
     q("r26_remote_incremental_dedup", DedupQueries.incrementalOracle) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val client = new EmbeddedClickHouse(s"/root/repo/target/chstore_$tag")
-      if (!client.tableExists("main", "doc_sigs")) {
+      // fingerprint covers the signature VALUES (not just doc ids): a
+      // corpus regeneration changing text re-derives different minhashes
+      // at identical row counts, and a stale signature table must rebuild
+      ensureStore(s, Seq(("clickhouse.main.doc_sigs",
+        "doc_id" +: (0 until 16).map(i => s"s$i"),
+        () => DedupQueries.minhashSigs(s).filter(col("doc_id") % 7 =!= 3)))) {
         client.createTable("main", "doc_sigs",
           ("doc_id" -> "Nullable(Int64)") +:
             (0 until 16).map(i => s"s$i" -> "Nullable(Int64)"),
@@ -936,7 +999,14 @@ object ConnectorQueries {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val root2 = s"/root/repo/target/chstore2_$tag"
       val client2 = new EmbeddedClickHouse(root2)
-      if (!client2.tableExists("main", "customer")) {
+      val cat = s"clickhouse2_$tag" // per-sfdir name, same reason as r28
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", root2)
+      ensureStore(s, Seq((s"$cat.main.customer",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        () => s.table("customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")))) {
         client2.createTable("main", "customer", Seq(
           "c_custkey" -> "Nullable(Int64)", "c_name" -> "Nullable(String)",
           "c_nationkey" -> "Nullable(Int32)", "c_acctbal" -> "Nullable(Float64)",
@@ -944,10 +1014,6 @@ object ConnectorQueries {
           Map("engine" -> "MergeTree"))
         client2.attachExternal("main", "customer", Seq(s"$dir/customer.parquet"))
       }
-      val cat = s"clickhouse2_$tag" // per-sfdir name, same reason as r28
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.catalog.ClickHouseCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.path", root2)
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       val o = s.read.option("bucket_by", "o_custkey").option("buckets", "8")
         .table("clickhouse.main.orders")
@@ -1108,8 +1174,10 @@ object ConnectorQueries {
       s.conf.set(s"spark.sql.catalog.$cat.path", roots)
       s.conf.set(s"spark.sql.catalog.$cat.shard_by", "c_custkey")
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
-      if (!new EmbeddedClickHouse(s"/root/repo/target/chshard0_$tag")
-        .tableExists("main", "cust_sh")) {
+      ensureStore(s, Seq((s"$cat.main.cust_sh",
+        Seq("c_custkey", "c_mktsegment", "c_acctbal"),
+        () => s.table("customer").select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))))) {
         s.sql(
           s"""CREATE TABLE $cat.main.cust_sh
              |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DECIMAL(18,2))
@@ -1183,8 +1251,15 @@ object ConnectorQueries {
       s.conf.set(s"spark.sql.catalog.$cat.path", roots)
       s.conf.set(s"spark.sql.catalog.$cat.shard_by", "custkey")
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
-      if (!new EmbeddedClickHouse(s"/root/repo/target/chcoloc0_$tag")
-        .tableExists("main", "cust_co")) {
+      // round 6's poisoned artifacts were exactly these two tables: a
+      // mid-development partial insert passed tableExists forever
+      ensureStore(s, Seq(
+        (s"$cat.main.cust_co", Seq("custkey", "mkt"),
+          () => s.table("customer").select(col("c_custkey").as("custkey"),
+            col("c_mktsegment").as("mkt"))),
+        (s"$cat.main.ord_co", Seq("custkey", "price"),
+          () => s.table("orders").select(col("o_custkey").as("custkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))))) {
         s.sql(
           s"""CREATE TABLE $cat.main.cust_co (custkey BIGINT, mkt STRING)
              |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'custkey')""".stripMargin)
@@ -1229,8 +1304,11 @@ object ConnectorQueries {
       s.conf.set(s"spark.sql.catalog.$cat.path", roots)
       s.conf.set(s"spark.sql.catalog.$cat.shard_by", "custkey")
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
-      if (!new EmbeddedClickHouse(s"/root/repo/target/chshagg0_$tag")
-        .tableExists("main", "ord_ka")) {
+      ensureStore(s, Seq((s"$cat.main.ord_ka",
+        Seq("custkey", "okey", "price"),
+        () => s.table("orders").select(col("o_custkey").as("custkey"),
+          col("o_orderkey").as("okey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))))) {
         s.sql(
           s"""CREATE TABLE $cat.main.ord_ka
              |(custkey BIGINT, okey BIGINT, price DECIMAL(18,2))

@@ -717,4 +717,153 @@ class ShardedClientSpec extends AnyFunSuite {
       assert(s1.rowsReceived.get() + s2.rowsReceived.get() == 100)
     } finally { s1.close(); s2.close() }
   }
+
+  test("concurrent per-shard dispatch is DETERMINISTIC: repeated collapsed " +
+    "join+agg and keyed-agg runs bit-match ground truth, serial and under " +
+    "cross-query concurrency") {
+    seed()
+    synchronized {
+      if (!new EmbeddedClickHouse(rootA).tableExists("main", "sh_orders")) {
+        spark.sql(
+          """CREATE TABLE chshard.main.sh_orders (k BIGINT, amt BIGINT)
+            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+        import spark.implicits._
+        (1L to 600L).map(i => ((i % 200) + 1, i * 2))
+          .toDF("k", "amt").writeTo("chshard.main.sh_orders").append()
+      }
+    }
+    import spark.implicits._
+    // ground truth from the generator tuples — integer aggregates only,
+    // so equality is EXACT (bit-compare, no float summation order noise)
+    val evRaw = (1L to 200L).map(i => (i, s"c${i % 5}", i * 1.5)).toDF("k", "cat", "v")
+    val ordRaw = (1L to 600L).map(i => ((i % 200) + 1, i * 2)).toDF("k", "amt")
+    def joinShape(): Seq[Row] = {
+      val e = spark.table("chshard.main.sh_events").as("e")
+      val o = spark.table("chshard.main.sh_orders").as("o")
+      e.join(o, col("e.k") === col("o.k"))
+        .groupBy(col("e.k")).agg(count(lit(1)).as("n"), sum(col("o.amt")).as("s"))
+        .collect().toSeq.sortBy(_.getLong(0))
+    }
+    def aggShape(): Seq[Row] = spark.table("chshard.main.sh_events")
+      .groupBy("k").agg(count(lit(1)).as("n"), max("cat").as("mc"))
+      .collect().toSeq.sortBy(_.getLong(0))
+    val truthJoin = evRaw.as("e").join(ordRaw.as("o"), col("e.k") === col("o.k"))
+      .groupBy(col("e.k")).agg(count(lit(1)).as("n"), sum(col("o.amt")).as("s"))
+      .collect().toSeq.sortBy(_.getLong(0))
+    val truthAgg = evRaw.groupBy("k").agg(count(lit(1)).as("n"), max("cat").as("mc"))
+      .collect().toSeq.sortBy(_.getLong(0))
+    // the shapes must actually take the COLLAPSED per-shard path, or the
+    // stress exercises a plain Spark join instead of concurrent dispatch
+    val planned = {
+      val e = spark.table("chshard.main.sh_events").as("e")
+      val o = spark.table("chshard.main.sh_orders").as("o")
+      e.join(o, col("e.k") === col("o.k"))
+        .groupBy(col("e.k")).agg(count(lit(1)).as("n"), sum(col("o.amt")).as("s"))
+    }
+    planned.collect()
+    val nodes = PlanAsserts.flatten(planned.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[graft.pushdown.ClickHouseRemoteExec]),
+      s"join shape must collapse into the remote node:\n${nodes.head}")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"no Spark-side join may remain:\n${nodes.head}")
+    // 20 serial iterations: every planQuery dispatches both shards
+    // concurrently (the embedded child sessions race inside one JVM —
+    // exactly the thread-safety this pins)
+    (1 to 20).foreach { i =>
+      assert(joinShape() == truthJoin, s"serial iteration $i: join diverged")
+      assert(aggShape() == truthAgg, s"serial iteration $i: agg diverged")
+    }
+    // cross-QUERY concurrency on top of per-shard concurrency: three
+    // driver threads collapse simultaneously against the same stores
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 5).foreach { i =>
+      val fs = Seq(Future(joinShape()), Future(aggShape()), Future(joinShape()))
+      val rs = fs.map(Await.result(_, 120.seconds))
+      assert(rs(0) == truthJoin && rs(2) == truthJoin,
+        s"concurrent iteration $i: join diverged")
+      assert(rs(1) == truthAgg, s"concurrent iteration $i: agg diverged")
+    }
+  }
+
+  test("mutations PIN to the primary of a replica set: a server-side-" +
+    "replicated ALTER UPDATE/DELETE must be issued exactly once") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chrepmut",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+      val client = cat.clickHouseClient
+      client.createTable("bench", "mut_t",
+        Seq("id" -> "Int64", "v" -> "Float64"),
+        Map("engine" -> "MergeTree", "order_by" -> "id"))
+      client.updateWhere("bench", "mut_t", Seq("v" -> "`v` + 1"), "`id` > 0")
+      client.deleteWhere("bench", "mut_t", "`id` > 100")
+      import scala.jdk.CollectionConverters._
+      def muts(m: MockClickHouseHttp): Seq[String] =
+        m.statements.asScala.toSeq.filter(q =>
+          q.contains("UPDATE") || q.contains("DELETE"))
+      assert(muts(r1).size == 2,
+        s"primary must see both mutations: ${muts(r1)}")
+      assert(muts(r2).isEmpty,
+        "broadcasting a non-idempotent assignment (v = v + 1) to a replica " +
+          s"that also receives it via server replication applies it twice: ${muts(r2)}")
+      // DDL still broadcasts — both replicas hold the schema
+      assert(r2.statements.asScala.exists(_.startsWith("CREATE TABLE")),
+        "DDL must still broadcast to keep replica schemas aligned")
+    } finally { r1.close(); r2.close() }
+  }
+
+  test("degenerate endpoint specs are rejected on the PARSED shape: " +
+    "trailing '|' and empty segments never become silently-inert options") {
+    // "r1|" contains '|' but parses to ONE replica — load_balancing would
+    // have nothing to balance, and the old raw-string check let it through
+    val e1 = intercept[IllegalArgumentException] {
+      new graft.catalog.ClickHouseCatalog().initialize("chbad1",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", "http://h1:8123|", "load_balancing", "random")))
+    }
+    assert(e1.getMessage.contains("empty"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      new graft.catalog.ClickHouseCatalog().initialize("chbad2",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", "http://h1:8123,,http://h2:8123")))
+    }
+    assert(e2.getMessage.contains("empty"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      new graft.catalog.ClickHouseCatalog().initialize("chbad3",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "path", s"$rootA,")))
+    }
+    assert(e3.getMessage.contains("empty"), e3.getMessage)
+  }
+
+  test("a shard_by differing only in CASE from the table column is " +
+    "rejected at load — not silently non-co-locating") {
+    val rootC = Files.createTempDirectory("graft_shard_case_").toString
+    val rootD = Files.createTempDirectory("graft_shard_case_").toString
+    val cat = new graft.catalog.ClickHouseCatalog
+    cat.initialize("chcase",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+        "path", s"$rootC,$rootD", "shard_by", "K")))
+    // create bypasses the check (no data routed yet); the LOAD rejects,
+    // because every routed read/write resolves shard_by case-sensitively
+    cat.clickHouseClient.createTable("main", "case_t",
+      Seq("k" -> "Int64", "v" -> "String"),
+      Map("engine" -> "MergeTree", "order_by" -> "k"))
+    val e = intercept[IllegalArgumentException] {
+      cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("main"), "case_t"))
+    }
+    assert(e.getMessage.contains("case-sensitive"), e.getMessage)
+    // a table NOT containing the routing column in any case stays loadable
+    cat.clickHouseClient.createTable("main", "dim_t",
+      Seq("id" -> "Int64", "name" -> "String"),
+      Map("engine" -> "MergeTree", "order_by" -> "id"))
+    assert(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("main"), "dim_t")) != null)
+  }
 }
