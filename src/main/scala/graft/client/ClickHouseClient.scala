@@ -139,6 +139,17 @@ trait ClickHouseClient extends Serializable {
     */
   def bucketFamily: Option[String] = None
 
+  /** Re-address another client's partition handle to THIS client, when
+    * the transport can serve the same slice independently. A handle is
+    * re-homeable only if it is a SELF-CONTAINED statement (the slice is a
+    * pure function of the SQL it carries — HTTP handles qualify), not a
+    * reference to transport-local state (embedded spill streams are bound
+    * to the store that planned them). None = this client cannot serve the
+    * slice; callers must fail loudly rather than guess. Powers mid-plan
+    * replica failover (see FailoverClickHouseClient).
+    */
+  def rehome(handle: ChPartitionHandle): Option[ChPartitionHandle] = None
+
   /** Open one stream EXECUTOR-SIDE and pull its rows incrementally (the
     * reference's `poll_next` loop, stream.rs:30-43). Must be callable from
     * any task thread after the client deserializes into the closure.

@@ -19,14 +19,16 @@ import org.apache.spark.sql.types.StructType
   *  - READS (metadata, planQuery*, scalar probes) run on one LIVE
   *    replica: statements try replicas from a sticky cursor and fail
   *    over on transport-level IOException (never on an HTTP error
-  *    status — a bad query is bad on every replica). Once PLANNED,
-  *    handles are pinned to the replica that planned them (its cursor/
-  *    spill state is replica-local), so a replica death after planning
-  *    fails the query LOUDLY — including across Spark task retries,
-  *    which reuse the same pinned handle. That is deliberate: rows may
-  *    already be consumed, so a silent re-read elsewhere could
-  *    duplicate or reorder; the recovery unit is the STATEMENT — re-run
-  *    it and planning fails over to a live replica.
+  *    status — a bad query is bad on every replica). Planned handles
+  *    PREFER the replica that planned them; if that replica is dead at
+  *    stream-OPEN time (before any row is delivered) the slice re-opens
+  *    on a surviving replica when the transport's handles are
+  *    self-contained statements ([[ClickHouseClient.rehome]] — HTTP
+  *    qualifies). A replica dying MID-STREAM still fails the task
+  *    loudly (rows may already be consumed; a silent re-read could
+  *    duplicate or reorder) — but the task RETRY starts with zero
+  *    delivered rows and fails over at open, so the statement completes
+  *    on the surviving replica.
   *  - WRITES (insert, staged protocol, insertSelect, epoch markers) pin
   *    to replica 0 — the write PRIMARY. Staged-insert ids and epoch
   *    markers are replica-local state, so spraying them across replicas
@@ -163,27 +165,66 @@ class FailoverClickHouseClient(
     }
   }
 
-  private def replicaOf(
-      handle: ChPartitionHandle): (ClickHouseClient, ChPartitionHandle) =
-    handle match {
-      case ReplicaHandle(i, inner) => (replicas(i), inner)
+  /** Open a partition stream with AT-OPEN failover: the pinned replica is
+    * tried first; if the transport dies BEFORE the first element is
+    * available (`force` runs the lazy open), the slice re-opens on the
+    * next live replica via [[ClickHouseClient.rehome]] — safe because no
+    * row of this attempt has been delivered, so the re-opened stream
+    * re-derives the WHOLE slice (HTTP handles are self-contained
+    * statements). Spark task retries ride the same path: a retry calls
+    * readPartition afresh with zero delivered rows, so a replica dying
+    * mid-stream fails the task loudly (rows may be consumed — a silent
+    * re-read could duplicate) and the RETRY fails over. A transport whose
+    * handles cannot re-home keeps the original pinned-loud contract.
+    * Caveat (the same one plan-time failover documents): with lagging
+    * replication, slices of one statement re-opened on different replicas
+    * may observe different snapshots.
+    */
+  private def openFailover[T](
+      handle: ChPartitionHandle)(open: (ClickHouseClient, ChPartitionHandle) => T)(
+      force: T => Unit): T = {
+    val (pinnedIdx, inner) = handle match {
+      case ReplicaHandle(i, h) => (i, h)
       case other => throw new IllegalArgumentException(
         s"replica set got a foreign handle: ${other.getClass.getName}")
     }
-
-  override def readPartition(handle: ChPartitionHandle): Iterator[Row] = {
-    val (c, h) = replicaOf(handle); c.readPartition(h)
+    var lastErr: IOException = null
+    var i = 0
+    while (i < replicas.size) {
+      val idx = (pinnedIdx + i) % replicas.size
+      val slice =
+        if (idx == pinnedIdx) Some(inner) else replicas(idx).rehome(inner)
+      slice match {
+        case Some(h) =>
+          try {
+            val t = open(replicas(idx), h)
+            force(t)
+            return t
+          } catch {
+            case e: IOException =>
+              if (lastErr != null) e.addSuppressed(lastErr)
+              lastErr = e
+          }
+        case None => () // this transport cannot serve the slice — skip
+      }
+      i += 1
+    }
+    throw new IOException(
+      s"all ${replicas.size} replicas failed opening a partition stream " +
+        s"(last: ${Option(lastErr).map(_.getMessage).getOrElse("no replica could serve the slice")})",
+      lastErr)
   }
+
+  override def readPartition(handle: ChPartitionHandle): Iterator[Row] =
+    openFailover(handle)((c, h) => c.readPartition(h))(_.hasNext)
   override def readPartitionInternal(
       handle: ChPartitionHandle,
-      schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
-    val (c, h) = replicaOf(handle); c.readPartitionInternal(h, schema)
-  }
+      schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    openFailover(handle)((c, h) => c.readPartitionInternal(h, schema))(_.hasNext)
   override def readPartitionColumnar(
       handle: ChPartitionHandle,
-      schema: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (c, h) = replicaOf(handle); c.readPartitionColumnar(h, schema)
-  }
+      schema: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    openFailover(handle)((c, h) => c.readPartitionColumnar(h, schema))(_.hasNext)
 
   // ---- writes: the PRIMARY only (replica 0) — staging ids and epoch
   // markers are replica-local, so they must all land on one replica ----

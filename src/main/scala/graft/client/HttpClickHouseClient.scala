@@ -464,6 +464,20 @@ class HttpClickHouseClient(
     ClickHouseType.toStructType(cols)
   }
 
+  /** HTTP handles are self-contained statements — the slice is exactly
+    * `sql`'s result, so any replica holding the data can serve it:
+    * re-address the handle to this transport (its endpoint, credentials,
+    * codec, settings), keeping the statement and schema.
+    */
+  override def rehome(handle: ChPartitionHandle): Option[ChPartitionHandle] =
+    handle match {
+      case h: HttpQueryHandle => Some(h.copy(endpoint = endpoint, user = user,
+        password = password, connectTimeoutMs = connectTimeoutMs,
+        readTimeoutMs = readTimeoutMs, codec = codec, poolMaxSize = poolMaxSize,
+        retryConnection = retryConnection, serverSettings = serverSettings))
+      case _ => None
+    }
+
   override def readPartition(handle: ChPartitionHandle): Iterator[Row] = handle match {
     case h: HttpQueryHandle =>
       val schema = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
@@ -765,6 +779,25 @@ object HttpClickHouseClient {
   /** Row path: decode the binary stream row by row into InternalRow —
     * constant memory, executor-side, no text parse.
     */
+  /** A response with a DECLARED body length (Content-Length, no
+    * content-coding) that ends at a row boundary BEFORE delivering the
+    * declared bytes is a dropped connection, not a clean end of data: the
+    * JDK makes truncated CHUNKED streams loud by itself, but a
+    * fixed-length stream just runs out — which readRow() cannot tell from
+    * exhaustion, so it would silently drop the tail. Compressed responses
+    * are skipped (declared = wire bytes, counted = decoded bytes).
+    */
+  private def verifyDeclaredLength(
+      conn: HttpURLConnection, counter: RowBinary.CountingInputStream): Unit = {
+    val declared = conn.getContentLengthLong
+    val coded = Option(conn.getContentEncoding).exists(e =>
+      e.nonEmpty && e != "identity")
+    if (declared >= 0 && !coded && counter != null && counter.count < declared)
+      throw new RuntimeException(
+        s"RowBinary stream ended after ${counter.count} of $declared declared " +
+          "bytes (connection dropped at a row boundary) — partial results discarded")
+  }
+
   private[client] def streamRows(
       h: HttpQueryHandle, schema: StructType): Iterator[InternalRow] with AutoCloseable =
     new Iterator[InternalRow] with AutoCloseable {
@@ -779,6 +812,8 @@ object HttpClickHouseClient {
       private val emptyRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(0)
 
+      private var ctr: RowBinary.CountingInputStream = _
+
       private def ensureOpen(): Unit = if (!opened) {
         opened = true
         // a task killed early (LIMIT, cancellation) never drains the
@@ -787,7 +822,7 @@ object HttpClickHouseClient {
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => close()))
         val (c, s, header, gt, counter) = openStream(h, schema)
-        conn = c; in = s; g = gt
+        conn = c; in = s; g = gt; ctr = counter
         reader = new RowBinary.RowReader(
           s, header.map(t => RowBinary.decoder(t._2)).toArray, counter)
         proj = driftProjection(header, schema).orNull
@@ -798,7 +833,7 @@ object HttpClickHouseClient {
 
       private def advance(): Unit = {
         nextRow = reader.readRow()
-        if (nextRow == null) close()
+        if (nextRow == null) { verifyDeclaredLength(conn, ctr); close() }
         else if (proj != null) nextRow = proj(nextRow).copy()
       }
 
@@ -865,7 +900,7 @@ object HttpClickHouseClient {
           // closing the packer here would free the batch vectors mid-fill,
           // before the consumer reads the final batch
           val raw = Iterator.continually(reader.readRow()).takeWhile { r =>
-            if (r == null) releaseWire()
+            if (r == null) { verifyDeclaredLength(conn, ctr); releaseWire() }
             r != null
           }
           val rows = drift match {
@@ -909,7 +944,9 @@ object HttpClickHouseClient {
             n += 1
           }
         }
-        if (eof) { finished = true; releaseWire() }
+        if (eof) {
+          finished = true; verifyDeclaredLength(conn, counter); releaseWire()
+        }
         batch.setNumRows(n)
         binaryBatchesDecoded.incrementAndGet()
         batch

@@ -43,6 +43,20 @@ final class MockClickHouseHttp extends AutoCloseable {
   @volatile var wireReadRows: Long = 0L
   private val wireReadCols = Seq("id" -> "Int64", "v" -> "Float64", "tag" -> "String")
 
+  /** When true, `wire_read` DATA streams abort at the transport level
+    * (connection closed without a response) while metadata keeps working
+    * — simulates a replica that plans fine but dies serving rows, the
+    * deterministic trigger for at-open read failover.
+    */
+  @volatile var failReads = false
+
+  /** When >= 0, `wire_read` streams this many rows and then dies
+    * mid-body (chunked stream truncated) — the mid-stream death that must
+    * stay LOUD at the consumer (rows were already delivered; a silent
+    * re-read could duplicate).
+    */
+  @volatile var failAfterRows: Long = -1L
+
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/", new HttpHandler {
@@ -104,6 +118,12 @@ final class MockClickHouseHttp extends AutoCloseable {
         return (200, wireReadCols.map { case (n, t) => s"$n\t$t" }.mkString("", "\n", "\n"))
       if (sqlText.startsWith("SELECT") &&
         sqlText.endsWith("FORMAT RowBinaryWithNamesAndTypes")) {
+        if (failReads) {
+          // abort without ANY response bytes: the client observes a
+          // transport-level IOException, never an HTTP error status
+          ex.close()
+          return (-1, "")
+        }
         streamWireRead(ex, params)
         return (-1, "") // response already streamed
       }
@@ -126,7 +146,13 @@ final class MockClickHouseHttp extends AutoCloseable {
       else accept.split(",").map(_.trim.takeWhile(_ != ';'))
         .find(Set("gzip", "lz4", "zstd")).getOrElse("none")
     if (codec != "none") ex.getResponseHeaders.set("Content-Encoding", codec)
-    ex.sendResponseHeaders(200, 0) // chunked
+    // mid-stream-death mode declares a Content-Length far beyond what it
+    // will write: closing early then yields a PREMATURE EOF at the client
+    // (a handler abort on a chunked response would be finalized with the
+    // terminating chunk by the JDK server — a clean end, silently LOSING
+    // the truncation). Normal mode streams chunked.
+    if (failAfterRows >= 0) ex.sendResponseHeaders(200, 1L << 40)
+    else ex.sendResponseHeaders(200, 0) // chunked
     val raw = ex.getResponseBody
     val out = new java.io.DataOutputStream(
       HttpCodec.wrapOutput(codec, new java.io.BufferedOutputStream(raw, 1 << 16)))
@@ -137,6 +163,10 @@ final class MockClickHouseHttp extends AutoCloseable {
       val encs = wireReadCols.map { case (_, t) => RowBinary.encoder(t) }.toArray
       var i = 0L
       while (i < wireReadRows) {
+        if (failAfterRows >= 0 && i >= failAfterRows) {
+          out.flush()
+          throw new java.io.IOException("simulated mid-stream death")
+        }
         encs(0).write(out, java.lang.Long.valueOf(i))
         encs(1).write(out, java.lang.Double.valueOf(i * 0.5))
         encs(2).write(out, s"tag_${i % 1000}")
@@ -149,11 +179,20 @@ final class MockClickHouseHttp extends AutoCloseable {
   private def statement(q: String, data: Array[Byte]): (Int, String) = {
     if (q.startsWith("SELECT name, type FROM system.columns")) {
       val t = raw"table = '([^']+)'".r.unanchored.findFirstMatchIn(q).map(_.group(1))
-      val cols = t.flatMap(tables.get).getOrElse(Seq.empty)
+      val cols = t.flatMap { name =>
+        tables.get(name).orElse(
+          if (name == "wire_read" && wireReadRows > 0) Some(wireReadCols) else None)
+      }.getOrElse(Seq.empty)
       (200, cols.map { case (n, tp) => s"$n\t$tp" }.mkString("", "\n", "\n"))
     } else if (q.startsWith("SELECT count() FROM system.tables")) {
       val t = raw"name = '([^']+)'".r.unanchored.findFirstMatchIn(q).map(_.group(1))
-      (200, if (t.exists(tables.contains)) "1\n" else "0\n")
+      val known = t.exists(n =>
+        tables.contains(n) || (n == "wire_read" && wireReadRows > 0))
+      (200, if (known) "1\n" else "0\n")
+    } else if (q.startsWith("SELECT sum(bytes_on_disk) FROM system.parts")) {
+      (200, "0\n") // no stats — scans fall back to their default estimate
+    } else if (q.startsWith("SELECT engine, sorting_key, partition_key, sampling_key")) {
+      (200, "MergeTree\tid\t\t\n")
     } else if (q.startsWith("CREATE DATABASE") || q.startsWith("DROP DATABASE")) {
       (200, "")
     } else if (q.startsWith("CREATE TABLE")) {

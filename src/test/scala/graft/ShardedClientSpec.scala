@@ -787,6 +787,86 @@ class ShardedClientSpec extends AnyFunSuite {
     }
   }
 
+  test("at-open read failover: a handle planned on a replica that then " +
+    "dies re-opens its slice on the survivor (self-contained statements)") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 30; r2.wireReadRows = 30
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chreopen",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+      val client = cat.clickHouseClient
+      // plan while BOTH replicas are alive: handles pin to the primary
+      val (_, hs) = client.planQuery(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", 1)
+      assert(hs.head.asInstanceOf[graft.client.ReplicaHandle].replica == 0)
+      // the primary dies AFTER planning, BEFORE reading — the old contract
+      // failed this loudly; the slice is a self-contained statement, so
+      // the read must re-open on the survivor
+      r1.close()
+      val rows = client.readPartition(hs.head).toSeq
+      assert(rows.size == 30,
+        s"failover read must deliver the whole slice: ${rows.size}")
+      // ...and a foreign-transport handle would NOT re-home: only the
+      // HTTP transport's self-contained statements qualify (spot-check
+      // the None branch of rehome)
+      assert(new EmbeddedClickHouse(rootA).rehome(hs.head).isEmpty)
+    } finally { r1.close(); r2.close() }
+  }
+
+  test("mid-stream replica death stays LOUD: once rows were delivered, " +
+    "the failure propagates instead of silently re-reading elsewhere") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 1000; r2.wireReadRows = 1000
+    r1.failAfterRows = 100 // dies after streaming 100 rows
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chmidstr",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+      val client = cat.clickHouseClient
+      val (_, hs) = client.planQuery(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", 1)
+      val it = client.readPartition(hs.head)
+      val drained = scala.util.Try {
+        var n = 0
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      }
+      assert(drained.isFailure,
+        s"stream death after delivered rows must be LOUD, but the drain " +
+          s"completed silently with ${drained.getOrElse(-1)} rows")
+    } finally { r1.close(); r2.close() }
+  }
+
+  test("END-TO-END DSv2 replica failover: a catalog read completes on the " +
+    "surviving replica when the planning replica dies serving rows") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 40; r2.wireReadRows = 40
+    try {
+      seed() // session up
+      spark.conf.set("spark.sql.catalog.chfailov",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      spark.conf.set("spark.sql.catalog.chfailov.endpoint",
+        s"${r1.endpoint}|${r2.endpoint}")
+      // r1 answers metadata and planning (DESCRIBE) but aborts every data
+      // stream at the transport level — the read must fail over AT OPEN
+      r1.failReads = true
+      val rows = spark.table("chfailov.bench.wire_read").collect()
+      assert(rows.length == 40, s"full result despite the dead primary: ${rows.length}")
+      assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until 40L),
+        "failover must deliver the exact slice, not a partial re-read")
+      import scala.jdk.CollectionConverters._
+      assert(r2.statements.asScala.exists(q =>
+        q.contains("`wire_read`") && q.endsWith("FORMAT RowBinaryWithNamesAndTypes")),
+        "the surviving replica must have served the data stream")
+    } finally { r1.close(); r2.close() }
+  }
+
   test("mutations PIN to the primary of a replica set: a server-side-" +
     "replicated ALTER UPDATE/DELETE must be issued exactly once") {
     val r1 = new MockClickHouseHttp
