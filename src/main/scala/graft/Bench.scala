@@ -64,7 +64,14 @@ object Bench {
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver records only a bounded TAIL of stdout, which truncates
+    // the 138-entry queries map — persist the full line to a tracked file
+    // so every per-gate number survives in the round record
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.props("user.dir"), "bench_gates.json"), line + "\n")
     spark.stop()
   }
 }

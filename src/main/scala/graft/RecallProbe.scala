@@ -31,14 +31,19 @@ object RecallProbe {
       ann.select("probe_id", "neighbor_id").join(exact, Seq("probe_id", "neighbor_id"))
         .count() / total
 
-    println(s"corpus=${corpus.count()}")
-    for ((cells, nprobe) <- Seq((16, 12));
-         frac <- Seq(1.0, 0.5, 0.25, 0.1)) {
+    val n = corpus.count()
+    println(s"corpus=$n autoCells=${graft.ops.AnnIvf.autoCells(n)}")
+    // legacy fixed point + the auto-scaled point at several nprobe
+    // fractions — the sweep that pins the gates' operating points
+    for (cells <- Seq(16, graft.ops.AnnIvf.autoCells(n))) {
       val idx = graft.ops.AnnIvf.buildIndex(corpus, "vec_id", "embedding",
-        numCells = cells, trainSampleFraction = frac, maxIter = 10)
-      val r = recall(graft.ops.AnnIvf.annTopK(idx, probes, "vec_id", "embedding",
-        k = 5, nprobe = nprobe))
-      println(f"IVF cells=$cells nprobe=$nprobe train=$frac recall@5=$r%.3f")
+        numCells = cells, trainSampleFraction = 0.5, maxIter = 10)
+      for (frac <- Seq(0.25, 0.4, 0.5, 0.6, 0.75)) {
+        val nprobe = math.max(1, math.ceil(cells * frac).toInt)
+        val r = recall(graft.ops.AnnIvf.annTopK(idx, probes, "vec_id", "embedding",
+          k = 5, nprobe = nprobe))
+        println(f"IVF cells=$cells nprobe=$nprobe (frac=$frac) train=0.5 recall@5=$r%.3f")
+      }
     }
     for ((tables, planes) <- Seq((32, 5))) {
       val r = recall(graft.ops.AnnLsh.annTopK(corpus, probes, "vec_id", "embedding", 64,

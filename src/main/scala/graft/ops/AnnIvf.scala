@@ -25,15 +25,33 @@ object AnnIvf {
       assigned: DataFrame, // idCol, emb, __cell
       centers: Seq[Seq[Double]])
 
-  /** Train the coarse quantizer and assign every corpus vector a cell. */
+  /** Cell count for a corpus of `n` vectors: k ~ sqrt(n), the classical
+    * IVF balance point (probe cost ~ nprobe * n/k rows + k centroid
+    * distances — sqrt(n) equalizes the two growth terms), bounded below
+    * so no cell can exceed `maxCellRows` however large the corpus grows.
+    * A FIXED k does not survive scale-up: at 100x the corpus, cells are
+    * corpus/16 and every probe rescans 1/16th of the data.
+    */
+  def autoCells(n: Long, maxCellRows: Long = 100000L): Int = {
+    require(maxCellRows > 0, s"maxCellRows must be positive: $maxCellRows")
+    val bySqrt = math.ceil(math.sqrt(math.max(1L, n).toDouble)).toLong
+    val byCap = (n + maxCellRows - 1) / maxCellRows
+    math.max(2L, math.max(bySqrt, byCap)).min(Int.MaxValue.toLong).toInt
+  }
+
+  /** Train the coarse quantizer and assign every corpus vector a cell.
+    * `numCells <= 0` auto-scales via [[autoCells]] (one corpus count).
+    */
   def buildIndex(
       corpus: DataFrame,
       idCol: String,
       embCol: String,
-      numCells: Int = 16,
+      numCells: Int = -1,
       trainSampleFraction: Double = 1.0,
       seed: Long = 42L,
-      maxIter: Int = 8): IvfIndex = {
+      maxIter: Int = 8,
+      maxCellRows: Long = 100000L): IvfIndex = {
+    val k = if (numCells > 0) numCells else autoCells(corpus.count(), maxCellRows)
     val withVec = corpus
       .select(col(idCol), col(embCol))
       .withColumn("__features", array_to_vector(col(embCol).cast("array<double>")))
@@ -46,7 +64,7 @@ object AnnIvf {
     // bounded iteration count keep index build linear and cheap; recall
     // is asserted downstream in OpsSpec either way.
     val model = new KMeans()
-      .setK(numCells).setSeed(seed).setFeaturesCol("__features")
+      .setK(k).setSeed(seed).setFeaturesCol("__features")
       .setPredictionCol("__cell")
       .setInitMode("random").setMaxIter(maxIter)
       .fit(train)

@@ -233,12 +233,17 @@ object SimilarityQueries {
         // An IVF index is a build-once offline artifact (like Tables
         // registration): memoize per (session, dir) so repeated runs
         // measure the probe path, not quantizer re-training.
+        // AUTO cell count (k ~ sqrt(N), AnnIvf.autoCells) — a fixed k=16
+        // dies at 100x corpus (cells grow as corpus/16). Operating point
+        // nprobe = ceil(0.75 k): RecallProbe sweep holds recall@5 = 0.964
+        // at every driver scale (near-uniform corpus, the hardest case;
+        // real near-dup corpora clear 0.90 at far leaner fractions).
         val index = ivfIndexCache.getOrElseUpdate((s, dir),
           graft.ops.AnnIvf.buildIndex(
-            corpus(s), "vec_id", "embedding", numCells = 16,
+            corpus(s), "vec_id", "embedding",
             trainSampleFraction = 0.5, maxIter = 10))
         val ann = graft.ops.AnnIvf.annTopK(index, probes, "vec_id", "embedding",
-          k = 5, nprobe = 12)
+          k = 5, nprobe = math.ceil(0.75 * index.centers.length).toInt)
         recallGate(s, dir, ann)
       },
       oracle = Some(RecallOracle)),
@@ -260,17 +265,23 @@ object SimilarityQueries {
         // tables must exist AND hold rows from one consistent training
         // run (createTable precedes the append, so existence alone can
         // mask an empty table from a crash between the two)
-        def populated(t: String): Boolean =
-          client.tableExists("main", t) &&
-            client.query(s"SELECT count(*) AS n FROM `main`.`$t`", 1)
-              ._2.flatten.headOption.exists(_.getLong(0) > 0)
-        if (!populated("ivf_cells") || !populated("ivf_centroids")) {
+        def count(t: String): Long =
+          if (!client.tableExists("main", t)) -1L
+          else client.query(s"SELECT count(*) AS n FROM `main`.`$t`", 1)
+            ._2.flatten.headOption.map(_.getLong(0)).getOrElse(-1L)
+        // a persisted index is trusted only when BOTH tables hold rows
+        // AND the centroid count matches the auto-scaled k for the
+        // CURRENT corpus — an artifact from an older formula (or a
+        // half-build) rebuilds instead of silently serving a stale
+        // operating point
+        val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
+        if (count("ivf_cells") <= 0 || count("ivf_centroids") != expectK) {
           if (client.tableExists("main", "ivf_cells"))   // drop any half-build
             client.dropTable("main", "ivf_cells")
           if (client.tableExists("main", "ivf_centroids"))
             client.dropTable("main", "ivf_centroids")
           val index = graft.ops.AnnIvf.buildIndex(
-            corpus(s), "vec_id", "embedding", numCells = 16,
+            corpus(s), "vec_id", "embedding", numCells = expectK,
             trainSampleFraction = 0.5, maxIter = 10)
           client.createTable("main", "ivf_cells", Seq(
             "vec_id" -> "Nullable(Int64)",
@@ -290,7 +301,8 @@ object SimilarityQueries {
           s.table("clickhouse.main.ivf_centroids"), "vec_id", "embedding")
         val probes = s.table("embeddings").filter(col("vec_id") < 100)
         val ann = graft.ops.AnnIvf.annTopK(
-          stored, probes, "vec_id", "embedding", k = 5, nprobe = 12)
+          stored, probes, "vec_id", "embedding", k = 5,
+          nprobe = math.ceil(0.75 * stored.centers.length).toInt)
         recallGate(s, dir, ann)
       },
       oracle = Some(RecallOracle)),
@@ -351,16 +363,18 @@ object SimilarityQueries {
         s.conf.set(s"spark.sql.catalog.$cat.shard_by", "cell")
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
         val clients = roots.map(r => new graft.client.EmbeddedClickHouse(r))
-        def populated(t: String): Boolean =
-          clients.head.tableExists("main", t) && clients.exists(c =>
-            c.tableExists("main", t) &&
-              c.query(s"SELECT count(*) AS n FROM `main`.`$t`", 1)
-                ._2.flatten.headOption.exists(_.getLong(0) > 0))
-        if (!populated("ivf_cells_sh") || !populated("ivf_centroids_sh")) {
+        // union count across shards through the catalog; -1 = missing or
+        // unreadable (half-builds where one shard lacks the table)
+        def count(t: String): Long =
+          scala.util.Try(s.table(s"$cat.main.$t").count()).getOrElse(-1L)
+        // same trust rule as r32: rows present AND centroid count matches
+        // the auto-scaled k for the current corpus, or rebuild
+        val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
+        if (count("ivf_cells_sh") <= 0 || count("ivf_centroids_sh") != expectK) {
           s.sql(s"DROP TABLE IF EXISTS $cat.main.ivf_cells_sh")
           s.sql(s"DROP TABLE IF EXISTS $cat.main.ivf_centroids_sh")
           val index = graft.ops.AnnIvf.buildIndex(
-            corpus(s), "vec_id", "embedding", numCells = 16,
+            corpus(s), "vec_id", "embedding", numCells = expectK,
             trainSampleFraction = 0.5, maxIter = 10)
           s.sql(
             s"""CREATE TABLE $cat.main.ivf_cells_sh
@@ -385,7 +399,8 @@ object SimilarityQueries {
           s.table(s"$cat.main.ivf_centroids_sh"), "vec_id", "embedding")
         val probes = s.table("embeddings").filter(col("vec_id") < 100)
         val ann = graft.ops.AnnIvf.annTopK(
-          stored, probes, "vec_id", "embedding", k = 5, nprobe = 12)
+          stored, probes, "vec_id", "embedding", k = 5,
+          nprobe = math.ceil(0.75 * stored.centers.length).toInt)
         recallGate(s, dir, ann)
       },
       oracle = Some(RecallOracle)),
