@@ -133,22 +133,39 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       val sql = s"SELECT ${finalCols.mkString(", ")} FROM (${u.sql}) AS fin$suffix"
       // Range-split cursor for the collapsed read: only for shapes a
       // per-slice re-execution cannot corrupt — no LIMIT anywhere (its
-      // row choice is per-execution), no nondeterministic expressions,
-      // and not an Aggregate top (small result; slicing buys nothing and
-      // re-runs the whole aggregation per slice). Output columns are
-      // aliased c0..cn on the wire, so the cursor maps to its alias.
+      // row choice is per-execution), no nondeterministic expressions.
+      // Output columns are aliased c0..cn on the wire, so the cursor
+      // maps to its alias.
       val splitSafe = !suffix.contains(" LIMIT ") &&
-        !child.isInstanceOf[Aggregate] &&
         !child.exists {
           case _: GlobalLimit | _: LocalLimit => true
           case p => p.expressions.exists(e => !e.deterministic)
         }
       val splitBy =
         if (!splitSafe) None
-        else scans.head.chSplitBy.flatMap { c =>
-          child.output.zipWithIndex.collectFirst {
-            case (a, i) if a.name.equalsIgnoreCase(c) => s"c$i"
-          }
+        else child match {
+          case agg: Aggregate =>
+            // a SHARD-KEY-grouped collapse (the r41 shape) emits one row
+            // per routing-key value — corpus-proportional at scale, so it
+            // slices on the key: range partitions of the grouping column
+            // hold whole, disjoint groups (deterministic), and the server
+            // pushes the range predicate through its own GROUP BY on the
+            // same key. A non-keyed aggregate keeps one stream: its
+            // result is small and per-slice re-execution buys nothing.
+            for {
+              key <- scans.head.chClient.shardRoutingColumn
+              ks <- shardKeyAttrs(agg, key)
+              if ks.nonEmpty
+              cur <- child.output.zipWithIndex.collectFirst {
+                case (a, i) if ks.contains(a) => s"c$i"
+              }
+            } yield cur
+          case _ =>
+            scans.head.chSplitBy.flatMap { c =>
+              child.output.zipWithIndex.collectFirst {
+                case (a, i) if a.name.equalsIgnoreCase(c) => s"c$i"
+              }
+            }
         }
       Some(ClickHouseRemoteNode(nodeOutput, sql, scans.head.chClient,
         scans.head.chStreams, remoteSizeEstimate(child, suffix),

@@ -52,6 +52,17 @@ class ShardedClientSpec extends AnyFunSuite {
     }
   }
 
+  private def seedOrders(): Unit = synchronized {
+    if (!new EmbeddedClickHouse(rootA).tableExists("main", "sh_orders")) {
+      spark.sql(
+        """CREATE TABLE chshard.main.sh_orders (k BIGINT, amt BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      import spark.implicits._
+      (1L to 600L).map(i => ((i % 200) + 1, i * 2))
+        .toDF("k", "amt").writeTo("chshard.main.sh_orders").append()
+    }
+  }
+
   test("DDL broadcasts: the table exists on every shard") {
     seed()
     assert(new EmbeddedClickHouse(rootA).tableExists("main", "sh_events"))
@@ -108,6 +119,20 @@ class ShardedClientSpec extends AnyFunSuite {
       "SELECT k FROM chshard.main.sh_events ORDER BY k LIMIT 5 OFFSET 3")
       .collect().map(_.getLong(0)).toSeq
     assert(page == (4L to 8L), s"OFFSET must stay exact over shards, got $page")
+    // paging still bounds the per-shard read: OFFSET itself never pushes
+    // (each shard would skip its own m rows = s*m skipped globally), but
+    // LIMIT (limit+offset) ships as the per-shard UPPER BOUND and Spark
+    // keeps the global skip — each shard returns at most 8 rows instead
+    // of its whole slice
+    val paged = spark.sql(
+      "SELECT k FROM chshard.main.sh_events ORDER BY k LIMIT 5 OFFSET 3")
+    paged.collect()
+    val scanSql = PlanAsserts.flatten(paged.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.getOrElse("")
+    assert(scanSql.contains("LIMIT 8") && !scanSql.contains("OFFSET"),
+      s"per-shard SQL must carry LIMIT limit+offset and no OFFSET: $scanSql")
   }
 
   test("row-local clickhouse() expressions still ship per shard; " +
@@ -361,6 +386,70 @@ class ShardedClientSpec extends AnyFunSuite {
     client.commitEpochStaged("main", "ep_t", "ep2", Seq(("s4", 0)))
     assert(count() == 200,
       "partial-crash replay must repair to exactly-once: " + count())
+  }
+
+  test("epoch-convergence FUZZ: 50 seeded crash schedules (partial stage, " +
+    "stage-without-commit, partial-commit shard subsets, repeated replays) " +
+    "all converge to exactly-once") {
+    seed() // embedded stores execute on the suite's Spark session
+    val rowsPerEpoch = 60L
+    val epochs = 5
+    for (seed <- 1 to 50) {
+      val rnd = new scala.util.Random(seed)
+      val ra = Files.createTempDirectory(s"graft_fz_a_").toString
+      val rb = Files.createTempDirectory(s"graft_fz_b_").toString
+      val client = new graft.client.ShardedClickHouseClient(
+        IndexedSeq(new EmbeddedClickHouse(ra), new EmbeddedClickHouse(rb)),
+        shardBy = Some("k"))
+      client.createDatabase("main")
+      client.createTable("main", "fz_t",
+        Seq("k" -> "Int64", "v" -> "Int64"),
+        Map("engine" -> "MergeTree", "order_by" -> "k"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      for (ep <- 0 until epochs) {
+        val lo = ep * rowsPerEpoch + 1
+        val hi = (ep + 1) * rowsPerEpoch
+        val all = (lo to hi).map(i => Row(i, i * 3))
+        var attempt = 0
+        var committed = false
+        while (!committed) {
+          val id = s"fz$seed-$ep-$attempt"
+          attempt += 1
+          require(attempt < 50, "fuzz schedule failed to converge")
+          rnd.nextInt(4) match {
+            case 0 => // crash mid-staging: a row subset landed, id = debris
+              client.stageInsert("main", "fz_t", schema,
+                all.take(1 + rnd.nextInt(all.size)), id)
+            case 1 => // crash after staging, before any commit
+              client.stageInsert("main", "fz_t", schema, all, id)
+            case 2 => // crash mid-commit: a random shard subset committed
+              client.stageInsert("main", "fz_t", schema, all, id)
+              val sub = client.shards.zipWithIndex.filter(_ => rnd.nextBoolean())
+              sub.foreach { case (s, _) =>
+                s.commitEpochStaged("main", "fz_t", s"ep$ep", Seq((id, 0)))
+              }
+            case _ => // clean attempt: stage everything, commit everywhere
+              client.stageInsert("main", "fz_t", schema, all, id)
+              client.commitEpochStaged("main", "fz_t", s"ep$ep", Seq((id, 0)))
+              committed = true
+          }
+        }
+      }
+      // terminal state: every epoch's rows exactly once, values intact
+      val rows = client.query(
+        "SELECT k, v FROM `main`.`fz_t`", 1)._2.flatten
+      val ks = rows.map(_.getLong(0)).sorted
+      assert(ks == (1L to epochs * rowsPerEpoch),
+        s"seed $seed: expected exactly-once rows, got ${ks.size}")
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 3),
+        s"seed $seed: row values corrupted")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ra))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rb))
+    }
   }
 
   test("streaming writes into a sharded catalog REQUIRE shard_by: " +
@@ -721,17 +810,7 @@ class ShardedClientSpec extends AnyFunSuite {
   test("concurrent per-shard dispatch is DETERMINISTIC: repeated collapsed " +
     "join+agg and keyed-agg runs bit-match ground truth, serial and under " +
     "cross-query concurrency") {
-    seed()
-    synchronized {
-      if (!new EmbeddedClickHouse(rootA).tableExists("main", "sh_orders")) {
-        spark.sql(
-          """CREATE TABLE chshard.main.sh_orders (k BIGINT, amt BIGINT)
-            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
-        import spark.implicits._
-        (1L to 600L).map(i => ((i % 200) + 1, i * 2))
-          .toDF("k", "amt").writeTo("chshard.main.sh_orders").append()
-      }
-    }
+    seed(); seedOrders()
     import spark.implicits._
     // ground truth from the generator tuples — integer aggregates only,
     // so equality is EXACT (bit-compare, no float summation order noise)
@@ -785,6 +864,24 @@ class ShardedClientSpec extends AnyFunSuite {
         s"concurrent iteration $i: join diverged")
       assert(rs(1) == truthAgg, s"concurrent iteration $i: agg diverged")
     }
+  }
+
+  test("shard-key-grouped collapse carries a range-split cursor on the " +
+    "routing key's output alias — the grouped result is corpus-wide at " +
+    "scale and must stream over more than one connection per shard") {
+    seed(); seedOrders()
+    val e = spark.table("chshard.main.sh_events").as("e")
+    val o = spark.table("chshard.main.sh_orders").as("o")
+    val keyed = e.join(o, col("e.k") === col("o.k"))
+      .groupBy(col("e.k")).agg(count(lit(1)).as("n"), sum(col("o.amt")).as("s"))
+    keyed.collect() // force planning through the session's rules
+    val nodes = keyed.queryExecution.optimizedPlan.collect {
+      case n: graft.pushdown.ClickHouseRemoteNode => n
+    }
+    assert(nodes.nonEmpty, s"shape must collapse:\n${keyed.queryExecution.optimizedPlan}")
+    // grouping key k is output column 0 → wire alias c0
+    assert(nodes.head.splitBy.contains("c0"),
+      s"keyed collapse must slice on the routing key's alias: ${nodes.head.splitBy}")
   }
 
   test("at-open read failover: a handle planned on a replica that then " +
