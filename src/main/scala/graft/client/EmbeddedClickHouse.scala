@@ -368,6 +368,39 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     })
   }
 
+  /** True only for an ORDER BY at the TOP level of `sql` — outside every
+    * parenthesis and quoted region. Only a top-level ORDER BY imposes a
+    * global order the stream split must preserve; a subquery-only ORDER
+    * BY constrains nothing about the outer result, and suppressing the
+    * repartition fan for it would serialize the read for no reason.
+    */
+  private def topLevelOrderBy(sql: String): Boolean = {
+    var depth = 0
+    var inSq = false // '...'
+    var inBq = false // `...`
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inSq) { if (c == '\'') inSq = false }
+      else if (inBq) { if (c == '`') inBq = false }
+      else c match {
+        case '\'' => inSq = true
+        case '`' => inBq = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'O' | 'o' if depth == 0 &&
+            (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
+            sql.regionMatches(true, i, "ORDER", 0, 5) =>
+          var j = i + 5
+          while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+          if (sql.regionMatches(true, j, "BY", 0, 2)) return true
+        case _ => ()
+      }
+      i += 1
+    }
+    false
+  }
+
   override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
     val entry = serverEntry()
     val spark = entry.session
@@ -384,7 +417,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     // toRdd = INTERNAL rows: spill is UnsafeRow bytes, no external-row
     // conversion on either side of the "wire"
     val source =
-      if (df.rdd.getNumPartitions < numStreams && !sql.toUpperCase.contains("ORDER BY"))
+      if (df.rdd.getNumPartitions < numStreams && !topLevelOrderBy(sql))
         df.repartition(numStreams)
       else df
     val internal = source.queryExecution.toRdd

@@ -71,6 +71,29 @@ class StressSpec extends AnyFunSuite {
     assert(sums.getLong(1) == n)
   }
 
+  test("stream fan: a subquery-only ORDER BY still fans across streams; " +
+    "a top-level ORDER BY keeps its global order") {
+    spark // session up
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("db", "fan",
+      Seq("id" -> "Int64"), Map("engine" -> "MergeTree"))
+    val schema = client.sparkSchema("db", "fan")
+    client.insert("db", "fan", schema, (1L to 2000L).map(i => Row(i)))
+    // an inner ORDER BY constrains nothing about the outer result — the
+    // read must still fan across the requested streams
+    val (_, h1) = client.planQuery(
+      "SELECT `id` FROM (SELECT `id` FROM `db`.`fan` ORDER BY `id` DESC) AS s", 4)
+    assert(h1.size > 1,
+      s"subquery-only ORDER BY must not serialize the read: ${h1.size} stream(s)")
+    // a TOP-LEVEL ORDER BY is a global order: handles concatenated in
+    // index order must replay the full sort
+    val (_, h2) = client.planQuery(
+      "SELECT `id` FROM `db`.`fan` ORDER BY `id`", 4)
+    val got = h2.flatMap(h => client.readPartition(h)).map(_.getLong(0))
+    assert(got == (1L to 2000L),
+      "top-level ORDER BY must survive the stream split")
+  }
+
   test("over-subscription: 24 concurrent scans on a 2-stream catalog all " +
     "complete with identical results") {
     val client = new EmbeddedClickHouse(root)
