@@ -69,9 +69,12 @@ object Bench {
     println(line)
     // the driver records only a bounded TAIL of stdout, which truncates
     // the 138-entry queries map — persist the full line to a tracked file
-    // so every per-gate number survives in the round record
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.props("user.dir"), "bench_gates.json"), line + "\n")
+    // so every per-gate number survives in the round record. FULL-battery
+    // runs only: a GRAFT_BENCH_ONLY dev A/B must never clobber the round
+    // record with a one-entry noisy line
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(sys.props("user.dir"), "bench_gates.json"), line + "\n")
     spark.stop()
   }
 }

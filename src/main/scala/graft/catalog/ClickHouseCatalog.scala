@@ -288,8 +288,11 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
     // all stay loadable — un-routed tables in a sharded catalog are
     // legitimate, they just claim no co-location.)
     client.shardRoutingColumn.foreach { key =>
-      schema.fields.find(f => f.name.equalsIgnoreCase(key) && f.name != key)
-        .foreach { f =>
+      // an exact-spelling match wins outright — ClickHouse columns are
+      // case-sensitive, so `k` and `K` can legitimately coexist and a
+      // correct declaration must not be rejected over the sibling
+      if (!schema.fieldNames.contains(key)) {
+        schema.fields.find(_.name.equalsIgnoreCase(key)).foreach { f =>
           throw new IllegalArgumentException(
             s"catalog '$catalogName' routes by shard_by '$key', but table " +
               s"$db.${ident.name()} spells the column '${f.name}' — shard_by " +
@@ -297,6 +300,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
               "collapse all use exact names); declare shard_by with the " +
               "exact column spelling")
         }
+      }
     }
     new ClickHouseTable(client, db, ident.name(), schema, readStreams,
       writeConcurrency, writeBatchSize, coerceSchemas, readDefaults,

@@ -381,7 +381,14 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inSq) { if (c == '\'') inSq = false }
+      // ChSql.stringLit escapes quotes with a backslash — skipping the
+      // escaped char keeps the scanner's string state honest ('O\'Brien'
+      // must not toggle the state twice, or everything after it reads
+      // as in-string and a real top-level ORDER BY gets repartitioned)
+      if (inSq) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inSq = false
+      }
       else if (inBq) { if (c == '`') inBq = false }
       else c match {
         case '\'' => inSq = true

@@ -196,12 +196,24 @@ class FailoverClickHouseClient(
         if (idx == pinnedIdx) Some(inner) else replicas(idx).rehome(inner)
       slice match {
         case Some(h) =>
+          var t: Option[T] = None
           try {
-            val t = open(replicas(idx), h)
-            force(t)
-            return t
+            val opened = open(replicas(idx), h)
+            t = Some(opened)
+            force(opened)
+            return opened
           } catch {
             case e: IOException =>
+              // release the failed attempt's transport state: the HTTP
+              // iterator holds a live connection AND a per-endpoint pool
+              // permit from the moment the open started — abandoning it
+              // un-closed leaks both (driver-side reads have no task
+              // completion listener to clean up after us)
+              t.foreach {
+                case c: AutoCloseable =>
+                  try c.close() catch { case _: Exception => () }
+                case _ => ()
+              }
               if (lastErr != null) e.addSuppressed(lastErr)
               lastErr = e
           }

@@ -141,35 +141,40 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
           case _: GlobalLimit | _: LocalLimit => true
           case p => p.expressions.exists(e => !e.deterministic)
         }
-      val splitBy =
-        if (!splitSafe) None
+      val (splitBy, splitBuckets) =
+        if (!splitSafe) (None, false)
         else child match {
           case agg: Aggregate =>
             // a SHARD-KEY-grouped collapse (the r41 shape) emits one row
             // per routing-key value — corpus-proportional at scale, so it
-            // slices on the key: range partitions of the grouping column
-            // hold whole, disjoint groups (deterministic), and the server
-            // pushes the range predicate through its own GROUP BY on the
-            // same key. A non-keyed aggregate keeps one stream: its
-            // result is small and per-slice re-execution buys nothing.
-            for {
+            // slices on the key. HASH-mod buckets, not value ranges: a
+            // range split would pay one full extra execution of the
+            // aggregation for the min/max probe, while bucket slices need
+            // no extremes; hash partitions of the grouping column hold
+            // whole, disjoint groups (deterministic), and the slice
+            // predicate is a function of the server's own GROUP BY key.
+            // A non-keyed aggregate keeps one stream: its result is
+            // small and per-slice re-execution buys nothing.
+            val cur = for {
               key <- scans.head.chClient.shardRoutingColumn
               ks <- shardKeyAttrs(agg, key)
               if ks.nonEmpty
-              cur <- child.output.zipWithIndex.collectFirst {
+              c <- child.output.zipWithIndex.collectFirst {
                 case (a, i) if ks.contains(a) => s"c$i"
               }
-            } yield cur
+            } yield c
+            (cur, cur.isDefined)
           case _ =>
-            scans.head.chSplitBy.flatMap { c =>
+            (scans.head.chSplitBy.flatMap { c =>
               child.output.zipWithIndex.collectFirst {
                 case (a, i) if a.name.equalsIgnoreCase(c) => s"c$i"
               }
-            }
+            }, false)
         }
       Some(ClickHouseRemoteNode(nodeOutput, sql, scans.head.chClient,
         scans.head.chStreams, remoteSizeEstimate(child, suffix),
-        coerce = scans.forall(_.chCoerce), splitBy = splitBy))
+        coerce = scans.forall(_.chCoerce), splitBy = splitBy,
+        splitBuckets = splitBuckets))
     }
   }
 

@@ -23,7 +23,8 @@ case class ClickHouseRemoteNode(
     streams: Int,
     sizeEstimate: BigInt = BigInt(1) << 20,
     coerce: Boolean = true,
-    splitBy: Option[String] = None)
+    splitBy: Option[String] = None,
+    splitBuckets: Boolean = false)
   extends LeafNode {
 
   // Shape-aware: the collapse rule passes an estimate derived from the
@@ -44,7 +45,8 @@ case class ClickHouseRemoteNode(
 object ClickHouseRemoteStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: ClickHouseRemoteNode =>
-      ClickHouseRemoteExec(n.output, n.sql, n.client, n.streams, n.coerce, n.splitBy) :: Nil
+      ClickHouseRemoteExec(n.output, n.sql, n.client, n.streams, n.coerce,
+        n.splitBy, n.splitBuckets) :: Nil
     case _ => Nil
   }
 }
@@ -61,16 +63,24 @@ case class ClickHouseRemoteExec(
     client: ClickHouseClient,
     streams: Int,
     coerce: Boolean = true,
-    splitBy: Option[String] = None)
+    splitBy: Option[String] = None,
+    splitBuckets: Boolean = false)
   extends SparkPlan with LeafExecNode {
 
-  /** Range-split even a COLLAPSED subtree when a cursor is configured:
-    * the transport wraps the whole collapsed SQL in per-slice WHERE
-    * bounds, so a big join/window result streams over N parallel
-    * connections instead of one fat stream (the collapse rule only
-    * passes a cursor for row-preserving, re-executable shapes).
+  /** Split even a COLLAPSED subtree when a cursor is configured: the
+    * transport wraps the whole collapsed SQL in per-slice conditions, so
+    * a big join/window result streams over N parallel connections
+    * instead of one fat stream (the collapse rule only passes a cursor
+    * for re-executable shapes). `splitBuckets` selects probe-free
+    * hash-mod slices (keyed-collapse aggregates: a min/max probe would
+    * pay one full extra execution of the aggregation just for bounds);
+    * plain shapes use value ranges. A transport without bucketed reads
+    * falls back to its plain fan.
     */
   private def plan(): (StructType, Seq[graft.client.ChPartitionHandle]) = splitBy match {
+    case Some(c) if splitBuckets =>
+      client.planQueryBuckets(sql, c, streams)
+        .getOrElse(client.planQuery(sql, streams))
     case Some(c) => client.planQueryRanges(sql, c, streams)
     case None => client.planQuery(sql, streams)
   }

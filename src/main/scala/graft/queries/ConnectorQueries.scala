@@ -86,10 +86,15 @@ object ConnectorQueries {
     * frames with the exact store column types (cast decimals etc.).
     */
   private def contentFp(df: DataFrame, cols: Seq[String]): (Long, Long) = {
+    // NULLs must render DISTINCTLY (concat_ws silently skips them, so
+    // ("x", NULL) and (NULL, "x") would fingerprint identically —
+    // exactly the value-shifting corruption this guard exists to catch):
+    // coalesce every column to a sentinel no cast-rendering produces
+    val rendered = cols.map(c =>
+      coalesce(col(c).cast("string"), lit("␀null")))
     val row = df.agg(
       count(lit(1)),
-      sum(crc32(concat_ws("|", cols.map(c => col(c).cast("string")): _*)
-        .cast("binary")))).head
+      sum(crc32(concat_ws("|", rendered: _*).cast("binary")))).head
     (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 

@@ -879,9 +879,31 @@ class ShardedClientSpec extends AnyFunSuite {
       case n: graft.pushdown.ClickHouseRemoteNode => n
     }
     assert(nodes.nonEmpty, s"shape must collapse:\n${keyed.queryExecution.optimizedPlan}")
-    // grouping key k is output column 0 → wire alias c0
+    // grouping key k is output column 0 → wire alias c0; buckets, not
+    // ranges (a min/max probe would re-execute the aggregation once
+    // extra just for bounds)
     assert(nodes.head.splitBy.contains("c0"),
       s"keyed collapse must slice on the routing key's alias: ${nodes.head.splitBy}")
+    assert(nodes.head.splitBuckets,
+      "keyed collapse must use probe-free hash-bucket slices")
+    // and the slicing machinery EXECUTES: bucket handles of the collapsed
+    // SQL are disjoint by key and union to the direct result
+    val client = new graft.client.ShardedClickHouseClient(
+      IndexedSeq(new EmbeddedClickHouse(rootA), new EmbeddedClickHouse(rootB)),
+      shardBy = Some("k"))
+    val collapsedSql =
+      """SELECT `k` AS c0, count(*) AS c1 FROM
+        |(SELECT `k` FROM `main`.`sh_events`) AS t GROUP BY `k`""".stripMargin
+    val planned = client.planQueryBuckets(collapsedSql, "c0", 4)
+    assert(planned.isDefined)
+    val buckets = planned.get._2.map(h =>
+      client.readPartition(h).map(_.getLong(0)).toSeq)
+    assert(buckets.size == 4)
+    assert(buckets.count(_.nonEmpty) > 1,
+      s"keys must spread across bucket slices: ${buckets.map(_.size)}")
+    val unioned = buckets.flatten.sorted
+    assert(unioned == (1L to 200L),
+      s"bucket slices must be disjoint and complete: ${unioned.size} keys")
   }
 
   test("at-open read failover: a handle planned on a replica that then " +
