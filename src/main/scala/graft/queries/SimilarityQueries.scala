@@ -45,6 +45,15 @@ object SimilarityQueries {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.AnnIvf.IvfIndex]
 
+  /** Persisted-index stores verified this JVM (gate:tag keyed): the
+    * integrity scan (counts + auto-k match, possibly a rebuild) is a
+    * persisted-artifact guard, so once a store checks out it stays
+    * trusted for the session — repeated gate invocations (bench
+    * iterations) must pay the PROBE path only, not re-verification.
+    */
+  private val verifiedIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Constant oracle for the ANN quality gates: the Spark side emits this
     * row only when measured recall@5 >= 0.90, so the hash compare IS the
     * quality assertion (rows+schema+hash green instead of `no_oracle`).
@@ -274,26 +283,29 @@ object SimilarityQueries {
         // CURRENT corpus — an artifact from an older formula (or a
         // half-build) rebuilds instead of silently serving a stale
         // operating point
-        val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
-        if (count("ivf_cells") <= 0 || count("ivf_centroids") != expectK) {
-          if (client.tableExists("main", "ivf_cells"))   // drop any half-build
-            client.dropTable("main", "ivf_cells")
-          if (client.tableExists("main", "ivf_centroids"))
-            client.dropTable("main", "ivf_centroids")
-          val index = graft.ops.AnnIvf.buildIndex(
-            corpus(s), "vec_id", "embedding", numCells = expectK,
-            trainSampleFraction = 0.5, maxIter = 10)
-          client.createTable("main", "ivf_cells", Seq(
-            "vec_id" -> "Nullable(Int64)",
-            "embedding" -> "Array(Nullable(Float32))",
-            "cell" -> "Nullable(Int32)"), Map("engine" -> "MergeTree"))
-          graft.ops.AnnIvf.cellsTable(index, "vec_id", "embedding")
-            .writeTo("clickhouse.main.ivf_cells").append()
-          client.createTable("main", "ivf_centroids", Seq(
-            "cell" -> "Nullable(Int32)",
-            "center" -> "Array(Nullable(Float64))"), Map("engine" -> "MergeTree"))
-          graft.ops.AnnIvf.centroidsTable(index, s)
-            .writeTo("clickhouse.main.ivf_centroids").append()
+        if (!verifiedIndexes.contains(s"r32:$tag")) {
+          val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
+          if (count("ivf_cells") <= 0 || count("ivf_centroids") != expectK) {
+            if (client.tableExists("main", "ivf_cells"))   // drop any half-build
+              client.dropTable("main", "ivf_cells")
+            if (client.tableExists("main", "ivf_centroids"))
+              client.dropTable("main", "ivf_centroids")
+            val index = graft.ops.AnnIvf.buildIndex(
+              corpus(s), "vec_id", "embedding", numCells = expectK,
+              trainSampleFraction = 0.5, maxIter = 10)
+            client.createTable("main", "ivf_cells", Seq(
+              "vec_id" -> "Nullable(Int64)",
+              "embedding" -> "Array(Nullable(Float32))",
+              "cell" -> "Nullable(Int32)"), Map("engine" -> "MergeTree"))
+            graft.ops.AnnIvf.cellsTable(index, "vec_id", "embedding")
+              .writeTo("clickhouse.main.ivf_cells").append()
+            client.createTable("main", "ivf_centroids", Seq(
+              "cell" -> "Nullable(Int32)",
+              "center" -> "Array(Nullable(Float64))"), Map("engine" -> "MergeTree"))
+            graft.ops.AnnIvf.centroidsTable(index, s)
+              .writeTo("clickhouse.main.ivf_centroids").append()
+          }
+          verifiedIndexes.add(s"r32:$tag")
         }
         // probe-only path: index rebuilt ENTIRELY from the store
         val stored = graft.ops.AnnIvf.fromTables(
@@ -323,16 +335,19 @@ object SimilarityQueries {
           client.tableExists("main", t) &&
             client.query(s"SELECT count(*) AS n FROM `main`.`$t`", 1)
               ._2.flatten.headOption.exists(_.getLong(0) > 0)
-        if (!populated("lsh_buckets")) {
-          if (client.tableExists("main", "lsh_buckets")) // drop any half-build
-            client.dropTable("main", "lsh_buckets")
-          client.createTable("main", "lsh_buckets", Seq(
-            "neighbor_id" -> "Nullable(Int64)",
-            "ne" -> "Array(Nullable(Float32))",
-            "lsh_key" -> "Nullable(Int32)"), Map("engine" -> "MergeTree"))
-          graft.ops.AnnLsh.bucketsTable(
-            corpus(s), "vec_id", "embedding", 64, numTables = 32, numPlanes = 5)
-            .writeTo("clickhouse.main.lsh_buckets").append()
+        if (!verifiedIndexes.contains(s"s08:$tag")) {
+          if (!populated("lsh_buckets")) {
+            if (client.tableExists("main", "lsh_buckets")) // drop any half-build
+              client.dropTable("main", "lsh_buckets")
+            client.createTable("main", "lsh_buckets", Seq(
+              "neighbor_id" -> "Nullable(Int64)",
+              "ne" -> "Array(Nullable(Float32))",
+              "lsh_key" -> "Nullable(Int32)"), Map("engine" -> "MergeTree"))
+            graft.ops.AnnLsh.bucketsTable(
+              corpus(s), "vec_id", "embedding", 64, numTables = 32, numPlanes = 5)
+              .writeTo("clickhouse.main.lsh_buckets").append()
+          }
+          verifiedIndexes.add(s"s08:$tag")
         }
         val probes = s.table("embeddings").filter(col("vec_id") < 100)
         val ann = graft.ops.AnnLsh.annTopKFromBuckets(
@@ -369,31 +384,34 @@ object SimilarityQueries {
           scala.util.Try(s.table(s"$cat.main.$t").count()).getOrElse(-1L)
         // same trust rule as r32: rows present AND centroid count matches
         // the auto-scaled k for the current corpus, or rebuild
-        val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
-        if (count("ivf_cells_sh") <= 0 || count("ivf_centroids_sh") != expectK) {
-          s.sql(s"DROP TABLE IF EXISTS $cat.main.ivf_cells_sh")
-          s.sql(s"DROP TABLE IF EXISTS $cat.main.ivf_centroids_sh")
-          val index = graft.ops.AnnIvf.buildIndex(
-            corpus(s), "vec_id", "embedding", numCells = expectK,
-            trainSampleFraction = 0.5, maxIter = 10)
-          s.sql(
-            s"""CREATE TABLE $cat.main.ivf_cells_sh
-               |(vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT)
-               |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'cell')""".stripMargin)
-          graft.ops.AnnIvf.cellsTable(index, "vec_id", "embedding")
-            .writeTo(s"$cat.main.ivf_cells_sh").append()
-          s.sql(
-            s"""CREATE TABLE $cat.main.ivf_centroids_sh
-               |(cell INT, center ARRAY<DOUBLE>)
-               |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'cell')""".stripMargin)
-          graft.ops.AnnIvf.centroidsTable(index, s)
-            .writeTo(s"$cat.main.ivf_centroids_sh").append()
+        if (!verifiedIndexes.contains(s"r46:$tag")) {
+          val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
+          if (count("ivf_cells_sh") <= 0 || count("ivf_centroids_sh") != expectK) {
+            s.sql(s"DROP TABLE IF EXISTS $cat.main.ivf_cells_sh")
+            s.sql(s"DROP TABLE IF EXISTS $cat.main.ivf_centroids_sh")
+            val index = graft.ops.AnnIvf.buildIndex(
+              corpus(s), "vec_id", "embedding", numCells = expectK,
+              trainSampleFraction = 0.5, maxIter = 10)
+            s.sql(
+              s"""CREATE TABLE $cat.main.ivf_cells_sh
+                 |(vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT)
+                 |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'cell')""".stripMargin)
+            graft.ops.AnnIvf.cellsTable(index, "vec_id", "embedding")
+              .writeTo(s"$cat.main.ivf_cells_sh").append()
+            s.sql(
+              s"""CREATE TABLE $cat.main.ivf_centroids_sh
+                 |(cell INT, center ARRAY<DOUBLE>)
+                 |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'cell')""".stripMargin)
+            graft.ops.AnnIvf.centroidsTable(index, s)
+              .writeTo(s"$cat.main.ivf_centroids_sh").append()
+          }
+          // the index must actually be distributed across the cluster
+          val perShard = clients.map(c =>
+            c.query("SELECT count(*) AS n FROM `main`.`ivf_cells_sh`", 1)
+              ._2.flatten.head.getLong(0))
+          require(perShard.forall(_ > 0), s"cell slices: ${perShard.mkString(",")}")
+          verifiedIndexes.add(s"r46:$tag")
         }
-        // the index must actually be distributed across the cluster
-        val perShard = clients.map(c =>
-          c.query("SELECT count(*) AS n FROM `main`.`ivf_cells_sh`", 1)
-            ._2.flatten.head.getLong(0))
-        require(perShard.forall(_ > 0), s"cell slices: ${perShard.mkString(",")}")
         val stored = graft.ops.AnnIvf.fromTables(
           s.table(s"$cat.main.ivf_cells_sh"),
           s.table(s"$cat.main.ivf_centroids_sh"), "vec_id", "embedding")
