@@ -483,7 +483,20 @@ class HttpClickHouseClient(
       val schema = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
       val de = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(schema)
         .resolveAndBind().createDeserializer()
-      readPartitionInternal(h, schema).map(de(_))
+      val inner = readPartitionInternal(h, schema)
+      // keep the wire iterator's AutoCloseable visible through the
+      // external-row adapter: a plain .map would hide it, and failover
+      // (which must release a failed attempt's connection + pool permit)
+      // as well as any driver-side caller could no longer close the
+      // underlying stream
+      new Iterator[Row] with AutoCloseable {
+        override def hasNext: Boolean = inner.hasNext
+        override def next(): Row = de(inner.next())
+        override def close(): Unit = inner match {
+          case c: AutoCloseable => c.close()
+          case _ => ()
+        }
+      }
     case other => throw new IllegalArgumentException(
       s"not an HTTP handle: ${other.getClass.getName}")
   }
