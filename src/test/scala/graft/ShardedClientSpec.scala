@@ -135,6 +135,37 @@ class ShardedClientSpec extends AnyFunSuite {
       s"per-shard SQL must carry LIMIT limit+offset and no OFFSET: $scanSql")
   }
 
+  test("runtime filter from a broadcast join narrows SHARDED remote scans: " +
+    "the IN-list reaches every shard's statement") {
+    seed()
+    import spark.implicits._
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try {
+      // file-backed dim: a LocalRelation constant-folds its filter away
+      // and PartitionPruning derives no runtime filter (same setup as
+      // the single-store spec)
+      val dimPath = rootA + "/rf_dims.parquet"
+      Seq((7L, "keep"), (9L, "keep"), (500L, "drop"))
+        .toDF("dk", "tag").write.mode("overwrite").parquet(dimPath)
+      val dims = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+      val fact = spark.table("chshard.main.sh_events")
+      val joined = fact.join(broadcast(dims), fact("k") === dims("dk"))
+        .select(col("k"), col("v"), col("tag"))
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(7L, 9L))
+      // the IN-list is row-local, so it pushes into the PER-SHARD scan
+      // SQL — at 100 TB each shard reads only matching join keys
+      val sqls = PlanAsserts.flatten(joined.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }
+      assert(sqls.exists(s => s.contains("IN (") && s.contains("7")),
+        s"runtime IN-filter must reach the sharded scan: ${sqls.mkString("; ")}")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    }
+  }
+
   test("row-local clickhouse() expressions still ship per shard; " +
     "whole-result subtrees never collapse") {
     seed()
