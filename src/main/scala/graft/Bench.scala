@@ -41,6 +41,7 @@ object Bench {
     val iters = sys.env.getOrElse("GRAFT_BENCH_ITERS", "3").toInt
     // GRAFT_BENCH_ONLY=q01,t04 — dev-loop filter; driver leaves it unset
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    var anyFailed = false
     val results = SparkEntry.gateQueries.sortBy(_.name)
       .filter(g => only.forall(_.contains(g.name))).map { g =>
       val times = (0 until iters).map { _ =>
@@ -48,6 +49,7 @@ object Bench {
         try g.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
           case e: Throwable =>
+            anyFailed = true
             System.err.println(s"[bench] ${g.name} failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
@@ -62,19 +64,37 @@ object Bench {
       g.name -> times.min
     }
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // The driver records only a bounded TAIL of stdout (~2.5 KB — the
+    // round-7 record kept 58 of 138 map entries and lost the d/m/p/q
+    // prefix). The stdout line therefore uses SHORT gate keys (the
+    // unambiguous name prefix up to the first '_', e.g. "r41") and
+    // 3-decimal values so all 138 entries fit inside the captured
+    // window; bench_gates.json keeps the full names and full precision.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    require(results.map(k => shortKey(k._1)).distinct.length == results.length,
+      "short gate keys collide; widen shortKey")
+    val qsShort = results
+      .map { case (k, v) => s""""${shortKey(k)}":${f"$v%.3f"}""" }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // the driver records only a bounded TAIL of stdout, which truncates
-    // the 138-entry queries map — persist the full line to a tracked file
-    // so every per-gate number survives in the round record. FULL-battery
-    // runs only: a GRAFT_BENCH_ONLY dev A/B must never clobber the round
-    // record with a one-entry noisy line
-    if (only.isEmpty)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(sys.props("user.dir"), "bench_gates.json"), line + "\n")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
+    // persist the full-name full-precision line to a tracked file so every
+    // per-gate number survives in the round record. FULL-battery CLEAN
+    // runs only: a GRAFT_BENCH_ONLY dev A/B (or a run where a gate threw
+    // and its timing is a failure artifact) must never clobber the last
+    // good round record — write to a temp file and move into place.
+    if (only.isEmpty && !anyFailed) {
+      val line =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+      val dir = java.nio.file.Paths.get(sys.props("user.dir"))
+      val tmp = java.nio.file.Files.createTempFile(dir, ".bench_gates", ".tmp")
+      java.nio.file.Files.writeString(tmp, line + "\n")
+      java.nio.file.Files.move(tmp, dir.resolve("bench_gates.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     spark.stop()
   }
 }

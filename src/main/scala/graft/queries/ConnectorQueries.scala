@@ -115,10 +115,14 @@ object ConnectorQueries {
     * fingerprints are re-checked and a residual mismatch fails loudly —
     * a silently-wrong store must never survive to poison a gate hash.
     */
-  private[queries] def ensureStore(s: SparkSession,
+  private[queries] def ensureStore(s: SparkSession, sfDir: String,
       tables: Seq[(String, Seq[String], () => DataFrame)])(build: => Unit): Unit =
     synchronized {
-      val memoKey = tables.map(_._1).mkString(",")
+      // the memo key carries the corpus dir: untagged shared stores
+      // (clickhouse.main.*) would otherwise skip re-verification when the
+      // same JVM later runs a second sfDir — matching the r32/s08/r46
+      // verifiedIndexes key scheme
+      val memoKey = sfDir + "::" + tables.map(_._1).mkString(",")
       if (!verifiedStores.contains(memoKey)) {
         def mismatches(): Seq[String] = tables.flatMap { case (t, cols, exp) =>
           // a probe that THROWS (e.g. the table exists on the head shard
@@ -139,11 +143,92 @@ object ConnectorQueries {
       }
     }
 
+  /** Per-shard store-state evidence for the Verify forensic sidecars:
+    * row count + routing-key extremes + distinct-key count per shard
+    * table, and the cross-shard routing-key overlap — which MUST be 0
+    * for every shard_by-routed table (an overlapping key breaks the
+    * keyed-COMPLETE collapse's union semantics; it is exactly the
+    * corruption class the r41/r42 driver hash failures would show if
+    * the store were at fault). Every probe is Try-guarded: the sidecar
+    * must report, never throw.
+    */
+  private def shardStats(
+      roots: Seq[String], table: String, key: String): Map[String, String] = {
+    def client(r: String) = new EmbeddedClickHouse(r)
+    val stats = roots.zipWithIndex.flatMap { case (r, i) =>
+      val base = scala.util.Try {
+        val row = client(r).query(
+          s"SELECT count(*) AS n, min(`$key`) AS mn, max(`$key`) AS mx " +
+            s"FROM `main`.`$table`", 1)._2.flatten.head
+        s"n=${row.get(0)} min=${row.get(1)} max=${row.get(2)}"
+      }.recover { case e => s"error=${e.getMessage}" }.get
+      Seq(s"shard$i.$table" -> base)
+    }.toMap
+    val overlap =
+      if (roots.size < 2) "n/a"
+      else scala.util.Try {
+        val sets = roots.map(r => client(r).query(
+          s"SELECT DISTINCT `$key` AS k FROM `main`.`$table`", 1)
+          ._2.flatten.map(x => String.valueOf(x.get(0))).toSet)
+        s"overlap=${sets.reduce(_ intersect _).size} " +
+          sets.zipWithIndex.map { case (ks, i) => s"distinct$i=${ks.size}" }.mkString(" ")
+      }.recover { case e => s"error=${e.getMessage}" }.get
+    stats + (s"$table.keys" -> overlap)
+  }
+
+  /** Sidecar store probes, keyed by gate name ([[graft.Verify]] calls
+    * these after writing each audited gate's parquet).
+    */
+  val storeAudits: Map[String, (SparkSession, String) => Map[String, String]] = {
+    def sharded(prefix: String, tables: Seq[(String, String)])
+        : (SparkSession, String) => Map[String, String] =
+      (_, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val roots = Seq(
+          s"/root/repo/target/${prefix}0_$tag", s"/root/repo/target/${prefix}1_$tag")
+        tables.flatMap { case (t, k) => shardStats(roots, t, k) }.toMap
+      }
+    Map(
+      "r39_sharded_agg" -> sharded("chshard", Seq("cust_sh" -> "c_custkey")),
+      "r40_sharded_final" -> sharded("chshfin", Seq("dim_sh" -> "k")),
+      "r41_sharded_colocated_join" -> sharded("chcoloc",
+        Seq("cust_co" -> "custkey", "ord_co" -> "custkey")),
+      "r42_sharded_keyed_agg" -> sharded("chshagg", Seq("ord_ka" -> "custkey")),
+      "r43_sketch_quantile" -> ((_, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        shardStats(Seq(s"/root/repo/target/chstore_$tag"), "qh_hist", "src")
+      }),
+      "r44_sharded_stream_sink" -> sharded("chshstr", Seq("ev_sh" -> "user_id")),
+      "r45_sharded_stream_dedup" -> sharded("chshfp", Seq("fp_index" -> "fp")),
+      "r46_sharded_ann_index" -> sharded("chshann", Seq("ivf_cells_sh" -> "cell")))
+  }
+
+  /** Body-time store snapshot: when running under graft.Verify (the
+    * driver's correctness procedure sets `graft.verify.audit`), a gate
+    * body records its store state IMMEDIATELY after setup, before the
+    * driver materializes the returned DataFrame — so a later divergence
+    * can be attributed to store mutation between body and
+    * materialization vs a store that was already wrong. No-op (and
+    * zero-cost) outside Verify: bench timings must not pay for probes.
+    */
+  private[queries] def bodyAudit(name: String, s: SparkSession, dir: String): Unit =
+    sys.props.get("graft.verify.audit").foreach { auditDir =>
+      try {
+        val stats = storeAudits.get(name).map(f => f(s, dir)).getOrElse(Map.empty)
+        val body = stats.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k": "${v.replace("\"", "'")}"""" }
+          .mkString("{", ", ", "}")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(auditDir))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(auditDir, s"$name.body.audit.json"), body + "\n")
+      } catch { case _: Throwable => () }
+    }
+
   /** Shared append-only source table for the r27/r45 streaming-dedup
     * gates, content-fingerprinted against the events corpus.
     */
-  private def ensureEvFpSrc(s: SparkSession): Unit =
-    ensureStore(s, Seq(("clickhouse.main.ev_fp_src",
+  private def ensureEvFpSrc(s: SparkSession, dir: String): Unit =
+    ensureStore(s, dir, Seq(("clickhouse.main.ev_fp_src",
       Seq("event_id", "event_type", "props"),
       () => s.table("events").select("event_id", "event_type", "props")))) {
       s.sql(
@@ -440,7 +525,7 @@ object ConnectorQueries {
       // idempotent setup: the source table is append-only input, so a
       // fully-landed copy from an earlier run (content-fingerprinted
       // against the corpus derivation) is reused
-      ensureStore(s, Seq(("clickhouse.main.ev_src",
+      ensureStore(s, dir, Seq(("clickhouse.main.ev_src",
         Seq("event_id", "event_type", "k"),
         () => s.table("events").select(col("event_id"), col("event_type"),
           get_json_object(col("props"), "$.k").cast("bigint").as("k"))))) {
@@ -536,7 +621,7 @@ object ConnectorQueries {
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.catalog.ClickHouseCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.path", root2)
-      ensureStore(s, Seq((s"$cat.main.supplier",
+      ensureStore(s, dir, Seq((s"$cat.main.supplier",
         Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
         () => s.table("supplier")
           .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")))) {
@@ -575,7 +660,7 @@ object ConnectorQueries {
         |FROM events GROUP BY md5(event_type || '|' || props)""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val client = new EmbeddedClickHouse(s"/root/repo/target/chstore_$tag")
-      ensureEvFpSrc(s)
+      ensureEvFpSrc(s, dir)
       s.sql("DROP TABLE IF EXISTS clickhouse.main.fp_index")
       s.sql(
         """CREATE TABLE clickhouse.main.fp_index (fp STRING, first_event BIGINT)
@@ -651,7 +736,7 @@ object ConnectorQueries {
         |  CAST(min(event_id) AS BIGINT) AS first_event
         |FROM events GROUP BY md5(event_type || '|' || props)""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      ensureEvFpSrc(s)
+      ensureEvFpSrc(s, dir)
       val cat = s"chshfp_$tag"
       val roots = IndexedSeq(
         s"/root/repo/target/chshfp0_$tag", s"/root/repo/target/chshfp1_$tag")
@@ -855,7 +940,7 @@ object ConnectorQueries {
       // fingerprint covers the signature VALUES (not just doc ids): a
       // corpus regeneration changing text re-derives different minhashes
       // at identical row counts, and a stale signature table must rebuild
-      ensureStore(s, Seq(("clickhouse.main.doc_sigs",
+      ensureStore(s, dir, Seq(("clickhouse.main.doc_sigs",
         "doc_id" +: (0 until 16).map(i => s"s$i"),
         () => DedupQueries.minhashSigs(s).filter(col("doc_id") % 7 =!= 3)))) {
         client.createTable("main", "doc_sigs",
@@ -1008,7 +1093,7 @@ object ConnectorQueries {
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.catalog.ClickHouseCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.path", root2)
-      ensureStore(s, Seq((s"$cat.main.customer",
+      ensureStore(s, dir, Seq((s"$cat.main.customer",
         Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
         () => s.table("customer")
           .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")))) {
@@ -1179,7 +1264,7 @@ object ConnectorQueries {
       s.conf.set(s"spark.sql.catalog.$cat.path", roots)
       s.conf.set(s"spark.sql.catalog.$cat.shard_by", "c_custkey")
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
-      ensureStore(s, Seq((s"$cat.main.cust_sh",
+      ensureStore(s, dir, Seq((s"$cat.main.cust_sh",
         Seq("c_custkey", "c_mktsegment", "c_acctbal"),
         () => s.table("customer").select(col("c_custkey"), col("c_mktsegment"),
           col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))))) {
@@ -1258,7 +1343,7 @@ object ConnectorQueries {
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
       // round 6's poisoned artifacts were exactly these two tables: a
       // mid-development partial insert passed tableExists forever
-      ensureStore(s, Seq(
+      ensureStore(s, dir, Seq(
         (s"$cat.main.cust_co", Seq("custkey", "mkt"),
           () => s.table("customer").select(col("c_custkey").as("custkey"),
             col("c_mktsegment").as("mkt"))),
@@ -1279,6 +1364,7 @@ object ConnectorQueries {
              |SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2))
              |FROM orders""".stripMargin)
       }
+      bodyAudit("r41_sharded_colocated_join", s, dir)
       val c = s.table(s"$cat.main.cust_co").as("c")
       val o = s.table(s"$cat.main.ord_co").as("o")
       c.join(o, col("c.custkey") === col("o.custkey"))
@@ -1309,7 +1395,7 @@ object ConnectorQueries {
       s.conf.set(s"spark.sql.catalog.$cat.path", roots)
       s.conf.set(s"spark.sql.catalog.$cat.shard_by", "custkey")
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
-      ensureStore(s, Seq((s"$cat.main.ord_ka",
+      ensureStore(s, dir, Seq((s"$cat.main.ord_ka",
         Seq("custkey", "okey", "price"),
         () => s.table("orders").select(col("o_custkey").as("custkey"),
           col("o_orderkey").as("okey"),
@@ -1323,6 +1409,7 @@ object ConnectorQueries {
              |SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))
              |FROM orders""".stripMargin)
       }
+      bodyAudit("r42_sharded_keyed_agg", s, dir)
       s.table(s"$cat.main.ord_ka")
         .groupBy(col("custkey"))
         .agg(count(lit(1)).as("n"),

@@ -279,17 +279,26 @@ object SimilarityQueries {
           else client.query(s"SELECT count(*) AS n FROM `main`.`$t`", 1)
             ._2.flatten.headOption.map(_.getLong(0)).getOrElse(-1L)
         // a persisted index is trusted only when BOTH tables hold rows
-        // AND the centroid count matches the auto-scaled k for the
-        // CURRENT corpus — an artifact from an older formula (or a
-        // half-build) rebuilds instead of silently serving a stale
-        // operating point
+        // AND the REQUESTED k recorded at build time (ivf_meta) matches
+        // the auto-scaled k for the CURRENT corpus — an artifact from an
+        // older formula / regenerated corpus (or a half-build) rebuilds
+        // instead of silently serving a stale operating point. The
+        // recorded value is the formula's k, NOT centers.length: KMeans
+        // may legitimately return fewer than k distinct centers on a
+        // degenerate corpus, and comparing the centroid COUNT against the
+        // formula would rebuild-loop such a store on every fresh JVM.
+        def metaK(t: String): Long =
+          if (!client.tableExists("main", t)) -1L
+          else client.query(s"SELECT max(requested_k) AS k FROM `main`.`$t`", 1)
+            ._2.flatten.headOption
+            .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).getOrElse(-1L)
         if (!verifiedIndexes.contains(s"r32:$tag")) {
           val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
-          if (count("ivf_cells") <= 0 || count("ivf_centroids") != expectK) {
-            if (client.tableExists("main", "ivf_cells"))   // drop any half-build
-              client.dropTable("main", "ivf_cells")
-            if (client.tableExists("main", "ivf_centroids"))
-              client.dropTable("main", "ivf_centroids")
+          if (count("ivf_cells") <= 0 || count("ivf_centroids") <= 0 ||
+            metaK("ivf_meta") != expectK) {
+            Seq("ivf_cells", "ivf_centroids", "ivf_meta").foreach { t =>
+              if (client.tableExists("main", t)) client.dropTable("main", t)
+            }
             val index = graft.ops.AnnIvf.buildIndex(
               corpus(s), "vec_id", "embedding", numCells = expectK,
               trainSampleFraction = 0.5, maxIter = 10)
@@ -304,6 +313,14 @@ object SimilarityQueries {
               "center" -> "Array(Nullable(Float64))"), Map("engine" -> "MergeTree"))
             graft.ops.AnnIvf.centroidsTable(index, s)
               .writeTo("clickhouse.main.ivf_centroids").append()
+            // marker LAST: its presence certifies both data tables landed
+            client.createTable("main", "ivf_meta",
+              Seq("requested_k" -> "Nullable(Int64)"), Map("engine" -> "MergeTree"))
+            client.insert("main", "ivf_meta",
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("requested_k",
+                  org.apache.spark.sql.types.LongType))),
+              Seq(org.apache.spark.sql.Row(expectK.toLong)))
           }
           verifiedIndexes.add(s"r32:$tag")
         }
@@ -382,13 +399,25 @@ object SimilarityQueries {
         // unreadable (half-builds where one shard lacks the table)
         def count(t: String): Long =
           scala.util.Try(s.table(s"$cat.main.$t").count()).getOrElse(-1L)
-        // same trust rule as r32: rows present AND centroid count matches
-        // the auto-scaled k for the current corpus, or rebuild
+        // same trust rule as r32: rows present AND the build-time
+        // requested k (ivf_meta_sh, written to shard 0 as the marker)
+        // matches the current corpus's auto-scaled k, or rebuild —
+        // comparing the centroid COUNT would rebuild-loop a store whose
+        // KMeans legitimately converged to fewer than k centers
+        def metaK: Long =
+          if (!clients.head.tableExists("main", "ivf_meta_sh")) -1L
+          else clients.head.query(
+            "SELECT max(requested_k) AS k FROM `main`.`ivf_meta_sh`", 1)
+            ._2.flatten.headOption
+            .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).getOrElse(-1L)
         if (!verifiedIndexes.contains(s"r46:$tag")) {
           val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
-          if (count("ivf_cells_sh") <= 0 || count("ivf_centroids_sh") != expectK) {
+          if (count("ivf_cells_sh") <= 0 || count("ivf_centroids_sh") <= 0 ||
+            metaK != expectK) {
             s.sql(s"DROP TABLE IF EXISTS $cat.main.ivf_cells_sh")
             s.sql(s"DROP TABLE IF EXISTS $cat.main.ivf_centroids_sh")
+            if (clients.head.tableExists("main", "ivf_meta_sh"))
+              clients.head.dropTable("main", "ivf_meta_sh")
             val index = graft.ops.AnnIvf.buildIndex(
               corpus(s), "vec_id", "embedding", numCells = expectK,
               trainSampleFraction = 0.5, maxIter = 10)
@@ -404,6 +433,15 @@ object SimilarityQueries {
                  |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'cell')""".stripMargin)
             graft.ops.AnnIvf.centroidsTable(index, s)
               .writeTo(s"$cat.main.ivf_centroids_sh").append()
+            // marker LAST (shard 0 only — a 1-row meta table needs no
+            // routing): its presence certifies both data tables landed
+            clients.head.createTable("main", "ivf_meta_sh",
+              Seq("requested_k" -> "Nullable(Int64)"), Map("engine" -> "MergeTree"))
+            clients.head.insert("main", "ivf_meta_sh",
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("requested_k",
+                  org.apache.spark.sql.types.LongType))),
+              Seq(org.apache.spark.sql.Row(expectK.toLong)))
           }
           // the index must actually be distributed across the cluster
           val perShard = clients.map(c =>
