@@ -120,6 +120,46 @@ class StressSpec extends AnyFunSuite {
     } finally ec.shutdown()
   }
 
+  test("cross-QUERY concurrency: the sharded keyed-collapse gates (r41/" +
+    "r42) evaluated simultaneously with other embedded-store gates from " +
+    "many threads stay bit-identical over 20 rounds") {
+    // The rounds-6/7 driver record flagged r41/r42 hash-only failures
+    // that no SERIAL reproduction (builder's or two judges') ever
+    // reproduced. The one shape those reproductions never exercised is
+    // CONCURRENT evaluation of DIFFERENT sharded-catalog gates in one
+    // JVM — embedded child-session thread-handoff across catalogs
+    // (ShardedClickHouseClient.perShard) interleaving with single-store
+    // collapses. This drives exactly that: every round evaluates the two
+    // keyed-collapse gates plus single-store + sharded-partial peers
+    // concurrently and bit-compares each result against its serial
+    // reference signature.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/orders.parquet").exists())
+    val names = Seq(
+      "r41_sharded_colocated_join", "r42_sharded_keyed_agg",
+      "r39_sharded_agg", "r08_remote_join_collapse", "r03_connector_agg")
+    val qs = names.map(n => n -> SparkEntry.queries(n)).toMap
+    def sign(n: String): String = Verify.contentSig(qs(n)(spark, dir))._2
+    // serial pass first: builds the gate stores once and records the
+    // reference signature per gate
+    val ref = names.map(n => n -> sign(n)).toMap
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService = pool(8)
+    try {
+      (0 until 20).foreach { round =>
+        // shuffled, two evaluations per gate per round, so the pairings
+        // and interleavings differ across rounds
+        val order = scala.util.Random.shuffle(names ++ names)
+        val futs = order.map(n => Future(n -> sign(n)))
+        Await.result(Future.sequence(futs), 300.seconds).foreach {
+          case (n, s) =>
+            assert(s == ref(n),
+              s"round $round: $n diverged under cross-query concurrency " +
+                s"(got $s, expected ${ref(n)})")
+        }
+      }
+    } finally ec.shutdown()
+  }
+
   test("readers racing a writer only ever observe whole committed blocks") {
     val client = new EmbeddedClickHouse(root)
     client.createTable("db", "race",
