@@ -124,20 +124,27 @@ object ConnectorQueries {
       // verifiedIndexes key scheme
       val memoKey = sfDir + "::" + tables.map(_._1).mkString(",")
       if (!verifiedStores.contains(memoKey)) {
-        def mismatches(): Seq[String] = tables.flatMap { case (t, cols, exp) =>
-          // a probe that THROWS (e.g. the table exists on the head shard
-          // but a crashed build never created it on another) is as
-          // mismatched as a wrong fingerprint
-          val ok = scala.util.Try(s.catalog.tableExists(t) &&
-            contentFp(s.table(t), cols) == contentFp(exp(), cols)).getOrElse(false)
-          if (ok) None else Some(t)
-        }
-        if (mismatches().nonEmpty) {
-          tables.foreach { case (t, _, _) => s.sql(s"DROP TABLE IF EXISTS $t") }
-          build
-          val bad = mismatches()
-          require(bad.isEmpty,
-            s"gate store rebuild left content mismatched vs corpus: ${bad.mkString(", ")}")
+        // inter-PROCESS exclusion around verify+rebuild: a concurrent
+        // JVM sharing target/ (bench overlapping verify) must never see
+        // — or scan-verify against — a torn mid-build store. The JVM-
+        // local `synchronized` above keeps same-process threads out, so
+        // the OS lock never self-overlaps.
+        graft.client.StoreLock.withLockNamed(memoKey) {
+          def mismatches(): Seq[String] = tables.flatMap { case (t, cols, exp) =>
+            // a probe that THROWS (e.g. the table exists on the head shard
+            // but a crashed build never created it on another) is as
+            // mismatched as a wrong fingerprint
+            val ok = scala.util.Try(s.catalog.tableExists(t) &&
+              contentFp(s.table(t), cols) == contentFp(exp(), cols)).getOrElse(false)
+            if (ok) None else Some(t)
+          }
+          if (mismatches().nonEmpty) {
+            tables.foreach { case (t, _, _) => s.sql(s"DROP TABLE IF EXISTS $t") }
+            build
+            val bad = mismatches()
+            require(bad.isEmpty,
+              s"gate store rebuild left content mismatched vs corpus: ${bad.mkString(", ")}")
+          }
         }
         verifiedStores.add(memoKey)
       }
@@ -1200,20 +1207,29 @@ object ConnectorQueries {
         |    WHERE n_chars IS NOT NULL) x) AS n_groups,
         |  quantile_cont(n_chars, 0.5) AS exact_median,
         |  TRUE AS estimate_ok
-        |FROM documents""".stripMargin) { (s, _) =>
-      s.sql("DROP TABLE IF EXISTS clickhouse.main.qh_hist")
-      s.sql(
-        """CREATE TABLE clickhouse.main.qh_hist
-          |(src STRING NOT NULL, bucket BIGINT, cnt BIGINT)
-          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'src')""".stripMargin)
-      // one small row per (source, bucket) lands in the store; the
-      // corpus shuffles ONCE with map-side partials
-      s.sql(
-        """INSERT INTO clickhouse.main.qh_hist
-          |SELECT coalesce(source, '') AS src,
-          |  CAST(n_chars DIV 16 AS BIGINT) AS bucket, count(*) AS cnt
-          |FROM documents WHERE n_chars IS NOT NULL
-          |GROUP BY coalesce(source, ''), CAST(n_chars DIV 16 AS BIGINT)""".stripMargin)
+        |FROM documents""".stripMargin) { (s, dir) =>
+      // build-once + content-fingerprinted like every other gate store:
+      // the previous DROP+rebuild-per-invocation paid the full ingest in
+      // every timed run AND was a standing cross-process torn-store race
+      ensureStore(s, dir, Seq(("clickhouse.main.qh_hist",
+        Seq("src", "bucket", "cnt"),
+        () => s.table("documents").filter(col("n_chars").isNotNull)
+          .groupBy(coalesce(col("source"), lit("")).as("src"),
+            expr("CAST(n_chars DIV 16 AS BIGINT)").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))))) {
+        s.sql(
+          """CREATE TABLE clickhouse.main.qh_hist
+            |(src STRING NOT NULL, bucket BIGINT, cnt BIGINT)
+            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'src')""".stripMargin)
+        // one small row per (source, bucket) lands in the store; the
+        // corpus shuffles ONCE with map-side partials
+        s.sql(
+          """INSERT INTO clickhouse.main.qh_hist
+            |SELECT coalesce(source, '') AS src,
+            |  CAST(n_chars DIV 16 AS BIGINT) AS bucket, count(*) AS cnt
+            |FROM documents WHERE n_chars IS NOT NULL
+            |GROUP BY coalesce(source, ''), CAST(n_chars DIV 16 AS BIGINT)""".stripMargin)
+      }
       // probe: merge the persisted sketches (sum per bucket), walk the
       // cumulative histogram to bracket the two middle order statistics
       val merged = s.table("clickhouse.main.qh_hist")

@@ -292,7 +292,12 @@ object SimilarityQueries {
           else client.query(s"SELECT max(requested_k) AS k FROM `main`.`$t`", 1)
             ._2.flatten.headOption
             .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).getOrElse(-1L)
-        if (!verifiedIndexes.contains(s"r32:$tag")) {
+        // JVM-local monitor first (same-JVM file-lock overlap throws),
+        // then the inter-process store lock: a concurrent JVM must never
+        // scan-verify or probe a half-built index
+        SimilarityQueries.synchronized {
+        if (!verifiedIndexes.contains(s"r32:$tag"))
+          graft.client.StoreLock.withLockNamed(s"ann:r32:$tag") {
           val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
           if (count("ivf_cells") <= 0 || count("ivf_centroids") <= 0 ||
             metaK("ivf_meta") != expectK) {
@@ -324,6 +329,7 @@ object SimilarityQueries {
           }
           verifiedIndexes.add(s"r32:$tag")
         }
+        }
         // probe-only path: index rebuilt ENTIRELY from the store
         val stored = graft.ops.AnnIvf.fromTables(
           s.table("clickhouse.main.ivf_cells"),
@@ -352,7 +358,9 @@ object SimilarityQueries {
           client.tableExists("main", t) &&
             client.query(s"SELECT count(*) AS n FROM `main`.`$t`", 1)
               ._2.flatten.headOption.exists(_.getLong(0) > 0)
-        if (!verifiedIndexes.contains(s"s08:$tag")) {
+        SimilarityQueries.synchronized {
+        if (!verifiedIndexes.contains(s"s08:$tag"))
+          graft.client.StoreLock.withLockNamed(s"ann:s08:$tag") {
           if (!populated("lsh_buckets")) {
             if (client.tableExists("main", "lsh_buckets")) // drop any half-build
               client.dropTable("main", "lsh_buckets")
@@ -365,6 +373,7 @@ object SimilarityQueries {
               .writeTo("clickhouse.main.lsh_buckets").append()
           }
           verifiedIndexes.add(s"s08:$tag")
+        }
         }
         val probes = s.table("embeddings").filter(col("vec_id") < 100)
         val ann = graft.ops.AnnLsh.annTopKFromBuckets(
@@ -410,7 +419,9 @@ object SimilarityQueries {
             "SELECT max(requested_k) AS k FROM `main`.`ivf_meta_sh`", 1)
             ._2.flatten.headOption
             .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).getOrElse(-1L)
-        if (!verifiedIndexes.contains(s"r46:$tag")) {
+        SimilarityQueries.synchronized {
+        if (!verifiedIndexes.contains(s"r46:$tag"))
+          graft.client.StoreLock.withLockNamed(s"ann:r46:$tag") {
           val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
           if (count("ivf_cells_sh") <= 0 || count("ivf_centroids_sh") <= 0 ||
             metaK != expectK) {
@@ -449,6 +460,7 @@ object SimilarityQueries {
               ._2.flatten.head.getLong(0))
           require(perShard.forall(_ > 0), s"cell slices: ${perShard.mkString(",")}")
           verifiedIndexes.add(s"r46:$tag")
+        }
         }
         val stored = graft.ops.AnnIvf.fromTables(
           s.table(s"$cat.main.ivf_cells_sh"),
