@@ -360,7 +360,12 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     if (entry.dfCache.size > 64) entry.dfCache.clear()
     entry.dfCache.computeIfAbsent(sql, _ => {
       val tables = knownTables
-      val tr = ChSqlTranslator.translate(rewriteSample(rewriteFinal(sql)), tables)
+      // keyed-collapse slice tokens are an HTTP-transport affordance
+      // (per-slice hash-mod predicates inside the aggregation); the
+      // embedded transport executes the statement ONCE and repartitions,
+      // so the token is dropped before translation (leaving `WHERE true`)
+      val detokened = sql.replaceAll(raw"/\*__CH_SLICE__\([^)]*\)\*/", "")
+      val tr = ChSqlTranslator.translate(rewriteSample(rewriteFinal(detokened)), tables)
       ensureViews(entry, tr, tables)
       try entry.session.sql(tr) catch { case e: Throwable =>
         throw new IllegalArgumentException(

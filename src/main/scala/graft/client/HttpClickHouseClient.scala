@@ -337,11 +337,33 @@ class HttpClickHouseClient(
     * re-implementation is needed (and none is claimed —
     * graft.catalog.ChBoundBucket("cityhash64") refuses produceResult).
     */
+  private val sliceTokenRe = java.util.regex.Pattern.compile(
+    java.util.regex.Pattern.quote(graft.pushdown.ChPlanUnparser.SliceOpen) +
+      "([^)]*)" +
+      java.util.regex.Pattern.quote(graft.pushdown.ChPlanUnparser.SliceClose))
+
   override def planQueryBuckets(
       sql: String,
       bucketColumn: String,
       numBuckets: Int): Option[(StructType, Seq[ChPartitionHandle])] = {
     val schema = describe(sql)
+    // Keyed-collapse statements carry a slice token INSIDE the
+    // aggregation subquery's WHERE (ChPlanUnparser.SliceOpen): substitute
+    // the hash-mod predicate there, on the PRE-aggregation key alias, so
+    // each slice aggregates only its own rows — an outer wrap would make
+    // the server re-run the full GROUP BY once per slice and post-filter.
+    val m = sliceTokenRe.matcher(sql)
+    if (m.find()) {
+      val inner = m.group(1)
+      return Some((schema, (0 until numBuckets).map { i =>
+        val cond =
+          if (i == 0)
+            s"($inner IS NULL OR cityHash64($inner) % $numBuckets = $i)"
+          else
+            s"($inner IS NOT NULL AND cityHash64($inner) % $numBuckets = $i)"
+        handle(m.replaceFirst(java.util.regex.Matcher.quoteReplacement(cond)), schema)
+      }))
+    }
     require(schema.fieldNames.contains(bucketColumn),
       s"bucket column '$bucketColumn' not in result schema " +
         schema.fieldNames.mkString(","))

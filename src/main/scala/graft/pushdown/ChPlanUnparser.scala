@@ -30,10 +30,32 @@ object ChPlanUnparser {
 
   def aliasOf(id: ExprId): String = s"a${id.id}"
 
+  /** Slice-site marker for keyed-collapse bucket reads. Emitted INSIDE
+    * the aggregation statement's WHERE (on the pre-aggregation alias of
+    * the shard routing key), so a transport substitutes its hash-mod
+    * predicate BEFORE the GROUP BY: the server aggregates 1/N of the
+    * rows per slice instead of re-aggregating everything N times and
+    * post-filtering — semantically free to move because the predicate is
+    * a pure function of the GROUP BY key. Un-substituted the token is an
+    * SQL comment and the clause reads `WHERE true` (embedded transports
+    * execute once and repartition; they never substitute).
+    */
+  val SliceOpen = "/*__CH_SLICE__("
+  val SliceClose = ")*/ true"
+
   /** Unparse a subtree; None = subtree not expressible remotely. */
-  def unparse(plan: LogicalPlan): Option[Unparsed] = {
+  def unparse(plan: LogicalPlan): Option[Unparsed] = unparse(plan, None)
+
+  /** Unparse with a slice site: `sliceKey` is the exprId of a grouping
+    * AttributeReference carrying the shard routing value; the DEEPEST
+    * aggregate whose child scope binds it gets the slice token in its
+    * WHERE (deeper = more pre-aggregation pruning; every aggregate above
+    * it groups by the same key, so whole-group filtering commutes).
+    */
+  def unparse(plan: LogicalPlan, sliceKey: Option[ExprId]): Option[Unparsed] = {
     val fresh = new AtomicInteger()
     def sub(): String = s"t${fresh.getAndIncrement()}"
+    var sliceEmitted = false
 
     def go(p: LogicalPlan): Option[Unparsed] = p match {
 
@@ -143,8 +165,16 @@ object ChPlanUnparser {
             if (items.nonEmpty) items.map(_._1).mkString(", ")
             else if (groups.nonEmpty) "1 AS __one"
             else "count(*) AS __one"
+          // slice site: bottom-up recursion means the DEEPEST qualifying
+          // aggregate claims the token first
+          val whereSlice = sliceKey match {
+            case Some(id) if !sliceEmitted && c.scope.contains(id) =>
+              sliceEmitted = true
+              s" WHERE $SliceOpen${c.scope(id)}$SliceClose"
+            case _ => ""
+          }
           Unparsed(
-            s"SELECT $sel FROM (${c.sql}) AS ${sub()}$gb",
+            s"SELECT $sel FROM (${c.sql}) AS ${sub()}$whereSlice$gb",
             items.map { case (_, id) => id -> aliasOf(id) }.toMap)
         }
 

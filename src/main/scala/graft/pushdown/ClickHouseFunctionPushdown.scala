@@ -141,8 +141,8 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
           case _: GlobalLimit | _: LocalLimit => true
           case p => p.expressions.exists(e => !e.deterministic)
         }
-      val (splitBy, splitBuckets) =
-        if (!splitSafe) (None, false)
+      val (splitBy, splitBuckets, slicedSql) =
+        if (!splitSafe) (None, false, None)
         else child match {
           case agg: Aggregate =>
             // a SHARD-KEY-grouped collapse (the r41 shape) emits one row
@@ -163,15 +163,32 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
                 case (a, i) if ks.contains(a) => s"c$i"
               }
             } yield c
-            (cur, cur.isDefined)
+            // re-unparse with the slice site INSIDE the aggregation
+            // statement's WHERE: a real server evaluates an outer WHERE
+            // over a GROUP BY subquery post-aggregation (N slices x full
+            // re-aggregation) unless its optimizer moves it; the inner
+            // placement makes each slice aggregate only its own rows.
+            // The slice key is a grouping AttributeReference carrying
+            // the routing value in the aggregate's CHILD scope.
+            val resliced = if (cur.isEmpty) None else for {
+              key <- scans.head.chClient.shardRoutingColumn
+              cks <- shardKeyAttrs(agg.child, key)
+              inner <- agg.groupingExpressions.collectFirst {
+                case a: AttributeReference if cks.contains(a) => a
+              }
+              u2 <- ChPlanUnparser.unparse(child, Some(inner.exprId))
+              if u2.sql.contains(ChPlanUnparser.SliceOpen)
+            } yield s"SELECT ${finalCols.mkString(", ")} FROM (${u2.sql}) AS fin$suffix"
+            (cur, cur.isDefined, resliced)
           case _ =>
             (scans.head.chSplitBy.flatMap { c =>
               child.output.zipWithIndex.collectFirst {
                 case (a, i) if a.name.equalsIgnoreCase(c) => s"c$i"
               }
-            }, false)
+            }, false, None)
         }
-      Some(ClickHouseRemoteNode(nodeOutput, sql, scans.head.chClient,
+      Some(ClickHouseRemoteNode(nodeOutput, slicedSql.getOrElse(sql),
+        scans.head.chClient,
         scans.head.chStreams, remoteSizeEstimate(child, suffix),
         coerce = scans.forall(_.chCoerce), splitBy = splitBy,
         splitBuckets = splitBuckets))

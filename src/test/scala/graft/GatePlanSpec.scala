@@ -235,6 +235,19 @@ class GatePlanSpec extends AnyFunSuite {
     assert(!all.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
       s"no Spark-side aggregate may remain (groups are shard-whole):\n${all.head}")
+    // the bucket-slice site sits INSIDE the aggregation statement (a
+    // pre-GROUP BY WHERE on the key's child alias): a real server would
+    // otherwise re-run the full GROUP BY once per slice and post-filter
+    val remote = all.collectFirst {
+      case e: graft.pushdown.ClickHouseRemoteExec => e
+    }.get
+    assert(remote.splitBuckets, "keyed collapse must plan bucket slices")
+    val sliceAt = remote.sql.indexOf(graft.pushdown.ChPlanUnparser.SliceOpen)
+    val groupAt = remote.sql.indexOf("GROUP BY")
+    assert(sliceAt >= 0, s"collapsed SQL must carry the slice token: ${remote.sql}")
+    assert(groupAt > sliceAt,
+      s"slice site must precede the GROUP BY (inside the aggregation " +
+        s"statement), got: ${remote.sql}")
   }
 
   test("r42 shard-key-grouped aggregate pushes COMPLETE: GROUP BY in the " +

@@ -775,6 +775,35 @@ class HttpClientSpec extends AnyFunSuite {
     assert(hq.size == 4)
   }
 
+  test("keyed-collapse slice token substitutes INSIDE the aggregation " +
+    "subquery (pre-GROUP BY), with no outer wrap") {
+    import graft.pushdown.ChPlanUnparser.{SliceOpen, SliceClose}
+    // the shape the collapse rule emits for a shard-key-grouped
+    // aggregate: slice token in the aggregate statement's WHERE
+    val sql = "SELECT `a1` AS c0, `a2` AS c1 FROM (" +
+      "SELECT `id` AS a1, count(*) AS a2 FROM " +
+      "(SELECT `id` FROM `main`.`events_http`) AS t0 " +
+      s"WHERE ${SliceOpen}a1$SliceClose GROUP BY `id`) AS fin"
+    val planned = client.planQueryBuckets(sql, "c0", 4)
+    assert(planned.isDefined)
+    val hs = planned.get._2
+    assert(hs.size == 4)
+    hs.zipWithIndex.foreach { case (h, i) =>
+      val hsql = h.asInstanceOf[graft.client.HttpQueryHandle].sql
+      assert(!hsql.contains("__CH_SLICE__"), s"token must be substituted: $hsql")
+      assert(!hsql.contains("__rb"),
+        s"templated SQL must not get the outer wrap: $hsql")
+      val pred = hsql.indexOf(s"cityHash64(a1) % 4 = $i")
+      val group = hsql.indexOf("GROUP BY")
+      assert(pred >= 0, s"slice $i predicate missing: $hsql")
+      assert(pred < group,
+        s"slice predicate must sit before the GROUP BY: $hsql")
+      if (i == 0) assert(hsql.contains("a1 IS NULL OR"),
+        s"NULL keys must ride slice 0: $hsql")
+      else assert(hsql.contains("a1 IS NOT NULL AND"), hsql)
+    }
+  }
+
   test("collapsed-subtree SQL range-splits through the exec node (c0 alias cursor)") {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.types.{DoubleType, LongType}
