@@ -197,6 +197,17 @@ class FailoverClickHouseClient(
       slice match {
         case Some(h) =>
           var t: Option[T] = None
+          def releaseAttempt(): Unit =
+            // release the failed attempt's transport state: the HTTP
+            // iterator holds a live connection AND a per-endpoint pool
+            // permit from the moment the open started — abandoning it
+            // un-closed leaks both (driver-side reads have no task
+            // completion listener to clean up after us)
+            t.foreach {
+              case c: AutoCloseable =>
+                try c.close() catch { case _: Exception => () }
+              case _ => ()
+            }
           try {
             val opened = open(replicas(idx), h)
             t = Some(opened)
@@ -204,18 +215,15 @@ class FailoverClickHouseClient(
             return opened
           } catch {
             case e: IOException =>
-              // release the failed attempt's transport state: the HTTP
-              // iterator holds a live connection AND a per-endpoint pool
-              // permit from the moment the open started — abandoning it
-              // un-closed leaks both (driver-side reads have no task
-              // completion listener to clean up after us)
-              t.foreach {
-                case c: AutoCloseable =>
-                  try c.close() catch { case _: Exception => () }
-                case _ => ()
-              }
+              releaseAttempt()
               if (lastErr != null) e.addSuppressed(lastErr)
               lastErr = e
+            case scala.util.control.NonFatal(e) =>
+              // non-transport failures (e.g. a truncation verdict's
+              // RuntimeException) still clean up — but they do NOT fail
+              // over: a non-IO error is an error on every replica
+              releaseAttempt()
+              throw e
           }
         case None => () // this transport cannot serve the slice — skip
       }

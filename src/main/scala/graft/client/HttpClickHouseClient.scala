@@ -867,8 +867,17 @@ object HttpClickHouseClient {
       private var proj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
 
       private def advance(): Unit = {
-        nextRow = reader.readRow()
-        if (nextRow == null) { verifyDeclaredLength(conn, ctr); close() }
+        // close BEFORE any failure propagates — a mid-row truncation from
+        // readRow() or a declared-length verdict would otherwise leak the
+        // live connection and the per-endpoint pool permit on driver-side
+        // reads (no task completion listener to clean up)
+        nextRow =
+          try reader.readRow()
+          catch { case e: Throwable =>
+            try close() catch { case s: Exception => e.addSuppressed(s) }
+            throw e
+          }
+        if (nextRow == null) { try verifyDeclaredLength(conn, ctr) finally close() }
         else if (proj != null) nextRow = proj(nextRow).copy()
       }
 
@@ -934,8 +943,18 @@ object HttpClickHouseClient {
           // exhaustion releases ONLY the wire (connection + pool permit);
           // closing the packer here would free the batch vectors mid-fill,
           // before the consumer reads the final batch
-          val raw = Iterator.continually(reader.readRow()).takeWhile { r =>
-            if (r == null) { verifyDeclaredLength(conn, ctr); releaseWire() }
+          // release-before-throw everywhere: a mid-row truncation from
+          // readRow() or a declared-length verdict must not leak the
+          // connection/pool permit (driver-side reads have no task
+          // completion listener to clean up)
+          val raw = Iterator.continually {
+            try reader.readRow()
+            catch { case e: Throwable =>
+              try releaseWire() catch { case s: Exception => e.addSuppressed(s) }
+              throw e
+            }
+          }.takeWhile { r =>
+            if (r == null) { try verifyDeclaredLength(conn, ctr) finally releaseWire() }
             r != null
           }
           val rows = drift match {
@@ -963,24 +982,35 @@ object HttpClickHouseClient {
         while (n < batchSize && !eof) {
           // clean EOF = zero bytes of the next row consumed; EOF after
           // any byte (or in a later column) is a TRUNCATED stream and
-          // must fail loudly, not return a silently partial batch
+          // must fail loudly, not return a silently partial batch — but
+          // the wire is released FIRST (loud must not leak the
+          // connection/pool permit on driver-side reads)
           val before = counter.count
           try decs(0).readInto(in, vectors(0), n)
           catch {
             case e: EOFException =>
-              if (counter.count != before) throw RowBinary.truncated(e)
+              if (counter.count != before) {
+                try releaseWire() catch { case s: Exception => e.addSuppressed(s) }
+                throw RowBinary.truncated(e)
+              }
               eof = true
           }
           if (!eof) {
             var c = 1
             try {
               while (c < decs.length) { decs(c).readInto(in, vectors(c), n); c += 1 }
-            } catch { case e: EOFException => throw RowBinary.truncated(e) }
+            } catch {
+              case e: EOFException =>
+                try releaseWire() catch { case s: Exception => e.addSuppressed(s) }
+                throw RowBinary.truncated(e)
+            }
             n += 1
           }
         }
         if (eof) {
-          finished = true; verifyDeclaredLength(conn, counter); releaseWire()
+          finished = true
+          // release-before-throw (same reasoning as the row path)
+          try verifyDeclaredLength(conn, counter) finally releaseWire()
         }
         batch.setNumRows(n)
         binaryBatchesDecoded.incrementAndGet()

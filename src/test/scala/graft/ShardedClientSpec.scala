@@ -992,6 +992,41 @@ class ShardedClientSpec extends AnyFunSuite {
     } finally { r1.close(); r2.close() }
   }
 
+  test("a truncated driver-side read releases its connection and pool " +
+    "permit: the NEXT read on a pool_max_size=1 endpoint completes") {
+    val r1 = new MockClickHouseHttp
+    r1.wireReadRows = 1000
+    r1.failAfterRows = 100 // fixed-length response truncated mid-body
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chleak",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", r1.endpoint, "pool_max_size", "1")))
+      val client = cat.clickHouseClient
+      val (_, hs) = client.planQuery(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", 1)
+      // driver-side drain (no TaskContext): the truncation must be LOUD...
+      val drained = scala.util.Try {
+        val it = client.readPartition(hs.head)
+        while (it.hasNext) it.next()
+      }
+      assert(drained.isFailure, "truncated fixed-length read must fail loudly")
+      // ...and must have released the single pool permit — a leak would
+      // block this second read forever (bounded here by the await)
+      r1.failAfterRows = -1L
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val second = Future {
+        val (_, hs2) = client.planQuery(
+          "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", 1)
+        client.readPartition(hs2.head).size
+      }
+      assert(Await.result(second, 30.seconds) == 1000,
+        "post-failure read must complete on the released permit")
+    } finally r1.close()
+  }
+
   test("END-TO-END DSv2 replica failover: a catalog read completes on the " +
     "surviving replica when the planning replica dies serving rows") {
     val r1 = new MockClickHouseHttp
