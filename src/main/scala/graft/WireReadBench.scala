@@ -11,6 +11,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * write envelope; GRAFT_COMPRESSION picks the codec
   * (none|gzip|lz4|zstd).
   *
+  * GRAFT_SHARDS=N > 1: one mock server per shard behind the sharded
+  * composite client — the scale-OUT read envelope. The composite plans
+  * one statement per shard; each shard serves GRAFT_ROWS/N rows and the
+  * per-shard handles drain concurrently (the executor-side shape of a
+  * sharded scan). Loopback caveat applies doubly here: all "shards"
+  * share one box's CPUs and memory bus, so the numbers bound protocol
+  * overhead and client decode scaling, NOT real cluster fan-out.
+  *
   * Prints ONE JSON line: {"metric":"http_read_rows_per_sec",...,
   * "queries":{"s<streams>":rows_per_sec,...}}.
   */
@@ -21,11 +29,23 @@ object WireReadBench {
       .split(",").map(_.trim.toInt).toSeq
     val iters = sys.env.getOrElse("GRAFT_ITERS", "3").toInt
     val compression = sys.env.getOrElse("GRAFT_COMPRESSION", "none")
-    val server = new graft.client.MockClickHouseHttp
-    server.wireReadRows = rowsN
+    val nShards = math.max(1, sys.env.getOrElse("GRAFT_SHARDS", "1").toInt)
+    val servers = IndexedSeq.fill(nShards)(new graft.client.MockClickHouseHttp)
+    // per-shard slice: total rows stay GRAFT_ROWS regardless of shard
+    // count, so rows/sec compares apples-to-apples across GRAFT_SHARDS
+    val perShard = rowsN / nShards
+    servers.foreach(_.wireReadRows = perShard)
+    val totalRows = perShard * nShards
     try {
-      val client = new graft.client.HttpClickHouseClient(
-        server.endpoint, compression = compression)
+      val client: graft.client.ClickHouseClient =
+        if (nShards == 1)
+          new graft.client.HttpClickHouseClient(
+            servers.head.endpoint, compression = compression)
+        else new graft.client.ShardedClickHouseClient(
+          servers.map(sv => new graft.client.HttpClickHouseClient(
+            sv.endpoint, compression = compression)
+            : graft.client.ClickHouseClient),
+          Some("id"))
       val sql = "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`"
       def drainOnce(schemaJson: String, handle: graft.client.ChPartitionHandle): Long = {
         val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -36,25 +56,30 @@ object WireReadBench {
       }
       val results = streamCounts.map { sc =>
         val times = (0 until iters).map { _ =>
-          val (schema, handles) = client.planQuery(sql, 1)
+          // sharded: one handle per shard, each draining its own slice;
+          // single-store: `sc` threads re-drain the same statement
+          val (schema, handles) = client.planQuery(sql, nShards)
           val schemaJson = schema.json
           val t0 = System.nanoTime()
-          val threads = (0 until sc).map { _ =>
-            val t = new Thread(() => {
-              val n = drainOnce(schemaJson, handles.head)
-              require(n == rowsN, s"stream drained $n of $rowsN rows")
-            })
-            t.start(); t
+          val threads = (0 until sc).flatMap { ti =>
+            handles.zipWithIndex.map { case (h, hi) =>
+              val t = new Thread(() => {
+                val n = drainOnce(schemaJson, h)
+                require(n == perShard,
+                  s"stream $ti/$hi drained $n of $perShard rows")
+              })
+              t.start(); t
+            }
           }
           threads.foreach(_.join())
           (System.nanoTime() - t0) / 1e9
         }
         val best = times.min
-        (sc, sc * rowsN / best)
+        (sc, sc * totalRows / best)
       }
       val qs = results.map { case (sc, rps) => s""""s$sc":$rps""" }.mkString(",")
       val peak = results.map(_._2).max
-      println(s"""{"metric":"http_read_rows_per_sec","value":$peak,"unit":"rows/sec","queries":{$qs},"sf":"$rowsN rows","compression":"$compression"}""")
-    } finally server.close()
+      println(s"""{"metric":"http_read_rows_per_sec","value":$peak,"unit":"rows/sec","queries":{$qs},"sf":"$totalRows rows","compression":"$compression","shards":$nShards}""")
+    } finally servers.foreach(_.close())
   }
 }
