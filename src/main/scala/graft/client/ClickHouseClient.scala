@@ -150,6 +150,30 @@ trait ClickHouseClient extends Serializable {
     */
   def rehome(handle: ChPartitionHandle): Option[ChPartitionHandle] = None
 
+  /** Resumable-read hook 1/2: a copy of `handle` whose statement is
+    * ordered by `column` ascending, NULLS FIRST — a deterministic replay
+    * prefix, so a consumer that tracked the last fully-delivered cursor
+    * group can resume the REMAINDER of the slice elsewhere (see
+    * [[FailoverClickHouseClient]] mid-stream re-plan). Only transports
+    * whose handles are self-contained statements can comply; None =
+    * reads of this handle stay non-resumable (mid-stream death is loud).
+    * On a real server the cursor is typically the table's ORDER BY head,
+    * so the added sort rides the native read-in-order path.
+    */
+  def orderedSlice(
+      handle: ChPartitionHandle, column: String): Option[ChPartitionHandle] = None
+
+  /** Resumable-read hook 2/2: a copy of `handle` restricted to the rows
+    * AFTER the last fully-delivered cursor group of an [[orderedSlice]]
+    * read — `column > after` (integral literal) when after is Some, else
+    * `column IS NOT NULL` (the NULL group, ordered first, was already
+    * delivered whole) — keeping the same ordering. None = cannot resume.
+    */
+  def resumeSlice(
+      handle: ChPartitionHandle,
+      column: String,
+      after: Option[Long]): Option[ChPartitionHandle] = None
+
   /** Open one stream EXECUTOR-SIDE and pull its rows incrementally (the
     * reference's `poll_next` loop, stream.rs:30-43). Must be callable from
     * any task thread after the client deserializes into the closure.

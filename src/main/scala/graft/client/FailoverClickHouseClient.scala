@@ -147,12 +147,37 @@ class FailoverClickHouseClient(
     (schema, handles.map(ReplicaHandle(idx, _)))
   }
 
+  /** Range-split slices additionally become RESUMABLE when the cursor is
+    * integral and the transport can order its statements: each slice
+    * reads `ORDER BY cursor NULLS FIRST` (a deterministic replay prefix
+    * — on a real server the cursor is the table's ORDER BY head, so the
+    * sort rides the native read-in-order path), and a replica dying
+    * MID-STREAM re-plans the REMAINDER of the slice on a survivor
+    * (ClickHouseClient.resumeSlice) instead of killing the query. Rows
+    * are delivered in whole cursor-value groups, so the resume point is
+    * exact — no duplicates, no loss (see [[ResumableRead]]). Non-integral
+    * cursors and non-range shapes keep the loud mid-stream contract.
+    */
   override def planQueryRanges(
       sql: String, splitColumn: String,
       numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
     val (idx, (schema, handles)) =
       withLive(_.planQueryRanges(sql, splitColumn, numStreams))
-    (schema, handles.map(ReplicaHandle(idx, _)))
+    import org.apache.spark.sql.types._
+    val integralCursor = schema.fields.find(_.name == splitColumn)
+      .map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    val wrapped = handles.map { h =>
+      val ordered =
+        if (integralCursor) replicas(idx).orderedSlice(h, splitColumn) else None
+      ordered match {
+        case Some(oh) => ResumableReplicaHandle(idx, oh, h, splitColumn)
+        case None => ReplicaHandle(idx, h)
+      }
+    }
+    (schema, wrapped)
   }
 
   override def planQueryBuckets(
@@ -236,15 +261,196 @@ class FailoverClickHouseClient(
   }
 
   override def readPartition(handle: ChPartitionHandle): Iterator[Row] =
-    openFailover(handle)((c, h) => c.readPartition(h))(_.hasNext)
+    handle match {
+      // external-row reads (driver-side probes) have no schema to derive
+      // a cursor getter from: keep at-open failover on the ordered slice
+      case r: ResumableReplicaHandle =>
+        openFailover(ReplicaHandle(r.replica, r.ordered))(
+          (c, h) => c.readPartition(h))(_.hasNext)
+      case _ => openFailover(handle)((c, h) => c.readPartition(h))(_.hasNext)
+    }
   override def readPartitionInternal(
       handle: ChPartitionHandle,
       schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
-    openFailover(handle)((c, h) => c.readPartitionInternal(h, schema))(_.hasNext)
+    handle match {
+      case r: ResumableReplicaHandle =>
+        new ResumableRead[org.apache.spark.sql.catalyst.InternalRow](
+          r, (c, h) => c.readPartitionInternal(h, schema),
+          internalCursorGetter(schema, r.cursor))
+      case _ =>
+        openFailover(handle)((c, h) => c.readPartitionInternal(h, schema))(_.hasNext)
+    }
   override def readPartitionColumnar(
       handle: ChPartitionHandle,
       schema: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    openFailover(handle)((c, h) => c.readPartitionColumnar(h, schema))(_.hasNext)
+    handle match {
+      // batch-level resume would need group tracking inside the vector
+      // builders; pack the resumable ROW stream instead (the embedded
+      // transport's default shape) — replica catalogs trade a row-pack
+      // for survivable hour-long scans
+      case _: ResumableReplicaHandle =>
+        graft.connector.ColumnarPack.iterator(
+          readPartitionInternal(handle, schema), schema)
+      case _ =>
+        openFailover(handle)((c, h) => c.readPartitionColumnar(h, schema))(_.hasNext)
+    }
+
+  /** Null-aware integral cursor extractor for group-boundary tracking. */
+  private def internalCursorGetter(schema: StructType, cursor: String)
+      : org.apache.spark.sql.catalyst.InternalRow => Option[Long] = {
+    import org.apache.spark.sql.types._
+    val i = schema.fieldIndex(cursor)
+    val get: org.apache.spark.sql.catalyst.InternalRow => Long =
+      schema.fields(i).dataType match {
+        case LongType => _.getLong(i)
+        case IntegerType => _.getInt(i).toLong
+        case ShortType => _.getShort(i).toLong
+        case ByteType => _.getByte(i).toLong
+        case t => throw new IllegalArgumentException(
+          s"non-integral resume cursor '$cursor': ${t.simpleString}")
+      }
+    r => if (r.isNullAt(i)) None else Some(get(r))
+  }
+
+  /** Mid-stream-resumable slice read. Rows stream out in whole
+    * cursor-value GROUPS: a group is released only when the first row of
+    * the NEXT group (or clean end) arrives, so when the serving replica
+    * dies mid-stream the partially-buffered group was never delivered —
+    * re-planning the slice as `cursor > lastReleased` on a survivor
+    * re-reads exactly the undelivered remainder (the NULL group orders
+    * first; resuming after it uses `cursor IS NOT NULL`). No duplicates,
+    * no loss, no row-identity guessing. Degrades to the loud contract
+    * when a single group outgrows the buffer bound (its rows are
+    * released partially, so an exact resume point no longer exists) or
+    * when the transport emits cursors out of order.
+    */
+  private final class ResumableRead[T](
+      h: ResumableReplicaHandle,
+      openOn: (ClickHouseClient, ChPartitionHandle) => Iterator[T],
+      cursorOf: T => Option[Long],
+      maxGroupBuffer: Int = 100000)
+    extends Iterator[T] with AutoCloseable {
+
+    private var current: Iterator[T] = _
+    private var currentIdx: Int = h.replica
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    private var bufValue: Option[Long] = None
+    // last FULLY-released group: None = none yet; Some(None) = the NULL
+    // group; Some(Some(v)) = value group v
+    private var released: Option[Option[Long]] = None
+    private var out: Iterator[T] = Iterator.empty
+    private var resumable = true
+    private var drained = false
+
+    openAttempts(h.replica, None)
+
+    private def closeQuietly(it: Iterator[T]): Unit = it match {
+      case c: AutoCloseable => try c.close() catch { case _: Exception => () }
+      case _ => ()
+    }
+
+    /** Try replicas from `startIdx`: initial open reads the whole
+      * ordered slice; a resume re-plans the remainder via resumeSlice.
+      */
+    private def openAttempts(startIdx: Int, cause: Option[IOException]): Unit = {
+      var lastErr: IOException = cause.orNull
+      var i = 0
+      while (i < replicas.size && current == null) {
+        val idx = (startIdx + i) % replicas.size
+        val slice: Option[ChPartitionHandle] = released match {
+          case None => replicas(idx).rehome(h.ordered)
+          case Some(after) => replicas(idx).rehome(h.base)
+            .flatMap(b => replicas(idx).resumeSlice(b, h.cursor, after))
+        }
+        slice match {
+          case Some(s) =>
+            var t: Iterator[T] = null
+            try {
+              t = openOn(replicas(idx), s)
+              t.hasNext // force the lazy open so transport death lands HERE
+              current = t
+              currentIdx = idx
+            } catch {
+              case e: IOException =>
+                if (t != null) closeQuietly(t)
+                if (lastErr != null) e.addSuppressed(lastErr)
+                lastErr = e
+              case e: Throwable =>
+                if (t != null) closeQuietly(t)
+                throw e
+            }
+          case None => ()
+        }
+        i += 1
+      }
+      if (current == null)
+        throw new IOException(
+          s"all ${replicas.size} replicas failed serving a resumable slice " +
+            s"(last: ${Option(lastErr).map(_.getMessage).getOrElse("no replica could derive the slice")})",
+          lastErr)
+    }
+
+    private def resume(cause: IOException): Unit = {
+      closeQuietly(current)
+      current = null
+      // the partial group was never delivered: drop it, the resumed
+      // stream re-reads it whole
+      buf.clear()
+      bufValue = None
+      openAttempts((currentIdx + 1) % replicas.size, Some(cause))
+    }
+
+    private def ordered(a: Option[Long], b: Option[Long]): Boolean = (a, b) match {
+      case (None, _) => true // NULLs first
+      case (Some(_), None) => false
+      case (Some(x), Some(y)) => x <= y
+    }
+
+    private def refill(): Unit = {
+      while (!out.hasNext && !drained) {
+        try {
+          if (current.hasNext) {
+            val r = current.next()
+            val v = cursorOf(r)
+            if (buf.isEmpty || v == bufValue) {
+              buf += r
+              bufValue = v
+              if (buf.length >= maxGroupBuffer) {
+                // one group outgrew the bound: release it partially and
+                // give up resume-exactness from here on (loud contract)
+                out = buf.toVector.iterator
+                buf.clear()
+                resumable = false
+              }
+            } else {
+              // a transport violating its own ORDER BY would make the
+              // released watermark skip unseen rows — detect and go loud
+              if (!ordered(bufValue, v)) resumable = false
+              out = buf.toVector.iterator
+              if (resumable) released = Some(bufValue)
+              buf.clear()
+              buf += r
+              bufValue = v
+            }
+          } else {
+            out = buf.toVector.iterator
+            buf.clear()
+            drained = true
+          }
+        } catch {
+          case e: IOException if resumable => resume(e)
+        }
+      }
+    }
+
+    override def hasNext: Boolean = { refill(); out.hasNext }
+    override def next(): T = {
+      refill()
+      if (!out.hasNext) throw new NoSuchElementException
+      out.next()
+    }
+    override def close(): Unit = if (current != null) closeQuietly(current)
+  }
 
   // ---- writes: the PRIMARY only (replica 0) — staging ids and epoch
   // markers are replica-local, so they must all land on one replica ----
@@ -278,4 +484,16 @@ class FailoverClickHouseClient(
   * the plan created.
   */
 final case class ReplicaHandle(replica: Int, inner: ChPartitionHandle)
+  extends ChPartitionHandle
+
+/** Resumable range slice: `ordered` is the slice statement with its
+  * deterministic ORDER BY (what the first open reads); `base` is the
+  * original unordered slice (what resumeSlice re-plans from); `cursor`
+  * names the integral split column tracked for the resume watermark.
+  */
+final case class ResumableReplicaHandle(
+    replica: Int,
+    ordered: ChPartitionHandle,
+    base: ChPartitionHandle,
+    cursor: String)
   extends ChPartitionHandle

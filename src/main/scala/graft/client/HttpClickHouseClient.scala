@@ -500,6 +500,36 @@ class HttpClickHouseClient(
       case _ => None
     }
 
+  /** Resumable-read hooks: the slice statement wraps with an ORDER BY
+    * (deterministic replay prefix) / a resume conjunct — both pure
+    * functions of the carried SQL, so they compose with [[rehome]] for
+    * mid-stream replica re-plan.
+    */
+  override def orderedSlice(
+      handle: ChPartitionHandle, column: String): Option[ChPartitionHandle] =
+    handle match {
+      case h: HttpQueryHandle => Some(h.copy(sql =
+        s"SELECT * FROM (${h.sql}) AS __ord ORDER BY `$column` NULLS FIRST"))
+      case _ => None
+    }
+
+  override def resumeSlice(
+      handle: ChPartitionHandle,
+      column: String,
+      after: Option[Long]): Option[ChPartitionHandle] =
+    handle match {
+      case h: HttpQueryHandle =>
+        val cond = after match {
+          // `col > v` drops NULLs by SQL comparison semantics, which is
+          // exactly right: NULLs order first and were delivered whole
+          case Some(v) => s"`$column` > $v"
+          case None => s"`$column` IS NOT NULL"
+        }
+        Some(h.copy(sql = s"SELECT * FROM (${h.sql}) AS __res WHERE $cond " +
+          s"ORDER BY `$column` NULLS FIRST"))
+      case _ => None
+    }
+
   override def readPartition(handle: ChPartitionHandle): Iterator[Row] = handle match {
     case h: HttpQueryHandle =>
       val schema = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
@@ -828,7 +858,7 @@ object HttpClickHouseClient {
     val coded = Option(conn.getContentEncoding).exists(e =>
       e.nonEmpty && e != "identity")
     if (declared >= 0 && !coded && counter != null && counter.count < declared)
-      throw new RuntimeException(
+      throw new RowBinary.TruncatedStreamException(
         s"RowBinary stream ended after ${counter.count} of $declared declared " +
           "bytes (connection dropped at a row boundary) — partial results discarded")
   }

@@ -124,7 +124,7 @@ final class MockClickHouseHttp extends AutoCloseable {
           ex.close()
           return (-1, "")
         }
-        streamWireRead(ex, params)
+        streamWireRead(ex, params, sqlText)
         return (-1, "") // response already streamed
       }
     }
@@ -138,7 +138,14 @@ final class MockClickHouseHttp extends AutoCloseable {
     * requested content-coding — rows are generated on the fly so the
     * response never materializes server-side either.
     */
-  private def streamWireRead(ex: HttpExchange, params: Map[String, String]): Unit = {
+  private def streamWireRead(
+      ex: HttpExchange, params: Map[String, String], sql: String = ""): Unit = {
+    // resumable-read support: a resume conjunct `WHERE \`id\` > N` (the
+    // shape FailoverClickHouseClient re-plans after mid-stream death)
+    // starts the synthetic stream after N — rows are generated in id
+    // order, so the ordered-slice wrap itself needs no extra work here
+    val resumeFrom =
+      raw"`id` > (-?\d+)".r.findFirstMatchIn(sql).map(_.group(1).toLong + 1).getOrElse(0L)
     val accept = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
       .map(_.toLowerCase).getOrElse("")
     val codec =
@@ -161,12 +168,14 @@ final class MockClickHouseHttp extends AutoCloseable {
       RowBinary.writeHeader(bos, wireReadCols)
       out.write(bos.toByteArray)
       val encs = wireReadCols.map { case (_, t) => RowBinary.encoder(t) }.toArray
-      var i = 0L
+      var i = resumeFrom
+      var served = 0L
       while (i < wireReadRows) {
-        if (failAfterRows >= 0 && i >= failAfterRows) {
+        if (failAfterRows >= 0 && served >= failAfterRows) {
           out.flush()
           throw new java.io.IOException("simulated mid-stream death")
         }
+        served += 1
         encs(0).write(out, java.lang.Long.valueOf(i))
         encs(1).write(out, java.lang.Double.valueOf(i * 0.5))
         encs(2).write(out, s"tag_${i % 1000}")

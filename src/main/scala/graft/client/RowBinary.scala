@@ -504,8 +504,19 @@ object RowBinary {
     }
   }
 
-  private[client] def truncated(e: EOFException): RuntimeException =
-    new RuntimeException(
+  /** Transport-level truncation: the response ended before the declared
+    * (or mid-row expected) bytes. An IOException ON PURPOSE — replica
+    * failover classifies it as transport death, so at-OPEN truncation
+    * fails over and a resumable range read re-plans mid-stream; on a
+    * single transport nothing catches it and the read stays loud.
+    */
+  final class TruncatedStreamException(msg: String, cause: Throwable)
+    extends java.io.IOException(msg, cause) {
+    def this(msg: String) = this(msg, null)
+  }
+
+  private[client] def truncated(e: EOFException): java.io.IOException =
+    new TruncatedStreamException(
       "RowBinary stream truncated mid-row (connection dropped or " +
         "response incomplete) — partial results discarded", e)
 

@@ -992,6 +992,59 @@ class ShardedClientSpec extends AnyFunSuite {
     } finally { r1.close(); r2.close() }
   }
 
+  test("MID-STREAM replica death on a range slice resumes the remainder " +
+    "on the survivor: whole result, no duplicates, no loss") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 1000; r2.wireReadRows = 1000
+    r1.failAfterRows = 100 // primary dies after serving 100 rows
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chresume",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+      val client = cat.clickHouseClient
+      val (schema, hs) = client.planQueryRanges(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "id", 1)
+      assert(hs.head.isInstanceOf[graft.client.ResumableReplicaHandle],
+        s"integral range slices must plan resumable: ${hs.head.getClass}")
+      val ids = client.readPartitionInternal(hs.head, schema)
+        .map(_.getLong(0)).toVector
+      assert(ids.size == 1000, s"resume must deliver the WHOLE slice: got ${ids.size}")
+      assert(ids.distinct.size == 1000, "no row may be delivered twice")
+      assert(ids.toSet == (0L until 1000L).toSet, "no row may be lost")
+      assert(ids == ids.sorted, "ordered slices stream in cursor order")
+      // the survivor served the REMAINDER (released groups 0..98; the
+      // partially-buffered group 99 re-reads whole), not the full slice
+      import scala.jdk.CollectionConverters._
+      assert(r2.statements.asScala.exists(_.contains("`id` > 98")),
+        s"resume must re-plan `id` > 98 on the survivor, got:\n" +
+          r2.statements.asScala.filter(_.contains("wire_read")).mkString("\n"))
+    } finally { r1.close(); r2.close() }
+  }
+
+  test("a healthy resumable range read delivers exactly once and never " +
+    "issues a resume statement") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 500; r2.wireReadRows = 500
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chresok",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+      val client = cat.clickHouseClient
+      val (schema, hs) = client.planQueryRanges(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "id", 1)
+      val ids = client.readPartitionInternal(hs.head, schema)
+        .map(_.getLong(0)).toVector
+      assert(ids == (0L until 500L).toVector)
+      import scala.jdk.CollectionConverters._
+      assert(!(r1.statements.asScala ++ r2.statements.asScala)
+        .exists(_.contains("`id` >")), "no resume statement on a healthy read")
+    } finally { r1.close(); r2.close() }
+  }
+
   test("a truncated driver-side read releases its connection and pool " +
     "permit: the NEXT read on a pool_max_size=1 endpoint completes") {
     val r1 = new MockClickHouseHttp

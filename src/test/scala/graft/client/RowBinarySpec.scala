@@ -275,14 +275,14 @@ class RowBinarySpec extends AnyFunSuite {
     // cut inside row 2's SECOND column
     val rdr = reader(full.take(full.length - 5))
     assert(rdr.readRow().getLong(0) === 1L)
-    val e = intercept[RuntimeException](rdr.readRow())
+    val e = intercept[java.io.IOException](rdr.readRow())
     assert(e.getMessage.contains("truncated"))
     // cut inside row 2's FIRST column (3 bytes into the Int64): the
     // hardest case — the tail bytes sit in the buffer before decode
     val row1Len = 8 + 1 + "complete row".length
     val rdrF = reader(full.take(row1Len + 3))
     assert(rdrF.readRow().getLong(0) === 1L)
-    val eF = intercept[RuntimeException](rdrF.readRow())
+    val eF = intercept[java.io.IOException](rdrF.readRow())
     assert(eF.getMessage.contains("truncated"))
     // clean EOF at an exact row boundary is still a clean end
     val rdr2 = reader(full)
