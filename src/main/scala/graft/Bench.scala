@@ -70,11 +70,15 @@ object Bench {
     // unambiguous name prefix up to the first '_', e.g. "r41") and
     // 3-decimal values so all 138 entries fit inside the captured
     // window; bench_gates.json keeps the full names and full precision.
+    // a prefix collision degrades to full names instead of crashing — a
+    // require here would discard the entire already-measured battery
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    require(results.map(k => shortKey(k._1)).distinct.length == results.length,
-      "short gate keys collide; widen shortKey")
+    val short = results.map(k => shortKey(k._1)).distinct.length == results.length
+    if (!short) System.err.println("[bench] short gate keys collide; using full names")
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def dec3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qsShort = results
-      .map { case (k, v) => s""""${shortKey(k)}":${f"$v%.3f"}""" }
+      .map { case (k, v) => s""""${if (short) shortKey(k) else k}":${dec3(v)}""" }
       .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

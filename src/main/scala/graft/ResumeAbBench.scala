@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A/B for the columnar-vs-resumable read trade on replica catalogs:
+  * batch reads on a [[graft.client.ResumableReplicaHandle]] fall back to
+  * the ROW decode path packed into ColumnarBatches (group tracking
+  * inside reused vector builders would complicate the resume watermark),
+  * while plain replica handles decode STRAIGHT into vectors. This main
+  * measures both on the same healthy mock endpoint so the fallback's
+  * cost is a recorded number, not a guess (BASELINE.md round-9):
+  *
+  *  - `columnar_direct`: planQuery → readPartitionColumnar (vector decode)
+  *  - `resumable_rowpack`: planQueryRanges → resumable handle →
+  *    readPartitionColumnar (row decode + ColumnarPack) — includes the
+  *    ordered-slice ORDER BY the resume protocol needs
+  *  - `row_plain`: planQuery → readPartitionInternal, the row baseline
+  *    both shapes degrade to for map/struct schemas
+  *
+  * GRAFT_ROWS rows of the wire_read schema (Int64, Float64, String)
+  * widened by GRAFT_WIDE extra Float64 columns (default 13 → 16 cols —
+  * vector decode's advantage scales with width, so a narrow schema would
+  * understate the fallback's cost), GRAFT_ITERS iterations, best-of. One
+  * JSON line: {"metric":"resume_ab_rows_per_sec","queries":{...}}.
+  */
+object ResumeAbBench {
+  def main(args: Array[String]): Unit = {
+    val rowsN = sys.env.getOrElse("GRAFT_ROWS", "2000000").toLong
+    val iters = sys.env.getOrElse("GRAFT_ITERS", "3").toInt
+    val wide = sys.env.getOrElse("GRAFT_WIDE", "13").toInt
+    val server = new graft.client.MockClickHouseHttp
+    server.wireReadRows = rowsN
+    server.wireReadExtraCols = wide
+    try {
+      val http = new graft.client.HttpClickHouseClient(server.endpoint)
+      val client = new graft.client.FailoverClickHouseClient(IndexedSeq(http, http))
+      val cols = (Seq("id", "v", "tag") ++ (0 until wide).map(i => s"w$i"))
+        .map(c => s"`$c`").mkString(", ")
+      val sql = s"SELECT $cols FROM `bench`.`wire_read`"
+
+      def time(drain: () => Long): Double = {
+        val times = (0 until iters).map { _ =>
+          val t0 = System.nanoTime()
+          val n = drain()
+          require(n == rowsN, s"drained $n of $rowsN rows")
+          (System.nanoTime() - t0) / 1e9
+        }
+        rowsN / times.min
+      }
+
+      def columnarDrain(handle: graft.client.ChPartitionHandle,
+          schema: StructType): Long = {
+        var n = 0L
+        val it = client.readPartitionColumnar(handle, schema)
+        while (it.hasNext) { n += it.next().numRows() }
+        n
+      }
+
+      val direct = time { () =>
+        val (schema, hs) = client.planQuery(sql, 1)
+        columnarDrain(hs.head, schema)
+      }
+      val resumable = time { () =>
+        val (schema, hs) = client.planQueryRanges(sql, "id", 1)
+        require(hs.head.isInstanceOf[graft.client.ResumableReplicaHandle],
+          s"range slice must plan resumable: ${hs.head.getClass}")
+        columnarDrain(hs.head, schema)
+      }
+      val rowPlain = time { () =>
+        val (schema, hs) = client.planQuery(sql, 1)
+        val it = client.readPartitionInternal(hs.head, schema)
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      }
+      def r(v: Double): Long = math.round(v)
+      println(
+        s"""{"metric":"resume_ab_rows_per_sec","unit":"rows/sec","rows":$rowsN,""" +
+          s""""queries":{"columnar_direct":${r(direct)},""" +
+          s""""resumable_rowpack":${r(resumable)},"row_plain":${r(rowPlain)}},""" +
+          s""""rowpack_vs_columnar":${
+            String.format(java.util.Locale.ROOT, "%.3f", direct / resumable)}}""")
+    } finally server.close()
+  }
+}

@@ -57,6 +57,8 @@ object Verify {
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)
   // — a tab or CR in builder-authored SQL would otherwise make the
   // driver's json.load fail and silently zero the round's correctness.
+  // Public: bodyAudit (ConnectorQueries) reuses it for the same reason.
+  def jsonStr(s: String): String = q(s)
   private def q(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -69,6 +71,58 @@ object Verify {
 
   private def jsonObj(fields: Seq[(String, String)]): String =
     fields.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")
+
+  /** Renderer-sensitivity lint (rounds 6-8 hash failures): the driver's
+    * hash pipeline renders each side with type-dependent paths, so any
+    * result type whose canonical rendering is ambiguous can hash-flip
+    * while rows and schema stay green.
+    *
+    *  - DecimalType anywhere in the output schema is BANNED: a scale-2
+    *    decimal renders "570.40" exactly but "570.4" through any
+    *    float/str round-trip — the r41/r42 signature. Gates emit exact
+    *    scaled integers (cents) instead.
+    *  - FloatType is BANNED: float32 promoted to float64 before
+    *    rendering gains garbage digits (0.1f → 0.10000000149…).
+    *  - DoubleType VALUES in the scientific-notation bands (|v| ≥ 1e16,
+    *    or 0 < |v| < 1e-4) are flagged: renderers switch to exponent
+    *    form at different thresholds, so the same double can render
+    *    "1.2e+16" on one side and "12000000000000000.0" on the other.
+    */
+  private def lintTypes(dt: org.apache.spark.sql.types.DataType, path: String)
+      : Seq[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType => Seq(s"$path: DECIMAL output column (emit scaled BIGINT)")
+      case FloatType => Seq(s"$path: FLOAT output column (emit DOUBLE or scaled int)")
+      case ArrayType(et, _) => lintTypes(et, s"$path[]")
+      case MapType(kt, vt, _) =>
+        lintTypes(kt, s"$path.key") ++ lintTypes(vt, s"$path.value")
+      case StructType(fs) => fs.toSeq.flatMap(f => lintTypes(f.dataType, s"$path.${f.name}"))
+      case _ => Seq.empty
+    }
+  }
+
+  private def renderLint(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val schemaHits = df.schema.fields.toSeq.flatMap(f => lintTypes(f.dataType, f.name))
+    val doubleCols = df.schema.fields.collect {
+      case f if f.dataType == DoubleType => f.name
+    }.toSeq
+    val valueHits =
+      if (doubleCols.isEmpty) Seq.empty
+      else {
+        val hazard = doubleCols.map { c =>
+          sum(when(abs(col(c)) >= 1e16 ||
+            (col(c) =!= 0.0 && abs(col(c)) < 1e-4), 1L).otherwise(0L)).as(c)
+        }
+        val row = df.agg(hazard.head, hazard.tail: _*).head
+        doubleCols.zipWithIndex.collect {
+          case (c, i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+            s"$c: ${row.getLong(i)} double value(s) in a scientific-notation band"
+        }
+      }
+    schemaHits ++ valueHits
+  }
 
   /** Gates that get the forensic sidecar: the sharded-store family. */
   private def audited(name: String): Boolean =
@@ -157,12 +211,18 @@ object Verify {
     // gate bodies consult this to emit their own body-time store
     // snapshots into the audit dir (pre-materialization evidence)
     sys.props.put("graft.verify.audit", outDir)
+    val lintHits = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        try renderLint(spark.read.parquet(s"$outDir/$name"))
+          .foreach(h => lintHits += s"$name/$h")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name render lint failed: ${e.getMessage}")
+        }
         if (audited(name))
           try sidecar(spark, name, df, sfDir, outDir)
           catch { case e: Throwable =>
@@ -181,5 +241,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // fail AFTER all artifacts are written so the driver's compare still
+    // has a full record; a nonzero exit makes the hazard loud builder-side
+    if (lintHits.nonEmpty) {
+      lintHits.foreach(h => System.err.println(s"[verify] RENDER-LINT $h"))
+      sys.error(s"render lint flagged ${lintHits.size} hazard(s): " +
+        lintHits.mkString("; "))
+    }
   }
 }

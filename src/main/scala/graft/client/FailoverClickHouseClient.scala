@@ -390,9 +390,26 @@ class FailoverClickHouseClient(
           lastErr)
     }
 
+    // resumes that never advance the watermark are bounded: a fault that
+    // kills every replica before it releases a NEW group (e.g. a corrupt
+    // block early in the remainder) would otherwise loop
+    // resume→open→die forever, silently hammering the replicas instead
+    // of failing loudly like the pre-resume contract
+    private var stalledResumes = 0
+    private var watermarkAtResume: Option[Option[Long]] = null
+
     private def resume(cause: IOException): Unit = {
       closeQuietly(current)
       current = null
+      if (watermarkAtResume != null && watermarkAtResume == released)
+        stalledResumes += 1
+      else stalledResumes = 0
+      watermarkAtResume = released
+      if (stalledResumes >= 2 * replicas.size)
+        throw new IOException(
+          s"resumable slice made no progress across $stalledResumes " +
+            s"consecutive resumes (watermark stuck at $released) — failing " +
+            "loudly instead of hammering the replicas", cause)
       // the partial group was never delivered: drop it, the resumed
       // stream re-reads it whole
       buf.clear()

@@ -911,13 +911,32 @@ object HttpClickHouseClient {
         else if (proj != null) nextRow = proj(nextRow).copy()
       }
 
-      override def hasNext: Boolean = { ensureOpen(); nextRow != null }
+      // a LOOKAHEAD failure must not swallow the row already decoded:
+      // next() prefetches its successor, and surfacing that error
+      // immediately would discard a fully-received row — ResumableRead's
+      // release watermark would then sit one group LOW and the resume
+      // statement would re-read a group the replica had actually served
+      // (the round-8 off-by-one). Deliver the decoded row, stash the
+      // error, and throw it on the FOLLOWING hasNext/next. advance()
+      // already released the wire state before rethrowing, so deferral
+      // holds no connection open.
+      private var pendingErr: Throwable = _
+
+      private def surface(): Unit =
+        if (pendingErr != null) throw pendingErr
+
+      override def hasNext: Boolean = {
+        ensureOpen()
+        if (nextRow == null) surface()
+        nextRow != null
+      }
 
       override def next(): InternalRow = {
         ensureOpen()
-        if (nextRow == null) throw new NoSuchElementException
+        if (nextRow == null) { surface(); throw new NoSuchElementException }
         val r = nextRow
-        advance()
+        try advance()
+        catch { case e: Throwable => nextRow = null; pendingErr = e }
         if (schema.isEmpty) emptyRow else r
       }
 

@@ -41,7 +41,15 @@ final class MockClickHouseHttp extends AutoCloseable {
     * of the insert sink above.
     */
   @volatile var wireReadRows: Long = 0L
-  private val wireReadCols = Seq("id" -> "Int64", "v" -> "Float64", "tag" -> "String")
+
+  /** Extra Float64 columns appended to `wire_read` (w0..wN-1): lets the
+    * read envelope measure WIDE atomic schemas, where vector decode's
+    * per-column advantage over row decode actually shows.
+    */
+  @volatile var wireReadExtraCols: Int = 0
+  private def wireReadCols: Seq[(String, String)] =
+    Seq("id" -> "Int64", "v" -> "Float64", "tag" -> "String") ++
+      (0 until wireReadExtraCols).map(i => s"w$i" -> "Float64")
 
   /** When true, `wire_read` DATA streams abort at the transport level
     * (connection closed without a response) while metadata keeps working
@@ -179,6 +187,11 @@ final class MockClickHouseHttp extends AutoCloseable {
         encs(0).write(out, java.lang.Long.valueOf(i))
         encs(1).write(out, java.lang.Double.valueOf(i * 0.5))
         encs(2).write(out, s"tag_${i % 1000}")
+        var w = 3
+        while (w < encs.length) {
+          encs(w).write(out, java.lang.Double.valueOf(i * 0.25 + w))
+          w += 1
+        }
         i += 1
       }
       out.flush()

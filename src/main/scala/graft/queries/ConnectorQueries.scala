@@ -221,9 +221,12 @@ object ConnectorQueries {
   private[queries] def bodyAudit(name: String, s: SparkSession, dir: String): Unit =
     sys.props.get("graft.verify.audit").foreach { auditDir =>
       try {
+        // full JSON escape (Verify.jsonStr): an error=… value captured
+        // from a Spark exception carries newlines/tabs that a bare
+        // quote-swap would leave as invalid JSON
         val stats = storeAudits.get(name).map(f => f(s, dir)).getOrElse(Map.empty)
         val body = stats.toSeq.sortBy(_._1)
-          .map { case (k, v) => s""""$k": "${v.replace("\"", "'")}"""" }
+          .map { case (k, v) => s"${graft.Verify.jsonStr(k)}: ${graft.Verify.jsonStr(v)}" }
           .mkString("{", ", ", "}")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(auditDir))
         java.nio.file.Files.writeString(
@@ -973,7 +976,7 @@ object ConnectorQueries {
     // as ordered key/value renderings (SURVEY §1.2 "support from day 1").
     q("r31_typed_roundtrip",
       """SELECT n_nationkey AS nk,
-        |  (n_nationkey::VARCHAR || '.1234')::DECIMAL(20,4) AS dec_v,
+        |  CAST((n_nationkey::VARCHAR || '.1234')::DECIMAL(20,4) * 10000 AS BIGINT) AS dec_v,
         |  epoch_us(TIMESTAMP '2024-03-01 00:00:00'
         |           + n_nationkey * INTERVAL 1 HOUR) AS ts_us,
         |  'k;r' AS mk,
@@ -992,8 +995,11 @@ object ConnectorQueries {
           |    + make_interval(0, 0, 0, 0, CAST(n_nationkey AS INT), 0, 0),
           |  map('k', CAST(n_nationkey AS BIGINT), 'r', CAST(n_regionkey AS BIGINT))
           |FROM nation""".stripMargin)
+      // dec_v round-trips the store as DECIMAL(20,4) but leaves the gate
+      // as exact scaled BIGINT (*10000): DECIMAL result columns hash-flip
+      // on trailing-zero rendering in the driver's pipeline (rounds 6-8).
       s.table("clickhouse.main.typed_rt").select(
-        col("nk"), col("dec_v"),
+        col("nk"), (col("dec_v") * 10000).cast("bigint").as("dec_v"),
         unix_micros(col("ts")).as("ts_us"),
         concat_ws(";", map_keys(col("m"))).as("mk"),
         aggregate(map_values(col("m")), lit(0L), (a, b) => a + b).as("mv_sum"))
@@ -1270,7 +1276,7 @@ object ConnectorQueries {
     // sums run in DECIMAL so the merge is exact cross-engine.
     q("r39_sharded_agg",
       """SELECT c_mktsegment, count(*) AS n,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val cat = s"chsharded_$tag" // per-sfdir name: CatalogManager caches instances (r28)
@@ -1293,10 +1299,16 @@ object ConnectorQueries {
              |SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2))
              |FROM customer""".stripMargin)
       }
+      // outputs are exact integer CENTS, never DECIMAL: the store keeps
+      // DECIMAL(18,2) (the partial merge stays exact) but a DECIMAL in
+      // the RESULT schema hash-flips on trailing-zero rendering in the
+      // driver's pipeline (rounds 6-8 r41/r42; Verify lints against it).
+      // sum is exact at scale 2, so *100 → BIGINT is lossless.
       s.table(s"$cat.main.cust_sh")
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"),
-          sum("c_acctbal").cast("decimal(18,2)").as("bal"))
+        .agg(count(lit(1)).as("n"), sum("c_acctbal").as("bal0"))
+        .select(col("c_mktsegment"), col("n"),
+          (col("bal0") * 100).cast("bigint").as("bal"))
     },
 
     // Sharded FINAL dedup-on-read: upserts-as-inserts over a TWO-shard
@@ -1346,7 +1358,7 @@ object ConnectorQueries {
     // tables; GatePlanSpec asserts no Spark join/aggregate remains.
     q("r41_sharded_colocated_join",
       """SELECT c_custkey AS custkey, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -1383,10 +1395,15 @@ object ConnectorQueries {
       bodyAudit("r41_sharded_colocated_join", s, dir)
       val c = s.table(s"$cat.main.cust_co").as("c")
       val o = s.table(s"$cat.main.ord_co").as("o")
+      // result is exact integer CENTS in an outer Project ABOVE the
+      // collapsed join+GROUP BY (plan shape unchanged — GatePlanSpec
+      // still sees no Spark join/aggregate): a DECIMAL output column
+      // hash-flips on trailing-zero rendering driver-side (rounds 6-8).
       c.join(o, col("c.custkey") === col("o.custkey"))
         .groupBy(col("c.custkey").as("custkey"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("o.price")).cast("decimal(18,2)").as("total"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o.price")).as("total0"))
+        .select(col("custkey"), col("n_orders"),
+          (col("total0") * 100).cast("bigint").as("total"))
     },
 
     // Shard-key-grouped COMPLETE aggregate pushdown: GROUP BY contains
@@ -1399,8 +1416,8 @@ object ConnectorQueries {
     // hash-exact: integer operands, one division (the t13/d08 rule).
     q("r42_sharded_keyed_agg",
       """SELECT o_custkey AS custkey, count(*) AS n,
-        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS minp,
-        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS maxp,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS minp,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS maxp,
         |  avg(o_orderkey) AS avg_okey
         |FROM orders GROUP BY o_custkey""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -1426,11 +1443,19 @@ object ConnectorQueries {
              |FROM orders""".stripMargin)
       }
       bodyAudit("r42_sharded_keyed_agg", s, dir)
+      // exact integer CENTS above the COMPLETE-pushed aggregate (the
+      // scan still ships the whole GROUP BY; the Project stays in Spark,
+      // GatePlanSpec unchanged): DECIMAL outputs hash-flip on
+      // trailing-zero rendering driver-side (rounds 6-8).
       s.table(s"$cat.main.ord_ka")
         .groupBy(col("custkey"))
         .agg(count(lit(1)).as("n"),
-          min("price").as("minp"), max("price").as("maxp"),
+          min("price").as("minp0"), max("price").as("maxp0"),
           avg("okey").as("avg_okey"))
+        .select(col("custkey"), col("n"),
+          (col("minp0") * 100).cast("bigint").as("minp"),
+          (col("maxp0") * 100).cast("bigint").as("maxp"),
+          col("avg_okey"))
     },
 
     // Streaming ingest into a SHARDED cluster: writeStream.toTable lands

@@ -1045,6 +1045,82 @@ class ShardedClientSpec extends AnyFunSuite {
     } finally { r1.close(); r2.close() }
   }
 
+  test("COMPOSED sharded + failover resume: with per-shard replica sets, " +
+    "one shard's primary dying mid-stream resumes that shard's remainder " +
+    "on ITS survivor; the healthy shard never issues a resume") {
+    val s0p = new MockClickHouseHttp // shard 0 primary — dies mid-stream
+    val s0s = new MockClickHouseHttp // shard 0 survivor
+    val s1p = new MockClickHouseHttp // shard 1 primary — healthy
+    val s1s = new MockClickHouseHttp // shard 1 survivor — must stay idle
+    Seq(s0p, s0s, s1p, s1s).foreach(_.wireReadRows = 1000)
+    s0p.failAfterRows = 100
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chshres",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint",
+          s"${s0p.endpoint}|${s0s.endpoint},${s1p.endpoint}|${s1s.endpoint}")))
+      val client = cat.clickHouseClient
+      val (schema, hs) = client.planQueryRanges(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "id", 2)
+      // one resumable range slice per shard, shard-tagged
+      assert(hs.size == 2, s"one slice per shard expected: ${hs.size}")
+      val shards = hs.collect {
+        case graft.client.ShardHandle(i, _: graft.client.ResumableReplicaHandle) => i
+      }
+      assert(shards.sorted == Seq(0, 1),
+        s"per-shard slices must plan resumable: $hs")
+      // every shard's slice delivers whole, in order, exactly once —
+      // including shard 0, whose primary dies after 100 rows
+      hs.foreach { h =>
+        val ids = client.readPartitionInternal(h, schema).map(_.getLong(0)).toVector
+        assert(ids == (0L until 1000L).toVector,
+          s"slice must survive its shard's primary death: got ${ids.size} rows")
+      }
+      import scala.jdk.CollectionConverters._
+      assert(s0s.statements.asScala.exists(_.contains("`id` > 98")),
+        s"shard 0 must resume `id` > 98 on ITS survivor, got:\n" +
+          s0s.statements.asScala.filter(_.contains("wire_read")).mkString("\n"))
+      // failure isolation: the healthy shard's replicas never see a resume
+      assert(!(s1p.statements.asScala ++ s1s.statements.asScala)
+        .exists(_.contains("`id` >")),
+        "the healthy shard must not issue resume statements")
+    } finally Seq(s0p, s0s, s1p, s1s).foreach(_.close())
+  }
+
+  test("resumes WITHOUT watermark progress are bounded: replicas that all " +
+    "die before releasing a new group end in a loud IOException, not an " +
+    "infinite resume loop") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 1000; r2.wireReadRows = 1000
+    // each replica serves ONE row then dies: group 0 never completes, so
+    // the released watermark never advances across resumes
+    r1.failAfterRows = 1; r2.failAfterRows = 1
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chstall",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+      val client = cat.clickHouseClient
+      val (schema, hs) = client.planQueryRanges(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "id", 1)
+      val drained = scala.util.Try {
+        client.readPartitionInternal(hs.head, schema).size
+      }
+      assert(drained.isFailure, "a stalled resume loop must fail loudly")
+      val msg = drained.failed.get.getMessage
+      assert(msg != null && msg.contains("no progress"),
+        s"failure must name the stalled watermark, got: $msg")
+      // and the replicas were not hammered: the cap (2× replicas) bounds
+      // the total statement count issued while stalled
+      import scala.jdk.CollectionConverters._
+      val selects = (r1.statements.asScala ++ r2.statements.asScala)
+        .count(s => s.contains("wire_read") && s.startsWith("SELECT `id`"))
+      assert(selects <= 12, s"stalled resume must stay bounded: $selects statements")
+    } finally { r1.close(); r2.close() }
+  }
+
   test("a truncated driver-side read releases its connection and pool " +
     "permit: the NEXT read on a pool_max_size=1 endpoint completes") {
     val r1 = new MockClickHouseHttp
