@@ -88,7 +88,7 @@ object Verify {
     *    form at different thresholds, so the same double can render
     *    "1.2e+16" on one side and "12000000000000000.0" on the other.
     */
-  private def lintTypes(dt: org.apache.spark.sql.types.DataType, path: String)
+  private[graft] def lintTypes(dt: org.apache.spark.sql.types.DataType, path: String)
       : Seq[String] = {
     import org.apache.spark.sql.types._
     dt match {
@@ -102,7 +102,7 @@ object Verify {
     }
   }
 
-  private def renderLint(df: DataFrame): Seq[String] = {
+  private[graft] def renderLint(df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.types._
     val schemaHits = df.schema.fields.toSeq.flatMap(f => lintTypes(f.dataType, f.name))
     val doubleCols = df.schema.fields.collect {

@@ -20,4 +20,34 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
     assert(qs.size >= 60)
   }
+
+  test("Verify.renderLint flags the renderer-ambiguous result classes " +
+    "(DECIMAL / FLOAT columns, doubles in scientific-notation bands) and " +
+    "passes exact-integer and in-band double outputs") {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // clean: BIGINT cents + an in-band double — the shape gates must use
+    val clean = Seq((1L, 57040L, 570.4)).toDF("k", "cents", "avg_v")
+    assert(Verify.renderLint(clean).isEmpty)
+    // DECIMAL output column: the r41/r42 trailing-zero hash-flip class
+    val dec = clean.select(col("k"), (col("cents") / 100).cast("decimal(18,2)").as("m"))
+    assert(Verify.renderLint(dec).exists(_.contains("DECIMAL")))
+    // DECIMAL nested inside a struct is still flagged
+    val nested = clean.select(struct(
+      (col("cents") / 100).cast("decimal(18,2)").as("m")).as("s"))
+    assert(Verify.renderLint(nested).exists(_.contains("DECIMAL")))
+    // FLOAT promotes with garbage digits through any float64 renderer
+    val flt = clean.select(col("avg_v").cast("float").as("f"))
+    assert(Verify.renderLint(flt).exists(_.contains("FLOAT")))
+    // doubles at renderer notation thresholds are value-flagged...
+    val big = Seq((1L, 1.2e17), (2L, 3.0)).toDF("k", "v")
+    assert(Verify.renderLint(big).exists(_.contains("scientific-notation")))
+    val tiny = Seq((1L, 1.0e-6)).toDF("k", "v")
+    assert(Verify.renderLint(tiny).nonEmpty)
+    // ...but zero and ordinary magnitudes are not
+    val ok = Seq((1L, 0.0), (2L, 1234.5678)).toDF("k", "v")
+    assert(Verify.renderLint(ok).isEmpty)
+  }
 }

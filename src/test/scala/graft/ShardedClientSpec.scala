@@ -1121,6 +1121,58 @@ class ShardedClientSpec extends AnyFunSuite {
     } finally { r1.close(); r2.close() }
   }
 
+  test("resume death-point sweep: the primary dying after ANY number of " +
+    "served rows — at open, mid-group run, one row short, exactly at the " +
+    "end, and past the last row (truncated fixed-length tail) — always " +
+    "delivers the whole ordered slice exactly once") {
+    for (deathAt <- Seq(0L, 1L, 99L, 100L, 101L, 500L, 999L, 1000L)) {
+      val r1 = new MockClickHouseHttp
+      val r2 = new MockClickHouseHttp
+      r1.wireReadRows = 1000; r2.wireReadRows = 1000
+      r1.failAfterRows = deathAt
+      try {
+        val cat = new graft.catalog.ClickHouseCatalog
+        cat.initialize(s"chsweep$deathAt",
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+            "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+        val client = cat.clickHouseClient
+        val (schema, hs) = client.planQueryRanges(
+          "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "id", 1)
+        val ids = client.readPartitionInternal(hs.head, schema)
+          .map(_.getLong(0)).toVector
+        assert(ids == (0L until 1000L).toVector,
+          s"death after $deathAt rows: got ${ids.size} rows " +
+            s"(${ids.distinct.size} distinct, sorted=${ids == ids.sorted})")
+      } finally { r1.close(); r2.close() }
+    }
+  }
+
+  test("COLUMNAR read on a resumable handle survives mid-stream death via " +
+    "the row-pack fallback: batches deliver the whole ordered slice") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 1000; r2.wireReadRows = 1000
+    r1.failAfterRows = 100
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chrescol",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+      val client = cat.clickHouseClient
+      val (schema, hs) = client.planQueryRanges(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "id", 1)
+      assert(hs.head.isInstanceOf[graft.client.ResumableReplicaHandle])
+      val ids = client.readPartitionColumnar(hs.head, schema).flatMap { b =>
+        (0 until b.numRows()).map(i => b.column(0).getLong(i))
+      }.toVector
+      assert(ids == (0L until 1000L).toVector,
+        s"columnar resumable read must deliver whole: ${ids.size} rows")
+      import scala.jdk.CollectionConverters._
+      assert(r2.statements.asScala.exists(_.contains("`id` > 98")),
+        "fallback must ride the same resume protocol")
+    } finally { r1.close(); r2.close() }
+  }
+
   test("a truncated driver-side read releases its connection and pool " +
     "permit: the NEXT read on a pool_max_size=1 endpoint completes") {
     val r1 = new MockClickHouseHttp
