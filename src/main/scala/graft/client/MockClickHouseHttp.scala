@@ -65,6 +65,14 @@ final class MockClickHouseHttp extends AutoCloseable {
     */
   @volatile var failAfterRows: Long = -1L
 
+  /** Caps how many `wire_read` DATA responses honor [[failAfterRows]]:
+    * the first `failTimes` truncate, later ones stream healthy — models
+    * a replica that crashes N times then recovers, for multi-hop resume
+    * cascades. Default: every response fails (existing behavior).
+    */
+  @volatile var failTimes: Int = Int.MaxValue
+  private val wireDataRequests = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/", new HttpHandler {
@@ -166,7 +174,9 @@ final class MockClickHouseHttp extends AutoCloseable {
     // (a handler abort on a chunked response would be finalized with the
     // terminating chunk by the JDK server — a clean end, silently LOSING
     // the truncation). Normal mode streams chunked.
-    if (failAfterRows >= 0) ex.sendResponseHeaders(200, 1L << 40)
+    val failing =
+      failAfterRows >= 0 && wireDataRequests.incrementAndGet() <= failTimes
+    if (failing) ex.sendResponseHeaders(200, 1L << 40)
     else ex.sendResponseHeaders(200, 0) // chunked
     val raw = ex.getResponseBody
     val out = new java.io.DataOutputStream(
@@ -179,7 +189,7 @@ final class MockClickHouseHttp extends AutoCloseable {
       var i = resumeFrom
       var served = 0L
       while (i < wireReadRows) {
-        if (failAfterRows >= 0 && served >= failAfterRows) {
+        if (failing && served >= failAfterRows) {
           out.flush()
           throw new java.io.IOException("simulated mid-stream death")
         }

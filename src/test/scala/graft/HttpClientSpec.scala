@@ -1263,6 +1263,28 @@ class HttpClientSpec extends AnyFunSuite {
     val _ = schema
   }
 
+  test("every successfully decoded row is DELIVERED before the lookahead's " +
+    "failure surfaces: a stream dying after N rows yields exactly N, then " +
+    "throws — the exact-watermark contract resumable reads build on") {
+    val mock = new graft.client.MockClickHouseHttp
+    mock.wireReadRows = 1000
+    mock.failAfterRows = 100
+    try {
+      val cl = new graft.client.HttpClickHouseClient(mock.endpoint)
+      val (schema, hs) = cl.planQuery(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", 1)
+      val it = cl.readPartitionInternal(hs.head, schema)
+      var delivered = 0L
+      val err = scala.util.Try { while (it.hasNext) { it.next(); delivered += 1 } }
+      assert(err.isFailure, "mid-stream death must still surface")
+      // the one-row lookahead decoded row 99 before hitting the death:
+      // pre-deferral this delivered only 99 rows and the resume watermark
+      // sat one group low
+      assert(delivered == 100,
+        s"all decoded rows must be delivered before the error: $delivered")
+    } finally mock.close()
+  }
+
   /* ==================== protocol verification ledger ====================
    *
    * Every wire behavior this client depends on, with its verification

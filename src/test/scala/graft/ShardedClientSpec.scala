@@ -1147,6 +1147,38 @@ class ShardedClientSpec extends AnyFunSuite {
     }
   }
 
+  test("CASCADING mid-stream deaths with progress: the primary dies, the " +
+    "survivor dies further along, the recovered primary finishes — whole " +
+    "slice exactly once across multiple resume hops") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 1000; r2.wireReadRows = 1000
+    r1.failAfterRows = 300; r1.failTimes = 1 // dies once, then healthy
+    r2.failAfterRows = 600; r2.failTimes = 1 // its resume dies too
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chcasc",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+      val client = cat.clickHouseClient
+      val (schema, hs) = client.planQueryRanges(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "id", 1)
+      val ids = client.readPartitionInternal(hs.head, schema)
+        .map(_.getLong(0)).toVector
+      assert(ids == (0L until 1000L).toVector,
+        s"cascade must deliver whole: ${ids.size} rows, " +
+          s"${ids.distinct.size} distinct")
+      import scala.jdk.CollectionConverters._
+      // hop 1: r1 served 0..299 (groups 0..298 released) → resume on r2
+      assert(r2.statements.asScala.exists(_.contains("`id` > 298")),
+        "first resume must land on the survivor at the exact watermark")
+      // hop 2: r2 served 299..898 (through group 897) → back to r1
+      assert(r1.statements.asScala.exists(_.contains("`id` > 897")),
+        s"second resume must wrap to the recovered primary, got:\n" +
+          r1.statements.asScala.filter(_.contains("`id` >")).mkString("\n"))
+    } finally { r1.close(); r2.close() }
+  }
+
   test("COLUMNAR read on a resumable handle survives mid-stream death via " +
     "the row-pack fallback: batches deliver the whole ordered slice") {
     val r1 = new MockClickHouseHttp
