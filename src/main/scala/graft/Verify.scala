@@ -102,21 +102,55 @@ object Verify {
     }
   }
 
-  private[graft] def renderLint(df: DataFrame): Seq[String] = {
+  private def containsDouble(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType => true
+      case ArrayType(et, _) => containsDouble(et)
+      case MapType(kt, vt, _) => containsDouble(kt) || containsDouble(vt)
+      case StructType(fs) => fs.exists(f => containsDouble(f.dataType))
+      case _ => false
+    }
+  }
+
+  /** True when any double reachable under `c` (through arrays, maps,
+    * structs) sits in a renderer notation band. Nulls count as safe.
+    */
+  private def doubleHazard(dt: org.apache.spark.sql.types.DataType,
+      c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    if (!containsDouble(dt)) return None
+    dt match {
+      case DoubleType =>
+        Some(abs(c) >= 1e16 || (c =!= 0.0 && abs(c) < 1e-4))
+      case ArrayType(et, _) =>
+        Some(exists(c, x => coalesce(doubleHazard(et, x).get, lit(false))))
+      case MapType(kt, vt, _) =>
+        val kh = if (containsDouble(kt))
+          Seq(exists(map_keys(c), x => coalesce(doubleHazard(kt, x).get, lit(false))))
+        else Seq.empty
+        val vh = if (containsDouble(vt))
+          Seq(exists(map_values(c), x => coalesce(doubleHazard(vt, x).get, lit(false))))
+        else Seq.empty
+        (kh ++ vh).reduceOption(_ || _)
+      case StructType(fs) =>
+        fs.toSeq.flatMap(f => doubleHazard(f.dataType, c.getField(f.name)))
+          .reduceOption(_ || _)
+      case _ => None
+    }
+  }
+
+  private[graft] def renderLint(df: DataFrame): Seq[String] = {
     val schemaHits = df.schema.fields.toSeq.flatMap(f => lintTypes(f.dataType, f.name))
-    val doubleCols = df.schema.fields.collect {
-      case f if f.dataType == DoubleType => f.name
-    }.toSeq
+    val hazardCols = df.schema.fields.toSeq.flatMap { f =>
+      doubleHazard(f.dataType, col(f.name)).map(h =>
+        f.name -> sum(when(coalesce(h, lit(false)), 1L).otherwise(0L)))
+    }
     val valueHits =
-      if (doubleCols.isEmpty) Seq.empty
+      if (hazardCols.isEmpty) Seq.empty
       else {
-        val hazard = doubleCols.map { c =>
-          sum(when(abs(col(c)) >= 1e16 ||
-            (col(c) =!= 0.0 && abs(col(c)) < 1e-4), 1L).otherwise(0L)).as(c)
-        }
-        val row = df.agg(hazard.head, hazard.tail: _*).head
-        doubleCols.zipWithIndex.collect {
+        val row = df.agg(hazardCols.head._2, hazardCols.tail.map(_._2): _*).head
+        hazardCols.map(_._1).zipWithIndex.collect {
           case (c, i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
             s"$c: ${row.getLong(i)} double value(s) in a scientific-notation band"
         }

@@ -396,14 +396,15 @@ class FailoverClickHouseClient(
     // resume→open→die forever, silently hammering the replicas instead
     // of failing loudly like the pre-resume contract
     private var stalledResumes = 0
-    private var watermarkAtResume: Option[Option[Long]] = null
+    private var haveResumed = false
+    private var watermarkAtResume: Option[Option[Long]] = None
 
     private def resume(cause: IOException): Unit = {
       closeQuietly(current)
       current = null
-      if (watermarkAtResume != null && watermarkAtResume == released)
-        stalledResumes += 1
+      if (haveResumed && watermarkAtResume == released) stalledResumes += 1
       else stalledResumes = 0
+      haveResumed = true
       watermarkAtResume = released
       if (stalledResumes >= 2 * replicas.size)
         throw new IOException(

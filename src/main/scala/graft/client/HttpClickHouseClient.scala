@@ -908,7 +908,15 @@ object HttpClickHouseClient {
             throw e
           }
         if (nextRow == null) { try verifyDeclaredLength(conn, ctr) finally close() }
-        else if (proj != null) nextRow = proj(nextRow).copy()
+        else if (proj != null) nextRow =
+          // same close-before-throw guard as readRow(): a drift-cast
+          // failure on a driver-side read has no completion listener to
+          // release the connection and pool permit
+          try proj(nextRow).copy()
+          catch { case e: Throwable =>
+            try close() catch { case s: Exception => e.addSuppressed(s) }
+            throw e
+          }
       }
 
       // a LOOKAHEAD failure must not swallow the row already decoded:
@@ -935,8 +943,12 @@ object HttpClickHouseClient {
         ensureOpen()
         if (nextRow == null) { surface(); throw new NoSuchElementException }
         val r = nextRow
+        // NonFatal only: a VM error / interrupt must propagate NOW, not
+        // ride the deferral one extra step
         try advance()
-        catch { case e: Throwable => nextRow = null; pendingErr = e }
+        catch {
+          case scala.util.control.NonFatal(e) => nextRow = null; pendingErr = e
+        }
         if (schema.isEmpty) emptyRow else r
       }
 

@@ -25,7 +25,10 @@ class EntrySpec extends AnyFunSuite {
     "(DECIMAL / FLOAT columns, doubles in scientific-notation bands) and " +
     "passes exact-integer and in-band double outputs") {
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // clean: BIGINT cents + an in-band double — the shape gates must use
@@ -49,5 +52,15 @@ class EntrySpec extends AnyFunSuite {
     // ...but zero and ordinary magnitudes are not
     val ok = Seq((1L, 0.0), (2L, 1234.5678)).toDF("k", "v")
     assert(Verify.renderLint(ok).isEmpty)
+    // the value scan reaches doubles NESTED in arrays and structs
+    val arrBad = Seq((1L, Seq(1.0, 3.0e-5))).toDF("k", "vs")
+    assert(Verify.renderLint(arrBad).exists(_.contains("scientific-notation")))
+    val arrOk = Seq((1L, Seq(1.0, 2.5))).toDF("k", "vs")
+    assert(Verify.renderLint(arrOk).isEmpty)
+    val structBad = Seq((1L, 2.0e17)).toDF("k", "v")
+      .select(col("k"), struct(col("v").as("inner")).as("s"))
+    assert(Verify.renderLint(structBad).exists(_.contains("scientific-notation")))
+    val mapBad = Seq((1L, Map("a" -> 5.0e-6))).toDF("k", "m")
+    assert(Verify.renderLint(mapBad).nonEmpty)
   }
 }

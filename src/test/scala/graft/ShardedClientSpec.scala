@@ -1113,10 +1113,13 @@ class ShardedClientSpec extends AnyFunSuite {
       assert(msg != null && msg.contains("no progress"),
         s"failure must name the stalled watermark, got: $msg")
       // and the replicas were not hammered: the cap (2× replicas) bounds
-      // the total statement count issued while stalled
+      // the total data-statement count issued while stalled (resumable
+      // slices arrive as the ordered/resume wrap, so match any SELECT
+      // over the table, never a specific prefix)
       import scala.jdk.CollectionConverters._
       val selects = (r1.statements.asScala ++ r2.statements.asScala)
-        .count(s => s.contains("wire_read") && s.startsWith("SELECT `id`"))
+        .count(s => s.contains("wire_read") && s.startsWith("SELECT"))
+      assert(selects > 0, "sweep must have issued data statements")
       assert(selects <= 12, s"stalled resume must stay bounded: $selects statements")
     } finally { r1.close(); r2.close() }
   }
@@ -1177,6 +1180,47 @@ class ShardedClientSpec extends AnyFunSuite {
         s"second resume must wrap to the recovered primary, got:\n" +
           r1.statements.asScala.filter(_.contains("`id` >")).mkString("\n"))
     } finally { r1.close(); r2.close() }
+  }
+
+  test("30-seed death-schedule fuzz: random slice sizes, death points and " +
+    "recovery counts either deliver the exact ordered slice or fail LOUDLY " +
+    "— never a silently wrong result") {
+    for (seed <- 0 until 30) {
+      val rnd = new scala.util.Random(seed)
+      val total = 200L + rnd.nextInt(1800)
+      val r1 = new MockClickHouseHttp
+      val r2 = new MockClickHouseHttp
+      r1.wireReadRows = total; r2.wireReadRows = total
+      // independent per-replica schedules; failTimes bounds the deaths so
+      // most schedules are recoverable, failAfterRows ∈ [0, total] covers
+      // at-open death, zero-progress runs, and past-the-end truncation
+      def sched(m: MockClickHouseHttp): String =
+        if (rnd.nextBoolean()) {
+          m.failAfterRows = rnd.nextInt(total.toInt + 1).toLong
+          m.failTimes = rnd.nextInt(3)
+          s"die@${m.failAfterRows}×${m.failTimes}"
+        } else "healthy"
+      val plan = s"seed=$seed total=$total r1=${sched(r1)} r2=${sched(r2)}"
+      try {
+        val cat = new graft.catalog.ClickHouseCatalog
+        cat.initialize(s"chfuzz$seed",
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+            "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+        val client = cat.clickHouseClient
+        scala.util.Try {
+          val (schema, hs) = client.planQueryRanges(
+            "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "id", 1)
+          client.readPartitionInternal(hs.head, schema)
+            .map(_.getLong(0)).toVector
+        } match {
+          case scala.util.Success(ids) =>
+            assert(ids == (0L until total).toVector,
+              s"$plan delivered a WRONG result: ${ids.size} rows " +
+                s"(${ids.distinct.size} distinct, sorted=${ids == ids.sorted})")
+          case scala.util.Failure(_) => () // loud is a legitimate outcome
+        }
+      } finally { r1.close(); r2.close() }
+    }
   }
 
   test("COLUMNAR read on a resumable handle survives mid-stream death via " +
