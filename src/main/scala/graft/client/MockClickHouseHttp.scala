@@ -156,12 +156,18 @@ final class MockClickHouseHttp extends AutoCloseable {
     */
   private def streamWireRead(
       ex: HttpExchange, params: Map[String, String], sql: String = ""): Unit = {
-    // resumable-read support: a resume conjunct `WHERE \`id\` > N` (the
-    // shape FailoverClickHouseClient re-plans after mid-stream death)
-    // starts the synthetic stream after N — rows are generated in id
-    // order, so the ordered-slice wrap itself needs no extra work here
+    // range + resume support: honor `\`id\` >= L`, `\`id\` <= H` (the
+    // integral range-slice bounds) and the resume conjunct `\`id\` > N`
+    // (re-planned after mid-stream death; ">=" never matches the "> "
+    // pattern) — rows are generated in id order, so the ordered-slice
+    // wrap itself needs no extra work here
+    def bound(re: scala.util.matching.Regex): Option[Long] =
+      re.findFirstMatchIn(sql).map(_.group(1).toLong)
     val resumeFrom =
-      raw"`id` > (-?\d+)".r.findFirstMatchIn(sql).map(_.group(1).toLong + 1).getOrElse(0L)
+      (bound(raw"`id` >= (-?\d+)".r).toSeq ++
+        bound(raw"`id` > (-?\d+)".r).map(_ + 1).toSeq ++ Seq(0L)).max
+    val serveUntil =
+      (bound(raw"`id` <= (-?\d+)".r).map(_ + 1).toSeq :+ wireReadRows).min
     val accept = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
       .map(_.toLowerCase).getOrElse("")
     val codec =
@@ -188,7 +194,7 @@ final class MockClickHouseHttp extends AutoCloseable {
       val encs = wireReadCols.map { case (_, t) => RowBinary.encoder(t) }.toArray
       var i = resumeFrom
       var served = 0L
-      while (i < wireReadRows) {
+      while (i < serveUntil) {
         if (failing && served >= failAfterRows) {
           out.flush()
           throw new java.io.IOException("simulated mid-stream death")
@@ -223,6 +229,11 @@ final class MockClickHouseHttp extends AutoCloseable {
       (200, if (known) "1\n" else "0\n")
     } else if (q.startsWith("SELECT sum(bytes_on_disk) FROM system.parts")) {
       (200, "0\n") // no stats — scans fall back to their default estimate
+    } else if (q.startsWith("SELECT min(`id`), max(`id`)") &&
+      q.contains("`wire_read`") && wireReadRows > 0) {
+      // the range-split extremes probe: ids are 0..wireReadRows-1, so
+      // multi-stream resumable slices can plan against the mock
+      (200, s"0\t${wireReadRows - 1}\n")
     } else if (q.startsWith("SELECT engine, sorting_key, partition_key, sampling_key")) {
       (200, "MergeTree\tid\t\t\n")
     } else if (q.startsWith("CREATE DATABASE") || q.startsWith("DROP DATABASE")) {

@@ -1309,6 +1309,64 @@ class ShardedClientSpec extends AnyFunSuite {
     } finally { r1.close(); r2.close() }
   }
 
+  test("END-TO-END DSv2 mid-stream resume: a split_by catalog read " +
+    "survives the primary dying after delivering rows — the executor " +
+    "task completes from the survivor without a task retry") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 1000; r2.wireReadRows = 1000
+    r1.failAfterRows = 100 // dies mid-stream, AFTER rows were delivered
+    try {
+      seed() // session up
+      spark.conf.set("spark.sql.catalog.chresdsv",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      spark.conf.set("spark.sql.catalog.chresdsv.endpoint",
+        s"${r1.endpoint}|${r2.endpoint}")
+      // one stream so the range plan needs no min/max probe; split_by
+      // makes the scan plan RESUMABLE slices instead of loud handles
+      spark.conf.set("spark.sql.catalog.chresdsv.read.streams", "1")
+      val rows = spark.read.option("split_by", "id")
+        .table("chresdsv.bench.wire_read").collect()
+      assert(rows.length == 1000,
+        s"resume must complete the scan in-task: ${rows.length}")
+      assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until 1000L),
+        "exactly-once delivery across the mid-stream death")
+      import scala.jdk.CollectionConverters._
+      assert(r2.statements.asScala.exists(_.contains("`id` > 98")),
+        "the executor-side read must have resumed on the survivor")
+    } finally { r1.close(); r2.close() }
+  }
+
+  test("END-TO-END DSv2 MULTI-SLICE resume: four parallel range " +
+    "partitions each survive the primary dying 100 rows into their " +
+    "slice; every slice resumes independently on the survivor") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 1000; r2.wireReadRows = 1000
+    r1.failAfterRows = 100 // every r1 data stream dies after 100 rows
+    try {
+      seed() // session up
+      spark.conf.set("spark.sql.catalog.chresmulti",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      spark.conf.set("spark.sql.catalog.chresmulti.endpoint",
+        s"${r1.endpoint}|${r2.endpoint}")
+      spark.conf.set("spark.sql.catalog.chresmulti.read.streams", "4")
+      val rows = spark.read.option("split_by", "id")
+        .table("chresmulti.bench.wire_read").collect()
+      assert(rows.length == 1000,
+        s"all slices must complete despite per-slice deaths: ${rows.length}")
+      assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until 1000L),
+        "exactly-once delivery across four independent mid-stream deaths")
+      import scala.jdk.CollectionConverters._
+      // each slice re-plans its own remainder: distinct resume cursors on
+      // the survivor, one per range partition
+      val resumes = r2.statements.asScala.toSeq
+        .flatMap(raw"`id` > (-?\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong))
+      assert(resumes.distinct.size >= 4,
+        s"four slices must resume independently, got cursors: $resumes")
+    } finally { r1.close(); r2.close() }
+  }
+
   test("mutations PIN to the primary of a replica set: a server-side-" +
     "replicated ALTER UPDATE/DELETE must be issued exactly once") {
     val r1 = new MockClickHouseHttp
