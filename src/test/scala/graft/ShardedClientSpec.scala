@@ -1367,6 +1367,39 @@ class ShardedClientSpec extends AnyFunSuite {
     } finally { r1.close(); r2.close() }
   }
 
+  test("END-TO-END DSv2 sharded+replica resume: a split_by read over a " +
+    "two-shard catalog with per-shard replica sets survives one shard's " +
+    "primary dying mid-stream; the healthy shard never resumes") {
+    val s0p = new MockClickHouseHttp
+    val s0s = new MockClickHouseHttp
+    val s1p = new MockClickHouseHttp
+    val s1s = new MockClickHouseHttp
+    Seq(s0p, s0s, s1p, s1s).foreach(_.wireReadRows = 1000)
+    s0p.failAfterRows = 100
+    try {
+      seed() // session up
+      spark.conf.set("spark.sql.catalog.chshrese",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      spark.conf.set("spark.sql.catalog.chshrese.endpoint",
+        s"${s0p.endpoint}|${s0s.endpoint},${s1p.endpoint}|${s1s.endpoint}")
+      spark.conf.set("spark.sql.catalog.chshrese.read.streams", "2")
+      val rows = spark.read.option("split_by", "id")
+        .table("chshrese.bench.wire_read").collect()
+      // both shards serve the same synthetic ids → union = each id twice
+      assert(rows.length == 2000,
+        s"both shards' slices must complete: ${rows.length}")
+      val counts = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+      assert(counts.size == 1000 && counts.values.forall(_ == 2),
+        "every id exactly twice (once per shard) — no loss, no duplication")
+      import scala.jdk.CollectionConverters._
+      assert(s0s.statements.asScala.exists(_.contains("`id` > 98")),
+        "shard 0's survivor must carry the resumed remainder")
+      assert(!(s1p.statements.asScala ++ s1s.statements.asScala)
+        .exists(_.contains("`id` >")),
+        "the healthy shard must not issue resume statements")
+    } finally Seq(s0p, s0s, s1p, s1s).foreach(_.close())
+  }
+
   test("mutations PIN to the primary of a replica set: a server-side-" +
     "replicated ALTER UPDATE/DELETE must be issued exactly once") {
     val r1 = new MockClickHouseHttp
