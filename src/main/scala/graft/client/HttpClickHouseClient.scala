@@ -896,27 +896,21 @@ object HttpClickHouseClient {
 
       private var proj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
 
+      // close BEFORE any failure propagates — a mid-row truncation, a
+      // declared-length verdict, or a drift-cast failure would otherwise
+      // leak the live connection and the per-endpoint pool permit on
+      // driver-side reads (no task completion listener to clean up)
+      private def closingOnThrow[T](f: => T): T =
+        try f
+        catch { case e: Throwable =>
+          try close() catch { case s: Exception => e.addSuppressed(s) }
+          throw e
+        }
+
       private def advance(): Unit = {
-        // close BEFORE any failure propagates — a mid-row truncation from
-        // readRow() or a declared-length verdict would otherwise leak the
-        // live connection and the per-endpoint pool permit on driver-side
-        // reads (no task completion listener to clean up)
-        nextRow =
-          try reader.readRow()
-          catch { case e: Throwable =>
-            try close() catch { case s: Exception => e.addSuppressed(s) }
-            throw e
-          }
+        nextRow = closingOnThrow(reader.readRow())
         if (nextRow == null) { try verifyDeclaredLength(conn, ctr) finally close() }
-        else if (proj != null) nextRow =
-          // same close-before-throw guard as readRow(): a drift-cast
-          // failure on a driver-side read has no completion listener to
-          // release the connection and pool permit
-          try proj(nextRow).copy()
-          catch { case e: Throwable =>
-            try close() catch { case s: Exception => e.addSuppressed(s) }
-            throw e
-          }
+        else if (proj != null) nextRow = closingOnThrow(proj(nextRow).copy())
       }
 
       // a LOOKAHEAD failure must not swallow the row already decoded:
