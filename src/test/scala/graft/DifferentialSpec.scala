@@ -199,6 +199,28 @@ class DifferentialSpec extends AnyFunSuite {
       val b = canon(local.orderBy(col("c_custkey")).limit(n))
       assert(a == b, s"sharded top-$n case $i diverged")
     }
+    // ORDER BY + OFFSET (+ LIMIT): OFFSET must never push per shard — a
+    // shard-local skip drops rows another shard should have contributed;
+    // Spark ships LIMIT(limit+offset) as the per-shard upper bound and
+    // applies the skip globally (spec-pinned rule, randomized here)
+    (1 to 10).foreach { i =>
+      val o = r.nextInt(30) + 1
+      val n = r.nextInt(20) + 1
+      val a = canon(sharded.orderBy(col("c_custkey")).offset(o).limit(n))
+      val b = canon(local.orderBy(col("c_custkey")).offset(o).limit(n))
+      assert(a == b, s"sharded offset-$o limit-$n case $i diverged")
+      val ao = canon(sharded.orderBy(col("c_custkey")).offset(o))
+      val bo = canon(local.orderBy(col("c_custkey")).offset(o))
+      assert(ao == bo, s"sharded bare offset-$o case $i diverged")
+    }
+    // DISTINCT over the shard union: dedup must be global (a non-key
+    // distinct wholly pushed per shard would keep cross-shard duplicates)
+    (1 to 5).foreach { i =>
+      val p = pred(r, 0)
+      val a = canon(sharded.filter(p).select(col("c_mktsegment")).distinct())
+      val b = canon(local.filter(p).select(col("c_mktsegment")).distinct())
+      assert(a == b, s"sharded distinct case $i diverged for ${p.toString}")
+    }
   }
 
   test("random SHARD-KEY-LOCAL shapes (keyed joins + keyed aggregates) " +
