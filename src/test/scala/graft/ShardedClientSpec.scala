@@ -1400,6 +1400,33 @@ class ShardedClientSpec extends AnyFunSuite {
     } finally Seq(s0p, s0s, s1p, s1s).foreach(_.close())
   }
 
+  test("non-integral resume cursors plan NON-resumable: a string split_by " +
+    "keeps plain replica handles and mid-stream death stays LOUD") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 1000; r2.wireReadRows = 1000
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chnonint",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+      val client = cat.clickHouseClient
+      // `tag` is String: hash-bucket slices exist, but no ordered replay
+      // prefix can be derived — resumability must NOT be claimed
+      val (schema, hs) = client.planQueryRanges(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "tag", 1)
+      assert(!hs.exists(_.isInstanceOf[graft.client.ResumableReplicaHandle]),
+        s"string cursor must not plan resumable: ${hs.map(_.getClass.getSimpleName)}")
+      // and the mid-stream contract is the loud one
+      r1.failAfterRows = 100
+      val drained = scala.util.Try {
+        client.readPartitionInternal(hs.head, schema).size
+      }
+      assert(drained.isFailure,
+        "mid-stream death on a non-resumable slice must stay loud")
+    } finally { r1.close(); r2.close() }
+  }
+
   test("mutations PIN to the primary of a replica set: a server-side-" +
     "replicated ALTER UPDATE/DELETE must be issued exactly once") {
     val r1 = new MockClickHouseHttp
