@@ -36,6 +36,13 @@ trait ClickHouseClient extends Serializable {
     */
   def singleExecutionDomain: Boolean = true
 
+  /** True when this transport upgrades integral range slices to ordered
+    * MID-STREAM-RESUMABLE reads (replica sets): planners can warn when a
+    * chosen cursor would make the per-slice ORDER BY a server-side sort
+    * instead of riding read-in-order.
+    */
+  def resumableRanges: Boolean = false
+
   /** The declared row-placement key of a sharded transport, if any: every
     * write through this client routes rows by this column, so two rows
     * with EQUAL values in it (of the same type) reside on the same shard.

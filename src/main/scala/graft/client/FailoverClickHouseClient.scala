@@ -60,6 +60,7 @@ class FailoverClickHouseClient(
 
   // one replica holds the whole data set: single execution domain
   override def singleExecutionDomain: Boolean = true
+  override def resumableRanges: Boolean = true
   override def finalReadExact(db: String, table: String): Boolean =
     replicas.head.finalReadExact(db, table)
   override def bucketFamily: Option[String] = {

@@ -45,6 +45,7 @@ class ShardedClickHouseClient(
   require(shards.size >= 2, s"a sharded client needs >= 2 shards, got ${shards.size}")
 
   override def singleExecutionDomain: Boolean = false
+  override def resumableRanges: Boolean = shards.exists(_.resumableRanges)
 
   /** `shard_by` IS the placement declaration: insert/stageInsert route by
     * it (see [[route]]), so equal same-typed values co-reside. */

@@ -91,6 +91,9 @@ class ClickHouseTable(
 }
 
 object ClickHouseTable {
+  private[connector] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[ClickHouseTable])
+
   /** Above this many values a runtime IN-list ships as its bounding range
     * instead (the cap real engines apply to IN pushdown — giant literal
     * lists cost more to parse remotely than they save, and SQL size must
@@ -535,6 +538,28 @@ class ChScan(
     val splitBy = Option(scanOptions.get("split_by")).filter(c =>
       !aggregated && limit.isEmpty && offset.isEmpty && orderBy.isEmpty &&
         select.exists(_._2 == c))
+    // scale guard: on a replica-set transport an integral split cursor
+    // becomes an ORDERED resumable slice — that rides the server's
+    // read-in-order path ONLY when the cursor is the table's ORDER BY
+    // head; any other cursor makes every slice a server-side SORT of its
+    // whole range, which silently dominates an hour-long 100 TB scan
+    splitBy.filter(_ => client.resumableRanges).foreach { c =>
+      // only integral cursors are upgraded to ordered resumable slices
+      val integral = out.fields.find(_.name == c).map(_.dataType).exists {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      val head =
+        try client.fetchTableOptions(db, table).getOrElse("order_by", "")
+          .split(",")(0).trim
+        catch { case _: Exception => "" }
+      if (integral && head.nonEmpty && head != c)
+        ClickHouseTable.log.warn(
+          s"split_by='$c' is not the ORDER BY head ('$head') of $db.$table: " +
+            "resumable ordered slices will sort server-side instead of " +
+            "riding read-in-order — prefer the sorting key as the cursor")
+    }
     bucketSpec match {
       case Some((c, n)) =>
         // bucket-keyed read: handle i = bucket i, reported to Spark via
