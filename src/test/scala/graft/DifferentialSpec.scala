@@ -223,6 +223,63 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random PASSTHROUGH function shapes agree remote vs Spark-local " +
+    "equivalents, bit for bit (unparse → embedded translate round-trip)") {
+    import graft.chfunctions._
+    GraftSession.install(spark) // passthrough needs the pushdown rule
+    val remote = spark.table("clickhouse.main.customer")
+    val local = spark.table("customer")
+    // (remote passthrough column, local Spark equivalent) pairs — every
+    // pair crosses clickhouse_fn → ChExprUnparser → ChSqlTranslator →
+    // Spark, so a divergence pins a translator/unparser bug
+    val pairs: Vector[(String, Column, Column)] = Vector(
+      ("upper", clickhouse_fn("toUpperCase", Seq(col("c_name")), "String"),
+        upper(col("c_name"))),
+      ("lower", clickhouse_fn("toLowerCase", Seq(col("c_mktsegment")), "String"),
+        lower(col("c_mktsegment"))),
+      ("lenU8", clickhouse_fn("lengthUTF8", Seq(col("c_name")), "Int64"),
+        char_length(col("c_name")).cast("bigint")),
+      ("b64", clickhouse_fn("base64Encode", Seq(col("c_name")), "String"),
+        base64(col("c_name").cast("binary"))),
+      ("tostr", clickhouse_fn("toString", Seq(col("c_custkey")), "String"),
+        col("c_custkey").cast("string")),
+      ("mod7", clickhouse_fn("modulo", Seq(col("c_custkey"), lit(7)), "Int64"),
+        col("c_custkey") % 7),
+      ("idiv", clickhouse_fn("intDiv", Seq(col("c_custkey"), lit(3)), "Int64"),
+        expr("c_custkey div 3")),
+      ("sig", clickhouse_fn("sigmoid",
+        Seq((col("c_acctbal") / 1000.0)), "Float64"),
+        lit(1.0) / (lit(1.0) + exp(-(col("c_acctbal") / 1000.0)))),
+      ("abs", clickhouse_fn("abs", Seq(col("c_acctbal")), "Float64"),
+        abs(col("c_acctbal"))),
+      ("rev", clickhouse_fn("reverse", Seq(col("c_name")), "String"),
+        reverse(col("c_name"))),
+      ("cat", clickhouse_fn("concat",
+        Seq(col("c_name"), lit("_"), col("c_mktsegment")), "String"),
+        concat(col("c_name"), lit("_"), col("c_mktsegment"))),
+      ("sub", clickhouse_fn("substring",
+        Seq(col("c_name"), lit(2), lit(5)), "String"),
+        substring(col("c_name"), 2, 5)),
+      ("crc", clickhouse_fn("CRC32", Seq(col("c_name")), "Int64"),
+        crc32(col("c_name"))),
+      // nested: passthrough composing passthrough
+      ("upRev", clickhouse_fn("toUpperCase",
+        Seq(clickhouse_fn("reverse", Seq(col("c_name")), "String")), "String"),
+        upper(reverse(col("c_name")))))
+    val r = new Random(7)
+    (1 to 20).foreach { i =>
+      val p = pred(r, 1)
+      val chosen = r.shuffle(pairs).take(r.nextInt(3) + 2)
+      val a = canon(remote.filter(p).select(
+        col("c_custkey") +: chosen.map { case (n, rc, _) => rc.as(n) }: _*))
+      val b = canon(local.filter(p).select(
+        col("c_custkey") +: chosen.map { case (n, _, lc) => lc.as(n) }: _*))
+      assert(a == b,
+        s"passthrough case $i (${chosen.map(_._1).mkString(",")}) diverged " +
+          s"for ${p.toString}")
+    }
+  }
+
   test("random SHARD-KEY-LOCAL shapes (keyed joins + keyed aggregates) " +
     "agree with local recompute, bit for bit") {
     // reuses the two-shard chdiffsh catalog (routing key c_custkey): the
