@@ -280,6 +280,61 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random DATE/STRING passthrough shapes over a DateTime64 table " +
+    "agree remote vs Spark-local, bit for bit") {
+    import graft.chfunctions._
+    GraftSession.install(spark)
+    val remote = spark.table("clickhouse.main.orders")
+    val local = spark.table("orders")
+    val ts = col("o_orderdate")
+    val pairs: Vector[(String, Column, Column)] = Vector(
+      ("yr", clickhouse_fn("toYear", Seq(ts), "Int32"), year(ts)),
+      ("mo", clickhouse_fn("toMonth", Seq(ts), "Int32"), month(ts)),
+      ("dom", clickhouse_fn("toDayOfMonth", Seq(ts), "Int32"), dayofmonth(ts)),
+      ("qtr", clickhouse_fn("toQuarter", Seq(ts), "Int32"), quarter(ts)),
+      ("doy", clickhouse_fn("toDayOfYear", Seq(ts), "Int32"), dayofyear(ts)),
+      ("som", clickhouse_fn("toStartOfMonth", Seq(ts), "DateTime64(3)"),
+        date_trunc("month", ts)),
+      ("sod", clickhouse_fn("toStartOfDay", Seq(ts), "DateTime64(3)"),
+        date_trunc("day", ts)),
+      ("dt", clickhouse_fn("toDate", Seq(ts), "Date"), to_date(ts)),
+      ("pos", clickhouse_fn("position",
+        Seq(col("o_orderpriority"), lit("E")), "Int64"),
+        locate("E", col("o_orderpriority")).cast("bigint")),
+      ("sw", clickhouse_fn("startsWith",
+        Seq(col("o_orderstatus"), lit("F")), "Bool"),
+        col("o_orderstatus").startsWith("F")),
+      ("rep", clickhouse_fn("replaceAll",
+        Seq(col("o_orderpriority"), lit("-"), lit("_")), "String"),
+        regexp_replace(col("o_orderpriority"), "-", "_")),
+      ("rx", clickhouse_fn("match",
+        Seq(col("o_orderpriority"), lit("^[0-9]")), "Bool"),
+        col("o_orderpriority").rlike("^[0-9]")),
+      ("pmod", clickhouse_fn("positiveModulo",
+        Seq(col("o_orderkey"), lit(7)), "Int64"),
+        pmod(col("o_orderkey"), lit(7))),
+      ("trm", clickhouse_fn("trimBoth", Seq(col("o_orderpriority")), "String"),
+        trim(col("o_orderpriority"))))
+    def opred(r: Random): Column = r.nextInt(4) match {
+      case 0 => col("o_orderkey") % (r.nextInt(7) + 2) === r.nextInt(3)
+      case 1 => col("o_totalprice") > (r.nextInt(200000)).toDouble
+      case 2 => col("o_orderstatus") === Seq("F", "O", "P")(r.nextInt(3))
+      case 3 => col("o_custkey").isNotNull
+    }
+    val r = new Random(13)
+    (1 to 15).foreach { i =>
+      val p = opred(r)
+      val chosen = r.shuffle(pairs).take(r.nextInt(3) + 2)
+      val a = canon(remote.filter(p).select(
+        col("o_orderkey") +: chosen.map { case (n, rc, _) => rc.as(n) }: _*))
+      val b = canon(local.filter(p).select(
+        col("o_orderkey") +: chosen.map { case (n, _, lc) => lc.as(n) }: _*))
+      assert(a == b,
+        s"date/string passthrough case $i (${chosen.map(_._1).mkString(",")}) " +
+          s"diverged for ${p.toString}")
+    }
+  }
+
   test("random SHARD-KEY-LOCAL shapes (keyed joins + keyed aggregates) " +
     "agree with local recompute, bit for bit") {
     // reuses the two-shard chdiffsh catalog (routing key c_custkey): the
