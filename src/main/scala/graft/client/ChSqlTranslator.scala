@@ -272,7 +272,12 @@ object ChSqlTranslator {
       else {
         out.append(s.substring(i, at))
         val (args, end) = parseArgs(s, at + pat.length)
-        out.append(f(args))
+        // recurse into the parsed arguments FIRST: the outer call's
+        // region swallows any same-name call nested inside it (e.g.
+        // CAST(x AS Float64) inside a lambda under an outer CAST), and
+        // the left-to-right scan resumes past it — the inner call would
+        // otherwise reach Spark untranslated
+        out.append(f(args.map(a => rewriteCall(a, name, f))))
         i = end
       }
     }

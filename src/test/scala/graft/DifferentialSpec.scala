@@ -335,6 +335,49 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random ARRAY-HOF passthrough shapes (lambda rewrites) agree " +
+    "remote vs Spark-local, bit for bit") {
+    import graft.chfunctions._
+    GraftSession.install(spark)
+    val remote = spark.table("clickhouse.main.embeddings")
+    val local = spark.table("embeddings")
+    val emb = col("embedding")
+    // array-valued outputs compare through CAST(x AS STRING) on BOTH
+    // sides: the rendered literal is engine-deterministic, while raw
+    // collect() exposes collection-class differences between the wire
+    // decode and the parquet reader
+    // literals are exactly-representable floats (0.25, 0.5) and the
+    // arithmetic pair computes in explicit DOUBLE on both sides: the
+    // unparse→translate round-trip types numeric literals per dialect,
+    // so a non-representable threshold (0.9f vs 0.9) or implicit
+    // float×double promotion would diverge in the TEST, not the engine
+    val pairs: Vector[(String, Column, Column)] = Vector(
+      ("x2", clickhouse(transform(emb, x => x.cast("double") * 2),
+        "Array(Float64)").cast("string"),
+        transform(emb, x => x.cast("double") * 2).cast("string")),
+      ("big", clickhouse(filter(emb, x => x > lit(0.25f)), "Array(Float32)")
+        .cast("string"),
+        filter(emb, x => x > lit(0.25f)).cast("string")),
+      ("any5", clickhouse(exists(emb, x => x > lit(0.5f)), "Bool"),
+        exists(emb, x => x > lit(0.5f))),
+      ("asum", clickhouse_fn("arraySum", Seq(emb), "Float64"),
+        aggregate(emb, lit(0.0), (a, v) => a + v)),
+      ("nPos", clickhouse(size(filter(emb, x => x > lit(0.0f))), "Int32"),
+        size(filter(emb, x => x > lit(0.0f)))))
+    val r = new Random(29)
+    (1 to 12).foreach { i =>
+      val p = col("vec_id") % (r.nextInt(5) + 2) === r.nextInt(2)
+      val chosen = r.shuffle(pairs).take(r.nextInt(2) + 2)
+      val a = canon(remote.filter(p).select(
+        col("vec_id") +: chosen.map { case (n, rc, _) => rc.as(n) }: _*))
+      val b = canon(local.filter(p).select(
+        col("vec_id") +: chosen.map { case (n, _, lc) => lc.as(n) }: _*))
+      assert(a == b,
+        s"HOF passthrough case $i (${chosen.map(_._1).mkString(",")}) " +
+          s"diverged for ${p.toString}")
+    }
+  }
+
   test("random SHARD-KEY-LOCAL shapes (keyed joins + keyed aggregates) " +
     "agree with local recompute, bit for bit") {
     // reuses the two-shard chdiffsh catalog (routing key c_custkey): the

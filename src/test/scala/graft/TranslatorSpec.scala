@@ -44,6 +44,21 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT toString(x)") == "SELECT string(x)")
   }
 
+  test("NESTED same-name calls rewrite at every depth: the outer call's " +
+    "region must not swallow inner occurrences") {
+    // the lambda shape the unparser emits for cast-inside-HOF: the
+    // left-to-right scan consumed the outer CAST's whole region and
+    // resumed past the inner CAST, shipping a ClickHouse type to Spark
+    assert(t("SELECT CAST(arrayMap(x -> CAST(x AS Float64) * 2.0, arr) AS String)") ==
+      "SELECT CAST(transform(arr, x -> CAST(x AS DOUBLE) * 2.0) AS STRING)")
+    assert(t("SELECT CAST(CAST(x AS Int32) AS Int64)") ==
+      "SELECT CAST(CAST(x AS INT) AS BIGINT)")
+    assert(t("SELECT sigmoid(sigmoid(x))") ==
+      "SELECT (1.0 / (1.0 + exp(-((1.0 / (1.0 + exp(-(x))))))))")
+    assert(t("SELECT position(position(a, b), c)") ==
+      "SELECT locate(c, locate(b, a))")
+  }
+
   test("string literals with parens/quotes survive arg parsing") {
     assert(t("SELECT splitByChar('(', concat(a, '),'))") ==
       "SELECT split(concat(a, '),'), '(')")
