@@ -378,6 +378,54 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random passthrough CHAINS (depth 1-4 compositions) agree remote " +
+    "vs Spark-local, bit for bit — the nesting depth where rewrite-order " +
+    "bugs live") {
+    import graft.chfunctions._
+    GraftSession.install(spark)
+    val remote = spark.table("clickhouse.main.customer")
+    val local = spark.table("customer")
+    // string→string steps, freely composable in any order
+    val strFns: Vector[(String, Column => Column, Column => Column)] = Vector(
+      ("up", c => clickhouse_fn("toUpperCase", Seq(c), "String"), c => upper(c)),
+      ("lo", c => clickhouse_fn("toLowerCase", Seq(c), "String"), c => lower(c)),
+      ("rev", c => clickhouse_fn("reverse", Seq(c), "String"), c => reverse(c)),
+      ("trm", c => clickhouse_fn("trimBoth", Seq(c), "String"), c => trim(c)),
+      ("b64", c => clickhouse_fn("base64Encode", Seq(c), "String"),
+        c => base64(c.cast("binary"))),
+      ("rep", c => clickhouse_fn("replaceAll", Seq(c, lit("0"), lit("#")), "String"),
+        c => regexp_replace(c, "0", "#")),
+      ("sub", c => clickhouse_fn("substring", Seq(c, lit(2), lit(9)), "String"),
+        c => substring(c, 2, 9)))
+    // int→int steps over the key column
+    val intFns: Vector[(String, Column => Column, Column => Column)] = Vector(
+      ("m11", c => clickhouse_fn("modulo", Seq(c, lit(11)), "Int64"), c => c % 11),
+      // chain values stay small and non-negative, so floor(c/3) is the
+      // exact local equivalent of intDiv
+      ("d3", c => clickhouse_fn("intDiv", Seq(c, lit(3)), "Int64"),
+        c => floor(c / 3).cast("bigint")),
+      ("pm7", c => clickhouse_fn("positiveModulo", Seq(c, lit(7)), "Int64"),
+        c => pmod(c, lit(7))),
+      ("abs", c => clickhouse_fn("abs", Seq(c), "Int64"), c => abs(c)))
+    val r = new Random(101)
+    (1 to 15).foreach { i =>
+      val sChain = Seq.fill(r.nextInt(4) + 1)(strFns(r.nextInt(strFns.size)))
+      val iChain = Seq.fill(r.nextInt(3) + 1)(intFns(r.nextInt(intFns.size)))
+      val p = pred(r, 0)
+      def fold(seed: Column, fs: Seq[Column => Column]): Column =
+        fs.foldLeft(seed)((acc, f) => f(acc))
+      val a = canon(remote.filter(p).select(col("c_custkey"),
+        fold(col("c_name"), sChain.map(_._2)).as("s"),
+        fold(col("c_custkey"), iChain.map(_._2)).as("n")))
+      val b = canon(local.filter(p).select(col("c_custkey"),
+        fold(col("c_name"), sChain.map(_._3)).as("s"),
+        fold(col("c_custkey"), iChain.map(_._3)).as("n")))
+      assert(a == b,
+        s"chain case $i (str=${sChain.map(_._1).mkString("∘")}, " +
+          s"int=${iChain.map(_._1).mkString("∘")}) diverged for ${p.toString}")
+    }
+  }
+
   test("random SHARD-KEY-LOCAL shapes (keyed joins + keyed aggregates) " +
     "agree with local recompute, bit for bit") {
     // reuses the two-shard chdiffsh catalog (routing key c_custkey): the
