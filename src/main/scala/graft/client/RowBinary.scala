@@ -641,6 +641,14 @@ object RowBinary {
         writeLongLE(out, u.getMostSignificantBits)
         writeLongLE(out, u.getLeastSignificantBits)
       }
+      case _ if t.startsWith("Enum8(") =>
+        val m = enumMap(inner(t, "Enum8"))
+        (out: DataOutputStream, v: Any) =>
+          out.write(enumDiscriminant(t, v, m) & 0xff)
+      case _ if t.startsWith("Enum16(") =>
+        val m = enumMap(inner(t, "Enum16"))
+        (out: DataOutputStream, v: Any) =>
+          writeShortLE(out, enumDiscriminant(t, v, m))
       case _ if t.startsWith("Array(") =>
         val elem = encoder(inner(t, "Array"))
         (out: DataOutputStream, v: Any) => {
@@ -680,6 +688,26 @@ object RowBinary {
         }
       case other =>
         throw new IllegalArgumentException(s"RowBinary: unsupported insert type '$other'")
+    }
+  }
+
+  /** Enum insert value → wire discriminant: the enum NAME (what a read of
+    * the same column returns, Enum → StringType in the type mapping) or a
+    * numeric discriminant already present in the declaration. Unknown
+    * names/values are rejected — honored-or-rejected, same as [[inRange]].
+    */
+  private def enumDiscriminant(t: String, v: Any, m: Map[Int, String]): Int = {
+    def byName(s: String): Int =
+      m.collectFirst { case (d, n) if n == s => d }.getOrElse(
+        throw new IllegalArgumentException(s"unknown enum name '$s' for $t"))
+    v match {
+      case s: String => byName(s)
+      case u: UTF8String => byName(u.toString)
+      case n: Number if m.contains(n.intValue) => n.intValue
+      case n: Number => throw new IllegalArgumentException(
+        s"unknown enum discriminant ${n.intValue} for $t")
+      case other => throw new IllegalArgumentException(
+        s"cannot encode ${other.getClass.getName} as $t")
     }
   }
 

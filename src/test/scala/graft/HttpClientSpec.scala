@@ -850,6 +850,42 @@ class HttpClientSpec extends AnyFunSuite {
     assert(ins.nonEmpty && ins.forall(_.contains("FORMAT RowBinary")))
   }
 
+  test("Enum columns end-to-end: reads decode names, inserts encode names " +
+    "back to discriminants, unknown names are rejected before the wire") {
+    val enumT = "Enum8('new' = 1, 'done' = 2, 'dead' = -1)"
+    client.createTable("main", "enum_http",
+      Seq("id" -> "Int64", "st" -> enumT),
+      Map("engine" -> "MergeTree", "order_by" -> "id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("st", org.apache.spark.sql.types.StringType)))
+    // the enum column surfaces as StringType, so an insert carries the NAME
+    val n = client.insert("main", "enum_http", schema,
+      Seq(org.apache.spark.sql.Row(1L, "new"), org.apache.spark.sql.Row(2L, "dead")))
+    assert(n == 2)
+    val landed = dynTables("enum_http")._2
+    assert(landed.exists(r => r("id") == 1L && r("st") == "new"))
+    assert(landed.exists(r => r("id") == 2L && r("st") == "dead"))
+    // read back over the wire: the response encodes the enum column with
+    // the declared Enum8 type; the client decodes it to the name string
+    val (rschema, handles) = client.planQuery(
+      "SELECT `id`, `st` FROM `main`.`enum_http`", 1)
+    assert(rschema("st").dataType == org.apache.spark.sql.types.StringType)
+    val rows = handles.flatMap(h => client.readPartition(h).toSeq)
+    assert(rows.map(r => (r.get(0), r.get(1).toString)).toSet ==
+      Set((1L, "new"), (2L, "dead")))
+    // honored-or-rejected: a name outside the declaration fails the
+    // insert loudly instead of landing as corrupted wire bytes
+    val before = landed.size
+    val e = intercept[Exception] {
+      client.insert("main", "enum_http", schema,
+        Seq(org.apache.spark.sql.Row(3L, "nope")))
+    }
+    assert(e.getMessage != null && e.getMessage.contains("nope"), e)
+    assert(dynTables("enum_http")._2.size == before)
+    dynTables.remove("enum_http")
+  }
+
   test("every accepted CREATE TABLE key renders real DDL: primary_keys, " +
     "defaults, defaults_for_nullable; external_paths is rejected") {
     client.createTable("main", "ddl_full",

@@ -326,6 +326,22 @@ class RowBinarySpec extends AnyFunSuite {
       .toJavaBigDecimal.toBigInteger === maxU64.toBigInteger)
   }
 
+  test("Enum8/Enum16 encode from names (what a read returns) or declared " +
+    "discriminants; unknowns are rejected") {
+    val e8 = "Enum8('a' = 1, 'b' = 2, 'neg' = -3)"
+    assert(roundTrip(e8, "b") === UTF8String.fromString("b"))
+    assert(roundTrip(e8, UTF8String.fromString("neg")) === UTF8String.fromString("neg"))
+    assert(enc(e8, "neg").toSeq === Seq((-3).toByte)) // one signed wire byte
+    assert(roundTrip(e8, 1) === UTF8String.fromString("a")) // declared discriminant
+    val e16 = "Enum16('x' = 300, 'y' = -2)"
+    assert(roundTrip(e16, "x") === UTF8String.fromString("x"))
+    assert(enc(e16, "x").toSeq === enc("Int16", 300.toShort).toSeq)
+    // honored-or-rejected: unknown names/values never land as wire bytes
+    intercept[IllegalArgumentException](enc(e8, "zz"))
+    intercept[IllegalArgumentException](enc(e8, 9))
+    intercept[IllegalArgumentException](enc(e8, 3.14))
+  }
+
   test("Enum8 with escaped quote in a name parses and decodes") {
     // splitTopLevel must not toggle quote state on an escaped \' —
     // ClickHouse renders Enum8('a\'b' = 1, 'c,d' = 2) in type strings
