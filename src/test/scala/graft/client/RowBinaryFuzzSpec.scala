@@ -209,6 +209,94 @@ class RowBinaryFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // ---- row-vs-vector decode differential --------------------------------
+
+  /** Vector slot → the same normalized shape [[norm]] produces for the
+    * row-decoded value, read back through the Spark type the production
+    * scan would use (ClickHouseType.parse) — so a divergence between the
+    * hand-written readInto vector writers and Dec.read is a failure here,
+    * not silent columnar corruption.
+    */
+  private def normFromVector(
+      v: org.apache.spark.sql.vectorized.ColumnVector,
+      dt: org.apache.spark.sql.types.DataType, row: Int): Any = {
+    import org.apache.spark.sql.types._
+    if (v.isNullAt(row)) null
+    else dt match {
+      case ArrayType(et, _) =>
+        val a = v.getArray(row)
+        (0 until a.numElements()).map(j => normFromArray(a, et, j))
+      case MapType(kt, vt, _) =>
+        val m = v.getMap(row)
+        (0 until m.numElements()).map(j =>
+          (normFromArray(m.keyArray, kt, j), normFromArray(m.valueArray, vt, j)))
+      case st: StructType =>
+        val sr = v.getStruct(row)
+        st.fields.indices.map { j =>
+          if (sr.isNullAt(j)) null
+          else norm(sr.get(j, st.fields(j).dataType))
+        }
+      case _ => norm(atomOf(v, dt, row))
+    }
+  }
+
+  private def normFromArray(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      dt: org.apache.spark.sql.types.DataType, j: Int): Any =
+    if (a.isNullAt(j)) null else norm(a.get(j, dt))
+
+  private def atomOf(
+      v: org.apache.spark.sql.vectorized.ColumnVector,
+      dt: org.apache.spark.sql.types.DataType, row: Int): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => v.getBoolean(row)
+      case ByteType => v.getByte(row)
+      case ShortType => v.getShort(row)
+      case IntegerType | DateType => v.getInt(row)
+      case LongType | TimestampType | TimestampNTZType => v.getLong(row)
+      case FloatType => v.getFloat(row)
+      case DoubleType => v.getDouble(row)
+      case StringType => v.getUTF8String(row)
+      case d: DecimalType => v.getDecimal(row, d.precision, d.scale)
+      case other => fail(s"unexpected vector atom type $other")
+    }
+  }
+
+  test("row and vector decode paths agree on random vector-supported types") {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    val r = new Random(161803)
+    var covered = 0
+    for (i <- 0 until 400) {
+      val t = tree(r, r.nextInt(2)) // the vector path carries one composite level
+      RowBinary.vectorDecoder(t.ch).foreach { vd =>
+        covered += 1
+        val dt = graft.types.ClickHouseType.parse(t.ch).dataType
+        val vals = Seq.fill(4)(t.gen(r))
+        val bos = new ByteArrayOutputStream()
+        val out = new DataOutputStream(bos)
+        val enc = RowBinary.encoder(t.ch)
+        vals.foreach(v => enc.write(out, v._1))
+        out.flush()
+        val wire = bos.toByteArray
+        // row path
+        val dec = RowBinary.decoder(t.ch)
+        val rowIn = new DataInputStream(new ByteArrayInputStream(wire))
+        val rowVals = vals.indices.map(_ => norm(dec.read(rowIn)))
+        // vector path, through the Spark type the production scan maps to
+        val vec = new OnHeapColumnVector(vals.size, dt)
+        vd.reset()
+        val vecIn = new DataInputStream(new ByteArrayInputStream(wire))
+        vals.indices.foreach(j => vd.readInto(vecIn, vec, j))
+        val vecVals = vals.indices.map(j => normFromVector(vec, dt, j))
+        vec.close()
+        assert(rowVals === vals.map(_._2), s"tree #$i row path: ${t.ch}")
+        assert(vecVals === rowVals, s"tree #$i vector path diverges: ${t.ch}")
+      }
+    }
+    assert(covered > 150, s"only $covered vector-supported trees generated")
+  }
+
   test("deep nesting: a depth-4 composite survives the wire") {
     val ch = "Array(Map(String, Tuple(Nullable(Int64), Array(Nullable(String)), " +
       "Decimal(20, 4))))"
