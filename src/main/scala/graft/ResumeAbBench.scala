@@ -2,17 +2,18 @@ package graft
 
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** A/B for the columnar-vs-resumable read trade on replica catalogs:
-  * batch reads on a [[graft.client.ResumableReplicaHandle]] fall back to
-  * the ROW decode path packed into ColumnarBatches (group tracking
-  * inside reused vector builders would complicate the resume watermark),
-  * while plain replica handles decode STRAIGHT into vectors. This main
-  * measures both on the same healthy mock endpoint so the fallback's
-  * cost is a recorded number, not a guess (BASELINE.md round-9):
+/** A/B for the columnar-vs-resumable read trade on replica catalogs.
+  * Round-9 final: batch reads on a
+  * [[graft.client.ResumableReplicaHandle]] ride the NATIVE vector decode
+  * with group-aligned delivery (ResumableBatchRead carries each batch's
+  * tail cursor group as row copies) — this bench recorded the row-pack
+  * fallback it replaced at 1.41x on 16 columns, and now guards the new
+  * path's overhead (tail-group copies + one mini batch per transport
+  * batch) staying in the noise (BASELINE.md round-9):
   *
   *  - `columnar_direct`: planQuery → readPartitionColumnar (vector decode)
-  *  - `resumable_rowpack`: planQueryRanges → resumable handle →
-  *    readPartitionColumnar (row decode + ColumnarPack) — includes the
+  *  - `resumable_columnar`: planQueryRanges → resumable handle →
+  *    readPartitionColumnar (group-aligned native batches) — includes the
   *    ordered-slice ORDER BY the resume protocol needs
   *  - `row_plain`: planQuery → readPartitionInternal, the row baseline
   *    both shapes degrade to for map/struct schemas
@@ -77,8 +78,8 @@ object ResumeAbBench {
       println(
         s"""{"metric":"resume_ab_rows_per_sec","unit":"rows/sec","rows":$rowsN,""" +
           s""""queries":{"columnar_direct":${r(direct)},""" +
-          s""""resumable_rowpack":${r(resumable)},"row_plain":${r(rowPlain)}},""" +
-          s""""rowpack_vs_columnar":${
+          s""""resumable_columnar":${r(resumable)},"row_plain":${r(rowPlain)}},""" +
+          s""""resumable_vs_columnar":${
             String.format(java.util.Locale.ROOT, "%.3f", direct / resumable)}}""")
     } finally server.close()
   }

@@ -1023,49 +1023,75 @@ object HttpClickHouseClient {
       override def hasNext: Boolean = {
         ensureOpen()
         if (fallback != null) fallback.hasNext
-        else !finished
+        else if (!finished) true
+        else { surface(); false }
       }
+
+      /** Batch-level mirror of the row path's lookahead deferral: rows
+        * already decoded into the vectors are DELIVERED before a
+        * transport error surfaces — otherwise a mid-batch death discards
+        * up to batchSize-1 fully-received rows, and a resumable read's
+        * release watermark would sit arbitrarily low (the resume
+        * statement re-reading groups the replica actually served — the
+        * batch-granular cousin of the round-8 off-by-one). The wire is
+        * released BEFORE the error is stashed, so deferral holds no
+        * connection or pool permit open. NonFatal only, like the row
+        * path's next().
+        */
+      private var pendingErr: Throwable = _
+
+      private def surface(): Unit =
+        if (pendingErr != null) throw pendingErr
 
       override def next(): ColumnarBatch = {
         ensureOpen()
         if (fallback != null) return fallback.next()
-        if (finished) throw new NoSuchElementException
+        if (finished) { surface(); throw new NoSuchElementException }
         var i = 0
         while (i < vectors.length) { vectors(i).reset(); decs(i).reset(); i += 1 }
         var n = 0
         var eof = false
-        while (n < batchSize && !eof) {
+        var failed = false
+        // release the wire, then deliver the decoded prefix with the
+        // error deferred — or throw NOW when no row of this batch decoded
+        def failRow(e: Throwable): Unit = {
+          try releaseWire() catch { case s: Exception => e.addSuppressed(s) }
+          finished = true
+          failed = true
+          if (n == 0) throw e
+          pendingErr = e
+        }
+        while (n < batchSize && !eof && !failed) {
           // clean EOF = zero bytes of the next row consumed; EOF after
           // any byte (or in a later column) is a TRUNCATED stream and
-          // must fail loudly, not return a silently partial batch — but
-          // the wire is released FIRST (loud must not leak the
-          // connection/pool permit on driver-side reads)
+          // must stay loud — after the decoded prefix is delivered
           val before = counter.count
           try decs(0).readInto(in, vectors(0), n)
           catch {
             case e: EOFException =>
-              if (counter.count != before) {
-                try releaseWire() catch { case s: Exception => e.addSuppressed(s) }
-                throw RowBinary.truncated(e)
-              }
-              eof = true
+              if (counter.count != before) failRow(RowBinary.truncated(e))
+              else eof = true
+            case e if scala.util.control.NonFatal(e) => failRow(e)
           }
-          if (!eof) {
+          if (!eof && !failed) {
             var c = 1
             try {
               while (c < decs.length) { decs(c).readInto(in, vectors(c), n); c += 1 }
             } catch {
-              case e: EOFException =>
-                try releaseWire() catch { case s: Exception => e.addSuppressed(s) }
-                throw RowBinary.truncated(e)
+              case e: EOFException => failRow(RowBinary.truncated(e))
+              case e if scala.util.control.NonFatal(e) => failRow(e)
             }
-            n += 1
+            if (!failed) n += 1
           }
         }
         if (eof) {
           finished = true
-          // release-before-throw (same reasoning as the row path)
-          try verifyDeclaredLength(conn, counter) finally releaseWire()
+          // a declared-length verdict defers behind the decoded rows too
+          // (the row path reaches the same shape through next()'s NonFatal
+          // deferral); release-before-throw either way
+          try verifyDeclaredLength(conn, counter)
+          catch { case e if scala.util.control.NonFatal(e) && n > 0 => pendingErr = e }
+          finally releaseWire()
         }
         batch.setNumRows(n)
         binaryBatchesDecoded.incrementAndGet()

@@ -47,6 +47,13 @@ final class MockClickHouseHttp extends AutoCloseable {
     * per-column advantage over row decode actually shows.
     */
   @volatile var wireReadExtraCols: Int = 0
+
+  /** Rows per `id` value in `wire_read` (default 1 = unique cursor): each
+    * id repeats this many times, so resumable-read specs can make cursor
+    * GROUPS span decode-batch boundaries. `wireReadRows` stays the TOTAL
+    * row count; ids run 0..(rows-1)/group; `v` stays distinct per row.
+    */
+  @volatile var wireReadGroup: Int = 1
   private def wireReadCols: Seq[(String, String)] =
     Seq("id" -> "Int64", "v" -> "Float64", "tag" -> "String") ++
       (0 until wireReadExtraCols).map(i => s"w$i" -> "Float64")
@@ -163,11 +170,13 @@ final class MockClickHouseHttp extends AutoCloseable {
     // wrap itself needs no extra work here
     def bound(re: scala.util.matching.Regex): Option[Long] =
       re.findFirstMatchIn(sql).map(_.group(1).toLong)
+    // id-space bounds → ROW-space indices (ids repeat wireReadGroup times)
+    val grp = math.max(1, wireReadGroup).toLong
     val resumeFrom =
-      (bound(raw"`id` >= (-?\d+)".r).toSeq ++
-        bound(raw"`id` > (-?\d+)".r).map(_ + 1).toSeq ++ Seq(0L)).max
+      (bound(raw"`id` >= (-?\d+)".r).map(_ * grp).toSeq ++
+        bound(raw"`id` > (-?\d+)".r).map(v => (v + 1) * grp).toSeq ++ Seq(0L)).max
     val serveUntil =
-      (bound(raw"`id` <= (-?\d+)".r).map(_ + 1).toSeq :+ wireReadRows).min
+      (bound(raw"`id` <= (-?\d+)".r).map(v => (v + 1) * grp).toSeq :+ wireReadRows).min
     val accept = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
       .map(_.toLowerCase).getOrElse("")
     val codec =
@@ -200,7 +209,7 @@ final class MockClickHouseHttp extends AutoCloseable {
           throw new java.io.IOException("simulated mid-stream death")
         }
         served += 1
-        encs(0).write(out, java.lang.Long.valueOf(i))
+        encs(0).write(out, java.lang.Long.valueOf(i / grp))
         encs(1).write(out, java.lang.Double.valueOf(i * 0.5))
         encs(2).write(out, s"tag_${i % 1000}")
         var w = 3
@@ -231,9 +240,9 @@ final class MockClickHouseHttp extends AutoCloseable {
       (200, "0\n") // no stats — scans fall back to their default estimate
     } else if (q.startsWith("SELECT min(`id`), max(`id`)") &&
       q.contains("`wire_read`") && wireReadRows > 0) {
-      // the range-split extremes probe: ids are 0..wireReadRows-1, so
+      // the range-split extremes probe: ids are 0..(rows-1)/group, so
       // multi-stream resumable slices can plan against the mock
-      (200, s"0\t${wireReadRows - 1}\n")
+      (200, s"0\t${(wireReadRows - 1) / math.max(1, wireReadGroup)}\n")
     } else if (q.startsWith("SELECT engine, sorting_key, partition_key, sampling_key")) {
       (200, "MergeTree\tid\t\t\n")
     } else if (q.startsWith("CREATE DATABASE") || q.startsWith("DROP DATABASE")) {

@@ -1223,8 +1223,8 @@ class ShardedClientSpec extends AnyFunSuite {
     }
   }
 
-  test("COLUMNAR read on a resumable handle survives mid-stream death via " +
-    "the row-pack fallback: batches deliver the whole ordered slice") {
+  test("COLUMNAR read on a resumable handle rides the NATIVE vector decode " +
+    "and survives mid-stream death with the exact group-aligned resume") {
     val r1 = new MockClickHouseHttp
     val r2 = new MockClickHouseHttp
     r1.wireReadRows = 1000; r2.wireReadRows = 1000
@@ -1238,14 +1238,85 @@ class ShardedClientSpec extends AnyFunSuite {
       val (schema, hs) = client.planQueryRanges(
         "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "id", 1)
       assert(hs.head.isInstanceOf[graft.client.ResumableReplicaHandle])
+      val before = graft.client.HttpClickHouseClient.binaryBatchesDecoded.get()
       val ids = client.readPartitionColumnar(hs.head, schema).flatMap { b =>
         (0 until b.numRows()).map(i => b.column(0).getLong(i))
       }.toVector
       assert(ids == (0L until 1000L).toVector,
         s"columnar resumable read must deliver whole: ${ids.size} rows")
+      // round 9: no row-pack re-materialization — wire blocks decode
+      // straight into vectors on the resumable path too
+      assert(graft.client.HttpClickHouseClient.binaryBatchesDecoded.get() > before,
+        "resumable columnar reads must ride the native vector decode")
       import scala.jdk.CollectionConverters._
+      // the transport delivered its decoded prefix (100 rows) before the
+      // death surfaced, so the resume point is exact — not a whole-slice
+      // re-read
       assert(r2.statements.asScala.exists(_.contains("`id` > 98")),
-        "fallback must ride the same resume protocol")
+        "the deferred partial batch must keep the resume point exact")
+    } finally { r1.close(); r2.close() }
+  }
+
+  test("COLUMNAR death-point sweep: batches deliver the whole ordered " +
+    "slice exactly once for ANY death point") {
+    for (deathAt <- Seq(0L, 1L, 99L, 100L, 101L, 500L, 999L, 1000L)) {
+      val r1 = new MockClickHouseHttp
+      val r2 = new MockClickHouseHttp
+      r1.wireReadRows = 1000; r2.wireReadRows = 1000
+      r1.failAfterRows = deathAt
+      try {
+        val cat = new graft.catalog.ClickHouseCatalog
+        cat.initialize(s"chcolsweep$deathAt",
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+            "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+        val client = cat.clickHouseClient
+        val (schema, hs) = client.planQueryRanges(
+          "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "id", 1)
+        // (id, v) pairs: v is distinct per ROW, so a duplicated or lost
+        // row shows even where ids alone would mask it
+        val rows = client.readPartitionColumnar(hs.head, schema).flatMap { b =>
+          (0 until b.numRows()).map(i =>
+            (b.column(0).getLong(i), b.column(1).getDouble(i)))
+        }.toVector
+        assert(rows == (0L until 1000L).map(j => (j, j * 0.5)).toVector,
+          s"death after $deathAt rows: got ${rows.size} rows " +
+            s"(${rows.distinct.size} distinct, sorted=${rows == rows.sorted})")
+      } finally { r1.close(); r2.close() }
+    }
+  }
+
+  test("COLUMNAR resume with cursor GROUPS spanning batch boundaries: " +
+    "death mid-group loses and duplicates nothing; the resume statement " +
+    "lands on the exact group boundary") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    // 9000 rows, 7 per id → ids 0..1285; 4096-row decode batches cut
+    // mid-group, so the tail-group carry is actually exercised
+    r1.wireReadRows = 9000; r1.wireReadGroup = 7
+    r2.wireReadRows = 9000; r2.wireReadGroup = 7
+    r1.failAfterRows = 5000 // dies inside group 714 (rows 4998..5004)
+    try {
+      val cat = new graft.catalog.ClickHouseCatalog
+      cat.initialize("chcolgrp",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+          "endpoint", s"${r1.endpoint}|${r2.endpoint}")))
+      val client = cat.clickHouseClient
+      val (schema, hs) = client.planQueryRanges(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", "id", 1)
+      val rows = client.readPartitionColumnar(hs.head, schema).flatMap { b =>
+        (0 until b.numRows()).map(i =>
+          (b.column(0).getLong(i), b.column(1).getDouble(i)))
+      }.toVector
+      assert(rows == (0L until 9000L).map(j => (j / 7, j * 0.5)).toVector,
+        s"grouped columnar resume must deliver whole: ${rows.size} rows " +
+          s"(${rows.distinct.size} distinct)")
+      import scala.jdk.CollectionConverters._
+      // r1 served rows 0..4999: groups through id 713 were fully decoded
+      // and handed out; the partial group 714 was carried, never
+      // delivered — so the survivor resumes at exactly `id > 713`
+      assert(r2.statements.asScala.exists(_.contains("`id` > 713")),
+        s"resume must land on the group boundary; r2 saw: " +
+          r2.statements.asScala.filter(_.contains("wire_read")).mkString(" | "))
     } finally { r1.close(); r2.close() }
   }
 
