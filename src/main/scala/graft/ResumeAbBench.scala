@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** A/B for the columnar-vs-resumable read trade on replica catalogs.
-  * Round-9 final: batch reads on a
-  * [[graft.client.ResumableReplicaHandle]] ride the NATIVE vector decode
-  * with group-aligned delivery (ResumableBatchRead carries each batch's
-  * tail cursor group as row copies) — this bench recorded the row-pack
-  * fallback it replaced at 1.41x on 16 columns, and now guards the new
-  * path's overhead (tail-group copies + one mini batch per transport
-  * batch) staying in the noise (BASELINE.md round-9):
+  * Batch reads on a [[graft.client.ResumableReplicaHandle]] ride the
+  * NATIVE vector decode with group-aligned delivery (ResumableBatchRead
+  * carries each batch's tail cursor group as row copies); this bench
+  * guards that path's overhead staying in the noise. Round-10 finding:
+  * the round-9 "1.41x row-pack cost" was a RUN-ORDER artifact — the
+  * first drain in a fresh JVM runs ~1.4x faster than all later ones —
+  * so the bench now warms up first and interleaves shapes
+  * (BASELINE.md round-10):
   *
   *  - `columnar_direct`: planQuery → readPartitionColumnar (vector decode)
   *  - `resumable_columnar`: planQueryRanges → resumable handle →
@@ -39,16 +40,6 @@ object ResumeAbBench {
         .map(c => s"`$c`").mkString(", ")
       val sql = s"SELECT $cols FROM `bench`.`wire_read`"
 
-      def time(drain: () => Long): Double = {
-        val times = (0 until iters).map { _ =>
-          val t0 = System.nanoTime()
-          val n = drain()
-          require(n == rowsN, s"drained $n of $rowsN rows")
-          (System.nanoTime() - t0) / 1e9
-        }
-        rowsN / times.min
-      }
-
       def columnarDrain(handle: graft.client.ChPartitionHandle,
           schema: StructType): Long = {
         var n = 0L
@@ -56,24 +47,39 @@ object ResumeAbBench {
         while (it.hasNext) { n += it.next().numRows() }
         n
       }
-
-      val direct = time { () =>
+      val directF = () => {
         val (schema, hs) = client.planQuery(sql, 1)
         columnarDrain(hs.head, schema)
       }
-      val resumable = time { () =>
+      val resumableF = () => {
         val (schema, hs) = client.planQueryRanges(sql, "id", 1)
         require(hs.head.isInstanceOf[graft.client.ResumableReplicaHandle],
           s"range slice must plan resumable: ${hs.head.getClass}")
         columnarDrain(hs.head, schema)
       }
-      val rowPlain = time { () =>
+      val rowPlainF = () => {
         val (schema, hs) = client.planQuery(sql, 1)
         val it = client.readPartitionInternal(hs.head, schema)
         var n = 0L
         while (it.hasNext) { it.next(); n += 1 }
         n
       }
+
+      // the FIRST drain in a fresh JVM runs ~1.4x faster than every
+      // later one (pristine heap, no concurrent GC of prior drains'
+      // garbage) — round-9's sequential A/B attributed that inflation
+      // to whichever shape ran first. Burn it on a warm-up, then
+      // INTERLEAVE iterations so residual drift hits all shapes alike.
+      require(directF() == rowsN, "warm-up drain incomplete")
+      val bestRate = Array(0.0, 0.0, 0.0)
+      val shapes = Array(directF, resumableF, rowPlainF)
+      for (_ <- 0 until iters; s <- shapes.indices) {
+        val t0 = System.nanoTime()
+        val n = shapes(s)()
+        require(n == rowsN, s"drained $n of $rowsN rows")
+        bestRate(s) = math.max(bestRate(s), rowsN / ((System.nanoTime() - t0) / 1e9))
+      }
+      val Array(direct, resumable, rowPlain) = bestRate
       def r(v: Double): Long = math.round(v)
       println(
         s"""{"metric":"resume_ab_rows_per_sec","unit":"rows/sec","rows":$rowsN,""" +

@@ -54,6 +54,14 @@ object WireReadBench {
         while (it.hasNext) { it.next(); n += 1 }
         n
       }
+      // burn the first drain: a fresh JVM serves its first read ~1.4x
+      // faster than all later ones (pristine heap, no concurrent GC of
+      // prior drains' garbage) — without this the FIRST stream count in
+      // the sweep gets the inflated number (round-10 ResumeProbe finding)
+      {
+        val (schema, handles) = client.planQuery(sql, nShards)
+        handles.foreach(h => drainOnce(schema.json, h))
+      }
       val results = streamCounts.map { sc =>
         val times = (0 until iters).map { _ =>
           // sharded: one handle per shard, each draining its own slice;

@@ -512,9 +512,11 @@ class FailoverClickHouseClient(
     import org.apache.spark.sql.vectorized.ColumnarBatch
 
     private val cursorIdx = schema.fieldIndex(h.cursor)
-    private val cursorAt: (ColumnarBatch, Int) => Option[Long] = {
+    // primitive getter: the per-batch scan runs per ROW, so it must not
+    // box an Option per row (measured 1.3x drag on a 16-col wide scan)
+    private val primAt: (ColumnarBatch, Int) => Long = {
       import org.apache.spark.sql.types._
-      val get: (ColumnarBatch, Int) => Long = schema.fields(cursorIdx).dataType match {
+      schema.fields(cursorIdx).dataType match {
         case LongType => (b, r) => b.column(cursorIdx).getLong(r)
         case IntegerType => (b, r) => b.column(cursorIdx).getInt(r).toLong
         case ShortType => (b, r) => b.column(cursorIdx).getShort(r).toLong
@@ -522,8 +524,10 @@ class FailoverClickHouseClient(
         case t => throw new IllegalArgumentException(
           s"non-integral resume cursor '${h.cursor}': ${t.simpleString}")
       }
-      (b, r) => if (b.column(cursorIdx).isNullAt(r)) None else Some(get(b, r))
     }
+    // Option view, used only at batch BOUNDARIES (once per batch)
+    private def cursorAt(b: ColumnarBatch, r: Int): Option[Long] =
+      if (b.column(cursorIdx).isNullAt(r)) None else Some(primAt(b, r))
 
     // carried tail group: row COPIES — the transport reuses its vectors
     // across batches, so views would not survive the next pull
@@ -564,17 +568,33 @@ class FailoverClickHouseClient(
       val n = b.numRows()
       if (n == 0) return
       if (!resumable) { readyMain = b; return } // loud passthrough
-      // one scan: within-batch ordering + start index of the LAST group
-      var inOrder = pending.isEmpty || ordered(pendingValue, cursorAt(b, 0))
+      // one PRIMITIVE scan (no per-row boxing): within-batch ordering
+      // (NULL group first, then non-decreasing) + start of the LAST group
+      val col = b.column(cursorIdx)
+      var lastNull = col.isNullAt(0)
+      var lastVal = if (lastNull) 0L else primAt(b, 0)
+      var inOrder = pending.isEmpty || (pendingValue match {
+        case None => true // carried NULL group orders first
+        case Some(p) => !lastNull && p <= lastVal
+      })
       var bStart = 0
-      var last = cursorAt(b, 0)
       var i = 1
       while (i < n) {
-        val v = cursorAt(b, i)
-        if (!ordered(last, v)) inOrder = false
-        if (v != last) { bStart = i; last = v }
+        if (col.isNullAt(i)) {
+          if (!lastNull) { // non-null → NULL violates NULLS-first order
+            inOrder = false; bStart = i; lastNull = true; lastVal = 0L
+          } // NULL after NULL: same group
+        } else {
+          val v = primAt(b, i)
+          if (lastNull) { bStart = i; lastNull = false; lastVal = v }
+          else if (v != lastVal) {
+            if (v < lastVal) inOrder = false
+            bStart = i; lastVal = v
+          }
+        }
         i += 1
       }
+      val last: Option[Long] = if (lastNull) None else Some(lastVal)
       if (!inOrder) {
         // a transport violating its own ORDER BY would make the released
         // watermark skip unseen rows — detect and go loud, like the row path

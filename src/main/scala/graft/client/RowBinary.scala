@@ -703,9 +703,15 @@ object RowBinary {
     v match {
       case s: String => byName(s)
       case u: UTF8String => byName(u.toString)
-      case n: Number if m.contains(n.intValue) => n.intValue
-      case n: Number => throw new IllegalArgumentException(
-        s"unknown enum discriminant ${n.intValue} for $t")
+      case n: Number =>
+        // bound-check the full exact long BEFORE narrowing: a Long whose
+        // low 32 bits happen to equal a declared discriminant must
+        // reject, not encode the wrong member (honored-or-rejected)
+        val (lo, hi) = if (t.startsWith("Enum8")) (-128L, 127L) else (-32768L, 32767L)
+        val l = asLong(t, n)
+        if (l < lo || l > hi || !m.contains(l.toInt))
+          throw new IllegalArgumentException(s"unknown enum discriminant $l for $t")
+        l.toInt
       case other => throw new IllegalArgumentException(
         s"cannot encode ${other.getClass.getName} as $t")
     }

@@ -100,6 +100,21 @@ object ClickHouseTable {
     * stay bounded no matter how large the build side is).
     */
   val RuntimeFilterMaxInValues = 1000
+
+  /** ORDER-BY-head memo for the split_by scale warning: keyed by client
+    * IDENTITY (clients are per-catalog) + table, so the system.tables
+    * round-trip happens once per JVM per table instead of on every scan
+    * planning. Staleness is fine — this only gates a log warning.
+    */
+  private val orderHeadMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private[connector] def orderByHead(
+      client: graft.client.ClickHouseClient, db: String, table: String): String =
+    orderHeadMemo.computeIfAbsent(
+      (System.identityHashCode(client), s"$db.$table"),
+      _ => try client.fetchTableOptions(db, table).getOrElse("order_by", "")
+        .split(",")(0).trim
+      catch { case _: Exception => "" })
 }
 
 /** Pushdown-capable scan builder (mirrors sql.rs:215-239): filters are
@@ -550,10 +565,7 @@ class ChScan(
              org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
         case _ => false
       }
-      val head =
-        try client.fetchTableOptions(db, table).getOrElse("order_by", "")
-          .split(",")(0).trim
-        catch { case _: Exception => "" }
+      val head = ClickHouseTable.orderByHead(client, db, table)
       if (integral && head.nonEmpty && head != c)
         ClickHouseTable.log.warn(
           s"split_by='$c' is not the ORDER BY head ('$head') of $db.$table: " +

@@ -340,6 +340,14 @@ class RowBinarySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](enc(e8, "zz"))
     intercept[IllegalArgumentException](enc(e8, 9))
     intercept[IllegalArgumentException](enc(e8, 3.14))
+    // wide numerics must bound-check on the FULL value, not the low 32
+    // bits: 2^32 + 1 narrows to 1 (a declared discriminant) via intValue
+    intercept[IllegalArgumentException](enc(e8, 4294967297L))
+    intercept[IllegalArgumentException](enc(e8, java.lang.Long.MIN_VALUE))
+    intercept[IllegalArgumentException](enc(e16, (1L << 32) + 300L))
+    // in-Long-range but outside the enum width also rejects
+    intercept[IllegalArgumentException](enc(e8, 40000L))
+    assert(roundTrip(e8, 2L) === UTF8String.fromString("b")) // valid Long still lands
   }
 
   test("Enum8 with escaped quote in a name parses and decodes") {
