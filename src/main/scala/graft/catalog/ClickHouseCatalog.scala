@@ -327,8 +327,73 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** ALTER TABLE → remote ClickHouse DDL (one statement, change order
+    * preserved). Column changes only; table-property changes and column
+    * repositioning have no remote counterpart here and are rejected
+    * loudly (honored-or-rejected, params.rs UX). Changes touching the
+    * catalog's `shard_by` routing column are rejected — renaming or
+    * retyping it would silently re-route every future insert.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import graft.client.ChAlterOp
+    val db = dbOf(ident)
+    if (!client.tableExists(db, ident.name()))
+      throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    val current: Map[String, String] =
+      client.fetchColumns(db, ident.name()).toMap
+    val routing: Option[String] = client match {
+      case s: graft.client.ShardedClickHouseClient => s.shardBy
+      case _ => None
+    }
+    def single(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"$what on nested field ${fieldNames.mkString(".")}: ClickHouse " +
+          "columns are top-level (restructure composite columns with " +
+          "MODIFY COLUMN to a new Tuple type instead)")
+      fieldNames.head
+    }
+    def guardRouting(n: String, what: String): String = {
+      if (routing.contains(n)) throw new IllegalArgumentException(
+        s"$what '$n': column is the catalog's shard_by routing key — " +
+          "altering it would re-route future inserts away from existing rows")
+      n
+    }
+    // preserve nullability the server declared when only the type changes
+    def nullableOf(n: String): Boolean =
+      current.get(n).exists(t => ClickHouseType.parse(t).nullable)
+    val ops: Seq[ChAlterOp] = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.position() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN ... FIRST/AFTER: column position is not forwarded " +
+            "(columns append); drop the position clause")
+        if (a.comment() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN ... COMMENT: column comments are not forwarded; " +
+            "drop the comment clause")
+        ChAlterOp.AddColumn(single(a.fieldNames, "ADD COLUMN"),
+          ClickHouseType.render(a.dataType, a.isNullable))
+      case d: TableChange.DeleteColumn =>
+        ChAlterOp.DropColumn(
+          guardRouting(single(d.fieldNames, "DROP COLUMN"), "DROP COLUMN"))
+      case r: TableChange.RenameColumn =>
+        ChAlterOp.RenameColumn(
+          guardRouting(single(r.fieldNames, "RENAME COLUMN"), "RENAME COLUMN"),
+          r.newName)
+      case u: TableChange.UpdateColumnType =>
+        val n = guardRouting(single(u.fieldNames, "MODIFY COLUMN"), "MODIFY COLUMN")
+        ChAlterOp.ModifyType(n, ClickHouseType.render(u.newDataType, nullableOf(n)))
+      case u: TableChange.UpdateColumnNullability =>
+        val n = guardRouting(single(u.fieldNames, "MODIFY COLUMN"), "MODIFY COLUMN")
+        val base = current.getOrElse(n, throw new IllegalArgumentException(
+          s"MODIFY COLUMN: no such column '$n'"))
+        val p = ClickHouseType.parse(base)
+        ChAlterOp.ModifyType(n, ClickHouseType.render(p.dataType, u.nullable))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change ${other.getClass.getSimpleName} has no " +
+          "ClickHouse counterpart")
+    }
+    client.alterTable(db, ident.name(), ops)
+    loadTable(ident)
+  }
 
   /** Remote DROP TABLE, like deregister_table issuing `DROP TABLE IF
     * EXISTS` (providers/catalog.rs:202-240).
@@ -343,6 +408,15 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
     existed
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE not supported")
+  /** RENAME TABLE → the server's `RENAME TABLE a.x TO b.y` (cross-database
+    * moves allowed, both namespaces must exist).
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (db, newDb) = (dbOf(oldIdent), dbOf(newIdent))
+    if (!client.tableExists(db, oldIdent.name()))
+      throw new NoSuchTableException(oldIdent.namespace() :+ oldIdent.name())
+    if (client.tableExists(newDb, newIdent.name()))
+      throw new TableAlreadyExistsException(newIdent.namespace() :+ newIdent.name())
+    client.renameTable(db, oldIdent.name(), newDb, newIdent.name())
+  }
 }

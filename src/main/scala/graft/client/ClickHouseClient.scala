@@ -101,6 +101,27 @@ trait ClickHouseClient extends Serializable {
 
   def dropTable(db: String, table: String): Unit
 
+  /** ALTER TABLE schema changes (`ALTER TABLE t ADD/DROP/RENAME/MODIFY
+    * COLUMN`) applied atomically as ONE statement in declaration order.
+    * A wire transport ships the DDL (the server's ADD/DROP/RENAME are
+    * metadata-only — instant at any data size; MODIFY is a server
+    * mutation); the embedded store rewrites its parts, which is what a
+    * server MODIFY materialization does too. Honored-or-rejected:
+    * unknown columns, duplicate adds, key-column drops, and
+    * Nullable→non-Nullable narrowing over existing NULLs must error,
+    * never corrupt.
+    */
+  def alterTable(db: String, table: String, ops: Seq[ChAlterOp]): Unit =
+    throw new UnsupportedOperationException(
+      s"this transport cannot ALTER TABLE $db.$table")
+
+  /** RENAME TABLE (cross-database allowed, like the server's
+    * `RENAME TABLE a.x TO b.y`). Fails if the target exists.
+    */
+  def renameTable(db: String, table: String, newDb: String, newTable: String): Unit =
+    throw new UnsupportedOperationException(
+      s"this transport cannot RENAME TABLE $db.$table")
+
   /** Plan a ClickHouse-dialect SELECT: initiate the remote query and
     * return the result schema plus one cheap, serializable handle per
     * remote stream/shard. NO ROW may cross the driver here — handles are
@@ -299,6 +320,18 @@ trait ClickHouseClient extends Serializable {
     else
       staged.foreach { case (id, _) => abortStaged(db, table, id) }
   }
+}
+
+/** One ALTER TABLE schema change. Types are ClickHouse type strings
+  * (`Nullable(Int64)`, `Decimal(20, 4)`, ...) — nullability rides the
+  * type string, exactly as the server declares it.
+  */
+sealed trait ChAlterOp
+object ChAlterOp {
+  final case class AddColumn(name: String, chType: String) extends ChAlterOp
+  final case class DropColumn(name: String) extends ChAlterOp
+  final case class RenameColumn(from: String, to: String) extends ChAlterOp
+  final case class ModifyType(name: String, chType: String) extends ChAlterOp
 }
 
 /** Opaque per-stream result handle; implementations carry whatever

@@ -116,6 +116,135 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     invalidate()
   }
 
+  /** ALTER TABLE by part rewrite: the embedded analog of a server
+    * MODIFY-COLUMN materialization (the store rewrites its parts, like
+    * [[deleteWhere]]). ADD fills ClickHouse column defaults (0 / '' /
+    * epoch / empty composite; NULL when Nullable); RENAME/DROP/MODIFY of
+    * key columns (order_by / partition_by / sampling / primary_keys)
+    * are rejected — stricter than a server, which rewrites key
+    * references on RENAME, but never silently wrong. Narrowing
+    * Nullable→non-Nullable re-checks the data and rejects on any NULL.
+    */
+  override def alterTable(db: String, table: String, ops: Seq[ChAlterOp]): Unit = {
+    require(tableExists(db, table), s"no such table: $db.$table")
+    require(ops.nonEmpty, "ALTER TABLE requires at least one change")
+    val (cols, opts, ext) = readMeta(db, table)
+    require(ext.isEmpty,
+      s"ALTER TABLE $db.$table: table has attached external data (read-only)")
+    val keyCols: Set[String] =
+      Seq("order_by", "partition_by", "sampling", "primary_keys")
+        .flatMap(opts.get)
+        .flatMap(_.split("[^A-Za-z0-9_]+")).filter(_.nonEmpty).toSet
+    val qt = graft.sql.ChSql.quoteTable(db, table)
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.col
+
+    val entry = serverEntry()
+    val spark = entry.session
+    val tables = knownTables
+    // the one SQL round-trip: a plain SELECT * so the translator only
+    // rewrites the table name — every column transform below is built
+    // from typed Column objects (no SQL casts to mis-translate)
+    val baseSql = ChSqlTranslator.translate(s"SELECT * FROM $qt", tables)
+    ensureViews(entry, baseSql, tables)
+    val base = spark.sql(baseSql)
+
+    // fold ops over (name, chType, column-over-OLD-table); every op
+    // validates against the state at ITS point in the sequence, like the
+    // server applying one comma-joined ALTER in declaration order
+    var state: Vector[(String, String, Column)] =
+      cols.toVector.map { case (n, t) => (n, t, col(s"`${n.replace("`", "``")}`")) }
+    def idxOf(op: String, n: String): Int = {
+      val i = state.indexWhere(_._1 == n)
+      require(i >= 0, s"ALTER TABLE $db.$table $op: no such column '$n'")
+      i
+    }
+    ops.foreach {
+      case ChAlterOp.AddColumn(n, t) =>
+        require(!state.exists(_._1 == n),
+          s"ALTER TABLE $db.$table ADD COLUMN: column '$n' already exists")
+        state :+= ((n, t, defaultColumn(n, ClickHouseType.parse(t))))
+      case ChAlterOp.DropColumn(n) =>
+        val i = idxOf("DROP COLUMN", n)
+        require(!keyCols.contains(n),
+          s"ALTER TABLE $db.$table DROP COLUMN: '$n' is a key column")
+        require(state.size > 1,
+          s"ALTER TABLE $db.$table DROP COLUMN: cannot drop the only column")
+        state = state.patch(i, Nil, 1)
+      case ChAlterOp.RenameColumn(a, b) =>
+        val i = idxOf("RENAME COLUMN", a)
+        require(!keyCols.contains(a),
+          s"ALTER TABLE $db.$table RENAME COLUMN: '$a' is a key column")
+        require(!state.exists(_._1 == b),
+          s"ALTER TABLE $db.$table RENAME COLUMN: column '$b' already exists")
+        state = state.updated(i, (b, state(i)._2, state(i)._3))
+      case ChAlterOp.ModifyType(n, t) =>
+        val i = idxOf("MODIFY COLUMN", n)
+        require(!keyCols.contains(n),
+          s"ALTER TABLE $db.$table MODIFY COLUMN: '$n' is a key column")
+        val oldP = ClickHouseType.parse(state(i)._2)
+        val newP = ClickHouseType.parse(t)
+        if (oldP.nullable && !newP.nullable) {
+          // honored-or-rejected: a server MODIFY to non-Nullable fails
+          // on existing NULLs instead of inventing values — so do we
+          val nulls = base.where(state(i)._3.isNull).count()
+          require(nulls == 0L,
+            s"ALTER TABLE $db.$table MODIFY COLUMN '$n' to non-Nullable: " +
+              s"$nulls existing NULL value(s)")
+        }
+        state = state.updated(i, (n, t, state(i)._3.cast(newP.dataType)))
+    }
+
+    rewritePartsDf(db, table,
+      base.select(state.map { case (n, _, c) => c.as(n) }: _*))
+    // parts first, meta second: a half-applied alter leaves data readable
+    // under the OLD meta for every surviving column (embedded store is a
+    // single-JVM test double; the server's DDL is atomic)
+    val lines =
+      state.map { case (n, t, _) => s"column\t$n\t$t" } ++
+        opts.toSeq.sortBy(_._1).map { case (k, v) => s"option\t$k\t$v" }
+    Files.write(metaPath(db, table), lines.asJava)
+    invalidate()
+  }
+
+  /** ClickHouse column DEFAULT for an added column: NULL when Nullable,
+    * the type's zero value otherwise (0 / '' / false / epoch / empty
+    * array / empty map). Tuple adds need Nullable(...) — matching the
+    * server's refusal to invent a composite default.
+    */
+  private def defaultColumn(
+      name: String, p: ClickHouseType.Parsed): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dt = p.dataType
+    if (p.nullable) lit(null).cast(dt)
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | _: DecimalType => lit(0).cast(dt)
+      case StringType => lit("")
+      case BooleanType => lit(false)
+      case DateType => to_date(lit("1970-01-01"))
+      case TimestampType | TimestampNTZType => timestamp_seconds(lit(0)).cast(dt)
+      case _: ArrayType => array().cast(dt)
+      case MapType(kt, vt, _) =>
+        map_from_arrays(
+          array().cast(ArrayType(kt, containsNull = false)),
+          array().cast(ArrayType(vt, containsNull = true))).cast(dt)
+      case other => throw new IllegalArgumentException(
+        s"ADD COLUMN '$name': no default for type ${other.sql} — add it as Nullable")
+    }
+  }
+
+  override def renameTable(
+      db: String, table: String, newDb: String, newTable: String): Unit = {
+    require(tableExists(db, table), s"no such table: $db.$table")
+    require(Files.isDirectory(dbPath(newDb)), s"no such database: $newDb")
+    require(!tableExists(newDb, newTable),
+      s"RENAME TABLE target already exists: $newDb.$newTable")
+    Files.move(tablePath(db, table), tablePath(newDb, newTable))
+    invalidate()
+  }
+
   def sparkSchema(db: String, table: String): StructType =
     ClickHouseType.toStructType(fetchColumns(db, table))
 
@@ -633,15 +762,20 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     * dialect, views ensured) into a staging dir, drop the snapshot of
     * current parts, publish the staged rewrite atomically per file.
     */
-  private def rewriteParts(db: String, table: String, translatedSql: String): Unit = {
-    val spark = serverEntry().session
+  private def rewriteParts(db: String, table: String, translatedSql: String): Unit =
+    rewritePartsDf(db, table,
+      serverEntry().session.sql(translatedSql))
+
+  private def rewritePartsDf(
+      db: String, table: String,
+      result: org.apache.spark.sql.DataFrame): Unit = {
     // snapshot the parts being rewritten BEFORE materializing the result
     val snapshot = dataFiles(db, table)
     val stagingId = s"mutate-${java.util.UUID.randomUUID}"
     val dir = stagingPath(db, table, stagingId)
     Files.createDirectories(dir.getParent)
     try {
-      spark.sql(translatedSql).write.parquet(dir.toString)
+      result.write.parquet(dir.toString)
       snapshot.foreach(f => Files.deleteIfExists(Paths.get(f)))
       commitStaged(db, table, stagingId)
     } catch {

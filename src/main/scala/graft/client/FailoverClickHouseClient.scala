@@ -121,6 +121,11 @@ class FailoverClickHouseClient(
     replicas.foreach(_.createTable(db, table, columns, options))
   override def dropTable(db: String, table: String): Unit =
     replicas.foreach(_.dropTable(db, table))
+  override def alterTable(db: String, table: String, ops: Seq[ChAlterOp]): Unit =
+    replicas.foreach(_.alterTable(db, table, ops))
+  override def renameTable(
+      db: String, table: String, newDb: String, newTable: String): Unit =
+    replicas.foreach(_.renameTable(db, table, newDb, newTable))
 
   // ---- mutations: the PRIMARY only, like inserts. The class model is a
   // server-replicated backend (ReplicatedMergeTree), where an ALTER

@@ -296,6 +296,35 @@ class HttpClickHouseClient(
     ()
   }
 
+  override def alterTable(db: String, table: String, ops: Seq[ChAlterOp]): Unit = {
+    require(ops.nonEmpty, "ALTER TABLE requires at least one change")
+    val clauses = ops.map {
+      case ChAlterOp.AddColumn(n, t) =>
+        ClickHouseType.parse(t) // validate before shipping
+        s"ADD COLUMN `$n` $t"
+      case ChAlterOp.DropColumn(n) => s"DROP COLUMN `$n`"
+      case ChAlterOp.RenameColumn(a, b) => s"RENAME COLUMN `$a` TO `$b`"
+      case ChAlterOp.ModifyType(n, t) =>
+        ClickHouseType.parse(t)
+        s"MODIFY COLUMN `$n` $t"
+    }
+    // one statement, applied in order; mutations_sync so a MODIFY's data
+    // rewrite is visible to the next read (ADD/DROP/RENAME are metadata
+    // ops the setting doesn't slow down)
+    exec(s"ALTER TABLE `$db`.`$table` ${clauses.mkString(", ")}",
+      Map("mutations_sync" -> "1"))
+    colTypeCache.remove(s"$db.$table")
+    ()
+  }
+
+  override def renameTable(
+      db: String, table: String, newDb: String, newTable: String): Unit = {
+    exec(s"RENAME TABLE `$db`.`$table` TO `$newDb`.`$newTable`")
+    colTypeCache.remove(s"$db.$table")
+    colTypeCache.remove(s"$newDb.$newTable")
+    ()
+  }
+
   // ---- reads ----
 
   override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {

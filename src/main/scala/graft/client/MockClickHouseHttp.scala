@@ -302,6 +302,49 @@ final class MockClickHouseHttp extends AutoCloseable {
       // mutations are accepted as no-ops: the mock has no row store to
       // mutate; specs assert WHERE they landed via `statements`
       (200, "")
+    } else if (q.startsWith("ALTER TABLE") && q.contains(" COLUMN ")) {
+      // column DDL mutates the metadata the mock serves, so a client's
+      // post-ALTER fetchColumns sees the server-side truth
+      val Head = raw"ALTER TABLE `[^`]+`\.`([^`]+)` ".r.unanchored
+      Head.findFirstMatchIn(q) match {
+        case Some(m) if tables.contains(m.group(1)) =>
+          var cols = tables(m.group(1)).toVector
+          val err = new StringBuilder
+          splitTop(q.substring(m.end)).foreach { clause =>
+            val AddRe = raw"ADD COLUMN `([^`]+)` (.+)".r
+            val DropRe = raw"DROP COLUMN `([^`]+)`".r
+            val RenRe = raw"RENAME COLUMN `([^`]+)` TO `([^`]+)`".r
+            val ModRe = raw"MODIFY COLUMN `([^`]+)` (.+)".r
+            clause.trim match {
+              case AddRe(n, t) =>
+                if (cols.exists(_._1 == n)) err.append(s"duplicate column $n;")
+                else cols :+= (n -> t.trim)
+              case DropRe(n) =>
+                if (!cols.exists(_._1 == n)) err.append(s"no column $n;")
+                else cols = cols.filterNot(_._1 == n)
+              case RenRe(a, b) =>
+                val i = cols.indexWhere(_._1 == a)
+                if (i < 0) err.append(s"no column $a;")
+                else cols = cols.updated(i, b -> cols(i)._2)
+              case ModRe(n, t) =>
+                val i = cols.indexWhere(_._1 == n)
+                if (i < 0) err.append(s"no column $n;")
+                else cols = cols.updated(i, n -> t.trim)
+              case other => err.append(s"bad clause '$other';")
+            }
+          }
+          if (err.nonEmpty) (500, s"mock: ALTER failed: $err")
+          else { tables.put(m.group(1), cols); (200, "") }
+        case _ => (500, s"mock: ALTER on unknown table: ${q.take(200)}")
+      }
+    } else if (q.startsWith("RENAME TABLE")) {
+      val Ren = raw"RENAME TABLE `[^`]+`\.`([^`]+)` TO `[^`]+`\.`([^`]+)`".r.unanchored
+      Ren.findFirstMatchIn(q) match {
+        case Some(m) if tables.contains(m.group(1)) && !tables.contains(m.group(2)) =>
+          tables.put(m.group(2), tables.remove(m.group(1)).get)
+          (200, "")
+        case _ => (500, s"mock: bad RENAME TABLE: ${q.take(200)}")
+      }
     } else (500, s"mock: unhandled statement: ${q.take(200)}")
   }
 

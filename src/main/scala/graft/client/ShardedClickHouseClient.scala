@@ -93,6 +93,11 @@ class ShardedClickHouseClient(
     shards.foreach(_.createTable(db, table, columns, options))
   override def dropTable(db: String, table: String): Unit =
     shards.foreach(_.dropTable(db, table))
+  override def alterTable(db: String, table: String, ops: Seq[ChAlterOp]): Unit =
+    shards.foreach(_.alterTable(db, table, ops))
+  override def renameTable(
+      db: String, table: String, newDb: String, newTable: String): Unit =
+    shards.foreach(_.renameTable(db, table, newDb, newTable))
 
   // ---- reads: one statement per shard, handles tagged with their shard ----
 

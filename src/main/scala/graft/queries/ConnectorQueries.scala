@@ -1523,6 +1523,45 @@ object ConnectorQueries {
         length(col("text")).cast("long").as("n_chars_c"),
         size(ts).cast("long").as("n_tokens"),
         size(array_distinct(ts)).cast("long").as("n_uniq"))
+    },
+
+    // Schema evolution end-to-end (round 10): ALTER TABLE as remote DDL.
+    // Half the rows are inserted under the ORIGINAL schema, then the
+    // table evolves (ADD COLUMN ×2, RENAME COLUMN, MODIFY Int32→Int64)
+    // and the other half lands under the NEW schema — pre-ADD rows must
+    // read ClickHouse column defaults (NULL / 0), renamed data must
+    // survive, and the widened column must hold post-alter values. On a
+    // server these ADD/DROP/RENAME are metadata-only (instant at 100 TB);
+    // the embedded store rewrites parts like a MODIFY materialization.
+    // Oracle reconstructs the same evolution arithmetically from the raw
+    // customer table.
+    q("r47_schema_evolution",
+      """SELECT c_custkey,
+        |  c_acctbal AS bal,
+        |  CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment ELSE '-' END AS seg,
+        |  CAST(CASE WHEN c_custkey % 2 = 1 THEN c_custkey % 100 ELSE 0 END
+        |    AS BIGINT) AS flag
+        |FROM customer""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.cust_evo")
+      s.sql(
+        """CREATE TABLE clickhouse.main.cust_evo
+          |(c_custkey BIGINT, c_acctbal DOUBLE)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'c_custkey')""".stripMargin)
+      s.sql(
+        """INSERT INTO clickhouse.main.cust_evo
+          |SELECT c_custkey, c_acctbal FROM customer
+          |WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql("ALTER TABLE clickhouse.main.cust_evo ADD COLUMN seg STRING")
+      s.sql("ALTER TABLE clickhouse.main.cust_evo ADD COLUMN flag INT NOT NULL")
+      s.sql("ALTER TABLE clickhouse.main.cust_evo RENAME COLUMN c_acctbal TO bal")
+      s.sql("ALTER TABLE clickhouse.main.cust_evo ALTER COLUMN flag TYPE BIGINT")
+      s.sql(
+        """INSERT INTO clickhouse.main.cust_evo
+          |SELECT c_custkey, c_acctbal, c_mktsegment, c_custkey % 100
+          |FROM customer WHERE c_custkey % 2 = 1""".stripMargin)
+      s.table("clickhouse.main.cust_evo").select(
+        col("c_custkey"), col("bal"),
+        coalesce(col("seg"), lit("-")).as("seg"), col("flag"))
     }
   )
 }

@@ -1,0 +1,240 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.client.{ChAlterOp, EmbeddedClickHouse}
+
+/** ALTER TABLE / RENAME TABLE through the Spark DSv2 catalog: schema
+  * evolution as remote DDL (ADD/DROP/RENAME/MODIFY COLUMN as one
+  * statement in declaration order), ClickHouse column defaults for the
+  * rows that predate an ADD, and the honored-or-rejected guards (key
+  * columns, shard_by routing column, NULL-narrowing, composite defaults).
+  */
+class AlterTableSpec extends AnyFunSuite {
+
+  private lazy val root = Files.createTempDirectory("graft_alter_").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .appName("alter-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // unique catalog name per suite: suites share one JVM-wide session
+    s.conf.set("spark.sql.catalog.chalter",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    s.conf.set("spark.sql.catalog.chalter.path", root)
+    s
+  }
+
+  private var n = 0
+  /** Fresh table per test: (qualified name, bare name). */
+  private def freshTable(): (String, String) = {
+    n += 1
+    val t = s"evo_$n"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chalter.main")
+    spark.sql(
+      s"""CREATE TABLE chalter.main.$t (id BIGINT, v DOUBLE, tag STRING)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO chalter.main.$t VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    (s"chalter.main.$t", t)
+  }
+
+  test("ADD COLUMN: existing rows read the ClickHouse column default, " +
+    "new inserts carry real values") {
+    val (qt, _) = freshTable()
+    spark.sql(s"ALTER TABLE $qt ADD COLUMN flag BIGINT NOT NULL")
+    spark.sql(s"ALTER TABLE $qt ADD COLUMN note STRING") // nullable → NULL
+    spark.sql(s"INSERT INTO $qt VALUES (3, 3.5, 'c', 7, 'hello')")
+    val rows = spark.table(qt).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      Seq((1L, 0L), (2L, 0L), (3L, 7L)),
+      "pre-ADD rows must read the non-Nullable default 0")
+    assert(rows.map(r => Option(r.getString(4))).toSeq ==
+      Seq(None, None, Some("hello")),
+      "pre-ADD rows must read NULL for the Nullable add")
+  }
+
+  test("DROP COLUMN and RENAME COLUMN preserve the remaining data") {
+    val (qt, _) = freshTable()
+    spark.sql(s"ALTER TABLE $qt DROP COLUMN v")
+    spark.sql(s"ALTER TABLE $qt RENAME COLUMN tag TO label")
+    assert(spark.table(qt).schema.fieldNames.toSeq == Seq("id", "label"))
+    assert(spark.table(qt).orderBy("id").collect().toSeq ==
+      Seq(Row(1L, "a"), Row(2L, "b")))
+    // renamed column accepts inserts under its new name
+    spark.sql(s"INSERT INTO $qt VALUES (3, 'c')")
+    assert(spark.table(qt).count() == 3)
+  }
+
+  test("ALTER COLUMN TYPE: widening cast rewrites the data in place") {
+    val (qt, _) = freshTable()
+    spark.sql(s"ALTER TABLE $qt ALTER COLUMN v TYPE STRING")
+    val vs = spark.table(qt).orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(vs == Seq("1.5", "2.5"), s"cast-preserved values, got $vs")
+    // store metadata reflects the new ClickHouse type
+    val client = new EmbeddedClickHouse(root)
+    assert(client.fetchColumns("main", qt.split('.').last).toMap.apply("v")
+      .contains("String"))
+  }
+
+  test("one multi-change ALTER applies in declaration order " +
+    "(rename then add under the old name)") {
+    val (qt, bare) = freshTable()
+    val cat = spark.sessionState.catalogManager.catalog("chalter")
+      .asInstanceOf[graft.catalog.ClickHouseCatalog]
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    cat.alterTable(Identifier.of(Array("main"), bare),
+      TableChange.renameColumn(Array("v"), "v_old"),
+      TableChange.addColumn(Array("v"), org.apache.spark.sql.types.LongType, false))
+    val sch = spark.table(qt).schema
+    assert(sch.fieldNames.toSeq == Seq("id", "v_old", "tag", "v"))
+    val r = spark.table(qt).orderBy("id").collect()
+    assert(r.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5), "renamed keeps data")
+    assert(r.map(_.getLong(3)).toSeq == Seq(0L, 0L), "new v defaults to 0")
+  }
+
+  test("honored-or-rejected: key-column DDL, NULL narrowing, composite " +
+    "defaults, positions all error loudly") {
+    val (qt, bare) = freshTable()
+    // order_by key column: drop / rename / retype all reject
+    val e1 = intercept[Exception](spark.sql(s"ALTER TABLE $qt DROP COLUMN id"))
+    assert(e1.getMessage.contains("key column"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $qt RENAME COLUMN id TO id2"))
+    assert(e2.getMessage.contains("key column"), e2.getMessage)
+    // Nullable column with NULLs cannot narrow to non-Nullable
+    spark.sql(s"ALTER TABLE $qt ADD COLUMN maybe BIGINT")
+    val cat = spark.sessionState.catalogManager.catalog("chalter")
+      .asInstanceOf[graft.catalog.ClickHouseCatalog]
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val e3 = intercept[Exception](
+      cat.alterTable(Identifier.of(Array("main"), bare),
+        TableChange.updateColumnNullability(Array("maybe"), false)))
+    assert(e3.getMessage.contains("NULL value"), e3.getMessage)
+    // non-Nullable Tuple has no default the store can invent
+    val e4 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $qt ADD COLUMN pt STRUCT<x: BIGINT> NOT NULL"))
+    assert(e4.getMessage.contains("Nullable"), e4.getMessage)
+    // FIRST/AFTER positions are not forwarded
+    val e5 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $qt ADD COLUMN early BIGINT FIRST"))
+    assert(e5.getMessage.contains("position"), e5.getMessage)
+    // unknown column errors, table unharmed
+    intercept[Exception](spark.sql(s"ALTER TABLE $qt DROP COLUMN nope"))
+    assert(spark.table(qt).count() == 2)
+  }
+
+  test("RENAME TABLE moves data and metadata; old name is gone") {
+    val (qt, bare) = freshTable()
+    spark.sql(s"ALTER TABLE $qt RENAME TO main.${bare}_renamed")
+    assert(spark.table(s"chalter.main.${bare}_renamed").count() == 2)
+    intercept[AnalysisException](spark.table(qt).collect())
+    // target-exists rejects
+    val (qt2, bare2) = freshTable()
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $qt2 RENAME TO main.${bare}_renamed"))
+    assert(e.getMessage.toLowerCase.contains("exists"), e.getMessage)
+  }
+
+  test("embedded client: ALTER on a table with attached external parquet " +
+    "is rejected (read-only data)") {
+    val client = new EmbeddedClickHouse(root)
+    client.createDatabase("main")
+    val dir = Files.createTempDirectory("alter_ext_").toString
+    spark.range(3).toDF("id").write.mode("overwrite").parquet(dir)
+    client.createTable("main", "evo_ext", Seq("id" -> "Int64"),
+      Map("engine" -> "MergeTree"))
+    client.attachExternal("main", "evo_ext", Seq(s"$dir/*.parquet"))
+    val e = intercept[IllegalArgumentException](
+      client.alterTable("main", "evo_ext",
+        Seq(ChAlterOp.AddColumn("x", "Nullable(Int64)"))))
+    assert(e.getMessage.contains("external"), e.getMessage)
+  }
+
+  test("HTTP transport: ALTER ships ONE ordered DDL statement and " +
+    "invalidates the insert-encoder type cache") {
+    val server = new graft.client.MockClickHouseHttp
+    try {
+      val http = new graft.client.HttpClickHouseClient(server.endpoint)
+      http.createTable("main", "evo_http",
+        Seq("id" -> "Int64", "v" -> "Int32"), Map("engine" -> "MergeTree"))
+      import org.apache.spark.sql.types._
+      val s32 = StructType(Seq(
+        StructField("id", LongType, false), StructField("v", IntegerType, false)))
+      // prime the encoder cache with the Int32 width
+      http.insert("main", "evo_http", s32, Seq(Row(1L, 10)))
+      http.alterTable("main", "evo_http", Seq(
+        ChAlterOp.ModifyType("v", "Int64"),
+        ChAlterOp.AddColumn("w", "Nullable(String)"),
+        ChAlterOp.RenameColumn("w", "note")))
+      import scala.jdk.CollectionConverters._
+      val alters = server.statements.asScala.filter(_.startsWith("ALTER TABLE"))
+      assert(alters.size == 1, s"one statement, got: $alters")
+      assert(alters.head ==
+        "ALTER TABLE `main`.`evo_http` MODIFY COLUMN `v` Int64, " +
+          "ADD COLUMN `w` Nullable(String), RENAME COLUMN `w` TO `note`",
+        alters.head)
+      assert(http.fetchColumns("main", "evo_http") ==
+        Seq("id" -> "Int64", "v" -> "Int64", "note" -> "Nullable(String)"))
+      // post-ALTER inserts must encode v at the NEW width — a stale cached
+      // encoder would write 4 bytes where the server decodes 8
+      val before = server.rowsReceived.get()
+      val s64 = StructType(Seq(
+        StructField("id", LongType, false), StructField("v", LongType, false),
+        StructField("note", StringType, true)))
+      http.insert("main", "evo_http", s64, Seq(Row(2L, 20L, "x"), Row(3L, 30L, null)))
+      assert(server.rowsReceived.get() - before == 2,
+        "server must decode exactly 2 rows at the post-ALTER widths")
+      // RENAME TABLE moves the server-side metadata
+      http.renameTable("main", "evo_http", "main", "evo_http2")
+      assert(!http.tableExists("main", "evo_http"))
+      assert(http.tableExists("main", "evo_http2"))
+    } finally server.close()
+  }
+
+  test("sharded catalogs broadcast ALTER to every shard; DDL on the " +
+    "shard_by routing column is rejected") {
+    val m1 = new graft.client.MockClickHouseHttp
+    val m2 = new graft.client.MockClickHouseHttp
+    try {
+      spark.conf.set("spark.sql.catalog.chaltsh",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      spark.conf.set("spark.sql.catalog.chaltsh.endpoint",
+        s"${m1.endpoint},${m2.endpoint}")
+      spark.conf.set("spark.sql.catalog.chaltsh.shard_by", "id")
+      spark.sql(
+        """CREATE TABLE chaltsh.main.evo_sh (id BIGINT, v BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+      spark.sql("ALTER TABLE chaltsh.main.evo_sh ADD COLUMN note STRING")
+      import scala.jdk.CollectionConverters._
+      for ((m, tag) <- Seq(m1 -> "shard0", m2 -> "shard1"))
+        assert(m.statements.asScala.exists(q =>
+          q.startsWith("ALTER TABLE") && q.contains("ADD COLUMN `note`")),
+          s"$tag must receive the broadcast ALTER")
+      val e = intercept[Exception](
+        spark.sql("ALTER TABLE chaltsh.main.evo_sh RENAME COLUMN id TO id2"))
+      assert(e.getMessage.contains("shard_by"), e.getMessage)
+    } finally { m1.close(); m2.close() }
+  }
+
+  test("array and map ADD COLUMN defaults are typed empties") {
+    val (qt, _) = freshTable()
+    spark.sql(s"ALTER TABLE $qt ADD COLUMN xs ARRAY<BIGINT> NOT NULL")
+    spark.sql(s"ALTER TABLE $qt ADD COLUMN kv MAP<STRING, BIGINT> NOT NULL")
+    val r = spark.table(qt).orderBy("id").collect()
+    assert(r.forall(_.getSeq[Long](3).isEmpty), "array default = []")
+    assert(r.forall(_.getMap[String, Long](4).isEmpty), "map default = {}")
+    spark.sql(s"INSERT INTO $qt VALUES (9, 9.5, 'z', array(1, 2), map('k', 3))")
+    val added = spark.table(qt).where("id = 9").collect().head
+    assert(added.getSeq[Long](3) == Seq(1L, 2L))
+    assert(added.getMap[String, Long](4) == Map("k" -> 3L))
+  }
+}
