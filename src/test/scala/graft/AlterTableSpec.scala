@@ -200,6 +200,29 @@ class AlterTableSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("replica-set catalogs broadcast ALTER and RENAME to every replica " +
+    "(schema objects are per-replica state, the ON CLUSTER analog)") {
+    val p = new graft.client.MockClickHouseHttp
+    val s = new graft.client.MockClickHouseHttp
+    try {
+      val client = new graft.client.FailoverClickHouseClient(IndexedSeq(
+        new graft.client.HttpClickHouseClient(p.endpoint),
+        new graft.client.HttpClickHouseClient(s.endpoint)))
+      client.createTable("main", "evo_rep",
+        Seq("id" -> "Int64"), Map("engine" -> "MergeTree"))
+      client.alterTable("main", "evo_rep",
+        Seq(ChAlterOp.AddColumn("x", "Nullable(Int64)")))
+      client.renameTable("main", "evo_rep", "main", "evo_rep2")
+      import scala.jdk.CollectionConverters._
+      for ((m, tag) <- Seq(p -> "primary", s -> "survivor")) {
+        val qs = m.statements.asScala.toSeq
+        assert(qs.exists(_.contains("ADD COLUMN `x`")), s"$tag ALTER")
+        assert(qs.exists(_.startsWith("RENAME TABLE")), s"$tag RENAME")
+      }
+      assert(client.tableExists("main", "evo_rep2"))
+    } finally { p.close(); s.close() }
+  }
+
   test("sharded catalogs broadcast ALTER to every shard; DDL on the " +
     "shard_by routing column is rejected") {
     val m1 = new graft.client.MockClickHouseHttp

@@ -260,6 +260,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == 130)
   }
 
+  test("readStream tails a SHARDED catalog: the cursor probe folds " +
+    "min-of-mins/max-of-maxes and every shard's slice lands exactly once") {
+    import graft.client.EmbeddedClickHouse
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val r1 = java.nio.file.Files.createTempDirectory("graft_mbrsh1_").toString
+    val r2 = java.nio.file.Files.createTempDirectory("graft_mbrsh2_").toString
+    spark.conf.set("spark.sql.catalog.chmbrsh",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chmbrsh.path", s"$r1,$r2")
+    spark.conf.set("spark.sql.catalog.chmbrsh.shard_by", "id")
+    val sharded = new graft.client.ShardedClickHouseClient(
+      IndexedSeq(new EmbeddedClickHouse(r1), new EmbeddedClickHouse(r2)),
+      Some("id"))
+    sharded.createDatabase("db")
+    sharded.createTable("db", "src",
+      Seq("id" -> "Int64", "v" -> "Nullable(String)"),
+      Map("engine" -> "MergeTree", "order_by" -> "id"))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false), StructField("v", StringType)))
+    def rows(lo: Long, hi: Long) = (lo to hi).map(i => Row(i, s"v$i"))
+    sharded.insert("db", "src", schema, rows(1L, 80L))
+    // both shards must actually hold a slice, or this degrades to r20
+    val perShard = Seq(r1, r2).map(r => new EmbeddedClickHouse(r)
+      .query("SELECT count(*) AS n FROM `db`.`src`", 1)._2.flatten.head.getLong(0))
+    assert(perShard.forall(_ > 0), s"shard slices: $perShard")
+
+    val ck = java.nio.file.Files.createTempDirectory("graft_mbrsh_ck_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mbrsh_out_").toString
+    def drainOnce(): Unit = {
+      val q = spark.readStream
+        .option("stream_cursor", "id")
+        .option("stream_max_per_batch", "25")
+        .table("chmbrsh.db.src")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainOnce()
+    val first = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    assert(first == (1L to 80L).toSet,
+      s"union of shard slices, exactly once: got ${first.size} ids")
+    // restart picks up only the new range, across both shards
+    sharded.insert("db", "src", schema, rows(81L, 100L))
+    drainOnce()
+    assert(spark.read.parquet(outDir).count() == 100)
+    assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet ==
+      (1L to 100L).toSet)
+  }
+
   test("streaming read requires a declared integral cursor") {
     import graft.client.EmbeddedClickHouse
     val root = java.nio.file.Files.createTempDirectory("graft_mbrneg_").toString
