@@ -248,6 +248,34 @@ class AlterTableSpec extends AnyFunSuite {
     } finally { m1.close(); m2.close() }
   }
 
+  test("the split_by ORDER-BY-head scale warning probes system.tables " +
+    "once per table, not once per scan planning") {
+    val r1 = new graft.client.MockClickHouseHttp
+    val r2 = new graft.client.MockClickHouseHttp
+    r1.wireReadRows = 10; r2.wireReadRows = 10
+    try {
+      spark.conf.set("spark.sql.catalog.chohm",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      spark.conf.set("spark.sql.catalog.chohm.endpoint",
+        s"${r1.endpoint}|${r2.endpoint}")
+      spark.conf.set("spark.sql.catalog.chohm.read.streams", "1")
+      import scala.jdk.CollectionConverters._
+      def headProbes(): Int =
+        (r1.statements.asScala ++ r2.statements.asScala)
+          .count(_.startsWith("SELECT engine, sorting_key"))
+      def scanOnce(): Unit =
+        assert(spark.read.option("split_by", "id")
+          .table("chohm.bench.wire_read").collect().length == 10)
+      scanOnce()
+      val after1 = headProbes()
+      assert(after1 >= 1, "the warning path must actually probe once")
+      scanOnce(); scanOnce()
+      assert(headProbes() == after1,
+        s"order_by-head probe must be memoized per (client, table): " +
+          s"$after1 then ${headProbes()}")
+    } finally { r1.close(); r2.close() }
+  }
+
   test("array and map ADD COLUMN defaults are typed empties") {
     val (qt, _) = freshTable()
     spark.sql(s"ALTER TABLE $qt ADD COLUMN xs ARRAY<BIGINT> NOT NULL")
