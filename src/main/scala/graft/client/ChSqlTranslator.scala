@@ -109,7 +109,10 @@ object ChSqlTranslator {
     s = rewriteCall(s, "arrayExists", args => s"exists(${args(1)}, ${args(0)})")
     // CAST(x AS <ClickHouse type>) → CAST(x AS <Spark type>)
     s = rewriteCall(s, "CAST", args => {
-      val a = args.head
+      // re-join: the splitter breaks on top-level commas, but Spark
+      // composite type names carry them OUTSIDE parens (MAP<STRING,
+      // BIGINT>) — args.head alone would truncate the target type
+      val a = args.mkString(", ")
       val i = a.lastIndexOf(" AS ")
       if (i < 0) s"CAST($a)"
       else s"CAST(${a.substring(0, i)} AS ${sparkTypeName(a.substring(i + 4))})"

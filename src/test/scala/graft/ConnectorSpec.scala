@@ -478,6 +478,31 @@ class ConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE chconn.testdb.upd_t")
   }
 
+  test("updateWhere assigning a Map-typed column survives translation " +
+    "(composite Spark type names carry top-level commas)") {
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("testdb", "upd_map",
+      Seq("id" -> "Int64", "m" -> "Map(String, Int64)"),
+      Map("engine" -> "MergeTree", "order_by" -> "id"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("m", MapType(StringType, LongType, valueContainsNull = false),
+        nullable = false)))
+    client.insert("testdb", "upd_map", schema, Seq(
+      org.apache.spark.sql.Row(1L, Map("a" -> 1L)),
+      org.apache.spark.sql.Row(2L, Map("b" -> 2L))))
+    // the rewrite CASTs the assigned column to MAP<STRING, BIGINT> — the
+    // translator's CAST arg-splitter used to truncate at that comma
+    client.updateWhere("testdb", "upd_map",
+      Seq("m" -> "map('z', id)"), "id = 2")
+    val got = client.query(
+      "SELECT * FROM `testdb`.`upd_map` ORDER BY `id`", 1)._2.flatten
+      .map(r => r.getLong(0) -> r.getMap[String, Long](1).toMap)
+    assert(got == Seq(1L -> Map("a" -> 1L), 2L -> Map("z" -> 2L)), got)
+    client.dropTable("testdb", "upd_map")
+  }
+
   test("insertSelect copies server-side and returns the inserted count") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS chconn.etl")
     val client = new EmbeddedClickHouse(root)

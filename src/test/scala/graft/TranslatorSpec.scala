@@ -26,6 +26,12 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT CAST(f(a, b) AS Float64)") == "SELECT CAST(f(a, b) AS DOUBLE)")
     assert(t("SELECT CAST(x AS Decimal(20, 4))") == "SELECT CAST(x AS DECIMAL(20, 4))")
     assert(t("SELECT CAST(x AS Array(Int32))") == "SELECT CAST(x AS ARRAY<INT>)")
+    // Spark composite type names carry TOP-LEVEL commas (outside parens):
+    // the splitter must not truncate the CAST target at them
+    assert(t("SELECT CAST(m AS MAP<STRING, BIGINT>)") ==
+      "SELECT CAST(m AS MAP<STRING, BIGINT>)")
+    assert(t("SELECT CAST(x AS ARRAY<STRUCT<a: BIGINT, b: STRING>>)") ==
+      "SELECT CAST(x AS ARRAY<STRUCT<a: BIGINT, b: STRING>>)")
   }
 
   test("function-surface special forms") {
