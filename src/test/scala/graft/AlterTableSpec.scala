@@ -144,6 +144,18 @@ class AlterTableSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("exists"), e.getMessage)
   }
 
+  test("ALTER on an EMPTY table evolves the schema; the first insert " +
+    "lands under the new shape") {
+    val (qt, _) = freshTable()
+    spark.sql(s"DELETE FROM $qt WHERE true")
+    assert(spark.table(qt).count() == 0)
+    spark.sql(s"ALTER TABLE $qt ADD COLUMN extra BIGINT NOT NULL")
+    spark.sql(s"ALTER TABLE $qt DROP COLUMN v")
+    assert(spark.table(qt).schema.fieldNames.toSeq == Seq("id", "tag", "extra"))
+    spark.sql(s"INSERT INTO $qt VALUES (10, 'z', 42)")
+    assert(spark.table(qt).collect().toSeq == Seq(Row(10L, "z", 42L)))
+  }
+
   test("embedded client: ALTER on a table with attached external parquet " +
     "is rejected (read-only data)") {
     val client = new EmbeddedClickHouse(root)
