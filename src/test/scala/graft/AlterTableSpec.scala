@@ -132,6 +132,26 @@ class AlterTableSpec extends AnyFunSuite {
     assert(spark.table(qt).count() == 2)
   }
 
+  test("pushdown works against the EVOLVED schema: filters on renamed " +
+    "columns and aggregates over added columns ship remotely") {
+    val (qt, _) = freshTable()
+    spark.sql(s"ALTER TABLE $qt RENAME COLUMN v TO score")
+    spark.sql(s"ALTER TABLE $qt ADD COLUMN w BIGINT NOT NULL")
+    spark.sql(s"INSERT INTO $qt VALUES (3, 9.5, 'c', 4), (4, 0.5, 'd', 6)")
+    val df = spark.table(qt).where("score > 1.0")
+      .agg(org.apache.spark.sql.functions.sum("w").as("sw"))
+    assert(df.collect().head.getLong(0) == 4L) // rows 1,2 default w=0; row 3 w=4
+    val scans = PlanAsserts.flatten(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.contains("`score` > 1.0") || scans.head.contains("`score` >"),
+      s"filter must push on the RENAMED column: ${scans.head}")
+    assert(scans.head.toLowerCase.contains("sum(`w`)"),
+      s"aggregate must push on the ADDED column: ${scans.head}")
+  }
+
   test("RENAME TABLE moves data and metadata; old name is gone") {
     val (qt, bare) = freshTable()
     spark.sql(s"ALTER TABLE $qt RENAME TO main.${bare}_renamed")
