@@ -42,6 +42,18 @@ final class ClickHouseSession private (
   def databases: Seq[String] = client.listDatabases()
   def tables(db: String): Seq[String] = client.listTables(db)
 
+  /** Schema evolution with ClickHouse types, same path as SQL ALTER. */
+  def addColumn(db: String, table: String, col: String, chType: String): Unit =
+    client.alterTable(db, table, Seq(graft.client.ChAlterOp.AddColumn(col, chType)))
+  def dropColumn(db: String, table: String, col: String): Unit =
+    client.alterTable(db, table, Seq(graft.client.ChAlterOp.DropColumn(col)))
+  def renameColumn(db: String, table: String, from: String, to: String): Unit =
+    client.alterTable(db, table, Seq(graft.client.ChAlterOp.RenameColumn(from, to)))
+  def modifyColumn(db: String, table: String, col: String, chType: String): Unit =
+    client.alterTable(db, table, Seq(graft.client.ChAlterOp.ModifyType(col, chType)))
+  def renameTable(db: String, table: String, newDb: String, newTable: String): Unit =
+    client.renameTable(db, table, newDb, newTable)
+
   def newTable(db: String, name: String): TableCreator =
     new TableCreator(this, db, name)
 

@@ -54,7 +54,20 @@ class SessionSpec extends AnyFunSuite {
     assert(ch.sql("SELECT count(*) AS n FROM chsess.analytics.metrics")
       .collect().head.getLong(0) == 2L)
 
-    ch.dropTable("analytics", "metrics")
+    // schema evolution through the builder API, ClickHouse types
+    ch.addColumn("analytics", "metrics", "unit", "Nullable(String)")
+    ch.renameColumn("analytics", "metrics", "value", "score")
+    ch.modifyColumn("analytics", "metrics", "score", "Nullable(Float64)")
+    assert(ch.client.fetchColumns("analytics", "metrics") == Seq(
+      "id" -> "Int64", "name" -> "Nullable(String)",
+      "score" -> "Nullable(Float64)", "unit" -> "Nullable(String)"))
+    assert(ch.table("analytics", "metrics").orderBy("id")
+      .collect().map(_.getDouble(2)).toSeq == Seq(1.5, 2.5))
+    ch.dropColumn("analytics", "metrics", "unit")
+    ch.renameTable("analytics", "metrics", "analytics", "metrics2")
+    assert(ch.tables("analytics") == Seq("metrics2"))
+
+    ch.dropTable("analytics", "metrics2")
     assert(ch.tables("analytics").isEmpty)
     ch.dropDatabase("analytics")
     assert(!ch.databases.contains("analytics"))
