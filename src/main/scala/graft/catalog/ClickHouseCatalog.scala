@@ -363,14 +363,18 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
       current.get(n).exists(t => ClickHouseType.parse(t).nullable)
     val ops: Seq[ChAlterOp] = changes.map {
       case a: TableChange.AddColumn =>
-        if (a.position() != null) throw new UnsupportedOperationException(
-          "ADD COLUMN ... FIRST/AFTER: column position is not forwarded " +
-            "(columns append); drop the position clause")
         if (a.comment() != null) throw new UnsupportedOperationException(
           "ADD COLUMN ... COMMENT: column comments are not forwarded; " +
             "drop the comment clause")
+        val pos: Option[Option[String]] = a.position() match {
+          case null => None
+          case _: TableChange.First => Some(None)
+          case after: TableChange.After => Some(Some(after.column()))
+          case other => throw new UnsupportedOperationException(
+            s"ADD COLUMN position ${other.getClass.getSimpleName}")
+        }
         ChAlterOp.AddColumn(single(a.fieldNames, "ADD COLUMN"),
-          ClickHouseType.render(a.dataType, a.isNullable))
+          ClickHouseType.render(a.dataType, a.isNullable), pos)
       case d: TableChange.DeleteColumn =>
         ChAlterOp.DropColumn(
           guardRouting(single(d.fieldNames, "DROP COLUMN"), "DROP COLUMN"))

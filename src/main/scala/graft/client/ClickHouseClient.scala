@@ -328,7 +328,12 @@ trait ClickHouseClient extends Serializable {
   */
 sealed trait ChAlterOp
 object ChAlterOp {
-  final case class AddColumn(name: String, chType: String) extends ChAlterOp
+  /** `position`: None = append (ClickHouse default), Some(None) = FIRST,
+    * Some(Some(c)) = AFTER `c`.
+    */
+  final case class AddColumn(
+      name: String, chType: String,
+      position: Option[Option[String]] = None) extends ChAlterOp
   final case class DropColumn(name: String) extends ChAlterOp
   final case class RenameColumn(from: String, to: String) extends ChAlterOp
   final case class ModifyType(name: String, chType: String) extends ChAlterOp

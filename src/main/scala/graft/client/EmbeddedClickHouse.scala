@@ -160,10 +160,17 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       i
     }
     ops.foreach {
-      case ChAlterOp.AddColumn(n, t) =>
+      case ChAlterOp.AddColumn(n, t, pos) =>
         require(!state.exists(_._1 == n),
           s"ALTER TABLE $db.$table ADD COLUMN: column '$n' already exists")
-        state :+= ((n, t, defaultColumn(n, ClickHouseType.parse(t))))
+        val added = (n, t, defaultColumn(n, ClickHouseType.parse(t)))
+        pos match {
+          case None => state :+= added
+          case Some(None) => state +:= added // FIRST
+          case Some(Some(c)) =>
+            val i = idxOf("ADD COLUMN ... AFTER", c)
+            state = state.patch(i + 1, Seq(added), 0)
+        }
       case ChAlterOp.DropColumn(n) =>
         val i = idxOf("DROP COLUMN", n)
         require(!keyCols.contains(n),

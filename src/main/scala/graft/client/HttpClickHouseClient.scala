@@ -299,9 +299,14 @@ class HttpClickHouseClient(
   override def alterTable(db: String, table: String, ops: Seq[ChAlterOp]): Unit = {
     require(ops.nonEmpty, "ALTER TABLE requires at least one change")
     val clauses = ops.map {
-      case ChAlterOp.AddColumn(n, t) =>
+      case ChAlterOp.AddColumn(n, t, pos) =>
         ClickHouseType.parse(t) // validate before shipping
-        s"ADD COLUMN `$n` $t"
+        val at = pos match {
+          case None => ""
+          case Some(None) => " FIRST"
+          case Some(Some(c)) => s" AFTER `$c`"
+        }
+        s"ADD COLUMN `$n` $t$at"
       case ChAlterOp.DropColumn(n) => s"DROP COLUMN `$n`"
       case ChAlterOp.RenameColumn(a, b) => s"RENAME COLUMN `$a` TO `$b`"
       case ChAlterOp.ModifyType(n, t) =>

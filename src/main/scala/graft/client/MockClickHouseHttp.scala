@@ -315,10 +315,24 @@ final class MockClickHouseHttp extends AutoCloseable {
             val DropRe = raw"DROP COLUMN `([^`]+)`".r
             val RenRe = raw"RENAME COLUMN `([^`]+)` TO `([^`]+)`".r
             val ModRe = raw"MODIFY COLUMN `([^`]+)` (.+)".r
+            val AfterRe = raw"(.+) AFTER `([^`]+)`".r
             clause.trim match {
-              case AddRe(n, t) =>
+              case AddRe(n, rest) =>
+                val (t, at) = rest.trim match {
+                  case AfterRe(tt, c) => (tt.trim, Some(Some(c)))
+                  case tt if tt.endsWith(" FIRST") =>
+                    (tt.stripSuffix(" FIRST").trim, Some(None))
+                  case tt => (tt, None)
+                }
                 if (cols.exists(_._1 == n)) err.append(s"duplicate column $n;")
-                else cols :+= (n -> t.trim)
+                else at match {
+                  case None => cols :+= (n -> t)
+                  case Some(None) => cols +:= (n -> t)
+                  case Some(Some(c)) =>
+                    val i = cols.indexWhere(_._1 == c)
+                    if (i < 0) err.append(s"no column $c;")
+                    else cols = cols.patch(i + 1, Seq(n -> t), 0)
+                }
               case DropRe(n) =>
                 if (!cols.exists(_._1 == n)) err.append(s"no column $n;")
                 else cols = cols.filterNot(_._1 == n)

@@ -85,13 +85,20 @@ class AlterFuzzSpec extends AnyFunSuite {
 
       var nextId = 0L
       var nextCol = 1
+      // positioned ADDs move `id` around — pick ALTER targets by name,
+      // never by assumed position
+      def nonId(r: Random): Int = {
+        val is = names.indices.filter(names(_) != "id")
+        is(r.nextInt(is.size))
+      }
       def insertSome(): Unit = {
         val schema = StructType(names.zip(types).map { case (n, k) =>
           StructField(n, k.spark,
             nullable = graft.types.ClickHouseType.parse(k.chType).nullable) })
+        val idAt = names.indexOf("id")
         val fresh = (0 until (1 + r.nextInt(5))).map { _ =>
           val vals = types.zipWithIndex.map { case (k, i) =>
-            if (i == 0) { nextId += 1; nextId } else k.gen(r)
+            if (i == idAt) { nextId += 1; nextId } else k.gen(r)
           }
           rows :+= vals
           Row.fromSeq(vals)
@@ -102,26 +109,34 @@ class AlterFuzzSpec extends AnyFunSuite {
 
       for (_ <- 0 until (3 + r.nextInt(4))) {
         r.nextInt(5) match {
-          case 0 => // ADD
+          case 0 => // ADD, randomly positioned (append / FIRST / AFTER c)
             nextCol += 1
             val n = s"c$nextCol"
             val k = kinds(r.nextInt(kinds.size))
-            client.alterTable("main", t, Seq(ChAlterOp.AddColumn(n, k.chType)))
-            names :+= n; types :+= k
-            rows = rows.map(_ :+ k.default)
+            val (pos, at) = r.nextInt(3) match {
+              case 0 => (None, names.size)
+              case 1 => (Some(None), 0)
+              case _ =>
+                val c = r.nextInt(names.size)
+                (Some(Some(names(c))), c + 1)
+            }
+            client.alterTable("main", t, Seq(ChAlterOp.AddColumn(n, k.chType, pos)))
+            names = names.patch(at, Seq(n), 0)
+            types = types.patch(at, Seq(k), 0)
+            rows = rows.map(v => v.patch(at, Seq(k.default), 0))
           case 1 if names.size > 2 => // DROP a non-key, non-id column
-            val i = 1 + r.nextInt(names.size - 1)
+            val i = nonId(r)
             client.alterTable("main", t, Seq(ChAlterOp.DropColumn(names(i))))
             names = names.patch(i, Nil, 1); types = types.patch(i, Nil, 1)
             rows = rows.map(v => v.patch(i, Nil, 1))
           case 2 => // RENAME a non-key column
-            val i = 1 + r.nextInt(names.size - 1)
+            val i = nonId(r)
             nextCol += 1
             val b = s"c$nextCol"
             client.alterTable("main", t, Seq(ChAlterOp.RenameColumn(names(i), b)))
             names = names.updated(i, b)
           case 3 => // widening MODIFY when the palette offers one
-            val i = 1 + r.nextInt(names.size - 1)
+            val i = nonId(r)
             widen(types(i).chType).foreach { case (newCh, conv, gen) =>
               client.alterTable("main", t, Seq(ChAlterOp.ModifyType(names(i), newCh)))
               val p = graft.types.ClickHouseType.parse(newCh)
@@ -147,7 +162,7 @@ class AlterFuzzSpec extends AnyFunSuite {
       val got = client.query(
         s"SELECT * FROM `main`.`$t` ORDER BY `id`", 1)._2.flatten
         .map(_.toSeq.toVector)
-      val want = rows.sortBy(_.head.asInstanceOf[Long])
+      val want = rows.sortBy(_(names.indexOf("id")).asInstanceOf[Long])
       assert(got.size == want.size, s"seed $seed: ${got.size} vs ${want.size} rows")
       got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
         assert(g == w, s"seed $seed row $i: $g != $w (cols $names)")

@@ -123,10 +123,6 @@ class AlterTableSpec extends AnyFunSuite {
     val e4 = intercept[Exception](
       spark.sql(s"ALTER TABLE $qt ADD COLUMN pt STRUCT<x: BIGINT> NOT NULL"))
     assert(e4.getMessage.contains("Nullable"), e4.getMessage)
-    // FIRST/AFTER positions are not forwarded
-    val e5 = intercept[Exception](
-      spark.sql(s"ALTER TABLE $qt ADD COLUMN early BIGINT FIRST"))
-    assert(e5.getMessage.contains("position"), e5.getMessage)
     // unknown column errors, table unharmed
     intercept[Exception](spark.sql(s"ALTER TABLE $qt DROP COLUMN nope"))
     assert(spark.table(qt).count() == 2)
@@ -162,6 +158,37 @@ class AlterTableSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql(s"ALTER TABLE $qt2 RENAME TO main.${bare}_renamed"))
     assert(e.getMessage.toLowerCase.contains("exists"), e.getMessage)
+  }
+
+  test("ADD COLUMN FIRST / AFTER place the column exactly where " +
+    "ClickHouse would, embedded and HTTP alike") {
+    val (qt, bare) = freshTable()
+    spark.sql(s"ALTER TABLE $qt ADD COLUMN early BIGINT NOT NULL FIRST")
+    spark.sql(s"ALTER TABLE $qt ADD COLUMN mid STRING AFTER id")
+    assert(spark.table(qt).schema.fieldNames.toSeq ==
+      Seq("early", "id", "mid", "v", "tag"))
+    val r = spark.table(qt).orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 0L), "FIRST column defaults")
+    assert(r.forall(_.isNullAt(2)), "AFTER column defaults NULL")
+    // positional insert follows the evolved order
+    spark.sql(s"INSERT INTO $qt VALUES (7, 3, 'm', 3.5, 'c')")
+    assert(spark.table(qt).where("id = 3").collect().head.getLong(0) == 7L)
+    // HTTP ships the position clauses verbatim
+    val server = new graft.client.MockClickHouseHttp
+    try {
+      val http = new graft.client.HttpClickHouseClient(server.endpoint)
+      http.createTable("main", "pos_http",
+        Seq("a" -> "Int64", "b" -> "Int64"), Map("engine" -> "MergeTree"))
+      http.alterTable("main", "pos_http", Seq(
+        ChAlterOp.AddColumn("z", "Int64", Some(None)),
+        ChAlterOp.AddColumn("m", "Int64", Some(Some("a")))))
+      import scala.jdk.CollectionConverters._
+      val alter = server.statements.asScala.find(_.startsWith("ALTER TABLE")).get
+      assert(alter.contains("ADD COLUMN `z` Int64 FIRST") &&
+        alter.contains("ADD COLUMN `m` Int64 AFTER `a`"), alter)
+      assert(http.fetchColumns("main", "pos_http").map(_._1) ==
+        Seq("z", "a", "m", "b"))
+    } finally server.close()
   }
 
   test("ALTER on an EMPTY table evolves the schema; the first insert " +
