@@ -45,8 +45,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    rewritePlan(delegate.parsePlan(sqlText))
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val parsed = delegate.parsePlan(sqlText)
+    // SQL UPDATE on a ClickHouse catalog table ships as a server-side
+    // mutation (Spark's own path would demand SupportsRowLevelOperations
+    // and re-shuffle matched groups) — see ChUpdateRewrite
+    ChUpdateRewrite.rewrite(session, parsed) match {
+      case Some(cmd) => cmd
+      case None => rewritePlan(parsed)
+    }
+  }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     rewritePlan(delegate.parseQuery(sqlText))
