@@ -122,6 +122,16 @@ trait ClickHouseClient extends Serializable {
     throw new UnsupportedOperationException(
       s"this transport cannot RENAME TABLE $db.$table")
 
+  /** `OPTIMIZE TABLE [FINAL]` — force a part merge. With `finalize` on a
+    * ReplacingMergeTree(ver) table this MATERIALIZES the dedup that
+    * FINAL reads compute on the fly (the server's documented use); on
+    * other engines it is a plain consolidation. A wire transport ships
+    * the statement; the embedded store rewrites its parts.
+    */
+  def optimizeTable(db: String, table: String, finalize: Boolean = false): Unit =
+    throw new UnsupportedOperationException(
+      s"this transport cannot OPTIMIZE TABLE $db.$table")
+
   /** Plan a ClickHouse-dialect SELECT: initiate the remote query and
     * return the result schema plus one cheap, serializable handle per
     * remote stream/shard. NO ROW may cross the driver here — handles are

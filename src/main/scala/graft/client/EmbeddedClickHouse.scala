@@ -242,6 +242,33 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     }
   }
 
+  /** OPTIMIZE as part rewrite: consolidates every part into one; FINAL
+    * on a ReplacingMergeTree(ver) table materializes the max-version
+    * survivor set (the same rule FINAL reads apply on the fly, via
+    * [[rewriteFinal]]), so subsequent plain reads see the deduped rows —
+    * the server's documented OPTIMIZE FINAL semantics. FINAL on engines
+    * without a version column is a plain consolidation (no row change).
+    */
+  override def optimizeTable(db: String, table: String, finalize: Boolean): Unit = {
+    require(tableExists(db, table), s"no such table: $db.$table")
+    val (_, opts, ext) = readMeta(db, table)
+    require(ext.isEmpty,
+      s"OPTIMIZE TABLE $db.$table: table has attached external data (read-only)")
+    val qt = graft.sql.ChSql.quoteTable(db, table)
+    val replacing = "ReplacingMergeTree\\(\\s*[^)\\s]+\\s*\\)".r
+      .findFirstIn(opts.getOrElse("engine", "")).isDefined
+    val src =
+      if (finalize && replacing) rewriteFinal(s"SELECT * FROM $qt FINAL")
+      else s"SELECT * FROM $qt"
+    val entry = serverEntry()
+    val tables = knownTables
+    val tr = ChSqlTranslator.translate(src, tables)
+    ensureViews(entry, tr, tables)
+    // one part out: coalesce(1) is the merge — at embedded scale one
+    // file per table is exactly what a finished merge tree looks like
+    rewritePartsDf(db, table, entry.session.sql(tr).coalesce(1))
+  }
+
   override def renameTable(
       db: String, table: String, newDb: String, newTable: String): Unit = {
     require(tableExists(db, table), s"no such table: $db.$table")

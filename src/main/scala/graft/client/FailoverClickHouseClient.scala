@@ -126,6 +126,10 @@ class FailoverClickHouseClient(
   override def renameTable(
       db: String, table: String, newDb: String, newTable: String): Unit =
     replicas.foreach(_.renameTable(db, table, newDb, newTable))
+  // merges replicate server-side on a replicated backend — issue once at
+  // the primary, like mutations (broadcasting would force N merges)
+  override def optimizeTable(db: String, table: String, finalize: Boolean): Unit =
+    primary.optimizeTable(db, table, finalize)
 
   // ---- mutations: the PRIMARY only, like inserts. The class model is a
   // server-replicated backend (ReplicatedMergeTree), where an ALTER

@@ -330,6 +330,11 @@ class HttpClickHouseClient(
     ()
   }
 
+  override def optimizeTable(db: String, table: String, finalize: Boolean): Unit = {
+    exec(s"OPTIMIZE TABLE `$db`.`$table`${if (finalize) " FINAL" else ""}")
+    ()
+  }
+
   // ---- reads ----
 
   override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {

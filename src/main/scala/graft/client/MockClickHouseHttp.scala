@@ -351,6 +351,10 @@ final class MockClickHouseHttp extends AutoCloseable {
           else { tables.put(m.group(1), cols); (200, "") }
         case _ => (500, s"mock: ALTER on unknown table: ${q.take(200)}")
       }
+    } else if (q.startsWith("OPTIMIZE TABLE")) {
+      val known = raw"OPTIMIZE TABLE `[^`]+`\.`([^`]+)`".r.unanchored
+        .findFirstMatchIn(q).exists(m => tables.contains(m.group(1)))
+      if (known) (200, "") else (500, s"mock: OPTIMIZE on unknown table: ${q.take(120)}")
     } else if (q.startsWith("RENAME TABLE")) {
       val Ren = raw"RENAME TABLE `[^`]+`\.`([^`]+)` TO `[^`]+`\.`([^`]+)`".r.unanchored
       Ren.findFirstMatchIn(q) match {

@@ -98,6 +98,8 @@ class ShardedClickHouseClient(
   override def renameTable(
       db: String, table: String, newDb: String, newTable: String): Unit =
     shards.foreach(_.renameTable(db, table, newDb, newTable))
+  override def optimizeTable(db: String, table: String, finalize: Boolean): Unit =
+    shards.foreach(_.optimizeTable(db, table, finalize))
 
   // ---- reads: one statement per shard, handles tagged with their shard ----
 

@@ -41,6 +41,16 @@ object ChMutations {
     client.deleteWhere(db, tbl, where)
   }
 
+  /** The catalog's transport client, for maintenance statements with no
+    * DataFrame surface (OPTIMIZE TABLE, raw mutations).
+    */
+  def clientOf(spark: SparkSession, catalog: String): ClickHouseClient =
+    spark.sessionState.catalogManager.catalog(catalog) match {
+      case c: ClickHouseCatalog => c.clickHouseClient
+      case other => throw new IllegalArgumentException(
+        s"catalog '$catalog' is not a ClickHouse catalog (${other.getClass.getName})")
+    }
+
   private def resolve(
       spark: SparkSession, table: String): (ClickHouseClient, String, String) = {
     table.split('.') match {

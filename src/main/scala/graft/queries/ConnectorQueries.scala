@@ -1159,6 +1159,32 @@ object ConnectorQueries {
         .select("k", "v", "ver")
     },
 
+    // OPTIMIZE TABLE FINAL (round 10): r37 proves dedup-ON-READ; this
+    // gate proves the MERGE MATERIALIZES it — after optimizeTable the
+    // survivors are the table's physical rows, so a PLAIN read (no
+    // final=true option) returns exactly the max-version set. On a real
+    // server this is the background merge FINAL reads pre-empt; the
+    // embedded store rewrites its parts with the same survivor rule.
+    q("r48_optimize_final",
+      """SELECT o_custkey AS k,
+        |  CAST(max(o_orderkey) AS BIGINT) AS latest_order
+        |FROM orders GROUP BY o_custkey""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.cust_latest")
+      s.sql(
+        """CREATE TABLE clickhouse.main.cust_latest
+          |(k BIGINT, latest_order BIGINT)
+          |TBLPROPERTIES ('engine' = 'ReplacingMergeTree(latest_order)',
+          |  'order_by' = 'k')""".stripMargin)
+      // every order is one version row for its customer — heavy
+      // duplication per key; the merge must keep exactly the max
+      s.sql(
+        """INSERT INTO clickhouse.main.cust_latest
+          |SELECT o_custkey, o_orderkey FROM orders""".stripMargin)
+      graft.connector.ChMutations.clientOf(s, "clickhouse")
+        .optimizeTable("main", "cust_latest", finalize = true)
+      s.table("clickhouse.main.cust_latest") // PLAIN read — no final option
+    },
+
     // Mergeable-sketch incremental distinct count: per-group HLL sketches
     // (DataSketches via Spark's codegen'd hll_sketch_agg) are PERSISTED
     // into the store as base64 strings — the 100 TB pattern where each

@@ -53,6 +53,8 @@ final class ClickHouseSession private (
     client.alterTable(db, table, Seq(graft.client.ChAlterOp.ModifyType(col, chType)))
   def renameTable(db: String, table: String, newDb: String, newTable: String): Unit =
     client.renameTable(db, table, newDb, newTable)
+  def optimizeTable(db: String, table: String, finalize: Boolean = false): Unit =
+    client.optimizeTable(db, table, finalize)
 
   def newTable(db: String, name: String): TableCreator =
     new TableCreator(this, db, name)

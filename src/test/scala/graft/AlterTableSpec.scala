@@ -335,6 +335,67 @@ class AlterTableSpec extends AnyFunSuite {
     } finally { r1.close(); r2.close() }
   }
 
+  test("OPTIMIZE TABLE FINAL materializes ReplacingMergeTree dedup and " +
+    "consolidates parts; plain engines just consolidate") {
+    val client = new EmbeddedClickHouse(root)
+    client.createDatabase("main")
+    client.createTable("main", "opt_rep",
+      Seq("k" -> "Int64", "ver" -> "Int64", "v" -> "String"),
+      Map("engine" -> "ReplacingMergeTree(ver)", "order_by" -> "k"))
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("k", LongType, false), StructField("ver", LongType, false),
+      StructField("v", StringType, false)))
+    // three inserts → three parts, keys overlap across parts
+    client.insert("main", "opt_rep", sch, Seq(Row(1L, 1L, "a1"), Row(2L, 1L, "b1")))
+    client.insert("main", "opt_rep", sch, Seq(Row(1L, 3L, "a3"), Row(3L, 1L, "c1")))
+    client.insert("main", "opt_rep", sch, Seq(Row(2L, 2L, "b2")))
+    // plain read sees all 5 physical rows before the merge
+    assert(client.query("SELECT count(*) AS n FROM `main`.`opt_rep`", 1)
+      ._2.flatten.head.getLong(0) == 5L)
+    client.optimizeTable("main", "opt_rep", finalize = true)
+    // dedup is now MATERIALIZED: plain reads see the survivors
+    val got = client.query(
+      "SELECT `k`, `v` FROM `main`.`opt_rep` ORDER BY `k`", 1)._2.flatten
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got == Seq(1L -> "a3", 2L -> "b2", 3L -> "c1"), got)
+    // and parts consolidated to one file
+    val dir = new java.io.File(s"$root/main/opt_rep")
+    val parts = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts == 1, s"one merged part, got $parts")
+
+    // plain MergeTree: OPTIMIZE (even FINAL) keeps every row
+    client.createTable("main", "opt_plain",
+      Seq("k" -> "Int64"), Map("engine" -> "MergeTree", "order_by" -> "k"))
+    val s1 = StructType(Seq(StructField("k", LongType, false)))
+    client.insert("main", "opt_plain", s1, Seq(Row(1L), Row(1L)))
+    client.insert("main", "opt_plain", s1, Seq(Row(2L)))
+    client.optimizeTable("main", "opt_plain", finalize = true)
+    assert(client.query("SELECT count(*) AS n FROM `main`.`opt_plain`", 1)
+      ._2.flatten.head.getLong(0) == 3L)
+    client.dropTable("main", "opt_rep"); client.dropTable("main", "opt_plain")
+  }
+
+  test("OPTIMIZE ships the statement on HTTP and pins to the PRIMARY on " +
+    "replica sets (merges replicate server-side)") {
+    val p = new graft.client.MockClickHouseHttp
+    val s = new graft.client.MockClickHouseHttp
+    try {
+      val fo = new graft.client.FailoverClickHouseClient(IndexedSeq(
+        new graft.client.HttpClickHouseClient(p.endpoint),
+        new graft.client.HttpClickHouseClient(s.endpoint)))
+      fo.createTable("main", "opt_http",
+        Seq("id" -> "Int64"), Map("engine" -> "MergeTree"))
+      fo.optimizeTable("main", "opt_http", finalize = true)
+      import scala.jdk.CollectionConverters._
+      assert(p.statements.asScala.exists(
+        _ == "OPTIMIZE TABLE `main`.`opt_http` FINAL"),
+        p.statements.asScala.filter(_.startsWith("OPTIMIZE")).toSeq)
+      assert(!s.statements.asScala.exists(_.startsWith("OPTIMIZE")),
+        "OPTIMIZE must not broadcast to replicas")
+    } finally { p.close(); s.close() }
+  }
+
   test("array and map ADD COLUMN defaults are typed empties") {
     val (qt, _) = freshTable()
     spark.sql(s"ALTER TABLE $qt ADD COLUMN xs ARRAY<BIGINT> NOT NULL")
