@@ -31,6 +31,7 @@ object ChMutations {
       where: String): Unit = {
     val (client, db, tbl) = resolve(spark, table)
     client.updateWhere(db, tbl, assignments, where)
+    refresh(spark, table)
   }
 
   /** Programmatic twin of SQL `DELETE FROM` for raw ClickHouse
@@ -39,7 +40,17 @@ object ChMutations {
   def deleteWhere(spark: SparkSession, table: String, where: String): Unit = {
     val (client, db, tbl) = resolve(spark, table)
     client.deleteWhere(db, tbl, where)
+    refresh(spark, table)
   }
+
+  /** Mutations run OUTSIDE Spark's write path, so Spark's own
+    * cache-invalidation (what a native DSv2 DELETE exec does) never
+    * fires — without this, a cached DataFrame over the table silently
+    * keeps serving pre-mutation rows (UpdateSqlSpec pins it).
+    */
+  private[graft] def refresh(spark: SparkSession, table: String): Unit =
+    try spark.catalog.refreshTable(table)
+    catch { case _: Exception => () } // cache hygiene must not fail the mutation
 
   /** The catalog's transport client, for maintenance statements with no
     * DataFrame surface (OPTIMIZE TABLE, raw mutations).

@@ -53,8 +53,12 @@ final class ClickHouseSession private (
     client.alterTable(db, table, Seq(graft.client.ChAlterOp.ModifyType(col, chType)))
   def renameTable(db: String, table: String, newDb: String, newTable: String): Unit =
     client.renameTable(db, table, newDb, newTable)
-  def optimizeTable(db: String, table: String, finalize: Boolean = false): Unit =
+  def optimizeTable(db: String, table: String, finalize: Boolean = false): Unit = {
     client.optimizeTable(db, table, finalize)
+    // OPTIMIZE FINAL changes visible rows on Replacing engines — drop
+    // any cached plans over the table (see ChMutations.refresh)
+    graft.connector.ChMutations.refresh(spark, s"$catalogName.$db.$table")
+  }
 
   def newTable(db: String, name: String): TableCreator =
     new TableCreator(this, db, name)

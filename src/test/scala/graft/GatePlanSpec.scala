@@ -37,6 +37,24 @@ class GatePlanSpec extends AnyFunSuite {
     (n, shuffles)
   }
 
+  test("r48 optimize-FINAL result is MATERIALIZED: the gate's plain read " +
+    "is a bare scan — no window, no dedup, no shuffle (contrast r37, " +
+    "whose FINAL read computes the survivor set on the fly)") {
+    val df: DataFrame = SparkEntry.queries("r48_optimize_final")(spark, sfDir)
+    assert(df.count() > 0)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"no window in a materialized read:\n${all.head}")
+    assert(!all.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"no shuffle in a materialized read:\n${all.head}")
+    val scan = all.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }
+    assert(scan.exists(d => d.contains("cust_latest") && !d.contains("ROW_NUMBER")),
+      s"plain remote scan expected: $scan")
+  }
+
   test("t10 chunking is a pure generator: zero shuffles") {
     val (n, shuffles) = run("t10_chunk_overlap")
     assert(n > 0)

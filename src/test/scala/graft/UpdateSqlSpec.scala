@@ -92,6 +92,81 @@ class UpdateSqlSpec extends AnyFunSuite {
       s"must be Spark's own UPDATE error, got: ${e.getMessage}")
   }
 
+  test("20 random UPDATE shapes over the shared surface agree with a " +
+    "direct Spark CASE recompute, bit for bit") {
+    import scala.util.Random
+    for (seed <- 0 until 20) {
+      val r = new Random(seed)
+      val t = fresh() // 4 fixed rows incl. a NULL tag
+      spark.sql(s"INSERT INTO chupd.main.$t VALUES " +
+        (5 to 12).map(i => s"($i, ${i * 0.75 + 0.1}, " +
+          s"${if (i % 3 == 0) "NULL" else s"'t${i % 4}'"})").mkString(", "))
+      // snapshot BEFORE the mutation for the local recompute — a TRUE
+      // copy (collect + re-create), not .cache(): cached plans over the
+      // table are exactly what the mutation invalidates
+      val live = spark.table(s"chupd.main.$t")
+      val before = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(live.collect(): _*)),
+        live.schema)
+      before.createOrReplaceTempView(s"before_$t")
+
+      def lit(): String = Seq("0.5", "2.0", "-1.25", "3.0")(r.nextInt(4))
+      def numExpr(depth: Int): String =
+        if (depth >= 2) Seq("`score`", lit())(r.nextInt(2))
+        else r.nextInt(8) match {
+          case 0 => "`score`"
+          case 1 => s"(${numExpr(depth + 1)} + ${numExpr(depth + 1)})"
+          case 2 => s"(${numExpr(depth + 1)} * ${numExpr(depth + 1)})"
+          case 3 => s"(${numExpr(depth + 1)} - ${lit()})"
+          case 4 => s"abs(${numExpr(depth + 1)})"
+          case 5 => s"greatest(${numExpr(depth + 1)}, ${lit()})"
+          case 6 => s"floor(${numExpr(depth + 1)})"
+          case 7 => s"coalesce(${numExpr(depth + 1)}, ${lit()})"
+        }
+      def cond(depth: Int): String =
+        if (depth >= 2) "`score` > 2.0"
+        else r.nextInt(7) match {
+          case 0 => s"`score` ${Seq("<", "<=", ">", ">=", "=")(r.nextInt(5))} ${lit()}"
+          case 1 => "`tag` IS NULL"
+          case 2 => "`tag` = 't1'"
+          case 3 => s"`id` IN (1, 3, ${5 + r.nextInt(8)})"
+          case 4 => s"(${cond(depth + 1)} AND ${cond(depth + 1)})"
+          case 5 => s"(${cond(depth + 1)} OR ${cond(depth + 1)})"
+          case 6 => s"(NOT ${cond(depth + 1)})"
+        }
+      val set = numExpr(0)
+      val where = cond(0)
+      spark.sql(s"UPDATE chupd.main.$t SET score = $set WHERE $where")
+      // the mutation contract: recompute from OLD values where the
+      // condition is TRUE (NULL keeps) — same text, direct Spark CASE
+      val expect = spark.sql(
+        s"""SELECT `id`,
+           |  CASE WHEN coalesce(CAST(($where) AS BOOLEAN), false)
+           |    THEN ($set) ELSE `score` END AS score, `tag`
+           |FROM before_$t""".stripMargin)
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      val got = spark.table(s"chupd.main.$t")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      assert(got.toSeq == expect.toSeq,
+        s"seed $seed diverged\nSET $set WHERE $where\n" +
+          s"got:    ${got.mkString("; ")}\nexpect: ${expect.mkString("; ")}")
+      spark.sql(s"DROP TABLE chupd.main.$t")
+    }
+  }
+
+  test("mutations invalidate CACHED plans over the table: a cached " +
+    "DataFrame does not keep serving pre-mutation rows") {
+    val t = fresh()
+    val cached = spark.table(s"chupd.main.$t")
+    cached.cache()
+    assert(cached.count() == 4) // materialize pre-mutation
+    spark.sql(s"UPDATE chupd.main.$t SET score = 100.0 WHERE id = 1")
+    assert(spark.table(s"chupd.main.$t").where("id = 1")
+      .collect().head.getDouble(1) == 100.0,
+      "fresh read must see the mutation despite the cached plan")
+    cached.unpersist()
+  }
+
   test("IS NULL, IN, and boolean composition unparse in the condition") {
     val t = fresh()
     spark.sql(s"UPDATE chupd.main.$t SET tag = 'was_null' WHERE tag IS NULL")
