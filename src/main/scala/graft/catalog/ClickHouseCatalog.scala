@@ -396,6 +396,12 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
           "ClickHouse counterpart")
     }
     client.alterTable(db, ident.name(), ops)
+    // DDL runs outside Spark's own invalidation hooks: with a cached
+    // plan over the table, resolution keeps serving the pre-evolution
+    // relation (AlterTableSpec pins this) — refresh like a mutation
+    graft.connector.ChMutations.refresh(
+      org.apache.spark.sql.SparkSession.active,
+      s"$catalogName.$db.${ident.name()}")
     loadTable(ident)
   }
 
@@ -421,6 +427,11 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(oldIdent.namespace() :+ oldIdent.name())
     if (client.tableExists(newDb, newIdent.name()))
       throw new TableAlreadyExistsException(newIdent.namespace() :+ newIdent.name())
+    // refresh while the OLD name still resolves — drops cached plans
+    // over the table before it moves
+    graft.connector.ChMutations.refresh(
+      org.apache.spark.sql.SparkSession.active,
+      s"$catalogName.$db.${oldIdent.name()}")
     client.renameTable(db, oldIdent.name(), newDb, newIdent.name())
   }
 }

@@ -191,6 +191,20 @@ class AlterTableSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("ALTER invalidates cached plans: a cached DataFrame does not " +
+    "pin the pre-evolution data") {
+    val (qt, _) = freshTable()
+    val cached = spark.table(qt)
+    cached.cache()
+    assert(cached.count() == 2)
+    spark.sql(s"ALTER TABLE $qt RENAME COLUMN v TO score")
+    // fresh read resolves the evolved schema and the rewritten parts
+    val r = spark.table(qt).orderBy("id").collect()
+    assert(spark.table(qt).schema.fieldNames.contains("score"))
+    assert(r.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5))
+    cached.unpersist()
+  }
+
   test("ALTER on an EMPTY table evolves the schema; the first insert " +
     "lands under the new shape") {
     val (qt, _) = freshTable()
