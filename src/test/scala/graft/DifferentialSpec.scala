@@ -106,6 +106,56 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty > 30)
   }
 
+  test("random shapes over an ALTER-EVOLVED table agree with local, bit " +
+    "for bit: pushdown holds on renamed and added columns") {
+    val r = new Random(77)
+    spark.sql("DROP TABLE IF EXISTS clickhouse.main.cust_evo_diff")
+    spark.sql(
+      """CREATE TABLE clickhouse.main.cust_evo_diff
+        |(c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'c_custkey')""".stripMargin)
+    spark.sql(
+      """INSERT INTO clickhouse.main.cust_evo_diff
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer""".stripMargin)
+    spark.sql("ALTER TABLE clickhouse.main.cust_evo_diff RENAME COLUMN c_acctbal TO bal")
+    spark.sql("ALTER TABLE clickhouse.main.cust_evo_diff ADD COLUMN flag BIGINT NOT NULL")
+    val remote = spark.table("clickhouse.main.cust_evo_diff")
+    // the local mirror reconstructs the same evolution arithmetically
+    val local = spark.table("customer").select(
+      col("c_custkey"), col("c_name"), col("c_acctbal").as("bal"),
+      col("c_mktsegment"), lit(0L).as("flag"))
+    def evoPred(depth: Int): Column = {
+      val leaf = r.nextInt(6) match {
+        case 0 => col("bal") > (r.nextInt(10000) - 2000).toDouble
+        case 1 => col("bal") * 2 + r.nextInt(50) <= r.nextInt(12000).toDouble
+        case 2 => col("flag") === 0
+        case 3 => col("c_mktsegment") === segments(r.nextInt(segments.size))
+        case 4 => col("c_custkey") % (r.nextInt(7) + 2) === r.nextInt(4)
+        case 5 => col("c_name").endsWith(r.nextInt(10).toString)
+      }
+      if (depth > 0 && r.nextInt(3) > 0) {
+        val other = evoPred(depth - 1)
+        r.nextInt(3) match {
+          case 0 => leaf && other
+          case 1 => leaf || other
+          case 2 => !leaf
+        }
+      } else leaf
+    }
+    var nonEmpty = 0
+    (1 to 25).foreach { i =>
+      val p = evoPred(2)
+      val cols = Seq(col("c_custkey"), col("bal"),
+        (col("bal") + col("flag")).as("x"))
+      val a = canon(remote.filter(p).select(cols: _*))
+      val b = canon(local.filter(p).select(cols: _*))
+      assert(a == b, s"evolved case $i diverged for ${p.toString}")
+      if (a.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 10)
+    spark.sql("DROP TABLE clickhouse.main.cust_evo_diff")
+  }
+
   test("random GROUP BY aggregate shapes agree remote vs local") {
     val r = new Random(1234)
     val remote = spark.table("clickhouse.main.customer")

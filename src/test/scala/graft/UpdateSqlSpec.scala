@@ -167,6 +167,32 @@ class UpdateSqlSpec extends AnyFunSuite {
     cached.unpersist()
   }
 
+  test("UPDATE on a SHARDED catalog mutates each shard's local rows " +
+    "(broadcast mutation, routing untouched)") {
+    val r1 = Files.createTempDirectory("graft_updsh1_").toString
+    val r2 = Files.createTempDirectory("graft_updsh2_").toString
+    spark.conf.set("spark.sql.catalog.chupdsh",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chupdsh.path", s"$r1,$r2")
+    spark.conf.set("spark.sql.catalog.chupdsh.shard_by", "id")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chupdsh.main")
+    spark.sql(
+      """CREATE TABLE chupdsh.main.t (id BIGINT, score DOUBLE)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql("INSERT INTO chupdsh.main.t SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(20)")
+    // both shards must hold rows, or this degrades to single-store
+    val perShard = Seq(r1, r2).map(r =>
+      new graft.client.EmbeddedClickHouse(r)
+        .query("SELECT count(*) AS n FROM `main`.`t`", 1)._2.flatten.head.getLong(0))
+    assert(perShard.forall(_ > 0), s"shard slices: $perShard")
+    spark.sql("UPDATE chupdsh.main.t SET score = score + 100.0 WHERE id >= 10")
+    val got = spark.table("chupdsh.main.t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == (0 until 20).map(i =>
+      i.toLong -> (if (i >= 10) i + 100.0 else i.toDouble)).toMap)
+  }
+
   test("IS NULL, IN, and boolean composition unparse in the condition") {
     val t = fresh()
     spark.sql(s"UPDATE chupd.main.$t SET tag = 'was_null' WHERE tag IS NULL")
