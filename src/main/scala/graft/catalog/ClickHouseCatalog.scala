@@ -391,6 +391,10 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
           s"MODIFY COLUMN: no such column '$n'"))
         val p = ClickHouseType.parse(base)
         ChAlterOp.ModifyType(n, ClickHouseType.render(p.dataType, u.nullable))
+      case p: TableChange.SetProperty if p.property() == "ttl" =>
+        ChAlterOp.ModifyTtl(Some(p.value()))
+      case p: TableChange.RemoveProperty if p.property() == "ttl" =>
+        ChAlterOp.ModifyTtl(None)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} has no " +
           "ClickHouse counterpart")

@@ -347,6 +347,8 @@ object ChAlterOp {
   final case class DropColumn(name: String) extends ChAlterOp
   final case class RenameColumn(from: String, to: String) extends ChAlterOp
   final case class ModifyType(name: String, chType: String) extends ChAlterOp
+  /** `ALTER TABLE ... MODIFY TTL expr` / `REMOVE TTL` (None). */
+  final case class ModifyTtl(expr: Option[String]) extends ChAlterOp
 }
 
 /** Opaque per-stream result handle; implementations carry whatever

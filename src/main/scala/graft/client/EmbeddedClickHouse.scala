@@ -159,8 +159,18 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       require(i >= 0, s"ALTER TABLE $db.$table $op: no such column '$n'")
       i
     }
+    var newOpts = opts
+    var colsChanged = false
     ops.foreach {
+      case ChAlterOp.ModifyTtl(expr) =>
+        // TTL is table metadata in the embedded model (as at CREATE) —
+        // no part rewrite; a server applies/removes the expiry rule
+        newOpts = expr match {
+          case Some(e) => newOpts + ("ttl" -> e)
+          case None => newOpts - "ttl"
+        }
       case ChAlterOp.AddColumn(n, t, pos) =>
+        colsChanged = true
         require(!state.exists(_._1 == n),
           s"ALTER TABLE $db.$table ADD COLUMN: column '$n' already exists")
         val added = (n, t, defaultColumn(n, ClickHouseType.parse(t)))
@@ -172,6 +182,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
             state = state.patch(i + 1, Seq(added), 0)
         }
       case ChAlterOp.DropColumn(n) =>
+        colsChanged = true
         val i = idxOf("DROP COLUMN", n)
         require(!keyCols.contains(n),
           s"ALTER TABLE $db.$table DROP COLUMN: '$n' is a key column")
@@ -179,6 +190,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
           s"ALTER TABLE $db.$table DROP COLUMN: cannot drop the only column")
         state = state.patch(i, Nil, 1)
       case ChAlterOp.RenameColumn(a, b) =>
+        colsChanged = true
         val i = idxOf("RENAME COLUMN", a)
         require(!keyCols.contains(a),
           s"ALTER TABLE $db.$table RENAME COLUMN: '$a' is a key column")
@@ -186,6 +198,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
           s"ALTER TABLE $db.$table RENAME COLUMN: column '$b' already exists")
         state = state.updated(i, (b, state(i)._2, state(i)._3))
       case ChAlterOp.ModifyType(n, t) =>
+        colsChanged = true
         val i = idxOf("MODIFY COLUMN", n)
         require(!keyCols.contains(n),
           s"ALTER TABLE $db.$table MODIFY COLUMN: '$n' is a key column")
@@ -202,14 +215,15 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         state = state.updated(i, (n, t, state(i)._3.cast(newP.dataType)))
     }
 
-    rewritePartsDf(db, table,
-      base.select(state.map { case (n, _, c) => c.as(n) }: _*))
+    if (colsChanged)
+      rewritePartsDf(db, table,
+        base.select(state.map { case (n, _, c) => c.as(n) }: _*))
     // parts first, meta second: a half-applied alter leaves data readable
     // under the OLD meta for every surviving column (embedded store is a
     // single-JVM test double; the server's DDL is atomic)
     val lines =
       state.map { case (n, t, _) => s"column\t$n\t$t" } ++
-        opts.toSeq.sortBy(_._1).map { case (k, v) => s"option\t$k\t$v" }
+        newOpts.toSeq.sortBy(_._1).map { case (k, v) => s"option\t$k\t$v" }
     Files.write(metaPath(db, table), lines.asJava)
     invalidate()
   }

@@ -312,6 +312,8 @@ class HttpClickHouseClient(
       case ChAlterOp.ModifyType(n, t) =>
         ClickHouseType.parse(t)
         s"MODIFY COLUMN `$n` $t"
+      case ChAlterOp.ModifyTtl(Some(expr)) => s"MODIFY TTL $expr"
+      case ChAlterOp.ModifyTtl(None) => "REMOVE TTL"
     }
     // one statement, applied in order; mutations_sync so a MODIFY's data
     // rewrite is visible to the next read (ADD/DROP/RENAME are metadata

@@ -302,7 +302,8 @@ final class MockClickHouseHttp extends AutoCloseable {
       // mutations are accepted as no-ops: the mock has no row store to
       // mutate; specs assert WHERE they landed via `statements`
       (200, "")
-    } else if (q.startsWith("ALTER TABLE") && q.contains(" COLUMN ")) {
+    } else if (q.startsWith("ALTER TABLE") &&
+      (q.contains(" COLUMN ") || q.contains(" TTL"))) {
       // column DDL mutates the metadata the mock serves, so a client's
       // post-ALTER fetchColumns sees the server-side truth
       val Head = raw"ALTER TABLE `[^`]+`\.`([^`]+)` ".r.unanchored
@@ -317,6 +318,8 @@ final class MockClickHouseHttp extends AutoCloseable {
             val ModRe = raw"MODIFY COLUMN `([^`]+)` (.+)".r
             val AfterRe = raw"(.+) AFTER `([^`]+)`".r
             clause.trim match {
+              case c if c.startsWith("MODIFY TTL ") || c == "REMOVE TTL" =>
+                () // TTL is engine metadata the mock does not track
               case AddRe(n, rest) =>
                 val (t, at) = rest.trim match {
                   case AfterRe(tt, c) => (tt.trim, Some(Some(c)))

@@ -70,6 +70,15 @@ class ClickHouseTable(
     client.deleteWhere(db, table, where)
   }
   override def schema(): StructType = tableSchema
+
+  /** Engine options as table properties — DESCRIBE EXTENDED / SHOW
+    * TBLPROPERTIES surface. Fetched ON CALL (this method only runs for
+    * metadata commands), never at loadTable — a scan plans without it.
+    */
+  override def properties(): util.Map[String, String] =
+    try client.fetchTableOptions(db, table).asJava
+    catch { case _: Exception => java.util.Collections.emptyMap() }
+
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava

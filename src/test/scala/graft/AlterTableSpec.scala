@@ -349,6 +349,41 @@ class AlterTableSpec extends AnyFunSuite {
     } finally { r1.close(); r2.close() }
   }
 
+  test("TTL lifecycle: SET TBLPROPERTIES('ttl') ships MODIFY TTL, UNSET " +
+    "ships REMOVE TTL; other property changes reject; DESCRIBE surfaces " +
+    "engine options") {
+    val (qt, bare) = freshTable()
+    spark.sql(s"ALTER TABLE $qt SET TBLPROPERTIES ('ttl' = 'id + 100')")
+    val client = new EmbeddedClickHouse(root)
+    assert(client.fetchTableOptions("main", bare).get("ttl").contains("id + 100"))
+    // the properties surface shows engine options (order_by from CREATE)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $qt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("ttl").contains("id + 100"), props)
+    assert(props.get("order_by").contains("id"), props)
+    spark.sql(s"ALTER TABLE $qt UNSET TBLPROPERTIES ('ttl')")
+    assert(!client.fetchTableOptions("main", bare).contains("ttl"))
+    // TTL change is metadata-only: data untouched
+    assert(spark.table(qt).count() == 2)
+    // arbitrary property changes have no remote counterpart
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $qt SET TBLPROPERTIES ('engine' = 'Log')"))
+    assert(e.getMessage.contains("no"), e.getMessage)
+    // HTTP wire shape
+    val server = new graft.client.MockClickHouseHttp
+    try {
+      val http = new graft.client.HttpClickHouseClient(server.endpoint)
+      http.createTable("main", "ttl_http",
+        Seq("id" -> "Int64"), Map("engine" -> "MergeTree"))
+      http.alterTable("main", "ttl_http", Seq(ChAlterOp.ModifyTtl(Some("id + 5"))))
+      http.alterTable("main", "ttl_http", Seq(ChAlterOp.ModifyTtl(None)))
+      import scala.jdk.CollectionConverters._
+      val qs = server.statements.asScala.toSeq
+      assert(qs.contains("ALTER TABLE `main`.`ttl_http` MODIFY TTL id + 5"), qs)
+      assert(qs.contains("ALTER TABLE `main`.`ttl_http` REMOVE TTL"), qs)
+    } finally server.close()
+  }
+
   test("OPTIMIZE TABLE FINAL materializes ReplacingMergeTree dedup and " +
     "consolidates parts; plain engines just consolidate") {
     val client = new EmbeddedClickHouse(root)
