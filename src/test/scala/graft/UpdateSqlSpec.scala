@@ -193,6 +193,15 @@ class UpdateSqlSpec extends AnyFunSuite {
       i.toLong -> (if (i >= 10) i + 100.0 else i.toDouble)).toMap)
   }
 
+  test("TRUNCATE TABLE rides SupportsDelete's unconditional delete " +
+    "(ClickHouse has TRUNCATE; only OVERWRITE stays rejected)") {
+    val t = fresh()
+    spark.sql(s"TRUNCATE TABLE chupd.main.$t")
+    assert(spark.table(s"chupd.main.$t").count() == 0)
+    spark.sql(s"INSERT INTO chupd.main.$t VALUES (9, 9.5, 'z')")
+    assert(spark.table(s"chupd.main.$t").count() == 1)
+  }
+
   test("IS NULL, IN, and boolean composition unparse in the condition") {
     val t = fresh()
     spark.sql(s"UPDATE chupd.main.$t SET tag = 'was_null' WHERE tag IS NULL")
