@@ -86,6 +86,12 @@ trait ClickHouseClient extends Serializable {
     */
   def tableSizeBytes(db: String, table: String): Option[Long] = None
 
+  /** Remote row count for planner statistics (system.parts sum(rows) /
+    * part-footer metadata) — one metadata probe, never a data scan.
+    * None when the transport cannot answer cheaply.
+    */
+  def tableRowCount(db: String, table: String): Option[Long] = None
+
   def createDatabase(db: String, ifNotExists: Boolean = true): Unit
   def dropDatabase(db: String): Unit
 

@@ -302,6 +302,18 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       try Files.size(Paths.get(f)) catch { case _: Exception => 0L }
     }.sum)
 
+  override def tableRowCount(db: String, table: String): Option[Long] =
+    if (!tableExists(db, table)) None
+    else Some(dataFiles(db, table).map { f =>
+      // footer metadata only — the system.parts sum(rows) analog
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } catch { case _: Exception => 0L }
+    }.sum)
+
   private def dataFiles(db: String, table: String): Seq[String] = {
     val (_, _, ext) = readMeta(db, table)
     val dir = tablePath(db, table)

@@ -109,6 +109,8 @@ class FailoverClickHouseClient(
     withLive(_.fetchTableOptions(db, table))._2
   override def tableSizeBytes(db: String, table: String): Option[Long] =
     withLive(_.tableSizeBytes(db, table))._2
+  override def tableRowCount(db: String, table: String): Option[Long] =
+    withLive(_.tableRowCount(db, table))._2
 
   // ---- DDL: broadcast (per-replica setup / ON CLUSTER) ----
 

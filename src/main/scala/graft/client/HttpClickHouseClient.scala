@@ -230,6 +230,11 @@ class HttpClickHouseClient(
       s"AND database = ${lit(db)} AND table = ${lit(table)} FORMAT TabSeparated")
       .headOption.flatMap(a => scala.util.Try(a(0).toLong).toOption).filter(_ > 0)
 
+  override def tableRowCount(db: String, table: String): Option[Long] =
+    tsv(s"SELECT sum(rows) FROM system.parts WHERE active " +
+      s"AND database = ${lit(db)} AND table = ${lit(table)} FORMAT TabSeparated")
+      .headOption.flatMap(a => scala.util.Try(a(0).toLong).toOption).filter(_ > 0)
+
   // ---- DDL ----
 
   override def createDatabase(db: String, ifNotExists: Boolean = true): Unit = {

@@ -236,7 +236,8 @@ final class MockClickHouseHttp extends AutoCloseable {
       val known = t.exists(n =>
         tables.contains(n) || (n == "wire_read" && wireReadRows > 0))
       (200, if (known) "1\n" else "0\n")
-    } else if (q.startsWith("SELECT sum(bytes_on_disk) FROM system.parts")) {
+    } else if (q.startsWith("SELECT sum(bytes_on_disk) FROM system.parts") ||
+      q.startsWith("SELECT sum(rows) FROM system.parts")) {
       (200, "0\n") // no stats — scans fall back to their default estimate
     } else if (q.startsWith("SELECT min(`id`), max(`id`)") &&
       q.contains("`wire_read`") && wireReadRows > 0) {

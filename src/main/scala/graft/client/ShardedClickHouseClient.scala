@@ -75,6 +75,11 @@ class ShardedClickHouseClient(
     if (sizes.forall(_.isDefined)) Some(sizes.flatten.sum) else None
   }
 
+  override def tableRowCount(db: String, table: String): Option[Long] = {
+    val counts = shards.map(_.tableRowCount(db, table))
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
   override def finalReadExact(db: String, table: String): Boolean =
     shardBy.exists { key =>
       fetchTableOptions(db, table).get("order_by")

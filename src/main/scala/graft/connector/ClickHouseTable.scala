@@ -455,7 +455,23 @@ class ChScan(
             }
           java.util.OptionalLong.of(shaped)
       }
-    override def numRows: java.util.OptionalLong = java.util.OptionalLong.empty()
+    /** Exact remote row count (system.parts metadata) for plain scans:
+      * reported only when nothing row-shaping is pushed (no WHERE — we
+      * cannot estimate selectivity — no aggregate, no FINAL); a pushed
+      * LIMIT/SAMPLE re-arithmetics the exact count. CBO sees real
+      * cardinalities for the dimension-side scans where it matters most.
+      */
+    override def numRows: java.util.OptionalLong =
+      if (aggregated || out.isEmpty || where.nonEmpty || runtimeWhere.nonEmpty ||
+        finalMod) java.util.OptionalLong.empty()
+      else client.tableRowCount(db, table) match {
+        case None => java.util.OptionalLong.empty()
+        case Some(rows) =>
+          val sampled = sample.fold(rows) { case (f, _) =>
+            math.max(1L, (rows * f).toLong) }
+          java.util.OptionalLong.of(
+            limit.fold(sampled)(n => math.min(sampled, n.toLong)))
+      }
   }
 
   private def baseSql(extraWhere: Seq[String]): String = {

@@ -349,6 +349,23 @@ class AlterTableSpec extends AnyFunSuite {
     } finally { r1.close(); r2.close() }
   }
 
+  test("plain scans report an exact remote row count to the planner; " +
+    "filters/aggregates withhold it (unknown selectivity)") {
+    val (qt, _) = freshTable() // 2 rows
+    def rowStat(df: org.apache.spark.sql.DataFrame): Option[BigInt] =
+      df.queryExecution.optimizedPlan.stats.rowCount
+    assert(rowStat(spark.table(qt)).contains(BigInt(2)),
+      s"plain scan must report system.parts rows, got ${rowStat(spark.table(qt))}")
+    assert(rowStat(spark.table(qt).limit(1)).contains(BigInt(1)),
+      "pushed LIMIT re-arithmetics the exact count")
+    assert(rowStat(spark.table(qt).where("id = 1")).isEmpty ||
+      rowStat(spark.table(qt).where("id = 1")).exists(_ <= 2),
+      "pushed WHERE must not claim the unfiltered count")
+    // client-level: all four transports answer (embedded via footers)
+    val client = new EmbeddedClickHouse(root)
+    assert(client.tableRowCount("main", qt.split('.').last).contains(2L))
+  }
+
   test("TTL lifecycle: SET TBLPROPERTIES('ttl') ships MODIFY TTL, UNSET " +
     "ships REMOVE TTL; other property changes reject; DESCRIBE surfaces " +
     "engine options") {
