@@ -32,15 +32,28 @@ object ChUpdateRewrite {
     */
   def rewrite(session: SparkSession, plan: LogicalPlan): Option[LogicalPlan] =
     plan match {
-      case UpdateTable(UnresolvedRelation(parts, _, _), assignments, condition)
-          if parts.length == 3 && isClickHouse(session, parts.head) =>
-        val sets = assignments.map {
-          case Assignment(key: UnresolvedAttribute, value) =>
-            key.nameParts.last -> unparse(value)
-          case other => fail(s"unsupported assignment target: ${other.key.sql}")
+      case UpdateTable(UnresolvedRelation(parts, _, _), assignments, condition) =>
+        // 3-part names carry their catalog; 2-part names belong to the
+        // session's CURRENT catalog (`USE clickhouse; UPDATE db.t ...`)
+        val target: Option[(String, String, String)] = parts match {
+          case Seq(c, d, t) if isClickHouse(session, c) => Some((c, d, t))
+          case Seq(d, t) =>
+            val cur =
+              try session.sessionState.catalogManager.currentCatalog.name()
+              catch { case _: Exception => "" }
+            if (cur.nonEmpty && isClickHouse(session, cur)) Some((cur, d, t))
+            else None
+          case _ => None
         }
-        val where = condition.map(unparse).getOrElse("1 = 1")
-        Some(ChUpdateCommand(parts.head, parts(1), parts(2), sets, where))
+        target.map { case (cat, db, t) =>
+          val sets = assignments.map {
+            case Assignment(key: UnresolvedAttribute, value) =>
+              key.nameParts.last -> unparse(value)
+            case other => fail(s"unsupported assignment target: ${other.key.sql}")
+          }
+          val where = condition.map(unparse).getOrElse("1 = 1")
+          ChUpdateCommand(cat, db, t, sets, where)
+        }
       case _ => None
     }
 

@@ -193,6 +193,16 @@ class UpdateSqlSpec extends AnyFunSuite {
       i.toLong -> (if (i >= 10) i + 100.0 else i.toDouble)).toMap)
   }
 
+  test("2-part UPDATE under USE <clickhouse-catalog> resolves through " +
+    "the current catalog") {
+    val t = fresh()
+    spark.sql("USE chupd")
+    try {
+      spark.sql(s"UPDATE main.$t SET score = 9.0 WHERE id = 2")
+      assert(scores(t)(2L) == 9.0)
+    } finally spark.sql("USE spark_catalog")
+  }
+
   test("TRUNCATE TABLE rides SupportsDelete's unconditional delete " +
     "(ClickHouse has TRUNCATE; only OVERWRITE stays rejected)") {
     val t = fresh()
