@@ -318,6 +318,12 @@ class AlterTableSpec extends AnyFunSuite {
       val e = intercept[Exception](
         spark.sql("ALTER TABLE chaltsh.main.evo_sh RENAME COLUMN id TO id2"))
       assert(e.getMessage.contains("shard_by"), e.getMessage)
+      // OPTIMIZE broadcasts per shard (each shard merges its own parts)
+      graft.connector.ChMutations.clientOf(spark, "chaltsh")
+        .optimizeTable("main", "evo_sh", finalize = false)
+      for ((m, tag) <- Seq(m1 -> "shard0", m2 -> "shard1"))
+        assert(m.statements.asScala.exists(_.startsWith("OPTIMIZE TABLE")),
+          s"$tag must receive the OPTIMIZE broadcast")
     } finally { m1.close(); m2.close() }
   }
 
