@@ -143,6 +143,11 @@ class AlterFuzzSpec extends AnyFunSuite {
               types = types.updated(i, Kind(newCh, p.dataType, null, gen))
               rows = rows.map(v => v.updated(i, conv(v(i))))
             }
+          case _ if r.nextBoolean() => // TTL: metadata-only, data untouched
+            val expr = if (r.nextBoolean()) Some(s"id + ${r.nextInt(100)}") else None
+            client.alterTable("main", t, Seq(ChAlterOp.ModifyTtl(expr)))
+            val got = client.fetchTableOptions("main", t).get("ttl")
+            assert(got == expr, s"seed $seed: ttl $got != $expr")
           case _ => // rejected ops leave both sides untouched
             val bad = r.nextInt(3) match {
               case 0 => ChAlterOp.AddColumn(names(r.nextInt(names.size)), "Int64")
