@@ -35,14 +35,22 @@ object ChUpdateRewrite {
       case UpdateTable(UnresolvedRelation(parts, _, _), assignments, condition) =>
         // 3-part names carry their catalog; 2-part names belong to the
         // session's CURRENT catalog (`USE clickhouse; UPDATE db.t ...`)
+        def current: Option[String] = {
+          val cur =
+            try session.sessionState.catalogManager.currentCatalog.name()
+            catch { case _: Exception => "" }
+          Some(cur).filter(c => c.nonEmpty && isClickHouse(session, c))
+        }
         val target: Option[(String, String, String)] = parts match {
           case Seq(c, d, t) if isClickHouse(session, c) => Some((c, d, t))
-          case Seq(d, t) =>
-            val cur =
-              try session.sessionState.catalogManager.currentCatalog.name()
-              catch { case _: Exception => "" }
-            if (cur.nonEmpty && isClickHouse(session, cur)) Some((cur, d, t))
-            else None
+          case Seq(d, t) => current.map((_, d, t))
+          case Seq(t) => // USE clickhouse.main; UPDATE t ...
+            current.flatMap { c =>
+              session.sessionState.catalogManager.currentNamespace match {
+                case Array(d) => Some((c, d, t))
+                case _ => None
+              }
+            }
           case _ => None
         }
         target.map { case (cat, db, t) =>
@@ -74,11 +82,13 @@ object ChUpdateRewrite {
     * absent: `round` (ClickHouse half-to-even vs Spark HALF_UP — 2.5
     * diverges, caught by UpdateSqlSpec), `lower`/`upper` (ClickHouse is
     * ASCII-only, Spark Unicode), `length` (ClickHouse counts BYTES on
-    * strings, Spark characters).
+    * strings, Spark characters), `greatest`/`least` (ClickHouse
+    * propagates NULL arguments, Spark SKIPS them), and the partial math
+    * family `sqrt`/`ln`/`log10` (out-of-domain inputs are nan/±inf in
+    * ClickHouse but NULL in Spark).
     */
   private val SharedFns = Set(
-    "abs", "coalesce", "floor", "ceiling", "concat", "greatest", "least",
-    "if", "nullif", "sqrt", "exp", "ln", "log10")
+    "abs", "coalesce", "floor", "ceiling", "concat", "if", "nullif", "exp")
 
   /** Unparse a PARSE-TREE (unresolved) expression to ClickHouse SQL.
     * Conservative by construction: only shapes whose remote semantics

@@ -358,10 +358,24 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
           "altering it would re-route future inserts away from existing rows")
       n
     }
-    // preserve nullability the server declared when only the type changes
+    // evolving name → chType view: nullability lookups must see columns
+    // ADDED or RENAMED by EARLIER changes in this same batch, or a
+    // same-batch add+retype silently drops its Nullable wrapper
+    var evolving: Map[String, String] = current
     def nullableOf(n: String): Boolean =
-      current.get(n).exists(t => ClickHouseType.parse(t).nullable)
-    val ops: Seq[ChAlterOp] = changes.map {
+      evolving.get(n).exists(t => ClickHouseType.parse(t).nullable)
+    def track(op: ChAlterOp): ChAlterOp = {
+      op match {
+        case ChAlterOp.AddColumn(n, t, _) => evolving += (n -> t)
+        case ChAlterOp.DropColumn(n) => evolving -= n
+        case ChAlterOp.RenameColumn(a, b) =>
+          evolving.get(a).foreach(t => evolving = evolving - a + (b -> t))
+        case ChAlterOp.ModifyType(n, t) => evolving += (n -> t)
+        case _ => ()
+      }
+      op
+    }
+    val ops: Seq[ChAlterOp] = changes.map(c => track(c match {
       case a: TableChange.AddColumn =>
         if (a.comment() != null) throw new UnsupportedOperationException(
           "ADD COLUMN ... COMMENT: column comments are not forwarded; " +
@@ -387,7 +401,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
         ChAlterOp.ModifyType(n, ClickHouseType.render(u.newDataType, nullableOf(n)))
       case u: TableChange.UpdateColumnNullability =>
         val n = guardRouting(single(u.fieldNames, "MODIFY COLUMN"), "MODIFY COLUMN")
-        val base = current.getOrElse(n, throw new IllegalArgumentException(
+        val base = evolving.getOrElse(n, throw new IllegalArgumentException(
           s"MODIFY COLUMN: no such column '$n'"))
         val p = ClickHouseType.parse(base)
         ChAlterOp.ModifyType(n, ClickHouseType.render(p.dataType, u.nullable))
@@ -398,7 +412,7 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} has no " +
           "ClickHouse counterpart")
-    }
+    }))
     client.alterTable(db, ident.name(), ops)
     // DDL runs outside Spark's own invalidation hooks: with a cached
     // plan over the table, resolution keeps serving the pre-evolution

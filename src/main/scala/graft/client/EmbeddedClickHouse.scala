@@ -304,15 +304,18 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
 
   override def tableRowCount(db: String, table: String): Option[Long] =
     if (!tableExists(db, table)) None
-    else Some(dataFiles(db, table).map { f =>
-      // footer metadata only — the system.parts sum(rows) analog
-      try {
+    else try {
+      // footer metadata only — the system.parts sum(rows) analog. ANY
+      // unreadable part poisons the whole answer to None: this count is
+      // presented to the planner as EXACT, so a partial sum (e.g. racing
+      // a concurrent part rewrite) must become "unknown", never "fewer"
+      Some(dataFiles(db, table).map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f), new org.apache.hadoop.conf.Configuration())
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
-      } catch { case _: Exception => 0L }
-    }.sum)
+      }.sum)
+    } catch { case _: Exception => None }
 
   private def dataFiles(db: String, table: String): Seq[String] = {
     val (_, _, ext) = readMeta(db, table)

@@ -123,6 +123,15 @@ class FailoverClickHouseClient(
     replicas.foreach(_.createTable(db, table, columns, options))
   override def dropTable(db: String, table: String): Unit =
     replicas.foreach(_.dropTable(db, table))
+  // ALTER broadcasts like all DDL (schema objects are per-replica state
+  // in this class's model, the ON CLUSTER analog — same as createTable).
+  // Against a ReplicatedMergeTree backend, where ALTER self-replicates,
+  // the second replica's re-application fails LOUDLY ("column already
+  // exists") after the change has landed — an error on success, never
+  // silent divergence; a deployment on a replicated backend should
+  // address DDL at one replica directly, exactly as it must for
+  // CREATE/DROP (recorded decision, mirrors the mutations-pin rationale
+  // but lands on the opposite side because DDL is per-replica here).
   override def alterTable(db: String, table: String, ops: Seq[ChAlterOp]): Unit =
     replicas.foreach(_.alterTable(db, table, ops))
   override def renameTable(

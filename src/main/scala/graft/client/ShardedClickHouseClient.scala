@@ -98,8 +98,25 @@ class ShardedClickHouseClient(
     shards.foreach(_.createTable(db, table, columns, options))
   override def dropTable(db: String, table: String): Unit =
     shards.foreach(_.dropTable(db, table))
-  override def alterTable(db: String, table: String, ops: Seq[ChAlterOp]): Unit =
+  override def alterTable(db: String, table: String, ops: Seq[ChAlterOp]): Unit = {
+    // the guard lives HERE, not only in the catalog: every entry point
+    // (fluent session API included) must be unable to rename/retype/drop
+    // the routing column — doing so re-routes every future insert away
+    // from existing rows, silently breaking shard-key-local collapse
+    shardBy.foreach { key =>
+      val touches = ops.exists {
+        case ChAlterOp.DropColumn(n) => n == key
+        case ChAlterOp.RenameColumn(a, _) => a == key
+        case ChAlterOp.ModifyType(n, _) => n == key
+        case _ => false
+      }
+      require(!touches,
+        s"ALTER TABLE $db.$table: column '$key' is the catalog's shard_by " +
+          "routing key — altering it would re-route future inserts away " +
+          "from existing rows")
+    }
     shards.foreach(_.alterTable(db, table, ops))
+  }
   override def renameTable(
       db: String, table: String, newDb: String, newTable: String): Unit =
     shards.foreach(_.renameTable(db, table, newDb, newTable))
@@ -232,8 +249,19 @@ class ShardedClickHouseClient(
     shards.foreach(_.deleteWhere(db, table, whereSql))
   override def updateWhere(
       db: String, table: String,
-      assignments: Seq[(String, String)], whereSql: String): Unit =
+      assignments: Seq[(String, String)], whereSql: String): Unit = {
+    // assigning the routing column would leave rows whose placement no
+    // longer matches their value — r41-class shard-key-local collapses
+    // would then return per-shard-partial answers. Statically checkable
+    // (unlike the documented insertSelect caveat), so reject.
+    shardBy.foreach { key =>
+      require(!assignments.exists(_._1 == key),
+        s"UPDATE on $db.$table assigns shard_by routing column '$key': " +
+          "rows would no longer live where their key routes — re-insert " +
+          "through the catalog instead")
+    }
     shards.foreach(_.updateWhere(db, table, assignments, whereSql))
+  }
 
   // ---- writes: hash-routed by shardBy, else round-robin blocks ----
 

@@ -457,22 +457,27 @@ class ChScan(
       }
     /** Exact remote row count (system.parts metadata) for plain scans:
       * reported only when nothing row-shaping is pushed (no WHERE — we
-      * cannot estimate selectivity — no aggregate, no FINAL); a pushed
-      * LIMIT/SAMPLE re-arithmetics the exact count. CBO sees real
-      * cardinalities for the dimension-side scans where it matters most.
+      * cannot estimate selectivity — no aggregate, no FINAL); pushed
+      * LIMIT/OFFSET/SAMPLE re-arithmetic the exact count (`limit`
+      * carries DSv2's pre-skip n+offset). The probe is memoized per
+      * scan, so repeated stats calls cost one metadata round-trip.
       */
     override def numRows: java.util.OptionalLong =
       if (aggregated || out.isEmpty || where.nonEmpty || runtimeWhere.nonEmpty ||
         finalMod) java.util.OptionalLong.empty()
-      else client.tableRowCount(db, table) match {
+      else remoteRowCount match {
         case None => java.util.OptionalLong.empty()
         case Some(rows) =>
           val sampled = sample.fold(rows) { case (f, _) =>
             math.max(1L, (rows * f).toLong) }
+          val afterLimit = limit.fold(sampled)(n => math.min(sampled, n.toLong))
           java.util.OptionalLong.of(
-            limit.fold(sampled)(n => math.min(sampled, n.toLong)))
+            math.max(0L, afterLimit - offset.getOrElse(0).toLong))
       }
   }
+
+  @transient private lazy val remoteRowCount: Option[Long] =
+    try client.tableRowCount(db, table) catch { case _: Exception => None }
 
   private def baseSql(extraWhere: Seq[String]): String = {
     val sel =

@@ -42,17 +42,27 @@ final class ClickHouseSession private (
   def databases: Seq[String] = client.listDatabases()
   def tables(db: String): Seq[String] = client.listTables(db)
 
-  /** Schema evolution with ClickHouse types, same path as SQL ALTER. */
+  /** Schema evolution with ClickHouse types, same path as SQL ALTER.
+    * Every entry point refreshes cached plans over the table — the DDL
+    * runs outside Spark's own invalidation hooks (ChMutations.refresh).
+    */
+  private def alter(db: String, table: String, op: graft.client.ChAlterOp): Unit = {
+    client.alterTable(db, table, Seq(op))
+    graft.connector.ChMutations.refresh(spark, s"$catalogName.$db.$table")
+  }
   def addColumn(db: String, table: String, col: String, chType: String): Unit =
-    client.alterTable(db, table, Seq(graft.client.ChAlterOp.AddColumn(col, chType)))
+    alter(db, table, graft.client.ChAlterOp.AddColumn(col, chType))
   def dropColumn(db: String, table: String, col: String): Unit =
-    client.alterTable(db, table, Seq(graft.client.ChAlterOp.DropColumn(col)))
+    alter(db, table, graft.client.ChAlterOp.DropColumn(col))
   def renameColumn(db: String, table: String, from: String, to: String): Unit =
-    client.alterTable(db, table, Seq(graft.client.ChAlterOp.RenameColumn(from, to)))
+    alter(db, table, graft.client.ChAlterOp.RenameColumn(from, to))
   def modifyColumn(db: String, table: String, col: String, chType: String): Unit =
-    client.alterTable(db, table, Seq(graft.client.ChAlterOp.ModifyType(col, chType)))
-  def renameTable(db: String, table: String, newDb: String, newTable: String): Unit =
+    alter(db, table, graft.client.ChAlterOp.ModifyType(col, chType))
+  def renameTable(db: String, table: String, newDb: String, newTable: String): Unit = {
+    // refresh while the OLD name still resolves
+    graft.connector.ChMutations.refresh(spark, s"$catalogName.$db.$table")
     client.renameTable(db, table, newDb, newTable)
+  }
   def optimizeTable(db: String, table: String, finalize: Boolean = false): Unit = {
     client.optimizeTable(db, table, finalize)
     // OPTIMIZE FINAL changes visible rows on Replacing engines — drop

@@ -318,6 +318,13 @@ class AlterTableSpec extends AnyFunSuite {
       val e = intercept[Exception](
         spark.sql("ALTER TABLE chaltsh.main.evo_sh RENAME COLUMN id TO id2"))
       assert(e.getMessage.contains("shard_by"), e.getMessage)
+      // the routing guard lives in the CLIENT, so the fluent/raw client
+      // surface cannot bypass it either
+      val eClient = intercept[IllegalArgumentException](
+        graft.connector.ChMutations.clientOf(spark, "chaltsh")
+          .alterTable("main", "evo_sh",
+            Seq(ChAlterOp.ModifyType("id", "Int32"))))
+      assert(eClient.getMessage.contains("shard_by"), eClient.getMessage)
       // OPTIMIZE broadcasts per shard (each shard merges its own parts)
       graft.connector.ChMutations.clientOf(spark, "chaltsh")
         .optimizeTable("main", "evo_sh", finalize = false)

@@ -119,7 +119,7 @@ class UpdateSqlSpec extends AnyFunSuite {
           case 2 => s"(${numExpr(depth + 1)} * ${numExpr(depth + 1)})"
           case 3 => s"(${numExpr(depth + 1)} - ${lit()})"
           case 4 => s"abs(${numExpr(depth + 1)})"
-          case 5 => s"greatest(${numExpr(depth + 1)}, ${lit()})"
+          case 5 => s"ceiling(${numExpr(depth + 1)})"
           case 6 => s"floor(${numExpr(depth + 1)})"
           case 7 => s"coalesce(${numExpr(depth + 1)}, ${lit()})"
         }
@@ -194,13 +194,48 @@ class UpdateSqlSpec extends AnyFunSuite {
   }
 
   test("2-part UPDATE under USE <clickhouse-catalog> resolves through " +
-    "the current catalog") {
+    "the current catalog; 1-part under USE catalog.db too") {
     val t = fresh()
     spark.sql("USE chupd")
     try {
       spark.sql(s"UPDATE main.$t SET score = 9.0 WHERE id = 2")
       assert(scores(t)(2L) == 9.0)
+      spark.sql("USE chupd.main")
+      spark.sql(s"UPDATE $t SET score = 8.0 WHERE id = 1")
+      assert(scores(t)(1L) == 8.0)
     } finally spark.sql("USE spark_catalog")
+  }
+
+  test("NULL-skipping and partial-domain functions are NOT shared " +
+    "surface: greatest/least and sqrt reject") {
+    val t = fresh()
+    for (bad <- Seq("greatest(score, 1.0)", "least(score, 1.0)", "sqrt(score)")) {
+      val e = intercept[AnalysisException](spark.sql(
+        s"UPDATE chupd.main.$t SET score = $bad"))
+      assert(e.getMessage.contains("remote mutation"), s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("UPDATE assigning the shard_by routing column is rejected " +
+    "(placement would no longer match the value)") {
+    val r1 = Files.createTempDirectory("graft_updshk1_").toString
+    val r2 = Files.createTempDirectory("graft_updshk2_").toString
+    spark.conf.set("spark.sql.catalog.chupdshk",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chupdshk.path", s"$r1,$r2")
+    spark.conf.set("spark.sql.catalog.chupdshk.shard_by", "id")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chupdshk.main")
+    spark.sql(
+      """CREATE TABLE chupdshk.main.t (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql("INSERT INTO chupdshk.main.t SELECT id, id FROM range(10)")
+    val e = intercept[Exception](
+      spark.sql("UPDATE chupdshk.main.t SET id = id + 1"))
+    assert(e.getMessage.contains("shard_by"), e.getMessage)
+    // non-routing assignments still work
+    spark.sql("UPDATE chupdshk.main.t SET v = v * 2 WHERE id < 5")
+    assert(spark.table("chupdshk.main.t").where("id < 5")
+      .collect().forall(r => r.getLong(1) == r.getLong(0) * 2))
   }
 
   test("TRUNCATE TABLE rides SupportsDelete's unconditional delete " +
