@@ -32,26 +32,65 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   private def metaPath(db: String, table: String): Path =
     tablePath(db, table).resolve("table.meta")
 
+  // ---- the `system` metadata database (read-only, synthesized) ----
+  //
+  // A real server ships system.{databases,tables,columns,parts}; the
+  // reference reaches them with NO special code — its catalog lists
+  // whatever databases the server reports and passthrough SQL executes
+  // server-side — so connector users expect to query them. The embedded
+  // model synthesizes them from store metadata at read time (the HTTP
+  // transport keeps the reference's passthrough behavior untouched).
+  // Count columns are declared Int64 rather than the server's UInt64:
+  // UInt64 maps to DECIMAL(20,0) on the Spark side and metadata counts
+  // never approach 2^63 (deliberate width narrowing, documented here).
+  private def isSystem(db: String): Boolean = db == "system"
+
+  private val systemSchemas: Map[String, Seq[(String, String)]] = Map(
+    "databases" -> Seq("name" -> "String"),
+    "tables" -> Seq(
+      "database" -> "String", "name" -> "String", "engine" -> "String",
+      "total_rows" -> "Nullable(Int64)",
+      "sorting_key" -> "String", "partition_key" -> "String"),
+    "columns" -> Seq(
+      "database" -> "String", "table" -> "String", "name" -> "String",
+      "type" -> "String", "position" -> "Int64"),
+    "parts" -> Seq(
+      "database" -> "String", "table" -> "String", "name" -> "String",
+      "rows" -> "Int64", "bytes_on_disk" -> "Int64", "active" -> "Bool"))
+
+  private def rejectSystem(db: String, what: String): Unit =
+    require(!isSystem(db),
+      s"$what: the system database is read-only (server-model parity)")
+
   override def listDatabases(): Seq[String] = {
     val r = Paths.get(root)
-    if (!Files.isDirectory(r)) Seq.empty
-    else NioFiles.list(r).iterator.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).filterNot(_.startsWith(".")) // .spill etc.
-      .toSeq.sorted
+    val real =
+      if (!Files.isDirectory(r)) Seq.empty
+      else NioFiles.list(r).iterator.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).filterNot(_.startsWith(".")) // .spill etc.
+        .toSeq
+    (real :+ "system").distinct.sorted
   }
 
-  override def listTables(db: String): Seq[String] = {
-    val d = dbPath(db)
-    if (!Files.isDirectory(d)) Seq.empty
-    else NioFiles.list(d).iterator
-      .filter(p => Files.exists(p.resolve("table.meta")))
-      .map(_.getFileName.toString).toSeq.sorted
-  }
+  override def listTables(db: String): Seq[String] =
+    if (isSystem(db)) systemSchemas.keys.toSeq.sorted
+    else {
+      val d = dbPath(db)
+      if (!Files.isDirectory(d)) Seq.empty
+      else NioFiles.list(d).iterator
+        .filter(p => Files.exists(p.resolve("table.meta")))
+        .map(_.getFileName.toString).toSeq.sorted
+    }
 
   override def tableExists(db: String, table: String): Boolean =
-    Files.exists(metaPath(db, table))
+    if (isSystem(db)) systemSchemas.contains(table)
+    else Files.exists(metaPath(db, table))
 
   private def readMeta(db: String, table: String): (Seq[(String, String)], Map[String, String], Seq[String]) = {
+    if (isSystem(db)) {
+      require(systemSchemas.contains(table), s"no such table: $db.$table")
+      return (systemSchemas(table), Map("engine" -> "SystemTable"), Seq.empty)
+    }
     require(tableExists(db, table), s"no such table: $db.$table")
     val lines = Files.readAllLines(metaPath(db, table)).asScala.toSeq
     val cols = lines.collect { case l if l.startsWith("column\t") =>
@@ -71,6 +110,8 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     readMeta(db, table)._2
 
   override def createDatabase(db: String, ifNotExists: Boolean): Unit = {
+    require(!isSystem(db) || ifNotExists, "database system already exists")
+    if (isSystem(db)) return
     val d = dbPath(db)
     if (Files.exists(d) && !ifNotExists) sys.error(s"database $db already exists")
     Files.createDirectories(d)
@@ -78,6 +119,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   }
 
   override def dropDatabase(db: String): Unit = {
+    rejectSystem(db, "DROP DATABASE")
     deleteRecursively(dbPath(db))
     invalidate()
   }
@@ -87,6 +129,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       table: String,
       columns: Seq[(String, String)],
       options: Map[String, String]): Unit = {
+    rejectSystem(db, s"CREATE TABLE $db.$table")
     createDatabase(db, ifNotExists = true)
     // validate every type string parses before persisting anything
     columns.foreach { case (_, t) => ClickHouseType.parse(t) }
@@ -102,6 +145,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
 
   /** Attach existing parquet files as the table's data (zero-copy). */
   def attachExternal(db: String, table: String, paths: Seq[String]): Unit = {
+    rejectSystem(db, s"ATTACH to $db.$table")
     val (cols, opts, ext) = readMeta(db, table)
     val lines =
       cols.map { case (n, t) => s"column\t$n\t$t" } ++
@@ -112,6 +156,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   }
 
   override def dropTable(db: String, table: String): Unit = {
+    rejectSystem(db, s"DROP TABLE $db.$table")
     deleteRecursively(tablePath(db, table))
     invalidate()
   }
@@ -126,6 +171,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     * Nullable→non-Nullable re-checks the data and rejects on any NULL.
     */
   override def alterTable(db: String, table: String, ops: Seq[ChAlterOp]): Unit = {
+    rejectSystem(db, s"ALTER TABLE $db.$table")
     require(tableExists(db, table), s"no such table: $db.$table")
     require(ops.nonEmpty, "ALTER TABLE requires at least one change")
     val (cols, opts, ext) = readMeta(db, table)
@@ -264,6 +310,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     * without a version column is a plain consolidation (no row change).
     */
   override def optimizeTable(db: String, table: String, finalize: Boolean): Unit = {
+    rejectSystem(db, s"OPTIMIZE TABLE $db.$table")
     require(tableExists(db, table), s"no such table: $db.$table")
     val (_, opts, ext) = readMeta(db, table)
     require(ext.isEmpty,
@@ -285,6 +332,8 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
 
   override def renameTable(
       db: String, table: String, newDb: String, newTable: String): Unit = {
+    rejectSystem(db, s"RENAME TABLE $db.$table")
+    rejectSystem(newDb, s"RENAME TABLE to $newDb.$newTable")
     require(tableExists(db, table), s"no such table: $db.$table")
     require(Files.isDirectory(dbPath(newDb)), s"no such database: $newDb")
     require(!tableExists(newDb, newTable),
@@ -297,27 +346,31 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     ClickHouseType.toStructType(fetchColumns(db, table))
 
   override def tableSizeBytes(db: String, table: String): Option[Long] =
-    if (!tableExists(db, table)) None
+    if (isSystem(db) || !tableExists(db, table)) None
     else Some(dataFiles(db, table).map { f =>
       try Files.size(Paths.get(f)) catch { case _: Exception => 0L }
     }.sum)
 
+  /** Parquet footer row count of one part file (throws on unreadable). */
+  private def partRowCount(f: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f), new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   override def tableRowCount(db: String, table: String): Option[Long] =
-    if (!tableExists(db, table)) None
+    if (isSystem(db) || !tableExists(db, table)) None
     else try {
       // footer metadata only — the system.parts sum(rows) analog. ANY
       // unreadable part poisons the whole answer to None: this count is
       // presented to the planner as EXACT, so a partial sum (e.g. racing
       // a concurrent part rewrite) must become "unknown", never "fewer"
-      Some(dataFiles(db, table).map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f), new org.apache.hadoop.conf.Configuration())
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum)
+      Some(dataFiles(db, table).map(partRowCount).sum)
     } catch { case _: Exception => None }
 
   private def dataFiles(db: String, table: String): Seq[String] = {
+    if (isSystem(db)) return Seq.empty
     val (_, _, ext) = readMeta(db, table)
     val dir = tablePath(db, table)
     val parts =
@@ -391,12 +444,49 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   }
 
   private def registerView(child: SparkSession, db: String, t: String): Unit = {
-    val files = dataFiles(db, t)
     val df =
-      if (files.isEmpty)
-        child.createDataFrame(java.util.Collections.emptyList[Row](), sparkSchema(db, t))
-      else child.read.schema(sparkSchema(db, t)).parquet(files: _*)
+      if (isSystem(db))
+        child.createDataFrame(systemRows(t).asJava, sparkSchema(db, t))
+      else {
+        val files = dataFiles(db, t)
+        if (files.isEmpty)
+          child.createDataFrame(java.util.Collections.emptyList[Row](), sparkSchema(db, t))
+        else child.read.schema(sparkSchema(db, t)).parquet(files: _*)
+      }
     df.createOrReplaceTempView(ChSqlTranslator.viewName(db, t))
+  }
+
+  /** Synthesize a system table's rows from live store metadata. Runs
+    * driver-side at view (re-)registration; rows are metadata-scale.
+    * Version-gated like every view (ensureViews), so any store mutation
+    * refreshes the snapshot on the next query that touches it.
+    */
+  private def systemRows(t: String): Seq[Row] = {
+    val realDbs = listDatabases().filterNot(isSystem)
+    t match {
+      case "databases" => listDatabases().map(Row(_))
+      case "tables" =>
+        (for (db <- realDbs; tb <- listTables(db)) yield {
+          val o = readMeta(db, tb)._2
+          Row(db, tb, o.getOrElse("engine", "MergeTree"),
+            tableRowCount(db, tb).map(java.lang.Long.valueOf).orNull,
+            o.getOrElse("order_by", ""), o.getOrElse("partition_by", ""))
+        }) ++ systemSchemas.keys.toSeq.sorted.map(tb =>
+          Row("system", tb, "SystemTable", null, "", ""))
+      case "columns" =>
+        for (db <- realDbs :+ "system"; tb <- listTables(db);
+             ((n, ty), i) <- fetchColumns(db, tb).zipWithIndex)
+          yield Row(db, tb, n, ty, (i + 1).toLong)
+      case "parts" =>
+        for (db <- realDbs; tb <- listTables(db); f <- dataFiles(db, tb)) yield {
+          val p = Paths.get(f)
+          val rows = try partRowCount(f) catch { case _: Exception => -1L }
+          val bytes = try Files.size(p) catch { case _: Exception => -1L }
+          Row(db, tb, p.getFileName.toString, rows, bytes, true)
+        }
+      case other => throw new IllegalArgumentException(
+        s"no such system table: system.$other")
+    }
   }
 
   private def buildServerSession(active: SparkSession): SparkSession = {
@@ -738,6 +828,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     for (db <- listDatabases(); t <- listTables(db)) yield (db, t)
 
   override def insert(db: String, table: String, schema: StructType, rows: Seq[Row]): Long = {
+    rejectSystem(db, s"INSERT into $db.$table")
     // one Native-protocol block = one atomically-moved parquet part file,
     // written WITHOUT a SparkSession (ParquetBlockWriter drives parquet-mr
     // directly), so inserts can run from DSv2 write tasks on executors —
@@ -755,6 +846,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     * per file). NULL predicate results keep the row, matching the server.
     */
   override def deleteWhere(db: String, table: String, whereSql: String): Unit = {
+    rejectSystem(db, s"DELETE from $db.$table")
     require(tableExists(db, table), s"no such table $db.$table")
     val (_, _, ext) = readMeta(db, table)
     // attached external parquet is a zero-copy read-only view over files
@@ -788,6 +880,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   override def updateWhere(
       db: String, table: String,
       assignments: Seq[(String, String)], whereSql: String): Unit = {
+    rejectSystem(db, s"UPDATE on $db.$table")
     require(tableExists(db, table), s"no such table $db.$table")
     require(assignments.nonEmpty, "UPDATE requires at least one assignment")
     val (_, _, ext) = readMeta(db, table)
@@ -848,6 +941,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   }
 
   override def insertSelect(db: String, table: String, chSelectSql: String): Long = {
+    rejectSystem(db, s"INSERT into $db.$table")
     val entry = serverEntry()
     val spark = entry.session
     val tables = knownTables
@@ -926,6 +1020,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   override def stageInsert(
       db: String, table: String, schema: StructType, rows: Seq[Row],
       stagingId: String): Long = {
+    rejectSystem(db, s"INSERT into $db.$table")
     val dir = stagingPath(db, table, stagingId)
     Files.createDirectories(dir)
     // no invalidate: staged parts are invisible (dataFiles only lists the

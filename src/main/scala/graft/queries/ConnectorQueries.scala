@@ -1588,6 +1588,35 @@ object ConnectorQueries {
       s.table("clickhouse.main.cust_evo").select(
         col("c_custkey"), col("bal"),
         coalesce(col("seg"), lit("-")).as("seg"), col("flag"))
+    },
+
+    // system metadata tables (round 10): the reference reaches the
+    // server's system.{tables,columns,...} through plain catalog
+    // resolution + passthrough (the server reports `system` like any
+    // database); the embedded transport synthesizes them from store
+    // metadata. The gate joins system.tables row counts against
+    // system.columns widths for the corpus-attached tables — both
+    // sides the oracle reconstructs from the raw corpus (counts) and
+    // the harness's fixed table definitions (widths). Filtered to the
+    // attached tables so other gates' store tables can't perturb it.
+    q("r49_system_tables",
+      """SELECT * FROM (
+        |  SELECT 'customer' AS name,
+        |    (SELECT count(*) FROM customer) AS total_rows,
+        |    CAST(5 AS BIGINT) AS ncols
+        |  UNION ALL SELECT 'nation', (SELECT count(*) FROM nation),
+        |    CAST(3 AS BIGINT)
+        |  UNION ALL SELECT 'orders', (SELECT count(*) FROM orders),
+        |    CAST(6 AS BIGINT)
+        |) ORDER BY name""".stripMargin) { (s, _) =>
+      val attached = Seq("customer", "nation", "orders")
+      val t = s.table("clickhouse.system.tables")
+        .where(col("database") === "main" && col("name").isin(attached: _*))
+        .select(col("name"), col("total_rows"))
+      val c = s.table("clickhouse.system.columns")
+        .where(col("database") === "main" && col("table").isin(attached: _*))
+        .groupBy(col("table").as("name")).agg(count(lit(1)).as("ncols"))
+      t.join(c, "name").orderBy("name")
     }
   )
 }
