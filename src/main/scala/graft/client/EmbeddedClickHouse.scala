@@ -133,6 +133,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     createDatabase(db, ifNotExists = true)
     // validate every type string parses before persisting anything
     columns.foreach { case (_, t) => ClickHouseType.parse(t) }
+    options.get("ttl").foreach(e => validateTtl(db, table, columns, e))
     val dir = tablePath(db, table)
     Files.createDirectories(dir)
     val lines =
@@ -209,8 +210,12 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     var colsChanged = false
     ops.foreach {
       case ChAlterOp.ModifyTtl(expr) =>
-        // TTL is table metadata in the embedded model (as at CREATE) —
-        // no part rewrite; a server applies/removes the expiry rule
+        // TTL is table metadata until a merge (no part rewrite here);
+        // [[optimizeTable]] applies the expiry rule. The expression must
+        // type-check as Date/DateTime over the CURRENT column state —
+        // the server validates this at DDL time, and a stored TTL that
+        // could never be applied at merge time is a silent lie
+        expr.foreach(e => validateTtl(db, table, state.map(s => (s._1, s._2)), e))
         newOpts = expr match {
           case Some(e) => newOpts + ("ttl" -> e)
           case None => newOpts - "ttl"
@@ -302,12 +307,40 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     }
   }
 
+  /** TTL expressions must evaluate to Date/DateTime over the table's
+    * columns — the server validates this at DDL time ("TTL expression
+    * result column should have Date or DateTime type"), and a stored
+    * TTL that could never be applied at merge time is a silent lie.
+    * Resolution runs the translated expression over an empty frame with
+    * the table's schema on the server session (full function surface).
+    */
+  private def validateTtl(
+      db: String, table: String, cols: Seq[(String, String)], expr: String): Unit = {
+    val schema = ClickHouseType.toStructType(cols)
+    val empty = serverEntry().session
+      .createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    val translated = ChSqlTranslator.translate(expr, Seq.empty)
+    val dt =
+      try empty.selectExpr(translated).schema.head.dataType
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"TTL expression '$expr' does not resolve over $db.$table: " +
+          e.getMessage, e) }
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    require(dt == DateType || dt == TimestampType || dt == TimestampNTZType,
+      s"TTL expression '$expr' on $db.$table must evaluate to Date or " +
+        s"DateTime, not ${dt.sql}")
+  }
+
   /** OPTIMIZE as part rewrite: consolidates every part into one; FINAL
     * on a ReplacingMergeTree(ver) table materializes the max-version
     * survivor set (the same rule FINAL reads apply on the fly, via
     * [[rewriteFinal]]), so subsequent plain reads see the deduped rows —
     * the server's documented OPTIMIZE FINAL semantics. FINAL on engines
     * without a version column is a plain consolidation (no row change).
+    * A declared row TTL is applied here — merges are where the server
+    * expires rows (`expr <= now()` deletes; NULL keeps), so expired rows
+    * stay visible to plain reads until an OPTIMIZE, exactly like a
+    * server between merges.
     */
   override def optimizeTable(db: String, table: String, finalize: Boolean): Unit = {
     rejectSystem(db, s"OPTIMIZE TABLE $db.$table")
@@ -325,9 +358,13 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     val tables = knownTables
     val tr = ChSqlTranslator.translate(src, tables)
     ensureViews(entry, tr, tables)
+    val merged = opts.get("ttl").foldLeft(entry.session.sql(tr)) { (df, e) =>
+      val te = ChSqlTranslator.translate(e, Seq.empty)
+      df.where(s"NOT coalesce(($te) <= now(), false)")
+    }
     // one part out: coalesce(1) is the merge — at embedded scale one
     // file per table is exactly what a finished merge tree looks like
-    rewritePartsDf(db, table, entry.session.sql(tr).coalesce(1))
+    rewritePartsDf(db, table, merged.coalesce(1))
   }
 
   override def renameTable(

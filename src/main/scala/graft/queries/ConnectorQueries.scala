@@ -1617,6 +1617,41 @@ object ConnectorQueries {
         .where(col("database") === "main" && col("table").isin(attached: _*))
         .groupBy(col("table").as("name")).agg(count(lit(1)).as("ncols"))
       t.join(c, "name").orderBy("name")
+    },
+
+    // Row TTL applied at merge time (round 10): the server expires rows
+    // during merges (`ttl_expr <= now()` deletes, NULL keeps; expired
+    // rows stay visible between merges) — OPTIMIZE forces the merge.
+    // Per-row expiry: open orders get a ~1000-year horizon, everything
+    // else expires at its (historical) order date, so the post-merge
+    // survivor set is exactly the open orders — which the oracle
+    // reconstructs from the raw corpus without any TTL machinery.
+    // Deterministic: corpus dates are decades past, horizons centuries
+    // ahead; no value near now(). Integer-cents output (r41 rule).
+    q("r50_ttl_merge",
+      """SELECT o_orderpriority AS pri,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY pri""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.ord_ttl")
+      s.sql(
+        """CREATE TABLE clickhouse.main.ord_ttl
+          |(k BIGINT, pri STRING, status STRING, odate TIMESTAMP, cents BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      val client = graft.connector.ChMutations.clientOf(s, "clickhouse")
+      client.alterTable("main", "ord_ttl", Seq(graft.client.ChAlterOp.ModifyTtl(
+        Some("if(status = 'O', odate + INTERVAL 1000 YEAR, odate)"))))
+      s.sql(
+        """INSERT INTO clickhouse.main.ord_ttl
+          |SELECT o_orderkey, o_orderpriority, o_orderstatus, o_orderdate,
+          |  CAST(round(o_totalprice * 100) AS BIGINT)
+          |FROM orders""".stripMargin)
+      client.optimizeTable("main", "ord_ttl", finalize = false)
+      s.table("clickhouse.main.ord_ttl")
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("pri")
     }
   )
 }

@@ -143,8 +143,13 @@ class AlterFuzzSpec extends AnyFunSuite {
               types = types.updated(i, Kind(newCh, p.dataType, null, gen))
               rows = rows.map(v => v.updated(i, conv(v(i))))
             }
-          case _ if r.nextBoolean() => // TTL: metadata-only, data untouched
-            val expr = if (r.nextBoolean()) Some(s"id + ${r.nextInt(100)}") else None
+          case _ if r.nextBoolean() => // TTL: metadata-only until a merge
+            // (the fuzz never OPTIMIZEs, so data stays invariant); must
+            // type-check as DateTime — far-future epoch seconds
+            val expr =
+              if (r.nextBoolean())
+                Some(s"toDateTime64(${4102444800L + r.nextInt(100)}, 3)")
+              else None
             client.alterTable("main", t, Seq(ChAlterOp.ModifyTtl(expr)))
             val got = client.fetchTableOptions("main", t).get("ttl")
             assert(got == expr, s"seed $seed: ttl $got != $expr")

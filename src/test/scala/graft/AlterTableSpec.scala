@@ -383,14 +383,19 @@ class AlterTableSpec extends AnyFunSuite {
     "ships REMOVE TTL; other property changes reject; DESCRIBE surfaces " +
     "engine options") {
     val (qt, bare) = freshTable()
-    spark.sql(s"ALTER TABLE $qt SET TBLPROPERTIES ('ttl' = 'id + 100')")
+    val ttlExpr = "toDateTime64(id, 3) + INTERVAL 100 DAY"
+    spark.sql(s"ALTER TABLE $qt SET TBLPROPERTIES ('ttl' = '$ttlExpr')")
     val client = new EmbeddedClickHouse(root)
-    assert(client.fetchTableOptions("main", bare).get("ttl").contains("id + 100"))
+    assert(client.fetchTableOptions("main", bare).get("ttl").contains(ttlExpr))
     // the properties surface shows engine options (order_by from CREATE)
     val props = spark.sql(s"SHOW TBLPROPERTIES $qt").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(props.get("ttl").contains("id + 100"), props)
+    assert(props.get("ttl").contains(ttlExpr), props)
     assert(props.get("order_by").contains("id"), props)
+    // a non-temporal TTL is rejected at DDL time, like the server
+    val badTtl = intercept[Exception](
+      spark.sql(s"ALTER TABLE $qt SET TBLPROPERTIES ('ttl' = 'id + 100')"))
+    assert(badTtl.getMessage.contains("Date or DateTime"), badTtl.getMessage)
     spark.sql(s"ALTER TABLE $qt UNSET TBLPROPERTIES ('ttl')")
     assert(!client.fetchTableOptions("main", bare).contains("ttl"))
     // TTL change is metadata-only: data untouched
@@ -412,6 +417,38 @@ class AlterTableSpec extends AnyFunSuite {
       assert(qs.contains("ALTER TABLE `main`.`ttl_http` MODIFY TTL id + 5"), qs)
       assert(qs.contains("ALTER TABLE `main`.`ttl_http` REMOVE TTL"), qs)
     } finally server.close()
+  }
+
+  test("row TTL is applied at OPTIMIZE (merge-time expiry): expired rows " +
+    "drop, fresh and NULL-TTL rows stay; plain reads keep expired rows " +
+    "until the merge") {
+    val client = new EmbeddedClickHouse(root)
+    client.createDatabase("main")
+    client.createTable("main", "ttl_rows",
+      Seq("id" -> "Int64", "ts" -> "Nullable(DateTime64(3))"),
+      Map("engine" -> "MergeTree", "order_by" -> "id",
+        "ttl" -> "ts + INTERVAL 1 DAY"))
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("ts", TimestampType, true)))
+    def t(deltaMs: Long) =
+      new java.sql.Timestamp(System.currentTimeMillis() + deltaMs)
+    client.insert("main", "ttl_rows", sch, Seq(
+      Row(1L, t(-10L * 86400 * 1000)), // expired 9 days ago
+      Row(2L, t(0L)),                  // expires in 1 day → stays
+      Row(3L, null)))                  // NULL TTL keeps the row
+    // expired rows stay visible until a merge, like a server
+    assert(client.query("SELECT count(*) AS n FROM `main`.`ttl_rows`", 1)
+      ._2.flatten.head.getLong(0) == 3L)
+    client.optimizeTable("main", "ttl_rows", finalize = false)
+    val ids = client.query("SELECT id FROM `main`.`ttl_rows`", 1)
+      ._2.flatten.map(_.getLong(0)).sorted
+    assert(ids == Seq(2L, 3L), s"expected 1 expired: $ids")
+    // non-temporal TTL at CREATE rejects too (same validation as ALTER)
+    val e = intercept[Exception](client.createTable("main", "ttl_bad",
+      Seq("id" -> "Int64"), Map("engine" -> "MergeTree", "ttl" -> "id * 2")))
+    assert(e.getMessage.contains("Date or DateTime"), e.getMessage)
   }
 
   test("OPTIMIZE TABLE FINAL materializes ReplacingMergeTree dedup and " +

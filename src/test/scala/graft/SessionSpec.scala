@@ -35,13 +35,15 @@ class SessionSpec extends AnyFunSuite {
       .column("id", "Int64")
       .column("name", "Nullable(String)")
       .column("value", "Float64")
-      .engine("MergeTree").orderBy("id").partitionBy("id").ttl("id + 10")
+      .engine("MergeTree").orderBy("id").partitionBy("id")
+      .ttl("toDateTime64(id, 3) + INTERVAL 10 DAY") // must be temporal
       .create()
 
     assert(ch.databases.contains("analytics"))
     assert(ch.tables("analytics") == Seq("metrics"))
     assert(ch.client.fetchTableOptions("analytics", "metrics")("order_by") == "id")
-    assert(ch.client.fetchTableOptions("analytics", "metrics")("ttl") == "id + 10")
+    assert(ch.client.fetchTableOptions("analytics", "metrics")("ttl") ==
+      "toDateTime64(id, 3) + INTERVAL 10 DAY")
 
     ch.client.insert("analytics", "metrics",
       ch.client.asInstanceOf[graft.client.EmbeddedClickHouse].sparkSchema("analytics", "metrics"),
