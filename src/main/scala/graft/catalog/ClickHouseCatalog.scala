@@ -186,6 +186,10 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
       "buckets" -> "read.buckets")
       .flatMap { case (k, opt) => Option(options.get(opt)).map(k -> _) }
       .toMap
+    // name → connectionKey registry: lets out-of-band store changes
+    // (materialized-view fires) be mapped back to every catalog fronting
+    // the same store for Spark-cache refresh (ChMutations.drainMvRefresh)
+    ClickHouseCatalog.registered.put(name, client.connectionKey)
   }
 
   // ---- functions: the co-partitioning bucket transform ----
@@ -452,4 +456,13 @@ class ClickHouseCatalog extends TableCatalog with SupportsNamespaces
       s"$catalogName.$db.${oldIdent.name()}")
     client.renameTable(db, oldIdent.name(), newDb, newIdent.name())
   }
+}
+
+object ClickHouseCatalog {
+  /** catalogName → client connectionKey, populated at initialize — the
+    * reverse map out-of-band store changes need to refresh Spark's
+    * relation cache (see [[graft.client.MvRefresh]]).
+    */
+  private[graft] val registered =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

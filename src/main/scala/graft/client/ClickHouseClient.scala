@@ -138,6 +138,34 @@ trait ClickHouseClient extends Serializable {
     throw new UnsupportedOperationException(
       s"this transport cannot OPTIMIZE TABLE $db.$table")
 
+  /** `CREATE MATERIALIZED VIEW db.name TO targetDb.targetTable AS
+    * chSelectSql` — an INSERT TRIGGER, the server's semantics exactly:
+    * every block landing in the select's (single) source table is
+    * transformed by the select and appended to the pre-existing target.
+    * Aggregating selects therefore produce PARTIAL results per block —
+    * readers re-aggregate over the target (the SummingMergeTree
+    * pattern). The trigger is NOT transactional with the source insert
+    * (server-documented): a crash between the two can leave the target
+    * behind; it catches up on no schedule. Mutations/merges of the
+    * source do NOT re-fire the view.
+    */
+  def createMaterializedView(db: String, name: String, targetDb: String,
+      targetTable: String, chSelectSql: String): Unit =
+    throw new UnsupportedOperationException(
+      s"this transport cannot CREATE MATERIALIZED VIEW $db.$name")
+
+  /** Materialized view names in `db` (the `TO`-form views this client
+    * created; a wire transport asks system.tables).
+    */
+  def listMaterializedViews(db: String): Seq[String] = Seq.empty
+
+  /** `DROP VIEW db.name` — removes the trigger; the target table and
+    * its rows stay.
+    */
+  def dropMaterializedView(db: String, name: String): Unit =
+    throw new UnsupportedOperationException(
+      s"this transport cannot DROP VIEW $db.$name")
+
   /** Plan a ClickHouse-dialect SELECT: initiate the remote query and
     * return the result schema plus one cheap, serializable handle per
     * remote stream/shard. NO ROW may cross the driver here — handles are

@@ -131,6 +131,8 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       options: Map[String, String]): Unit = {
     rejectSystem(db, s"CREATE TABLE $db.$table")
     createDatabase(db, ifNotExists = true)
+    require(!Files.exists(mvMetaPath(db, table)),
+      s"CREATE TABLE $db.$table: a materialized view of that name exists")
     // validate every type string parses before persisting anything
     columns.foreach { case (_, t) => ClickHouseType.parse(t) }
     options.get("ttl").foreach(e => validateTtl(db, table, columns, e))
@@ -379,6 +381,158 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     invalidate()
   }
 
+  // ---- materialized views (insert triggers, server semantics) ----
+
+  private def mvMetaPath(db: String, name: String): Path =
+    tablePath(db, name).resolve("view.meta")
+
+  private case class MvDef(
+      db: String, name: String, srcDb: String, srcTable: String,
+      targetDb: String, targetTable: String, select: String)
+
+  private def readMv(db: String, name: String): MvDef = {
+    val lines = Files.readAllLines(mvMetaPath(db, name)).asScala
+    val m = lines.map(_.split("\t", 3)).map(a => a(0) -> a.drop(1)).toMap
+    val Array(tDb, tT) = m("mview")(0).split("\\.", 2)
+    val Array(sDb, sT) = m("source")(0).split("\\.", 2)
+    MvDef(db, name, sDb, sT, tDb, tT, m("mview")(1))
+  }
+
+  private def allMvs: Seq[MvDef] =
+    for (db <- listDatabases().filterNot(isSystem);
+         name <- listMaterializedViews(db)) yield readMv(db, name)
+
+  override def listMaterializedViews(db: String): Seq[String] = {
+    val d = dbPath(db)
+    if (isSystem(db) || !Files.isDirectory(d)) Seq.empty
+    else NioFiles.list(d).iterator
+      .filter(p => Files.exists(p.resolve("view.meta")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  override def createMaterializedView(db: String, name: String,
+      targetDb: String, targetTable: String, chSelectSql: String): Unit = {
+    rejectSystem(db, s"CREATE MATERIALIZED VIEW $db.$name")
+    rejectSystem(targetDb, s"MATERIALIZED VIEW target $targetDb.$targetTable")
+    require(Files.isDirectory(dbPath(db)), s"no such database: $db")
+    require(!tableExists(db, name) && !Files.exists(mvMetaPath(db, name)),
+      s"CREATE MATERIALIZED VIEW: $db.$name already exists")
+    // TO-form: the target holds the data and must pre-exist
+    require(tableExists(targetDb, targetTable),
+      s"CREATE MATERIALIZED VIEW $db.$name: TO target " +
+        s"$targetDb.$targetTable does not exist")
+    // the trigger needs ONE unambiguous source; the server fires multi-
+    // table selects only on the left-most table (a documented footgun) —
+    // honored-or-rejected, we require a single-table select instead
+    val tables = knownTables.filterNot(t => isSystem(t._1))
+    val tr = ChSqlTranslator.translate(chSelectSql, tables)
+    val referenced = tables.filter { case (d, t) =>
+      tr.contains(ChSqlTranslator.viewName(d, t)) }
+    require(referenced.size == 1,
+      s"CREATE MATERIALIZED VIEW $db.$name: the select must read exactly " +
+        s"one source table (found ${referenced.size}: " +
+        referenced.map { case (d, t) => s"$d.$t" }.mkString(", ") + ")")
+    val (srcDb, srcTable) = referenced.head
+    require(!(srcDb == targetDb && srcTable == targetTable),
+      s"CREATE MATERIALIZED VIEW $db.$name: source and target are the " +
+        "same table (every insert would re-trigger itself)")
+    // a chain of views from the target back to the source would loop on
+    // every insert — the server rejects the cycle, so do we
+    def reaches(fromDb: String, fromTable: String,
+        seen: Set[(String, String)]): Boolean =
+      (fromDb, fromTable) == ((srcDb, srcTable)) ||
+        allMvs.filter(m => m.srcDb == fromDb && m.srcTable == fromTable)
+          .exists { m =>
+            val t = (m.targetDb, m.targetTable)
+            !seen(t) && reaches(m.targetDb, m.targetTable, seen + t)
+          }
+    require(!reaches(targetDb, targetTable, Set.empty),
+      s"CREATE MATERIALIZED VIEW $db.$name: cyclic view chain — inserts " +
+        s"into $targetDb.$targetTable feed back into $srcDb.$srcTable")
+    // the transform must resolve and insert cleanly into the target
+    val entry = serverEntry()
+    ensureViews(entry, tr, tables)
+    val out =
+      try entry.session.sql(tr).schema
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW $db.$name: select does not resolve: " +
+          e.getMessage, e) }
+    val sink = sparkSchema(targetDb, targetTable)
+    val byName = out.fields.map(f => f.name -> f).toMap
+    val errs = sink.fields.flatMap { sf =>
+      byName.get(sf.name) match {
+        case None => Some(s"missing column '${sf.name}'")
+        case Some(f) if f.dataType != sf.dataType =>
+          Some(s"'${sf.name}' type mismatch: ${f.dataType.sql} vs ${sf.dataType.sql}")
+        case _ => None
+      }
+    } ++ out.fieldNames.filterNot(sink.fieldNames.contains)
+      .map(n => s"unexpected column '$n'")
+    require(errs.isEmpty,
+      s"CREATE MATERIALIZED VIEW $db.$name: select does not fit target " +
+        s"$targetDb.$targetTable: ${errs.mkString("; ")}")
+    Files.createDirectories(tablePath(db, name))
+    Files.write(mvMetaPath(db, name), Seq(
+      // meta is line-based: flatten the select (SQL is whitespace-blind)
+      s"mview\t$targetDb.$targetTable\t${chSelectSql.replaceAll("\\s+", " ").trim}",
+      s"source\t$srcDb.$srcTable").asJava)
+    invalidate()
+  }
+
+  override def dropMaterializedView(db: String, name: String): Unit = {
+    require(Files.exists(mvMetaPath(db, name)),
+      s"no such materialized view: $db.$name")
+    deleteRecursively(tablePath(db, name))
+    invalidate()
+  }
+
+  /** The insert trigger: transform the freshly-landed block (ONLY the
+    * new part files) through each view on the source and append the
+    * result to its target via the staged protocol — whose commit
+    * cascades into the target's own views (chains, cycle-checked at
+    * create). Runs driver-side at commit time; per-thread re-entrancy
+    * guard as defense in depth behind the create-time cycle check.
+    */
+  private def fireMaterializedViews(db: String, table: String, newFiles: Seq[Path]): Unit = {
+    if (newFiles.isEmpty) return
+    val mvs = allMvs.filter(m => m.srcDb == db && m.srcTable == table)
+    if (mvs.isEmpty) return
+    val key = s"$db.$table"
+    val firing = EmbeddedClickHouse.firingMvs.get()
+    require(!firing.contains(key),
+      s"materialized view cascade loops through $key")
+    EmbeddedClickHouse.firingMvs.set(firing + key)
+    try mvs.foreach { m =>
+      val entry = serverEntry()
+      val tables = knownTables
+      val tr = ChSqlTranslator.translate(m.select, tables)
+      val srcView = ChSqlTranslator.viewName(db, table)
+      val blockView = s"__ch_block_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      entry.session.read.schema(sparkSchema(db, table))
+        .parquet(newFiles.map(_.toString): _*)
+        .createOrReplaceTempView(blockView)
+      try {
+        // bind every source reference to the block: during the trigger
+        // the source IS the inserted block (server semantics)
+        val blockSql = tr.replace(srcView, blockView)
+        ensureViews(entry, blockSql, tables)
+        val sink = sparkSchema(m.targetDb, m.targetTable)
+        val projected = entry.session.sql(blockSql)
+          .select(sink.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        val stagingId = s"mv-${java.util.UUID.randomUUID}"
+        val dir = stagingPath(m.targetDb, m.targetTable, stagingId)
+        Files.createDirectories(dir.getParent)
+        try {
+          projected.write.parquet(dir.toString)
+          commitStaged(m.targetDb, m.targetTable, stagingId)
+          MvRefresh.pending.add((connectionKey, m.targetDb, m.targetTable))
+        } catch { case e: Throwable =>
+          abortStaged(m.targetDb, m.targetTable, stagingId); throw e
+        }
+      } finally entry.session.catalog.dropTempView(blockView)
+    } finally EmbeddedClickHouse.firingMvs.set(firing)
+  }
+
   def sparkSchema(db: String, table: String): StructType =
     ClickHouseType.toStructType(fetchColumns(db, table))
 
@@ -508,7 +662,9 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
           Row(db, tb, o.getOrElse("engine", "MergeTree"),
             tableRowCount(db, tb).map(java.lang.Long.valueOf).orNull,
             o.getOrElse("order_by", ""), o.getOrElse("partition_by", ""))
-        }) ++ systemSchemas.keys.toSeq.sorted.map(tb =>
+        }) ++ (for (db <- realDbs; mv <- listMaterializedViews(db)) yield
+          Row(db, mv, "MaterializedView", null, "", "")
+        ) ++ systemSchemas.keys.toSeq.sorted.map(tb =>
           Row("system", tb, "SystemTable", null, "", ""))
       case "columns" =>
         for (db <- realDbs :+ "system"; tb <- listTables(db);
@@ -870,9 +1026,10 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     // written WITHOUT a SparkSession (ParquetBlockWriter drives parquet-mr
     // directly), so inserts can run from DSv2 write tasks on executors —
     // the per-partition streaming shape of the reference's sink
-    val n = ParquetBlockWriter.writeBlock(
+    val (n, landed) = ParquetBlockWriter.writeBlockAt(
       tablePath(db, table), sparkSchema(db, table), reorderToSink(db, table, schema, rows))
     invalidate()
+    fireMaterializedViews(db, table, Seq(landed))
     n
   }
 
@@ -970,7 +1127,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     try {
       result.write.parquet(dir.toString)
       snapshot.foreach(f => Files.deleteIfExists(Paths.get(f)))
-      commitStaged(db, table, stagingId)
+      commitStagedFire(db, table, stagingId, fire = false)
     } catch {
       case e: Throwable => abortStaged(db, table, stagingId); throw e
     }
@@ -1066,16 +1223,25 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       reorderToSink(db, table, schema, rows))
   }
 
-  override def commitStaged(db: String, table: String, stagingId: String): Unit = {
+  override def commitStaged(db: String, table: String, stagingId: String): Unit =
+    commitStagedFire(db, table, stagingId, fire = true)
+
+  /** `fire = false` for MUTATION part rewrites (DELETE/UPDATE/ALTER/
+    * OPTIMIZE ride the same staged publish but are not inserts — the
+    * server does not re-fire materialized views on mutations or merges).
+    */
+  private def commitStagedFire(
+      db: String, table: String, stagingId: String, fire: Boolean): Unit = {
     val dir = stagingPath(db, table, stagingId)
     if (Files.isDirectory(dir)) {
       val parts = NioFiles.list(dir).iterator
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sorted
       // same-filesystem renames: each part becomes visible atomically, and
       // a re-driven commit of the same staging id is a no-op (dir empty)
-      parts.foreach { p =>
-        Files.move(p, tablePath(db, table).resolve(p.getFileName),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val landed = parts.map { p =>
+        val t = tablePath(db, table).resolve(p.getFileName)
+        Files.move(p, t, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        t
       }
       deleteRecursively(dir)
       // a failed job can orphan a staged dir when its task's commit
@@ -1083,6 +1249,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       // the next successful write to the table reaps anything past TTL
       reapStaleWriteDirs(db, table)
       invalidate()
+      if (fire) fireMaterializedViews(db, table, landed)
     }
   }
 
@@ -1127,6 +1294,12 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       tryMarkEpochCommitted(db, table, epochMarker)
+      // fire AFTER the marker: a crash-replay (marker present) aborts its
+      // re-staged parts above and must not double-fire — views see each
+      // epoch at most once (the server's own MV/insert non-atomicity)
+      val epochFiles = NioFiles.walk(epochDir)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      fireMaterializedViews(db, table, epochFiles)
     }
     reapStaleWriteDirs(db, table)
     invalidate()
@@ -1171,6 +1344,13 @@ final case class ChSpillHandle(files: Seq[String], numFields: Int, schemaJson: S
 
 object EmbeddedClickHouse {
   private[client] val SpillTtlMillis: Long = 30L * 60 * 1000
+
+  /** Source tables whose materialized views are firing on THIS thread —
+    * re-entrancy guard behind the create-time cycle check (fires run
+    * driver-side at commit; cascades stay on the calling thread).
+    */
+  private[client] val firingMvs: ThreadLocal[Set[String]] =
+    ThreadLocal.withInitial(() => Set.empty[String])
 
   /** Sequential reader over one handle's spill files; closing releases
     * the in-flight file's descriptor immediately.

@@ -134,6 +134,17 @@ class FailoverClickHouseClient(
   // but lands on the opposite side because DDL is per-replica here).
   override def alterTable(db: String, table: String, ops: Seq[ChAlterOp]): Unit =
     replicas.foreach(_.alterTable(db, table, ops))
+  // MV DDL broadcasts like all schema objects; the trigger itself fires
+  // where inserts land (writes pin to replica 0), so replica state stays
+  // mutually consistent (both source and target replicate via the pin)
+  override def createMaterializedView(db: String, name: String,
+      targetDb: String, targetTable: String, chSelectSql: String): Unit =
+    replicas.foreach(_.createMaterializedView(
+      db, name, targetDb, targetTable, chSelectSql))
+  override def listMaterializedViews(db: String): Seq[String] =
+    withLive(_.listMaterializedViews(db))._2
+  override def dropMaterializedView(db: String, name: String): Unit =
+    replicas.foreach(_.dropMaterializedView(db, name))
   override def renameTable(
       db: String, table: String, newDb: String, newTable: String): Unit =
     replicas.foreach(_.renameTable(db, table, newDb, newTable))

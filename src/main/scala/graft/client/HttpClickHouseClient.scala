@@ -342,6 +342,26 @@ class HttpClickHouseClient(
     ()
   }
 
+  // Materialized views are fully server-side on this transport: the DDL
+  // ships as-is and the server runs the insert trigger (the reference's
+  // passthrough model — no client machinery at all).
+  override def createMaterializedView(db: String, name: String,
+      targetDb: String, targetTable: String, chSelectSql: String): Unit = {
+    exec(s"CREATE MATERIALIZED VIEW `$db`.`$name` TO " +
+      s"`$targetDb`.`$targetTable` AS $chSelectSql")
+    ()
+  }
+
+  override def listMaterializedViews(db: String): Seq[String] =
+    tsv(s"SELECT name FROM system.tables WHERE database = ${lit(db)} " +
+      "AND engine = 'MaterializedView' ORDER BY name FORMAT TabSeparated")
+      .map(_(0))
+
+  override def dropMaterializedView(db: String, name: String): Unit = {
+    exec(s"DROP VIEW `$db`.`$name`")
+    ()
+  }
+
   // ---- reads ----
 
   override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {

@@ -59,7 +59,13 @@ object ParquetBlockWriter {
     * AtomicMoveNotSupportedException — same-directory staging guarantees
     * a same-fs atomic rename.
     */
-  def writeBlock(targetDir: Path, schema: StructType, rows: Seq[Row]): Long = {
+  def writeBlock(targetDir: Path, schema: StructType, rows: Seq[Row]): Long =
+    writeBlockAt(targetDir, schema, rows)._1
+
+  /** Like [[writeBlock]] but also returns the published part path (for
+    * callers that post-process the landed block, e.g. MV triggers).
+    */
+  def writeBlockAt(targetDir: Path, schema: StructType, rows: Seq[Row]): (Long, Path) = {
     val ser = ExpressionEncoder(schema).resolveAndBind().createSerializer()
     val tmpDir = Files.createDirectories(
       targetDir.resolve(s".staging-${java.util.UUID.randomUUID}"))
@@ -71,9 +77,9 @@ object ParquetBlockWriter {
         .build()
       try rows.foreach(r => w.write(ser(r)))
       finally w.close()
-      Files.move(tmp, targetDir.resolve(s"part-${java.util.UUID.randomUUID}.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
-      rows.length.toLong
+      val target = targetDir.resolve(s"part-${java.util.UUID.randomUUID}.parquet")
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      (rows.length.toLong, target)
     } finally {
       if (Files.exists(tmp)) Files.delete(tmp)
       NioFiles.list(tmpDir).foreach(Files.delete(_))

@@ -120,6 +120,18 @@ class ShardedClickHouseClient(
   override def renameTable(
       db: String, table: String, newDb: String, newTable: String): Unit =
     shards.foreach(_.renameTable(db, table, newDb, newTable))
+  // DDL broadcast: each shard runs its own local insert trigger, so MV
+  // target rows land on the SAME shard as their source block (the
+  // ON-CLUSTER local-views pattern); reads of the target union per shard
+  // and re-aggregate, which merges the per-shard partials for free
+  override def createMaterializedView(db: String, name: String,
+      targetDb: String, targetTable: String, chSelectSql: String): Unit =
+    shards.foreach(_.createMaterializedView(
+      db, name, targetDb, targetTable, chSelectSql))
+  override def listMaterializedViews(db: String): Seq[String] =
+    shards.head.listMaterializedViews(db)
+  override def dropMaterializedView(db: String, name: String): Unit =
+    shards.foreach(_.dropMaterializedView(db, name))
   override def optimizeTable(db: String, table: String, finalize: Boolean): Unit =
     shards.foreach(_.optimizeTable(db, table, finalize))
 

@@ -52,6 +52,24 @@ object ChMutations {
     try spark.catalog.refreshTable(table)
     catch { case _: Exception => () } // cache hygiene must not fail the mutation
 
+  /** Materialized-view fires change TARGET tables during a SOURCE
+    * insert — outside Spark's own invalidation, which only covers the
+    * insert's table. Drained after every connector write commit: each
+    * fired (connectionKey, db, table) refreshes EVERY registered catalog
+    * fronting that store, so cached plans over targets never serve
+    * pre-trigger rows.
+    */
+  private[graft] def drainMvRefresh(spark: SparkSession): Unit = {
+    val it = graft.client.MvRefresh.pending.iterator()
+    while (it.hasNext) {
+      val (key, db, t) = it.next()
+      it.remove()
+      ClickHouseCatalog.registered.forEach { (cat, ck) =>
+        if (ck == key) refresh(spark, s"$cat.$db.$t")
+      }
+    }
+  }
+
   /** The catalog's transport client, for maintenance statements with no
     * DataFrame surface (OPTIMIZE TABLE, raw mutations).
     */

@@ -874,9 +874,11 @@ class ChStreamingWrite(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new ChStreamingDataWriterFactory(factory)
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     client.commitEpochStaged(db, table, s"$queryId-$epochId",
       messages.toSeq.collect { case ChStagedCommit(id, _, pid) => (id, pid) })
+    ChMutations.drainMvRefresh(org.apache.spark.sql.SparkSession.active)
+  }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -920,11 +922,15 @@ class ChBatchWrite(
   // retried attempt's parts are never published (its own abort — or a
   // stale staging dir — never becomes visible). Only metadata (staging
   // ids + counts) crosses the driver.
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case ChStagedCommit(stagingId, _, _) => client.commitStaged(db, table, stagingId)
       case _ => ()
     }
+    // commits may have fired materialized views into OTHER tables —
+    // refresh their cached plans (Spark only invalidates THIS table)
+    ChMutations.drainMvRefresh(org.apache.spark.sql.SparkSession.active)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

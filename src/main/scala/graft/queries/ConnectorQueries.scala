@@ -1652,6 +1652,45 @@ object ConnectorQueries {
         .groupBy(col("pri"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .orderBy("pri")
+    },
+
+    // Materialized view (round 10): server insert-trigger semantics —
+    // each block landing in the source is transformed and appended to
+    // the TO target, so an aggregating view leaves PARTIAL rows that
+    // readers re-aggregate (the SummingMergeTree pattern). The gate
+    // reads ONLY the target: two insert statements (parity split) fire
+    // the trigger per block, and the re-aggregated target must equal
+    // the oracle's direct aggregate over the raw corpus. Integer cents
+    // (r41 rule).
+    q("r51_materialized_view",
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin) { (s, _) =>
+      val client = graft.connector.ChMutations.clientOf(s, "clickhouse")
+      if (client.listMaterializedViews("main").contains("ord_mv"))
+        client.dropMaterializedView("main", "ord_mv")
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.ord_mv_src")
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.ord_mv_agg")
+      s.sql(
+        """CREATE TABLE clickhouse.main.ord_mv_src
+          |(k BIGINT, st STRING, cents BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      s.sql(
+        """CREATE TABLE clickhouse.main.ord_mv_agg
+          |(st STRING, n BIGINT, cents BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'st')""".stripMargin)
+      client.createMaterializedView("main", "ord_mv", "main", "ord_mv_agg",
+        "SELECT st, count(*) AS n, sum(cents) AS cents " +
+          "FROM main.ord_mv_src GROUP BY st")
+      for (parity <- 0 to 1) s.sql(
+        s"""INSERT INTO clickhouse.main.ord_mv_src
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(round(o_totalprice * 100) AS BIGINT)
+           |FROM orders WHERE o_orderkey % 2 = $parity""".stripMargin)
+      s.table("clickhouse.main.ord_mv_agg")
+        .groupBy(col("st"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("st")
     }
   )
 }

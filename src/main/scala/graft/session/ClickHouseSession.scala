@@ -35,8 +35,25 @@ final class ClickHouseSession private (
   /** Server-side `INSERT INTO db.table SELECT ...` — the SELECT is
     * ClickHouse SQL executed where the data lives; zero rows transfer.
     */
-  def insertSelect(db: String, table: String, chSelectSql: String): Long =
-    client.insertSelect(db, table, chSelectSql)
+  def insertSelect(db: String, table: String, chSelectSql: String): Long = {
+    val n = client.insertSelect(db, table, chSelectSql)
+    // the insert may have fired materialized views into other tables
+    graft.connector.ChMutations.drainMvRefresh(spark)
+    n
+  }
+
+  /** `CREATE MATERIALIZED VIEW db.name TO targetDb.targetTable AS
+    * select` — server insert-trigger semantics (per-block transforms,
+    * partial aggregates in the target; readers re-aggregate). The
+    * select is ClickHouse SQL over exactly one source table.
+    */
+  def createMaterializedView(db: String, name: String, targetDb: String,
+      targetTable: String, chSelectSql: String): Unit =
+    client.createMaterializedView(db, name, targetDb, targetTable, chSelectSql)
+  def materializedViews(db: String): Seq[String] =
+    client.listMaterializedViews(db)
+  def dropMaterializedView(db: String, name: String): Unit =
+    client.dropMaterializedView(db, name)
   def dropDatabase(db: String): Unit = client.dropDatabase(db)
   def dropTable(db: String, name: String): Unit = client.dropTable(db, name)
   def databases: Seq[String] = client.listDatabases()

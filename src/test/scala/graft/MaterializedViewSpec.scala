@@ -1,0 +1,218 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.client.EmbeddedClickHouse
+
+/** Materialized views with the server's exact semantics: an INSERT
+  * TRIGGER — each block landing in the (single) source table is
+  * transformed by the view's select and appended to the pre-existing TO
+  * target. Aggregating selects yield PARTIAL results per block (readers
+  * re-aggregate); mutations and merges never re-fire; chains cascade
+  * and cycles are rejected at create; DROP VIEW stops the trigger but
+  * keeps the target's rows.
+  */
+class MaterializedViewSpec extends AnyFunSuite {
+
+  private lazy val root = Files.createTempDirectory("graft_mv_").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .appName("mv-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s.conf.set("spark.sql.catalog.chmv",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    s.conf.set("spark.sql.catalog.chmv.path", root)
+    s
+  }
+
+  private lazy val client: EmbeddedClickHouse = {
+    spark // catalog registration orders before raw-client use
+    new EmbeddedClickHouse(root)
+  }
+
+  private var n = 0
+  /** Fresh (source, target, view) trio; target aggregates by tag. */
+  private def freshTrio(): (String, String, String) = {
+    n += 1
+    val (src, tgt, mv) = (s"src_$n", s"tgt_$n", s"mv_$n")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chmv.main")
+    spark.sql(
+      s"""CREATE TABLE chmv.main.$src (id BIGINT, tag STRING, v BIGINT)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE chmv.main.$tgt (tag STRING, cnt BIGINT, total BIGINT)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'tag')""".stripMargin)
+    client.createMaterializedView("main", mv, "main", tgt,
+      s"SELECT tag, count(*) AS cnt, sum(v) AS total FROM main.$src GROUP BY tag")
+    (src, tgt, mv)
+  }
+
+  private def tgtAgg(tgt: String): Map[String, (Long, Long)] =
+    spark.table(s"chmv.main.$tgt").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> (rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum) }
+
+  test("each SQL INSERT block triggers the view; aggregates are PARTIAL " +
+    "per block and re-aggregate to the source truth") {
+    val (src, tgt, _) = freshTrio()
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (1,'a',10),(2,'a',20),(3,'b',5)")
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (4,'a',1),(5,'c',7)")
+    // per-BLOCK firing (server semantics): blocks here are the write's
+    // task partitions, so 'a' lands as at least two partial rows (one
+    // per statement at minimum) — never pre-merged to one
+    val aRows = spark.table(s"chmv.main.$tgt").where("tag = 'a'").count()
+    assert(aRows >= 2, s"expected partial rows for 'a', got $aRows")
+    assert(tgtAgg(tgt) == Map("a" -> (3L, 31L), "b" -> (1L, 5L), "c" -> (1L, 7L)))
+  }
+
+  test("raw-client insert() and server-side insertSelect fire too") {
+    val (src, tgt, _) = freshTrio()
+    val sch = StructType(Seq(StructField("id", LongType, false),
+      StructField("tag", StringType, false), StructField("v", LongType, false)))
+    client.insert("main", src, sch, Seq(Row(1L, "x", 2L), Row(2L, "x", 3L)))
+    assert(tgtAgg(tgt) == Map("x" -> (2L, 5L)))
+    client.insertSelect("main", src,
+      s"SELECT id + 10 AS id, tag, v * 2 AS v FROM main.$src")
+    assert(tgtAgg(tgt) == Map("x" -> (4L, 15L)))
+  }
+
+  test("chains cascade (view on the target's table feeds a second " +
+    "target); cycles are rejected at create") {
+    val (src, tgt, _) = freshTrio()
+    spark.sql(
+      s"""CREATE TABLE chmv.main.roll_$n (cnt BIGINT, total BIGINT)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'cnt')""".stripMargin)
+    client.createMaterializedView("main", s"mvroll_$n", "main", s"roll_$n",
+      s"SELECT count(*) AS cnt, sum(total) AS total FROM main.$tgt")
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (1,'a',10),(2,'b',20)")
+    // one cascade fire per tgt block; the rollup re-aggregates to truth
+    val roll = spark.table(s"chmv.main.roll_$n").collect()
+    assert(roll.nonEmpty && roll.map(_.getLong(1)).sum == 30L,
+      roll.mkString(","))
+    // cycle: roll_n → src would loop src → tgt → roll_n → src
+    val e = intercept[Exception](client.createMaterializedView(
+      "main", s"mvcyc_$n", "main", src,
+      s"SELECT cnt AS id, 'z' AS tag, total AS v FROM main.roll_$n"))
+    assert(e.getMessage.contains("cyclic"), e.getMessage)
+  }
+
+  test("create-time honored-or-rejected: missing target, multi-table " +
+    "select, schema mismatch, source==target, duplicate name") {
+    val (src, tgt, mv) = freshTrio()
+    def rejects(body: => Unit, frag: String): Unit = {
+      val e = intercept[Exception](body)
+      assert(e.getMessage.contains(frag), s"$frag: ${e.getMessage}")
+    }
+    rejects(client.createMaterializedView("main", "mv_nope", "main", "no_such",
+      s"SELECT tag, count(*) AS cnt, sum(v) AS total FROM main.$src GROUP BY tag"),
+      "does not exist")
+    rejects(client.createMaterializedView("main", "mv_multi", "main", tgt,
+      s"SELECT a.tag, count(*) AS cnt, sum(a.v) AS total FROM main.$src a " +
+        s"JOIN main.$tgt b ON a.tag = b.tag GROUP BY a.tag"),
+      "exactly one source table")
+    rejects(client.createMaterializedView("main", "mv_badschema", "main", tgt,
+      s"SELECT tag, count(*) AS cnt FROM main.$src GROUP BY tag"),
+      "does not fit target")
+    rejects(client.createMaterializedView("main", "mv_self", "main", src,
+      s"SELECT id, tag, v FROM main.$src"),
+      "same table")
+    rejects(client.createMaterializedView("main", mv, "main", tgt,
+      s"SELECT tag, count(*) AS cnt, sum(v) AS total FROM main.$src GROUP BY tag"),
+      "already exists")
+  }
+
+  test("mutations and merges do NOT re-fire: DELETE/UPDATE/OPTIMIZE on " +
+    "the source leave the target untouched") {
+    val (src, tgt, _) = freshTrio()
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (1,'a',10),(2,'b',20)")
+    val before = tgtAgg(tgt)
+    client.deleteWhere("main", src, "id = 1")
+    client.updateWhere("main", src, Seq("v" -> "v + 100"), "1")
+    client.optimizeTable("main", src, finalize = false)
+    assert(tgtAgg(tgt) == before,
+      "mutations/merges must not re-trigger the view")
+  }
+
+  test("DROP VIEW stops the trigger; target rows stay; listing reflects " +
+    "life cycle and system.tables shows the view") {
+    val (src, tgt, mv) = freshTrio()
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (1,'a',10)")
+    assert(client.listMaterializedViews("main").contains(mv))
+    val sysRow = spark.table("chmv.system.tables")
+      .where(s"database = 'main' AND name = '$mv'").collect()
+    assert(sysRow.length == 1 && sysRow.head.getString(2) == "MaterializedView")
+    client.dropMaterializedView("main", mv)
+    assert(!client.listMaterializedViews("main").contains(mv))
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (2,'a',99)")
+    assert(tgtAgg(tgt) == Map("a" -> (1L, 10L)), "rows stay, trigger gone")
+    intercept[Exception](client.dropMaterializedView("main", mv))
+  }
+
+  test("a cached plan over the TARGET sees trigger output after a source " +
+    "insert (MV refresh drain — out-of-band invalidation class)") {
+    val (src, tgt, _) = freshTrio()
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (1,'a',10)")
+    assert(spark.table(s"chmv.main.$tgt").count() == 1)
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (2,'b',20)")
+    assert(spark.table(s"chmv.main.$tgt").count() == 2,
+      "target read after source insert must include the fired block")
+  }
+
+  test("epoch commits fire at most once (crash replays skip); the " +
+    "streaming sink path triggers views") {
+    val (src, tgt, _) = freshTrio()
+    val sch = StructType(Seq(StructField("id", LongType, false),
+      StructField("tag", StringType, false), StructField("v", LongType, false)))
+    client.stageInsert("main", src, sch, Seq(Row(1L, "e", 4L)), "ep-t1")
+    client.commitEpochStaged("main", src, "epoch-1", Seq(("ep-t1", 0)))
+    assert(tgtAgg(tgt) == Map("e" -> (1L, 4L)))
+    // replay of the SAME epoch (crash between publish and driver ack):
+    // staged parts are dropped and the view must NOT double-fire
+    client.stageInsert("main", src, sch, Seq(Row(1L, "e", 4L)), "ep-t1r")
+    client.commitEpochStaged("main", src, "epoch-1", Seq(("ep-t1r", 0)))
+    assert(tgtAgg(tgt) == Map("e" -> (1L, 4L)), "replay must not re-fire")
+  }
+
+  test("sharded catalogs fire per shard; the target union re-aggregates " +
+    "to the full answer") {
+    val r1 = Files.createTempDirectory("graft_mvsh1_").toString
+    val r2 = Files.createTempDirectory("graft_mvsh2_").toString
+    spark.conf.set("spark.sql.catalog.chmvsh",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chmvsh.path", s"$r1,$r2")
+    spark.conf.set("spark.sql.catalog.chmvsh.shard_by", "id")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chmvsh.main")
+    spark.sql(
+      """CREATE TABLE chmvsh.main.ev (id BIGINT, tag STRING, v BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql(
+      """CREATE TABLE chmvsh.main.ev_agg (tag STRING, cnt BIGINT, total BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'tag')""".stripMargin)
+    graft.connector.ChMutations.clientOf(spark, "chmvsh")
+      .createMaterializedView("main", "ev_mv", "main", "ev_agg",
+        "SELECT tag, count(*) AS cnt, sum(v) AS total FROM main.ev GROUP BY tag")
+    spark.sql(
+      "INSERT INTO chmvsh.main.ev SELECT id, concat('t', id % 3), id FROM range(60)")
+    // per-shard local triggers: both shards contributed partial rows
+    val parts = Seq(r1, r2).map(r =>
+      new EmbeddedClickHouse(r).tableRowCount("main", "ev_agg").getOrElse(0L))
+    assert(parts.forall(_ > 0L), s"both shards must fire locally: $parts")
+    val agg = spark.table("chmvsh.main.ev_agg").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> (rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum) }
+    val expect = (0L until 60L).groupBy(i => s"t${i % 3}")
+      .map { case (k, is) => k -> (is.size.toLong, is.sum) }
+    assert(agg == expect, s"$agg vs $expect")
+  }
+}
