@@ -367,6 +367,11 @@ final class MockClickHouseHttp extends AutoCloseable {
           (200, "")
         case _ => (500, s"mock: bad RENAME TABLE: ${q.take(200)}")
       }
+    } else if (q.startsWith("CREATE MATERIALIZED VIEW") ||
+      q.startsWith("DROP VIEW")) {
+      // view DDL is accepted as metadata the mock does not model —
+      // specs assert the exact wire shape via `statements`
+      (200, "")
     } else (500, s"mock: unhandled statement: ${q.take(200)}")
   }
 

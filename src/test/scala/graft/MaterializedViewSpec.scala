@@ -184,6 +184,23 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(tgtAgg(tgt) == Map("e" -> (1L, 4L)), "replay must not re-fire")
   }
 
+  test("HTTP transport ships the exact server DDL (trigger runs " +
+    "server-side — the reference's passthrough model)") {
+    val server = new graft.client.MockClickHouseHttp
+    try {
+      val http = new graft.client.HttpClickHouseClient(server.endpoint)
+      http.createMaterializedView("main", "mv_http", "main", "agg_http",
+        "SELECT tag, count(*) AS cnt FROM main.src_http GROUP BY tag")
+      http.dropMaterializedView("main", "mv_http")
+      import scala.jdk.CollectionConverters._
+      val qs = server.statements.asScala.toSeq
+      assert(qs.contains("CREATE MATERIALIZED VIEW `main`.`mv_http` TO " +
+        "`main`.`agg_http` AS SELECT tag, count(*) AS cnt " +
+        "FROM main.src_http GROUP BY tag"), qs)
+      assert(qs.contains("DROP VIEW `main`.`mv_http`"), qs)
+    } finally server.close()
+  }
+
   test("sharded catalogs fire per shard; the target union re-aggregates " +
     "to the full answer") {
     val r1 = Files.createTempDirectory("graft_mvsh1_").toString
