@@ -45,16 +45,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan = {
-    val parsed = delegate.parsePlan(sqlText)
-    // SQL UPDATE on a ClickHouse catalog table ships as a server-side
-    // mutation (Spark's own path would demand SupportsRowLevelOperations
-    // and re-shuffle matched groups) — see ChUpdateRewrite
-    ChUpdateRewrite.rewrite(session, parsed) match {
-      case Some(cmd) => cmd
-      case None => rewritePlan(parsed)
+  override def parsePlan(sqlText: String): LogicalPlan =
+    // materialized-view DDL has no Spark grammar (CREATE) or no DSv2
+    // view resolution (DROP) — intercepted from the RAW text when it
+    // addresses a ClickHouse catalog; see ChMvDdl
+    ChMvDdl.rewrite(session, sqlText, delegate).getOrElse {
+      val parsed = delegate.parsePlan(sqlText)
+      // SQL UPDATE on a ClickHouse catalog table ships as a server-side
+      // mutation (Spark's own path would demand SupportsRowLevelOperations
+      // and re-shuffle matched groups) — see ChUpdateRewrite
+      ChUpdateRewrite.rewrite(session, parsed) match {
+        case Some(cmd) => cmd
+        case None => rewritePlan(parsed)
+      }
     }
-  }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     rewritePlan(delegate.parseQuery(sqlText))

@@ -120,6 +120,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
 
   override def dropDatabase(db: String): Unit = {
     rejectSystem(db, "DROP DATABASE")
+    bumpMvGen() // the database may carry view.meta dirs
     deleteRecursively(dbPath(db))
     invalidate()
   }
@@ -160,6 +161,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
 
   override def dropTable(db: String, table: String): Unit = {
     rejectSystem(db, s"DROP TABLE $db.$table")
+    if (Files.exists(mvMetaPath(db, table))) bumpMvGen() // DROP TABLE on a view
     deleteRecursively(tablePath(db, table))
     invalidate()
   }
@@ -386,21 +388,34 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   private def mvMetaPath(db: String, name: String): Path =
     tablePath(db, name).resolve("view.meta")
 
-  private case class MvDef(
-      db: String, name: String, srcDb: String, srcTable: String,
-      targetDb: String, targetTable: String, select: String)
-
-  private def readMv(db: String, name: String): MvDef = {
+  private def readMv(db: String, name: String): EmbeddedClickHouse.MvDef = {
     val lines = Files.readAllLines(mvMetaPath(db, name)).asScala
     val m = lines.map(_.split("\t", 3)).map(a => a(0) -> a.drop(1)).toMap
     val Array(tDb, tT) = m("mview")(0).split("\\.", 2)
     val Array(sDb, sT) = m("source")(0).split("\\.", 2)
-    MvDef(db, name, sDb, sT, tDb, tT, m("mview")(1))
+    EmbeddedClickHouse.MvDef(db, name, sDb, sT, tDb, tT, m("mview")(1))
   }
 
-  private def allMvs: Seq[MvDef] =
-    for (db <- listDatabases().filterNot(isSystem);
-         name <- listMaterializedViews(db)) yield readMv(db, name)
+  /** View definitions, memoized per MV-DDL generation: the lookup runs
+    * on EVERY insert commit (streaming sinks commit per batch), but the
+    * definition set only changes on view/table DDL — a store-version
+    * key would rescan per insert (inserts bump it). JVM-local like the
+    * store-version scheme itself.
+    */
+  private def allMvs: Seq[EmbeddedClickHouse.MvDef] = {
+    val v = EmbeddedClickHouse.mvVersion(root).get()
+    val cached = EmbeddedClickHouse.mvCache.get(root)
+    if (cached != null && cached._1 == v) cached._2
+    else {
+      val defs =
+        for (db <- listDatabases().filterNot(isSystem);
+             name <- listMaterializedViews(db)) yield readMv(db, name)
+      EmbeddedClickHouse.mvCache.put(root, (v, defs))
+      defs
+    }
+  }
+
+  private def bumpMvGen(): Unit = EmbeddedClickHouse.mvVersion(root).incrementAndGet()
 
   override def listMaterializedViews(db: String): Seq[String] = {
     val d = dbPath(db)
@@ -476,6 +491,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       // meta is line-based: flatten the select (SQL is whitespace-blind)
       s"mview\t$targetDb.$targetTable\t${chSelectSql.replaceAll("\\s+", " ").trim}",
       s"source\t$srcDb.$srcTable").asJava)
+    bumpMvGen()
     invalidate()
   }
 
@@ -483,6 +499,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     require(Files.exists(mvMetaPath(db, name)),
       s"no such materialized view: $db.$name")
     deleteRecursively(tablePath(db, name))
+    bumpMvGen()
     invalidate()
   }
 
@@ -1296,10 +1313,13 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       tryMarkEpochCommitted(db, table, epochMarker)
       // fire AFTER the marker: a crash-replay (marker present) aborts its
       // re-staged parts above and must not double-fire — views see each
-      // epoch at most once (the server's own MV/insert non-atomicity)
-      val epochFiles = NioFiles.walk(epochDir)
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-      fireMaterializedViews(db, table, epochFiles)
+      // epoch at most once (the server's own MV/insert non-atomicity).
+      // The walk only runs when a view is defined on this table — epoch
+      // commits are per-batch on streaming sinks, so the no-view path
+      // must stay metadata-free
+      if (allMvs.exists(m => m.srcDb == db && m.srcTable == table))
+        fireMaterializedViews(db, table, NioFiles.walk(epochDir)
+          .filter(_.getFileName.toString.endsWith(".parquet")))
     }
     reapStaleWriteDirs(db, table)
     invalidate()
@@ -1351,6 +1371,21 @@ object EmbeddedClickHouse {
     */
   private[client] val firingMvs: ThreadLocal[Set[String]] =
     ThreadLocal.withInitial(() => Set.empty[String])
+
+  private[client] final case class MvDef(
+      db: String, name: String, srcDb: String, srcTable: String,
+      targetDb: String, targetTable: String, select: String)
+
+  /** MV-DDL generation counter per store root (bumped only by view /
+    * table / database DDL that can add or remove view.meta files) and
+    * the definition cache it keys — see [[EmbeddedClickHouse.allMvs]].
+    */
+  private val mvVersions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[client] def mvVersion(root: String): java.util.concurrent.atomic.AtomicLong =
+    mvVersions.computeIfAbsent(root, _ => new java.util.concurrent.atomic.AtomicLong(0))
+  private[client] val mvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[MvDef])]()
 
   /** Sequential reader over one handle's spill files; closing releases
     * the in-flight file's descriptor immediately.

@@ -184,6 +184,55 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(tgtAgg(tgt) == Map("e" -> (1L, 4L)), "replay must not re-fire")
   }
 
+  test("SQL DDL on the extensions session: CREATE MATERIALIZED VIEW " +
+    "... TO ... AS creates the trigger, DROP VIEW removes it, Spark " +
+    "temp views are never claimed") {
+    val sqlRoot = Files.createTempDirectory("graft_mvsql_").toString
+    val base = spark
+    val ext = org.apache.spark.sql.classic.SparkSession.builder()
+      .master(base.sparkContext.master)
+      .withExtensions(new GraftExtensions().apply(_))
+      .create()
+    ext.conf.set("spark.sql.shuffle.partitions", "4")
+    ext.conf.set("spark.sql.session.timeZone", "UTC")
+    ext.conf.set("spark.sql.catalog.chmvq",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    ext.conf.set("spark.sql.catalog.chmvq.path", sqlRoot)
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS chmvq.main")
+    ext.sql(
+      """CREATE TABLE chmvq.main.s (id BIGINT, tag STRING, v BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    ext.sql(
+      """CREATE TABLE chmvq.main.t (tag STRING, cnt BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'tag')""".stripMargin)
+    ext.sql("CREATE MATERIALIZED VIEW chmvq.main.v TO chmvq.main.t AS " +
+      "SELECT tag, count(*) AS cnt FROM main.s GROUP BY tag")
+    val cl = new EmbeddedClickHouse(sqlRoot)
+    assert(cl.listMaterializedViews("main") == Seq("v"))
+    // IF NOT EXISTS is a no-op on an existing view
+    ext.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS chmvq.main.v TO " +
+      "chmvq.main.t AS SELECT tag, count(*) AS cnt FROM main.s GROUP BY tag")
+    ext.sql("INSERT INTO chmvq.main.s VALUES (1, 'a', 5)")
+    assert(ext.table("chmvq.main.t").collect().map(_.getLong(1)).sum == 1L)
+    // a Spark TEMP view under USE <ch-catalog> stays Spark's to drop
+    ext.sql("USE chmvq.main")
+    try {
+      ext.range(3).createOrReplaceTempView("just_a_temp")
+      ext.sql("DROP VIEW just_a_temp")
+      assert(!ext.catalog.tableExists("just_a_temp"))
+      // 1-part DROP of the REAL materialized view resolves through the
+      // current catalog because it exists there
+      ext.sql("DROP VIEW v")
+      assert(cl.listMaterializedViews("main").isEmpty)
+    } finally ext.sql("USE spark_catalog")
+    // cross-catalog target rejected loudly
+    val e = intercept[Exception](ext.sql(
+      "CREATE MATERIALIZED VIEW chmvq.main.v2 TO spark_catalog.default.x " +
+        "AS SELECT tag, count(*) AS cnt FROM main.s GROUP BY tag"))
+    assert(e.getMessage.contains("does not resolve to a ClickHouse"),
+      e.getMessage)
+  }
+
   test("HTTP transport ships the exact server DDL (trigger runs " +
     "server-side — the reference's passthrough model)") {
     val server = new graft.client.MockClickHouseHttp
