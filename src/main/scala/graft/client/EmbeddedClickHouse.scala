@@ -353,10 +353,16 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     require(ext.isEmpty,
       s"OPTIMIZE TABLE $db.$table: table has attached external data (read-only)")
     val qt = graft.sql.ChSql.quoteTable(db, table)
+    val engine = opts.getOrElse("engine", "")
     val replacing = "ReplacingMergeTree\\(\\s*[^)\\s]+\\s*\\)".r
-      .findFirstIn(opts.getOrElse("engine", "")).isDefined
+      .findFirstIn(engine).isDefined
+    // Replacing dedup materializes only under OPTIMIZE FINAL (the
+    // documented use); Summing collapse happens on ANY merge — a plain
+    // OPTIMIZE of a SummingMergeTree table already sums the key groups
+    val summing = engine.startsWith("SummingMergeTree")
     val src =
-      if (finalize && replacing) rewriteFinal(s"SELECT * FROM $qt FINAL")
+      if ((finalize && replacing) || summing)
+        rewriteFinal(s"SELECT * FROM $qt FINAL")
       else s"SELECT * FROM $qt"
     val entry = serverEntry()
     val tables = knownTables
@@ -791,25 +797,64 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       val (db, t) = (m.group(1), m.group(2))
       require(tableExists(db, t), s"no such table $db.$t")
       val (cols, opts, _) = readMeta(db, t)
+      def orderKeys: Seq[String] =
+        opts.getOrElse("order_by", throw new IllegalArgumentException(
+          s"FINAL on $db.$t: table declares no order_by key"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val VerRe = "ReplacingMergeTree\\(\\s*([^)\\s]+)\\s*\\)".r
-      val ver = opts.getOrElse("engine", "") match {
-        case VerRe(v) => v
+      val SumRe = "SummingMergeTree(?:\\(\\s*([^)]*)\\))?".r
+      opts.getOrElse("engine", "") match {
+        case VerRe(ver) =>
+          require(cols.exists(_._1 == ver),
+            s"FINAL on $db.$t: version column '$ver' not in table columns")
+          val keys = orderKeys.map(k => s"`$k`").mkString(", ")
+          val colList = cols.map { case (c, _) => s"`$c`" }.mkString(", ")
+          java.util.regex.Matcher.quoteReplacement(
+            s"FROM (SELECT $colList FROM (SELECT *, ROW_NUMBER() OVER " +
+              s"(PARTITION BY $keys ORDER BY `$ver` DESC) AS __gf_rn " +
+              s"FROM `$db`.`$t`) AS __gf_in WHERE __gf_rn = 1) AS `$t`")
+        case SumRe(sumList) =>
+          // SummingMergeTree: merges collapse rows sharing the sorting
+          // key — listed columns (or, unlisted, every numeric non-key
+          // column) SUM; other non-key columns take a deterministic
+          // representative (min — the server keeps "any one", min is a
+          // legal any, reproducibly); rows whose summed columns all
+          // total 0/NULL are DELETED (the server's documented rule)
+          val keys = orderKeys
+          keys.foreach(k => require(cols.exists(_._1 == k),
+            s"FINAL on $db.$t: sorting key '$k' not in table columns"))
+          val listed = Option(sumList).map(_.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+          listed.foreach(c => require(cols.exists(_._1 == c),
+            s"FINAL on $db.$t: summed column '$c' not in table columns"))
+          val summed: Set[String] =
+            if (listed.nonEmpty) listed.toSet
+            else cols.collect { case (c, ty)
+                if !keys.contains(c) &&
+                  ClickHouseType.parse(ty).dataType
+                    .isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+              c
+            }.toSet
+          require(summed.nonEmpty,
+            s"FINAL on $db.$t: SummingMergeTree with nothing to sum " +
+              "(no numeric non-key columns)")
+          val sel = cols.map { case (c, _) =>
+            if (keys.contains(c)) s"`$c`"
+            else if (summed(c)) s"sum(`$c`) AS `$c`"
+            else s"min(`$c`) AS `$c`"
+          }.mkString(", ")
+          val havingNotAllZero = summed.toSeq.sorted
+            .map(c => s"coalesce(sum(`$c`), 0) = 0").mkString(" AND ")
+          java.util.regex.Matcher.quoteReplacement(
+            s"FROM (SELECT $sel FROM `$db`.`$t` GROUP BY " +
+              keys.map(k => s"`$k`").mkString(", ") +
+              s" HAVING NOT ($havingNotAllZero)) AS `$t`")
         case e => throw new IllegalArgumentException(
           s"FINAL on $db.$t: the embedded store supports FINAL only on " +
-            s"ReplacingMergeTree(<version_column>) (engine is '$e'; without " +
-            "a version column the server's part-order tiebreak is not " +
-            "reproducible here)")
+            s"ReplacingMergeTree(<version_column>) or SummingMergeTree" +
+            s"[(columns)] (engine is '$e'; without a merge rule the " +
+            "server's part-order tiebreak is not reproducible here)")
       }
-      require(cols.exists(_._1 == ver),
-        s"FINAL on $db.$t: version column '$ver' not in table columns")
-      val keys = opts.getOrElse("order_by", throw new IllegalArgumentException(
-        s"FINAL on $db.$t: table declares no order_by key"))
-        .split(",").map(k => s"`${k.trim}`").mkString(", ")
-      val colList = cols.map { case (c, _) => s"`$c`" }.mkString(", ")
-      java.util.regex.Matcher.quoteReplacement(
-        s"FROM (SELECT $colList FROM (SELECT *, ROW_NUMBER() OVER " +
-          s"(PARTITION BY $keys ORDER BY `$ver` DESC) AS __gf_rn " +
-          s"FROM `$db`.`$t`) AS __gf_in WHERE __gf_rn = 1) AS `$t`")
     })
 
   private val SampleClause =

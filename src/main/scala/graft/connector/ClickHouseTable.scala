@@ -316,10 +316,11 @@ class ChScanBuilder(
     val finalRead = Option(scanOptions.get("final")).exists(_.toBoolean)
     if (finalRead) {
       val engine = client.fetchTableOptions(db, table).getOrElse("engine", "")
-      require(engine.startsWith("ReplacingMergeTree"),
-        s"final=true requires a ReplacingMergeTree engine, $db.$table is " +
-          s"'$engine' (FINAL has no effect on append-only engines — " +
-          "rejected rather than silently inert)")
+      require(engine.startsWith("ReplacingMergeTree") ||
+        engine.startsWith("SummingMergeTree"),
+        s"final=true requires a ReplacingMergeTree or SummingMergeTree " +
+          s"engine, $db.$table is '$engine' (FINAL has no effect on " +
+          "append-only engines — rejected rather than silently inert)")
       require(sample.isEmpty,
         "final=true cannot combine with a pushed TABLESAMPLE")
       require(client.finalReadExact(db, table),

@@ -1691,6 +1691,40 @@ object ConnectorQueries {
         .groupBy(col("st"))
         .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
         .orderBy("st")
+    },
+
+    // The canonical ClickHouse rollup (round 10): a materialized view
+    // feeding a SummingMergeTree target — the MV leaves per-block
+    // PARTIAL sums, the Summing merge collapses key groups, and after
+    // OPTIMIZE a PLAIN read returns final totals with no re-aggregation
+    // anywhere (r51 re-aggregates in the query; this gate must not).
+    q("r52_summing_mv",
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin) { (s, _) =>
+      val client = graft.connector.ChMutations.clientOf(s, "clickhouse")
+      if (client.listMaterializedViews("main").contains("ord_sum_mv"))
+        client.dropMaterializedView("main", "ord_sum_mv")
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.ord_sum_src")
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.ord_sum_agg")
+      s.sql(
+        """CREATE TABLE clickhouse.main.ord_sum_src
+          |(k BIGINT, st STRING, cents BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      s.sql(
+        """CREATE TABLE clickhouse.main.ord_sum_agg
+          |(st STRING, n BIGINT, cents BIGINT)
+          |TBLPROPERTIES ('engine' = 'SummingMergeTree', 'order_by' = 'st')""".stripMargin)
+      client.createMaterializedView("main", "ord_sum_mv", "main", "ord_sum_agg",
+        "SELECT st, count(*) AS n, sum(cents) AS cents " +
+          "FROM main.ord_sum_src GROUP BY st")
+      for (parity <- 0 to 1) s.sql(
+        s"""INSERT INTO clickhouse.main.ord_sum_src
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(round(o_totalprice * 100) AS BIGINT)
+           |FROM orders WHERE o_orderkey % 2 = $parity""".stripMargin)
+      client.optimizeTable("main", "ord_sum_agg", finalize = false)
+      s.table("clickhouse.main.ord_sum_agg").orderBy("st")
     }
   )
 }

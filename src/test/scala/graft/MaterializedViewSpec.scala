@@ -184,6 +184,60 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(tgtAgg(tgt) == Map("e" -> (1L, 4L)), "replay must not re-fire")
   }
 
+  test("SummingMergeTree: FINAL collapses key groups on the fly " +
+    "(implicit numeric columns, deterministic representative for the " +
+    "rest, all-zero groups deleted); OPTIMIZE materializes it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chmv.main")
+    spark.sql(
+      """CREATE TABLE chmv.main.sm (k BIGINT, a BIGINT, b DOUBLE, note STRING)
+        |TBLPROPERTIES ('engine' = 'SummingMergeTree', 'order_by' = 'k')""".stripMargin)
+    spark.sql("INSERT INTO chmv.main.sm VALUES (1, 5, 1.5, 'early')")
+    spark.sql("INSERT INTO chmv.main.sm VALUES (1, 3, 0.5, 'late'), (2, 7, 2.0, 'z')")
+    spark.sql("INSERT INTO chmv.main.sm VALUES (2, -7, -2.0, 'z2'), (3, 0, 0.25, 'w')")
+    // plain read: 5 physical rows until a merge
+    assert(spark.table("chmv.main.sm").count() == 5)
+    val fin = spark.read.option("final", "true").table("chmv.main.sm")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    // k=2 sums to (0, 0.0) across ALL summed columns → group deleted
+    assert(fin == Map(
+      1L -> ((8L, 2.0, "early")), // numeric sum; note = min (a legal "any")
+      3L -> ((0L, 0.25, "w"))),   // b keeps it alive: not ALL sums zero
+      fin.toString)
+    client.optimizeTable("main", "sm", finalize = false) // ANY merge sums
+    assert(spark.table("chmv.main.sm").count() == 2, "materialized")
+    // explicit column list: only `a` sums, `b` takes the representative
+    spark.sql(
+      """CREATE TABLE chmv.main.sml (k BIGINT, a BIGINT, b DOUBLE)
+        |TBLPROPERTIES ('engine' = 'SummingMergeTree(a)', 'order_by' = 'k')""".stripMargin)
+    spark.sql("INSERT INTO chmv.main.sml VALUES (1, 5, 100.0)")
+    spark.sql("INSERT INTO chmv.main.sml VALUES (1, 2, 50.0)")
+    val l = spark.read.option("final", "true").table("chmv.main.sml").collect()
+    assert(l.length == 1 && l.head.getLong(1) == 7L && l.head.getDouble(2) == 50.0)
+  }
+
+  test("the canonical pattern: MV into a SummingMergeTree target — " +
+    "OPTIMIZE collapses the per-block partials to final totals") {
+    val src = s"cs_src_$n"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chmv.main")
+    spark.sql(
+      s"""CREATE TABLE chmv.main.$src (id BIGINT, tag STRING, v BIGINT)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE chmv.main.cs_agg (tag STRING, cnt BIGINT, total BIGINT)
+         |TBLPROPERTIES ('engine' = 'SummingMergeTree', 'order_by' = 'tag')""".stripMargin)
+    client.createMaterializedView("main", "cs_mv", "main", "cs_agg",
+      s"SELECT tag, count(*) AS cnt, sum(v) AS total FROM main.$src GROUP BY tag")
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (1,'a',10),(2,'b',20)")
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (3,'a',5)")
+    assert(spark.table("chmv.main.cs_agg").count() > 2,
+      "partials before the merge")
+    client.optimizeTable("main", "cs_agg", finalize = false)
+    val rows = spark.table("chmv.main.cs_agg").orderBy("tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("a", 2L, 15L), ("b", 1L, 20L)), rows.toString)
+  }
+
   test("SQL DDL on the extensions session: CREATE MATERIALIZED VIEW " +
     "... TO ... AS creates the trigger, DROP VIEW removes it, Spark " +
     "temp views are never claimed") {
