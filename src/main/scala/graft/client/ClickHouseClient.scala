@@ -166,6 +166,15 @@ trait ClickHouseClient extends Serializable {
     throw new UnsupportedOperationException(
       s"this transport cannot DROP VIEW $db.$name")
 
+  /** Result schema of a ClickHouse-dialect SELECT without executing it
+    * (the server's `DESCRIBE TABLE (SELECT ...)`; the embedded model
+    * analyzes the translated statement). Backs the raw-SQL DataFrame
+    * surface: a lazy frame needs its schema before any execution.
+    */
+  def describeQuery(chSql: String): StructType =
+    throw new UnsupportedOperationException(
+      s"this transport cannot DESCRIBE a query")
+
   /** Plan a ClickHouse-dialect SELECT: initiate the remote query and
     * return the result schema plus one cheap, serializable handle per
     * remote stream/shard. NO ROW may cross the driver here — handles are

@@ -950,6 +950,9 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     false
   }
 
+  override def describeQuery(chSql: String): StructType =
+    resolveQueryDf(serverEntry(), chSql).schema // analysis only, no execution
+
   override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
     val entry = serverEntry()
     val spark = entry.session

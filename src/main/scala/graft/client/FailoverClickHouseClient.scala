@@ -143,6 +143,8 @@ class FailoverClickHouseClient(
       db, name, targetDb, targetTable, chSelectSql))
   override def listMaterializedViews(db: String): Seq[String] =
     withLive(_.listMaterializedViews(db))._2
+  override def describeQuery(chSql: String): StructType =
+    withLive(_.describeQuery(chSql))._2
   override def dropMaterializedView(db: String, name: String): Unit =
     replicas.foreach(_.dropMaterializedView(db, name))
   override def renameTable(

@@ -552,6 +552,8 @@ class HttpClickHouseClient(
     ClickHouseType.toStructType(cols)
   }
 
+  override def describeQuery(chSql: String): StructType = describe(chSql)
+
   /** HTTP handles are self-contained statements — the slice is exactly
     * `sql`'s result, so any replica holding the data can serve it:
     * re-address the handle to this transport (its endpoint, credentials,

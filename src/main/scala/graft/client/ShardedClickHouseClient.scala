@@ -130,6 +130,9 @@ class ShardedClickHouseClient(
       db, name, targetDb, targetTable, chSelectSql))
   override def listMaterializedViews(db: String): Seq[String] =
     shards.head.listMaterializedViews(db)
+  // schema is identical across shards (DDL broadcasts) — one probe
+  override def describeQuery(chSql: String): StructType =
+    shards.head.describeQuery(chSql)
   override def dropMaterializedView(db: String, name: String): Unit =
     shards.foreach(_.dropMaterializedView(db, name))
   override def optimizeTable(db: String, table: String, finalize: Boolean): Unit =

@@ -1725,6 +1725,28 @@ object ConnectorQueries {
            |FROM orders WHERE o_orderkey % 2 = $parity""".stripMargin)
       client.optimizeTable("main", "ord_sum_agg", finalize = false)
       s.table("clickhouse.main.ord_sum_agg").orderBy("st")
+    },
+
+    // Raw ClickHouse-SQL passthrough (round 10): the statement ships
+    // verbatim and executes where the data lives — the reference's core
+    // contract (any server construct works); the result streams back as
+    // a lazy DataFrame whose schema comes from the server's DESCRIBE.
+    // The session API (chSql) is the entry point; the oracle computes
+    // the same aggregate over the raw corpus.
+    q("r53_raw_sql",
+      """SELECT lang, CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `lang`, toInt64(floor(`n_chars` / 100)) AS bucket,
+          |  count(*) AS n
+          |FROM `main`.`documents` WHERE `n_chars` IS NOT NULL
+          |GROUP BY `lang`, bucket ORDER BY `lang`, bucket""".stripMargin)
     }
   )
 }

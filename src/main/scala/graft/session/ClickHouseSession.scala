@@ -30,6 +30,25 @@ final class ClickHouseSession private (
 
   def sql(query: String): DataFrame = spark.sql(query)
 
+  /** Raw ClickHouse-SQL passthrough as a LAZY DataFrame: the statement
+    * ships verbatim and executes where the data lives (the reference's
+    * core contract — any server construct works: FINAL, SAMPLE,
+    * LIMIT BY, arrayJoin, every server function), streamed back over
+    * `streams` executor partitions. Schema comes from the server's
+    * `DESCRIBE TABLE (SELECT ...)` without executing; Spark transforms
+    * compose on top (the frame is a leaf the optimizer cannot reach
+    * into, so pushdown INTO the statement is the author's job).
+    */
+  def chSql(chSelectSql: String, streams: Int = 8): DataFrame = {
+    require(streams > 0, s"streams must be positive: $streams")
+    val schema = client.describeQuery(chSelectSql)
+    val attrs = schema.fields.toSeq.map(f =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        f.name, f.dataType, f.nullable)())
+    org.apache.spark.sql.graft.bridge.ofRows(spark,
+      graft.pushdown.ClickHouseRemoteNode(attrs, chSelectSql, client, streams))
+  }
+
   def createDatabase(db: String): Unit = client.createDatabase(db)
 
   /** Server-side `INSERT INTO db.table SELECT ...` — the SELECT is

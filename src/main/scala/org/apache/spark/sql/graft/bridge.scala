@@ -15,6 +15,16 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over an arbitrary LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]`) — backs the raw ClickHouse-SQL passthrough frame.
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   // `private[sql]` DSv2 expression shapes, re-exposed for the connector's
   // v2 pushdown compilers (graft.sql.ChV2Exprs)
   def fieldRefName(e: V2Expression): Option[String] = e match {

@@ -75,6 +75,36 @@ class SessionSpec extends AnyFunSuite {
     assert(!ch.databases.contains("analytics"))
   }
 
+  test("raw ClickHouse-SQL passthrough: lazy frame with the server's " +
+    "schema, CH functions + FINAL execute remotely, Spark transforms " +
+    "compose on top") {
+    val root = Files.createTempDirectory("graft_chsql_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chraw").build()
+    ch.createDatabase("raw")
+    ch.newTable("raw", "m")
+      .column("id", "Int64").column("name", "String")
+      .column("ver", "Int64")
+      .engine("ReplacingMergeTree(ver)").orderBy("id").create()
+    val sch = ch.client.asInstanceOf[graft.client.EmbeddedClickHouse]
+      .sparkSchema("raw", "m")
+    ch.client.insert("raw", "m", sch,
+      Seq(Row(1L, "alpha", 1L), Row(2L, "beta", 1L)))
+    ch.client.insert("raw", "m", sch, Seq(Row(1L, "alpha2", 2L)))
+    // server functions in the statement; schema from DESCRIBE, lazily
+    val df = ch.chSql(
+      "SELECT `id`, toUpperCase(`name`) AS uname FROM `raw`.`m` WHERE `id` >= 1")
+    assert(df.schema.fieldNames.toSeq == Seq("id", "uname"))
+    assert(df.count() == 3L) // no FINAL → all physical rows
+    // FINAL in the raw statement collapses versions server-side
+    val fin = ch.chSql("SELECT `id`, `name` FROM `raw`.`m` FINAL")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(fin == Seq(1L -> "alpha2", 2L -> "beta"), fin.toString)
+    // Spark transforms compose on the lazy frame
+    val top = df.where(col("uname").startsWith("A")).agg(count(lit(1))).head.getLong(0)
+    assert(top == 2L)
+  }
+
   test("GraftExtensions (spark.sql.extensions path) wires rule/strategy/functions") {
     // suites share one JVM session, so build-time extensions are exercised
     // on a SIBLING session over the same SparkContext — exactly what
