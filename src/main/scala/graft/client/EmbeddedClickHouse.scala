@@ -448,7 +448,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     val tables = knownTables.filterNot(t => isSystem(t._1))
     val tr = ChSqlTranslator.translate(chSelectSql, tables)
     val referenced = tables.filter { case (d, t) =>
-      tr.contains(ChSqlTranslator.viewName(d, t)) }
+      EmbeddedClickHouse.referencesView(tr, ChSqlTranslator.viewName(d, t)) }
     require(referenced.size == 1,
       s"CREATE MATERIALIZED VIEW $db.$name: the select must read exactly " +
         s"one source table (found ${referenced.size}: " +
@@ -647,7 +647,8 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       tables: Seq[(String, String)]): Unit = {
     val v = entry.version
     tables.foreach { case (db, t) =>
-      if (translatedSql.contains(ChSqlTranslator.viewName(db, t))) {
+      if (EmbeddedClickHouse.referencesView(
+        translatedSql, ChSqlTranslator.viewName(db, t))) {
         val reg = entry.viewVersions.get((db, t))
         if (reg == null || reg.longValue != v) {
           registerView(entry.session, db, t)
@@ -1419,6 +1420,25 @@ object EmbeddedClickHouse {
     */
   private[client] val firingMvs: ThreadLocal[Set[String]] =
     ThreadLocal.withInitial(() => Set.empty[String])
+
+  /** Word-boundary view-name containment: `__ch_main_t_1` is a PREFIX
+    * of `__ch_main_t_10`, so bare `contains` misattributes references
+    * between tables whose names extend each other (caught by the MV
+    * fuzz — the source detector claimed two sources for a one-table
+    * select). View names are \\w-only, so a non-word neighbor char is
+    * a true boundary.
+    */
+  private[client] def referencesView(sql: String, view: String): Boolean = {
+    var i = sql.indexOf(view)
+    while (i >= 0) {
+      val end = i + view.length
+      def word(c: Char) = c.isLetterOrDigit || c == '_'
+      if ((i == 0 || !word(sql.charAt(i - 1))) &&
+        (end >= sql.length || !word(sql.charAt(end)))) return true
+      i = sql.indexOf(view, i + 1)
+    }
+    false
+  }
 
   private[client] final case class MvDef(
       db: String, name: String, srcDb: String, srcTable: String,

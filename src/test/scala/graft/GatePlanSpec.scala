@@ -55,6 +55,31 @@ class GatePlanSpec extends AnyFunSuite {
       s"plain remote scan expected: $scan")
   }
 
+  test("r52 summing-rollup read is fully materialized: plain scan of the " +
+    "merged target, no Spark-side aggregation or shuffle (the MV left " +
+    "partials, the Summing merge collapsed them)") {
+    val df: DataFrame = SparkEntry.queries("r52_summing_mv")(spark, sfDir)
+    assert(df.count() > 0)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
+    assert(!all.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec]),
+      s"no Spark aggregation over a merge-materialized rollup:\n${all.head}")
+  }
+
+  test("r53 raw-SQL passthrough plans as ONE remote exec: the statement " +
+    "executes in the store, Spark only streams and sorts") {
+    val df: DataFrame = SparkEntry.queries("r53_raw_sql")(spark, sfDir)
+    assert(df.count() > 0)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
+    val remotes = all.collect {
+      case r: graft.pushdown.ClickHouseRemoteExec => r }
+    assert(remotes.size == 1, s"one remote exec:\n${all.head}")
+    assert(remotes.head.sql.contains("FROM `main`.`documents`"),
+      remotes.head.sql)
+  }
+
   test("t10 chunking is a pure generator: zero shuffles") {
     val (n, shuffles) = run("t10_chunk_overlap")
     assert(n > 0)

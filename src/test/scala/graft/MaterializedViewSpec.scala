@@ -304,6 +304,48 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("20-seed fuzz: random block sequences with interleaved OPTIMIZEs " +
+    "— the re-aggregated Summing target always equals the direct " +
+    "aggregate over everything inserted") {
+    import scala.util.Random
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chmv.main")
+    val sch = StructType(Seq(StructField("id", LongType, false),
+      StructField("tag", StringType, false), StructField("v", LongType, false)))
+    for (seed <- 0 until 20) {
+      val r = new Random(seed)
+      val (src, tgt, mv) = (s"fz_src_$seed", s"fz_tgt_$seed", s"fz_mv_$seed")
+      client.createTable("main", src,
+        Seq("id" -> "Int64", "tag" -> "String", "v" -> "Int64"),
+        Map("engine" -> "MergeTree", "order_by" -> "id"))
+      client.createTable("main", tgt,
+        Seq("tag" -> "String", "cnt" -> "Int64", "total" -> "Int64"),
+        Map("engine" -> "SummingMergeTree", "order_by" -> "tag"))
+      client.createMaterializedView("main", mv, "main", tgt,
+        s"SELECT tag, count(*) AS cnt, sum(v) AS total FROM main.$src GROUP BY tag")
+      var shadow = Map.empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+      var nextId = 0L
+      for (_ <- 0 until (3 + r.nextInt(5))) {
+        // one random block (1-7 rows over a small tag alphabet,
+        // negative values exercise the all-zero deletion rule)
+        val rows = (0 until (1 + r.nextInt(7))).map { _ =>
+          nextId += 1
+          val tag = s"t${r.nextInt(4)}"
+          val v = r.nextInt(21) - 10L
+          val (c, t) = shadow(tag); shadow += (tag -> (c + 1, t + v))
+          Row(nextId, tag, v)
+        }
+        client.insert("main", src, sch, rows)
+        if (r.nextBoolean()) client.optimizeTable("main", tgt)
+      }
+      val got = spark.table(s"chmv.main.$tgt").collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rs) =>
+          k -> ((rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum)) }
+      assert(got == shadow.filter { case (_, (c, _)) => c > 0 },
+        s"seed $seed: $got vs $shadow")
+    }
+  }
+
   test("sharded catalogs fire per shard; the target union re-aggregates " +
     "to the full answer") {
     val r1 = Files.createTempDirectory("graft_mvsh1_").toString
