@@ -52,6 +52,13 @@ class ClickHouseTable(
 
   override def name(): String = s"$db.$table"
 
+  // exposed for the INSERT-SELECT server-side rewrite (pushdown rule):
+  // the rule needs the write side's transport identity to prove the
+  // statement never has to leave the store
+  def chClient: ClickHouseClient = client
+  def chDb: String = db
+  def chTable: String = table
+
   /** `DELETE FROM` support, the same honored-or-rejected way as scan
     * pushdown: a predicate is deletable iff it compiles to ClickHouse SQL
     * (the exactness probe); anything else fails the statement instead of

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 
 import graft.connector.ChScan
 import graft.functions.{ClickHouseEval, ClickHouseFn, ClickHousePassthrough}
@@ -55,6 +55,13 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
 
   private def rewrite(p: LogicalPlan): LogicalPlan = p match {
     case _: ClickHouseRemoteNode => p
+
+    // INSERT INTO <ch-table> SELECT over SAME-STORE tables: the whole
+    // statement executes server-side (insertSelect) — zero rows cross
+    // the wire. Falls through to the normal recursion (which still
+    // collapses the READ side) when the shapes don't line up.
+    case a: AppendData =>
+      rewriteInsertSelect(a).getOrElse(hoistAndRecurse(p))
 
     // Remote top-k pre-limit: ORDER BY + LIMIT n ship into the remote SQL
     // while Spark's own Sort+Limit stay in the plan operating on <= n
@@ -214,6 +221,47 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
 
   private def sequenceOpt[T](xs: Seq[Option[T]]): Option[Seq[T]] =
     if (xs.exists(_.isEmpty)) None else Some(xs.flatten)
+
+  /** Some(command) when this AppendData is a same-store INSERT SELECT a
+    * single remote statement can satisfy. Conservative by construction:
+    * every read leaf must be a ChScan on the TARGET's connection key;
+    * the transport must be a single execution domain (a sharded client
+    * would need the client-side routing the Spark write path performs);
+    * write options must be empty (an option the server path cannot
+    * honor must not be silently dropped); and the query must unparse.
+    * Spark has already aligned the query's output to the table's column
+    * order at analysis, so the remote SELECT aliases positionally to
+    * the sink's names (insertSelect re-verifies names AND types).
+    */
+  private def rewriteInsertSelect(a: AppendData): Option[LogicalPlan] =
+    a.table match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: graft.connector.ClickHouseTable
+            if a.writeOptions.isEmpty && t.chClient.singleExecutionDomain =>
+          val leaves = a.query.collectLeaves()
+          val scans = leaves.collect {
+            case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s
+          }
+          val sink = t.columns().map(_.name)
+          if (scans.length != leaves.length || leaves.isEmpty ||
+            !scans.forall(_.chClient.connectionKey == t.chClient.connectionKey) ||
+            sink.length != a.query.output.length) None
+          else ChPlanUnparser.unparse(a.query).map { u =>
+            val sel = a.query.output.zip(sink).map { case (attr, name) =>
+              s"${u.scope(attr.exprId)} AS ${graft.sql.ChSql.quoteIdent(name)}"
+            }
+            val full = s"SELECT ${sel.mkString(", ")} FROM (${u.sql}) AS __ins"
+            val refreshName = r.catalog.map { c =>
+              (Seq(c.name()) ++
+                r.identifier.map(i => i.namespace().toSeq :+ i.name())
+                  .getOrElse(Seq(t.chDb, t.chTable))).mkString(".")
+            }
+            ChInsertSelectCommand(t.chClient, t.chDb, t.chTable, full, refreshName)
+          }
+        case _ => None
+      }
+      case _ => None
+    }
 
   private def hoistAndRecurse(p: LogicalPlan): LogicalPlan = {
     val hoisted = hoistPassthroughs(p)
