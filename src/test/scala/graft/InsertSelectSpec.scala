@@ -137,7 +137,14 @@ class InsertSelectSpec extends AnyFunSuite {
   test("NULL into a non-Nullable sink column fails loudly through the " +
     "server path; materialized views on the target fire") {
     setup
-    freshTarget("dst3")
+    // Spark DDL columns are nullable by default and the catalog maps them
+    // faithfully to Nullable(T) — the NULL-guard assertion needs an honest
+    // NOT NULL sink.
+    spark.sql("DROP TABLE IF EXISTS chisel.main.dst3")
+    spark.sql(
+      """CREATE TABLE chisel.main.dst3
+        |(id BIGINT NOT NULL, tag STRING NOT NULL, v BIGINT NOT NULL)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
     val e = intercept[Exception](spark.sql(
       """INSERT INTO chisel.main.dst3
         |SELECT id, CASE WHEN id = 5 THEN CAST(NULL AS STRING) ELSE tag END, v
@@ -145,6 +152,8 @@ class InsertSelectSpec extends AnyFunSuite {
     val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(chain.contains("NULL") || chain.contains("null"), chain)
+    // the staged copy aborts: nothing landed
+    assert(spark.table("chisel.main.dst3").count() == 0)
     // MV on the target fires through the server-side insert
     spark.sql(
       """CREATE TABLE chisel.main.dst3_agg (tag STRING, n BIGINT)
@@ -157,5 +166,18 @@ class InsertSelectSpec extends AnyFunSuite {
         "WHERE id < 6")
     assert(spark.table("chisel.main.dst3_agg").collect()
       .map(_.getLong(1)).sum == 6L)
+  }
+
+  test("NULL into a Nullable sink column succeeds: Spark-nullable DDL maps " +
+    "to Nullable(T), so the insert is legal and the NULL lands") {
+    setup
+    freshTarget("dst4") // default-nullable columns -> Nullable(T) in the store
+    spark.sql(
+      """INSERT INTO chisel.main.dst4
+        |SELECT id, CASE WHEN id = 5 THEN CAST(NULL AS STRING) ELSE tag END, v
+        |FROM chisel.main.src WHERE id < 10""".stripMargin)
+    val rows = spark.table("chisel.main.dst4").collect()
+    assert(rows.length == 10)
+    assert(rows.count(_.isNullAt(1)) == 1)
   }
 }
