@@ -159,6 +159,38 @@ object ChSqlTranslator {
     s = rewriteCall(s, "trimLeft", args => s"ltrim(${args.head})")
     s = rewriteCall(s, "trimRight", args => s"rtrim(${args.head})")
     s = rewriteCall(s, "isNaN", args => s"isnan(${args.head})")
+    // AggregatingMergeTree combinators: -State writes produce the
+    // transparent storage representation (ClickHouseType.aggStateType),
+    // -Merge reads combine partial states. avg keeps exact integer
+    // sum/count (single-division rational on read — hash-stable);
+    // uniq is exact over xxhash64 values.
+    s = rewriteCall(s, "avgState",
+      args => s"named_struct('s', sum(${args.head}), 'c', count(${args.head}))")
+    s = rewriteCall(s, "avgMerge",
+      args => s"(sum((${args.head}).s) / sum((${args.head}).c))")
+    s = rewriteCall(s, "uniqState",
+      args => s"collect_set(xxhash64(${args.head})) " +
+        s"FILTER (WHERE (${args.head}) IS NOT NULL)")
+    s = rewriteCall(s, "uniqExactState",
+      args => s"collect_set(xxhash64(${args.head})) " +
+        s"FILTER (WHERE (${args.head}) IS NOT NULL)")
+    s = rewriteCall(s, "uniqMerge",
+      args => s"cast(size(array_distinct(flatten(collect_list(${args.head})))) as bigint)")
+    s = rewriteCall(s, "uniqExactMerge",
+      args => s"cast(size(array_distinct(flatten(collect_list(${args.head})))) as bigint)")
+    s = rewriteCall(s, "sumState", args => s"sum(${args.head})")
+    s = rewriteCall(s, "sumMerge", args => s"sum(${args.head})")
+    s = rewriteCall(s, "countState",
+      args => if (args.isEmpty) "count(1)" else s"count(${args.head})")
+    s = rewriteCall(s, "countMerge", args => s"sum(${args.head})")
+    s = rewriteCall(s, "minState", args => s"min(${args.head})")
+    s = rewriteCall(s, "minMerge", args => s"min(${args.head})")
+    s = rewriteCall(s, "maxState", args => s"max(${args.head})")
+    s = rewriteCall(s, "maxMerge", args => s"max(${args.head})")
+    // anyState: the server keeps "any one" value — min is a legal any,
+    // reproducibly (same rule as the Summing non-summed columns)
+    s = rewriteCall(s, "anyState", args => s"min(${args.head})")
+    s = rewriteCall(s, "anyMerge", args => s"min(${args.head})")
     // parameterized aggregate: quantileExactInclusive(p)(x) →
     // percentile(x, p) (percentile_cont semantics in both)
     s = rewriteParamCall(s, "quantileExactInclusive",

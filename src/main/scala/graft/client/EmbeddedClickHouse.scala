@@ -359,7 +359,9 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     // Replacing dedup materializes only under OPTIMIZE FINAL (the
     // documented use); Summing collapse happens on ANY merge — a plain
     // OPTIMIZE of a SummingMergeTree table already sums the key groups
-    val summing = engine.startsWith("SummingMergeTree")
+    // AggregatingMergeTree likewise combines state columns on ANY merge
+    val summing = engine.startsWith("SummingMergeTree") ||
+      engine.startsWith("AggregatingMergeTree")
     val src =
       if ((finalize && replacing) || summing)
         rewriteFinal(s"SELECT * FROM $qt FINAL")
@@ -480,10 +482,14 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
           e.getMessage, e) }
     val sink = sparkSchema(targetDb, targetTable)
     val byName = out.fields.map(f => f.name -> f).toMap
+    // nullability-insensitive fit: NULLs are guarded at insert time (the
+    // runtime non-Nullable guard), and aggregate state structs carry
+    // per-expression nullability the declared storage type cannot mirror
     val errs = sink.fields.flatMap { sf =>
       byName.get(sf.name) match {
         case None => Some(s"missing column '${sf.name}'")
-        case Some(f) if f.dataType != sf.dataType =>
+        case Some(f) if ClickHouseType.ignoreNullability(f.dataType) !=
+            ClickHouseType.ignoreNullability(sf.dataType) =>
           Some(s"'${sf.name}' type mismatch: ${f.dataType.sql} vs ${sf.dataType.sql}")
         case _ => None
       }
@@ -850,11 +856,38 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
             s"FROM (SELECT $sel FROM `$db`.`$t` GROUP BY " +
               keys.map(k => s"`$k`").mkString(", ") +
               s" HAVING NOT ($havingNotAllZero)) AS `$t`")
+        case e if e.startsWith("AggregatingMergeTree") =>
+          // AggregatingMergeTree: rows sharing the sorting key collapse
+          // by MERGING each AggregateFunction column per its function
+          // (the transparent state reps of ClickHouseType.aggStateType);
+          // plain non-key columns take the deterministic representative
+          val keys = orderKeys
+          keys.foreach(k => require(cols.exists(_._1 == k),
+            s"FINAL on $db.$t: sorting key '$k' not in table columns"))
+          val sel = cols.map { case (c, ty) =>
+            if (keys.contains(c)) s"`$c`"
+            else ClickHouseType.aggFunction(ty) match {
+              case Some("avg") =>
+                s"named_struct('s', sum(`$c`.s), 'c', sum(`$c`.c)) AS `$c`"
+              case Some("uniq") | Some("uniqExact") =>
+                s"array_distinct(flatten(collect_list(`$c`))) AS `$c`"
+              case Some("sum") | Some("count") => s"sum(`$c`) AS `$c`"
+              case Some("min") | Some("any") => s"min(`$c`) AS `$c`"
+              case Some("max") => s"max(`$c`) AS `$c`"
+              case Some(other) => throw new IllegalArgumentException(
+                s"FINAL on $db.$t: no merge rule for AggregateFunction($other)")
+              case None => s"min(`$c`) AS `$c`"
+            }
+          }.mkString(", ")
+          java.util.regex.Matcher.quoteReplacement(
+            s"FROM (SELECT $sel FROM `$db`.`$t` GROUP BY " +
+              keys.map(k => s"`$k`").mkString(", ") + s") AS `$t`")
         case e => throw new IllegalArgumentException(
           s"FINAL on $db.$t: the embedded store supports FINAL only on " +
-            s"ReplacingMergeTree(<version_column>) or SummingMergeTree" +
-            s"[(columns)] (engine is '$e'; without a merge rule the " +
-            "server's part-order tiebreak is not reproducible here)")
+            s"ReplacingMergeTree(<version_column>), SummingMergeTree" +
+            s"[(columns)], or AggregatingMergeTree (engine is '$e'; " +
+            "without a merge rule the server's part-order tiebreak is " +
+            "not reproducible here)")
       }
     })
 
@@ -1218,7 +1251,8 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       sink.fields.flatMap { sf =>
         byName.get(sf.name) match {
           case None => Some(s"missing column '${sf.name}'")
-          case Some(inf) if inf.dataType != sf.dataType =>
+          case Some(inf) if ClickHouseType.ignoreNullability(inf.dataType) !=
+              ClickHouseType.ignoreNullability(sf.dataType) =>
             Some(s"field '${sf.name}' type mismatch: ${inf.dataType.sql} vs ${sf.dataType.sql}")
           case _ => None
         }

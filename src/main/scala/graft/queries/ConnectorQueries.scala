@@ -1747,6 +1747,56 @@ object ConnectorQueries {
           |  count(*) AS n
           |FROM `main`.`documents` WHERE `n_chars` IS NOT NULL
           |GROUP BY `lang`, bucket ORDER BY `lang`, bucket""".stripMargin)
+    },
+
+    // AggregatingMergeTree + -State/-Merge (round 11): the canonical
+    // ClickHouse MV rollup beyond SummingMergeTree — the view leaves
+    // PARTIAL aggregate states (avg/uniq/count) per block in an
+    // AggregateFunction-typed target, OPTIMIZE collapses states by the
+    // sorting key, and a FINAL read with -Merge combinators returns
+    // finals. avg stays an exact-integer sum/count until ONE division
+    // at read (hash-stable vs the oracle, the t13/d08 rational rule);
+    // uniq is exact over 64-bit hashes.
+    q("r54_aggregating_mv",
+      """SELECT o_orderstatus AS st,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / count(*) AS avg_cents,
+        |  count(DISTINCT o_orderkey) AS uniq_k, count(*) AS n
+        |FROM orders GROUP BY st ORDER BY st""".stripMargin) { (s, dir) =>
+      val client = graft.connector.ChMutations.clientOf(s, "clickhouse")
+      if (client.listMaterializedViews("main").contains("ord_am_mv"))
+        client.dropMaterializedView("main", "ord_am_mv")
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.ord_am_src")
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.ord_am_agg")
+      s.sql(
+        """CREATE TABLE clickhouse.main.ord_am_src
+          |(k BIGINT, st STRING, cents BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      client.createTable("main", "ord_am_agg", Seq(
+        "st" -> "String",
+        "a" -> "AggregateFunction(avg, Int64)",
+        "u" -> "AggregateFunction(uniq, Int64)",
+        "c" -> "AggregateFunction(count, Int64)"),
+        Map("engine" -> "AggregatingMergeTree", "order_by" -> "st"))
+      client.createMaterializedView("main", "ord_am_mv", "main", "ord_am_agg",
+        "SELECT st, avgState(cents) AS a, uniqState(k) AS u, " +
+          "countState() AS c FROM main.ord_am_src GROUP BY st")
+      for (parity <- 0 to 1) s.sql(
+        s"""INSERT INTO clickhouse.main.ord_am_src
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(round(o_totalprice * 100) AS BIGINT)
+           |FROM orders WHERE o_orderkey % 2 = $parity""".stripMargin)
+      // merge-collapse the states, then read FINAL (covers both paths;
+      // FINAL over the single merged part is the identity collapse)
+      client.optimizeTable("main", "ord_am_agg", finalize = false)
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `st`, avgMerge(`a`) AS avg_cents, uniqMerge(`u`) AS uniq_k,
+          |  countMerge(`c`) AS n
+          |FROM `main`.`ord_am_agg` FINAL GROUP BY `st` ORDER BY `st`""".stripMargin)
     }
   )
 }

@@ -83,9 +83,73 @@ object ClickHouseType {
       case "String" | "Utf8" | "LargeUtf8" | "Utf8View" | "UUID" => Parsed(StringType, false)
       case "Bool" | "Boolean" => Parsed(BooleanType, false)
       case "Date" | "Date32" => Parsed(DateType, false)
+      case _ if t.startsWith("AggregateFunction(") && t.endsWith(")") =>
+        val parts = args("AggregateFunction")
+        require(parts.nonEmpty, s"empty AggregateFunction type: '$t'")
+        Parsed(aggStateType(parts.head, parts.tail.map(parseInner), t), false)
       case other =>
         throw new IllegalArgumentException(s"unsupported ClickHouse type: '$other'")
     }
+  }
+
+  /** Storage representation of an `AggregateFunction(fn, args...)` column
+    * (AggregatingMergeTree targets). A real server stores opaque state
+    * blobs; the embedded engine stores a TRANSPARENT Spark type per
+    * function so states stay parquet-representable and mergeable in SQL:
+    *  - avg   → struct<s: sum-type, c: bigint> (exact integer sum for
+    *    integral args — avgMerge is then a single exact-rational division)
+    *  - uniq / uniqExact → array<bigint> of xxhash64 values (exact over
+    *    64-bit hashes; collisions negligible at any gate scale)
+    *  - sum   → widened arg type, count → bigint, min/max/any → arg type
+    */
+  private def aggStateType(fn: String, argTypes: Seq[Parsed], full: String): DataType = {
+    def widened(p: Parsed): DataType = p.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case FloatType | DoubleType => DoubleType
+      case d: DecimalType => d
+      case other => throw new IllegalArgumentException(
+        s"AggregateFunction($fn) over non-numeric type ${other.sql}: '$full'")
+    }
+    def arg0: Parsed = {
+      require(argTypes.nonEmpty, s"AggregateFunction($fn) needs an argument type: '$full'")
+      argTypes.head
+    }
+    fn match {
+      case "avg" => StructType(Array(
+        StructField("s", widened(arg0), nullable = true),
+        StructField("c", LongType, nullable = true)))
+      case "uniq" | "uniqExact" =>
+        ArrayType(LongType, containsNull = false)
+      case "sum" => widened(arg0)
+      case "count" => LongType
+      case "min" | "max" | "any" => arg0.dataType
+      case other => throw new IllegalArgumentException(
+        s"unsupported AggregateFunction function: '$other' in '$full' " +
+          "(supported: avg, uniq, uniqExact, sum, count, min, max, any)")
+    }
+  }
+
+  /** Function name of an `AggregateFunction(...)` column type (unwrapping
+    * nothing — the server rejects Nullable/LowCardinality around states),
+    * or None for plain types. Drives merge-time state combining.
+    */
+  def aggFunction(chType: String): Option[String] = {
+    val t = chType.trim
+    if (t.startsWith("AggregateFunction(") && t.endsWith(")"))
+      Some(splitTopLevel(t.substring("AggregateFunction(".length, t.length - 1)).head)
+    else None
+  }
+
+  /** Recursively strip nullability for fit checks that enforce it
+    * elsewhere (runtime NULL guards / verifyWriteSchema widening).
+    */
+  def ignoreNullability(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(ignoreNullability(et), containsNull = true)
+    case MapType(kt, vt, _) =>
+      MapType(ignoreNullability(kt), ignoreNullability(vt), valueContainsNull = true)
+    case StructType(fields) => StructType(fields.map(f =>
+      StructField(f.name, ignoreNullability(f.dataType), nullable = true)))
+    case other => other
   }
 
   private def isTypeName(s: String): Boolean =

@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.client.EmbeddedClickHouse
+import graft.types.ClickHouseType
+
+/** AggregatingMergeTree + `-State` / `-Merge` combinators — the
+  * canonical ClickHouse MV rollup beyond SummingMergeTree: the MV's
+  * select leaves PARTIAL aggregate states per block in an
+  * AggregateFunction-typed target; merges (OPTIMIZE) and FINAL reads
+  * combine states by the sorting key; `-Merge` reads produce finals.
+  * The embedded store keeps TRANSPARENT state representations
+  * (ClickHouseType.aggStateType) so states stay parquet-representable.
+  */
+class AggregatingSpec extends AnyFunSuite {
+
+  private lazy val root = Files.createTempDirectory("graft_aggmt_").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .appName("aggregating-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s.conf.set("spark.sql.catalog.chagg",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    s.conf.set("spark.sql.catalog.chagg.path", root)
+    s
+  }
+
+  private lazy val client: EmbeddedClickHouse = {
+    spark
+    new EmbeddedClickHouse(root)
+  }
+
+  private lazy val ch: graft.session.ClickHouseSession =
+    graft.session.ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chagg").build()
+
+  private var n = 0
+  /** Fresh (src, tgt, mv): tgt is AggregatingMergeTree keyed by tag with
+    * avg/uniq/count/max states; the MV computes the states per block.
+    */
+  private def freshTrio(): (String, String, String) = {
+    n += 1
+    val (src, tgt, mv) = (s"asrc_$n", s"atgt_$n", s"amv_$n")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chagg.main")
+    spark.sql(
+      s"""CREATE TABLE chagg.main.$src (id BIGINT, tag STRING, v BIGINT)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    client.createTable("main", tgt, Seq(
+      "tag" -> "String",
+      "a" -> "AggregateFunction(avg, Int64)",
+      "u" -> "AggregateFunction(uniq, Int64)",
+      "c" -> "AggregateFunction(count, Int64)",
+      "mx" -> "AggregateFunction(max, Int64)"),
+      Map("engine" -> "AggregatingMergeTree", "order_by" -> "tag"))
+    client.createMaterializedView("main", mv, "main", tgt,
+      s"SELECT tag, avgState(v) AS a, uniqState(id) AS u, " +
+        s"countState() AS c, maxState(v) AS mx FROM main.$src GROUP BY tag")
+    (src, tgt, mv)
+  }
+
+  private def mergeRead(tgt: String) = ch.chSql(
+    s"""SELECT `tag`, avgMerge(`a`) AS avg_v, uniqMerge(`u`) AS uniq_id,
+       |  countMerge(`c`) AS n, maxMerge(`mx`) AS max_v
+       |FROM `main`.`$tgt` GROUP BY `tag` ORDER BY `tag`""".stripMargin)
+    .collect().map(r =>
+      r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    .toMap
+
+  test("state types parse to transparent storage reps; avg keeps an " +
+    "exact integer sum for integral args") {
+    import org.apache.spark.sql.types._
+    assert(ClickHouseType.parse("AggregateFunction(avg, Int64)").dataType ==
+      StructType(Seq(StructField("s", LongType), StructField("c", LongType))))
+    assert(ClickHouseType.parse("AggregateFunction(avg, Float64)").dataType ==
+      StructType(Seq(StructField("s", DoubleType), StructField("c", LongType))))
+    assert(ClickHouseType.parse("AggregateFunction(uniq, String)").dataType ==
+      ArrayType(LongType, containsNull = false))
+    assert(ClickHouseType.parse("AggregateFunction(max, String)").dataType ==
+      StringType)
+    assert(ClickHouseType.aggFunction("AggregateFunction(uniqExact, Int64)")
+      .contains("uniqExact"))
+    assert(ClickHouseType.aggFunction("Int64").isEmpty)
+    intercept[IllegalArgumentException](
+      ClickHouseType.parse("AggregateFunction(median, Int64)"))
+  }
+
+  test("MV leaves PARTIAL states per block; -Merge reads combine them " +
+    "to the direct aggregate over the source") {
+    val (src, tgt, _) = freshTrio()
+    // two blocks: tag 'a' gets partial states in both
+    spark.sql(s"INSERT INTO chagg.main.$src VALUES " +
+      "(1,'a',10),(2,'a',20),(3,'b',5),(2,'a',20)") // id 2 twice: uniq dedups
+    spark.sql(s"INSERT INTO chagg.main.$src VALUES (4,'a',1),(5,'c',7)")
+    val partials = spark.table(s"chagg.main.$tgt").where("tag = 'a'").count()
+    assert(partials >= 2, s"expected partial state rows for 'a', got $partials")
+    assert(mergeRead(tgt) == Map(
+      "a" -> ((51.0 / 4.0, 3L, 4L, 20L)),
+      "b" -> ((5.0, 1L, 1L, 5L)),
+      "c" -> ((7.0, 1L, 1L, 7L))))
+  }
+
+  test("OPTIMIZE merges states to ONE row per key; -Merge reads are " +
+    "unchanged; FINAL reads combine on the fly without OPTIMIZE") {
+    val (src, tgt, _) = freshTrio()
+    spark.sql(s"INSERT INTO chagg.main.$src VALUES (1,'a',10),(2,'b',2)")
+    spark.sql(s"INSERT INTO chagg.main.$src VALUES (3,'a',30),(4,'b',4)")
+    // FINAL read pre-OPTIMIZE: states merged on the fly
+    val fin = ch.chSql(
+      s"""SELECT `tag`, avgMerge(`a`) AS avg_v, uniqMerge(`u`) AS uniq_id
+         |FROM `main`.`$tgt` FINAL GROUP BY `tag` ORDER BY `tag`""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(fin.toSeq == Seq(("a", 20.0, 2L), ("b", 3.0, 2L)))
+    val before = mergeRead(tgt)
+    client.optimizeTable("main", tgt, finalize = false)
+    assert(spark.table(s"chagg.main.$tgt").count() == 2,
+      "post-OPTIMIZE: one merged state row per key")
+    assert(mergeRead(tgt) == before, "merge collapse must not change results")
+  }
+
+  test("uniqState skips NULLs (Nullable source column)") {
+    n += 1
+    val (src, tgt) = (s"nsrc_$n", s"ntgt_$n")
+    client.createTable("main", src,
+      Seq("id" -> "Int64", "tag" -> "String", "u" -> "Nullable(Int64)"),
+      Map("engine" -> "MergeTree", "order_by" -> "id"))
+    client.createTable("main", tgt,
+      Seq("tag" -> "String", "uq" -> "AggregateFunction(uniq, Nullable(Int64))"),
+      Map("engine" -> "AggregatingMergeTree", "order_by" -> "tag"))
+    client.createMaterializedView("main", s"nmv_$n", "main", tgt,
+      s"SELECT tag, uniqState(u) AS uq FROM main.$src GROUP BY tag")
+    spark.sql(s"INSERT INTO chagg.main.$src VALUES " +
+      "(1,'a',7),(2,'a',NULL),(3,'a',7),(4,'a',9)")
+    val r = ch.chSql(
+      s"SELECT uniqMerge(`uq`) AS u FROM `main`.`$tgt` GROUP BY `tag`")
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("direct insertSelect with -State aggregates works (no MV needed); " +
+    "sum/min states merge too") {
+    n += 1
+    val (src, tgt) = (s"dsrc_$n", s"dtgt_$n")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chagg.main")
+    spark.sql(
+      s"""CREATE TABLE chagg.main.$src (id BIGINT, tag STRING, v BIGINT)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql(s"INSERT INTO chagg.main.$src VALUES (1,'a',10),(2,'a',3),(3,'b',5)")
+    client.createTable("main", tgt, Seq(
+      "tag" -> "String",
+      "sm" -> "AggregateFunction(sum, Int64)",
+      "mn" -> "AggregateFunction(min, Int64)"),
+      Map("engine" -> "AggregatingMergeTree", "order_by" -> "tag"))
+    client.insertSelect("main", tgt,
+      s"SELECT tag, sumState(v) AS sm, minState(v) AS mn " +
+        s"FROM main.$src GROUP BY tag")
+    client.insertSelect("main", tgt,
+      s"SELECT tag, sumState(v * 10) AS sm, minState(v * 10) AS mn " +
+        s"FROM main.$src GROUP BY tag")
+    val out = ch.chSql(
+      s"""SELECT `tag`, sumMerge(`sm`) AS s, minMerge(`mn`) AS m
+         |FROM `main`.`$tgt` GROUP BY `tag` ORDER BY `tag`""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 143L, 3L), ("b", 55L, 5L)))
+  }
+
+  test("FINAL on an engine without a merge rule still rejects; " +
+    "AggregateFunction over a non-numeric arg rejects where required") {
+    n += 1
+    client.createTable("main", s"plain_$n", Seq("id" -> "Int64"),
+      Map("engine" -> "MergeTree", "order_by" -> "id"))
+    val e = intercept[Exception](
+      ch.chSql(s"SELECT * FROM `main`.`plain_$n` FINAL").collect())
+    assert(e.getMessage.contains("FINAL"), e.getMessage)
+    intercept[IllegalArgumentException](client.createTable("main", s"bad_$n",
+      Seq("tag" -> "String", "a" -> "AggregateFunction(avg, String)"),
+      Map("engine" -> "AggregatingMergeTree", "order_by" -> "tag")))
+  }
+}
