@@ -23,7 +23,7 @@ object ChMvDdl {
 
   // pattern-matched via unapplySeq, which full-matches — no anchors
   private val CreateRe =
-    raw"(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([^\s]+)\s+TO\s+([^\s]+)\s+AS\s+(.+?)\s*;?\s*".r
+    raw"(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([^\s]+)\s+TO\s+([^\s]+)\s+(?:(POPULATE)\s+)?AS\s+(.+?)\s*;?\s*".r
   private val DropRe =
     raw"(?is)\s*DROP\s+(?:MATERIALIZED\s+)?VIEW\s+(?:(IF\s+EXISTS)\s+)?([^\s]+)\s*;?\s*".r
 
@@ -32,7 +32,7 @@ object ChMvDdl {
     */
   def rewrite(session: SparkSession, sqlText: String,
       delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
-    case CreateRe(ifNotExists, viewId, targetId, select) =>
+    case CreateRe(ifNotExists, viewId, targetId, populate, select) =>
       resolve(session, delegate, viewId).map { case (cat, db, name) =>
         // once the VIEW addresses a ClickHouse catalog, a bad target is
         // a loud error, never a fall-through to Spark's parse failure
@@ -45,7 +45,7 @@ object ChMvDdl {
             s"in the same catalog ('$cat' vs '$tCat') — cross-catalog " +
             "triggers have no server counterpart")
         ChCreateMvCommand(cat, db, name, tDb, tTable, select,
-          ifNotExists != null)
+          ifNotExists != null, populate != null)
       }
     case DropRe(ifExists, viewId) =>
       resolve(session, delegate, viewId).filter { case (cat, db, name) =>
@@ -104,12 +104,21 @@ object ChMvDdl {
 final case class ChCreateMvCommand(
     catalog: String, db: String, name: String,
     targetDb: String, targetTable: String, select: String,
-    ifNotExists: Boolean)
+    ifNotExists: Boolean, populate: Boolean = false)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val client = graft.connector.ChMutations.clientOf(spark, catalog)
-    if (!(ifNotExists && client.listMaterializedViews(db).contains(name)))
-      client.createMaterializedView(db, name, targetDb, targetTable, select)
+    if (!(ifNotExists && client.listMaterializedViews(db).contains(name))) {
+      client.createMaterializedView(
+        db, name, targetDb, targetTable, select, populate)
+      // the backfill landed rows in the target (and possibly its own
+      // views' targets) outside Spark's invalidation hooks
+      if (populate) {
+        graft.connector.ChMutations.drainMvRefresh(spark)
+        graft.connector.ChMutations.refresh(
+          spark, s"$catalog.$targetDb.$targetTable")
+      }
+    }
     Seq.empty
   }
   override def simpleString(maxFields: Int): String =

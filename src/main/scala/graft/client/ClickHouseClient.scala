@@ -148,9 +148,20 @@ trait ClickHouseClient extends Serializable {
     * (server-documented): a crash between the two can leave the target
     * behind; it catches up on no schedule. Mutations/merges of the
     * source do NOT re-fire the view.
+    *
+    * `populate` backfills the target with one transform of the source's
+    * EXISTING rows before the trigger arms — `CREATE MATERIALIZED VIEW
+    * ... POPULATE` semantics. The server's documented POPULATE caveat
+    * (rows inserted concurrently with the backfill are MISSED, never
+    * double-counted) applies here in the same direction: backfill runs
+    * strictly before trigger arming. Note the server itself rejects
+    * POPULATE on TO-form views; this engine supports the composition
+    * (backfill + TO target) as a documented extension — the wire
+    * transport implements it as backfill INSERT SELECT then CREATE.
     */
   def createMaterializedView(db: String, name: String, targetDb: String,
-      targetTable: String, chSelectSql: String): Unit =
+      targetTable: String, chSelectSql: String,
+      populate: Boolean = false): Unit =
     throw new UnsupportedOperationException(
       s"this transport cannot CREATE MATERIALIZED VIEW $db.$name")
 

@@ -434,7 +434,8 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
   }
 
   override def createMaterializedView(db: String, name: String,
-      targetDb: String, targetTable: String, chSelectSql: String): Unit = {
+      targetDb: String, targetTable: String, chSelectSql: String,
+      populate: Boolean): Unit = {
     rejectSystem(db, s"CREATE MATERIALIZED VIEW $db.$name")
     rejectSystem(targetDb, s"MATERIALIZED VIEW target $targetDb.$targetTable")
     require(Files.isDirectory(dbPath(db)), s"no such database: $db")
@@ -498,6 +499,13 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     require(errs.isEmpty,
       s"CREATE MATERIALIZED VIEW $db.$name: select does not fit target " +
         s"$targetDb.$targetTable: ${errs.mkString("; ")}")
+    // POPULATE: backfill the target from the source's EXISTING rows
+    // strictly BEFORE the trigger arms (view.meta write) — rows already
+    // present appear in the target exactly once, and the first
+    // post-create insert fires the trigger over only its own block.
+    // Backfill through insertSelect: staged-commit atomicity, and the
+    // TARGET's own views fire on the landed backfill (chain semantics).
+    if (populate) insertSelect(targetDb, targetTable, chSelectSql)
     Files.createDirectories(tablePath(db, name))
     Files.write(mvMetaPath(db, name), Seq(
       // meta is line-based: flatten the select (SQL is whitespace-blind)

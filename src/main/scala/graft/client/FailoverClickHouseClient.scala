@@ -138,9 +138,16 @@ class FailoverClickHouseClient(
   // where inserts land (writes pin to replica 0), so replica state stays
   // mutually consistent (both source and target replicate via the pin)
   override def createMaterializedView(db: String, name: String,
-      targetDb: String, targetTable: String, chSelectSql: String): Unit =
+      targetDb: String, targetTable: String, chSelectSql: String,
+      populate: Boolean): Unit = {
+    // POPULATE is a WRITE: pin the backfill to replica 0 (the server
+    // replicates; running it per replica would multiply the rows — the
+    // same rationale as the mutations pin). It runs before ANY replica
+    // arms the trigger, so the miss-not-double window is preserved.
+    if (populate) replicas.head.insertSelect(targetDb, targetTable, chSelectSql)
     replicas.foreach(_.createMaterializedView(
       db, name, targetDb, targetTable, chSelectSql))
+  }
   override def listMaterializedViews(db: String): Seq[String] =
     withLive(_.listMaterializedViews(db))._2
   override def describeQuery(chSql: String): StructType =

@@ -346,7 +346,12 @@ class HttpClickHouseClient(
   // ships as-is and the server runs the insert trigger (the reference's
   // passthrough model — no client machinery at all).
   override def createMaterializedView(db: String, name: String,
-      targetDb: String, targetTable: String, chSelectSql: String): Unit = {
+      targetDb: String, targetTable: String, chSelectSql: String,
+      populate: Boolean): Unit = {
+    // the server rejects POPULATE on TO-form views, so the backfill
+    // ships as an explicit INSERT SELECT strictly BEFORE the create —
+    // same miss-not-double window as the server's own POPULATE
+    if (populate) insertSelect(targetDb, targetTable, chSelectSql)
     exec(s"CREATE MATERIALIZED VIEW `$db`.`$name` TO " +
       s"`$targetDb`.`$targetTable` AS $chSelectSql")
     ()

@@ -372,6 +372,11 @@ final class MockClickHouseHttp extends AutoCloseable {
       // view DDL is accepted as metadata the mock does not model —
       // specs assert the exact wire shape via `statements`
       (200, "")
+    } else if (q.startsWith("INSERT INTO") && q.contains("SELECT")) {
+      // server-side INSERT SELECT (insertSelect / MV POPULATE backfill):
+      // executes where the data lives on a real server; the mock accepts
+      // it as a statement whose wire shape specs assert via `statements`
+      (200, "")
     } else (500, s"mock: unhandled statement: ${q.take(200)}")
   }
 

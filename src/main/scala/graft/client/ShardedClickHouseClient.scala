@@ -125,9 +125,13 @@ class ShardedClickHouseClient(
   // ON-CLUSTER local-views pattern); reads of the target union per shard
   // and re-aggregate, which merges the per-shard partials for free
   override def createMaterializedView(db: String, name: String,
-      targetDb: String, targetTable: String, chSelectSql: String): Unit =
+      targetDb: String, targetTable: String, chSelectSql: String,
+      populate: Boolean): Unit =
+    // POPULATE backfills per shard from the shard's LOCAL slice — the
+    // same locality as the trigger itself (target rows land with their
+    // source shard; reads union and re-aggregate)
     shards.foreach(_.createMaterializedView(
-      db, name, targetDb, targetTable, chSelectSql))
+      db, name, targetDb, targetTable, chSelectSql, populate))
   override def listMaterializedViews(db: String): Seq[String] =
     shards.head.listMaterializedViews(db)
   // schema is identical across shards (DDL broadcasts) — one probe

@@ -61,14 +61,21 @@ final class ClickHouseSession private (
     n
   }
 
-  /** `CREATE MATERIALIZED VIEW db.name TO targetDb.targetTable AS
-    * select` — server insert-trigger semantics (per-block transforms,
-    * partial aggregates in the target; readers re-aggregate). The
-    * select is ClickHouse SQL over exactly one source table.
+  /** `CREATE MATERIALIZED VIEW db.name TO targetDb.targetTable
+    * [POPULATE] AS select` — server insert-trigger semantics (per-block
+    * transforms, partial aggregates in the target; readers
+    * re-aggregate). The select is ClickHouse SQL over exactly one
+    * source table. `populate` backfills the target from the source's
+    * existing rows strictly before the trigger arms (miss-not-double).
     */
   def createMaterializedView(db: String, name: String, targetDb: String,
-      targetTable: String, chSelectSql: String): Unit =
-    client.createMaterializedView(db, name, targetDb, targetTable, chSelectSql)
+      targetTable: String, chSelectSql: String,
+      populate: Boolean = false): Unit = {
+    client.createMaterializedView(
+      db, name, targetDb, targetTable, chSelectSql, populate)
+    // the backfill may have fired the target's own views too
+    if (populate) graft.connector.ChMutations.drainMvRefresh(spark)
+  }
   def materializedViews(db: String): Seq[String] =
     client.listMaterializedViews(db)
   def dropMaterializedView(db: String, name: String): Unit =

@@ -287,6 +287,92 @@ class MaterializedViewSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("POPULATE backfills pre-existing rows into the target EXACTLY " +
+    "once (before trigger arming), and post-create inserts still fire") {
+    n += 1
+    val (src, tgt, mv) = (s"pp_src_$n", s"pp_tgt_$n", s"pp_mv_$n")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chmv.main")
+    spark.sql(
+      s"""CREATE TABLE chmv.main.$src (id BIGINT, tag STRING, v BIGINT)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE chmv.main.$tgt (tag STRING, cnt BIGINT, total BIGINT)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'tag')""".stripMargin)
+    // rows BEFORE the view exists — only POPULATE can surface these
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (1,'a',10),(2,'b',20)")
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (3,'a',5)")
+    client.createMaterializedView("main", mv, "main", tgt,
+      s"SELECT tag, count(*) AS cnt, sum(v) AS total FROM main.$src GROUP BY tag",
+      populate = true)
+    assert(tgtAgg(tgt) == Map("a" -> (2L, 15L), "b" -> (1L, 20L)),
+      "backfill appears exactly once")
+    // post-create inserts fire the trigger over ONLY their own block
+    spark.sql(s"INSERT INTO chmv.main.$src VALUES (4,'a',100)")
+    assert(tgtAgg(tgt) == Map("a" -> (3L, 115L), "b" -> (1L, 20L)))
+    // POPULATE on an EMPTY source: zero backfill rows, trigger armed
+    n += 1
+    val (esrc, etgt) = (s"pp_esrc_$n", s"pp_etgt_$n")
+    spark.sql(
+      s"""CREATE TABLE chmv.main.$esrc (id BIGINT, tag STRING, v BIGINT)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE chmv.main.$etgt (tag STRING, cnt BIGINT, total BIGINT)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'tag')""".stripMargin)
+    client.createMaterializedView("main", s"pp_emv_$n", "main", etgt,
+      s"SELECT tag, count(*) AS cnt, sum(v) AS total FROM main.$esrc GROUP BY tag",
+      populate = true)
+    assert(spark.table(s"chmv.main.$etgt").count() == 0)
+    spark.sql(s"INSERT INTO chmv.main.$esrc VALUES (1,'z',7)")
+    assert(tgtAgg(etgt) == Map("z" -> (1L, 7L)))
+  }
+
+  test("SQL DDL POPULATE keyword backfills through the parser surface") {
+    val sqlRoot = Files.createTempDirectory("graft_mvpop_").toString
+    val base = spark
+    val ext = org.apache.spark.sql.classic.SparkSession.builder()
+      .master(base.sparkContext.master)
+      .withExtensions(new GraftExtensions().apply(_))
+      .create()
+    ext.conf.set("spark.sql.shuffle.partitions", "4")
+    ext.conf.set("spark.sql.session.timeZone", "UTC")
+    ext.conf.set("spark.sql.catalog.chmvp",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    ext.conf.set("spark.sql.catalog.chmvp.path", sqlRoot)
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS chmvp.main")
+    ext.sql(
+      """CREATE TABLE chmvp.main.s (id BIGINT, tag STRING, v BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    ext.sql(
+      """CREATE TABLE chmvp.main.t (tag STRING, cnt BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'tag')""".stripMargin)
+    ext.sql("INSERT INTO chmvp.main.s VALUES (1,'a',1),(2,'a',2),(3,'b',3)")
+    // prime the table cache so the refresh path is actually load-bearing
+    assert(ext.table("chmvp.main.t").count() == 0)
+    ext.sql("CREATE MATERIALIZED VIEW chmvp.main.v TO chmvp.main.t " +
+      "POPULATE AS SELECT tag, count(*) AS cnt FROM main.s GROUP BY tag")
+    val out = ext.table("chmvp.main.t").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L), out.toString)
+  }
+
+  test("HTTP POPULATE ships backfill INSERT SELECT strictly BEFORE the " +
+    "CREATE (the server rejects POPULATE on TO-form; miss-not-double)") {
+    val server = new graft.client.MockClickHouseHttp
+    try {
+      val http = new graft.client.HttpClickHouseClient(server.endpoint)
+      http.createMaterializedView("main", "mv_pop", "main", "agg_pop",
+        "SELECT tag, count(*) AS cnt FROM main.src_pop GROUP BY tag",
+        populate = true)
+      import scala.jdk.CollectionConverters._
+      val qs = server.statements.asScala.toSeq
+      val ins = qs.indexWhere(_.startsWith("INSERT INTO `main`.`agg_pop` " +
+        "SELECT tag, count(*) AS cnt FROM main.src_pop GROUP BY tag"))
+      val crt = qs.indexWhere(_.startsWith("CREATE MATERIALIZED VIEW " +
+        "`main`.`mv_pop`"))
+      assert(ins >= 0 && crt >= 0 && ins < crt, qs)
+    } finally server.close()
+  }
+
   test("HTTP transport ships the exact server DDL (trigger runs " +
     "server-side — the reference's passthrough model)") {
     val server = new graft.client.MockClickHouseHttp
