@@ -319,6 +319,101 @@ object ChSqlTranslator {
     out.result()
   }
 
+  /** A parsed top-level `LIMIT n [OFFSET o] BY exprs` clause
+    * (ClickHouse's per-group limit): `core` is the statement with the
+    * ORDER BY, LIMIT BY, and trailing LIMIT clauses removed; `orderBy`
+    * the top-level ORDER BY expression list (the order LIMIT BY selects
+    * rows in, per the server's documented semantics); `outerLimit` the
+    * trailing plain LIMIT clause verbatim, if any.
+    */
+  final case class LimitByParts(core: String, n: Long, offset: Long,
+      by: String, orderBy: Option[String], outerLimit: Option[String])
+
+  private val LimitByHead = raw"(?is)^LIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+))?\s+BY\s+".r
+  private val OrderByHead = raw"(?is)^ORDER\s+BY\s+".r
+  private val PlainLimit = raw"(?is)^LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?\s*;?\s*$$".r
+
+  /** Positions of top-level (outside parens/quotes) word-boundary
+    * occurrences of `word` (case-insensitive).
+    */
+  private def topLevelPositions(sql: String, word: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var depth = 0
+    var inSq = false
+    var inBq = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inSq) { if (c == '\\') i += 1 else if (c == '\'') inSq = false }
+      else if (inBq) { if (c == '`') inBq = false }
+      else c match {
+        case '\'' => inSq = true
+        case '`' => inBq = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 &&
+            (i == 0 || !(sql.charAt(i - 1).isLetterOrDigit || sql.charAt(i - 1) == '_')) &&
+            sql.regionMatches(true, i, word, 0, word.length) &&
+            (i + word.length >= sql.length ||
+              !(sql.charAt(i + word.length).isLetterOrDigit ||
+                sql.charAt(i + word.length) == '_')))
+            out += i
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Some(parts) when `sql` carries a top-level `LIMIT n [OFFSET o] BY`
+    * clause; None otherwise. A LIMIT BY nested in a subquery is rejected
+    * loudly (the embedded rewrite handles the top level only — a server
+    * handles both, so silence would be a lie).
+    */
+  def parseLimitBy(sql: String): Option[LimitByParts] = {
+    val limits = topLevelPositions(sql, "LIMIT")
+    val lb = limits.flatMap(at =>
+      LimitByHead.findFirstMatchIn(sql.substring(at)).map(m => (at, m)))
+    if (lb.isEmpty) {
+      // nested LIMIT BY (inside a subquery) has no rewrite — honored-or-
+      // rejected: fail loudly rather than hand Spark unparseable SQL
+      if (raw"(?is)LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?\s+BY\s".r
+        .findFirstIn(sql).isDefined)
+        throw new IllegalArgumentException(
+          "LIMIT BY inside a subquery is not supported by the embedded " +
+            "rewrite (top-level only); restructure the statement or run " +
+            "against a real server")
+      return None
+    }
+    val (at, m) = lb.head
+    val byStart = at + m.end
+    // the BY expression list runs to the next top-level LIMIT (or end)
+    val nextLimit = limits.find(_ > at)
+    val byEnd = nextLimit.getOrElse(sql.length)
+    val by = sql.substring(byStart, byEnd).trim.stripSuffix(";").trim
+    require(by.nonEmpty, "LIMIT BY: empty expression list")
+    val outer = nextLimit.map { nl =>
+      val rest = sql.substring(nl).trim
+      require(PlainLimit.findFirstIn(rest).isDefined,
+        s"LIMIT BY: unsupported trailing clause '$rest'")
+      rest.stripSuffix(";").trim
+    }
+    // top-level ORDER BY before the LIMIT BY clause defines the
+    // selection order within each group (server semantics)
+    val ob = topLevelPositions(sql, "ORDER")
+      .filter(p => p < at && OrderByHead.findFirstIn(sql.substring(p)).isDefined)
+      .headOption
+    val (core, orderBy) = ob match {
+      case Some(p) =>
+        val obM = OrderByHead.findFirstMatchIn(sql.substring(p)).get
+        (sql.substring(0, p).trim,
+          Some(sql.substring(p + obM.end, at).trim).filter(_.nonEmpty))
+      case None => (sql.substring(0, at).trim, None)
+    }
+    Some(LimitByParts(core, m.group(1).toLong,
+      Option(m.group(2)).map(_.toLong).getOrElse(0L), by, orderBy, outer))
+  }
+
   /** Parse balanced argument list starting just after '('; returns
     * (top-level args, index just past the closing paren).
     */

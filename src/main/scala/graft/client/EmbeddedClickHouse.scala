@@ -944,11 +944,32 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       // embedded transport executes the statement ONCE and repartitions,
       // so the token is dropped before translation (leaving `WHERE true`)
       val detokened = sql.replaceAll(raw"/\*__CH_SLICE__\([^)]*\)\*/", "")
-      val tr = ChSqlTranslator.translate(rewriteSample(rewriteFinal(detokened)), tables)
+      // LIMIT n [OFFSET o] BY exprs (per-group limit): rewrite to a
+      // row_number window over the clause's expressions, selecting rows
+      // in the statement's ORDER BY order (the server's semantics). An
+      // ORDER BY is REQUIRED here: without one the server returns an
+      // arbitrary n per group — not reproducible, so rejected (the same
+      // determinism rule as FINAL tie-breaks).
+      val lb = ChSqlTranslator.parseLimitBy(detokened)
+      val effective = lb match {
+        case Some(p) =>
+          val ord = p.orderBy.getOrElse(throw new IllegalArgumentException(
+            "LIMIT BY without a top-level ORDER BY selects an arbitrary " +
+              "n rows per group — add an ORDER BY for a deterministic read"))
+          s"SELECT * FROM (SELECT *, row_number() OVER " +
+            s"(PARTITION BY ${p.by} ORDER BY $ord) AS __lb_rn " +
+            s"FROM (${p.core}) AS __lb_in) AS __lb " +
+            s"WHERE __lb_rn > ${p.offset} AND __lb_rn <= ${p.offset + p.n} " +
+            s"ORDER BY $ord" + p.outerLimit.map(" " + _).getOrElse("")
+        case None => detokened
+      }
+      val tr = ChSqlTranslator.translate(rewriteSample(rewriteFinal(effective)), tables)
       ensureViews(entry, tr, tables)
-      try entry.session.sql(tr) catch { case e: Throwable =>
-        throw new IllegalArgumentException(
-          s"translated SQL failed: ${e.getMessage}\n--- translated ---\n$tr", e) }
+      val df =
+        try entry.session.sql(tr) catch { case e: Throwable =>
+          throw new IllegalArgumentException(
+            s"translated SQL failed: ${e.getMessage}\n--- translated ---\n$tr", e) }
+      if (lb.isDefined) df.drop("__lb_rn") else df
     })
   }
 

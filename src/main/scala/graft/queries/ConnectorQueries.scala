@@ -1797,6 +1797,26 @@ object ConnectorQueries {
         """SELECT `st`, avgMerge(`a`) AS avg_cents, uniqMerge(`u`) AS uniq_k,
           |  countMerge(`c`) AS n
           |FROM `main`.`ord_am_agg` FINAL GROUP BY `st` ORDER BY `st`""".stripMargin)
+    },
+
+    // LIMIT BY (round 11): ClickHouse's per-group limit, embedded via
+    // the row_number-window rewrite (top level, ORDER BY required for a
+    // deterministic selection — ties broken by doc_id). The oracle is
+    // the equivalent window form.
+    q("r55_limit_by",
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars, row_number() OVER
+        |    (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL) s
+        |WHERE rn <= 2 ORDER BY lang, n_chars DESC, doc_id""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `lang`, `doc_id`, `n_chars` FROM `main`.`documents`
+          |WHERE `n_chars` IS NOT NULL AND `lang` IS NOT NULL
+          |ORDER BY `lang`, `n_chars` DESC, `doc_id` LIMIT 2 BY `lang`""".stripMargin)
     }
   )
 }

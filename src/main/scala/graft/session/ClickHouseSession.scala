@@ -33,7 +33,8 @@ final class ClickHouseSession private (
   /** Raw ClickHouse-SQL passthrough as a LAZY DataFrame: the statement
     * ships verbatim and executes where the data lives (the reference's
     * core contract — any server construct works: FINAL, SAMPLE,
-    * LIMIT BY, arrayJoin, every server function), streamed back over
+    * LIMIT BY (embedded: rewritten to a row_number window, top level,
+    * ORDER BY required), arrayJoin, every server function), streamed over
     * `streams` executor partitions. Schema comes from the server's
     * `DESCRIBE TABLE (SELECT ...)` without executing; Spark transforms
     * compose on top (the frame is a leaf the optimizer cannot reach

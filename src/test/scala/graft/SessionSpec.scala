@@ -105,6 +105,43 @@ class SessionSpec extends AnyFunSuite {
     assert(top == 2L)
   }
 
+  test("LIMIT BY executes embedded: per-group first-n in ORDER BY " +
+    "order, OFFSET form, trailing LIMIT composes; ORDER BY required") {
+    val root = Files.createTempDirectory("graft_limitby_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chlb").build()
+    ch.createDatabase("lb")
+    ch.newTable("lb", "t")
+      .column("g", "String").column("v", "Int64")
+      .engine("MergeTree").orderBy("g").create()
+    val sch = ch.client.asInstanceOf[graft.client.EmbeddedClickHouse]
+      .sparkSchema("lb", "t")
+    ch.client.insert("lb", "t", sch, Seq(
+      Row("a", 3L), Row("a", 1L), Row("a", 2L),
+      Row("b", 9L), Row("b", 8L), Row("c", 5L)))
+    // top-2 per group by v DESC
+    val top2 = ch.chSql(
+      "SELECT `g`, `v` FROM `lb`.`t` ORDER BY `g`, `v` DESC LIMIT 2 BY `g`")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top2 == Seq("a" -> 3L, "a" -> 2L, "b" -> 9L, "b" -> 8L, "c" -> 5L),
+      top2.toString)
+    assert(!top2.map(_._2).contains(1L))
+    // OFFSET skips within the group; trailing LIMIT bounds the result
+    val off = ch.chSql(
+      "SELECT `g`, `v` FROM `lb`.`t` ORDER BY `g`, `v` DESC " +
+        "LIMIT 1 OFFSET 1 BY `g` LIMIT 2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(off == Seq("a" -> 2L, "b" -> 8L), off.toString)
+    // schema never leaks the helper column
+    assert(ch.chSql(
+      "SELECT `g`, `v` FROM `lb`.`t` ORDER BY `g`, `v` LIMIT 1 BY `g`")
+      .schema.fieldNames.toSeq == Seq("g", "v"))
+    // no ORDER BY → arbitrary selection on a server → rejected here
+    val e = intercept[Exception](ch.chSql(
+      "SELECT `g`, `v` FROM `lb`.`t` LIMIT 1 BY `g`").collect())
+    assert(e.getMessage.contains("ORDER BY"), e.getMessage)
+  }
+
   test("GraftExtensions (spark.sql.extensions path) wires rule/strategy/functions") {
     // suites share one JVM session, so build-time extensions are exercised
     // on a SIBLING session over the same SparkContext — exactly what

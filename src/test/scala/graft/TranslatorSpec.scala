@@ -50,6 +50,41 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT toString(x)") == "SELECT string(x)")
   }
 
+  test("-State/-Merge combinators translate to state-producing and " +
+    "state-combining aggregates") {
+    assert(t("SELECT avgState(v)") ==
+      "SELECT named_struct('s', sum(v), 'c', count(v))")
+    assert(t("SELECT avgMerge(a)") == "SELECT (sum((a).s) / sum((a).c))")
+    assert(t("SELECT sumState(v)") == "SELECT sum(v)")
+    assert(t("SELECT countState()") == "SELECT count(1)")
+    assert(t("SELECT countMerge(c)") == "SELECT sum(c)")
+    assert(t("SELECT uniqMerge(u)") ==
+      "SELECT cast(size(array_distinct(flatten(collect_list(u)))) as bigint)")
+    assert(t("SELECT maxState(v)") == "SELECT max(v)")
+    assert(t("SELECT anyMerge(x)") == "SELECT min(x)")
+  }
+
+  test("LIMIT BY parses at the top level: core/order/by/offset/outer " +
+    "limit split; nested rejects loudly; plain LIMIT untouched") {
+    val p = ChSqlTranslator.parseLimitBy(
+      "SELECT a, b FROM t ORDER BY b DESC, a LIMIT 2 BY a").get
+    assert(p.core == "SELECT a, b FROM t")
+    assert(p.orderBy.contains("b DESC, a"))
+    assert(p.by == "a" && p.n == 2 && p.offset == 0 && p.outerLimit.isEmpty)
+    val q = ChSqlTranslator.parseLimitBy(
+      "SELECT a, b FROM t ORDER BY b LIMIT 3 OFFSET 1 BY a, a % 2 LIMIT 10").get
+    assert(q.n == 3 && q.offset == 1 && q.by == "a, a % 2" &&
+      q.outerLimit.contains("LIMIT 10"))
+    // no LIMIT BY: None; plain LIMIT stays whose parsing is Spark's
+    assert(ChSqlTranslator.parseLimitBy("SELECT a FROM t LIMIT 5").isEmpty)
+    assert(ChSqlTranslator.parseLimitBy(
+      "SELECT a FROM t WHERE a IN (SELECT b FROM u ORDER BY b LIMIT 5)").isEmpty)
+    // nested LIMIT BY cannot be rewritten — loud rejection
+    val e = intercept[IllegalArgumentException](ChSqlTranslator.parseLimitBy(
+      "SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 1 BY a) x"))
+    assert(e.getMessage.contains("subquery"), e.getMessage)
+  }
+
   test("NESTED same-name calls rewrite at every depth: the outer call's " +
     "region must not swallow inner occurrences") {
     // the lambda shape the unparser emits for cast-inside-HOF: the
