@@ -152,9 +152,15 @@ object ClickHouseSession {
 
   final class Builder private[ClickHouseSession] (spark: SparkSession) {
     private var path: Option[String] = None
+    private var httpEndpoint: Option[String] = None
     private var name: String = "clickhouse"
 
     def storePath(p: String): Builder = { path = Some(p); this }
+    /** Real HTTP transport — same grammar as the catalog `endpoint`
+      * option (`r1|r2` replica sets, `a,b` shards). Mutually exclusive
+      * with [[storePath]].
+      */
+    def endpoint(e: String): Builder = { httpEndpoint = Some(e); this }
     def catalogName(n: String): Builder = { name = n; this }
 
     /** Registers the catalog plugin + pushdown machinery on the session
@@ -162,13 +168,23 @@ object ClickHouseSession {
       * builders.rs:94-244).
       */
     def build(): ClickHouseSession = {
-      val p = path.getOrElse(
-        throw new IllegalArgumentException("storePath is required"))
+      require(path.isEmpty || httpEndpoint.isEmpty,
+        "storePath and endpoint are mutually exclusive")
+      val key = path.map(("path", _)).orElse(httpEndpoint.map(("endpoint", _)))
+        .getOrElse(throw new IllegalArgumentException(
+          "storePath or endpoint is required"))
       spark.conf.set(s"spark.sql.catalog.$name",
         classOf[graft.catalog.ClickHouseCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.path", p)
+      spark.conf.set(s"spark.sql.catalog.$name.${key._1}", key._2)
       graft.GraftSession.install(spark)
-      new ClickHouseSession(spark, name, new EmbeddedClickHouse(p))
+      val client = path match {
+        case Some(p) => new EmbeddedClickHouse(p)
+        // endpoint transports (HTTP / failover / sharded): take the
+        // registered catalog's own client so pooling and option
+        // validation stay in one place
+        case None => graft.connector.ChMutations.clientOf(spark, name)
+      }
+      new ClickHouseSession(spark, name, client)
     }
   }
 }

@@ -966,6 +966,31 @@ class ShardedClientSpec extends AnyFunSuite {
     } finally { r1.close(); r2.close() }
   }
 
+  test("chSql composition under failover: the replica that served " +
+    "describeQuery dies before execution — the lazy frame plans and " +
+    "streams from the survivor") {
+    val r1 = new MockClickHouseHttp
+    val r2 = new MockClickHouseHttp
+    r1.wireReadRows = 25; r2.wireReadRows = 25
+    try {
+      val ch = graft.session.ClickHouseSession.builder(spark)
+        .endpoint(s"${r1.endpoint}|${r2.endpoint}")
+        .catalogName("chdscfo").build()
+      assert(ch.client.isInstanceOf[graft.client.FailoverClickHouseClient])
+      // describeQuery runs NOW (schema is eager, rows are lazy) — on r1
+      val df = ch.chSql(
+        "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`", streams = 1)
+      assert(df.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+      assert(r1.statements.size() > 0 && r2.statements.size() == 0,
+        "describe must have hit only the primary")
+      // the primary dies between describe and execution: the frame's
+      // plan-time statement must rehome like any read
+      r1.close()
+      assert(df.count() == 25,
+        "execution must plan and stream from the surviving replica")
+    } finally { r1.close(); r2.close() }
+  }
+
   test("mid-stream replica death stays LOUD: once rows were delivered, " +
     "the failure propagates instead of silently re-reading elsewhere") {
     val r1 = new MockClickHouseHttp
