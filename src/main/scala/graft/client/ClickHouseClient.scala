@@ -128,6 +128,20 @@ trait ClickHouseClient extends Serializable {
     throw new UnsupportedOperationException(
       s"this transport cannot RENAME TABLE $db.$table")
 
+  /** `ALTER TABLE db.table ATTACH PARTITION ... FROM srcDb.srcTable`
+    * applied to EVERY partition of the source: clones the source's data
+    * parts into the destination without reading rows — the server's
+    * metadata-speed partition attach. Both tables must share columns
+    * and key layout (order_by / partition_by), the server's same-
+    * structure rule. ATTACH is not an INSERT: materialized views on the
+    * destination do NOT fire (server semantics). The source keeps its
+    * data (ATTACH FROM copies; it is MOVE/REPLACE that take it away).
+    */
+  def attachPartitionsFrom(
+      db: String, table: String, srcDb: String, srcTable: String): Unit =
+    throw new UnsupportedOperationException(
+      s"this transport cannot ATTACH PARTITION FROM into $db.$table")
+
   /** `OPTIMIZE TABLE [FINAL]` — force a part merge. With `finalize` on a
     * ReplacingMergeTree(ver) table this MATERIALIZES the dedup that
     * FINAL reads compute on the fly (the server's documented use); on

@@ -379,6 +379,36 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     rewritePartsDf(db, table, merged.coalesce(1))
   }
 
+  /** Partition attach as a part-file clone: the embedded analog of the
+    * server's metadata-speed `ATTACH PARTITION ... FROM` applied to all
+    * partitions — no rows are read or rewritten. Same-structure rule
+    * honored-or-rejected: identical columns and key layout. No MV fire
+    * (ATTACH is not an INSERT — server semantics).
+    */
+  override def attachPartitionsFrom(
+      db: String, table: String, srcDb: String, srcTable: String): Unit = {
+    rejectSystem(db, s"ATTACH PARTITION into $db.$table")
+    rejectSystem(srcDb, s"ATTACH PARTITION FROM $srcDb.$srcTable")
+    require(tableExists(db, table), s"no such table: $db.$table")
+    require(tableExists(srcDb, srcTable), s"no such table: $srcDb.$srcTable")
+    val (dCols, dOpts, _) = readMeta(db, table)
+    val (sCols, sOpts, _) = readMeta(srcDb, srcTable)
+    require(dCols == sCols,
+      s"ATTACH PARTITION FROM: $db.$table and $srcDb.$srcTable differ in " +
+        s"structure (server same-structure rule): $dCols vs $sCols")
+    for (k <- Seq("order_by", "partition_by"))
+      require(dOpts.get(k) == sOpts.get(k),
+        s"ATTACH PARTITION FROM: $k differs between $db.$table and " +
+          s"$srcDb.$srcTable (server same-key rule)")
+    val dstDir = tablePath(db, table)
+    dataFiles(srcDb, srcTable).zipWithIndex.foreach { case (f, i) =>
+      val target = dstDir.resolve(
+        s"attach-${java.util.UUID.randomUUID.toString.take(8)}-$i.parquet")
+      Files.copy(Paths.get(f), target)
+    }
+    invalidate()
+  }
+
   override def renameTable(
       db: String, table: String, newDb: String, newTable: String): Unit = {
     rejectSystem(db, s"RENAME TABLE $db.$table")

@@ -161,6 +161,11 @@ class FailoverClickHouseClient(
   // the primary, like mutations (broadcasting would force N merges)
   override def optimizeTable(db: String, table: String, finalize: Boolean): Unit =
     primary.optimizeTable(db, table, finalize)
+  // a data change like inserts/mutations: once at the primary, the
+  // server replicates the attached parts
+  override def attachPartitionsFrom(
+      db: String, table: String, srcDb: String, srcTable: String): Unit =
+    primary.attachPartitionsFrom(db, table, srcDb, srcTable)
 
   // ---- mutations: the PRIMARY only, like inserts. The class model is a
   // server-replicated backend (ReplicatedMergeTree), where an ALTER

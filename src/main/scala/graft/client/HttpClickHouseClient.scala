@@ -342,6 +342,21 @@ class HttpClickHouseClient(
     ()
   }
 
+  override def attachPartitionsFrom(
+      db: String, table: String, srcDb: String, srcTable: String): Unit = {
+    // the server's ALTER grammar attaches ONE partition per statement —
+    // enumerate the source's active partitions and ship one ATTACH each
+    // (PARTITION ID form: unambiguous, string-quotable; unpartitioned
+    // MergeTree tables expose the single id 'all')
+    val ids = tsv(s"SELECT DISTINCT partition_id FROM system.parts " +
+      s"WHERE active AND database = ${lit(srcDb)} AND table = ${lit(srcTable)} " +
+      "ORDER BY partition_id FORMAT TabSeparated").map(_(0))
+    ids.foreach { id =>
+      exec(s"ALTER TABLE `$db`.`$table` ATTACH PARTITION ID ${lit(id)} " +
+        s"FROM `$srcDb`.`$srcTable`")
+    }
+  }
+
   // Materialized views are fully server-side on this transport: the DDL
   // ships as-is and the server runs the insert trigger (the reference's
   // passthrough model — no client machinery at all).

@@ -239,6 +239,10 @@ final class MockClickHouseHttp extends AutoCloseable {
     } else if (q.startsWith("SELECT sum(bytes_on_disk) FROM system.parts") ||
       q.startsWith("SELECT sum(rows) FROM system.parts")) {
       (200, "0\n") // no stats — scans fall back to their default estimate
+    } else if (q.startsWith("SELECT DISTINCT partition_id FROM system.parts")) {
+      // one unpartitioned active part set — the server's id for
+      // unpartitioned MergeTree tables is the single partition 'all'
+      (200, "all\n")
     } else if (q.startsWith("SELECT min(`id`), max(`id`)") &&
       q.contains("`wire_read`") && wireReadRows > 0) {
       // the range-split extremes probe: ids are 0..(rows-1)/group, so
@@ -297,6 +301,15 @@ final class MockClickHouseHttp extends AutoCloseable {
           rowsReceived.addAndGet(n)
           (200, "")
         case None => (500, s"mock: bad insert: ${q.take(200)}")
+      }
+    } else if (q.startsWith("ALTER TABLE") && q.contains(" ATTACH PARTITION ")) {
+      // partition attach is a server-side part clone the mock does not
+      // model — specs assert the per-partition wire shape via `statements`
+      val Att = raw"ALTER TABLE `[^`]+`\.`([^`]+)` ATTACH PARTITION ID '[^']*' FROM `[^`]+`\.`([^`]+)`".r.unanchored
+      Att.findFirstMatchIn(q) match {
+        case Some(m) if tables.contains(m.group(1)) && tables.contains(m.group(2)) =>
+          (200, "")
+        case _ => (500, s"mock: bad ATTACH PARTITION: ${q.take(200)}")
       }
     } else if (q.startsWith("ALTER TABLE") &&
       (q.contains(" UPDATE ") || q.contains(" DELETE "))) {

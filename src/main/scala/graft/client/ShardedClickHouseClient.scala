@@ -141,6 +141,11 @@ class ShardedClickHouseClient(
     shards.foreach(_.dropMaterializedView(db, name))
   override def optimizeTable(db: String, table: String, finalize: Boolean): Unit =
     shards.foreach(_.optimizeTable(db, table, finalize))
+  // shard-local clone: each shard attaches its own slice — ATTACH never
+  // moves rows between shards, so routing stays exactly the source's
+  override def attachPartitionsFrom(
+      db: String, table: String, srcDb: String, srcTable: String): Unit =
+    shards.foreach(_.attachPartitionsFrom(db, table, srcDb, srcTable))
 
   // ---- reads: one statement per shard, handles tagged with their shard ----
 

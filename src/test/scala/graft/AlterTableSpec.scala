@@ -512,6 +512,70 @@ class AlterTableSpec extends AnyFunSuite {
     } finally { p.close(); s.close() }
   }
 
+  test("ATTACH PARTITION FROM clones every part without firing MVs; " +
+    "same-structure and same-key rules are honored-or-rejected") {
+    val (qtSrc, src) = freshTable() // 2 rows over 1 insert
+    spark.sql(s"INSERT INTO $qtSrc VALUES (3, 3.5, 'c')") // second part
+    n += 1
+    val dst = s"att_dst_$n"
+    spark.sql(
+      s"""CREATE TABLE chalter.main.$dst (id BIGINT, v DOUBLE, tag STRING)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    // an MV on the destination must NOT fire on attach (not an INSERT)
+    spark.sql(
+      s"""CREATE TABLE chalter.main.${dst}_agg (tag STRING, cnt BIGINT)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'tag')""".stripMargin)
+    val client = new EmbeddedClickHouse(root)
+    client.createMaterializedView("main", s"${dst}_mv", "main", s"${dst}_agg",
+      s"SELECT tag, count(*) AS cnt FROM main.$dst GROUP BY tag")
+    client.attachPartitionsFrom("main", dst, "main", src)
+    graft.connector.ChMutations.refresh(spark, s"chalter.main.$dst")
+    assert(spark.table(s"chalter.main.$dst").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(spark.table(qtSrc).count() == 3, "ATTACH FROM copies, source keeps data")
+    assert(spark.table(s"chalter.main.${dst}_agg").count() == 0,
+      "attach is not an insert — the view must not fire")
+    // structure mismatch rejects
+    n += 1
+    spark.sql(
+      s"""CREATE TABLE chalter.main.att_bad_$n (id BIGINT, v DOUBLE)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    val e1 = intercept[Exception](
+      client.attachPartitionsFrom("main", s"att_bad_$n", "main", src))
+    assert(e1.getMessage.contains("structure"), e1.getMessage)
+    // key-layout mismatch rejects
+    n += 1
+    spark.sql(
+      s"""CREATE TABLE chalter.main.att_key_$n (id BIGINT, v DOUBLE, tag STRING)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'tag')""".stripMargin)
+    val e2 = intercept[Exception](
+      client.attachPartitionsFrom("main", s"att_key_$n", "main", src))
+    assert(e2.getMessage.contains("order_by"), e2.getMessage)
+  }
+
+  test("HTTP ATTACH PARTITION FROM ships one per-partition ALTER (ID " +
+    "form); failover pins to the primary like all data changes") {
+    val p = new graft.client.MockClickHouseHttp
+    val s = new graft.client.MockClickHouseHttp
+    try {
+      val fo = new graft.client.FailoverClickHouseClient(IndexedSeq(
+        new graft.client.HttpClickHouseClient(p.endpoint),
+        new graft.client.HttpClickHouseClient(s.endpoint)))
+      fo.createTable("main", "att_a", Seq("id" -> "Int64"),
+        Map("engine" -> "MergeTree"))
+      fo.createTable("main", "att_b", Seq("id" -> "Int64"),
+        Map("engine" -> "MergeTree"))
+      fo.attachPartitionsFrom("main", "att_b", "main", "att_a")
+      import scala.jdk.CollectionConverters._
+      assert(p.statements.asScala.exists(
+        _ == "ALTER TABLE `main`.`att_b` ATTACH PARTITION ID 'all' " +
+          "FROM `main`.`att_a`"),
+        p.statements.asScala.filter(_.contains("ATTACH")).toSeq)
+      assert(!s.statements.asScala.exists(_.contains("ATTACH PARTITION")),
+        "attach must pin to the primary")
+    } finally { p.close(); s.close() }
+  }
+
   test("array and map ADD COLUMN defaults are typed empties") {
     val (qt, _) = freshTable()
     spark.sql(s"ALTER TABLE $qt ADD COLUMN xs ARRAY<BIGINT> NOT NULL")
