@@ -68,6 +68,36 @@ class GatePlanSpec extends AnyFunSuite {
       s"no Spark aggregation over a merge-materialized rollup:\n${all.head}")
   }
 
+  test("r54 aggregating-MV merge read plans as ONE remote exec: the " +
+    "FINAL state collapse and the -Merge combine both run in the store, " +
+    "and the gate's whole read is the remote statement") {
+    val df: DataFrame = SparkEntry.queries("r54_aggregating_mv")(spark, sfDir)
+    assert(df.count() > 0)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
+    val remotes = all.collect { case r: graft.pushdown.ClickHouseRemoteExec => r }
+    assert(remotes.size == 1, s"one remote exec:\n${all.head}")
+    assert(remotes.head.sql.contains("avgMerge") &&
+      remotes.head.sql.contains("FINAL"), remotes.head.sql)
+    assert(!all.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec]),
+      s"no Spark-side re-aggregation — the store merges the states:\n${all.head}")
+  }
+
+  test("r55 LIMIT BY plans as ONE remote exec: the per-group limit " +
+    "rewrite runs in the store, nothing re-limits in Spark") {
+    val df: DataFrame = SparkEntry.queries("r55_limit_by")(spark, sfDir)
+    assert(df.count() > 0)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
+    val remotes = all.collect { case r: graft.pushdown.ClickHouseRemoteExec => r }
+    assert(remotes.size == 1, s"one remote exec:\n${all.head}")
+    assert(remotes.head.sql.contains("LIMIT 2 BY"), remotes.head.sql)
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      s"the window rewrite must run in the store, not in Spark:\n${all.head}")
+  }
+
   test("r53 raw-SQL passthrough plans as ONE remote exec: the statement " +
     "executes in the store, Spark only streams and sorts") {
     val df: DataFrame = SparkEntry.queries("r53_raw_sql")(spark, sfDir)
