@@ -173,6 +173,72 @@ class AggregatingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 143L, 3L), ("b", 55L, 5L)))
   }
 
+  test("fuzz: 12 seeded block schedules with random POPULATE, OPTIMIZEs " +
+    "and FINAL/plain merge reads — the -Merge result always equals the " +
+    "shadow aggregate over the rows the view saw") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.util.Random
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chagg.main")
+    val sch = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    for (seed <- 0 until 12) {
+      val r = new Random(seed)
+      val (src, tgt, mv) = (s"fz_src_$seed", s"fz_tgt_$seed", s"fz_mv_$seed")
+      client.createTable("main", src,
+        Seq("id" -> "Int64", "tag" -> "String", "v" -> "Int64"),
+        Map("engine" -> "MergeTree", "order_by" -> "id"))
+      client.createTable("main", tgt, Seq(
+        "tag" -> "String",
+        "a" -> "AggregateFunction(avg, Int64)",
+        "u" -> "AggregateFunction(uniq, Int64)",
+        "c" -> "AggregateFunction(count, Int64)",
+        "mx" -> "AggregateFunction(max, Int64)"),
+        Map("engine" -> "AggregatingMergeTree", "order_by" -> "tag"))
+      // shadow: per tag (sum, uniq ids, count, max) over rows the VIEW saw
+      var shadow = Map.empty[String, (Long, Set[Long], Long, Long)]
+        .withDefaultValue((0L, Set.empty[Long], 0L, Long.MinValue))
+      var nextId = 0L
+      def block(seen: Boolean): Unit = {
+        val rows = (0 until (1 + r.nextInt(6))).map { _ =>
+          nextId += 1
+          val tag = s"t${r.nextInt(3)}"
+          val v = r.nextInt(41) - 20L
+          if (seen) {
+            val (s0, u0, c0, m0) = shadow(tag)
+            shadow += (tag -> (s0 + v, u0 + nextId, c0 + 1, math.max(m0, v)))
+          }
+          Row(nextId, tag, v)
+        }
+        client.insert("main", src, sch, rows)
+      }
+      // pre-create blocks: visible ONLY via POPULATE
+      val preBlocks = r.nextInt(3)
+      val populate = r.nextBoolean()
+      for (_ <- 0 until preBlocks) block(seen = populate)
+      client.createMaterializedView("main", mv, "main", tgt,
+        s"SELECT tag, avgState(v) AS a, uniqState(id) AS u, " +
+          s"countState() AS c, maxState(v) AS mx FROM main.$src GROUP BY tag",
+        populate)
+      for (_ <- 0 until (1 + r.nextInt(4))) {
+        block(seen = true)
+        if (r.nextBoolean()) client.optimizeTable("main", tgt)
+      }
+      val finalKw = if (r.nextBoolean()) " FINAL" else ""
+      val got = ch.chSql(
+        s"""SELECT `tag`, avgMerge(`a`) AS av, uniqMerge(`u`) AS uq,
+           |  countMerge(`c`) AS n, maxMerge(`mx`) AS mx
+           |FROM `main`.`$tgt`$finalKw GROUP BY `tag`""".stripMargin)
+        .collect().map(row => row.getString(0) ->
+          ((row.getDouble(1), row.getLong(2), row.getLong(3), row.getLong(4))))
+        .toMap
+      val expect = shadow.collect { case (tag, (s0, u0, c0, m0)) if c0 > 0 =>
+        tag -> ((s0.toDouble / c0.toDouble, u0.size.toLong, c0, m0)) }
+      assert(got == expect, s"seed $seed (populate=$populate): $got vs $expect")
+    }
+  }
+
   test("FINAL on an engine without a merge rule still rejects; " +
     "AggregateFunction over a non-numeric arg rejects where required") {
     n += 1
