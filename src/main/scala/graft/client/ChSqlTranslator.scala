@@ -38,6 +38,18 @@ object ChSqlTranslator {
     "SHA256" -> "graft_sha256bin",
     "CRC32" -> "graft_crc32",
     "arrayDistinct" -> "array_distinct",
+    // value-identical 1:1 swaps (round 11): tie-breaks in argMax/argMin
+    // are unspecified in BOTH engines; indexOf and array_position are
+    // both 1-based with 0 for absent; arrayConcat/concat and
+    // arrayReverse/reverse agree element-wise
+    "argMax" -> "max_by",
+    "argMin" -> "min_by",
+    "countIf" -> "count_if",
+    "has" -> "array_contains",
+    "arrayReverse" -> "reverse",
+    "arrayConcat" -> "concat",
+    "indexOf" -> "array_position",
+    "today" -> "current_date",
     // statistical aggregates (scan-level complete pushdown)
     "varSamp" -> "var_samp",
     "varPop" -> "var_pop",
@@ -159,6 +171,43 @@ object ChSqlTranslator {
     s = rewriteCall(s, "trimLeft", args => s"ltrim(${args.head})")
     s = rewriteCall(s, "trimRight", args => s"rtrim(${args.head})")
     s = rewriteCall(s, "isNaN", args => s"isnan(${args.head})")
+    // -If combinator aggregates → Spark FILTER clauses (identical
+    // semantics: the aggregate sees only rows passing the condition)
+    s = rewriteCall(s, "sumIf",
+      args => s"sum(${args(0)}) FILTER (WHERE ${args(1)})")
+    s = rewriteCall(s, "avgIf",
+      args => s"avg(${args(0)}) FILTER (WHERE ${args(1)})")
+    s = rewriteCall(s, "minIf",
+      args => s"min(${args(0)}) FILTER (WHERE ${args(1)})")
+    s = rewriteCall(s, "maxIf",
+      args => s"max(${args(0)}) FILTER (WHERE ${args(1)})")
+    // uniq/uniqExact as plain aggregates: exact COUNT(DISTINCT) — for
+    // uniq a documented improvement over the server's approximation
+    // (same choice as the exact uniqMerge state path)
+    s = rewriteCall(s, "uniqExact",
+      args => s"count(DISTINCT ${args.mkString(", ")})")
+    s = rewriteCall(s, "uniq",
+      args => s"count(DISTINCT ${args.mkString(", ")})")
+    // multiIf(c1, v1, ..., [else]) → CASE WHEN chain
+    s = rewriteCall(s, "multiIf", args => {
+      val pairs = args.grouped(2).toSeq
+      val whens = pairs.takeWhile(_.size == 2)
+        .map(p => s"WHEN ${p(0)} THEN ${p(1)}").mkString(" ")
+      val els = if (args.size % 2 == 1) s" ELSE ${args.last}" else ""
+      s"(CASE $whens$els END)"
+    })
+    // empty/notEmpty are polymorphic (strings AND arrays) like length
+    s = rewriteCall(s, "empty", args => s"(graft_length(${args.head}) = 0)")
+    s = rewriteCall(s, "notEmpty", args => s"(graft_length(${args.head}) > 0)")
+    // arrayStringConcat(arr[, sep]) → array_join (server default sep '')
+    s = rewriteCall(s, "arrayStringConcat", args =>
+      if (args.size >= 2) s"array_join(${args(0)}, ${args(1)})"
+      else s"array_join(${args.head}, '')")
+    // arraySlice(arr, offset[, length]) → slice; omitted length = to the
+    // end (size() is a safe upper bound in both engines)
+    s = rewriteCall(s, "arraySlice", args =>
+      if (args.size >= 3) s"slice(${args(0)}, ${args(1)}, ${args(2)})"
+      else s"slice(${args(0)}, ${args(1)}, size(${args(0)}))")
     // AggregatingMergeTree combinators: -State writes produce the
     // transparent storage representation (ClickHouseType.aggStateType),
     // -Merge reads combine partial states. avg keeps exact integer

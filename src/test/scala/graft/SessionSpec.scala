@@ -142,6 +142,28 @@ class SessionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ORDER BY"), e.getMessage)
   }
 
+  test("round-11 server functions execute embedded: -If combinators, " +
+    "argMax/argMin, uniq, multiIf on real data") {
+    val root = Files.createTempDirectory("graft_fn11_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chfn11").build()
+    ch.createDatabase("fx")
+    ch.newTable("fx", "t")
+      .column("g", "String").column("v", "Int64").column("ver", "Int64")
+      .engine("MergeTree").orderBy("v").create()
+    val sch = ch.client.asInstanceOf[graft.client.EmbeddedClickHouse]
+      .sparkSchema("fx", "t")
+    ch.client.insert("fx", "t", sch, Seq(
+      Row("a", -1L, 1L), Row("a", 5L, 3L), Row("b", 2L, 2L), Row("a", 5L, 9L)))
+    val r = ch.chSql(
+      """SELECT sumIf(`v`, `v` > 0) AS sp, countIf(`v` < 0) AS nn,
+        |  argMax(`g`, `ver`) AS top, uniq(`v`) AS u,
+        |  multiIf(uniq(`g`) > 5, 'many', uniq(`g`) > 1, 'some', 'few') AS bucket
+        |FROM `fx`.`t`""".stripMargin).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+      r.getString(4)) == ((12L, 1L, "a", 3L, "some")))
+  }
+
   test("GraftExtensions (spark.sql.extensions path) wires rule/strategy/functions") {
     // suites share one JVM session, so build-time extensions are exercised
     // on a SIBLING session over the same SparkContext — exactly what

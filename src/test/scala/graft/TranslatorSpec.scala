@@ -50,6 +50,32 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT toString(x)") == "SELECT string(x)")
   }
 
+  test("round-11 function wave: -If combinators, argMax/argMin, uniq, " +
+    "multiIf, array helpers — value-identical forms only") {
+    assert(t("SELECT sumIf(v, v > 0)") == "SELECT sum(v) FILTER (WHERE v > 0)")
+    assert(t("SELECT avgIf(v, tag = 'a')") ==
+      "SELECT avg(v) FILTER (WHERE tag = 'a')")
+    assert(t("SELECT countIf(v > 0)") == "SELECT count_if(v > 0)")
+    assert(t("SELECT argMax(name, ver)") == "SELECT max_by(name, ver)")
+    assert(t("SELECT argMin(name, ver)") == "SELECT min_by(name, ver)")
+    assert(t("SELECT uniq(a)") == "SELECT count(DISTINCT a)")
+    assert(t("SELECT uniqExact(a, b)") == "SELECT count(DISTINCT a, b)")
+    assert(t("SELECT multiIf(a > 1, 'x', a > 0, 'y', 'z')") ==
+      "SELECT (CASE WHEN a > 1 THEN 'x' WHEN a > 0 THEN 'y' ELSE 'z' END)")
+    assert(t("SELECT multiIf(a > 1, 'x', 'y')") ==
+      "SELECT (CASE WHEN a > 1 THEN 'x' ELSE 'y' END)")
+    assert(t("SELECT has(xs, 3)") == "SELECT array_contains(xs, 3)")
+    assert(t("SELECT indexOf(xs, 3)") == "SELECT array_position(xs, 3)")
+    assert(t("SELECT empty(s)") == "SELECT (graft_length(s) = 0)")
+    assert(t("SELECT notEmpty(xs)") == "SELECT (graft_length(xs) > 0)")
+    assert(t("SELECT arrayStringConcat(xs, ',')") == "SELECT array_join(xs, ',')")
+    assert(t("SELECT arrayStringConcat(xs)") == "SELECT array_join(xs, '')")
+    assert(t("SELECT arraySlice(xs, 2, 3)") == "SELECT slice(xs, 2, 3)")
+    assert(t("SELECT arraySlice(xs, 2)") == "SELECT slice(xs, 2, size(xs))")
+    assert(t("SELECT arrayConcat(a, b)") == "SELECT concat(a, b)")
+    assert(t("SELECT arrayReverse(a)") == "SELECT reverse(a)")
+  }
+
   test("-State/-Merge combinators translate to state-producing and " +
     "state-combining aggregates") {
     assert(t("SELECT avgState(v)") ==
