@@ -44,7 +44,6 @@ object ChSqlTranslator {
     // arrayReverse/reverse agree element-wise
     "argMax" -> "max_by",
     "argMin" -> "min_by",
-    "countIf" -> "count_if",
     "has" -> "array_contains",
     "arrayReverse" -> "reverse",
     "arrayConcat" -> "concat",
@@ -181,6 +180,11 @@ object ChSqlTranslator {
       args => s"min(${args(0)}) FILTER (WHERE ${args(1)})")
     s = rewriteCall(s, "maxIf",
       args => s"max(${args(0)}) FILTER (WHERE ${args(1)})")
+    // countIf(cond) and countIf(x, cond) — the 2-arg combinator form
+    // counts non-NULL x over rows passing cond
+    s = rewriteCall(s, "countIf", args =>
+      if (args.size >= 2) s"count(${args(0)}) FILTER (WHERE ${args(1)})"
+      else s"count_if(${args.head})")
     // uniq/uniqExact as plain aggregates: exact COUNT(DISTINCT) — for
     // uniq a documented improvement over the server's approximation
     // (same choice as the exact uniqMerge state path)

@@ -233,7 +233,30 @@ object ChExprUnparser {
           // column-driven fractions stay local.
           case Percentile(c, Literal(p: Double, DoubleType), Literal(1L, LongType), _, _, false) =>
             go(c).map(cs => s"quantileExactInclusive($p)($cs)")
+          // max_by/min_by ⇄ argMax/argMin: same argument order (value,
+          // ordering); tie-breaks are unspecified in BOTH engines, the
+          // same "any survivor" contract
+          case MaxBy(v, o) => for (vs <- go(v); os <- go(o))
+            yield s"argMax($vs, $os)"
+          case MinBy(v, o) => for (vs <- go(v); os <- go(o))
+            yield s"argMin($vs, $os)"
           case _ => None
+        }
+
+      // FILTER-clause aggregates → the server's -If combinators (the
+      // aggregate sees only rows passing the predicate — identical
+      // semantics; count over a column keeps its non-NULL rule)
+      case AggregateExpression(af, _, false, Some(filter), _) =>
+        go(filter).flatMap { f =>
+          af match {
+            case Sum(c, _) => go(c).map(cs => s"sumIf($cs, $f)")
+            case Min(c) => go(c).map(cs => s"minIf($cs, $f)")
+            case Max(c) => go(c).map(cs => s"maxIf($cs, $f)")
+            case Average(c, _) => go(c).map(cs => s"avgIf($cs, $f)")
+            case Count(Seq(Literal(1, IntegerType))) => Some(s"countIf($f)")
+            case Count(Seq(c)) => go(c).map(cs => s"countIf($cs, $f)")
+            case _ => None
+          }
         }
 
       // ---- window expressions (for whole-subtree window pushdown;

@@ -147,6 +147,28 @@ class PushdownSpec extends AnyFunSuite {
     assert(got == Set((0, 1L, "Bob"), (1, 2L, "Charlie")))
   }
 
+  test("max_by/min_by and FILTER-clause aggregates collapse remotely as " +
+    "argMax/argMin and the -If combinators") {
+    val df = spark.sql(
+      """SELECT id % 2 AS parity,
+        |  max_by(name, id) AS latest, min_by(name, id) AS earliest,
+        |  sum(id) FILTER (WHERE id > 1) AS s,
+        |  count(*) FILTER (WHERE id > 1) AS n,
+        |  count(name) FILTER (WHERE id > 1) AS nn
+        |FROM chpd.db.people GROUP BY parity""".stripMargin)
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    val sql = execs.head.sql
+    assert(sql.contains("argMax(") && sql.contains("argMin(") &&
+      sql.contains("sumIf(") && sql.contains("countIf("), sql)
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // people: (1, Alice), (2, Bob), (3, Charlie)
+    assert(got == Set(
+      (0, "Bob", "Bob", 2L, 1L, 1L),
+      (1, "Charlie", "Alice", 3L, 1L, 1L)), got.toString)
+  }
+
   test("count() over a collapsed join/aggregate keeps remote cardinality " +
     "(fully-pruned outputs ship constants, global aggregates still aggregate)") {
     // count() prunes every output column: the collapsed SQL must emit a
