@@ -128,6 +128,26 @@ trait ClickHouseClient extends Serializable {
     throw new UnsupportedOperationException(
       s"this transport cannot RENAME TABLE $db.$table")
 
+  /** `EXCHANGE TABLES a AND b` — atomic name swap (the Atomic database
+    * engine's blue/green primitive: stage a rebuilt table, then swap it
+    * live in one step). Both tables must exist; NOT idempotent (a
+    * second exchange swaps back), so callers never retry blindly.
+    */
+  def exchangeTables(db: String, a: String, db2: String, b: String): Unit =
+    throw new UnsupportedOperationException(
+      s"this transport cannot EXCHANGE TABLES $db.$a AND $db2.$b")
+
+  /** `ALTER TABLE db.table DROP PARTITION <value>` — drop every row of
+    * one partition (the data-lifecycle primitive at scale: expire a
+    * day/month in one metadata-speed operation on a server).
+    * `partitionValue` is a ClickHouse literal/tuple matched against the
+    * table's declared partition_by expression. Requires a declared
+    * partition_by — honored-or-rejected.
+    */
+  def dropPartition(db: String, table: String, partitionValue: String): Unit =
+    throw new UnsupportedOperationException(
+      s"this transport cannot DROP PARTITION on $db.$table")
+
   /** `ALTER TABLE db.table ATTACH PARTITION ... FROM srcDb.srcTable`
     * applied to EVERY partition of the source: clones the source's data
     * parts into the destination without reading rows — the server's

@@ -409,6 +409,38 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     invalidate()
   }
 
+  /** Atomic-engine name swap: both directories exchange under the JVM
+    * store lock (three same-filesystem moves through a temp name).
+    * Materialized views are rejected on either side by the existence
+    * check — a view is not a table (its dir holds only view.meta).
+    */
+  override def exchangeTables(db: String, a: String, db2: String, b: String): Unit = {
+    rejectSystem(db, s"EXCHANGE TABLES $db.$a")
+    rejectSystem(db2, s"EXCHANGE TABLES $db2.$b")
+    require(tableExists(db, a), s"no such table: $db.$a")
+    require(tableExists(db2, b), s"no such table: $db2.$b")
+    val (pa, pb) = (tablePath(db, a), tablePath(db2, b))
+    val tmp = pa.resolveSibling(s".exchange-${java.util.UUID.randomUUID}")
+    Files.move(pa, tmp)
+    Files.move(pb, pa)
+    Files.move(tmp, pb)
+    invalidate()
+  }
+
+  /** DROP PARTITION as a mutation: every row whose partition_by value
+    * equals the given literal is deleted (the server drops the parts;
+    * the embedded store's parts are not partition-organized, so the
+    * row-predicate rewrite is the same observable result).
+    */
+  override def dropPartition(db: String, table: String, partitionValue: String): Unit = {
+    rejectSystem(db, s"DROP PARTITION on $db.$table")
+    require(tableExists(db, table), s"no such table: $db.$table")
+    val pb = readMeta(db, table)._2.getOrElse("partition_by",
+      throw new IllegalArgumentException(
+        s"DROP PARTITION on $db.$table: table declares no partition_by"))
+    deleteWhere(db, table, s"($pb) = ($partitionValue)")
+  }
+
   override def renameTable(
       db: String, table: String, newDb: String, newTable: String): Unit = {
     rejectSystem(db, s"RENAME TABLE $db.$table")

@@ -166,6 +166,12 @@ class FailoverClickHouseClient(
   override def attachPartitionsFrom(
       db: String, table: String, srcDb: String, srcTable: String): Unit =
     primary.attachPartitionsFrom(db, table, srcDb, srcTable)
+  // name swap is per-replica metadata like RENAME: broadcast
+  override def exchangeTables(db: String, a: String, db2: String, b: String): Unit =
+    replicas.foreach(_.exchangeTables(db, a, db2, b))
+  // partition drop is a mutation: once at the primary, server replicates
+  override def dropPartition(db: String, table: String, partitionValue: String): Unit =
+    primary.dropPartition(db, table, partitionValue)
 
   // ---- mutations: the PRIMARY only, like inserts. The class model is a
   // server-replicated backend (ReplicatedMergeTree), where an ALTER

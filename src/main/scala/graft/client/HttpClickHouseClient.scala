@@ -342,6 +342,20 @@ class HttpClickHouseClient(
     ()
   }
 
+  override def exchangeTables(db: String, a: String, db2: String, b: String): Unit = {
+    exec(s"EXCHANGE TABLES `$db`.`$a` AND `$db2`.`$b`")
+    // both names now carry the OTHER table's schema
+    colTypeCache.remove(s"$db.$a")
+    colTypeCache.remove(s"$db2.$b")
+    ()
+  }
+
+  override def dropPartition(db: String, table: String, partitionValue: String): Unit = {
+    exec(s"ALTER TABLE `$db`.`$table` DROP PARTITION $partitionValue",
+      Map("mutations_sync" -> "1"))
+    ()
+  }
+
   override def attachPartitionsFrom(
       db: String, table: String, srcDb: String, srcTable: String): Unit = {
     // the server's ALTER grammar attaches ONE partition per statement —

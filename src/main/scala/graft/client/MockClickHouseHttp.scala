@@ -302,6 +302,21 @@ final class MockClickHouseHttp extends AutoCloseable {
           (200, "")
         case None => (500, s"mock: bad insert: ${q.take(200)}")
       }
+    } else if (q.startsWith("EXCHANGE TABLES")) {
+      val Ex = raw"EXCHANGE TABLES `[^`]+`\.`([^`]+)` AND `[^`]+`\.`([^`]+)`".r.unanchored
+      Ex.findFirstMatchIn(q) match {
+        case Some(m) if tables.contains(m.group(1)) && tables.contains(m.group(2)) =>
+          val (ca, cb) = (tables(m.group(1)), tables(m.group(2)))
+          tables.put(m.group(1), cb); tables.put(m.group(2), ca)
+          (200, "")
+        case _ => (500, s"mock: bad EXCHANGE TABLES: ${q.take(200)}")
+      }
+    } else if (q.startsWith("ALTER TABLE") && q.contains(" DROP PARTITION ")) {
+      val Dp = raw"ALTER TABLE `[^`]+`\.`([^`]+)` DROP PARTITION ".r.unanchored
+      Dp.findFirstMatchIn(q) match {
+        case Some(m) if tables.contains(m.group(1)) => (200, "")
+        case _ => (500, s"mock: DROP PARTITION on unknown table: ${q.take(200)}")
+      }
     } else if (q.startsWith("ALTER TABLE") && q.contains(" ATTACH PARTITION ")) {
       // partition attach is a server-side part clone the mock does not
       // model — specs assert the per-partition wire shape via `statements`

@@ -141,6 +141,12 @@ class ShardedClickHouseClient(
     shards.foreach(_.dropMaterializedView(db, name))
   override def optimizeTable(db: String, table: String, finalize: Boolean): Unit =
     shards.foreach(_.optimizeTable(db, table, finalize))
+  // DDL broadcast like RENAME: every shard swaps its local pair
+  override def exchangeTables(db: String, a: String, db2: String, b: String): Unit =
+    shards.foreach(_.exchangeTables(db, a, db2, b))
+  // mutation broadcast: every shard drops its slice of the partition
+  override def dropPartition(db: String, table: String, partitionValue: String): Unit =
+    shards.foreach(_.dropPartition(db, table, partitionValue))
   // shard-local clone: each shard attaches its own slice — ATTACH never
   // moves rows between shards, so routing stays exactly the source's
   override def attachPartitionsFrom(

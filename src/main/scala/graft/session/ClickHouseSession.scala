@@ -113,6 +113,25 @@ final class ClickHouseSession private (
     // any cached plans over the table (see ChMutations.refresh)
     graft.connector.ChMutations.refresh(spark, s"$catalogName.$db.$table")
   }
+  /** `EXCHANGE TABLES a AND b` — atomic swap (blue/green publish). */
+  def exchangeTables(db: String, a: String, db2: String, b: String): Unit = {
+    client.exchangeTables(db, a, db2, b)
+    graft.connector.ChMutations.refresh(spark, s"$catalogName.$db.$a")
+    graft.connector.ChMutations.refresh(spark, s"$catalogName.$db2.$b")
+  }
+  /** `ALTER TABLE ... DROP PARTITION <value>` — expire one partition. */
+  def dropPartition(db: String, table: String, partitionValue: String): Unit = {
+    client.dropPartition(db, table, partitionValue)
+    graft.connector.ChMutations.refresh(spark, s"$catalogName.$db.$table")
+  }
+  /** `ALTER TABLE ... ATTACH PARTITION ... FROM src` for every source
+    * partition — metadata-speed part clone between same-structure tables.
+    */
+  def attachPartitionsFrom(
+      db: String, table: String, srcDb: String, srcTable: String): Unit = {
+    client.attachPartitionsFrom(db, table, srcDb, srcTable)
+    graft.connector.ChMutations.refresh(spark, s"$catalogName.$db.$table")
+  }
 
   def newTable(db: String, name: String): TableCreator =
     new TableCreator(this, db, name)

@@ -576,6 +576,73 @@ class AlterTableSpec extends AnyFunSuite {
     } finally { p.close(); s.close() }
   }
 
+  test("EXCHANGE TABLES swaps atomically (blue/green publish); views " +
+    "and missing tables reject") {
+    n += 1
+    val (blue, green) = (s"ex_blue_$n", s"ex_green_$n")
+    val client = new EmbeddedClickHouse(root)
+    for ((t, v) <- Seq(blue -> 1L, green -> 2L)) {
+      spark.sql(
+        s"""CREATE TABLE chalter.main.$t (id BIGINT, v BIGINT)
+           |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+      spark.sql(s"INSERT INTO chalter.main.$t VALUES (1, $v)")
+    }
+    client.exchangeTables("main", blue, "main", green)
+    graft.connector.ChMutations.refresh(spark, s"chalter.main.$blue")
+    graft.connector.ChMutations.refresh(spark, s"chalter.main.$green")
+    assert(spark.table(s"chalter.main.$blue").head.getLong(1) == 2L)
+    assert(spark.table(s"chalter.main.$green").head.getLong(1) == 1L)
+    // a second exchange swaps BACK (documented non-idempotence)
+    client.exchangeTables("main", blue, "main", green)
+    graft.connector.ChMutations.refresh(spark, s"chalter.main.$blue")
+    assert(spark.table(s"chalter.main.$blue").head.getLong(1) == 1L)
+    intercept[Exception](client.exchangeTables("main", blue, "main", "nope"))
+    // an MV cannot be exchanged: a view is not a table
+    spark.sql(
+      s"""CREATE TABLE chalter.main.ex_tgt_$n (v BIGINT)
+         |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'v')""".stripMargin)
+    client.createMaterializedView("main", s"ex_mv_$n", "main", s"ex_tgt_$n",
+      s"SELECT v FROM main.$blue")
+    val e = intercept[Exception](
+      client.exchangeTables("main", s"ex_mv_$n", "main", green))
+    assert(e.getMessage.contains("no such table"), e.getMessage)
+  }
+
+  test("DROP PARTITION deletes exactly one partition's rows; tables " +
+    "without partition_by reject; HTTP ships the ALTER") {
+    n += 1
+    val t = s"dp_$n"
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("main", t,
+      Seq("id" -> "Int64", "month" -> "String", "v" -> "Int64"),
+      Map("engine" -> "MergeTree", "order_by" -> "id",
+        "partition_by" -> "month"))
+    val sch = client.sparkSchema("main", t)
+    client.insert("main", t, sch, Seq(
+      Row(1L, "2024-01", 10L), Row(2L, "2024-01", 20L),
+      Row(3L, "2024-02", 30L)))
+    client.dropPartition("main", t, "'2024-01'")
+    graft.connector.ChMutations.refresh(spark, s"chalter.main.$t")
+    val left = spark.table(s"chalter.main.$t").collect()
+    assert(left.length == 1 && left.head.getString(1) == "2024-02")
+    // no partition_by → honored-or-rejected
+    val (qt2, bare2) = freshTable()
+    val e = intercept[Exception](client.dropPartition("main", bare2, "'x'"))
+    assert(e.getMessage.contains("partition_by"), e.getMessage + qt2)
+    // HTTP wire shape
+    val m = new graft.client.MockClickHouseHttp
+    try {
+      val http = new graft.client.HttpClickHouseClient(m.endpoint)
+      http.createTable("main", "dp_http", Seq("id" -> "Int64"),
+        Map("engine" -> "MergeTree", "partition_by" -> "id"))
+      http.dropPartition("main", "dp_http", "7")
+      import scala.jdk.CollectionConverters._
+      assert(m.statements.asScala.exists(
+        _ == "ALTER TABLE `main`.`dp_http` DROP PARTITION 7"),
+        m.statements.asScala.filter(_.contains("DROP PARTITION")).toSeq)
+    } finally m.close()
+  }
+
   test("array and map ADD COLUMN defaults are typed empties") {
     val (qt, _) = freshTable()
     spark.sql(s"ALTER TABLE $qt ADD COLUMN xs ARRAY<BIGINT> NOT NULL")
