@@ -168,7 +168,14 @@ class DifferentialSpec extends AnyFunSuite {
       () => sum(col("c_custkey")).as("sk"),
       () => min(col("c_acctbal")).as("mn"),
       () => max(col("c_acctbal")).as("mx"),
-      () => countDistinct(col("c_nationkey")).as("nd"))
+      () => countDistinct(col("c_nationkey")).as("nd"),
+      // round-11 collapse surface: FILTER-clause aggregates (-If
+      // combinators remotely) and max_by/min_by (argMax/argMin) — the
+      // unique c_custkey ordering keeps tie-breaks out of the sweep
+      () => expr("sum(c_custkey) FILTER (WHERE c_acctbal > 0)").as("sif"),
+      () => expr("count(*) FILTER (WHERE c_acctbal < 5000)").as("cif"),
+      () => expr("max_by(c_mktsegment, c_custkey)").as("mb"),
+      () => expr("min_by(c_mktsegment, c_custkey)").as("mnb"))
     val keyPool: Seq[Seq[Column]] = Seq(
       Seq(col("c_mktsegment")),
       Seq(col("c_nationkey")),
