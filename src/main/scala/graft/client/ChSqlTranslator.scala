@@ -248,6 +248,11 @@ object ChSqlTranslator {
     // percentile(x, p) (percentile_cont semantics in both)
     s = rewriteParamCall(s, "quantileExactInclusive",
       (params, args) => s"percentile(${args.head}, ${params.head})")
+    // plural form: quantilesExactInclusive(p1, p2, ...)(x) → one
+    // percentile call with an array of fractions (single sort, array out)
+    s = rewriteParamCall(s, "quantilesExactInclusive",
+      (params, args) =>
+        s"percentile(${args.head}, array(${params.mkString(", ")}))")
     // lagInFrame/leadInFrame → lag/lead; Spark REJECTS an explicit frame
     // on offset functions, so the forced full frame our unparser emits is
     // stripped from the OVER clause that follows

@@ -128,6 +128,14 @@ trait ClickHouseClient extends Serializable {
     throw new UnsupportedOperationException(
       s"this transport cannot RENAME TABLE $db.$table")
 
+  /** `TRUNCATE TABLE` — drop every row, keep the table (the server
+    * removes the parts wholesale; metadata-speed, unlike a DELETE
+    * mutation which rewrites them).
+    */
+  def truncateTable(db: String, table: String): Unit =
+    throw new UnsupportedOperationException(
+      s"this transport cannot TRUNCATE TABLE $db.$table")
+
   /** `EXCHANGE TABLES a AND b` — atomic name swap (the Atomic database
     * engine's blue/green primitive: stage a rebuilt table, then swap it
     * live in one step). Both tables must exist; NOT idempotent (a

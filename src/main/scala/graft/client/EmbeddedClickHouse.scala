@@ -409,6 +409,26 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     invalidate()
   }
 
+  /** TRUNCATE as wholesale part removal (metadata-speed like the
+    * server — never a row-rewriting mutation). External attachments are
+    * read-only and reject; epoch markers clear with the parts so a
+    * replayed streaming epoch can land again post-truncate.
+    */
+  override def truncateTable(db: String, table: String): Unit = {
+    rejectSystem(db, s"TRUNCATE TABLE $db.$table")
+    require(tableExists(db, table), s"no such table: $db.$table")
+    val (_, _, ext) = readMeta(db, table)
+    require(ext.isEmpty,
+      s"TRUNCATE TABLE $db.$table: table has attached external data (read-only)")
+    val dir = tablePath(db, table)
+    NioFiles.list(dir).iterator
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(Files.delete)
+    for (sub <- Seq(".epoch-parts", ".epochs"))
+      deleteRecursively(dir.resolve(sub))
+    invalidate()
+  }
+
   /** Atomic-engine name swap: both directories exchange under the JVM
     * store lock (three same-filesystem moves through a temp name).
     * Materialized views are rejected on either side by the existence

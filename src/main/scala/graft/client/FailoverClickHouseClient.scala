@@ -166,6 +166,9 @@ class FailoverClickHouseClient(
   override def attachPartitionsFrom(
       db: String, table: String, srcDb: String, srcTable: String): Unit =
     primary.attachPartitionsFrom(db, table, srcDb, srcTable)
+  // data change: once at the primary, the server replicates the removal
+  override def truncateTable(db: String, table: String): Unit =
+    primary.truncateTable(db, table)
   // name swap is per-replica metadata like RENAME: broadcast
   override def exchangeTables(db: String, a: String, db2: String, b: String): Unit =
     replicas.foreach(_.exchangeTables(db, a, db2, b))

@@ -342,6 +342,11 @@ class HttpClickHouseClient(
     ()
   }
 
+  override def truncateTable(db: String, table: String): Unit = {
+    exec(s"TRUNCATE TABLE `$db`.`$table`")
+    ()
+  }
+
   override def exchangeTables(db: String, a: String, db2: String, b: String): Unit = {
     exec(s"EXCHANGE TABLES `$db`.`$a` AND `$db2`.`$b`")
     // both names now carry the OTHER table's schema

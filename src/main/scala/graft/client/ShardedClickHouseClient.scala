@@ -141,6 +141,9 @@ class ShardedClickHouseClient(
     shards.foreach(_.dropMaterializedView(db, name))
   override def optimizeTable(db: String, table: String, finalize: Boolean): Unit =
     shards.foreach(_.optimizeTable(db, table, finalize))
+  // data removal broadcasts: every shard clears its slice
+  override def truncateTable(db: String, table: String): Unit =
+    shards.foreach(_.truncateTable(db, table))
   // DDL broadcast like RENAME: every shard swaps its local pair
   override def exchangeTables(db: String, a: String, db2: String, b: String): Unit =
     shards.foreach(_.exchangeTables(db, a, db2, b))

@@ -233,6 +233,14 @@ object ChExprUnparser {
           // column-driven fractions stay local.
           case Percentile(c, Literal(p: Double, DoubleType), Literal(1L, LongType), _, _, false) =>
             go(c).map(cs => s"quantileExactInclusive($p)($cs)")
+          // array-of-fractions form → the server's plural combinator
+          // (one sort, Array(Float64) out — same as Spark's array out)
+          case Percentile(c,
+              Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                ArrayType(DoubleType, _)),
+              Literal(1L, LongType), _, _, false) =>
+            go(c).map(cs =>
+              s"quantilesExactInclusive(${arr.toDoubleArray().mkString(", ")})($cs)")
           // max_by/min_by ⇄ argMax/argMin: same argument order (value,
           // ordering); tie-breaks are unspecified in BOTH engines, the
           // same "any survivor" contract

@@ -113,6 +113,11 @@ final class ClickHouseSession private (
     // any cached plans over the table (see ChMutations.refresh)
     graft.connector.ChMutations.refresh(spark, s"$catalogName.$db.$table")
   }
+  /** `TRUNCATE TABLE` — metadata-speed part removal, table stays. */
+  def truncateTable(db: String, table: String): Unit = {
+    client.truncateTable(db, table)
+    graft.connector.ChMutations.refresh(spark, s"$catalogName.$db.$table")
+  }
   /** `EXCHANGE TABLES a AND b` — atomic swap (blue/green publish). */
   def exchangeTables(db: String, a: String, db2: String, b: String): Unit = {
     client.exchangeTables(db, a, db2, b)

@@ -643,6 +643,30 @@ class AlterTableSpec extends AnyFunSuite {
     } finally m.close()
   }
 
+  test("TRUNCATE TABLE clears rows metadata-speed, keeps the table and " +
+    "its schema; external attachments reject; HTTP ships the statement") {
+    val (qt, bare) = freshTable()
+    val client = new EmbeddedClickHouse(root)
+    assert(spark.table(qt).count() == 2)
+    client.truncateTable("main", bare)
+    graft.connector.ChMutations.refresh(spark, qt)
+    assert(spark.table(qt).count() == 0)
+    // table + schema survive; inserts land again
+    spark.sql(s"INSERT INTO $qt VALUES (9, 9.5, 'z')")
+    assert(spark.table(qt).count() == 1)
+    intercept[Exception](client.truncateTable("main", "no_such_table"))
+    val m = new graft.client.MockClickHouseHttp
+    try {
+      val http = new graft.client.HttpClickHouseClient(m.endpoint)
+      http.createTable("main", "tr_http", Seq("id" -> "Int64"),
+        Map("engine" -> "MergeTree"))
+      http.truncateTable("main", "tr_http")
+      import scala.jdk.CollectionConverters._
+      assert(m.statements.asScala.exists(_ == "TRUNCATE TABLE `main`.`tr_http`"),
+        m.statements.asScala.filter(_.contains("TRUNCATE")).toSeq)
+    } finally m.close()
+  }
+
   test("array and map ADD COLUMN defaults are typed empties") {
     val (qt, _) = freshTable()
     spark.sql(s"ALTER TABLE $qt ADD COLUMN xs ARRAY<BIGINT> NOT NULL")

@@ -169,6 +169,18 @@ class PushdownSpec extends AnyFunSuite {
       (1, "Charlie", "Alice", 3L, 1L, 1L)), got.toString)
   }
 
+  test("percentile with an ARRAY of fractions collapses remotely as the " +
+    "plural quantiles combinator (one sort, array out)") {
+    val df = spark.sql(
+      "SELECT percentile(id, array(0.25, 0.5, 0.75)) AS qs FROM chpd.db.people")
+    val execs = remoteExecs(df)
+    assert(execs.nonEmpty, s"no remote exec:\n${df.queryExecution.executedPlan}")
+    assert(execs.head.sql.contains("quantilesExactInclusive(0.25, 0.5, 0.75)("),
+      execs.head.sql)
+    // people ids: 1, 2, 3 → quartiles 1.5 / 2.0 / 2.5
+    assert(df.collect().head.getSeq[Double](0) == Seq(1.5, 2.0, 2.5))
+  }
+
   test("count() over a collapsed join/aggregate keeps remote cardinality " +
     "(fully-pruned outputs ship constants, global aggregates still aggregate)") {
     // count() prunes every output column: the collapsed SQL must emit a

@@ -74,6 +74,8 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT arraySlice(xs, 2)") == "SELECT slice(xs, 2, size(xs))")
     assert(t("SELECT arrayConcat(a, b)") == "SELECT concat(a, b)")
     assert(t("SELECT arrayReverse(a)") == "SELECT reverse(a)")
+    assert(t("SELECT quantilesExactInclusive(0.25, 0.75)(v)") ==
+      "SELECT percentile(v, array(0.25, 0.75))")
   }
 
   test("-State/-Merge combinators translate to state-producing and " +
