@@ -71,6 +71,28 @@ object ConnectorQueries {
       (s, dir) => { harness(s, dir); Tables.register(s, dir); f(s, dir) },
       Some(oracle))
 
+  /** Shared 150K-row orders copy (k, pri, status, odate, cents), staged
+    * once per store (content-fingerprinted) — r50 and r56 clone it via
+    * ATTACH PARTITION FROM instead of re-inserting per run.
+    */
+  private def ensureOrdBase(s: SparkSession, dir: String): Unit =
+    ensureStore(s, dir, Seq(("clickhouse.main.ord_ttl_base",
+      Seq("k", "pri", "status", "odate", "cents"),
+      () => s.table("orders").select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+        col("o_orderstatus").as("status"), col("o_orderdate").as("odate"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))))) {
+      s.sql(
+        """CREATE TABLE clickhouse.main.ord_ttl_base
+          |(k BIGINT, pri STRING, status STRING, odate TIMESTAMP, cents BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      s.sql(
+        """INSERT INTO clickhouse.main.ord_ttl_base
+          |SELECT o_orderkey, o_orderpriority, o_orderstatus, o_orderdate,
+          |  CAST(round(o_totalprice * 100) AS BIGINT)
+          |FROM orders""".stripMargin)
+    }
+
   /** Stores already content-verified this JVM (keyed by store table set):
     * the poisoning hazard is a PERSISTED artifact from an earlier run, so
     * once a store fingerprints clean it stays trusted for the session.
@@ -1638,22 +1660,7 @@ object ConnectorQueries {
       // run clones it into the mutable table via ATTACH PARTITION FROM
       // (metadata-speed part clone) — the gate measures the TTL expiry
       // merge, not the 150K-row corpus re-insert (round-11 hygiene)
-      ensureStore(s, dir, Seq(("clickhouse.main.ord_ttl_base",
-        Seq("k", "pri", "status", "odate", "cents"),
-        () => s.table("orders").select(
-          col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
-          col("o_orderstatus").as("status"), col("o_orderdate").as("odate"),
-          round(col("o_totalprice") * 100).cast("bigint").as("cents"))))) {
-        s.sql(
-          """CREATE TABLE clickhouse.main.ord_ttl_base
-            |(k BIGINT, pri STRING, status STRING, odate TIMESTAMP, cents BIGINT)
-            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
-        s.sql(
-          """INSERT INTO clickhouse.main.ord_ttl_base
-            |SELECT o_orderkey, o_orderpriority, o_orderstatus, o_orderdate,
-            |  CAST(round(o_totalprice * 100) AS BIGINT)
-            |FROM orders""".stripMargin)
-      }
+      ensureOrdBase(s, dir)
       s.sql("DROP TABLE IF EXISTS clickhouse.main.ord_ttl")
       s.sql(
         """CREATE TABLE clickhouse.main.ord_ttl
@@ -1834,6 +1841,36 @@ object ConnectorQueries {
         """SELECT `lang`, `doc_id`, `n_chars` FROM `main`.`documents`
           |WHERE `n_chars` IS NOT NULL AND `lang` IS NOT NULL
           |ORDER BY `lang`, `n_chars` DESC, `doc_id` LIMIT 2 BY `lang`""".stripMargin)
+    },
+
+    // Blue/green publish (round 11): the table-lifecycle primitives
+    // composed as a pipeline would use them — stage an empty table,
+    // clone the corpus in via ATTACH PARTITION FROM (metadata-speed),
+    // EXCHANGE it with the live table atomically, TRUNCATE the old
+    // copy now sitting on the stage name. Readers of `live` see the
+    // full corpus; the oracle aggregates the raw corpus directly.
+    q("r56_blue_green",
+      """SELECT o_orderpriority AS pri, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY pri""".stripMargin) { (s, dir) =>
+      ensureOrdBase(s, dir)
+      val client = graft.connector.ChMutations.clientOf(s, "clickhouse")
+      for (t <- Seq("ord_bg_live", "ord_bg_stage")) {
+        s.sql(s"DROP TABLE IF EXISTS clickhouse.main.$t")
+        s.sql(
+          s"""CREATE TABLE clickhouse.main.$t
+             |(k BIGINT, pri STRING, status STRING, odate TIMESTAMP, cents BIGINT)
+             |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      }
+      client.attachPartitionsFrom("main", "ord_bg_stage", "main", "ord_ttl_base")
+      client.exchangeTables("main", "ord_bg_stage", "main", "ord_bg_live")
+      client.truncateTable("main", "ord_bg_stage")
+      graft.connector.ChMutations.refresh(s, "clickhouse.main.ord_bg_live")
+      graft.connector.ChMutations.refresh(s, "clickhouse.main.ord_bg_stage")
+      s.table("clickhouse.main.ord_bg_live")
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("pri")
     }
   )
 }
