@@ -107,8 +107,31 @@ class AlterFuzzSpec extends AnyFunSuite {
       }
       insertSome()
 
+      // one optional snapshot for the EXCHANGE-restore op: (names,
+      // types, rows) at snapshot time, held in a twin table built via
+      // ATTACH PARTITION FROM
+      var snap: Option[(Vector[String], Vector[Kind], Vector[Vector[Any]])] = None
+      val snapT = s"${t}_snap"
+
       for (_ <- 0 until (3 + r.nextInt(4))) {
-        r.nextInt(5) match {
+        r.nextInt(7) match {
+          case 5 => // TRUNCATE: rows vanish, schema stays, inserts land again
+            client.truncateTable("main", t)
+            rows = Vector.empty
+          case 6 =>
+            snap match {
+              case None => // take a snapshot: twin table + part clone
+                client.createTable("main", snapT,
+                  names.zip(types).map { case (n, k) => n -> k.chType },
+                  Map("engine" -> "MergeTree", "order_by" -> "id"))
+                client.attachPartitionsFrom("main", snapT, "main", t)
+                snap = Some((names, types, rows))
+              case Some((sn, st, sr)) => // restore: atomic swap back
+                client.exchangeTables("main", t, "main", snapT)
+                client.dropTable("main", snapT)
+                names = sn; types = st; rows = sr
+                snap = None
+            }
           case 0 => // ADD, randomly positioned (append / FIRST / AFTER c)
             nextCol += 1
             val n = s"c$nextCol"
@@ -177,6 +200,7 @@ class AlterFuzzSpec extends AnyFunSuite {
       got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
         assert(g == w, s"seed $seed row $i: $g != $w (cols $names)")
       }
+      if (snap.isDefined) client.dropTable("main", snapT)
       client.dropTable("main", t)
     }
   }
