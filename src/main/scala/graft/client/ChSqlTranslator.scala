@@ -49,6 +49,14 @@ object ChSqlTranslator {
     "arrayConcat" -> "concat",
     "indexOf" -> "array_position",
     "today" -> "current_date",
+    "arrayFlatten" -> "flatten",
+    // Unicode-codepoint case mapping in both engines
+    "lowerUTF8" -> "lower",
+    "upperUTF8" -> "upper",
+    // insertion-order collection: order is UNSPECIFIED under parallel
+    // execution in BOTH engines (same contract, not a silent delta)
+    "groupArray" -> "collect_list",
+    "groupUniqArray" -> "collect_set",
     // statistical aggregates (scan-level complete pushdown)
     "varSamp" -> "var_samp",
     "varPop" -> "var_pop",
@@ -170,6 +178,45 @@ object ChSqlTranslator {
     s = rewriteCall(s, "trimLeft", args => s"ltrim(${args.head})")
     s = rewriteCall(s, "trimRight", args => s"rtrim(${args.head})")
     s = rewriteCall(s, "isNaN", args => s"isnan(${args.head})")
+    // any/anyLast: the server keeps "some" value — min/max are legal
+    // instances, reproducibly (the Summing-representative rule). The
+    // quantified-subquery form `= any(SELECT ...)` is NOT the aggregate
+    // — reconstruct it untouched.
+    s = rewriteCall(s, "anyLast", args => s"max(${args.head})")
+    s = rewriteCall(s, "any", args =>
+      if (args.size == 1 && !args.head.trim.toUpperCase.startsWith("SELECT"))
+        s"min(${args.head})"
+      else s"any(${args.mkString(", ")})")
+    // date partition keys (toYYYYMM and friends — the canonical
+    // partition_by expressions): closed-form integer arithmetic
+    s = rewriteCall(s, "toYYYYMM",
+      args => s"(year(${args.head}) * 100 + month(${args.head}))")
+    s = rewriteCall(s, "toYYYYMMDD",
+      args => s"(year(${args.head}) * 10000 + month(${args.head}) * 100 + " +
+        s"dayofmonth(${args.head}))")
+    // JSON extraction family → get_json_object with a $.-path built
+    // from the LITERAL key arguments; non-literal or empty keys REJECT
+    // at translate time — never a silently wrong path
+    def jsonPath(keys: Seq[String]): String = {
+      require(keys.nonEmpty, "JSONExtract*: at least one key is required")
+      val lits = keys.map(_.trim).map { k =>
+        require(k.length >= 3 && k.startsWith("'") && k.endsWith("'") &&
+          !k.substring(1, k.length - 1).contains("'"),
+          s"JSONExtract*: keys must be string literals (got $k)")
+        k.substring(1, k.length - 1)
+      }
+      "'$." + lits.mkString(".") + "'"
+    }
+    s = rewriteCall(s, "JSONExtractString",
+      args => s"get_json_object(${args.head}, ${jsonPath(args.tail)})")
+    s = rewriteCall(s, "JSONExtractInt",
+      args => s"cast(get_json_object(${args.head}, ${jsonPath(args.tail)}) as bigint)")
+    s = rewriteCall(s, "JSONExtractFloat",
+      args => s"cast(get_json_object(${args.head}, ${jsonPath(args.tail)}) as double)")
+    s = rewriteCall(s, "JSONExtractBool",
+      args => s"cast(get_json_object(${args.head}, ${jsonPath(args.tail)}) as boolean)")
+    s = rewriteCall(s, "JSONHas",
+      args => s"(get_json_object(${args.head}, ${jsonPath(args.tail)}) IS NOT NULL)")
     // -If combinator aggregates → Spark FILTER clauses (identical
     // semantics: the aggregate sees only rows passing the condition)
     s = rewriteCall(s, "sumIf",

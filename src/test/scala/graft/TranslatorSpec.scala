@@ -76,6 +76,24 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT arrayReverse(a)") == "SELECT reverse(a)")
     assert(t("SELECT quantilesExactInclusive(0.25, 0.75)(v)") ==
       "SELECT percentile(v, array(0.25, 0.75))")
+    assert(t("SELECT any(v), anyLast(v)") == "SELECT min(v), max(v)")
+    assert(t("SELECT toYYYYMM(d)") == "SELECT (year(d) * 100 + month(d))")
+    assert(t("SELECT toYYYYMMDD(d)") ==
+      "SELECT (year(d) * 10000 + month(d) * 100 + dayofmonth(d))")
+    assert(t("SELECT groupArray(v)") == "SELECT collect_list(v)")
+    assert(t("SELECT groupUniqArray(v)") == "SELECT collect_set(v)")
+    assert(t("SELECT arrayFlatten(xs)") == "SELECT flatten(xs)")
+    assert(t("SELECT lowerUTF8(s)") == "SELECT lower(s)")
+    assert(t("SELECT JSONExtractString(j, 'a', 'b')") ==
+      "SELECT get_json_object(j, '$.a.b')")
+    assert(t("SELECT JSONExtractInt(j, 'n')") ==
+      "SELECT cast(get_json_object(j, '$.n') as bigint)")
+    assert(t("SELECT JSONHas(j, 'k')") ==
+      "SELECT (get_json_object(j, '$.k') IS NOT NULL)")
+    // non-literal JSON keys reject at translate time, never a wrong path
+    val ej = intercept[IllegalArgumentException](
+      t("SELECT JSONExtractString(j, k)"))
+    assert(ej.getMessage.contains("literal"), ej.getMessage)
   }
 
   test("-State/-Merge combinators translate to state-producing and " +
