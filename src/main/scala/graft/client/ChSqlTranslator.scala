@@ -67,6 +67,13 @@ object ChSqlTranslator {
 
   def translate(chSql: String, tables: Seq[(String, String)]): String = {
     var s = chSql
+    // PREWHERE is an evaluation-order hint with WHERE semantics: on one
+    // node the visible result is identical, so it folds into WHERE
+    // (combined with AND when both clauses are present). GLOBAL IN /
+    // GLOBAL JOIN likewise: distribution hints that are the identity on
+    // a single execution domain.
+    s = foldPrewhere(s)
+    s = s.replaceAll(raw"(?i)\bGLOBAL\s+(IN|NOT\s+IN|JOIN|LEFT|RIGHT|INNER|FULL|CROSS|ANY|ALL)\b", "$1")
     // table references: `db`.`table` or db.table → __ch_db_table
     tables.foreach { case (db, t) =>
       s = s.replace(s"`$db`.`$t`", viewName(db, t))
@@ -468,6 +475,35 @@ object ChSqlTranslator {
       i += 1
     }
     out.result()
+  }
+
+  private val ClauseKws =
+    Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "SETTINGS")
+
+  /** Fold every top-level `PREWHERE p` into the WHERE clause:
+    * `PREWHERE p WHERE w` → `WHERE (p) AND (w)`, bare `PREWHERE p` →
+    * `WHERE p`. One fold per pass; loops until none remain (UNION
+    * branches at the top level each get their own). Subquery-nested
+    * PREWHERE is left for Spark to reject loudly.
+    */
+  private def foldPrewhere(in: String): String = {
+    val pws = topLevelPositions(in, "PREWHERE")
+    if (pws.isEmpty) return in
+    val at = pws.head
+    val after = at + "PREWHERE".length
+    val end = ClauseKws.flatMap(k => topLevelPositions(in, k))
+      .filter(_ > at).sorted.headOption.getOrElse(in.length)
+    val expr = in.substring(after, end).trim
+    val prefix = in.substring(0, at)
+    val folded =
+      if (end < in.length && in.regionMatches(true, end, "WHERE", 0, 5)) {
+        val end2 = ClauseKws.filterNot(_ == "WHERE")
+          .flatMap(k => topLevelPositions(in, k))
+          .filter(_ > end).sorted.headOption.getOrElse(in.length)
+        val w = in.substring(end + 5, end2).trim
+        s"${prefix}WHERE ($expr) AND ($w)${if (end2 < in.length) " " + in.substring(end2) else ""}"
+      } else s"${prefix}WHERE $expr${if (end < in.length) " " + in.substring(end) else ""}"
+    foldPrewhere(folded)
   }
 
   /** Some(parts) when `sql` carries a top-level `LIMIT n [OFFSET o] BY`

@@ -96,6 +96,22 @@ class TranslatorSpec extends AnyFunSuite {
     assert(ej.getMessage.contains("literal"), ej.getMessage)
   }
 
+  test("PREWHERE folds into WHERE (single-node identity); GLOBAL IN/JOIN " +
+    "hints strip; quantified any(SELECT) is untouched") {
+    assert(t("SELECT a FROM t PREWHERE a > 1") ==
+      "SELECT a FROM t WHERE a > 1")
+    assert(t("SELECT a FROM t PREWHERE a > 1 WHERE b < 2 GROUP BY a") ==
+      "SELECT a FROM t WHERE (a > 1) AND (b < 2) GROUP BY a")
+    assert(t("SELECT a FROM t PREWHERE a > 1 ORDER BY a") ==
+      "SELECT a FROM t WHERE a > 1 ORDER BY a")
+    assert(t("SELECT a FROM t WHERE a GLOBAL IN (SELECT b FROM u)") ==
+      "SELECT a FROM t WHERE a IN (SELECT b FROM u)")
+    assert(t("SELECT * FROM t GLOBAL JOIN u ON t.a = u.a") ==
+      "SELECT * FROM t JOIN u ON t.a = u.a")
+    assert(t("SELECT a FROM t WHERE a = any(SELECT b FROM u)") ==
+      "SELECT a FROM t WHERE a = any(SELECT b FROM u)")
+  }
+
   test("-State/-Merge combinators translate to state-producing and " +
     "state-combining aggregates") {
     assert(t("SELECT avgState(v)") ==
