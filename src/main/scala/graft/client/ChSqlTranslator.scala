@@ -80,6 +80,11 @@ object ChSqlTranslator {
       s = s.replaceAll(s"(?<![`\\w])${java.util.regex.Pattern.quote(db)}\\.$t(?![`\\w])",
         viewName(db, t))
     }
+    // ClickHouse treats NULL as the LARGEST value in sorts (ASC → nulls
+    // last, DESC → nulls first); Spark defaults the opposite way. Every
+    // ORDER BY item without an explicit NULLS clause gets the server's
+    // default made explicit, so embedded orderings match a real server.
+    s = injectNullOrder(s)
     // special forms first (arg rewrites), then plain name swaps
     s = translateSpecialForms(s)
     fnMap.foreach { case (ch, sp) =>
@@ -479,6 +484,86 @@ object ChSqlTranslator {
 
   private val ClauseKws =
     Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "SETTINGS")
+
+  /** Keywords that end an ORDER BY item list (same nesting level). */
+  private val OrderEnders = Seq(
+    "LIMIT", "SETTINGS", "UNION", "HAVING", "WINDOW", "ROWS", "RANGE",
+    "GROUPS", "FORMAT", "OFFSET")
+  private val NullsClause = raw"(?is).*\bNULLS\s+(FIRST|LAST)\s*$$".r
+  private val DescTail = raw"(?is).*\bDESC\s*$$".r
+
+  /** Make the server's sort-NULL default explicit on every ORDER BY item
+    * (any nesting level — window specs included) that does not already
+    * carry a NULLS clause: ASC → NULLS LAST, DESC → NULLS FIRST (NULL is
+    * the largest value on a server; Spark defaults the opposite way).
+    */
+  private def injectNullOrder(in: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inSq = false
+    var inBq = false
+    def wordAt(at: Int, w: String): Boolean =
+      (at == 0 || !(in.charAt(at - 1).isLetterOrDigit || in.charAt(at - 1) == '_')) &&
+        in.regionMatches(true, at, w, 0, w.length) &&
+        (at + w.length >= in.length ||
+          !(in.charAt(at + w.length).isLetterOrDigit || in.charAt(at + w.length) == '_'))
+    while (i < in.length) {
+      val c = in.charAt(i)
+      if (inSq) { out.append(c); if (c == '\\') { if (i + 1 < in.length) { out.append(in.charAt(i + 1)); i += 1 } } else if (c == '\'') inSq = false; i += 1 }
+      else if (inBq) { out.append(c); if (c == '`') inBq = false; i += 1 }
+      else if (c == '\'') { inSq = true; out.append(c); i += 1 }
+      else if (c == '`') { inBq = true; out.append(c); i += 1 }
+      else if (wordAt(i, "ORDER")) {
+        var j = i + 5
+        while (j < in.length && in.charAt(j).isWhitespace) j += 1
+        if (wordAt(j, "BY")) {
+          out.append(in.substring(i, j + 2))
+          i = j + 2
+          // parse comma-separated items at this nesting level
+          var listDone = false
+          while (!listDone) {
+            val item = new StringBuilder
+            var rel = 0
+            var itemDone = false
+            var sep: Option[Char] = None
+            var sq = false; var bq = false
+            while (!itemDone && i < in.length) {
+              val ch = in.charAt(i)
+              if (sq) { item.append(ch); if (ch == '\\') { if (i + 1 < in.length) { item.append(in.charAt(i + 1)); i += 1 } } else if (ch == '\'') sq = false; i += 1 }
+              else if (bq) { item.append(ch); if (ch == '`') bq = false; i += 1 }
+              else if (ch == '\'') { sq = true; item.append(ch); i += 1 }
+              else if (ch == '`') { bq = true; item.append(ch); i += 1 }
+              else if (ch == '(') { rel += 1; item.append(ch); i += 1 }
+              else if (ch == ')') {
+                if (rel == 0) { itemDone = true; listDone = true } // OVER(...) closes
+                else { rel -= 1; item.append(ch); i += 1 }
+              }
+              else if (ch == ',' && rel == 0) { itemDone = true; sep = Some(','); i += 1 }
+              else if (rel == 0 && OrderEnders.exists(wordAt(i, _))) {
+                itemDone = true; listDone = true
+              }
+              else { item.append(ch); i += 1 }
+            }
+            if (i >= in.length) { itemDone = true; listDone = true }
+            val raw0 = item.result()
+            val trimmedEnd = raw0.replaceAll("\\s+$", "")
+            val trailingWs = raw0.substring(trimmedEnd.length)
+            val fixed =
+              if (trimmedEnd.isEmpty || NullsClause.findFirstIn(trimmedEnd).isDefined)
+                trimmedEnd
+              else if (DescTail.findFirstIn(trimmedEnd).isDefined)
+                trimmedEnd + " NULLS FIRST"
+              else trimmedEnd + " NULLS LAST"
+            out.append(fixed).append(trailingWs)
+            sep.foreach(out.append(_))
+            if (sep.isEmpty) listDone = true
+          }
+        } else { out.append(c); i += 1 }
+      }
+      else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
 
   /** Fold every top-level `PREWHERE p` into the WHERE clause:
     * `PREWHERE p WHERE w` → `WHERE (p) AND (w)`, bare `PREWHERE p` →

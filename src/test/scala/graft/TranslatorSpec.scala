@@ -96,6 +96,27 @@ class TranslatorSpec extends AnyFunSuite {
     assert(ej.getMessage.contains("literal"), ej.getMessage)
   }
 
+  test("sort-NULL defaults become explicit: ASC gets NULLS LAST, DESC " +
+    "gets NULLS FIRST (NULL is largest on a server); explicit clauses " +
+    "and window specs are respected") {
+    assert(t("SELECT a FROM t ORDER BY a") ==
+      "SELECT a FROM t ORDER BY a NULLS LAST")
+    assert(t("SELECT a FROM t ORDER BY a DESC, b ASC LIMIT 3") ==
+      "SELECT a FROM t ORDER BY a DESC NULLS FIRST, b ASC NULLS LAST LIMIT 3")
+    assert(t("SELECT a FROM t ORDER BY a NULLS FIRST") ==
+      "SELECT a FROM t ORDER BY a NULLS FIRST")
+    assert(t("SELECT sum(v) OVER (PARTITION BY g ORDER BY ts) FROM t") ==
+      "SELECT sum(v) OVER (PARTITION BY g ORDER BY ts NULLS LAST) FROM t")
+    assert(t("SELECT row_number() OVER (ORDER BY v DESC ROWS BETWEEN " +
+      "UNBOUNDED PRECEDING AND CURRENT ROW) FROM t") ==
+      "SELECT row_number() OVER (ORDER BY v DESC NULLS FIRST ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+    assert(t("SELECT a FROM t ORDER BY coalesce(a, b), c DESC") ==
+      "SELECT a FROM t ORDER BY coalesce(a, b) NULLS LAST, c DESC NULLS FIRST")
+    // string literals containing ORDER BY stay untouched
+    assert(t("SELECT 'ORDER BY x' AS s FROM t") == "SELECT 'ORDER BY x' AS s FROM t")
+  }
+
   test("PREWHERE folds into WHERE (single-node identity); GLOBAL IN/JOIN " +
     "hints strip; quantified any(SELECT) is untouched") {
     assert(t("SELECT a FROM t PREWHERE a > 1") ==
@@ -103,7 +124,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT a FROM t PREWHERE a > 1 WHERE b < 2 GROUP BY a") ==
       "SELECT a FROM t WHERE (a > 1) AND (b < 2) GROUP BY a")
     assert(t("SELECT a FROM t PREWHERE a > 1 ORDER BY a") ==
-      "SELECT a FROM t WHERE a > 1 ORDER BY a")
+      "SELECT a FROM t WHERE a > 1 ORDER BY a NULLS LAST")
     assert(t("SELECT a FROM t WHERE a GLOBAL IN (SELECT b FROM u)") ==
       "SELECT a FROM t WHERE a IN (SELECT b FROM u)")
     assert(t("SELECT * FROM t GLOBAL JOIN u ON t.a = u.a") ==
