@@ -128,6 +128,17 @@ trait ClickHouseClient extends Serializable {
     throw new UnsupportedOperationException(
       s"this transport cannot RENAME TABLE $db.$table")
 
+  /** `OPTIMIZE TABLE ... FINAL DEDUPLICATE [BY (columns)]` — merge that
+    * drops fully-duplicate rows (or rows duplicated on the listed
+    * columns). The server keeps "any one" survivor per duplicate set;
+    * the embedded engine keeps the lexicographically-smallest remaining
+    * row — a reproducible instance of the same contract.
+    */
+  def optimizeDeduplicate(
+      db: String, table: String, byColumns: Seq[String] = Seq.empty): Unit =
+    throw new UnsupportedOperationException(
+      s"this transport cannot OPTIMIZE DEDUPLICATE $db.$table")
+
   /** `TRUNCATE TABLE` — drop every row, keep the table (the server
     * removes the parts wholesale; metadata-speed, unlike a DELETE
     * mutation which rewrites them).

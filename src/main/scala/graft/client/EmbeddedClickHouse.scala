@@ -409,6 +409,41 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     invalidate()
   }
 
+  /** DEDUPLICATE merge: full-row distinct, or — with BY columns — one
+    * survivor per key, the lexicographically-smallest remaining row
+    * (a reproducible "any", the Summing-representative rule).
+    */
+  override def optimizeDeduplicate(
+      db: String, table: String, byColumns: Seq[String]): Unit = {
+    rejectSystem(db, s"OPTIMIZE DEDUPLICATE $db.$table")
+    require(tableExists(db, table), s"no such table: $db.$table")
+    val (cols, _, ext) = readMeta(db, table)
+    require(ext.isEmpty,
+      s"OPTIMIZE DEDUPLICATE $db.$table: table has attached external data")
+    byColumns.foreach(c => require(cols.exists(_._1 == c),
+      s"OPTIMIZE DEDUPLICATE $db.$table: no such column '$c'"))
+    val entry = serverEntry()
+    val tables = knownTables
+    val tr = ChSqlTranslator.translate(
+      s"SELECT * FROM ${graft.sql.ChSql.quoteTable(db, table)}", tables)
+    ensureViews(entry, tr, tables)
+    val df = entry.session.sql(tr)
+    val merged =
+      if (byColumns.isEmpty) df.distinct()
+      else {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number, struct}
+        val rest = cols.map(_._1).filterNot(byColumns.contains)
+        val w = Window.partitionBy(byColumns.map(col): _*)
+          .orderBy(struct(rest.map(col): _*).asc_nulls_last)
+        if (rest.isEmpty) df.distinct()
+        else df.withColumn("__dd_rn", row_number().over(w))
+          .where(org.apache.spark.sql.functions.expr("__dd_rn = 1"))
+          .drop("__dd_rn")
+      }
+    rewritePartsDf(db, table, merged.coalesce(1))
+  }
+
   /** TRUNCATE as wholesale part removal (metadata-speed like the
     * server — never a row-rewriting mutation). External attachments are
     * read-only and reject; epoch markers clear with the parts so a

@@ -169,6 +169,10 @@ class FailoverClickHouseClient(
   // data change: once at the primary, the server replicates the removal
   override def truncateTable(db: String, table: String): Unit =
     primary.truncateTable(db, table)
+  // a merge like OPTIMIZE: once at the primary
+  override def optimizeDeduplicate(
+      db: String, table: String, byColumns: Seq[String]): Unit =
+    primary.optimizeDeduplicate(db, table, byColumns)
   // name swap is per-replica metadata like RENAME: broadcast
   override def exchangeTables(db: String, a: String, db2: String, b: String): Unit =
     replicas.foreach(_.exchangeTables(db, a, db2, b))

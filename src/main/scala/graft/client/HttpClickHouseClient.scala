@@ -342,6 +342,16 @@ class HttpClickHouseClient(
     ()
   }
 
+  override def optimizeDeduplicate(
+      db: String, table: String, byColumns: Seq[String]): Unit = {
+    val by =
+      if (byColumns.isEmpty) ""
+      else byColumns.map(c => s"`${c.replace("`", "``")}`")
+        .mkString(" BY (", ", ", ")")
+    exec(s"OPTIMIZE TABLE `$db`.`$table` FINAL DEDUPLICATE$by")
+    ()
+  }
+
   override def truncateTable(db: String, table: String): Unit = {
     exec(s"TRUNCATE TABLE `$db`.`$table`")
     ()

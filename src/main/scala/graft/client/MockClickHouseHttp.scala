@@ -302,6 +302,12 @@ final class MockClickHouseHttp extends AutoCloseable {
           (200, "")
         case None => (500, s"mock: bad insert: ${q.take(200)}")
       }
+    } else if (q.startsWith("OPTIMIZE TABLE") && q.contains(" DEDUPLICATE")) {
+      val Dd = raw"OPTIMIZE TABLE `[^`]+`\.`([^`]+)` FINAL DEDUPLICATE".r.unanchored
+      Dd.findFirstMatchIn(q) match {
+        case Some(m) if tables.contains(m.group(1)) => (200, "")
+        case _ => (500, s"mock: DEDUPLICATE on unknown table: ${q.take(200)}")
+      }
     } else if (q.startsWith("TRUNCATE TABLE")) {
       val Tr = raw"TRUNCATE TABLE `[^`]+`\.`([^`]+)`".r.unanchored
       Tr.findFirstMatchIn(q) match {

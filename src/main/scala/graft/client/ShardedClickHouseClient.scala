@@ -144,6 +144,13 @@ class ShardedClickHouseClient(
   // data removal broadcasts: every shard clears its slice
   override def truncateTable(db: String, table: String): Unit =
     shards.foreach(_.truncateTable(db, table))
+  // per-shard merge: duplicates co-locate under shard_by routing, so a
+  // shard-local dedup equals the global one for routed writes; rows
+  // duplicated ACROSS shards (foreign-routed inserts) stay — the same
+  // documented limit as every shard-local merge
+  override def optimizeDeduplicate(
+      db: String, table: String, byColumns: Seq[String]): Unit =
+    shards.foreach(_.optimizeDeduplicate(db, table, byColumns))
   // DDL broadcast like RENAME: every shard swaps its local pair
   override def exchangeTables(db: String, a: String, db2: String, b: String): Unit =
     shards.foreach(_.exchangeTables(db, a, db2, b))

@@ -113,6 +113,12 @@ final class ClickHouseSession private (
     // any cached plans over the table (see ChMutations.refresh)
     graft.connector.ChMutations.refresh(spark, s"$catalogName.$db.$table")
   }
+  /** `OPTIMIZE TABLE ... FINAL DEDUPLICATE [BY (cols)]`. */
+  def optimizeDeduplicate(
+      db: String, table: String, byColumns: Seq[String] = Seq.empty): Unit = {
+    client.optimizeDeduplicate(db, table, byColumns)
+    graft.connector.ChMutations.refresh(spark, s"$catalogName.$db.$table")
+  }
   /** `TRUNCATE TABLE` — metadata-speed part removal, table stays. */
   def truncateTable(db: String, table: String): Unit = {
     client.truncateTable(db, table)

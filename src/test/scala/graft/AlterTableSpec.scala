@@ -667,6 +667,42 @@ class AlterTableSpec extends AnyFunSuite {
     } finally m.close()
   }
 
+  test("OPTIMIZE DEDUPLICATE drops full duplicates; BY columns keep the " +
+    "lexicographically-smallest survivor; HTTP ships the statement") {
+    n += 1
+    val t = s"dd_$n"
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("main", t,
+      Seq("id" -> "Int64", "tag" -> "String", "v" -> "Int64"),
+      Map("engine" -> "MergeTree", "order_by" -> "id"))
+    val sch = client.sparkSchema("main", t)
+    client.insert("main", t, sch, Seq(
+      Row(1L, "a", 10L), Row(1L, "a", 10L), // full dup
+      Row(2L, "b", 5L), Row(2L, "b", 7L)))  // same id, different v
+    client.optimizeDeduplicate("main", t)
+    graft.connector.ChMutations.refresh(spark, s"chalter.main.$t")
+    assert(spark.table(s"chalter.main.$t").count() == 3,
+      "full-row dedup keeps the id=2 pair apart")
+    client.optimizeDeduplicate("main", t, Seq("id"))
+    graft.connector.ChMutations.refresh(spark, s"chalter.main.$t")
+    val rows = spark.table(s"chalter.main.$t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 5L)),
+      s"BY id keeps the smallest remaining row: $rows")
+    intercept[Exception](client.optimizeDeduplicate("main", t, Seq("nope")))
+    val m = new graft.client.MockClickHouseHttp
+    try {
+      val http = new graft.client.HttpClickHouseClient(m.endpoint)
+      http.createTable("main", "dd_http", Seq("id" -> "Int64"),
+        Map("engine" -> "MergeTree"))
+      http.optimizeDeduplicate("main", "dd_http", Seq("id"))
+      import scala.jdk.CollectionConverters._
+      assert(m.statements.asScala.exists(
+        _ == "OPTIMIZE TABLE `main`.`dd_http` FINAL DEDUPLICATE BY (`id`)"),
+        m.statements.asScala.filter(_.contains("DEDUP")).toSeq)
+    } finally m.close()
+  }
+
   test("array and map ADD COLUMN defaults are typed empties") {
     val (qt, _) = freshTable()
     spark.sql(s"ALTER TABLE $qt ADD COLUMN xs ARRAY<BIGINT> NOT NULL")
