@@ -1871,6 +1871,33 @@ object ConnectorQueries {
         .groupBy(col("pri"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .orderBy("pri")
+    },
+
+    // Server-side dedup merge (round 11): the corpus is attached TWICE
+    // (every row exactly duplicated — also exercising repeated ATTACH),
+    // then OPTIMIZE ... DEDUPLICATE collapses the full-row duplicates
+    // in the store; the plain read must equal the single-copy corpus
+    // aggregate. Complements the d-gates (Spark-side dedup kernels)
+    // with the engine's own merge-time dedup.
+    q("r57_server_dedup",
+      """SELECT o_orderpriority AS pri, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY pri""".stripMargin) { (s, dir) =>
+      ensureOrdBase(s, dir)
+      val client = graft.connector.ChMutations.clientOf(s, "clickhouse")
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.ord_dd")
+      s.sql(
+        """CREATE TABLE clickhouse.main.ord_dd
+          |(k BIGINT, pri STRING, status STRING, odate TIMESTAMP, cents BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      client.attachPartitionsFrom("main", "ord_dd", "main", "ord_ttl_base")
+      client.attachPartitionsFrom("main", "ord_dd", "main", "ord_ttl_base")
+      client.optimizeDeduplicate("main", "ord_dd")
+      graft.connector.ChMutations.refresh(s, "clickhouse.main.ord_dd")
+      s.table("clickhouse.main.ord_dd")
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("pri")
     }
   )
 }
