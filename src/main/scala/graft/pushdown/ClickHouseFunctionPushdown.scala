@@ -246,8 +246,20 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
           if (scans.length != leaves.length || leaves.isEmpty ||
             !scans.forall(_.chClient.connectionKey == t.chClient.connectionKey) ||
             sink.length != a.query.output.length) None
-          else ChPlanUnparser.unparse(a.query).map { u =>
-            val sel = a.query.output.zip(sink).map { case (attr, name) =>
+          else {
+          // NOT-NULL sink columns make the analyzer wrap the query's
+          // outputs in AssertNotNull, which no remote dialect carries —
+          // strip it HERE ONLY: insertSelect's runtime NULL guard
+          // raises the same loud per-row error server-side, so the
+          // zero-copy collapse keeps identical failure semantics.
+          // (Read-path unparse must NOT strip it — a remote NULL would
+          // silently replace Spark's error.)
+          val query = a.query.transformExpressions {
+            case org.apache.spark.sql.catalyst.expressions.objects
+              .AssertNotNull(c, _) => c
+          }
+          ChPlanUnparser.unparse(query).map { u =>
+            val sel = query.output.zip(sink).map { case (attr, name) =>
               s"${u.scope(attr.exprId)} AS ${graft.sql.ChSql.quoteIdent(name)}"
             }
             val full = s"SELECT ${sel.mkString(", ")} FROM (${u.sql}) AS __ins"
@@ -257,6 +269,7 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
                   .getOrElse(Seq(t.chDb, t.chTable))).mkString(".")
             }
             ChInsertSelectCommand(t.chClient, t.chDb, t.chTable, full, refreshName)
+          }
           }
         case _ => None
       }

@@ -151,7 +151,10 @@ class InsertSelectSpec extends AnyFunSuite {
         |FROM chisel.main.src""".stripMargin))
     val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-    assert(chain.contains("NULL") || chain.contains("null"), chain)
+    // the SERVER-side guard message: the statement collapsed to the
+    // remote path (AssertNotNull stripped by the rewrite) and the
+    // runtime NULL guard raised there — not Spark's write-path assert
+    assert(chain.contains("Cannot insert NULL into non-Nullable column"), chain)
     // the staged copy aborts: nothing landed
     assert(spark.table("chisel.main.dst3").count() == 0)
     // MV on the target fires through the server-side insert
