@@ -359,9 +359,14 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     // Replacing dedup materializes only under OPTIMIZE FINAL (the
     // documented use); Summing collapse happens on ANY merge — a plain
     // OPTIMIZE of a SummingMergeTree table already sums the key groups
-    // AggregatingMergeTree likewise combines state columns on ANY merge
+    // AggregatingMergeTree likewise combines state columns on ANY
+    // merge; VersionedCollapsing cancels sign pairs on any merge too.
+    // Plain CollapsingMergeTree is NOT here: its collapse depends on
+    // insertion order (rewriteFinal rejects it), and an uncollapsed
+    // consolidation is a legal between-merges server state.
     val summing = engine.startsWith("SummingMergeTree") ||
-      engine.startsWith("AggregatingMergeTree")
+      engine.startsWith("AggregatingMergeTree") ||
+      engine.startsWith("VersionedCollapsingMergeTree")
     val src =
       if ((finalize && replacing) || summing)
         rewriteFinal(s"SELECT * FROM $qt FINAL")
@@ -981,6 +986,44 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
             s"FROM (SELECT $sel FROM `$db`.`$t` GROUP BY " +
               keys.map(k => s"`$k`").mkString(", ") +
               s" HAVING NOT ($havingNotAllZero)) AS `$t`")
+        case e if e.startsWith("VersionedCollapsingMergeTree") =>
+          // (sign, version): rows with the same sorting key AND version
+          // cancel in +1/-1 pairs; the net survivor keeps its net sign.
+          // Deterministic for well-formed input (net sign per (key,
+          // version) in {-1, 0, 1} — the documented usage); plain
+          // CollapsingMergeTree depends on INSERTION ORDER and is
+          // rejected below.
+          val VcRe = "VersionedCollapsingMergeTree\\(\\s*([^,\\s)]+)\\s*,\\s*([^,\\s)]+)\\s*\\)".r
+          val (signCol, verCol) = VcRe.findFirstMatchIn(e) match {
+            case Some(m) => (m.group(1), m.group(2))
+            case None => throw new IllegalArgumentException(
+              s"FINAL on $db.$t: VersionedCollapsingMergeTree needs " +
+                "(sign_column, version_column)")
+          }
+          for (c <- Seq(signCol, verCol))
+            require(cols.exists(_._1 == c),
+              s"FINAL on $db.$t: column '$c' not in table columns")
+          val keys = orderKeys
+          keys.foreach(k => require(cols.exists(_._1 == k),
+            s"FINAL on $db.$t: sorting key '$k' not in table columns"))
+          val groupCols = keys :+ verCol
+          val sel = cols.map { case (c, ty) =>
+            if (groupCols.contains(c)) s"`$c`"
+            else if (c == signCol)
+              // CAST target is the CH type — the translator maps it
+              s"CAST(if(sum(`$signCol`) > 0, 1, -1) AS $ty) AS `$c`"
+            else s"min(`$c`) AS `$c`"
+          }.mkString(", ")
+          java.util.regex.Matcher.quoteReplacement(
+            s"FROM (SELECT $sel FROM `$db`.`$t` GROUP BY " +
+              groupCols.map(k => s"`$k`").mkString(", ") +
+              s" HAVING sum(`$signCol`) <> 0) AS `$t`")
+        case e if e.startsWith("CollapsingMergeTree") =>
+          throw new IllegalArgumentException(
+            s"FINAL on $db.$t: CollapsingMergeTree collapse depends on " +
+              "INSERTION ORDER, which the embedded parts do not track — " +
+              "use VersionedCollapsingMergeTree(sign, version) for a " +
+              "deterministic collapse")
         case e if e.startsWith("AggregatingMergeTree") =>
           // AggregatingMergeTree: rows sharing the sorting key collapse
           // by MERGING each AggregateFunction column per its function

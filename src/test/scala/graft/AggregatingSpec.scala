@@ -239,6 +239,41 @@ class AggregatingSpec extends AnyFunSuite {
     }
   }
 
+  test("VersionedCollapsingMergeTree: FINAL cancels +1/-1 pairs per " +
+    "(key, version), OPTIMIZE materializes; plain CollapsingMergeTree " +
+    "rejects (insertion-order dependent)") {
+    import org.apache.spark.sql.Row
+    n += 1
+    val t = s"vc_$n"
+    client.createTable("main", t, Seq(
+      "id" -> "Int64", "ver" -> "Int64", "sign" -> "Int8", "v" -> "Int64"),
+      Map("engine" -> "VersionedCollapsingMergeTree(sign, ver)",
+        "order_by" -> "id"))
+    val sch = client.sparkSchema("main", t)
+    client.insert("main", t, sch, Seq(
+      Row(1L, 1L, 1.toByte, 10L)))             // state v1
+    client.insert("main", t, sch, Seq(
+      Row(1L, 1L, (-1).toByte, 10L),           // cancel v1
+      Row(1L, 2L, 1.toByte, 20L),              // new state v2
+      Row(2L, 1L, 1.toByte, 7L)))              // key 2, uncancelled
+    val fin = ch.chSql(
+      s"SELECT `id`, `ver`, `sign`, `v` FROM `main`.`$t` FINAL ORDER BY `id`")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getByte(2), r.getLong(3)))
+    assert(fin.toSeq == Seq((1L, 2L, 1.toByte, 20L), (2L, 1L, 1.toByte, 7L)),
+      fin.mkString(","))
+    // OPTIMIZE materializes the collapse (merge-time behavior)
+    client.optimizeTable("main", t, finalize = false)
+    assert(spark.table(s"chagg.main.$t").count() == 2)
+    // plain Collapsing: order-dependent — honored-or-rejected
+    n += 1
+    client.createTable("main", s"cc_$n", Seq(
+      "id" -> "Int64", "sign" -> "Int8"),
+      Map("engine" -> "CollapsingMergeTree(sign)", "order_by" -> "id"))
+    val e = intercept[Exception](
+      ch.chSql(s"SELECT * FROM `main`.`cc_$n` FINAL").collect())
+    assert(e.getMessage.contains("INSERTION ORDER"), e.getMessage)
+  }
+
   test("FINAL on an engine without a merge rule still rejects; " +
     "AggregateFunction over a non-numeric arg rejects where required") {
     n += 1
