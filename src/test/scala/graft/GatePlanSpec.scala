@@ -98,6 +98,26 @@ class GatePlanSpec extends AnyFunSuite {
       s"the window rewrite must run in the store, not in Spark:\n${all.head}")
   }
 
+  test("r56/r57 lifecycle-gate reads collapse to scan-level COMPLETE " +
+    "aggregation: the store pre-aggregates, Spark only projects and sorts") {
+    for (name <- Seq("r56_blue_green", "r57_server_dedup")) {
+      val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+      assert(df.count() > 0)
+      val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
+      assert(!all.exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+          p.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] ||
+          p.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec]),
+        s"$name: no Spark aggregation — the scan pre-aggregates:\n${all.head}")
+      val scan = all.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }
+      assert(scan.exists(_.contains("GROUP BY")),
+        s"$name: complete aggregate pushdown expected: $scan")
+    }
+  }
+
   test("r53 raw-SQL passthrough plans as ONE remote exec: the statement " +
     "executes in the store, Spark only streams and sorts") {
     val df: DataFrame = SparkEntry.queries("r53_raw_sql")(spark, sfDir)
