@@ -73,7 +73,7 @@ object ChSqlTranslator {
     // GLOBAL JOIN likewise: distribution hints that are the identity on
     // a single execution domain.
     s = foldPrewhere(s)
-    s = s.replaceAll(raw"(?i)\bGLOBAL\s+(IN|NOT\s+IN|JOIN|LEFT|RIGHT|INNER|FULL|CROSS|ANY|ALL)\b", "$1")
+    s = stripGlobal(s)
     // table references: `db`.`table` or db.table → __ch_db_table
     tables.foreach { case (db, t) =>
       s = s.replace(s"`$db`.`$t`", viewName(db, t))
@@ -195,8 +195,17 @@ object ChSqlTranslator {
     // quantified-subquery form `= any(SELECT ...)` is NOT the aggregate
     // — reconstruct it untouched.
     s = rewriteCall(s, "anyLast", args => s"max(${args.head})")
+    // a subquery argument — bare `SELECT ...` OR parenthesized
+    // `(SELECT ...)` (any depth of wrapping parens) — marks the
+    // quantified form; rewriting it to min() would silently turn IN
+    // semantics into an equality against the subquery minimum
+    def isSubqueryArg(a: String): Boolean = {
+      var t = a.trim
+      while (t.startsWith("(") && t.endsWith(")")) t = t.substring(1, t.length - 1).trim
+      t.toUpperCase.startsWith("SELECT")
+    }
     s = rewriteCall(s, "any", args =>
-      if (args.size == 1 && !args.head.trim.toUpperCase.startsWith("SELECT"))
+      if (args.size == 1 && !isSubqueryArg(args.head))
         s"min(${args.head})"
       else s"any(${args.mkString(", ")})")
     // date partition keys (toYYYYMM and friends — the canonical
@@ -559,6 +568,42 @@ object ChSqlTranslator {
             if (sep.isEmpty) listDone = true
           }
         } else { out.append(c); i += 1 }
+      }
+      else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
+
+  private val GlobalFollowers = Seq(
+    "IN", "NOT", "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
+    "ANY", "ALL")
+
+  /** Strip `GLOBAL` distribution hints (identity on a single execution
+    * domain) quote-aware at ANY paren depth: `GLOBAL IN`, `GLOBAL NOT
+    * IN`, `GLOBAL <join kw>`. A raw regex would rewrite string literals
+    * containing the word GLOBAL (round-11 bug, advisor-flagged).
+    */
+  private def stripGlobal(in: String): String = {
+    val out = new StringBuilder
+    var inSq = false
+    var inBq = false
+    var i = 0
+    def wordAt(at: Int, w: String): Boolean =
+      (at == 0 || !(in.charAt(at - 1).isLetterOrDigit || in.charAt(at - 1) == '_')) &&
+        in.regionMatches(true, at, w, 0, w.length) &&
+        (at + w.length >= in.length ||
+          !(in.charAt(at + w.length).isLetterOrDigit || in.charAt(at + w.length) == '_'))
+    while (i < in.length) {
+      val c = in.charAt(i)
+      if (inSq) { out.append(c); if (c == '\\' && i + 1 < in.length) { out.append(in.charAt(i + 1)); i += 1 } else if (c == '\'') inSq = false; i += 1 }
+      else if (inBq) { out.append(c); if (c == '`') inBq = false; i += 1 }
+      else if (c == '\'') { inSq = true; out.append(c); i += 1 }
+      else if (c == '`') { inBq = true; out.append(c); i += 1 }
+      else if (wordAt(i, "GLOBAL")) {
+        var j = i + 6
+        while (j < in.length && in.charAt(j).isWhitespace) j += 1
+        if (GlobalFollowers.exists(wordAt(j, _))) i = j // drop GLOBAL + ws
+        else { out.append(c); i += 1 }
       }
       else { out.append(c); i += 1 }
     }

@@ -469,22 +469,65 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     invalidate()
   }
 
-  /** Atomic-engine name swap: both directories exchange under the JVM
-    * store lock (three same-filesystem moves through a temp name).
-    * Materialized views are rejected on either side by the existence
-    * check — a view is not a table (its dir holds only view.meta).
+  /** Atomic-engine name swap: three same-filesystem moves through a temp
+    * name, serialized by an OS store lock (same-JVM callers additionally
+    * serialize on a per-root monitor — FileChannel.lock throws on
+    * same-JVM contention rather than blocking) and made crash-recoverable
+    * by a journal: a `.exchange-<uuid>.meta` sibling written BEFORE the
+    * first move records (tmp, pa, pb), so a crash at any point leaves a
+    * state the next open/exchange deterministically repairs — rollback if
+    * only the first move landed, roll-forward if two did. Materialized
+    * views are rejected on either side by the existence check — a view is
+    * not a table (its dir holds only view.meta).
     */
   override def exchangeTables(db: String, a: String, db2: String, b: String): Unit = {
     rejectSystem(db, s"EXCHANGE TABLES $db.$a")
     rejectSystem(db2, s"EXCHANGE TABLES $db2.$b")
-    require(tableExists(db, a), s"no such table: $db.$a")
-    require(tableExists(db2, b), s"no such table: $db2.$b")
-    val (pa, pb) = (tablePath(db, a), tablePath(db2, b))
-    val tmp = pa.resolveSibling(s".exchange-${java.util.UUID.randomUUID}")
-    Files.move(pa, tmp)
-    Files.move(pb, pa)
-    Files.move(tmp, pb)
+    EmbeddedClickHouse.exchangeMonitor(root).synchronized {
+      StoreLock.withLockNamed(s"exchange:${Paths.get(root).toAbsolutePath}") {
+        recoverOrphanExchanges()
+        require(tableExists(db, a), s"no such table: $db.$a")
+        require(tableExists(db2, b), s"no such table: $db2.$b")
+        val (pa, pb) = (tablePath(db, a), tablePath(db2, b))
+        val tmp = pa.resolveSibling(s".exchange-${java.util.UUID.randomUUID}")
+        val journal = pa.resolveSibling(tmp.getFileName.toString + ".meta")
+        Files.write(journal, Seq(tmp, pa, pb)
+          .map(_.toAbsolutePath.toString).mkString("\n").getBytes("UTF-8"))
+        Files.move(pa, tmp)
+        Files.move(pb, pa)
+        Files.move(tmp, pb)
+        Files.delete(journal)
+      }
+    }
     invalidate()
+  }
+
+  /** Repair any exchange interrupted by a crash: each surviving
+    * `.exchange-*.meta` journal names (tmp, a, b); the filesystem state
+    * decides the unique legal continuation. Called at store open and
+    * before every exchange, under the exchange lock.
+    */
+  private def recoverOrphanExchanges(): Unit = {
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return
+    val journals = NioFiles.list(rootP).iterator.filter(Files.isDirectory(_))
+      .flatMap(dbDir => NioFiles.list(dbDir).iterator
+        .filter(_.getFileName.toString.matches(raw"\.exchange-[0-9a-f-]+\.meta"))
+        .toSeq).toSeq
+    journals.foreach { j =>
+      val lines = new String(Files.readAllBytes(j), "UTF-8").split("\n")
+      if (lines.length == 3) {
+        val Array(tmp, pa, pb) = lines.map(Paths.get(_))
+        val (tE, aE, bE) = (Files.exists(tmp), Files.exists(pa), Files.exists(pb))
+        if (!tE) () // crash before move 1 (or after move 3): nothing to do
+        else if (!aE && bE) Files.move(tmp, pa) // after move 1: roll back
+        else if (aE && !bE) Files.move(tmp, pb) // after move 2: roll forward
+        else throw new IllegalStateException(
+          s"unrepairable interrupted EXCHANGE: tmp=$tmp a=$pa b=$pb all exist")
+      }
+      Files.delete(j)
+    }
+    if (journals.nonEmpty) invalidate()
   }
 
   /** DROP PARTITION as a mutation: every row whose partition_by value
@@ -1625,6 +1668,15 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
 
   /** Bump the store version so the next query re-registers views. */
   private def invalidate(): Unit = EmbeddedClickHouse.invalidate(root)
+
+  // store-open crash recovery: a process that died mid-EXCHANGE leaves a
+  // journal + temp dir; repair before this client serves its first read
+  EmbeddedClickHouse.exchangeMonitor(root).synchronized {
+    if (Files.isDirectory(Paths.get(root)))
+      StoreLock.withLockNamed(s"exchange:${Paths.get(root).toAbsolutePath}") {
+        recoverOrphanExchanges()
+      }
+  }
 }
 
 /** Embedded-store partition handle: one contiguous group of spill files
@@ -1724,4 +1776,12 @@ object EmbeddedClickHouse {
 
   /** Any mutation of the store (DDL, insert, attach) must call this. */
   def invalidate(root: String): Unit = storeVersion(root).incrementAndGet()
+
+  // per-root JVM monitor for EXCHANGE TABLES: FileChannel.lock throws on
+  // same-JVM contention, so threads serialize here before taking the OS lock
+  private val exchangeMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private[client] def exchangeMonitor(root: String): Object =
+    exchangeMonitors.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.toString, _ => new Object)
 }

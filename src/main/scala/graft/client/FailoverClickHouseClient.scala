@@ -173,9 +173,41 @@ class FailoverClickHouseClient(
   override def optimizeDeduplicate(
       db: String, table: String, byColumns: Seq[String]): Unit =
     primary.optimizeDeduplicate(db, table, byColumns)
-  // name swap is per-replica metadata like RENAME: broadcast
-  override def exchangeTables(db: String, a: String, db2: String, b: String): Unit =
-    replicas.foreach(_.exchangeTables(db, a, db2, b))
+  // Name swap is per-replica metadata like RENAME, so it broadcasts — but
+  // unlike RENAME the swap is NOT idempotent: a retry swaps already-swapped
+  // replicas BACK, so a partial failure cannot be repaired by re-running.
+  // Pre-probe every replica first (most failures then surface before any
+  // state changes), and on a mid-broadcast failure roll back the replicas
+  // that already swapped; if the rollback itself fails, raise an explicit
+  // divergence error naming the inconsistent replicas instead of leaving
+  // reads to silently serve swapped-or-unswapped data by routing luck.
+  override def exchangeTables(db: String, a: String, db2: String, b: String): Unit = {
+    replicas.zipWithIndex.foreach { case (r, i) =>
+      require(r.tableExists(db, a) && r.tableExists(db2, b),
+        s"EXCHANGE TABLES $db.$a AND $db2.$b: replica $i is missing one side " +
+          "— refusing a broadcast that would diverge the replica set")
+    }
+    var done = 0
+    try {
+      replicas.foreach { r => r.exchangeTables(db, a, db2, b); done += 1 }
+    } catch {
+      case e: Throwable =>
+        val rolledBack = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val stuck = scala.collection.mutable.ArrayBuffer.empty[Int]
+        (0 until done).foreach { i =>
+          try { replicas(i).exchangeTables(db, a, db2, b); rolledBack += i }
+          catch { case _: Throwable => stuck += i }
+        }
+        if (stuck.nonEmpty)
+          throw new IllegalStateException(
+            s"EXCHANGE TABLES $db.$a AND $db2.$b diverged the replica set: " +
+              s"replica $done failed mid-broadcast and rollback failed on " +
+              s"replica(s) ${stuck.mkString(", ")} (still swapped); " +
+              s"replica(s) ${rolledBack.mkString(", ")} rolled back. " +
+              "Manual repair required before serving reads.", e)
+        throw e
+    }
+  }
   // partition drop is a mutation: once at the primary, server replicates
   override def dropPartition(db: String, table: String, partitionValue: String): Unit =
     primary.dropPartition(db, table, partitionValue)

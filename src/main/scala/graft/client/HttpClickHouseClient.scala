@@ -176,9 +176,10 @@ class HttpClickHouseClient(
   /** Like exec but returns a response header (X-ClickHouse-Summary).
     * Callers are INSERT SELECTs — non-idempotent, never retried.
     */
-  private def execWithSummary(sql: String): (String, Option[String]) =
+  private def execWithSummary(sql: String,
+      settings: Map[String, String] = Map.empty): (String, Option[String]) =
     withGate {
-      val c = open(Map("send_progress_in_http_headers" -> "1"))
+      val c = open(settings + ("send_progress_in_http_headers" -> "1"))
       val out = c.getOutputStream
       try { out.write(sql.getBytes(UTF_8)) } finally out.close()
       if (c.getResponseCode != 200) failFor(c, sql)
@@ -763,7 +764,14 @@ class HttpClickHouseClient(
   }
 
   override def insertSelect(db: String, table: String, chSelectSql: String): Long = {
-    val (_, summary) = execWithSummary(s"INSERT INTO `$db`.`$table` $chSelectSql")
+    // Real servers default insert_null_as_default=1: a NULL selected into
+    // a NOT-NULL sink column would be silently replaced by the column
+    // default (0/''). The collapsed INSERT SELECT path strips Spark's
+    // AssertNotNull wrapper on the promise of an EQUALLY LOUD server-side
+    // failure, so pin both settings off — the server then raises on the
+    // NULL exactly as the embedded engine's runtime guard does.
+    val (_, summary) = execWithSummary(s"INSERT INTO `$db`.`$table` $chSelectSql",
+      Map("insert_null_as_default" -> "0", "input_format_null_as_default" -> "0"))
     summary.flatMap { s =>
       scala.util.Try(new ObjectMapper().readTree(s).get("written_rows").asLong).toOption
     }.getOrElse(0L)

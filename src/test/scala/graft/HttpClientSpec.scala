@@ -1247,14 +1247,25 @@ class HttpClientSpec extends AnyFunSuite {
     ()
   }
 
-  test("insertSelect returns written_rows from the summary header") {
+  test("insertSelect returns written_rows from the summary header AND pins " +
+    "insert_null_as_default=0 (server default 1 would silently turn a NULL " +
+    "into the column default — the collapsed INSERT SELECT path strips " +
+    "AssertNotNull on the promise of a loud server-side failure)") {
     dynTables("src_copy") = (colTypes, mutable.ArrayBuffer(
       Map[String, Any]("id" -> 7L, "name" -> "s", "val" -> 0.25)))
     client.createTable("main", "dst_copy", colTypes, Map("engine" -> "MergeTree"))
+    val before = paramsLog.size()
     val n = client.insertSelect("main", "dst_copy",
       "SELECT * FROM `main`.`src_copy`")
     assert(n == 1L)
     assert(dynTables("dst_copy")._2.size == 1)
+    import scala.jdk.CollectionConverters._
+    val insertParams = paramsLog.asScala.drop(before).filter(p =>
+      p.get("query").forall(_.startsWith("INSERT INTO `main`.`dst_copy`")))
+    assert(insertParams.exists(p =>
+      p.get("insert_null_as_default").contains("0") &&
+        p.get("input_format_null_as_default").contains("0")),
+      s"params after insertSelect: ${paramsLog.asScala.drop(before)}")
   }
 
   test("epoch markers: first commit wins, replay detected") {

@@ -131,6 +131,20 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT * FROM t JOIN u ON t.a = u.a")
     assert(t("SELECT a FROM t WHERE a = any(SELECT b FROM u)") ==
       "SELECT a FROM t WHERE a = any(SELECT b FROM u)")
+    // parenthesized subquery form is STILL the quantified any — rewriting
+    // to min() would turn IN semantics into equality-vs-minimum
+    assert(t("SELECT a FROM t WHERE a = any((SELECT b FROM u))") ==
+      "SELECT a FROM t WHERE a = any((SELECT b FROM u))")
+    // the GLOBAL strip is quote-aware: a string literal keeps its text
+    assert(t("SELECT 'GLOBAL IN scope' AS s FROM t") ==
+      "SELECT 'GLOBAL IN scope' AS s FROM t")
+    // ...and reaches inside subqueries (any paren depth)
+    assert(t("SELECT a FROM (SELECT a FROM t WHERE a GLOBAL IN (SELECT b FROM u)) x") ==
+      "SELECT a FROM (SELECT a FROM t WHERE a IN (SELECT b FROM u)) x")
+    assert(t("SELECT a FROM t WHERE a GLOBAL NOT IN (SELECT b FROM u)") ==
+      "SELECT a FROM t WHERE a NOT IN (SELECT b FROM u)")
+    // a bare GLOBAL not followed by a join/IN keyword is not a hint: kept
+    assert(t("SELECT GLOBAL FROM t") == "SELECT GLOBAL FROM t")
   }
 
   test("-State/-Merge combinators translate to state-producing and " +
