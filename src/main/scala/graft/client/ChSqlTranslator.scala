@@ -74,6 +74,7 @@ object ChSqlTranslator {
     // a single execution domain.
     s = foldPrewhere(s)
     s = stripGlobal(s)
+    s = rewriteAsof(s)
     // table references: `db`.`table` or db.table → __ch_db_table
     tables.foreach { case (db, t) =>
       s = s.replace(s"`$db`.`$t`", viewName(db, t))
@@ -572,6 +573,325 @@ object ChSqlTranslator {
       else { out.append(c); i += 1 }
     }
     out.result()
+  }
+
+  // ---- ASOF JOIN → Spark rewrite (the embedded model of the server's
+  // point-in-time join) -------------------------------------------------
+  //
+  // `L ASOF [LEFT|INNER] JOIN R ON <eqs> AND <one inequality>` rewrites to
+  // an equi+range LEFT JOIN with a per-left-row window pick:
+  //
+  //   SELECT <sel> FROM (
+  //     SELECT __asof_l.*, r.*, row_number() OVER (
+  //       PARTITION BY __asof_l.__asof_lid ORDER BY <rTime> DESC|ASC) AS __asof_rn
+  //     FROM (SELECT *, monotonically_increasing_id() AS __asof_lid FROM L) AS __asof_l
+  //     LEFT JOIN R ON <on>
+  //   ) AS __asof WHERE __asof_rn = 1 [...]
+  //
+  // The synthetic lid keeps duplicate left rows distinct (a window over
+  // the left columns would merge them); it never reaches the output, so
+  // results stay deterministic. Matched rows always carry a non-NULL
+  // right time (NULL fails the inequality), so `rn = 1 AND rTime IS NOT
+  // NULL` is exactly the INNER variant. ClickHouse leaves ties between
+  // equal (key, time) right rows unspecified, and so does this rewrite —
+  // the same contract, not a silent delta. `SETTINGS join_use_nulls = 1`
+  // (which the unparser pins for NULL padding on real servers) is the
+  // rewrite's native semantics and is stripped; `join_use_nulls = 0`
+  // (type-default padding) cannot be honored and rejects.
+  //
+  // Honored-or-rejected boundaries (loud errors, never silent): one ASOF
+  // per SELECT level, no other join at that level, no `*` select items,
+  // exactly one top-level inequality in ON, and each inequality operand
+  // must resolve to one side (by alias qualifier or by a unique ` AS x`
+  // binding in one side's subquery).
+
+  private def rewriteAsof(in: String): String = {
+    if (!raw"(?i)\bASOF\b".r.findFirstIn(in).isDefined) return in
+    rewriteAsofLevel(in)
+  }
+
+  /** Rewrite the (single) top-level ASOF join of `sql`, recursing into
+    * top-level paren groups when this level has none.
+    */
+  private def rewriteAsofLevel(sql: String): String = {
+    val asofs = topLevelPositions(sql, "ASOF")
+    if (asofs.isEmpty) {
+      // recurse into top-level paren groups
+      val out = new StringBuilder
+      var i = 0
+      var inSq = false
+      var inBq = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (inSq) { out.append(c); if (c == '\\' && i + 1 < sql.length) { out.append(sql.charAt(i + 1)); i += 1 } else if (c == '\'') inSq = false; i += 1 }
+        else if (inBq) { out.append(c); if (c == '`') inBq = false; i += 1 }
+        else if (c == '\'') { inSq = true; out.append(c); i += 1 }
+        else if (c == '`') { inBq = true; out.append(c); i += 1 }
+        else if (c == '(') {
+          // find matching close, quote-aware
+          var depth = 1; var j = i + 1; var sq = false; var bq = false
+          while (j < sql.length && depth > 0) {
+            val ch = sql.charAt(j)
+            if (sq) { if (ch == '\\') j += 1 else if (ch == '\'') sq = false }
+            else if (bq) { if (ch == '`') bq = false }
+            else ch match {
+              case '\'' => sq = true
+              case '`' => bq = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+            }
+            j += 1
+          }
+          out.append('(').append(rewriteAsofLevel(sql.substring(i + 1, j - 1))).append(')')
+          i = j
+        }
+        else { out.append(c); i += 1 }
+      }
+      return out.result()
+    }
+    require(asofs.length == 1,
+      "ASOF JOIN: multiple ASOF joins at one SELECT level are not supported " +
+        "by the embedded rewrite; nest them in subqueries")
+    val at = asofs.head
+    val selPos = topLevelPositions(sql, "SELECT").headOption.getOrElse(
+      throw new IllegalArgumentException("ASOF JOIN outside a SELECT"))
+    val fromPos = topLevelPositions(sql, "FROM").filter(p => p > selPos && p < at)
+      .lastOption.getOrElse(
+        throw new IllegalArgumentException("ASOF JOIN without a FROM clause"))
+    require(topLevelPositions(sql, "JOIN").length == 1,
+      "ASOF JOIN mixed with other joins at one SELECT level is not " +
+        "supported by the embedded rewrite; nest them in subqueries")
+    val prefix = sql.substring(0, selPos)
+    val selRaw = sql.substring(selPos + 6, fromPos).trim
+    require(!hasTopLevelStar(selRaw),
+      "ASOF JOIN: `*` select items are not supported by the embedded " +
+        "rewrite (the internal row-pick columns would leak); list columns " +
+        "explicitly")
+    val lSeg = sql.substring(fromPos + 4, at).trim
+    val jm = raw"(?is)^ASOF\s+(LEFT\s+|INNER\s+)?JOIN\b".r
+      .findFirstMatchIn(sql.substring(at)).getOrElse(
+        throw new IllegalArgumentException(
+          s"malformed ASOF join near: ${sql.substring(at).take(60)}"))
+    val isLeft = jm.group(1) != null && jm.group(1).trim.equalsIgnoreCase("LEFT")
+    val joinEnd = at + jm.end
+    val onPos = topLevelPositions(sql, "ON").find(_ >= joinEnd).getOrElse(
+      throw new IllegalArgumentException("ASOF JOIN requires an ON clause"))
+    val rSeg = sql.substring(joinEnd, onPos).trim
+    val onEnd = ClauseKws.flatMap(k => topLevelPositions(sql, k))
+      .filter(_ > onPos).sorted.headOption.getOrElse(sql.length)
+    val onExpr = sql.substring(onPos + 2, onEnd).trim
+    val tail = sql.substring(onEnd)
+
+    val (lAlias, _) = termAlias(lSeg)
+    val (rAliasOpt, _) = termAlias(rSeg)
+    val rAlias = rAliasOpt.getOrElse("__asof_r")
+    // nested ASOF joins inside either side rewrite recursively
+    val lSegR = rewriteAsofLevel(lSeg)
+    val rSegR = rewriteAsofLevel(rSeg)
+    val rTermFull = if (rAliasOpt.isDefined) rSegR else s"$rSegR AS __asof_r"
+
+    // the one inequality decides the pick order
+    val conjs = splitTopLevelAnd(onExpr)
+    val ineqs = conjs.flatMap(c => ineqOf(c).map(c -> _))
+    require(ineqs.length == 1,
+      s"ASOF JOIN ON must carry exactly one inequality conjunct, found " +
+        s"${ineqs.length} in: $onExpr")
+    val (_, (a, op, b)) = ineqs.head
+    def sideOf(x: String): Option[Boolean] = { // Some(true)=right side
+      val qual = raw"(?s)^\s*([A-Za-z_]\w*)\s*\.".r.findFirstMatchIn(x).map(_.group(1))
+      qual match {
+        case Some(q) if q.equalsIgnoreCase(rAlias) => Some(true)
+        case Some(q) if lAlias.exists(q.equalsIgnoreCase) => Some(false)
+        case Some(_) => None
+        case None =>
+          val ident = x.trim.stripPrefix("`").stripSuffix("`")
+          if (!ident.matches(raw"\w+")) None
+          else {
+            val re = raw"(?i)\bAS\s+`?${java.util.regex.Pattern.quote(ident)}`?(?![\w])".r
+            val inR = re.findFirstIn(rSeg).isDefined
+            val inL = re.findFirstIn(lSeg).isDefined
+            if (inR && !inL) Some(true)
+            else if (inL && !inR) Some(false)
+            else None
+          }
+      }
+    }
+    val (rTime, dir) = (sideOf(a), sideOf(b)) match {
+      case (Some(true), Some(false)) => (a.trim, op)
+      case (Some(false), Some(true)) => (b.trim, flipOp(op))
+      case _ => throw new IllegalArgumentException(
+        s"ASOF JOIN: cannot resolve inequality sides in `$a $op $b` " +
+          "(qualify operands with the join aliases)")
+    }
+    val ord = if (dir == "<=" || dir == "<") "DESC" else "ASC"
+
+    def stripQuals(t: String): String = {
+      var s0 = replaceQualifier(t, rAlias, "")
+      lAlias.foreach(la => s0 = replaceQualifier(s0, la, ""))
+      s0
+    }
+    val onInner = lAlias.map(la =>
+      replaceQualifier(onExpr, la, "__asof_l.")).getOrElse(onExpr)
+    val sel = stripQuals(selRaw)
+    val rTimeOuter = stripQuals(rTime)
+
+    // tail: strip join_use_nulls=1 SETTINGS (our native semantics), merge
+    // a WHERE into the rn filter, keep other clauses outside
+    val (whereExpr, rest) = splitAsofTail(tail)
+    val inner =
+      s"SELECT __asof_l.*, $rAlias.*, row_number() OVER (PARTITION BY " +
+        s"__asof_l.__asof_lid ORDER BY $rTime $ord) AS __asof_rn " +
+        s"FROM (SELECT *, monotonically_increasing_id() AS __asof_lid " +
+        s"FROM $lSegR) AS __asof_l LEFT JOIN $rTermFull ON $onInner"
+    val innerCond = if (isLeft) "" else s" AND $rTimeOuter IS NOT NULL"
+    val whereOut = s" WHERE __asof_rn = 1$innerCond" +
+      whereExpr.map(w => s" AND (${stripQuals(w)})").getOrElse("")
+    s"${prefix}SELECT $sel FROM ($inner) AS __asof$whereOut" +
+      (if (rest.trim.isEmpty) "" else " " + stripQuals(rest.trim))
+  }
+
+  /** (Some(whereExpr), rest) for a clause tail following the ON expr.
+    * Rejects SETTINGS other than `join_use_nulls = 1` (which is dropped:
+    * NULL padding is the rewrite's native behavior; `= 0` type-default
+    * padding cannot be honored).
+    */
+  private def splitAsofTail(tail0: String): (Option[String], String) = {
+    var tail = tail0
+    // SETTINGS handling (always trailing in our dialect)
+    topLevelPositions(tail, "SETTINGS").headOption.foreach { sp =>
+      val body = tail.substring(sp + 8).trim.stripSuffix(";").trim
+      val items = body.split(",").map(_.trim).filter(_.nonEmpty)
+      val kept = items.filterNot(
+        _.matches(raw"(?i)join_use_nulls\s*=\s*1"))
+      require(!items.exists(_.matches(raw"(?i)join_use_nulls\s*=\s*0")),
+        "ASOF JOIN with join_use_nulls = 0 (type-default padding) is not " +
+          "supported by the embedded engine; use NULL padding")
+      require(kept.isEmpty,
+        s"ASOF JOIN: unsupported SETTINGS on the embedded engine: " +
+          kept.mkString(", "))
+      tail = tail.substring(0, sp)
+    }
+    val t = tail.trim
+    if (t.isEmpty) (None, "")
+    else {
+      val wp = topLevelPositions(t, "WHERE").headOption
+      wp match {
+        case Some(0) =>
+          val wEnd = ClauseKws.filterNot(_ == "WHERE")
+            .flatMap(k => topLevelPositions(t, k))
+            .sorted.headOption.getOrElse(t.length)
+          (Some(t.substring(5, wEnd).trim), t.substring(wEnd))
+        case _ => (None, t)
+      }
+    }
+  }
+
+  /** (alias, isSubquery) of a FROM term: `(sub) AS x` / `(sub) x` /
+    * `tbl AS x` / `tbl x` / `(sub)` / `tbl`.
+    */
+  private def termAlias(seg: String): (Option[String], Boolean) = {
+    val s = seg.trim
+    if (s.endsWith(")")) (None, true)
+    else {
+      val am = raw"(?is)^(.*\))\s+(?:AS\s+)?`?([A-Za-z_]\w*)`?$$".r
+      am.findFirstMatchIn(s) match {
+        case Some(g) => (Some(g.group(2)), true)
+        case None =>
+          val parts = s.split(raw"\s+")
+          if (parts.length == 1) (None, false)
+          else (Some(parts.last.stripPrefix("`").stripSuffix("`")), false)
+      }
+    }
+  }
+
+  /** Split a boolean expression on top-level AND (quote/paren-aware). */
+  private def splitTopLevelAnd(e: String): Seq[String] = {
+    val ands = topLevelPositions(e, "AND")
+    val bounds = (Seq(-3) ++ ands) :+ e.length
+    bounds.sliding(2).map { case Seq(a, b) =>
+      e.substring(a + 3, b).trim
+    }.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Some((lhs, op, rhs)) when the conjunct is a top-level inequality. */
+  private def ineqOf(c: String): Option[(String, String, String)] = {
+    var depth = 0; var inSq = false; var inBq = false; var i = 0
+    while (i < c.length) {
+      val ch = c.charAt(i)
+      if (inSq) { if (ch == '\\') i += 1 else if (ch == '\'') inSq = false }
+      else if (inBq) { if (ch == '`') inBq = false }
+      else ch match {
+        case '\'' => inSq = true
+        case '`' => inBq = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '<' | '>' if depth == 0 =>
+          val nxt = if (i + 1 < c.length) c.charAt(i + 1) else ' '
+          if (ch == '<' && nxt == '>') i += 1 // not-equals, skip
+          else {
+            val op = if (nxt == '=') c.substring(i, i + 2) else ch.toString
+            return Some((c.substring(0, i).trim, op,
+              c.substring(i + op.length).trim))
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def flipOp(op: String): String = op match {
+    case "<=" => ">="
+    case ">=" => "<="
+    case "<" => ">"
+    case ">" => "<"
+  }
+
+  /** Quote-aware `alias.` → `repl` (repl carries its own dot or empty). */
+  private def replaceQualifier(text: String, alias: String, repl: String): String = {
+    val out = new StringBuilder
+    var i = 0; var inSq = false; var inBq = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inSq) { out.append(c); if (c == '\\' && i + 1 < text.length) { out.append(text.charAt(i + 1)); i += 1 } else if (c == '\'') inSq = false; i += 1 }
+      else if (inBq) { out.append(c); if (c == '`') inBq = false; i += 1 }
+      else if (c == '\'') { inSq = true; out.append(c); i += 1 }
+      else if (c == '`') { inBq = true; out.append(c); i += 1 }
+      else if ((i == 0 || !(text.charAt(i - 1).isLetterOrDigit || text.charAt(i - 1) == '_' || text.charAt(i - 1) == '.')) &&
+        text.regionMatches(true, i, alias, 0, alias.length) &&
+        i + alias.length < text.length && text.charAt(i + alias.length) == '.') {
+        out.append(repl)
+        i += alias.length + 1
+      }
+      else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
+
+  /** True when the select list carries a bare or qualified `*` at depth 0. */
+  private def hasTopLevelStar(sel: String): Boolean = {
+    var depth = 0; var inSq = false; var inBq = false; var i = 0
+    while (i < sel.length) {
+      val c = sel.charAt(i)
+      if (inSq) { if (c == '\\') i += 1 else if (c == '\'') inSq = false }
+      else if (inBq) { if (c == '`') inBq = false }
+      else c match {
+        case '\'' => inSq = true
+        case '`' => inBq = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '*' if depth == 0 =>
+          // `*` as multiplication has operands on both sides; a select
+          // star is preceded by start, comma, or a dot
+          var j = i - 1
+          while (j >= 0 && sel.charAt(j).isWhitespace) j -= 1
+          if (j < 0 || sel.charAt(j) == ',' || sel.charAt(j) == '.') return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
   }
 
   private val GlobalFollowers = Seq(

@@ -64,4 +64,53 @@ object AsOfJoin {
     val payloadOut = payload.map(c => matched.col(s"__match.$c").as(s"asof_$c"))
     matched.select(leftOut ++ payloadOut: _*)
   }
+
+  /** Planner-aware as-of join: identical semantics and output schema to
+    * [[asofJoin]], but routed through the [[graft.pushdown.ChAsOfJoin]]
+    * logical marker so the pushdown rule can collapse it to server-native
+    * `ASOF LEFT JOIN` when both sides reach one ClickHouse store — the
+    * events×quotes workload then executes entirely in the store instead
+    * of pulling both streams into Spark. Any shape the rule cannot
+    * collapse (cross-store, local tables, unparseable children) lowers to
+    * the exact [[asofJoin]] composition during optimization; a session
+    * without the pushdown rule installed gets [[asofJoin]] directly.
+    */
+  def asofJoinPlanned(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      rightOrder: String,
+      payload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    val installed = spark.experimental.extraOptimizations
+      .contains(graft.pushdown.ClickHouseFunctionPushdown)
+    if (!installed)
+      return asofJoin(left, right, keyCol, leftTs, rightTs, rightOrder, payload)
+    // narrow the right side to what the join consumes (the marker node is
+    // opaque to column pruning)
+    val rCols = (Seq(keyCol, rightTs, rightOrder) ++ payload).distinct
+    val r = right.select(rCols.map(right(_)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String): org.apache.spark.sql.catalyst.expressions.AttributeReference =
+      p.output.collectFirst {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if a.name == name => a
+      }.getOrElse(throw new IllegalArgumentException(
+        s"as-of join: no column `$name` in ${p.output.map(_.name).mkString(", ")}"))
+    val payloadAttrs = payload.map(attr(rPlan, _))
+    val node = graft.pushdown.ChAsOfJoin(
+      lPlan, rPlan,
+      attr(lPlan, keyCol), attr(rPlan, keyCol),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      attr(rPlan, rightOrder),
+      payloadAttrs,
+      payload.map(c => s"asof_$c"),
+      payloadAttrs.map(_ =>
+        org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId))
+    org.apache.spark.sql.graft.bridge.ofRows(spark, node)
+  }
 }

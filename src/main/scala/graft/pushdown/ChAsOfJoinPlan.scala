@@ -1,0 +1,122 @@
+package graft.pushdown
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Last}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types._
+
+/** Logical as-of join marker (point-in-time join): for every left row,
+  * the latest right row with `rightTime <= leftTime` in the same
+  * `leftKey = rightKey` group, left rows kept (NULL payload when no
+  * match) — ClickHouse's `ASOF LEFT JOIN` semantics.
+  *
+  * The node exists so [[ClickHouseFunctionPushdown]] can SEE the as-of
+  * intent: when both children collapse to the same store, the join ships
+  * as server-native `ASOF LEFT JOIN` (the events×quotes 100 TB workload
+  * — neither event stream crosses the wire; extends the join-placement
+  * model of reference src/sql.rs:47-59 to the one join type DataFusion's
+  * unparser could not express). Otherwise [[expand]] lowers it to the
+  * tagged-union + window composition of [[graft.ops.AsOfJoin]] — one
+  * shuffle on the key, no |L|×|R| blow-up — so the node NEVER reaches
+  * the planner.
+  *
+  * Tie semantics: among equal (key, time) right rows the server's ASOF
+  * pick is unspecified (same contract as ClickHouse itself); the local
+  * expansion breaks ties deterministically on `rightOrder`. Keep
+  * (key, time) unique on the right side when cross-engine hashes matter
+  * (the FINAL-read rule, CLAUDE.md).
+  */
+case class ChAsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: AttributeReference,
+    rightKey: AttributeReference,
+    leftTime: AttributeReference,
+    rightTime: AttributeReference,
+    rightOrder: AttributeReference,
+    payload: Seq[AttributeReference],
+    payloadOutNames: Seq[String],
+    payloadOutIds: Seq[ExprId])
+  extends BinaryNode {
+
+  require(payload.length == payloadOutNames.length &&
+    payload.length == payloadOutIds.length, "payload arity mismatch")
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+
+  /** Payload outputs are nullable (unmatched left rows pad with NULL). */
+  lazy val payloadOut: Seq[Attribute] =
+    payload.lazyZip(payloadOutNames).lazyZip(payloadOutIds).map { (p, n, id) =>
+      AttributeReference(n, p.dataType, nullable = true)(exprId = id)
+    }
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  // payload outputs are minted here, not received from children
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): ChAsOfJoin =
+    copy(left = newLeft, right = newRight)
+
+  /** Lower to the local composition (the exact plan
+    * [[graft.ops.AsOfJoin.asofJoin]] builds through the DataFrame API,
+    * constructed directly in Catalyst): both sides union into one tagged
+    * stream, a single running `last(payload, ignoreNulls)` window per key
+    * carries the latest right payload forward, left rows filter out with
+    * their match attached. Output attributes reuse this node's exprIds, so
+    * parents resolve unchanged.
+    */
+  def expand: LogicalPlan = {
+    val payloadType = StructType(payload.map(a =>
+      StructField(a.name, a.dataType, nullable = true)))
+    val leftType = StructType(left.output.map(a =>
+      StructField(a.name, a.dataType, nullable = true)))
+    def struct(attrs: Seq[Attribute]): Expression =
+      CreateNamedStruct(attrs.flatMap(a => Seq(Literal(a.name), a)))
+    // right branch: (__k, __t, __kind=0, __ord, __payload, __left=NULL)
+    val rProj = Project(Seq(
+      Alias(rightKey, "__k")(),
+      Alias(rightTime, "__t")(),
+      Alias(Literal(0), "__kind")(),
+      Alias(rightOrder, "__ord")(),
+      Alias(struct(payload), "__payload")(),
+      Alias(Literal(null, leftType), "__left")()), right)
+    // left branch: (__k, __t, __kind=1, __ord=NULL, __payload=NULL, __left)
+    val lProj = Project(Seq(
+      Alias(leftKey, "__k")(),
+      Alias(leftTime, "__t")(),
+      Alias(Literal(1), "__kind")(),
+      Alias(Literal(null, rightOrder.dataType), "__ord")(),
+      Alias(Literal(null, payloadType), "__payload")(),
+      Alias(struct(left.output), "__left")()), left)
+    val u = Union(Seq(rProj, lProj))
+    val Seq(kA, tA, kindA, ordA, payA, leftA) = u.output
+    // right rows sort before left rows at equal time (inclusive match);
+    // among equal-time right rows the greatest __ord wins
+    val spec = WindowSpecDefinition(
+      partitionSpec = Seq(kA),
+      orderSpec = Seq(
+        SortOrder(tA, Ascending),
+        SortOrder(kindA, Ascending),
+        SortOrder(ordA, Ascending, NullsLast, Seq.empty)),
+      frameSpecification = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    val matchAlias = Alias(WindowExpression(
+      AggregateExpression(Last(payA, ignoreNulls = true), Complete, isDistinct = false),
+      spec), "__match")()
+    val w = Window(Seq(matchAlias), Seq(kA), spec.orderSpec, u, None)
+    val f = Filter(EqualTo(kindA, Literal(1)), w)
+    val matchA = matchAlias.toAttribute
+    // surface the original exprIds: left columns out of __left, payload
+    // out of __match as asof_<name>
+    val leftOut = left.output.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(leftA, i, Some(a.name)), a.name)(exprId = a.exprId)
+    }
+    val payOut = payloadOut.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(matchA, i, Some(payload(i).name)), a.name)(exprId = a.exprId)
+    }
+    Project(leftOut ++ payOut, f)
+  }
+}

@@ -141,6 +141,34 @@ object ChPlanUnparser {
             j.output.map(a => a.exprId -> outScope(a.exprId)).toMap)
         }
 
+      // Point-in-time join → server-native ASOF LEFT JOIN. The ON clause
+      // carries the equi-key plus the one inequality ClickHouse requires;
+      // join_use_nulls=1 pins NULL padding for unmatched left rows (the
+      // server default pads with type defaults — a silent value lie).
+      // ClickHouse accepts a SETTINGS clause on subquery SELECTs, so the
+      // statement stays nestable inside the collapse wrapper.
+      case aj: ChAsOfJoin =>
+        for {
+          l <- go(aj.left)
+          r <- go(aj.right)
+          lk <- l.scope.get(aj.leftKey.exprId)
+          rk <- r.scope.get(aj.rightKey.exprId)
+          lt <- l.scope.get(aj.leftTime.exprId)
+          rt <- r.scope.get(aj.rightTime.exprId)
+          pay <- sequence(aj.payload.map(p => r.scope.get(p.exprId)))
+        } yield {
+          val leftCols = aj.left.output.map(a => l.scope(a.exprId))
+          val paySel = aj.payloadOut.zip(pay).map { case (o, src) =>
+            s"$src AS ${aliasOf(o.exprId)}"
+          }
+          val sel = (leftCols.map(c => s"$c AS $c") ++ paySel).mkString(", ")
+          Unparsed(
+            s"SELECT $sel FROM (${l.sql}) AS ${sub()} ASOF LEFT JOIN " +
+              s"(${r.sql}) AS ${sub()} ON $lk = $rk AND $rt <= $lt " +
+              "SETTINGS join_use_nulls = 1",
+            l.scope ++ aj.payloadOut.map(a => a.exprId -> aliasOf(a.exprId)).toMap)
+        }
+
       case Aggregate(groupingExprs, aggExprs, child, _) =>
         for {
           c <- go(child)

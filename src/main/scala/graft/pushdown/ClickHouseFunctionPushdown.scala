@@ -87,6 +87,14 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
         case None => hoistAndRecurse(p)
       }
 
+    // As-of join marker: collapse to server-native ASOF LEFT JOIN when
+    // both sides reach one store (neither event stream crosses the wire);
+    // otherwise lower to the local tagged-union + window composition —
+    // the marker must never reach the planner either way.
+    case aj: ChAsOfJoin =>
+      (if (collapsible(aj)) wrap(aj) else None)
+        .getOrElse(rewrite(aj.expand))
+
     case _ if shouldWrap(p) =>
       wrap(p).getOrElse(hoistAndRecurse(p))
     case _ => hoistAndRecurse(p)
@@ -603,6 +611,17 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
         }
         if (keyPartitioned) Some(ks) else None // frames stay intra-shard
       }
+    // as-of joins match only within equal key values, so a routing-keyed
+    // as-of distributes exactly like a LeftOuter equi-join: every
+    // candidate match lives on the probe row's own shard, and only the
+    // (non-padded) left side still carries placement truth
+    case aj: ChAsOfJoin =>
+      for {
+        lk <- shardKeyAttrs(aj.left, key)
+        rk <- shardKeyAttrs(aj.right, key)
+        if lk.contains(aj.leftKey) && rk.contains(aj.rightKey) &&
+          aj.leftKey.dataType == aj.rightKey.dataType
+      } yield lk
     case _ => None
   }
 

@@ -1898,6 +1898,33 @@ object ConnectorQueries {
         .groupBy(col("pri"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .orderBy("pri")
+    },
+
+    // r58: as-of join of two same-store tables ships as server-native
+    // ASOF LEFT JOIN — the whole point-in-time lookup (orders enriched
+    // with the latest quote at or before their date) runs in the store;
+    // GatePlanSpec pins one remote exec and no Spark join/window. The
+    // quote side is (k, qts)-unique by construction (ASOF tie semantics
+    // are unspecified on every engine — the FINAL-read rule).
+    q("r58_remote_asof_join",
+      """WITH qt AS (
+        |  SELECT o_custkey AS k, o_orderdate AS qts,
+        |         max(CAST(round(o_totalprice * 100) AS BIGINT)) AS qcents
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  GROUP BY o_custkey, o_orderdate)
+        |SELECT o.o_orderkey AS ok, o.o_custkey AS k, o.o_orderdate AS ts,
+        |       q.qcents AS asof_qcents
+        |FROM orders o ASOF LEFT JOIN qt q
+        |  ON o.o_custkey = q.k AND o.o_orderdate >= q.qts""".stripMargin) { (s, _) =>
+      val left = s.table("clickhouse.main.orders").select(
+        col("o_orderkey").as("ok"), col("o_custkey").as("k"),
+        col("o_orderdate").as("ts"))
+      val right = s.table("clickhouse.main.orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("qts"))
+        .agg(max(round(col("o_totalprice") * 100).cast("bigint")).as("qcents"))
+      graft.ops.AsOfJoin.asofJoinPlanned(
+        left, right, "k", "ts", "qts", "qcents", Seq("qcents"))
     }
   )
 }

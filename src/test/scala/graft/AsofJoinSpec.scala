@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.client.EmbeddedClickHouse
+import graft.ops.AsOfJoin
+import graft.pushdown.ClickHouseRemoteExec
+
+/** Remote ASOF JOIN collapse (VERDICT r11 item 1): an as-of join of two
+  * same-store connector tables ships as server-native `ASOF LEFT JOIN`
+  * (one remote exec, no Spark-side join or window — neither event stream
+  * crosses the wire); every other shape lowers to the exact local
+  * tagged-union composition of [[graft.ops.AsOfJoin.asofJoin]] during
+  * optimization. Results are bit-identical between the paths on
+  * (key, time)-unique right sides.
+  */
+class AsofJoinSpec extends AnyFunSuite {
+
+  private lazy val root = Files.createTempDirectory("graft_asof_").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .appName("asof-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s.conf.set("spark.sql.catalog.chasof",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    s.conf.set("spark.sql.catalog.chasof.path", root)
+    GraftSession.install(s)
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("db", "ev",
+      Seq("k" -> "Int64", "ts" -> "Int64", "v" -> "Int64"),
+      Map("engine" -> "MergeTree", "order_by" -> "k"))
+    client.insert("db", "ev", client.sparkSchema("db", "ev"),
+      (for (k <- 1L to 5L; i <- 0L to 9L) yield Row(k, i * 10L, k * 100L + i)))
+    // (k, qts) unique — ASOF tie semantics are unspecified on both engines
+    client.createTable("db", "qt",
+      Seq("k" -> "Int64", "qts" -> "Int64", "seq" -> "Int64", "price" -> "Int64"),
+      Map("engine" -> "MergeTree", "order_by" -> "k"))
+    client.insert("db", "qt", client.sparkSchema("db", "qt"),
+      (for (k <- 1L to 4L; i <- 0L to 5L) yield
+        Row(k, i * 17L + 3L, i, k * 1000L + i * 7L)))
+    s
+  }
+
+  private def flat(df: DataFrame) =
+    PlanAsserts.flatten(df.queryExecution.executedPlan)
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  test("same-store as-of join collapses to ONE remote ASOF LEFT JOIN — " +
+    "no Spark join, window, or shuffle; results match the local composition") {
+    val ev = spark.table("chasof.db.ev")
+    val qt = spark.table("chasof.db.qt")
+    val planned = AsOfJoin.asofJoinPlanned(
+      ev, qt, "k", "ts", "qts", "seq", Seq("price"))
+    val execs = flat(planned).collect { case e: ClickHouseRemoteExec => e }
+    assert(execs.length == 1,
+      s"expected one remote exec:\n${planned.queryExecution.executedPlan}")
+    assert(execs.head.sql.contains("ASOF LEFT JOIN"), execs.head.sql)
+    assert(execs.head.sql.contains("join_use_nulls = 1"), execs.head.sql)
+    val all = flat(planned)
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "the join must run in the store")
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "the as-of pick must run in the store")
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      "collapsed as-of must be exchange-free")
+    val local = AsOfJoin.asofJoin(ev, qt, "k", "ts", "qts", "seq", Seq("price"))
+    assert(planned.columns.toSeq == local.columns.toSeq)
+    assert(rows(planned) == rows(local))
+    // sanity on the semantics themselves: k=5 has no quotes → NULL
+    // payload; k=1 ts=20 → latest qts<=20 is 20 (seq=1) → price 1007
+    val byKey = planned.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    ).toMap
+    assert(byKey((5L, 30L)).isEmpty)
+    assert(byKey((1L, 20L)).contains(1007L))
+  }
+
+  test("cross-source as-of join lowers to the local composition (window " +
+    "present, no ASOF remote SQL) with identical results") {
+    val ev = spark.table("chasof.db.ev")
+    import spark.implicits._
+    val localQt = (for (k <- 1L to 4L; i <- 0L to 5L) yield
+      (k, i * 17L + 3L, i, k * 1000L + i * 7L)).toDF("k", "qts", "seq", "price")
+    val planned = AsOfJoin.asofJoinPlanned(
+      ev, localQt, "k", "ts", "qts", "seq", Seq("price"))
+    val all = flat(planned)
+    assert(!all.collect { case e: ClickHouseRemoteExec => e }
+      .exists(_.sql.contains("ASOF")), "cross-source must not ship ASOF")
+    assert(all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      s"expanded composition must window locally:\n${all.head}")
+    val local = AsOfJoin.asofJoin(ev, localQt, "k", "ts", "qts", "seq", Seq("price"))
+    assert(rows(planned) == rows(local))
+  }
+
+  test("a session without the pushdown rule gets the local composition " +
+    "directly (no marker node ever built)") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val ev = (for (k <- 1L to 3L; i <- 0L to 4L) yield
+      (k, i * 10L, k + i)).toDF("k", "ts", "v")
+    val qt = (for (k <- 1L to 3L; i <- 0L to 2L) yield
+      (k, i * 13L + 1L, i, k * 10L + i)).toDF("k", "qts", "seq", "price")
+    val planned = AsOfJoin.asofJoinPlanned(
+      ev, qt, "k", "ts", "qts", "seq", Seq("price"))
+    val local = AsOfJoin.asofJoin(ev, qt, "k", "ts", "qts", "seq", Seq("price"))
+    assert(rows(planned) == rows(local))
+  }
+}

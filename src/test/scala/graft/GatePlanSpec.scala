@@ -118,6 +118,26 @@ class GatePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r58 as-of join collapses to ONE remote ASOF LEFT JOIN exec: no " +
+    "Spark-side join, window, or shuffle — neither event stream crosses " +
+    "the wire") {
+    val df: DataFrame = SparkEntry.queries("r58_remote_asof_join")(spark, sfDir)
+    assert(df.count() > 0)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
+    val remotes = all.collect { case r: graft.pushdown.ClickHouseRemoteExec => r }
+    assert(remotes.size == 1, s"one remote exec:\n${all.head}")
+    assert(remotes.head.sql.contains("ASOF LEFT JOIN"), remotes.head.sql)
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"the join must run in the store:\n${all.head}")
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      s"the as-of pick must run in the store:\n${all.head}")
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      s"collapsed as-of must be exchange-free:\n${all.head}")
+  }
+
   test("r53 raw-SQL passthrough plans as ONE remote exec: the statement " +
     "executes in the store, Spark only streams and sorts") {
     val df: DataFrame = SparkEntry.queries("r53_raw_sql")(spark, sfDir)

@@ -147,6 +147,57 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT GLOBAL FROM t") == "SELECT GLOBAL FROM t")
   }
 
+  test("ASOF LEFT JOIN rewrites to the lid-window pick; SETTINGS " +
+    "join_use_nulls=1 strips; the inequality picks the order direction") {
+    val in = "SELECT a1 AS a1, a9 AS a9 FROM (SELECT k AS a0, ts AS a1 " +
+      "FROM db.tbl) AS t0 ASOF LEFT JOIN (SELECT k AS a5, ts AS a6, " +
+      "v AS a9 FROM db.tbl) AS t1 ON a0 = a5 AND a6 <= a1 " +
+      "SETTINGS join_use_nulls = 1"
+    val out = t(in)
+    assert(raw"(?i)\bASOF\s+(LEFT\s+)?JOIN".r.findFirstIn(out).isEmpty, out)
+    assert(!out.toUpperCase.contains("SETTINGS"), out)
+    assert(out.contains("monotonically_increasing_id() AS __asof_lid"), out)
+    assert(out.contains(
+      "row_number() OVER (PARTITION BY __asof_l.__asof_lid ORDER BY a6 DESC"), out)
+    assert(out.contains("WHERE __asof_rn = 1"), out)
+    assert(out.contains("LEFT JOIN"), out)
+    // inner variant appends the matched guard; >= flips to ASC pick
+    val inner = t("SELECT a1 AS a1 FROM (SELECT k AS a0, ts AS a1 FROM " +
+      "db.tbl) AS t0 ASOF JOIN (SELECT k AS a5, ts AS a6 FROM db.tbl) " +
+      "AS t1 ON a0 = a5 AND a6 >= a1")
+    assert(inner.contains("ORDER BY a6 ASC"), inner)
+    assert(inner.contains("AND a6 IS NOT NULL"), inner)
+    // flipped operand order (left op right) normalizes
+    val flipped = t("SELECT a1 AS a1 FROM (SELECT k AS a0, ts AS a1 FROM " +
+      "db.tbl) AS t0 ASOF LEFT JOIN (SELECT k AS a5, ts AS a6 FROM " +
+      "db.tbl) AS t1 ON a0 = a5 AND a1 >= a6")
+    assert(flipped.contains("ORDER BY a6 DESC"), flipped)
+    // qualified handwritten form resolves sides by alias
+    val qual = t("SELECT x AS x FROM db.tbl l ASOF LEFT JOIN db.tbl r " +
+      "ON l.k = r.k AND r.ts <= l.ts")
+    assert(qual.contains("ORDER BY r.ts DESC"), qual)
+    assert(qual.contains("__asof_l.k = r.k"), qual)
+  }
+
+  test("ASOF JOIN rejections are loud: join_use_nulls=0, unresolvable " +
+    "sides, several inequalities, star selects, mixed joins") {
+    def fails(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](t(sql))
+      assert(e.getMessage.toLowerCase.contains(frag.toLowerCase),
+        s"${e.getMessage} !~ $frag")
+    }
+    fails("SELECT a AS a FROM db.tbl l ASOF JOIN db.tbl r ON l.k = r.k " +
+      "AND r.t <= l.t SETTINGS join_use_nulls = 0", "join_use_nulls = 0")
+    fails("SELECT a AS a FROM db.tbl l ASOF JOIN db.tbl r ON l.k = r.k " +
+      "AND q.t <= l.t", "cannot resolve")
+    fails("SELECT a AS a FROM db.tbl l ASOF JOIN db.tbl r ON l.k = r.k " +
+      "AND r.t <= l.t AND r.u < l.u", "exactly one inequality")
+    fails("SELECT * FROM db.tbl l ASOF JOIN db.tbl r ON l.k = r.k " +
+      "AND r.t <= l.t", "list columns explicitly")
+    fails("SELECT a AS a FROM db.tbl l JOIN db.tbl x ON l.k = x.k " +
+      "ASOF JOIN db.tbl r ON l.k = r.k AND r.t <= l.t", "mixed")
+  }
+
   test("-State/-Merge combinators translate to state-producing and " +
     "state-combining aggregates") {
     assert(t("SELECT avgState(v)") ==
