@@ -75,6 +75,7 @@ object ChSqlTranslator {
     s = foldPrewhere(s)
     s = stripGlobal(s)
     s = rewriteAsof(s)
+    s = rewriteTotals(s)
     // table references: `db`.`table` or db.table → __ch_db_table
     tables.foreach { case (db, t) =>
       s = s.replace(s"`$db`.`$t`", viewName(db, t))
@@ -322,6 +323,33 @@ object ChSqlTranslator {
     s = rewriteParamCall(s, "quantilesExactInclusive",
       (params, args) =>
         s"percentile(${args.head}, array(${params.mkString(", ")}))")
+    // Exact nearest-rank quantiles — full materialization per group,
+    // exactly like the server's quantileExact family (it sorts the whole
+    // value set too). Spark has no non-interpolating percentile, so the
+    // honest mapping is an explicit sorted-array pick:
+    //  - quantileExact(p)(x): 0-based index floor(p*n) (ClickHouse
+    //    QuantileExact.h), i.e. 1-based rank floor(p*n)+1, clamped to n;
+    //  - quantileExactLow(p)(x): rank max(ceil(p*n), 1) — the SQL
+    //    percentile_disc / DuckDB quantile_disc semantics;
+    //  - medianExact(x) = quantileExact(0.5)(x).
+    // NULLs skip (collect_list drops them; n counts non-NULL), all-NULL
+    // groups return NULL. quantileExactInclusive stays the interpolating
+    // percentile mapping above — different server function, different
+    // semantics, never conflated.
+    def exactRank(x: String, rank: String): String = {
+      val n = s"count($x)"
+      s"CASE WHEN $n = 0 THEN NULL ELSE element_at(sort_array(" +
+        s"collect_list($x)), $rank) END"
+    }
+    def exactDefaultRank(x: String, p: String): String =
+      exactRank(x, s"least(CAST(floor(($p) * count($x)) AS INT) + 1, " +
+        s"CAST(count($x) AS INT))")
+    s = rewriteParamCall(s, "quantileExactLow", (params, args) =>
+      exactRank(args.head,
+        s"greatest(CAST(ceil((${params.head}) * count(${args.head})) AS INT), 1)"))
+    s = rewriteParamCall(s, "quantileExact",
+      (params, args) => exactDefaultRank(args.head, params.head))
+    s = rewriteCall(s, "medianExact", args => exactDefaultRank(args.head, "0.5"))
     // lagInFrame/leadInFrame → lag/lead; Spark REJECTS an explicit frame
     // on offset functions, so the forced full frame our unparser emits is
     // stripped from the OVER clause that follows
@@ -892,6 +920,87 @@ object ChSqlTranslator {
       i += 1
     }
     false
+  }
+
+  /** `s` with each top-level paren group's CONTENT replaced by
+    * `g(content)` (quote-aware) — the shared recursion step for
+    * statement-structure rewrites.
+    */
+  private def mapTopLevelParens(s: String)(g: String => String): String = {
+    val out = new StringBuilder
+    var i = 0; var inSq = false; var inBq = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inSq) { out.append(c); if (c == '\\' && i + 1 < s.length) { out.append(s.charAt(i + 1)); i += 1 } else if (c == '\'') inSq = false; i += 1 }
+      else if (inBq) { out.append(c); if (c == '`') inBq = false; i += 1 }
+      else if (c == '\'') { inSq = true; out.append(c); i += 1 }
+      else if (c == '`') { inBq = true; out.append(c); i += 1 }
+      else if (c == '(') {
+        var depth = 1; var j = i + 1; var sq = false; var bq = false
+        while (j < s.length && depth > 0) {
+          val ch = s.charAt(j)
+          if (sq) { if (ch == '\\') j += 1 else if (ch == '\'') sq = false }
+          else if (bq) { if (ch == '`') bq = false }
+          else ch match {
+            case '\'' => sq = true
+            case '`' => bq = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        out.append('(').append(g(s.substring(i + 1, j - 1))).append(')')
+        i = j
+      }
+      else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
+
+  // ---- WITH TOTALS → GROUPING SETS rewrite ----------------------------
+  //
+  // `GROUP BY <keys> WITH TOTALS` adds one all-rows aggregate row. A real
+  // server emits the totals as an out-of-band block in most formats; any
+  // client that flattens them inline must mark the row somehow, and the
+  // SQL-standard marking is NULL group keys — exactly what
+  // `GROUP BY GROUPING SETS ((<keys>), ())` produces, and what the
+  // DuckDB oracle's GROUPING SETS emits, so embedded results stay
+  // hash-comparable. (A NULL-valued key group is then indistinguishable
+  // from the totals row — the standard ROLLUP ambiguity, same contract.)
+  // WITH TOTALS + HAVING rejects loudly: the server's totals_mode setting
+  // family makes the interaction configuration-dependent, and a silently
+  // picked mode would be a lie.
+
+  private def rewriteTotals(in: String): String = {
+    if (!raw"(?i)\bTOTALS\b".r.findFirstIn(in).isDefined) return in
+    mapTopLevelParens(rewriteTotalsLevel(in))(rewriteTotals)
+  }
+
+  private def rewriteTotalsLevel(s: String): String = {
+    val tps = topLevelPositions(s, "TOTALS")
+    if (tps.isEmpty) return s
+    val tp = tps.head
+    // require the preceding word WITH
+    var w = tp - 1
+    while (w >= 0 && s.charAt(w).isWhitespace) w -= 1
+    val wp = w - 3
+    require(wp >= 0 && s.regionMatches(true, wp, "WITH", 0, 4) &&
+      (wp == 0 || !(s.charAt(wp - 1).isLetterOrDigit || s.charAt(wp - 1) == '_')),
+      s"TOTALS without WITH near: ${s.substring(math.max(0, tp - 30), tp + 6)}")
+    val gp = topLevelPositions(s, "GROUP").filter(_ < wp).lastOption.getOrElse(
+      throw new IllegalArgumentException("WITH TOTALS requires GROUP BY"))
+    val bym = raw"(?is)^GROUP\s+BY\s+".r.findFirstMatchIn(s.substring(gp)).getOrElse(
+      throw new IllegalArgumentException("malformed GROUP BY before WITH TOTALS"))
+    val keys = s.substring(gp + bym.end, wp).trim
+    require(keys.nonEmpty, "WITH TOTALS: empty GROUP BY key list")
+    require(topLevelPositions(s, "HAVING").isEmpty,
+      "WITH TOTALS combined with HAVING is not supported by the embedded " +
+        "engine (the server's totals_mode setting family makes the " +
+        "interaction configuration-dependent); filter in an outer query")
+    rewriteTotalsLevel(
+      s.substring(0, gp) + s"GROUP BY GROUPING SETS (($keys), ())" +
+        s.substring(tp + 6))
   }
 
   private val GlobalFollowers = Seq(

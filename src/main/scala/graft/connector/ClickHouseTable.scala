@@ -935,6 +935,9 @@ class ChBatchWrite(
       case ChStagedCommit(stagingId, _, _) => client.commitStaged(db, table, stagingId)
       case _ => ()
     }
+    // SQL-visible insert count (reference parity — see ChInsertCount)
+    ChInsertCount.record(client.connectionKey, db, table,
+      messages.collect { case ChStagedCommit(_, rows, _) => rows }.sum)
     // commits may have fired materialized views into OTHER tables —
     // refresh their cached plans (Spark only invalidates THIS table)
     ChMutations.drainMvRefresh(org.apache.spark.sql.SparkSession.active)

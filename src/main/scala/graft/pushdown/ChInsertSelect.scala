@@ -27,7 +27,8 @@ final case class ChInsertSelectCommand(
   extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    client.insertSelect(db, table, chSelectSql)
+    val n = client.insertSelect(db, table, chSelectSql)
+    graft.connector.ChInsertCount.record(client.connectionKey, db, table, n)
     // the write ran outside Spark's own invalidation: refresh cached
     // plans over the target, and over any MV targets the insert fired
     refreshName.foreach(n => graft.connector.ChMutations.refresh(spark, n))

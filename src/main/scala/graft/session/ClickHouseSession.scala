@@ -52,11 +52,30 @@ final class ClickHouseSession private (
 
   def createDatabase(db: String): Unit = client.createDatabase(db)
 
+  /** Run one INSERT statement and return the number of rows it wrote —
+    * the SQL-visible count the reference returns as a one-row batch
+    * (tests/common/helpers.rs:157-170), which Spark's AppendData only
+    * surfaces as the `chRowsInserted` UI metric. Works for both the DSv2
+    * write path and the collapsed server-side INSERT SELECT (their
+    * commits record on the statement's own thread).
+    */
+  def insertReturningCount(insertSql: String): Long =
+    graft.connector.ChInsertCount.captured {
+      spark.sql(insertSql).collect(); ()
+    }
+
+  /** Rows committed by the most recent batch insert into `db`.`table`
+    * over this session's connection (this JVM); None before any insert.
+    */
+  def lastInsertCount(db: String, table: String): Option[Long] =
+    graft.connector.ChInsertCount.lastFor(client.connectionKey, db, table)
+
   /** Server-side `INSERT INTO db.table SELECT ...` — the SELECT is
     * ClickHouse SQL executed where the data lives; zero rows transfer.
     */
   def insertSelect(db: String, table: String, chSelectSql: String): Long = {
     val n = client.insertSelect(db, table, chSelectSql)
+    graft.connector.ChInsertCount.record(client.connectionKey, db, table, n)
     // the insert may have fired materialized views into other tables
     graft.connector.ChMutations.drainMvRefresh(spark)
     n

@@ -25,6 +25,39 @@ class SessionSpec extends AnyFunSuite {
     s
   }
 
+  test("insertReturningCount surfaces the SQL-visible row count for both " +
+    "the DSv2 write path and the collapsed server-side INSERT SELECT; " +
+    "lastInsertCount tracks the most recent insert per table") {
+    val root = Files.createTempDirectory("graft_sess_cnt_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chcnt").build()
+    ch.createDatabase("db")
+    ch.newTable("db", "src").column("id", "Int64").column("v", "Int64")
+      .engine("MergeTree").orderBy("id").create()
+    ch.newTable("db", "dst").column("id", "Int64").column("v", "Int64")
+      .engine("MergeTree").orderBy("id").create()
+    assert(ch.lastInsertCount("db", "src").isEmpty)
+    // DSv2 write path (VALUES → AppendData → staged commit)
+    val n1 = ch.insertReturningCount(
+      "INSERT INTO chcnt.db.src VALUES (1, 10), (2, 20), (3, 30)")
+    assert(n1 == 3L)
+    assert(ch.lastInsertCount("db", "src").contains(3L))
+    // collapsed INSERT SELECT (same store → ChInsertSelectCommand)
+    val n2 = ch.insertReturningCount(
+      "INSERT INTO chcnt.db.dst SELECT id, v FROM chcnt.db.src WHERE id > 1")
+    assert(n2 == 2L)
+    assert(ch.lastInsertCount("db", "dst").contains(2L))
+    // session-level server-side insertSelect records too
+    val n3 = ch.insertSelect("db", "dst", "SELECT `id`, `v` FROM `db`.`src`")
+    assert(n3 == 3L)
+    assert(ch.lastInsertCount("db", "dst").contains(3L))
+    // a second statement's count replaces, not accumulates
+    val n4 = ch.insertReturningCount("INSERT INTO chcnt.db.src VALUES (9, 90)")
+    assert(n4 == 1L)
+    assert(ch.lastInsertCount("db", "src").contains(1L))
+    assert(ch.table("db", "dst").count() == 5L)
+  }
+
   test("fluent DDL chain: database -> table -> insert -> query -> drop") {
     val root = Files.createTempDirectory("graft_sess_").toString
     val ch = ClickHouseSession.builder(spark)

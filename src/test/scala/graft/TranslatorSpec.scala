@@ -198,6 +198,49 @@ class TranslatorSpec extends AnyFunSuite {
       "ASOF JOIN db.tbl r ON l.k = r.k AND r.t <= l.t", "mixed")
   }
 
+  test("WITH TOTALS rewrites to GROUPING SETS ((keys), ()) — NULL-keyed " +
+    "totals row; HAVING combination and bare TOTALS reject loudly") {
+    assert(t("SELECT k, count(*) AS n FROM db.tbl GROUP BY k WITH TOTALS") ==
+      "SELECT k, count(*) AS n FROM __ch_db_tbl GROUP BY GROUPING SETS ((k), ())")
+    assert(t("SELECT a, b, sum(v) AS s FROM db.tbl GROUP BY a, b WITH TOTALS " +
+      "ORDER BY a") ==
+      "SELECT a, b, sum(v) AS s FROM __ch_db_tbl GROUP BY GROUPING SETS " +
+        "((a, b), ()) ORDER BY a NULLS LAST")
+    // nested in a subquery
+    assert(t("SELECT * FROM (SELECT k, count(*) AS n FROM db.tbl " +
+      "GROUP BY k WITH TOTALS) x") ==
+      "SELECT * FROM (SELECT k, count(*) AS n FROM __ch_db_tbl " +
+        "GROUP BY GROUPING SETS ((k), ())) x")
+    // WITH ROLLUP is Spark-native: untouched
+    assert(t("SELECT k, count(*) AS n FROM db.tbl GROUP BY k WITH ROLLUP") ==
+      "SELECT k, count(*) AS n FROM __ch_db_tbl GROUP BY k WITH ROLLUP")
+    val e = intercept[IllegalArgumentException](
+      t("SELECT k, count(*) AS n FROM db.tbl GROUP BY k WITH TOTALS " +
+        "HAVING count(*) > 1"))
+    assert(e.getMessage.contains("totals_mode"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      t("SELECT k FROM db.tbl TOTALS"))
+    assert(e2.getMessage.contains("TOTALS without WITH"), e2.getMessage)
+  }
+
+  test("exact nearest-rank quantiles map to sorted-array picks: " +
+    "quantileExact rank floor(p*n)+1, quantileExactLow rank ceil(p*n) " +
+    "(percentile_disc), medianExact = quantileExact(0.5); the " +
+    "interpolating Inclusive mapping is untouched") {
+    val q = t("SELECT quantileExact(0.25)(v) FROM db.tbl")
+    assert(q.contains("least(CAST(floor((0.25) * count(v)) AS INT) + 1, " +
+      "CAST(count(v) AS INT))"), q)
+    assert(q.contains("element_at(sort_array(collect_list(v))"), q)
+    assert(q.contains("CASE WHEN count(v) = 0 THEN NULL"), q)
+    val lo = t("SELECT quantileExactLow(0.5)(v) FROM db.tbl")
+    assert(lo.contains("greatest(CAST(ceil((0.5) * count(v)) AS INT), 1)"), lo)
+    val med = t("SELECT medianExact(v) AS m FROM db.tbl")
+    assert(med.contains("floor((0.5) * count(v))"), med)
+    // Inclusive stays percentile_cont — different server function
+    assert(t("SELECT quantileExactInclusive(0.25)(v)") ==
+      "SELECT percentile(v, 0.25)")
+  }
+
   test("-State/-Merge combinators translate to state-producing and " +
     "state-combining aggregates") {
     assert(t("SELECT avgState(v)") ==
