@@ -95,9 +95,130 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       (if (collapsible(aj)) wrap(aj) else None)
         .getOrElse(rewrite(aj.expand))
 
+    // joins first try the plain collapse (single domain / shard-key
+    // co-located), then the GLOBAL-broadcast shape on sharded clients
+    case j: Join =>
+      (if (shouldWrap(j)) wrap(j) else None)
+        .orElse(rewriteGlobalJoin(j))
+        .getOrElse(hoistAndRecurse(j))
+
     case _ if shouldWrap(p) =>
       wrap(p).getOrElse(hoistAndRecurse(p))
     case _ => hoistAndRecurse(p)
+  }
+
+  /** Rows above which a dim side stops being GLOBAL-broadcastable (the
+    * inline literal table ships once per shard — the client-side
+    * `distributed_product_mode = 'global'`).
+    */
+  private val GlobalDimRowCap = 65536
+
+  /** GLOBAL-broadcast dim join on a SHARDED client: a join that is NOT
+    * shard-key co-located still collapses per shard when one side is a
+    * small row-local dim — the dim materializes once on the initiator
+    * (exactly what a server's GLOBAL JOIN does,
+    * distributed_product_mode='global') and ships inline in each shard's
+    * statement, so the FACT side never leaves its shards. Correctness of
+    * the per-shard union: the fact side distributes (row-local or
+    * key-local) and the dim is COMPLETE on every shard, so
+    * union_i(fact_i ⋈ dim) = fact ⋈ dim for every fact-preserving join
+    * type; dim-preserving types (RightOuter with dim right, FullOuter)
+    * would duplicate unmatched dim rows per shard and never take this
+    * path. Bounded: the dim's plan stats must fit the broadcast
+    * threshold, a count probe (summed across shards — scalar probes
+    * return one row per shard) must fit [[GlobalDimRowCap]], and every
+    * value must render as a ClickHouse literal; otherwise the join stays
+    * in Spark.
+    */
+  private def rewriteGlobalJoin(j: Join): Option[LogicalPlan] = {
+    val leaves = j.collectLeaves()
+    val scans = leaves.collect {
+      case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s
+    }
+    if (scans.length != leaves.length || leaves.isEmpty) return None
+    if (scans.map(_.chClient.connectionKey).distinct.length != 1) return None
+    val client = scans.head.chClient
+    if (client.singleExecutionDomain) return None // plain collapse territory
+    val cond = j.condition.getOrElse(return None)
+    // candidate (fact, dim) orientations: the dim must be on the
+    // non-preserved side and row-local (its subquery unions whole across
+    // shards when materialized); the fact side must itself distribute
+    def factDistributes(p: LogicalPlan): Boolean = {
+      val fScans = p.collectLeaves().collect {
+        case DataSourceV2ScanRelation(_, s: ChScan, _, _, _) => s }
+      rowLocal(p) || shardKeyLocal(p, fScans)
+    }
+    val candidates: Seq[(LogicalPlan, LogicalPlan, String, Boolean)] =
+      j.joinType match {
+        case Inner => Seq(
+          (j.left, j.right, "JOIN", false), (j.right, j.left, "JOIN", true))
+        case LeftOuter => Seq((j.left, j.right, "LEFT JOIN", false))
+        case LeftSemi => Seq((j.left, j.right, "LEFT SEMI JOIN", false))
+        case LeftAnti => Seq((j.left, j.right, "LEFT ANTI JOIN", false))
+        case RightOuter => Seq((j.right, j.left, "RIGHT JOIN", true))
+        case _ => Seq.empty
+      }
+    // unit-aware typed accessor ("10MB" parses); <= 0 disables GLOBAL
+    // exactly like it disables Spark's own broadcasts
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    candidates.view.flatMap { case (fact, dim, kw, dimIsLeft) =>
+      if (!rowLocal(dim) || !factDistributes(fact)) None
+      else if (threshold <= 0 || dim.stats.sizeInBytes > threshold) None
+      else for {
+        uFact <- ChPlanUnparser.unparse(fact)
+        uDim <- ChPlanUnparser.unparse(dim)
+        dimCols = dim.output.map(a => uDim.scope(a.exprId))
+        if dim.output.nonEmpty
+        dimSql = s"SELECT ${dimCols.mkString(", ")} FROM (${uDim.sql}) AS gdim"
+        // count probe: one row PER SHARD — fold with a sum
+        n = client.query(s"SELECT count(*) AS n FROM ($dimSql) AS gcnt", 1)
+          ._2.flatten.map(r => r.getLong(0)).sum
+        if n > 0 && n <= GlobalDimRowCap
+        rows = client.query(dimSql, 1)._2.flatten
+        inline <- inlineDimTable(dim.output, rows)
+        dimScope = dim.output.map(a =>
+          a.exprId -> ChPlanUnparser.aliasOf(a.exprId)).toMap
+        scope = uFact.scope ++ dimScope
+        on <- ChExprUnparser.compile(cond, scope)
+        outScope = j.joinType match {
+          case LeftSemi | LeftAnti => uFact.scope
+          case _ => scope
+        }
+        outCols = j.output.flatMap(a => outScope.get(a.exprId))
+        if outCols.length == j.output.length
+      } yield {
+        val sel = if (outCols.isEmpty) "1 AS __one" else outCols.mkString(", ")
+        val (lhs, rhs) =
+          if (dimIsLeft) (s"($inline) AS gL", s"(${uFact.sql}) AS gR")
+          else (s"(${uFact.sql}) AS gL", s"($inline) AS gR")
+        val sql = s"SELECT $sel FROM $lhs $kw $rhs ON $on"
+        buildRemote(j, ChPlanUnparser.Unparsed(sql,
+          j.output.map(a => a.exprId -> outScope(a.exprId)).toMap), "")
+      }
+    }.headOption.flatten
+  }
+
+  /** Render materialized dim rows as an inline UNION ALL literal table
+    * whose first row CASTs every column to its declared ClickHouse type
+    * (so NULLs and empty-ish branches type correctly on both transports)
+    * and aliases the exprId-derived column names the join scope uses.
+    * None when any value has no ClickHouse literal rendering.
+    */
+  private def inlineDimTable(
+      output: Seq[Attribute], rows: Seq[org.apache.spark.sql.Row]): Option[String] = {
+    val rendered = rows.map { r =>
+      val lits = output.indices.map(i => graft.sql.ChSql.literal(r.get(i)))
+      if (lits.exists(_.isEmpty)) return None
+      lits.flatten
+    }
+    if (rendered.isEmpty) return None
+    val first = rendered.head.zip(output).map { case (lit, a) =>
+      s"CAST($lit AS ${graft.types.ClickHouseType.render(a.dataType, nullable = true)})" +
+        s" AS ${ChPlanUnparser.aliasOf(a.exprId)}"
+    }
+    val rest = rendered.tail.map(ls => s"SELECT ${ls.mkString(", ")}")
+    Some((s"SELECT ${first.mkString(", ")}" +: rest).mkString(" UNION ALL "))
   }
 
   /** Collapse `child` with a remote ORDER BY + LIMIT appended. */

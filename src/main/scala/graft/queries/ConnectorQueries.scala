@@ -1967,6 +1967,56 @@ object ConnectorQueries {
           |    AS med_low,
           |  medianExact(toInt64(round(`o_totalprice` * 100))) AS med_exact
           |FROM `main`.`orders` GROUP BY `o_orderpriority`""".stripMargin)
+    },
+
+    // r61: GLOBAL-broadcast dim join on a sharded catalog (VERDICT r11
+    // item 5) — customer is sharded round-robin (no routing key), nation
+    // is a small dim split across shards; the non-co-located join
+    // collapses per shard with the FULL dim inlined in each shard's
+    // statement (distributed_product_mode='global' client-side), so the
+    // fact side never leaves its shards. GatePlanSpec pins the shape;
+    // ShardedClientSpec pins fact x fact staying in Spark.
+    q("r61_sharded_global_join",
+      """SELECT n_name AS nname, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val cat = s"chglob_$tag" // per-sfdir name: CatalogManager caches instances
+      val roots = s"/root/repo/target/chglob0_$tag,/root/repo/target/chglob1_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", roots)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+      ensureStore(s, dir, Seq(
+        (s"$cat.main.cust_gl", Seq("nkey", "bal"),
+          () => s.table("customer").select(col("c_nationkey").as("nkey"),
+            col("c_acctbal").cast("decimal(18,2)").as("bal"))),
+        (s"$cat.main.nat_gl", Seq("nk", "nname"),
+          () => s.table("nation").select(col("n_nationkey").as("nk"),
+            col("n_name").as("nname"))))) {
+        s.sql(
+          s"""CREATE TABLE $cat.main.cust_gl (nkey INT, bal DECIMAL(18,2))
+             |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'nkey')""".stripMargin)
+        s.sql(
+          s"""INSERT INTO $cat.main.cust_gl
+             |SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2))
+             |FROM customer""".stripMargin)
+        s.sql(
+          s"""CREATE TABLE $cat.main.nat_gl (nk INT, nname STRING)
+             |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'nk')""".stripMargin)
+        s.sql(
+          s"""INSERT INTO $cat.main.nat_gl
+             |SELECT n_nationkey, n_name FROM nation""".stripMargin)
+      }
+      val c = s.table(s"$cat.main.cust_gl")
+      val n = s.table(s"$cat.main.nat_gl")
+      // exact integer CENTS above the join (render-lint rule)
+      c.join(n, col("nkey") === col("nk"))
+        .groupBy("nname")
+        .agg(count(lit(1)).as("n"), sum(col("bal")).as("bal0"))
+        .select(col("nname"), col("n"),
+          (col("bal0") * 100).cast("bigint").as("bal"))
     }
   )
 }

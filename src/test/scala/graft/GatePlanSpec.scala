@@ -138,6 +138,22 @@ class GatePlanSpec extends AnyFunSuite {
       s"collapsed as-of must be exchange-free:\n${all.head}")
   }
 
+  test("r61 sharded GLOBAL dim join collapses per shard with the dim " +
+    "INLINED: no Spark-side join, fact rows never leave their shards") {
+    val df: DataFrame = SparkEntry.queries("r61_sharded_global_join")(spark, sfDir)
+    assert(df.count() > 0)
+    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
+    val remotes = all.collect { case r: graft.pushdown.ClickHouseRemoteExec => r }
+    assert(remotes.size == 1, s"one remote exec:\n${all.head}")
+    assert(remotes.head.sql.contains(" JOIN ") &&
+      remotes.head.sql.contains("UNION ALL"),
+      s"the GLOBAL shape inlines the dim into the per-shard join: " +
+        remotes.head.sql.take(400))
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"the join must run in the store:\n${all.head}")
+  }
+
   test("r53 raw-SQL passthrough plans as ONE remote exec: the statement " +
     "executes in the store, Spark only streams and sorts") {
     val df: DataFrame = SparkEntry.queries("r53_raw_sql")(spark, sfDir)

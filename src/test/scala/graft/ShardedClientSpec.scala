@@ -264,24 +264,64 @@ class ShardedClientSpec extends AnyFunSuite {
     assert(i.collect().map(_.getLong(0)).sorted.toSeq == (100L to 120L))
   }
 
-  test("a join on a NON-routing column does not collapse: the passthrough " +
-    "hoists into the shard-local side and Spark runs the join") {
+  test("a small-dim join on a NON-routing column collapses as a GLOBAL " +
+    "broadcast (dim inlined per shard — cross-shard pairs PRESERVED); " +
+    "with broadcasts disabled it stays in Spark") {
     seed()
     import graft.chfunctions._
     val ev = spark.table("chshard.main.sh_events").as("e")
     val dm = spark.table("chshard.main.sh_events").as("d")
-    // cat = cat matches across shards — collapsing per shard would LOSE
-    // cross-shard pairs; count proves the join ran over the union
+    // cat = cat matches across shards — a naive per-shard collapse would
+    // LOSE cross-shard pairs; the GLOBAL shape inlines the full dim in
+    // every shard's statement, so the count over 5 cats x 40 rows each
+    // (squared per cat) proves no pair was lost
     val j = ev.join(dm, col("e.cat") === col("d.cat"))
       .select(col("e.k"), clickhouse_fn("upper", Seq(col("d.cat")), "String").as("u"))
     val all = PlanAsserts.flatten(j.queryExecution.executedPlan)
-    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
-      s"non-key join must stay in Spark:\n${all.head}")
-    assert(j.count() == 5 * 40L * 40L) // 5 cats x 40 rows each, squared per cat
+    val remotes = all.collect { case r: graft.pushdown.ClickHouseRemoteExec => r }
+    assert(remotes.nonEmpty && remotes.head.sql.contains("UNION ALL"),
+      s"GLOBAL collapse must inline the dim:\n${all.head}")
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"GLOBAL collapse leaves no Spark join:\n${all.head}")
+    assert(j.count() == 5 * 40L * 40L)
+    // the off-switch: autoBroadcastJoinThreshold <= 0 disables GLOBAL
+    // exactly like Spark's own broadcasts — the join stays in Spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j2 = ev.join(dm, col("e.cat") === col("d.cat"))
+        .select(col("e.k"), clickhouse_fn("upper", Seq(col("d.cat")), "String").as("u"))
+      val all2 = PlanAsserts.flatten(j2.queryExecution.executedPlan)
+      assert(all2.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+        s"disabled broadcasts must keep the join in Spark:\n${all2.head}")
+      assert(j2.count() == 5 * 40L * 40L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("a cross-TYPE key equality does not collapse: the placement hash " +
-    "is the JVM value hash, so Int-vs-Long equality proves nothing") {
+  test("fact x fact on a non-routing column stays in Spark: neither side " +
+    "fits the broadcast threshold, so no GLOBAL collapse") {
+    seed(); seedOrders()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // shrink the threshold below either table's stats: both sides are
+      // facts now, and shipping one per shard would be the 100 TB
+      // catastrophe the cap exists to prevent
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      val ev = spark.table("chshard.main.sh_events").as("e")
+      val or2 = spark.table("chshard.main.sh_orders").as("o")
+      val j = ev.join(or2, col("e.cat") === concat(lit("c"), (col("o.amt") % 5)))
+        .select(col("e.k"), col("o.amt"))
+      val all = PlanAsserts.flatten(j.queryExecution.executedPlan)
+      assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+        s"fact x fact must stay in Spark:\n${all.head}")
+      assert(!all.collect { case r: graft.pushdown.ClickHouseRemoteExec => r }
+        .exists(_.sql.contains("UNION ALL")), "no inline dim may ship")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("a cross-TYPE key equality never takes the CO-LOCATED collapse: " +
+    "the placement hash is the JVM value hash, so Int-vs-Long equality " +
+    "proves nothing — only the placement-free GLOBAL broadcast may fire") {
     seed()
     if (!new EmbeddedClickHouse(rootA).tableExists("main", "sh_dim_int")) {
       // same key VALUES but a 32-bit column: routed by Integer.hashCode
@@ -295,12 +335,29 @@ class ShardedClientSpec extends AnyFunSuite {
     import graft.chfunctions._
     val l = spark.table("chshard.main.sh_events").as("l")
     val r2 = spark.table("chshard.main.sh_dim_int").as("r")
-    val j = l.join(r2, col("l.k") === col("r.k").cast("bigint"))
-      .select(col("l.k"), clickhouse_fn("upper", Seq(col("r.tag")), "String").as("u"))
-    val all = PlanAsserts.flatten(j.queryExecution.executedPlan)
-    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
-      s"cross-type key join must stay in Spark:\n${all.head}")
+    def shape() = {
+      val j = l.join(r2, col("l.k") === col("r.k").cast("bigint"))
+        .select(col("l.k"), clickhouse_fn("upper", Seq(col("r.tag")), "String").as("u"))
+      (j, PlanAsserts.flatten(j.queryExecution.executedPlan))
+    }
+    val (j, all) = shape()
+    // co-located collapse would be a single remote join WITHOUT an inline
+    // dim; GLOBAL (placement-free, hence legal) inlines the dim rows
+    all.collect { case r: graft.pushdown.ClickHouseRemoteExec => r }.foreach { r =>
+      if (r.sql.toUpperCase.contains(" JOIN "))
+        assert(r.sql.contains("UNION ALL"),
+          s"a collapsed cross-type join must be the GLOBAL shape: ${r.sql}")
+    }
     assert(j.count() == 200)
+    // with broadcasts off, nothing may collapse the join at all
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (j2, all2) = shape()
+      assert(all2.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+        s"cross-type key join must stay in Spark without broadcasts:\n${all2.head}")
+      assert(j2.count() == 200)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("two catalogs over the SAME roots with different shard_by never " +
