@@ -360,13 +360,13 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     // documented use); Summing collapse happens on ANY merge — a plain
     // OPTIMIZE of a SummingMergeTree table already sums the key groups
     // AggregatingMergeTree likewise combines state columns on ANY
-    // merge; VersionedCollapsing cancels sign pairs on any merge too.
-    // Plain CollapsingMergeTree is NOT here: its collapse depends on
-    // insertion order (rewriteFinal rejects it), and an uncollapsed
-    // consolidation is a legal between-merges server state.
+    // merge; VersionedCollapsing cancels sign pairs on any merge too,
+    // and (since round 12) so does plain CollapsingMergeTree — its
+    // insertion-order collapse reads the part-sequence view.
+    val collapsing = engine.startsWith("CollapsingMergeTree")
     val summing = engine.startsWith("SummingMergeTree") ||
       engine.startsWith("AggregatingMergeTree") ||
-      engine.startsWith("VersionedCollapsingMergeTree")
+      engine.startsWith("VersionedCollapsingMergeTree") || collapsing
     val src =
       if ((finalize && replacing) || summing)
         rewriteFinal(s"SELECT * FROM $qt FINAL")
@@ -380,8 +380,25 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       df.where(s"NOT coalesce(($te) <= now(), false)")
     }
     // one part out: coalesce(1) is the merge — at embedded scale one
-    // file per table is exactly what a finished merge tree looks like
-    rewritePartsDf(db, table, merged.coalesce(1))
+    // file per table is exactly what a finished merge tree looks like.
+    // Collapsing keeps a defined ROW ORDER in the merged part (the next
+    // collapse is order-dependent): within each key at most one cancel
+    // and one state survive, and the cancel always precedes the state in
+    // insert order, so (keys..., sign ASC) reproduces it exactly.
+    val one = merged.coalesce(1)
+    val ordered =
+      if (!collapsing) one
+      else {
+        val signCol = "CollapsingMergeTree\\(\\s*([^)\\s]+)\\s*\\)".r
+          .findFirstMatchIn(engine).map(_.group(1)).getOrElse(
+            throw new IllegalArgumentException(
+              s"OPTIMIZE $db.$table: CollapsingMergeTree needs (sign_column)"))
+        val keys = opts.getOrElse("order_by", "").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        one.sortWithinPartitions(
+          (keys :+ signCol).map(org.apache.spark.sql.functions.col): _*)
+      }
+    rewritePartsDf(db, table, ordered)
   }
 
   /** Partition attach as a part-file clone: the embedded analog of the
@@ -406,9 +423,11 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         s"ATTACH PARTITION FROM: $k differs between $db.$table and " +
           s"$srcDb.$srcTable (server same-key rule)")
     val dstDir = tablePath(db, table)
+    // attached clones get fresh insert sequences in SOURCE part order, so
+    // order-dependent collapses remain defined across an ATTACH
     dataFiles(srcDb, srcTable).zipWithIndex.foreach { case (f, i) =>
       val target = dstDir.resolve(
-        s"attach-${java.util.UUID.randomUUID.toString.take(8)}-$i.parquet")
+        f"part-${ParquetBlockWriter.nextPartSeq()}%016x-attach-$i.parquet")
       Files.copy(Paths.get(f), target)
     }
     invalidate()
@@ -834,7 +853,61 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
           entry.viewVersions.put((db, t), java.lang.Long.valueOf(v))
         }
       }
+      // sequence-bearing view (order-dependent collapses): registered
+      // only when a rewrite referenced it, versioned like any view
+      if (EmbeddedClickHouse.referencesView(
+        translatedSql, EmbeddedClickHouse.seqViewName(db, t))) {
+        val key = (db, t + " seq")
+        val reg = entry.viewVersions.get(key)
+        if (reg == null || reg.longValue != v) {
+          registerSeqView(entry.session, db, t)
+          entry.viewVersions.put(key, java.lang.Long.valueOf(v))
+        }
+      }
     }
+  }
+
+  /** Register the table's rows EXTENDED with a per-row insert sequence
+    * `__ch_seq` (part insert order × row position within the part) under
+    * [[EmbeddedClickHouse.seqViewName]] — what order-dependent collapses
+    * (CollapsingMergeTree) read. Every part carries its sequence in its
+    * file name (ParquetBlockWriter / commitStagedFire / attach); a part
+    * without one predates sequence tracking and rejects loudly.
+    */
+  private def registerSeqView(child: SparkSession, db: String, t: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (_, _, ext) = readMeta(db, t)
+    require(ext.isEmpty,
+      s"$db.$t: attached external parquet carries no insert sequence — " +
+        "order-dependent collapses need store-owned parts")
+    val files = dataFiles(db, t)
+    val schema = sparkSchema(db, t)
+    val df =
+      if (files.isEmpty) {
+        val s2 = org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("__ch_seq",
+            org.apache.spark.sql.types.LongType, nullable = false))
+        child.createDataFrame(java.util.Collections.emptyList[Row](), s2)
+      } else {
+        val withSeq = files.map { f =>
+          val n = Paths.get(f).getFileName.toString
+          val seq = EmbeddedClickHouse.partSeqOf(n).getOrElse(
+            throw new IllegalArgumentException(
+              s"$db.$t: part $n carries no insert sequence (written before " +
+                "sequence tracking) — OPTIMIZE TABLE rewrites it with one"))
+          (f, seq)
+        }
+        // ordinal over seq-sorted parts × parquet row position: dense,
+        // overflow-free (seq values are wall-clock micros — shifting THEM
+        // would overflow Long)
+        withSeq.sortBy(_._2).zipWithIndex.map { case ((f, _), i) =>
+          child.read.schema(schema).parquet(f)
+            .select(col("*"),
+              (lit(i.toLong * (1L << 40)) + col("_metadata.row_index"))
+                .as("__ch_seq"))
+        }.reduce(_ union _)
+      }
+    df.createOrReplaceTempView(EmbeddedClickHouse.seqViewName(db, t))
   }
 
   private def registerView(child: SparkSession, db: String, t: String): Unit = {
@@ -1062,11 +1135,49 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
               groupCols.map(k => s"`$k`").mkString(", ") +
               s" HAVING sum(`$signCol`) <> 0) AS `$t`")
         case e if e.startsWith("CollapsingMergeTree") =>
-          throw new IllegalArgumentException(
-            s"FINAL on $db.$t: CollapsingMergeTree collapse depends on " +
-              "INSERTION ORDER, which the embedded parts do not track — " +
-              "use VersionedCollapsingMergeTree(sign, version) for a " +
-              "deterministic collapse")
+          // Insertion-order collapse over the sequence view (every part
+          // carries its insert sequence in its name since round 12). Per
+          // sorting-key group, in insertion order — the server's
+          // documented algorithm: net sum(sign) = 0 with a trailing
+          // cancel → nothing survives; net 0 with a trailing state →
+          // first cancel AND last state survive (the state row arrived
+          // after its own history collapsed); net +1 → last state;
+          // net -1 → first cancel; |net| >= 2 is the server's "logical
+          // error" (it logs and gives no guarantee) — here it raises
+          // loudly instead of answering unpredictably.
+          val CcRe = "CollapsingMergeTree\\(\\s*([^)\\s]+)\\s*\\)".r
+          val signCol = CcRe.findFirstMatchIn(e) match {
+            case Some(m) => m.group(1)
+            case None => throw new IllegalArgumentException(
+              s"FINAL on $db.$t: CollapsingMergeTree needs (sign_column)")
+          }
+          require(cols.exists(_._1 == signCol),
+            s"FINAL on $db.$t: sign column '$signCol' not in table columns")
+          val keys = orderKeys
+          keys.foreach(k => require(cols.exists(_._1 == k),
+            s"FINAL on $db.$t: sorting key '$k' not in table columns"))
+          val kl = keys.map(k => s"`$k`").mkString(", ")
+          val colList = cols.map { case (c, _) => s"`$c`" }.mkString(", ")
+          val sq = s"`$signCol`"
+          java.util.regex.Matcher.quoteReplacement(
+            s"FROM (SELECT $colList FROM (SELECT *, " +
+              s"sum($sq) OVER (PARTITION BY $kl) AS __cf_net, " +
+              s"max(CASE WHEN $sq = 1 THEN __ch_seq END) OVER (PARTITION BY $kl) AS __cf_ls, " +
+              s"min(CASE WHEN $sq = -1 THEN __ch_seq END) OVER (PARTITION BY $kl) AS __cf_fc, " +
+              s"max(__ch_seq) OVER (PARTITION BY $kl) AS __cf_mx " +
+              s"FROM ${EmbeddedClickHouse.seqViewName(db, t)}) AS __cf_in " +
+              "WHERE CASE " +
+              "WHEN abs(__cf_net) > 1 THEN CAST(raise_error(" +
+              s"'CollapsingMergeTree collapse on $db.$t: a sorting-key " +
+              "group nets |sum(sign)| >= 2 — malformed state/cancel " +
+              "sequence (the server calls this a logical error and gives " +
+              "no guarantee); repair the writer') AS BOOLEAN) " +
+              s"WHEN __cf_net = 1 THEN $sq = 1 AND __ch_seq = __cf_ls " +
+              s"WHEN __cf_net = -1 THEN $sq = -1 AND __ch_seq = __cf_fc " +
+              "WHEN __cf_ls IS NOT NULL AND __cf_ls = __cf_mx THEN " +
+              s"($sq = 1 AND __ch_seq = __cf_ls) OR " +
+              s"($sq = -1 AND __ch_seq = __cf_fc) " +
+              s"ELSE false END) AS `$t`")
         case e if e.startsWith("AggregatingMergeTree") =>
           // AggregatingMergeTree: rows sharing the sorting key collapse
           // by MERGING each AggregateFunction column per its function
@@ -1571,7 +1682,18 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       // same-filesystem renames: each part becomes visible atomically, and
       // a re-driven commit of the same staging id is a no-op (dir empty)
       val landed = parts.map { p =>
-        val t = tablePath(db, table).resolve(p.getFileName)
+        // parts without an insert sequence in their name (Spark-written
+        // mutation/copy outputs, part-00000-...) get one at publish, in
+        // staged-name order — so EVERY visible part carries its sequence
+        // and order-dependent collapses stay defined after rewrites
+        // (staged names part-00000 < part-00001 follow partition index,
+        // which follows seq-sorted input file order for narrow rewrites)
+        val name = p.getFileName.toString
+        val outName =
+          if (EmbeddedClickHouse.partSeqOf(name).isDefined) name
+          else f"part-${ParquetBlockWriter.nextPartSeq()}%016x-" +
+            name.stripPrefix("part-")
+        val t = tablePath(db, table).resolve(outName)
         Files.move(p, t, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         t
       }
@@ -1776,6 +1898,17 @@ object EmbeddedClickHouse {
 
   /** Any mutation of the store (DDL, insert, attach) must call this. */
   def invalidate(root: String): Unit = storeVersion(root).incrementAndGet()
+
+  // part-name insert sequence (ParquetBlockWriter naming): 16 fixed hex
+  // digits right after the part- prefix
+  private val PartSeq = "^part-([0-9a-f]{16})-".r
+
+  private[client] def partSeqOf(name: String): Option[Long] =
+    PartSeq.findFirstMatchIn(name)
+      .map(m => java.lang.Long.parseUnsignedLong(m.group(1), 16))
+
+  private[client] def seqViewName(db: String, table: String): String =
+    s"__ch_seqv_${db}_$table"
 
   // per-root JVM monitor for EXCHANGE TABLES: FileChannel.lock throws on
   // same-JVM contention, so threads serialize here before taking the OS lock

@@ -25,6 +25,19 @@ import org.apache.spark.sql.types.StructType
   */
 object ParquetBlockWriter {
 
+  // Monotonic per-part insert sequence, embedded in the part FILE NAME
+  // (`part-<%016x seq>-<uuid>.parquet`, hex fixed-width so lexicographic
+  // file order IS insertion order): the embedded analog of the server's
+  // monotonically-assigned block numbers. Seeded from wall-clock
+  // microseconds so sequences stay monotonic across process restarts;
+  // the max() guard keeps same-millisecond bursts strictly increasing.
+  // CollapsingMergeTree's order-dependent collapse reads this back
+  // (EmbeddedClickHouse.partSeqOf).
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def nextPartSeq(): Long = seqCounter.updateAndGet(prev =>
+    math.max(prev + 1, System.currentTimeMillis() * 1000L))
+
   private final class Builder(path: org.apache.hadoop.fs.Path)
     extends ParquetWriter.Builder[org.apache.spark.sql.catalyst.InternalRow, Builder](path) {
     override def self(): Builder = this
@@ -77,7 +90,8 @@ object ParquetBlockWriter {
         .build()
       try rows.foreach(r => w.write(ser(r)))
       finally w.close()
-      val target = targetDir.resolve(s"part-${java.util.UUID.randomUUID}.parquet")
+      val target = targetDir.resolve(
+        f"part-${nextPartSeq()}%016x-${java.util.UUID.randomUUID}.parquet")
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       (rows.length.toLong, target)
     } finally {

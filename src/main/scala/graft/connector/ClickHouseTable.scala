@@ -323,11 +323,13 @@ class ChScanBuilder(
     val finalRead = Option(scanOptions.get("final")).exists(_.toBoolean)
     if (finalRead) {
       val engine = client.fetchTableOptions(db, table).getOrElse("engine", "")
-      require(engine.startsWith("ReplacingMergeTree") ||
-        engine.startsWith("SummingMergeTree"),
-        s"final=true requires a ReplacingMergeTree or SummingMergeTree " +
-          s"engine, $db.$table is '$engine' (FINAL has no effect on " +
-          "append-only engines — rejected rather than silently inert)")
+      require(Seq("ReplacingMergeTree", "SummingMergeTree",
+        "AggregatingMergeTree", "VersionedCollapsingMergeTree",
+        "CollapsingMergeTree").exists(engine.startsWith),
+        s"final=true requires a merge-collapsing engine (Replacing/" +
+          s"Summing/Aggregating/[Versioned]Collapsing MergeTree), " +
+          s"$db.$table is '$engine' (FINAL has no effect on append-only " +
+          "engines — rejected rather than silently inert)")
       require(sample.isEmpty,
         "final=true cannot combine with a pushed TABLESAMPLE")
       require(client.finalReadExact(db, table),

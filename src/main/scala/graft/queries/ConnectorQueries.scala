@@ -2017,6 +2017,59 @@ object ConnectorQueries {
         .agg(count(lit(1)).as("n"), sum(col("bal")).as("bal0"))
         .select(col("nname"), col("n"),
           (col("bal0") * 100).cast("bigint").as("bal"))
+    },
+
+    // r62: plain CollapsingMergeTree(sign) FINAL — the insertion-order
+    // collapse unlocked by part-sequence tracking (round 12; previously
+    // honored-or-rejected). The canonical upsert/delete writer protocol
+    // over orders: every order starts as a state row, every 3rd gets a
+    // cancel+updated-state pair, every 7th a trailing cancel (delete);
+    // FINAL must read back exactly the survivor set the oracle computes
+    // arithmetically. Statement-ordered inserts make the sequence
+    // deterministic (each stage lands strictly after the previous one).
+    q("r62_collapsing_final",
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN cents * 2 ELSE cents END AS cents
+        |FROM (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS cents FROM orders)
+        |WHERE o_orderkey % 7 <> 0""".stripMargin) { (s, dir) =>
+      def stage(n: Int) = s"""
+        |SELECT o_orderkey, CAST(${if (n == 2) -1 else 1} AS TINYINT),
+        |  CAST(round(o_totalprice * 100) AS BIGINT) ${if (n == 3) "* 2" else ""}
+        |FROM orders ${Seq("", "", " WHERE o_orderkey % 3 = 0",
+          " WHERE o_orderkey % 3 = 0", "")(n)}""".stripMargin
+      ensureStore(s, dir, Seq(("clickhouse.main.cc_ord",
+        Seq("k", "sign", "cents"), () => {
+          val base = s.table("orders").select(
+            col("o_orderkey").as("k"),
+            round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+          val st1 = base.select(col("k"), lit(1).cast("tinyint").as("sign"), col("cents"))
+          val upd = base.filter(col("k") % 3 === 0)
+          val del = base.filter(col("k") % 7 === 0)
+          st1.unionByName(upd.select(col("k"), lit(-1).cast("tinyint").as("sign"), col("cents")))
+            .unionByName(upd.select(col("k"), lit(1).cast("tinyint").as("sign"),
+              (col("cents") * 2).as("cents")))
+            .unionByName(del.select(col("k"), lit(-1).cast("tinyint").as("sign"),
+              when(col("k") % 3 === 0, col("cents") * 2)
+                .otherwise(col("cents")).as("cents")))
+        }))) {
+        s.sql(
+          """CREATE TABLE clickhouse.main.cc_ord
+            |(k BIGINT, sign TINYINT, cents BIGINT)
+            |TBLPROPERTIES ('engine' = 'CollapsingMergeTree(sign)',
+            |  'order_by' = 'k')""".stripMargin)
+        s.sql("INSERT INTO clickhouse.main.cc_ord" + stage(1)) // states
+        s.sql("INSERT INTO clickhouse.main.cc_ord" + stage(2)) // cancels
+        s.sql("INSERT INTO clickhouse.main.cc_ord" + stage(3)) // updates
+        s.sql( // deletes: cancel the CURRENT state of every 7th key
+          """INSERT INTO clickhouse.main.cc_ord
+            |SELECT o_orderkey, CAST(-1 AS TINYINT),
+            |  CAST(round(o_totalprice * 100) AS BIGINT) *
+            |    (CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END)
+            |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin)
+      }
+      s.read.option("final", "true").table("clickhouse.main.cc_ord")
+        .select(col("k"), col("cents"))
     }
   )
 }

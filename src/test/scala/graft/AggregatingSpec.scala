@@ -240,8 +240,7 @@ class AggregatingSpec extends AnyFunSuite {
   }
 
   test("VersionedCollapsingMergeTree: FINAL cancels +1/-1 pairs per " +
-    "(key, version), OPTIMIZE materializes; plain CollapsingMergeTree " +
-    "rejects (insertion-order dependent)") {
+    "(key, version), OPTIMIZE materializes") {
     import org.apache.spark.sql.Row
     n += 1
     val t = s"vc_$n"
@@ -264,14 +263,102 @@ class AggregatingSpec extends AnyFunSuite {
     // OPTIMIZE materializes the collapse (merge-time behavior)
     client.optimizeTable("main", t, finalize = false)
     assert(spark.table(s"chagg.main.$t").count() == 2)
-    // plain Collapsing: order-dependent — honored-or-rejected
+  }
+
+  test("CollapsingMergeTree(sign): insertion-order collapse via the " +
+    "part-sequence view — net +1 keeps the LAST state, net -1 the FIRST " +
+    "cancel, net 0 keeps first-cancel+last-state only when the group " +
+    "ends in a state; OPTIMIZE materializes; malformed groups raise") {
+    import org.apache.spark.sql.Row
     n += 1
-    client.createTable("main", s"cc_$n", Seq(
-      "id" -> "Int64", "sign" -> "Int8"),
+    val t = s"cc_$n"
+    client.createTable("main", t, Seq(
+      "id" -> "Int64", "sign" -> "Int8", "v" -> "Int64"),
       Map("engine" -> "CollapsingMergeTree(sign)", "order_by" -> "id"))
+    val sch = client.sparkSchema("main", t)
+    def fin() = ch.chSql(
+      s"SELECT `id`, `sign`, `v` FROM `main`.`$t` FINAL ORDER BY `id`, `sign`")
+      .collect().map(r => (r.getLong(0), r.getByte(1).toInt, r.getLong(2))).toSeq
+    // key 1: state then (cancel, new state) ACROSS parts → last state wins
+    client.insert("main", t, sch, Seq(Row(1L, 1.toByte, 10L)))
+    client.insert("main", t, sch, Seq(
+      Row(1L, (-1).toByte, 10L), Row(1L, 1.toByte, 20L)))
+    // key 2: equal counts ending in a CANCEL → nothing survives
+    client.insert("main", t, sch, Seq(
+      Row(2L, 1.toByte, 7L), Row(2L, (-1).toByte, 7L)))
+    // key 3: equal counts ending in a STATE (cancel of a pre-collapsed
+    // row, then its replacement) → first cancel AND last state survive
+    client.insert("main", t, sch, Seq(
+      Row(3L, (-1).toByte, 5L), Row(3L, 1.toByte, 6L)))
+    // key 4: lone cancel (net -1) → the first cancel survives
+    client.insert("main", t, sch, Seq(Row(4L, (-1).toByte, 9L)))
+    assert(fin() == Seq(
+      (1L, 1, 20L), (3L, -1, 5L), (3L, 1, 6L), (4L, -1, 9L)), fin().toString)
+    // OPTIMIZE materializes the same collapse and keeps order defined:
+    // a later cancel of key 1's surviving state still collapses
+    client.optimizeTable("main", t, finalize = false)
+    assert(spark.table(s"chagg.main.$t").count() == 4)
+    client.insert("main", t, sch, Seq(Row(1L, (-1).toByte, 20L)))
+    val after = fin()
+    assert(!after.exists(r => r._1 == 1L && r._2 == 1),
+      s"key 1's state must cancel after the merge: $after")
+    // malformed: two uncancelled states for one key → loud error, never
+    // an unpredictable answer (the server logs a logical error there)
+    n += 1
+    val bad = s"ccbad_$n"
+    client.createTable("main", bad, Seq("id" -> "Int64", "sign" -> "Int8"),
+      Map("engine" -> "CollapsingMergeTree(sign)", "order_by" -> "id"))
+    val bsch = client.sparkSchema("main", bad)
+    client.insert("main", bad, bsch, Seq(
+      Row(1L, 1.toByte), Row(1L, 1.toByte)))
     val e = intercept[Exception](
-      ch.chSql(s"SELECT * FROM `main`.`cc_$n` FINAL").collect())
-    assert(e.getMessage.contains("INSERTION ORDER"), e.getMessage)
+      ch.chSql(s"SELECT * FROM `main`.`$bad` FINAL").collect())
+    assert(e.getMessage.contains("logical error") ||
+      Option(e.getCause).exists(_.getMessage.contains("logical error")),
+      e.getMessage)
+  }
+
+  test("CollapsingMergeTree fuzz: the upsert/delete writer protocol over " +
+    "random block splits + interleaved OPTIMIZE always FINAL-reads to " +
+    "the shadow state") {
+    import org.apache.spark.sql.Row
+    for (seed <- 1 to 8) {
+      n += 1
+      val t = s"ccf_$n"
+      client.createTable("main", t, Seq(
+        "id" -> "Int64", "sign" -> "Int8", "v" -> "Int64"),
+        Map("engine" -> "CollapsingMergeTree(sign)", "order_by" -> "id"))
+      val sch = client.sparkSchema("main", t)
+      val rnd = new scala.util.Random(seed)
+      val shadow = scala.collection.mutable.Map.empty[Long, Long]
+      var pending = Vector.empty[Row]
+      def flush(): Unit = if (pending.nonEmpty) {
+        client.insert("main", t, sch, pending); pending = Vector.empty
+      }
+      for (_ <- 1 to 60) {
+        val k = rnd.nextInt(8).toLong
+        rnd.nextInt(4) match {
+          case 0 | 1 => // upsert: cancel old (if any) + new state
+            shadow.get(k).foreach(old =>
+              pending :+= Row(k, (-1).toByte, old))
+            val nv = rnd.nextInt(1000).toLong
+            pending :+= Row(k, 1.toByte, nv)
+            shadow(k) = nv
+          case 2 => // delete
+            shadow.remove(k).foreach(old =>
+              pending :+= Row(k, (-1).toByte, old))
+          case 3 => // block boundary, sometimes a merge
+            flush()
+            if (rnd.nextBoolean()) client.optimizeTable("main", t)
+        }
+      }
+      flush()
+      val got = ch.chSql(
+        s"SELECT `id`, `v` FROM `main`.`$t` FINAL")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == shadow.toMap, s"seed $seed: $got vs $shadow")
+      spark.sql(s"DROP TABLE chagg.main.$t")
+    }
   }
 
   test("FINAL on an engine without a merge rule still rejects; " +

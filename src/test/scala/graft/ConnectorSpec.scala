@@ -149,7 +149,7 @@ class ConnectorSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.read.option("final", "true").table("chconn.testdb.people").collect()
     }
-    assert(e.getMessage.contains("ReplacingMergeTree"), e.getMessage)
+    assert(e.getMessage.contains("merge-collapsing engine"), e.getMessage)
   }
 
   test("filter + projection + limit pushdown reach the generated SQL") {

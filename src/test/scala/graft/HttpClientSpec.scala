@@ -1190,7 +1190,7 @@ class HttpClientSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.read.option("final", "true").table("chhttp.main.events_http").collect()
     }
-    assert(e.getMessage.contains("ReplacingMergeTree"), e.getMessage)
+    assert(e.getMessage.contains("merge-collapsing engine"), e.getMessage)
     dynTables.remove("rep_http")
     ()
   }
