@@ -6,10 +6,23 @@ import org.apache.spark.sql.functions._
 
 /** Dev tool: measure LSH/IVF recall@5 vs brute force at a scale dir for
   * several operating points (sweep for the s03/s04 quality gates).
+  *
+  * Optional second arg SCALE (default 1) synthesizes a SCALE× corpus by
+  * unioning CYCLICALLY DIMENSION-SHIFTED copies (fresh vec_ids; a shift
+  * is an orthogonal transform, so each copy reproduces the base corpus's
+  * full cluster geometry while being pseudo-uncorrelated with every
+  * other copy — NOT near-duplicate jitter, which would make every
+  * probe's top-5 its own clones and read recall 1.0 vacuously). This is
+  * the probe that confirms the auto-k law (cells = ceil(sqrt(N)),
+  * nprobe = 0.75k) holds beyond the shipped testdata sizes before anyone
+  * trusts it at real scale (VERDICT r11 item 8). The exact baseline is
+  * recomputed over the scaled corpus with the same cosine/tie rules as
+  * SimilarityQueries.exactTop5.
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val scale = args.lift(1).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder().master("local[8]")
       .appName("recall-probe")
       .config("spark.sql.shuffle.partitions", "8")
@@ -19,12 +32,47 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
     Tables.register(spark, dir)
 
-    val e = spark.table("embeddings")
+    val e0 = spark.table("embeddings")
+    val scaled =
+      if (scale <= 1) e0
+      else {
+        val maxId = e0.agg(max("vec_id")).head.getLong(0) + 1
+        (0 until scale).map { c =>
+          if (c == 0) e0
+          else e0.select(
+            (col("vec_id") + lit(c * maxId)).as("vec_id"),
+            expr(s"transform(embedding, (x, i) -> element_at(embedding, " +
+              s"pmod(i + $c * 7, size(embedding)) + 1))").as("embedding"),
+            col("label"))
+        }.reduce(_ unionByName _)
+      }
+    val e = scaled
     val probes = e.filter(col("vec_id") < 100)
-    val corpus = e.repartition(8)
+    val corpus = e.repartition(math.max(8, 8 * scale)).cache()
 
-    // the gates' own baseline — shared so the sweep can't drift from s03/s04
-    val exact = graft.queries.SimilarityQueries.exactTop5(spark).cache()
+    // unscaled: the gates' own baseline — shared so the sweep can't drift
+    // from s03/s04; scaled: the same brute-force shape over the synthetic
+    // corpus
+    val exact = (
+      if (scale <= 1) graft.queries.SimilarityQueries.exactTop5(spark)
+      else {
+        val p = probes
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+          .withColumn("pn", graft.ops.vector.vec_norm_sq(col("pe")))
+        val n0 = corpus
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+          .withColumn("nn", graft.ops.vector.vec_norm_sq(col("ne")))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        broadcast(p).join(n0, col("probe_id") =!= col("neighbor_id"))
+          .select(col("probe_id"), col("neighbor_id"),
+            (graft.ops.vector.vec_dot(col("pe"), col("ne")) /
+              sqrt(col("pn") * col("nn"))).as("cos"))
+          .select(col("probe_id"), col("neighbor_id"),
+            row_number().over(w).as("rank"))
+          .filter(col("rank") <= 5)
+          .select("probe_id", "neighbor_id")
+      }).cache()
     val total = exact.count().toDouble
 
     def recall(ann: DataFrame): Double =
@@ -32,13 +80,19 @@ object RecallProbe {
         .count() / total
 
     val n = corpus.count()
-    println(s"corpus=$n autoCells=${graft.ops.AnnIvf.autoCells(n)}")
+    println(s"corpus=$n scale=$scale autoCells=${graft.ops.AnnIvf.autoCells(n)}")
     // legacy fixed point + the auto-scaled point at several nprobe
     // fractions — the sweep that pins the gates' operating points
-    for (cells <- Seq(16, graft.ops.AnnIvf.autoCells(n))) {
+    // (scaled runs probe only the auto-k law's own operating points)
+    val cellsSweep =
+      if (scale > 1) Seq(graft.ops.AnnIvf.autoCells(n))
+      else Seq(16, graft.ops.AnnIvf.autoCells(n))
+    val fracSweep =
+      if (scale > 1) Seq(0.5, 0.75) else Seq(0.25, 0.4, 0.5, 0.6, 0.75)
+    for (cells <- cellsSweep) {
       val idx = graft.ops.AnnIvf.buildIndex(corpus, "vec_id", "embedding",
         numCells = cells, trainSampleFraction = 0.5, maxIter = 10)
-      for (frac <- Seq(0.25, 0.4, 0.5, 0.6, 0.75)) {
+      for (frac <- fracSweep) {
         val nprobe = math.max(1, math.ceil(cells * frac).toInt)
         val r = recall(graft.ops.AnnIvf.annTopK(idx, probes, "vec_id", "embedding",
           k = 5, nprobe = nprobe))
