@@ -900,7 +900,9 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         // ordinal over seq-sorted parts × parquet row position: dense,
         // overflow-free (seq values are wall-clock micros — shifting THEM
         // would overflow Long)
-        withSeq.sortBy(_._2).zipWithIndex.map { case ((f, _), i) =>
+        // path tiebreak: two JVMs can mint the same wall-clock seq —
+        // the order is then arbitrary but must at least be DETERMINISTIC
+        withSeq.sortBy { case (f, seq) => (seq, f) }.zipWithIndex.map { case ((f, _), i) =>
           child.read.schema(schema).parquet(f)
             .select(col("*"),
               (lit(i.toLong * (1L << 40)) + col("_metadata.row_index"))

@@ -40,8 +40,11 @@ object ChInsertCount {
     * rows its insert commits recorded on this thread.
     */
   def captured(body: => Unit): Long = {
+    val prev = captureSlot.get() // nested captures restore the outer slot
     val c = new AtomicLong
     captureSlot.set(c)
-    try { body; c.get() } finally captureSlot.remove()
+    try { body; c.get() } finally {
+      if (prev == null) captureSlot.remove() else captureSlot.set(prev)
+    }
   }
 }

@@ -171,9 +171,14 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
         dimCols = dim.output.map(a => uDim.scope(a.exprId))
         if dim.output.nonEmpty
         dimSql = s"SELECT ${dimCols.mkString(", ")} FROM (${uDim.sql}) AS gdim"
-        // count probe: one row PER SHARD — fold with a sum
+        // count probe: one row PER SHARD — fold with a sum. Decode
+        // defensively: a wire transport types count() as UInt64, which
+        // lands as Decimal(20,0), not Long
         n = client.query(s"SELECT count(*) AS n FROM ($dimSql) AS gcnt", 1)
-          ._2.flatten.map(r => r.getLong(0)).sum
+          ._2.flatten.map(_.get(0) match {
+            case v: Number => v.longValue()
+            case other => other.toString.toLong
+          }).sum
         if n > 0 && n <= GlobalDimRowCap
         rows = client.query(dimSql, 1)._2.flatten
         inline <- inlineDimTable(dim.output, rows)
@@ -275,6 +280,10 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       val splitSafe = !suffix.contains(" LIMIT ") &&
         !child.exists {
           case _: GlobalLimit | _: LocalLimit => true
+          // ASOF tie picks are unspecified: two slice re-executions may
+          // resolve a tied (key, time) differently, so a sliced read
+          // could duplicate or lose the row whose payload changed
+          case _: ChAsOfJoin => true
           case p => p.expressions.exists(e => !e.deterministic)
         }
       val (splitBy, splitBuckets, slicedSql) =
