@@ -920,6 +920,25 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         val files = dataFiles(db, t)
         if (files.isEmpty)
           child.createDataFrame(java.util.Collections.emptyList[Row](), sparkSchema(db, t))
+        else if (readMeta(db, t)._2.getOrElse("engine", "")
+          .startsWith("CollapsingMergeTree"))
+          // insertion-ORDERED view: a multi-file parquet read bin-packs
+          // files by SIZE, which scrambles row order across parts — fatal
+          // for the one engine whose collapse is insertion-order-
+          // dependent. A union of per-file reads in sequence order keeps
+          // partition order = insertion order through every narrow plan,
+          // so mutation/ALTER rewrites republish rows in an order the
+          // next collapse can still trust (their staged part-0000N names
+          // follow partition index; publish stamps fresh seqs in that
+          // order). FINAL reads stay immune either way (explicit
+          // __ch_seq via the sequence view).
+          files.map { f =>
+            val seq = EmbeddedClickHouse.partSeqOf(
+              Paths.get(f).getFileName.toString).getOrElse(Long.MaxValue)
+            (f, seq)
+          }.sortBy { case (f, s) => (s, f) }
+            .map { case (f, _) => child.read.schema(sparkSchema(db, t)).parquet(f) }
+            .reduce(_ union _)
         else child.read.schema(sparkSchema(db, t)).parquet(files: _*)
       }
     df.createOrReplaceTempView(ChSqlTranslator.viewName(db, t))

@@ -576,6 +576,39 @@ class AlterTableSpec extends AnyFunSuite {
     } finally { p.close(); s.close() }
   }
 
+  test("ALTER on a CollapsingMergeTree table keeps the insertion-order " +
+    "collapse defined: the mutation's rewritten part re-stamps its " +
+    "sequence at publish and FINAL still collapses correctly") {
+    n += 1
+    val t = s"cc_alter_$n"
+    spark // embedded mutations need an active session (suite lazy init)
+    val client = new EmbeddedClickHouse(root)
+    client.createTable("main", t, Seq(
+      "id" -> "Int64", "sign" -> "Int8", "v" -> "Int64"),
+      Map("engine" -> "CollapsingMergeTree(sign)", "order_by" -> "id"))
+    val sch = client.sparkSchema("main", t)
+    import org.apache.spark.sql.Row
+    client.insert("main", t, sch, Seq(Row(1L, 1.toByte, 10L)))
+    client.insert("main", t, sch, Seq(
+      Row(1L, (-1).toByte, 10L), Row(1L, 1.toByte, 20L),
+      Row(2L, 1.toByte, 7L)))
+    // ADD COLUMN rewrites every part (embedded materialization) — the
+    // published rewrite must carry fresh sequences in staged order
+    client.alterTable("main", t,
+      Seq(graft.client.ChAlterOp.AddColumn("w", "Nullable(Int64)")))
+    val fin = client.query(
+      s"SELECT `id`, `v` FROM `main`.`$t` FINAL", 1)._2.flatten
+      .map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
+    assert(fin == Seq((1L, 20L), (2L, 7L)), fin.toString)
+    // and a post-ALTER cancel still collapses against the rewritten part
+    val sch2 = client.sparkSchema("main", t)
+    client.insert("main", t, sch2, Seq(Row(1L, (-1).toByte, 20L, null)))
+    val fin2 = client.query(
+      s"SELECT `id`, `v` FROM `main`.`$t` FINAL", 1)._2.flatten
+      .map(row => (row.getLong(0), row.getLong(1)))
+    assert(fin2 == Seq((2L, 7L)), fin2.toString)
+  }
+
   test("EXCHANGE TABLES swaps atomically (blue/green publish); views " +
     "and missing tables reject") {
     n += 1

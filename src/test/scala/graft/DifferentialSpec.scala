@@ -732,4 +732,70 @@ class DifferentialSpec extends AnyFunSuite {
     assert(finB.rdd.getNumPartitions == 4)
     assert(canon(finB) == expected)
   }
+
+  test("random AS-OF join shapes: the planned path (remote ASOF collapse " +
+    "or in-rule lowering) agrees bit-for-bit with the local composition " +
+    "over identical data") {
+    val r = new Random(777001)
+    import spark.implicits._
+    // left: events; right: (k, qts)-unique quotes (ASOF ties are
+    // unspecified on every engine — keep the fixture tie-free)
+    val lRows = (0 until 240).map { i =>
+      (r.nextInt(20).toLong + 1, r.nextInt(1000).toLong, i.toLong) }
+    val rRows = (for (k <- 1L to 16L; q <- 0 until 12) yield
+      (k, q * 83L + k * 7L, q.toLong, k * 1000L + q)).toSeq
+    val lDf = lRows.toDF("k", "ts", "v")
+    val rDf = rRows.toDF("k", "qts", "seq", "price")
+    spark.sql("DROP TABLE IF EXISTS clickhouse.main.diff_asof_l")
+    spark.sql("DROP TABLE IF EXISTS clickhouse.main.diff_asof_r")
+    spark.sql(
+      """CREATE TABLE clickhouse.main.diff_asof_l (k BIGINT, ts BIGINT, v BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+    spark.sql(
+      """CREATE TABLE clickhouse.main.diff_asof_r
+        |(k BIGINT, qts BIGINT, seq BIGINT, price BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+    lDf.writeTo("clickhouse.main.diff_asof_l").append()
+    rDf.writeTo("clickhouse.main.diff_asof_r").append()
+    val remL = spark.table("clickhouse.main.diff_asof_l")
+    val remR = spark.table("clickhouse.main.diff_asof_r")
+    (1 to 12).foreach { i =>
+      val lCut = r.nextInt(1000).toLong
+      val kMod = r.nextInt(4) + 2
+      val lp: DataFrame => DataFrame = _.filter(col("ts") <= lCut)
+      val rp: DataFrame => DataFrame = _.filter(col("k") % kMod =!= 0)
+      val planned = graft.ops.AsOfJoin.asofJoinPlanned(
+        lp(remL), rp(remR), "k", "ts", "qts", "seq", Seq("price"))
+      val local = graft.ops.AsOfJoin.asofJoin(
+        lp(lDf), rp(rDf), "k", "ts", "qts", "seq", Seq("price"))
+      assert(canon(planned) == canon(local), s"asof case $i diverged " +
+        s"(ts<=$lCut, k%$kMod!=0)")
+    }
+  }
+
+  test("random WITH TOTALS shapes (embedded GROUPING SETS rewrite) agree " +
+    "with a local grouping-sets computation") {
+    val r = new Random(424242)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    val keys = Seq("lang", "source")
+    (1 to 8).foreach { i =>
+      val ks = r.shuffle(keys).take(r.nextInt(2) + 1)
+      val cut = r.nextInt(4000) + 500
+      val kq = ks.map(k => s"`$k`").mkString(", ")
+      val remote = ch.chSql(
+        s"SELECT ${ks.mkString(", ")}, count(*) AS n, " +
+          s"toInt64(sum(`n_chars`)) AS chars FROM `main`.`documents` " +
+          s"WHERE `n_chars` < $cut GROUP BY $kq WITH TOTALS")
+      val local = spark.sql(
+        s"SELECT ${ks.mkString(", ")}, count(*) AS n, " +
+          s"CAST(sum(n_chars) AS BIGINT) AS chars FROM documents " +
+          s"WHERE n_chars < $cut GROUP BY GROUPING SETS " +
+          s"((${ks.mkString(", ")}), ())")
+      assert(canon(remote) == canon(local),
+        s"totals case $i diverged (keys=$ks, cut=$cut)")
+    }
+  }
 }
