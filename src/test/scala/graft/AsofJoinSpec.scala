@@ -107,6 +107,38 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(rows(planned) == rows(local))
   }
 
+  test("as-of join of two HTTP-catalog tables plans ONE remote ASOF LEFT " +
+    "JOIN statement with join_use_nulls pinned (ships verbatim — a real " +
+    "server executes it natively); no range-split cursor ever attaches") {
+    val mock = new graft.client.MockClickHouseHttp
+    try {
+      spark.conf.set("spark.sql.catalog.chasofhttp",
+        classOf[graft.catalog.ClickHouseCatalog].getName)
+      spark.conf.set("spark.sql.catalog.chasofhttp.endpoint", mock.endpoint)
+      val cl = graft.connector.ChMutations.clientOf(spark, "chasofhttp")
+      cl.createTable("main", "dl", Seq("k" -> "Int64", "ts" -> "Int64"),
+        Map("engine" -> "MergeTree"))
+      cl.createTable("main", "dr",
+        Seq("k" -> "Int64", "qts" -> "Int64", "seq" -> "Int64", "p" -> "Int64"),
+        Map("engine" -> "MergeTree"))
+      val planned = AsOfJoin.asofJoinPlanned(
+        spark.table("chasofhttp.main.dl"), spark.table("chasofhttp.main.dr"),
+        "k", "ts", "qts", "seq", Seq("p"))
+      // plan-shape only: the mock cannot execute joins, but the statement
+      // a real server would receive is fully determined at planning
+      val all = flat(planned)
+      val remotes = all.collect { case r: ClickHouseRemoteExec => r }
+      assert(remotes.size == 1, s"one remote exec:\n${all.head}")
+      assert(remotes.head.sql.contains("ASOF LEFT JOIN"), remotes.head.sql)
+      assert(remotes.head.sql.contains("SETTINGS join_use_nulls = 1"),
+        remotes.head.sql)
+      assert(!all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]), s"${all.head}")
+      // ASOF collapses never carry a range-split cursor (tie re-execution)
+      assert(remotes.head.splitBy.isEmpty)
+    } finally mock.close()
+  }
+
   test("a session without the pushdown rule gets the local composition " +
     "directly (no marker node ever built)") {
     val s2 = spark.newSession()
