@@ -76,11 +76,16 @@ object ChSqlTranslator {
     s = stripGlobal(s)
     s = rewriteAsof(s)
     s = rewriteTotals(s)
-    // table references: `db`.`table` or db.table → __ch_db_table
-    tables.foreach { case (db, t) =>
-      s = s.replace(s"`$db`.`$t`", viewName(db, t))
-      s = s.replaceAll(s"(?<![`\\w])${java.util.regex.Pattern.quote(db)}\\.$t(?![`\\w])",
-        viewName(db, t))
+    // table references: `db`.`table` or db.table → __ch_db_table.
+    // Applied OUTSIDE string literals only — a data value containing the
+    // text "main.orders" must survive translation verbatim (the same
+    // quote-awareness rule the GLOBAL strip learned this round)
+    s = mapOutsideStrings(s) { seg =>
+      tables.foldLeft(seg) { case (acc, (db, t)) =>
+        acc.replace(s"`$db`.`$t`", viewName(db, t))
+          .replaceAll(s"(?<![`\\w])${java.util.regex.Pattern.quote(db)}\\.$t(?![`\\w])",
+            viewName(db, t))
+      }
     }
     // ClickHouse treats NULL as the LARGEST value in sorts (ASC → nulls
     // last, DESC → nulls first); Spark defaults the opposite way. Every
@@ -344,9 +349,14 @@ object ChSqlTranslator {
     def exactDefaultRank(x: String, p: String): String =
       exactRank(x, s"least(CAST(floor(($p) * count($x)) AS INT) + 1, " +
         s"CAST(count($x) AS INT))")
-    s = rewriteParamCall(s, "quantileExactLow", (params, args) =>
-      exactRank(args.head,
-        s"greatest(CAST(ceil((${params.head}) * count(${args.head})) AS INT), 1)"))
+    def exactLowRank(x: String, p: String): String =
+      exactRank(x, s"greatest(CAST(ceil(($p) * count($x)) AS INT), 1)")
+    s = rewriteParamCall(s, "quantilesExactLow", (params, args) =>
+      s"array(${params.map(p => exactLowRank(args.head, p)).mkString(", ")})")
+    s = rewriteParamCall(s, "quantilesExact", (params, args) =>
+      s"array(${params.map(p => exactDefaultRank(args.head, p)).mkString(", ")})")
+    s = rewriteParamCall(s, "quantileExactLow",
+      (params, args) => exactLowRank(args.head, params.head))
     s = rewriteParamCall(s, "quantileExact",
       (params, args) => exactDefaultRank(args.head, params.head))
     s = rewriteCall(s, "medianExact", args => exactDefaultRank(args.head, "0.5"))
@@ -920,6 +930,32 @@ object ChSqlTranslator {
       i += 1
     }
     false
+  }
+
+  /** `s` with every segment OUTSIDE single-quoted string literals mapped
+    * through `f` (literals — including their quotes and escapes — pass
+    * verbatim). Backticked identifiers are NOT literals and stay inside
+    * the mapped segments.
+    */
+  private def mapOutsideStrings(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inSq = false
+    var i = 0
+    def flush(): Unit = { out.append(f(seg.result())); seg.clear() }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inSq) {
+        out.append(c)
+        if (c == '\\' && i + 1 < s.length) { out.append(s.charAt(i + 1)); i += 1 }
+        else if (c == '\'') inSq = false
+        i += 1
+      } else if (c == '\'') {
+        flush(); inSq = true; out.append(c); i += 1
+      } else { seg.append(c); i += 1 }
+    }
+    flush()
+    out.result()
   }
 
   /** `s` with each top-level paren group's CONTENT replaced by

@@ -298,6 +298,43 @@ class ShardedClientSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a routing-KEYED as-of join collapses shard-locally as ASOF LEFT " +
+    "JOIN (equal keys co-reside, so every candidate match is on the probe " +
+    "row's own shard); results match the local composition") {
+    seed()
+    if (!new EmbeddedClickHouse(rootA).tableExists("main", "sh_asof_l")) {
+      spark.sql(
+        """CREATE TABLE chshard.main.sh_asof_l (k BIGINT, ts BIGINT, v BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      spark.sql(
+        """CREATE TABLE chshard.main.sh_asof_r
+          |(k BIGINT, qts BIGINT, seq BIGINT, price BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+      import spark.implicits._
+      (for (k <- 1L to 12L; i <- 0L to 6L) yield (k, i * 10L, k * 100L + i))
+        .toDF("k", "ts", "v").writeTo("chshard.main.sh_asof_l").append()
+      (for (k <- 1L to 10L; q <- 0L to 3L) yield
+        (k, q * 17L + 3L, q, k * 1000L + q))
+        .toDF("k", "qts", "seq", "price")
+        .writeTo("chshard.main.sh_asof_r").append()
+    }
+    val l = spark.table("chshard.main.sh_asof_l")
+    val rr = spark.table("chshard.main.sh_asof_r")
+    val planned = graft.ops.AsOfJoin.asofJoinPlanned(
+      l, rr, "k", "ts", "qts", "seq", Seq("price"))
+    val all = PlanAsserts.flatten(planned.queryExecution.executedPlan)
+    val remotes = all.collect { case r: graft.pushdown.ClickHouseRemoteExec => r }
+    assert(remotes.size == 1 && remotes.head.sql.contains("ASOF LEFT JOIN"),
+      s"keyed as-of must collapse per shard:\n${all.head}")
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BaseJoinExec]), s"${all.head}")
+    val local = graft.ops.AsOfJoin.asofJoin(
+      l, rr, "k", "ts", "qts", "seq", Seq("price"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(planned) == canon(local))
+  }
+
   test("fact x fact on a non-routing column stays in Spark: neither side " +
     "fits the broadcast threshold, so no GLOBAL collapse") {
     seed(); seedOrders()

@@ -19,6 +19,10 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT * FROM `db`.`tbl`") == "SELECT * FROM __ch_db_tbl")
     assert(t("SELECT * FROM db.tbl WHERE x > 1") ==
       "SELECT * FROM __ch_db_tbl WHERE x > 1")
+    // ...but never inside string LITERALS: a data value spelling the
+    // table name must survive translation verbatim
+    assert(t("SELECT 'db.tbl' AS a, '`db`.`tbl`' AS b FROM db.tbl") ==
+      "SELECT 'db.tbl' AS a, '`db`.`tbl`' AS b FROM __ch_db_tbl")
   }
 
   test("CAST rewrites ClickHouse type names, including nested parens") {
@@ -239,6 +243,15 @@ class TranslatorSpec extends AnyFunSuite {
     // Inclusive stays percentile_cont — different server function
     assert(t("SELECT quantileExactInclusive(0.25)(v)") ==
       "SELECT percentile(v, 0.25)")
+    // plural forms emit one array of picks (Spark dedupes the repeated
+    // collect_list/count aggregates)
+    val pl = t("SELECT quantilesExact(0.25, 0.75)(v) FROM db.tbl")
+    assert(pl.startsWith("SELECT array(CASE WHEN count(v) = 0"), pl)
+    assert(pl.contains("floor((0.25) * count(v))") &&
+      pl.contains("floor((0.75) * count(v))"), pl)
+    val plLow = t("SELECT quantilesExactLow(0.5)(v) FROM db.tbl")
+    assert(plLow.contains("array(") &&
+      plLow.contains("ceil((0.5) * count(v))"), plLow)
   }
 
   test("-State/-Merge combinators translate to state-producing and " +
