@@ -38,7 +38,35 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightOrder: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    compose(left, right, keyCol, leftTs, rightTs, rightOrder, payload,
+      leftJoin = true)
+
+  /** Inner variant (ClickHouse `ASOF JOIN` without LEFT): left rows with
+    * no match are DROPPED instead of NULL-padded. Matched-ness is the
+    * match struct's non-nullness — a payload field may be legitimately
+    * NULL in a matched row.
+    */
+  def asofJoinInner(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      rightOrder: String,
+      payload: Seq[String]): DataFrame =
+    compose(left, right, keyCol, leftTs, rightTs, rightOrder, payload,
+      leftJoin = false)
+
+  private def compose(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      rightOrder: String,
+      payload: Seq[String],
+      leftJoin: Boolean): DataFrame = {
     val payloadStruct = struct(payload.map(right(_)): _*)
     val r = right.select(
       col(keyCol).as("__k"), col(rightTs).as("__t"),
@@ -57,9 +85,11 @@ object AsOfJoin {
     val w = Window.partitionBy("__k")
       .orderBy(col("__t"), col("__kind"), col("__ord").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
+    val matched0 = unioned
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__kind") === 1)
+    val matched =
+      if (leftJoin) matched0 else matched0.filter(col("__match").isNotNull)
     val leftOut = leftCols.map(c => matched.col(s"__left.$c").as(c))
     val payloadOut = payload.map(c => matched.col(s"__match.$c").as(s"asof_$c"))
     matched.select(leftOut ++ payloadOut: _*)
@@ -82,12 +112,40 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightOrder: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    planned(left, right, keyCol, leftTs, rightTs, rightOrder, payload,
+      leftJoin = true)
+
+  /** Planner-aware [[asofJoinInner]]: collapses to server-native
+    * `ASOF JOIN` (inner) on one store, lowers to the local composition
+    * otherwise.
+    */
+  def asofJoinPlannedInner(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      rightOrder: String,
+      payload: Seq[String]): DataFrame =
+    planned(left, right, keyCol, leftTs, rightTs, rightOrder, payload,
+      leftJoin = false)
+
+  private def planned(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      rightOrder: String,
+      payload: Seq[String],
+      leftJoin: Boolean): DataFrame = {
     val spark = left.sparkSession
     val installed = spark.experimental.extraOptimizations
       .contains(graft.pushdown.ClickHouseFunctionPushdown)
     if (!installed)
-      return asofJoin(left, right, keyCol, leftTs, rightTs, rightOrder, payload)
+      return compose(left, right, keyCol, leftTs, rightTs, rightOrder,
+        payload, leftJoin)
     // narrow the right side to what the join consumes (the marker node is
     // opaque to column pruning)
     val rCols = (Seq(keyCol, rightTs, rightOrder) ++ payload).distinct
@@ -110,7 +168,8 @@ object AsOfJoin {
       payloadAttrs,
       payload.map(c => s"asof_$c"),
       payloadAttrs.map(_ =>
-        org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId))
+        org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId),
+      leftJoin = leftJoin)
     org.apache.spark.sql.graft.bridge.ofRows(spark, node)
   }
 }

@@ -36,7 +36,9 @@ case class ChAsOfJoin(
     rightOrder: AttributeReference,
     payload: Seq[AttributeReference],
     payloadOutNames: Seq[String],
-    payloadOutIds: Seq[ExprId])
+    payloadOutIds: Seq[ExprId],
+    /** false = ASOF (inner): left rows without a match are dropped. */
+    leftJoin: Boolean = true)
   extends BinaryNode {
 
   require(payload.length == payloadOutNames.length &&
@@ -109,6 +111,9 @@ case class ChAsOfJoin(
     val w = Window(Seq(matchAlias), Seq(kA), spec.orderSpec, u, None)
     val f = Filter(EqualTo(kindA, Literal(1)), w)
     val matchA = matchAlias.toAttribute
+    // inner variant: matched-ness IS the match struct's non-nullness
+    // (a payload FIELD may be legitimately NULL in a matched row)
+    val f2 = if (leftJoin) f else Filter(IsNotNull(matchA), f)
     // surface the original exprIds: left columns out of __left, payload
     // out of __match as asof_<name>
     val leftOut = left.output.zipWithIndex.map { case (a, i) =>
@@ -117,6 +122,6 @@ case class ChAsOfJoin(
     val payOut = payloadOut.zipWithIndex.map { case (a, i) =>
       Alias(GetStructField(matchA, i, Some(payload(i).name)), a.name)(exprId = a.exprId)
     }
-    Project(leftOut ++ payOut, f)
+    Project(leftOut ++ payOut, f2)
   }
 }

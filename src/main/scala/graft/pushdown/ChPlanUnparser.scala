@@ -162,8 +162,9 @@ object ChPlanUnparser {
             s"$src AS ${aliasOf(o.exprId)}"
           }
           val sel = (leftCols.map(c => s"$c AS $c") ++ paySel).mkString(", ")
+          val kw = if (aj.leftJoin) "ASOF LEFT JOIN" else "ASOF JOIN"
           Unparsed(
-            s"SELECT $sel FROM (${l.sql}) AS ${sub()} ASOF LEFT JOIN " +
+            s"SELECT $sel FROM (${l.sql}) AS ${sub()} $kw " +
               s"(${r.sql}) AS ${sub()} ON $lk = $rk AND $rt <= $lt " +
               "SETTINGS join_use_nulls = 1",
             l.scope ++ aj.payloadOut.map(a => a.exprId -> aliasOf(a.exprId)).toMap)

@@ -107,6 +107,28 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(rows(planned) == rows(local))
   }
 
+  test("INNER as-of join drops unmatched left rows on BOTH paths: the " +
+    "remote collapse ships ASOF JOIN (no LEFT) and matches the local " +
+    "composition bit for bit") {
+    val ev = spark.table("chasof.db.ev")
+    val qt = spark.table("chasof.db.qt")
+    val planned = AsOfJoin.asofJoinPlannedInner(
+      ev, qt, "k", "ts", "qts", "seq", Seq("price"))
+    val execs = flat(planned).collect { case e: ClickHouseRemoteExec => e }
+    assert(execs.length == 1, s"${planned.queryExecution.executedPlan}")
+    assert(execs.head.sql.contains("ASOF JOIN") &&
+      !execs.head.sql.contains("ASOF LEFT JOIN"), execs.head.sql)
+    val local = AsOfJoin.asofJoinInner(
+      ev, qt, "k", "ts", "qts", "seq", Seq("price"))
+    assert(rows(planned) == rows(local))
+    // inner semantics: k=5 has no quotes → all its rows drop; k=1 ts=0
+    // precedes every quote (min qts is 3) → dropped too
+    val got = planned.collect()
+    assert(!got.exists(_.getLong(0) == 5L))
+    assert(!got.exists(r => r.getLong(0) == 1L && r.getLong(1) == 0L))
+    assert(got.forall(!_.isNullAt(3)), "inner rows always carry a payload")
+  }
+
   test("as-of join of two HTTP-catalog tables plans ONE remote ASOF LEFT " +
     "JOIN statement with join_use_nulls pinned (ships verbatim — a real " +
     "server executes it natively); no range-split cursor ever attaches") {
