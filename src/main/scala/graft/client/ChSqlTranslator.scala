@@ -76,6 +76,7 @@ object ChSqlTranslator {
     s = stripGlobal(s)
     s = rewriteAsof(s)
     s = rewriteTotals(s)
+    s = rewriteSettings(s)
     // table references: `db`.`table` or db.table → __ch_db_table.
     // Applied OUTSIDE string literals only — a data value containing the
     // text "main.orders" must survive translation verbatim (the same
@@ -1037,6 +1038,53 @@ object ChSqlTranslator {
     rewriteTotalsLevel(
       s.substring(0, gp) + s"GROUP BY GROUPING SETS (($keys), ())" +
         s.substring(tp + 6))
+  }
+
+  // ---- SETTINGS clause handling (embedded) ----------------------------
+  //
+  // A real server accepts `SETTINGS name = value` on any SELECT. The
+  // embedded engine honors-or-rejects: settings that only tune
+  // PERFORMANCE or RESOURCE use (threads, block sizes, memory / spill
+  // thresholds, caches, read order) are identities on the visible result
+  // and are dropped; anything else — including result-shaping settings
+  // like join_use_nulls, totals_mode, group_by_use_nulls, limits that
+  // cut result rows — REJECTS loudly by name rather than silently
+  // changing semantics. (The ASOF rewrite consumes its own
+  // join_use_nulls = 1 before this runs.)
+
+  private val IdentitySettings: Set[String] = Set(
+    "max_threads", "max_block_size", "max_insert_block_size",
+    "max_memory_usage", "preferred_block_size_bytes",
+    "use_uncompressed_cache", "optimize_read_in_order",
+    "max_bytes_before_external_group_by", "max_bytes_before_external_sort",
+    "max_execution_time", "priority", "network_compression_method")
+
+  private def rewriteSettings(in: String): String = {
+    if (!raw"(?i)\bSETTINGS\b".r.findFirstIn(in).isDefined) return in
+    mapTopLevelParens(rewriteSettingsLevel(in))(rewriteSettings)
+  }
+
+  private def rewriteSettingsLevel(s: String): String = {
+    val sp = topLevelPositions(s, "SETTINGS").headOption.getOrElse(return s)
+    // the clause runs to the next top-level clause keyword (in our
+    // dialect SETTINGS is trailing; UNION branches carry their own)
+    val end = Seq("UNION", "FORMAT").flatMap(k => topLevelPositions(s, k))
+      .filter(_ > sp).sorted.headOption.getOrElse(s.length)
+    val body = s.substring(sp + 8, end).trim.stripSuffix(";").trim
+    val items = body.split(",").map(_.trim).filter(_.nonEmpty)
+    val offenders = items.flatMap { it =>
+      val name = it.split("=", 2).head.trim.toLowerCase
+      if (IdentitySettings.contains(name)) None else Some(name)
+    }
+    require(offenders.isEmpty,
+      s"SETTINGS not supported by the embedded engine: " +
+        s"${offenders.mkString(", ")} — only performance/resource " +
+        "settings (" + IdentitySettings.toSeq.sorted.take(4).mkString(", ") +
+        ", ...) are accepted (and dropped as identities); result-shaping " +
+        "settings would silently change semantics")
+    rewriteSettingsLevel(
+      s.substring(0, sp).stripSuffix(" ").stripSuffix("\n") + " " +
+        s.substring(end))
   }
 
   private val GlobalFollowers = Seq(

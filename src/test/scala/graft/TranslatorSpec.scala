@@ -254,6 +254,25 @@ class TranslatorSpec extends AnyFunSuite {
       plLow.contains("ceil((0.5) * count(v))"), plLow)
   }
 
+  test("SETTINGS: performance/resource settings drop as identities; " +
+    "result-shaping settings reject loudly by name; subquery clauses " +
+    "handled per level") {
+    assert(t("SELECT k FROM db.tbl SETTINGS max_threads = 8").trim ==
+      "SELECT k FROM __ch_db_tbl")
+    assert(t("SELECT k FROM db.tbl ORDER BY k LIMIT 5 SETTINGS " +
+      "max_threads = 8, max_memory_usage = 10000000000").trim ==
+      "SELECT k FROM __ch_db_tbl ORDER BY k NULLS LAST LIMIT 5")
+    assert(t("SELECT * FROM (SELECT k FROM db.tbl SETTINGS max_block_size " +
+      "= 1024) x").trim == "SELECT * FROM (SELECT k FROM __ch_db_tbl ) x")
+    val e = intercept[IllegalArgumentException](
+      t("SELECT k, count(*) FROM db.tbl GROUP BY k SETTINGS " +
+        "group_by_use_nulls = 1"))
+    assert(e.getMessage.contains("group_by_use_nulls"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      t("SELECT k FROM db.tbl SETTINGS max_rows_to_read = 10"))
+    assert(e2.getMessage.contains("max_rows_to_read"), e2.getMessage)
+  }
+
   test("-State/-Merge combinators translate to state-producing and " +
     "state-combining aggregates") {
     assert(t("SELECT avgState(v)") ==
