@@ -335,6 +335,72 @@ class ShardedClientSpec extends AnyFunSuite {
     assert(canon(planned) == canon(local))
   }
 
+  test("GLOBAL broadcast covers every preserved-side-distributed join " +
+    "orientation (inner both ways, left/right outer, semi, anti) with " +
+    "values matching a local recompute; FULL OUTER never collapses") {
+    seed()
+    if (!new EmbeddedClickHouse(rootA).tableExists("main", "sh_gdim")) {
+      // the catalog routes by k, so the dim carries one too (its VALUES
+      // spread the dim across shards — exactly the state GLOBAL must
+      // reassemble); the join key stays the non-routing dcat
+      spark.sql(
+        """CREATE TABLE chshard.main.sh_gdim (k BIGINT, dcat STRING, dlabel STRING)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'dcat')""".stripMargin)
+      import spark.implicits._
+      // only c0..c2 present: c3/c4 facts are unmatched (outer/anti food)
+      Seq((1L, "c0", "zero"), (2L, "c1", "one"), (3L, "c2", "two"))
+        .toDF("k", "dcat", "dlabel").writeTo("chshard.main.sh_gdim").append()
+    }
+    val ev = spark.table("chshard.main.sh_events")
+    // project away the routing column: the dim side the join consumes is
+    // (dcat, dlabel) — a row-local projection is still GLOBAL-eligible
+    val dm = spark.table("chshard.main.sh_gdim").select("dcat", "dlabel")
+    import spark.implicits._
+    val evLocal = (1L to 200L).map(i => (i, s"c${i % 5}", i * 1.5))
+      .toDF("k", "cat", "v")
+    val dmLocal = Seq(("c0", "zero"), ("c1", "one"), ("c2", "two"))
+      .toDF("dcat", "dlabel")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    def globalCollapsed(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
+      !all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]) &&
+        all.collect { case r: graft.pushdown.ClickHouseRemoteExec => r }
+          .exists(_.sql.contains("UNION ALL"))
+    }
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val remote = ev.join(dm, col("cat") === col("dcat"), jt)
+      val local = evLocal.join(dmLocal, col("cat") === col("dcat"), jt)
+      assert(globalCollapsed(remote), s"$jt (fact, dim) must collapse GLOBAL")
+      assert(canon(remote) == canon(local), s"$jt values diverged")
+    }
+    // dim on the LEFT: inner flips orientation, right outer preserves the
+    // fact — both still GLOBAL; LEFT OUTER with dim on the left is
+    // DIM-preserving (unmatched dim rows would duplicate per shard) and
+    // must stay in Spark
+    for (jt <- Seq("inner", "right")) {
+      val remote = dm.join(ev, col("dcat") === col("cat"), jt)
+      val local = dmLocal.join(evLocal, col("dcat") === col("cat"), jt)
+      assert(globalCollapsed(remote), s"$jt (dim, fact) must collapse GLOBAL")
+      assert(canon(remote) == canon(local), s"$jt (dim left) values diverged")
+    }
+    // LEFT OUTER with the small table preserved: the rule's orientation
+    // logic makes the PRESERVED side the distributed one and broadcasts
+    // the OTHER side — here that means broadcasting the (test-small)
+    // fact table, which is legal and exact: every preserved row is
+    // matched-or-padded on its own shard, union = whole result. At real
+    // scale the fact side would blow the threshold and the join would
+    // stay in Spark (the fact x fact negative below pins that).
+    val dimLeft = dm.join(ev, col("dcat") === col("cat"), "left")
+    assert(canon(dimLeft) ==
+      canon(dmLocal.join(evLocal, col("dcat") === col("cat"), "left")))
+    // FULL OUTER pads both sides: never GLOBAL, always Spark
+    val full = dm.join(ev, col("dcat") === col("cat"), "full")
+    assert(!globalCollapsed(full), "FULL OUTER must stay in Spark")
+    assert(canon(full) ==
+      canon(dmLocal.join(evLocal, col("dcat") === col("cat"), "full")))
+  }
+
   test("fact x fact on a non-routing column stays in Spark: neither side " +
     "fits the broadcast threshold, so no GLOBAL collapse") {
     seed(); seedOrders()
