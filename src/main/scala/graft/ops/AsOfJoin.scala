@@ -39,7 +39,22 @@ object AsOfJoin {
       rightTs: String,
       rightOrder: String,
       payload: Seq[String]): DataFrame =
-    compose(left, right, keyCol, leftTs, rightTs, rightOrder, payload,
+    compose(left, right, Seq(keyCol), leftTs, rightTs, rightOrder, payload,
+      leftJoin = true)
+
+  /** Multi-key variant: the match requires EVERY key pair equal (the
+    * symbol+venue quote lookup; ClickHouse ASOF accepts any number of
+    * equality conjuncts before the one inequality).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightOrder: String,
+      payload: Seq[String]): DataFrame =
+    compose(left, right, keyCols, leftTs, rightTs, rightOrder, payload,
       leftJoin = true)
 
   /** Inner variant (ClickHouse `ASOF JOIN` without LEFT): left rows with
@@ -55,34 +70,38 @@ object AsOfJoin {
       rightTs: String,
       rightOrder: String,
       payload: Seq[String]): DataFrame =
-    compose(left, right, keyCol, leftTs, rightTs, rightOrder, payload,
+    compose(left, right, Seq(keyCol), leftTs, rightTs, rightOrder, payload,
       leftJoin = false)
 
   private def compose(
       left: DataFrame,
       right: DataFrame,
-      keyCol: String,
+      keyCols: Seq[String],
       leftTs: String,
       rightTs: String,
       rightOrder: String,
       payload: Seq[String],
       leftJoin: Boolean): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
     val payloadStruct = struct(payload.map(right(_)): _*)
+    val kAs = keyCols.indices.map(i => s"__k$i")
     val r = right.select(
-      col(keyCol).as("__k"), col(rightTs).as("__t"),
+      keyCols.zip(kAs).map { case (c, a) => col(c).as(a) } ++ Seq(
+      col(rightTs).as("__t"),
       lit(0).as("__kind"), col(rightOrder).as("__ord"),
-      payloadStruct.as("__payload"))
+      payloadStruct.as("__payload")): _*)
     val leftCols = left.columns
     val l = left.select(
-      col(keyCol).as("__k"), col(leftTs).as("__t"),
+      keyCols.zip(kAs).map { case (c, a) => col(c).as(a) } ++ Seq(
+      col(leftTs).as("__t"),
       lit(1).as("__kind"), lit(null).cast(r.schema("__ord").dataType).as("__ord"),
       lit(null).cast(r.schema("__payload").dataType).as("__payload"),
-      struct(leftCols.map(left(_)): _*).as("__left"))
+      struct(leftCols.map(left(_)): _*).as("__left")): _*)
     val unioned = r.withColumn("__left", lit(null).cast(l.schema("__left").dataType))
       .unionByName(l)
     // right rows sort before left rows at equal time (inclusive <=);
     // among equal-time right rows the greatest __ord wins
-    val w = Window.partitionBy("__k")
+    val w = Window.partitionBy(kAs.map(col): _*)
       .orderBy(col("__t"), col("__kind"), col("__ord").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched0 = unioned
@@ -113,7 +132,19 @@ object AsOfJoin {
       rightTs: String,
       rightOrder: String,
       payload: Seq[String]): DataFrame =
-    planned(left, right, keyCol, leftTs, rightTs, rightOrder, payload,
+    planned(left, right, Seq(keyCol), leftTs, rightTs, rightOrder, payload,
+      leftJoin = true)
+
+  /** Planner-aware multi-key variant (every key pair must match). */
+  def asofJoinPlanned(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightOrder: String,
+      payload: Seq[String]): DataFrame =
+    planned(left, right, keyCols, leftTs, rightTs, rightOrder, payload,
       leftJoin = true)
 
   /** Planner-aware [[asofJoinInner]]: collapses to server-native
@@ -128,13 +159,13 @@ object AsOfJoin {
       rightTs: String,
       rightOrder: String,
       payload: Seq[String]): DataFrame =
-    planned(left, right, keyCol, leftTs, rightTs, rightOrder, payload,
+    planned(left, right, Seq(keyCol), leftTs, rightTs, rightOrder, payload,
       leftJoin = false)
 
   private def planned(
       left: DataFrame,
       right: DataFrame,
-      keyCol: String,
+      keyCols: Seq[String],
       leftTs: String,
       rightTs: String,
       rightOrder: String,
@@ -144,11 +175,11 @@ object AsOfJoin {
     val installed = spark.experimental.extraOptimizations
       .contains(graft.pushdown.ClickHouseFunctionPushdown)
     if (!installed)
-      return compose(left, right, keyCol, leftTs, rightTs, rightOrder,
+      return compose(left, right, keyCols, leftTs, rightTs, rightOrder,
         payload, leftJoin)
     // narrow the right side to what the join consumes (the marker node is
     // opaque to column pruning)
-    val rCols = (Seq(keyCol, rightTs, rightOrder) ++ payload).distinct
+    val rCols = (keyCols ++ Seq(rightTs, rightOrder) ++ payload).distinct
     val r = right.select(rCols.map(right(_)): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = r.queryExecution.analyzed
@@ -162,7 +193,7 @@ object AsOfJoin {
     val payloadAttrs = payload.map(attr(rPlan, _))
     val node = graft.pushdown.ChAsOfJoin(
       lPlan, rPlan,
-      attr(lPlan, keyCol), attr(rPlan, keyCol),
+      keyCols.map(attr(lPlan, _)), keyCols.map(attr(rPlan, _)),
       attr(lPlan, leftTs), attr(rPlan, rightTs),
       attr(rPlan, rightOrder),
       payloadAttrs,

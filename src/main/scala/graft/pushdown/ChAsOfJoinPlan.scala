@@ -29,8 +29,8 @@ import org.apache.spark.sql.types._
 case class ChAsOfJoin(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: AttributeReference,
-    rightKey: AttributeReference,
+    leftKeys: Seq[AttributeReference],
+    rightKeys: Seq[AttributeReference],
     leftTime: AttributeReference,
     rightTime: AttributeReference,
     rightOrder: AttributeReference,
@@ -43,8 +43,12 @@ case class ChAsOfJoin(
 
   require(payload.length == payloadOutNames.length &&
     payload.length == payloadOutIds.length, "payload arity mismatch")
-  require(leftKey.dataType == rightKey.dataType,
-    s"as-of join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    "as-of join needs at least one equi-key pair, sides aligned")
+  leftKeys.lazyZip(rightKeys).foreach { (lk, rk) =>
+    require(lk.dataType == rk.dataType,
+      s"as-of join key types differ: ${lk.dataType} vs ${rk.dataType}")
+  }
   require(leftTime.dataType == rightTime.dataType,
     s"as-of join time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
 
@@ -78,28 +82,30 @@ case class ChAsOfJoin(
       StructField(a.name, a.dataType, nullable = true)))
     def struct(attrs: Seq[Attribute]): Expression =
       CreateNamedStruct(attrs.flatMap(a => Seq(Literal(a.name), a)))
-    // right branch: (__k, __t, __kind=0, __ord, __payload, __left=NULL)
-    val rProj = Project(Seq(
-      Alias(rightKey, "__k")(),
+    // right branch: (__k0.., __t, __kind=0, __ord, __payload, __left=NULL)
+    val n = leftKeys.length
+    val rProj = Project(
+      rightKeys.zipWithIndex.map { case (k, i) => Alias(k, s"__k$i")() } ++ Seq(
       Alias(rightTime, "__t")(),
       Alias(Literal(0), "__kind")(),
       Alias(rightOrder, "__ord")(),
       Alias(struct(payload), "__payload")(),
       Alias(Literal(null, leftType), "__left")()), right)
-    // left branch: (__k, __t, __kind=1, __ord=NULL, __payload=NULL, __left)
-    val lProj = Project(Seq(
-      Alias(leftKey, "__k")(),
+    // left branch: (__k0.., __t, __kind=1, __ord=NULL, __payload=NULL, __left)
+    val lProj = Project(
+      leftKeys.zipWithIndex.map { case (k, i) => Alias(k, s"__k$i")() } ++ Seq(
       Alias(leftTime, "__t")(),
       Alias(Literal(1), "__kind")(),
       Alias(Literal(null, rightOrder.dataType), "__ord")(),
       Alias(Literal(null, payloadType), "__payload")(),
       Alias(struct(left.output), "__left")()), left)
     val u = Union(Seq(rProj, lProj))
-    val Seq(kA, tA, kindA, ordA, payA, leftA) = u.output
+    val kAs = u.output.take(n)
+    val Seq(tA, kindA, ordA, payA, leftA) = u.output.drop(n)
     // right rows sort before left rows at equal time (inclusive match);
     // among equal-time right rows the greatest __ord wins
     val spec = WindowSpecDefinition(
-      partitionSpec = Seq(kA),
+      partitionSpec = kAs,
       orderSpec = Seq(
         SortOrder(tA, Ascending),
         SortOrder(kindA, Ascending),
@@ -108,7 +114,7 @@ case class ChAsOfJoin(
     val matchAlias = Alias(WindowExpression(
       AggregateExpression(Last(payA, ignoreNulls = true), Complete, isDistinct = false),
       spec), "__match")()
-    val w = Window(Seq(matchAlias), Seq(kA), spec.orderSpec, u, None)
+    val w = Window(Seq(matchAlias), kAs, spec.orderSpec, u, None)
     val f = Filter(EqualTo(kindA, Literal(1)), w)
     val matchA = matchAlias.toAttribute
     // inner variant: matched-ness IS the match struct's non-nullness

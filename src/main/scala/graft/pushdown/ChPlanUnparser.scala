@@ -151,8 +151,8 @@ object ChPlanUnparser {
         for {
           l <- go(aj.left)
           r <- go(aj.right)
-          lk <- l.scope.get(aj.leftKey.exprId)
-          rk <- r.scope.get(aj.rightKey.exprId)
+          lks <- sequence(aj.leftKeys.map(k => l.scope.get(k.exprId)))
+          rks <- sequence(aj.rightKeys.map(k => r.scope.get(k.exprId)))
           lt <- l.scope.get(aj.leftTime.exprId)
           rt <- r.scope.get(aj.rightTime.exprId)
           pay <- sequence(aj.payload.map(p => r.scope.get(p.exprId)))
@@ -163,10 +163,11 @@ object ChPlanUnparser {
           }
           val sel = (leftCols.map(c => s"$c AS $c") ++ paySel).mkString(", ")
           val kw = if (aj.leftJoin) "ASOF LEFT JOIN" else "ASOF JOIN"
+          val eqs = lks.zip(rks).map { case (lk, rk) => s"$lk = $rk" }
           Unparsed(
             s"SELECT $sel FROM (${l.sql}) AS ${sub()} $kw " +
-              s"(${r.sql}) AS ${sub()} ON $lk = $rk AND $rt <= $lt " +
-              "SETTINGS join_use_nulls = 1",
+              s"(${r.sql}) AS ${sub()} ON ${eqs.mkString(" AND ")} " +
+              s"AND $rt <= $lt SETTINGS join_use_nulls = 1",
             l.scope ++ aj.payloadOut.map(a => a.exprId -> aliasOf(a.exprId)).toMap)
         }
 

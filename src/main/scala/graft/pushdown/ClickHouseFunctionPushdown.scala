@@ -749,8 +749,9 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
       for {
         lk <- shardKeyAttrs(aj.left, key)
         rk <- shardKeyAttrs(aj.right, key)
-        if lk.contains(aj.leftKey) && rk.contains(aj.rightKey) &&
-          aj.leftKey.dataType == aj.rightKey.dataType
+        if aj.leftKeys.lazyZip(aj.rightKeys).exists { (a, b) =>
+          lk.contains(a) && rk.contains(b) && a.dataType == b.dataType
+        }
       } yield lk
     case _ => None
   }

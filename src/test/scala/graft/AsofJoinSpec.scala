@@ -107,6 +107,48 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(rows(planned) == rows(local))
   }
 
+  test("MULTI-KEY as-of join (symbol+venue): every key pair must match; " +
+    "collapses to one remote ASOF with all equality conjuncts and agrees " +
+    "with the local composition") {
+    val client = new EmbeddedClickHouse(root)
+    if (!client.tableExists("db", "ev2")) {
+      client.createTable("db", "ev2",
+        Seq("k" -> "Int64", "venue" -> "String", "ts" -> "Int64", "v" -> "Int64"),
+        Map("engine" -> "MergeTree", "order_by" -> "k"))
+      client.insert("db", "ev2", client.sparkSchema("db", "ev2"),
+        (for (k <- 1L to 4L; ven <- Seq("A", "B"); i <- 0L to 5L)
+          yield org.apache.spark.sql.Row(k, ven, i * 10L, k * 10L + i)))
+      client.createTable("db", "qt2",
+        Seq("k" -> "Int64", "venue" -> "String", "qts" -> "Int64",
+          "seq" -> "Int64", "price" -> "Int64"),
+        Map("engine" -> "MergeTree", "order_by" -> "k"))
+      // venue B quotes shifted so cross-venue matches would be DETECTABLY
+      // wrong; (k, venue, qts) unique
+      client.insert("db", "qt2", client.sparkSchema("db", "qt2"),
+        (for (k <- 1L to 3L; (ven, off) <- Seq(("A", 3L), ("B", 7L)); q <- 0L to 3L)
+          yield org.apache.spark.sql.Row(
+            k, ven, q * 13L + off, q, k * 1000L + (if (ven == "A") 0L else 500L) + q)))
+    }
+    val ev = spark.table("chasof.db.ev2")
+    val qt = spark.table("chasof.db.qt2")
+    val planned = AsOfJoin.asofJoinPlanned(
+      ev, qt, Seq("k", "venue"), "ts", "qts", "seq", Seq("price"))
+    val execs = flat(planned).collect { case e: ClickHouseRemoteExec => e }
+    assert(execs.length == 1, s"${planned.queryExecution.executedPlan}")
+    // both equality conjuncts precede the inequality in the ON clause
+    val on = execs.head.sql
+    assert(raw"ON \w+ = \w+ AND \w+ = \w+ AND \w+ <= \w+".r
+      .findFirstIn(on).isDefined, on)
+    val local = AsOfJoin.asofJoin(
+      ev, qt, Seq("k", "venue"), "ts", "qts", "seq", Seq("price"))
+    assert(rows(planned) == rows(local))
+    // cross-venue isolation: a venue-A row must never carry a +500 price
+    val got = planned.collect()
+    assert(got.exists(r => !r.isNullAt(4)))
+    got.filter(r => r.getString(1) == "A" && !r.isNullAt(4))
+      .foreach(r => assert(r.getLong(4) % 1000L < 500L, r.toString))
+  }
+
   test("INNER as-of join drops unmatched left rows on BOTH paths: the " +
     "remote collapse ships ASOF JOIN (no LEFT) and matches the local " +
     "composition bit for bit") {
