@@ -263,8 +263,19 @@ object ChSqlTranslator {
       else s"count_if(${args.head})")
     // uniq/uniqExact as plain aggregates: exact COUNT(DISTINCT) — for
     // uniq a documented improvement over the server's approximation
-    // (same choice as the exact uniqMerge state path)
+    // (same choice as the exact uniqMerge state path). The other
+    // approximate-distinct family members carry the SAME contract
+    // ("approximately computes the number of distinct values"), so the
+    // exact answer is a legal instance of each — never a silent delta.
     s = rewriteCall(s, "uniqExact",
+      args => s"count(DISTINCT ${args.mkString(", ")})")
+    s = rewriteCall(s, "uniqCombined64",
+      args => s"count(DISTINCT ${args.mkString(", ")})")
+    s = rewriteCall(s, "uniqCombined",
+      args => s"count(DISTINCT ${args.mkString(", ")})")
+    s = rewriteCall(s, "uniqHLL12",
+      args => s"count(DISTINCT ${args.mkString(", ")})")
+    s = rewriteCall(s, "uniqTheta",
       args => s"count(DISTINCT ${args.mkString(", ")})")
     s = rewriteCall(s, "uniq",
       args => s"count(DISTINCT ${args.mkString(", ")})")
@@ -361,6 +372,15 @@ object ChSqlTranslator {
     s = rewriteParamCall(s, "quantileExact",
       (params, args) => exactDefaultRank(args.head, params.head))
     s = rewriteCall(s, "medianExact", args => exactDefaultRank(args.head, "0.5"))
+    // APPROXIMATE interpolating quantiles (reservoir sampling on the
+    // server): the contract is "computes an approximate quantile", so the
+    // EXACT interpolated percentile is a legal instance (the uniq rule);
+    // deterministic here where the server's sampling is not
+    s = rewriteParamCall(s, "quantiles", (params, args) =>
+      s"percentile(${args.head}, array(${params.mkString(", ")}))")
+    s = rewriteParamCall(s, "quantile",
+      (params, args) => s"percentile(${args.head}, ${params.head})")
+    s = rewriteCall(s, "median", args => s"percentile(${args.head}, 0.5)")
     // lagInFrame/leadInFrame → lag/lead; Spark REJECTS an explicit frame
     // on offset functions, so the forced full frame our unparser emits is
     // stripped from the OVER clause that follows

@@ -252,6 +252,15 @@ class TranslatorSpec extends AnyFunSuite {
     val plLow = t("SELECT quantilesExactLow(0.5)(v) FROM db.tbl")
     assert(plLow.contains("array(") &&
       plLow.contains("ceil((0.5) * count(v))"), plLow)
+    // approximate families map to exact legal instances (the uniq rule):
+    // reservoir quantile/median → exact interpolated percentile;
+    // uniqCombined/HLL12/Theta → exact COUNT(DISTINCT)
+    assert(t("SELECT quantile(0.9)(v)") == "SELECT percentile(v, 0.9)")
+    assert(t("SELECT quantiles(0.1, 0.9)(v)") ==
+      "SELECT percentile(v, array(0.1, 0.9))")
+    assert(t("SELECT median(v)") == "SELECT percentile(v, 0.5)")
+    assert(t("SELECT uniqCombined(x), uniqHLL12(y), uniqTheta(z)") ==
+      "SELECT count(DISTINCT x), count(DISTINCT y), count(DISTINCT z)")
   }
 
   test("SETTINGS: performance/resource settings drop as identities; " +
