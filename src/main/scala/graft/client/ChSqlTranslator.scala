@@ -343,12 +343,20 @@ object ChSqlTranslator {
     // Exact nearest-rank quantiles — full materialization per group,
     // exactly like the server's quantileExact family (it sorts the whole
     // value set too). Spark has no non-interpolating percentile, so the
-    // honest mapping is an explicit sorted-array pick:
-    //  - quantileExact(p)(x): 0-based index floor(p*n) (ClickHouse
-    //    QuantileExact.h), i.e. 1-based rank floor(p*n)+1, clamped to n;
-    //  - quantileExactLow(p)(x): rank max(ceil(p*n), 1) — the SQL
-    //    percentile_disc / DuckDB quantile_disc semantics;
+    // honest mapping is an explicit sorted-array pick. Per ClickHouse
+    // QuantileExact.h, ALL THREE nearest-rank variants use the same
+    // 0-based index floor(p*n) (1-based rank floor(p*n)+1, clamped) for
+    // p != 0.5; they differ only in the median special case:
+    //  - quantileExact(p)(x): rank floor(p*n)+1 everywhere (its p=0.5
+    //    truncation already lands on the upper middle for even n);
+    //  - quantileExactLow(0.5): LOWER of the two middles (rank ceil(n/2),
+    //    python median_low) — the CASE below compares p at runtime;
+    //  - quantileExactHigh(0.5): upper middle rank floor(n/2)+1, which
+    //    equals floor(0.5*n)+1 for every n — numerically identical to
+    //    quantileExact, mapped to the same pick;
     //  - medianExact(x) = quantileExact(0.5)(x).
+    // quantileExactExclusive is the Excel PERCENTILE.EXC interpolation
+    // (h = p*(n+1), clamped to the ends), Float64 result like the server.
     // NULLs skip (collect_list drops them; n counts non-NULL), all-NULL
     // groups return NULL. quantileExactInclusive stays the interpolating
     // percentile mapping above — different server function, different
@@ -362,11 +370,34 @@ object ChSqlTranslator {
       exactRank(x, s"least(CAST(floor(($p) * count($x)) AS INT) + 1, " +
         s"CAST(count($x) AS INT))")
     def exactLowRank(x: String, p: String): String =
-      exactRank(x, s"greatest(CAST(ceil(($p) * count($x)) AS INT), 1)")
+      exactRank(x, s"CASE WHEN ($p) = 0.5 THEN " +
+        s"CAST(ceil(count($x) / 2.0) AS INT) " +
+        s"ELSE least(CAST(floor(($p) * count($x)) AS INT) + 1, " +
+        s"CAST(count($x) AS INT)) END")
+    def exactExclusive(x: String, p: String): String = {
+      val n = s"count($x)"
+      val h = s"(($p) * ($n + 1))"
+      val k = s"CAST(floor($h) AS INT)"
+      val sorted = s"sort_array(collect_list($x))"
+      s"CASE WHEN $n = 0 THEN NULL " +
+        s"WHEN $k < 1 THEN CAST(element_at($sorted, 1) AS DOUBLE) " +
+        s"WHEN $k >= $n THEN CAST(element_at($sorted, CAST($n AS INT)) AS DOUBLE) " +
+        s"ELSE CAST(element_at($sorted, $k) AS DOUBLE) + " +
+        s"($h - $k) * (CAST(element_at($sorted, $k + 1) AS DOUBLE) - " +
+        s"CAST(element_at($sorted, $k) AS DOUBLE)) END"
+    }
+    s = rewriteParamCall(s, "quantilesExactExclusive", (params, args) =>
+      s"array(${params.map(p => exactExclusive(args.head, p)).mkString(", ")})")
+    s = rewriteParamCall(s, "quantilesExactHigh", (params, args) =>
+      s"array(${params.map(p => exactDefaultRank(args.head, p)).mkString(", ")})")
     s = rewriteParamCall(s, "quantilesExactLow", (params, args) =>
       s"array(${params.map(p => exactLowRank(args.head, p)).mkString(", ")})")
     s = rewriteParamCall(s, "quantilesExact", (params, args) =>
       s"array(${params.map(p => exactDefaultRank(args.head, p)).mkString(", ")})")
+    s = rewriteParamCall(s, "quantileExactExclusive",
+      (params, args) => exactExclusive(args.head, params.head))
+    s = rewriteParamCall(s, "quantileExactHigh",
+      (params, args) => exactDefaultRank(args.head, params.head))
     s = rewriteParamCall(s, "quantileExactLow",
       (params, args) => exactLowRank(args.head, params.head))
     s = rewriteParamCall(s, "quantileExact",

@@ -1955,7 +1955,13 @@ object ConnectorQueries {
         |  quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
         |    AS med_low,
         |  list_sort(list(CAST(round(o_totalprice * 100) AS BIGINT)))[
-        |    CAST(floor(0.5 * count(*)) AS INT) + 1] AS med_exact
+        |    CAST(floor(0.5 * count(*)) AS INT) + 1] AS med_exact,
+        |  list_sort(list(CAST(round(o_totalprice * 100) AS BIGINT)))[
+        |    least(CAST(floor(0.25 * count(*)) AS INT) + 1,
+        |          CAST(count(*) AS INT))] AS q1_high,
+        |  list_sort(list(CAST(round(o_totalprice * 100) AS BIGINT)))[
+        |    least(CAST(floor(0.1 * count(*)) AS INT) + 1,
+        |          CAST(count(*) AS INT))] AS p10_low
         |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val ch = graft.session.ClickHouseSession.builder(s)
@@ -1965,8 +1971,55 @@ object ConnectorQueries {
         """SELECT `o_orderpriority` AS pri,
           |  quantileExactLow(0.5)(toInt64(round(`o_totalprice` * 100)))
           |    AS med_low,
-          |  medianExact(toInt64(round(`o_totalprice` * 100))) AS med_exact
+          |  medianExact(toInt64(round(`o_totalprice` * 100))) AS med_exact,
+          |  quantileExactHigh(0.25)(toInt64(round(`o_totalprice` * 100)))
+          |    AS q1_high,
+          |  quantileExactLow(0.1)(toInt64(round(`o_totalprice` * 100)))
+          |    AS p10_low
           |FROM `main`.`orders` GROUP BY `o_orderpriority`""".stripMargin)
+    },
+
+    // r64: the quantileExact family at FIXED group sizes (nation is 25
+    // rows at every sf: 13 even keys / 12 odd keys), pinning exactly the
+    // boundaries the r12 advisor flagged: integer p*n (p=0.25 over n=12:
+    // server rank floor(p*n)+1 = 4th, NOT ceil(p*n) = 3rd), the
+    // lower-vs-upper middle split at p=0.5 over even n (Low 11 vs High 13
+    // on the odd-key group), and the Exclusive interpolation (exact in
+    // float64: quarter-fraction h over integer picks).
+    q("r64_exact_quantile_boundary",
+      """SELECT CAST(n_nationkey % 2 AS BIGINT) AS grp,
+        |  list_sort(list(CAST(n_nationkey AS BIGINT)))[
+        |    least(CAST(floor(0.25 * count(*)) AS INT) + 1,
+        |          CAST(count(*) AS INT))] AS q1_low,
+        |  list_sort(list(CAST(n_nationkey AS BIGINT)))[
+        |    least(CAST(floor(0.25 * count(*)) AS INT) + 1,
+        |          CAST(count(*) AS INT))] AS q1_exact,
+        |  list_sort(list(CAST(n_nationkey AS BIGINT)))[
+        |    CAST(floor(0.5 * count(*)) AS INT) + 1] AS med_high,
+        |  list_sort(list(CAST(n_nationkey AS BIGINT)))[
+        |    CAST(ceil(count(*) / 2.0) AS INT)] AS med_low,
+        |  CAST(list_sort(list(CAST(n_nationkey AS BIGINT)))[
+        |      CAST(floor(0.25 * (count(*) + 1)) AS INT)] AS DOUBLE)
+        |    + (0.25 * (count(*) + 1)
+        |       - CAST(floor(0.25 * (count(*) + 1)) AS INT))
+        |      * (CAST(list_sort(list(CAST(n_nationkey AS BIGINT)))[
+        |            CAST(floor(0.25 * (count(*) + 1)) AS INT) + 1] AS DOUBLE)
+        |         - CAST(list_sort(list(CAST(n_nationkey AS BIGINT)))[
+        |            CAST(floor(0.25 * (count(*) + 1)) AS INT)] AS DOUBLE))
+        |    AS q1_exc
+        |FROM nation GROUP BY CAST(n_nationkey % 2 AS BIGINT)""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT toInt64(`n_nationkey` % 2) AS grp,
+          |  quantileExactLow(0.25)(toInt64(`n_nationkey`)) AS q1_low,
+          |  quantileExact(0.25)(toInt64(`n_nationkey`)) AS q1_exact,
+          |  quantileExactHigh(0.5)(toInt64(`n_nationkey`)) AS med_high,
+          |  quantileExactLow(0.5)(toInt64(`n_nationkey`)) AS med_low,
+          |  quantileExactExclusive(0.25)(toInt64(`n_nationkey`)) AS q1_exc
+          |FROM `main`.`nation` GROUP BY toInt64(`n_nationkey` % 2)""".stripMargin)
     },
 
     // r61: GLOBAL-broadcast dim join on a sharded catalog (VERDICT r11

@@ -228,18 +228,36 @@ class TranslatorSpec extends AnyFunSuite {
   }
 
   test("exact nearest-rank quantiles map to sorted-array picks: " +
-    "quantileExact rank floor(p*n)+1, quantileExactLow rank ceil(p*n) " +
-    "(percentile_disc), medianExact = quantileExact(0.5); the " +
-    "interpolating Inclusive mapping is untouched") {
+    "quantileExact/High rank floor(p*n)+1, quantileExactLow the same " +
+    "EXCEPT p=0.5 picks the lower middle (QuantileExact.h), " +
+    "quantileExactExclusive interpolates h=p*(n+1); medianExact = " +
+    "quantileExact(0.5); the interpolating Inclusive mapping is untouched") {
     val q = t("SELECT quantileExact(0.25)(v) FROM db.tbl")
     assert(q.contains("least(CAST(floor((0.25) * count(v)) AS INT) + 1, " +
       "CAST(count(v) AS INT))"), q)
     assert(q.contains("element_at(sort_array(collect_list(v))"), q)
     assert(q.contains("CASE WHEN count(v) = 0 THEN NULL"), q)
-    val lo = t("SELECT quantileExactLow(0.5)(v) FROM db.tbl")
-    assert(lo.contains("greatest(CAST(ceil((0.5) * count(v)) AS INT), 1)"), lo)
+    // High is numerically identical to quantileExact at every level
+    // (QuantileExact.h: both truncate to floor(p*n); High's p=0.5 special
+    // case floor(n/2) equals that truncation for odd and even n)
+    assert(t("SELECT quantileExactHigh(0.25)(v) FROM db.tbl") == q)
+    // Low: same rank for p != 0.5, runtime CASE picks the LOWER middle
+    // (rank ceil(n/2)) at exactly p = 0.5 — at integer p*n boundaries the
+    // non-median rank is floor(p*n)+1, NOT ceil(p*n) (advisor r12: server
+    // quantileExactLow(0.1) over 10 rows is the 2nd smallest)
+    val lo = t("SELECT quantileExactLow(0.1)(v) FROM db.tbl")
+    assert(lo.contains("CASE WHEN (0.1) = 0.5 THEN " +
+      "CAST(ceil(count(v) / 2.0) AS INT) ELSE least(CAST(floor((0.1) * " +
+      "count(v)) AS INT) + 1, CAST(count(v) AS INT)) END"), lo)
     val med = t("SELECT medianExact(v) AS m FROM db.tbl")
     assert(med.contains("floor((0.5) * count(v))"), med)
+    // Exclusive: PERCENTILE.EXC interpolation, Float64 result, clamped
+    val ex = t("SELECT quantileExactExclusive(0.25)(v) FROM db.tbl")
+    assert(ex.contains("((0.25) * (count(v) + 1))"), ex)
+    assert(ex.contains("WHEN CAST(floor(((0.25) * (count(v) + 1))) AS INT)" +
+      " < 1 THEN CAST(element_at(sort_array(collect_list(v)), 1) AS DOUBLE)"),
+      ex)
+    assert(ex.contains("AS DOUBLE)) END"), ex)
     // Inclusive stays percentile_cont — different server function
     assert(t("SELECT quantileExactInclusive(0.25)(v)") ==
       "SELECT percentile(v, 0.25)")
@@ -251,7 +269,12 @@ class TranslatorSpec extends AnyFunSuite {
       pl.contains("floor((0.75) * count(v))"), pl)
     val plLow = t("SELECT quantilesExactLow(0.5)(v) FROM db.tbl")
     assert(plLow.contains("array(") &&
-      plLow.contains("ceil((0.5) * count(v))"), plLow)
+      plLow.contains("CASE WHEN (0.5) = 0.5"), plLow)
+    assert(t("SELECT quantilesExactHigh(0.25, 0.75)(v) FROM db.tbl") ==
+      t("SELECT quantilesExact(0.25, 0.75)(v) FROM db.tbl"))
+    val plEx = t("SELECT quantilesExactExclusive(0.25, 0.75)(v) FROM db.tbl")
+    assert(plEx.contains("(0.25) * (count(v) + 1)") &&
+      plEx.contains("(0.75) * (count(v) + 1)"), plEx)
     // approximate families map to exact legal instances (the uniq rule):
     // reservoir quantile/median → exact interpolated percentile;
     // uniqCombined/HLL12/Theta → exact COUNT(DISTINCT)
