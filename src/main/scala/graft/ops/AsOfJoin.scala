@@ -73,6 +73,26 @@ object AsOfJoin {
     compose(left, right, Seq(keyCol), leftTs, rightTs, rightOrder, payload,
       leftJoin = false)
 
+  /** Direction/strictness variant: `op` is the ON inequality
+    * `rightTs OP leftTs`, one of `<=` (default elsewhere: latest right
+    * at-or-before), `<` (latest strictly before), `>=` (EARLIEST right
+    * at-or-after — the "next event" lookup), `>` (earliest strictly
+    * after). `leftJoin = false` drops unmatched left rows (server
+    * `ASOF JOIN` vs `ASOF LEFT JOIN`).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightOrder: String,
+      payload: Seq[String],
+      op: String,
+      leftJoin: Boolean): DataFrame =
+    compose(left, right, keyCols, leftTs, rightTs, rightOrder, payload,
+      leftJoin, op)
+
   private def compose(
       left: DataFrame,
       right: DataFrame,
@@ -81,7 +101,11 @@ object AsOfJoin {
       rightTs: String,
       rightOrder: String,
       payload: Seq[String],
-      leftJoin: Boolean): DataFrame = {
+      leftJoin: Boolean,
+      op: String = "<="): DataFrame = {
+    require(graft.pushdown.ChAsOfJoin.Ops(op),
+      s"as-of join inequality must be one of " +
+        s"${graft.pushdown.ChAsOfJoin.Ops.mkString(", ")}: $op")
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
     val payloadStruct = struct(payload.map(right(_)): _*)
     val kAs = keyCols.indices.map(i => s"__k$i")
@@ -99,10 +123,18 @@ object AsOfJoin {
       struct(leftCols.map(left(_)): _*).as("__left")): _*)
     val unioned = r.withColumn("__left", lit(null).cast(l.schema("__left").dataType))
       .unionByName(l)
-    // right rows sort before left rows at equal time (inclusive <=);
-    // among equal-time right rows the greatest __ord wins
+    // direction-aware scan (mirrors ChAsOfJoin.expand): backward ops scan
+    // time ascending (running last = latest right at-or-before), forward
+    // ops descending (earliest right at-or-after); inclusive ops put right
+    // rows first at equal time, strict ops left first; among equal-time
+    // right rows the greatest __ord wins
+    val forward = op == ">=" || op == ">"
+    val strict = op == "<" || op == ">"
     val w = Window.partitionBy(kAs.map(col): _*)
-      .orderBy(col("__t"), col("__kind"), col("__ord").asc_nulls_last)
+      .orderBy(
+        if (forward) col("__t").desc else col("__t").asc,
+        if (strict) col("__kind").desc else col("__kind").asc,
+        col("__ord").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched0 = unioned
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
@@ -162,6 +194,24 @@ object AsOfJoin {
     planned(left, right, Seq(keyCol), leftTs, rightTs, rightOrder, payload,
       leftJoin = false)
 
+  /** Planner-aware direction/strictness variant: `op` as in the
+    * eight-argument [[asofJoin]]; collapses to server-native
+    * `ASOF [LEFT] JOIN ... AND rightTs OP leftTs` on one store, lowers to
+    * the direction-aware local composition otherwise.
+    */
+  def asofJoinPlanned(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightOrder: String,
+      payload: Seq[String],
+      op: String,
+      leftJoin: Boolean): DataFrame =
+    planned(left, right, keyCols, leftTs, rightTs, rightOrder, payload,
+      leftJoin, op)
+
   private def planned(
       left: DataFrame,
       right: DataFrame,
@@ -170,13 +220,14 @@ object AsOfJoin {
       rightTs: String,
       rightOrder: String,
       payload: Seq[String],
-      leftJoin: Boolean): DataFrame = {
+      leftJoin: Boolean,
+      op: String = "<="): DataFrame = {
     val spark = left.sparkSession
     val installed = spark.experimental.extraOptimizations
       .contains(graft.pushdown.ClickHouseFunctionPushdown)
     if (!installed)
       return compose(left, right, keyCols, leftTs, rightTs, rightOrder,
-        payload, leftJoin)
+        payload, leftJoin, op)
     // narrow the right side to what the join consumes (the marker node is
     // opaque to column pruning)
     val rCols = (keyCols ++ Seq(rightTs, rightOrder) ++ payload).distinct
@@ -200,7 +251,8 @@ object AsOfJoin {
       payload.map(c => s"asof_$c"),
       payloadAttrs.map(_ =>
         org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId),
-      leftJoin = leftJoin)
+      leftJoin = leftJoin,
+      op = op)
     org.apache.spark.sql.graft.bridge.ofRows(spark, node)
   }
 }

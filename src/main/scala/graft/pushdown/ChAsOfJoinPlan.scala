@@ -6,9 +6,11 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.types._
 
 /** Logical as-of join marker (point-in-time join): for every left row,
-  * the latest right row with `rightTime <= leftTime` in the same
-  * `leftKey = rightKey` group, left rows kept (NULL payload when no
-  * match) — ClickHouse's `ASOF LEFT JOIN` semantics.
+  * the CLOSEST right row satisfying `rightTime OP leftTime` in the same
+  * `leftKey = rightKey` group (latest for the backward ops `<=`/`<`,
+  * earliest for the forward ops `>=`/`>`), left rows kept (NULL payload
+  * when no match) — ClickHouse's `ASOF LEFT JOIN` semantics with its
+  * full direction/strictness surface.
   *
   * The node exists so [[ClickHouseFunctionPushdown]] can SEE the as-of
   * intent: when both children collapse to the same store, the join ships
@@ -38,9 +40,17 @@ case class ChAsOfJoin(
     payloadOutNames: Seq[String],
     payloadOutIds: Seq[ExprId],
     /** false = ASOF (inner): left rows without a match are dropped. */
-    leftJoin: Boolean = true)
+    leftJoin: Boolean = true,
+    /** The ON inequality `rightTime OP leftTime` — ClickHouse accepts all
+      * four: `<=` (default: latest right at-or-before), `<` (latest right
+      * strictly before), `>=` (EARLIEST right at-or-after — the "next
+      * event" lookup), `>` (earliest right strictly after).
+      */
+    op: String = "<=")
   extends BinaryNode {
 
+  require(ChAsOfJoin.Ops(op),
+    s"as-of join inequality must be one of ${ChAsOfJoin.Ops.mkString(", ")}: $op")
   require(payload.length == payloadOutNames.length &&
     payload.length == payloadOutIds.length, "payload arity mismatch")
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
@@ -102,13 +112,23 @@ case class ChAsOfJoin(
     val u = Union(Seq(rProj, lProj))
     val kAs = u.output.take(n)
     val Seq(tA, kindA, ordA, payA, leftA) = u.output.drop(n)
-    // right rows sort before left rows at equal time (inclusive match);
-    // among equal-time right rows the greatest __ord wins
+    // One running scan per key group, direction-aware:
+    //  - backward ops (<=, <) scan time ASCENDING: the running last()
+    //    right payload is the LATEST right at-or-before each left row;
+    //  - forward ops (>=, >) scan time DESCENDING: the running last()
+    //    is the EARLIEST right at-or-after.
+    // At equal time, INCLUSIVE ops put right rows first (kind 0 < 1: an
+    // equal-time right row DOES match); STRICT ops put left rows first
+    // (an equal-time right row must NOT match). Among equal-time right
+    // rows the greatest __ord wins in either direction (deterministic
+    // tie-break; the server leaves this unspecified).
+    val forward = op == ">=" || op == ">"
+    val strict = op == "<" || op == ">"
     val spec = WindowSpecDefinition(
       partitionSpec = kAs,
       orderSpec = Seq(
-        SortOrder(tA, Ascending),
-        SortOrder(kindA, Ascending),
+        SortOrder(tA, if (forward) Descending else Ascending),
+        SortOrder(kindA, if (strict) Descending else Ascending),
         SortOrder(ordA, Ascending, NullsLast, Seq.empty)),
       frameSpecification = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
     val matchAlias = Alias(WindowExpression(
@@ -130,4 +150,11 @@ case class ChAsOfJoin(
     }
     Project(leftOut ++ payOut, f2)
   }
+}
+
+object ChAsOfJoin {
+  /** The four ON inequalities ClickHouse ASOF accepts, `rightTime OP
+    * leftTime` orientation.
+    */
+  val Ops: Set[String] = Set("<=", "<", ">=", ">")
 }

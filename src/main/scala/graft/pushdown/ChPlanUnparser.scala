@@ -167,7 +167,7 @@ object ChPlanUnparser {
           Unparsed(
             s"SELECT $sel FROM (${l.sql}) AS ${sub()} $kw " +
               s"(${r.sql}) AS ${sub()} ON ${eqs.mkString(" AND ")} " +
-              s"AND $rt <= $lt SETTINGS join_use_nulls = 1",
+              s"AND $rt ${aj.op} $lt SETTINGS join_use_nulls = 1",
             l.scope ++ aj.payloadOut.map(a => a.exprId -> aliasOf(a.exprId)).toMap)
         }
 

@@ -1927,6 +1927,34 @@ object ConnectorQueries {
         left, right, "k", "ts", "qts", "qcents", Seq("qcents"))
     },
 
+    // r63: REVERSED-direction as-of join (`>=`: for every order, the
+    // EARLIEST quote at-or-after its date — the "next event" lookup,
+    // VERDICT r12 item 1). Same one-remote-statement collapse as r58
+    // (GatePlanSpec pins it); DuckDB's ASOF oracle expresses the forward
+    // direction as `l.ts <= r.ts`. Quote side stays (k, qts)-unique by
+    // construction (tie picks are unspecified on every engine).
+    q("r63_remote_asof_forward",
+      """WITH qt AS (
+        |  SELECT o_custkey AS k, o_orderdate AS qts,
+        |         max(CAST(round(o_totalprice * 100) AS BIGINT)) AS qcents
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  GROUP BY o_custkey, o_orderdate)
+        |SELECT o.o_orderkey AS ok, o.o_custkey AS k, o.o_orderdate AS ts,
+        |       q.qcents AS asof_qcents
+        |FROM orders o ASOF LEFT JOIN qt q
+        |  ON o.o_custkey = q.k AND o.o_orderdate <= q.qts""".stripMargin) { (s, _) =>
+      val left = s.table("clickhouse.main.orders").select(
+        col("o_orderkey").as("ok"), col("o_custkey").as("k"),
+        col("o_orderdate").as("ts"))
+      val right = s.table("clickhouse.main.orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("qts"))
+        .agg(max(round(col("o_totalprice") * 100).cast("bigint")).as("qcents"))
+      graft.ops.AsOfJoin.asofJoinPlanned(
+        left, right, Seq("k"), "ts", "qts", "qcents", Seq("qcents"),
+        op = ">=", leftJoin = true)
+    },
+
     // r59: WITH TOTALS through the raw-SQL passthrough — the embedded
     // engine rewrites it to GROUPING SETS ((keys), ()) (NULL-keyed totals
     // row, matching the DuckDB oracle's grouping-sets output); HTTP

@@ -203,6 +203,59 @@ class AsofJoinSpec extends AnyFunSuite {
     } finally mock.close()
   }
 
+  test("direction/strictness variants (<=, <, >=, >): the collapse ships " +
+    "the exact inequality, the local composition agrees bit for bit, and " +
+    "hand-checked picks pin the semantics of each operator") {
+    val ev = spark.table("chasof.db.ev")
+    val qt = spark.table("chasof.db.qt")
+    // k=1 quotes: qts [3, 20, 37, 54, 71, 88], price 1000 + 7*seq.
+    // Hand-picks at (k=1, ts): the boundary row ts=20 hits qts=20 exactly,
+    // so inclusive vs strict differ there; the ends pin direction.
+    val expect = Map(
+      "<=" -> Map(0L -> None, 20L -> Some(1007L), 90L -> Some(1035L)),
+      "<" -> Map(0L -> None, 20L -> Some(1000L), 90L -> Some(1035L)),
+      ">=" -> Map(0L -> Some(1000L), 20L -> Some(1007L), 90L -> None),
+      ">" -> Map(0L -> Some(1000L), 20L -> Some(1014L), 90L -> None))
+    for (op <- Seq("<=", "<", ">=", ">")) {
+      val planned = AsOfJoin.asofJoinPlanned(
+        ev, qt, Seq("k"), "ts", "qts", "seq", Seq("price"),
+        op = op, leftJoin = true)
+      val execs = flat(planned).collect { case e: ClickHouseRemoteExec => e }
+      assert(execs.length == 1, s"$op: one remote exec")
+      assert(execs.head.sql.contains(s" $op "), s"$op: ${execs.head.sql}")
+      val local = AsOfJoin.asofJoin(
+        ev, qt, Seq("k"), "ts", "qts", "seq", Seq("price"),
+        op = op, leftJoin = true)
+      assert(rows(planned) == rows(local), s"$op: paths must agree")
+      val got = planned.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      expect(op).foreach { case (ts, want) =>
+        assert(got((1L, ts)) == want, s"$op at (k=1, ts=$ts)")
+      }
+      // k=5 has no quotes: NULL payload in every direction (LEFT join)
+      assert(got((5L, 30L)).isEmpty, s"$op: unmatched left row")
+    }
+    // strict INNER forward: unmatched rows DROP (k=1 ts=90 has no later
+    // quote; k=5 has none at all)
+    val innerFwd = AsOfJoin.asofJoinPlanned(
+      ev, qt, Seq("k"), "ts", "qts", "seq", Seq("price"),
+      op = ">", leftJoin = false)
+    val innerLocal = AsOfJoin.asofJoin(
+      ev, qt, Seq("k"), "ts", "qts", "seq", Seq("price"),
+      op = ">", leftJoin = false)
+    assert(rows(innerFwd) == rows(innerLocal))
+    val gotI = innerFwd.collect()
+    assert(!gotI.exists(_.getLong(0) == 5L))
+    assert(!gotI.exists(r => r.getLong(0) == 1L && r.getLong(1) == 90L))
+    assert(gotI.forall(!_.isNullAt(3)))
+    // a bogus operator rejects loudly on both paths
+    val e = intercept[IllegalArgumentException](AsOfJoin.asofJoin(
+      ev, qt, Seq("k"), "ts", "qts", "seq", Seq("price"),
+      op = "!=", leftJoin = true))
+    assert(e.getMessage.contains("inequality"), e.getMessage)
+  }
+
   test("a session without the pushdown rule gets the local composition " +
     "directly (no marker node ever built)") {
     val s2 = spark.newSession()

@@ -118,24 +118,29 @@ class GatePlanSpec extends AnyFunSuite {
     }
   }
 
-  test("r58 as-of join collapses to ONE remote ASOF LEFT JOIN exec: no " +
-    "Spark-side join, window, or shuffle — neither event stream crosses " +
-    "the wire") {
-    val df: DataFrame = SparkEntry.queries("r58_remote_asof_join")(spark, sfDir)
-    assert(df.count() > 0)
-    val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
-    val remotes = all.collect { case r: graft.pushdown.ClickHouseRemoteExec => r }
-    assert(remotes.size == 1, s"one remote exec:\n${all.head}")
-    assert(remotes.head.sql.contains("ASOF LEFT JOIN"), remotes.head.sql)
-    assert(!all.exists(_.isInstanceOf[
-      org.apache.spark.sql.execution.joins.BaseJoinExec]),
-      s"the join must run in the store:\n${all.head}")
-    assert(!all.exists(_.isInstanceOf[
-      org.apache.spark.sql.execution.window.WindowExec]),
-      s"the as-of pick must run in the store:\n${all.head}")
-    assert(!all.exists(_.isInstanceOf[
-      org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
-      s"collapsed as-of must be exchange-free:\n${all.head}")
+  test("r58/r63 as-of joins collapse to ONE remote ASOF LEFT JOIN exec " +
+    "(r63 with the REVERSED `>=` inequality): no Spark-side join, window, " +
+    "or shuffle — neither event stream crosses the wire") {
+    for ((name, ineq) <- Seq(
+        "r58_remote_asof_join" -> "<=", "r63_remote_asof_forward" -> ">=")) {
+      val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+      assert(df.count() > 0)
+      val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
+      val remotes = all.collect { case r: graft.pushdown.ClickHouseRemoteExec => r }
+      assert(remotes.size == 1, s"$name: one remote exec:\n${all.head}")
+      assert(remotes.head.sql.contains("ASOF LEFT JOIN"), remotes.head.sql)
+      assert(remotes.head.sql.contains(s" $ineq "), s"$name shipped ON " +
+        s"inequality must be $ineq: ${remotes.head.sql}")
+      assert(!all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]),
+        s"$name: the join must run in the store:\n${all.head}")
+      assert(!all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.window.WindowExec]),
+        s"$name: the as-of pick must run in the store:\n${all.head}")
+      assert(!all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+        s"$name: collapsed as-of must be exchange-free:\n${all.head}")
+    }
   }
 
   test("r61 sharded GLOBAL dim join collapses per shard with the dim " +
