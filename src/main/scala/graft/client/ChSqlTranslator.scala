@@ -65,6 +65,24 @@ object ChSqlTranslator {
     "covarSamp" -> "covar_samp",
     "covarPop" -> "covar_pop")
 
+  /** Pin the one honest totals mode on a statement combining WITH TOTALS
+    * and HAVING: append (or merge into a trailing SETTINGS clause)
+    * `totals_mode = 'after_having_exclusive'` — the mode the embedded
+    * rewrite implements — so a real server receiving the statement
+    * verbatim behaves identically regardless of its configured default.
+    * A statement that already names totals_mode is left untouched (the
+    * embedded engine then honors-or-rejects the author's choice).
+    */
+  def pinTotalsMode(sql: String): String = {
+    if (!raw"(?i)\bTOTALS\b".r.findFirstIn(sql).isDefined ||
+      !raw"(?i)\bHAVING\b".r.findFirstIn(sql).isDefined) return sql
+    if (raw"(?i)\btotals_mode\b".r.findFirstIn(sql).isDefined) return sql
+    val trimmed = sql.replaceAll(raw"[;\s]+$$", "")
+    if (topLevelPositions(trimmed, "SETTINGS").nonEmpty)
+      trimmed + ", totals_mode = 'after_having_exclusive'"
+    else trimmed + " SETTINGS totals_mode = 'after_having_exclusive'"
+  }
+
   def translate(chSql: String, tables: Seq[(String, String)]): String = {
     var s = chSql
     // PREWHERE is an evaluation-order hint with WHERE semantics: on one
@@ -1056,9 +1074,21 @@ object ChSqlTranslator {
   // DuckDB oracle's GROUPING SETS emits, so embedded results stay
   // hash-comparable. (A NULL-valued key group is then indistinguishable
   // from the totals row — the standard ROLLUP ambiguity, same contract.)
-  // WITH TOTALS + HAVING rejects loudly: the server's totals_mode setting
-  // family makes the interaction configuration-dependent, and a silently
-  // picked mode would be a lie.
+  //
+  // WITH TOTALS + HAVING: the server's totals_mode setting decides which
+  // rows feed the totals. The embedded engine PINS ONE HONEST MODE —
+  // `after_having_exclusive` (totals aggregate ONLY rows of groups that
+  // survive HAVING) — implemented by restricting base rows to the
+  // surviving key groups (a LEFT SEMI JOIN on null-safe `<=>` key
+  // equality, so NULL-keyed surviving groups keep their rows — an IN
+  // subquery would silently drop them) and dropping the HAVING (every
+  // restricted per-key group satisfies it by construction; the server
+  // never filters the totals row itself).
+  // [[graft.session.ClickHouseSession.chSql]] pins the same mode on
+  // statements shipped to real servers, so the contract holds across
+  // transports; `SETTINGS totals_mode = 'after_having_exclusive'` is
+  // accepted (it names the implemented behavior), every other
+  // totals_mode value rejects loudly.
 
   private def rewriteTotals(in: String): String = {
     if (!raw"(?i)\bTOTALS\b".r.findFirstIn(in).isDefined) return in
@@ -1082,13 +1112,51 @@ object ChSqlTranslator {
       throw new IllegalArgumentException("malformed GROUP BY before WITH TOTALS"))
     val keys = s.substring(gp + bym.end, wp).trim
     require(keys.nonEmpty, "WITH TOTALS: empty GROUP BY key list")
-    require(topLevelPositions(s, "HAVING").isEmpty,
-      "WITH TOTALS combined with HAVING is not supported by the embedded " +
-        "engine (the server's totals_mode setting family makes the " +
-        "interaction configuration-dependent); filter in an outer query")
-    rewriteTotalsLevel(
-      s.substring(0, gp) + s"GROUP BY GROUPING SETS (($keys), ())" +
-        s.substring(tp + 6))
+    val sets = s"GROUP BY GROUPING SETS (($keys), ())"
+    topLevelPositions(s, "HAVING").find(_ > gp) match {
+      case None =>
+        rewriteTotalsLevel(s.substring(0, gp) + sets + s.substring(tp + 6))
+      case Some(hv) =>
+        require(hv > tp,
+          "WITH TOTALS: HAVING must follow the GROUP BY ... WITH TOTALS " +
+            "clause (ClickHouse clause order)")
+        // pinned totals_mode = 'after_having_exclusive' (see header)
+        val selPos = topLevelPositions(s, "SELECT").headOption.getOrElse(
+          throw new IllegalArgumentException("WITH TOTALS outside a SELECT"))
+        val fromPos = topLevelPositions(s, "FROM")
+          .filter(p => p > selPos && p < gp).lastOption.getOrElse(
+            throw new IllegalArgumentException(
+              "WITH TOTALS + HAVING requires a FROM clause"))
+        val hvEnd = Seq("ORDER", "LIMIT", "UNION", "SETTINGS", "FORMAT",
+            "OFFSET", "WINDOW")
+          .flatMap(k => topLevelPositions(s, k)).filter(_ > hv)
+          .sorted.headOption.getOrElse(s.length)
+        val cond = s.substring(hv + 6, hvEnd).trim
+        require(cond.nonEmpty, "WITH TOTALS: empty HAVING condition")
+        // FROM ... [WHERE ...] verbatim — reused for the surviving-group
+        // probe (same source text, so the probe sees the same rows)
+        val srcSeg = s.substring(fromPos, gp).trim
+        val keyList = parseArgs("(" + keys + ")", 1)._1.map(_.trim)
+        val probe = "SELECT " + keyList.zipWithIndex
+          .map { case (k, i) => s"$k AS __totals_k$i" }.mkString(", ") +
+          s" $srcSeg GROUP BY $keys HAVING $cond"
+        // null-safe key equality: a NULL-keyed group surviving HAVING
+        // must keep its rows (IN-subquery three-valued logic would drop
+        // them). The semi join inserts between the source and the WHERE.
+        val eqs = keyList.zipWithIndex.map { case (k, i) =>
+          s"($k) <=> __totals_keep.__totals_k$i" }.mkString(" AND ")
+        val semi = s" LEFT SEMI JOIN ($probe) AS __totals_keep ON $eqs"
+        val joinAt = topLevelPositions(s, "WHERE")
+          .find(p => p > fromPos && p < gp).getOrElse(gp)
+        val headBase = s.substring(0, joinAt).replaceAll(raw"\s+$$", "")
+        val whereSeg = s.substring(joinAt, gp).trim // "" or "WHERE ..."
+        val head = headBase + semi +
+          (if (whereSeg.isEmpty) " " else s" $whereSeg ")
+        val tailStr =
+          (s.substring(tp + 6, hv).trim + " " + s.substring(hvEnd).trim).trim
+        rewriteTotalsLevel(head + sets +
+          (if (tailStr.isEmpty) "" else " " + tailStr))
+    }
   }
 
   // ---- SETTINGS clause handling (embedded) ----------------------------
@@ -1124,8 +1192,16 @@ object ChSqlTranslator {
     val body = s.substring(sp + 8, end).trim.stripSuffix(";").trim
     val items = body.split(",").map(_.trim).filter(_.nonEmpty)
     val offenders = items.flatMap { it =>
-      val name = it.split("=", 2).head.trim.toLowerCase
-      if (IdentitySettings.contains(name)) None else Some(name)
+      val Array(name0, value0 @ _*) = it.split("=", 2).map(_.trim): @unchecked
+      val name = name0.toLowerCase
+      val value = value0.headOption.getOrElse("")
+        .stripPrefix("'").stripSuffix("'").trim.toLowerCase
+      if (IdentitySettings.contains(name)) None
+      // totals_mode: 'after_having_exclusive' IS the implemented embedded
+      // behavior (the pinned WITH TOTALS + HAVING mode) — accepted and
+      // dropped; any other mode would silently change totals semantics
+      else if (name == "totals_mode" && value == "after_having_exclusive") None
+      else Some(name)
     }
     require(offenders.isEmpty,
       s"SETTINGS not supported by the embedded engine: " +

@@ -1972,6 +1972,28 @@ object ConnectorQueries {
           |FROM `main`.`documents` GROUP BY `lang` WITH TOTALS""".stripMargin)
     },
 
+    // r65: WITH TOTALS + HAVING under the pinned
+    // totals_mode = 'after_having_exclusive' contract (VERDICT r12 item
+    // 3): the totals row aggregates ONLY rows of groups surviving HAVING.
+    // The threshold (72) filters different language groups at sf0.001
+    // (de) and sf0.01 (de, fr), so the oracle distinguishes exclusive
+    // from the server-default before_having at both driver scales.
+    q("r65_totals_having",
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE lang IN (SELECT lang FROM documents
+        |               GROUP BY lang HAVING count(*) > 72)
+        |GROUP BY GROUPING SETS ((lang), ())""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `lang`, count(*) AS n, toInt64(sum(`n_chars`)) AS chars
+          |FROM `main`.`documents` GROUP BY `lang` WITH TOTALS
+          |HAVING count(*) > 72""".stripMargin)
+    },
+
     // r60: exact nearest-rank quantiles (quantileExact family), mapped
     // honestly to sorted-array picks rather than rejected (VERDICT r11
     // item 4). quantileExactLow == DuckDB quantile_disc (rank ceil(p*n));

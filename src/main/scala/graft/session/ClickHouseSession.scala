@@ -42,12 +42,17 @@ final class ClickHouseSession private (
     */
   def chSql(chSelectSql: String, streams: Int = 8): DataFrame = {
     require(streams > 0, s"streams must be positive: $streams")
-    val schema = client.describeQuery(chSelectSql)
+    // WITH TOTALS + HAVING: pin the one documented totals mode
+    // (after_having_exclusive) on the shipped statement, so a real server
+    // behaves identically to the embedded rewrite regardless of its
+    // configured totals_mode default
+    val stmt = graft.client.ChSqlTranslator.pinTotalsMode(chSelectSql)
+    val schema = client.describeQuery(stmt)
     val attrs = schema.fields.toSeq.map(f =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
         f.name, f.dataType, f.nullable)())
     org.apache.spark.sql.graft.bridge.ofRows(spark,
-      graft.pushdown.ClickHouseRemoteNode(attrs, chSelectSql, client, streams))
+      graft.pushdown.ClickHouseRemoteNode(attrs, stmt, client, streams))
   }
 
   def createDatabase(db: String): Unit = client.createDatabase(db)

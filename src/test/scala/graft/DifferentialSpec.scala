@@ -798,4 +798,44 @@ class DifferentialSpec extends AnyFunSuite {
         s"totals case $i diverged (keys=$ks, cut=$cut)")
     }
   }
+
+  test("WITH TOTALS + HAVING (pinned after_having_exclusive) agrees with " +
+    "an explicit surviving-group restriction — including NULL-keyed " +
+    "groups, which the null-safe semi join must keep") {
+    val r = new Random(13131313)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    (1 to 8).foreach { i =>
+      val cut = r.nextInt(120) + 20
+      // nullIf maps one language to a NULL key: its group (largest or
+      // not) must survive/drop by the SAME HAVING rule as named groups
+      val remote = ch.chSql(
+        s"SELECT nullIf(`lang`, 'de') AS lg, count(*) AS n, " +
+          s"toInt64(sum(`n_chars`)) AS chars FROM `main`.`documents` " +
+          s"GROUP BY nullIf(`lang`, 'de') WITH TOTALS HAVING count(*) > $cut")
+      val local = spark.sql(
+        s"""SELECT lg, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM (SELECT nullif(lang, 'de') AS lg, n_chars FROM documents) d
+           |LEFT SEMI JOIN (
+           |  SELECT nullif(lang, 'de') AS klg FROM documents
+           |  GROUP BY nullif(lang, 'de') HAVING count(*) > $cut) keep
+           |ON d.lg <=> keep.klg
+           |GROUP BY GROUPING SETS ((lg), ())""".stripMargin)
+      assert(canon(remote) == canon(local),
+        s"totals+having case $i diverged (cut=$cut)")
+      // the NULL-keyed 'de' group must be PRESENT whenever it survives
+      // the cut (both a per-key row with NULL lg and its rows in totals)
+      val deCount = spark.sql(
+        "SELECT count(*) FROM documents WHERE lang = 'de'").head.getLong(0)
+      val gotNullRows = remote.collect().count(_.isNullAt(0))
+      // NULL lg appears twice when de survives (its row + totals row),
+      // once otherwise (totals row only) — unless NO group survives
+      val anySurvives = remote.collect().nonEmpty
+      if (deCount > cut) assert(gotNullRows == 2,
+        s"case $i: NULL-keyed group must survive the semi join (de=$deCount > $cut)")
+      else if (anySurvives) assert(gotNullRows == 1, s"case $i")
+    }
+  }
 }

@@ -218,13 +218,61 @@ class TranslatorSpec extends AnyFunSuite {
     // WITH ROLLUP is Spark-native: untouched
     assert(t("SELECT k, count(*) AS n FROM db.tbl GROUP BY k WITH ROLLUP") ==
       "SELECT k, count(*) AS n FROM __ch_db_tbl GROUP BY k WITH ROLLUP")
-    val e = intercept[IllegalArgumentException](
-      t("SELECT k, count(*) AS n FROM db.tbl GROUP BY k WITH TOTALS " +
-        "HAVING count(*) > 1"))
-    assert(e.getMessage.contains("totals_mode"), e.getMessage)
     val e2 = intercept[IllegalArgumentException](
       t("SELECT k FROM db.tbl TOTALS"))
     assert(e2.getMessage.contains("TOTALS without WITH"), e2.getMessage)
+  }
+
+  test("WITH TOTALS + HAVING pins totals_mode = 'after_having_exclusive': " +
+    "base rows restrict to surviving key groups (null-safe <=> semi " +
+    "join), HAVING drops (satisfied by construction; never filters the " +
+    "totals row); other totals_mode values still reject") {
+    val got = t("SELECT k, count(*) AS n FROM db.tbl GROUP BY k WITH TOTALS " +
+      "HAVING count(*) > 1")
+    assert(got ==
+      "SELECT k, count(*) AS n FROM __ch_db_tbl LEFT SEMI JOIN " +
+        "(SELECT k AS __totals_k0 FROM __ch_db_tbl GROUP BY k " +
+        "HAVING count(*) > 1) AS __totals_keep " +
+        "ON (k) <=> __totals_keep.__totals_k0 " +
+        "GROUP BY GROUPING SETS ((k), ())", got)
+    // an existing WHERE stays AFTER the injected semi join (both the
+    // probe and the restricted rows see it); multi-key + trailing
+    // ORDER BY survive around the moved clause
+    val got2 = t("SELECT a, b, sum(v) AS s FROM db.tbl WHERE v > 0 " +
+      "GROUP BY a, b WITH TOTALS HAVING sum(v) >= 10 ORDER BY a")
+    assert(got2 ==
+      "SELECT a, b, sum(v) AS s FROM __ch_db_tbl LEFT SEMI JOIN " +
+        "(SELECT a AS __totals_k0, b AS __totals_k1 FROM __ch_db_tbl " +
+        "WHERE v > 0 GROUP BY a, b HAVING sum(v) >= 10) AS __totals_keep " +
+        "ON (a) <=> __totals_keep.__totals_k0 AND " +
+        "(b) <=> __totals_keep.__totals_k1 WHERE v > 0 " +
+        "GROUP BY GROUPING SETS ((a, b), ()) ORDER BY a NULLS LAST", got2)
+    // the pinned mode may be named explicitly — accepted and dropped
+    assert(t("SELECT k, count(*) AS n FROM db.tbl GROUP BY k WITH TOTALS " +
+      "HAVING count(*) > 1 SETTINGS totals_mode = 'after_having_exclusive'")
+      .contains("GROUPING SETS ((k), ())"))
+    // any OTHER mode is a semantics the embedded engine does not implement
+    val e = intercept[IllegalArgumentException](
+      t("SELECT k, count(*) AS n FROM db.tbl GROUP BY k WITH TOTALS " +
+        "HAVING count(*) > 1 SETTINGS totals_mode = 'before_having'"))
+    assert(e.getMessage.contains("totals_mode"), e.getMessage)
+    // pinTotalsMode stamps the wire statement (merging into an existing
+    // SETTINGS clause), and leaves author-set totals_mode alone
+    import graft.client.ChSqlTranslator.pinTotalsMode
+    assert(pinTotalsMode("SELECT k FROM t GROUP BY k WITH TOTALS " +
+      "HAVING count(*) > 1") ==
+      "SELECT k FROM t GROUP BY k WITH TOTALS HAVING count(*) > 1 " +
+        "SETTINGS totals_mode = 'after_having_exclusive'")
+    assert(pinTotalsMode("SELECT k FROM t GROUP BY k WITH TOTALS " +
+      "HAVING count(*) > 1 SETTINGS max_threads = 4") ==
+      "SELECT k FROM t GROUP BY k WITH TOTALS HAVING count(*) > 1 " +
+        "SETTINGS max_threads = 4, totals_mode = 'after_having_exclusive'")
+    val authored = "SELECT k FROM t GROUP BY k WITH TOTALS " +
+      "HAVING count(*) > 1 SETTINGS totals_mode = 'before_having'"
+    assert(pinTotalsMode(authored) == authored)
+    // no HAVING → no pin (plain WITH TOTALS has no mode dependence)
+    val plain = "SELECT k FROM t GROUP BY k WITH TOTALS"
+    assert(pinTotalsMode(plain) == plain)
   }
 
   test("exact nearest-rank quantiles map to sorted-array picks: " +
