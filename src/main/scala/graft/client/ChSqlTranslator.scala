@@ -94,6 +94,7 @@ object ChSqlTranslator {
     s = stripGlobal(s)
     s = rewriteAsof(s)
     s = rewriteTotals(s)
+    s = rewriteQualify(s)
     s = rewriteSettings(s)
     // table references: `db`.`table` or db.table → __ch_db_table.
     // Applied OUTSIDE string literals only — a data value containing the
@@ -601,7 +602,8 @@ object ChSqlTranslator {
   }
 
   private val ClauseKws =
-    Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "SETTINGS")
+    Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "SETTINGS",
+      "QUALIFY")
 
   /** Keywords that end an ORDER BY item list (same nesting level). */
   private val OrderEnders = Seq(
@@ -1128,7 +1130,7 @@ object ChSqlTranslator {
             throw new IllegalArgumentException(
               "WITH TOTALS + HAVING requires a FROM clause"))
         val hvEnd = Seq("ORDER", "LIMIT", "UNION", "SETTINGS", "FORMAT",
-            "OFFSET", "WINDOW")
+            "OFFSET", "WINDOW", "QUALIFY")
           .flatMap(k => topLevelPositions(s, k)).filter(_ > hv)
           .sorted.headOption.getOrElse(s.length)
         val cond = s.substring(hv + 6, hvEnd).trim
@@ -1157,6 +1159,47 @@ object ChSqlTranslator {
         rewriteTotalsLevel(head + sets +
           (if (tailStr.isEmpty) "" else " " + tailStr))
     }
+  }
+
+  // ---- QUALIFY → wrapped WHERE rewrite ---------------------------------
+  //
+  // ClickHouse `QUALIFY <cond>` filters rows AFTER window functions
+  // evaluate (the window analog of HAVING). Spark has no QUALIFY, but the
+  // equivalent is exact: wrap the statement-so-far in a subquery and
+  // filter — the window results are ordinary columns there, and the
+  // trailing ORDER BY / LIMIT stay OUTSIDE the wrap so they apply after
+  // the filter (the server's clause order). Works at any depth via the
+  // same top-level-paren recursion as the TOTALS rewrite.
+  //
+  // Honored-or-rejected: the condition must reference window results BY
+  // SELECT ALIAS (an inline `OVER (...)` inside QUALIFY would need
+  // injecting hidden columns into the select list — rejected loudly with
+  // the alias workaround); one QUALIFY per SELECT level.
+
+  private def rewriteQualify(in: String): String = {
+    if (!raw"(?i)\bQUALIFY\b".r.findFirstIn(in).isDefined) return in
+    mapTopLevelParens(rewriteQualifyLevel(in))(rewriteQualify)
+  }
+
+  private def rewriteQualifyLevel(s: String): String = {
+    val qps = topLevelPositions(s, "QUALIFY")
+    if (qps.isEmpty) return s
+    require(qps.length == 1,
+      "multiple QUALIFY clauses at one SELECT level are not valid SQL")
+    val qp = qps.head
+    val qEnd = Seq("ORDER", "LIMIT", "UNION", "SETTINGS", "FORMAT", "OFFSET")
+      .flatMap(k => topLevelPositions(s, k)).filter(_ > qp)
+      .sorted.headOption.getOrElse(s.length)
+    val cond = s.substring(qp + 7, qEnd).trim
+    require(cond.nonEmpty, "QUALIFY: empty condition")
+    require(!raw"(?i)\bOVER\b".r.findFirstIn(cond).isDefined,
+      "QUALIFY with an inline window expression is not supported by the " +
+        "embedded rewrite; alias the window function in the SELECT list " +
+        "and reference the alias in QUALIFY")
+    val core = s.substring(0, qp).trim
+    val tail = s.substring(qEnd).trim
+    s"SELECT * FROM ($core) AS __qualify WHERE $cond" +
+      (if (tail.isEmpty) "" else " " + tail)
   }
 
   // ---- SETTINGS clause handling (embedded) ----------------------------

@@ -1994,6 +1994,33 @@ object ConnectorQueries {
           |HAVING count(*) > 72""".stripMargin)
     },
 
+    // r66: QUALIFY through the raw-SQL passthrough (VERDICT r12 item 6):
+    // the embedded engine wraps the windowed select and filters (window
+    // analog of HAVING); DuckDB runs QUALIFY natively, so the oracle is
+    // the same clause verbatim. Top-2 orders per priority, unique
+    // tie-break on the order key.
+    q("r66_qualify",
+      """SELECT o_orderpriority AS pri, o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rn
+        |FROM orders
+        |QUALIFY rn <= 2
+        |ORDER BY pri, rn""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `o_orderpriority` AS pri, `o_orderkey` AS k,
+          |  toInt64(round(`o_totalprice` * 100)) AS cents,
+          |  row_number() OVER (PARTITION BY `o_orderpriority`
+          |    ORDER BY round(`o_totalprice` * 100) DESC, `o_orderkey`) AS rn
+          |FROM `main`.`orders`
+          |QUALIFY rn <= 2
+          |ORDER BY pri, rn""".stripMargin)
+    },
+
     // r60: exact nearest-rank quantiles (quantileExact family), mapped
     // honestly to sorted-array picks rather than rejected (VERDICT r11
     // item 4). quantileExactLow == DuckDB quantile_disc (rank ceil(p*n));

@@ -275,6 +275,32 @@ class TranslatorSpec extends AnyFunSuite {
     assert(pinTotalsMode(plain) == plain)
   }
 
+  test("QUALIFY rewrites to a wrapped WHERE over the windowed subquery; " +
+    "trailing ORDER BY / LIMIT stay outside (they apply after the " +
+    "filter); inline OVER in the condition rejects with the alias " +
+    "workaround") {
+    val got = t("SELECT k, row_number() OVER (ORDER BY v) AS rn " +
+      "FROM db.tbl QUALIFY rn = 1")
+    assert(got ==
+      "SELECT * FROM (SELECT k, row_number() OVER (ORDER BY v NULLS LAST) " +
+        "AS rn FROM __ch_db_tbl) AS __qualify WHERE rn = 1", got)
+    val got2 = t("SELECT k, rank() OVER (PARTITION BY g ORDER BY v) AS r " +
+      "FROM db.tbl QUALIFY r <= 2 ORDER BY k LIMIT 10")
+    assert(got2.startsWith("SELECT * FROM (SELECT k, rank() OVER"), got2)
+    assert(got2.endsWith("AS __qualify WHERE r <= 2 " +
+      "ORDER BY k NULLS LAST LIMIT 10"), got2)
+    // nested: a subquery-level QUALIFY wraps at ITS level
+    val got3 = t("SELECT n FROM (SELECT k, count(*) OVER (PARTITION BY k) " +
+      "AS n FROM db.tbl QUALIFY n > 1) x")
+    assert(got3.contains("AS __qualify WHERE n > 1) x"), got3)
+    val e = intercept[IllegalArgumentException](
+      t("SELECT k FROM db.tbl QUALIFY row_number() OVER (ORDER BY k) = 1"))
+    assert(e.getMessage.contains("alias the window function"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      t("SELECT k FROM db.tbl QUALIFY "))
+    assert(e2.getMessage.contains("empty condition"), e2.getMessage)
+  }
+
   test("exact nearest-rank quantiles map to sorted-array picks: " +
     "quantileExact/High rank floor(p*n)+1, quantileExactLow the same " +
     "EXCEPT p=0.5 picks the lower middle (QuantileExact.h), " +
