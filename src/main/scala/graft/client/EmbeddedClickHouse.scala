@@ -354,7 +354,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       s"OPTIMIZE TABLE $db.$table: table has attached external data (read-only)")
     val qt = graft.sql.ChSql.quoteTable(db, table)
     val engine = opts.getOrElse("engine", "")
-    val replacing = "ReplacingMergeTree\\(\\s*[^)\\s]+\\s*\\)".r
+    val replacing = "ReplacingMergeTree\\([^)]+\\)".r
       .findFirstIn(engine).isDefined
     // Replacing dedup materializes only under OPTIMIZE FINAL (the
     // documented use); Summing collapse happens on ANY merge — a plain
@@ -367,9 +367,12 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     val summing = engine.startsWith("SummingMergeTree") ||
       engine.startsWith("AggregatingMergeTree") ||
       engine.startsWith("VersionedCollapsingMergeTree") || collapsing
+    // keepTombstones: a merge keeps the max-version is_deleted=1
+    // survivor (a server purges it only under OPTIMIZE ... FINAL
+    // CLEANUP); only FINAL READS filter tombstones
     val src =
       if ((finalize && replacing) || summing)
-        rewriteFinal(s"SELECT * FROM $qt FINAL")
+        rewriteFinal(s"SELECT * FROM $qt FINAL", keepTombstones = true)
       else s"SELECT * FROM $qt"
     val entry = serverEntry()
     val tables = knownTables
@@ -1066,7 +1069,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     */
   private val FinalClause = "FROM `([^`]+)`\\.`([^`]+)` FINAL".r
 
-  private def rewriteFinal(sql: String): String =
+  private def rewriteFinal(sql: String, keepTombstones: Boolean = false): String =
     FinalClause.replaceAllIn(sql, m => {
       val (db, t) = (m.group(1), m.group(2))
       require(tableExists(db, t), s"no such table $db.$t")
@@ -1075,18 +1078,47 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         opts.getOrElse("order_by", throw new IllegalArgumentException(
           s"FINAL on $db.$t: table declares no order_by key"))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val VerRe = "ReplacingMergeTree\\(\\s*([^)\\s]+)\\s*\\)".r
+      // is_deleted tombstone variant FIRST: the one-arg pattern would
+      // otherwise swallow "ver,isd" written without a space
+      val VerDelRe =
+        "ReplacingMergeTree\\(\\s*([^,)\\s]+)\\s*,\\s*([^,)\\s]+)\\s*\\)".r
+      val VerRe = "ReplacingMergeTree\\(\\s*([^,)\\s]+)\\s*\\)".r
       val SumRe = "SummingMergeTree(?:\\(\\s*([^)]*)\\))?".r
+      def replacingPick(ver: String, isDeleted: Option[String]): String = {
+        require(cols.exists(_._1 == ver),
+          s"FINAL on $db.$t: version column '$ver' not in table columns")
+        isDeleted.foreach { d =>
+          val ty = cols.collectFirst { case (c, ty0) if c == d => ty0 }
+            .getOrElse(throw new IllegalArgumentException(
+              s"FINAL on $db.$t: is_deleted column '$d' not in table columns"))
+          require({
+            import org.apache.spark.sql.types._
+            Seq(ByteType, ShortType, IntegerType, LongType)
+              .contains(ClickHouseType.parse(ty).dataType)
+          },
+            s"FINAL on $db.$t: is_deleted column '$d' must be an integer " +
+              s"0/1 flag (UInt8 on a real server), not $ty")
+        }
+        val keys = orderKeys.map(k => s"`$k`").mkString(", ")
+        val colList = cols.map { case (c, _) => s"`$c`" }.mkString(", ")
+        // survivor = max-version row per key; with an is_deleted column a
+        // FINAL READ then drops survivors flagged 1 (the modern server
+        // tombstone rule). Merges (OPTIMIZE, keepTombstones=true) KEEP
+        // the flagged survivor — a server only purges it under OPTIMIZE
+        // ... FINAL CLEANUP, so plain reads must still see it.
+        val drop = isDeleted match {
+          case Some(d) if !keepTombstones => s" AND `$d` <> 1"
+          case _ => ""
+        }
+        s"FROM (SELECT $colList FROM (SELECT *, ROW_NUMBER() OVER " +
+          s"(PARTITION BY $keys ORDER BY `$ver` DESC) AS __gf_rn " +
+          s"FROM `$db`.`$t`) AS __gf_in WHERE __gf_rn = 1$drop) AS `$t`"
+      }
       opts.getOrElse("engine", "") match {
+        case VerDelRe(ver, del) =>
+          java.util.regex.Matcher.quoteReplacement(replacingPick(ver, Some(del)))
         case VerRe(ver) =>
-          require(cols.exists(_._1 == ver),
-            s"FINAL on $db.$t: version column '$ver' not in table columns")
-          val keys = orderKeys.map(k => s"`$k`").mkString(", ")
-          val colList = cols.map { case (c, _) => s"`$c`" }.mkString(", ")
-          java.util.regex.Matcher.quoteReplacement(
-            s"FROM (SELECT $colList FROM (SELECT *, ROW_NUMBER() OVER " +
-              s"(PARTITION BY $keys ORDER BY `$ver` DESC) AS __gf_rn " +
-              s"FROM `$db`.`$t`) AS __gf_in WHERE __gf_rn = 1) AS `$t`")
+          java.util.regex.Matcher.quoteReplacement(replacingPick(ver, None))
         case SumRe(sumList) =>
           // SummingMergeTree: merges collapse rows sharing the sorting
           // key — listed columns (or, unlisted, every numeric non-key

@@ -1181,6 +1181,36 @@ object ConnectorQueries {
         .select("k", "v", "ver")
     },
 
+    // r67: ReplacingMergeTree(ver, is_deleted) — the modern server
+    // tombstone variant (VERDICT r12 item 8). Deletes are ordinary
+    // inserts flagged is_deleted=1; FINAL resolves each key to its
+    // max-version row and DROPS it when flagged. Every 7th order number
+    // is a tombstone, so ~1/7 of customers' latest versions vanish from
+    // the FINAL read while their history stays physically present.
+    q("r67_replacing_tombstone",
+      """SELECT k, ver, cents FROM (
+        |  SELECT o_custkey AS k, o_orderkey AS ver,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS isd,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders) x WHERE rn = 1 AND isd = 0""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.cust_ver_isd")
+      s.sql(
+        """CREATE TABLE clickhouse.main.cust_ver_isd
+          |(k BIGINT, ver BIGINT, isd INT, cents BIGINT)
+          |TBLPROPERTIES ('engine' = 'ReplacingMergeTree(ver, isd)',
+          |  'order_by' = 'k')""".stripMargin)
+      s.sql(
+        """INSERT INTO clickhouse.main.cust_ver_isd
+          |SELECT o_custkey, o_orderkey,
+          |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS INT),
+          |  CAST(round(o_totalprice * 100) AS BIGINT)
+          |FROM orders""".stripMargin)
+      s.read.option("final", "true").table("clickhouse.main.cust_ver_isd")
+        .select("k", "ver", "cents")
+    },
+
     // OPTIMIZE TABLE FINAL (round 10): r37 proves dedup-ON-READ; this
     // gate proves the MERGE MATERIALIZES it — after optimizeTable the
     // survivors are the table's physical rows, so a PLAIN read (no

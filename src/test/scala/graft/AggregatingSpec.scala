@@ -361,6 +361,49 @@ class AggregatingSpec extends AnyFunSuite {
     }
   }
 
+  test("ReplacingMergeTree(ver, is_deleted): FINAL reads drop max-version " +
+    "tombstones; OPTIMIZE FINAL keeps them physically (a server purges " +
+    "only under FINAL CLEANUP); non-integer is_deleted rejects") {
+    n += 1
+    val t = s"rmt_isd_$n"
+    client.createTable("main", t, Seq(
+      "k" -> "Int64", "ver" -> "Int64", "isd" -> "Int32", "v" -> "String"),
+      Map("engine" -> s"ReplacingMergeTree(ver, isd)", "order_by" -> "k"))
+    import org.apache.spark.sql.Row
+    client.insert("main", t, client.sparkSchema("main", t), Seq(
+      Row(1L, 1L, 0, "a"), Row(1L, 2L, 0, "b"), // live upsert → b
+      Row(2L, 1L, 0, "c"), Row(2L, 2L, 1, "d"), // deleted at max ver → gone
+      Row(3L, 1L, 1, "e"), // only row is a tombstone → gone
+      Row(4L, 2L, 1, "f"), Row(4L, 3L, 0, "g"))) // re-created after delete → g
+    def finals(): Map[Long, String] =
+      ch.chSql(s"SELECT `k`, `v` FROM `main`.`$t` FINAL").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(finals() == Map(1L -> "b", 4L -> "g"))
+    // the connector's final=true option rides the same rewrite
+    val viaOption = spark.read.option("final", "true")
+      .table(s"chagg.main.$t").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(viaOption == Map(1L -> "b", 4L -> "g"))
+    // OPTIMIZE FINAL materializes max-version survivors but KEEPS the
+    // is_deleted=1 rows (k=2 'd', k=3 'e') for plain reads
+    client.optimizeTable("main", t, finalize = true)
+    val plain = spark.table(s"chagg.main.$t").collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[String]("v"), r.getAs[Int]("isd")))
+      .toMap
+    assert(plain == Map(1L -> ("b", 0), 2L -> ("d", 1),
+      3L -> ("e", 1), 4L -> ("g", 0)), plain.toString)
+    // FINAL reads after the merge still hide tombstones
+    assert(finals() == Map(1L -> "b", 4L -> "g"))
+    // is_deleted must be an integer 0/1 flag
+    n += 1
+    client.createTable("main", s"rmt_bad_$n", Seq(
+      "k" -> "Int64", "ver" -> "Int64", "flag" -> "String"),
+      Map("engine" -> "ReplacingMergeTree(ver, flag)", "order_by" -> "k"))
+    val e = intercept[Exception](
+      ch.chSql(s"SELECT `k` FROM `main`.`rmt_bad_$n` FINAL").collect())
+    assert(e.getMessage.contains("integer 0/1 flag"), e.getMessage)
+  }
+
   test("FINAL on an engine without a merge rule still rejects; " +
     "AggregateFunction over a non-numeric arg rejects where required") {
     n += 1
