@@ -36,6 +36,15 @@ trait ClickHouseClient extends Serializable {
     */
   def singleExecutionDomain: Boolean = true
 
+  /** A token that changes whenever this store's visible data MAY have
+    * changed; None when the transport cannot provide one. Plan-time
+    * probe results (the GLOBAL dim materialization) may be memoized
+    * ONLY under a token — staleness must be detectable, so wire
+    * transports (a remote server can be mutated by other clients
+    * invisibly) return None and simply re-probe every planning.
+    */
+  def dataVersionToken: Option[String] = None
+
   /** True when this transport upgrades integral range slices to ordered
     * MID-STREAM-RESUMABLE reads (replica sets): planners can warn when a
     * chosen cursor would make the per-slice ORDER BY a server-side sort

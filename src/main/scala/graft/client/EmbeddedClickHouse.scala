@@ -27,6 +27,11 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
 
   override def connectionKey: String = s"embedded:${Paths.get(root).toAbsolutePath}"
 
+  // every mutation path calls invalidate() → the companion counter, so
+  // the store version IS a change-detectable data token
+  override def dataVersionToken: Option[String] =
+    Some(EmbeddedClickHouse.storeVersion(root).get.toString)
+
   private def dbPath(db: String): Path = Paths.get(root, db)
   private def tablePath(db: String, table: String): Path = Paths.get(root, db, table)
   private def metaPath(db: String, table: String): Path =

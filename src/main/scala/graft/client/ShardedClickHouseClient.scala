@@ -58,6 +58,13 @@ class ShardedClickHouseClient(
   override def connectionKey: String =
     s"sharded[${shards.map(_.connectionKey).mkString("|")};by=${shardBy.getOrElse("-")}]"
 
+  // change-detectable only when EVERY shard is (one wire shard can be
+  // mutated invisibly → the whole set re-probes)
+  override def dataVersionToken: Option[String] = {
+    val toks = shards.map(_.dataVersionToken)
+    if (toks.forall(_.isDefined)) Some(toks.flatten.mkString("|")) else None
+  }
+
   // ---- metadata: shard 0 is authoritative (DDL broadcasts keep shards
   // aligned; a drifted shard fails loudly at scan time via the wire
   // header/name checks, never silently) ----

@@ -171,16 +171,7 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
         dimCols = dim.output.map(a => uDim.scope(a.exprId))
         if dim.output.nonEmpty
         dimSql = s"SELECT ${dimCols.mkString(", ")} FROM (${uDim.sql}) AS gdim"
-        // count probe: one row PER SHARD — fold with a sum. Decode
-        // defensively: a wire transport types count() as UInt64, which
-        // lands as Decimal(20,0), not Long
-        n = client.query(s"SELECT count(*) AS n FROM ($dimSql) AS gcnt", 1)
-          ._2.flatten.map(_.get(0) match {
-            case v: Number => v.longValue()
-            case other => other.toString.toLong
-          }).sum
-        if n > 0 && n <= GlobalDimRowCap
-        rows = client.query(dimSql, 1)._2.flatten
+        rows <- globalDimRows(client, dimSql)
         inline <- inlineDimTable(dim.output, rows)
         dimScope = dim.output.map(a =>
           a.exprId -> ChPlanUnparser.aliasOf(a.exprId)).toMap
@@ -202,6 +193,74 @@ object ClickHouseFunctionPushdown extends Rule[LogicalPlan] {
           j.output.map(a => a.exprId -> outScope(a.exprId)).toMap), "")
       }
     }.headOption.flatten
+  }
+
+  /** Memoized GLOBAL dim materializations: (connectionKey, data-version
+    * token, alpha-renamed dimSql) → rows. Re-planning the same join —
+    * interactively or across AQE stages — otherwise pays the count probe
+    * AND the full dim read per planning (VERDICT r12 item 7). Entries
+    * are only written under a [[ClickHouseClient.dataVersionToken]]
+    * (staleness must be detectable; wire transports re-probe), and the
+    * KEY alpha-renames the exprId-derived `c<id>` aliases by first
+    * occurrence — a rebuilt DataFrame mints fresh exprIds for the same
+    * query, and positional renaming makes those texts collide exactly
+    * when the statements are identical. Rows cache, not inline SQL:
+    * the inline rendering carries the CURRENT planning's aliases.
+    */
+  private val globalDimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[org.apache.spark.sql.Row]]
+
+  /** Test hook: number of plan-time dim probes that actually hit the
+    * store (cache misses).
+    */
+  private[graft] val globalDimProbes = new java.util.concurrent.atomic.AtomicLong
+
+  // generated tokens only: column aliases `a<exprId>` (aliasOf) and
+  // subquery aliases `t<counter>` — real identifiers are always
+  // backtick-quoted by the unparser, so bare tokens not adjacent to a
+  // backtick are guaranteed generated (a genuine column named a1 appears
+  // as `a1` and is left alone)
+  private val AliasToken = raw"(?<![`\w])([at])(\d+)(?![`\w])".r
+
+  private def alphaRename(sql: String): String = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    AliasToken.replaceAllIn(sql, m => {
+      val id = seen.getOrElseUpdate(m.group(1) + m.group(2), seen.size)
+      s"${m.group(1)}§$id"
+    })
+  }
+
+  /** The dim rows for a GLOBAL collapse, memoized per (connection,
+    * data version, canonical statement); None when the dim is empty or
+    * over [[GlobalDimRowCap]].
+    */
+  private def globalDimRows(
+      client: graft.client.ClickHouseClient,
+      dimSql: String): Option[Seq[org.apache.spark.sql.Row]] = {
+    val key = client.dataVersionToken.map(tok =>
+      client.connectionKey + " " + tok + " " + alphaRename(dimSql))
+    key.flatMap(k => Option(globalDimCache.get(k))) match {
+      case Some(rows) => Some(rows)
+      case None =>
+        globalDimProbes.incrementAndGet()
+        // count probe first: one row PER SHARD — fold with a sum. Decode
+        // defensively: a wire transport types count() as UInt64, which
+        // lands as Decimal(20,0), not Long
+        val n = client.query(s"SELECT count(*) AS n FROM ($dimSql) AS gcnt", 1)
+          ._2.flatten.map(_.get(0) match {
+            case v: Number => v.longValue()
+            case other => other.toString.toLong
+          }).sum
+        if (n <= 0 || n > GlobalDimRowCap) None
+        else {
+          val rows = client.query(dimSql, 1)._2.flatten
+          key.foreach { k =>
+            if (globalDimCache.size > 64) globalDimCache.clear()
+            globalDimCache.put(k, rows)
+          }
+          Some(rows)
+        }
+    }
   }
 
   /** Render materialized dim rows as an inline UNION ALL literal table

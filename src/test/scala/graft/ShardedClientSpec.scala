@@ -401,6 +401,45 @@ class ShardedClientSpec extends AnyFunSuite {
       canon(dmLocal.join(evLocal, col("dcat") === col("cat"), "full")))
   }
 
+  test("GLOBAL dim materialization memoizes per (connection, data " +
+    "version, canonical statement): re-planning the same join — even " +
+    "from a REBUILT DataFrame with fresh exprIds — re-probes zero " +
+    "times; a dim mutation bumps the version token and re-probes") {
+    seed()
+    if (!new EmbeddedClickHouse(rootA).tableExists("main", "sh_gdim_memo")) {
+      spark.sql(
+        """CREATE TABLE chshard.main.sh_gdim_memo
+          |(k BIGINT, dcat STRING, dlabel STRING)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'dcat')""".stripMargin)
+      import spark.implicits._
+      Seq((1L, "c0", "zero"), (2L, "c1", "one"), (3L, "c2", "two"))
+        .toDF("k", "dcat", "dlabel").writeTo("chshard.main.sh_gdim_memo").append()
+    }
+    import graft.pushdown.ClickHouseFunctionPushdown.globalDimProbes
+    // a fresh plan each call: spark.table mints new AttributeReferences,
+    // so the memo key must survive exprId churn (alpha renaming)
+    def planJoin() = spark.table("chshard.main.sh_events")
+      .join(spark.table("chshard.main.sh_gdim_memo").select("dcat", "dlabel"),
+        col("cat") === col("dcat"), "inner")
+    val t0 = globalDimProbes.get
+    val first = planJoin().collect()
+    assert(first.nonEmpty)
+    val t1 = globalDimProbes.get
+    assert(t1 > t0, "first planning must probe the store")
+    val second = planJoin().collect()
+    assert(second.length == first.length)
+    assert(globalDimProbes.get == t1,
+      "re-planning the same join must reuse the memoized dim (zero probes)")
+    // mutate the dim: the store version token changes, the memo entry is
+    // dead, and the NEW row must be visible (staleness is detectable)
+    spark.sql(
+      "INSERT INTO chshard.main.sh_gdim_memo VALUES (4, 'c3', 'three')")
+    val third = planJoin().collect()
+    assert(globalDimProbes.get > t1, "a dim mutation must re-probe")
+    assert(third.length > first.length,
+      "rows joining the newly inserted dim value must appear")
+  }
+
   test("fact x fact on a non-routing column stays in Spark: neither side " +
     "fits the broadcast threshold, so no GLOBAL collapse") {
     seed(); seedOrders()
