@@ -65,6 +65,11 @@ final class MockClickHouseHttp extends AutoCloseable {
     */
   @volatile var failReads = false
 
+  /** Version string `SELECT version()` reports (drives the client's
+    * lightweight-DELETE gate; set below 23.3 to force the ALTER path).
+    */
+  @volatile var serverVersion: String = "24.3.2.1"
+
   /** When >= 0, `wire_read` streams this many rows and then dies
     * mid-body (chunked stream truncated) — the mid-stream death that must
     * stay LOUD at the consumer (rows were already delivered; a silent
@@ -224,7 +229,17 @@ final class MockClickHouseHttp extends AutoCloseable {
   }
 
   private def statement(q: String, data: Array[Byte]): (Int, String) = {
-    if (q.startsWith("SELECT name, type FROM system.columns")) {
+    if (q == "SELECT version()") {
+      (200, serverVersion + "\n")
+    } else if (q.startsWith("DELETE FROM")) {
+      // lightweight delete: accepted as a no-op like the ALTER mutations
+      // (no row store here); specs assert the wire shape via `statements`
+      val Del = raw"DELETE FROM `[^`]+`\.`([^`]+)` WHERE ".r.unanchored
+      Del.findFirstMatchIn(q) match {
+        case Some(m) if tables.contains(m.group(1)) => (200, "")
+        case _ => (500, s"mock: bad DELETE FROM: ${q.take(200)}")
+      }
+    } else if (q.startsWith("SELECT name, type FROM system.columns")) {
       val t = raw"table = '([^']+)'".r.unanchored.findFirstMatchIn(q).map(_.group(1))
       val cols = t.flatMap { name =>
         tables.get(name).orElse(

@@ -67,6 +67,13 @@ class HttpClientSpec extends AnyFunSuite {
   private val dynTables =
     mutable.Map.empty[String, (Seq[(String, String)], mutable.ArrayBuffer[Map[String, Any]])]
 
+  /** What `SELECT version()` reports (the client gates lightweight
+    * DELETE on >= 23.3) and whether the mock refuses `DELETE FROM`
+    * (forcing the client's ALTER fallback).
+    */
+  @volatile private var mockVersion = "24.3.2.1"
+  @volatile private var rejectLightweight = false
+
   /** Column types of the table a statement references (NOT a flat merged
     * map — different tables may reuse a column name with another type).
     */
@@ -297,6 +304,29 @@ class HttpClientSpec extends AnyFunSuite {
       (404,
         "Code: 60. DB::Exception: Table main.no_such_table does not exist".getBytes(UTF_8),
         Map("X-ClickHouse-Exception-Code" -> "60"))
+    else if (q == "SELECT version()")
+      tsvOk(mockVersion + "\n")
+    else if (q.startsWith("DELETE FROM") && q.contains(" WHERE ")) {
+      // lightweight delete (>= 23.3 servers): same row semantics as the
+      // ALTER mutation; rejectLightweight models a table feature the
+      // server refuses it for (client must fall back to ALTER)
+      if (rejectLightweight)
+        (500, "Code: 48. DB::Exception: Lightweight delete is not supported"
+          .getBytes(UTF_8), Map("X-ClickHouse-Exception-Code" -> "48"))
+      else {
+        val Del = raw"DELETE FROM `main`\.`([^`]+)` WHERE (.+)".r.unanchored
+        q match {
+          case Del(t, cond) if dynTables.contains(t) =>
+            val rows = dynTables(t)._2
+            val kept = rows.filterNot(r => evalDeleteCond(cond, r)).toList
+            rows.clear(); rows ++= kept
+            tsvOk("")
+          case _ => (404,
+            s"Code: 60. DB::Exception: cannot mutate: $q".getBytes(UTF_8),
+            Map("X-ClickHouse-Exception-Code" -> "60"))
+        }
+      }
+    }
     else if (q.startsWith("SELECT name FROM system.databases"))
       tsvOk("default\nmain\n")
     else if (q.startsWith("SELECT name FROM system.tables"))
@@ -1108,7 +1138,9 @@ class HttpClientSpec extends AnyFunSuite {
     while (it2.hasNext) it2.next()
   }
 
-  test("DELETE FROM ships an ALTER TABLE ... DELETE mutation over the wire") {
+  test("DELETE ships the LIGHTWEIGHT `DELETE FROM` on modern servers, " +
+    "falls back to ALTER when the server refuses the statement, and " +
+    "uses ALTER outright below 23.3") {
     dynTables("del_http") = (colTypes, mutable.ArrayBuffer(
       (1 to 10).map(i =>
         Map[String, Any]("id" -> i.toLong, "name" -> s"n$i", "val" -> i * 0.5)): _*))
@@ -1116,10 +1148,40 @@ class HttpClientSpec extends AnyFunSuite {
     // server-side semantics: only the row matching BOTH conjuncts is gone
     assert(dynTables("del_http")._2.map(_("id")).toSet ==
       ((1 to 10).toSet - 7).map(_.toLong))
-    val alters = queries.synchronized {
-      queries.filter(_.startsWith("ALTER TABLE `main`.`del_http` DELETE WHERE")).toSeq
+    val light = queries.synchronized {
+      queries.filter(_.startsWith("DELETE FROM `main`.`del_http` WHERE")).toSeq
     }
-    assert(alters.nonEmpty, "expected an ALTER TABLE ... DELETE on the wire")
+    assert(light.nonEmpty,
+      "the mock reports 24.x — expected a lightweight DELETE FROM on the wire")
+    assert(queries.synchronized(
+      !queries.exists(_.startsWith("ALTER TABLE `main`.`del_http` DELETE"))),
+      "no part-rewrite mutation when the lightweight path succeeds")
+    // server refuses lightweight (e.g. a table feature): fall back to the
+    // classic mutation — identical visible semantics, still loud on a
+    // real failure of BOTH paths
+    rejectLightweight = true
+    try {
+      spark.sql("DELETE FROM chhttp.main.del_http WHERE id > 9")
+      assert(dynTables("del_http")._2.map(_("id")).toSet ==
+        ((1 to 9).toSet - 7).map(_.toLong))
+      assert(queries.synchronized(queries.exists(
+        _.startsWith("ALTER TABLE `main`.`del_http` DELETE WHERE"))),
+        "expected the ALTER fallback on the wire")
+    } finally rejectLightweight = false
+    // pre-GA server: a FRESH client (the version probe caches per client)
+    // must not even attempt DELETE FROM
+    mockVersion = "22.8.1.1"
+    try {
+      val oldClient = new graft.client.HttpClickHouseClient(endpoint)
+      val before = queries.synchronized(
+        queries.count(_.startsWith("DELETE FROM `main`.`del_http`")))
+      oldClient.deleteWhere("main", "del_http", "`id` > 8")
+      assert(dynTables("del_http")._2.map(_("id")).toSet ==
+        ((1 to 8).toSet - 7).map(_.toLong))
+      assert(queries.synchronized(
+        queries.count(_.startsWith("DELETE FROM `main`.`del_http`"))) == before,
+        "a 22.x server must take the ALTER path directly")
+    } finally mockVersion = "24.3.2.1"
     // unconditional DELETE compiles to WHERE 1 (TRUNCATE-equivalent)
     spark.sql("DELETE FROM chhttp.main.del_http")
     assert(dynTables("del_http")._2.isEmpty)
@@ -1368,9 +1430,12 @@ class HttpClientSpec extends AnyFunSuite {
    * | SELECT ... SAMPLE f OFFSET o storage sampling;  | select doc §SAMPLE clause + | doc    |
    * |   SAMPLE BY in CREATE DDL; sampling_key column  |   system.tables doc         |        |
    * |   of system.tables gates the pushdown           |                             |        |
-   * | ALTER TABLE ... DELETE WHERE mutation;          | sql-reference §ALTER DELETE | doc    |
-   * |   mutations_sync=1 waits for this replica's     |   + settings doc            |        |
-   * |   parts to rewrite before returning             |                             |        |
+   * | lightweight DELETE FROM ... WHERE on >= 23.3    | sql-reference §DELETE       | doc    |
+   * |   (version()-probed; _row_exists mask, no part  |   (lightweight delete)      |        |
+   * |   rewrite); ALTER TABLE ... DELETE WHERE        |   + §ALTER DELETE           |        |
+   * |   fallback below 23.3 or on server refusal;     |   + settings doc            |        |
+   * |   mutations_sync=1 waits for this replica on    |                             |        |
+   * |   both paths                                    |                             |        |
    * | buffered Content-Length INSERT bodies (client   | http doc §Usage (INSERT)    | doc    |
    * |   deliberately avoids chunked mode: blocks are  |                             |        |
    * |   bounded by write.batch_size, and a length-    |                             |        |
