@@ -226,9 +226,32 @@ object ChSqlTranslator {
     // `(SELECT ...)` (any depth of wrapping parens) — marks the
     // quantified form; rewriting it to min() would silently turn IN
     // semantics into an equality against the subquery minimum
+    // only strip an outer pair when the '(' at index 0 MATCHES the ')'
+    // at the end — '(SELECT max(x) FROM t) - (SELECT min(x) FROM t)' is
+    // an expression, not a wrapped subquery (advisor r12)
+    def strippable(t: String): Boolean = {
+      if (!(t.startsWith("(") && t.endsWith(")"))) return false
+      var depth = 0
+      var inSq = false
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (inSq) { if (c == '\\') i += 1 else if (c == '\'') inSq = false }
+        else c match {
+          case '\'' => inSq = true
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0 && i < t.length - 1) return false
+          case _ => ()
+        }
+        i += 1
+      }
+      depth == 0
+    }
     def isSubqueryArg(a: String): Boolean = {
       var t = a.trim
-      while (t.startsWith("(") && t.endsWith(")")) t = t.substring(1, t.length - 1).trim
+      while (strippable(t)) t = t.substring(1, t.length - 1).trim
       t.toUpperCase.startsWith("SELECT")
     }
     s = rewriteCall(s, "any", args =>

@@ -902,7 +902,9 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
           val seq = EmbeddedClickHouse.partSeqOf(n).getOrElse(
             throw new IllegalArgumentException(
               s"$db.$t: part $n carries no insert sequence (written before " +
-                "sequence tracking) — OPTIMIZE TABLE rewrites it with one"))
+                "sequence tracking) — its insertion order is unrecoverable " +
+                "and this engine's collapse is order-dependent; re-ingest " +
+                "the data into a fresh table"))
           (f, seq)
         }
         // ordinal over seq-sorted parts × parquet row position: dense,
@@ -941,8 +943,18 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
           // order). FINAL reads stay immune either way (explicit
           // __ch_seq via the sequence view).
           files.map { f =>
-            val seq = EmbeddedClickHouse.partSeqOf(
-              Paths.get(f).getFileName.toString).getOrElse(Long.MaxValue)
+            val n = Paths.get(f).getFileName.toString
+            // reject like registerSeqView: a legacy no-seq part would
+            // otherwise sort LAST here (it was inserted FIRST), and a
+            // mutation over this view would re-stamp fresh sequences in
+            // the wrong insertion order, corrupting future collapses
+            // (advisor r12)
+            val seq = EmbeddedClickHouse.partSeqOf(n).getOrElse(
+              throw new IllegalArgumentException(
+                s"$db.$t: part $n carries no insert sequence (written " +
+                  "before sequence tracking) — its insertion order is " +
+                  "unrecoverable, and CollapsingMergeTree collapses are " +
+                  "order-dependent; re-ingest the data into a fresh table"))
             (f, seq)
           }.sortBy { case (f, s) => (s, f) }
             .map { case (f, _) => child.read.schema(sparkSchema(db, t)).parquet(f) }
@@ -1339,8 +1351,28 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       ensureViews(entry, tr, tables)
       val df =
         try entry.session.sql(tr) catch { case e: Throwable =>
+          // the ASOF rewrite flattens `l.*, r.*` into one subquery and
+          // strips alias qualifiers, so two sides SHARING a column name
+          // (the `ON l.sym = r.sym` shape with same-named keys) surface
+          // as an ambiguous-reference analysis error — name the actual
+          // limitation instead of leaving a bare Spark message (advisor
+          // r12); the workaround is renaming one side's columns apart in
+          // a subselect
+          val asofAmbig =
+            raw"(?i)\bASOF\b".r.findFirstIn(detokened).isDefined &&
+              (e.getMessage.contains("AMBIGUOUS_REFERENCE") ||
+                e.getMessage.toLowerCase.contains("ambiguous"))
+          val hint =
+            if (asofAmbig)
+              "\nASOF JOIN note: the embedded rewrite flattens both " +
+                "sides into one row, so columns sharing a NAME across " +
+                "the two sides become ambiguous — alias one side's " +
+                "columns apart in a subselect (e.g. SELECT sym AS qsym, " +
+                "... ) and join on the renamed key"
+            else ""
           throw new IllegalArgumentException(
-            s"translated SQL failed: ${e.getMessage}\n--- translated ---\n$tr", e) }
+            s"translated SQL failed: ${e.getMessage}$hint" +
+              s"\n--- translated ---\n$tr", e) }
       if (lb.isDefined) df.drop("__lb_rn") else df
     })
   }

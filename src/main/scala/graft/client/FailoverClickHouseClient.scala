@@ -187,6 +187,20 @@ class FailoverClickHouseClient(
         s"EXCHANGE TABLES $db.$a AND $db2.$b: replica $i is missing one side " +
           "— refusing a broadcast that would diverge the replica set")
     }
+    // pre-swap column captures (uncached system.columns reads): when the
+    // broadcast fails mid-call, these decide whether the FAILING replica
+    // applied the swap before erroring (e.g. a timeout after the server
+    // committed) — advisor r12: rollback alone would leave that replica
+    // silently swapped with no divergence diagnostic
+    def colsOf(r: ClickHouseClient, d: String, t: String)
+        : Option[Seq[(String, String)]] =
+      scala.util.Try(r.query(
+        s"SELECT name, type FROM system.columns WHERE database = '$d' " +
+          s"AND table = '$t' ORDER BY name", 1)
+        ._2.flatten.map(row =>
+          (String.valueOf(row.get(0)), String.valueOf(row.get(1))))).toOption
+    val preA = colsOf(primary, db, a)
+    val preB = colsOf(primary, db2, b)
     var done = 0
     try {
       replicas.foreach { r => r.exchangeTables(db, a, db2, b); done += 1 }
@@ -205,7 +219,29 @@ class FailoverClickHouseClient(
               s"replica(s) ${stuck.mkString(", ")} (still swapped); " +
               s"replica(s) ${rolledBack.mkString(", ")} rolled back. " +
               "Manual repair required before serving reads.", e)
-        throw e
+        // replicas 0..done-1 rolled back; the THROWING replica may have
+        // applied the swap server-side before erroring — probe its
+        // current schema against the pre-swap capture (decidable only
+        // when the two sides' schemas differ)
+        val applied: Option[Boolean] = (preA, preB) match {
+          case (Some(sa), Some(sb)) if sa != sb =>
+            colsOf(replicas(done), db, a).map(now => now == sb)
+          case _ => None
+        }
+        applied match {
+          case Some(true) => throw new IllegalStateException(
+            s"EXCHANGE TABLES $db.$a AND $db2.$b diverged the replica " +
+              s"set: replica $done APPLIED the swap before failing while " +
+              "every other replica rolled back. Manual repair (a single " +
+              s"EXCHANGE on replica $done) required before serving reads.", e)
+          case Some(false) => throw e // confirmed un-applied: consistent
+          case None => throw new IllegalStateException(
+            s"EXCHANGE TABLES $db.$a AND $db2.$b: replica $done failed " +
+              "mid-broadcast and its post-failure state could not be " +
+              "verified (probe failed, or both sides share a schema) — " +
+              s"every other replica rolled back, but replica $done may be " +
+              "swapped; verify before serving reads.", e)
+        }
     }
   }
   // partition drop is a mutation: once at the primary, server replicates

@@ -404,6 +404,36 @@ class AggregatingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer 0/1 flag"), e.getMessage)
   }
 
+  test("a CollapsingMergeTree part without an insert sequence rejects on " +
+    "PLAIN reads too (not only FINAL): defaulting it to sort last would " +
+    "let a mutation re-stamp wrong insertion order") {
+    n += 1
+    val t = s"cc_legacy_$n"
+    client.createTable("main", t, Seq(
+      "k" -> "Int64", "sign" -> "Int8", "v" -> "Int64"),
+      Map("engine" -> "CollapsingMergeTree(sign)", "order_by" -> "k"))
+    import org.apache.spark.sql.Row
+    client.insert("main", t, client.sparkSchema("main", t),
+      Seq(Row(1L, 1.toByte, 10L)))
+    // plant a legacy part: a data file whose name carries no sequence
+    val dir = java.nio.file.Paths.get(root, "main", t)
+    val stream = java.nio.file.Files.list(dir)
+    val real =
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      } finally stream.close()
+    java.nio.file.Files.copy(real, dir.resolve("legacy-old.parquet"))
+    // bump the store version so the next read re-registers views
+    client.createTable("main", s"${t}_bump", Seq("x" -> "Int64"),
+      Map("engine" -> "MergeTree", "order_by" -> "x"))
+    val e = intercept[Exception](
+      spark.table(s"chagg.main.$t").collect())
+    assert(e.getMessage.contains("no insert sequence") &&
+      e.getMessage.contains("re-ingest"), e.getMessage)
+  }
+
   test("FINAL on an engine without a merge rule still rejects; " +
     "AggregateFunction over a non-numeric arg rejects where required") {
     n += 1

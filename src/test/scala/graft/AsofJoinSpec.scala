@@ -256,6 +256,28 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("inequality"), e.getMessage)
   }
 
+  test("embedded raw-SQL ASOF with SHARED column names across the sides " +
+    "fails with the named limitation and the subselect-rename workaround " +
+    "(the rewrite flattens both sides into one row)") {
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chasof").build()
+    // ev and qt both carry `k`: selecting it strips to an ambiguous ref
+    val e = intercept[IllegalArgumentException](ch.chSql(
+      """SELECT e.`k` AS k, q.`price` AS p
+        |FROM `db`.`ev` e ASOF LEFT JOIN `db`.`qt` q
+        |  ON e.`k` = q.`k` AND q.`qts` <= e.`ts`""".stripMargin).collect())
+    assert(e.getMessage.contains("alias one side's columns apart"),
+      e.getMessage)
+    // the same join with the shared name selected from ONE side only
+    // (via a renaming subselect) works — the documented workaround
+    val ok = ch.chSql(
+      """SELECT e.`k` AS k, q.`price` AS p
+        |FROM `db`.`ev` e ASOF LEFT JOIN
+        |  (SELECT `k` AS `qk`, `qts`, `price` FROM `db`.`qt`) q
+        |  ON e.`k` = q.`qk` AND q.`qts` <= e.`ts`""".stripMargin)
+    assert(ok.count() == 50)
+  }
+
   test("a session without the pushdown rule gets the local composition " +
     "directly (no marker node ever built)") {
     val s2 = spark.newSession()

@@ -139,6 +139,11 @@ class TranslatorSpec extends AnyFunSuite {
     // to min() would turn IN semantics into equality-vs-minimum
     assert(t("SELECT a FROM t WHERE a = any((SELECT b FROM u))") ==
       "SELECT a FROM t WHERE a = any((SELECT b FROM u))")
+    // an EXPRESSION over two parenthesized subqueries is the AGGREGATE
+    // any(), not the quantified form: the outer '(' does not match the
+    // trailing ')' (advisor r12 — blind paren stripping misclassified it)
+    assert(t("SELECT any((SELECT max(x) FROM t) - (SELECT min(x) FROM t))") ==
+      "SELECT min((SELECT max(x) FROM t) - (SELECT min(x) FROM t))")
     // the GLOBAL strip is quote-aware: a string literal keeps its text
     assert(t("SELECT 'GLOBAL IN scope' AS s FROM t") ==
       "SELECT 'GLOBAL IN scope' AS s FROM t")

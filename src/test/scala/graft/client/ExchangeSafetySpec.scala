@@ -27,15 +27,40 @@ class ExchangeSafetySpec extends AnyFunSuite {
   private final class ScriptedExchange(
       id: String,
       hasTables: Boolean = true,
-      failOnCalls: Set[Int] = Set.empty) extends ClickHouseClient {
+      failOnCalls: Set[Int] = Set.empty,
+      /** Model a post-commit timeout: the swap LANDS, then the call throws. */
+      applyBeforeFail: Boolean = false,
+      /** Model a dead replica: the divergence probe itself fails. */
+      probeFails: Boolean = false) extends ClickHouseClient {
     var exchangeCalls = 0
+    // live per-table schemas — the failover divergence probe reads these
+    // through system.columns (query → planQuery/readPartition)
+    val schemas = scala.collection.mutable.Map(
+      "a" -> Seq("x" -> "Int64"), "b" -> Seq("y" -> "String"))
+    private def swap(a: String, b: String): Unit = {
+      val t = schemas(a); schemas(a) = schemas(b); schemas(b) = t
+    }
     override def connectionKey: String = s"scripted:$id"
     override def tableExists(db: String, table: String): Boolean = hasTables
     override def exchangeTables(db: String, a: String, db2: String, b: String): Unit = {
       exchangeCalls += 1
-      if (failOnCalls.contains(exchangeCalls))
+      if (failOnCalls.contains(exchangeCalls)) {
+        if (applyBeforeFail) swap(a, b)
         throw new IOException(s"scripted failure on call $exchangeCalls of $id")
+      }
+      swap(a, b)
     }
+    private case class Probe(rows: Seq[Row]) extends ChPartitionHandle
+    override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = {
+      if (probeFails) throw new IOException(s"scripted probe failure on $id")
+      val T = raw"table = '([^']+)'".r.unanchored
+      val rows = T.findFirstMatchIn(sql).map(_.group(1))
+        .flatMap(schemas.get).getOrElse(Seq.empty)
+        .map { case (c, ty) => Row(c, ty) }
+      (new StructType(), Seq(Probe(rows)))
+    }
+    override def readPartition(handle: ChPartitionHandle): Iterator[Row] =
+      handle.asInstanceOf[Probe].rows.iterator
     private def nope = throw new UnsupportedOperationException("not in this test")
     override def listDatabases(): Seq[String] = nope
     override def listTables(db: String): Seq[String] = nope
@@ -46,8 +71,6 @@ class ExchangeSafetySpec extends AnyFunSuite {
     override def createTable(db: String, table: String,
         columns: Seq[(String, String)], options: Map[String, String]): Unit = nope
     override def dropTable(db: String, table: String): Unit = nope
-    override def planQuery(sql: String, numStreams: Int): (StructType, Seq[ChPartitionHandle]) = nope
-    override def readPartition(handle: ChPartitionHandle): Iterator[Row] = nope
     override def deleteWhere(db: String, table: String, whereSql: String): Unit = nope
     override def updateWhere(db: String, table: String,
         assignments: Seq[(String, String)], whereSql: String): Unit = nope
@@ -93,6 +116,33 @@ class ExchangeSafetySpec extends AnyFunSuite {
     assert(e.getMessage.contains("diverged"), e.getMessage)
     assert(e.getMessage.contains("replica(s) 0"), e.getMessage)
     assert(e.getMessage.contains("Manual repair"), e.getMessage)
+  }
+
+  test("failover EXCHANGE detects a replica that APPLIED the swap before " +
+    "failing (post-commit timeout): divergence error naming it, even " +
+    "though the rollback of the other replicas succeeded") {
+    val r0 = new ScriptedExchange("r0")
+    val r1 = new ScriptedExchange("r1", failOnCalls = Set(1),
+      applyBeforeFail = true)
+    val fo = new FailoverClickHouseClient(IndexedSeq(r0, r1))
+    val e = intercept[IllegalStateException](
+      fo.exchangeTables("main", "a", "main", "b"))
+    assert(e.getMessage.contains("APPLIED the swap"), e.getMessage)
+    assert(e.getMessage.contains("replica 1"), e.getMessage)
+    assert(r0.exchangeCalls == 2, "other replicas still roll back")
+  }
+
+  test("failover EXCHANGE with an unprobeable failed replica states the " +
+    "unknown: the error says the replica may be swapped and must be " +
+    "verified (a bare rethrow would hide the divergence risk)") {
+    val r0 = new ScriptedExchange("r0")
+    val r1 = new ScriptedExchange("r1", failOnCalls = Set(1),
+      probeFails = true)
+    val fo = new FailoverClickHouseClient(IndexedSeq(r0, r1))
+    val e = intercept[IllegalStateException](
+      fo.exchangeTables("main", "a", "main", "b"))
+    assert(e.getMessage.contains("may be swapped"), e.getMessage)
+    assert(e.getMessage.contains("verify"), e.getMessage)
   }
 
   // ---- embedded crash recovery ----
