@@ -99,6 +99,24 @@ object RecallProbe {
         println(f"IVF cells=$cells nprobe=$nprobe (frac=$frac) train=0.5 recall@5=$r%.3f")
       }
     }
+    // two-level quantizer (the beyond-driver-envelope build, VERDICT r12
+    // item 2): same auto-k law, k1 = ceil(sqrt(k)) supers trained
+    // distributed, per-super local sub-quantizers — recall must hold the
+    // 0.95 bar at scale for the path to be trusted
+    for (cells <- cellsSweep) {
+      val idx2 = graft.ops.AnnIvf.buildIndexTwoLevel(
+        corpus, "vec_id", "embedding", numCells = cells)
+      val k1 = idx2.superCenters.length
+      val kTot = idx2.subCenters.count()
+      for ((sf, cf) <- Seq((0.75, 0.5), (0.9, 0.75), (1.0, 0.75))) {
+        val np1 = math.max(1, math.ceil(k1 * sf).toInt)
+        val np = math.max(1, math.ceil(cells * cf).toInt)
+        val r = recall(graft.ops.AnnIvf.annTopK2(idx2, probes,
+          "vec_id", "embedding", k = 5, nprobeSuper = np1, nprobe = np))
+        println(f"IVF2 k=$cells (k1=$k1 subs=$kTot) nprobeSuper=$np1 " +
+          f"nprobe=$np recall@5=$r%.3f")
+      }
+    }
     for ((tables, planes) <- Seq((32, 5))) {
       val r = recall(graft.ops.AnnLsh.annTopK(corpus, probes, "vec_id", "embedding", 64,
         k = 5, numTables = tables, numPlanes = planes))

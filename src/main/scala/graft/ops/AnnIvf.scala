@@ -139,15 +139,27 @@ object AnnIvf {
         row_number().over(wCell).as("cr"))
       .filter(col("cr") <= nprobe)
       .select("probe_id", "pe", "__cell")
-    val corpus = index.assigned
+    rerank(probeCells, index.assigned, idCol, embCol, k)
+  }
+
+  /** Exact-cosine re-rank of the candidate cells: the shared tail of the
+    * flat and two-level probe paths. No distinct needed: a corpus vector
+    * lives in exactly ONE cell, so a (probe, neighbor) pair arises at
+    * most once across the probed cells.
+    */
+  private def rerank(
+      probeCells: DataFrame,
+      assigned: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val corpus = assigned
       .select(col(idCol).as("neighbor_id"), col(embCol).as("ne"), col("__cell"))
     val ne = col("ne")
     val pe2 = col("pe")
     val cos = vector.vec_dot(pe2, ne) /
       sqrt(vector.vec_dot(pe2, pe2) * vector.vec_dot(ne, ne))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-    // no distinct: a corpus vector lives in exactly ONE cell, so a
-    // (probe, neighbor) pair arises at most once across the nprobe cells
     broadcast(probeCells)
       .join(corpus, Seq("__cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
@@ -155,5 +167,218 @@ object AnnIvf {
       .select(col("probe_id"), col("neighbor_id"), col("cos"),
         row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
+  }
+
+  // ---- Two-level coarse quantizer (the beyond-driver-envelope path) ----
+  //
+  // The flat builder collects all k = ceil(sqrt(N)) centroids to the
+  // driver and trains one k-means whose per-iteration cost is N x k
+  // distances. At N ~ 1e11 that is ~1e6 centroids (100s of MB on the
+  // driver) and the training dominates the build (VERDICT r12 item 2).
+  // The two-level quantizer keeps the SAME auto-k law but splits it:
+  // k1 = ceil(sqrt(k)) super-cells train distributed (k1 is tiny — the
+  // driver never holds more than k1 x dims), then each super-cell trains
+  // its own k2 = ceil(k/k1) sub-centroids LOCALLY inside one executor
+  // over a bounded deterministic sample (one shuffle on the super id,
+  // never a driver round trip). Total cells ~ k, per-level training cost
+  // ~ N x sqrt(k). Sub-centroids stay a DataFrame end to end.
+
+  final case class IvfIndex2(
+      assigned: DataFrame, // idCol, emb, __super, __cell
+      superCenters: Seq[Seq[Double]],
+      subCenters: DataFrame, // super INT, cell INT (global id), center ARRAY<DOUBLE>
+      subsPerSuper: Int)
+
+  /** Train the two-level quantizer and assign every corpus vector its
+    * global cell id (= super * subsPerSuper + subIndex). `numCells <= 0`
+    * auto-scales via [[autoCells]]. `subSampleBudget` is the EXPECTED
+    * per-super training sample (hash-deterministic; a pathological skew
+    * concentrating the corpus in one super-cell trains that cell on a
+    * stride-capped subset).
+    */
+  def buildIndexTwoLevel(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      numCells: Int = -1,
+      seed: Long = 42L,
+      maxIter: Int = 8,
+      maxCellRows: Long = 100000L,
+      subSampleBudget: Int = 4000): IvfIndex2 = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val k = if (numCells > 0) numCells else autoCells(n, maxCellRows)
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(k.toDouble / k1).toInt)
+    val withVec = corpus
+      .select(col(idCol), col(embCol))
+      .withColumn("__features", array_to_vector(col(embCol).cast("array<double>")))
+    val superModel = new KMeans()
+      .setK(k1).setSeed(seed).setFeaturesCol("__features")
+      .setPredictionCol("__super")
+      .setInitMode("random").setMaxIter(maxIter)
+      .fit(withVec)
+    val superCenters = superModel.clusterCenters.toSeq.map(_.toArray.toSeq)
+    val assignedSuper = superModel.transform(withVec).drop("__features")
+    // deterministic hash-sample sized for ~subSampleBudget rows per super
+    val keep = math.max(1L, (math.min(1.0,
+      subSampleBudget.toDouble * k1 / math.max(1L, n)) * 1000000L).toLong)
+    val sampled = assignedSuper
+      .filter(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)) < lit(keep))
+      .select(col("__super"),
+        xxhash64(col(idCol)).as("__h"),
+        col(embCol).cast("array<double>").as("__e"))
+      .as[(Int, Long, Seq[Double])]
+    val cap = subSampleBudget * 4
+    val subCenters = sampled.groupByKey(_._1)
+      .flatMapGroups { (sup, it) =>
+        // sort by the id hash so rebuilds see the same point order
+        // (mapGroups arrival order is not deterministic)
+        val pts0 = it.toArray.sortBy(_._2).map(_._3.toArray)
+        val pts =
+          if (pts0.length <= cap) pts0
+          else Array.tabulate(cap)(j => pts0((j.toLong * pts0.length / cap).toInt))
+        localKMeans(pts, k2, maxIter).iterator.zipWithIndex.map {
+          case (c, j) => (sup, sup * k2 + j, c.toSeq)
+        }
+      }
+      .toDF("super", "cell", "center")
+      .cache()
+    // final assignment: one join on the super id (Catalyst broadcasts
+    // the grouped sub-centroid table when it fits, shuffles otherwise);
+    // each row scans only its OWN super's k2 centers
+    val grouped = subCenters
+      .groupBy(col("super").as("__super"))
+      .agg(collect_list(struct(col("cell"), col("center"))).as("__subs"))
+    val assigned = assignedSuper
+      .join(grouped, Seq("__super"))
+      .withColumn("__cell", nearestSub(
+        col(embCol).cast("array<double>"),
+        expr("transform(__subs, s -> s.cell)"),
+        expr("transform(__subs, s -> s.center)")))
+      .drop("__subs")
+      .cache()
+    IvfIndex2(assigned, superCenters, subCenters, k2)
+  }
+
+  /** argmin over THIS row's sub-centroids (aligned cell/center arrays
+    * split from one struct array, so pairing is exact); ties break to
+    * the lower cell id. A UDF by design: the k2-way argmin over a
+    * per-row centroid list has no HOF form that avoids exploding
+    * N x k2 rows, and it runs once per corpus row at INDEX BUILD, never
+    * in the probe path.
+    */
+  private val nearestSub =
+    udf { (e: Seq[Double], cells: Seq[Int], centers: Seq[Seq[Double]]) =>
+      var best = 0
+      var bd = Double.MaxValue
+      var j = 0
+      while (j < centers.length) {
+        val c = centers(j)
+        var d = 0.0
+        var i = 0
+        val m = math.min(c.length, e.length)
+        while (i < m) { val t = e(i) - c(i); d += t * t; i += 1 }
+        if (d < bd || (d == bd && cells(j) < cells(best))) { bd = d; best = j }
+        j += 1
+      }
+      cells(best)
+    }
+
+  /** Deterministic local Lloyd's k-means over a bounded sample: striding
+    * init over the caller-sorted points, fixed iterations, empty clusters
+    * keep their previous center (they route nothing; the exact re-rank
+    * absorbs assignment noise the same way the flat builder's bounded
+    * iterations do).
+    */
+  private[ops] def localKMeans(
+      points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    if (points.isEmpty) return Array.empty
+    val kk = math.min(k, points.length)
+    var centers = Array.tabulate(kk)(j =>
+      points((j.toLong * points.length / kk).toInt).clone())
+    val dims = points.head.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dims))
+      val counts = new Array[Long](kk)
+      points.foreach { p =>
+        var best = 0
+        var bd = Double.MaxValue
+        var j = 0
+        while (j < kk) {
+          val c = centers(j)
+          var d = 0.0
+          var i = 0
+          while (i < dims) { val t = p(i) - c(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dims) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centers = Array.tabulate(kk) { j =>
+        if (counts(j) == 0L) centers(j)
+        else {
+          val c = sums(j)
+          var i = 0
+          while (i < dims) { c(i) /= counts(j); i += 1 }
+          c
+        }
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Two-level approximate top-k: probes pick their `nprobeSuper`
+    * nearest super-cells (broadcast k1 centroids — tiny), rank the
+    * sub-centroids of ONLY those supers, search the `nprobe` nearest,
+    * then exact-cosine re-rank. The full sub-centroid table never
+    * broadcasts to the probe path: the per-probe candidate set is
+    * nprobeSuper x k2 rows.
+    */
+  def annTopK2(
+      index: IvfIndex2,
+      probes: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 5,
+      nprobeSuper: Int = 4,
+      nprobe: Int = 16): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val supDf = index.superCenters.zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toDF("__super", "scenter")
+    val pe = col("pe")
+    val sc = col("scenter").cast("array<double>")
+    val d2s = vector.vec_dot(pe, pe) - lit(2.0) * vector.vec_dot(pe, sc) +
+      vector.vec_dot(sc, sc)
+    val wSup = Window.partitionBy("probe_id").orderBy(col("d2"), col("__super"))
+    val probeSupers = probes
+      .select(col(idCol).as("probe_id"), col(embCol).as("pe"))
+      .crossJoin(broadcast(supDf))
+      .select(col("probe_id"), col("pe"), col("__super"), d2s.as("d2"))
+      .select(col("probe_id"), col("pe"), col("__super"),
+        row_number().over(wSup).as("sr"))
+      .filter(col("sr") <= nprobeSuper)
+      .select("probe_id", "pe", "__super")
+    val ce = col("center").cast("array<double>")
+    val d2c = vector.vec_dot(pe, pe) - lit(2.0) * vector.vec_dot(pe, ce) +
+      vector.vec_dot(ce, ce)
+    val wCell = Window.partitionBy("probe_id").orderBy(col("d2"), col("__cell"))
+    val probeCells = broadcast(probeSupers)
+      .join(index.subCenters
+        .withColumnRenamed("super", "__super")
+        .withColumnRenamed("cell", "__cell"), Seq("__super"))
+      .select(col("probe_id"), col("pe"), col("__cell"), d2c.as("d2"))
+      .select(col("probe_id"), col("pe"), col("__cell"),
+        row_number().over(wCell).as("cr"))
+      .filter(col("cr") <= nprobe)
+      .select("probe_id", "pe", "__cell")
+    rerank(probeCells, index.assigned, idCol, embCol, k)
   }
 }

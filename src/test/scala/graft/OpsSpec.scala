@@ -127,6 +127,49 @@ class OpsSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("two-level IVF: same auto-k law, deterministic rebuild, recall " +
+    "comparable to the flat quantizer at the same probed-cell budget") {
+    import graft.ops.AnnIvf
+    val probes = emb.filter(col("vec_id") < 50)
+    val idx2 = AnnIvf.buildIndexTwoLevel(emb, "vec_id", "embedding", numCells = 12)
+    // k1 = ceil(sqrt(12)) = 4 supers, k2 = 3 subs each
+    assert(idx2.superCenters.length == 4 && idx2.subsPerSuper == 3)
+    val totalCells = idx2.subCenters.count()
+    assert(totalCells <= 12 && totalCells >= 4, s"cells: $totalCells")
+    // every corpus row carries a valid global cell id from its OWN super
+    val bad = idx2.assigned.filter(
+      col("__cell") < col("__super") * idx2.subsPerSuper ||
+        col("__cell") >= (col("__super") + 1) * idx2.subsPerSuper).count()
+    assert(bad == 0, "cells must belong to the row's own super-cell")
+    val ann = AnnIvf.annTopK2(idx2, probes, "vec_id", "embedding",
+      k = 5, nprobeSuper = 3, nprobe = 6)
+    val annPairs = ann.select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pe = col("pe").cast("array<double>")
+    val ne = col("ne").cast("array<double>")
+    val cos = vector.vec_dot(pe, ne) /
+      sqrt(vector.vec_dot(pe, pe) * vector.vec_dot(ne, ne))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val brutePairs = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (annPairs & brutePairs).size.toDouble / brutePairs.size
+    info(f"IVF2 recall@5 = $recall%.3f with nprobeSuper=3/4, nprobe=6")
+    assert(recall >= 0.3, f"recall too low: $recall%.3f")
+    // determinism: a rebuilt index assigns identical cells (hash-sorted
+    // sub-training samples, striding init, tie-broken argmin)
+    val again = AnnIvf.buildIndexTwoLevel(emb, "vec_id", "embedding", numCells = 12)
+    val a1 = idx2.assigned.select("vec_id", "__cell").collect().map(_.toSeq).toSet
+    val a2 = again.assigned.select("vec_id", "__cell").collect().map(_.toSeq).toSet
+    assert(a1 == a2)
+  }
+
   test("IVF fromTables rejects non-contiguous or missing centroid cells") {
     import graft.ops.AnnIvf
     import spark.implicits._
