@@ -759,17 +759,47 @@ class DifferentialSpec extends AnyFunSuite {
     rDf.writeTo("clickhouse.main.diff_asof_r").append()
     val remL = spark.table("clickhouse.main.diff_asof_l")
     val remR = spark.table("clickhouse.main.diff_asof_r")
+    // first four cases pin one operator each; the rest draw randomly —
+    // every direction/strictness variant rides the same two paths
+    val ops = Seq("<=", "<", ">=", ">")
     (1 to 12).foreach { i =>
       val lCut = r.nextInt(1000).toLong
       val kMod = r.nextInt(4) + 2
+      val op = if (i <= 4) ops(i - 1) else ops(r.nextInt(ops.length))
+      val leftJoin = r.nextBoolean()
       val lp: DataFrame => DataFrame = _.filter(col("ts") <= lCut)
       val rp: DataFrame => DataFrame = _.filter(col("k") % kMod =!= 0)
       val planned = graft.ops.AsOfJoin.asofJoinPlanned(
-        lp(remL), rp(remR), "k", "ts", "qts", "seq", Seq("price"))
+        lp(remL), rp(remR), Seq("k"), "ts", "qts", "seq", Seq("price"),
+        op = op, leftJoin = leftJoin)
       val local = graft.ops.AsOfJoin.asofJoin(
-        lp(lDf), rp(rDf), "k", "ts", "qts", "seq", Seq("price"))
+        lp(lDf), rp(rDf), Seq("k"), "ts", "qts", "seq", Seq("price"),
+        op = op, leftJoin = leftJoin)
       assert(canon(planned) == canon(local), s"asof case $i diverged " +
-        s"(ts<=$lCut, k%$kMod!=0)")
+        s"(ts<=$lCut, k%$kMod!=0, op=$op, leftJoin=$leftJoin)")
+    }
+  }
+
+  test("random QUALIFY shapes (embedded wrapped-WHERE rewrite) agree with " +
+    "a local window + filter") {
+    val r = new Random(99887766)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    (1 to 6).foreach { i =>
+      val cut = r.nextInt(5) + 1
+      val ord = if (r.nextBoolean()) "DESC" else "ASC"
+      val remote = ch.chSql(
+        s"SELECT `lang`, `doc_id`, row_number() OVER (PARTITION BY `lang` " +
+          s"ORDER BY `n_chars` $ord, `doc_id`) AS rn " +
+          s"FROM `main`.`documents` QUALIFY rn <= $cut ORDER BY `lang`, rn")
+      val local = spark.sql(
+        s"SELECT * FROM (SELECT lang, doc_id, row_number() OVER " +
+          s"(PARTITION BY lang ORDER BY n_chars $ord, doc_id) AS rn " +
+          s"FROM documents) WHERE rn <= $cut ORDER BY lang, rn")
+      assert(canon(remote) == canon(local),
+        s"qualify case $i diverged (cut=$cut, ord=$ord)")
     }
   }
 

@@ -506,6 +506,45 @@ class GatePlanSpec extends AnyFunSuite {
     }.isEmpty)
   }
 
+  test("r67 tombstone FINAL ships in the remote SQL like r37: bare scan " +
+    "carrying FINAL, no local window or shuffle") {
+    val df = SparkEntry.queries("r67_replacing_tombstone")(spark, sfDir)
+    assert(df.count() > 0)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = root.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[graft.connector.ChScan] => b
+    }
+    assert(scans.size == 1)
+    assert(scans.head.scan.description().contains(" FINAL"),
+      scans.head.scan.description())
+    assert(root.collect { case e: ShuffleExchangeLike => e }.isEmpty)
+    assert(root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+  }
+
+  test("r65/r66 raw-SQL rewrites (TOTALS+HAVING, QUALIFY) plan as ONE " +
+    "remote exec each — the semi-join restriction and the window filter " +
+    "run in the store, not in Spark") {
+    for (name <- Seq("r65_totals_having", "r66_qualify")) {
+      val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+      assert(df.count() > 0, name)
+      val all = PlanAsserts.flatten(df.queryExecution.executedPlan)
+      val remotes = all.collect { case r: graft.pushdown.ClickHouseRemoteExec => r }
+      assert(remotes.size == 1, s"$name: one remote exec:\n${all.head}")
+      assert(!all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]),
+        s"$name: no Spark-side join:\n${all.head}")
+      assert(!all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.window.WindowExec]),
+        s"$name: no Spark-side window:\n${all.head}")
+    }
+  }
+
   test("r29 anti-join + dim join + agg collapse into one remote SQL") {
     val df = SparkEntry.queries("r29_remote_anti_join")(spark, sfDir)
     // non-vacuous: the date-restricted anti slice must produce rows at
