@@ -333,6 +333,57 @@ object AnnIvf {
     centers
   }
 
+  /** Store-shaped views of a two-level index (same contract as
+    * [[cellsTable]]/[[centroidsTable]]: write once at ingest, probe
+    * sessions rebuild from the tables). The super table carries
+    * `subs_per_super` as a constant column — the global cell id is
+    * `super * subs_per_super + subIndex`, so the rebuild must use the
+    * exact build-time value, self-described rather than re-derived.
+    */
+  def cellsTableTwoLevel(
+      index: IvfIndex2, idCol: String, embCol: String): DataFrame =
+    index.assigned.select(
+      col(idCol), col(embCol),
+      col("__super").cast("int").as("super"),
+      col("__cell").cast("int").as("cell"))
+
+  def superCentroidsTable(
+      index: IvfIndex2, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    index.superCenters.zipWithIndex
+      .map { case (c, i) => (i, c, index.subsPerSuper) }
+      .toDF("super", "center", "subs_per_super")
+  }
+
+  /** Rebuild a two-level index from its persisted tables. Only the k1
+    * super centroids collect to the driver (tiny by construction); the
+    * sub-centroid and cell tables stay DataFrames.
+    */
+  def fromTablesTwoLevel(
+      cells: DataFrame,
+      superCentroids: DataFrame,
+      subCentroids: DataFrame,
+      idCol: String,
+      embCol: String): IvfIndex2 = {
+    val supRows = superCentroids
+      .select("super", "center", "subs_per_super").collect()
+    require(supRows.nonEmpty, "super-centroid table is empty")
+    val k2s = supRows.map(_.getInt(2)).distinct
+    require(k2s.length == 1,
+      s"super-centroid table carries conflicting subs_per_super: ${k2s.mkString(", ")}")
+    val bySup = supRows.map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1)
+    val ids = bySup.map(_._1).toSeq
+    require(ids == (0 until bySup.length),
+      s"super-centroid table must contain exactly supers 0..k1-1, got: ${ids.mkString(", ")}")
+    IvfIndex2(
+      cells.select(col(idCol), col(embCol),
+        col("super").as("__super"), col("cell").as("__cell")),
+      bySup.map(_._2).toSeq,
+      subCentroids.select("super", "cell", "center"),
+      k2s.head)
+  }
+
   /** Two-level approximate top-k: probes pick their `nprobeSuper`
     * nearest super-cells (broadcast k1 centroids — tiny), rank the
     * sub-centroids of ONLY those supers, search the `nprobe` nearest,

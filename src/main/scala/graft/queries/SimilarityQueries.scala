@@ -383,6 +383,86 @@ object SimilarityQueries {
       },
       oracle = Some(RecallOracle)),
 
+    // ---- the TWO-LEVEL IVF index as a persisted store artifact (r32's
+    // shape for the beyond-driver-envelope quantizer): super centroids,
+    // sub-centroids, and cell assignment written through the connector
+    // once; probe sessions rebuild from the three tables — only the k1
+    // super centroids ever reach the driver. Same deterministic
+    // recall@5 >= 0.90 hash gate; operating point = all supers,
+    // nprobe = ceil(0.75 k) (RecallProbe: 0.950/0.952/0.968 at
+    // sf0.001/0.01/0.1 and 0.984/0.988 at 10x/30x synthetic scale).
+    GateQuery("r68_ann_ivf2_persisted",
+      (s, dir) => {
+        Tables.register(s, dir)
+        ConnectorQueries.harness(s, dir)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val client = new graft.client.EmbeddedClickHouse(
+          s"/root/repo/target/chstore_$tag")
+        def count(t: String): Long =
+          if (!client.tableExists("main", t)) -1L
+          else client.query(s"SELECT count(*) AS n FROM `main`.`$t`", 1)
+            ._2.flatten.headOption.map(_.getLong(0)).getOrElse(-1L)
+        def metaK(t: String): Long =
+          if (!client.tableExists("main", t)) -1L
+          else client.query(s"SELECT max(requested_k) AS k FROM `main`.`$t`", 1)
+            ._2.flatten.headOption
+            .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).getOrElse(-1L)
+        val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
+        SimilarityQueries.synchronized {
+        if (!verifiedIndexes.contains(s"r68:$tag"))
+          graft.client.StoreLock.withLockNamed(s"ann:r68:$tag") {
+          if (count("ivf2_cells") <= 0 || count("ivf2_super") <= 0 ||
+            count("ivf2_sub") <= 0 || metaK("ivf2_meta") != expectK) {
+            Seq("ivf2_cells", "ivf2_super", "ivf2_sub", "ivf2_meta").foreach { t =>
+              if (client.tableExists("main", t)) client.dropTable("main", t)
+            }
+            val index = graft.ops.AnnIvf.buildIndexTwoLevel(
+              corpus(s), "vec_id", "embedding", numCells = expectK)
+            client.createTable("main", "ivf2_cells", Seq(
+              "vec_id" -> "Nullable(Int64)",
+              "embedding" -> "Array(Nullable(Float32))",
+              "super" -> "Nullable(Int32)",
+              "cell" -> "Nullable(Int32)"), Map("engine" -> "MergeTree"))
+            graft.ops.AnnIvf.cellsTableTwoLevel(index, "vec_id", "embedding")
+              .writeTo("clickhouse.main.ivf2_cells").append()
+            client.createTable("main", "ivf2_super", Seq(
+              "super" -> "Nullable(Int32)",
+              "center" -> "Array(Nullable(Float64))",
+              "subs_per_super" -> "Nullable(Int32)"), Map("engine" -> "MergeTree"))
+            // (center arrays are Float64 on disk, like ivf_centroids)
+            graft.ops.AnnIvf.superCentroidsTable(index, s)
+              .writeTo("clickhouse.main.ivf2_super").append()
+            client.createTable("main", "ivf2_sub", Seq(
+              "super" -> "Nullable(Int32)",
+              "cell" -> "Nullable(Int32)",
+              "center" -> "Array(Nullable(Float64))"), Map("engine" -> "MergeTree"))
+            index.subCenters.writeTo("clickhouse.main.ivf2_sub").append()
+            // marker LAST: its presence certifies all three tables landed
+            client.createTable("main", "ivf2_meta",
+              Seq("requested_k" -> "Nullable(Int64)"), Map("engine" -> "MergeTree"))
+            client.insert("main", "ivf2_meta",
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("requested_k",
+                  org.apache.spark.sql.types.LongType))),
+              Seq(org.apache.spark.sql.Row(expectK.toLong)))
+          }
+          verifiedIndexes.add(s"r68:$tag")
+        }
+        }
+        // probe-only path: index rebuilt ENTIRELY from the store tables
+        val stored = graft.ops.AnnIvf.fromTablesTwoLevel(
+          s.table("clickhouse.main.ivf2_cells"),
+          s.table("clickhouse.main.ivf2_super"),
+          s.table("clickhouse.main.ivf2_sub"), "vec_id", "embedding")
+        val probes = s.table("embeddings").filter(col("vec_id") < 100)
+        val ann = graft.ops.AnnIvf.annTopK2(
+          stored, probes, "vec_id", "embedding", k = 5,
+          nprobeSuper = stored.superCenters.length,
+          nprobe = math.ceil(0.75 * expectK).toInt)
+        recallGate(s, dir, ann)
+      },
+      oracle = Some(RecallOracle)),
+
     // ---- r32's persisted IVF index on a SHARDED cluster, routed by
     // `cell`: every vector of a cell co-resides on one shard, so a
     // probe's nprobe cell reads touch exactly the shards holding those
