@@ -1207,8 +1207,9 @@ object ChSqlTranslator {
   private def rewriteQualifyLevel(s: String): String = {
     val qps = topLevelPositions(s, "QUALIFY")
     if (qps.isEmpty) return s
-    require(qps.length == 1,
-      "multiple QUALIFY clauses at one SELECT level are not valid SQL")
+    // one QUALIFY per SELECT — but UNION branches share this paren level,
+    // so rewrite the FIRST and recurse (its clause ends at the UNION
+    // keyword, leaving later branches intact), like the TOTALS rewrite
     val qp = qps.head
     val qEnd = Seq("ORDER", "LIMIT", "UNION", "SETTINGS", "FORMAT", "OFFSET")
       .flatMap(k => topLevelPositions(s, k)).filter(_ > qp)
@@ -1219,10 +1220,29 @@ object ChSqlTranslator {
       "QUALIFY with an inline window expression is not supported by the " +
         "embedded rewrite; alias the window function in the SELECT list " +
         "and reference the alias in QUALIFY")
-    val core = s.substring(0, qp).trim
+    // the wrap must be BRANCH-local: a QUALIFY in a later UNION branch
+    // wraps only text after the preceding top-level UNION keyword, never
+    // the already-rewritten earlier branches
+    val branchStart = topLevelPositions(s, "UNION").filter(_ < qp)
+      .lastOption.map { up =>
+        var j = up + 5
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        val kw = Seq("ALL", "DISTINCT").find(k =>
+          s.regionMatches(true, j, k, 0, k.length) &&
+            (j + k.length >= s.length ||
+              !(s.charAt(j + k.length).isLetterOrDigit || s.charAt(j + k.length) == '_')))
+        kw.foreach { k =>
+          j += k.length
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        }
+        j
+      }.getOrElse(0)
+    val prefix = s.substring(0, branchStart)
+    val core = s.substring(branchStart, qp).trim
     val tail = s.substring(qEnd).trim
-    s"SELECT * FROM ($core) AS __qualify WHERE $cond" +
-      (if (tail.isEmpty) "" else " " + tail)
+    rewriteQualifyLevel(
+      prefix + s"SELECT * FROM ($core) AS __qualify WHERE $cond" +
+        (if (tail.isEmpty) "" else " " + tail))
   }
 
   // ---- SETTINGS clause handling (embedded) ----------------------------

@@ -298,6 +298,14 @@ class TranslatorSpec extends AnyFunSuite {
     val got3 = t("SELECT n FROM (SELECT k, count(*) OVER (PARTITION BY k) " +
       "AS n FROM db.tbl QUALIFY n > 1) x")
     assert(got3.contains("AS __qualify WHERE n > 1) x"), got3)
+    // UNION branches each carry their own QUALIFY: the wrap is
+    // branch-local (the second filter must never see the first branch)
+    val got4 = t("SELECT k, row_number() OVER (ORDER BY v) AS rn FROM db.tbl " +
+      "QUALIFY rn = 1 UNION ALL SELECT k, row_number() OVER (ORDER BY v) " +
+      "AS rn FROM db.tbl QUALIFY rn = 2")
+    assert(got4.matches(raw"SELECT \* FROM \(SELECT k, row_number.*\) AS " +
+      raw"__qualify WHERE rn = 1 UNION ALL SELECT \* FROM \(SELECT k, " +
+      raw"row_number.*\) AS __qualify WHERE rn = 2"), got4)
     val e = intercept[IllegalArgumentException](
       t("SELECT k FROM db.tbl QUALIFY row_number() OVER (ORDER BY k) = 1"))
     assert(e.getMessage.contains("alias the window function"), e.getMessage)
