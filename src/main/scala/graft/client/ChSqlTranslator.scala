@@ -808,8 +808,18 @@ object ChSqlTranslator {
           s"malformed ASOF join near: ${sql.substring(at).take(60)}"))
     val isLeft = jm.group(1) != null && jm.group(1).trim.equalsIgnoreCase("LEFT")
     val joinEnd = at + jm.end
-    val onPos = topLevelPositions(sql, "ON").find(_ >= joinEnd).getOrElse(
-      throw new IllegalArgumentException("ASOF JOIN requires an ON clause"))
+    // USING form: `USING (k1, ..., kn, asofCol)` — the last column is the
+    // asof column with the server's pinned `left >= right` (backward
+    // inclusive) match; handled in its own branch because the flattening
+    // must EXCEPT the right side's same-named columns
+    val usingPosOpt = topLevelPositions(sql, "USING").find(_ >= joinEnd)
+    val onPosOpt = topLevelPositions(sql, "ON").find(_ >= joinEnd)
+    if (usingPosOpt.exists(up => onPosOpt.forall(up < _)))
+      return rewriteAsofUsing(
+        sql, prefix, selRaw, lSeg, isLeft, joinEnd, usingPosOpt.get)
+    val onPos = onPosOpt.getOrElse(
+      throw new IllegalArgumentException(
+        "ASOF JOIN requires an ON clause (or USING (keys..., asofColumn))"))
     val rSeg = sql.substring(joinEnd, onPos).trim
     val onEnd = ClauseKws.flatMap(k => topLevelPositions(sql, k))
       .filter(_ > onPos).sorted.headOption.getOrElse(sql.length)
@@ -878,6 +888,64 @@ object ChSqlTranslator {
         s"FROM (SELECT *, monotonically_increasing_id() AS __asof_lid " +
         s"FROM $lSegR) AS __asof_l LEFT JOIN $rTermFull ON $onInner"
     val innerCond = if (isLeft) "" else s" AND $rTimeOuter IS NOT NULL"
+    val whereOut = s" WHERE __asof_rn = 1$innerCond" +
+      whereExpr.map(w => s" AND (${stripQuals(w)})").getOrElse("")
+    s"${prefix}SELECT $sel FROM ($inner) AS __asof$whereOut" +
+      (if (rest.trim.isEmpty) "" else " " + stripQuals(rest.trim))
+  }
+
+  /** `L ASOF [LEFT|INNER] JOIN R USING (k1, ..., kn, t)` — the server's
+    * USING spelling: equality on every listed column except the LAST,
+    * which is the asof column matched as `left.t >= right.t` (backward
+    * inclusive — the USING form carries no direction syntax). The
+    * flatten EXCEPTs the right side's same-named columns (Spark
+    * star-EXCEPT), so unqualified references resolve to the LEFT copy —
+    * the merged-column semantics USING promises; the right asof value
+    * survives under a synthetic alias for the INNER variant's match
+    * test. Any OTHER column name shared between the sides still hits
+    * the documented shared-name limitation (loud analysis error).
+    */
+  private def rewriteAsofUsing(
+      sql: String, prefix: String, selRaw: String, lSeg: String,
+      isLeft: Boolean, joinEnd: Int, usingPos: Int): String = {
+    val rSeg = sql.substring(joinEnd, usingPos).trim
+    var p = usingPos + 5
+    while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+    require(p < sql.length && sql.charAt(p) == '(',
+      "ASOF JOIN USING requires a parenthesized column list")
+    val (cols0, afterList) = parseArgs(sql, p + 1)
+    val cols = cols0.map(_.trim).filter(_.nonEmpty)
+    require(cols.length >= 2,
+      "ASOF JOIN USING needs at least one key column plus the asof " +
+        "column (the LAST listed column)")
+    require(cols.forall(c => c.matches(raw"`[^`]+`|\w+")),
+      s"ASOF JOIN USING accepts plain column names only: ${cols.mkString(", ")}")
+    val tail = sql.substring(afterList)
+    val (lAlias, _) = termAlias(lSeg)
+    val (rAliasOpt, _) = termAlias(rSeg)
+    val rAlias = rAliasOpt.getOrElse("__asof_r")
+    // nested ASOF joins inside either side rewrite recursively
+    val lSegR = rewriteAsofLevel(lSeg)
+    val rSegR = rewriteAsofLevel(rSeg)
+    val rTermFull = if (rAliasOpt.isDefined) rSegR else s"$rSegR AS __asof_r"
+    val keys = cols.init
+    val tCol = cols.last
+    val onInner = (keys.map(k => s"__asof_l.$k = $rAlias.$k") :+
+      s"$rAlias.$tCol <= __asof_l.$tCol").mkString(" AND ")
+    def stripQuals(t: String): String = {
+      var s0 = replaceQualifier(t, rAlias, "")
+      lAlias.foreach(la => s0 = replaceQualifier(s0, la, ""))
+      s0
+    }
+    val sel = stripQuals(selRaw)
+    val (whereExpr, rest) = splitAsofTail(tail)
+    val inner =
+      s"SELECT __asof_l.*, $rAlias.* EXCEPT (${cols.mkString(", ")}), " +
+        s"$rAlias.$tCol AS __asof_rt, row_number() OVER (PARTITION BY " +
+        s"__asof_l.__asof_lid ORDER BY $rAlias.$tCol DESC) AS __asof_rn " +
+        s"FROM (SELECT *, monotonically_increasing_id() AS __asof_lid " +
+        s"FROM $lSegR) AS __asof_l LEFT JOIN $rTermFull ON $onInner"
+    val innerCond = if (isLeft) "" else " AND __asof_rt IS NOT NULL"
     val whereOut = s" WHERE __asof_rn = 1$innerCond" +
       whereExpr.map(w => s" AND (${stripQuals(w)})").getOrElse("")
     s"${prefix}SELECT $sel FROM ($inner) AS __asof$whereOut" +

@@ -278,6 +278,35 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(ok.count() == 50)
   }
 
+  test("embedded ASOF JOIN USING executes with merged-key semantics: " +
+    "values match the ON form / local composition; INNER drops unmatched") {
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chasof").build()
+    // right side renamed so both sides share (k, ts) — the USING shape
+    val viaUsing = ch.chSql(
+      """SELECT `k` AS k, `ts` AS ts, `price` AS p
+        |FROM `db`.`ev` e ASOF LEFT JOIN
+        |  (SELECT `k`, `qts` AS `ts`, `price` FROM `db`.`qt`) q
+        |  USING (`k`, `ts`)""".stripMargin)
+    val local = graft.ops.AsOfJoin.asofJoin(
+      spark.table("chasof.db.ev"), spark.table("chasof.db.qt"),
+      "k", "ts", "qts", "seq", Seq("price"))
+      .select(org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("asof_price").as("p"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(viaUsing) == canon(local))
+    // INNER USING: unmatched left rows drop (k=5 has no quotes)
+    val inner = ch.chSql(
+      """SELECT `k` AS k, `ts` AS ts, `price` AS p
+        |FROM `db`.`ev` e ASOF JOIN
+        |  (SELECT `k`, `qts` AS `ts`, `price` FROM `db`.`qt`) q
+        |  USING (`k`, `ts`)""".stripMargin).collect()
+    assert(inner.nonEmpty && !inner.exists(_.getLong(0) == 5L))
+    assert(inner.forall(!_.isNullAt(2)))
+  }
+
   test("a session without the pushdown rule gets the local composition " +
     "directly (no marker node ever built)") {
     val s2 = spark.newSession()

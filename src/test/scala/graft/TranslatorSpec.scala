@@ -188,6 +188,27 @@ class TranslatorSpec extends AnyFunSuite {
     assert(qual.contains("__asof_l.k = r.k"), qual)
   }
 
+  test("ASOF JOIN USING (keys..., asofColumn): equality on every column " +
+    "but the last, backward-inclusive match on the last; the flatten " +
+    "EXCEPTs the right side's same-named columns; malformed lists reject") {
+    val u = t("SELECT k AS k, p AS p FROM db.l ASOF JOIN db.r USING (k, ts)")
+    assert(u.contains("EXCEPT (k, ts)"), u)
+    assert(u.contains("__asof_r.k = __asof_l.k") ||
+      u.contains("__asof_l.k = __asof_r.k"), u)
+    assert(u.contains("__asof_r.ts <= __asof_l.ts"), u)
+    // no LEFT keyword → INNER: matched-ness via the surviving right asof
+    assert(u.contains("__asof_rt IS NOT NULL"), u)
+    val ul = t("SELECT k AS k, p AS p FROM db.l ASOF LEFT JOIN db.r " +
+      "USING (k, ts)")
+    assert(!ul.contains("__asof_rt IS NOT NULL"), ul)
+    val e1 = intercept[IllegalArgumentException](
+      t("SELECT k AS k FROM db.l ASOF JOIN db.r USING (ts)"))
+    assert(e1.getMessage.contains("at least one key column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      t("SELECT k AS k FROM db.l ASOF JOIN db.r USING (k, ts + 1)"))
+    assert(e2.getMessage.contains("plain column names"), e2.getMessage)
+  }
+
   test("ASOF JOIN rejections are loud: join_use_nulls=0, unresolvable " +
     "sides, several inequalities, star selects, mixed joins") {
     def fails(sql: String, frag: String): Unit = {
