@@ -138,6 +138,36 @@ class SessionSpec extends AnyFunSuite {
     assert(top == 2L)
   }
 
+  test("chSql pins totals_mode='after_having_exclusive' on the SHIPPED " +
+    "statement when TOTALS meets HAVING — the wire transport contract, " +
+    "visible in the remote node's SQL on any transport") {
+    val root = Files.createTempDirectory("graft_totpin_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chtot").build()
+    ch.createDatabase("tp")
+    ch.newTable("tp", "t")
+      .column("g", "String").column("v", "Int64")
+      .engine("MergeTree").orderBy("g").create()
+    val sch = ch.client.asInstanceOf[graft.client.EmbeddedClickHouse]
+      .sparkSchema("tp", "t")
+    ch.client.insert("tp", "t", sch, Seq(
+      Row("a", 1L), Row("a", 2L), Row("b", 3L)))
+    val df = ch.chSql(
+      "SELECT `g`, count(*) AS n FROM `tp`.`t` GROUP BY `g` WITH TOTALS " +
+        "HAVING count(*) >= 2")
+    val node = df.queryExecution.analyzed.collectFirst {
+      case n: graft.pushdown.ClickHouseRemoteNode => n
+    }
+    assert(node.exists(_.sql.contains(
+      "SETTINGS totals_mode = 'after_having_exclusive'")),
+      node.map(_.sql).toString)
+    // and the pinned mode EXECUTES embedded: only group a survives, the
+    // NULL-keyed totals row aggregates a's rows only (exclusive)
+    val got = df.collect().map(r =>
+      (if (r.isNullAt(0)) "∅" else r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "∅" -> 2L), got.toString)
+  }
+
   test("LIMIT BY executes embedded: per-group first-n in ORDER BY " +
     "order, OFFSET form, trailing LIMIT composes; ORDER BY required") {
     val root = Files.createTempDirectory("graft_limitby_").toString
