@@ -553,6 +553,100 @@ object SimilarityQueries {
       },
       oracle = Some(RecallOracle)),
 
+    // ---- the TWO-LEVEL IVF index on a SHARDED cluster (r46's placement
+    // story for the r68 quantizer): the cell table routes by `cell`, so
+    // every vector of a cell co-resides and a probe's nprobe cell reads
+    // touch exactly the shards holding those cells; sub-centroids shard
+    // by cell alongside, the k1-row super table routes by `super`, the
+    // 1-row meta marker pins shard 0. Same recall >= 0.90 hash gate;
+    // the gate requires both shards to hold cell slices before probing.
+    GateQuery("r69_sharded_ann_ivf2",
+      (s, dir) => {
+        Tables.register(s, dir)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val cat = s"chsh2ann_$tag"
+        val roots = IndexedSeq(
+          s"/root/repo/target/chsh2ann0_$tag", s"/root/repo/target/chsh2ann1_$tag")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.catalog.ClickHouseCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.path", roots.mkString(","))
+        s.conf.set(s"spark.sql.catalog.$cat.shard_by", "cell")
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        val clients = roots.map(r => new graft.client.EmbeddedClickHouse(r))
+        def count(t: String): Long =
+          scala.util.Try(s.table(s"$cat.main.$t").count()).getOrElse(-1L)
+        def metaK: Long =
+          if (!clients.head.tableExists("main", "ivf2_meta_sh")) -1L
+          else clients.head.query(
+            "SELECT max(requested_k) AS k FROM `main`.`ivf2_meta_sh`", 1)
+            ._2.flatten.headOption
+            .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).getOrElse(-1L)
+        SimilarityQueries.synchronized {
+        if (!verifiedIndexes.contains(s"r69:$tag"))
+          graft.client.StoreLock.withLockNamed(s"ann:r69:$tag") {
+          val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
+          if (count("ivf2_cells_sh") <= 0 || count("ivf2_super_sh") <= 0 ||
+            count("ivf2_sub_sh") <= 0 || metaK != expectK) {
+            Seq("ivf2_cells_sh", "ivf2_super_sh", "ivf2_sub_sh").foreach { t =>
+              s.sql(s"DROP TABLE IF EXISTS $cat.main.$t")
+            }
+            if (clients.head.tableExists("main", "ivf2_meta_sh"))
+              clients.head.dropTable("main", "ivf2_meta_sh")
+            val index = graft.ops.AnnIvf.buildIndexTwoLevel(
+              corpus(s), "vec_id", "embedding", numCells = expectK)
+            s.sql(
+              s"""CREATE TABLE $cat.main.ivf2_cells_sh
+                 |(vec_id BIGINT, embedding ARRAY<FLOAT>, super INT, cell INT)
+                 |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'cell')""".stripMargin)
+            graft.ops.AnnIvf.cellsTableTwoLevel(index, "vec_id", "embedding")
+              .writeTo(s"$cat.main.ivf2_cells_sh").append()
+            // the catalog routes every insert by `cell`; the k1-row super
+            // table carries a synthetic cell = super so its rows place
+            // deterministically (reads never consult it)
+            s.sql(
+              s"""CREATE TABLE $cat.main.ivf2_super_sh
+                 |(cell INT, super INT, center ARRAY<DOUBLE>, subs_per_super INT)
+                 |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'super')""".stripMargin)
+            graft.ops.AnnIvf.superCentroidsTable(index, s)
+              .select(col("super").as("cell"), col("super"), col("center"),
+                col("subs_per_super"))
+              .writeTo(s"$cat.main.ivf2_super_sh").append()
+            s.sql(
+              s"""CREATE TABLE $cat.main.ivf2_sub_sh
+                 |(super INT, cell INT, center ARRAY<DOUBLE>)
+                 |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'cell')""".stripMargin)
+            index.subCenters.writeTo(s"$cat.main.ivf2_sub_sh").append()
+            // marker LAST (shard 0, 1 row): certifies all three landed
+            clients.head.createTable("main", "ivf2_meta_sh",
+              Seq("requested_k" -> "Nullable(Int64)"), Map("engine" -> "MergeTree"))
+            clients.head.insert("main", "ivf2_meta_sh",
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("requested_k",
+                  org.apache.spark.sql.types.LongType))),
+              Seq(org.apache.spark.sql.Row(expectK.toLong)))
+          }
+          // the cell table must actually be distributed across the shards
+          val perShard = clients.map(c =>
+            c.query("SELECT count(*) AS n FROM `main`.`ivf2_cells_sh`", 1)
+              ._2.flatten.head.getLong(0))
+          require(perShard.forall(_ > 0), s"cell slices: ${perShard.mkString(",")}")
+          verifiedIndexes.add(s"r69:$tag")
+        }
+        }
+        val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
+        val stored = graft.ops.AnnIvf.fromTablesTwoLevel(
+          s.table(s"$cat.main.ivf2_cells_sh"),
+          s.table(s"$cat.main.ivf2_super_sh"),
+          s.table(s"$cat.main.ivf2_sub_sh"), "vec_id", "embedding")
+        val probes = s.table("embeddings").filter(col("vec_id") < 100)
+        val ann = graft.ops.AnnIvf.annTopK2(
+          stored, probes, "vec_id", "embedding", k = 5,
+          nprobeSuper = stored.superCenters.length,
+          nprobe = math.ceil(0.75 * expectK).toInt)
+        recallGate(s, dir, ann)
+      },
+      oracle = Some(RecallOracle)),
+
     // ---- int8 embedding quantization (the storage/bandwidth side of
     // similarity search at 100 TB: 4x smaller vectors for the ANN coarse
     // pass). Symmetric per-vector scale = 127/max|x|; quantized value =
