@@ -91,6 +91,21 @@ object ChSqlTranslator {
     // GLOBAL JOIN likewise: distribution hints that are the identity on
     // a single execution domain.
     s = foldPrewhere(s)
+    // honored-or-rejected: ORDER BY ... WITH FILL / INTERPOLATE generate
+    // rows the embedded engine does not model (and the server fills the
+    // other columns with TYPE DEFAULTS — inexpressible here without
+    // per-column type knowledge); reject by name, never garbled SQL.
+    // The lookahead spares a CTE legitimately named `fill`.
+    mapOutsideStrings(s) { seg =>
+      if (raw"(?i)\bWITH\s+FILL\b(?!\s+AS\b|\s*\()".r.findFirstIn(seg).isDefined ||
+        raw"(?i)\bINTERPOLATE\s*\(".r.findFirstIn(seg).isDefined)
+        throw new IllegalArgumentException(
+          "ORDER BY ... WITH FILL / INTERPOLATE is not supported by the " +
+            "embedded engine (row generation with type-default fills); " +
+            "build the grid explicitly (sequence() + explode + LEFT JOIN, " +
+            "the q52 gap-fill pattern) or run against a real server")
+      seg
+    }
     s = stripGlobal(s)
     s = rewriteAsof(s)
     s = rewriteTotals(s)
@@ -1428,6 +1443,42 @@ object ChSqlTranslator {
         s"${prefix}WHERE ($expr) AND ($w)${if (end2 < in.length) " " + in.substring(end2) else ""}"
       } else s"${prefix}WHERE $expr${if (end < in.length) " " + in.substring(end) else ""}"
     foldPrewhere(folded)
+  }
+
+  /** A parsed top-level `LIMIT n WITH TIES`: core is the statement with
+    * the ORDER BY and the LIMIT clause removed; orderBy defines the tie
+    * groups (required — WITH TIES without an order is meaningless and
+    * the server errors too).
+    */
+  final case class WithTiesParts(core: String, orderBy: String, n: Long)
+
+  private val WithTiesHead = raw"(?is)^LIMIT\s+(\d+)\s+WITH\s+TIES\s*;?\s*$$".r
+
+  /** Some(parts) when `sql` ends in a top-level `LIMIT n WITH TIES`
+    * (server semantics: keep every row tying the last in-limit row on
+    * the ORDER BY key). Nested WITH TIES rejects loudly like LIMIT BY.
+    */
+  def parseWithTies(sql: String): Option[WithTiesParts] = {
+    val hit = topLevelPositions(sql, "LIMIT").flatMap(at =>
+      WithTiesHead.findFirstMatchIn(sql.substring(at)).map(m => (at, m)))
+    if (hit.isEmpty) {
+      if (raw"(?is)LIMIT\s+\d+\s+WITH\s+TIES".r.findFirstIn(sql).isDefined)
+        throw new IllegalArgumentException(
+          "LIMIT ... WITH TIES inside a subquery is not supported by the " +
+            "embedded rewrite (top-level only); restructure the statement " +
+            "or run against a real server")
+      return None
+    }
+    val (at, m) = hit.head
+    val ob = topLevelPositions(sql, "ORDER")
+      .filter(p => p < at && OrderByHead.findFirstIn(sql.substring(p)).isDefined)
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        "LIMIT ... WITH TIES requires a top-level ORDER BY (the ties are " +
+          "defined by the sort key)"))
+    val obM = OrderByHead.findFirstMatchIn(sql.substring(ob)).get
+    val orderBy = sql.substring(ob + obM.end, at).trim
+    require(orderBy.nonEmpty, "LIMIT ... WITH TIES: empty ORDER BY")
+    Some(WithTiesParts(sql.substring(0, ob).trim, orderBy, m.group(1).toLong))
   }
 
   /** Some(parts) when `sql` carries a top-level `LIMIT n [OFFSET o] BY`

@@ -1335,6 +1335,11 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       // arbitrary n per group — not reproducible, so rejected (the same
       // determinism rule as FINAL tie-breaks).
       val lb = ChSqlTranslator.parseLimitBy(detokened)
+      // LIMIT n WITH TIES (server: keep every row tying the last
+      // in-limit row on the ORDER BY key) — a rank() window, same
+      // helper-column pattern as LIMIT BY
+      val wt =
+        if (lb.isDefined) None else ChSqlTranslator.parseWithTies(detokened)
       val effective = lb match {
         case Some(p) =>
           val ord = p.orderBy.getOrElse(throw new IllegalArgumentException(
@@ -1345,7 +1350,13 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
             s"FROM (${p.core}) AS __lb_in) AS __lb " +
             s"WHERE __lb_rn > ${p.offset} AND __lb_rn <= ${p.offset + p.n} " +
             s"ORDER BY $ord" + p.outerLimit.map(" " + _).getOrElse("")
-        case None => detokened
+        case None => wt match {
+          case Some(w) =>
+            s"SELECT * FROM (SELECT *, rank() OVER (ORDER BY ${w.orderBy}) " +
+              s"AS __wt_rk FROM (${w.core}) AS __wt_in) AS __wt " +
+              s"WHERE __wt_rk <= ${w.n} ORDER BY ${w.orderBy}"
+          case None => detokened
+        }
       }
       val tr = ChSqlTranslator.translate(rewriteSample(rewriteFinal(effective)), tables)
       ensureViews(entry, tr, tables)
@@ -1373,7 +1384,9 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
           throw new IllegalArgumentException(
             s"translated SQL failed: ${e.getMessage}$hint" +
               s"\n--- translated ---\n$tr", e) }
-      if (lb.isDefined) df.drop("__lb_rn") else df
+      if (lb.isDefined) df.drop("__lb_rn")
+      else if (wt.isDefined) df.drop("__wt_rk")
+      else df
     })
   }
 

@@ -205,6 +205,39 @@ class SessionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ORDER BY"), e.getMessage)
   }
 
+  test("LIMIT n WITH TIES executes embedded: rows tying the last " +
+    "in-limit row on the sort key survive; ORDER BY required; nested " +
+    "rejects; helper column never leaks") {
+    val root = Files.createTempDirectory("graft_ties_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chties").build()
+    ch.createDatabase("wt")
+    ch.newTable("wt", "t")
+      .column("g", "String").column("v", "Int64")
+      .engine("MergeTree").orderBy("g").create()
+    val sch = ch.client.asInstanceOf[graft.client.EmbeddedClickHouse]
+      .sparkSchema("wt", "t")
+    ch.client.insert("wt", "t", sch, Seq(
+      Row("a", 1L), Row("b", 2L), Row("c", 2L), Row("d", 2L), Row("e", 3L)))
+    // LIMIT 2 cuts inside the v=2 tie group → ALL of b, c, d survive
+    val ties = ch.chSql(
+      "SELECT `g`, `v` FROM `wt`.`t` ORDER BY `v` LIMIT 2 WITH TIES")
+    assert(ties.schema.fieldNames.toSeq == Seq("g", "v"))
+    val got = ties.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 2L), got.toString)
+    // a cut at a group boundary behaves like plain LIMIT
+    assert(ch.chSql(
+      "SELECT `g`, `v` FROM `wt`.`t` ORDER BY `v` LIMIT 1 WITH TIES")
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    val e = intercept[Exception](ch.chSql(
+      "SELECT `g`, `v` FROM `wt`.`t` LIMIT 2 WITH TIES").collect())
+    assert(e.getMessage.contains("ORDER BY"), e.getMessage)
+    val e2 = intercept[Exception](ch.chSql(
+      "SELECT * FROM (SELECT `g` FROM `wt`.`t` ORDER BY `g` " +
+        "LIMIT 2 WITH TIES) x").collect())
+    assert(e2.getMessage.contains("top-level only"), e2.getMessage)
+  }
+
   test("round-11 server functions execute embedded: -If combinators, " +
     "argMax/argMin, uniq, multiIf on real data") {
     val root = Files.createTempDirectory("graft_fn11_").toString

@@ -301,6 +301,22 @@ class TranslatorSpec extends AnyFunSuite {
     assert(pinTotalsMode(plain) == plain)
   }
 
+  test("WITH FILL / INTERPOLATE reject loudly by name (row generation " +
+    "with type-default fills); a CTE legitimately named `fill` is spared") {
+    val e = intercept[IllegalArgumentException](
+      t("SELECT k FROM db.tbl ORDER BY k WITH FILL"))
+    assert(e.getMessage.contains("WITH FILL"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      t("SELECT k FROM db.tbl ORDER BY k WITH FILL FROM 1 TO 10 " +
+        "INTERPOLATE (v AS v + 1)"))
+    assert(e2.getMessage.contains("WITH FILL"), e2.getMessage)
+    // CTE named fill: both spellings survive
+    assert(t("WITH fill AS (SELECT k FROM db.tbl) SELECT k FROM fill")
+      .contains("WITH fill AS"))
+    assert(t("WITH fill(k) AS (SELECT k FROM db.tbl) SELECT k FROM fill")
+      .contains("WITH fill(k) AS"))
+  }
+
   test("QUALIFY rewrites to a wrapped WHERE over the windowed subquery; " +
     "trailing ORDER BY / LIMIT stay outside (they apply after the " +
     "filter); inline OVER in the condition rejects with the alias " +
