@@ -31,6 +31,9 @@ object ChSqlTranslator {
     "toString" -> "string",
     "modulo" -> "mod",
     "intDiv" -> "div",
+    // Unix seconds from a DateTime: identical integer result (Spark's
+    // unix_timestamp also accepts the string+format arity, like the server)
+    "toUnixTimestamp" -> "unix_timestamp",
     // binary MD5 digest (Spark's md5() is hex-string; the server model
     // registers a digest-returning UDF so hex()/lower() compose on top)
     "MD5" -> "graft_md5bin",
@@ -91,19 +94,21 @@ object ChSqlTranslator {
     // GLOBAL JOIN likewise: distribution hints that are the identity on
     // a single execution domain.
     s = foldPrewhere(s)
-    // honored-or-rejected: ORDER BY ... WITH FILL / INTERPOLATE generate
-    // rows the embedded engine does not model (and the server fills the
-    // other columns with TYPE DEFAULTS — inexpressible here without
-    // per-column type knowledge); reject by name, never garbled SQL.
+    // honored-or-rejected: WITH FILL is handled BEFORE translation (the
+    // top-level single-column form — parseWithFill + the session's lazy
+    // gap composition); any WITH FILL / INTERPOLATE still visible here
+    // is a shape that path does not model (nested in a subquery, or a
+    // caller bypassing the session) — reject by name, never garbled SQL.
     // The lookahead spares a CTE legitimately named `fill`.
     mapOutsideStrings(s) { seg =>
       if (raw"(?i)\bWITH\s+FILL\b(?!\s+AS\b|\s*\()".r.findFirstIn(seg).isDefined ||
         raw"(?i)\bINTERPOLATE\s*\(".r.findFirstIn(seg).isDefined)
         throw new IllegalArgumentException(
-          "ORDER BY ... WITH FILL / INTERPOLATE is not supported by the " +
-            "embedded engine (row generation with type-default fills); " +
-            "build the grid explicitly (sequence() + explode + LEFT JOIN, " +
-            "the q52 gap-fill pattern) or run against a real server")
+          "ORDER BY ... WITH FILL / INTERPOLATE here is not supported by " +
+            "the embedded engine (only the TOP-LEVEL single-column WITH " +
+            "FILL form is, rewritten before translation); build the grid " +
+            "explicitly (sequence() + explode + LEFT JOIN, the q52 " +
+            "gap-fill pattern) or run against a real server")
       seg
     }
     s = stripGlobal(s)
@@ -1479,6 +1484,63 @@ object ChSqlTranslator {
     val orderBy = sql.substring(ob + obM.end, at).trim
     require(orderBy.nonEmpty, "LIMIT ... WITH TIES: empty ORDER BY")
     Some(WithTiesParts(sql.substring(0, ob).trim, orderBy, m.group(1).toLong))
+  }
+
+  /** A parsed top-level `ORDER BY <col> [ASC] WITH FILL [FROM i] [TO i]
+    * [STEP i]`: `core` is the statement with the WITH FILL decoration
+    * removed (ORDER BY retained); TO is EXCLUSIVE (server semantics),
+    * omitted bounds come from the result's own min/max (inclusive).
+    */
+  final case class WithFillParts(
+      core: String, col: String, from: Option[Long], to: Option[Long],
+      step: Long)
+
+  private val FillTail =
+    raw"(?is)^(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?".r
+
+  /** Some(parts) for the supported top-level WITH FILL shape: exactly
+    * one ORDER BY item, a bare ascending column, integer literal
+    * bounds/step, at most a trailing SETTINGS clause. Anything else
+    * (DESC, expressions, INTERPOLATE, trailing LIMIT, multiple sort
+    * items) rejects loudly — and WITH FILL that never reaches this
+    * parser (nested in a subquery) rejects in the translator.
+    */
+  def parseWithFill(sql: String): Option[WithFillParts] = {
+    val fp = topLevelPositions(sql, "FILL").headOption.getOrElse(return None)
+    // require the preceding word WITH (same shape as the TOTALS parse)
+    var w = fp - 1
+    while (w >= 0 && sql.charAt(w).isWhitespace) w -= 1
+    val wp = w - 3
+    if (!(wp >= 0 && sql.regionMatches(true, wp, "WITH", 0, 4) &&
+      (wp == 0 || !(sql.charAt(wp - 1).isLetterOrDigit || sql.charAt(wp - 1) == '_'))))
+      return None
+    val ob = topLevelPositions(sql, "ORDER")
+      .filter(p => p < wp && OrderByHead.findFirstIn(sql.substring(p)).isDefined)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        "WITH FILL requires an ORDER BY"))
+    val obM = OrderByHead.findFirstMatchIn(sql.substring(ob)).get
+    var item = sql.substring(ob + obM.end, wp).trim
+    require(!raw"(?i)\bDESC\b".r.findFirstIn(item).isDefined,
+      "WITH FILL DESC is not supported by the embedded rewrite " +
+        "(ascending fills only); sort the filled result afterwards")
+    item = raw"(?i)\s+ASC$$".r.replaceAllIn(item, "")
+    require(!item.contains(","),
+      "WITH FILL is supported embedded only as the SOLE ORDER BY item")
+    require(item.matches(raw"`[^`]+`|\w+"),
+      s"WITH FILL embedded needs a bare output column to fill, got: $item")
+    val m = FillTail.findFirstMatchIn(sql.substring(fp + 4)).get
+    val rest = sql.substring(fp + 4 + m.end).trim.stripSuffix(";").trim
+    require(rest.isEmpty || rest.toUpperCase.startsWith("SETTINGS"),
+      s"WITH FILL embedded supports at most a trailing SETTINGS clause " +
+        s"(LIMIT / INTERPOLATE after the fill are not modeled): '$rest'")
+    val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)
+    require(step > 0, s"WITH FILL STEP must be positive: $step")
+    Some(WithFillParts(
+      sql.substring(0, wp).trim + (if (rest.isEmpty) "" else " " + rest),
+      item,
+      Option(m.group(1)).map(_.toLong),
+      Option(m.group(2)).map(_.toLong),
+      step))
   }
 
   /** Some(parts) when `sql` carries a top-level `LIMIT n [OFFSET o] BY`

@@ -1340,6 +1340,13 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       // helper-column pattern as LIMIT BY
       val wt =
         if (lb.isDefined) None else ChSqlTranslator.parseWithTies(detokened)
+      // ORDER BY col WITH FILL: two-phase — the fill decoration strips
+      // here and the gap rows are composed onto the analyzed frame below
+      // (the grid, bounds, and default pads all stay LAZY so DESCRIBE
+      // never executes anything)
+      val wf =
+        if (lb.isDefined || wt.isDefined) None
+        else ChSqlTranslator.parseWithFill(detokened)
       val effective = lb match {
         case Some(p) =>
           val ord = p.orderBy.getOrElse(throw new IllegalArgumentException(
@@ -1355,7 +1362,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
             s"SELECT * FROM (SELECT *, rank() OVER (ORDER BY ${w.orderBy}) " +
               s"AS __wt_rk FROM (${w.core}) AS __wt_in) AS __wt " +
               s"WHERE __wt_rk <= ${w.n} ORDER BY ${w.orderBy}"
-          case None => detokened
+          case None => wf.map(_.core).getOrElse(detokened)
         }
       }
       val tr = ChSqlTranslator.translate(rewriteSample(rewriteFinal(effective)), tables)
@@ -1386,8 +1393,68 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
               s"\n--- translated ---\n$tr", e) }
       if (lb.isDefined) df.drop("__lb_rn")
       else if (wt.isDefined) df.drop("__wt_rk")
-      else df
+      else wf.map(f => fillGaps(df, f)).getOrElse(df)
     })
+  }
+
+  /** Compose the WITH FILL gap rows onto the analyzed core frame: a
+    * lazy integer grid over [FROM, TO) — or the result's own min..max
+    * when a bound is omitted — anti-joined against the existing fill
+    * values; missing rows pad the other columns with the server's
+    * column defaults (NULL when nullable, the type zero otherwise — the
+    * same rule ALTER ADD uses), and the union re-sorts ascending on the
+    * fill column. Everything stays lazy, so DESCRIBE never executes.
+    */
+  private def fillGaps(
+      df0: org.apache.spark.sql.DataFrame,
+      f: ChSqlTranslator.WithFillParts): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val cname = f.col.stripPrefix("`").stripSuffix("`")
+    val field = df0.schema.fields.find(_.name == cname).getOrElse(
+      throw new IllegalArgumentException(
+        s"WITH FILL: column `$cname` is not in the result " +
+          s"(${df0.schema.fieldNames.mkString(", ")})"))
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+      .contains(field.dataType),
+      s"WITH FILL embedded supports integral fill columns, " +
+        s"not ${field.dataType.sql}")
+    // grid source: a 1-row frame when both bounds are literal, else the
+    // result's own min/max (the agg stays lazy)
+    val gridBase =
+      if (f.from.isDefined && f.to.isDefined)
+        df0.sparkSession.range(1).toDF()
+      else df0.agg(
+        min(col(cname)).cast(LongType).as("__lo"),
+        max(col(cname)).cast(LongType).as("__hi"))
+    val loC = f.from.map(v => lit(v)).getOrElse(col("__lo"))
+    // TO is exclusive (server semantics); an omitted TO means the
+    // existing max, inclusive
+    val hiC = f.to.map(v => lit(v - 1)).getOrElse(col("__hi"))
+    val grid = gridBase
+      .select(explode(sequence(loC, hiC, lit(f.step))).as("__fill"))
+      .select(col("__fill").cast(field.dataType).as(cname))
+    val missing = grid.join(
+      df0.select(col(cname)).where(col(cname).isNotNull), Seq(cname), "left_anti")
+    val padCols = df0.schema.fields.map { sf =>
+      if (sf.name == cname) col(cname)
+      else if (sf.nullable) lit(null).cast(sf.dataType).as(sf.name)
+      else (sf.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType => lit(0).cast(sf.dataType)
+        case StringType => lit("")
+        case BooleanType => lit(false)
+        case DateType => to_date(lit("1970-01-01"))
+        case TimestampType | TimestampNTZType =>
+          timestamp_seconds(lit(0)).cast(sf.dataType)
+        case at: ArrayType => array().cast(at)
+        case other => throw new IllegalArgumentException(
+          s"WITH FILL: no column default for non-nullable ${other.sql} " +
+            s"(`${sf.name}`)")
+      }).as(sf.name)
+    }
+    df0.unionByName(missing.select(padCols.toIndexedSeq: _*))
+      .orderBy(col(cname).asc_nulls_last)
   }
 
   /** True only for an ORDER BY at the TOP level of `sql` — outside every

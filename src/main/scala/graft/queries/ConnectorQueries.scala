@@ -2051,6 +2051,34 @@ object ConnectorQueries {
           |ORDER BY pri, rn""".stripMargin)
     },
 
+    // r70: ORDER BY ... WITH FILL through the raw-SQL passthrough — the
+    // gap-filled daily series (the headline ClickHouse time-series
+    // idiom). A sparse order subset (~1/97) guarantees gaps at every sf;
+    // the embedded engine composes the grid lazily and pads the
+    // non-nullable count with its column default 0, exactly what a
+    // server's fill does; the DuckDB oracle rebuilds the series with
+    // generate_series + COALESCE.
+    q("r70_with_fill",
+      """WITH b AS (
+        |  SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+        |         count(*) AS n
+        |  FROM orders WHERE o_orderkey % 97 = 0 GROUP BY 1)
+        |SELECT g.day AS day, CAST(coalesce(b.n, 0) AS BIGINT) AS n
+        |FROM (SELECT unnest(generate_series(
+        |        (SELECT min(day) FROM b), (SELECT max(day) FROM b))) AS day) g
+        |LEFT JOIN b USING (day) ORDER BY day""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT intDiv(toUnixTimestamp(`o_orderdate`), 86400) AS day,
+          |  toInt64(count(*)) AS n
+          |FROM `main`.`orders` WHERE `o_orderkey` % 97 = 0
+          |GROUP BY intDiv(toUnixTimestamp(`o_orderdate`), 86400)
+          |ORDER BY day WITH FILL""".stripMargin)
+    },
+
     // r60: exact nearest-rank quantiles (quantileExact family), mapped
     // honestly to sorted-array picks rather than rejected (VERDICT r11
     // item 4). quantileExactLow == DuckDB quantile_disc (rank ceil(p*n));

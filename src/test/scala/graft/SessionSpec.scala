@@ -238,6 +238,53 @@ class SessionSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("top-level only"), e2.getMessage)
   }
 
+  test("ORDER BY ... WITH FILL executes embedded: gap rows appear with " +
+    "column defaults, FROM inclusive / TO exclusive, STEP strides; " +
+    "unsupported shapes reject by name") {
+    val root = Files.createTempDirectory("graft_fill_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chfill").build()
+    ch.createDatabase("wf")
+    ch.newTable("wf", "t")
+      .column("d", "Int64").column("n", "Nullable(Int64)")
+      .engine("MergeTree").orderBy("d").create()
+    val sch = ch.client.asInstanceOf[graft.client.EmbeddedClickHouse]
+      .sparkSchema("wf", "t")
+    ch.client.insert("wf", "t", sch, Seq(
+      Row(1L, 10L), Row(2L, 20L), Row(5L, 50L), Row(7L, 70L)))
+    // bare fill: min..max inclusive — gaps 3, 4, 6 appear, n NULL there
+    val bare = ch.chSql(
+      "SELECT `d`, `n` FROM `wf`.`t` ORDER BY `d` WITH FILL")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(bare.map(_._1) == (1L to 7L), bare.toString)
+    assert(bare.toMap.get(3L).contains(None) && bare.toMap.get(6L).contains(None))
+    assert(bare.toMap.get(5L).contains(Some(50L)))
+    // FROM/TO: FROM inclusive, TO EXCLUSIVE (server semantics)
+    val ft = ch.chSql(
+      "SELECT `d` FROM `wf`.`t` ORDER BY `d` WITH FILL FROM 0 TO 10")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ft == (0L to 9L), ft.toString)
+    // STEP strides the grid; ORIGINAL rows always survive (5, 7 are off
+    // the 0,2,4,6,8 grid but present)
+    val st = ch.chSql(
+      "SELECT `d` FROM `wf`.`t` ORDER BY `d` WITH FILL FROM 0 TO 10 STEP 2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(st == Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L), st.toString)
+    // loud rejects: DESC, non-sole sort item, trailing LIMIT, nested
+    def fails(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](ch.chSql(sql).collect())
+      assert(e.getMessage.contains(frag), s"${e.getMessage} !~ $frag")
+    }
+    fails("SELECT `d` FROM `wf`.`t` ORDER BY `d` DESC WITH FILL", "DESC")
+    fails("SELECT `d`, `n` FROM `wf`.`t` ORDER BY `d`, `n` WITH FILL",
+      "SOLE ORDER BY item")
+    fails("SELECT `d` FROM `wf`.`t` ORDER BY `d` WITH FILL LIMIT 3",
+      "trailing SETTINGS")
+    fails("SELECT * FROM (SELECT `d` FROM `wf`.`t` ORDER BY `d` WITH FILL) x",
+      "WITH FILL")
+  }
+
   test("round-11 server functions execute embedded: -If combinators, " +
     "argMax/argMin, uniq, multiIf on real data") {
     val root = Files.createTempDirectory("graft_fn11_").toString
