@@ -1493,7 +1493,11 @@ object ChSqlTranslator {
     */
   final case class WithFillParts(
       core: String, col: String, from: Option[Long], to: Option[Long],
-      step: Long)
+      step: Long,
+      /** Columns carrying the PREVIOUS value across fill rows
+        * (`INTERPOLATE (c1, c2)` — the no-AS form; expressions reject).
+        */
+      interpolate: Seq[String] = Seq.empty)
 
   private val FillTail =
     raw"(?is)^(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?".r
@@ -1529,10 +1533,29 @@ object ChSqlTranslator {
     require(item.matches(raw"`[^`]+`|\w+"),
       s"WITH FILL embedded needs a bare output column to fill, got: $item")
     val m = FillTail.findFirstMatchIn(sql.substring(fp + 4)).get
-    val rest = sql.substring(fp + 4 + m.end).trim.stripSuffix(";").trim
+    var rest = sql.substring(fp + 4 + m.end).trim.stripSuffix(";").trim
+    // INTERPOLATE (c1, c2, ...) — previous-value carry on fill rows.
+    // Only the no-AS form is modeled (expression interpolation chains
+    // through previously interpolated rows — rejected, not faked).
+    var interp = Seq.empty[String]
+    if (rest.toUpperCase.startsWith("INTERPOLATE")) {
+      val afterKw = rest.substring("INTERPOLATE".length).trim
+      require(afterKw.startsWith("("),
+        "INTERPOLATE requires a parenthesized column list")
+      val (args, past) = parseArgs(afterKw, 1)
+      interp = args.map(_.trim)
+      require(interp.nonEmpty, "INTERPOLATE: empty column list")
+      require(interp.forall(_.matches(raw"`[^`]+`|\w+")),
+        "INTERPOLATE with an AS expression is not modeled by the " +
+          "embedded engine (expression carries chain through previously " +
+          "interpolated rows); only the previous-value form " +
+          s"INTERPOLATE (col, ...) is: ${interp.mkString(", ")}")
+      rest = afterKw.substring(past).trim.stripSuffix(";").trim
+    }
     require(rest.isEmpty || rest.toUpperCase.startsWith("SETTINGS"),
-      s"WITH FILL embedded supports at most a trailing SETTINGS clause " +
-        s"(LIMIT / INTERPOLATE after the fill are not modeled): '$rest'")
+      s"WITH FILL embedded supports at most INTERPOLATE (cols) and a " +
+        s"trailing SETTINGS clause (LIMIT after the fill is not " +
+        s"modeled): '$rest'")
     val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)
     require(step > 0, s"WITH FILL STEP must be positive: $step")
     Some(WithFillParts(
@@ -1540,7 +1563,8 @@ object ChSqlTranslator {
       item,
       Option(m.group(1)).map(_.toLong),
       Option(m.group(2)).map(_.toLong),
-      step))
+      step,
+      interp))
   }
 
   /** Some(parts) when `sql` carries a top-level `LIMIT n [OFFSET o] BY`

@@ -1453,8 +1453,38 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
             s"(`${sf.name}`)")
       }).as(sf.name)
     }
-    df0.unionByName(missing.select(padCols.toIndexedSeq: _*))
-      .orderBy(col(cname).asc_nulls_last)
+    if (f.interpolate.isEmpty)
+      df0.unionByName(missing.select(padCols.toIndexedSeq: _*))
+        .orderBy(col(cname).asc_nulls_last)
+    else {
+      // INTERPOLATE (previous-value carry): a fill row takes the value of
+      // the previous OUTPUT row, which chains back to the LAST ORIGINAL
+      // row at-or-before it — NULL included (an original NULL repeats as
+      // NULL, so a bare ignoreNulls last() over the column would lie).
+      // The struct wrap makes every original row non-null for the
+      // ignoreNulls pick regardless of the column's own value.
+      val interpNames = f.interpolate.map(_.stripPrefix("`").stripSuffix("`"))
+      interpNames.foreach { c =>
+        require(df0.schema.fieldNames.contains(c),
+          s"INTERPOLATE: column `$c` is not in the result")
+        require(c != cname, "INTERPOLATE of the fill column itself")
+      }
+      val marked = df0.withColumn("__fill", lit(false))
+        .unionByName(missing.select(
+          (padCols :+ lit(true).as("__fill")).toIndexedSeq: _*))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(cname).asc_nulls_last)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val carried = interpNames.foldLeft(marked) { (d, c) =>
+        val lastOrig = last(
+          when(!col("__fill"), struct(col(c).as("v"))), ignoreNulls = true)
+          .over(w)
+        d.withColumn(c,
+          when(col("__fill") && lastOrig.isNotNull, lastOrig.getField("v"))
+            .otherwise(col(c)))
+      }
+      carried.drop("__fill").orderBy(col(cname).asc_nulls_last)
+    }
   }
 
   /** True only for an ORDER BY at the TOP level of `sql` — outside every

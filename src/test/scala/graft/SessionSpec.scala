@@ -285,6 +285,39 @@ class SessionSpec extends AnyFunSuite {
       "WITH FILL")
   }
 
+  test("WITH FILL ... INTERPOLATE carries the previous value across fill " +
+    "rows — chaining back to the last ORIGINAL row, NULL included; rows " +
+    "before the first original keep the pad; AS expressions reject") {
+    val root = Files.createTempDirectory("graft_interp_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chinterp").build()
+    ch.createDatabase("ip")
+    ch.newTable("ip", "t")
+      .column("d", "Int64").column("n", "Nullable(Int64)")
+      .engine("MergeTree").orderBy("d").create()
+    val sch = ch.client.asInstanceOf[graft.client.EmbeddedClickHouse]
+      .sparkSchema("ip", "t")
+    ch.client.insert("ip", "t", sch, Seq(
+      Row(1L, 10L), Row(2L, 20L), Row(5L, 50L), Row(7L, 70L),
+      Row(9L, null))) // an original NULL must repeat as NULL, not skip
+    val got = ch.chSql(
+      "SELECT `d`, `n` FROM `ip`.`t` ORDER BY `d` WITH FILL FROM 0 TO 12 " +
+        "INTERPOLATE (`n`)")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got.keySet == (0L to 11L).toSet, got.toString)
+    assert(got(0L).isEmpty, "no previous original before d=1 → pad NULL")
+    assert(got(3L).contains(20L) && got(4L).contains(20L), got.toString)
+    assert(got(6L).contains(50L) && got(8L).contains(70L))
+    assert(got(9L).isEmpty, "original NULL survives untouched")
+    assert(got(10L).isEmpty && got(11L).isEmpty,
+      "carry past an original NULL repeats the NULL (never skips back)")
+    val e = intercept[Exception](ch.chSql(
+      "SELECT `d`, `n` FROM `ip`.`t` ORDER BY `d` WITH FILL " +
+        "INTERPOLATE (`n` AS `n` + 1)").collect())
+    assert(e.getMessage.contains("previous-value form"), e.getMessage)
+  }
+
   test("round-11 server functions execute embedded: -If combinators, " +
     "argMax/argMin, uniq, multiIf on real data") {
     val root = Files.createTempDirectory("graft_fn11_").toString
