@@ -1492,15 +1492,24 @@ object ChSqlTranslator {
     * omitted bounds come from the result's own min/max (inclusive).
     */
   final case class WithFillParts(
-      core: String, col: String, from: Option[Long], to: Option[Long],
-      step: Long,
+      core: String, col: String,
+      /** Bound literals verbatim: a bare integer or a quoted date
+        * ('YYYY-MM-DD') — the fill composer type-checks them against the
+        * fill column.
+        */
+      from: Option[String], to: Option[String],
+      /** Step count (default 1) and, for `STEP INTERVAL n <unit>`, the
+        * calendar unit (DAY/WEEK/MONTH/YEAR) — None for a numeric step.
+        */
+      stepN: Long, stepUnit: Option[String],
       /** Columns carrying the PREVIOUS value across fill rows
         * (`INTERPOLATE (c1, c2)` — the no-AS form; expressions reject).
         */
       interpolate: Seq[String] = Seq.empty)
 
   private val FillTail =
-    raw"(?is)^(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?".r
+    (raw"(?is)^(?:\s+FROM\s+(-?\d+|'[^']*'))?(?:\s+TO\s+(-?\d+|'[^']*'))?" +
+      raw"(?:\s+STEP\s+(?:(\d+)|INTERVAL\s+(\d+)\s+(DAY|WEEK|MONTH|YEAR)))?").r
 
   /** Some(parts) for the supported top-level WITH FILL shape: exactly
     * one ORDER BY item, a bare ascending column, integer literal
@@ -1556,14 +1565,16 @@ object ChSqlTranslator {
       s"WITH FILL embedded supports at most INTERPOLATE (cols) and a " +
         s"trailing SETTINGS clause (LIMIT after the fill is not " +
         s"modeled): '$rest'")
-    val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)
-    require(step > 0, s"WITH FILL STEP must be positive: $step")
+    val stepN = Option(m.group(3)).orElse(Option(m.group(4)))
+      .map(_.toLong).getOrElse(1L)
+    require(stepN > 0, s"WITH FILL STEP must be positive: $stepN")
     Some(WithFillParts(
       sql.substring(0, wp).trim + (if (rest.isEmpty) "" else " " + rest),
       item,
-      Option(m.group(1)).map(_.toLong),
-      Option(m.group(2)).map(_.toLong),
-      step,
+      Option(m.group(1)),
+      Option(m.group(2)),
+      stepN,
+      Option(m.group(5)).map(_.toUpperCase),
       interp))
   }
 

@@ -1415,24 +1415,48 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       throw new IllegalArgumentException(
         s"WITH FILL: column `$cname` is not in the result " +
           s"(${df0.schema.fieldNames.mkString(", ")})"))
-    require(Seq(ByteType, ShortType, IntegerType, LongType)
+    val isDate = field.dataType == DateType
+    require(isDate || Seq(ByteType, ShortType, IntegerType, LongType)
       .contains(field.dataType),
-      s"WITH FILL embedded supports integral fill columns, " +
+      s"WITH FILL embedded supports integral and Date fill columns, " +
         s"not ${field.dataType.sql}")
+    val Quoted = "'(.*)'".r
+    def bound(txt: String, which: String): org.apache.spark.sql.Column =
+      (txt, isDate) match {
+        case (Quoted(d), true) => to_date(lit(d))
+        case (n, false) if n.matches("-?\\d+") => lit(n.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"WITH FILL $which bound '$txt' does not match the " +
+            s"${field.dataType.sql} fill column (dates take '<yyyy-MM-dd>', " +
+            "integers a bare number)")
+      }
+    // step: numeric counts stride integers; Date columns step by a
+    // calendar interval (a bare number means n DAYS, like the server)
+    val stepUnit = f.stepUnit.getOrElse(
+      if (isDate) "DAY" else "")
+    require(!(!isDate && f.stepUnit.isDefined),
+      "WITH FILL STEP INTERVAL needs a Date fill column")
+    val stepCol =
+      if (isDate) expr(s"interval ${f.stepN} $stepUnit") else lit(f.stepN)
     // grid source: a 1-row frame when both bounds are literal, else the
     // result's own min/max (the agg stays lazy)
     val gridBase =
       if (f.from.isDefined && f.to.isDefined)
         df0.sparkSession.range(1).toDF()
+      else if (isDate) df0.agg(
+        min(col(cname)).as("__lo"), max(col(cname)).as("__hi"))
       else df0.agg(
         min(col(cname)).cast(LongType).as("__lo"),
         max(col(cname)).cast(LongType).as("__hi"))
-    val loC = f.from.map(v => lit(v)).getOrElse(col("__lo"))
+    val loC = f.from.map(bound(_, "FROM")).getOrElse(col("__lo"))
     // TO is exclusive (server semantics); an omitted TO means the
-    // existing max, inclusive
-    val hiC = f.to.map(v => lit(v - 1)).getOrElse(col("__hi"))
+    // existing max, inclusive. For dates the largest value < TO at day
+    // granularity is TO - 1 day (calendar steps land on or before it).
+    val hiC = f.to.map(t =>
+      if (isDate) date_sub(bound(t, "TO"), 1) else bound(t, "TO") - lit(1))
+      .getOrElse(col("__hi"))
     val grid = gridBase
-      .select(explode(sequence(loC, hiC, lit(f.step))).as("__fill"))
+      .select(explode(sequence(loC, hiC, stepCol)).as("__fill"))
       .select(col("__fill").cast(field.dataType).as(cname))
     val missing = grid.join(
       df0.select(col(cname)).where(col(cname).isNotNull), Seq(cname), "left_anti")

@@ -285,6 +285,41 @@ class SessionSpec extends AnyFunSuite {
       "WITH FILL")
   }
 
+  test("WITH FILL over a Date column: daily grid by default, STEP " +
+    "INTERVAL n DAY strides, quoted date bounds (TO exclusive); " +
+    "mismatched bound/step shapes reject") {
+    val root = Files.createTempDirectory("graft_dfill_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chdfill").build()
+    ch.createDatabase("df")
+    ch.newTable("df", "t")
+      .column("dt", "Date").column("v", "Nullable(Int64)")
+      .engine("MergeTree").orderBy("dt").create()
+    val sch = ch.client.asInstanceOf[graft.client.EmbeddedClickHouse]
+      .sparkSchema("df", "t")
+    def d(s: String) = java.sql.Date.valueOf(s)
+    ch.client.insert("df", "t", sch, Seq(
+      Row(d("2024-01-01"), 1L), Row(d("2024-01-03"), 3L),
+      Row(d("2024-01-07"), 7L)))
+    val bare = ch.chSql(
+      "SELECT `dt`, `v` FROM `df`.`t` ORDER BY `dt` WITH FILL")
+      .collect().map(_.getDate(0).toString).toSeq
+    assert(bare == (1 to 7).map(i => f"2024-01-0$i"), bare.toString)
+    val strided = ch.chSql(
+      "SELECT `dt` FROM `df`.`t` ORDER BY `dt` WITH FILL " +
+        "FROM '2024-01-01' TO '2024-01-08' STEP INTERVAL 2 DAY")
+      .collect().map(_.getDate(0).toString).toSeq
+    assert(strided == Seq("2024-01-01", "2024-01-03", "2024-01-05",
+      "2024-01-07"), strided.toString)
+    val e = intercept[Exception](ch.chSql(
+      "SELECT `dt` FROM `df`.`t` ORDER BY `dt` WITH FILL FROM 3").collect())
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+    val e2 = intercept[Exception](ch.chSql(
+      "SELECT `v` FROM `df`.`t` ORDER BY `v` WITH FILL STEP INTERVAL 1 DAY")
+      .collect())
+    assert(e2.getMessage.contains("Date fill column"), e2.getMessage)
+  }
+
   test("WITH FILL ... INTERPOLATE carries the previous value across fill " +
     "rows — chaining back to the last ORIGINAL row, NULL included; rows " +
     "before the first original keep the pad; AS expressions reject") {
