@@ -780,6 +780,50 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random WITH FILL shapes agree with an explicit sequence-grid " +
+    "recompute (bounds present/absent, strides, interpolate carry)") {
+    val r = new Random(55667788)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    (1 to 6).foreach { i =>
+      val mod = r.nextInt(50) + 30 // sparse day subset
+      val step = r.nextInt(3) + 1
+      val interp = r.nextBoolean()
+      val remote = ch.chSql(
+        s"SELECT intDiv(toUnixTimestamp(`o_orderdate`), 86400) AS day, " +
+          s"toInt64(count(*)) AS n FROM `main`.`orders` " +
+          s"WHERE `o_orderkey` % $mod = 0 " +
+          s"GROUP BY intDiv(toUnixTimestamp(`o_orderdate`), 86400) " +
+          s"ORDER BY day WITH FILL STEP $step" +
+          (if (interp) " INTERPOLATE (`n`)" else ""))
+      val base = spark.sql(
+        s"SELECT CAST(unix_timestamp(o_orderdate) div 86400 AS BIGINT) AS day, " +
+          s"CAST(count(*) AS BIGINT) AS n FROM orders " +
+          s"WHERE o_orderkey % $mod = 0 GROUP BY 1")
+      val grid = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(expr(s"sequence(lo, hi, $step)")).as("day"))
+      val missing = grid.join(base.select("day"), Seq("day"), "left_anti")
+      val local0 = base.unionByName(
+        missing.select(col("day"), lit(null).cast("bigint").as("n")))
+      val local =
+        if (!interp) local0.select(col("day"),
+          coalesce(col("n"), lit(0L)).as("n")) // non-null count pads 0
+        else {
+          // carry = last ORIGINAL n at-or-before (counts are non-null,
+          // so a plain ignoreNulls last over the padded column works)
+          val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          local0.select(col("day"),
+            coalesce(col("n"), last(col("n"), ignoreNulls = true).over(w),
+              lit(0L)).as("n"))
+        }
+      assert(canon(remote) == canon(local),
+        s"with-fill case $i diverged (mod=$mod, step=$step, interp=$interp)")
+    }
+  }
+
   test("random QUALIFY shapes (embedded wrapped-WHERE rewrite) agree with " +
     "a local window + filter") {
     val r = new Random(99887766)
