@@ -1578,6 +1578,60 @@ object ChSqlTranslator {
       interp))
   }
 
+  private val DistinctOnHead = raw"(?is)^SELECT\s+DISTINCT\s+ON\s*\(".r
+
+  /** `SELECT DISTINCT ON (exprs) cols ...` → `SELECT cols ... LIMIT 1 BY
+    * exprs` (the server documents DISTINCT ON as exactly this sugar), so
+    * the existing LIMIT BY row_number rewrite executes it — including its
+    * determinism rule: a top-level ORDER BY is REQUIRED (without one the
+    * server keeps an arbitrary row per group, which is not reproducible).
+    * Top-level only; DISTINCT ON inside a subquery rejects loudly like
+    * nested LIMIT BY. Returns `sql` unchanged when the clause is absent.
+    */
+  def rewriteDistinctOn(sql: String): String = {
+    val sel = topLevelPositions(sql, "SELECT").find(at =>
+      DistinctOnHead.findFirstIn(sql.substring(at)).isDefined)
+    if (sel.isEmpty) {
+      if (raw"(?is)\bDISTINCT\s+ON\s*\(".r.findFirstIn(sql).isDefined)
+        throw new IllegalArgumentException(
+          "DISTINCT ON inside a subquery is not supported by the embedded " +
+            "rewrite (top-level only); restructure the statement or run " +
+            "against a real server")
+      return sql
+    }
+    val at = sel.get
+    val m = DistinctOnHead.findFirstMatchIn(sql.substring(at)).get
+    val (exprs, past) = parseArgs(sql, at + m.end)
+    require(exprs.nonEmpty, "DISTINCT ON: empty expression list")
+    if (raw"(?is)\bLIMIT\s+\d+(?:\s+OFFSET\s+\d+)?\s+BY\s".r
+      .findFirstIn(sql).isDefined)
+      throw new IllegalArgumentException(
+        "DISTINCT ON combined with LIMIT BY is not supported by the " +
+          "embedded rewrite (DISTINCT ON is itself LIMIT 1 BY — express " +
+          "the statement with a single LIMIT BY clause)")
+    if (topLevelPositions(sql, "UNION").nonEmpty)
+      throw new IllegalArgumentException(
+        "DISTINCT ON over a top-level UNION is not supported by the " +
+          "embedded rewrite; wrap each branch in a subquery")
+    if (topLevelPositions(sql, "ORDER").isEmpty)
+      throw new IllegalArgumentException(
+        "DISTINCT ON without a top-level ORDER BY keeps an arbitrary row " +
+          "per group — add an ORDER BY for a deterministic read")
+    val stripped =
+      sql.substring(0, at) + "SELECT " + sql.substring(past).trim
+    // the LIMIT 1 BY clause slots before any trailing top-level LIMIT /
+    // SETTINGS (clause order a server accepts); otherwise at the end
+    val tailAt = (topLevelPositions(stripped, "LIMIT") ++
+      topLevelPositions(stripped, "SETTINGS")).sorted.headOption
+    val byTxt = s"LIMIT 1 BY ${exprs.mkString(", ")}"
+    tailAt match {
+      case Some(p) =>
+        stripped.substring(0, p).trim + s" $byTxt " + stripped.substring(p)
+      case None =>
+        stripped.trim.stripSuffix(";").trim + s" $byTxt"
+    }
+  }
+
   /** Some(parts) when `sql` carries a top-level `LIMIT n [OFFSET o] BY`
     * clause; None otherwise. A LIMIT BY nested in a subquery is rejected
     * loudly (the embedded rewrite handles the top level only — a server

@@ -1327,7 +1327,11 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       // (per-slice hash-mod predicates inside the aggregation); the
       // embedded transport executes the statement ONCE and repartitions,
       // so the token is dropped before translation (leaving `WHERE true`)
-      val detokened = sql.replaceAll(raw"/\*__CH_SLICE__\([^)]*\)\*/", "")
+      val detokened0 = sql.replaceAll(raw"/\*__CH_SLICE__\([^)]*\)\*/", "")
+      // SELECT DISTINCT ON (exprs): server-documented sugar for
+      // LIMIT 1 BY exprs — textual pre-step so the LIMIT BY machinery
+      // below (row_number window, ORDER BY determinism rule) executes it
+      val detokened = ChSqlTranslator.rewriteDistinctOn(detokened0)
       // LIMIT n [OFFSET o] BY exprs (per-group limit): rewrite to a
       // row_number window over the clause's expressions, selecting rows
       // in the statement's ORDER BY order (the server's semantics). An

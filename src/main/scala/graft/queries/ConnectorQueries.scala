@@ -2079,6 +2079,32 @@ object ConnectorQueries {
           |ORDER BY day WITH FILL""".stripMargin)
     },
 
+    // r71: SELECT DISTINCT ON (exprs) — the server documents it as sugar
+    // for LIMIT 1 BY, and the embedded engine rewrites it onto exactly
+    // that machinery (row_number window; top-level only; ORDER BY
+    // required by the determinism rule). First order per priority by
+    // amount DESC with the unique key as tiebreak; the DuckDB oracle
+    // recomputes the pick with an explicit window.
+    q("r71_distinct_on",
+      """SELECT pri, k, cents FROM (
+        |  SELECT o_orderpriority AS pri, o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY pri, cents DESC, k""".stripMargin) {
+      (s, dir) =>
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val ch = graft.session.ClickHouseSession.builder(s)
+          .storePath(s"/root/repo/target/chstore_$tag")
+          .catalogName("clickhouse").build()
+        ch.chSql(
+          """SELECT DISTINCT ON (pri) `o_orderpriority` AS pri,
+            |  `o_orderkey` AS k,
+            |  toInt64(round(`o_totalprice` * 100)) AS cents
+            |FROM `main`.`orders`
+            |ORDER BY pri, cents DESC, k""".stripMargin)
+    },
+
     // r60: exact nearest-rank quantiles (quantileExact family), mapped
     // honestly to sorted-array picks rather than rejected (VERDICT r11
     // item 4). quantileExactLow == DuckDB quantile_disc (rank ceil(p*n));

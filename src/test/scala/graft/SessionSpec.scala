@@ -205,6 +205,32 @@ class SessionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ORDER BY"), e.getMessage)
   }
 
+  test("DISTINCT ON executes embedded: first row per group in ORDER BY " +
+    "order (server sugar for LIMIT 1 BY); helper column never leaks") {
+    val root = Files.createTempDirectory("graft_don_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chdon").build()
+    ch.createDatabase("don")
+    ch.newTable("don", "t")
+      .column("g", "String").column("v", "Int64")
+      .engine("MergeTree").orderBy("g").create()
+    val sch = ch.client.asInstanceOf[graft.client.EmbeddedClickHouse]
+      .sparkSchema("don", "t")
+    ch.client.insert("don", "t", sch, Seq(
+      Row("a", 3L), Row("a", 1L), Row("b", 9L), Row("b", 8L), Row("c", 5L)))
+    val got = ch.chSql(
+      "SELECT DISTINCT ON (`g`) `g`, `v` FROM `don`.`t` ORDER BY `g`, `v` DESC")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq("a" -> 3L, "b" -> 9L, "c" -> 5L), got.toString)
+    assert(ch.chSql(
+      "SELECT DISTINCT ON (`g`) `g`, `v` FROM `don`.`t` ORDER BY `g`, `v`")
+      .schema.fieldNames.toSeq == Seq("g", "v"))
+    // determinism rule inherited from LIMIT BY: no ORDER BY → reject
+    val e = intercept[Exception](ch.chSql(
+      "SELECT DISTINCT ON (`g`) `g`, `v` FROM `don`.`t`").collect())
+    assert(e.getMessage.contains("ORDER BY"), e.getMessage)
+  }
+
   test("LIMIT n WITH TIES executes embedded: rows tying the last " +
     "in-limit row on the sort key survive; ORDER BY required; nested " +
     "rejects; helper column never leaks") {

@@ -464,6 +464,38 @@ class TranslatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("subquery"), e.getMessage)
   }
 
+  test("DISTINCT ON rewrites to LIMIT 1 BY at the top level; nested / " +
+    "unordered / union / limit-by-combined shapes reject loudly") {
+    assert(ChSqlTranslator.rewriteDistinctOn(
+      "SELECT DISTINCT ON (g) g, v FROM t ORDER BY g, v DESC") ==
+      "SELECT g, v FROM t ORDER BY g, v DESC LIMIT 1 BY g")
+    // multi-expression list; trailing LIMIT keeps server clause order
+    assert(ChSqlTranslator.rewriteDistinctOn(
+      "SELECT DISTINCT ON (g, v % 2) g, v FROM t ORDER BY g LIMIT 10") ==
+      "SELECT g, v FROM t ORDER BY g LIMIT 1 BY g, v % 2 LIMIT 10")
+    // absent: unchanged (plain DISTINCT included)
+    assert(ChSqlTranslator.rewriteDistinctOn("SELECT DISTINCT g FROM t") ==
+      "SELECT DISTINCT g FROM t")
+    // a column legitimately named `on` is not a DISTINCT ON clause
+    assert(ChSqlTranslator.rewriteDistinctOn("SELECT DISTINCT on FROM t") ==
+      "SELECT DISTINCT on FROM t")
+    val nested = intercept[IllegalArgumentException](
+      ChSqlTranslator.rewriteDistinctOn(
+        "SELECT * FROM (SELECT DISTINCT ON (g) g, v FROM t ORDER BY g) x"))
+    assert(nested.getMessage.contains("subquery"), nested.getMessage)
+    val noOrd = intercept[IllegalArgumentException](
+      ChSqlTranslator.rewriteDistinctOn("SELECT DISTINCT ON (g) g FROM t"))
+    assert(noOrd.getMessage.contains("ORDER BY"), noOrd.getMessage)
+    val uni = intercept[IllegalArgumentException](
+      ChSqlTranslator.rewriteDistinctOn(
+        "SELECT DISTINCT ON (g) g FROM t UNION ALL SELECT g FROM u ORDER BY g"))
+    assert(uni.getMessage.contains("UNION"), uni.getMessage)
+    val combo = intercept[IllegalArgumentException](
+      ChSqlTranslator.rewriteDistinctOn(
+        "SELECT DISTINCT ON (g) g, v FROM t ORDER BY g LIMIT 2 BY v"))
+    assert(combo.getMessage.contains("LIMIT BY"), combo.getMessage)
+  }
+
   test("NESTED same-name calls rewrite at every depth: the outer call's " +
     "region must not swallow inner occurrences") {
     // the lambda shape the unparser emits for cast-inside-HOF: the
