@@ -112,6 +112,10 @@ object ChSqlTranslator {
       seg
     }
     s = stripGlobal(s)
+    // ARRAY JOIN before ASOF: the lateral-view rewrite removes the
+    // clause's JOIN token, which would otherwise trip ASOF's
+    // single-join-per-level guard
+    s = rewriteArrayJoin(s)
     s = rewriteAsof(s)
     s = rewriteTotals(s)
     s = rewriteQualify(s)
@@ -761,6 +765,190 @@ object ChSqlTranslator {
   private def rewriteAsof(in: String): String = {
     if (!raw"(?i)\bASOF\b".r.findFirstIn(in).isDefined) return in
     rewriteAsofLevel(in)
+  }
+
+  // ---- ARRAY JOIN clause → LATERAL VIEW chain ------------------------
+
+  /** Keywords that end an ARRAY JOIN item list at its own nesting level
+    * (next clause or next join). LEFT/RIGHT double as function names —
+    * the scanner skips them when a `(` follows.
+    */
+  private val AjEnders = Set(
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "SETTINGS", "UNION",
+    "FORMAT", "QUALIFY", "WINDOW", "JOIN", "INNER", "LEFT", "RIGHT",
+    "FULL", "CROSS", "ASOF", "SEMI", "ANTI", "GLOBAL", "INTERSECT",
+    "EXCEPT", "ARRAY", "PREWHERE")
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** `FROM ... [LEFT] ARRAY JOIN e1 AS n1 [, e2 AS n2 ...]` → a Spark
+    * LATERAL VIEW chain, rewritten in place at ANY nesting depth (the
+    * clause sits exactly where LATERAL VIEW does). The first item
+    * posexplodes and its position column zips the rest — server
+    * multi-ARRAY JOIN is POSITIONAL, not a cross product (SELECT doc
+    * §array-join); each further item picks `element_at(ek, pos + 1)`.
+    * LEFT ARRAY JOIN maps to LATERAL VIEW OUTER (empty arrays keep the
+    * row with NULL elements). Honored-or-rejected: every item needs an
+    * `AS alias` (a bare-column ARRAY JOIN REPLACES that column in the
+    * server's output — not expressible as a lateral view without schema
+    * surgery), and the owning SELECT must not be a star select (a Spark
+    * star would include the helper position column a server never
+    * shows). Unequal array sizes in the multi-item form surface as an
+    * element_at index error under ANSI — a server errors there too.
+    */
+  def rewriteArrayJoin(sql: String): String = rewriteArrayJoinFrom(sql, 0)
+
+  private def rewriteArrayJoinFrom(sql: String, k: Int): String = {
+    // locate the first ARRAY JOIN outside strings/backticks
+    var i = 0; var inSq = false; var inBq = false; var depth = 0
+    var found = -1; var foundDepth = 0
+    var lastSelAtDepth = Map[Int, Int]()
+    while (i < sql.length && found < 0) {
+      val c = sql.charAt(i)
+      if (inSq) { if (c == '\\') i += 1 else if (c == '\'') inSq = false }
+      else if (inBq) { if (c == '`') inBq = false }
+      else c match {
+        case '\'' => inSq = true
+        case '`' => inBq = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          val boundary = i == 0 || !isWordChar(sql.charAt(i - 1))
+          if (boundary && sql.regionMatches(true, i, "SELECT", 0, 6) &&
+            (i + 6 >= sql.length || !isWordChar(sql.charAt(i + 6))))
+            lastSelAtDepth += depth -> i
+          if (boundary && sql.regionMatches(true, i, "ARRAY", 0, 5) &&
+            raw"(?is)^ARRAY\s+JOIN\b".r.findFirstIn(sql.substring(i)).isDefined) {
+            found = i; foundDepth = depth
+          }
+      }
+      i += 1
+    }
+    if (found < 0) return sql
+    // LEFT / INNER prefix (INNER ARRAY JOIN == ARRAY JOIN)
+    var start = found
+    var outer = false
+    val before = sql.substring(0, found)
+    raw"(?is)\b(LEFT|INNER)\s*$$".r.findFirstMatchIn(before).foreach { pm =>
+      start = pm.start
+      outer = pm.group(1).equalsIgnoreCase("LEFT")
+    }
+    // the owning SELECT (same depth) must not be a star select
+    lastSelAtDepth.get(foundDepth).foreach { selAt =>
+      // the owning FROM is the first one at the SELECT's own depth (a
+      // scalar subquery in the select list carries its own, deeper FROM)
+      var p = selAt + 6; var d = 0; var s2 = false; var b2 = false
+      var selEnd = found
+      while (p < found && selEnd == found) {
+        val c = sql.charAt(p)
+        if (s2) { if (c == '\\') p += 1 else if (c == '\'') s2 = false }
+        else if (b2) { if (c == '`') b2 = false }
+        else c match {
+          case '\'' => s2 = true
+          case '`' => b2 = true
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ if d == 0 && !isWordChar(sql.charAt(p - 1)) &&
+            sql.regionMatches(true, p, "FROM", 0, 4) &&
+            (p + 4 >= sql.length || !isWordChar(sql.charAt(p + 4))) => selEnd = p
+          case _ =>
+        }
+        p += 1
+      }
+      if (hasTopLevelStar(sql.substring(selAt + 6, selEnd)))
+        throw new IllegalArgumentException(
+          "ARRAY JOIN with a `*` select is not supported by the embedded " +
+            "rewrite (a Spark star would include the helper position " +
+            "column a server never shows); list columns explicitly")
+    }
+    val itemsStart =
+      found + raw"(?is)^ARRAY\s+JOIN\b".r.findFirstMatchIn(sql.substring(found)).get.end
+    // items run to the next clause keyword / closing paren at this level
+    var j = itemsStart; var rel = 0; var sq = false; var bq = false
+    var itemsEnd = sql.length
+    val commas = Seq.newBuilder[Int]
+    while (j < sql.length && itemsEnd == sql.length) {
+      val c = sql.charAt(j)
+      if (sq) { if (c == '\\') j += 1 else if (c == '\'') sq = false }
+      else if (bq) { if (c == '`') bq = false }
+      else c match {
+        case '\'' => sq = true
+        case '`' => bq = true
+        case '(' => rel += 1
+        case ')' =>
+          rel -= 1; if (rel < 0) itemsEnd = j
+        case ',' if rel == 0 => commas += j
+        case _ if rel == 0 && (j == itemsStart || !isWordChar(sql.charAt(j - 1))) =>
+          val kw = AjEnders.find(w =>
+            sql.regionMatches(true, j, w, 0, w.length) &&
+              (j + w.length >= sql.length || !isWordChar(sql.charAt(j + w.length))))
+          kw.foreach { w =>
+            // LEFT(/RIGHT( are string functions, not clause starts
+            val fnLike = (w == "LEFT" || w == "RIGHT") && {
+              var p = j + w.length
+              while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+              p < sql.length && sql.charAt(p) == '('
+            }
+            if (!fnLike) itemsEnd = j
+          }
+        case _ =>
+      }
+      j += 1
+    }
+    val itemsTxt = sql.substring(itemsStart, itemsEnd)
+    val cuts = (Seq(itemsStart - 1) ++ commas.result() ++ Seq(itemsEnd))
+    val items = cuts.sliding(2).map { case Seq(a, b) =>
+      sql.substring(a + 1, b).trim
+    }.toSeq.filter(_.nonEmpty)
+    require(items.nonEmpty, s"ARRAY JOIN: empty item list near '$itemsTxt'")
+    val parsed = items.map { it =>
+      // the alias is the LAST top-level ` AS ` binding (CAST(x AS T) and
+      // lambda bodies sit inside parens)
+      var p = 0; var d = 0; var s2 = false; var b2 = false; var asAt = -1
+      while (p < it.length) {
+        val c = it.charAt(p)
+        if (s2) { if (c == '\\') p += 1 else if (c == '\'') s2 = false }
+        else if (b2) { if (c == '`') b2 = false }
+        else c match {
+          case '\'' => s2 = true
+          case '`' => b2 = true
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ if d == 0 && (p == 0 || !isWordChar(it.charAt(p - 1))) &&
+            it.regionMatches(true, p, "AS", 0, 2) &&
+            (p + 2 >= it.length || !isWordChar(it.charAt(p + 2))) => asAt = p
+          case _ =>
+        }
+        p += 1
+      }
+      if (asAt < 0)
+        throw new IllegalArgumentException(
+          s"ARRAY JOIN item '$it' has no AS alias: an unaliased ARRAY " +
+            "JOIN replaces the array column in place, which the embedded " +
+            "rewrite cannot express — write `ARRAY JOIN <expr> AS <name>` " +
+            "or run against a real server")
+      val expr = it.substring(0, asAt).trim
+      val alias = it.substring(asAt + 2).trim
+      require(expr.nonEmpty && alias.nonEmpty &&
+        raw"^(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$$".r.findFirstIn(alias).isDefined,
+        s"ARRAY JOIN item '$it': malformed expression or alias")
+      (expr, alias)
+    }
+    val lead = if (outer) "LATERAL VIEW OUTER " else "LATERAL VIEW "
+    val pos = s"__aj_pos_$k"
+    val repl = new StringBuilder
+    repl.append(s"${lead}posexplode(${parsed.head._1}) __aj_$k ")
+      .append(s"AS $pos, ${parsed.head._2}")
+    parsed.zipWithIndex.drop(1).foreach { case ((e, n), idx) =>
+      // element_at rides the FIRST item's position: zip semantics. The
+      // 1-element array keeps this a generator (never empty, so plain
+      // LATERAL VIEW is right even under OUTER).
+      repl.append(s" LATERAL VIEW explode(array(element_at($e, $pos + 1))) ")
+        .append(s"__aj_${k}_$idx AS $n")
+    }
+    val rebuilt = sql.substring(0, start).stripSuffix(" ") + " " +
+      repl.result() + " " + sql.substring(itemsEnd).trim
+    rewriteArrayJoinFrom(rebuilt.trim, k + 1)
   }
 
   /** Rewrite the (single) top-level ASOF join of `sql`, recursing into

@@ -2105,6 +2105,31 @@ object ConnectorQueries {
             |ORDER BY pri, cents DESC, k""".stripMargin)
     },
 
+    // r72: the ARRAY JOIN clause — server-side tokenization exploded
+    // in-statement, multi-item POSITIONAL zip (tok with its own length
+    // array; a cross product would square the rows and fail the hash).
+    // The embedded engine rewrites the clause to a LATERAL VIEW chain;
+    // the DuckDB oracle re-derives the pairs with unnest.
+    q("r72_array_join",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT doc_id, tok, CAST(length(tok) AS BIGINT) AS toklen
+        |FROM toks ORDER BY doc_id, tok, toklen""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `doc_id`, tok, toklen
+          |FROM `main`.`documents`
+          |ARRAY JOIN splitByChar(' ', `text`) AS tok,
+          |  arrayMap(t -> toInt64(lengthUTF8(t)), splitByChar(' ', `text`))
+          |    AS toklen
+          |WHERE `doc_id` < 40
+          |ORDER BY `doc_id`, tok, toklen""".stripMargin)
+    },
+
     // r60: exact nearest-rank quantiles (quantileExact family), mapped
     // honestly to sorted-array picks rather than rejected (VERDICT r11
     // item 4). quantileExactLow == DuckDB quantile_disc (rank ceil(p*n));

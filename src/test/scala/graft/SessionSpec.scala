@@ -231,6 +231,45 @@ class SessionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ORDER BY"), e.getMessage)
   }
 
+  test("ARRAY JOIN executes embedded: positional multi-item zip (not a " +
+    "cross product), LEFT keeps empty-array rows with NULL elements, " +
+    "inner drops them") {
+    val root = Files.createTempDirectory("graft_aj_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chaj").build()
+    ch.createDatabase("aj")
+    ch.newTable("aj", "t")
+      .column("g", "String")
+      .column("tags", "Array(String)").column("scores", "Array(Int64)")
+      .engine("MergeTree").orderBy("g").create()
+    val sch = ch.client.asInstanceOf[graft.client.EmbeddedClickHouse]
+      .sparkSchema("aj", "t")
+    ch.client.insert("aj", "t", sch, Seq(
+      Row("a", Seq("x", "y"), Seq(1L, 2L)),
+      Row("b", Seq("z"), Seq(9L)),
+      Row("c", Seq.empty[String], Seq.empty[Long])))
+    // zip: 2 + 1 rows, NEVER 4 + 1 (cross product would be wrong)
+    val zip = ch.chSql(
+      "SELECT `g`, tag, sc FROM `aj`.`t` ARRAY JOIN `tags` AS tag, " +
+        "`scores` AS sc ORDER BY `g`, tag")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(zip == Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "z", 9L)),
+      zip.toString)
+    // LEFT ARRAY JOIN keeps the empty-array row, element NULL
+    val left = ch.chSql(
+      "SELECT `g`, tag FROM `aj`.`t` LEFT ARRAY JOIN `tags` AS tag " +
+        "ORDER BY `g`, tag")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(left == Seq(("a", Some("x")), ("a", Some("y")),
+      ("b", Some("z")), ("c", None)), left.toString)
+    // expression item through the translator (CH fn inside the clause)
+    val expr = ch.chSql(
+      "SELECT `g`, u FROM `aj`.`t` ARRAY JOIN " +
+        "arrayMap(x -> upperUTF8(x), `tags`) AS u ORDER BY `g`, u")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(expr == Seq(("a", "X"), ("a", "Y"), ("b", "Z")), expr.toString)
+  }
+
   test("LIMIT n WITH TIES executes embedded: rows tying the last " +
     "in-limit row on the sort key survive; ORDER BY required; nested " +
     "rejects; helper column never leaks") {

@@ -496,6 +496,47 @@ class TranslatorSpec extends AnyFunSuite {
     assert(combo.getMessage.contains("LIMIT BY"), combo.getMessage)
   }
 
+  test("ARRAY JOIN clause rewrites to a LATERAL VIEW chain: single item, " +
+    "LEFT → OUTER, multi-item zip via the position column, nested " +
+    "subqueries, clause boundaries; unaliased / star shapes reject") {
+    def aj(s: String) = ChSqlTranslator.rewriteArrayJoin(s)
+    assert(aj("SELECT d, tag FROM t ARRAY JOIN tags AS tag WHERE d > 1") ==
+      "SELECT d, tag FROM t LATERAL VIEW posexplode(tags) __aj_0 " +
+        "AS __aj_pos_0, tag WHERE d > 1")
+    assert(aj("SELECT d, tag FROM t LEFT ARRAY JOIN tags AS tag") ==
+      "SELECT d, tag FROM t LATERAL VIEW OUTER posexplode(tags) __aj_0 " +
+        "AS __aj_pos_0, tag")
+    // INNER ARRAY JOIN == ARRAY JOIN
+    assert(aj("SELECT d, tag FROM t INNER ARRAY JOIN tags AS tag") ==
+      "SELECT d, tag FROM t LATERAL VIEW posexplode(tags) __aj_0 " +
+        "AS __aj_pos_0, tag")
+    // multi-item: positional zip, element_at on the first item's pos
+    assert(aj("SELECT tag, sc FROM t ARRAY JOIN tags AS tag, scores AS sc " +
+      "ORDER BY tag") ==
+      "SELECT tag, sc FROM t LATERAL VIEW posexplode(tags) __aj_0 " +
+        "AS __aj_pos_0, tag LATERAL VIEW explode(array(element_at(scores, " +
+        "__aj_pos_0 + 1))) __aj_0_1 AS sc ORDER BY tag")
+    // nested subquery occurrence rewrites in place; helper names stay
+    // unique across two clauses
+    val two = aj("SELECT a FROM (SELECT x AS a FROM u ARRAY JOIN xs AS x) q " +
+      "ARRAY JOIN ys AS y")
+    assert(two.contains("__aj_pos_0") && two.contains("__aj_pos_1"), two)
+    // expression items keep CAST's AS inside parens; the LAST top-level
+    // AS binds the alias
+    assert(aj("SELECT v FROM t ARRAY JOIN arrayMap(x -> CAST(x AS Int64), a) AS v")
+      .contains("posexplode(arrayMap(x -> CAST(x AS Int64), a)) __aj_0 AS __aj_pos_0, v"))
+    // absent: unchanged (ARRAY type mentions don't trip it)
+    assert(aj("SELECT CAST(x AS Array(Int64)) FROM t") ==
+      "SELECT CAST(x AS Array(Int64)) FROM t")
+    val noAlias = intercept[IllegalArgumentException](
+      aj("SELECT d FROM t ARRAY JOIN tags"))
+    assert(noAlias.getMessage.contains("AS alias"), noAlias.getMessage)
+    val star = intercept[IllegalArgumentException](
+      aj("SELECT * FROM t ARRAY JOIN tags AS tag"))
+    assert(star.getMessage.contains("star") ||
+      star.getMessage.contains("*"), star.getMessage)
+  }
+
   test("NESTED same-name calls rewrite at every depth: the outer call's " +
     "region must not swallow inner occurrences") {
     // the lambda shape the unparser emits for cast-inside-HOF: the
