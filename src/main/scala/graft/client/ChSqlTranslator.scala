@@ -94,6 +94,10 @@ object ChSqlTranslator {
     // GLOBAL JOIN likewise: distribution hints that are the identity on
     // a single execution domain.
     s = foldPrewhere(s)
+    // ClickHouse scalar WITH (`WITH <expr> AS <ident>`) inlines before
+    // anything else looks at statement structure — Spark's WITH only
+    // accepts CTE subqueries
+    s = rewriteScalarWith(s)
     // honored-or-rejected: WITH FILL is handled BEFORE translation (the
     // top-level single-column form — parseWithFill + the session's lazy
     // gap composition); any WITH FILL / INTERPOLATE still visible here
@@ -765,6 +769,111 @@ object ChSqlTranslator {
   private def rewriteAsof(in: String): String = {
     if (!raw"(?i)\bASOF\b".r.findFirstIn(in).isDefined) return in
     rewriteAsofLevel(in)
+  }
+
+  // ---- scalar WITH aliases → inline substitution ---------------------
+
+  /** Index of the LAST top-level ` AS ` keyword in `it` (CAST's AS and
+    * lambda bodies sit inside parens), or -1.
+    */
+  private def lastTopLevelAs(it: String): Int = {
+    var p = 0; var d = 0; var sq = false; var bq = false; var asAt = -1
+    while (p < it.length) {
+      val c = it.charAt(p)
+      if (sq) { if (c == '\\') p += 1 else if (c == '\'') sq = false }
+      else if (bq) { if (c == '`') bq = false }
+      else c match {
+        case '\'' => sq = true
+        case '`' => bq = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ if d == 0 && (p == 0 || !isWordChar(it.charAt(p - 1))) &&
+          it.regionMatches(true, p, "AS", 0, 2) &&
+          (p + 2 >= it.length || !isWordChar(it.charAt(p + 2))) => asAt = p
+        case _ =>
+      }
+      p += 1
+    }
+    asAt
+  }
+
+  private val BareIdent = raw"^[A-Za-z_][A-Za-z0-9_]*$$".r
+
+  /** ClickHouse's scalar WITH form — `WITH <expr> AS <ident>, ...` (the
+    * expression FIRST; `(SELECT ...)` scalar subqueries included) —
+    * substitutes `(expr)` for every bare `ident` reference in the rest
+    * of the statement, exactly the server's documented expansion.
+    * Standard CTE items (`<ident> AS (<subquery>)`) pass through
+    * untouched, and the two forms mix freely in one WITH list. Applied
+    * at every nesting level. References are replaced word-boundary
+    * aware, never after `.` (qualified columns), before `(` (calls), or
+    * inside strings/backticks.
+    */
+  def rewriteScalarWith(s: String): String = {
+    if (raw"(?i)\bWITH\b".r.findFirstIn(s).isEmpty) return s
+    mapTopLevelParens(rewriteScalarWithLevel(s))(inner => rewriteScalarWith(inner))
+  }
+
+  private def rewriteScalarWithLevel(sql: String): String = {
+    val sel = topLevelPositions(sql, "SELECT").headOption.getOrElse(return sql)
+    val w = topLevelPositions(sql, "WITH").find(_ < sel).getOrElse(return sql)
+    val itemsTxt = sql.substring(w + 4, sel)
+    // split items on top-level commas
+    val items = {
+      var p = 0; var d = 0; var sq = false; var bq = false; var last = 0
+      val out = Seq.newBuilder[String]
+      while (p < itemsTxt.length) {
+        val c = itemsTxt.charAt(p)
+        if (sq) { if (c == '\\') p += 1 else if (c == '\'') sq = false }
+        else if (bq) { if (c == '`') bq = false }
+        else c match {
+          case '\'' => sq = true
+          case '`' => bq = true
+          case '(' => d += 1
+          case ')' => d -= 1
+          case ',' if d == 0 => out += itemsTxt.substring(last, p); last = p + 1
+          case _ =>
+        }
+        p += 1
+      }
+      out += itemsTxt.substring(last)
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+    var subs = Seq.empty[(String, String)]
+    def applySubs(text: String): String = subs.foldLeft(text) {
+      case (acc, (name, repl)) =>
+        mapOutsideStrings(acc) { seg =>
+          // even split indexes sit outside backticks
+          seg.split("`", -1).zipWithIndex.map { case (part, idx) =>
+            if (idx % 2 != 0) part
+            else part.replaceAll(
+              raw"(?<![.\w])" + java.util.regex.Pattern.quote(name) + raw"(?![\w(])",
+              java.util.regex.Matcher.quoteReplacement(repl))
+          }.mkString("`")
+        }
+    }
+    val kept = items.flatMap { it =>
+      val asAt = lastTopLevelAs(it)
+      if (asAt < 0) Some(it)
+      else {
+        val lhs = it.substring(0, asAt).trim
+        val rhs = it.substring(asAt + 2).trim
+        val lhsBare = BareIdent.findFirstIn(lhs.stripPrefix("`").stripSuffix("`"))
+          .isDefined && !lhs.contains("(")
+        if (lhsBare && rhs.startsWith("(")) Some(it) // standard CTE
+        else if (BareIdent.findFirstIn(rhs).isDefined) {
+          // scalar alias: expr AS ident — earlier aliases expand inside
+          // later definitions, matching the server's left-to-right rule
+          subs :+= rhs -> s"(${applySubs(lhs)})"
+          None
+        } else Some(it)
+      }
+    }
+    if (subs.isEmpty) return sql
+    val rest = applySubs(sql.substring(sel))
+    val head = sql.substring(0, w)
+    if (kept.isEmpty) head + rest
+    else head + "WITH " + kept.map(applySubs).mkString(", ") + " " + rest
   }
 
   // ---- ARRAY JOIN clause → LATERAL VIEW chain ------------------------

@@ -2130,6 +2130,32 @@ object ConnectorQueries {
           |ORDER BY `doc_id`, tok, toklen""".stripMargin)
     },
 
+    // r73: ClickHouse scalar WITH aliases (`WITH <expr> AS <ident>`) —
+    // a scalar-subquery cutoff and a numeric constant, both inlined by
+    // the embedded rewrite exactly as the server expands them; the
+    // DuckDB oracle writes the expansion out literally.
+    q("r73_scalar_with",
+      """SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderdate >=
+        |  (SELECT max(o_orderdate) FROM orders) - INTERVAL 90 DAY
+        |GROUP BY pri ORDER BY pri""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """WITH (SELECT max(`o_orderdate`) FROM `main`.`orders`) AS maxd,
+          |  100 AS scale
+          |SELECT `o_orderpriority` AS pri, toInt64(count(*)) AS n,
+          |  toInt64(sum(round(`o_totalprice` * scale))) AS cents
+          |FROM `main`.`orders`
+          |WHERE `o_orderdate` >= maxd - INTERVAL 90 DAY
+          |GROUP BY `o_orderpriority`
+          |ORDER BY pri""".stripMargin)
+    },
+
     // r60: exact nearest-rank quantiles (quantileExact family), mapped
     // honestly to sorted-array picks rather than rejected (VERDICT r11
     // item 4). quantileExactLow == DuckDB quantile_disc (rank ceil(p*n));

@@ -537,6 +537,31 @@ class TranslatorSpec extends AnyFunSuite {
       star.getMessage.contains("*"), star.getMessage)
   }
 
+  test("scalar WITH aliases inline: constants, scalar subqueries, " +
+    "left-to-right chaining; CTE items and mixed lists survive; " +
+    "qualified/call/string/backtick occurrences stay untouched") {
+    def sw(s: String) = ChSqlTranslator.rewriteScalarWith(s)
+    assert(sw("WITH 5 AS x SELECT x + 1 FROM t WHERE v > x") ==
+      "SELECT (5) + 1 FROM t WHERE v > (5)")
+    assert(sw("WITH (SELECT max(v) FROM t) AS m SELECT a FROM t WHERE v = m")
+      == "SELECT a FROM t WHERE v = ((SELECT max(v) FROM t))")
+    // left-to-right: later definitions see earlier aliases
+    assert(sw("WITH 2 AS a, a * 3 AS b SELECT b FROM t") ==
+      "SELECT ((2) * 3) FROM t")
+    // standard CTEs pass through; mixed lists keep the CTE
+    assert(sw("WITH c AS (SELECT v FROM t), 7 AS k SELECT v + k FROM c") ==
+      "WITH c AS (SELECT v FROM t) SELECT v + (7) FROM c")
+    // qualified t.x, calls x(...), strings, and backticks never rewrite
+    assert(sw("WITH 5 AS x SELECT t.x, x('a'), 'x', `x` FROM t") ==
+      "SELECT t.x, x('a'), 'x', `x` FROM t")
+    // nested levels rewrite too
+    assert(sw("SELECT * FROM (WITH 3 AS k SELECT v * k AS w FROM t) q") ==
+      "SELECT * FROM (SELECT v * (3) AS w FROM t) q")
+    // no scalar items: unchanged
+    val cteOnly = "WITH c AS (SELECT 1) SELECT * FROM c"
+    assert(sw(cteOnly) == cteOnly)
+  }
+
   test("NESTED same-name calls rewrite at every depth: the outer call's " +
     "region must not swallow inner occurrences") {
     // the lambda shape the unparser emits for cast-inside-HOF: the
