@@ -245,6 +245,41 @@ object ChSqlTranslator {
     s = rewriteCall(s, "trimLeft", args => s"ltrim(${args.head})")
     s = rewriteCall(s, "trimRight", args => s"rtrim(${args.head})")
     s = rewriteCall(s, "isNaN", args => s"isnan(${args.head})")
+    // -OrNull combinator: NULL when the aggregate accumulated nothing.
+    // sum/avg/min/max/any/anyLast already return NULL on an empty or
+    // all-NULL input in Spark — the combinator strips to the base
+    // aggregate (whose own rewrites below then apply). count/uniq
+    // return 0 there, so those wrap in nullif.
+    for (f <- Seq("sum", "avg", "min", "max", "any", "anyLast",
+      "argMax", "argMin"))
+      s = rewriteCall(s, f + "OrNull", args => s"$f(${args.mkString(", ")})")
+    for (f <- Seq("count", "uniq", "uniqExact"))
+      s = rewriteCall(s, f + "OrNull", args => s"nullif($f(${
+        if (args.isEmpty) "*" else args.mkString(", ")}), 0)")
+    // -OrDefault: the RETURN TYPE's default when nothing accumulated —
+    // derivable from text only where that type is fixed by the function
+    // (count/uniq already 0; sum/avg numeric 0). min/max/any carry the
+    // argument's type, whose default (''/1970-01-01/0) the translator
+    // cannot know — those reject by name below, never a silent 0.
+    for (f <- Seq("count", "uniq", "uniqExact"))
+      s = rewriteCall(s, f + "OrDefault", args => s"$f(${
+        if (args.isEmpty) "*" else args.mkString(", ")})")
+    s = rewriteCall(s, "sumOrDefault",
+      args => s"coalesce(sum(${args.mkString(", ")}), 0)")
+    s = rewriteCall(s, "avgOrDefault",
+      args => s"coalesce(avg(${args.mkString(", ")}), 0.0)")
+    mapOutsideStrings(s) { seg =>
+      raw"(?i)\b([A-Za-z_][A-Za-z0-9_]*)OrDefault\s*\(".r.findFirstMatchIn(seg)
+        .foreach { m =>
+          throw new IllegalArgumentException(
+            s"${m.group(1)}OrDefault is not supported by the embedded " +
+              "engine: the default is the ARGUMENT type's zero value " +
+              "(0 / '' / 1970-01-01), which the translator cannot derive " +
+              s"from text — write coalesce(${m.group(1)}(x), <default>) " +
+              "explicitly or run against a real server")
+        }
+      seg
+    }
     // any/anyLast: the server keeps "some" value — min/max are legal
     // instances, reproducibly (the Summing-representative rule). The
     // quantified-subquery form `= any(SELECT ...)` is NOT the aggregate

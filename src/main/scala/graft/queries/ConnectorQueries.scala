@@ -2156,6 +2156,55 @@ object ConnectorQueries {
           |ORDER BY pri""".stripMargin)
     },
 
+    // r74: -OrNull / -OrDefault aggregate combinators where they matter
+    // — GLOBAL aggregates over an EMPTY filtered set (groups are never
+    // empty; only the global form exposes the nothing-accumulated case).
+    // The 'empty' branch returns NULL / 0 per combinator; the 'all'
+    // branch proves the strip keeps normal values intact.
+    q("r74_ornull_combinators",
+      """SELECT 'empty' AS tag,
+        |  nullif(count(*), 0) AS c_null,
+        |  CAST(count(*) AS BIGINT) AS c_def,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS s_null,
+        |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS s_def,
+        |  CAST(min(o_orderkey) AS BIGINT) AS m_null,
+        |  nullif(count(DISTINCT o_orderpriority), 0) AS u_null
+        |FROM orders WHERE o_orderkey < 0
+        |UNION ALL
+        |SELECT 'all' AS tag,
+        |  nullif(count(*), 0) AS c_null,
+        |  CAST(count(*) AS BIGINT) AS c_def,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS s_null,
+        |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS s_def,
+        |  CAST(min(o_orderkey) AS BIGINT) AS m_null,
+        |  nullif(count(DISTINCT o_orderpriority), 0) AS u_null
+        |FROM orders
+        |ORDER BY tag""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT 'empty' AS tag,
+          |  countOrNull() AS c_null,
+          |  toInt64(countOrDefault()) AS c_def,
+          |  sumOrNull(toInt64(`o_orderkey`)) AS s_null,
+          |  toInt64(sumOrDefault(toInt64(`o_orderkey`))) AS s_def,
+          |  minOrNull(toInt64(`o_orderkey`)) AS m_null,
+          |  uniqOrNull(`o_orderpriority`) AS u_null
+          |FROM `main`.`orders` WHERE `o_orderkey` < 0
+          |UNION ALL
+          |SELECT 'all' AS tag,
+          |  countOrNull() AS c_null,
+          |  toInt64(countOrDefault()) AS c_def,
+          |  sumOrNull(toInt64(`o_orderkey`)) AS s_null,
+          |  toInt64(sumOrDefault(toInt64(`o_orderkey`))) AS s_def,
+          |  minOrNull(toInt64(`o_orderkey`)) AS m_null,
+          |  uniqOrNull(`o_orderpriority`) AS u_null
+          |FROM `main`.`orders`
+          |ORDER BY tag""".stripMargin)
+    },
+
     // r60: exact nearest-rank quantiles (quantileExact family), mapped
     // honestly to sorted-array picks rather than rejected (VERDICT r11
     // item 4). quantileExactLow == DuckDB quantile_disc (rank ceil(p*n));

@@ -562,6 +562,25 @@ class TranslatorSpec extends AnyFunSuite {
     assert(sw(cteOnly) == cteOnly)
   }
 
+  test("-OrNull / -OrDefault combinators: NULL-on-empty strips or wraps " +
+    "in nullif; numeric defaults coalesce; type-default shapes reject " +
+    "by name") {
+    assert(t("SELECT sumOrNull(x)") == "SELECT sum(x)")
+    assert(t("SELECT minOrNull(x), maxOrNull(x)") == "SELECT min(x), max(x)")
+    // stripped base aggregates still go through their own rewrites
+    assert(t("SELECT anyOrNull(x)") == "SELECT min(x)")
+    assert(t("SELECT anyLastOrNull(x)") == "SELECT max(x)")
+    assert(t("SELECT countOrNull()") == "SELECT nullif(count(*), 0)")
+    assert(t("SELECT countOrNull(x)") == "SELECT nullif(count(x), 0)")
+    assert(t("SELECT uniqOrNull(x)") == "SELECT nullif(count(DISTINCT x), 0)")
+    assert(t("SELECT sumOrDefault(x)") == "SELECT coalesce(sum(x), 0)")
+    assert(t("SELECT avgOrDefault(x)") == "SELECT coalesce(avg(x), 0.0)")
+    assert(t("SELECT countOrDefault()") == "SELECT count(*)")
+    val e = intercept[IllegalArgumentException](t("SELECT minOrDefault(x)"))
+    assert(e.getMessage.contains("minOrDefault"), e.getMessage)
+    assert(e.getMessage.contains("coalesce"), e.getMessage)
+  }
+
   test("NESTED same-name calls rewrite at every depth: the outer call's " +
     "region must not swallow inner occurrences") {
     // the lambda shape the unparser emits for cast-inside-HOF: the
