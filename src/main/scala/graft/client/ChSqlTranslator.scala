@@ -806,6 +806,124 @@ object ChSqlTranslator {
     rewriteAsofLevel(in)
   }
 
+  // ---- star column transformers (* REPLACE / APPLY / COLUMNS) --------
+
+  sealed trait StarOp
+  /** `REPLACE (e1 AS c1, ...)` — substitute in place, position kept. */
+  final case class StarReplace(items: Seq[(String, String)]) extends StarOp
+  /** `APPLY (fn)` — every selected column wrapped in fn. */
+  final case class StarApply(fn: String) extends StarOp
+
+  /** A top-level select list of the form `* [EXCEPT (...)] <transformers>`
+    * or `COLUMNS('re') <transformers>`: `core` is the statement with the
+    * list reduced to what Spark parses natively (`*` / `* EXCEPT (...)`),
+    * the transformers compose on the ANALYZED frame (REPLACE keeps
+    * column position via withColumn; APPLY renames to `fn(col)` — the
+    * server's naming). COLUMNS filters by RE2-style partial match first.
+    */
+  final case class StarTransformParts(
+      core: String, ops: Seq[StarOp], columnsRe: Option[String])
+
+  /** Translate a ClickHouse scalar EXPRESSION fragment (no statement
+    * structure) to a Spark SQL fragment.
+    */
+  def translateFragment(frag: String, tables: Seq[(String, String)]): String =
+    translate("SELECT " + frag, tables).trim.stripPrefix("SELECT").trim
+
+  def parseStarTransform(sql: String): Option[StarTransformParts] = {
+    val sel = topLevelPositions(sql, "SELECT").headOption.getOrElse(return None)
+    val from = topLevelPositions(sql, "FROM").find(_ > sel).getOrElse(return None)
+    val list = sql.substring(sel + 6, from).trim
+    val isStarForm =
+      raw"(?is)^\*\s+(EXCEPT|REPLACE|APPLY)\b.*".r.findFirstIn(list).isDefined
+    val isColumnsForm = raw"(?is)^COLUMNS\s*\(.*".r.findFirstIn(list).isDefined
+    if (!isStarForm && !isColumnsForm) return None
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"star transformer: $why (select list: '$list'); supported shapes " +
+        "are `* [EXCEPT (cols)] {REPLACE (e AS c, ...) | APPLY (fn)}...` " +
+        "and `COLUMNS('re') {APPLY (fn) | REPLACE (...)}...` at the top " +
+        "level — restructure or run against a real server")
+    for (kw <- Seq("GROUP", "ORDER", "HAVING", "UNION"))
+      if (topLevelPositions(sql, kw).exists(_ > from))
+        fail(s"$kw BY/clause combined with a transformer is not modeled " +
+          "embedded (the transformer composes on the analyzed result); " +
+          "wrap the transformed SELECT in a subquery")
+    var p = 0
+    var columnsRe: Option[String] = None
+    val keep = new StringBuilder("*")
+    def skipWs(): Unit = while (p < list.length && list.charAt(p).isWhitespace) p += 1
+    def word(): String = {
+      val s0 = p
+      while (p < list.length && isWordChar(list.charAt(p))) p += 1
+      list.substring(s0, p)
+    }
+    if (isColumnsForm) {
+      p = list.indexOf('(') + 1
+      val (args, past) = parseArgs(list, p)
+      val re = args match {
+        case Seq(one) if one.length >= 2 && one.startsWith("'") && one.endsWith("'") =>
+          one.substring(1, one.length - 1)
+        case _ => fail("COLUMNS takes exactly one quoted regex literal")
+      }
+      columnsRe = Some(re)
+      p = past
+    } else {
+      p = 1 // past '*'
+      skipWs()
+      if (list.regionMatches(true, p, "EXCEPT", 0, 6) &&
+        (p + 6 >= list.length || !isWordChar(list.charAt(p + 6)))) {
+        p += 6; skipWs()
+        if (p < list.length && list.charAt(p) == '(') {
+          val (args, past) = parseArgs(list, p + 1)
+          keep.append(s" EXCEPT (${args.mkString(", ")})")
+          p = past
+        } else {
+          // the server accepts a single unparenthesized column; Spark's
+          // native star-EXCEPT needs the parens — normalize
+          val c = word()
+          if (c.isEmpty) fail("EXCEPT without a column list")
+          keep.append(s" EXCEPT ($c)")
+        }
+      }
+    }
+    val ops = Seq.newBuilder[StarOp]
+    var done = false
+    while (!done) {
+      skipWs()
+      if (p >= list.length) done = true
+      else {
+        val w = word()
+        skipWs()
+        if (p >= list.length || list.charAt(p) != '(')
+          fail(s"expected a parenthesized transformer argument after '$w'")
+        val (args, past) = parseArgs(list, p + 1)
+        p = past
+        w.toUpperCase match {
+          case "REPLACE" =>
+            ops += StarReplace(args.map { it =>
+              val asAt = lastTopLevelAs(it)
+              if (asAt < 0) fail(s"REPLACE item '$it' has no AS column")
+              val name = it.substring(asAt + 2).trim
+                .stripPrefix("`").stripSuffix("`")
+              (it.substring(0, asAt).trim, name)
+            })
+          case "APPLY" =>
+            args match {
+              case Seq(fn) if BareIdent.findFirstIn(fn.trim).isDefined =>
+                ops += StarApply(fn.trim)
+              case _ => fail("APPLY takes exactly one bare function name")
+            }
+          case other => fail(s"unknown transformer '$other'")
+        }
+      }
+    }
+    val parts = ops.result()
+    if (parts.isEmpty && columnsRe.isEmpty && keep.result() == "*") return None
+    Some(StarTransformParts(
+      sql.substring(0, sel + 6) + " " + keep.result() + " " + sql.substring(from),
+      parts, columnsRe))
+  }
+
   // ---- scalar WITH aliases → inline substitution ---------------------
 
   /** Index of the LAST top-level ` AS ` keyword in `it` (CAST's AS and

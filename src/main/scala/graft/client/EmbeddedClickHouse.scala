@@ -1351,6 +1351,12 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       val wf =
         if (lb.isDefined || wt.isDefined) None
         else ChSqlTranslator.parseWithFill(detokened)
+      // star column transformers (* REPLACE / APPLY / COLUMNS('re')):
+      // the core analyzes with a native star; the transformer list
+      // composes on the analyzed frame (REPLACE keeps column position)
+      val st =
+        if (lb.isDefined || wt.isDefined || wf.isDefined) None
+        else ChSqlTranslator.parseStarTransform(detokened)
       val effective = lb match {
         case Some(p) =>
           val ord = p.orderBy.getOrElse(throw new IllegalArgumentException(
@@ -1366,7 +1372,8 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
             s"SELECT * FROM (SELECT *, rank() OVER (ORDER BY ${w.orderBy}) " +
               s"AS __wt_rk FROM (${w.core}) AS __wt_in) AS __wt " +
               s"WHERE __wt_rk <= ${w.n} ORDER BY ${w.orderBy}"
-          case None => wf.map(_.core).getOrElse(detokened)
+          case None =>
+            wf.map(_.core).orElse(st.map(_.core)).getOrElse(detokened)
         }
       }
       val tr = ChSqlTranslator.translate(rewriteSample(rewriteFinal(effective)), tables)
@@ -1397,8 +1404,46 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
               s"\n--- translated ---\n$tr", e) }
       if (lb.isDefined) df.drop("__lb_rn")
       else if (wt.isDefined) df.drop("__wt_rk")
-      else wf.map(f => fillGaps(df, f)).getOrElse(df)
+      else wf.map(f => fillGaps(df, f))
+        .orElse(st.map(p => starTransform(df, p, tables)))
+        .getOrElse(df)
     })
+  }
+
+  /** Compose parsed star transformers onto the analyzed core frame:
+    * COLUMNS filters by partial regex match first (server RE2 find
+    * semantics), REPLACE substitutes in place keeping column position
+    * (withColumn), APPLY wraps every column and renames to `fn(col)` —
+    * the server's result naming. Item expressions are ClickHouse SQL
+    * fragments, translated before expr().
+    */
+  private def starTransform(
+      df0: org.apache.spark.sql.DataFrame,
+      p: ChSqlTranslator.StarTransformParts,
+      tables: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    var df = df0
+    p.columnsRe.foreach { re =>
+      val r = re.r
+      val hit = df.columns.filter(c => r.findFirstIn(c).isDefined)
+      require(hit.nonEmpty,
+        s"COLUMNS('$re') matched no column of (${df.columns.mkString(", ")})")
+      df = df.select(hit.map(col).toIndexedSeq: _*)
+    }
+    p.ops.foreach {
+      case ChSqlTranslator.StarReplace(items) =>
+        items.foreach { case (e, c) =>
+          require(df.columns.contains(c),
+            s"* REPLACE: no column `$c` in (${df.columns.mkString(", ")})")
+          df = df.withColumn(c,
+            expr(ChSqlTranslator.translateFragment(e, tables)))
+        }
+      case ChSqlTranslator.StarApply(fn) =>
+        df = df.select(df.columns.map(c =>
+          expr(ChSqlTranslator.translateFragment(s"$fn(`$c`)", tables))
+            .as(s"$fn($c)")).toIndexedSeq: _*)
+    }
+    df
   }
 
   /** Compose the WITH FILL gap rows onto the analyzed core frame: a

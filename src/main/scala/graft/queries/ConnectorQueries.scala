@@ -2205,6 +2205,36 @@ object ConnectorQueries {
           |ORDER BY tag""".stripMargin)
     },
 
+    // r75: `SELECT * REPLACE (expr AS col)` — in-place column transform
+    // with POSITION preserved (the server keeps the replaced column's
+    // slot; a trailing re-projection would not). Composed on the
+    // analyzed frame via withColumn.
+    q("r75_star_replace",
+      """SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey
+        |FROM nation WHERE n_regionkey < 3""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT * REPLACE (upperUTF8(`n_name`) AS n_name)
+          |FROM `main`.`nation` WHERE `n_regionkey` < 3""".stripMargin)
+    },
+
+    // r76: `COLUMNS('re') APPLY (fn)` — regex column selection (partial
+    // match, server RE2 semantics) with every selected column wrapped,
+    // result columns named fn(col) exactly as the server names them.
+    q("r76_columns_apply",
+      """SELECT CAST(max(n_nationkey) AS INT) AS "max(n_nationkey)",
+        |  CAST(max(n_regionkey) AS INT) AS "max(n_regionkey)"
+        |FROM nation""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql("SELECT COLUMNS('key') APPLY (max) FROM `main`.`nation`")
+    },
+
     // r60: exact nearest-rank quantiles (quantileExact family), mapped
     // honestly to sorted-array picks rather than rejected (VERDICT r11
     // item 4). quantileExactLow == DuckDB quantile_disc (rank ceil(p*n));

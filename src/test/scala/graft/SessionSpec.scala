@@ -270,6 +270,42 @@ class SessionSpec extends AnyFunSuite {
     assert(expr == Seq(("a", "X"), ("a", "Y"), ("b", "Z")), expr.toString)
   }
 
+  test("star transformers execute embedded: REPLACE keeps column " +
+    "position, APPLY renames to fn(col), COLUMNS filters by partial " +
+    "regex, native star-EXCEPT composes") {
+    val root = Files.createTempDirectory("graft_star_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chstar").build()
+    ch.createDatabase("st")
+    ch.newTable("st", "t")
+      .column("k", "Int64").column("name", "String").column("v", "Int64")
+      .engine("MergeTree").orderBy("k").create()
+    val sch = ch.client.asInstanceOf[graft.client.EmbeddedClickHouse]
+      .sparkSchema("st", "t")
+    ch.client.insert("st", "t", sch, Seq(
+      Row(1L, "ab", 10L), Row(2L, "cd", 20L)))
+    // REPLACE: position preserved (k, name, v — name transformed in place)
+    val rep = ch.chSql(
+      "SELECT * REPLACE (upperUTF8(`name`) AS name) FROM `st`.`t`")
+    assert(rep.schema.fieldNames.toSeq == Seq("k", "name", "v"))
+    assert(rep.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq == Seq((1L, "AB", 10L), (2L, "CD", 20L)))
+    // COLUMNS + APPLY: filter then aggregate, server naming fn(col)
+    val app = ch.chSql("SELECT COLUMNS('^[kv]$') APPLY (max) FROM `st`.`t`")
+    assert(app.schema.fieldNames.toSeq == Seq("max(k)", "max(v)"))
+    assert(app.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 20L)))
+    // EXCEPT (native) composes with APPLY
+    val exa = ch.chSql("SELECT * EXCEPT (name) APPLY (sum) FROM `st`.`t`")
+    assert(exa.schema.fieldNames.toSeq == Seq("sum(k)", "sum(v)"))
+    assert(exa.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 30L)))
+    // unmatched COLUMNS regex rejects loudly
+    val e = intercept[Exception](
+      ch.chSql("SELECT COLUMNS('zzz') FROM `st`.`t`").collect())
+    assert(e.getMessage.contains("matched no column"), e.getMessage)
+  }
+
   test("LIMIT n WITH TIES executes embedded: rows tying the last " +
     "in-limit row on the sort key survive; ORDER BY required; nested " +
     "rejects; helper column never leaks") {

@@ -581,6 +581,42 @@ class TranslatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("coalesce"), e.getMessage)
   }
 
+  test("star transformers parse: REPLACE/APPLY/COLUMNS shapes, EXCEPT " +
+    "normalization, chained ops; clause combos and malformed items " +
+    "reject; plain stars and replace() calls stay None") {
+    import ChSqlTranslator.{StarApply, StarReplace}
+    val r = ChSqlTranslator.parseStarTransform(
+      "SELECT * REPLACE (upperUTF8(n) AS n) FROM t WHERE k < 3").get
+    assert(r.core == "SELECT * FROM t WHERE k < 3")
+    assert(r.ops == Seq(StarReplace(Seq("upperUTF8(n)" -> "n"))))
+    val ca = ChSqlTranslator.parseStarTransform(
+      "SELECT COLUMNS('key') APPLY (max) FROM t").get
+    assert(ca.core == "SELECT * FROM t")
+    assert(ca.columnsRe.contains("key") && ca.ops == Seq(StarApply("max")))
+    // chained APPLY; EXCEPT stays native in the core
+    val ch2 = ChSqlTranslator.parseStarTransform(
+      "SELECT * EXCEPT (a, b) APPLY (sum) APPLY (round) FROM t").get
+    assert(ch2.core == "SELECT * EXCEPT (a, b) FROM t")
+    assert(ch2.ops == Seq(StarApply("sum"), StarApply("round")))
+    // single unparenthesized EXCEPT column normalizes to Spark's parens
+    val ex1 = ChSqlTranslator.parseStarTransform(
+      "SELECT * EXCEPT n_name FROM t").get
+    assert(ex1.core == "SELECT * EXCEPT (n_name) FROM t" && ex1.ops.isEmpty)
+    // None: plain star, parenthesized EXCEPT handled natively is fine
+    // to pass through too, and replace() the STRING FUNCTION never trips
+    assert(ChSqlTranslator.parseStarTransform("SELECT * FROM t").isEmpty)
+    assert(ChSqlTranslator.parseStarTransform(
+      "SELECT replace(x, 'a', 'b') AS y FROM t").isEmpty)
+    val ord = intercept[IllegalArgumentException](
+      ChSqlTranslator.parseStarTransform(
+        "SELECT * APPLY (sum) FROM t ORDER BY 1"))
+    assert(ord.getMessage.contains("ORDER"), ord.getMessage)
+    val noAs = intercept[IllegalArgumentException](
+      ChSqlTranslator.parseStarTransform(
+        "SELECT * REPLACE (upper(n)) FROM t"))
+    assert(noAs.getMessage.contains("AS"), noAs.getMessage)
+  }
+
   test("NESTED same-name calls rewrite at every depth: the outer call's " +
     "region must not swallow inner occurrences") {
     // the lambda shape the unparser emits for cast-inside-HOF: the
