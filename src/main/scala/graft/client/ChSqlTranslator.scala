@@ -120,6 +120,7 @@ object ChSqlTranslator {
     // clause's JOIN token, which would otherwise trip ASOF's
     // single-join-per-level guard
     s = rewriteArrayJoin(s)
+    s = rewriteRightSemiAnti(s)
     s = rewriteAsof(s)
     s = rewriteTotals(s)
     s = rewriteQualify(s)
@@ -395,6 +396,11 @@ object ChSqlTranslator {
     // empty/notEmpty are polymorphic (strings AND arrays) like length
     s = rewriteCall(s, "empty", args => s"(graft_length(${args.head}) = 0)")
     s = rewriteCall(s, "notEmpty", args => s"(graft_length(${args.head}) > 0)")
+    // arrayEnumerate(arr) → [1, 2, ..., length] via indexed transform
+    // (sequence(1, size(a)) would emit a DESCENDING [1, 0] on empty
+    // arrays instead of [])
+    s = rewriteCall(s, "arrayEnumerate",
+      args => s"transform(${args.head}, (__ae_x, __ae_i) -> __ae_i + 1)")
     // arrayStringConcat(arr[, sep]) → array_join (server default sep '')
     s = rewriteCall(s, "arrayStringConcat", args =>
       if (args.size >= 2) s"array_join(${args(0)}, ${args(1)})"
@@ -804,6 +810,52 @@ object ChSqlTranslator {
   private def rewriteAsof(in: String): String = {
     if (!raw"(?i)\bASOF\b".r.findFirstIn(in).isDefined) return in
     rewriteAsofLevel(in)
+  }
+
+  // ---- RIGHT SEMI / RIGHT ANTI joins → side swap ----------------------
+
+  private val RightSemiRe = raw"(?is)^RIGHT\s+(SEMI|ANTI)\s+JOIN\b".r
+
+  /** `A RIGHT SEMI|ANTI JOIN B <ON|USING> ...` → `B LEFT SEMI|ANTI JOIN
+    * A ...` — identical semantics (the preserved side is B either way;
+    * ON/USING conditions are side-symmetric), and Spark parses the LEFT
+    * forms natively. One join per SELECT level (the ASOF honesty rule);
+    * selecting the probe side's columns fails loudly at analysis — the
+    * server's SEMI exposes one matched row's columns, which Spark's
+    * semi join cannot, so silence is never an option there.
+    */
+  def rewriteRightSemiAnti(s: String): String = {
+    if (raw"(?is)\bRIGHT\s+(SEMI|ANTI)\s+JOIN\b".r.findFirstIn(s).isEmpty)
+      return s
+    mapTopLevelParens(rewriteRightSemiLevel(s))(
+      inner => rewriteRightSemiAnti(inner))
+  }
+
+  private def rewriteRightSemiLevel(sql: String): String = {
+    val hits = topLevelPositions(sql, "RIGHT").filter(p =>
+      RightSemiRe.findFirstIn(sql.substring(p)).isDefined)
+    if (hits.isEmpty) return sql
+    require(hits.length == 1 && topLevelPositions(sql, "JOIN").length == 1,
+      "RIGHT SEMI/ANTI JOIN mixed with other joins at one SELECT level " +
+        "is not supported by the embedded rewrite; nest them in subqueries")
+    val at = hits.head
+    val m = RightSemiRe.findFirstMatchIn(sql.substring(at)).get
+    val kind = m.group(1).toUpperCase
+    val fromPos = topLevelPositions(sql, "FROM").filter(_ < at).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        "RIGHT SEMI/ANTI JOIN without a FROM clause"))
+    val left = sql.substring(fromPos + 4, at).trim
+    val afterJoin = at + m.end
+    val condPos = (topLevelPositions(sql, "ON") ++
+      topLevelPositions(sql, "USING")).filter(_ > afterJoin).sorted.headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "RIGHT SEMI/ANTI JOIN without an ON/USING condition"))
+    val right = sql.substring(afterJoin, condPos).trim
+    require(left.nonEmpty && right.nonEmpty,
+      s"RIGHT $kind JOIN: malformed operands near '${sql.substring(fromPos)
+        .take(60)}'")
+    sql.substring(0, fromPos) + s"FROM $right LEFT $kind JOIN $left " +
+      sql.substring(condPos)
   }
 
   // ---- star column transformers (* REPLACE / APPLY / COLUMNS) --------

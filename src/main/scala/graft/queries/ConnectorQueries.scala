@@ -2235,6 +2235,36 @@ object ConnectorQueries {
       ch.chSql("SELECT COLUMNS('key') APPLY (max) FROM `main`.`nation`")
     },
 
+    // r77: RIGHT SEMI / RIGHT ANTI joins — the preserved side is the
+    // RIGHT table (nations with / without a matching customer); the
+    // embedded rewrite swaps sides onto Spark's native LEFT SEMI/ANTI.
+    // Each branch sits in a subquery (one join per SELECT level — the
+    // same honesty rule as ASOF).
+    q("r77_right_semi_anti",
+      """SELECT 'semi' AS tag, n_nationkey AS k, n_name AS name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+        |UNION ALL
+        |SELECT 'anti' AS tag, n_nationkey AS k, n_name AS name FROM nation
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+        |ORDER BY tag, k""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT tag, k, name FROM (
+          |  SELECT 'semi' AS tag, `n_nationkey` AS k, `n_name` AS name
+          |  FROM `main`.`customer` RIGHT SEMI JOIN `main`.`nation`
+          |    ON `c_nationkey` = `n_nationkey`) s
+          |UNION ALL
+          |SELECT tag, k, name FROM (
+          |  SELECT 'anti' AS tag, `n_nationkey` AS k, `n_name` AS name
+          |  FROM `main`.`customer` RIGHT ANTI JOIN `main`.`nation`
+          |    ON `c_nationkey` = `n_nationkey`) a
+          |ORDER BY tag, k""".stripMargin)
+    },
+
     // r60: exact nearest-rank quantiles (quantileExact family), mapped
     // honestly to sorted-array picks rather than rejected (VERDICT r11
     // item 4). quantileExactLow == DuckDB quantile_disc (rank ceil(p*n));

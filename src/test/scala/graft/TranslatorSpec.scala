@@ -617,6 +617,28 @@ class TranslatorSpec extends AnyFunSuite {
     assert(noAs.getMessage.contains("AS"), noAs.getMessage)
   }
 
+  test("RIGHT SEMI/ANTI joins swap sides to Spark's LEFT forms; " +
+    "arrayEnumerate maps to an indexed transform") {
+    assert(ChSqlTranslator.rewriteRightSemiAnti(
+      "SELECT b.k FROM a RIGHT SEMI JOIN b ON a.k = b.k") ==
+      "SELECT b.k FROM b LEFT SEMI JOIN a ON a.k = b.k")
+    assert(ChSqlTranslator.rewriteRightSemiAnti(
+      "SELECT k FROM a RIGHT ANTI JOIN b USING (k) WHERE k > 1") ==
+      "SELECT k FROM b LEFT ANTI JOIN a USING (k) WHERE k > 1")
+    // nested level rewrites; plain RIGHT JOIN untouched
+    assert(ChSqlTranslator.rewriteRightSemiAnti(
+      "SELECT * FROM (SELECT b.k FROM a RIGHT SEMI JOIN b ON a.k = b.k) q")
+      == "SELECT * FROM (SELECT b.k FROM b LEFT SEMI JOIN a ON a.k = b.k) q")
+    val plain = "SELECT * FROM a RIGHT JOIN b ON a.k = b.k"
+    assert(ChSqlTranslator.rewriteRightSemiAnti(plain) == plain)
+    val mixed = intercept[IllegalArgumentException](
+      ChSqlTranslator.rewriteRightSemiAnti(
+        "SELECT 1 FROM a JOIN c ON a.k = c.k RIGHT SEMI JOIN b ON a.k = b.k"))
+    assert(mixed.getMessage.contains("nest"), mixed.getMessage)
+    assert(t("SELECT arrayEnumerate(xs)") ==
+      "SELECT transform(xs, (__ae_x, __ae_i) -> __ae_i + 1)")
+  }
+
   test("NESTED same-name calls rewrite at every depth: the outer call's " +
     "region must not swallow inner occurrences") {
     // the lambda shape the unparser emits for cast-inside-HOF: the
