@@ -116,6 +116,12 @@ object ChSqlTranslator {
       seg
     }
     s = stripGlobal(s)
+    // ALL join strictness is the server default — the identity (either
+    // keyword order); UNION ALL is never followed by a join kind
+    s = mapOutsideStrings(s) { seg =>
+      seg.replaceAll(raw"(?i)\bALL\s+(LEFT|RIGHT|INNER|FULL)\s+(OUTER\s+)?JOIN\b", "$1 $2JOIN")
+        .replaceAll(raw"(?i)\b(LEFT|RIGHT|INNER|FULL)\s+ALL\s+JOIN\b", "$1 JOIN")
+    }
     // ARRAY JOIN before ASOF: the lateral-view rewrite removes the
     // clause's JOIN token, which would otherwise trip ASOF's
     // single-join-per-level guard
@@ -810,6 +816,85 @@ object ChSqlTranslator {
   private def rewriteAsof(in: String): String = {
     if (!raw"(?i)\bASOF\b".r.findFirstIn(in).isDefined) return in
     rewriteAsofLevel(in)
+  }
+
+  // ---- ANY JOIN strictness → build-side dedup -------------------------
+
+  /** A parsed top-level `<kind> ANY JOIN` (kind-first `LEFT ANY JOIN` /
+    * `INNER ANY JOIN` and legacy strictness-first `ANY LEFT JOIN` /
+    * `ANY INNER JOIN` both): the session rewrites the RIGHT operand to a
+    * deterministic one-row-per-key pick (schema needed, so the rewrite
+    * itself lives with the embedded engine). `cond` starts at the
+    * ON/USING keyword and runs to the end of the statement.
+    */
+  final case class AnyJoinParts(
+      prefix: String, kind: String, left: String, right: String,
+      rightAlias: Option[String], usingCols: Option[Seq[String]],
+      cond: String)
+
+  private val AnyJoinRe =
+    raw"(?is)^(?:(LEFT|INNER)\s+ANY|ANY\s+(LEFT|INNER))\s+JOIN\b".r
+  private val RightAnyRe =
+    raw"(?is)\b(?:RIGHT\s+ANY|ANY\s+RIGHT|ANY\s+FULL|FULL\s+ANY)\s+JOIN\b".r
+
+  def parseAnyJoin(sql: String): Option[AnyJoinParts] = {
+    if (RightAnyRe.findFirstIn(sql).isDefined)
+      throw new IllegalArgumentException(
+        "RIGHT/FULL ANY JOIN is not supported by the embedded rewrite " +
+          "(the deduplicated side is the LEFT operand there); swap the " +
+          "sides to LEFT ANY JOIN, or run against a real server")
+    val hits = (topLevelPositions(sql, "LEFT") ++
+      topLevelPositions(sql, "INNER") ++ topLevelPositions(sql, "ANY"))
+      .distinct.sorted
+      .filter(p => AnyJoinRe.findFirstIn(sql.substring(p)).isDefined)
+    if (hits.isEmpty) {
+      if (raw"(?is)\b(LEFT|INNER)\s+ANY\s+JOIN|\bANY\s+(LEFT|INNER)\s+JOIN".r
+        .findFirstIn(sql).isDefined)
+        throw new IllegalArgumentException(
+          "ANY JOIN inside a subquery is not supported by the embedded " +
+            "rewrite (top-level only); restructure the statement or run " +
+            "against a real server")
+      return None
+    }
+    require(hits.length == 1 && topLevelPositions(sql, "JOIN").length == 1,
+      "ANY JOIN mixed with other joins at one SELECT level is not " +
+        "supported by the embedded rewrite; nest them in subqueries")
+    val at = hits.head
+    val m = AnyJoinRe.findFirstMatchIn(sql.substring(at)).get
+    val kind = Option(m.group(1)).getOrElse(m.group(2)).toUpperCase
+    val fromPos = topLevelPositions(sql, "FROM").filter(_ < at).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        "ANY JOIN without a FROM clause"))
+    val left = sql.substring(fromPos + 4, at).trim
+    val afterJoin = at + m.end
+    val condPos = (topLevelPositions(sql, "ON") ++
+      topLevelPositions(sql, "USING")).filter(_ > afterJoin).sorted.headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "ANY JOIN without an ON/USING condition"))
+    var right = sql.substring(afterJoin, condPos).trim
+    // optional `AS alias` / trailing bare alias on the right operand
+    var alias: Option[String] = None
+    val asM = raw"(?is)^(.*?)\s+AS\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s*$$".r
+    asM.findFirstMatchIn(right) match {
+      case Some(am) if lastTopLevelAs(right) >= 0 =>
+        alias = Some(am.group(2)); right = am.group(1).trim
+      case _ =>
+        val bare =
+          raw"(?is)^(\(.*\)|`[^`]+`\.`[^`]+`)\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s*$$".r
+        bare.findFirstMatchIn(right).foreach { bm =>
+          alias = Some(bm.group(2)); right = bm.group(1).trim
+        }
+    }
+    val condText = sql.substring(condPos)
+    val usingCols =
+      if (condText.toUpperCase.startsWith("USING")) {
+        val open = condText.indexOf('(')
+        require(open >= 0, "ANY JOIN USING without a column list")
+        Some(parseArgs(condText, open + 1)._1
+          .map(_.trim.stripPrefix("`").stripSuffix("`")))
+      } else None
+    Some(AnyJoinParts(sql.substring(0, fromPos), kind, left, right,
+      alias, usingCols, condText))
   }
 
   // ---- RIGHT SEMI / RIGHT ANTI joins → side swap ----------------------

@@ -1331,7 +1331,11 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       // SELECT DISTINCT ON (exprs): server-documented sugar for
       // LIMIT 1 BY exprs — textual pre-step so the LIMIT BY machinery
       // below (row_number window, ORDER BY determinism rule) executes it
-      val detokened = ChSqlTranslator.rewriteDistinctOn(detokened0)
+      val detokened1 = ChSqlTranslator.rewriteDistinctOn(detokened0)
+      // ANY JOIN strictness: build side dedupes to a deterministic
+      // one-row-per-key pick (needs schema, so it lives here, not in
+      // the pure translator)
+      val detokened = rewriteAnyJoin(entry, detokened1, knownTables)
       // LIMIT n [OFFSET o] BY exprs (per-group limit): rewrite to a
       // row_number window over the clause's expressions, selecting rows
       // in the statement's ORDER BY order (the server's semantics). An
@@ -1408,6 +1412,99 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         .orElse(st.map(p => starTransform(df, p, tables)))
         .getOrElse(df)
     })
+  }
+
+  /** `LEFT ANY JOIN` / `INNER ANY JOIN` (either keyword order): at most
+    * one build-side row joins per key. The server picks an ARBITRARY
+    * match; the embedded engine picks a DETERMINISTIC legal instance —
+    * the build side dedupes to one row per join key via a row_number
+    * window ordered over ALL of its columns (the any() → min() rule,
+    * join-shaped). The column list comes from table metadata (bare
+    * `db`.`t` operands) or a LIMIT-0 schema probe (subquery operands).
+    * Top-level only, one join per level, equi-ON or USING — everything
+    * else rejects loudly in parseAnyJoin.
+    */
+  private def rewriteAnyJoin(
+      entry: EmbeddedClickHouse.CachedServer,
+      sql: String,
+      tables: Seq[(String, String)]): String = {
+    val p = ChSqlTranslator.parseAnyJoin(sql).getOrElse(return sql)
+    val bareT = "^`([^`]+)`\\.`([^`]+)`$".r
+    val rightTrim = p.right.trim
+    val cols: Seq[String] = rightTrim match {
+      case bareT(db, t) => readMeta(db, t)._1.map(_._1)
+      case rsub =>
+        require(rsub.startsWith("("),
+          s"ANY JOIN: unsupported right operand '$rsub' — use a bare " +
+            "`db`.`table` reference or a parenthesized subquery")
+        val probeSql = ChSqlTranslator.translate(
+          s"SELECT * FROM $rsub __any_probe LIMIT 0", tables)
+        ensureViews(entry, probeSql, tables)
+        entry.session.sql(probeSql).schema.fieldNames.toSeq
+    }
+    val alias = p.rightAlias.map(_.stripPrefix("`").stripSuffix("`"))
+      .getOrElse(rightTrim match {
+        case bareT(_, t) => t
+        case _ => throw new IllegalArgumentException(
+          "ANY JOIN: a subquery right operand needs an alias (AS r)")
+      })
+    val keys: Seq[String] = p.usingCols.getOrElse {
+      // equi-ON: the build-side key columns, by alias qualifier. The ON
+      // body ends at the next top-level clause keyword.
+      val tail = p.cond.trim.stripPrefix("ON").stripPrefix("on").trim
+      val endRe =
+        raw"(?is)\b(WHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|UNION|QUALIFY|FORMAT)\b".r
+      // clause keywords only count outside parens/quotes
+      var body = tail
+      var d = 0; var i = 0; var sq = false; var bq = false
+      while (i < tail.length && body == tail) {
+        val c = tail.charAt(i)
+        if (sq) { if (c == '\\') i += 1 else if (c == '\'') sq = false }
+        else if (bq) { if (c == '`') bq = false }
+        else c match {
+          case '\'' => sq = true
+          case '`' => bq = true
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ if d == 0 && (i == 0 || !tail.charAt(i - 1).isLetterOrDigit) &&
+            endRe.findPrefixOf(tail.substring(i)).isDefined => body = tail.substring(0, i)
+          case _ =>
+        }
+        i += 1
+      }
+      val QualRef = ("^(?:`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*))\\." +
+        "(?:`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*))$").r
+      def refOf(e: String): Option[(String, String)] =
+        QualRef.findFirstMatchIn(e.trim).map(q =>
+          (Option(q.group(1)).getOrElse(q.group(2)),
+            Option(q.group(3)).getOrElse(q.group(4))))
+      body.split(raw"(?i)\bAND\b").toSeq.map(_.trim).map { item =>
+        item.split("=", 2).toSeq.map(_.trim) match {
+          case Seq(a, b) =>
+            (refOf(a), refOf(b)) match {
+              case (Some((qa, ca)), Some(_)) if qa == alias => ca
+              case (Some(_), Some((qb, cb))) if qb == alias => cb
+              case _ => throw new IllegalArgumentException(
+                s"ANY JOIN: ON item '$item' is not a qualified equality " +
+                  s"with one side on `$alias` — use alias-qualified " +
+                  "equi-conditions or USING (cols)")
+            }
+          case _ => throw new IllegalArgumentException(
+            s"ANY JOIN: ON item '$item' is not an equality; only " +
+              "equi-ON / USING shapes are modeled embedded")
+        }
+      }
+    }
+    keys.foreach(k => require(cols.contains(k),
+      s"ANY JOIN: key `$k` is not a column of the build side " +
+        s"(${cols.mkString(", ")})"))
+    val colList = cols.map(c => s"`$c`").mkString(", ")
+    val keyList = keys.map(k => s"`$k`").mkString(", ")
+    val newRight =
+      s"(SELECT $colList FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY $keyList ORDER BY $colList) AS __any_rn " +
+        s"FROM $rightTrim) __any_d WHERE __any_rn = 1) AS `$alias`"
+    p.prefix + "FROM " + p.left + s" ${p.kind} JOIN " + newRight + " " + p.cond
   }
 
   /** Compose parsed star transformers onto the analyzed core frame:

@@ -2265,6 +2265,34 @@ object ConnectorQueries {
           |ORDER BY tag, k""".stripMargin)
     },
 
+    // r78: LEFT ANY JOIN — at most one order per customer. The server
+    // keeps an ARBITRARY match; the embedded engine picks the
+    // deterministic legal instance (build side deduped by key, ordered
+    // over all its columns — o_orderkey leads the orders schema, so the
+    // pick is exactly min(o_orderkey) per customer, which the DuckDB
+    // oracle reproduces with an explicit window).
+    q("r78_any_join",
+      """SELECT c.c_custkey AS ck, o.o_orderkey AS ok, o.pri AS pri
+        |FROM customer c LEFT JOIN (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderkey, o_orderpriority AS pri,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderkey) AS rn
+        |    FROM orders) WHERE rn = 1) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY ck""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT c.`c_custkey` AS ck, o.`o_orderkey` AS ok,
+          |  o.`o_orderpriority` AS pri
+          |FROM `main`.`customer` AS c LEFT ANY JOIN `main`.`orders` AS o
+          |  ON c.`c_custkey` = o.`o_custkey`
+          |ORDER BY ck""".stripMargin)
+    },
+
     // r60: exact nearest-rank quantiles (quantileExact family), mapped
     // honestly to sorted-array picks rather than rejected (VERDICT r11
     // item 4). quantileExactLow == DuckDB quantile_disc (rank ceil(p*n));

@@ -306,6 +306,48 @@ class SessionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("matched no column"), e.getMessage)
   }
 
+  test("ANY JOIN executes embedded: at most one build-side row per key " +
+    "(deterministic min-row pick), LEFT keeps unmatched rows, INNER " +
+    "drops them; subquery build sides probe their schema") {
+    val root = Files.createTempDirectory("graft_any_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chany").build()
+    ch.createDatabase("aj2")
+    ch.newTable("aj2", "l")
+      .column("k", "Int64").column("lv", "String")
+      .engine("MergeTree").orderBy("k").create()
+    ch.newTable("aj2", "r")
+      .column("k", "Int64").column("rv", "String")
+      .engine("MergeTree").orderBy("k").create()
+    val emb = ch.client.asInstanceOf[graft.client.EmbeddedClickHouse]
+    ch.client.insert("aj2", "l", emb.sparkSchema("aj2", "l"), Seq(
+      Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    ch.client.insert("aj2", "r", emb.sparkSchema("aj2", "r"), Seq(
+      Row(1L, "x"), Row(1L, "y"), Row(2L, "z")))
+    // LEFT ANY: one match max per left row (min pick "x"), unmatched kept
+    val left = ch.chSql(
+      "SELECT l.`k` AS k, l.`lv` AS lv, r.`rv` AS rv " +
+        "FROM `aj2`.`l` AS l LEFT ANY JOIN `aj2`.`r` AS r ON l.`k` = r.`k` " +
+        "ORDER BY k")
+      .collect().map(x => (x.getLong(0), x.getString(1), Option(x.getString(2))))
+    assert(left.toSeq == Seq((1L, "a", Some("x")), (2L, "b", Some("z")),
+      (3L, "c", None)), left.mkString(","))
+    // legacy keyword order + INNER drops the unmatched row
+    val inner = ch.chSql(
+      "SELECT l.`k` AS k, r.`rv` AS rv FROM `aj2`.`l` AS l " +
+        "ANY INNER JOIN `aj2`.`r` AS r ON l.`k` = r.`k` ORDER BY k")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(inner.toSeq == Seq((1L, "x"), (2L, "z")), inner.mkString(","))
+    // subquery build side (schema via LIMIT-0 probe) with USING
+    val sub = ch.chSql(
+      "SELECT `k`, rv FROM `aj2`.`l` LEFT ANY JOIN " +
+        "(SELECT `k`, upperUTF8(`rv`) AS rv FROM `aj2`.`r`) AS rr " +
+        "USING (`k`) ORDER BY `k`")
+      .collect().map(x => (x.getLong(0), Option(x.getString(1))))
+    assert(sub.toSeq == Seq((1L, Some("X")), (2L, Some("Z")), (3L, None)),
+      sub.mkString(","))
+  }
+
   test("LIMIT n WITH TIES executes embedded: rows tying the last " +
     "in-limit row on the sort key survive; ORDER BY required; nested " +
     "rejects; helper column never leaks") {

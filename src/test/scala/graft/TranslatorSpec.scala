@@ -639,6 +639,34 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT transform(xs, (__ae_x, __ae_i) -> __ae_i + 1)")
   }
 
+  test("ANY JOIN parses both keyword orders with operand/alias/USING " +
+    "split; RIGHT/FULL ANY and nested shapes reject; ALL strictness " +
+    "strips as the identity") {
+    val p = ChSqlTranslator.parseAnyJoin(
+      "SELECT a.k, b.v FROM a LEFT ANY JOIN `db`.`b` AS b ON a.k = b.k " +
+        "WHERE a.k > 1").get
+    assert(p.kind == "LEFT" && p.left == "a" && p.right == "`db`.`b`")
+    assert(p.rightAlias.contains("b") && p.usingCols.isEmpty)
+    assert(p.cond == "ON a.k = b.k WHERE a.k > 1")
+    val q2 = ChSqlTranslator.parseAnyJoin(
+      "SELECT k FROM a ANY INNER JOIN b USING (k, g)").get
+    assert(q2.kind == "INNER" && q2.usingCols.contains(Seq("k", "g")))
+    assert(ChSqlTranslator.parseAnyJoin("SELECT 1 FROM a JOIN b ON a.k = b.k").isEmpty)
+    val ra = intercept[IllegalArgumentException](ChSqlTranslator.parseAnyJoin(
+      "SELECT 1 FROM a RIGHT ANY JOIN b ON a.k = b.k"))
+    assert(ra.getMessage.contains("LEFT ANY"), ra.getMessage)
+    val nested = intercept[IllegalArgumentException](ChSqlTranslator.parseAnyJoin(
+      "SELECT * FROM (SELECT 1 FROM a LEFT ANY JOIN b ON a.k = b.k) x"))
+    assert(nested.getMessage.contains("subquery"), nested.getMessage)
+    // ALL strictness strip is the identity rewrite
+    assert(t("SELECT 1 FROM a ALL LEFT JOIN b ON a.k = b.k") ==
+      "SELECT 1 FROM a LEFT JOIN b ON a.k = b.k")
+    assert(t("SELECT 1 FROM a INNER ALL JOIN b ON a.k = b.k") ==
+      "SELECT 1 FROM a INNER JOIN b ON a.k = b.k")
+    assert(t("SELECT 1 FROM a UNION ALL SELECT 2 FROM b") ==
+      "SELECT 1 FROM a UNION ALL SELECT 2 FROM b")
+  }
+
   test("NESTED same-name calls rewrite at every depth: the outer call's " +
     "region must not swallow inner occurrences") {
     // the lambda shape the unparser emits for cast-inside-HOF: the
