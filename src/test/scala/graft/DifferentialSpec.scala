@@ -824,6 +824,115 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random DISTINCT ON shapes agree with an explicit window pick") {
+    val r = new Random(13571113)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    (1 to 6).foreach { i =>
+      val mod = r.nextInt(5) + 2
+      val desc = if (r.nextBoolean()) " DESC" else ""
+      val remote = ch.chSql(
+        s"SELECT DISTINCT ON (g) toInt64(`o_custkey` % $mod) AS g, " +
+          s"`o_orderkey` AS k, toInt64(round(`o_totalprice` * 100)) AS cents " +
+          s"FROM `main`.`orders` ORDER BY g, cents$desc, k")
+      val local = spark.sql(
+        s"SELECT g, k, cents FROM (SELECT *, row_number() OVER " +
+          s"(PARTITION BY g ORDER BY cents$desc, k) AS rn FROM " +
+          s"(SELECT CAST(o_custkey % $mod AS BIGINT) AS g, o_orderkey AS k, " +
+          s"CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)) " +
+          s"WHERE rn = 1 ORDER BY g, cents$desc, k")
+      assert(canon(remote) == canon(local),
+        s"distinct-on case $i diverged (mod=$mod, desc='$desc')")
+    }
+  }
+
+  test("random ANY JOIN shapes agree with an explicit build-side dedup " +
+    "(the deterministic min-row pick)") {
+    val r = new Random(24681357)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    (1 to 5).foreach { i =>
+      val mod = r.nextInt(7) + 2
+      val kind = if (r.nextBoolean()) "LEFT ANY" else "ANY INNER"
+      val remote = ch.chSql(
+        s"SELECT jk, `c_custkey` AS ck, ok FROM " +
+          s"(SELECT toInt64(`c_custkey` % $mod) AS jk, `c_custkey` " +
+          s"FROM `main`.`customer`) AS c " +
+          s"$kind JOIN (SELECT toInt64(`o_custkey` % $mod) AS jk, " +
+          s"`o_orderkey` AS ok FROM `main`.`orders`) AS o " +
+          s"USING (jk) ORDER BY ck, ok")
+      val sparkKind = if (kind == "LEFT ANY") "LEFT" else "INNER"
+      val local = spark.sql(
+        s"SELECT jk, ck, ok FROM " +
+          s"(SELECT CAST(c_custkey % $mod AS BIGINT) AS jk, c_custkey AS ck " +
+          s"FROM customer) " +
+          s"$sparkKind JOIN (SELECT * FROM (SELECT jk, ok, row_number() " +
+          s"OVER (PARTITION BY jk ORDER BY jk, ok) AS rn FROM " +
+          s"(SELECT CAST(o_custkey % $mod AS BIGINT) AS jk, o_orderkey AS ok " +
+          s"FROM orders)) WHERE rn = 1) USING (jk) ORDER BY ck, ok")
+      assert(canon(remote) == canon(local),
+        s"any-join case $i diverged (mod=$mod, kind=$kind)")
+    }
+  }
+
+  test("random ARRAY JOIN shapes agree with an explode recompute " +
+    "(single and zipped items)") {
+    val r = new Random(36925814)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    (1 to 5).foreach { i =>
+      val lim = r.nextInt(30) + 10
+      val sep = Seq(" ", "e", "a")(r.nextInt(3))
+      val zipped = r.nextBoolean()
+      val extra =
+        if (zipped)
+          s", arrayMap(t -> toInt64(lengthUTF8(t)), splitByChar('$sep', `text`)) AS tl"
+        else ""
+      val extraSel = if (zipped) ", tl" else ""
+      val remote = ch.chSql(
+        s"SELECT `doc_id`, tok$extraSel FROM `main`.`documents` " +
+          s"ARRAY JOIN splitByChar('$sep', `text`) AS tok$extra " +
+          s"WHERE `doc_id` < $lim ORDER BY `doc_id`, tok$extraSel")
+      val local2 =
+        if (zipped) spark.sql(
+          s"SELECT doc_id, tok, CAST(char_length(tok) AS BIGINT) AS tl " +
+            s"FROM (SELECT doc_id, explode(split(text, '$sep')) AS tok " +
+            s"FROM documents WHERE doc_id < $lim) ORDER BY doc_id, tok, tl")
+        else spark.sql(
+          s"SELECT doc_id, tok FROM (SELECT doc_id, " +
+            s"explode(split(text, '$sep')) AS tok FROM documents " +
+            s"WHERE doc_id < $lim) ORDER BY doc_id, tok")
+      assert(canon(remote) == canon(local2),
+        s"array-join case $i diverged (lim=$lim, sep='$sep', zipped=$zipped)")
+    }
+  }
+
+  test("random scalar WITH shapes agree with the inline expansion") {
+    val r = new Random(48163264)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    (1 to 5).foreach { i =>
+      val cut = r.nextInt(500) + 50
+      val remote = ch.chSql(
+        s"WITH $cut AS cut, (SELECT max(`o_orderkey`) FROM `main`.`orders`) AS mx " +
+          s"SELECT toInt64(count(*)) AS n, toInt64(min(`o_orderkey` + cut)) AS v " +
+          s"FROM `main`.`orders` WHERE `o_orderkey` > mx - cut")
+      val local = spark.sql(
+        s"SELECT CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(min(o_orderkey + $cut) AS BIGINT) AS v FROM orders " +
+          s"WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders) - $cut")
+      assert(canon(remote) == canon(local), s"scalar-with case $i (cut=$cut)")
+    }
+  }
+
   test("random QUALIFY shapes (embedded wrapped-WHERE rewrite) agree with " +
     "a local window + filter") {
     val r = new Random(99887766)
