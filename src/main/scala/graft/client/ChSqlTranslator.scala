@@ -60,6 +60,9 @@ object ChSqlTranslator {
     // execution in BOTH engines (same contract, not a silent delta)
     "groupArray" -> "collect_list",
     "groupUniqArray" -> "collect_set",
+    // unnamed tuples are structs (Spark's own `(a, b)` literal parse);
+    // tupleElement's positional access registers as graft_tuple_at
+    "tuple" -> "struct",
     // statistical aggregates (scan-level complete pushdown)
     "varSamp" -> "var_samp",
     "varPop" -> "var_pop",
@@ -86,8 +89,192 @@ object ChSqlTranslator {
     else trimmed + " SETTINGS totals_mode = 'after_having_exclusive'"
   }
 
+  /** Drop a trailing top-level `FORMAT <name>` clause. The clause selects
+    * a WIRE RENDERING, not a result: the connector owns the wire format
+    * on every transport (RowBinary on HTTP, in-process frames embedded),
+    * so stripping it IS honoring it — the rows are identical. Only the
+    * statement-final form exists in the server grammar; a FORMAT token
+    * anywhere else is left for the engine to reject loudly.
+    */
+  def stripFormat(sql: String): String = {
+    val ps = topLevelPositions(sql, "FORMAT")
+    if (ps.isEmpty) return sql
+    val at = ps.last
+    val tail = sql.substring(at)
+    if (raw"(?is)^FORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$$".r
+      .findFirstIn(tail).isDefined)
+      sql.substring(0, at).replaceAll(raw"\s+$$", "")
+    else sql
+  }
+
+  /** ClickHouse bracket syntax, which Spark's parser either rejects or —
+    * worse — silently re-interprets:
+    *
+    *  - `[e1, e2]` array literals → `array(e1, e2)` (Spark has no
+    *    bracket-literal form);
+    *  - `a[i]` / `m['k']` subscripts → `element_at(a, i)`: ClickHouse
+    *    subscripts are 1-BASED (negative = from the end), Spark's own
+    *    `a[i]` is 0-based — passing it through would be a silent
+    *    off-by-one on every element access. element_at carries the
+    *    server's indexing exactly; out-of-range reads error loudly under
+    *    ANSI instead of minting the server's type-default, which a text
+    *    rewrite cannot know.
+    *
+    * A `[` is a subscript iff the previous non-space character ends a
+    * primary (identifier, backtick quote, `)`, or `]`); otherwise it
+    * opens a literal.
+    */
+  private[client] def rewriteBrackets(in: String): String =
+    rewriteSubscripts(rewriteArrayLiterals(in))
+
+  /** Words after which a `[` opens an array LITERAL (they introduce an
+    * expression rather than ending a primary one). Anything else —
+    * identifiers — takes the subscript reading.
+    */
+  private val NonPrimaryWords: Set[String] = Set(
+    "SELECT", "DISTINCT", "ALL", "FROM", "WHERE", "PREWHERE", "HAVING",
+    "QUALIFY", "AND", "OR", "NOT", "XOR", "IN", "BY", "ON", "WHEN", "THEN",
+    "ELSE", "CASE", "JOIN", "UNION", "EXCEPT", "INTERSECT", "LIMIT",
+    "OFFSET", "SETTINGS", "VALUES", "USING", "BETWEEN", "LIKE", "ILIKE",
+    "IS", "AS", "ASC", "DESC", "OVER", "PARTITION", "ORDER", "GROUP",
+    "RETURN", "INTERPOLATE", "WITH", "TOTALS", "FILL", "TO", "STEP",
+    "ARRAY", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "SEMI", "ANTI",
+    "ASOF", "ANY", "GLOBAL", "PASTE", "IF", "ELSEIF", "EXISTS")
+
+  private def rewriteArrayLiterals(in: String): String = {
+    val out = new StringBuilder
+    var inSq = false
+    var inBq = false
+    val literalStack = scala.collection.mutable.Stack[Boolean]()
+    var i = 0
+    while (i < in.length) {
+      val c = in.charAt(i)
+      if (inSq) {
+        out.append(c)
+        if (c == '\\' && i + 1 < in.length) { out.append(in.charAt(i + 1)); i += 1 }
+        else if (c == '\'') inSq = false
+      }
+      else if (inBq) { out.append(c); if (c == '`') inBq = false }
+      else c match {
+        case '\'' => inSq = true; out.append(c)
+        case '`' => inBq = true; out.append(c)
+        case '[' =>
+          var j = out.length - 1
+          while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+          val subscript = j >= 0 && {
+            val p = out.charAt(j)
+            if (p == '`' || p == ')' || p == ']') true
+            else if (p.isLetterOrDigit || p == '_') {
+              // a bare word ends a primary UNLESS it is a keyword that
+              // introduces an expression (`SELECT [1]`, `WHERE x IN [..]`)
+              var k = j
+              while (k >= 0 && (out.charAt(k).isLetterOrDigit || out.charAt(k) == '_')) k -= 1
+              !NonPrimaryWords.contains(
+                out.substring(k + 1, j + 1).toUpperCase(java.util.Locale.ROOT))
+            } else false
+          }
+          literalStack.push(!subscript)
+          out.append(if (subscript) "[" else "array(")
+        case ']' =>
+          val lit = literalStack.nonEmpty && literalStack.pop()
+          out.append(if (lit) ")" else "]")
+        case _ => out.append(c)
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def rewriteSubscripts(in: String): String = {
+    // locate the first '[' outside quotes (after the literal pass, every
+    // remaining bracket is a subscript)
+    var inSq = false
+    var inBq = false
+    var open = -1
+    var i = 0
+    while (i < in.length && open < 0) {
+      val c = in.charAt(i)
+      if (inSq) {
+        if (c == '\\') i += 1 else if (c == '\'') inSq = false
+      }
+      else if (inBq) { if (c == '`') inBq = false }
+      else if (c == '\'') inSq = true
+      else if (c == '`') inBq = true
+      else if (c == '[') open = i
+      i += 1
+    }
+    if (open < 0) return in
+    // matching ']' (quote- and nesting-aware)
+    var depth = 1
+    var close = -1
+    i = open + 1
+    inSq = false; inBq = false
+    while (i < in.length && close < 0) {
+      val c = in.charAt(i)
+      if (inSq) { if (c == '\\') i += 1 else if (c == '\'') inSq = false }
+      else if (inBq) { if (c == '`') inBq = false }
+      else if (c == '\'') inSq = true
+      else if (c == '`') inBq = true
+      else if (c == '[') depth += 1
+      else if (c == ']') { depth -= 1; if (depth == 0) close = i }
+      i += 1
+    }
+    require(close > open, s"unbalanced '[' in: $in")
+    // primary start: scan backward over an identifier / backtick-quoted /
+    // parenthesized-group chain joined by '.'
+    var start = open
+    var scanning = true
+    while (scanning) {
+      var j = start - 1
+      while (j >= 0 && in.charAt(j).isWhitespace) j -= 1
+      if (j < 0) { scanning = false }
+      else in.charAt(j) match {
+        case '`' =>
+          var k = j - 1
+          while (k >= 0 && in.charAt(k) != '`') k -= 1
+          require(k >= 0, s"unbalanced backtick in: $in")
+          start = k
+        case ')' =>
+          var d = 1
+          var k = j - 1
+          var sq = false
+          while (k >= 0 && d > 0) {
+            val ch = in.charAt(k)
+            if (sq) { if (ch == '\'') sq = false }
+            else if (ch == '\'') sq = true
+            else if (ch == ')') d += 1
+            else if (ch == '(') d -= 1
+            if (d > 0) k -= 1
+          }
+          require(k >= 0, s"unbalanced ')' before subscript in: $in")
+          start = k
+          // a function name directly before the group belongs to it
+          var m = k - 1
+          while (m >= 0 && (in.charAt(m).isLetterOrDigit || in.charAt(m) == '_')) m -= 1
+          if (m < k - 1) start = m + 1
+        case ch if ch.isLetterOrDigit || ch == '_' =>
+          var k = j
+          while (k >= 0 && (in.charAt(k).isLetterOrDigit || in.charAt(k) == '_')) k -= 1
+          start = k + 1
+        case _ => scanning = false
+      }
+      if (scanning) {
+        // extend across a qualification dot (db.tbl.col[. …])
+        var j2 = start - 1
+        while (j2 >= 0 && in.charAt(j2).isWhitespace) j2 -= 1
+        if (j2 >= 0 && in.charAt(j2) == '.') start = j2 else scanning = false
+      }
+    }
+    require(start < open, s"subscript without a primary expression in: $in")
+    val primary = in.substring(start, open).trim
+    val index = in.substring(open + 1, close).trim
+    rewriteSubscripts(
+      in.substring(0, start) + s"element_at($primary, $index)" +
+        in.substring(close + 1))
+  }
+
   def translate(chSql: String, tables: Seq[(String, String)]): String = {
-    var s = chSql
+    var s = rewriteBrackets(stripFormat(chSql))
     // PREWHERE is an evaluation-order hint with WHERE semantics: on one
     // node the visible result is identical, so it folds into WHERE
     // (combined with AND when both clauses are present). GLOBAL IN /
@@ -373,6 +560,89 @@ object ChSqlTranslator {
     s = rewriteCall(s, "countIf", args =>
       if (args.size >= 2) s"count(${args(0)}) FILTER (WHERE ${args(1)})"
       else s"count_if(${args.head})")
+    // generic -If combinators beyond the arithmetic four: the LAST
+    // argument is the condition, everything before it feeds the base
+    // aggregate (argMaxIf(a, v, cond) keeps both value args). The base
+    // maps per its own rule: any→min / anyLast→max (the deterministic
+    // legal instances), uniq*→exact COUNT(DISTINCT), groupArray→
+    // collect_list, groupUniqArray→collect_set.
+    for ((ch, spark) <- Seq(
+      "anyIf" -> "min", "anyLastIf" -> "max",
+      "argMaxIf" -> "max_by", "argMinIf" -> "min_by",
+      "groupArrayIf" -> "collect_list", "groupUniqArrayIf" -> "collect_set"))
+      s = rewriteCall(s, ch, args => {
+        require(args.size >= 2, s"$ch: needs value args plus a condition")
+        s"$spark(${args.init.mkString(", ")}) FILTER (WHERE ${args.last})"
+      })
+    for (ch <- Seq("uniqIf", "uniqExactIf", "uniqCombinedIf", "uniqHLL12If"))
+      s = rewriteCall(s, ch, args => {
+        require(args.size >= 2, s"$ch: needs value args plus a condition")
+        s"count(DISTINCT ${args.init.mkString(", ")}) FILTER (WHERE ${args.last})"
+      })
+    // -Distinct combinator: each value counted once. Identity for
+    // min/max; DISTINCT-qualified base for the accumulating aggregates.
+    s = rewriteCall(s, "sumDistinct", args => s"sum(DISTINCT ${args.head})")
+    s = rewriteCall(s, "avgDistinct", args => s"avg(DISTINCT ${args.head})")
+    s = rewriteCall(s, "minDistinct", args => s"min(${args.head})")
+    s = rewriteCall(s, "maxDistinct", args => s"max(${args.head})")
+    s = rewriteCall(s, "groupUniqArrayDistinct",
+      args => s"collect_set(${args.head})")
+    // -Array combinators: the aggregate runs over ALL ELEMENTS of the
+    // array arguments across the group. min/max distribute over a
+    // per-row array_min/array_max; sum/avg fold each row's elements
+    // first (the fold's zero is `first_element * 0` — the ELEMENT type's
+    // zero, which a text rewrite cannot otherwise name; NULL elements
+    // are filtered before the fold, matching the base aggregates'
+    // NULL-skipping, and an empty array folds to NULL, which the outer
+    // aggregate skips — exactly "contributes no elements").
+    s = rewriteCall(s, "minArray",
+      args => s"min(array_min(${args.head}))")
+    s = rewriteCall(s, "maxArray",
+      args => s"max(array_max(${args.head}))")
+    def arrayElemSum(a: String): String = {
+      val nn = s"filter($a, __ar_x -> __ar_x IS NOT NULL)"
+      s"aggregate($nn, try_element_at($nn, 1) * 0, " +
+        "(__ar_acc, __ar_v) -> __ar_acc + __ar_v)"
+    }
+    s = rewriteCall(s, "sumArray",
+      args => s"sum(${arrayElemSum(args.head)})")
+    s = rewriteCall(s, "avgArray", args =>
+      s"(sum(${arrayElemSum(args.head)}) / " +
+        s"sum(size(filter(${args.head}, __ar_x -> __ar_x IS NOT NULL))))")
+    // uniqArray: distinct elements across the group's arrays — exact
+    // (legal instance of the approximate-uniq contract); per-row
+    // array_distinct bounds the collected payload at each row's
+    // distinct set
+    s = rewriteCall(s, "uniqArray", args =>
+      "cast(size(array_distinct(flatten(collect_list(" +
+        s"array_distinct(${args.head}))))) as bigint)")
+    s = rewriteCall(s, "uniqExactArray", args =>
+      "cast(size(array_distinct(flatten(collect_list(" +
+        s"array_distinct(${args.head}))))) as bigint)")
+    // groupArrayArray: concatenation of the group's arrays (order
+    // unspecified under parallel execution in both engines)
+    s = rewriteCall(s, "groupArrayArray",
+      args => s"flatten(collect_list(${args.head}))")
+    // countArray: total element count across the group's arrays
+    s = rewriteCall(s, "countArray",
+      args => s"sum(size(${args.head}))")
+    // tuples → structs. tupleElement's index form addresses by POSITION,
+    // which Spark SQL text cannot express — the embedded session
+    // registers graft_tuple_at (a GetStructField builder); the name form
+    // maps to ordinary field access.
+    s = rewriteCall(s, "tupleElement", args => {
+      require(args.size == 2,
+        "tupleElement: exactly (tuple, index-or-name) is supported")
+      val sel = args(1).trim
+      if (sel.startsWith("'") && sel.endsWith("'") && sel.length >= 3)
+        s"(${args(0)}).`${sel.substring(1, sel.length - 1)}`"
+      else {
+        require(sel.forall(_.isDigit) && sel.nonEmpty,
+          s"tupleElement: index must be an integer literal or a string " +
+            s"literal name (got $sel)")
+        s"graft_tuple_at(${args(0)}, $sel)"
+      }
+    })
     // uniq/uniqExact as plain aggregates: exact COUNT(DISTINCT) — for
     // uniq a documented improvement over the server's approximation
     // (same choice as the exact uniqMerge state path). The other
@@ -520,6 +790,21 @@ object ChSqlTranslator {
     s = rewriteParamCall(s, "quantileExact",
       (params, args) => exactDefaultRank(args.head, params.head))
     s = rewriteCall(s, "medianExact", args => exactDefaultRank(args.head, "0.5"))
+    // topK(k)(x) / topKWeighted(k)(x, w): exact frequency ranking via the
+    // registered graft_topk aggregates ("approximately most frequent" —
+    // exact counts are a legal instance; ties rank value-ascending,
+    // deterministic where the server's sketch is not). The optional
+    // load_factor/counted_rate extra parameters are sketch-accuracy
+    // tuning with no exact-result meaning — dropped like the
+    // performance-identity SETTINGS.
+    s = rewriteParamCall(s, "topKWeighted", (params, args) => {
+      require(args.size == 2, "topKWeighted(k)(x, weight)")
+      s"graft_topk_w(${args(0)}, ${args(1)}, ${params.head})"
+    })
+    s = rewriteParamCall(s, "topK", (params, args) => {
+      require(args.size == 1, "topK(k)(x)")
+      s"graft_topk(${args.head}, ${params.head})"
+    })
     // APPROXIMATE interpolating quantiles (reservoir sampling on the
     // server): the contract is "computes an approximate quantile", so the
     // EXACT interpolated percentile is a legal instance (the uniq rule);
@@ -2273,21 +2558,33 @@ object ChSqlTranslator {
     */
   private def parseArgs(s: String, start: Int): (Seq[String], Int) = {
     var depth = 1
+    // square-bracket literals (`[1, 2]`) carry top-level commas that are
+    // NOT argument separators — arrayMap(x -> x, [1, 2]) must parse as
+    // two args, not three (round-13 session-3 fix; the mangled split
+    // produced unbalanced Spark SQL)
+    var bDepth = 0
     var i = start
     var inStr = false
+    var inBq = false
     val args = Seq.newBuilder[String]
     val cur = new StringBuilder
     while (i < s.length && depth > 0) {
       val c = s.charAt(i)
       if (inStr) {
         cur.append(c); if (c == '\'') inStr = false
+      } else if (inBq) {
+        cur.append(c); if (c == '`') inBq = false
       } else c match {
         case '\'' => inStr = true; cur.append(c)
+        case '`' => inBq = true; cur.append(c)
         case '(' => depth += 1; cur.append(c)
+        case '[' => bDepth += 1; cur.append(c)
+        case ']' => bDepth -= 1; cur.append(c)
         case ')' =>
           depth -= 1
           if (depth == 0) { args += cur.result().trim } else cur.append(c)
-        case ',' if depth == 1 => args += cur.result().trim; cur.clear()
+        case ',' if depth == 1 && bDepth == 0 =>
+          args += cur.result().trim; cur.clear()
         case _ => cur.append(c)
       }
       i += 1

@@ -1051,6 +1051,36 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         }
       },
       org.apache.spark.sql.types.LongType)
+    // Catalyst-builder functions a Scala UDF cannot express (polymorphic
+    // over the argument's type). graft_topk/graft_topk_w back the
+    // translator's topK(k)(x)/topKWeighted(k)(x, w) rewrites;
+    // graft_tuple_at is tupleElement's POSITIONAL struct access.
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal (got $other)")
+    }
+    org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_topk",
+      args => {
+        require(args.size == 2, "graft_topk(x, k)")
+        graft.functions.ChTopK(args(0), intLit(args(1), "topK: k"), None)
+          .toAggregateExpression()
+      })
+    org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_topk_w",
+      args => {
+        require(args.size == 3, "graft_topk_w(x, w, k)")
+        graft.functions.ChTopK(args(0), intLit(args(2), "topKWeighted: k"),
+          Some(args(1))).toAggregateExpression()
+      })
+    org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_tuple_at",
+      args => {
+        require(args.size == 2, "graft_tuple_at(struct, index)")
+        val i = intLit(args(1), "tupleElement: index")
+        require(i >= 1, s"tupleElement: index is 1-based (got $i)")
+        org.apache.spark.sql.catalyst.expressions.GetStructField(args(0), i - 1)
+      })
     // table views register LAZILY (ensureViews) — a fresh session starts
     // with UDFs only, and each query registers just the views it touches
     child

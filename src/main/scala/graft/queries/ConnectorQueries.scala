@@ -2472,6 +2472,146 @@ object ConnectorQueries {
       }
       s.read.option("final", "true").table("clickhouse.main.cc_ord")
         .select(col("k"), col("cents"))
+    },
+
+    // r79: topK / topKWeighted — exact frequency ranking (a legal
+    // instance of the server's "approximately most frequent" contract,
+    // same rule as the uniq family), deterministic ties (count DESC,
+    // value ASC). The oracle re-derives the ranking with row_number;
+    // arrays flatten to one comma-joined string so the gate schema
+    // stays scalar.
+    q("r79_topk",
+      """WITH c AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pri,
+        |         count(*) AS cnt, sum(o_orderkey % 7) AS wsum
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT st, pri, cnt, wsum,
+        |        row_number() OVER (PARTITION BY st
+        |          ORDER BY cnt DESC, pri) AS rc,
+        |        row_number() OVER (PARTITION BY st
+        |          ORDER BY wsum DESC, pri) AS rw
+        |      FROM c)
+        |SELECT st,
+        |  string_agg(CASE WHEN rc <= 2 THEN pri END, ','
+        |    ORDER BY cnt DESC, pri) AS top2,
+        |  string_agg(CASE WHEN rw <= 2 THEN pri END, ','
+        |    ORDER BY wsum DESC, pri) AS top2w
+        |FROM r GROUP BY st ORDER BY st""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `o_orderstatus` AS st,
+          |  arrayStringConcat(topK(2)(`o_orderpriority`), ',') AS top2,
+          |  arrayStringConcat(
+          |    topKWeighted(2)(`o_orderpriority`, `o_orderkey` % 7), ',')
+          |    AS top2w
+          |FROM `main`.`orders` GROUP BY st ORDER BY st""".stripMargin)
+    },
+
+    // r80: -Array aggregate combinators — the aggregate folds over every
+    // ELEMENT of the group's arrays (token lengths per document here);
+    // the oracle re-derives the fold by unnesting.
+    q("r80_array_combinators",
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT lang AS lg,
+        |  CAST(sum(length(tok)) AS BIGINT) AS s_len,
+        |  CAST(min(length(tok)) AS BIGINT) AS mn_len,
+        |  CAST(max(length(tok)) AS BIGINT) AS mx_len,
+        |  CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(count(DISTINCT length(tok)) AS BIGINT) AS u_len
+        |FROM w GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `lang` AS lg,
+          |  sumArray(lens) AS s_len,
+          |  toInt64(minArray(lens)) AS mn_len,
+          |  toInt64(maxArray(lens)) AS mx_len,
+          |  countArray(lens) AS n_tok,
+          |  uniqArray(lens) AS u_len
+          |FROM (SELECT `lang`,
+          |        arrayMap(t -> lengthUTF8(t), splitByChar(' ', `text`))
+          |          AS lens
+          |      FROM `main`.`documents`)
+          |GROUP BY lg ORDER BY lg""".stripMargin)
+    },
+
+    // r81: ClickHouse bracket syntax — array literals ([..] → array())
+    // and 1-BASED subscripts (a[i] → element_at; Spark's own a[i] is
+    // 0-based, a silent off-by-one if passed through) — plus positional
+    // tupleElement. DuckDB lists are 1-based natively.
+    q("r81_bracket_dialect",
+      """SELECT doc_id AS id,
+        |  string_split(text, ' ')[1] AS w1,
+        |  CAST(list_value(10, 20, 30)[CAST(doc_id % 3 AS INT) + 1]
+        |    AS BIGINT) AS pick,
+        |  lang AS lg
+        |FROM documents WHERE doc_id < 40 ORDER BY id""".stripMargin) {
+      (s, dir) =>
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val ch = graft.session.ClickHouseSession.builder(s)
+          .storePath(s"/root/repo/target/chstore_$tag")
+          .catalogName("clickhouse").build()
+        ch.chSql(
+          """SELECT `doc_id` AS id,
+            |  splitByChar(' ', `text`)[1] AS w1,
+            |  [toInt64(10), toInt64(20), toInt64(30)]
+            |    [toInt32(`doc_id` % 3) + 1] AS pick,
+            |  tupleElement(tuple(`doc_id`, `lang`), 2) AS lg
+            |FROM `main`.`documents` WHERE `doc_id` < 40
+            |ORDER BY id""".stripMargin)
+    },
+
+    // r82: generic -If and -Distinct aggregate combinators (the last arg
+    // is the condition; any→min / anyLast→max are the pinned
+    // deterministic legal instances). argMaxIf ties are avoided by the
+    // unique o_orderkey value argument.
+    q("r82_if_distinct_combinators",
+      """SELECT o_orderstatus AS st,
+        |  min(o_orderpriority) FILTER (WHERE o_orderkey % 10 = 0) AS any_p,
+        |  max(o_orderpriority) FILTER (WHERE o_orderkey % 10 = 0) AS last_p,
+        |  max_by(o_orderpriority, o_orderkey)
+        |    FILTER (WHERE o_orderkey % 2 = 0) AS am_p,
+        |  CAST(count(DISTINCT o_orderpriority)
+        |    FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT) AS u_p,
+        |  CAST(sum(DISTINCT o_custkey % 100) AS BIGINT) AS sd
+        |FROM orders GROUP BY st ORDER BY st""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `o_orderstatus` AS st,
+          |  anyIf(`o_orderpriority`, `o_orderkey` % 10 = 0) AS any_p,
+          |  anyLastIf(`o_orderpriority`, `o_orderkey` % 10 = 0) AS last_p,
+          |  argMaxIf(`o_orderpriority`, `o_orderkey`,
+          |    `o_orderkey` % 2 = 0) AS am_p,
+          |  uniqExactIf(`o_orderpriority`, `o_orderkey` % 3 = 0) AS u_p,
+          |  toInt64(sumDistinct(`o_custkey` % 100)) AS sd
+          |FROM `main`.`orders` GROUP BY st ORDER BY st""".stripMargin)
+    },
+
+    // r83: GROUP BY ALL / ORDER BY ALL ride Spark's own support; the
+    // trailing FORMAT clause (a wire rendering the connector owns on
+    // every transport) strips instead of erroring.
+    q("r83_dialect_all",
+      """SELECT o_orderpriority AS p, count(*) AS c,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS u
+        |FROM orders GROUP BY 1 ORDER BY p, c, u""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `o_orderpriority` AS p, count(*) AS c,
+          |  uniqExact(`o_custkey`) AS u
+          |FROM `main`.`orders`
+          |GROUP BY ALL ORDER BY ALL FORMAT Values""".stripMargin)
     }
   )
 }

@@ -46,7 +46,11 @@ final class ClickHouseSession private (
     // (after_having_exclusive) on the shipped statement, so a real server
     // behaves identically to the embedded rewrite regardless of its
     // configured totals_mode default
-    val stmt = graft.client.ChSqlTranslator.pinTotalsMode(chSelectSql)
+    // a trailing FORMAT clause names a wire rendering the connector owns
+    // (RowBinary on HTTP, in-process frames embedded) — strip it here so
+    // the shipped statement never carries two FORMAT clauses
+    val stmt = graft.client.ChSqlTranslator.pinTotalsMode(
+      graft.client.ChSqlTranslator.stripFormat(chSelectSql))
     val schema = client.describeQuery(stmt)
     val attrs = schema.fields.toSeq.map(f =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(

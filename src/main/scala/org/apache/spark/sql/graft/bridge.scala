@@ -36,6 +36,19 @@ object bridge {
     case _ => None
   }
   def namedRef(column: String): NamedReference = FieldReference.column(column)
+
+  /** Register a Catalyst expression builder as a temp function on one
+    * session (`sessionState` is `private[sql]`). Used by the embedded
+    * server session for functions a Scala UDF cannot express —
+    * polymorphic aggregates (graft_topk) and positional struct access
+    * (graft_tuple_at).
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
   def decimalParts(dt: DataType): Option[(Int, Int)] = dt match {
     case d: DecimalType => Some((d.precision, d.scale))
     case _ => None

@@ -742,4 +742,98 @@ class TranslatorSpec extends AnyFunSuite {
       assert(ClickHouseType.parse(rendered) == p, s"$s via $rendered")
     }
   }
+
+  test("round-13 session-3: bracket syntax — literals become array(), " +
+    "subscripts become 1-based element_at") {
+    assert(t("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)")
+    assert(t("SELECT arrayMap(x -> x + 1, [1, 2])") ==
+      "SELECT transform(array(1, 2), x -> x + 1)")
+    // a subscript passed through verbatim would be Spark's 0-BASED access
+    // — the silent off-by-one this rewrite exists to prevent
+    assert(t("SELECT arr[1] FROM db.tbl") ==
+      "SELECT element_at(arr, 1) FROM __ch_db_tbl")
+    assert(t("SELECT `q`.`arr`[2]") == "SELECT element_at(`q`.`arr`, 2)")
+    assert(t("SELECT m['k']") == "SELECT element_at(m, 'k')")
+    assert(t("SELECT a[1][2]") == "SELECT element_at(element_at(a, 1), 2)")
+    assert(t("SELECT splitByChar(',', s)[1]") ==
+      "SELECT element_at(split(s, ','), 1)")
+    assert(t("SELECT [1, 2][1]") == "SELECT element_at(array(1, 2), 1)")
+    assert(t("SELECT (a)[-1]") == "SELECT element_at((a), -1)")
+    // nested literal inside a subscript index
+    assert(t("SELECT a[b[1]]") ==
+      "SELECT element_at(a, element_at(b, 1))")
+    // brackets inside string literals survive untouched
+    assert(t("SELECT '[1, 2]' AS s, 'a[1]' AS b") ==
+      "SELECT '[1, 2]' AS s, 'a[1]' AS b")
+  }
+
+  test("round-13 session-3: FORMAT clause strips (wire rendering is " +
+    "connector-owned); non-final FORMAT tokens are left alone") {
+    assert(ChSqlTranslator.stripFormat("SELECT 1 FORMAT JSON") == "SELECT 1")
+    assert(ChSqlTranslator.stripFormat("SELECT 1 FORMAT TabSeparated ; ") ==
+      "SELECT 1")
+    assert(t("SELECT count(*) AS c FROM db.tbl FORMAT Values") ==
+      "SELECT count(*) AS c FROM __ch_db_tbl")
+    // FORMAT as a data value or mid-statement token is untouched
+    assert(ChSqlTranslator.stripFormat("SELECT 'FORMAT JSON' AS s") ==
+      "SELECT 'FORMAT JSON' AS s")
+    assert(ChSqlTranslator.stripFormat("SELECT format FROM t WHERE x = 1") ==
+      "SELECT format FROM t WHERE x = 1")
+  }
+
+  test("round-13 session-3: generic -If / -Distinct combinators") {
+    assert(t("SELECT anyIf(v, c > 0)") ==
+      "SELECT min(v) FILTER (WHERE c > 0)")
+    assert(t("SELECT anyLastIf(v, c > 0)") ==
+      "SELECT max(v) FILTER (WHERE c > 0)")
+    assert(t("SELECT argMaxIf(a, v, c = 'x')") ==
+      "SELECT max_by(a, v) FILTER (WHERE c = 'x')")
+    assert(t("SELECT argMinIf(a, v, c = 'x')") ==
+      "SELECT min_by(a, v) FILTER (WHERE c = 'x')")
+    assert(t("SELECT uniqExactIf(v, c)") ==
+      "SELECT count(DISTINCT v) FILTER (WHERE c)")
+    assert(t("SELECT groupArrayIf(v, c)") ==
+      "SELECT collect_list(v) FILTER (WHERE c)")
+    assert(t("SELECT groupUniqArrayIf(v, c)") ==
+      "SELECT collect_set(v) FILTER (WHERE c)")
+    assert(t("SELECT sumDistinct(v)") == "SELECT sum(DISTINCT v)")
+    assert(t("SELECT avgDistinct(v)") == "SELECT avg(DISTINCT v)")
+    assert(t("SELECT minDistinct(v)") == "SELECT min(v)")
+  }
+
+  test("round-13 session-3: -Array combinators fold over elements") {
+    assert(t("SELECT minArray(a)") == "SELECT min(array_min(a))")
+    assert(t("SELECT maxArray(a)") == "SELECT max(array_max(a))")
+    assert(t("SELECT countArray(a)") == "SELECT sum(size(a))")
+    assert(t("SELECT groupArrayArray(a)") == "SELECT flatten(collect_list(a))")
+    // sum/avg fold each row's elements with an element-typed zero
+    val sumA = t("SELECT sumArray(a)")
+    assert(sumA.contains("sum(aggregate(filter(a, __ar_x -> __ar_x IS NOT NULL)"))
+    assert(sumA.contains("try_element_at"))
+    val avgA = t("SELECT avgArray(a)")
+    assert(avgA.contains("/ sum(size(filter(a, __ar_x -> __ar_x IS NOT NULL))))"))
+    assert(t("SELECT uniqArray(a)").contains(
+      "size(array_distinct(flatten(collect_list(array_distinct(a)))))"))
+  }
+
+  test("round-13 session-3: topK/topKWeighted and tuples") {
+    assert(t("SELECT topK(3)(x)") == "SELECT graft_topk(x, 3)")
+    assert(t("SELECT topKWeighted(5)(x, w)") == "SELECT graft_topk_w(x, w, 5)")
+    assert(t("SELECT tuple(a, b)") == "SELECT struct(a, b)")
+    assert(t("SELECT tupleElement(t0, 2)") == "SELECT graft_tuple_at(t0, 2)")
+    assert(t("SELECT tupleElement(t0, 'name')") == "SELECT (t0).`name`")
+    intercept[IllegalArgumentException] {
+      t("SELECT tupleElement(t0, idx)")
+    }
+  }
+
+  test("round-13 session-3: parseArgs respects square brackets and " +
+    "backticks when splitting arguments") {
+    // pre-fix, the comma inside [1, 2] split the argument list and the
+    // rewrite emitted unbalanced SQL
+    assert(t("SELECT arrayFilter(x -> x > 1, [1, 2, 3])") ==
+      "SELECT filter(array(1, 2, 3), x -> x > 1)")
+    assert(t("SELECT sumIf(v, has([1, 2], k))") ==
+      "SELECT sum(v) FILTER (WHERE array_contains(array(1, 2), k))")
+  }
 }
