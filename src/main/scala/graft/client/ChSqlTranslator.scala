@@ -314,6 +314,7 @@ object ChSqlTranslator {
     // single-join-per-level guard
     s = rewriteArrayJoin(s)
     s = rewriteRightSemiAnti(s)
+    s = rewritePaste(s)
     s = rewriteAsof(s)
     s = rewriteTotals(s)
     s = rewriteQualify(s)
@@ -1226,6 +1227,149 @@ object ChSqlTranslator {
         .take(60)}'")
     sql.substring(0, fromPos) + s"FROM $right LEFT $kind JOIN $left " +
       sql.substring(condPos)
+  }
+
+  /** ClickHouse `PASTE JOIN` — horizontal concatenation by row POSITION.
+    * The embedded rewrite makes the pairing explicit: each side gets a
+    * row_number() keyed by ITS OWN top-level ORDER BY, and the sides
+    * join on that number. Honored-or-rejected boundaries (all loud):
+    * one PASTE JOIN per statement, top level only, both sides must be
+    * parenthesized subqueries WITH their own ORDER BY (positional
+    * pairing over an unordered stream is nondeterministic — the same
+    * determinism rule as LIMIT BY), no `*` select items (the pairing
+    * column would leak into them), no ON/USING (the server grammar has
+    * none). Unequal side lengths pair to the SHORTER side (inner join
+    * on the position — the embedded model's documented pick; no padding
+    * is fabricated). ORDER BY ties leave the pairing unspecified, as on
+    * the server. HTTP transports ship the statement verbatim.
+    */
+  def rewritePaste(s: String): String = {
+    if (raw"(?is)\bPASTE\s+JOIN\b".r.findFirstIn(s).isEmpty) return s
+    val hits = topLevelPositions(s, "PASTE").filter(p =>
+      raw"(?is)^PASTE\s+JOIN\b".r.findFirstIn(s.substring(p)).isDefined)
+    if (hits.isEmpty)
+      throw new IllegalArgumentException(
+        "PASTE JOIN inside a subquery is not supported by the embedded " +
+          "rewrite; restructure or run against a real server")
+    require(hits.length == 1,
+      "multiple PASTE JOINs in one statement are not supported by the " +
+        "embedded rewrite; nest them in subqueries")
+    require(topLevelPositions(s, "JOIN").length == 1,
+      "PASTE JOIN mixed with other joins at one SELECT level is not " +
+        "supported by the embedded rewrite; nest them in subqueries")
+    val at = hits.head
+    // `*` select items would expose the injected pairing column
+    val selPos = topLevelPositions(s, "SELECT").headOption.getOrElse(
+      throw new IllegalArgumentException("PASTE JOIN without a SELECT"))
+    val fromAll = topLevelPositions(s, "FROM")
+    val fromPos = fromAll.filter(_ < at).lastOption.getOrElse(
+      throw new IllegalArgumentException("PASTE JOIN without a FROM clause"))
+    require(!s.substring(selPos, fromPos).contains("*"),
+      "PASTE JOIN: `*` select items are not supported by the embedded " +
+        "rewrite (the positional pairing column would leak into them); " +
+        "name the columns explicitly")
+    // left side: optional alias, optional AS, then a ')' closing the
+    // parenthesized subquery
+    var j = at - 1
+    while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+    var leftAlias = ""
+    if (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) {
+      var ws = j
+      while (ws >= 0 && (s.charAt(ws).isLetterOrDigit || s.charAt(ws) == '_')) ws -= 1
+      leftAlias = s.substring(ws + 1, j + 1)
+      require(!leftAlias.equalsIgnoreCase("AS"),
+        "PASTE JOIN: missing alias after AS on the left side")
+      j = ws
+      while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+      if (j >= 1 && s.regionMatches(true, j - 1, "AS", 0, 2) &&
+        (j - 2 < 0 || !(s.charAt(j - 2).isLetterOrDigit || s.charAt(j - 2) == '_'))) {
+        j -= 2
+        while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+      }
+    }
+    require(j >= 0 && s.charAt(j) == ')',
+      "PASTE JOIN: both sides must be parenthesized subqueries with " +
+        "their own ORDER BY")
+    var d = 1
+    var k = j - 1
+    var sq = false
+    while (k >= 0 && d > 0) {
+      val c = s.charAt(k)
+      if (sq) { if (c == '\'') sq = false }
+      else if (c == '\'') sq = true
+      else if (c == ')') d += 1
+      else if (c == '(') d -= 1
+      if (d > 0) k -= 1
+    }
+    require(k > fromPos, "PASTE JOIN: unbalanced left subquery parens")
+    val leftInner = s.substring(k + 1, j)
+    require(s.substring(fromPos + 4, k).trim.isEmpty,
+      "PASTE JOIN: the left side must be a single parenthesized subquery")
+    // right side after the JOIN keyword
+    val m = raw"(?is)^PASTE\s+JOIN\s*".r.findFirstMatchIn(s.substring(at)).get
+    var r = at + m.end
+    require(r < s.length && s.charAt(r) == '(',
+      "PASTE JOIN: both sides must be parenthesized subqueries with " +
+        "their own ORDER BY")
+    var rd = 1
+    var rc = r + 1
+    sq = false
+    while (rc < s.length && rd > 0) {
+      val c = s.charAt(rc)
+      if (sq) { if (c == '\\') rc += 1 else if (c == '\'') sq = false }
+      else if (c == '\'') sq = true
+      else if (c == '(') rd += 1
+      else if (c == ')') rd -= 1
+      if (rd > 0) rc += 1
+    }
+    require(rd == 0, "PASTE JOIN: unbalanced right subquery parens")
+    val rightInner = s.substring(r + 1, rc)
+    var p = rc + 1
+    while (p < s.length && s.charAt(p).isWhitespace) p += 1
+    if (p + 1 < s.length && s.regionMatches(true, p, "AS", 0, 2) &&
+      (p + 2 >= s.length ||
+        !(s.charAt(p + 2).isLetterOrDigit || s.charAt(p + 2) == '_'))) {
+      p += 2
+      while (p < s.length && s.charAt(p).isWhitespace) p += 1
+    }
+    var rightAlias = ""
+    var pe = p
+    while (pe < s.length && (s.charAt(pe).isLetterOrDigit || s.charAt(pe) == '_')) pe += 1
+    if (pe > p) {
+      val word = s.substring(p, pe)
+      // clause keywords are NOT aliases
+      if (!(ClauseKws ++ Seq("ON", "USING", "FORMAT", "OFFSET"))
+        .exists(_.equalsIgnoreCase(word))) {
+        rightAlias = word
+        p = pe
+      }
+    }
+    val rest = s.substring(p)
+    require(!raw"(?is)^\s*(ON|USING)\b".r.findFirstIn(rest).isDefined,
+      "PASTE JOIN takes no ON/USING condition (pairing is positional)")
+    def sideOrder(inner: String, side: String): String = {
+      val obs = topLevelPositions(inner, "ORDER").filter(q =>
+        OrderByHead.findFirstIn(inner.substring(q)).isDefined)
+      require(obs.nonEmpty,
+        s"PASTE JOIN: the $side side needs its own top-level ORDER BY — " +
+          "positional pairing over an unordered stream is " +
+          "nondeterministic (the LIMIT BY determinism rule)")
+      val q = obs.last
+      val obM = OrderByHead.findFirstMatchIn(inner.substring(q)).get
+      val after = q + obM.end
+      val end = OrderEnders.flatMap(kw => topLevelPositions(inner, kw))
+        .filter(_ >= after).sorted.headOption.getOrElse(inner.length)
+      inner.substring(after, end).trim
+    }
+    val la = if (leftAlias.nonEmpty) leftAlias else "__paste_l"
+    val ra = if (rightAlias.nonEmpty) rightAlias else "__paste_r"
+    val newFrom =
+      s"FROM (SELECT *, row_number() OVER (ORDER BY ${sideOrder(leftInner, "left")}) " +
+        s"AS __paste_rn FROM ( $leftInner ) __paste_li) AS $la " +
+        s"JOIN (SELECT *, row_number() OVER (ORDER BY ${sideOrder(rightInner, "right")}) " +
+        s"AS __paste_rn FROM ( $rightInner ) __paste_ri) AS $ra " +
+        s"ON $la.__paste_rn = $ra.__paste_rn"
+    s.substring(0, fromPos) + newFrom + rest
   }
 
   // ---- star column transformers (* REPLACE / APPLY / COLUMNS) --------

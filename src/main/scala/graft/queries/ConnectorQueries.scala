@@ -2612,6 +2612,38 @@ object ConnectorQueries {
           |  uniqExact(`o_custkey`) AS u
           |FROM `main`.`orders`
           |GROUP BY ALL ORDER BY ALL FORMAT Values""".stripMargin)
+    },
+
+    // r84: PASTE JOIN — horizontal concatenation by row position. Both
+    // sides carry their own total ORDER BY (the rewrite's determinism
+    // requirement); the second side is deliberately ordered DESCENDING
+    // so the pairing is visibly positional, not key-based. The oracle
+    // re-derives the pairing with explicit row_numbers.
+    q("r84_paste_join",
+      """WITH a AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders WHERE o_orderkey < 200),
+        |b AS (SELECT o_orderpriority AS pri, o_orderkey AS k2,
+        |    row_number() OVER (ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderkey < 200)
+        |SELECT a.k, a.cents, b.pri, b.k2
+        |FROM a JOIN b USING (rn) ORDER BY a.k""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT a.k AS k, a.cents AS cents, b.pri AS pri, b.k2 AS k2
+          |FROM (SELECT `o_orderkey` AS k,
+          |        toInt64(round(`o_totalprice` * 100)) AS cents
+          |      FROM `main`.`orders` WHERE `o_orderkey` < 200
+          |      ORDER BY k) AS a
+          |PASTE JOIN
+          |     (SELECT `o_orderpriority` AS pri, `o_orderkey` AS k2
+          |      FROM `main`.`orders` WHERE `o_orderkey` < 200
+          |      ORDER BY k2 DESC) AS b
+          |ORDER BY k""".stripMargin)
     }
   )
 }

@@ -827,6 +827,45 @@ class TranslatorSpec extends AnyFunSuite {
     }
   }
 
+  test("round-13 session-3: PASTE JOIN rewrites to a positional " +
+    "row_number join; undefined shapes reject loudly") {
+    val ok = t(
+      "SELECT a.k, b.v FROM (SELECT k FROM db.tbl ORDER BY k LIMIT 3) AS a " +
+        "PASTE JOIN (SELECT v FROM db.tbl ORDER BY v DESC) AS b ORDER BY a.k")
+    // injectNullOrder makes the server NULL-order defaults explicit,
+    // inside the injected row_number too
+    assert(ok.contains(
+      "row_number() OVER (ORDER BY k NULLS LAST) AS __paste_rn"))
+    assert(ok.contains(
+      "row_number() OVER (ORDER BY v DESC NULLS FIRST) AS __paste_rn"))
+    assert(ok.contains("ON a.__paste_rn = b.__paste_rn"))
+    assert(ok.contains("ORDER BY a.k"))
+    assert(!ok.toUpperCase.contains("PASTE JOIN"))
+    // anonymous sides get synthetic aliases
+    val anon = t(
+      "SELECT __paste_l.k FROM (SELECT k FROM db.tbl ORDER BY k) " +
+        "PASTE JOIN (SELECT v FROM db.tbl ORDER BY v)")
+    assert(anon.contains("AS __paste_l") && anon.contains("AS __paste_r"))
+    // rejections: unordered side, star select, ON condition, nested
+    val noOrder = intercept[IllegalArgumentException] {
+      t("SELECT a.k, b.v FROM (SELECT k FROM db.tbl ORDER BY k) AS a " +
+        "PASTE JOIN (SELECT v FROM db.tbl) AS b")
+    }
+    assert(noOrder.getMessage.contains("ORDER BY"))
+    intercept[IllegalArgumentException] {
+      t("SELECT * FROM (SELECT k FROM db.tbl ORDER BY k) AS a " +
+        "PASTE JOIN (SELECT v FROM db.tbl ORDER BY v) AS b")
+    }
+    intercept[IllegalArgumentException] {
+      t("SELECT a.k FROM (SELECT k FROM db.tbl ORDER BY k) AS a " +
+        "PASTE JOIN (SELECT v FROM db.tbl ORDER BY v) AS b ON a.k = b.v")
+    }
+    intercept[IllegalArgumentException] {
+      t("SELECT n FROM (SELECT a.k AS n FROM (SELECT k FROM db.tbl ORDER " +
+        "BY k) AS a PASTE JOIN (SELECT k FROM db.tbl ORDER BY k) AS b)")
+    }
+  }
+
   test("round-13 session-3: parseArgs respects square brackets and " +
     "backticks when splitting arguments") {
     // pre-fix, the comma inside [1, 2] split the argument list and the
