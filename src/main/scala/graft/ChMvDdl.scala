@@ -70,7 +70,7 @@ object ChMvDdl {
   /** cat.db.name / db.name / name → (clickhouse catalog, db, name);
     * None when the statement belongs to another catalog.
     */
-  private def resolve(session: SparkSession, delegate: ParserInterface,
+  private[graft] def resolve(session: SparkSession, delegate: ParserInterface,
       ident: String): Option[(String, String, String)] = {
     val parts =
       try delegate.parseMultipartIdentifier(ident)

@@ -49,7 +49,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // materialized-view DDL has no Spark grammar (CREATE) or no DSv2
     // view resolution (DROP) — intercepted from the RAW text when it
     // addresses a ClickHouse catalog; see ChMvDdl
-    ChMvDdl.rewrite(session, sqlText, delegate).getOrElse {
+    ChMvDdl.rewrite(session, sqlText, delegate)
+      .orElse(ChProjectionDdl.rewrite(session, sqlText, delegate))
+      .getOrElse {
       val parsed = delegate.parsePlan(sqlText)
       // SQL UPDATE on a ClickHouse catalog table ships as a server-side
       // mutation (Spark's own path would demand SupportsRowLevelOperations

@@ -956,7 +956,7 @@ object ChSqlTranslator {
   /** Positions of top-level (outside parens/quotes) word-boundary
     * occurrences of `word` (case-insensitive).
     */
-  private def topLevelPositions(sql: String, word: String): Seq[Int] = {
+  private[client] def topLevelPositions(sql: String, word: String): Seq[Int] = {
     val out = Seq.newBuilder[Int]
     var depth = 0
     var inSq = false
@@ -2700,7 +2700,7 @@ object ChSqlTranslator {
   /** Parse balanced argument list starting just after '('; returns
     * (top-level args, index just past the closing paren).
     */
-  private def parseArgs(s: String, start: Int): (Seq[String], Int) = {
+  private[client] def parseArgs(s: String, start: Int): (Seq[String], Int) = {
     var depth = 1
     // square-bracket literals (`[1, 2]`) carry top-level commas that are
     // NOT argument separators — arrayMap(x -> x, [1, 2]) must parse as

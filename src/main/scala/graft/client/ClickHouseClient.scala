@@ -465,6 +465,12 @@ object ChAlterOp {
   final case class ModifyType(name: String, chType: String) extends ChAlterOp
   /** `ALTER TABLE ... MODIFY TTL expr` / `REMOVE TTL` (None). */
   final case class ModifyTtl(expr: Option[String]) extends ChAlterOp
+  /** `ADD PROJECTION name (SELECT ... GROUP BY ...)` — recorded for NEW
+    * parts; MATERIALIZE backfills existing ones (server semantics).
+    */
+  final case class AddProjection(name: String, select: String) extends ChAlterOp
+  final case class DropProjection(name: String) extends ChAlterOp
+  final case class MaterializeProjection(name: String) extends ChAlterOp
 }
 
 /** Opaque per-stream result handle; implementations carry whatever

@@ -61,7 +61,11 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       "type" -> "String", "position" -> "Int64"),
     "parts" -> Seq(
       "database" -> "String", "table" -> "String", "name" -> "String",
-      "rows" -> "Int64", "bytes_on_disk" -> "Int64", "active" -> "Bool"))
+      "rows" -> "Int64", "bytes_on_disk" -> "Int64", "active" -> "Bool"),
+    "projections" -> Seq(
+      "database" -> "String", "table" -> "String", "name" -> "String",
+      "definition" -> "String",
+      "parts_built" -> "Int64", "parts_total" -> "Int64"))
 
   private def rejectSystem(db: String, what: String): Unit =
     require(!isSystem(db),
@@ -217,7 +221,40 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     }
     var newOpts = opts
     var colsChanged = false
+    // a column a projection references cannot be dropped/renamed/retyped
+    // under it — the stored states would silently diverge from the
+    // definition (a server refuses too); drop the projection first
+    def guardProjections(op: String, col: String): Unit =
+      listProjections(db, table).foreach { d =>
+        require(!raw"(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(col)}(?![A-Za-z0-9_])".r
+          .findFirstIn(d.defSql.replace("`", "")).isDefined,
+          s"ALTER TABLE $db.$table $op '$col': projection '${d.name}' " +
+            s"references it — DROP PROJECTION ${d.name} first")
+      }
     ops.foreach {
+      case ChAlterOp.AddProjection(n, defSql) =>
+        val d = ChProjections.parseDef(n, defSql)
+        require(!listProjections(db, table).exists(_.name == n),
+          s"ADD PROJECTION $n: $db.$table already has a projection of " +
+            "that name")
+        validateProjectionDef(db, table, state.map(s => (s._1, s._2)), d)
+        // recorded for NEW parts only; MATERIALIZE backfills (server
+        // semantics — ADD is metadata-speed)
+        writeProjectionMeta(db, table,
+          listProjections(db, table).map(p => (p.name, p.defSql)) :+
+            ((n, defSql)))
+      case ChAlterOp.DropProjection(n) =>
+        require(listProjections(db, table).exists(_.name == n),
+          s"DROP PROJECTION $n: no such projection on $db.$table")
+        writeProjectionMeta(db, table,
+          listProjections(db, table).filterNot(_.name == n)
+            .map(p => (p.name, p.defSql)))
+        deleteRecursively(projDataDir(db, table, n))
+      case ChAlterOp.MaterializeProjection(n) =>
+        val d = listProjections(db, table).find(_.name == n).getOrElse(
+          throw new IllegalArgumentException(
+            s"MATERIALIZE PROJECTION $n: no such projection on $db.$table"))
+        materializeProjection(db, table, d)
       case ChAlterOp.ModifyTtl(expr) =>
         // TTL is table metadata until a merge (no part rewrite here);
         // [[optimizeTable]] applies the expiry rule. The expression must
@@ -246,6 +283,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         val i = idxOf("DROP COLUMN", n)
         require(!keyCols.contains(n),
           s"ALTER TABLE $db.$table DROP COLUMN: '$n' is a key column")
+        guardProjections("DROP COLUMN", n)
         require(state.size > 1,
           s"ALTER TABLE $db.$table DROP COLUMN: cannot drop the only column")
         state = state.patch(i, Nil, 1)
@@ -254,6 +292,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         val i = idxOf("RENAME COLUMN", a)
         require(!keyCols.contains(a),
           s"ALTER TABLE $db.$table RENAME COLUMN: '$a' is a key column")
+        guardProjections("RENAME COLUMN", a)
         require(!state.exists(_._1 == b),
           s"ALTER TABLE $db.$table RENAME COLUMN: column '$b' already exists")
         state = state.updated(i, (b, state(i)._2, state(i)._3))
@@ -262,6 +301,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         val i = idxOf("MODIFY COLUMN", n)
         require(!keyCols.contains(n),
           s"ALTER TABLE $db.$table MODIFY COLUMN: '$n' is a key column")
+        guardProjections("MODIFY COLUMN", n)
         val oldP = ClickHouseType.parse(state(i)._2)
         val newP = ClickHouseType.parse(t)
         if (oldP.nullable && !newP.nullable) {
@@ -581,6 +621,135 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       s"RENAME TABLE target already exists: $newDb.$newTable")
     Files.move(tablePath(db, table), tablePath(newDb, newTable))
     invalidate()
+  }
+
+  // ---- projections (per-part pre-aggregates, server semantics) ----
+
+  private def projMetaPath(db: String, table: String): Path =
+    tablePath(db, table).resolve("projections.meta")
+
+  private def projDataDir(db: String, table: String, name: String): Path =
+    tablePath(db, table).resolve(".projections").resolve(name)
+
+  /** Declared projections of a table (empty for system / missing). */
+  def listProjections(db: String, table: String): Seq[ChProjections.ProjectionDef] = {
+    val p = projMetaPath(db, table)
+    if (isSystem(db) || !Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val Array(n, b64) = line.split("\t", 2)
+      ChProjections.parseDef(n,
+        new String(java.util.Base64.getDecoder.decode(b64),
+          java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  private def writeProjectionMeta(
+      db: String, table: String, defs: Seq[(String, String)]): Unit = {
+    val lines = defs.map { case (n, sql) =>
+      s"$n\t${java.util.Base64.getEncoder.encodeToString(
+        sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))}"
+    }
+    if (lines.isEmpty) Files.deleteIfExists(projMetaPath(db, table))
+    else Files.write(projMetaPath(db, table), lines.asJava)
+    ()
+  }
+
+  /** Every expression in the definition must resolve over the table's
+    * columns; sum/avg arguments must be numeric and non-Decimal (sums of
+    * sums change a Decimal's precision, and avg-of-states its scale —
+    * the rewritten schema would differ from the base scan's, a visible
+    * lie the swap-time schema check would reject on every read anyway).
+    */
+  private def validateProjectionDef(
+      db: String, table: String, cols: Seq[(String, String)],
+      d: ChProjections.ProjectionDef): Unit = {
+    val schema = ClickHouseType.toStructType(cols)
+    val empty = serverEntry().session
+      .createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    def resolve(frag: String, what: String): org.apache.spark.sql.types.DataType =
+      try empty.selectExpr(ChSqlTranslator.translateFragment(frag, Seq.empty))
+        .schema.head.dataType
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"ADD PROJECTION ${d.name}: $what '$frag' does not resolve over " +
+          s"$db.$table: ${e.getMessage}", e) }
+    d.rawKeys.foreach(k => resolve(k, "GROUP BY key"))
+    d.aggs.foreach { a =>
+      if (a.arg.nonEmpty) {
+        val dt = resolve(a.rawArg, s"${a.fn} argument")
+        if (a.fn == "sum" || a.fn == "avg") {
+          import org.apache.spark.sql.types._
+          require(dt.isInstanceOf[NumericType],
+            s"ADD PROJECTION ${d.name}: ${a.fn}(${a.rawArg}) needs a " +
+              s"numeric argument (got ${dt.sql})")
+          require(!dt.isInstanceOf[DecimalType],
+            s"ADD PROJECTION ${d.name}: ${a.fn} over Decimal cannot be " +
+              "re-merged from per-part states without changing the " +
+              "result precision — project the raw column instead")
+        }
+      }
+    }
+  }
+
+  /** Build one projection's state rows for ONE part file, atomically:
+    * a Spark write into a hidden staging dir, then a same-fs rename to
+    * `.projections/<name>/<partFileName>`. Called with STAGED part files
+    * before they land (a failed build aborts the whole insert with
+    * nothing visible) and with live files on MATERIALIZE.
+    */
+  private def buildProjectionPart(
+      db: String, table: String, d: ChProjections.ProjectionDef,
+      srcFile: Path, outName: String): Unit = {
+    val child = serverEntry().session
+    val tmp = s"__ch_projsrc_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    child.read.schema(sparkSchema(db, table)).parquet(srcFile.toString)
+      .createOrReplaceTempView(tmp)
+    try {
+      val tr = ChSqlTranslator.translate(d.buildSql(tmp), Seq.empty)
+      val df = child.sql(tr)
+      val projRoot = projDataDir(db, table, d.name)
+      Files.createDirectories(projRoot)
+      val staging = projRoot.resolve(s".build-${java.util.UUID.randomUUID}")
+      df.write.parquet(staging.toString)
+      val target = projRoot.resolve(outName)
+      if (Files.exists(target)) deleteRecursively(target)
+      Files.move(staging, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally {
+      child.catalog.dropTempView(tmp)
+      ()
+    }
+  }
+
+  /** Backfill every live part lacking this projection's state dir —
+    * `ALTER TABLE ... MATERIALIZE PROJECTION` (the server's mutation).
+    */
+  private def materializeProjection(
+      db: String, table: String, d: ChProjections.ProjectionDef): Unit = {
+    dataFiles(db, table).foreach { f =>
+      val p = Paths.get(f)
+      val name = p.getFileName.toString
+      if (!Files.isDirectory(projDataDir(db, table, d.name).resolve(name)))
+        buildProjectionPart(db, table, d, p, name)
+    }
+    invalidate()
+  }
+
+  /** Remove state dirs whose part no longer exists (mutations and
+    * merges land REWRITTEN parts and delete the originals).
+    */
+  private def pruneProjectionOrphans(db: String, table: String): Unit = {
+    val defs = listProjections(db, table)
+    if (defs.isEmpty) return
+    val live = dataFiles(db, table)
+      .map(f => Paths.get(f).getFileName.toString).toSet
+    defs.foreach { d =>
+      val dir = projDataDir(db, table, d.name)
+      if (Files.isDirectory(dir))
+        NioFiles.list(dir).iterator.foreach { c =>
+          val n = c.getFileName.toString
+          if (!n.startsWith(".build-") && !live.contains(n))
+            deleteRecursively(c)
+        }
+    }
   }
 
   // ---- materialized views (insert triggers, server semantics) ----
@@ -993,6 +1162,14 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
           val rows = try partRowCount(f) catch { case _: Exception => -1L }
           val bytes = try Files.size(p) catch { case _: Exception => -1L }
           Row(db, tb, p.getFileName.toString, rows, bytes, true)
+        }
+      case "projections" =>
+        for (db <- realDbs; tb <- listTables(db);
+             d <- listProjections(db, tb)) yield {
+          val live = dataFiles(db, tb).map(f => Paths.get(f).getFileName.toString)
+          val built = live.count(n =>
+            Files.isDirectory(projDataDir(db, tb, d.name).resolve(n)))
+          Row(db, tb, d.name, d.defSql, built.toLong, live.size.toLong)
         }
       case other => throw new IllegalArgumentException(
         s"no such system table: system.$other")
@@ -1410,7 +1587,8 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
             wf.map(_.core).orElse(st.map(_.core)).getOrElse(detokened)
         }
       }
-      val tr = ChSqlTranslator.translate(rewriteSample(rewriteFinal(effective)), tables)
+      val plainStmt = rewriteSample(rewriteFinal(effective))
+      val tr = ChSqlTranslator.translate(plainStmt, tables)
       ensureViews(entry, tr, tables)
       val df =
         try entry.session.sql(tr) catch { case e: Throwable =>
@@ -1436,12 +1614,98 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
           throw new IllegalArgumentException(
             s"translated SQL failed: ${e.getMessage}$hint" +
               s"\n--- translated ---\n$tr", e) }
-      if (lb.isDefined) df.drop("__lb_rn")
-      else if (wt.isDefined) df.drop("__wt_rk")
-      else wf.map(f => fillGaps(df, f))
-        .orElse(st.map(p => starTransform(df, p, tables)))
-        .getOrElse(df)
+      // projection swap: when the statement is a plain aggregate over a
+      // projected table and every live part carries the projection's
+      // state dir, re-plan onto the state view. The swap is verified
+      // against the BASE plan's analyzed schema (names + types) and any
+      // mismatch or failure keeps the base frame — a projection read is
+      // a storage optimization, identical rows by construction
+      val chosen = tryProjectionSwap(entry, plainStmt, df, tables)
+      if (lb.isDefined) chosen.drop("__lb_rn")
+      else if (wt.isDefined) chosen.drop("__wt_rk")
+      else wf.map(f => fillGaps(chosen, f))
+        .orElse(st.map(p => starTransform(chosen, p, tables)))
+        .getOrElse(chosen)
     })
+  }
+
+  private val ProjFromRe = raw"^`([^`]+)`\.`([^`]+)`$$".r
+
+  /** Attempt the projection read-rewrite for `plainStmt`; returns the
+    * projection-backed frame only when the rewritten statement analyzes
+    * to the SAME schema as `base` — otherwise `base`, always correct.
+    */
+  private def tryProjectionSwap(
+      entry: EmbeddedClickHouse.CachedServer, plainStmt: String,
+      base: org.apache.spark.sql.DataFrame,
+      tables: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    try {
+      val fromP = ChSqlTranslator.topLevelPositions(plainStmt, "FROM")
+      if (fromP.size != 1) return base
+      val afterFrom = plainStmt.substring(fromP.head + 4)
+      val endKw = Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT")
+        .flatMap(k => ChSqlTranslator.topLevelPositions(afterFrom, k))
+        .sorted.headOption.getOrElse(afterFrom.length)
+      val (db, t) = afterFrom.substring(0, endKw).trim match {
+        case ProjFromRe(d0, t0) => (d0, t0)
+        case _ => return base
+      }
+      val defs = listProjections(db, t)
+      if (defs.isEmpty) return base
+      val live = dataFiles(db, t).map(f => Paths.get(f).getFileName.toString)
+      if (live.isEmpty) return base
+      val tableRef = s"`$db`.`$t`"
+      defs.foreach { d =>
+        val covered = live.forall(n =>
+          Files.isDirectory(projDataDir(db, t, d.name).resolve(n)))
+        if (covered) {
+          val viewRef = s"__ch_proj_${db}_${t}_${d.name}"
+          ChProjections.rewriteQuery(plainStmt, tableRef, d, viewRef)
+            .foreach { ps =>
+              val swapped =
+                try {
+                  val v = EmbeddedClickHouse.storeVersion(root).get()
+                  val key = (s"__proj__$db.$t", d.name)
+                  val reg = entry.viewVersions.get(key)
+                  if (reg == null || reg.longValue != v) {
+                    val dirs = live.map(n =>
+                      projDataDir(db, t, d.name).resolve(n).toString)
+                    entry.session.read.parquet(dirs: _*)
+                      .createOrReplaceTempView(viewRef)
+                    entry.viewVersions.put(key, java.lang.Long.valueOf(v))
+                  }
+                  val pdf = entry.session.sql(
+                    ChSqlTranslator.translate(ps, tables))
+                  val sameSchema =
+                    pdf.schema.fields.length == base.schema.fields.length &&
+                      pdf.schema.fields.zip(base.schema.fields).forall {
+                        case (a, b) => a.name == b.name &&
+                          ClickHouseType.ignoreNullability(a.dataType) ==
+                            ClickHouseType.ignoreNullability(b.dataType)
+                      }
+                  if (sameSchema) Some(pdf) else None
+                } catch { case _: Exception => None }
+              swapped.foreach { pdf =>
+                val hitKey = s"$root|$db.$t.${d.name}"
+                EmbeddedClickHouse.projectionHits.merge(
+                  hitKey, java.lang.Long.valueOf(1L),
+                  (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+                EmbeddedClickHouse.lastProjectionHit = Some(s"$db.$t.${d.name}")
+                return pdf
+              }
+            }
+        }
+      }
+      base
+    } catch { case _: Exception => base }
+  }
+
+  /** Times a read of `db`.`table` was served from projection `name`
+    * (this JVM, this store root).
+    */
+  def projectionHitCount(db: String, table: String, name: String): Long = {
+    val v = EmbeddedClickHouse.projectionHits.get(s"$root|$db.$table.$name")
+    if (v == null) 0L else v.longValue
   }
 
   /** `LEFT ANY JOIN` / `INNER ANY JOIN` (either keyword order): at most
@@ -2079,20 +2343,32 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     if (Files.isDirectory(dir)) {
       val parts = NioFiles.list(dir).iterator
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sorted
-      // same-filesystem renames: each part becomes visible atomically, and
-      // a re-driven commit of the same staging id is a no-op (dir empty)
-      val landed = parts.map { p =>
-        // parts without an insert sequence in their name (Spark-written
-        // mutation/copy outputs, part-00000-...) get one at publish, in
-        // staged-name order — so EVERY visible part carries its sequence
-        // and order-dependent collapses stay defined after rewrites
-        // (staged names part-00000 < part-00001 follow partition index,
-        // which follows seq-sorted input file order for narrow rewrites)
+      // parts without an insert sequence in their name (Spark-written
+      // mutation/copy outputs, part-00000-...) get one at publish, in
+      // staged-name order — so EVERY visible part carries its sequence
+      // and order-dependent collapses stay defined after rewrites
+      // (staged names part-00000 < part-00001 follow partition index,
+      // which follows seq-sorted input file order for narrow rewrites)
+      val planned = parts.map { p =>
         val name = p.getFileName.toString
         val outName =
           if (EmbeddedClickHouse.partSeqOf(name).isDefined) name
           else f"part-${ParquetBlockWriter.nextPartSeq()}%016x-" +
             name.stripPrefix("part-")
+        (p, outName)
+      }
+      // projection states build from the STAGED files BEFORE anything
+      // lands: a failed build aborts the whole commit with nothing
+      // visible (every landing path — insert, mutation rewrite, merge —
+      // keeps its projections current, like a server rebuilding
+      // projections in mutations and merges)
+      val projs = listProjections(db, table)
+      projs.foreach(d => planned.foreach { case (p, outName) =>
+        buildProjectionPart(db, table, d, p, outName)
+      })
+      // same-filesystem renames: each part becomes visible atomically, and
+      // a re-driven commit of the same staging id is a no-op (dir empty)
+      val landed = planned.map { case (p, outName) =>
         val t = tablePath(db, table).resolve(outName)
         Files.move(p, t, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         t
@@ -2103,6 +2379,7 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       // the next successful write to the table reaps anything past TTL
       reapStaleWriteDirs(db, table)
       invalidate()
+      if (projs.nonEmpty) pruneProjectionOrphans(db, table)
       if (fire) fireMaterializedViews(db, table, landed)
     }
   }
@@ -2251,6 +2528,14 @@ object EmbeddedClickHouse {
     mvVersions.computeIfAbsent(root, _ => new java.util.concurrent.atomic.AtomicLong(0))
   private[client] val mvCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[MvDef])]()
+
+  /** Projection read-path observability: reads served from a projection,
+    * keyed `<root>|<db>.<table>.<name>` — the spec-level proof that the
+    * swap actually engaged (results are identical either way).
+    */
+  private[graft] val projectionHits =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  @volatile private[graft] var lastProjectionHit: Option[String] = None
 
   /** Sequential reader over one handle's spill files; closing releases
     * the in-flight file's descriptor immediately.

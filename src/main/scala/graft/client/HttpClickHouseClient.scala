@@ -320,6 +320,13 @@ class HttpClickHouseClient(
         s"MODIFY COLUMN `$n` $t"
       case ChAlterOp.ModifyTtl(Some(expr)) => s"MODIFY TTL $expr"
       case ChAlterOp.ModifyTtl(None) => "REMOVE TTL"
+      case ChAlterOp.AddProjection(n, sel) =>
+        // verbatim: the server validates (it accepts MORE than the
+        // embedded model — ORDER BY projections, any aggregate)
+        s"ADD PROJECTION `$n` ($sel)"
+      case ChAlterOp.DropProjection(n) => s"DROP PROJECTION `$n`"
+      case ChAlterOp.MaterializeProjection(n) =>
+        s"MATERIALIZE PROJECTION `$n`"
     }
     // one statement, applied in order; mutations_sync so a MODIFY's data
     // rewrite is visible to the next read (ADD/DROP/RENAME are metadata

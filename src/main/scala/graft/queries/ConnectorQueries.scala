@@ -2644,6 +2644,51 @@ object ConnectorQueries {
           |      FROM `main`.`orders` WHERE `o_orderkey` < 200
           |      ORDER BY k2 DESC) AS b
           |ORDER BY k""".stripMargin)
+    },
+
+    // r85: table PROJECTIONs — ADD PROJECTION is declared BEFORE the
+    // insert, so the insert itself materializes per-part aggregate
+    // states; the read swaps onto them transparently (GatePlanSpec
+    // asserts the swap via the hit counter — the rows are identical by
+    // construction, which is exactly what this hash gate pins). avg
+    // re-merges as sum-of-sums / sum-of-counts: the same single
+    // division over exact integers the oracle performs.
+    q("r85_projection",
+      """SELECT o_orderpriority AS pri,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS c,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mn,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mx,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / count(*) AS a
+        |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"/root/repo/target/chstore_$tag"
+      ensureStore(s, dir, Seq(("clickhouse.main.proj_ord",
+        Seq("k", "pri", "cents"),
+        () => s.table("orders").select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))))) {
+        s.sql(
+          """CREATE TABLE clickhouse.main.proj_ord
+            |(k BIGINT, pri STRING, cents BIGINT)
+            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'k')""".stripMargin)
+        new EmbeddedClickHouse(root).alterTable("main", "proj_ord",
+          Seq(graft.client.ChAlterOp.AddProjection("by_pri",
+            "SELECT pri, sum(cents), count(*), min(cents), max(cents), " +
+              "avg(cents) GROUP BY pri")))
+        s.sql(
+          """INSERT INTO clickhouse.main.proj_ord
+            |SELECT o_orderkey, o_orderpriority,
+            |  CAST(round(o_totalprice * 100) AS BIGINT)
+            |FROM orders""".stripMargin)
+      }
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(root).catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `pri` AS pri, sum(`cents`) AS s, count(*) AS c,
+          |  min(`cents`) AS mn, max(`cents`) AS mx, avg(`cents`) AS a
+          |FROM `main`.`proj_ord` GROUP BY pri ORDER BY pri""".stripMargin)
     }
   )
 }

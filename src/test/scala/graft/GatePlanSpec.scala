@@ -657,4 +657,18 @@ class GatePlanSpec extends AnyFunSuite {
     // sf0.001 events also end 2024-01-30 → the first-of-Feb tail is gap-filled
     assert(rows.count(_.getLong(1) == 0L) >= 5)
   }
+
+  test("r85 reads are SERVED FROM THE PROJECTION: the swap's hit counter " +
+    "fires for the gate's aggregate (the hash gate already pins that the " +
+    "rows are identical to the base scan's)") {
+    val df = SparkEntry.queries("r85_projection")(spark, sfDir)
+    assert(df.count() > 0)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val client = new graft.client.EmbeddedClickHouse(
+      s"/root/repo/target/chstore_$tag")
+    // >= 1 not == 1: the embedded df cache may serve a repeat of the
+    // same statement without re-planning (no second increment)
+    assert(client.projectionHitCount("main", "proj_ord", "by_pri") >= 1L,
+      "the r85 aggregate read never engaged projection by_pri")
+  }
 }

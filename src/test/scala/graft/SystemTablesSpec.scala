@@ -46,13 +46,13 @@ class SystemTablesSpec extends AnyFunSuite {
     spark.sql("INSERT INTO chsys.main.base VALUES (3, 3.5, 'c')")
   }
 
-  test("system appears in SHOW NAMESPACES and lists its four tables") {
+  test("system appears in SHOW NAMESPACES and lists its five tables") {
     setup
     val dbs = spark.sql("SHOW NAMESPACES IN chsys").collect().map(_.getString(0))
     assert(dbs.contains("system") && dbs.contains("main"), dbs.mkString(","))
     val ts = spark.sql("SHOW TABLES IN chsys.system").collect()
       .map(_.getString(1)).sorted.toSeq
-    assert(ts == Seq("columns", "databases", "parts", "tables"))
+    assert(ts == Seq("columns", "databases", "parts", "projections", "tables"))
   }
 
   test("system.tables reports engine, total_rows, sorting and partition keys") {
@@ -68,7 +68,7 @@ class SystemTablesSpec extends AnyFunSuite {
     // the system tables list themselves (server parity), with NULL rows
     val sys = spark.table("chsys.system.tables")
       .where("database = 'system'").collect()
-    assert(sys.length == 4 && sys.forall(_.isNullAt(3)))
+    assert(sys.length == 5 && sys.forall(_.isNullAt(3)))
   }
 
   test("system.columns carries name, ClickHouse type, 1-based position") {
