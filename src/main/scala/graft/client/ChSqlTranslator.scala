@@ -69,7 +69,12 @@ object ChSqlTranslator {
     "stddevSamp" -> "stddev_samp",
     "stddevPop" -> "stddev_pop",
     "covarSamp" -> "covar_samp",
-    "covarPop" -> "covar_pop")
+    "covarPop" -> "covar_pop",
+    // Pearson correlation: the same formula in both engines
+    "corr" -> "corr",
+    // population skewness: Spark's skewness IS µ3/σ³ over population
+    // central moments (CentralMomentAgg: √n·M3/M2^1.5)
+    "skewPop" -> "skewness")
 
   /** Pin the one honest totals mode on a statement combining WITH TOTALS
     * and HAVING: append (or merge into a trailing SETTINGS clause)
@@ -791,6 +796,19 @@ object ChSqlTranslator {
     s = rewriteParamCall(s, "quantileExact",
       (params, args) => exactDefaultRank(args.head, params.head))
     s = rewriteCall(s, "medianExact", args => exactDefaultRank(args.head, "0.5"))
+    // higher-moment family, closed forms over Spark's population
+    // statistics (ClickHouse: kurtPop = µ4/σ⁴ NON-excess, Spark's
+    // kurtosis is the EXCESS form; the *Samp variants divide the same
+    // population central moment by the UNBIASED σ — the ratio
+    // (varPop/varSamp)^(k/2) converts). n=1 groups: Spark yields NULL
+    // where a server yields nan — both "no answer", never a value lie.
+    s = rewriteCall(s, "kurtPop", args => s"(kurtosis(${args.head}) + 3.0)")
+    s = rewriteCall(s, "skewSamp", args =>
+      s"(skewness(${args.head}) * " +
+        s"pow(var_pop(${args.head}) / var_samp(${args.head}), 1.5))")
+    s = rewriteCall(s, "kurtSamp", args =>
+      s"((kurtosis(${args.head}) + 3.0) * " +
+        s"pow(var_pop(${args.head}) / var_samp(${args.head}), 2.0))")
     // topK(k)(x) / topKWeighted(k)(x, w): exact frequency ranking via the
     // registered graft_topk aggregates ("approximately most frequent" —
     // exact counts are a legal instance; ties rank value-ascending,

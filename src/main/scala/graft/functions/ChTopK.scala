@@ -68,16 +68,20 @@ case class ChTopK(
       buf: mutable.HashMap[Any, Long], input: InternalRow): mutable.HashMap[Any, Long] = {
     val v = child.eval(input)
     if (v != null) {
+      // a NULL weight skips the row (NULL in any aggregated argument);
+      // weight ZERO still ENTERS the value (it ranks by total weight 0,
+      // visible when fewer than k values exist — caught by the
+      // differential fuzz, round-13 session 3)
       val w = weight match {
-        case None => 1L
+        case None => Some(1L)
         case Some(we) => we.eval(input) match {
-          case null => 0L
-          case n: java.lang.Number => n.longValue()
+          case null => None
+          case n: java.lang.Number => Some(n.longValue())
         }
       }
-      if (w != 0L) {
+      w.foreach { wv =>
         val key = copyValue(v)
-        buf.update(key, buf.getOrElse(key, 0L) + w)
+        buf.update(key, buf.getOrElse(key, 0L) + wv)
       }
     }
     buf

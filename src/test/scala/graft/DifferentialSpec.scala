@@ -1021,4 +1021,139 @@ class DifferentialSpec extends AnyFunSuite {
       else if (anySurvives) assert(gotNullRows == 1, s"case $i")
     }
   }
+
+  test("random bracket shapes (array literals + 1-based subscripts) " +
+    "agree with an explicit element_at recompute") {
+    val r = new Random(31415926)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    (1 to 8).foreach { i =>
+      val m = r.nextInt(4) + 2
+      val idxExpr = s"toInt32(`doc_id` % $m) + 1"
+      val lit = Seq.fill(m + 1)(r.nextInt(900) + 10)
+      val wordIdx = r.nextInt(3) + 1
+      val remote = ch.chSql(
+        s"SELECT `doc_id` AS id, " +
+          s"[${lit.map(v => s"toInt64($v)").mkString(", ")}][$idxExpr] AS pick, " +
+          s"splitByChar(' ', `text`)[$wordIdx] AS w " +
+          s"FROM `main`.`documents` WHERE `doc_id` < 60 ORDER BY id")
+      val local = spark.sql(
+        s"SELECT doc_id AS id, " +
+          s"element_at(array(${lit.map(v => s"CAST($v AS BIGINT)").mkString(", ")}), " +
+          s"CAST(doc_id % $m AS INT) + 1) AS pick, " +
+          s"element_at(split(text, ' '), $wordIdx) AS w " +
+          s"FROM documents WHERE doc_id < 60 ORDER BY id")
+      assert(canon(remote) == canon(local), s"bracket case $i (m=$m)")
+    }
+  }
+
+  test("random topK/topKWeighted shapes agree with an explicit " +
+    "frequency-ranking recompute") {
+    val r = new Random(27182818)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    (1 to 6).foreach { i =>
+      val k = r.nextInt(3) + 1
+      val mod = r.nextInt(5) + 3
+      val weighted = r.nextBoolean()
+      val call =
+        if (weighted) s"topKWeighted($k)(`lang`, `doc_id` % $mod)"
+        else s"topK($k)(`lang`)"
+      val remote = ch.chSql(
+        s"SELECT `source` AS src, arrayStringConcat($call, ',') AS top " +
+          s"FROM `main`.`documents` GROUP BY src ORDER BY src")
+      val rank = if (weighted) s"sum(doc_id % $mod)" else "count(*)"
+      val local = spark.sql(
+        s"""SELECT src, concat_ws(',', slice(
+           |  transform(array_sort(collect_list(struct(-cnt AS nc, lang))),
+           |    x -> x.lang), 1, $k)) AS top
+           |FROM (SELECT source AS src, lang, $rank AS cnt
+           |      FROM documents GROUP BY source, lang)
+           |GROUP BY src ORDER BY src""".stripMargin)
+      assert(canon(remote) == canon(local),
+        s"topK case $i (k=$k, weighted=$weighted, mod=$mod)")
+    }
+  }
+
+  test("random generic -If / -Array combinator shapes agree with " +
+    "FILTER-clause and element-fold recomputes") {
+    val r = new Random(16180339)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    (1 to 6).foreach { i =>
+      val m = r.nextInt(6) + 2
+      val remote = ch.chSql(
+        s"SELECT `lang` AS lg, " +
+          s"anyIf(`source`, `doc_id` % $m = 0) AS a, " +
+          s"argMaxIf(`source`, `doc_id`, `doc_id` % $m = 1) AS am, " +
+          s"uniqExactIf(`source`, `doc_id` % $m = 0) AS u, " +
+          s"sumArray([`n_chars`, toInt64($m)]) AS sa, " +
+          s"toInt64(minArray([`n_chars`, toInt64(500)])) AS mn " +
+          s"FROM `main`.`documents` GROUP BY lg ORDER BY lg")
+      val local = spark.sql(
+        s"SELECT lang AS lg, " +
+          s"min(source) FILTER (WHERE doc_id % $m = 0) AS a, " +
+          s"max_by(source, doc_id) FILTER (WHERE doc_id % $m = 1) AS am, " +
+          s"count(DISTINCT source) FILTER (WHERE doc_id % $m = 0) AS u, " +
+          s"sum(n_chars + $m) AS sa, " +
+          s"CAST(min(least(n_chars, 500)) AS BIGINT) AS mn " +
+          s"FROM documents GROUP BY lang ORDER BY lang")
+      assert(canon(remote) == canon(local), s"combinator case $i (m=$m)")
+    }
+  }
+
+  test("random PASTE JOIN shapes agree with an explicit row_number join") {
+    val r = new Random(14142135)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    (1 to 6).foreach { i =>
+      val cut = r.nextInt(150) + 30
+      val dir2 = if (r.nextBoolean()) "DESC" else "ASC"
+      val remote = ch.chSql(
+        s"SELECT a.k AS k, b.id AS id FROM " +
+          s"(SELECT `o_orderkey` AS k FROM `main`.`orders` " +
+          s"WHERE `o_orderkey` < $cut ORDER BY k) AS a " +
+          s"PASTE JOIN (SELECT `doc_id` AS id FROM `main`.`documents` " +
+          s"WHERE `doc_id` < $cut ORDER BY id $dir2) AS b ORDER BY k")
+      val local = spark.sql(
+        s"""SELECT a.k, b.id FROM
+           |(SELECT o_orderkey AS k, row_number() OVER (ORDER BY o_orderkey)
+           |   AS rn FROM orders WHERE o_orderkey < $cut) a
+           |JOIN
+           |(SELECT doc_id AS id, row_number() OVER (ORDER BY doc_id $dir2)
+           |   AS rn FROM documents WHERE doc_id < $cut) b
+           |USING (rn) ORDER BY a.k""".stripMargin)
+      assert(canon(remote) == canon(local),
+        s"paste case $i (cut=$cut, dir=$dir2)")
+    }
+  }
+
+  test("higher-moment shapes (skewPop/kurtPop/skewSamp/kurtSamp) agree " +
+    "with their closed-form local recomputes, bit for bit") {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    val remote = ch.chSql(
+      "SELECT `lang` AS lg, skewPop(`n_chars`) AS sp, kurtPop(`n_chars`) " +
+        "AS kp, skewSamp(`n_chars`) AS ss, kurtSamp(`n_chars`) AS ks, " +
+        "corr(`n_chars`, `doc_id`) AS c " +
+        "FROM `main`.`documents` GROUP BY lg ORDER BY lg")
+    val local = spark.sql(
+      "SELECT lang AS lg, skewness(n_chars) AS sp, " +
+        "(kurtosis(n_chars) + 3.0) AS kp, " +
+        "(skewness(n_chars) * pow(var_pop(n_chars) / var_samp(n_chars), 1.5)) AS ss, " +
+        "((kurtosis(n_chars) + 3.0) * pow(var_pop(n_chars) / var_samp(n_chars), 2.0)) AS ks, " +
+        "corr(n_chars, doc_id) AS c " +
+        "FROM documents GROUP BY lang ORDER BY lang")
+    assert(canon(remote) == canon(local))
+  }
 }

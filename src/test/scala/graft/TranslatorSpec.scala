@@ -866,6 +866,17 @@ class TranslatorSpec extends AnyFunSuite {
     }
   }
 
+  test("round-13 session-3: higher-moment aggregates map via closed " +
+    "forms (kurtPop is non-excess; *Samp converts by the variance ratio)") {
+    assert(t("SELECT skewPop(v)") == "SELECT skewness(v)")
+    assert(t("SELECT corr(a, b)") == "SELECT corr(a, b)")
+    assert(t("SELECT kurtPop(v)") == "SELECT (kurtosis(v) + 3.0)")
+    assert(t("SELECT skewSamp(v)") ==
+      "SELECT (skewness(v) * pow(var_pop(v) / var_samp(v), 1.5))")
+    assert(t("SELECT kurtSamp(v)") ==
+      "SELECT ((kurtosis(v) + 3.0) * pow(var_pop(v) / var_samp(v), 2.0))")
+  }
+
   test("round-13 session-3: parseArgs respects square brackets and " +
     "backticks when splitting arguments") {
     // pre-fix, the comma inside [1, 2] split the argument list and the
