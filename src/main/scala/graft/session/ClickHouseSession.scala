@@ -235,13 +235,12 @@ object ClickHouseSession {
         classOf[graft.catalog.ClickHouseCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$name.${key._1}", key._2)
       graft.GraftSession.install(spark)
-      val client = path match {
-        case Some(p) => new EmbeddedClickHouse(p)
-        // endpoint transports (HTTP / failover / sharded): take the
-        // registered catalog's own client so pooling and option
-        // validation stay in one place
-        case None => graft.connector.ChMutations.clientOf(spark, name)
-      }
+      // always take the registered catalog's own client: it parses the
+      // sharded (`a,b`) and replica (`r1|r2`) grammars and keeps pooling
+      // and option validation in one place — a bare EmbeddedClickHouse
+      // over a comma path would treat the WHOLE string as one store dir
+      // (round-13 session-3 fix, found by the sharded-projection spec)
+      val client = graft.connector.ChMutations.clientOf(spark, name)
       new ClickHouseSession(spark, name, client)
     }
   }

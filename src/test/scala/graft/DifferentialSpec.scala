@@ -1156,4 +1156,21 @@ class DifferentialSpec extends AnyFunSuite {
         "FROM documents GROUP BY lang ORDER BY lang")
     assert(canon(remote) == canon(local))
   }
+
+  test("GROUP BY ... WITH ROLLUP / WITH CUBE pass through the embedded " +
+    "engine with the server's subtotal semantics") {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    for (kind <- Seq("ROLLUP", "CUBE")) {
+      val remote = ch.chSql(
+        s"SELECT `lang`, `source`, count(*) AS n FROM `main`.`documents` " +
+          s"WHERE `doc_id` < 400 GROUP BY `lang`, `source` WITH $kind")
+      val local = spark.sql(
+        s"SELECT lang, source, count(*) AS n FROM documents " +
+          s"WHERE doc_id < 400 GROUP BY lang, source WITH $kind")
+      assert(canon(remote) == canon(local), s"WITH $kind diverged")
+    }
+  }
 }

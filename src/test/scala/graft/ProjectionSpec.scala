@@ -251,6 +251,54 @@ class ProjectionSpec extends AnyFunSuite {
     // closing one kills active-session state for every later suite
   }
 
+  test("sharded catalogs: projection DDL fans out to every shard and " +
+    "each shard's read swaps onto ITS OWN states") {
+    val r1 = Files.createTempDirectory("graft_projsh1_").toString
+    val r2 = Files.createTempDirectory("graft_projsh2_").toString
+    spark.conf.set("spark.sql.catalog.chprojsh",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chprojsh.path", s"$r1,$r2")
+    spark.conf.set("spark.sql.catalog.chprojsh.shard_by", "id")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chprojsh.main")
+    spark.sql(
+      """CREATE TABLE chprojsh.main.sp (id BIGINT, tag STRING, v BIGINT)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    val c1 = new EmbeddedClickHouse(r1)
+    val c2 = new EmbeddedClickHouse(r2)
+    // DDL broadcasts: both shards carry the definition
+    graft.connector.ChMutations.clientOf(spark, "chprojsh")
+      .alterTable("main", "sp", Seq(ChAlterOp.AddProjection("pt",
+        "SELECT tag, sum(v), count(*) GROUP BY tag")))
+    assert(c1.listProjections("main", "sp").map(_.name) == Seq("pt"))
+    assert(c2.listProjections("main", "sp").map(_.name) == Seq("pt"))
+    // routed insert: every shard's slice builds its own states
+    spark.sql("INSERT INTO chprojsh.main.sp VALUES " +
+      (1 to 40).map(i => s"($i, 't${i % 3}', $i)").mkString(", "))
+    val shCh = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"$r1,$r2").catalogName("chprojsh").build()
+    val h1 = c1.projectionHitCount("main", "sp", "pt")
+    val h2 = c2.projectionHitCount("main", "sp", "pt")
+    // raw passthrough over shards has UNION semantics (one row per
+    // shard per group) — fold in Spark for the global answer
+    val rows = shCh.chSql(
+      "SELECT `tag` AS tag, sum(`v`) AS s, count(*) AS c " +
+        "FROM `main`.`sp` GROUP BY tag")
+      .groupBy("tag")
+      .agg(org.apache.spark.sql.functions.sum("s").as("s"),
+        org.apache.spark.sql.functions.sum("c").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("t0", (3 to 39 by 3).sum.toLong, 13L),
+      ("t1", (1 to 40 by 3).sum.toLong, 14L),
+      ("t2", (2 to 38 by 3).sum.toLong, 13L)))
+    // both shards hold data (routing spreads ids) and both swapped
+    assert(c1.projectionHitCount("main", "sp", "pt") > h1,
+      "shard 1 read must ride its projection")
+    assert(c2.projectionHitCount("main", "sp", "pt") > h2,
+      "shard 2 read must ride its projection")
+  }
+
   test("scan-aggregate pushdown over the catalog table rides the " +
     "projection too (the connector's generated SQL matches)") {
     val t = freshTable(Seq((1, "a", 10), (2, "b", 20), (3, "a", 30)))
