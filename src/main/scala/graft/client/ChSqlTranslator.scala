@@ -130,7 +130,7 @@ object ChSqlTranslator {
     * opens a literal.
     */
   private[client] def rewriteBrackets(in: String): String =
-    rewriteSubscripts(rewriteArrayLiterals(in))
+    rewriteSubscripts(rewriteArrayLiterals(rewriteMapLiterals(in)))
 
   /** Words after which a `[` opens an array LITERAL (they introduce an
     * expression rather than ending a primary one). Anything else —
@@ -145,6 +145,51 @@ object ChSqlTranslator {
     "RETURN", "INTERPOLATE", "WITH", "TOTALS", "FILL", "TO", "STEP",
     "ARRAY", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "SEMI", "ANTI",
     "ASOF", "ANY", "GLOBAL", "PASTE", "IF", "ELSEIF", "EXISTS")
+
+  /** ClickHouse map literals `{'k': v, ...}` → `map('k', v, ...)` —
+    * Spark has no brace-literal form. Braces appear in SELECT grammar
+    * only as map literals, so every top-level `:` inside a brace group
+    * is a key-value separator (nested literals recurse; strings and
+    * backticks are opaque).
+    */
+  private def rewriteMapLiterals(in: String): String = {
+    val out = new StringBuilder
+    var inSq = false
+    var inBq = false
+    // brace nesting depth → replace ':' with ',' only at brace level
+    var braces = 0
+    var parensSinceBrace = List.empty[Int] // paren depth inside each brace
+    var i = 0
+    while (i < in.length) {
+      val c = in.charAt(i)
+      if (inSq) {
+        out.append(c)
+        if (c == '\\' && i + 1 < in.length) { out.append(in.charAt(i + 1)); i += 1 }
+        else if (c == '\'') inSq = false
+      }
+      else if (inBq) { out.append(c); if (c == '`') inBq = false }
+      else c match {
+        case '\'' => inSq = true; out.append(c)
+        case '`' => inBq = true; out.append(c)
+        case '{' =>
+          braces += 1; parensSinceBrace ::= 0; out.append("map(")
+        case '}' if braces > 0 =>
+          braces -= 1; parensSinceBrace = parensSinceBrace.drop(1)
+          out.append(")")
+        case '(' | '[' if braces > 0 =>
+          parensSinceBrace = (parensSinceBrace.head + 1) :: parensSinceBrace.tail
+          out.append(c)
+        case ')' | ']' if braces > 0 =>
+          parensSinceBrace = (parensSinceBrace.head - 1) :: parensSinceBrace.tail
+          out.append(c)
+        case ':' if braces > 0 && parensSinceBrace.head == 0 =>
+          out.append(',')
+        case _ => out.append(c)
+      }
+      i += 1
+    }
+    out.result()
+  }
 
   private def rewriteArrayLiterals(in: String): String = {
     val out = new StringBuilder
@@ -480,6 +525,18 @@ object ChSqlTranslator {
         }
       seg
     }
+    // sumMap/minMap/maxMap: per-key map aggregation. The server's
+    // zero-total handling is a boundary rule this engine cannot verify
+    // offline (the docs are ambiguous on whether zero-sum keys drop) —
+    // reject BY NAME with the exact workaround rather than pick a
+    // silently divergent instance (the quantileExactWeighted policy).
+    for (f <- Seq("sumMap", "minMap", "maxMap", "sumMapWithOverflow"))
+      s = rewriteCall(s, f, _ => throw new IllegalArgumentException(
+        s"$f is not supported by the embedded engine (the server's " +
+          "zero-total key handling is not verifiable offline); " +
+          "explode the map and aggregate per key explicitly — " +
+          "arrayJoin over mapKeys/mapValues + GROUP BY key — or run " +
+          "against a real server"))
     // any/anyLast: the server keeps "some" value — min/max are legal
     // instances, reproducibly (the Summing-representative rule). The
     // quantified-subquery form `= any(SELECT ...)` is NOT the aggregate
@@ -2338,10 +2395,6 @@ object ChSqlTranslator {
       .sorted.headOption.getOrElse(s.length)
     val cond = s.substring(qp + 7, qEnd).trim
     require(cond.nonEmpty, "QUALIFY: empty condition")
-    require(!raw"(?i)\bOVER\b".r.findFirstIn(cond).isDefined,
-      "QUALIFY with an inline window expression is not supported by the " +
-        "embedded rewrite; alias the window function in the SELECT list " +
-        "and reference the alias in QUALIFY")
     // the wrap must be BRANCH-local: a QUALIFY in a later UNION branch
     // wraps only text after the preceding top-level UNION keyword, never
     // the already-rewritten earlier branches
@@ -2360,11 +2413,126 @@ object ChSqlTranslator {
         j
       }.getOrElse(0)
     val prefix = s.substring(0, branchStart)
-    val core = s.substring(branchStart, qp).trim
+    val core0 = s.substring(branchStart, qp).trim
     val tail = s.substring(qEnd).trim
+    // inline `fn(...) OVER (...)` in the condition: hoist each distinct
+    // window expression into the core's select list under a hidden
+    // alias, reference the alias, and star-EXCEPT the hidden columns in
+    // the wrap (both dialects parse `* EXCEPT (...)`)
+    val (core, cond2, hidden) = hoistQualifyWindows(core0, cond)
+    val sel =
+      if (hidden.isEmpty) "*"
+      else s"* EXCEPT (${hidden.mkString(", ")})"
     rewriteQualifyLevel(
-      prefix + s"SELECT * FROM ($core) AS __qualify WHERE $cond" +
+      prefix + s"SELECT $sel FROM ($core) AS __qualify WHERE $cond2" +
         (if (tail.isEmpty) "" else " " + tail))
+  }
+
+  /** Word-boundary positions of `word` outside string/backtick quotes at
+    * ANY paren depth (topLevelPositions' depth-0 restriction lifted).
+    */
+  private def wordPositionsAnyDepth(sql: String, word: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var inSq = false
+    var inBq = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inSq) { if (c == '\\') i += 1 else if (c == '\'') inSq = false }
+      else if (inBq) { if (c == '`') inBq = false }
+      else if (c == '\'') inSq = true
+      else if (c == '`') inBq = true
+      else if ((i == 0 || !(sql.charAt(i - 1).isLetterOrDigit || sql.charAt(i - 1) == '_')) &&
+        sql.regionMatches(true, i, word, 0, word.length) &&
+        (i + word.length >= sql.length ||
+          !(sql.charAt(i + word.length).isLetterOrDigit ||
+            sql.charAt(i + word.length) == '_')))
+        out += i
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Hoist every inline `fn(args) OVER (spec)` / `fn(args) OVER name` in
+    * a QUALIFY condition into the core's select list as hidden `__q_i`
+    * aliases (window results are only addressable as columns of the
+    * wrapped subquery). Named-window references keep working because the
+    * hidden item lands in the same SELECT whose WINDOW clause defines
+    * the name. DISTINCT cores reject — injecting hidden columns would
+    * change the dedup key.
+    */
+  private def hoistQualifyWindows(
+      core: String, cond: String): (String, String, Seq[String]) = {
+    if (wordPositionsAnyDepth(cond, "OVER").isEmpty) return (core, cond, Seq.empty)
+    require(!raw"(?is)^SELECT\s+DISTINCT\b".r.findFirstIn(core).isDefined,
+      "QUALIFY with an inline window over a SELECT DISTINCT core is not " +
+        "supported by the embedded rewrite (hidden hoisted columns would " +
+        "change the dedup key); alias the window function in the SELECT " +
+        "list and reference the alias in QUALIFY")
+    val fromP = topLevelPositions(core, "FROM").headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "QUALIFY with an inline window needs a FROM clause to hoist into"))
+    var c = cond
+    val exprs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var guard = 0
+    while (wordPositionsAnyDepth(c, "OVER").nonEmpty && guard < 32) {
+      guard += 1
+      val at = wordPositionsAnyDepth(c, "OVER").head
+      // backward: ')' closing the function's argument list, then the name
+      var j = at - 1
+      while (j >= 0 && c.charAt(j).isWhitespace) j -= 1
+      require(j >= 0 && c.charAt(j) == ')',
+        s"QUALIFY: cannot parse the window call before OVER in '$cond'")
+      var d = 1
+      var k = j - 1
+      var sq = false
+      while (k >= 0 && d > 0) {
+        val ch = c.charAt(k)
+        if (sq) { if (ch == '\'') sq = false }
+        else if (ch == '\'') sq = true
+        else if (ch == ')') d += 1
+        else if (ch == '(') d -= 1
+        if (d > 0) k -= 1
+      }
+      require(k > 0, s"QUALIFY: unbalanced window call in '$cond'")
+      var f = k - 1
+      while (f >= 0 && (c.charAt(f).isLetterOrDigit || c.charAt(f) == '_')) f -= 1
+      require(f < k - 1,
+        s"QUALIFY: cannot parse the window function name in '$cond'")
+      val start = f + 1
+      // forward: `(spec)` group or a bare window name
+      var p = at + 4
+      while (p < c.length && c.charAt(p).isWhitespace) p += 1
+      val end =
+        if (p < c.length && c.charAt(p) == '(') {
+          var dd = 1
+          var q = p + 1
+          var sq2 = false
+          while (q < c.length && dd > 0) {
+            val ch = c.charAt(q)
+            if (sq2) { if (ch == '\'') sq2 = false }
+            else if (ch == '\'') sq2 = true
+            else if (ch == '(') dd += 1
+            else if (ch == ')') dd -= 1
+            q += 1
+          }
+          require(dd == 0, s"QUALIFY: unbalanced OVER spec in '$cond'")
+          q
+        } else {
+          var q = p
+          while (q < c.length && (c.charAt(q).isLetterOrDigit || c.charAt(q) == '_')) q += 1
+          require(q > p, s"QUALIFY: OVER needs a (spec) or window name in '$cond'")
+          q
+        }
+      val winExpr = c.substring(start, end)
+      val alias = exprs.getOrElseUpdate(winExpr, s"__q_${exprs.size}")
+      c = c.substring(0, start) + alias + c.substring(end)
+    }
+    require(guard < 32, s"QUALIFY: too many inline windows in '$cond'")
+    val injected = exprs.map { case (e, a) => s"$e AS $a" }.mkString(", ")
+    val core2 = core.substring(0, fromP).replaceAll(raw"\s+$$", "") +
+      s", $injected " + core.substring(fromP)
+    (core2, c, exprs.values.toSeq)
   }
 
   // ---- SETTINGS clause handling (embedded) ----------------------------

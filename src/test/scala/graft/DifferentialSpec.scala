@@ -1173,4 +1173,24 @@ class DifferentialSpec extends AnyFunSuite {
       assert(canon(remote) == canon(local), s"WITH $kind diverged")
     }
   }
+
+  test("QUALIFY with an INLINE window expression executes via the hidden " +
+    "hoist and agrees with the aliased form") {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    val inline = ch.chSql(
+      "SELECT `lang`, `doc_id` FROM `main`.`documents` " +
+        "QUALIFY row_number() OVER (PARTITION BY `lang` " +
+        "ORDER BY `n_chars` DESC, `doc_id`) <= 3 ORDER BY `lang`, `doc_id`")
+    val aliased = ch.chSql(
+      "SELECT `lang`, `doc_id` FROM (SELECT `lang`, `doc_id`, " +
+        "row_number() OVER (PARTITION BY `lang` ORDER BY `n_chars` DESC, " +
+        "`doc_id`) AS rn FROM `main`.`documents` QUALIFY rn <= 3) " +
+        "ORDER BY `lang`, `doc_id`")
+    assert(canon(inline) == canon(aliased))
+    assert(!inline.columns.exists(_.startsWith("__q_")),
+      "hidden hoisted columns must not leak into the result schema")
+  }
 }

@@ -455,6 +455,9 @@ class HttpClientSpec extends AnyFunSuite {
           s"Code: 60. DB::Exception: cannot mutate: $q".getBytes(UTF_8),
           Map("X-ClickHouse-Exception-Code" -> "60"))
       }
+    } else if (q.startsWith("ALTER TABLE") && q.contains("PROJECTION")) {
+      // projection DDL is metadata-speed server-side; accept verbatim
+      tsvOk("")
     } else if (q.startsWith("ALTER TABLE") && q.contains(" DELETE WHERE ")) {
       // mutation: rewrite the dyn table without the matching rows
       val Alt = raw"ALTER TABLE `main`\.`([^`]+)` DELETE WHERE (.+)".r.unanchored
@@ -646,6 +649,25 @@ class HttpClientSpec extends AnyFunSuite {
     val dataQ = queries.synchronized(queries.toSeq).diff(sent)
     assert(dataQ.exists(_.endsWith("FORMAT RowBinaryWithNamesAndTypes")))
     assert(!dataQ.exists(_.contains("JSON")))
+  }
+
+  test("projection DDL ships as one ALTER statement, rendered verbatim " +
+    "(the server validates — it accepts MORE than the embedded model)") {
+    val before = queries.synchronized(queries.toSeq)
+    client.alterTable("main", "events_http", Seq(
+      graft.client.ChAlterOp.AddProjection("by_name",
+        "SELECT name, sum(val), count(*) GROUP BY name"),
+      graft.client.ChAlterOp.MaterializeProjection("by_name")))
+    client.alterTable("main", "events_http",
+      Seq(graft.client.ChAlterOp.DropProjection("by_name")))
+    val sent = queries.synchronized(queries.toSeq).diff(before)
+    assert(sent.exists(_.startsWith(
+      "ALTER TABLE `main`.`events_http` ADD PROJECTION `by_name` " +
+        "(SELECT name, sum(val), count(*) GROUP BY name), " +
+        "MATERIALIZE PROJECTION `by_name`")), sent.mkString("\n"))
+    assert(sent.exists(_.startsWith(
+      "ALTER TABLE `main`.`events_http` DROP PROJECTION `by_name`")),
+      sent.mkString("\n"))
   }
 
   test("columnar read decodes wire blocks straight into vectors") {

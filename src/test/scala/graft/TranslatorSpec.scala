@@ -343,9 +343,28 @@ class TranslatorSpec extends AnyFunSuite {
     assert(got4.matches(raw"SELECT \* FROM \(SELECT k, row_number.*\) AS " +
       raw"__qualify WHERE rn = 1 UNION ALL SELECT \* FROM \(SELECT k, " +
       raw"row_number.*\) AS __qualify WHERE rn = 2"), got4)
+    // inline OVER in the condition hoists into a hidden __q_i select
+    // item; the wrap star-EXCEPTs it back out (round-13 session 3 —
+    // formerly a documented reject)
+    val got5 = t("SELECT k FROM db.tbl QUALIFY row_number() " +
+      "OVER (ORDER BY k) = 1")
+    assert(got5 ==
+      "SELECT * EXCEPT (__q_0) FROM (SELECT k, row_number() OVER " +
+        "(ORDER BY k NULLS LAST) AS __q_0 FROM __ch_db_tbl) AS __qualify " +
+        "WHERE __q_0 = 1", got5)
+    // duplicated window text reuses ONE hidden column; distinct windows
+    // get their own
+    val got6 = t("SELECT k FROM db.tbl QUALIFY rank() OVER (ORDER BY k) " +
+      "<= 2 AND (rank() OVER (ORDER BY k) > 0 OR row_number() OVER " +
+      "(ORDER BY v) = 1)")
+    assert(got6.contains("EXCEPT (__q_0, __q_1)"), got6)
+    assert(got6.contains("WHERE __q_0 <= 2 AND (__q_0 > 0 OR __q_1 = 1)"),
+      got6)
+    // DISTINCT cores still reject (hidden columns would change the key)
     val e = intercept[IllegalArgumentException](
-      t("SELECT k FROM db.tbl QUALIFY row_number() OVER (ORDER BY k) = 1"))
-    assert(e.getMessage.contains("alias the window function"), e.getMessage)
+      t("SELECT DISTINCT k FROM db.tbl QUALIFY row_number() " +
+        "OVER (ORDER BY k) = 1"))
+    assert(e.getMessage.contains("DISTINCT"), e.getMessage)
     val e2 = intercept[IllegalArgumentException](
       t("SELECT k FROM db.tbl QUALIFY "))
     assert(e2.getMessage.contains("empty condition"), e2.getMessage)
@@ -864,6 +883,21 @@ class TranslatorSpec extends AnyFunSuite {
       t("SELECT n FROM (SELECT a.k AS n FROM (SELECT k FROM db.tbl ORDER " +
         "BY k) AS a PASTE JOIN (SELECT k FROM db.tbl ORDER BY k) AS b)")
     }
+  }
+
+  test("round-13 session-3: brace map literals become map(); the " +
+    "sumMap family rejects by name with the explode workaround") {
+    assert(t("SELECT {'a': 1, 'b': 2}") == "SELECT map('a', 1, 'b', 2)")
+    assert(t("SELECT {'k': [1, 2]}") == "SELECT map('k', array(1, 2))")
+    assert(t("SELECT {concat('a', 'b'): if(x > 0, 1, 2)}") ==
+      "SELECT map(concat('a', 'b'), if(x > 0, 1, 2))")
+    // nested maps; ':' inside strings is data
+    assert(t("SELECT {'outer': {'in': 1}}") ==
+      "SELECT map('outer', map('in', 1))")
+    assert(t("SELECT {'a:b': 'c:d'}") == "SELECT map('a:b', 'c:d')")
+    val e = intercept[IllegalArgumentException](t("SELECT sumMap(m)"))
+    assert(e.getMessage.contains("arrayJoin"))
+    intercept[IllegalArgumentException](t("SELECT minMap(m)"))
   }
 
   test("round-13 session-3: higher-moment aggregates map via closed " +
