@@ -2211,7 +2211,7 @@ object ChSqlTranslator {
     * verbatim). Backticked identifiers are NOT literals and stay inside
     * the mapped segments.
     */
-  private def mapOutsideStrings(s: String)(f: String => String): String = {
+  private[client] def mapOutsideStrings(s: String)(f: String => String): String = {
     val out = new StringBuilder
     val seg = new StringBuilder
     var inSq = false

@@ -1588,7 +1588,12 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         }
       }
       val plainStmt = rewriteSample(rewriteFinal(effective))
-      val tr = ChSqlTranslator.translate(plainStmt, tables)
+      // `_part` virtual column (server MergeTree parity): statements
+      // referencing it read through per-part augmented views so the
+      // part NAME is an ordinary column — registered on demand, never
+      // polluting star-selects of ordinary reads
+      val partStmt = rewritePartVirtual(entry, plainStmt, tables)
+      val tr = ChSqlTranslator.translate(partStmt, tables)
       ensureViews(entry, tr, tables)
       val df =
         try entry.session.sql(tr) catch { case e: Throwable =>
@@ -1627,6 +1632,76 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         .orElse(st.map(p => starTransform(chosen, p, tables)))
         .getOrElse(chosen)
     })
+  }
+
+  /** The `_part` virtual column: when a statement references it (word-
+    * boundary, outside strings), every referenced store table swaps to
+    * an on-demand view carrying the part file name as a column — the
+    * server's MergeTree `_part` surface. Other virtual columns
+    * (`_partition_id` etc.) stay unresolved-and-loud: embedded part
+    * files are not partition-split, so deriving them from file names
+    * would lie.
+    */
+  private def rewritePartVirtual(
+      entry: EmbeddedClickHouse.CachedServer, stmt: String,
+      tables: Seq[(String, String)]): String = {
+    // quote-aware reference scan: a bare `_part` word or the backticked
+    // identifier, never text inside string literals
+    def referencesPart(s: String): Boolean = {
+      var inSq = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inSq) { if (c == '\\') i += 1 else if (c == '\'') inSq = false }
+        else if (c == '\'') inSq = true
+        else if (c == '`') {
+          val e = s.indexOf('`', i + 1)
+          if (e < 0) return false
+          if (s.substring(i + 1, e) == "_part") return true
+          i = e
+        }
+        else if (c == '_' &&
+          (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) &&
+          s.regionMatches(false, i, "_part", 0, 5) &&
+          (i + 5 >= s.length ||
+            !(s.charAt(i + 5).isLetterOrDigit || s.charAt(i + 5) == '_')))
+          return true
+        i += 1
+      }
+      false
+    }
+    if (!referencesPart(stmt)) return stmt
+    tables.foldLeft(stmt) { case (acc, (db, t)) =>
+      val quoted = s"`$db`.`$t`"
+      if (!acc.contains(quoted)) acc
+      else ChSqlTranslator.mapOutsideStrings(acc)(
+        _.replace(quoted, ensurePartView(entry, db, t)))
+    }
+  }
+
+  private def ensurePartView(
+      entry: EmbeddedClickHouse.CachedServer, db: String, t: String): String = {
+    val name = ChSqlTranslator.viewName(db, t) + "__parts"
+    val v = EmbeddedClickHouse.storeVersion(root).get()
+    val key = (s"__vpart__$db.$t", "")
+    val reg = entry.viewVersions.get(key)
+    if (reg == null || reg.longValue != v) {
+      val child = entry.session
+      import org.apache.spark.sql.functions.lit
+      val schema = sparkSchema(db, t)
+      val files = dataFiles(db, t)
+      val df =
+        if (files.isEmpty)
+          child.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+            .withColumn("_part", lit(""))
+        else files.map { f =>
+          child.read.schema(schema).parquet(f).withColumn("_part",
+            lit(Paths.get(f).getFileName.toString))
+        }.reduce(_ unionByName _)
+      df.createOrReplaceTempView(name)
+      entry.viewVersions.put(key, java.lang.Long.valueOf(v))
+    }
+    name
   }
 
   private val ProjFromRe = raw"^`([^`]+)`\.`([^`]+)`$$".r

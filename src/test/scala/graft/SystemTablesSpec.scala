@@ -188,4 +188,40 @@ class SystemTablesSpec extends AnyFunSuite {
     assert(totals.length == 2 &&
       totals.map(_.getAs[Long]("total_rows")).sum == 100L)
   }
+
+  test("the _part virtual column reads the part file name in-query, " +
+    "matches system.parts, and never leaks into star-selects") {
+    setup
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chsys").build()
+    // a fresh insert guarantees >= 2 live parts even after the OPTIMIZE
+    // test consolidated the earlier ones
+    spark.sql("INSERT INTO chsys.main.base VALUES (9, 9.5, 'c')")
+    val total = spark.table("chsys.main.base").count()
+    val byPart = ch.chSql(
+      "SELECT `_part` AS p, count(*) AS n FROM `main`.`base` " +
+        "GROUP BY p ORDER BY p").collect()
+    assert(byPart.length >= 2, "expected at least two live parts")
+    assert(byPart.map(_.getLong(1)).sum == total)
+    val sysParts = ch.chSql(
+      "SELECT `name` FROM `system`.`parts` WHERE `table` = 'base'")
+      .collect().map(_.getString(0)).toSet
+    assert(byPart.map(_.getString(0)).toSet == sysParts,
+      "_part values must be exactly the system.parts names")
+    // bare (unbackticked) reference works too; predicates on it prune
+    val one = ch.chSql(
+      s"SELECT count(*) AS n FROM `main`.`base` " +
+        s"WHERE _part = '${byPart.head.getString(0)}'").collect().head
+    assert(one.getLong(0) == byPart.head.getLong(1))
+    // star-selects of ordinary reads never see the virtual column
+    assert(!ch.chSql("SELECT * FROM `main`.`base` LIMIT 1")
+      .columns.contains("_part"))
+    // a string literal mentioning _part is DATA, not a reference
+    assert(ch.chSql("SELECT * FROM `main`.`base` WHERE tag != '_part'")
+      .columns.sameElements(Array("id", "v", "tag")))
+    // other virtual columns stay loud (file names cannot honestly
+    // derive a partition id — embedded parts are not partition-split)
+    intercept[Exception](ch.chSql(
+      "SELECT `_partition_id` FROM `main`.`base`").collect())
+  }
 }
