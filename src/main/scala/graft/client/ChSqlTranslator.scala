@@ -438,6 +438,71 @@ object ChSqlTranslator {
     s = rewriteCall(s, "arrayMap", args => s"transform(${args(1)}, ${args(0)})")
     s = rewriteCall(s, "arrayFilter", args => s"filter(${args(1)}, ${args(0)})")
     s = rewriteCall(s, "arrayExists", args => s"exists(${args(1)}, ${args(0)})")
+    s = rewriteCall(s, "arrayAll", args => s"forall(${args(1)}, ${args(0)})")
+    // arrayFold((acc, x) -> ..., arr, init) → aggregate(arr, init, f):
+    // both engines fold left with the same (acc, element) lambda shape
+    s = rewriteCall(s, "arrayFold", args => {
+      require(args.size == 3, "arrayFold(lambda, array, init)")
+      s"aggregate(${args(1)}, ${args(2)}, ${args(0)})"
+    })
+    // arrayCount([f,] arr): matching elements; the no-lambda form counts
+    // elements != 0 (server semantics)
+    s = rewriteCall(s, "arrayCount", args =>
+      if (args.size >= 2) s"size(filter(${args(1)}, ${args(0)}))"
+      else s"size(filter(${args.head}, __ac_x -> __ac_x != 0))")
+    // arraySort/arrayReverseSort (plain arity): ClickHouse places NULLs
+    // LAST in both directions — Spark's sort_array puts them first on
+    // ASC, so the NULL block is split out and re-appended. The keyed
+    // arity (arraySort(f, arr)) rejects: the server's stable equal-key
+    // order has no Spark array primitive.
+    def nullsLastSort(a: String, desc: Boolean): String = {
+      val vals = s"sort_array(filter($a, __as_x -> __as_x IS NOT NULL))"
+      val core = if (desc) s"reverse($vals)" else vals
+      s"concat($core, filter($a, __as_x -> __as_x IS NULL))"
+    }
+    s = rewriteCall(s, "arraySort", args => {
+      require(args.size == 1,
+        "arraySort with a key lambda is not supported by the embedded " +
+          "engine (the server's stable equal-key order has no Spark " +
+          "array primitive); sort a struct-keyed copy explicitly or run " +
+          "against a real server")
+      nullsLastSort(args.head, desc = false)
+    })
+    s = rewriteCall(s, "arrayReverseSort", args => {
+      require(args.size == 1,
+        "arrayReverseSort with a key lambda is not supported by the " +
+          "embedded engine; sort a struct-keyed copy explicitly or run " +
+          "against a real server")
+      nullsLastSort(args.head, desc = true)
+    })
+    // arrayReduce('agg', arr): literal-name dispatch onto the exact
+    // element folds (the sumArray/uniqArray machinery, scalar-shaped)
+    s = rewriteCall(s, "arrayReduce", args => {
+      require(args.size == 2,
+        "arrayReduce: exactly ('aggName', array) is supported")
+      val name = args.head.trim
+      require(name.length >= 3 && name.startsWith("'") && name.endsWith("'"),
+        s"arrayReduce: the aggregate name must be a string literal (got $name)")
+      val a = args(1)
+      val nn = s"filter($a, __ar_x -> __ar_x IS NOT NULL)"
+      name.substring(1, name.length - 1) match {
+        case "sum" =>
+          s"aggregate($nn, try_element_at($nn, 1) * 0, " +
+            "(__ar_acc, __ar_v) -> __ar_acc + __ar_v)"
+        case "min" | "any" => s"array_min($a)" // any→min, the pinned rule
+        case "max" | "anyLast" => s"array_max($a)"
+        case "avg" =>
+          s"(aggregate($nn, cast(0 as double), " +
+            s"(__ar_acc, __ar_v) -> __ar_acc + __ar_v) / size($nn))"
+        case "count" => s"cast(size($nn) as bigint)"
+        case "uniq" | "uniqExact" =>
+          s"cast(size(array_distinct($nn)) as bigint)"
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce('$other', ...) is not supported by the embedded " +
+            "engine — supported names: sum, min, max, avg, count, any, " +
+            "anyLast, uniq, uniqExact")
+      }
+    })
     // CAST(x AS <ClickHouse type>) → CAST(x AS <Spark type>)
     s = rewriteCall(s, "CAST", args => {
       // re-join: the splitter breaks on top-level commas, but Spark

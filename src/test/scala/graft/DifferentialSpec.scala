@@ -1193,4 +1193,34 @@ class DifferentialSpec extends AnyFunSuite {
     assert(!inline.columns.exists(_.startsWith("__q_")),
       "hidden hoisted columns must not leak into the result schema")
   }
+
+  test("arrayFold/arrayReduce/arraySort shapes agree with explicit " +
+    "recomputes (NULLs sort last like the server)") {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    val remote = ch.chSql(
+      "SELECT `doc_id` AS id, " +
+        "arrayFold((acc, x) -> acc + lengthUTF8(x), " +
+        "  splitByChar(' ', `text`), toInt32(0)) AS folded, " +
+        "arrayReduce('sum', arrayMap(t -> toInt64(lengthUTF8(t)), " +
+        "  splitByChar(' ', `text`))) AS rsum, " +
+        "arrayReduce('uniqExact', splitByChar(' ', `text`)) AS runiq, " +
+        "arraySort([toInt64(3), NULL, toInt64(1)])[1] AS s1, " +
+        "arrayReverseSort([toInt64(3), NULL, toInt64(1)])[3] AS s3 " +
+        "FROM `main`.`documents` WHERE `doc_id` < 50 ORDER BY id")
+    val local = spark.sql(
+      "SELECT doc_id AS id, " +
+        "aggregate(split(text, ' '), 0, (acc, x) -> acc + char_length(x)) " +
+        "  AS folded, " +
+        "aggregate(transform(split(text, ' '), t -> " +
+        "  CAST(char_length(t) AS BIGINT)), CAST(0 AS BIGINT), " +
+        "  (acc, v) -> acc + v) AS rsum, " +
+        "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS runiq, " +
+        "CAST(1 AS BIGINT) AS s1, " +
+        "CAST(NULL AS BIGINT) AS s3 " +
+        "FROM documents WHERE doc_id < 50 ORDER BY id")
+    assert(canon(remote) == canon(local))
+  }
 }

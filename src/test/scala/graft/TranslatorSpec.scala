@@ -900,6 +900,29 @@ class TranslatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t("SELECT minMap(m)"))
   }
 
+  test("round-13 session-3: arrayFold/arrayReduce/arraySort/arrayCount/" +
+    "arrayAll — folds exact, NULLs last in both sort directions") {
+    assert(t("SELECT arrayFold((acc, x) -> acc + x, arr, 0)") ==
+      "SELECT aggregate(arr, 0, (acc, x) -> acc + x)")
+    assert(t("SELECT arrayAll(x -> x > 0, arr)") ==
+      "SELECT forall(arr, x -> x > 0)")
+    assert(t("SELECT arrayCount(x -> x > 1, arr)") ==
+      "SELECT size(filter(arr, x -> x > 1))")
+    assert(t("SELECT arrayCount(arr)") ==
+      "SELECT size(filter(arr, __ac_x -> __ac_x != 0))")
+    val srt = t("SELECT arraySort(a)")
+    assert(srt.contains("sort_array(filter(a, __as_x -> __as_x IS NOT NULL))"))
+    assert(srt.contains("filter(a, __as_x -> __as_x IS NULL)"))
+    assert(t("SELECT arrayReverseSort(a)").contains("reverse(sort_array("))
+    intercept[IllegalArgumentException](t("SELECT arraySort(x -> -x, a)"))
+    assert(t("SELECT arrayReduce('max', a)") == "SELECT array_max(a)")
+    assert(t("SELECT arrayReduce('count', a)").contains("size(filter(a"))
+    assert(t("SELECT arrayReduce('uniqExact', a)").contains("array_distinct"))
+    assert(t("SELECT arrayReduce('sum', a)").contains("try_element_at"))
+    intercept[IllegalArgumentException](t("SELECT arrayReduce('median', a)"))
+    intercept[IllegalArgumentException](t("SELECT arrayReduce(nm, a)"))
+  }
+
   test("round-13 session-3: higher-moment aggregates map via closed " +
     "forms (kurtPop is non-excess; *Samp converts by the variance ratio)") {
     assert(t("SELECT skewPop(v)") == "SELECT skewness(v)")
