@@ -439,6 +439,45 @@ object ChSqlTranslator {
     s = rewriteCall(s, "arrayFilter", args => s"filter(${args(1)}, ${args(0)})")
     s = rewriteCall(s, "arrayExists", args => s"exists(${args(1)}, ${args(0)})")
     s = rewriteCall(s, "arrayAll", args => s"forall(${args(1)}, ${args(0)})")
+    // arrayFirstIndex(f, arr): 1-based index of the first match, 0 when
+    // none — array_position shares BOTH conventions (the indexOf rule)
+    s = rewriteCall(s, "arrayFirstIndex", args =>
+      s"array_position(transform(${args(1)}, ${args(0)}), true)")
+    // arrayLastIndex: position in the reversed array maps back as
+    // size - p + 1; 0-for-absent survives the CASE
+    s = rewriteCall(s, "arrayLastIndex", args => {
+      val bools = s"transform(${args(1)}, ${args(0)})"
+      s"(CASE WHEN array_position(reverse($bools), true) = 0 THEN 0 " +
+        s"ELSE size(${args(1)}) - array_position(reverse($bools), true) + 1 " +
+        "END)"
+    })
+    // hasAll/hasAny via Spark's SET operations, which treat NULL
+    // elements as equal — exactly ClickHouse's semantics ([NULL] hasAll
+    // [NULL] = 1); array_contains/arrays_overlap would go three-valued
+    s = rewriteCall(s, "hasAll",
+      args => s"(size(array_except(${args(1)}, ${args(0)})) = 0)")
+    s = rewriteCall(s, "hasAny",
+      args => s"(size(array_intersect(${args(0)}, ${args(1)})) > 0)")
+    // distinct elements in both, order unspecified in BOTH engines
+    s = rewriteCall(s, "arrayIntersect",
+      args => s"array_intersect(${args(0)}, ${args(1)})")
+    // range(n) = [0 .. n-1]; range(start, end[, step]) is HALF-OPEN
+    // where Spark's sequence is inclusive — the end nudges back one
+    // step; empty ranges need the CASE (sequence(0, -1) would emit a
+    // DESCENDING ramp)
+    s = rewriteCall(s, "range", args => args.size match {
+      case 1 =>
+        s"(CASE WHEN ${args(0)} <= 0 THEN array() " +
+          s"ELSE sequence(0, ${args(0)} - 1) END)"
+      case 2 =>
+        s"(CASE WHEN ${args(1)} <= ${args(0)} THEN array() " +
+          s"ELSE sequence(${args(0)}, ${args(1)} - 1) END)"
+      case _ =>
+        s"(CASE WHEN (${args(2)}) > 0 AND ${args(1)} <= ${args(0)} " +
+          s"THEN array() ELSE sequence(${args(0)}, " +
+          s"${args(1)} - (CASE WHEN (${args(2)}) > 0 THEN 1 ELSE -1 END), " +
+          s"${args(2)}) END)"
+    })
     // arrayFold((acc, x) -> ..., arr, init) → aggregate(arr, init, f):
     // both engines fold left with the same (acc, element) lambda shape
     s = rewriteCall(s, "arrayFold", args => {

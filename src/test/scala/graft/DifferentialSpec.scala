@@ -1223,4 +1223,32 @@ class DifferentialSpec extends AnyFunSuite {
         "FROM documents WHERE doc_id < 50 ORDER BY id")
     assert(canon(remote) == canon(local))
   }
+
+  test("hasAll/hasAny/range/arrayFirstIndex shapes agree with explicit " +
+    "recomputes, including NULL-element set semantics") {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    val remote = ch.chSql(
+      "SELECT `doc_id` AS id, " +
+        "hasAll(splitByChar(' ', `text`), ['the', 'of']) AS ha, " +
+        "hasAny(splitByChar(' ', `text`), ['the', 'zzz_nope']) AS hy, " +
+        "arrayFirstIndex(t -> lengthUTF8(t) > 5, splitByChar(' ', `text`)) " +
+        "  AS fi, " +
+        "range(toInt32(`doc_id` % 4)) AS rg, " +
+        "hasAll([NULL, toInt64(1)], [NULL]) AS hn " +
+        "FROM `main`.`documents` WHERE `doc_id` < 50 ORDER BY id")
+    val local = spark.sql(
+      "SELECT doc_id AS id, " +
+        "(size(array_except(array('the', 'of'), split(text, ' '))) = 0) AS ha, " +
+        "(size(array_intersect(split(text, ' '), array('the', 'zzz_nope'))) > 0) AS hy, " +
+        "coalesce(array_position(transform(split(text, ' '), " +
+        "  t -> char_length(t) > 5), true), 0) AS fi, " +
+        "CASE WHEN CAST(doc_id % 4 AS INT) <= 0 THEN array() " +
+        "  ELSE sequence(0, CAST(doc_id % 4 AS INT) - 1) END AS rg, " +
+        "true AS hn " +
+        "FROM documents WHERE doc_id < 50 ORDER BY id")
+    assert(canon(remote) == canon(local))
+  }
 }

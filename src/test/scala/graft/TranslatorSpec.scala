@@ -923,6 +923,24 @@ class TranslatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t("SELECT arrayReduce(nm, a)"))
   }
 
+  test("round-13 session-3: hasAll/hasAny via null-safe set ops, " +
+    "first/last match indexes, range half-open forms") {
+    assert(t("SELECT hasAll(a, b)") ==
+      "SELECT (size(array_except(b, a)) = 0)")
+    assert(t("SELECT hasAny(a, b)") ==
+      "SELECT (size(array_intersect(a, b)) > 0)")
+    assert(t("SELECT arrayIntersect(a, b)") == "SELECT array_intersect(a, b)")
+    assert(t("SELECT arrayFirstIndex(x -> x > 1, a)") ==
+      "SELECT array_position(transform(a, x -> x > 1), true)")
+    assert(t("SELECT arrayLastIndex(x -> x > 1, a)").contains(
+      "ELSE size(a) - array_position(reverse(transform(a, x -> x > 1)), " +
+        "true) + 1"))
+    assert(t("SELECT range(5)") ==
+      "SELECT (CASE WHEN 5 <= 0 THEN array() ELSE sequence(0, 5 - 1) END)")
+    assert(t("SELECT range(2, 7)").contains("sequence(2, 7 - 1)"))
+    assert(t("SELECT range(0, 10, 3)").contains("sequence(0, 10 -"))
+  }
+
   test("round-13 session-3: higher-moment aggregates map via closed " +
     "forms (kurtPop is non-excess; *Samp converts by the variance ratio)") {
     assert(t("SELECT skewPop(v)") == "SELECT skewness(v)")
