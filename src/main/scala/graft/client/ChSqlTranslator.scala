@@ -514,6 +514,27 @@ object ChSqlTranslator {
           "against a real server")
       nullsLastSort(args.head, desc = true)
     })
+    // arrayCumSum: running prefix sums, same length; arrayDifference:
+    // [0, a2-a1, ...]. Both need the ELEMENT type's zero (a text rewrite
+    // cannot name it) — try_element_at(a, 1) * 0, the sumArray trick.
+    s = rewriteCall(s, "arrayCumSum", args => {
+      val a = args.head
+      val zero = s"try_element_at($a, 1) * 0"
+      // slice(a, 1, 0) is an EMPTY array of a's own element type — the
+      // only way a text rewrite can type the accumulator; sums stay in
+      // the element type (narrow-int overflow errors loudly under ANSI
+      // where the server would promote — never a silent wrap)
+      s"aggregate($a, slice($a, 1, 0), " +
+        "(__cs_acc, __cs_v) -> concat(__cs_acc, array(" +
+        s"coalesce(try_element_at(__cs_acc, -1), $zero) + __cs_v)))"
+    })
+    s = rewriteCall(s, "arrayDifference", args => {
+      val a = args.head
+      s"(CASE WHEN size($a) <= 0 THEN $a ELSE concat(" +
+        s"array(try_element_at($a, 1) * 0), " +
+        s"zip_with(slice($a, 2, size($a) - 1), slice($a, 1, size($a) - 1), " +
+        "(__ad_x, __ad_y) -> __ad_x - __ad_y)) END)"
+    })
     // arrayReduce('agg', arr): literal-name dispatch onto the exact
     // element folds (the sumArray/uniqArray machinery, scalar-shaped)
     s = rewriteCall(s, "arrayReduce", args => {

@@ -1251,4 +1251,29 @@ class DifferentialSpec extends AnyFunSuite {
         "FROM documents WHERE doc_id < 50 ORDER BY id")
     assert(canon(remote) == canon(local))
   }
+
+  test("arrayCumSum/arrayDifference agree with explicit recomputes") {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    val remote = ch.chSql(
+      "SELECT `doc_id` AS id, " +
+        "arrayCumSum(arrayMap(t -> toInt64(lengthUTF8(t)), " +
+        "  splitByChar(' ', `text`))) AS cs, " +
+        "arrayDifference(arrayMap(t -> toInt64(lengthUTF8(t)), " +
+        "  splitByChar(' ', `text`))) AS df " +
+        "FROM `main`.`documents` WHERE `doc_id` < 40 ORDER BY id")
+    val local = spark.sql(
+      "SELECT doc_id AS id, lens AS base, " +
+        "aggregate(lens, slice(lens, 1, 0), (acc, v) -> concat(acc, " +
+        "  array(coalesce(try_element_at(acc, -1), CAST(0 AS BIGINT)) + v))) AS cs, " +
+        "concat(array(CAST(0 AS BIGINT)), zip_with(slice(lens, 2, " +
+        "  size(lens) - 1), slice(lens, 1, size(lens) - 1), " +
+        "  (x, y) -> x - y)) AS df " +
+        "FROM (SELECT doc_id, transform(split(text, ' '), " +
+        "  t -> CAST(char_length(t) AS BIGINT)) AS lens FROM documents) " +
+        "WHERE doc_id < 40 ORDER BY id").drop("base")
+    assert(canon(remote) == canon(local))
+  }
 }

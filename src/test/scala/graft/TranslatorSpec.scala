@@ -923,6 +923,17 @@ class TranslatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t("SELECT arrayReduce(nm, a)"))
   }
 
+  test("round-13 session-3: arrayCumSum/arrayDifference via typed-zero " +
+    "folds (slice(a, 1, 0) is the element-typed empty accumulator)") {
+    val cs = t("SELECT arrayCumSum(a)")
+    assert(cs.contains("aggregate(a, slice(a, 1, 0)"), cs)
+    assert(cs.contains("coalesce(try_element_at(__cs_acc, -1)"), cs)
+    val ad = t("SELECT arrayDifference(a)")
+    assert(ad.contains("zip_with(slice(a, 2, size(a) - 1), " +
+      "slice(a, 1, size(a) - 1)"), ad)
+    assert(ad.contains("array(try_element_at(a, 1) * 0)"), ad)
+  }
+
   test("round-13 session-3: hasAll/hasAny via null-safe set ops, " +
     "first/last match indexes, range half-open forms") {
     assert(t("SELECT hasAll(a, b)") ==
