@@ -52,7 +52,10 @@ object ChProjections {
       case "sum" => s"sum(s$j)"
       case "min" => s"min(mn$j)"
       case "max" => s"max(mx$j)"
-      case "count" => s"sum(cnt$j)"
+      // coalesce: a GLOBAL count over zero state rows must be 0, not
+      // NULL (sum/min/max/avg are NULL over empty input on the base
+      // scan too, so only count needs the floor)
+      case "count" => s"coalesce(sum(cnt$j), 0)"
     }
 
     /** ClickHouse-dialect per-part build statement over `fromRef` (a
@@ -211,6 +214,7 @@ object ChProjections {
     // select items
     val items = splitList(s.substring(6, fromP.head).trim)
     if (items.isEmpty) return None
+    var aggItems = 0
     val mappedItems = items.map { item =>
       val (expr, alias) = splitAlias(item)
       val n = normalize(expr)
@@ -236,9 +240,15 @@ object ChProjections {
         }
         if (aj < 0) return None
         val outName = alias.getOrElse(return None)
+        aggItems += 1
         s"${d.mergeExpr(aj)} AS `$outName`"
       }
     }
+    // an all-key select with no GROUP BY is a plain row scan — the
+    // state view has one row per (part, group), not one per base row,
+    // and the schemas coincide, so the caller's analysis check cannot
+    // catch it; only aggregate queries may swap
+    if (aggItems == 0 && groupP.isEmpty) return None
     // alias → expr map for GROUP BY resolution
     val aliasExpr: Map[String, String] = items.flatMap { item =>
       val (expr, alias) = splitAlias(item)
@@ -304,9 +314,15 @@ object ChProjections {
     }
     // trailing clauses (HAVING / ORDER BY / LIMIT) pass through verbatim:
     // alias references resolve; base-expression references fail the
-    // caller's analysis check and fall back
+    // caller's analysis check and fall back. Any CALL in the tail is
+    // rejected outright — count(*) (and any aggregate) analyzes over
+    // the state view too, counting per-part state rows instead of base
+    // rows with an identical schema, so the caller's check cannot save
+    // us. Alias-only tails (`HAVING total > 3 ORDER BY total LIMIT 5`)
+    // are the common shapes and keep the swap.
     val tailStart = Seq(havingP, orderP, limitP).flatten.sorted.headOption
     val tail = tailStart.map(t => " " + s.substring(t)).getOrElse("")
+    if (tail.contains('(')) return None
     Some(s"SELECT ${mappedItems.mkString(", ")} FROM $viewRef" +
       mappedWhere.map(w => s" WHERE $w").getOrElse("") +
       mappedGroup.map(g => s" GROUP BY $g").getOrElse("") + tail)

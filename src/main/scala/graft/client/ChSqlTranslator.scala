@@ -547,8 +547,12 @@ object ChSqlTranslator {
       val nn = s"filter($a, __ar_x -> __ar_x IS NOT NULL)"
       name.substring(1, name.length - 1) match {
         case "sum" =>
-          s"aggregate($nn, try_element_at($nn, 1) * 0, " +
-            "(__ar_acc, __ar_v) -> __ar_acc + __ar_v)"
+          // outer coalesce: the typed-zero init is NULL over an empty
+          // (or all-NULL) array, but the server's arrayReduce('sum',[])
+          // is 0; the literal-0 fallback may widen narrow ints, in the
+          // same direction as the server's own sum promotion
+          s"coalesce(aggregate($nn, try_element_at($nn, 1) * 0, " +
+            "(__ar_acc, __ar_v) -> __ar_acc + __ar_v), 0)"
         case "min" | "any" => s"array_min($a)" // any→min, the pinned rule
         case "max" | "anyLast" => s"array_max($a)"
         case "avg" =>
@@ -789,8 +793,11 @@ object ChSqlTranslator {
       args => s"max(array_max(${args.head}))")
     def arrayElemSum(a: String): String = {
       val nn = s"filter($a, __ar_x -> __ar_x IS NOT NULL)"
-      s"aggregate($nn, try_element_at($nn, 1) * 0, " +
-        "(__ar_acc, __ar_v) -> __ar_acc + __ar_v)"
+      // coalesce: an empty/all-NULL array folds to NULL, which the
+      // outer sum would skip — but a group of ONLY empty arrays must
+      // yield 0 (the server's sumArray), not NULL
+      s"coalesce(aggregate($nn, try_element_at($nn, 1) * 0, " +
+        "(__ar_acc, __ar_v) -> __ar_acc + __ar_v), 0)"
     }
     s = rewriteCall(s, "sumArray",
       args => s"sum(${arrayElemSum(args.head)})")

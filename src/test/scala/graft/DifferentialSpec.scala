@@ -1276,4 +1276,25 @@ class DifferentialSpec extends AnyFunSuite {
         "WHERE doc_id < 40 ORDER BY id").drop("base")
     assert(canon(remote) == canon(local))
   }
+
+  test("arrayReduce('sum', [])/sumArray over only-empty arrays yield 0, " +
+    "not NULL (the server's empty-fold zero)") {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    val r = ch.chSql(
+      "SELECT arrayReduce('sum', arrayFilter(x -> x > 10, " +
+        "[toInt64(1), toInt64(2)])) AS es, " +
+        "arrayReduce('sum', [toInt64(3), toInt64(4)]) AS fs").collect().head
+    assert(!r.isNullAt(0) && r.getLong(0) == 0L,
+      "arrayReduce('sum', []) must be 0")
+    assert(r.getLong(1) == 7L)
+    // a whole GROUP of empty arrays: sumArray is 0, never NULL
+    val g = ch.chSql(
+      "SELECT sumArray(arrayFilter(x -> x > 10000, arrayMap(" +
+        "t -> lengthUTF8(t), splitByChar(' ', `text`)))) AS s " +
+        "FROM `main`.`documents` WHERE `doc_id` < 5").collect().head
+    assert(!g.isNullAt(0))
+  }
 }

@@ -299,6 +299,48 @@ class ProjectionSpec extends AnyFunSuite {
       "shard 2 read must ride its projection")
   }
 
+  test("swap-safety: plain key scans and aggregate tails fall back; " +
+    "empty-match global count merges to 0, not NULL") {
+    // two parts BOTH containing group 'a': the state view has one row
+    // per (part, group) = 2 rows, the base 4 — any swap of a
+    // non-aggregate read or a tail count(*) is detectably wrong
+    val t = freshTable(Seq((1, "a", 1), (2, "a", 2)))
+    spark.sql(s"INSERT INTO chproj.main.$t VALUES (3, 'a', 3), (4, 'a', 4)")
+    client.alterTable("main", t, Seq(ChAlterOp.AddProjection("pg",
+      "SELECT tag, sum(v), count(*) GROUP BY tag")))
+    client.alterTable("main", t, Seq(ChAlterOp.MaterializeProjection("pg")))
+    val h0 = hits(t, "pg")
+    // 1) a bare key-column scan must return one row per BASE row
+    val scan = ch.chSql(s"SELECT `tag` AS tag FROM `main`.`$t`").collect()
+    assert(scan.length == 4, "key scan must not collapse to state rows")
+    assert(hits(t, "pg") == h0, "non-aggregate query must never swap")
+    // 2) HAVING count(*) counts BASE rows (4), not state rows (2)
+    val hv = ch.chSql(
+      s"SELECT `tag` AS tag, sum(`v`) AS s FROM `main`.`$t` " +
+        "GROUP BY tag HAVING count(*) > 3").collect()
+    assert(hv.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 10L)), "HAVING count(*) must filter on base-row counts")
+    assert(hits(t, "pg") == h0, "aggregate-call tail must fall back")
+    // ... and an ORDER BY with a call falls back too
+    ch.chSql(s"SELECT `tag` AS tag, count(*) AS c FROM `main`.`$t` " +
+      "GROUP BY tag ORDER BY count(*) LIMIT 1").collect()
+    assert(hits(t, "pg") == h0)
+    // 3) alias-only tails still ride the projection
+    val al = ch.chSql(
+      s"SELECT `tag` AS tag, sum(`v`) AS s, count(*) AS c FROM `main`.`$t` " +
+        "GROUP BY tag HAVING s > 3 ORDER BY s DESC LIMIT 5").collect()
+    assert(al.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 10L, 4L)))
+    assert(hits(t, "pg") == h0 + 1, "alias-only tail should swap")
+    // 4) global count over an empty key match merges to 0, not NULL
+    val z = ch.chSql(
+      s"SELECT count(*) AS c FROM `main`.`$t` WHERE `tag` = 'zzz'")
+      .collect().head
+    assert(!z.isNullAt(0) && z.getLong(0) == 0L,
+      "empty-match global count must be 0 after the state merge")
+    assert(hits(t, "pg") == h0 + 2, "the empty-match count should still swap")
+  }
+
   test("scan-aggregate pushdown over the catalog table rides the " +
     "projection too (the connector's generated SQL matches)") {
     val t = freshTable(Seq((1, "a", 10), (2, "b", 20), (3, "a", 30)))
