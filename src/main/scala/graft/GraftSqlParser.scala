@@ -52,7 +52,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     ChMvDdl.rewrite(session, sqlText, delegate)
       .orElse(ChProjectionDdl.rewrite(session, sqlText, delegate))
       .getOrElse {
-      val parsed = delegate.parsePlan(sqlText)
+      val parsed = delegate.parsePlan(rewritePlaceholders(sqlText))
       // SQL UPDATE on a ClickHouse catalog table ships as a server-side
       // mutation (Spark's own path would demand SupportsRowLevelOperations
       // and re-shuffle matched groups) — see ChUpdateRewrite
@@ -63,10 +63,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    rewritePlan(delegate.parseQuery(sqlText))
+    rewritePlan(delegate.parseQuery(rewritePlaceholders(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
-    rewriteExpr(delegate.parseExpression(sqlText))
+    rewriteExpr(delegate.parseExpression(rewritePlaceholders(sqlText)))
 
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
     delegate.parseTableIdentifier(sqlText)
@@ -86,6 +86,44 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
 
+  /** Pre-lex for the reference's `$x` lambda placeholders
+    * (tests/e2e.rs:1087-1214): Spark's lexer rejects `$` outright, so
+    * `$name` tokens OUTSIDE quotes/backticks rewrite to marker
+    * identifiers (`__ch_ph_name`) that [[graft.functions.ApplyBuilders]]
+    * later turns into lambda variables. Quoted regions (single/double
+    * quotes with backslash escapes, backticks) pass through verbatim —
+    * a `$` in DATA is never a placeholder. Everything this touches was
+    * a guaranteed PARSE_SYNTAX_ERROR before, so the rewrite can only
+    * widen the accepted surface.
+    */
+  private def rewritePlaceholders(sql: String): String = {
+    if (!sql.contains('$')) return sql
+    val out = new StringBuilder(sql.length + 16)
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+          out.append(sql.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else if (c == '$' && i + 1 < sql.length &&
+        (sql.charAt(i + 1).isLetter || sql.charAt(i + 1) == '_')) {
+        var e = i + 1
+        while (e < sql.length &&
+          (sql.charAt(e).isLetterOrDigit || sql.charAt(e) == '_')) e += 1
+        out.append(graft.functions.ApplyBuilders.PhPrefix)
+          .append(sql.substring(i + 1, e))
+        i = e
+      } else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
+
   private def rewritePlan(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions { case e => rewriteExpr(e) }
 
@@ -99,11 +137,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private def build(name: String, args: Seq[Expression]): Expression =
     if (ApplyAliases.contains(name.toLowerCase(java.util.Locale.ROOT))) {
-      val (lambdas, rest) = args.partition(_.isInstanceOf[LambdaFunction])
-      require(lambdas.length == 1 && rest.length == 1,
-        s"$name(lambda, collection) takes exactly one lambda and one collection")
-      org.apache.spark.sql.catalyst.expressions.ArrayTransform(
-        rest.head, lambdas.head.asInstanceOf[LambdaFunction])
+      // wrapper unwrap (`lambda(arrayMap(...))`) or Spark-style lambda
+      // forms — shared with the runtime registration
+      graft.functions.ApplyBuilders.buildAlias(name, args)
+    } else if (graft.functions.ApplyBuilders.phName(args.headOption.orNull).isDefined) {
+      // the reference's placeholder spelling on the HOF itself:
+      // `` `arrayMap`($x, concat($x, id), names) `` (e2e.rs:1087-1214);
+      // `$x` tokens were pre-lexed into marker attributes
+      graft.functions.ApplyBuilders.buildPlaceholder(name, args).get
     } else if (name == "arrayJoin") {
       require(args.length == 1, "arrayJoin takes exactly one array argument")
       org.apache.spark.sql.catalyst.expressions.Explode(args.head)

@@ -434,8 +434,18 @@ object ChSqlTranslator {
     s = rewriteCall(s, "arraySum",
       args => s"aggregate(${args.head}, cast(0 as double), (a, v) -> a + v)")
     // ClickHouse HOFs take the lambda FIRST, Spark takes the array first:
-    // arrayMap(x -> f(x), arr) → transform(arr, x -> f(x))
-    s = rewriteCall(s, "arrayMap", args => s"transform(${args(1)}, ${args(0)})")
+    // arrayMap(x -> f(x), arr) → transform(arr, x -> f(x));
+    // arrayMap((x, y) -> f, a, b) → zip_with(a, b, (x, y) -> f). The
+    // server REQUIRES equal array sizes where zip_with NULL-pads the
+    // shorter side — values agree on the defined (equal-length) domain;
+    // 3+ arrays have no Spark primitive and reject loudly.
+    s = rewriteCall(s, "arrayMap", args => args.length match {
+      case 2 => s"transform(${args(1)}, ${args(0)})"
+      case 3 => s"zip_with(${args(1)}, ${args(2)}, ${args(0)})"
+      case n => throw new IllegalArgumentException(
+        s"arrayMap over ${n - 1} arrays is not supported by the embedded " +
+          "engine (1 or 2 arrays only)")
+    })
     s = rewriteCall(s, "arrayFilter", args => s"filter(${args(1)}, ${args(0)})")
     s = rewriteCall(s, "arrayExists", args => s"exists(${args(1)}, ${args(0)})")
     s = rewriteCall(s, "arrayAll", args => s"forall(${args(1)}, ${args(0)})")

@@ -80,6 +80,95 @@ case class ClickHouseFn(name: String, args: Seq[Expression], declaredType: Strin
       newChildren: IndexedSeq[Expression]): Expression = copy(args = newChildren)
 }
 
+/** The reference's `apply`/`lambda` named-builder family
+  * (/root/reference/src/udfs/apply.rs:26-34) lowered onto Spark's NATIVE
+  * higher-order functions — one spelling that executes locally AND
+  * collapses remotely (ArrayTransform ↔ arrayMap etc. in the unparser).
+  * Three accepted shapes, mirroring unwrap_clickhouse_lambda +
+  * extract_apply_args (apply.rs:218-285):
+  *
+  *  1. wrapper: `lambda(<hof call>)` — transparent unwrap (the reference
+  *     treats the alias as a marker around the real HOF);
+  *  2. Spark-style: `apply(x -> body, coll)` / `apply((x,y) -> body, a, b)`;
+  *  3. placeholder-style (built by [[graft.GraftSqlParser]] from the
+  *     reference's `fn($x, body, col)` spelling): leading lambda-variable
+  *     markers, then the body, then one collection per marker.
+  */
+object ApplyBuilders {
+
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter, ArrayForAll, ArrayTransform, LambdaFunction, UnresolvedNamedLambdaVariable, ZipWith}
+
+  /** Prefix the parser's pre-lex gives `$name` placeholder tokens. */
+  val PhPrefix = "__ch_ph_"
+
+  /** A bare placeholder-marker attribute (`$x` after the pre-lex). */
+  def phName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute
+        if a.nameParts.length == 1 && a.nameParts.head.startsWith(PhPrefix) =>
+      Some(a.nameParts.head)
+    case _ => None
+  }
+
+  /** Build for the alias family (`apply`, `lambda`, ...): wrapper unwrap
+    * or Spark-style lambda form.
+    */
+  def buildAlias(name: String, args: Seq[Expression]): Expression =
+    if (args.length == 1 && !args.head.isInstanceOf[LambdaFunction]) args.head
+    else {
+      val (lambdas, rest) = args.partition(_.isInstanceOf[LambdaFunction])
+      require(lambdas.length == 1 && (rest.length == 1 || rest.length == 2),
+        s"$name(lambda, collection[, collection]) takes exactly one lambda " +
+          "and one or two collections (or a single higher-order call to " +
+          "unwrap, udfs/apply.rs:228)")
+      val lam = lambdas.head.asInstanceOf[LambdaFunction]
+      rest match {
+        case Seq(c) => ArrayTransform(c, lam)
+        case Seq(a, b) => ZipWith(a, b, lam)
+      }
+    }
+
+  /** Build for the reference's placeholder spelling on a HOF name:
+    * `fn($x..., body, cols...)`. `None` when the args carry no leading
+    * placeholder (the caller falls through to its normal path).
+    */
+  def buildPlaceholder(name: String, args: Seq[Expression]): Option[Expression] = {
+    val params = args.takeWhile(phName(_).isDefined)
+    if (params.isEmpty) return None
+    require(args.length >= params.length + 2,
+      s"$name($$x..., body, cols...): needs a body expression and one " +
+        "collection per placeholder (udfs/apply.rs extract_apply_args)")
+    val body = args(params.length)
+    val cols = args.drop(params.length + 1)
+    require(cols.length == params.length,
+      s"$name: ${params.length} placeholder(s) but ${cols.length} " +
+        "collection(s) — placeholders and collections must match " +
+        "(udfs/apply.rs:279)")
+    // body references must be lambda-variable nodes, not attributes —
+    // ResolveLambdaVariables binds only UnresolvedNamedLambdaVariable
+    // (the parser does the same for `x -> x` bodies)
+    val paramNames = params.map(phName(_).get).toSet
+    val boundBody = body.transformUp {
+      case a: UnresolvedAttribute
+          if a.nameParts.length == 1 && paramNames.contains(a.nameParts.head) =>
+        UnresolvedNamedLambdaVariable(a.nameParts)
+    }
+    val lam = LambdaFunction(boundBody,
+      params.map(p => UnresolvedNamedLambdaVariable(Seq(phName(p).get))))
+    Some((name, cols) match {
+      case ("arrayMap", Seq(c)) => ArrayTransform(c, lam)
+      case ("arrayMap", Seq(a, b)) => ZipWith(a, b, lam)
+      case ("arrayFilter", Seq(c)) => ArrayFilter(c, lam)
+      case ("arrayExists", Seq(c)) => new ArrayExists(c, lam)
+      case ("arrayAll", Seq(c)) => ArrayForAll(c, lam)
+      case _ => throw new IllegalArgumentException(
+        s"placeholder lambda form supports arrayMap (1-2 collections), " +
+          s"arrayFilter, arrayExists, arrayAll — got $name over " +
+          s"${cols.length} collection(s)")
+    })
+  }
+}
+
 object Registration {
 
   private def strArg(e: Expression, what: String): String = e match {
@@ -124,6 +213,15 @@ object Registration {
     reg.createOrReplaceTempFunction("clickhouse", buildClickhouse, "built-in")
     reg.createOrReplaceTempFunction("clickhouse_eval", buildEval, "built-in")
     reg.createOrReplaceTempFunction("clickhouse_fn", buildFn, "built-in")
+    // the apply/lambda named-builder family (udfs/apply.rs:26-34) — also
+    // usable WITHOUT the extensions parser (Spark-style lambda + wrapper
+    // shapes; the $-placeholder spelling additionally needs the parser's
+    // pre-lex and placeholder builder)
+    graft.GraftSqlParser.ApplyAliases.foreach { n =>
+      reg.createOrReplaceTempFunction(n,
+        exprs => ApplyBuilders.buildPlaceholder(n, exprs)
+          .getOrElse(ApplyBuilders.buildAlias(n, exprs)), "built-in")
+    }
   }
 
   /** FunctionDescriptions for `SparkSessionExtensions.injectFunction`. */

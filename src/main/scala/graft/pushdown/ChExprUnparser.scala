@@ -208,6 +208,12 @@ object ChExprUnparser {
       case ArrayTransform(arg, f) => hof("arrayMap", arg, f, scope)
       case ArrayFilter(arg, f) => hof("arrayFilter", arg, f, scope)
       case ArrayExists(arg, f, _) => hof("arrayExists", arg, f, scope)
+      // zip-map over two arrays: ClickHouse arrayMap accepts N arrays
+      // with an N-ary lambda. Divergence note: the server REQUIRES equal
+      // sizes (loud error) where Spark's zip_with NULL-pads — values
+      // agree wherever both engines return one.
+      case org.apache.spark.sql.catalyst.expressions.ZipWith(l, r, f) =>
+        hofN("arrayMap", Seq(l, r), f, scope)
       // distinct-count composition only: ClickHouse arrayDistinct does
       // not guarantee Spark's first-occurrence order, but under length()
       // ordering is irrelevant — bare array_distinct stays local
@@ -370,6 +376,13 @@ object ChExprUnparser {
       chName: String,
       arg: Expression,
       f: Expression,
+      scope: Map[ExprId, String]): Option[String] =
+    hofN(chName, Seq(arg), f, scope)
+
+  private def hofN(
+      chName: String,
+      args0: Seq[Expression],
+      f: Expression,
       scope: Map[ExprId, String]): Option[String] = f match {
     case LambdaFunction(body, args, _) =>
       val vars = args.collect { case v: NamedLambdaVariable => v }
@@ -381,12 +394,12 @@ object ChExprUnparser {
         }
         for {
           bodySql <- compile(body, inner)
-          argSql <- compile(arg, scope)
+          argSqls <- sequence(args0.map(a => compile(a, scope)))
         } yield {
           val params =
             if (vars.length == 1) s"x0"
             else s"(${vars.indices.map(i => s"x$i").mkString(", ")})"
-          s"$chName($params -> $bodySql, $argSql)"
+          s"$chName($params -> $bodySql, ${argSqls.mkString(", ")})"
         }
       }
     case _ => None

@@ -2689,6 +2689,51 @@ object ConnectorQueries {
         """SELECT `pri` AS pri, sum(`cents`) AS s, count(*) AS c,
           |  min(`cents`) AS mn, max(`cents`) AS mx, avg(`cents`) AS a
           |FROM `main`.`proj_ord` GROUP BY pri ORDER BY pri""".stripMargin)
+    },
+
+    // ---- wide-integer / IP type strings (VERDICT r13 item 6): an
+    // Int128 column DDL-declared through the client, written through the
+    // connector with beyond-Int64 values, read back bit-exact; IPv6 as
+    // its textual form. In-range values round-trip exactly; >38-digit
+    // values fail LOUDLY on write (Decimal overflow under ANSI) —
+    // honored-or-rejected, never a silent wrap. Output renders the wide
+    // column as STRING (exact at any width, and the gate schema rule
+    // bars DECIMAL outputs).
+    q("r86_wide_int_types",
+      """SELECT o_orderkey AS k,
+        |  CAST(CAST(o_orderkey AS HUGEINT) * 1000000000000000
+        |    + CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS wide,
+        |  '2001:db8::' || CAST(o_orderkey % 16 AS VARCHAR) AS ip
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"/root/repo/target/chstore_$tag"
+      ensureStore(s, dir, Seq(("clickhouse.main.wide_t",
+        Seq("k", "wide", "ip"),
+        () => s.table("orders").select(
+          col("o_orderkey").as("k"),
+          (col("o_orderkey").cast("decimal(38,0)") * lit(1000000000000000L) +
+            round(col("o_totalprice") * 100).cast("bigint"))
+            .cast("decimal(38,0)").as("wide"),
+          concat(lit("2001:db8::"),
+            (col("o_orderkey") % 16).cast("string")).as("ip"))))) {
+        new EmbeddedClickHouse(root).createTable("main", "wide_t", Seq(
+          "k" -> "Int64",
+          "wide" -> "Int128",
+          "ip" -> "Nullable(IPv6)"),
+          Map("engine" -> "MergeTree", "order_by" -> "k"))
+        s.sql(
+          """INSERT INTO clickhouse.main.wide_t
+            |SELECT o_orderkey,
+            |  CAST(CAST(o_orderkey AS DECIMAL(38,0)) * 1000000000000000
+            |    + CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0)),
+            |  concat('2001:db8::', CAST(o_orderkey % 16 AS STRING))
+            |FROM orders""".stripMargin)
+      }
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(root).catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `k` AS k, toString(`wide`) AS wide, `ip` AS ip
+          |FROM `main`.`wide_t` WHERE `k` % 97 = 0""".stripMargin)
     }
   )
 }

@@ -117,6 +117,37 @@ object DedupQueries {
     h32.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** Hot-bucket cap for the d03 banded self-join: the candidate join is
+    * QUADRATIC within a bucket, so one degenerate bucket (e.g. a band
+    * signature shared by thousands of near-empty docs) becomes a single
+    * straggler task at scale. Buckets above the cap are dropped from
+    * candidate generation — the d02 df-hot-key move applied to bands
+    * (pairs inside a dropped bucket can still surface via their other
+    * bands). 1000 keeps the worst bucket's pair count ≤ ~500K rows, one
+    * well-sized task at any corpus size; honest data never approaches it
+    * (sf0.1's largest bucket is < 10).
+    */
+  private[graft] val HotBucketCap = 1000
+
+  /** Distinct candidate pairs (a < b) sharing any (band, bucket), with
+    * buckets above `cap` excluded — the bounded form of d03's self-join
+    * (VERDICT r13 item 2; OpsSpec pins the degenerate-bucket guard).
+    */
+  private[graft] def cappedSelfCandidates(
+      bands: DataFrame, cap: Int): DataFrame = {
+    val ok = bands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= cap)
+      .select("band", "bucket")
+    val bounded = bands.join(ok, Seq("band", "bucket"))
+    bounded.as("x")
+      .join(bounded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
   /** LSH band buckets (band, bucket) per doc from column-wise signatures. */
   private[queries] def bandsOf(sigs: DataFrame): DataFrame = {
     val numBands = NumHashes / BandSize
@@ -236,8 +267,12 @@ object DedupQueries {
     // (all values stay < 2^52, inside exact BIGINT range for both).
     q("d03_dedup_minhash_lsh",
       s"""WITH $sigBandsCte,
+         |bok AS (SELECT b.* FROM bands b JOIN
+         |          (SELECT band, bucket FROM bands GROUP BY band, bucket
+         |           HAVING count(*) <= $HotBucketCap) sz
+         |          USING (band, bucket)),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bands x JOIN bands y
+         |         FROM bok x JOIN bok y
          |           ON x.band = y.band AND x.bucket = y.bucket
          |              AND x.doc_id < y.doc_id)
          |SELECT a, b, sum(CASE WHEN ha.sig = hb.sig THEN 1 ELSE 0 END) / ${NumHashes}.0
@@ -250,12 +285,7 @@ object DedupQueries {
       // duplicate h values cannot change any min_i
       val sigs = minhashSigs(s).cache()
       val bands = bandsOf(sigs)
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
+      val cand = cappedSelfCandidates(bands, HotBucketCap)
       val matches = (0 until NumHashes)
         .map(i => when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0))
         .reduce(_ + _)

@@ -78,6 +78,16 @@ object ClickHouseType {
       case "UInt16" => Parsed(IntegerType, false)
       case "UInt32" => Parsed(LongType, false)
       case "UInt64" => Parsed(DecimalType(20, 0), false)
+      // wide integers land in Spark's widest EXACT type. Boundary note:
+      // Int128/256 and UInt128/256 ranges exceed 38 decimal digits —
+      // in-range values round-trip exactly, wider ones fail LOUDLY on
+      // write (Decimal overflow under ANSI), never wrap silently
+      case "Int128" | "Int256" | "UInt128" | "UInt256" =>
+        Parsed(DecimalType(38, 0), false)
+      // IP addresses: textual form (the reference's Arrow surface
+      // carries them as strings; server-side functions still apply via
+      // passthrough)
+      case "IPv4" | "IPv6" => Parsed(StringType, false)
       case "Float32" => Parsed(FloatType, false)
       case "Float64" => Parsed(DoubleType, false)
       case "String" | "Utf8" | "LargeUtf8" | "Utf8View" | "UUID" => Parsed(StringType, false)

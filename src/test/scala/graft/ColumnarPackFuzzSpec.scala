@@ -50,34 +50,43 @@ class ColumnarPackFuzzSpec extends AnyFunSuite {
       })
   }
 
-  private def fieldGen(r: Random): FieldGen = r.nextInt(6) match {
-    case 0 | 1 | 2 => atomGen(r)
-    case 3 => // Array(atom), maybe with nulls
-      val e = atomGen(r)
-      val withNulls = r.nextBoolean()
-      FieldGen(ArrayType(e.dt, containsNull = withNulls), { rr =>
-        new GenericArrayData(Array.fill[Any](rr.nextInt(4))(
-          if (withNulls && rr.nextInt(4) == 0) null else e.gen(rr)))
-      })
-    case 4 => // Map(atom, atom), values maybe null; keys never null
-      var k = atomGen(r)
-      while (k.dt == BinaryType || k.dt == FloatType || k.dt == DoubleType) k = atomGen(r)
-      val v = atomGen(r)
-      val withNulls = r.nextBoolean()
-      FieldGen(MapType(k.dt, v.dt, valueContainsNull = withNulls), { rr =>
-        val n = rr.nextInt(4)
-        ArrayBasedMapData(
-          Array.fill[Any](n)(k.gen(rr)),
-          Array.fill[Any](n)(if (withNulls && rr.nextInt(4) == 0) null else v.gen(rr)))
-      })
-    case 5 => // Struct(atoms), fields maybe null
-      val els = Seq.fill(1 + r.nextInt(3))(atomGen(r))
-      FieldGen(StructType(els.zipWithIndex.map { case (e, i) =>
-        StructField(s"f$i", e.dt, nullable = true)
-      }), { rr =>
-        new GenericInternalRow(els.map(e =>
-          if (rr.nextInt(5) == 0) null else e.gen(rr)).toArray[Any])
-      })
+  /** `depth` bounds COMPOSITE nesting: element/value/field types recurse
+    * with depth-1 until atoms; depth 0 = atoms only. Covers the round-14
+    * shapes (array-of-struct, map-of-array, struct-of-array and deeper)
+    * alongside the original flat composites.
+    */
+  private def fieldGen(r: Random, depth: Int = 2): FieldGen = {
+    def sub(rr: Random): FieldGen =
+      if (depth <= 0) atomGen(rr) else fieldGen(rr, depth - 1)
+    r.nextInt(6) match {
+      case 0 | 1 | 2 => atomGen(r)
+      case 3 => // Array(T), maybe with nulls
+        val e = sub(r)
+        val withNulls = r.nextBoolean()
+        FieldGen(ArrayType(e.dt, containsNull = withNulls), { rr =>
+          new GenericArrayData(Array.fill[Any](rr.nextInt(4))(
+            if (withNulls && rr.nextInt(4) == 0) null else e.gen(rr)))
+        })
+      case 4 => // Map(atomKey, T), values maybe null; keys never null
+        var k = atomGen(r)
+        while (k.dt == BinaryType || k.dt == FloatType || k.dt == DoubleType) k = atomGen(r)
+        val v = sub(r)
+        val withNulls = r.nextBoolean()
+        FieldGen(MapType(k.dt, v.dt, valueContainsNull = withNulls), { rr =>
+          val n = rr.nextInt(4)
+          ArrayBasedMapData(
+            Array.fill[Any](n)(k.gen(rr)),
+            Array.fill[Any](n)(if (withNulls && rr.nextInt(4) == 0) null else v.gen(rr)))
+        })
+      case 5 => // Struct(Ts), fields maybe null
+        val els = Seq.fill(1 + r.nextInt(3))(sub(r))
+        FieldGen(StructType(els.zipWithIndex.map { case (e, i) =>
+          StructField(s"f$i", e.dt, nullable = true)
+        }), { rr =>
+          new GenericInternalRow(els.map(e =>
+            if (rr.nextInt(5) == 0) null else e.gen(rr)).toArray[Any])
+        })
+    }
   }
 
   // ---- normalization (source catalyst value vs vector read-back) ---------
@@ -92,21 +101,49 @@ class ColumnarPackFuzzSpec extends AnyFunSuite {
     case x => x
   }
 
-  /** Source catalyst value → normalized, by declared type. */
+  /** Source catalyst value → normalized, by declared type (recursive
+    * through any composite nesting).
+    */
   private def normSource(dt: DataType, v: Any): Any =
     if (v == null) null
     else dt match {
       case ArrayType(et, _) =>
         val a = v.asInstanceOf[GenericArrayData]
-        a.array.toSeq.map(x => normPlain(x))
-      case MapType(_, _, _) =>
+        a.array.toSeq.map(x => normSource(et, x))
+      case MapType(kt, vt, _) =>
         val m = v.asInstanceOf[ArrayBasedMapData]
         val ks = m.keyArray.asInstanceOf[GenericArrayData].array.toSeq
         val vs = m.valueArray.asInstanceOf[GenericArrayData].array.toSeq
-        ks.map(normPlain).zip(vs.map(normPlain))
+        ks.map(normSource(kt, _)).zip(vs.map(normSource(vt, _)))
       case st: StructType =>
         val sr = v.asInstanceOf[GenericInternalRow]
-        sr.values.toSeq.map(normPlain)
+        sr.values.toSeq.zip(st.fields).map { case (x, f) =>
+          normSource(f.dataType, x)
+        }
+      case _ => normPlain(v)
+    }
+
+  /** Read-back value (ColumnarArray/ColumnarMap/ColumnarRow or atom) →
+    * normalized, recursive through any nesting.
+    */
+  private def normRead(dt: DataType, v: Any): Any =
+    if (v == null) null
+    else dt match {
+      case ArrayType(et, _) =>
+        val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map(j =>
+          if (a.isNullAt(j)) null else normRead(et, a.get(j, et)))
+      case MapType(kt, vt, _) =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        (0 until m.numElements()).map(j =>
+          (normRead(kt, m.keyArray.get(j, kt)),
+            if (m.valueArray.isNullAt(j)) null
+            else normRead(vt, m.valueArray.get(j, vt))))
+      case st: StructType =>
+        val sr = v.asInstanceOf[InternalRow]
+        st.fields.indices.map(j =>
+          if (sr.isNullAt(j)) null
+          else normRead(st.fields(j).dataType, sr.get(j, st.fields(j).dataType)))
       case _ => normPlain(v)
     }
 
@@ -115,19 +152,9 @@ class ColumnarPackFuzzSpec extends AnyFunSuite {
       col: org.apache.spark.sql.vectorized.ColumnVector, dt: DataType, row: Int): Any =
     if (col.isNullAt(row)) null
     else dt match {
-      case ArrayType(et, _) =>
-        val a = col.getArray(row)
-        (0 until a.numElements()).map(j =>
-          if (a.isNullAt(j)) null else normPlain(a.get(j, et)))
-      case MapType(kt, vt, _) =>
-        val m = col.getMap(row)
-        (0 until m.numElements()).map(j =>
-          (normPlain(m.keyArray.get(j, kt)),
-            if (m.valueArray.isNullAt(j)) null else normPlain(m.valueArray.get(j, vt))))
-      case st: StructType =>
-        val sr = col.getStruct(row)
-        st.fields.indices.map(j =>
-          if (sr.isNullAt(j)) null else normPlain(sr.get(j, st.fields(j).dataType)))
+      case _: ArrayType => normRead(dt, col.getArray(row))
+      case _: MapType => normRead(dt, col.getMap(row))
+      case _: StructType => normRead(dt, col.getStruct(row))
       case BooleanType => col.getBoolean(row)
       case ByteType => col.getByte(row)
       case ShortType => col.getShort(row)

@@ -190,6 +190,72 @@ class OpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("0..k-1"))
   }
 
+  test("stored-IVF loader auto-routes to the two-level path above the " +
+    "driver-centroid cap with matching probe results") {
+    import graft.ops.AnnIvf
+    import org.apache.spark.sql.functions.col
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val emb = spark.table("embeddings")
+    val idx = AnnIvf.buildIndex(emb, "vec_id", "embedding", numCells = 12,
+      trainSampleFraction = 1.0, maxIter = 8)
+    val cells = AnnIvf.cellsTable(idx, "vec_id", "embedding")
+    val cents = AnnIvf.centroidsTable(idx, spark)
+    val probes = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // flat route: cap above k → same behavior as fromTables
+    val flat = AnnIvf.loadStored(cells, cents, "vec_id", "embedding")
+    assert(flat.isInstanceOf[AnnIvf.StoredFlat], "k=12 must load flat")
+    assert(flat.numCells == 12)
+    val flatPairs = pairs(flat.topK(probes, "vec_id", "embedding", k = 5,
+      nprobe = 9))
+    // forced two-level route: cap below k → super-quantized load; the
+    // driver must never hold more than ~sqrt(k) centers
+    val two = AnnIvf.loadStored(cells, cents, "vec_id", "embedding",
+      driverCentroidCap = 4)
+    assert(two.isInstanceOf[AnnIvf.StoredTwoLevel], "k=12 > cap=4 must " +
+      "load through the two-level quantizer")
+    assert(two.numCells == 12)
+    val twoPairs = pairs(two.topK(probes, "vec_id", "embedding", k = 5,
+      nprobe = 9))
+    // identical k/nprobe operating point: overlap must be near-total
+    // (the super routing may clip a borderline cell; exact equality is
+    // not the contract, recall parity is)
+    val overlap = (flatPairs & twoPairs).size.toDouble / flatPairs.size
+    info(f"flat-vs-two-level stored-probe overlap = $overlap%.3f")
+    assert(overlap >= 0.8, f"two-level stored route diverged: $overlap%.3f")
+    // the flat validation still guards the two-level route's input
+    import spark.implicits._
+    val gap = Seq((0, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0))).toDF("cell", "center")
+    val e = intercept[IllegalArgumentException](
+      AnnIvf.loadStored(cells, gap, "vec_id", "embedding", driverCentroidCap = 1))
+    assert(e.getMessage.contains("0..k-1"))
+  }
+
+  test("d03 banded-LSH candidate join drops degenerate hot buckets " +
+    "instead of going quadratic") {
+    import graft.queries.DedupQueries
+    import spark.implicits._
+    // one poisoned bucket with 10k members + two small honest buckets:
+    // an uncapped self-join would emit ~50M candidate pairs from the hot
+    // bucket alone
+    val hot = (0 until 10000).map(i => (i.toLong, 0, "deadbeef"))
+    val ok = Seq((20001L, 1, "b1"), (20002L, 1, "b1"),
+      (20003L, 2, "b2"), (20004L, 2, "b2"), (20005L, 2, "b2"))
+    val bands = (hot ++ ok).toDF("doc_id", "band", "bucket")
+    val cand = DedupQueries.cappedSelfCandidates(bands, cap = 100)
+    val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((20001L, 20002L), (20003L, 20004L),
+      (20003L, 20005L), (20004L, 20005L)),
+      s"hot bucket must contribute zero candidates, got ${got.size} pairs")
+    // and an honest bucket AT the cap still joins
+    val atCap = (0 until 100).map(i => (i.toLong, 7, "edge")).toDF(
+      "doc_id", "band", "bucket")
+    assert(DedupQueries.cappedSelfCandidates(atCap, cap = 100).count()
+      == 100L * 99 / 2)
+  }
+
   test("MinHashSketch aggregator matches the columnar d03 signature path") {
     import graft.ops.MinHashSketch
     // shingle hashes exactly as d03 derives them

@@ -858,6 +858,76 @@ class PushdownSpec extends AnyFunSuite {
     assert(remote.collect().nonEmpty)
   }
 
+  test("reference-verbatim placeholder lambdas: `arrayMap`($x, body, col) " +
+    "and the lambda()/apply() wrappers (udfs/apply.rs; e2e.rs:1087-1214)") {
+    // single param, body referencing an OUTER column (e2e.rs:1112)
+    val q1 = extSession.sql(
+      """SELECT id, names,
+        |  clickhouse(`arrayMap`($x, concat($x, id), names), 'List(Utf8)')
+        |    AS tagged
+        |FROM chpdx.db.people2 WHERE id = 1""".stripMargin)
+    assert(extRemotes(q1).nonEmpty, "placeholder lambda did not collapse")
+    assert(q1.collect().head.getSeq[String](2) ==
+      Seq("Buddha1", "Zugus1", "Lulu1"))
+    // two params over two arrays (e2e.rs:1146) — zip semantics
+    val q2 = extSession.sql(
+      """SELECT clickhouse(`arrayMap`($x, $y, concat($x, $y), names, names),
+        |  'List(Utf8)') AS doubled
+        |FROM chpdx.db.people2 WHERE id = 1""".stripMargin)
+    assert(extRemotes(q2).nonEmpty, "two-param placeholder map did not collapse")
+    assert(q2.collect().head.getSeq[String](0) ==
+      Seq("BuddhaBuddha", "ZugusZugus", "LuluLulu"))
+    // the lambda() wrapper is transparent (e2e.rs:1162)
+    val q3 = extSession.sql(
+      """SELECT id, clickhouse(lambda(`arrayMap`($x, concat($x, id), names)),
+        |  'List(Utf8)') AS tagged
+        |FROM chpdx.db.people2 WHERE id = 1""".stripMargin)
+    assert(extRemotes(q3).nonEmpty)
+    assert(q3.collect().head.getSeq[String](1) ==
+      Seq("Buddha1", "Zugus1", "Lulu1"))
+    // arrayFilter / arrayExists placeholder forms (e2e.rs:1180, :1207)
+    val q4 = extSession.sql(
+      """SELECT id,
+        |  clickhouse(`arrayFilter`($x, length($x) > 4, names),
+        |    'List(Utf8)') AS long_names,
+        |  clickhouse(`arrayExists`($x, $x = 'Lulu', names),
+        |    'Boolean') AS has_lulu
+        |FROM chpdx.db.people2 WHERE id = 1""".stripMargin)
+    assert(extRemotes(q4).nonEmpty)
+    val r4 = q4.collect().head
+    assert(r4.getSeq[String](1) == Seq("Buddha", "Zugus"))
+    assert(r4.getBoolean(2))
+  }
+
+  test("placeholder lambdas run LOCALLY too (no clickhouse() wrapper, " +
+    "local relation) and reject malformed shapes loudly") {
+    val s = extSession
+    s.createDataFrame(Seq((1, Seq("ab", "cdef")))).toDF("id", "xs")
+      .createOrReplaceTempView("ph_local")
+    val r = s.sql(
+      """SELECT `arrayMap`($x, concat($x, '_s'), xs) AS m,
+        |  `arrayFilter`($x, length($x) > 2, xs) AS f,
+        |  `arrayExists`($x, $x = 'ab', xs) AS e,
+        |  `arrayMap`($x, $y, concat($x, $y), xs, xs) AS z
+        |FROM ph_local""".stripMargin).collect().head
+    assert(r.getSeq[String](0) == Seq("ab_s", "cdef_s"))
+    assert(r.getSeq[String](1) == Seq("cdef"))
+    assert(r.getBoolean(2))
+    assert(r.getSeq[String](3) == Seq("abab", "cdefcdef"))
+    // a '$' inside a string literal is DATA, never a placeholder
+    assert(s.sql("SELECT '$x literal' AS v").collect().head.getString(0)
+      == "$x literal")
+    // placeholder/collection arity mismatch rejects loudly
+    val e1 = intercept[Exception](s.sql(
+      "SELECT `arrayMap`($x, $y, concat($x, $y), xs) FROM ph_local").collect())
+    assert(e1.getMessage.contains("placeholder"), e1.getMessage)
+    // unsupported HOF name under the placeholder form rejects loudly,
+    // naming the supported set
+    val e2 = intercept[Exception](s.sql(
+      "SELECT `arrayWeird`($x, concat($x, '!'), xs) FROM ph_local").collect())
+    assert(e2.getMessage.contains("arrayMap"), e2.getMessage)
+  }
+
   test("bare arrayJoin is a true generator (cardinality-safe explode)") {
     val df = extSession.sql(
       "SELECT id, `arrayJoin`(names) AS n FROM chpdx.db.people2")

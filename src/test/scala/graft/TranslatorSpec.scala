@@ -825,10 +825,12 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT maxArray(a)") == "SELECT max(array_max(a))")
     assert(t("SELECT countArray(a)") == "SELECT sum(size(a))")
     assert(t("SELECT groupArrayArray(a)") == "SELECT flatten(collect_list(a))")
-    // sum/avg fold each row's elements with an element-typed zero
+    // sum/avg fold each row's elements with an element-typed zero; the
+    // fold coalesces to 0 so a group of ONLY empty arrays sums to 0
+    // (the server's sumArray), not NULL
     val sumA = t("SELECT sumArray(a)")
-    assert(sumA.contains("sum(aggregate(filter(a, __ar_x -> __ar_x IS NOT NULL)"))
-    assert(sumA.contains("try_element_at"))
+    assert(sumA.contains("sum(coalesce(aggregate(filter(a, __ar_x -> __ar_x IS NOT NULL)"))
+    assert(sumA.contains("try_element_at") && sumA.contains(", 0))"))
     val avgA = t("SELECT avgArray(a)")
     assert(avgA.contains("/ sum(size(filter(a, __ar_x -> __ar_x IS NOT NULL))))"))
     assert(t("SELECT uniqArray(a)").contains(

