@@ -117,6 +117,27 @@ object RecallProbe {
           f"nprobe=$np recall@5=$r%.3f")
       }
     }
+    // stored-index loader auto-route (VERDICT r13 item 3): the same flat
+    // persisted tables probed through loadStored, once on the flat route
+    // and once FORCED through the two-level derivation (cap below k) —
+    // recall must match, proving the auto-route loses nothing when k
+    // outgrows the driver cap at real scale
+    {
+      val k = graft.ops.AnnIvf.autoCells(n)
+      val idx = graft.ops.AnnIvf.buildIndex(corpus, "vec_id", "embedding",
+        numCells = k, trainSampleFraction = 0.5, maxIter = 10)
+      val cells = graft.ops.AnnIvf.cellsTable(idx, "vec_id", "embedding")
+      val cents = graft.ops.AnnIvf.centroidsTable(idx, spark)
+      val nprobe = math.max(1, math.ceil(0.75 * k).toInt)
+      val flat = graft.ops.AnnIvf.loadStored(cells, cents, "vec_id", "embedding")
+      val rFlat = recall(flat.topK(probes, "vec_id", "embedding", 5, nprobe))
+      val two = graft.ops.AnnIvf.loadStored(cells, cents, "vec_id", "embedding",
+        driverCentroidCap = 1)
+      val rTwo = recall(two.topK(probes, "vec_id", "embedding", 5, nprobe))
+      println(f"STORED flat-route recall@5=$rFlat%.3f (route=" +
+        f"${flat.getClass.getSimpleName}) two-level-route recall@5=$rTwo%.3f " +
+        f"(route=${two.getClass.getSimpleName}, k=$k nprobe=$nprobe)")
+    }
     for ((tables, planes) <- Seq((32, 5))) {
       val r = recall(graft.ops.AnnLsh.annTopK(corpus, probes, "vec_id", "embedding", 64,
         k = 5, numTables = tables, numPlanes = planes))

@@ -148,12 +148,18 @@ object AnnIvf {
 
   final case class StoredTwoLevel(index: IvfIndex2, numCells: Int)
     extends StoredIvf {
+    // nprobeSuper = ALL supers: the loader's super layer exists for
+    // DRIVER SAFETY (never collect k centroids), not probe-cost
+    // reduction — ranking every sub-centroid distributed reproduces the
+    // flat route's top-nprobe cells EXACTLY (same (d2, cell) order), so
+    // the auto-route can never change a result. Callers wanting the
+    // clipped-super cost profile use buildIndexTwoLevel/annTopK2
+    // deliberately (RecallProbe: clipping 8/10 supers cost 6 recall
+    // points at scale=20 — wrong trade for a transparent loader).
     def topK(probes: DataFrame, idCol: String, embCol: String,
         k: Int, nprobe: Int): DataFrame =
       annTopK2(index, probes, idCol, embCol, k,
-        nprobeSuper = math.max(1,
-          math.ceil(0.75 * index.superCenters.length).toInt),
-        nprobe = nprobe)
+        nprobeSuper = index.superCenters.length, nprobe = nprobe)
   }
 
   /** Load a persisted flat index ([[cellsTable]]/[[centroidsTable]]

@@ -330,14 +330,17 @@ object SimilarityQueries {
           verifiedIndexes.add(s"r32:$tag")
         }
         }
-        // probe-only path: index rebuilt ENTIRELY from the store
-        val stored = graft.ops.AnnIvf.fromTables(
+        // probe-only path: index rebuilt ENTIRELY from the store. The
+        // loader picks the driver-safe route itself — flat below the
+        // centroid cap (every shipped sf), the two-level derivation
+        // above it, so no caller ever collects 1e5+ centroids at scale
+        // (VERDICT r13 item 3)
+        val stored = graft.ops.AnnIvf.loadStored(
           s.table("clickhouse.main.ivf_cells"),
           s.table("clickhouse.main.ivf_centroids"), "vec_id", "embedding")
         val probes = s.table("embeddings").filter(col("vec_id") < 100)
-        val ann = graft.ops.AnnIvf.annTopK(
-          stored, probes, "vec_id", "embedding", k = 5,
-          nprobe = math.ceil(0.75 * stored.centers.length).toInt)
+        val ann = stored.topK(probes, "vec_id", "embedding", k = 5,
+          nprobe = math.ceil(0.75 * stored.numCells).toInt)
         recallGate(s, dir, ann)
       },
       oracle = Some(RecallOracle)),

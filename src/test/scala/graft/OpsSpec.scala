@@ -219,12 +219,11 @@ class OpsSpec extends AnyFunSuite {
     assert(two.numCells == 12)
     val twoPairs = pairs(two.topK(probes, "vec_id", "embedding", k = 5,
       nprobe = 9))
-    // identical k/nprobe operating point: overlap must be near-total
-    // (the super routing may clip a borderline cell; exact equality is
-    // not the contract, recall parity is)
-    val overlap = (flatPairs & twoPairs).size.toDouble / flatPairs.size
-    info(f"flat-vs-two-level stored-probe overlap = $overlap%.3f")
-    assert(overlap >= 0.8, f"two-level stored route diverged: $overlap%.3f")
+    // the stored two-level route ranks ALL supers, so its probed cell
+    // set is EXACTLY the flat route's — results must be identical
+    assert(twoPairs == flatPairs,
+      s"two-level stored route diverged: ${(flatPairs diff twoPairs).size}" +
+        s"/${(twoPairs diff flatPairs).size} asymmetric pairs")
     // the flat validation still guards the two-level route's input
     import spark.implicits._
     val gap = Seq((0, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0))).toDF("cell", "center")
