@@ -30,7 +30,14 @@ object WireReadBench {
     val iters = sys.env.getOrElse("GRAFT_ITERS", "3").toInt
     val compression = sys.env.getOrElse("GRAFT_COMPRESSION", "none")
     val nShards = math.max(1, sys.env.getOrElse("GRAFT_SHARDS", "1").toInt)
+    // GRAFT_NESTED=1 appends `nest Array(Tuple(Int64, String))` to the
+    // served schema; GRAFT_READ_MODE=columnar drains through
+    // readPartitionColumnar (ColumnarBatch delivery) instead of the row
+    // iterator — the A/B pair for nested-composite columnar reads
+    val nested = sys.env.get("GRAFT_NESTED").contains("1")
+    val columnar = sys.env.get("GRAFT_READ_MODE").contains("columnar")
     val servers = IndexedSeq.fill(nShards)(new graft.client.MockClickHouseHttp)
+    servers.foreach(_.wireReadNested = nested)
     // per-shard slice: total rows stay GRAFT_ROWS regardless of shard
     // count, so rows/sec compares apples-to-apples across GRAFT_SHARDS
     val perShard = rowsN / nShards
@@ -46,12 +53,23 @@ object WireReadBench {
             sv.endpoint, compression = compression)
             : graft.client.ClickHouseClient),
           Some("id"))
-      val sql = "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`"
+      val sql =
+        if (nested) "SELECT `id`, `v`, `tag`, `nest` FROM `bench`.`wire_read`"
+        else "SELECT `id`, `v`, `tag` FROM `bench`.`wire_read`"
       def drainOnce(schemaJson: String, handle: graft.client.ChPartitionHandle): Long = {
         val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         var n = 0L
-        val it = client.readPartitionInternal(handle, schema)
-        while (it.hasNext) { it.next(); n += 1 }
+        if (columnar) {
+          // no silent row fallback allowed: the packer must claim the
+          // schema (nested composites included since round 14)
+          require(graft.connector.ColumnarPack.supports(schema),
+            s"columnar mode but ColumnarPack rejects schema: $schema")
+          val it = client.readPartitionColumnar(handle, schema)
+          while (it.hasNext) { n += it.next().numRows() }
+        } else {
+          val it = client.readPartitionInternal(handle, schema)
+          while (it.hasNext) { it.next(); n += 1 }
+        }
         n
       }
       // burn the first drain: a fresh JVM serves its first read ~1.4x
@@ -87,7 +105,7 @@ object WireReadBench {
       }
       val qs = results.map { case (sc, rps) => s""""s$sc":$rps""" }.mkString(",")
       val peak = results.map(_._2).max
-      println(s"""{"metric":"http_read_rows_per_sec","value":$peak,"unit":"rows/sec","queries":{$qs},"sf":"$totalRows rows","compression":"$compression","shards":$nShards}""")
+      println(s"""{"metric":"http_read_rows_per_sec","value":$peak,"unit":"rows/sec","queries":{$qs},"sf":"$totalRows rows","compression":"$compression","shards":$nShards,"nested":$nested,"mode":"${if (columnar) "columnar" else "rows"}"}""")
     } finally servers.foreach(_.close())
   }
 }

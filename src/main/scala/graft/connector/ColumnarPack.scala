@@ -1,6 +1,7 @@
 package graft.connector
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
@@ -22,10 +23,10 @@ object ColumnarPack {
 
   val DefaultBatchSize = 4096
 
-  /** Types the packer (and the OnHeap vectors) can carry: atomics,
-    * arrays/maps of atomics, and one-level structs of atomics. Deeper
-    * nesting stays on the row path — rare in scan output, and the row
-    * fallback is always correct.
+  /** Types the packer (and the OnHeap vectors) can carry: atomics and
+    * ANY nesting of arrays/maps/structs over them (array-of-struct,
+    * map-of-array, ... — the reference is Arrow columnar for every type,
+    * connection.rs:163-178). Interval/variant/UDT stay on the row path.
     */
   def supports(schema: StructType): Boolean =
     schema.nonEmpty && schema.fields.forall(f => supportsType(f.dataType))
@@ -35,17 +36,9 @@ object ColumnarPack {
          FloatType | DoubleType | StringType | BinaryType | DateType |
          TimestampType | TimestampNTZType => true
     case _: DecimalType => true
-    case ArrayType(et, _) => atomic(et)
-    case MapType(kt, vt, _) => atomic(kt) && atomic(vt)
-    case StructType(fields) => fields.forall(f => atomic(f.dataType))
-    case _ => false
-  }
-
-  private def atomic(dt: DataType): Boolean = dt match {
-    case BooleanType | ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType | StringType | BinaryType | DateType |
-         TimestampType | TimestampNTZType => true
-    case _: DecimalType => true
+    case ArrayType(et, _) => supportsType(et)
+    case MapType(kt, vt, _) => supportsType(kt) && supportsType(vt)
+    case StructType(fields) => fields.forall(f => supportsType(f.dataType))
     case _ => false
   }
 
@@ -57,23 +50,27 @@ object ColumnarPack {
     new Iterator[ColumnarBatch] with AutoCloseable {
       private val vectors = OnHeapColumnVector.allocateColumns(batchSize, schema)
       private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
-      // running element offset per array column (child vectors grow
-      // monotonically within a batch, reset with the parent)
-      private val childOffsets = new Array[Int](schema.length)
+      // running element offset per ARRAY-SHAPED vector (array and map
+      // child vectors grow monotonically within a batch, reset with it);
+      // keyed by vector IDENTITY so arbitrarily nested children each
+      // track their own offset
+      private val childOffsets =
+        new java.util.IdentityHashMap[WritableColumnVector, Integer]()
       private val types = schema.fields.map(_.dataType)
 
       override def hasNext: Boolean = rows.hasNext
 
       override def next(): ColumnarBatch = {
         var i = 0
-        while (i < vectors.length) { vectors(i).reset(); childOffsets(i) = 0; i += 1 }
+        while (i < vectors.length) { vectors(i).reset(); i += 1 }
+        childOffsets.clear()
         var n = 0
         while (n < batchSize && rows.hasNext) {
           val r = rows.next()
           var c = 0
           while (c < types.length) {
             if (r.isNullAt(c)) vectors(c).putNull(n)
-            else write(vectors(c), n, r, c, types(c), c)
+            else write(vectors(c), n, r, c, types(c))
             c += 1
           }
           n += 1
@@ -84,96 +81,87 @@ object ColumnarPack {
 
       override def close(): Unit = batch.close()
 
+      private def offsetOf(v: WritableColumnVector): Int = {
+        val o = childOffsets.get(v)
+        if (o == null) 0 else o.intValue
+      }
+
+      /** Write `src(ord)` (non-null) into slot `idx` of `v`. `src` is an
+        * InternalRow or ArrayData — both are [[SpecializedGetters]], so
+        * one recursive writer covers every nesting. Nested child vectors
+        * are reserved per write (capacity grows geometrically; top-level
+        * vectors are pre-sized to the batch).
+        */
       private def write(
-          v: WritableColumnVector, rowId: Int, r: InternalRow, ord: Int,
-          dt: DataType, col: Int): Unit = dt match {
-        case BooleanType => v.putBoolean(rowId, r.getBoolean(ord))
-        case ByteType => v.putByte(rowId, r.getByte(ord))
-        case ShortType => v.putShort(rowId, r.getShort(ord))
-        case IntegerType | DateType => v.putInt(rowId, r.getInt(ord))
+          v: WritableColumnVector, idx: Int, src: SpecializedGetters,
+          ord: Int, dt: DataType): Unit = dt match {
+        case BooleanType => v.putBoolean(idx, src.getBoolean(ord))
+        case ByteType => v.putByte(idx, src.getByte(ord))
+        case ShortType => v.putShort(idx, src.getShort(ord))
+        case IntegerType | DateType => v.putInt(idx, src.getInt(ord))
         case LongType | TimestampType | TimestampNTZType =>
-          v.putLong(rowId, r.getLong(ord))
-        case FloatType => v.putFloat(rowId, r.getFloat(ord))
-        case DoubleType => v.putDouble(rowId, r.getDouble(ord))
+          v.putLong(idx, src.getLong(ord))
+        case FloatType => v.putFloat(idx, src.getFloat(ord))
+        case DoubleType => v.putDouble(idx, src.getDouble(ord))
         case StringType =>
-          val b = r.getUTF8String(ord).getBytes
-          v.putByteArray(rowId, b, 0, b.length)
+          val b = src.getUTF8String(ord).getBytes
+          v.putByteArray(idx, b, 0, b.length)
         case BinaryType =>
-          val b = r.getBinary(ord)
-          v.putByteArray(rowId, b, 0, b.length)
+          val b = src.getBinary(ord)
+          v.putByteArray(idx, b, 0, b.length)
         case d: DecimalType =>
-          v.putDecimal(rowId, r.getDecimal(ord, d.precision, d.scale), d.precision)
+          v.putDecimal(idx, src.getDecimal(ord, d.precision, d.scale), d.precision)
         case ArrayType(et, _) =>
-          val arr = r.getArray(ord)
+          val arr = src.getArray(ord)
           val m = arr.numElements()
           val child = v.arrayData()
-          val start = childOffsets(col)
+          val start = offsetOf(child)
           child.reserve(start + m)
           var j = 0
           while (j < m) {
             if (arr.isNullAt(j)) child.putNull(start + j)
-            else writeElem(child, start + j, arr, j, et)
+            else write(child, start + j, arr, j, et)
             j += 1
           }
-          v.putArray(rowId, start, m)
-          childOffsets(col) = start + m
+          v.putArray(idx, start, m)
+          childOffsets.put(child, Integer.valueOf(start + m))
         case MapType(kt, vt, _) =>
           // maps share the array offsets mechanism: child 0 = keys,
           // child 1 = values, both growing at the same element offsets
-          val map = r.getMap(ord)
+          // (tracked on the KEY vector; both children reserve together)
+          val map = src.getMap(ord)
           val m = map.numElements()
           val keys = v.getChild(0)
           val vals = v.getChild(1)
-          val start = childOffsets(col)
+          val start = offsetOf(keys)
           keys.reserve(start + m)
           vals.reserve(start + m)
           val ka = map.keyArray()
           val va = map.valueArray()
           var j = 0
           while (j < m) {
-            writeElem(keys, start + j, ka, j, kt) // SQL map keys are never null
+            write(keys, start + j, ka, j, kt) // SQL map keys are never null
             if (va.isNullAt(j)) vals.putNull(start + j)
-            else writeElem(vals, start + j, va, j, vt)
+            else write(vals, start + j, va, j, vt)
             j += 1
           }
-          v.putArray(rowId, start, m)
-          childOffsets(col) = start + m
+          v.putArray(idx, start, m)
+          childOffsets.put(keys, Integer.valueOf(start + m))
         case st: StructType =>
-          // struct children index by rowId directly (no offsets)
-          val sr = r.getStruct(ord, st.length)
+          // struct children index by the PARENT's slot (no offsets); a
+          // struct nested under an array indexes by that array's element
+          // offset, which `idx` already is
+          val sr = src.getStruct(ord, st.length)
           var j = 0
           while (j < st.length) {
             val child = v.getChild(j)
-            if (sr.isNullAt(j)) child.putNull(rowId)
-            else write(child, rowId, sr, j, st.fields(j).dataType, col)
+            child.reserve(idx + 1)
+            if (sr.isNullAt(j)) child.putNull(idx)
+            else write(child, idx, sr, j, st.fields(j).dataType)
             j += 1
           }
         case other =>
           throw new IllegalStateException(s"unsupported columnar type $other")
-      }
-
-      private def writeElem(
-          v: WritableColumnVector, idx: Int,
-          arr: org.apache.spark.sql.catalyst.util.ArrayData, ord: Int,
-          dt: DataType): Unit = dt match {
-        case BooleanType => v.putBoolean(idx, arr.getBoolean(ord))
-        case ByteType => v.putByte(idx, arr.getByte(ord))
-        case ShortType => v.putShort(idx, arr.getShort(ord))
-        case IntegerType | DateType => v.putInt(idx, arr.getInt(ord))
-        case LongType | TimestampType | TimestampNTZType =>
-          v.putLong(idx, arr.getLong(ord))
-        case FloatType => v.putFloat(idx, arr.getFloat(ord))
-        case DoubleType => v.putDouble(idx, arr.getDouble(ord))
-        case StringType =>
-          val b = arr.getUTF8String(ord).getBytes
-          v.putByteArray(idx, b, 0, b.length)
-        case BinaryType =>
-          val b = arr.getBinary(ord)
-          v.putByteArray(idx, b, 0, b.length)
-        case d: DecimalType =>
-          v.putDecimal(idx, arr.getDecimal(ord, d.precision, d.scale), d.precision)
-        case other =>
-          throw new IllegalStateException(s"unsupported columnar element type $other")
       }
     }
 }
