@@ -724,7 +724,14 @@ object ConnectorQueries {
               .writeTo("clickhouse.main.fp_stage").append()
             // the anti-join runs WHERE THE INDEX LIVES: zero index rows
             // cross the wire (reference analog: whole-subtree federation
-            // pushdown, /root/reference/src/federation.rs:19-43)
+            // pushdown, /root/reference/src/federation.rs:19-43).
+            // COST CONTRACT: the probe is O(index) per micro-batch — at
+            // a 100 TB corpus the batch cadence is bounded by index scan
+            // speed. graft.FpProbe's 1x->10x A/B (BASELINE.md round-14)
+            // shows NOT IN flat and a sort-merge formulation 100x worse
+            // (per-batch sorts); when the index outgrows scan bandwidth
+            // the scale path is r45's fp-sharded index (probe stays
+            // shard-local), not a different join shape.
             // NULL-safe anti-insert: plain NOT IN under 3-valued logic both
             // drops NULL-fp batch rows silently AND turns into an all-row
             // no-op the moment one NULL fp lands in the index. Split the
