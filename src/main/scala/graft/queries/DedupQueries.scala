@@ -135,11 +135,14 @@ object DedupQueries {
     */
   private[graft] def cappedSelfCandidates(
       bands: DataFrame, cap: Int): DataFrame = {
-    val ok = bands.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__bc"))
+    // window count over the SELF-JOIN's own key: the size filter rides
+    // the same (band, bucket) exchange the join needs anyway (and the
+    // second side reuses it) — no extra shuffle for the cap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val bounded = bands
+      .withColumn("__bc", count(lit(1)).over(w))
       .filter(col("__bc") <= cap)
-      .select("band", "bucket")
-    val bounded = bands.join(ok, Seq("band", "bucket"))
+      .drop("__bc")
     bounded.as("x")
       .join(bounded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
