@@ -837,15 +837,14 @@ object RowBinary {
     val t0 = chType.trim
     val t = if (t0.startsWith("List(")) "Array(" + inner(t0, "List") + ")" else t0
     if (t.startsWith("Array(")) {
-      val elemType = inner(t, "Array")
-      val e = elemType.trim
-      val bare = if (e.startsWith("Nullable(")) inner(e, "Nullable") else e
-      if (!vectorAtomic(bare)) None
-      else {
-        val elem = decoder(elemType)
-        Some(new VecDec {
+      // FULLY RECURSIVE since round 14: Array(Tuple(...)), Map(_,
+      // Array(...)) etc. decode natively into nested vectors — each
+      // array-shaped decoder tracks its own running child offset
+      // (mirroring ColumnarPack's per-vector offsets); reset() fans out
+      vectorDecoder(inner(t, "Array")).map { elem =>
+        new VecDec {
           private var off = 0
-          override def reset(): Unit = off = 0
+          override def reset(): Unit = { off = 0; elem.reset() }
           override def readInto(
               in: DataInputStream, vec: WritableColumnVector, rowId: Int): Unit = {
             val n = readVarInt(in)
@@ -856,21 +855,16 @@ object RowBinary {
             vec.putArray(rowId, off, n)
             off += n
           }
-        })
+        }
       }
     } else if (t.startsWith("Map(")) {
       // maps use the array offsets mechanism: child 0 = keys, child 1 =
       // values, interleaved on the wire
       val Seq(kt, vt) = splitTopLevel(inner(t, "Map"))
-      val kBare = stripMods(kt)
-      val vBare = stripMods(vt)
-      if (!vectorAtomic(kBare) || !vectorAtomic(vBare)) None
-      else {
-        val kd = decoder(kt)
-        val vd = decoder(vt)
-        Some(new VecDec {
+      for (kd <- vectorDecoder(kt); vd <- vectorDecoder(vt)) yield
+        new VecDec {
           private var off = 0
-          override def reset(): Unit = off = 0
+          override def reset(): Unit = { off = 0; kd.reset(); vd.reset() }
           override def readInto(
               in: DataInputStream, vec: WritableColumnVector, rowId: Int): Unit = {
             val n = readVarInt(in)
@@ -887,23 +881,36 @@ object RowBinary {
             vec.putArray(rowId, off, n)
             off += n
           }
-        })
-      }
+        }
     } else if (t.startsWith("Tuple(")) {
-      // tuple -> struct: children index by rowId directly
+      // tuple -> struct: children index by the parent's slot. A tuple
+      // nested under an array indexes by that array's element offset,
+      // whose capacity only the array parent reserves — so each field
+      // child reserves its own slot before the write.
       val parts = splitTopLevel(inner(t, "Tuple")).map(tupleElemType)
-      if (!parts.forall(p2 => vectorAtomic(stripMods(p2)))) None
+      val els = parts.map(vectorDecoder)
+      if (els.exists(_.isEmpty)) None
       else {
-        val els = parts.map(decoder).toArray
+        val ds = els.map(_.get).toArray
         Some(new VecDec {
+          override def reset(): Unit = ds.foreach(_.reset())
           override def readInto(
               in: DataInputStream, vec: WritableColumnVector, rowId: Int): Unit = {
             var j = 0
-            while (j < els.length) { els(j).readInto(in, vec.getChild(j), rowId); j += 1 }
+            while (j < ds.length) {
+              val ch = vec.getChild(j)
+              ch.reserve(rowId + 1)
+              ds(j).readInto(in, ch, rowId)
+              j += 1
+            }
           }
         })
       }
     } else {
+      // atomics (incl. Nullable/LowCardinality wrappers — the row
+      // decoder handles the null flag and writes putNull itself).
+      // Nullable COMPOSITES stay on the row path (the server cannot
+      // produce them; rejecting keeps the fallback honest).
       if (!vectorAtomic(stripMods(t))) None
       else {
         val d = decoder(t)

@@ -223,27 +223,44 @@ class RowBinaryFuzzSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     if (v.isNullAt(row)) null
     else dt match {
-      case ArrayType(et, _) =>
-        val a = v.getArray(row)
-        (0 until a.numElements()).map(j => normFromArray(a, et, j))
-      case MapType(kt, vt, _) =>
-        val m = v.getMap(row)
-        (0 until m.numElements()).map(j =>
-          (normFromArray(m.keyArray, kt, j), normFromArray(m.valueArray, vt, j)))
-      case st: StructType =>
-        val sr = v.getStruct(row)
-        st.fields.indices.map { j =>
-          if (sr.isNullAt(j)) null
-          else norm(sr.get(j, st.fields(j).dataType))
-        }
+      case _: ArrayType | _: MapType | _: StructType =>
+        normNested(dt, dt match {
+          case _: ArrayType => v.getArray(row)
+          case _: MapType => v.getMap(row)
+          case _: StructType => v.getStruct(row)
+        })
       case _ => norm(atomOf(v, dt, row))
     }
   }
 
-  private def normFromArray(
-      a: org.apache.spark.sql.catalyst.util.ArrayData,
-      dt: org.apache.spark.sql.types.DataType, j: Int): Any =
-    if (a.isNullAt(j)) null else norm(a.get(j, dt))
+  /** Recursive normalization of a vector READ-BACK value (ColumnarArray/
+    * ColumnarMap/ColumnarRow or atom) — nested composites decode
+    * natively since round 14, so the differential must walk them.
+    */
+  private def normNested(dt: org.apache.spark.sql.types.DataType, v: Any): Any = {
+    import org.apache.spark.sql.types._
+    if (v == null) null
+    else dt match {
+      case ArrayType(et, _) =>
+        val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map(j =>
+          if (a.isNullAt(j)) null else normNested(et, a.get(j, et)))
+      case MapType(kt, vt, _) =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        (0 until m.numElements()).map(j =>
+          (normNested(kt, m.keyArray.get(j, kt)),
+            if (m.valueArray.isNullAt(j)) null
+            else normNested(vt, m.valueArray.get(j, vt))))
+      case st: StructType =>
+        val sr = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        st.fields.indices.map { j =>
+          if (sr.isNullAt(j)) null
+          else normNested(st.fields(j).dataType,
+            sr.get(j, st.fields(j).dataType))
+        }
+      case _ => norm(v)
+    }
+  }
 
   private def atomOf(
       v: org.apache.spark.sql.vectorized.ColumnVector,
@@ -268,7 +285,7 @@ class RowBinaryFuzzSpec extends AnyFunSuite {
     val r = new Random(161803)
     var covered = 0
     for (i <- 0 until 400) {
-      val t = tree(r, r.nextInt(2)) // the vector path carries one composite level
+      val t = tree(r, r.nextInt(3)) // nested composites decode natively (round 14)
       RowBinary.vectorDecoder(t.ch).foreach { vd =>
         covered += 1
         val dt = graft.types.ClickHouseType.parse(t.ch).dataType

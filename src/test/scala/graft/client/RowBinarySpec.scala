@@ -419,9 +419,12 @@ class RowBinarySpec extends AnyFunSuite {
     assert(vec2.getStruct(0).getUTF8String(1).toString === "x")
     assert(vec2.getStruct(1).getInt(0) === 8 && vec2.getStruct(1).isNullAt(1))
     vec2.close()
-    // deeper nesting correctly refuses the vector path
-    assert(RowBinary.vectorDecoder("Map(String, Array(Int64))").isEmpty)
-    assert(RowBinary.vectorDecoder("Array(Array(Int64))").isEmpty)
+    // deeper nesting decodes natively since round 14 (the fuzz
+    // differential drives it value-level); Nullable COMPOSITES are the
+    // remaining honest row-path refusal (the server cannot emit them)
+    assert(RowBinary.vectorDecoder("Map(String, Array(Int64))").isDefined)
+    assert(RowBinary.vectorDecoder("Array(Array(Int64))").isDefined)
+    assert(RowBinary.vectorDecoder("Array(Nullable(Tuple(Int64)))").isEmpty)
   }
 
   test("readInto decodes primitives and strings straight into vectors") {
