@@ -928,6 +928,43 @@ class PushdownSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("arrayMap"), e2.getMessage)
   }
 
+  test("randomized placeholder-lambda differential: 40 random bodies " +
+    "agree with the native Spark spelling, local and remote") {
+    val s = extSession
+    val r = new scala.util.Random(271828)
+    // body fragments over a string lambda var; (placeholder spelling,
+    // native spelling) pairs — same SQL text modulo the lambda syntax
+    val bodies = Seq[(String, String)](
+      ("concat($x, '_t')", "concat(x, '_t')"),
+      ("upper($x)", "upper(x)"),
+      ("substr($x, 1, 3)", "substr(x, 1, 3)"),
+      ("concat($x, $x)", "concat(x, x)"),
+      ("length($x) > 4", "length(x) > 4"),
+      ("$x = 'Lulu'", "x = 'Lulu'"),
+      ("concat($x, id)", "concat(x, id)"))
+    val hofs = Seq("arrayMap", "arrayFilter", "arrayExists")
+    def nativeOf(h: String): String = h match {
+      case "arrayMap" => "transform"
+      case "arrayFilter" => "filter"
+      case "arrayExists" => "exists"
+    }
+    for (i <- 0 until 40) {
+      val h = hofs(r.nextInt(hofs.length))
+      // filter/exists need boolean bodies; map takes any
+      val pool =
+        if (h == "arrayMap") bodies.take(4) :+ bodies.last
+        else bodies.slice(4, 6)
+      val (ph, nat) = pool(r.nextInt(pool.length))
+      val phSql =
+        s"SELECT id, `$h`($$x, $ph, names) AS v FROM chpdx.db.people2"
+      val natSql =
+        s"SELECT id, ${nativeOf(h)}(names, x -> $nat) AS v FROM chpdx.db.people2"
+      val got = s.sql(phSql).orderBy("id").collect().map(_.toSeq).toSeq
+      val want = s.sql(natSql).orderBy("id").collect().map(_.toSeq).toSeq
+      assert(got == want, s"shape #$i: $phSql")
+    }
+  }
+
   test("bare arrayJoin is a true generator (cardinality-safe explode)") {
     val df = extSession.sql(
       "SELECT id, `arrayJoin`(names) AS n FROM chpdx.db.people2")
