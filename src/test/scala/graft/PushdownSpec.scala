@@ -856,6 +856,16 @@ class PushdownSpec extends AnyFunSuite {
     val remote = extSession.sql(
       "SELECT id, apply(x -> concat(x, '?'), names) AS qs FROM chpdx.db.people2")
     assert(remote.collect().nonEmpty)
+    // the alias family also resolves on RUNTIME-registered sessions (no
+    // extensions parser — Registration.registerFunctions), including the
+    // 2-collection zip form and the wrapper unwrap
+    val rt = spark.sql(
+      "SELECT apply(x -> x * 2, array(1, 2)) AS d, " +
+        "apply((x, y) -> x + y, array(1, 2), array(10, 20)) AS z, " +
+        "lambda(transform(array(3), x -> x + 1)) AS u").collect().head
+    assert(rt.getSeq[Int](0) == Seq(2, 4))
+    assert(rt.getSeq[Int](1) == Seq(11, 22))
+    assert(rt.getSeq[Int](2) == Seq(4))
   }
 
   test("reference-verbatim placeholder lambdas: `arrayMap`($x, body, col) " +

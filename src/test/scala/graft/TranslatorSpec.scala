@@ -45,6 +45,13 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT countDistinct(a, b)") == "SELECT count(DISTINCT a, b)")
     assert(t("SELECT positiveModulo(a, b)") == "SELECT pmod(a, b)")
     assert(t("SELECT arrayMap(x -> x + 1, arr)") == "SELECT transform(arr, x -> x + 1)")
+    // multi-array map: 2 arrays ride zip_with (server requires equal
+    // sizes where Spark pads — loud there, never a wrong value); 3+
+    // arrays reject loudly
+    assert(t("SELECT arrayMap((x, y) -> x + y, a, b)") ==
+      "SELECT zip_with(a, b, (x, y) -> x + y)")
+    intercept[IllegalArgumentException](
+      t("SELECT arrayMap((x, y, z) -> x, a, b, c)"))
     assert(t("SELECT arrayFilter(x -> x > 2, arr)") == "SELECT filter(arr, x -> x > 2)")
     assert(t("SELECT arrayExists(x -> x = 'a', arr)") == "SELECT exists(arr, x -> x = 'a')")
     assert(t("SELECT toDateTime64('2024-01-01 00:00:00.000000', 6)") ==
