@@ -72,15 +72,6 @@ class ProjectionFuzzSpec extends AnyFunSuite {
     }
     insertSome(60)
 
-    // the local twin: always recompute from the CURRENT store rows via
-    // the catalog (base parquet scan — no chSql, no swap)
-    def localAgg(items: String, where: String, group: String): DataFrame = {
-      spark.table("chpfz.main.fz").createOrReplaceTempView("fz_local")
-      spark.sql(s"SELECT $items FROM fz_local" +
-        (if (where.isEmpty) "" else s" WHERE $where") +
-        (if (group.isEmpty) "" else s" GROUP BY $group"))
-    }
-
     var cases = 0
     (1 to 40).foreach { i =>
       // churn between queries
@@ -104,6 +95,21 @@ class ProjectionFuzzSpec extends AnyFunSuite {
               Seq(ChAlterOp.MaterializeProjection("pfz")))
         case _ => ()
       }
+      // swap-UNSAFE surface (round-14 ADVICE hardening): plain key
+      // scans must return one row per BASE row — a wrong swap would
+      // collapse to state rows with an identical schema, invisible to
+      // the analyzed-schema guard
+      if (r.nextInt(5) == 0) {
+        val wh = if (r.nextBoolean()) (" WHERE `tag` = 't1'", " WHERE tag = 't1'")
+        else ("", "")
+        val remoteScan = ch.chSql(
+          s"SELECT `tag` AS tag, `grp` AS grp FROM `main`.`fz`${wh._1}")
+        spark.table("chpfz.main.fz").createOrReplaceTempView("fz_local")
+        val localScan = spark.sql(s"SELECT tag, grp FROM fz_local${wh._2}")
+        assert(canon(remoteScan) == canon(localScan),
+          s"fuzz case $i plain-scan diverged (where=${wh._1})")
+        cases += 1
+      } else {
       // random query shape
       val groupKeys = r.nextInt(4) match {
         case 0 => Seq("tag", "grp")
@@ -135,16 +141,39 @@ class ProjectionFuzzSpec extends AnyFunSuite {
       val localItems = (groupKeys ++
         picked.zipWithIndex.map { case ((_, lo), j) => s"$lo AS a$j" })
         .mkString(", ")
+      // trailing clauses: alias-only tails may ride the swap; any tail
+      // carrying a CALL (HAVING count(*)) must fall back — and count
+      // BASE rows, never per-part state rows (round-14 ADVICE shape)
+      val tail =
+        if (groupKeys.nonEmpty && r.nextInt(3) == 0) {
+          if (r.nextBoolean()) (" HAVING count(*) > 2", " HAVING count(*) > 2")
+          else (" HAVING a0 IS NOT NULL", " HAVING a0 IS NOT NULL")
+        } else ("", "")
       val remote = ch.chSql(
         s"SELECT $remoteItems FROM `main`.`fz`" +
           (if (whereR._1.isEmpty) "" else s" WHERE ${whereR._1}") +
           (if (groupKeys.isEmpty) ""
-           else s" GROUP BY ${groupKeys.map(k => s"`$k`").mkString(", ")}"))
-      val local = localAgg(localItems, whereR._2, groupKeys.mkString(", "))
+           else s" GROUP BY ${groupKeys.map(k => s"`$k`").mkString(", ")}") +
+          tail._1)
+      // local twin: tails re-express as a filter over the grouped
+      // subquery (count(*) recomputed from base rows alongside)
+      spark.table("chpfz.main.fz").createOrReplaceTempView("fz_local")
+      val whereSql = if (whereR._2.isEmpty) "" else s" WHERE ${whereR._2}"
+      val groupSql =
+        if (groupKeys.isEmpty) "" else s" GROUP BY ${groupKeys.mkString(", ")}"
+      val local =
+        if (tail._2.isEmpty)
+          spark.sql(s"SELECT $localItems FROM fz_local$whereSql$groupSql")
+        else spark.sql(
+          s"SELECT ${(groupKeys ++ picked.indices.map(j => s"a$j")).mkString(", ")} " +
+            s"FROM (SELECT $localItems, count(*) AS __c FROM fz_local" +
+            s"$whereSql$groupSql) WHERE " +
+            tail._2.replace(" HAVING ", "").replace("count(*)", "__c"))
       assert(canon(remote) == canon(local),
         s"fuzz case $i diverged (keys=$groupKeys, aggs=${picked.map(_._1)}, " +
-          s"where=${whereR._1})")
+          s"where=${whereR._1}, tail=${tail._1})")
       cases += 1
+      }
     }
     assert(cases == 40)
     assert(client.projectionHitCount("main", "fz", "pfz") > 0L,
