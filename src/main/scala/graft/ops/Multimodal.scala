@@ -119,6 +119,30 @@ object Multimodal {
     }
   }
 
+  /** Media validation / quarantine — the data-quality pass a pipeline
+    * runs BEFORE spending decode cycles: size bounds, a caller-supplied
+    * magic-byte predicate (the header sniff), NULL/empty detection.
+    * Pure column expressions (codegen'd, narrow, no shuffle); first
+    * matching reason wins, in severity order. Returns
+    * (media_id, n_bytes, reason, status) where status is
+    * keep | quarantine — downstream stages filter on it, the quarantine
+    * stream lands in a side table with its reason for triage.
+    */
+  def quarantine(
+      media: DataFrame, minBytes: Long, maxBytes: Long,
+      magicOk: org.apache.spark.sql.Column): DataFrame = {
+    val nb = length(col("payload")).cast("long")
+    val reason = when(col("payload").isNull, "null_payload")
+      .when(nb === 0L, "empty")
+      .when(nb < minBytes, "too_small")
+      .when(nb > maxBytes, "too_large")
+      .when(!magicOk, "bad_magic")
+      .otherwise("ok")
+    media.select(col("media_id"), nb.as("n_bytes"), reason.as("reason"))
+      .withColumn("status",
+        when(col("reason") === "ok", "keep").otherwise("quarantine"))
+  }
+
   /** Fixed-stride frame sampling over a "video" payload: emits every
     * `frameSize`-byte slice at `stride` frames — pure column expressions
     * (posexplode over a computed index sequence), fully codegen'd.

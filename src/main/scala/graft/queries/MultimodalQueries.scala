@@ -58,6 +58,40 @@ object MultimodalQueries {
         .select(col("media_id").as("doc_id"),
           col("frame_idx").cast("long").as("frame_idx"),
           md5(col("frame")).as("frame_md5"))
+    },
+
+    // Validation / quarantine: the data-quality pass a media pipeline
+    // runs BEFORE spending decode cycles — size bounds + a magic-byte
+    // header sniff, each row tagged keep|quarantine with its reason.
+    // Pure codegen'd column expressions over the binary payload (the
+    // magic predicate here sniffs the first byte's ASCII class, standing
+    // in for a real format signature check).
+    q("m03_multimodal_quarantine",
+      """SELECT doc_id,
+        |  octet_length(text::BLOB) AS n_bytes,
+        |  CASE WHEN text IS NULL THEN 'null_payload'
+        |       WHEN octet_length(text::BLOB) = 0 THEN 'empty'
+        |       WHEN octet_length(text::BLOB) < 256 THEN 'too_small'
+        |       WHEN octet_length(text::BLOB) > 4000 THEN 'too_large'
+        |       WHEN NOT (ascii(text) BETWEEN 65 AND 122) THEN 'bad_magic'
+        |       ELSE 'ok' END AS reason,
+        |  CASE WHEN text IS NOT NULL AND octet_length(text::BLOB)
+        |         BETWEEN 256 AND 4000 AND ascii(text) BETWEEN 65 AND 122
+        |       THEN 'keep' ELSE 'quarantine' END AS status
+        |FROM documents""".stripMargin) { (s, _) =>
+      val media = graft.ops.Multimodal.toMediaTable(
+        s.table("documents"), "doc_id", "text", kind = "doc",
+        sourceCol = "source")
+      // first PAYLOAD byte as its numeric value: for codepoints ≤ 127 it
+      // equals the oracle's ascii(); any multi-byte lead (≥ 0xC2) and
+      // any codepoint > 122 both classify bad_magic on both engines, so
+      // the byte-level sniff and the oracle's codepoint agree everywhere
+      val firstByte =
+        conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int")
+      graft.ops.Multimodal.quarantine(media, minBytes = 256,
+        maxBytes = 4000, magicOk = firstByte.between(65, 122))
+        .select(col("media_id").as("doc_id"), col("n_bytes"),
+          col("reason"), col("status"))
     }
   )
 }

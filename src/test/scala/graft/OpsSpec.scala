@@ -343,6 +343,40 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getInt(1) >= 64 && r.getInt(1) < 576) // width in stub range
   }
 
+  test("multimodal: quarantine tags every reason class, severity order") {
+    import graft.ops.Multimodal
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", BinaryType),
+      StructField("src", StringType)))
+    def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val rows = Seq(
+      Row(1L, null, "s"),                                // null_payload
+      Row(2L, Array.empty[Byte], "s"),                   // empty
+      Row(3L, b("tiny"), "s"),                           // too_small
+      Row(4L, b("x" * 100), "s"),                        // too_large
+      Row(5L, b("!" + "a" * 20), "s"),                   // bad_magic ('!'=33)
+      Row(6L, b("A" + "a" * 20), "s"))                   // ok
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val media = Multimodal.toMediaTable(df, "id", "p", "img", "src")
+    val firstByte =
+      conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int")
+    val got = Multimodal.quarantine(media, minBytes = 10, maxBytes = 50,
+      magicOk = firstByte.between(65, 122))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getString(3))).toMap
+    assert(got(1L) == ("null_payload", "quarantine"))
+    assert(got(2L) == ("empty", "quarantine"))
+    assert(got(3L) == ("too_small", "quarantine"))
+    assert(got(4L) == ("too_large", "quarantine"))
+    assert(got(5L) == ("bad_magic", "quarantine"))
+    assert(got(6L) == ("ok", "keep"))
+  }
+
   test("multimodal: byte-histogram features are L1-normalized array<double>") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(20)
     val media = Multimodal.toMediaTable(
