@@ -114,8 +114,17 @@ object ApplyBuilders {
     * or Spark-style lambda form.
     */
   def buildAlias(name: String, args: Seq[Expression]): Expression =
-    if (args.length == 1 && !args.head.isInstanceOf[LambdaFunction]) args.head
-    else {
+    if (args.length == 1 && !args.head.isInstanceOf[LambdaFunction]) {
+      // wrapper unwrap — but only around something call-shaped: the
+      // reference errors on `lambda(col)` ("must be higher order
+      // function", apply.rs:231), and silently returning a bare column
+      // would be a new surface, not parity
+      require(!args.head.isInstanceOf[UnresolvedAttribute] &&
+        !args.head.isInstanceOf[Literal],
+        s"$name(...) must wrap a higher-order function call " +
+          "(udfs/apply.rs:231) or take (lambda, collection) arguments")
+      args.head
+    } else {
       val (lambdas, rest) = args.partition(_.isInstanceOf[LambdaFunction])
       require(lambdas.length == 1 && (rest.length == 1 || rest.length == 2),
         s"$name(lambda, collection[, collection]) takes exactly one lambda " +
