@@ -135,14 +135,18 @@ object DedupQueries {
     */
   private[graft] def cappedSelfCandidates(
       bands: DataFrame, cap: Int): DataFrame = {
-    // window count over the SELF-JOIN's own key: the size filter rides
-    // the same (band, bucket) exchange the join needs anyway (and the
-    // second side reuses it) — no extra shuffle for the cap
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val bounded = bands
-      .withColumn("__bc", count(lit(1)).over(w))
-      .filter(col("__bc") <= cap)
-      .drop("__bc")
+    // the HOT set is tiny by construction (≤ bands/cap rows, normally
+    // EMPTY), so bands anti-join it without shuffling: the map-combined
+    // count shuffle ships one row per bucket, AQE broadcasts the
+    // filtered survivors, and the self-join's own (band, bucket)
+    // exchange stays the only bands-sized shuffle. (A window-count
+    // formulation rode one exchange but paid a per-partition sort —
+    // 0.69 s vs this form at sf0.1; BASELINE.md round-14.)
+    val hot = bands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > cap)
+      .select("band", "bucket")
+    val bounded = bands.join(hot, Seq("band", "bucket"), "left_anti")
     bounded.as("x")
       .join(bounded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
