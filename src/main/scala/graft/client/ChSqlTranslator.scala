@@ -74,7 +74,155 @@ object ChSqlTranslator {
     "corr" -> "corr",
     // population skewness: Spark's skewness IS µ3/σ³ over population
     // central moments (CentralMomentAgg: √n·M3/M2^1.5)
-    "skewPop" -> "skewness")
+    "skewPop" -> "skewness",
+    // round-14 wave: value-identical 1:1 swaps (FnSurfaceProbe sweep)
+    "mapKeys" -> "map_keys",
+    "mapValues" -> "map_values",
+    "mapContains" -> "map_contains_key",
+    "bitCount" -> "bit_count",
+    "bitShiftLeft" -> "shiftleft",
+    "bitShiftRight" -> "shiftright",
+    // banker's (half-even) rounding in both engines
+    "roundBankers" -> "bround",
+    // NULL elements are skipped by BOTH engines' array min/max
+    "arrayMin" -> "array_min",
+    "arrayMax" -> "array_max",
+    // Spark substring/char ops are codepoint-based — exactly the UTF8
+    // variants' contract
+    "substringUTF8" -> "substring",
+    "replaceAll" -> "replace",
+    "concatWithSeparator" -> "concat_ws",
+    "generateUUIDv4" -> "uuid",
+    // CH randCanonical IS Spark's rand: uniform [0, 1) Float64
+    "randCanonical" -> "rand")
+
+  // ---- round-14 wave helpers -------------------------------------------
+
+  /** The inner text of a simple single-quoted literal (no embedded
+    * quotes); None for anything else — callers reject loudly.
+    */
+  private def stringLiteral(arg: String): Option[String] = {
+    val t = arg.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'' &&
+      !t.substring(1, t.length - 1).contains('\'')) Some(t.substring(1, t.length - 1))
+    else None
+  }
+
+  /** Escape a literal separator for embedding in a Spark regex string
+    * (the emitted text carries doubled backslashes, which the child
+    * session's literal parse collapses to single ones).
+    */
+  private def escapeRegexLiteral(lit: String): String =
+    lit.flatMap { c =>
+      if ("\\^$.|?*+()[]{}".contains(c)) s"\\\\$c" else c.toString
+    }
+
+  /** ClickHouse extract/extractAll return capture group 1 when the
+    * pattern captures, else the whole match — detectable only on a
+    * literal pattern (unescaped '(' not opening a non-capturing group).
+    */
+  private def extractGroupIdx(arg: String): Int = {
+    val lit = stringLiteral(arg).getOrElse(throw new IllegalArgumentException(
+      "extract/extractAll: the pattern must be a string literal (the " +
+        "result is group 1 when the pattern captures, else the whole match)"))
+    var i = 0
+    var has = false
+    while (i < lit.length && !has) {
+      if (lit.charAt(i) == '\\') i += 2
+      else {
+        if (lit.charAt(i) == '(' &&
+          (i + 1 >= lit.length || lit.charAt(i + 1) != '?')) has = true
+        i += 1
+      }
+    }
+    if (has) 1 else 0
+  }
+
+  /** ClickHouse regex replacements reference groups as `\N`; Java (and
+    * Spark) use `$N`. Literal-only, '$'-free (a raw '$' is ambiguous
+    * across the dialects).
+    */
+  private def chReplacementToJava(arg: String): String = {
+    val lit = stringLiteral(arg).getOrElse(throw new IllegalArgumentException(
+      "replaceRegexpAll: the replacement must be a string literal"))
+    require(!lit.contains('$'),
+      "replaceRegexpAll: a literal '$' in the replacement renders " +
+        "differently across dialects — rewrite without it")
+    val conv = lit.replaceAll("\\\\\\\\([0-9])", "\\$$1")
+      .replaceAll("\\\\([0-9])", "\\$$1")
+    s"'$conv'"
+  }
+
+  /** ClickHouse `format` templates ({} positional, {N} indexed 0-based,
+    * {{ }} brace escapes) → Java format_string templates.
+    */
+  private def chFormatToJava(tpl: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < tpl.length) {
+      val c = tpl.charAt(i)
+      if (c == '%') { out.append("%%"); i += 1 }
+      else if (c == '{' && i + 1 < tpl.length && tpl.charAt(i + 1) == '{') {
+        out.append('{'); i += 2
+      } else if (c == '}' && i + 1 < tpl.length && tpl.charAt(i + 1) == '}') {
+        out.append('}'); i += 2
+      } else if (c == '{') {
+        val e = tpl.indexOf('}', i)
+        require(e > 0, s"format: unclosed '{' in template '$tpl'")
+        val tok = tpl.substring(i + 1, e)
+        if (tok.isEmpty) out.append("%s")
+        else {
+          require(tok.forall(_.isDigit),
+            s"format: unsupported placeholder '{$tok}' (only {} and {N})")
+          out.append("%").append(tok.toInt + 1).append("$s")
+        }
+        i = e + 1
+      } else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
+
+  /** ClickHouse formatDateTime tokens → Java date patterns — the
+    * unambiguous subset only. `%M` is minute or MONTH NAME depending on
+    * server version/settings → rejected; literal letters outside tokens
+    * would be Java pattern letters → rejected (separators pass).
+    */
+  private def chDateFormatToJava(fmt: String): String = {
+    val map = Map('Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'h' -> "hh", 'i' -> "mm", 'S' -> "ss", 's' -> "ss",
+      'F' -> "yyyy-MM-dd", 'D' -> "MM/dd/yy", 'T' -> "HH:mm:ss",
+      'j' -> "DDD", 'a' -> "EEE", 'W' -> "EEEE", 'p' -> "a", 'Q' -> "Q")
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        require(i + 1 < fmt.length, s"formatDateTime: dangling '%' in '$fmt'")
+        val t = fmt.charAt(i + 1)
+        if (t == '%') out.append('%')
+        else out.append(map.getOrElse(t, throw new IllegalArgumentException(
+          s"formatDateTime: token '%$t' is not supported — supported: " +
+            map.keys.toSeq.sorted.map("%" + _).mkString(", ") +
+            " ('%M' is minute or month name depending on server " +
+            "version; spell %i for minute)")))
+        i += 2
+      } else {
+        require(!c.isLetter && c != '\'',
+          s"formatDateTime: literal '$c' outside a % token would be a " +
+            "Java pattern letter — only separator characters are supported")
+        out.append(c); i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Elements of an `array(...)` literal (post-bracket-rewrite), or None. */
+  private def splitArrayLiteral(arg: String): Option[Seq[String]] = {
+    val t = arg.trim
+    if (t.startsWith("array(") && t.endsWith(")"))
+      Some(parseArgs(t.substring(6), 0)._1)
+    else None
+  }
 
   /** Pin the one honest totals mode on a statement combining WITH TOTALS
     * and HAVING: append (or merge into a trailing SETTINGS clause)
@@ -577,7 +725,252 @@ object ChSqlTranslator {
             "anyLast, uniq, uniqExact")
       }
     })
-    // CAST(x AS <ClickHouse type>) → CAST(x AS <Spark type>)
+    // ---- round-14 function wave (FnSurfaceProbe sweep): each mapping
+    // is value-identical on its defined domain; anything whose boundary
+    // law could not be pinned stays a loud reject ----
+    // array surgery
+    s = rewriteCall(s, "arrayPushBack",
+      args => s"concat(${args(0)}, array(${args(1)}))")
+    s = rewriteCall(s, "arrayPushFront",
+      args => s"concat(array(${args(1)}), ${args(0)})")
+    s = rewriteCall(s, "arrayPopBack", args =>
+      s"slice(${args.head}, 1, greatest(size(${args.head}) - 1, 0))")
+    s = rewriteCall(s, "arrayPopFront", args =>
+      s"(CASE WHEN size(${args.head}) <= 1 THEN slice(${args.head}, 1, 0) " +
+        s"ELSE slice(${args.head}, 2, size(${args.head}) - 1) END)")
+    s = rewriteCall(s, "arrayResize", args => {
+      require(args.size == 3,
+        "arrayResize: only the 3-argument (array, size, pad) form is " +
+          "supported — the 2-argument grow pads with the element type's " +
+          "DEFAULT, which a text rewrite cannot derive")
+      val (a, n, p) = (args(0), args(1), args(2))
+      s"(CASE WHEN ($n) <= size($a) THEN slice($a, 1, greatest($n, 0)) " +
+        s"ELSE concat($a, array_repeat($p, ($n) - size($a))) END)"
+    })
+    // 1-based access, identical to the `a[i]` subscript rewrite
+    s = rewriteCall(s, "arrayElement",
+      args => s"element_at(${args(0)}, ${args(1)})")
+    // consecutive-duplicate collapse; <=> matches the server's
+    // NULL-equals-NULL collapse
+    s = rewriteCall(s, "arrayCompact", args => {
+      val a = args.head
+      s"filter($a, (__ac_x, __ac_i) -> __ac_i = 0 OR " +
+        s"NOT (__ac_x <=> element_at($a, __ac_i)))"
+    })
+    s = rewriteCall(s, "countEqual", args =>
+      s"cast(size(filter(${args(0)}, __ce_x -> __ce_x <=> ${args(1)})) as bigint)")
+    // (arrayEnumerate already maps below — the indexed-transform rule)
+    s = rewriteCall(s, "arrayUniq", args => {
+      require(args.size == 1,
+        "arrayUniq over multiple arrays (distinct TUPLES) is not supported")
+      s"cast(size(array_distinct(${args.head})) as bigint)"
+    })
+    s = rewriteCall(s, "arrayAvg", args => {
+      val nn = s"filter(${args.head}, __aa_x -> __aa_x IS NOT NULL)"
+      s"(aggregate($nn, cast(0 as double), " +
+        s"(__aa_acc, __aa_v) -> __aa_acc + __aa_v) / size($nn))"
+    })
+    s = rewriteCall(s, "arrayProduct", args => {
+      val nn = s"filter(${args.head}, __ap_x -> __ap_x IS NOT NULL)"
+      // Float64 result like the server's; empty folds to the init 1.0
+      s"aggregate($nn, cast(1 as double), " +
+        s"(__ap_acc, __ap_v) -> __ap_acc * __ap_v)"
+    })
+    // zip to unnamed tuples (structs — the repo's tuple representation;
+    // tupleElement/graft_tuple_at read them positionally)
+    s = rewriteCall(s, "arrayZip", args => {
+      require(args.size == 2,
+        "arrayZip: exactly two arrays are supported (3+ have no " +
+          "equal-size-checked Spark composition)")
+      s"zip_with(${args(0)}, ${args(1)}, (__az_a, __az_b) -> " +
+        "struct(__az_a, __az_b))"
+    })
+    s = rewriteCall(s, "bitPositionsToArray", args =>
+      s"filter(transform(sequence(0, 63), __bp_i -> " +
+        s"CASE WHEN (cast(${args.head} as bigint) & shiftleft(1L, __bp_i)) != 0 " +
+        "THEN cast(__bp_i as bigint) END), __bp_x -> __bp_x IS NOT NULL)")
+    // string family
+    s = rewriteCall(s, "splitByString", args => {
+      require(args.size == 2, "splitByString takes (separator, string)")
+      val lit = stringLiteral(args(0)).getOrElse(throw new IllegalArgumentException(
+        "splitByString: the separator must be a string literal"))
+      require(lit.nonEmpty,
+        "splitByString('') splits to characters — spell it split(s, '')")
+      s"split(${args(1)}, '${escapeRegexLiteral(lit)}')"
+    })
+    s = rewriteCall(s, "splitByRegexp",
+      args => s"split(${args(1)}, ${args(0)})")
+    s = rewriteCall(s, "extract", args => {
+      // SQL-standard EXTRACT(unit FROM x) passes through untouched —
+      // only the ClickHouse regex form (haystack, pattern) maps
+      if (args.size == 1 &&
+        raw"(?i)\sFROM\s".r.findFirstIn(args.head).isDefined)
+        s"extract(${args.head})"
+      else {
+        require(args.size == 2, "extract takes (haystack, pattern)")
+        s"regexp_extract(${args(0)}, ${args(1)}, ${extractGroupIdx(args(1))})"
+      }
+    })
+    s = rewriteCall(s, "extractAll", args => {
+      require(args.size == 2, "extractAll takes (haystack, pattern)")
+      s"regexp_extract_all(${args(0)}, ${args(1)}, ${extractGroupIdx(args(1))})"
+    })
+    s = rewriteCall(s, "replaceOne", args => {
+      val (h, n, r) = (args(0), args(1), args(2))
+      s"(CASE WHEN locate($n, $h) > 0 THEN concat(" +
+        s"substr($h, 1, locate($n, $h) - 1), $r, " +
+        s"substr($h, locate($n, $h) + graft_length($n))) ELSE $h END)"
+    })
+    s = rewriteCall(s, "replaceRegexpAll", args => {
+      require(args.size == 3, "replaceRegexpAll takes (haystack, pattern, replacement)")
+      s"regexp_replace(${args(0)}, ${args(1)}, ${chReplacementToJava(args(2))})"
+    })
+    s = rewriteCall(s, "countSubstrings", args => {
+      val (h, n) = (args(0), args(1))
+      // non-overlapping occurrences in both engines
+      s"cast((graft_length($h) - graft_length(replace($h, $n, ''))) " +
+        s"/ graft_length($n) as bigint)"
+    })
+    s = rewriteCall(s, "positionCaseInsensitive",
+      args => s"locate(lower(${args(1)}), lower(${args(0)}))")
+    s = rewriteCall(s, "notLike",
+      args => s"(NOT (${args(0)} LIKE ${args(1)}))")
+    s = rewriteCall(s, "format", args => {
+      require(args.size >= 2, "format needs a template and arguments")
+      val tpl = stringLiteral(args.head).getOrElse(throw new IllegalArgumentException(
+        "format: the template must be a string literal"))
+      s"format_string('${chFormatToJava(tpl)}', ${args.tail.mkString(", ")})"
+    })
+    s = rewriteCall(s, "base64Decode",
+      args => s"cast(unbase64(${args.head}) as string)")
+    // null / branch family
+    s = rewriteCall(s, "assumeNotNull", args => {
+      require(args.size == 1, "assumeNotNull takes one argument")
+      // values agree wherever the server's result is defined (NULL input
+      // is UNDEFINED there — the engines may differ only off-contract)
+      s"(${args.head})"
+    })
+    // bit ops as operators (codegen'd)
+    s = rewriteCall(s, "bitAnd", args => s"((${args(0)}) & (${args(1)}))")
+    s = rewriteCall(s, "bitOr", args => s"((${args(0)}) | (${args(1)}))")
+    s = rewriteCall(s, "bitXor", args => s"((${args(0)}) ^ (${args(1)}))")
+    s = rewriteCall(s, "bitNot", args => s"(~(${args.head}))")
+    s = rewriteCall(s, "intDivOrZero", args =>
+      s"(CASE WHEN (${args(1)}) = 0 THEN 0 ELSE (${args(0)}) DIV (${args(1)}) END)")
+    s = rewriteCall(s, "moduloOrZero", args =>
+      s"(CASE WHEN (${args(1)}) = 0 THEN 0 ELSE (${args(0)}) % (${args(1)}) END)")
+    s = rewriteCall(s, "exp2", args => s"power(cast(2 as double), ${args.head})")
+    s = rewriteCall(s, "exp10", args => s"power(cast(10 as double), ${args.head})")
+    // CH trunc/truncate(x[, N]) = toward-zero (at N decimal places);
+    // Spark's own trunc is date-only, so both arities map here
+    def truncSql(args: Seq[String]): String = {
+      require(args.size == 1 || args.size == 2,
+        "trunc/truncate: (x) or (x, places)")
+      val x = if (args.size == 1) args.head
+        else s"((${args.head}) * power(10, ${args(1)}))"
+      val core = s"(CASE WHEN ($x) >= 0 THEN floor($x) ELSE ceiling($x) END)"
+      if (args.size == 1) core else s"($core / power(10, ${args(1)}))"
+    }
+    s = rewriteCall(s, "trunc", truncSql)
+    s = rewriteCall(s, "truncate", truncSql)
+    // CH rand() is a random UInt32 (randCanonical is the [0,1) form) —
+    // passing Spark's rand() through would be a silent distribution lie
+    s = rewriteCall(s, "rand", args =>
+      "cast(floor(rand() * 4294967296) as bigint)")
+    // date/time family
+    s = rewriteCall(s, "yesterday", _ => "date_sub(current_date(), 1)")
+    s = rewriteCall(s, "toDayOfWeek", args => {
+      require(args.size == 1,
+        "toDayOfWeek: mode argument is not supported (default Mon=1..Sun=7)")
+      s"(pmod(dayofweek(${args.head}) + 5, 7) + 1)"
+    })
+    s = rewriteCall(s, "toMonday", args =>
+      s"date_sub(to_date(${args.head}), pmod(dayofweek(${args.head}) + 5, 7))")
+    s = rewriteCall(s, "toStartOfWeek", args => {
+      val mode = if (args.size >= 2) args(1).trim else "0"
+      mode match {
+        case "0" => // Sunday-start weeks (the server default)
+          s"date_sub(to_date(${args.head}), dayofweek(${args.head}) - 1)"
+        case "1" => // Monday-start weeks
+          s"date_sub(to_date(${args.head}), pmod(dayofweek(${args.head}) + 5, 7))"
+        case m => throw new IllegalArgumentException(
+          s"toStartOfWeek: mode $m is not supported (0 = Sunday, 1 = Monday)")
+      }
+    })
+    s = rewriteCall(s, "toStartOfQuarter", args =>
+      s"to_date(date_trunc('quarter', ${args.head}))")
+    for ((ch, unit) <- Seq(
+      "addSeconds" -> "SECOND", "addMinutes" -> "MINUTE",
+      "addHours" -> "HOUR", "addDays" -> "DAY", "addWeeks" -> "WEEK",
+      "addMonths" -> "MONTH", "addQuarters" -> "QUARTER",
+      "addYears" -> "YEAR")) {
+      // timestampadd: Date inputs widen to timestamp (value-exact; the
+      // server keeps Date for day-granularity adds — a TYPE widening,
+      // same spirit as the Int128 mapping)
+      s = rewriteCall(s, ch,
+        args => s"timestampadd($unit, ${args(1)}, ${args(0)})")
+      s = rewriteCall(s, "subtract" + ch.substring(3),
+        args => s"timestampadd($unit, -(${args(1)}), ${args(0)})")
+    }
+    s = rewriteCall(s, "dateDiff", args => {
+      require(args.size == 3,
+        "dateDiff: (unit, start, end) — the timezone argument is not supported")
+      val unit = stringLiteral(args.head).getOrElse(throw new IllegalArgumentException(
+        "dateDiff: the unit must be a string literal")).toLowerCase(java.util.Locale.ROOT)
+      require(Set("second", "minute", "hour", "day", "month",
+        "quarter", "year").contains(unit),
+        s"dateDiff: unit '$unit' is not supported (second/minute/hour/" +
+          "day/month/quarter/year; 'week' boundaries differ between engines)")
+      // the server counts UNIT-BOUNDARY crossings, not full units —
+      // truncate both endpoints first so full-unit counting equals
+      // boundary counting
+      s"timestampdiff(${unit.toUpperCase(java.util.Locale.ROOT)}, " +
+        s"date_trunc('$unit', ${args(1)}), date_trunc('$unit', ${args(2)}))"
+    })
+    s = rewriteCall(s, "fromUnixTimestamp", args => {
+      require(args.size == 1,
+        "fromUnixTimestamp: the 2-argument (format) form renders with " +
+          "server-dialect tokens and is not supported")
+      s"timestamp_seconds(${args.head})"
+    })
+    s = rewriteCall(s, "formatDateTime", args => {
+      require(args.size == 2,
+        "formatDateTime: (datetime, 'format') without timezone is supported")
+      val fmt = stringLiteral(args(1)).getOrElse(throw new IllegalArgumentException(
+        "formatDateTime: the format must be a string literal"))
+      s"date_format(${args.head}, '${chDateFormatToJava(fmt)}')"
+    })
+    // (toYYYYMM / toYYYYMMDD already map below — arithmetic forms)
+    // OrNull/OrZero conversions (try_cast trims like the server's parse)
+    for ((ch, t) <- Seq(
+      "toInt8OrNull" -> "TINYINT", "toInt16OrNull" -> "SMALLINT",
+      "toInt32OrNull" -> "INT", "toInt64OrNull" -> "BIGINT",
+      "toFloat32OrNull" -> "FLOAT", "toFloat64OrNull" -> "DOUBLE")) {
+      s = rewriteCall(s, ch, args => s"try_cast(${args.head} AS $t)")
+      s = rewriteCall(s, ch.replace("OrNull", "OrZero"),
+        args => s"coalesce(try_cast(${args.head} AS $t), 0)")
+    }
+    // 4-argument transform: literal from/to arrays → a CASE ladder
+    s = rewriteCall(s, "transform", args => {
+      if (args.size != 4) args.mkString("transform(", ", ", ")")
+      else {
+        val from = splitArrayLiteral(args(1)).getOrElse(
+          throw new IllegalArgumentException(
+            "transform(x, from, to, default): from/to must be array literals"))
+        val to = splitArrayLiteral(args(2)).getOrElse(
+          throw new IllegalArgumentException(
+            "transform(x, from, to, default): from/to must be array literals"))
+        require(from.length == to.length && from.nonEmpty,
+          "transform: from/to arrays must be same-length and non-empty")
+        val cases = from.zip(to).map { case (f, t) =>
+          s"WHEN (${args(0)}) <=> ($f) THEN ($t)"
+        }.mkString(" ")
+        s"(CASE $cases ELSE (${args(3)}) END)"
+      }
+    })
+
+    // CAST(x AS <ClickHouse type>) → CAST(x AS <Spark type>)  [round-14
+    // helpers for the wave above live after translate()]
     s = rewriteCall(s, "CAST", args => {
       // re-join: the splitter breaks on top-level commas, but Spark
       // composite type names carry them OUTSIDE parens (MAP<STRING,

@@ -1297,4 +1297,99 @@ class DifferentialSpec extends AnyFunSuite {
         "FROM `main`.`documents` WHERE `doc_id` < 5").collect().head
     assert(!g.isNullAt(0))
   }
+
+  test("round-14 function wave: hand-pinned server values at the " +
+    "boundary cases (FnSurfaceProbe mappings)") {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    def one(expr: String): Any = {
+      val r = ch.chSql(s"SELECT $expr AS v").collect().head
+      if (r.isNullAt(0)) null else r.get(0)
+    }
+    // array surgery
+    assert(one("arrayCompact([1, 1, 2, 2, 1])") == Seq(1, 2, 1))
+    assert(one("arrayCompact([NULL, NULL, toInt32(1)])") == Seq(null, 1))
+    assert(one("arrayPopBack([3, 1, 2, 2])") == Seq(3, 1, 2))
+    assert(one("arrayPopFront([3, 1, 2, 2])") == Seq(1, 2, 2))
+    assert(one("arrayPopBack(arrayFilter(x -> x > 9, [1]))") == Seq())
+    assert(one("arrayResize([1, 2], 4, 0)") == Seq(1, 2, 0, 0))
+    assert(one("arrayResize([1, 2, 3], 2, 0)") == Seq(1, 2))
+    assert(one("arrayPushBack([1], 9)") == Seq(1, 9))
+    assert(one("arrayPushFront([1], 9)") == Seq(9, 1))
+    assert(one("countEqual([1, NULL, 2, NULL], NULL)") == 2L)
+    assert(one("countEqual([1, 2, 2], 2)") == 2L)
+    assert(one("arrayEnumerate([7, 8, 9])") == Seq(1, 2, 3))
+    assert(one("arrayEnumerate(arrayFilter(x -> x > 9, [1]))") == Seq())
+    assert(one("arrayAvg([3, 1, 2, 2])") == 2.0)
+    assert(one("arrayProduct([3, 1, 2, 2])") == 12.0)
+    assert(one("arrayUniq([3, 1, 2, 2])") == 3L)
+    assert(one("arrayElement([10, 20], 2)") == 20)
+    assert(one("tupleElement(arrayElement(arrayZip([7, 8], [9, 10]), 2), 2)") == 10)
+    assert(one("bitPositionsToArray(5)") == Seq(0L, 2L))
+    // strings
+    assert(one("splitByString('l', 'Hello')") == Seq("He", "", "o"))
+    assert(one("splitByRegexp('[lo]', 'Hello')") == Seq("He", "", "", ""))
+    assert(one("replaceOne('Hello', 'l', 'L')") == "HeLlo")
+    assert(one("replaceOne('Hello', 'z', 'L')") == "Hello")
+    assert(one("extract('Hello World', '([A-Z])\\\\w+')") == "H") // group 1
+    assert(one("extract('Hello World', '([A-Z]\\\\w+)')") == "Hello")
+    assert(one("extract('Hello', 'ell')") == "ell")
+    assert(one("extractAll('Hello World', '[A-Z]')") == Seq("H", "W"))
+    assert(one("replaceRegexpAll('Hello', '(l+)', '[\\\\1]')") == "He[ll]o")
+    assert(one("countSubstrings('Hello World', 'l')") == 3L)
+    assert(one("countSubstrings('aaa', 'aa')") == 1L)
+    assert(one("positionCaseInsensitive('Hello World', 'WORLD')") == 7L ||
+      one("positionCaseInsensitive('Hello World', 'WORLD')") == 7)
+    assert(one("format('{}-{}', 'a', 'b')") == "a-b")
+    assert(one("format('{1}+{0}', 'a', 'b')") == "b+a")
+    assert(one("base64Decode(base64Encode('Hey ✓'))") == "Hey ✓")
+    assert(one("notLike('Hello', 'x%')") == true)
+    // math / bit
+    // literals parse as DECIMAL — compare numerically, not by type
+    assert(one("trunc(-2.7)").toString.toDouble == -2.0)
+    assert(one("trunc(2.78, 1)").toString.toDouble == 2.7)
+    assert(one("exp2(3)") == 8.0)
+    assert(one("intDivOrZero(5, 0)") == 0)
+    assert(one("moduloOrZero(5, 0)") == 0)
+    assert(one("bitAnd(6, 3)") == 2)
+    assert(one("bitXor(6, 3)") == 5)
+    assert(one("bitShiftLeft(1, 4)") == 16)
+    val rnd = one("rand()")
+    assert(rnd.isInstanceOf[Long] && rnd.asInstanceOf[Long] >= 0L &&
+      rnd.asInstanceOf[Long] < 4294967296L, s"rand() out of UInt32: $rnd")
+    // date/time (2024-03-05 is a TUESDAY; 2024-03-10 a SUNDAY)
+    val ts = "toDateTime64('2024-03-05 10:20:30.000000', 6)"
+    val sun = "toDateTime64('2024-03-10 01:02:03.000000', 6)"
+    assert(one(s"toDayOfWeek($ts)") == 2)
+    assert(one(s"toDayOfWeek($sun)") == 7)
+    assert(one(s"toMonday($ts)").toString == "2024-03-04")
+    assert(one(s"toMonday($sun)").toString == "2024-03-04")
+    assert(one(s"toStartOfWeek($ts)").toString == "2024-03-03")
+    assert(one(s"toStartOfWeek($ts, 1)").toString == "2024-03-04")
+    assert(one(s"toStartOfQuarter($ts)").toString == "2024-01-01")
+    // dateDiff counts BOUNDARY crossings, not full units
+    assert(one("dateDiff('year', toDate('2023-12-31'), toDate('2024-01-01'))") == 1L)
+    assert(one("dateDiff('day', toDateTime64('2024-03-04 23:59:59.000000', 6), " +
+      "toDateTime64('2024-03-05 00:00:01.000000', 6))") == 1L)
+    assert(one("dateDiff('day', toDateTime64('2024-03-04 00:00:01.000000', 6), " +
+      "toDateTime64('2024-03-04 23:59:59.000000', 6))") == 0L)
+    assert(one(s"formatDateTime($ts, '%Y-%m-%d %H:%i:%S')") == "2024-03-05 10:20:30")
+    assert(one(s"toYYYYMM($ts)") == 202403L)
+    assert(one(s"toYYYYMMDD($ts)") == 20240305L)
+    assert(one("fromUnixTimestamp(0)").toString.startsWith("1970-01-01"))
+    assert(one(s"addDays($ts, 3)").toString.startsWith("2024-03-08 10:20:30"))
+    assert(one(s"subtractDays($ts, 5)").toString.startsWith("2024-02-29 10:20:30"))
+    // conversions + 4-arg transform
+    assert(one("toInt64OrNull('12')") == 12L)
+    assert(one("toInt64OrNull('nope')") == null)
+    assert(one("toInt64OrZero('nope')") == 0L)
+    assert(one("transform(5, [5, 3], ['f', 't'], '?')") == "f")
+    assert(one("transform(4, [5, 3], ['f', 't'], '?')") == "?")
+    // loud rejects stay loud
+    intercept[Exception](one("formatDateTime(now(), '%M')"))
+    intercept[Exception](one("dateDiff('week', toDate('2024-01-01'), toDate('2024-01-08'))"))
+    intercept[Exception](one("arrayResize([1], 3)"))
+  }
 }
