@@ -2741,6 +2741,56 @@ object ConnectorQueries {
       ch.chSql(
         """SELECT `k` AS k, toString(`wide`) AS wide, `ip` AS ip
           |FROM `main`.`wide_t` WHERE `k` % 97 = 0""".stripMargin)
+    },
+
+    // ---- round-14 function wave under the ORACLE gate: the boundary-law
+    // mappings (toDayOfWeek Mon=1, toMonday, dateDiff counting BOUNDARY
+    // crossings, formatDateTime token conversion, replace-first,
+    // countSubstrings, regex extract, bit ops, 4-arg transform,
+    // intDivOrZero) recomputed independently by DuckDB over the same
+    // corpus. DuckDB's isodow/date_trunc('week')/date_diff carry the
+    // SAME laws natively, so the oracle is structural, not an echo.
+    q("r87_fn_wave",
+      """SELECT o_orderkey AS k,
+        |  CAST(isodow(o_orderdate) AS BIGINT) AS dw,
+        |  CAST(date_trunc('week', o_orderdate) AS DATE) AS mon,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS fd,
+        |  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+        |    o_orderdate) AS BIGINT) AS dd,
+        |  regexp_replace(o_orderpriority, '-', '_') AS r1,
+        |  CAST(length(o_orderpriority)
+        |    - length(replace(o_orderpriority, 'E', '')) AS BIGINT) AS cs,
+        |  regexp_extract(o_orderpriority, '[0-9]+') AS ex,
+        |  CAST(o_orderkey & 255 AS BIGINT) AS ba,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS bc,
+        |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'done'
+        |    ELSE '?' END AS st,
+        |  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 0
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) // (o_orderkey % 5)
+        |    END AS BIGINT) AS idz
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ensureOrdBase(s, dir)
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `k` AS k,
+          |  toInt64(toDayOfWeek(`odate`)) AS dw,
+          |  toMonday(`odate`) AS mon,
+          |  formatDateTime(`odate`, '%Y-%m-%d') AS fd,
+          |  toInt64(toYYYYMM(`odate`)) AS ym,
+          |  dateDiff('day', toDateTime64('1995-01-01 00:00:00.000000', 6),
+          |    `odate`) AS dd,
+          |  replaceOne(`pri`, '-', '_') AS r1,
+          |  countSubstrings(`pri`, 'E') AS cs,
+          |  extract(`pri`, '[0-9]+') AS ex,
+          |  bitAnd(`k`, 255) AS ba,
+          |  toInt64(bitCount(`k`)) AS bc,
+          |  transform(`status`, ['O', 'F'], ['open', 'done'], '?') AS st,
+          |  intDivOrZero(`cents`, `k` % 5) AS idz
+          |FROM `main`.`ord_ttl_base` WHERE `k` % 97 = 0""".stripMargin)
     }
   )
 }
