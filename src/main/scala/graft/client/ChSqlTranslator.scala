@@ -1069,6 +1069,23 @@ object ChSqlTranslator {
           "explode the map and aggregate per key explicitly — " +
           "arrayJoin over mapKeys/mapValues + GROUP BY key — or run " +
           "against a real server"))
+    // avgWeighted(x, w) = Σ(x·w)/Σ(w) — the exact closed form (the
+    // server computes Float64 the same way; all-NULL/zero-weight groups
+    // give NULL via the division, matching the server's nan→NULL edge
+    // under the repo's NULL-for-undefined convention)
+    s = rewriteCall(s, "avgWeighted", args => {
+      require(args.size == 2, "avgWeighted takes (value, weight)")
+      val (x, w) = (args(0), args(1))
+      s"(sum(cast(($x) as double) * ($w)) / sum(cast(($w) as double)))"
+    })
+    // deltaSum: sum of positive consecutive differences — inherently
+    // ORDER-dependent, and Spark aggregation order is unspecified: loud
+    // reject (the window spelling sum(greatest(x - lag(x), 0)) OVER (...)
+    // expresses it deterministically)
+    s = rewriteCall(s, "deltaSum", _ => throw new IllegalArgumentException(
+      "deltaSum is order-dependent and Spark aggregation order is " +
+        "unspecified — spell it as sum(greatest(x - lagInFrame(x) OVER " +
+        "(ORDER BY ...), 0)) over an explicit ordering"))
     // any/anyLast: the server keeps "some" value — min/max are legal
     // instances, reproducibly (the Summing-representative rule). The
     // quantified-subquery form `= any(SELECT ...)` is NOT the aggregate

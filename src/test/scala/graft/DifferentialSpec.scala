@@ -1387,8 +1387,18 @@ class DifferentialSpec extends AnyFunSuite {
     assert(one("toInt64OrZero('nope')") == 0L)
     assert(one("transform(5, [5, 3], ['f', 't'], '?')") == "f")
     assert(one("transform(4, [5, 3], ['f', 't'], '?')") == "?")
+    // avgWeighted: exact closed form, skewed weights (avg-of-avgs trap)
+    val aw = ch.chSql(
+      "SELECT avgWeighted(`n_chars`, `doc_id` % 3 + 1) AS v " +
+        "FROM `main`.`documents` WHERE `doc_id` < 50").collect().head
+    val awLocal = spark.sql(
+      "SELECT sum(cast(n_chars as double) * (doc_id % 3 + 1)) / " +
+        "sum(cast(doc_id % 3 + 1 as double)) AS v " +
+        "FROM documents WHERE doc_id < 50").collect().head
+    assert(aw.getDouble(0) == awLocal.getDouble(0))
     // loud rejects stay loud
     intercept[Exception](one("formatDateTime(now(), '%M')"))
+    intercept[Exception](one("deltaSum(1)"))
     intercept[Exception](one("dateDiff('week', toDate('2024-01-01'), toDate('2024-01-08'))"))
     intercept[Exception](one("arrayResize([1], 3)"))
   }
