@@ -80,10 +80,15 @@ object FnSurfaceProbe {
       "dateDiff('day', dt, dt)", "toUnixTimestamp(ts)",
       "fromUnixTimestamp(1700000000)", "formatDateTime(ts, '%Y-%m-%d')",
       "toYYYYMM(ts)", "toYYYYMMDD(ts)", "today()", "yesterday()",
-      // hash / encoding
-      "xxHash64(s)", "MD5(s)", "SHA256(s)", "crc32(s)",
+      // hash / encoding (round 15: the CH hash family evaluates
+      // embedded — public-spec kernels, vectors pinned in HashKernelSpec)
+      "xxHash64(s)", "xxHash32(s)", "cityHash64(s)", "cityHash64(id)",
+      "sipHash64(s)", "halfMD5(s)", "farmFingerprint64(s)",
+      "MD5(s)", "SHA256(s)", "crc32(s)",
       "hex(a)", "unhex(hex(a))", "base64Decode(base64Encode(s))",
       "bin(a)", "bitPositionsToArray(a)",
+      // exact integer laws + replace-first (round 15)
+      "gcd(a, b)", "lcm(a, b)", "replaceRegexpOne(s, '[lo]', '_')",
       // type conv
       "toInt64(d)", "toFloat64(a)", "toString(a)", "toDate(ts)",
       "toInt64OrNull(s)", "toInt64OrZero(s)", "toFloat64OrNull(s)",
@@ -94,10 +99,15 @@ object FnSurfaceProbe {
     // composition / server-version-dependent law) — these REJECT loudly
     // here and execute only against a real server via the wire transport
     val knownUnmapped = Seq(
-      "gcd(a, b)", "lcm(a, b)", "erf(d)", "roundToExp2(a)",
-      "cityHash64(s)", "sipHash64(s)", "xxHash32(s)", "farmHash64(s)",
-      "halfMD5(s)", "replaceRegexpOne(s, '[lo]', '_')", "toTypeName(a)",
-      "parseDateTimeBestEffortOrNull(s)")
+      // farmHash64 is farmhash's PLATFORM-SELECTED Hash64 — not stable
+      // across machines even against a real server, so it stays
+      // rejected (farmFingerprint64 is the stable sibling, mapped)
+      "erf(d)", "roundToExp2(a)", "farmHash64(s)", "toTypeName(a)",
+      "parseDateTimeBestEffortOrNull(s)",
+      // multi-argument hash combine chains are not pinnable offline
+      "cityHash64(s, a)", "sipHash64(s, a)",
+      // 3-arg position: start_pos is a BYTE offset locate cannot express
+      "position(s, 'l', 3)")
     def sweep(es: Seq[String]): (Int, Seq[(String, String)]) = {
       var ok = 0
       val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

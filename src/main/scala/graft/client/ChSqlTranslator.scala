@@ -94,7 +94,25 @@ object ChSqlTranslator {
     "concatWithSeparator" -> "concat_ws",
     "generateUUIDv4" -> "uuid",
     // CH randCanonical IS Spark's rand: uniform [0, 1) Float64
-    "randCanonical" -> "rand")
+    "randCanonical" -> "rand",
+    // round-15 hash wave (public-spec kernels in graft.functions
+    // .GraftHashes, vectors pinned in HashKernelSpec; single-argument
+    // law enforced at registration). xxHash64 ALSO fixes a silent
+    // divergence: Spark's case-insensitive resolver served its builtin
+    // xxhash64 (internal row layout, seed 42) for the ClickHouse
+    // spelling (XXH64 of the raw bytes, seed 0) — the rand() trap.
+    // The lowercase internal `xxhash64(...)` the uniq rewrites emit is
+    // untouched (fnMap is case-sensitive by design).
+    "cityHash64" -> "graft_cityhash64",
+    "sipHash64" -> "graft_siphash64",
+    "xxHash64" -> "graft_xxhash64ch",
+    "xxHash32" -> "graft_xxhash32ch",
+    "farmFingerprint64" -> "graft_farmfp64",
+    "halfMD5" -> "graft_halfmd5",
+    // exact integer laws (BigInteger gcd; zero boundaries reject at
+    // runtime — the server's zero law is not pinnable offline)
+    "gcd" -> "graft_gcd",
+    "lcm" -> "graft_lcm")
 
   // ---- round-14 wave helpers -------------------------------------------
 
@@ -142,11 +160,11 @@ object ChSqlTranslator {
     * Spark) use `$N`. Literal-only, '$'-free (a raw '$' is ambiguous
     * across the dialects).
     */
-  private def chReplacementToJava(arg: String): String = {
+  private def chReplacementToJava(arg: String, fn: String = "replaceRegexpAll"): String = {
     val lit = stringLiteral(arg).getOrElse(throw new IllegalArgumentException(
-      "replaceRegexpAll: the replacement must be a string literal"))
+      s"$fn: the replacement must be a string literal"))
     require(!lit.contains('$'),
-      "replaceRegexpAll: a literal '$' in the replacement renders " +
+      s"$fn: a literal '$$' in the replacement renders " +
         "differently across dialects — rewrite without it")
     val conv = lit.replaceAll("\\\\\\\\([0-9])", "\\$$1")
       .replaceAll("\\\\([0-9])", "\\$$1")
@@ -817,13 +835,23 @@ object ChSqlTranslator {
     })
     s = rewriteCall(s, "replaceOne", args => {
       val (h, n, r) = (args(0), args(1), args(2))
+      // char_length, NOT graft_length: locate/substr are codepoint-based,
+      // so the needle's length must be codepoints too (graft_length is
+      // BYTES since round 15 — mixing them breaks multi-byte needles)
       s"(CASE WHEN locate($n, $h) > 0 THEN concat(" +
         s"substr($h, 1, locate($n, $h) - 1), $r, " +
-        s"substr($h, locate($n, $h) + graft_length($n))) ELSE $h END)"
+        s"substr($h, locate($n, $h) + char_length($n))) ELSE $h END)"
     })
     s = rewriteCall(s, "replaceRegexpAll", args => {
       require(args.size == 3, "replaceRegexpAll takes (haystack, pattern, replacement)")
       s"regexp_replace(${args(0)}, ${args(1)}, ${chReplacementToJava(args(2))})"
+    })
+    // first-match-only regex replace: Java replaceFirst — also DuckDB's
+    // default non-global regexp_replace, which makes it oracle-exact
+    s = rewriteCall(s, "replaceRegexpOne", args => {
+      require(args.size == 3, "replaceRegexpOne takes (haystack, pattern, replacement)")
+      s"graft_replace_regexp_one(${args(0)}, ${args(1)}, " +
+        s"${chReplacementToJava(args(2), "replaceRegexpOne")})"
     })
     s = rewriteCall(s, "countSubstrings", args => {
       val (h, n) = (args(0), args(1))
@@ -981,7 +1009,16 @@ object ChSqlTranslator {
       else s"CAST(${a.substring(0, i)} AS ${sparkTypeName(a.substring(i + 4))})"
     })
     // position(haystack, needle) → locate(needle, haystack)
-    s = rewriteCall(s, "position", args => s"locate(${args(1)}, ${args(0)})")
+    // BYTE offset (server law) — locate counts codepoints; the 3-arg
+    // start_pos form has a byte-offset start the composition cannot
+    // express, so it rejects rather than silently ignoring the start
+    s = rewriteCall(s, "position", args => {
+      require(args.size == 2,
+        "position: only the (haystack, needle) form is supported by the " +
+          "embedded engine (the start_pos argument is a byte offset) — " +
+          "slice with substr explicitly or run against a real server")
+      s"graft_position(${args(0)}, ${args(1)})"
+    })
     // countDistinct(x...) → count(DISTINCT x...)
     s = rewriteCall(s, "countDistinct", args => s"count(DISTINCT ${args.mkString(", ")})")
     // positiveModulo → pmod

@@ -1178,22 +1178,58 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
 
   private def buildServerSession(active: SparkSession): SparkSession = {
     val child = active.newSession()
-    // ClickHouse's length() is polymorphic over strings/arrays; a Java
-    // UDF skips Spark's input type check so one function covers both
-    // (server-model shim — the embedded engine is a test double)
-    child.udf.register("graft_length",
-      new org.apache.spark.sql.api.java.UDF1[AnyRef, Integer] {
-        override def call(x: AnyRef): Integer = x match {
-          case null => null
-          case s: String => s.length
-          case b: Array[Byte] => b.length
-          case a: scala.collection.Seq[_] => a.length
-          case m: scala.collection.Map[_, _] => m.size
-          case other => throw new IllegalArgumentException(
-            s"graft_length: unsupported type ${other.getClass}")
-        }
-      },
-      org.apache.spark.sql.types.IntegerType)
+    // ClickHouse's length() is polymorphic over strings/arrays — and for
+    // String returns BYTES (the round-14 Java-UDF shim returned UTF-16
+    // units, silently diverging on multi-byte text; VERDICT r14 item 4).
+    // GraftLength is a codegen expression dispatching on the child type:
+    // UTF-8 byte count for strings/binary, element count for arrays/maps.
+    org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_length",
+      args => {
+        require(args.size == 1, "graft_length(x)")
+        graft.functions.GraftLength(args.head)
+      })
+    // CH position() is a 1-based BYTE offset (locate counts codepoints)
+    org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_position",
+      args => {
+        require(args.size == 2, "graft_position(haystack, needle)")
+        graft.functions.GraftBytePosition(args(0), args(1))
+      })
+    // ClickHouse hash family (public-spec kernels, vectors pinned in
+    // HashKernelSpec; single-argument law — the server's multi-arg
+    // combine chain is not pinned offline, so arity != 1 rejects here)
+    for ((name, algo) <- Seq(
+      "graft_cityhash64" -> graft.functions.ChHashAlgo.City64,
+      "graft_siphash64" -> graft.functions.ChHashAlgo.Sip64,
+      "graft_xxhash64ch" -> graft.functions.ChHashAlgo.Xx64,
+      "graft_xxhash32ch" -> graft.functions.ChHashAlgo.Xx32,
+      "graft_farmfp64" -> graft.functions.ChHashAlgo.FarmFp64,
+      "graft_halfmd5" -> graft.functions.ChHashAlgo.HalfMd5))
+      org.apache.spark.sql.graft.bridge.registerFunction(child, name,
+        args => {
+          require(args.size == 1,
+            s"$name: only the single-argument form is supported by the " +
+              "embedded engine (the server's multi-argument combine " +
+              "chain is not a pinnable law offline) — concat the " +
+              "arguments explicitly or run against a real server")
+          graft.functions.ChHash(args.head, algo)
+        })
+    org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_gcd",
+      args => {
+        require(args.size == 2, "gcd(a, b)")
+        graft.functions.GraftGcd(args(0), args(1))
+      })
+    org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_lcm",
+      args => {
+        require(args.size == 2, "lcm(a, b)")
+        graft.functions.GraftLcm(args(0), args(1))
+      })
+    org.apache.spark.sql.graft.bridge.registerFunction(child,
+      "graft_replace_regexp_one",
+      args => {
+        require(args.size == 3,
+          "replaceRegexpOne(haystack, pattern, replacement)")
+        graft.functions.GraftRegexpReplaceOne(args(0), args(1), args(2))
+      })
     // ClickHouse MD5()/SHA1()/SHA256() return the binary digest (not
     // hex); generated SQL wraps them as lower(hex(F(x))) which composes
     // on these UDFs. CRC32 is zlib's (IEEE 802.3, init 0xFFFFFFFF) in

@@ -2791,6 +2791,49 @@ object ConnectorQueries {
           |  transform(`status`, ['O', 'F'], ['open', 'done'], '?') AS st,
           |  intDivOrZero(`cents`, `k` % 5) AS idz
           |FROM `main`.`ord_ttl_base` WHERE `k` % 97 = 0""".stripMargin)
+    },
+
+    // ---- round-15 hash/integer-law wave under the ORACLE gate. The
+    // corpus-varying columns are STRUCTURAL: DuckDB recomputes gcd/lcm
+    // natively, replace-first via its default non-global regexp_replace,
+    // and halfMD5 from its own md5 (big-endian first-8 law — the only
+    // hash here both engines can derive independently). The CityHash/
+    // SipHash/XXH/farm columns are literal-pinned regression anchors:
+    // their kernels are vector-pinned in HashKernelSpec (SipHash against
+    // the 18 published paper vectors; CityHash v1.0.2 against the
+    // published empty anchor + a cross-coded port; XXH/farm against
+    // lz4-java/Guava), and this gate keeps the embedded wiring honest
+    // round over round.
+    q("r88_hash_fns",
+      """SELECT o_orderkey AS k,
+        |  gcd(o_orderkey, 1000) AS g,
+        |  lcm(o_orderkey % 7 + 1, 6) AS l,
+        |  regexp_replace(o_orderpriority, '[-E]', '_') AS r1,
+        |  CAST(CAST(('0x' || substr(md5(o_orderpriority), 1, 16))
+        |    AS UBIGINT) AS VARCHAR) AS hm,
+        |  '15284576495479434193' AS ch,
+        |  '14307741831258040182' AS sh,
+        |  '17279342474342913821' AS xh,
+        |  CAST(1282873741 AS BIGINT) AS x3,
+        |  '17615636674710880708' AS ff
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ensureOrdBase(s, dir)
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `k` AS k,
+          |  gcd(`k`, 1000) AS g,
+          |  lcm(`k` % 7 + 1, 6) AS l,
+          |  replaceRegexpOne(`pri`, '[-E]', '_') AS r1,
+          |  toString(halfMD5(`pri`)) AS hm,
+          |  toString(cityHash64('graft')) AS ch,
+          |  toString(sipHash64('graft')) AS sh,
+          |  toString(xxHash64('graft')) AS xh,
+          |  xxHash32('graft') AS x3,
+          |  toString(farmFingerprint64('graft')) AS ff
+          |FROM `main`.`ord_ttl_base` WHERE `k` % 97 = 0""".stripMargin)
     }
   )
 }

@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftHashes
+
+/** Vector pins for the round-15 ClickHouse hash wave and the byte-law
+  * string kernels.
+  *
+  * Provenance of the pinned values (zero-egress container — no
+  * third-party CityHash/SipHash implementation exists offline here):
+  *
+  *  - SipHash-2-4: the 18 published reference vectors (key 000102..0f,
+  *    message bytes 00..len-1) from the Aumasson–Bernstein reference
+  *    implementation's appendix — a TRUE independent pin of the keyed
+  *    core; the ClickHouse instance is the same core with the zero key.
+  *  - CityHash v1.0.2: the published empty-string anchor k2 =
+  *    11160318154034397263; remaining vectors cross-checked against an
+  *    INDEPENDENTLY CODED Python port of the same published v1.0.2
+  *    structure (two transcriptions of one public spec — catches
+  *    transcription slips, not spec misreads; the anchor + the ≤32-byte
+  *    paths shared with later CityHash versions bound that risk).
+  *  - XXH32/64: Spark's own lz4-java (canonical) — the published
+  *    empty-input anchors pin the seed-0 wiring.
+  *  - farmFingerprint64: Guava's farmHashFingerprint64 (documented as
+  *    farmhashna::Fingerprint64, the server's exact function).
+  *  - halfMD5: MD5 is JDK-vs-DuckDB verifiable; the big-endian first-8
+  *    interpretation is the server's documented law.
+  */
+class HashKernelSpec extends AnyFunSuite {
+
+  private def pat(n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((i * 131 + 7) & 0xff).toByte)
+
+  test("SipHash-2-4 keyed core matches the 18 published paper vectors") {
+    // key bytes 00..0f as two LE words
+    val k0 = 0x0706050403020100L
+    val k1 = 0x0f0e0d0c0b0a0908L
+    val expected = Seq(
+      "726fdb47dd0e0e31", "74f839c593dc67fd", "0d6c8009d9a94f5a",
+      "85676696d7fb7e2d", "cf2794e0277187b7", "18765564cd99a68d",
+      "cbc9466e58fee3ce", "ab0200f58b01d137", "93f5f5799a932462",
+      "9e0082df0ba9e4b0", "7a5dbbc594ddb9f3", "f4b32f46226bada7",
+      "751e8fbc860ee5fb", "14ea5627c0843d90", "f723ca908e7af2ee",
+      "a129ca6149be45e5", "3f2acc7f57c29bdb", "699ae9f52cbe4794")
+    for (n <- expected.indices) {
+      val msg = Array.tabulate(n)(_.toByte)
+      val got = GraftHashes.sipHash64Keyed(k0, k1, msg, 0, n)
+      assert(java.lang.Long.toHexString(got) == expected(n).dropWhile(_ == '0'),
+        s"paper vector len=$n")
+    }
+  }
+
+  test("CityHash64 v1.0.2 vectors (published empty anchor + cross-impl)") {
+    val vectors = Seq(
+      0 -> "11160318154034397263", // published: k2
+      1 -> "16166381634050148869", 2 -> "544436126825079523",
+      3 -> "6364913932381277911", 4 -> "4079987124836061262",
+      5 -> "8561822100461092791", 7 -> "12624382319853285601",
+      8 -> "9813560363119002425", 9 -> "14102836851044737945",
+      12 -> "10291024207141975896", 15 -> "12021530103034572008",
+      16 -> "2851911280713872884", 17 -> "16678443089554295987",
+      24 -> "4861762401707747033", 31 -> "6019511970201634017",
+      32 -> "2046368685727049628", 33 -> "12960740447276433099",
+      48 -> "15440471762093119139", 63 -> "13980059873235826547",
+      64 -> "552118647788991626", 65 -> "2740400107408553708",
+      96 -> "16026244557830192263", 127 -> "2226941947724341995",
+      128 -> "13793526629150434456", 129 -> "2338030388222971948",
+      192 -> "14627255527512080893", 256 -> "8186648053014713560",
+      1000 -> "18283735067913792104")
+    for ((n, expect) <- vectors) {
+      val b = pat(n)
+      assert(java.lang.Long.toUnsignedString(
+        GraftHashes.cityHash64(b, 0, n)) == expect, s"city64 len=$n")
+    }
+    // zero-key SipHash over the same patterns (derived from the
+    // paper-pinned core; regression pins for the kernel wiring)
+    val sip = Seq(0 -> "2202906307356721367", 8 -> "4044194671404218884",
+      17 -> "9376797995543394503", 64 -> "9500239944129333905",
+      1000 -> "2455452039845825788")
+    for ((n, expect) <- sip) {
+      val b = pat(n)
+      assert(java.lang.Long.toUnsignedString(
+        GraftHashes.sipHash64(b, 0, n)) == expect, s"sip64 len=$n")
+    }
+  }
+
+  test("XXH seed-0 anchors, farmFingerprint64, halfMD5") {
+    assert(GraftHashes.xxHash32(Array.emptyByteArray, 0, 0) == 0x02cc5d05L)
+    assert(java.lang.Long.toUnsignedString(
+      GraftHashes.xxHash64(Array.emptyByteArray, 0, 0)) ==
+      java.lang.Long.toUnsignedString(0xef46db3751d8e999L))
+    // halfMD5("") = big-endian first 8 of d41d8cd98f00b204e9800998ecf8427e
+    assert(java.lang.Long.toUnsignedString(
+      GraftHashes.halfMd5(Array.emptyByteArray, 0, 0)) == "15284527576400310788")
+    val hw = "Hello World".getBytes("UTF-8")
+    assert(java.lang.Long.toUnsignedString(
+      GraftHashes.halfMd5(hw, 0, hw.length)) == "12757164687521510721")
+    // farm fingerprint: determinism + offset-window correctness (Guava
+    // is the canonical implementation — no external pin needed)
+    val b = pat(64)
+    val whole = GraftHashes.farmFingerprint64(b.slice(8, 40), 0, 32)
+    assert(GraftHashes.farmFingerprint64(b, 8, 32) == whole)
+  }
+
+  test("gcd/lcm exact laws; zero boundaries reject") {
+    assert(GraftHashes.gcd(12, 18) == 6)
+    assert(GraftHashes.gcd(-4, 6) == 2)
+    assert(GraftHashes.gcd(0, 5) == 5)
+    assert(GraftHashes.gcd(7, 0) == 7)
+    assert(GraftHashes.lcm(4, 6) == 12)
+    assert(GraftHashes.lcm(-4, 6) == 12)
+    intercept[IllegalArgumentException](GraftHashes.gcd(0, 0))
+    intercept[IllegalArgumentException](GraftHashes.lcm(0, 3))
+    intercept[ArithmeticException](GraftHashes.lcm(Long.MaxValue, Long.MaxValue - 1))
+  }
+
+  test("byte-law kernels: bytePosition, replaceFirst") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(GraftHashes.bytePosition(u("Hello World"), u("World")) == 7)
+    assert(GraftHashes.bytePosition(u("Hello"), u("x")) == 0)
+    assert(GraftHashes.bytePosition(u("abc"), u("")) == 1)
+    // 'é' is 2 UTF-8 bytes: byte position of 'llo' in 'héllo' is 4
+    assert(GraftHashes.bytePosition(u("héllo"), u("llo")) == 4)
+    assert(GraftHashes.replaceFirst(u("1-2-3"), u("[0-9]"), u("#")).toString
+      == "#-2-3")
+    assert(GraftHashes.replaceFirst(u("abc"), u("x"), u("#")).toString == "abc")
+  }
+
+  // ---- end-to-end through the embedded engine -------------------------
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private lazy val ch = {
+    val root = java.nio.file.Files.createTempDirectory("graft_hashspec_").toString
+    spark.conf.set("spark.sql.catalog.chhash",
+      classOf[graft.catalog.ClickHouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chhash.path", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chhash.main")
+    spark.sql(
+      """CREATE TABLE chhash.main.ht (id BIGINT, s STRING)
+        |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'id')""".stripMargin)
+    spark.sql("INSERT INTO chhash.main.ht VALUES " +
+      "(1L, 'graft'), (2L, 'héllo'), (3L, ''), (42L, 'ClickHouse')")
+    graft.session.ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chhash").build()
+  }
+
+  private def one(sql: String): org.apache.spark.sql.Row =
+    ch.chSql(sql).collect().head
+
+  test("embedded hash functions: pinned values over strings and Int64") {
+    val r = one(
+      """SELECT toString(cityHash64(`s`)) AS c, toString(sipHash64(`s`)) AS p,
+        |  toString(halfMD5(`s`)) AS h, toString(cityHash64(`id`)) AS ci
+        |FROM `main`.`ht` WHERE `id` = 1""".stripMargin)
+    assert(r.getString(0) == "15284576495479434193") // cityHash64('graft')
+    assert(r.getString(1) == "14307741831258040182") // sipHash64('graft')
+    assert(r.getString(2) == "7465882805023196413") // halfMD5('graft')
+    // Int64 storage bytes: cityHash64/sipHash64 over LE8(42)
+    val r42 = one("SELECT toString(cityHash64(`id`)) AS ci, " +
+      "toString(sipHash64(`id`)) AS si FROM `main`.`ht` WHERE `id` = 42")
+    assert(r42.getString(0) == "10501932312358040811")
+    assert(r42.getString(1) == "1135563785245924819")
+    // empty-string anchors (published k2 / derived zero-key sip)
+    val re = one("SELECT toString(cityHash64(`s`)) AS c, " +
+      "toString(sipHash64(`s`)) AS p FROM `main`.`ht` WHERE `id` = 3")
+    assert(re.getString(0) == "11160318154034397263")
+    assert(re.getString(1) == "2202906307356721367")
+  }
+
+  test("embedded xxHash64 is XXH64(bytes, 0) — NOT Spark's builtin") {
+    // Spark's builtin xxhash64 (seed 42, internal layout) previously
+    // resolved for this spelling via case-insensitive lookup
+    val r = one("SELECT toString(xxHash64(`s`)) AS x, " +
+      "toString(xxHash32(`s`)) AS x32 FROM `main`.`ht` WHERE `id` = 3")
+    assert(r.getString(0) ==
+      java.lang.Long.toUnsignedString(0xef46db3751d8e999L))
+    assert(r.getString(1) == (0x02cc5d05L).toString)
+    val builtin = spark.sql("SELECT xxhash64('')").collect().head.getLong(0)
+    assert(java.lang.Long.toUnsignedString(builtin) != r.getString(0),
+      "builtin and CH xxHash64 must differ (different seed + layout)")
+  }
+
+  test("embedded sampling idiom: cityHash64(id) % N is unsigned") {
+    // Decimal(20,0) result keeps the modulo unsigned — a signed Long
+    // reinterpretation would send "negative" hashes to negative buckets
+    val rows = ch.chSql(
+      """SELECT `id` AS id, cityHash64(`id`) % 4 AS b
+        |FROM `main`.`ht` ORDER BY `id`""".stripMargin).collect()
+    val expect = Map(1L -> 2, 2L -> 1, 3L -> 1, 42L -> 3)
+    rows.foreach { r =>
+      val b = r.getDecimal(1).longValueExact()
+      assert(b == expect(r.getLong(0)), s"id=${r.getLong(0)}")
+      assert(b >= 0)
+    }
+  }
+
+  test("embedded byte laws: length / position / countSubstrings on multi-byte") {
+    val r = one(
+      """SELECT length(`s`) AS l, lengthUTF8(`s`) AS lu,
+        |  position(`s`, 'llo') AS p, countSubstrings(`s`, 'l') AS cs,
+        |  replaceOne(`s`, 'llo', 'y') AS ro
+        |FROM `main`.`ht` WHERE `id` = 2""".stripMargin)
+    assert(r.getInt(0) == 6, "length('héllo') is BYTES (server law)")
+    assert(r.getInt(1) == 5, "lengthUTF8 is codepoints")
+    assert(r.getInt(2) == 4, "position is a BYTE offset")
+    assert(r.getLong(3) == 2L)
+    assert(r.getString(4) == "héy")
+  }
+
+  test("embedded gcd/lcm/replaceRegexpOne/farmFingerprint64 execute") {
+    val r = one(
+      """SELECT gcd(`id` + 10, 8) AS g, lcm(`id` + 3, 6) AS l,
+        |  replaceRegexpOne(`s`, '[aeiou]', '_') AS ro,
+        |  toString(farmFingerprint64(`s`)) AS ff
+        |FROM `main`.`ht` WHERE `id` = 1""".stripMargin)
+    assert(r.getLong(0) == 1L) // gcd(11, 8)
+    assert(r.getLong(1) == 12L) // lcm(4, 6)
+    assert(r.getString(2) == "gr_ft")
+    assert(r.getString(3).forall(_.isDigit))
+  }
+}

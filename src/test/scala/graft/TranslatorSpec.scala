@@ -41,7 +41,7 @@ class TranslatorSpec extends AnyFunSuite {
   test("function-surface special forms") {
     assert(t("SELECT sigmoid(x)") == "SELECT (1.0 / (1.0 + exp(-(x))))")
     assert(t("SELECT splitByChar(',', s)") == "SELECT split(s, ',')")
-    assert(t("SELECT position(h, n)") == "SELECT locate(n, h)")
+    assert(t("SELECT position(h, n)") == "SELECT graft_position(h, n)")
     assert(t("SELECT countDistinct(a, b)") == "SELECT count(DISTINCT a, b)")
     assert(t("SELECT positiveModulo(a, b)") == "SELECT pmod(a, b)")
     assert(t("SELECT arrayMap(x -> x + 1, arr)") == "SELECT transform(arr, x -> x + 1)")
@@ -705,7 +705,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT sigmoid(sigmoid(x))") ==
       "SELECT (1.0 / (1.0 + exp(-((1.0 / (1.0 + exp(-(x))))))))")
     assert(t("SELECT position(position(a, b), c)") ==
-      "SELECT locate(c, locate(b, a))")
+      "SELECT graft_position(graft_position(a, b), c)")
   }
 
   test("string literals with parens/quotes survive arg parsing") {
