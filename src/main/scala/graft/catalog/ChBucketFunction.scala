@@ -23,9 +23,12 @@ import org.apache.spark.sql.types._
   *  - `cityhash64` (HTTP transport): the SERVER routes rows via
   *    `cityHash64(key) % n = i` slice predicates — both sides of a join
   *    are routed by the same server-side function, so co-partitioning
-  *    holds without any JVM re-implementation. `produceResult` refuses
-  *    (shuffle-side SPJ would need a bit-exact local CityHash); plain
-  *    both-sides-bucketed joins never call it.
+  *    holds with no local evaluation. Since round 15 `produceResult`
+  *    ALSO evaluates (bit-exact CityHash v1.0.2 from
+  *    graft.functions.GraftHashes over Long/Int/String storage bytes),
+  *    so shuffle-side SPJ composes with server-routed scans; key types
+  *    whose server hash width the Spark type cannot reproduce still
+  *    refuse loudly.
   *
   * The canonical name embeds family AND key type: murmur3 of Int 5 and
   * Long 5 differ, and murmur3 never matches cityHash64 — scans that
@@ -69,6 +72,31 @@ final case class ChBoundBucket(family: String, keyType: DataType)
       val h = if (v == null) 42 else Murmur3HashFunction.hash(v, keyType, 42L).toInt
       val r = h % n
       if (r < 0) r + n else r
+    case "cityhash64" =>
+      // round 15: bit-exact local CityHash v1.0.2 (graft.functions
+      // .GraftHashes, vector-pinned in HashKernelSpec) over the value's
+      // storage bytes — the SAME law the server's `cityHash64(key) % n`
+      // slice predicates apply, so shuffle-side SPJ
+      // (v2.bucketing.shuffle.enabled) now composes with server-routed
+      // scans. NULLs ride bucket 0, matching the HTTP slice predicates
+      // (`key IS NULL OR cityHash64(key) % n = 0`).
+      val n = input.getInt(0)
+      if (input.isNullAt(1)) return 0
+      val b: Array[Byte] = keyType match {
+        case org.apache.spark.sql.types.LongType =>
+          graft.functions.GraftHashes.bytesLE(input.getLong(1))
+        case org.apache.spark.sql.types.IntegerType =>
+          graft.functions.GraftHashes.bytesLE(input.getInt(1))
+        case org.apache.spark.sql.types.StringType =>
+          input.getUTF8String(1).getBytes
+        case other => throw new UnsupportedOperationException(
+          s"bucket(cityhash64) over ${other.catalogString} keys is not " +
+            "evaluable locally (the server hash width for this type is " +
+            "not reproducible from the Spark type) — keep " +
+            "spark.sql.sources.v2.bucketing.shuffle.enabled off")
+      }
+      java.lang.Long.remainderUnsigned(
+        graft.functions.GraftHashes.cityHash64(b, 0, b.length), n.toLong).toInt
     case other => throw new UnsupportedOperationException(
       s"bucket($other) is routed by the server, not evaluable in Spark — " +
         "keep spark.sql.sources.v2.bucketing.shuffle.enabled off for " +

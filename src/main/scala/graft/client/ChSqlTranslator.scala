@@ -145,10 +145,21 @@ object ChSqlTranslator {
         "result is group 1 when the pattern captures, else the whole match)"))
     var i = 0
     var has = false
+    var inClass = false
+    var classStart = -1 // index of the char after '[' (or after '[^')
     while (i < lit.length && !has) {
-      if (lit.charAt(i) == '\\') i += 2
+      val c = lit.charAt(i)
+      if (c == '\\') i += 2
       else {
-        if (lit.charAt(i) == '(' &&
+        if (inClass) {
+          // ']' immediately after '[' or '[^' is a LITERAL member
+          // (regex law) — only a later ']' closes the class
+          if (c == ']' && i > classStart) inClass = false
+        } else if (c == '[') {
+          inClass = true
+          classStart =
+            if (i + 1 < lit.length && lit.charAt(i + 1) == '^') i + 2 else i + 1
+        } else if (c == '(' &&
           (i + 1 >= lit.length || lit.charAt(i + 1) != '?')) has = true
         i += 1
       }
@@ -1109,11 +1120,19 @@ object ChSqlTranslator {
     // avgWeighted(x, w) = Σ(x·w)/Σ(w) — the exact closed form (the
     // server computes Float64 the same way; all-NULL/zero-weight groups
     // give NULL via the division, matching the server's nan→NULL edge
-    // under the repo's NULL-for-undefined convention)
+    // under the repo's NULL-for-undefined convention). The denominator
+    // is guarded on the VALUE's nullness: ClickHouse skips the whole
+    // row of a multi-argument aggregate when any argument is NULL, so a
+    // NULL x must not contribute its weight (ADVICE r14 — Spark's
+    // sum(w) alone would still count that row's weight)
     s = rewriteCall(s, "avgWeighted", args => {
       require(args.size == 2, "avgWeighted takes (value, weight)")
       val (x, w) = (args(0), args(1))
-      s"(sum(cast(($x) as double) * ($w)) / sum(cast(($w) as double)))"
+      // numerator needs no guard: x*w is NULL (sum-skipped) when either
+      // side is; the CASE yields NULL for a NULL w too, so both sides
+      // drop exactly the rows the server drops
+      s"(sum(cast(($x) as double) * ($w)) / " +
+        s"sum(CASE WHEN ($x) IS NOT NULL THEN cast(($w) as double) END))"
     })
     // deltaSum: sum of positive consecutive differences — inherently
     // ORDER-dependent, and Spark aggregation order is unspecified: loud

@@ -148,6 +148,78 @@ object RowBinary {
     }
   }
 
+  /** Unsigned wide-integer read: `width` little-endian bytes, no sign. */
+  private def readUBigIntLE(in: DataInputStream, width: Int): java.math.BigInteger = {
+    val b = new Array[Byte](width)
+    in.readFully(b)
+    var i = 0
+    while (i < width / 2) {
+      val t = b(i); b(i) = b(width - 1 - i); b(width - 1 - i) = t; i += 1
+    }
+    new java.math.BigInteger(1, b)
+  }
+
+  /** Unsigned wide-integer write: the low `width` bytes LE; negative or
+    * over-width values fail loudly (never a silent wrap).
+    */
+  private def writeUBigIntLE(
+      out: OutputStream, v: java.math.BigInteger, width: Int): Unit = {
+    if (v.signum() < 0 || v.bitLength() > width * 8)
+      throw new IllegalArgumentException(
+        s"value $v out of range for a $width-byte unsigned integer")
+    val src = v.toByteArray // big-endian; may carry one leading 0x00
+    var i = 0
+    while (i < width) {
+      val be = src.length - 1 - i
+      out.write(if (be >= 0) src(be) else 0)
+      i += 1
+    }
+  }
+
+  /** Wide wire integer → Decimal(38,0), or a LOUD out-of-range error:
+    * Int128/256 and UInt128/256 ranges exceed 38 decimal digits, and a
+    * silently saturated read would be a value lie.
+    */
+  private def wideDecimal(bi: java.math.BigInteger, chType: String): Decimal = {
+    val bd = new java.math.BigDecimal(bi)
+    if (bd.precision > 38)
+      throw new IllegalArgumentException(
+        s"$chType wire value $bi exceeds Decimal(38,0) — beyond the " +
+          "38-digit exact range this connector can represent (the same " +
+          "boundary writes enforce under ANSI overflow)")
+    Decimal(bd, 38, 0)
+  }
+
+  /** RFC 5952 compressed text of 16 network-order IPv6 bytes; the
+    * IPv4-mapped prefix renders in the server's mixed `::ffff:a.b.c.d`
+    * form (Guava would return an Inet4Address for mapped bytes and
+    * print bare dotted-quad, which is not what the server prints).
+    */
+  private def ipv6Text(b: Array[Byte]): String = {
+    var i = 0
+    var zeros = true
+    while (i < 10 && zeros) { zeros = b(i) == 0; i += 1 }
+    if (zeros && b(10) == -1 && b(11) == -1)
+      s"::ffff:${b(12) & 255}.${b(13) & 255}.${b(14) & 255}.${b(15) & 255}"
+    else com.google.common.net.InetAddresses.toAddrString(
+      java.net.Inet6Address.getByAddress(null, b, -1))
+  }
+
+  /** Parse IP text without ever touching DNS (Guava forString). */
+  private def parseIp(t: String, v: Any): java.net.InetAddress = {
+    val s = v match {
+      case s: String => s
+      case u: UTF8String => u.toString
+      case other => throw new IllegalArgumentException(
+        s"$t column takes the textual form, got ${other.getClass.getName}")
+    }
+    try com.google.common.net.InetAddresses.forString(s)
+    catch {
+      case e: IllegalArgumentException => throw new IllegalArgumentException(
+        s"invalid $t literal '$s'", e)
+    }
+  }
+
   // ---- type-string parsing (shared shapes with ClickHouseType) ----
 
   private def splitTopLevel(s: String): Seq[String] = {
@@ -397,6 +469,64 @@ object RowBinary {
           v.putByteArray(rowId, b, 0, b.length)
         }
       }
+      // wide integers → Decimal(38,0) (the type mapping's widest exact
+      // type). Int128/UInt128 values can exceed 38 digits (|max| ≈
+      // 1.7e38 / 3.4e38) — out-of-Decimal-range wire values fail LOUDLY,
+      // mirroring the write-side ANSI overflow law (ADVICE r14: these
+      // types parsed at loadTable but had no wire codec — scans died
+      // with a generic unsupported-type error at stream time)
+      case "Int128" => new Dec {
+        override def read(in: DataInputStream): Any =
+          wideDecimal(readBigIntLE(in, 16), t)
+        override def readInto(in: DataInputStream, v: WritableColumnVector, r: Int): Unit =
+          v.putDecimal(r, read(in).asInstanceOf[Decimal], 38)
+      }
+      case "Int256" => new Dec {
+        override def read(in: DataInputStream): Any =
+          wideDecimal(readBigIntLE(in, 32), t)
+        override def readInto(in: DataInputStream, v: WritableColumnVector, r: Int): Unit =
+          v.putDecimal(r, read(in).asInstanceOf[Decimal], 38)
+      }
+      case "UInt128" => new Dec {
+        override def read(in: DataInputStream): Any =
+          wideDecimal(readUBigIntLE(in, 16), t)
+        override def readInto(in: DataInputStream, v: WritableColumnVector, r: Int): Unit =
+          v.putDecimal(r, read(in).asInstanceOf[Decimal], 38)
+      }
+      case "UInt256" => new Dec {
+        override def read(in: DataInputStream): Any =
+          wideDecimal(readUBigIntLE(in, 32), t)
+        override def readInto(in: DataInputStream, v: WritableColumnVector, r: Int): Unit =
+          v.putDecimal(r, read(in).asInstanceOf[Decimal], 38)
+      }
+      // IPv4 = UInt32 of the address (dotted text is the big-endian
+      // bytes); IPv6 = 16 network-order bytes, rendered in the RFC 5952
+      // compressed form the server prints (Guava toAddrString — Java's
+      // own getHostAddress never compresses zero runs)
+      case "IPv4" => new Dec {
+        private def text(in: DataInputStream): UTF8String = {
+          val u = readIntLE(in).toLong & 0xffffffffL
+          UTF8String.fromString(
+            s"${u >>> 24}.${(u >>> 16) & 255}.${(u >>> 8) & 255}.${u & 255}")
+        }
+        override def read(in: DataInputStream): Any = text(in)
+        override def readInto(in: DataInputStream, v: WritableColumnVector, r: Int): Unit = {
+          val b = text(in).getBytes
+          v.putByteArray(r, b, 0, b.length)
+        }
+      }
+      case "IPv6" => new Dec {
+        private def text(in: DataInputStream): UTF8String = {
+          val b = new Array[Byte](16)
+          in.readFully(b)
+          UTF8String.fromString(ipv6Text(b))
+        }
+        override def read(in: DataInputStream): Any = text(in)
+        override def readInto(in: DataInputStream, v: WritableColumnVector, r: Int): Unit = {
+          val b = text(in).getBytes
+          v.putByteArray(r, b, 0, b.length)
+        }
+      }
       case _ if t.startsWith("Array(") => new Dec {
         private val elem = decoder(inner(t, "Array"))
         override def read(in: DataInputStream): Any = {
@@ -565,6 +695,37 @@ object RowBinary {
           throw new IllegalArgumentException(
             s"value $bi out of range for ClickHouse UInt64 [0, 2^64)")
         writeLongLE(out, bi.longValue) // low 64 bits == value, range-checked
+      }
+      case "Int128" | "Int256" | "UInt128" | "UInt256" =>
+        val width = if (t.endsWith("128")) 16 else 32
+        val signed = t.startsWith("Int")
+        (out: DataOutputStream, v: Any) => {
+          val bi = v match {
+            case d: java.math.BigDecimal => d.toBigIntegerExact
+            case d: BigDecimal => d.underlying.toBigIntegerExact
+            case d: Decimal => d.toJavaBigDecimal.toBigIntegerExact
+            case n: Number => java.math.BigInteger.valueOf(asLong(t, n))
+          }
+          if (signed) writeBigIntLE(out, bi, width)
+          else writeUBigIntLE(out, bi, width)
+        }
+      case "IPv4" => (out: DataOutputStream, v: Any) => {
+        val a = parseIp(t, v)
+        val b = a.getAddress
+        if (b.length != 4) throw new IllegalArgumentException(
+          s"IPv4 column cannot hold '${v}' (not a dotted-quad address)")
+        writeIntLE(out, ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
+          ((b(2) & 0xff) << 8) | (b(3) & 0xff))
+      }
+      case "IPv6" => (out: DataOutputStream, v: Any) => {
+        val b = parseIp(t, v).getAddress
+        if (b.length == 16) out.write(b)
+        else { // dotted-quad text → the server's IPv4-mapped form
+          var i = 0
+          while (i < 10) { out.write(0); i += 1 }
+          out.write(0xff); out.write(0xff)
+          out.write(b)
+        }
       }
       case "Float32" => (out: DataOutputStream, v: Any) =>
         writeIntLE(out, java.lang.Float.floatToRawIntBits(v match {
@@ -943,7 +1104,8 @@ object RowBinary {
     bare match {
       case "Int8" | "UInt8" | "Bool" | "Boolean" | "Int16" | "UInt16" | "Int32" |
            "UInt32" | "Int64" | "UInt64" | "Float32" | "Float64" | "String" |
-           "Utf8" | "LargeUtf8" | "Utf8View" | "Date" | "Date32" | "UUID" => true
+           "Utf8" | "LargeUtf8" | "Utf8View" | "Date" | "Date32" | "UUID" |
+           "Int128" | "Int256" | "UInt128" | "UInt256" | "IPv4" | "IPv6" => true
       case "DateTime" | "DateTime64" => true
       case _ => bare.startsWith("FixedString(") || bare.startsWith("DateTime(") ||
         bare.startsWith("DateTime64(") || bare.startsWith("Decimal(") ||

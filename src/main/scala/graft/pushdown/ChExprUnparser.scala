@@ -209,10 +209,15 @@ object ChExprUnparser {
       case ArrayFilter(arg, f) => hof("arrayFilter", arg, f, scope)
       case ArrayExists(arg, f, _) => hof("arrayExists", arg, f, scope)
       // zip-map over two arrays: ClickHouse arrayMap accepts N arrays
-      // with an N-ary lambda. Divergence note: the server REQUIRES equal
-      // sizes (loud error) where Spark's zip_with NULL-pads — values
-      // agree wherever both engines return one.
-      case org.apache.spark.sql.catalyst.expressions.ZipWith(l, r, f) =>
+      // with an N-ary lambda — but the server ERRORS on unequal lengths
+      // where Spark's zip_with NULL-pads, so an unconditional pushdown
+      // is a plan-dependent behavior change (ADVICE r14). Push only when
+      // the two sides are PROVABLY the same array (semantic equality —
+      // the self-zip shapes like zip_with(a, a, ...) used for squares /
+      // index pairing); everything else stays local, where Spark's
+      // padding law holds regardless of pushdown.
+      case org.apache.spark.sql.catalyst.expressions.ZipWith(l, r, f)
+          if l.semanticEquals(r) =>
         hofN("arrayMap", Seq(l, r), f, scope)
       // distinct-count composition only: ClickHouse arrayDistinct does
       // not guarantee Spark's first-occurrence order, but under length()

@@ -1396,6 +1396,23 @@ class DifferentialSpec extends AnyFunSuite {
         "sum(cast(doc_id % 3 + 1 as double)) AS v " +
         "FROM documents WHERE doc_id < 50").collect().head
     assert(aw.getDouble(0) == awLocal.getDouble(0))
+    // avgWeighted with a NULL value: the server skips the ENTIRE row of
+    // a multi-arg aggregate, so a NULL x must not contribute its weight
+    // to the denominator (ADVICE r14 — an unguarded sum(w) would).
+    // Rows: (x=10, w=1), (x=NULL, w=100), (x=20, w=3) → (10 + 60) / 4
+    val awNull = ch.chSql(
+      "SELECT avgWeighted(nullIf(`n_chars`, `n_chars`) + " +
+        "if(`doc_id` = 1, 10, 20), if(`doc_id` = 1, 1, 3)) AS v " +
+        "FROM `main`.`documents` WHERE `doc_id` IN (1, 3)").collect().head
+    // nullIf(x, x) is always NULL → x column is NULL + constant; use a
+    // cleaner literal-frame check instead for the mixed case
+    assert(awNull.isNullAt(0), "all-NULL values → NULL, weights ignored")
+    val awMix = ch.chSql(
+      "SELECT avgWeighted(if(`doc_id` = 2, NULL, `doc_id` * 10), " +
+        "if(`doc_id` = 2, 100, `doc_id`)) AS v " +
+        "FROM `main`.`documents` WHERE `doc_id` IN (1, 2, 3)").collect().head
+    // (10*1 + 30*3) / (1 + 3) = 25.0 — doc_id 2's weight 100 must NOT count
+    assert(awMix.getDouble(0) == 25.0, s"NULL-x weight leaked: ${awMix.getDouble(0)}")
     // loud rejects stay loud
     intercept[Exception](one("formatDateTime(now(), '%M')"))
     intercept[Exception](one("deltaSum(1)"))

@@ -134,7 +134,7 @@ class HttpClientSpec extends AnyFunSuite {
       case l: Long => java.lang.Long.compare(l, bound.toLong)
       case other => render(other).compareTo(bound)
     }
-    def bucket(v: Any, n: Long): Long = mockHash(v) % n
+    def bucket(v: Any, n: Long): Long = mockHash(v, n)
     def col(c: String) = srcOf(sql, c)
     val NFirst = raw"\(`(\w+)` <= (-?\d+) OR `\w+` IS NULL\)".r.unanchored
     val NRange = raw"\(`(\w+)` >= (-?\d+) AND `\w+` <= (-?\d+)\)".r.unanchored
@@ -169,10 +169,24 @@ class HttpClientSpec extends AnyFunSuite {
     }
   }
 
-  /** The mock's own deterministic stand-in for server-side cityHash64 —
-    * slice tests only need within-server consistency, not the real hash.
+  /** Server-side cityHash64 routing, now the REAL hash (round 15:
+    * graft.functions.GraftHashes is bit-exact CityHash v1.0.2 over the
+    * value's storage bytes — Long keys LE8, strings raw bytes — so the
+    * mock routes rows exactly as a real server would, and
+    * ChBoundBucket("cityhash64").produceResult agrees with the slices
+    * this mock serves).
     */
-  private def mockHash(v: Any): Long = (render(v).hashCode.toLong & Long.MaxValue)
+  private def mockHash(v: Any, n: Long): Long = {
+    val b = v match {
+      case l: Long => graft.functions.GraftHashes.bytesLE(l)
+      case i: Int => graft.functions.GraftHashes.bytesLE(i)
+      case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case other =>
+        render(other).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    java.lang.Long.remainderUnsigned(
+      graft.functions.GraftHashes.cityHash64(b, 0, b.length), n)
+  }
 
   /** Render a value the way ClickHouse TSV would (UTC, fixed-width). */
   private def render(v: Any): String = v match {

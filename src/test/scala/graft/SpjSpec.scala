@@ -177,4 +177,35 @@ class SpjSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
     assert(df.collect().head.getLong(0) == spark.table("orders").count())
   }
+
+  test("cityhash64 bucket family evaluates locally, bit-exact (round 15)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
+    import org.apache.spark.unsafe.types.UTF8String
+    // Long keys: pinned against the cross-implementation vector set
+    // (city64(LE8(k)) % 4 for k = 1..10 — HashKernelSpec provenance)
+    val longB = graft.catalog.ChBoundBucket("cityhash64", LongType)
+    val expect = Seq(2, 1, 1, 0, 3, 2, 2, 2, 3, 2)
+    for ((e, i) <- expect.zipWithIndex)
+      assert(longB.produceResult(InternalRow(4, (i + 1).toLong)) == e, s"k=${i + 1}")
+    // NULL keys ride bucket 0 — the HTTP slice predicates' law
+    assert(longB.produceResult(InternalRow(4, null)) == 0)
+    // String keys hash their raw bytes; agrees with the kernel directly
+    val strB = graft.catalog.ChBoundBucket("cityhash64", StringType)
+    val gb = "graft".getBytes("UTF-8")
+    assert(strB.produceResult(InternalRow(7, UTF8String.fromString("graft"))) ==
+      java.lang.Long.remainderUnsigned(
+        graft.functions.GraftHashes.cityHash64(gb, 0, gb.length), 7L).toInt)
+    // a key type whose server width the Spark type cannot reproduce
+    // still refuses loudly (never a silently divergent route)
+    val tsB = graft.catalog.ChBoundBucket("cityhash64", TimestampType)
+    intercept[UnsupportedOperationException](
+      tsB.produceResult(InternalRow(4, 1000000L)))
+    // canonical names stay family- and type-scoped: murmur3 never
+    // matches cityhash64, Long never matches Int
+    assert(graft.catalog.ChBoundBucket("cityhash64", LongType).canonicalName !=
+      graft.catalog.ChBoundBucket("murmur3", LongType).canonicalName)
+    assert(graft.catalog.ChBoundBucket("cityhash64", LongType).canonicalName !=
+      graft.catalog.ChBoundBucket("cityhash64", IntegerType).canonicalName)
+  }
 }

@@ -15,6 +15,26 @@ class TranslatorSpec extends AnyFunSuite {
   private def t(sql: String): String =
     ChSqlTranslator.translate(sql, Seq("db" -> "tbl"))
 
+  test("extract group detection tracks character classes (ADVICE r14)") {
+    // '(' inside [...] is literal — the whole match (group 0), not a
+    // phantom group 1 that regexp_extract would error on
+    assert(t("SELECT extract(s, '[(]x')") == "SELECT regexp_extract(s, '[(]x', 0)")
+    assert(t("SELECT extract(s, '[^)(]+')") == "SELECT regexp_extract(s, '[^)(]+', 0)")
+    // ']' first in a class is a literal member, not the class close
+    assert(t("SELECT extract(s, '[])](a)')") == "SELECT regexp_extract(s, '[])](a)', 1)")
+    // real groups still detect, escaped parens still don't
+    assert(t("SELECT extract(s, '([A-Z])')") == "SELECT regexp_extract(s, '([A-Z])', 1)")
+    assert(t("SELECT extract(s, '\\(x')") == "SELECT regexp_extract(s, '\\(x', 0)")
+    // escaped backslash THEN a paren: '\\(x' is a real group
+    assert(t("SELECT extract(s, '\\\\(x')") == "SELECT regexp_extract(s, '\\\\(x', 1)")
+    // avgWeighted denominator guards on the VALUE's nullness
+    assert(t("SELECT avgWeighted(x, w)").contains(
+      "sum(CASE WHEN (x) IS NOT NULL THEN cast((w) as double) END)"))
+    // replaceRegexpOne: replace-first with \N → $N group conversion
+    assert(t("SELECT replaceRegexpOne(s, '(a)(b)', '\\\\2')") ==
+      "SELECT graft_replace_regexp_one(s, '(a)(b)', '$2')")
+  }
+
   test("table references rewrite to embedded view names") {
     assert(t("SELECT * FROM `db`.`tbl`") == "SELECT * FROM __ch_db_tbl")
     assert(t("SELECT * FROM db.tbl WHERE x > 1") ==

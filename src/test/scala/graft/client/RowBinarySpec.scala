@@ -360,7 +360,8 @@ class RowBinarySpec extends AnyFunSuite {
 
   test("unknown types fail fast, both directions") {
     intercept[IllegalArgumentException](RowBinary.decoder("AggregateFunction(sum, Int64)"))
-    intercept[IllegalArgumentException](RowBinary.encoder("IPv6"))
+    // IPv6 gained a codec in round 15 — Point remains wire-unsupported
+    intercept[IllegalArgumentException](RowBinary.encoder("Point"))
   }
 
   // ---- RowReader stream framing ----
@@ -469,5 +470,59 @@ class RowBinarySpec extends AnyFunSuite {
       }
       vec.close()
     }
+  }
+
+  // ---- round-15: wide integers + IP types on the wire (ADVICE r14:
+  // these types parsed at loadTable but had no RowBinary codec) ----
+
+  test("Int128/UInt128/Int256/UInt256 round-trip; widths and range checks") {
+    val d = Decimal("99999999999999999999999999999999999999") // 38 nines
+    for (t <- Seq("Int128", "UInt128", "Int256", "UInt256")) {
+      assert(enc(t, d).length === (if (t.endsWith("128")) 16 else 32), t)
+      assert(roundTrip(t, d) === d, t)
+      assert(roundTrip(t, Decimal(42)) === Decimal(BigDecimal(42), 38, 0), t)
+    }
+    for (t <- Seq("Int128", "Int256"))
+      assert(roundTrip(t, Decimal(-42)) === Decimal(BigDecimal(-42), 38, 0), t)
+    // negative into unsigned fails loudly
+    intercept[IllegalArgumentException](enc("UInt128", Decimal(-1)))
+    // wire value beyond 38 digits decodes LOUDLY, never saturates:
+    // 2^127 - 1 has 39 digits
+    val max128 = Array.fill[Byte](16)(-1); max128(15) = 0x7f
+    intercept[IllegalArgumentException](dec("Int128", max128))
+    // ... and the same bytes are IN range for UInt128? no — still 39
+    // digits; UInt128 all-ones is 39 digits too
+    intercept[IllegalArgumentException](dec("UInt128", Array.fill[Byte](16)(-1)))
+  }
+
+  test("Int128 wire layout: little-endian two's-complement") {
+    assert(enc("Int128", Decimal(1)).toSeq ===
+      (Seq(1.toByte) ++ Seq.fill(15)(0.toByte)))
+    assert(enc("Int128", Decimal(-1)).toSeq === Seq.fill(16)(-1.toByte))
+  }
+
+  test("IPv4: UInt32 wire form, dotted text both directions") {
+    // 1.2.3.4 = 0x01020304 → LE bytes 04 03 02 01
+    assert(enc("IPv4", "1.2.3.4").toSeq ===
+      Seq(4.toByte, 3.toByte, 2.toByte, 1.toByte))
+    assert(roundTrip("IPv4", "255.254.0.1").toString === "255.254.0.1")
+    intercept[IllegalArgumentException](enc("IPv4", "2001:db8::1"))
+    intercept[IllegalArgumentException](enc("IPv4", "not-an-ip"))
+  }
+
+  test("IPv6: 16 network-order bytes; RFC 5952 compressed text out") {
+    val b = enc("IPv6", "2001:db8::1")
+    assert(b.length === 16)
+    assert(b(0) === 0x20.toByte && b(1) === 0x01.toByte && b(15) === 1.toByte)
+    assert(roundTrip("IPv6", "2001:DB8:0:0:0:0:0:1").toString === "2001:db8::1")
+    // dotted-quad text stores as the server's IPv4-mapped form and
+    // renders back in the mixed notation
+    assert(roundTrip("IPv6", "1.2.3.4").toString === "::ffff:1.2.3.4")
+    assert(roundTrip("IPv6", "::ffff:1.2.3.4").toString === "::ffff:1.2.3.4")
+  }
+
+  test("Nullable wide/IP types round-trip nulls") {
+    for (t <- Seq("Nullable(Int128)", "Nullable(IPv6)", "Nullable(IPv4)"))
+      assert(roundTrip(t, null) === null, t)
   }
 }
