@@ -143,6 +143,32 @@ object RecallProbe {
         k = 5, numTables = tables, numPlanes = planes))
       println(f"LSH tables=$tables planes=$planes recall@5=$r%.3f")
     }
+    // incremental maintenance (VERDICT r14 item 6): train on HALF the
+    // corpus, append the other half via assignToStored (nearest existing
+    // cell, NO retrain), probe the combined index against the full
+    // exact baseline — recall at 2x growth must hold the 0.90 gate, and
+    // needsRetrain must still say "append" at this growth (sqrt law:
+    // 2x rows = 1.41x auto-k, under the 2x retrain factor)
+    {
+      val base = corpus.filter(col("vec_id") % 2 === 0)
+      val grown = corpus.filter(col("vec_id") % 2 === 1)
+      val built = graft.ops.AnnIvf.buildIndex(base, "vec_id", "embedding",
+        trainSampleFraction = 0.5, maxIter = 10)
+      val appended = graft.ops.AnnIvf.assignToStored(
+        graft.ops.AnnIvf.StoredFlat(built), grown, "vec_id", "embedding")
+      val allCells = graft.ops.AnnIvf.cellsTable(built, "vec_id", "embedding")
+        .unionByName(appended).cache()
+      val inc = graft.ops.AnnIvf.fromTables(allCells,
+        graft.ops.AnnIvf.centroidsTable(built, spark), "vec_id", "embedding")
+      val k = built.centers.length
+      val nprobe = math.max(1, math.ceil(0.75 * k).toInt)
+      val r = recall(graft.ops.AnnIvf.annTopK(inc, probes, "vec_id", "embedding",
+        k = 5, nprobe = nprobe))
+      val retrain = graft.ops.AnnIvf.needsRetrain(k.toLong, n)
+      println(f"INCREMENTAL half-built k=$k nprobe=$nprobe 2x-growth " +
+        f"recall@5=$r%.3f needsRetrain(2x)=$retrain (expect false) " +
+        f"needsRetrain(8x)=${graft.ops.AnnIvf.needsRetrain(k.toLong, n * 8)} (expect true)")
+    }
     spark.stop()
   }
 }

@@ -92,6 +92,56 @@ object MultimodalQueries {
         maxBytes = 4000, magicOk = firstByte.between(65, 122))
         .select(col("media_id").as("doc_id"), col("n_bytes"),
           col("reason"), col("status"))
+    },
+
+    // Payload-level near-dup (multimodal × dedup composition): byte-
+    // shingle SimHash over the m03 quarantine's KEEP stream — d04's
+    // vote law applied to opaque media bytes. The oracle recomputes the
+    // identical slicing + votes over the text bytes (char substr ==
+    // byte substr on this ASCII corpus, the accepted m02 equivalence).
+    // Grouping on the simhash IS the bucket step: group size and the
+    // canonical (min doc_id) member come from one window, no all-pairs
+    // join anywhere.
+    q("m04_payload_neardup",
+      """WITH keep AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(text::BLOB) BETWEEN 256 AND 4000
+        |    AND ascii(text) BETWEEN 65 AND 122),
+        |sh AS (
+        |  SELECT doc_id, md5(substr(text, CAST(i * 4 + 1 AS BIGINT), 8)) AS th
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(0,
+        |            CAST(ceil(octet_length(text::BLOB) / 4.0) AS BIGINT) - 1)) AS i
+        |        FROM keep)),
+        |bits AS (
+        |  SELECT doc_id, p,
+        |    sum(CASE WHEN substr(th, p + 1, 1) >= '8' THEN 1 ELSE -1 END) AS vote
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
+        |  GROUP BY doc_id, p),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 THEN CAST(round(2 ** p) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, simhash,
+        |  CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_n,
+        |  min(doc_id) OVER (PARTITION BY simhash) AS canonical
+        |FROM sim""".stripMargin) { (s, _) =>
+      val media = graft.ops.Multimodal.toMediaTable(
+        s.table("documents"), "doc_id", "text", kind = "doc",
+        sourceCol = "source")
+      val firstByte =
+        conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int")
+      val keepIds = graft.ops.Multimodal.quarantine(media, minBytes = 256,
+        maxBytes = 4000, magicOk = firstByte.between(65, 122))
+        .filter(col("status") === "keep").select("media_id")
+      val kept = media.join(keepIds, Seq("media_id"), "left_semi")
+      val sims = graft.ops.Multimodal.payloadSimhash(
+        kept, shingleBytes = 8, stride = 4)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("simhash")
+      sims.select(col("media_id").as("doc_id"), col("simhash"),
+        count(lit(1)).over(w).as("group_n"),
+        min(col("media_id")).over(w).as("canonical"))
     }
   )
 }

@@ -401,4 +401,46 @@ class OpsSpec extends AnyFunSuite {
     byDoc.foreach { r => assert(r.getInt(2) <= 32) }
     assert(frames.count() > 0)
   }
+
+  test("multimodal: payload byte-shingle simhash — identical payloads " +
+    "collide, perturbed payloads stay near, plan has no all-pairs join") {
+    import spark.implicits._
+    val base = ("A" * 300) + ("xyzw" * 25)
+    val rows = Seq(
+      (1L, base), (2L, base), // exact dup pair
+      (3L, base.replace("xyzw", "xyzv")), // near dup (tail perturbation)
+      (4L, ("Q" * 200) + ("mnop" * 40))) // unrelated
+    val media = Multimodal.toMediaTable(
+      rows.toDF("doc_id", "text").withColumn("src", lit("t")),
+      "doc_id", "text", "doc", "src")
+    val sims = Multimodal.payloadSimhash(media, shingleBytes = 8, stride = 4)
+    val byId = sims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == byId(2L), "identical payloads must share a simhash")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(byId(1L), byId(3L)) <= 4,
+      s"near-dup hamming too far: ${ham(byId(1L), byId(3L))}")
+    assert(ham(byId(1L), byId(4L)) > 0, "unrelated payloads should differ")
+    // scale shape: one combinable groupBy, grouping by simhash is the
+    // bucket step — no cartesian / nested-loop anywhere
+    val grouped = sims.groupBy("simhash").count()
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // vote law is the d04 formulation: recompute one doc's simhash from
+    // first principles over the same slicing
+    val payload = base.getBytes("UTF-8")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = payload.length
+    val shingles = (0 until ((n + 3) / 4)).map { i =>
+      val off = i * 4
+      val w = math.min(8, n - off)
+      val d = md.digest(java.util.Arrays.copyOfRange(payload, off, off + w))
+      d.map("%02x".format(_)).mkString
+    }
+    val expect = (0 until 16).map { p =>
+      val v = shingles.map(h => if (h.charAt(p) >= '8') 1 else -1).sum
+      if (v > 0) 1L << p else 0L
+    }.sum
+    assert(byId(1L) == expect, "vote law drifted from the d04 formulation")
+  }
 }
