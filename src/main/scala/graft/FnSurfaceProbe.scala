@@ -94,7 +94,40 @@ object FnSurfaceProbe {
       "toInt64OrNull(s)", "toInt64OrZero(s)", "toFloat64OrNull(s)",
       // misc
       "generateUUIDv4()", "rand()", "randCanonical()", "e()", "pi()",
-      "least(greatest(a, 0), 10)", "transform(a, [5, 3], ['f', 't'], '?')")
+      "least(greatest(a, 0), 10)", "transform(a, [5, 3], ['f', 't'], '?')",
+      // ---- round-15 sweep 2 ----
+      // math: Spark natives with identical names + laws (degrees..expm1);
+      // factorial agrees on the defined domain 0..20 (beyond it the
+      // server throws where Spark returns NULL — error behavior, never a
+      // value lie); IEEE classification composes (NaN false both forms)
+      "degrees(d)", "radians(d)", "hypot(d, d)", "atan2(d, d)",
+      "sinh(d)", "cosh(d)", "tanh(d)", "asinh(d)", "acosh(d)", "atanh(1/d)",
+      "log1p(d)", "expm1(d)", "factorial(a)",
+      "isFinite(d)", "isInfinite(d)", "ifNotFinite(d * 1e308 * 1e308, d)", "isNaN(d)",
+      // named arithmetic (divide is always Float64, the server law)
+      "plus(a, b)", "minus(a, b)", "multiply(a, b)", "divide(a, b)",
+      "negate(a)",
+      // bit tests
+      "bitTest(a, 0)", "bitTestAll(a, 0, 2)", "bitTestAny(a, 1, 2)",
+      // date: fixed-interval truncations + ISO week-year
+      "toISOYear(ts)", "toStartOfFiveMinutes(ts)", "toStartOfTenMinutes(ts)",
+      "toStartOfFifteenMinutes(ts)", "timeSlot(ts)",
+      "toStartOfInterval(ts, INTERVAL 15 MINUTE)",
+      "toStartOfInterval(ts, INTERVAL 1 DAY)",
+      // string codepoint forms
+      "substringIndex(s, 'l', 2)", "leftUTF8(s, 3)", "rightUTF8(s, 3)",
+      "positionUTF8(s, 'World')",
+      // URL family (byte-scan laws as anchored regexes; doc-example
+      // boundary values pinned in DifferentialSpec)
+      "protocol('https://x.com/a')", "domain('https://x.com:80/a')",
+      "domainWithoutWWW('http://www.x.com/a')",
+      "topLevelDomain('svn+ssh://www.some.svn-hosting.com:80/repo')",
+      "path('https://x.com/top/news.html?q=1')",
+      "pathFull('https://x.com/top/news.html?q=1#f')",
+      "queryString('https://x.com/a?q=1&r=2#f')",
+      "fragment('https://x.com/a#frag')",
+      "cutQueryString('https://x.com/a?q=1#f')",
+      "extractURLParameter('https://x.com/a?q=1&r=2', 'r')")
     // deliberately unmapped on the embedded engine (no value-exact Spark
     // composition / server-version-dependent law) — these REJECT loudly
     // here and execute only against a real server via the wire transport
@@ -107,7 +140,17 @@ object FnSurfaceProbe {
       // multi-argument hash combine chains are not pinnable offline
       "cityHash64(s, a)", "sipHash64(s, a)",
       // 3-arg position: start_pos is a BYTE offset locate cannot express
-      "position(s, 'l', 3)")
+      "position(s, 'l', 3)",
+      // JSON extraction: missing-key/type-mismatch/JSON-null boundary
+      // laws not pinnable offline — loud rejects with the get_json_object
+      // alternative spelled out
+      "JSONExtractString('{\"k\":\"v\"}', 'k')",
+      "JSONHas('{\"k\":1}', 'k')", "JSONLength('[1,2]')",
+      "simpleJSONExtractString('{\"k\":\"v\"}', 'k')",
+      // needs the public-suffix list (not shipped offline)
+      "firstSignificantSubdomain('https://news.clickhouse.com.tr/')",
+      // calendar-origin interval steps reject (week+)
+      "toStartOfInterval(ts, INTERVAL 1 WEEK)")
     def sweep(es: Seq[String]): (Int, Seq[(String, String)]) = {
       var ok = 0
       val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

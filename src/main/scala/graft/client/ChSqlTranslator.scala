@@ -112,7 +112,9 @@ object ChSqlTranslator {
     // exact integer laws (BigInteger gcd; zero boundaries reject at
     // runtime — the server's zero law is not pinnable offline)
     "gcd" -> "graft_gcd",
-    "lcm" -> "graft_lcm")
+    "lcm" -> "graft_lcm",
+    // MySQL substring_index law in both engines (round-15 sweep 2)
+    "substringIndex" -> "substring_index")
 
   // ---- round-14 wave helpers -------------------------------------------
 
@@ -1061,6 +1063,135 @@ object ChSqlTranslator {
     s = rewriteCall(s, "toQuarter", args => s"quarter(${args.head})")
     s = rewriteCall(s, "toDayOfYear", args => s"dayofyear(${args.head})")
     s = rewriteCall(s, "toISOWeek", args => s"weekofyear(${args.head})")
+    // ---- round-15 sweep-2 wave (FnSurfaceProbe round 2) ----------------
+    // ISO week-year: Spark's YEAROFWEEK extract carries the same ISO law
+    s = rewriteCall(s, "toISOYear", args =>
+      s"extract(YEAROFWEEK FROM ${args.head})")
+    // fixed-interval truncations: epoch-second flooring (UTC session —
+    // identical to the server's wall-clock truncation law in UTC)
+    for ((ch, step) <- Seq(
+      "toStartOfFiveMinutes" -> 300, "toStartOfTenMinutes" -> 600,
+      "toStartOfFifteenMinutes" -> 900, "timeSlot" -> 1800))
+      s = rewriteCall(s, ch, args =>
+        s"timestamp_seconds(floor(unix_timestamp(${args.head}) / $step) * $step)")
+    // toStartOfInterval: literal INTERVAL arg, second/minute/hour/day
+    // steps only (epoch flooring is exact there; week/month/year steps
+    // count from calendar origins the text form cannot pin — reject)
+    s = rewriteCall(s, "toStartOfInterval", args => {
+      require(args.size == 2,
+        "toStartOfInterval: (datetime, INTERVAL n unit) without timezone")
+      val m = raw"(?i)^INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?$$".r
+        .findFirstMatchIn(args(1).trim).getOrElse(
+          throw new IllegalArgumentException(
+            "toStartOfInterval: the interval must be a literal INTERVAL n " +
+              "SECOND/MINUTE/HOUR/DAY (week+ steps count from calendar " +
+              "origins not pinnable offline — use toStartOfWeek/Month)"))
+      val mult = m.group(2).toUpperCase(java.util.Locale.ROOT) match {
+        case "SECOND" => 1L
+        case "MINUTE" => 60L
+        case "HOUR" => 3600L
+        case "DAY" => 86400L
+      }
+      val step = m.group(1).toLong * mult
+      require(step > 0, "toStartOfInterval: the step must be positive")
+      s"timestamp_seconds(floor(unix_timestamp(${args.head}) / $step) * $step)"
+    })
+    // named arithmetic forms (divide is ALWAYS Float64 on the server)
+    s = rewriteCall(s, "plus", args => s"((${args(0)}) + (${args(1)}))")
+    s = rewriteCall(s, "minus", args => s"((${args(0)}) - (${args(1)}))")
+    s = rewriteCall(s, "multiply", args => s"((${args(0)}) * (${args(1)}))")
+    s = rewriteCall(s, "divide", args =>
+      s"(cast((${args(0)}) as double) / (${args(1)}))")
+    s = rewriteCall(s, "negate", args => s"(-(${args.head}))")
+    // IEEE classification: NaN fails every ordered comparison and
+    // Spark's NaN-as-largest ordering never enters (abs(x) <= maxDouble
+    // is an ordinary comparison), so NaN → false on both forms, exactly
+    // the server's isFinite/isInfinite
+    s = rewriteCall(s, "isFinite", args =>
+      s"(abs(cast((${args.head}) as double)) <= cast('1.7976931348623157E308' as double))")
+    s = rewriteCall(s, "isInfinite", args =>
+      s"(abs(cast((${args.head}) as double)) = cast('Infinity' as double))")
+    s = rewriteCall(s, "ifNotFinite", args =>
+      s"(CASE WHEN abs(cast((${args(0)}) as double)) <= " +
+        s"cast('1.7976931348623157E308' as double) THEN (${args(0)}) " +
+        s"ELSE (${args(1)}) END)")
+    // single-bit tests ((a >> i) & 1 — the server's law; bitTestAll/Any
+    // fold over literal or expression positions)
+    s = rewriteCall(s, "bitTest", args =>
+      s"(((${args(0)}) >> (${args(1)})) & 1)")
+    s = rewriteCall(s, "bitTestAll", args => {
+      require(args.size >= 2, "bitTestAll(a, i1, ...)")
+      args.tail.map(i => s"(((${args.head}) >> ($i)) & 1) = 1")
+        .mkString("(CASE WHEN ", " AND ", " THEN 1 ELSE 0 END)")
+    })
+    s = rewriteCall(s, "bitTestAny", args => {
+      require(args.size >= 2, "bitTestAny(a, i1, ...)")
+      args.tail.map(i => s"(((${args.head}) >> ($i)) & 1) = 1")
+        .mkString("(CASE WHEN ", " OR ", " THEN 1 ELSE 0 END)")
+    })
+    // codepoint-law string forms riding Spark's own codepoint semantics
+    s = rewriteCall(s, "positionUTF8", args => {
+      require(args.size == 2, "positionUTF8: (haystack, needle) only")
+      s"locate(${args(1)}, ${args(0)})"
+    })
+    s = rewriteCall(s, "leftUTF8", args => s"left(${args.mkString(", ")})")
+    s = rewriteCall(s, "rightUTF8", args => s"right(${args.mkString(", ")})")
+    // URL family: the server's byte-scan laws as anchored regexes
+    // (scheme = RFC 3986 ALPHA *(ALPHA/DIGIT/+/-/.); host chars stop at
+    // :/?#@; doc-example boundary values pinned in DifferentialSpec).
+    // regexp_extract returns '' on no match — the server's empty-string
+    // default for every member of this family.
+    // userinfo may carry ':' (user:pw@) and nest '@' pathologically —
+    // the server keeps the host after the LAST '@' before the path
+    val urlHost = "'^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@?#]*@)*([A-Za-z0-9._-]+)'"
+    s = rewriteCall(s, "protocol", args =>
+      s"regexp_extract(${args.head}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)")
+    s = rewriteCall(s, "domainWithoutWWW", args =>
+      s"regexp_replace(regexp_extract(${args.head}, $urlHost, 1), '^www\\\\.', '')")
+    s = rewriteCall(s, "domain", args =>
+      s"regexp_extract(${args.head}, $urlHost, 1)")
+    // TLD = the last dot-separated label of the host, requiring a letter
+    // (the server returns '' for IPs and dotless hosts)
+    s = rewriteCall(s, "topLevelDomain", args =>
+      s"regexp_extract(regexp_extract(${args.head}, $urlHost, 1), " +
+        s"'\\\\.((?=[A-Za-z0-9-]*[A-Za-z])[A-Za-z0-9-]+)$$', 1)")
+    s = rewriteCall(s, "pathFull", args =>
+      s"regexp_extract(${args.head}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1)")
+    s = rewriteCall(s, "path", args =>
+      s"regexp_extract(${args.head}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+    s = rewriteCall(s, "queryString", args =>
+      s"regexp_extract(${args.head}, '\\\\?([^#]*)', 1)")
+    s = rewriteCall(s, "fragment", args =>
+      s"regexp_extract(${args.head}, '#(.*)$$', 1)")
+    s = rewriteCall(s, "cutQueryString", args =>
+      s"regexp_replace(${args.head}, '\\\\?[^#]*', '')")
+    s = rewriteCall(s, "extractURLParameter", args => {
+      require(args.size == 2, "extractURLParameter(url, 'name')")
+      val name = stringLiteral(args(1)).getOrElse(
+        throw new IllegalArgumentException(
+          "extractURLParameter: the parameter name must be a string literal"))
+      s"regexp_extract(${args.head}, '[?&]${escapeRegexLiteral(name)}=([^&#]*)', 1)"
+    })
+    // JSON extraction: every candidate mapping has an unpinnable
+    // boundary (missing-key type defaults, type-mismatch coercion,
+    // JSON-null vs absent, quoted-vs-raw string forms differ between
+    // get_json_object and the server family) — reject BY NAME with the
+    // explicit alternative rather than ship a silently divergent law
+    for (f <- Seq("JSONExtractString", "JSONExtractInt", "JSONExtractFloat",
+      "JSONExtractBool", "JSONExtractRaw", "JSONHas", "JSONLength",
+      "simpleJSONExtractString", "simpleJSONExtractInt",
+      "visitParamExtractString", "firstSignificantSubdomain",
+      "cutToFirstSignificantSubdomain"))
+      s = rewriteCall(s, f, _ => throw new IllegalArgumentException(
+        if (f.contains("ignificantSubdomain"))
+          s"$f needs the public-suffix list, which the embedded engine " +
+            "does not ship — run against a real server"
+        else
+          s"$f is not supported by the embedded engine (the server's " +
+            "missing-key/type-mismatch/JSON-null boundary laws are not " +
+            "pinnable offline) — use Spark's get_json_object/from_json " +
+            "explicitly or run against a real server"))
+    // ---- end round-15 sweep-2 wave -------------------------------------
     // extended string family (UTF8 variants = Spark's codepoint semantics)
     s = rewriteCall(s, "leftPadUTF8", args => s"lpad(${args.mkString(", ")})")
     s = rewriteCall(s, "rightPadUTF8", args => s"rpad(${args.mkString(", ")})")

@@ -2834,6 +2834,45 @@ object ConnectorQueries {
           |  xxHash32('graft') AS x3,
           |  toString(farmFingerprint64('graft')) AS ff
           |FROM `main`.`ord_ttl_base` WHERE `k` % 97 = 0""".stripMargin)
+    },
+
+    // ---- round-15 sweep-2 wave under the ORACLE gate: the structural
+    // subset DuckDB can recompute natively — isoyear (ISO week-year
+    // boundary rows exist in the 1992-98 corpus), time_bucket (15-min
+    // truncation over a synthetic intra-day offset), split_part
+    // (substring_index count=1 law), float64 divide (single-division
+    // rational over exact ints — hash-exact per the d08 precedent), and
+    // the bit-test fold. URL/IEEE/interval boundary values are pinned in
+    // DifferentialSpec (no DuckDB native to recompute them structurally).
+    q("r89_fn_sweep2",
+      """SELECT o_orderkey AS k,
+        |  isoyear(o_orderdate) AS iso,
+        |  CAST(epoch(time_bucket(INTERVAL 900 SECONDS,
+        |    o_orderdate::TIMESTAMP + (o_orderkey % 86399) * INTERVAL 1 SECOND))
+        |    AS BIGINT) AS t15,
+        |  split_part(o_orderpriority, '-', 1) AS si,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) / 16.0 AS dv,
+        |  ((o_orderkey >> 0) & 1)
+        |    + (CASE WHEN ((o_orderkey >> 0) & 1) = 1
+        |            AND ((o_orderkey >> 2) & 1) = 1 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN ((o_orderkey >> 1) & 1) = 1
+        |            OR ((o_orderkey >> 2) & 1) = 1 THEN 4 ELSE 0 END) AS bt
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ensureOrdBase(s, dir)
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `k` AS k,
+          |  toInt64(toISOYear(`odate`)) AS iso,
+          |  toUnixTimestamp(toStartOfFifteenMinutes(
+          |    addSeconds(`odate`, `k` % 86399))) AS t15,
+          |  substringIndex(`pri`, '-', 1) AS si,
+          |  divide(`cents`, 16) AS dv,
+          |  bitTest(`k`, 0) + bitTestAll(`k`, 0, 2) * 2
+          |    + bitTestAny(`k`, 1, 2) * 4 AS bt
+          |FROM `main`.`ord_ttl_base` WHERE `k` % 97 = 0""".stripMargin)
     }
   )
 }

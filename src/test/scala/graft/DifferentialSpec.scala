@@ -1419,4 +1419,82 @@ class DifferentialSpec extends AnyFunSuite {
     intercept[Exception](one("dateDiff('week', toDate('2024-01-01'), toDate('2024-01-08'))"))
     intercept[Exception](one("arrayResize([1], 3)"))
   }
+
+  test("round-15 sweep-2 wave: hand-pinned boundary values (URL doc " +
+    "examples, IEEE classification, bit tests, interval truncation)") {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ch = graft.session.ClickHouseSession.builder(spark)
+      .storePath(s"/root/repo/target/chstore_$tag")
+      .catalogName("clickhouse").build()
+    def one(expr: String): Any = {
+      val r = ch.chSql(s"SELECT $expr AS v").collect().head
+      if (r.isNullAt(0)) null else r.get(0)
+    }
+    // URL family: the server docs' own examples (scheme'd, scheme-less
+    // with port, user@, www-strip, TLD of a multi-label host)
+    assert(one("domain('svn+ssh://some.svn-hosting.com:80/repo/trunk')")
+      == "some.svn-hosting.com")
+    assert(one("domain('some.svn-hosting.com:80/repo/trunk')")
+      == "some.svn-hosting.com")
+    assert(one("domain('https://clickhouse.com/time/')") == "clickhouse.com")
+    assert(one("domain('https://user:pw@host.example.com/a')") == "host.example.com")
+    assert(one("domain('')") == "")
+    assert(one("domainWithoutWWW('http://www.example.com#fragment')") == "example.com")
+    assert(one("topLevelDomain('svn+ssh://www.some.svn-hosting.com:80/repo/trunk')")
+      == "com")
+    assert(one("topLevelDomain('http://127.0.0.1/a')") == "",
+      "numeric labels are not TLDs")
+    assert(one("protocol('svn+ssh://host/x')") == "svn+ssh")
+    assert(one("protocol('no-scheme-here/x')") == "")
+    assert(one("path('https://clickhouse.com/top/news.html?query=123')")
+      == "/top/news.html")
+    assert(one("pathFull('https://x.com/top/news.html?query=123#f')")
+      == "/top/news.html?query=123#f")
+    assert(one("queryString('https://x.com/a?page=1&lr=213#f')") == "page=1&lr=213")
+    assert(one("fragment('https://x.com/a#hello')") == "hello")
+    assert(one("cutQueryString('https://x.com/a?q=1#frag')") == "https://x.com/a#frag")
+    assert(one("extractURLParameter('https://x.com/a?a=1&b=2&c=3', 'b')") == "2")
+    assert(one("extractURLParameter('https://x.com/a?a=1', 'zz')") == "")
+    // IEEE classification: NaN is false on BOTH forms (Spark's
+    // NaN-as-largest ordering must never leak through)
+    assert(one("isFinite(1.5)") == true)
+    assert(one("isFinite(1e308 * 1e308)") == false)
+    assert(one("isFinite(sqrt(-1.0))") == false, "NaN is not finite")
+    assert(one("isInfinite(1e308 * 1e308)") == true)
+    assert(one("isInfinite(sqrt(-1.0))") == false, "NaN is not infinite")
+    assert(one("ifNotFinite(1e308 * 1e308, 42.0)") == 42.0)
+    // decimal literals keep decimal typing through the CASE — compare
+    // rendered value (the finite branch returns its argument unchanged)
+    assert(one("ifNotFinite(2.5, 42.0)").toString == "2.5")
+    // named arithmetic: divide is Float64 even on integers
+    assert(one("divide(5, 2)") == 2.5)
+    assert(one("plus(2, 3)") == 5L && one("minus(2, 3)") == -1L &&
+      one("multiply(4, 3)") == 12L && one("negate(7)") == -7L)
+    // bit tests ((a >> i) & 1): 5 = 0b101
+    assert(one("bitTest(5, 0)") == 1L && one("bitTest(5, 1)") == 0L)
+    assert(one("bitTestAll(5, 0, 2)") == 1 && one("bitTestAll(5, 0, 1)") == 0)
+    assert(one("bitTestAny(5, 1, 2)") == 1 && one("bitTestAny(5, 1, 3)") == 0)
+    // fixed-interval truncation (UTC law) + ISO week-year boundary
+    // (2024-01-01 is ISO week 1 of 2024; 2023-01-01 is ISO 2022's week 52)
+    val ts = "toDateTime64('2024-03-05 10:23:45.000000', 6)"
+    assert(one(s"toStartOfFifteenMinutes($ts)").toString
+      .startsWith("2024-03-05 10:15:00"))
+    assert(one(s"toStartOfFiveMinutes($ts)").toString
+      .startsWith("2024-03-05 10:20:00"))
+    assert(one(s"timeSlot($ts)").toString.startsWith("2024-03-05 10:00:00"))
+    assert(one(s"toStartOfInterval($ts, INTERVAL 6 HOUR)").toString
+      .startsWith("2024-03-05 06:00:00"))
+    assert(one("toISOYear(toDate('2023-01-01'))") == 2022)
+    assert(one("toISOYear(toDate('2024-01-01'))") == 2024)
+    // codepoint string forms + MySQL substring_index law
+    assert(one("substringIndex('www.clickhouse.com', '.', 2)") == "www.clickhouse")
+    assert(one("substringIndex('www.clickhouse.com', '.', -2)") == "clickhouse.com")
+    assert(one("positionUTF8('héllo', 'llo')") == 3, "codepoint, not byte")
+    assert(one("leftUTF8('héllo', 3)") == "hél")
+    // JSON family + calendar-origin intervals reject loudly
+    intercept[Exception](one("JSONExtractString('{\"k\":\"v\"}', 'k')"))
+    intercept[Exception](one("JSONHas('{\"k\":1}', 'k')"))
+    intercept[Exception](one("firstSignificantSubdomain('https://a.b.com/')"))
+    intercept[Exception](one(s"toStartOfInterval($ts, INTERVAL 1 WEEK)"))
+  }
 }
