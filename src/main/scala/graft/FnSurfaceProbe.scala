@@ -127,7 +127,9 @@ object FnSurfaceProbe {
       "queryString('https://x.com/a?q=1&r=2#f')",
       "fragment('https://x.com/a#frag')",
       "cutQueryString('https://x.com/a?q=1#f')",
-      "extractURLParameter('https://x.com/a?q=1&r=2', 'r')")
+      "extractURLParameter('https://x.com/a?q=1&r=2', 'r')",
+      // round-11 JSON family (kept: literal-key get_json_object law)
+      "JSONExtractString('{\"k\":\"v\"}', 'k')", "JSONHas('{\"k\":1}', 'k')")
     // deliberately unmapped on the embedded engine (no value-exact Spark
     // composition / server-version-dependent law) — these REJECT loudly
     // here and execute only against a real server via the wire transport
@@ -141,11 +143,11 @@ object FnSurfaceProbe {
       "cityHash64(s, a)", "sipHash64(s, a)",
       // 3-arg position: start_pos is a BYTE offset locate cannot express
       "position(s, 'l', 3)",
-      // JSON extraction: missing-key/type-mismatch/JSON-null boundary
-      // laws not pinnable offline — loud rejects with the get_json_object
-      // alternative spelled out
-      "JSONExtractString('{\"k\":\"v\"}', 'k')",
-      "JSONHas('{\"k\":1}', 'k')", "JSONLength('[1,2]')",
+      // JSON forms WITHOUT a get_json_object composition (raw keeps
+      // quotes, length is array-vs-object polymorphic, simpleJSON* is a
+      // different byte-scanner law) — loud rejects; the Extract/Has
+      // family maps via get_json_object (round 11) and probes above
+      "JSONExtractRaw('{\"k\":{}}', 'k')", "JSONLength('[1,2]')",
       "simpleJSONExtractString('{\"k\":\"v\"}', 'k')",
       // needs the public-suffix list (not shipped offline)
       "firstSignificantSubdomain('https://news.clickhouse.com.tr/')",

@@ -1172,13 +1172,14 @@ object ChSqlTranslator {
           "extractURLParameter: the parameter name must be a string literal"))
       s"regexp_extract(${args.head}, '[?&]${escapeRegexLiteral(name)}=([^&#]*)', 1)"
     })
-    // JSON extraction: every candidate mapping has an unpinnable
-    // boundary (missing-key type defaults, type-mismatch coercion,
-    // JSON-null vs absent, quoted-vs-raw string forms differ between
-    // get_json_object and the server family) — reject BY NAME with the
-    // explicit alternative rather than ship a silently divergent law
-    for (f <- Seq("JSONExtractString", "JSONExtractInt", "JSONExtractFloat",
-      "JSONExtractBool", "JSONExtractRaw", "JSONHas", "JSONLength",
+    // Remaining JSON forms: JSONExtractString/Int/Float/Bool/JSONHas
+    // already map via get_json_object (round 11, literal-key-validated,
+    // LATER in this pipeline — do NOT re-add them here, the earlier
+    // rule would shadow the mapping: the round-14 ordering law). The
+    // forms below have no composition under that contract
+    // (quoted-vs-raw string output, array-vs-object length, the
+    // simpleJSON/visitParam byte-scanner laws) — reject BY NAME
+    for (f <- Seq("JSONExtractRaw", "JSONLength",
       "simpleJSONExtractString", "simpleJSONExtractInt",
       "visitParamExtractString", "firstSignificantSubdomain",
       "cutToFirstSignificantSubdomain"))

@@ -1491,9 +1491,13 @@ class DifferentialSpec extends AnyFunSuite {
     assert(one("substringIndex('www.clickhouse.com', '.', -2)") == "clickhouse.com")
     assert(one("positionUTF8('héllo', 'llo')") == 3, "codepoint, not byte")
     assert(one("leftUTF8('héllo', 3)") == "hél")
-    // JSON family + calendar-origin intervals reject loudly
-    intercept[Exception](one("JSONExtractString('{\"k\":\"v\"}', 'k')"))
-    intercept[Exception](one("JSONHas('{\"k\":1}', 'k')"))
+    // round-11 JSON mappings keep working (sweep-2 must not shadow
+    // them — the round-14 rule-ordering law); the uncomposable forms
+    // and calendar-origin intervals reject loudly
+    assert(one("JSONExtractString('{\"k\":\"v\"}', 'k')") == "v")
+    assert(one("JSONHas('{\"k\":1}', 'k')") == true)
+    intercept[Exception](one("JSONExtractRaw('{\"k\":{}}', 'k')"))
+    intercept[Exception](one("JSONLength('[1,2]')"))
     intercept[Exception](one("firstSignificantSubdomain('https://a.b.com/')"))
     intercept[Exception](one(s"toStartOfInterval($ts, INTERVAL 1 WEEK)"))
   }
