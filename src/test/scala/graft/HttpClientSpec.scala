@@ -952,6 +952,44 @@ class HttpClientSpec extends AnyFunSuite {
     dynTables.remove("enum_http")
   }
 
+  test("wide-int + IP columns end-to-end over the binary wire (round 15: " +
+    "these types parsed at loadTable but died at stream time before)") {
+    import org.apache.spark.sql.types._
+    client.createTable("main", "wide_http",
+      Seq("id" -> "Int64", "w" -> "Int128", "u" -> "UInt128",
+        "ip4" -> "IPv4", "ip6" -> "IPv6"),
+      Map("engine" -> "MergeTree", "order_by" -> "id"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("w", DecimalType(38, 0)),
+      StructField("u", DecimalType(38, 0)),
+      StructField("ip4", StringType), StructField("ip6", StringType)))
+    val big = new java.math.BigDecimal("99999999999999999999999999999999999999")
+    val n = client.insert("main", "wide_http", schema, Seq(
+      org.apache.spark.sql.Row(1L, big, big, "1.2.3.4", "2001:db8::1"),
+      org.apache.spark.sql.Row(2L, big.negate, java.math.BigDecimal.ZERO,
+        "255.0.0.1", "::ffff:9.8.7.6")))
+    assert(n == 2)
+    // read back over the wire: the server header declares the wide/IP
+    // types and the client's RowBinary decoders produce exact values
+    val (rschema, handles) = client.planQuery(
+      "SELECT `id`, `w`, `u`, `ip4`, `ip6` FROM `main`.`wide_http`", 1)
+    assert(rschema("w").dataType == DecimalType(38, 0))
+    assert(rschema("ip6").dataType == StringType)
+    val rows = handles.flatMap(h => client.readPartition(h).toSeq)
+      .map(r => (r.get(0), r.get(1).toString, r.get(2).toString,
+        r.get(3).toString, r.get(4).toString)).toSet
+    assert(rows == Set(
+      (1L, big.toString, big.toString, "1.2.3.4", "2001:db8::1"),
+      (2L, big.negate.toString, "0", "255.0.0.1", "::ffff:9.8.7.6")), rows)
+    // honored-or-rejected: malformed IP text fails BEFORE the wire
+    intercept[Exception] {
+      client.insert("main", "wide_http", schema, Seq(
+        org.apache.spark.sql.Row(3L, big, big, "not-an-ip", "2001:db8::1")))
+    }
+    assert(dynTables("wide_http")._2.size == 2)
+    dynTables.remove("wide_http")
+  }
+
   test("every accepted CREATE TABLE key renders real DDL: primary_keys, " +
     "defaults, defaults_for_nullable; external_paths is rejected") {
     client.createTable("main", "ddl_full",
@@ -1341,6 +1379,50 @@ class HttpClientSpec extends AnyFunSuite {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       dynTables.remove("bkt_l"); dynTables.remove("bkt_r")
+    }
+    ()
+  }
+
+  test("shuffle-one-side SPJ: a plain local side shuffles INTO the HTTP " +
+    "scan's cityHash64 buckets via the now-evaluable bucket function " +
+    "(round 15) — one exchange, server slices untouched, values exact") {
+    val rows = mutable.ArrayBuffer(
+      (1 to 12).map(i =>
+        Map[String, Any]("id" -> i.toLong, "name" -> s"b$i", "val" -> i * 0.5)): _*)
+    dynTables("bkt_s") = (colTypes, rows)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions.{col => c}
+      import spark.implicits._
+      val l = spark.read.option("bucket_by", "id").option("buckets", "4")
+        .table("chhttp.main.bkt_s").select(c("id"), c("name").as("ln"))
+      // plain local side — NOT bucketed; Spark must route it through
+      // ChBoundBucket("cityhash64").produceResult (bit-exact kernel)
+      // to line partitions up with the server-routed slices
+      val r = (1 to 12).map(i => (i.toLong, s"p$i")).toDF("rid", "rn")
+      val joined = l.join(r.hint("merge"), c("id") === c("rid"))
+        .select("id", "ln", "rn")
+      val got = joined.collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
+      assert(got == (1 to 12).map(i => (i.toLong, s"b$i", s"p$i")).toSet)
+      val all = PlanAsserts.flatten(joined.queryExecution.executedPlan)
+      val shuffles = all.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }
+      assert(shuffles.size == 1,
+        s"exactly the plain side shuffles (got ${shuffles.size}):\n${all.head}")
+      // the scan side stayed server-routed: 4 slice queries
+      val slices = queries.synchronized {
+        queries.filter(q => q.contains("`bkt_s`") && q.contains("cityHash64")).toSeq
+      }
+      assert(slices.size == 4, slices.mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "false")
+      dynTables.remove("bkt_s")
     }
     ()
   }
