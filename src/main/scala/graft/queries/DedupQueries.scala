@@ -109,12 +109,34 @@ object DedupQueries {
     * this is the difference between shuffling 16x the corpus and shuffling
     * one signature row per document.
     */
-  private[queries] def minhashSigs(s: SparkSession): DataFrame = {
-    val h32 = shingleHashes(s, 8).select(col("doc_id"), col("hsh").as("h"))
+  private[queries] def minhashSigs(s: SparkSession): DataFrame =
+    minhashSigsOf(
+      shingleHashes(s, 8).select(col("doc_id"), col("hsh").as("h")))
+
+  /** MinHash signature columns from ANY (doc_id, h) shingle-hash stream
+    * — the kernel d03 applies to word shingles and m05 to payload BYTE
+    * shingles (universal-hash family; all values < 2^52, exact in both
+    * engines' BIGINTs).
+    */
+  private[queries] def minhashSigsOf(h32: DataFrame): DataFrame = {
     val sigCols = (0 until NumHashes).map { i =>
       min((lit(37 + 101 * i) * col("h") + lit(17 + 97 * i)) % 2147483647L).as(s"s$i")
     }
     h32.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Candidate verification shared by d03/m05: estimated Jaccard =
+    * matching signature positions / NumHashes over the (a, b) pairs.
+    */
+  private[queries] def estJaccard(cand: DataFrame, sigs: DataFrame): DataFrame = {
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        (matches.cast("long") / NumHashes.toDouble).as("est_jaccard"))
   }
 
   /** Hot-bucket cap for the d03 banded self-join: the candidate join is
@@ -293,14 +315,7 @@ object DedupQueries {
       val sigs = minhashSigs(s).cache()
       val bands = bandsOf(sigs)
       val cand = cappedSelfCandidates(bands, HotBucketCap)
-      val matches = (0 until NumHashes)
-        .map(i => when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand
-        .join(sigs.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sigs.as("sb"), col("b") === col("sb.doc_id"))
-        .select(col("a"), col("b"),
-          (matches.cast("long") / NumHashes.toDouble).as("est_jaccard"))
+      estJaccard(cand, sigs)
     },
 
     // ---- dedup APPLY step: keep one canonical row per group ----

@@ -142,6 +142,75 @@ object MultimodalQueries {
       sims.select(col("media_id").as("doc_id"), col("simhash"),
         count(lit(1)).over(w).as("group_n"),
         min(col("media_id")).over(w).as("canonical"))
+    },
+
+    // MinHash+LSH over payload BYTE shingles — d03's banded kernel
+    // (identical universal-hash arithmetic, band/bucket derivation,
+    // hot-bucket cap, and signature verification via the SHARED
+    // DedupQueries helpers) applied to the m03 keep-stream. The only
+    // payload-specific piece is the shingle-hash stream: 8-byte windows
+    // at stride 4, md5-prefix rehash — the same slicing family as
+    // m04/sampleFrames, the same rehash as d03's h32. Scale shape
+    // inherited from d03: bands self-join is the only bands-sized
+    // shuffle, hot buckets capped, verification bounded by candidates.
+    q("m05_payload_minhash_lsh",
+      """WITH keep AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(text::BLOB) BETWEEN 256 AND 4000
+        |    AND ascii(text) BETWEEN 65 AND 122),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         substr(text, CAST(i * 4 + 1 AS BIGINT), 8) AS sh
+        |       FROM (SELECT doc_id, text,
+        |               unnest(generate_series(0,
+        |                 CAST(ceil(octet_length(text::BLOB) / 4.0) AS BIGINT) - 1)) AS i
+        |             FROM keep)),
+        |h32 AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+        |hx AS (SELECT doc_id, i,
+        |          min(((37 + 101 * i) * h + 17 + 97 * i) % 2147483647) AS sig
+        |       FROM h32 CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+        |       GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band,
+        |            md5(array_to_string(list(sig ORDER BY i), '|')) AS bucket
+        |          FROM hx GROUP BY doc_id, i // 4),
+        |bok AS (SELECT b.* FROM bands b JOIN
+        |          (SELECT band, bucket FROM bands GROUP BY band, bucket
+        |           HAVING count(*) <= 1000) sz USING (band, bucket)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bok x JOIN bok y
+        |           ON x.band = y.band AND x.bucket = y.bucket
+        |              AND x.doc_id < y.doc_id)
+        |SELECT a, b, sum(CASE WHEN ha.sig = hb.sig THEN 1 ELSE 0 END) / 16.0
+        |    AS est_jaccard
+        |FROM cand
+        |JOIN hx ha ON ha.doc_id = a
+        |JOIN hx hb ON hb.doc_id = b AND hb.i = ha.i
+        |GROUP BY a, b""".stripMargin) { (s, _) =>
+      val media = graft.ops.Multimodal.toMediaTable(
+        s.table("documents"), "doc_id", "text", kind = "doc",
+        sourceCol = "source")
+      val firstByte =
+        conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int")
+      val keepIds = graft.ops.Multimodal.quarantine(media, minBytes = 256,
+        maxBytes = 4000, magicOk = firstByte.between(65, 122))
+        .filter(col("status") === "keep").select("media_id")
+      val kept = media.join(keepIds, Seq("media_id"), "left_semi")
+      val nSh = (length(col("payload")) + 3) / 4
+      // distinct-on-hash vs the oracle's distinct-on-shingle is
+      // min-stable (the d03 argument: duplicate h cannot change a min);
+      // the md5-prefix rehash is the repo-standard cheap rehash, so
+      // both engines hash the SAME 8 bytes to the SAME 32-bit value
+      val h32 = kept
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("media_id").as("doc_id"),
+          explode(sequence(lit(0), (nSh - 1).cast("int"), lit(1))).as("i"),
+          col("payload"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("payload").substr(col("i") * 4 + 1, lit(8))),
+            1, 8), 16, 10).cast("long").as("h"))
+      val sigs = DedupQueries.minhashSigsOf(h32).cache()
+      val cand = DedupQueries.cappedSelfCandidates(
+        DedupQueries.bandsOf(sigs), DedupQueries.HotBucketCap)
+      DedupQueries.estJaccard(cand, sigs)
     }
   )
 }
