@@ -1096,6 +1096,14 @@ object ChSqlTranslator {
       require(step > 0, "toStartOfInterval: the step must be positive")
       s"timestamp_seconds(floor(unix_timestamp(${args.head}) / $step) * $step)"
     })
+    // CH round(): banker's for FLOAT inputs, away-from-zero for the
+    // rest (type-split law) — graft_round dispatches on the resolved
+    // child type; Spark's half-up builtin resolved case-insensitively
+    // before round 15 and flipped float .5 ties silently
+    s = rewriteCall(s, "round", args => {
+      require(args.size == 1 || args.size == 2, "round(x[, N])")
+      s"graft_round(${args.mkString(", ")})"
+    })
     // named arithmetic forms (divide is ALWAYS Float64 on the server)
     s = rewriteCall(s, "plus", args => s"((${args(0)}) + (${args(1)}))")
     s = rewriteCall(s, "minus", args => s"((${args(0)}) - (${args(1)}))")

@@ -1223,6 +1223,15 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         require(args.size == 2, "lcm(a, b)")
         graft.functions.GraftLcm(args(0), args(1))
       })
+    // CH round: banker's for Float inputs, away-from-zero otherwise —
+    // Spark's half-up builtin previously resolved case-insensitively
+    org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_round",
+      args => {
+        require(args.size == 1 || args.size == 2, "round(x[, N])")
+        graft.functions.GraftChRound(args.head,
+          args.lift(1).getOrElse(
+            org.apache.spark.sql.catalyst.expressions.Literal(0)))
+      })
     org.apache.spark.sql.graft.bridge.registerFunction(child,
       "graft_replace_regexp_one",
       args => {

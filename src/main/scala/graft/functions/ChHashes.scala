@@ -598,6 +598,40 @@ case class GraftLength(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ClickHouse round(): BANKER'S rounding for Float inputs, away from
+  * zero for Decimal/integer inputs (the documented type-split law).
+  * Spark's `round` is half-up everywhere — before round 15 the
+  * case-insensitive resolver silently served it for the CH spelling
+  * (the rand()/xxHash64 trap), flipping every float .5 tie. This
+  * wrapper dispatches to Spark's BRound (HALF_EVEN) for Float/Double
+  * children and Round (HALF_UP = away from zero on the non-float
+  * types, where Spark and the server agree) otherwise — delegation
+  * keeps Spark's own result-type/scale law and codegen.
+  */
+case class GraftChRound(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private lazy val delegate: Expression = left.dataType match {
+    case DoubleType | FloatType =>
+      org.apache.spark.sql.catalyst.expressions.BRound(left, right)
+    case _ => org.apache.spark.sql.catalyst.expressions.Round(left, right)
+  }
+  override def dataType: DataType = delegate.dataType
+  override def nullable: Boolean = delegate.nullable
+  override def foldable: Boolean = delegate.foldable
+  override def prettyName: String = "ch_round"
+  override def checkInputDataTypes(): TypeCheckResult =
+    delegate.checkInputDataTypes()
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    delegate.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = delegate.genCode(ctx)
+    ev.copy(code = d.code, isNull = d.isNull, value = d.value)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** CH position(): 1-based BYTE offset (law in
   * [[GraftHashes.bytePosition]]); Spark locate is codepoint-based and
   * diverges on multi-byte text.

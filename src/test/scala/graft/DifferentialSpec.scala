@@ -1491,6 +1491,16 @@ class DifferentialSpec extends AnyFunSuite {
     assert(one("substringIndex('www.clickhouse.com', '.', -2)") == "clickhouse.com")
     assert(one("positionUTF8('héllo', 'llo')") == 3, "codepoint, not byte")
     assert(one("leftUTF8('héllo', 3)") == "hél")
+    // CH round(): banker's on FLOAT ties, away-from-zero on the rest
+    // (Spark's half-up builtin used to serve this spelling silently)
+    assert(one("round(2.5e0)") == 2.0)
+    assert(one("round(3.5e0)") == 4.0)
+    assert(one("round(-2.5e0)") == -2.0)
+    assert(one("round(2.25e0, 1)") == 2.2)
+    assert(one("round(CAST(2.5 AS Decimal(3,1)))").toString == "3")
+    assert(one("round(CAST(-2.5 AS Decimal(3,1)))").toString == "-3")
+    assert(one("round(255, -1)") == 260L)
+    assert(one("round(7)") == 7L)
     // round-11 JSON mappings keep working (sweep-2 must not shadow
     // them — the round-14 rule-ordering law); the uncomposable forms
     // and calendar-origin intervals reject loudly
