@@ -116,6 +116,8 @@ object FnSurfaceProbe {
       "toStartOfInterval(ts, INTERVAL 1 DAY)",
       // string codepoint forms
       "substringIndex(s, 'l', 2)", "leftUTF8(s, 3)", "rightUTF8(s, 3)",
+      "arrayRotateLeft(arr, 2)", "arrayRotateRight(arr, 1)",
+      "round(d)", "round(d, 1)",
       "positionUTF8(s, 'World')",
       // URL family (byte-scan laws as anchored regexes; doc-example
       // boundary values pinned in DifferentialSpec)

@@ -1104,6 +1104,22 @@ object ChSqlTranslator {
       require(args.size == 1 || args.size == 2, "round(x[, N])")
       s"graft_round(${args.mkString(", ")})"
     })
+    // array rotation: wrap-around slice composition, exact for any n
+    // (pmod handles negatives = the server's opposite-direction law);
+    // empty arrays pass through, NULL arrays stay NULL via slice/size
+    def rotateLeft(a: String, n: String): String = {
+      val k = s"pmod($n, size($a))"
+      s"(CASE WHEN size($a) <= 0 THEN ($a) ELSE concat(" +
+        s"slice($a, $k + 1, size($a) - $k), slice($a, 1, $k)) END)"
+    }
+    s = rewriteCall(s, "arrayRotateLeft", args => {
+      require(args.size == 2, "arrayRotateLeft(arr, n)")
+      rotateLeft(args(0), args(1))
+    })
+    s = rewriteCall(s, "arrayRotateRight", args => {
+      require(args.size == 2, "arrayRotateRight(arr, n)")
+      rotateLeft(args(0), s"-(${args(1)})")
+    })
     // named arithmetic forms (divide is ALWAYS Float64 on the server)
     s = rewriteCall(s, "plus", args => s"((${args(0)}) + (${args(1)}))")
     s = rewriteCall(s, "minus", args => s"((${args(0)}) - (${args(1)}))")

@@ -1501,6 +1501,12 @@ class DifferentialSpec extends AnyFunSuite {
     assert(one("round(CAST(-2.5 AS Decimal(3,1)))").toString == "-3")
     assert(one("round(255, -1)") == 260L)
     assert(one("round(7)") == 7L)
+    // array rotation: wrap-around, negatives reverse direction
+    assert(one("arrayRotateLeft([1, 2, 3, 4, 5], 2)") == Seq(3, 4, 5, 1, 2))
+    assert(one("arrayRotateLeft([1, 2, 3], -1)") == Seq(3, 1, 2))
+    assert(one("arrayRotateRight([1, 2, 3, 4, 5], 2)") == Seq(4, 5, 1, 2, 3))
+    assert(one("arrayRotateLeft([1, 2, 3], 7)") == Seq(2, 3, 1))
+    assert(one("arrayRotateLeft(array(), 3)") == Seq())
     // round-11 JSON mappings keep working (sweep-2 must not shadow
     // them — the round-14 rule-ordering law); the uncomposable forms
     // and calendar-origin intervals reject loudly
