@@ -219,6 +219,39 @@ class HashKernelSpec extends AnyFunSuite {
     assert(r.getString(4) == "héy")
   }
 
+  test("ChHash codegen arms: UInt64 Decimal(20,0) and binary inputs " +
+    "agree with the kernel over the storage bytes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.bridge
+    val df = spark.range(1, 6).select(
+      col("id").cast("decimal(20,0)").as("u"),
+      concat(lit("k"), col("id")).cast("binary").as("b"),
+      col("id"))
+    def hashCol(name: String) = bridge.column(graft.functions.ChHash(
+      bridge.expression(df(name)), graft.functions.ChHashAlgo.City64))
+    val got = df.select(col("id"), hashCol("u").as("hu"), hashCol("b").as("hb"))
+      .collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val le = graft.functions.GraftHashes.bytesLE(id)
+      assert(r.getDecimal(1).toBigInteger.toString ==
+        java.lang.Long.toUnsignedString(
+          graft.functions.GraftHashes.cityHash64(le, 0, 8)),
+        s"UInt64 arm id=$id (Decimal storage bytes must be LE8 of the value)")
+      val kb = s"k$id".getBytes("UTF-8")
+      assert(r.getDecimal(2).toBigInteger.toString ==
+        java.lang.Long.toUnsignedString(
+          graft.functions.GraftHashes.cityHash64(kb, 0, kb.length)),
+        s"binary arm id=$id")
+    }
+    // out-of-range UInt64 rejects loudly (negative decimal)
+    intercept[Exception] {
+      spark.range(1).select(bridge.column(graft.functions.ChHash(
+        bridge.expression(expr("cast(-1 as decimal(20,0))")),
+        graft.functions.ChHashAlgo.City64))).collect()
+    }
+  }
+
   test("embedded gcd/lcm/replaceRegexpOne/farmFingerprint64 execute") {
     val r = one(
       """SELECT gcd(`id` + 10, 8) AS g, lcm(`id` + 3, 6) AS l,
