@@ -117,6 +117,8 @@ object FnSurfaceProbe {
       // string codepoint forms
       "substringIndex(s, 'l', 2)", "leftUTF8(s, 3)", "rightUTF8(s, 3)",
       "arrayRotateLeft(arr, 2)", "arrayRotateRight(arr, 1)",
+      "arrayShiftLeft(arr, 2, 0)", "arrayShiftRight(arr, 1, 0)",
+      "sipHash64Keyed((0, 0), s)",
       "round(d)", "round(d, 1)",
       "positionUTF8(s, 'World')",
       // URL family (byte-scan laws as anchored regexes; doc-example

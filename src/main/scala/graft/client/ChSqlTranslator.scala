@@ -1104,6 +1104,43 @@ object ChSqlTranslator {
       require(args.size == 1 || args.size == 2, "round(x[, N])")
       s"graft_round(${args.mkString(", ")})"
     })
+    // keyed SipHash: the tuple-literal key pair parses at translate
+    // time (UInt64 spellings accepted via unsigned parse → the same
+    // 64-bit pattern the server uses); the kernel is the paper-vector-
+    // pinned core, so this spelling is pinned DIRECTLY by the
+    // published vectors (HashKernelSpec + DifferentialSpec)
+    s = rewriteCall(s, "sipHash64Keyed", args => {
+      require(args.size == 2,
+        "sipHash64Keyed((k0, k1), data) — single data argument only " +
+          "(multi-argument combine chains are not pinnable offline)")
+      val m = raw"^\(\s*(\d+)\s*,\s*(\d+)\s*\)$$".r.findFirstMatchIn(args(0).trim)
+        .getOrElse(throw new IllegalArgumentException(
+          "sipHash64Keyed: the key must be a literal (k0, k1) tuple of " +
+            "unsigned integers"))
+      val k0 = java.lang.Long.parseUnsignedLong(m.group(1))
+      val k1 = java.lang.Long.parseUnsignedLong(m.group(2))
+      s"graft_siphash64k(${args(1)}, ${k0}L, ${k1}L)"
+    })
+    // array shifts: exact slice/repeat composition. The 2-argument form
+    // pads with the ARGUMENT type's default value, which the translator
+    // cannot derive from text (the -OrDefault law) — the filler is
+    // REQUIRED here; negative n shifts the other direction, |n| beyond
+    // the length fills completely
+    def shiftLeft(a: String, n: String, d: String): String =
+      s"(CASE WHEN size($a) <= 0 THEN ($a) " +
+        s"WHEN ($n) >= 0 AND ($n) < size($a) THEN concat(" +
+        s"slice($a, ($n) + 1, size($a) - ($n)), array_repeat($d, $n)) " +
+        s"WHEN ($n) < 0 AND -($n) < size($a) THEN concat(" +
+        s"array_repeat($d, -($n)), slice($a, 1, size($a) + ($n))) " +
+        s"ELSE array_repeat($d, size($a)) END)"
+    for ((name, neg) <- Seq("arrayShiftLeft" -> false, "arrayShiftRight" -> true))
+      s = rewriteCall(s, name, args => {
+        require(args.size == 3,
+          s"$name(arr, n, filler): the 2-argument form pads with the " +
+            "element type's DEFAULT value, which is not derivable from " +
+            "text — pass the filler explicitly or run against a real server")
+        shiftLeft(args(0), if (neg) s"-(${args(1)})" else args(1), args(2))
+      })
     // array rotation: wrap-around slice composition, exact for any n
     // (pmod handles negatives = the server's opposite-direction law);
     // empty arrays pass through, NULL arrays stay NULL via slice/size

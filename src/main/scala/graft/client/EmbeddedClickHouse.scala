@@ -1223,6 +1223,22 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         require(args.size == 2, "lcm(a, b)")
         graft.functions.GraftLcm(args(0), args(1))
       })
+    // keyed SipHash: keys arrive as literal args appended by the
+    // translator's tuple-literal parse
+    org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_siphash64k",
+      args => {
+        require(args.size == 3, "graft_siphash64k(data, k0, k1)")
+        def keyLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+            case org.apache.spark.sql.catalyst.expressions.Literal(d: org.apache.spark.sql.types.Decimal, _) =>
+              d.toJavaBigDecimal.toBigIntegerExact.longValue() // UInt64 bit pattern
+            case other => throw new IllegalArgumentException(
+              s"sipHash64Keyed: keys must be integer literals (got $other)")
+          }
+        graft.functions.ChSipHashKeyed(args(0), keyLit(args(1)), keyLit(args(2)))
+      })
     // CH round: banker's for Float inputs, away-from-zero otherwise —
     // Spark's half-up builtin previously resolved case-insensitively
     org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_round",

@@ -598,6 +598,55 @@ case class GraftLength(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** sipHash64Keyed((k0, k1), data): the keyed SipHash-2-4 core — the
+  * form the published paper vectors pin DIRECTLY. Keys are translate-
+  * time literals (the server takes a tuple literal); data follows the
+  * same storage-bytes law as [[ChHash]].
+  */
+case class ChSipHashKeyed(child: Expression, k0: Long, k1: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = DecimalType(20, 0)
+  override def prettyName: String = "ch_siphash64_keyed"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType | LongType | IntegerType | ShortType |
+         ByteType => TypeCheckResult.TypeCheckSuccess
+    case d: DecimalType if d.precision == 20 && d.scale == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName hashes String/FixedString bytes or LE storage bytes " +
+        s"of Int8/16/32/64/UInt64 — got ${other.catalogString}")
+  }
+  private def toBytesJava(c: String): String = child.dataType match {
+    case StringType => s"graft.functions.GraftHashes.bytes($c)"
+    case BinaryType => c
+    case _ => s"graft.functions.GraftHashes.bytesLE($c)"
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val b: Array[Byte] = input match {
+      case s: UTF8String => s.getBytes
+      case a: Array[Byte] => a
+      case v: Long => GraftHashes.bytesLE(v)
+      case v: Int => GraftHashes.bytesLE(v)
+      case v: Short => GraftHashes.bytesLE(v)
+      case v: Byte => GraftHashes.bytesLE(v)
+      case d: Decimal => GraftHashes.bytesLE(d)
+    }
+    GraftHashes.uDec(GraftHashes.sipHash64Keyed(k0, k1, b, 0, b.length))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("skb")
+      s"""
+        |byte[] $bytes = ${toBytesJava(c)};
+        |${ev.value} = graft.functions.GraftHashes.uDec(
+        |  graft.functions.GraftHashes.sipHash64Keyed(${k0}L, ${k1}L,
+        |    $bytes, 0, $bytes.length));
+      """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ClickHouse round(): BANKER'S rounding for Float inputs, away from
   * zero for Decimal/integer inputs (the documented type-split law).
   * Spark's `round` is half-up everywhere — before round 15 the

@@ -1501,6 +1501,23 @@ class DifferentialSpec extends AnyFunSuite {
     assert(one("round(CAST(-2.5 AS Decimal(3,1)))").toString == "-3")
     assert(one("round(255, -1)") == 260L)
     assert(one("round(7)") == 7L)
+    // keyed SipHash: the PAPER vector itself through the SQL surface —
+    // key (0x0706050403020100, 0x0f0e0d0c0b0a0908), message 00..0e,
+    // expected a129ca6149be45e5 (reference implementation appendix)
+    assert(one("toString(sipHash64Keyed((506097522914230528, " +
+      "1084818905618843912), unhex('000102030405060708090A0B0C0D0E')))")
+      == java.lang.Long.toUnsignedString(0xa129ca6149be45e5L))
+    // zero-key form == plain sipHash64
+    assert(one("toString(sipHash64Keyed((0, 0), 'graft'))") ==
+      "14307741831258040182")
+    intercept[Exception](one("sipHash64Keyed((1, k), 'x')"))
+    // array shifts: filler REQUIRED (2-arg pads with the type default,
+    // not derivable from text); negatives shift the other direction
+    assert(one("arrayShiftLeft([1, 2, 3, 4, 5], 2, 0)") == Seq(3, 4, 5, 0, 0))
+    assert(one("arrayShiftLeft([1, 2, 3], -1, 9)") == Seq(9, 1, 2))
+    assert(one("arrayShiftRight([1, 2, 3, 4, 5], 2, 0)") == Seq(0, 0, 1, 2, 3))
+    assert(one("arrayShiftLeft([1, 2], 5, 7)") == Seq(7, 7))
+    intercept[Exception](one("arrayShiftLeft([1, 2], 1)"))
     // array rotation: wrap-around, negatives reverse direction
     assert(one("arrayRotateLeft([1, 2, 3, 4, 5], 2)") == Seq(3, 4, 5, 1, 2))
     assert(one("arrayRotateLeft([1, 2, 3], -1)") == Seq(3, 1, 2))
