@@ -133,7 +133,32 @@ object FnSurfaceProbe {
       "cutQueryString('https://x.com/a?q=1#f')",
       "extractURLParameter('https://x.com/a?q=1&r=2', 'r')",
       // round-11 JSON family (kept: literal-key get_json_object law)
-      "JSONExtractString('{\"k\":\"v\"}', 'k')", "JSONHas('{\"k\":1}', 'k')")
+      "JSONExtractString('{\"k\":\"v\"}', 'k')", "JSONHas('{\"k\":1}', 'k')",
+      // ---- round-16 wave ----
+      // simpleJSON/visitParam byte-scanner family (documented scanner
+      // law as codegen kernels; doc examples pinned in SimpleJsonSpec)
+      "simpleJSONHas('{\"k\":\"v\"}', 'k')",
+      "simpleJSONExtractUInt('{\"k\":\"4e3\"}', 'k')",
+      "simpleJSONExtractInt('{\"k\":-3.4}', 'k')",
+      "simpleJSONExtractFloat('{\"k\":\"4e3\"}', 'k')",
+      "simpleJSONExtractBool('{\"k\":true}', 'k')",
+      "simpleJSONExtractRaw('{\"k\":{\"a\":[1,2]}}', 'k')",
+      "simpleJSONExtractString('{\"k\":\"v\"}', 'k')",
+      "visitParamHas('{\"k\":1}', 'k')",
+      "visitParamExtractString('{\"k\":\"v\"}', 'k')",
+      // JSONLength: array/object polymorphic length, 0-default
+      "JSONLength('[1,2]')", "JSONLength('{\"a\":1,\"b\":2}')",
+      "JSONLength('{\"a\":[1,2,3]}', 'a')",
+      // default firstSignificantSubdomain heuristic (4-name law; the
+      // *Custom variants still need a TLD list and stay rejected)
+      "firstSignificantSubdomain('https://news.clickhouse.com.tr/')",
+      "cutToFirstSignificantSubdomain('https://news.clickhouse.com.tr/')",
+      // calendar-origin interval steps (DateLUT origin laws)
+      "toStartOfInterval(ts, INTERVAL 1 WEEK)",
+      "toStartOfInterval(ts, INTERVAL 2 WEEK)",
+      "toStartOfInterval(ts, INTERVAL 2 MONTH)",
+      "toStartOfInterval(ts, INTERVAL 2 QUARTER)",
+      "toStartOfInterval(ts, INTERVAL 5 YEAR)")
     // deliberately unmapped on the embedded engine (no value-exact Spark
     // composition / server-version-dependent law) — these REJECT loudly
     // here and execute only against a real server via the wire transport
@@ -147,16 +172,15 @@ object FnSurfaceProbe {
       "cityHash64(s, a)", "sipHash64(s, a)",
       // 3-arg position: start_pos is a BYTE offset locate cannot express
       "position(s, 'l', 3)",
-      // JSON forms WITHOUT a get_json_object composition (raw keeps
-      // quotes, length is array-vs-object polymorphic, simpleJSON* is a
-      // different byte-scanner law) — loud rejects; the Extract/Has
-      // family maps via get_json_object (round 11) and probes above
-      "JSONExtractRaw('{\"k\":{}}', 'k')", "JSONLength('[1,2]')",
-      "simpleJSONExtractString('{\"k\":\"v\"}', 'k')",
-      // needs the public-suffix list (not shipped offline)
-      "firstSignificantSubdomain('https://news.clickhouse.com.tr/')",
-      // calendar-origin interval steps reject (week+)
-      "toStartOfInterval(ts, INTERVAL 1 WEEK)")
+      // JSONExtractRaw keeps rejecting: get_json_object unquotes string
+      // values, so the quote-preserving raw form is not expressible
+      // (simpleJSONExtractRaw's scanner law is the supported raw form)
+      "JSONExtractRaw('{\"k\":{}}', 'k')",
+      // the Custom variants DO need a TLD list — not shipped offline
+      "firstSignificantSubdomainCustom('https://x.com/', 'l')",
+      // pre-origin calendar intervals hit the server's unsigned-day
+      // wraparound (not a pinnable value) — loud reject, never garbage
+      "toStartOfInterval(toDateTime64('1969-06-01 00:00:00.000000', 6), INTERVAL 2 WEEK)")
     def sweep(es: Seq[String]): (Int, Seq[(String, String)]) = {
       var ok = 0
       val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

@@ -1074,27 +1074,60 @@ object ChSqlTranslator {
       "toStartOfFifteenMinutes" -> 900, "timeSlot" -> 1800))
       s = rewriteCall(s, ch, args =>
         s"timestamp_seconds(floor(unix_timestamp(${args.head}) / $step) * $step)")
-    // toStartOfInterval: literal INTERVAL arg, second/minute/hour/day
-    // steps only (epoch flooring is exact there; week/month/year steps
-    // count from calendar origins the text form cannot pin — reject)
+    // toStartOfInterval: literal INTERVAL arg. Sub-day + day steps are
+    // epoch-second flooring (exact in the UTC session). Calendar steps
+    // (round 16) follow the server's DOCUMENTED origins (DateLUT's
+    // toStartOf*Interval): multi-week intervals count from Monday
+    // 1970-01-05 (the 4-day Thursday offset), months from 1970-01,
+    // quarters = months with 3n, years from 1970; n=1 falls back to the
+    // plain truncation law (toMonday/toStartOfMonth/Quarter/Year — no
+    // origin involved, valid for any date). Pre-origin inputs hit the
+    // server's UNSIGNED DayNum wraparound (not a pinnable value) — they
+    // reject loudly via assert_true; NULL passes through as NULL.
+    // Return type is Date for week+ steps, DateTime below — the server
+    // law.
     s = rewriteCall(s, "toStartOfInterval", args => {
       require(args.size == 2,
         "toStartOfInterval: (datetime, INTERVAL n unit) without timezone")
-      val m = raw"(?i)^INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?$$".r
+      val m = raw"(?i)^INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?$$".r
         .findFirstMatchIn(args(1).trim).getOrElse(
           throw new IllegalArgumentException(
             "toStartOfInterval: the interval must be a literal INTERVAL n " +
-              "SECOND/MINUTE/HOUR/DAY (week+ steps count from calendar " +
-              "origins not pinnable offline — use toStartOfWeek/Month)"))
-      val mult = m.group(2).toUpperCase(java.util.Locale.ROOT) match {
-        case "SECOND" => 1L
-        case "MINUTE" => 60L
-        case "HOUR" => 3600L
-        case "DAY" => 86400L
+              "SECOND/MINUTE/HOUR/DAY/WEEK/MONTH/QUARTER/YEAR"))
+      val n = m.group(1).toLong
+      require(n > 0, "toStartOfInterval: the step must be positive")
+      val x = args.head
+      // pre-origin guard: NULL-transparent, loud on a pre-1970 value
+      def guard(origin: String): String =
+        s"coalesce(cast(assert_true(($x) >= date'$origin' OR ($x) IS NULL, " +
+          s"'toStartOfInterval: inputs before $origin hit the server''s " +
+          "unsigned-day wraparound, which is not a pinnable value " +
+          "offline') as int), 0)"
+      m.group(2).toUpperCase(java.util.Locale.ROOT) match {
+        case u @ ("SECOND" | "MINUTE" | "HOUR" | "DAY") =>
+          val step = n * (u match {
+            case "SECOND" => 1L
+            case "MINUTE" => 60L
+            case "HOUR" => 3600L
+            case "DAY" => 86400L
+          })
+          s"timestamp_seconds(floor(unix_timestamp($x) / $step) * $step)"
+        case "WEEK" if n == 1 => s"to_date(date_trunc('WEEK', $x))"
+        case "WEEK" =>
+          val d = n * 7
+          s"date_add(date'1970-01-05', cast((datediff($x, date'1970-01-05') " +
+            s"div $d) * $d as int) + ${guard("1970-01-05")})"
+        case "MONTH" if n == 1 => s"to_date(date_trunc('MONTH', $x))"
+        case "QUARTER" if n == 1 => s"to_date(date_trunc('QUARTER', $x))"
+        case "YEAR" if n == 1 => s"to_date(date_trunc('YEAR', $x))"
+        case "YEAR" =>
+          s"make_date(1970 + cast(((year($x) - 1970) div $n) * $n as int) " +
+            s"+ ${guard("1970-01-01")}, 1, 1)"
+        case monthly @ ("MONTH" | "QUARTER") =>
+          val nm = if (monthly == "QUARTER") n * 3 else n
+          s"add_months(date'1970-01-01', cast((((year($x) - 1970) * 12 " +
+            s"+ month($x) - 1) div $nm) * $nm as int) + ${guard("1970-01-01")})"
       }
-      val step = m.group(1).toLong * mult
-      require(step > 0, "toStartOfInterval: the step must be positive")
-      s"timestamp_seconds(floor(unix_timestamp(${args.head}) / $step) * $step)"
     })
     // CH round(): banker's for FLOAT inputs, away-from-zero for the
     // rest (type-split law) — graft_round dispatches on the resolved
@@ -1236,23 +1269,70 @@ object ChSqlTranslator {
     // Remaining JSON forms: JSONExtractString/Int/Float/Bool/JSONHas
     // already map via get_json_object (round 11, literal-key-validated,
     // LATER in this pipeline — do NOT re-add them here, the earlier
-    // rule would shadow the mapping: the round-14 ordering law). The
-    // forms below have no composition under that contract
-    // (quoted-vs-raw string output, array-vs-object length, the
-    // simpleJSON/visitParam byte-scanner laws) — reject BY NAME
-    for (f <- Seq("JSONExtractRaw", "JSONLength",
-      "simpleJSONExtractString", "simpleJSONExtractInt",
-      "visitParamExtractString", "firstSignificantSubdomain",
-      "cutToFirstSignificantSubdomain"))
-      s = rewriteCall(s, f, _ => throw new IllegalArgumentException(
-        if (f.contains("ignificantSubdomain"))
-          s"$f needs the public-suffix list, which the embedded engine " +
-            "does not ship — run against a real server"
-        else
-          s"$f is not supported by the embedded engine (the server's " +
-            "missing-key/type-mismatch/JSON-null boundary laws are not " +
-            "pinnable offline) — use Spark's get_json_object/from_json " +
-            "explicitly or run against a real server"))
+    // rule would shadow the mapping: the round-14 ordering law).
+    //
+    // simpleJSON*/visitParam* (round 16): the server's DOCUMENTED
+    // byte-scanner law as codegen kernels (graft.functions
+    // .GraftSimpleJson — needle `"name":`, first occurrence, per-type
+    // front-read extractors; laws + boundary pins in the scaladoc and
+    // SimpleJsonSpec). visitParam* are the server's documented aliases.
+    for ((suffix, fn) <- Seq(
+      "Has" -> "graft_sj_has",
+      "ExtractUInt" -> "graft_sj_uint",
+      "ExtractInt" -> "graft_sj_int",
+      "ExtractFloat" -> "graft_sj_float",
+      "ExtractBool" -> "graft_sj_bool",
+      "ExtractRaw" -> "graft_sj_raw",
+      "ExtractString" -> "graft_sj_string");
+      spelling <- Seq("simpleJSON" + suffix, "visitParam" + suffix))
+      s = rewriteCall(s, spelling, args => {
+        require(args.size == 2, s"$spelling(json, 'name')")
+        s"$fn(${args(0)}, ${args(1)})"
+      })
+    // JSONLength: array element count / object key count, 0 for
+    // scalars, missing paths, and invalid JSON (the simdjson family's
+    // 0-default). Spark's json_array_length/json_object_keys return
+    // NULL outside their own shape, so the coalesce chain IS the
+    // polymorphic dispatch. Path keys ride the round-11 literal-key
+    // get_json_object contract (lenient-parser caveat shared with the
+    // whole JSONExtract family).
+    s = rewriteCall(s, "JSONLength", args => {
+      require(args.nonEmpty, "JSONLength(json[, keys...])")
+      val target =
+        if (args.size == 1) args.head
+        else {
+          val keys = args.tail.map(k => stringLiteral(k).getOrElse(
+            throw new IllegalArgumentException(
+              "JSONLength: keys must be string literals")))
+          s"get_json_object(${args.head}, '$$.${keys.mkString(".")}')"
+        }
+      s"cast(coalesce(json_array_length($target), " +
+        s"size(json_object_keys($target)), 0) as bigint)"
+    })
+    // JSONExtractRaw still has NO composition: get_json_object unquotes
+    // string values, so the raw (quote-preserving) form cannot be
+    // rebuilt without re-escaping lies — reject loudly. (The scanner
+    // law's raw form IS available as simpleJSONExtractRaw.)
+    s = rewriteCall(s, "JSONExtractRaw", _ => throw new IllegalArgumentException(
+      "JSONExtractRaw is not supported by the embedded engine (" +
+        "get_json_object unquotes string values, so the quote-preserving " +
+        "raw form is not expressible) — use simpleJSONExtractRaw's " +
+        "scanner law or run against a real server"))
+    // firstSignificantSubdomain family (round 16): the DEFAULT variants
+    // follow the server's documented 4-name heuristic (significant =
+    // the label before the last label, stepping one deeper when that
+    // label is com/net/org/co) — no public-suffix list involved; the
+    // PSL is only needed by the *Custom variants, which keep rejecting
+    // at the unknown-function surface. Host extraction mirrors the
+    // domain() law above.
+    s = rewriteCall(s, "firstSignificantSubdomain", args => {
+      require(args.size == 1, "firstSignificantSubdomain(url)")
+      s"graft_fsd(${args.head}, false)"
+    })
+    s = rewriteCall(s, "cutToFirstSignificantSubdomain", args => {
+      require(args.size == 1, "cutToFirstSignificantSubdomain(url)")
+      s"graft_fsd(${args.head}, true)"
+    })
     // ---- end round-15 sweep-2 wave -------------------------------------
     // extended string family (UTF8 variants = Spark's codepoint semantics)
     s = rewriteCall(s, "leftPadUTF8", args => s"lpad(${args.mkString(", ")})")

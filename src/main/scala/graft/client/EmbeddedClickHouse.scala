@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.types.ClickHouseType
 
@@ -931,8 +931,29 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     } finally EmbeddedClickHouse.firingMvs.set(firing)
   }
 
+  /** View schema for the embedded child session. Columns DECLARED
+    * UInt8/16/32 carry their declared type as field metadata
+    * (`graft.ch.declared`): Spark stores them one type wider (UInt8 →
+    * Short, ...), so the WIDTH of the true storage bytes is otherwise
+    * unrecoverable post-resolution — the hash kernels read it to hash
+    * the server's exact storage width for direct column references
+    * (VERDICT r15 item 2). Metadata rides AttributeReferences through
+    * resolution; nothing in the read/write guards compares it (the
+    * projection-swap guard is name+type only).
+    */
   def sparkSchema(db: String, table: String): StructType =
-    ClickHouseType.toStructType(fetchColumns(db, table))
+    StructType(fetchColumns(db, table).map { case (n, t) =>
+      val p = ClickHouseType.parse(t)
+      val base = t.trim match {
+        case EmbeddedClickHouse.NullableRe(inner) => inner
+        case other => other
+      }
+      val f = StructField(n, p.dataType, p.nullable)
+      if (base == "UInt8" || base == "UInt16" || base == "UInt32")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("graft.ch.declared", base).build())
+      else f
+    }.toArray)
 
   override def tableSizeBytes(db: String, table: String): Option[Long] =
     if (isSystem(db) || !tableExists(db, table)) None
@@ -1254,6 +1275,35 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         require(args.size == 3,
           "replaceRegexpOne(haystack, pattern, replacement)")
         graft.functions.GraftRegexpReplaceOne(args(0), args(1), args(2))
+      })
+    // simpleJSON*/visitParam* byte-scanner family (round 16; laws in
+    // GraftSimpleJson's scaladoc — the constant-name requirement is
+    // enforced by the expression's type check)
+    for ((name, mode) <- Seq(
+      "graft_sj_has" -> graft.functions.ChSimpleJsonMode.Has,
+      "graft_sj_uint" -> graft.functions.ChSimpleJsonMode.UIntM,
+      "graft_sj_int" -> graft.functions.ChSimpleJsonMode.IntM,
+      "graft_sj_float" -> graft.functions.ChSimpleJsonMode.FloatM,
+      "graft_sj_bool" -> graft.functions.ChSimpleJsonMode.Bool,
+      "graft_sj_raw" -> graft.functions.ChSimpleJsonMode.Raw,
+      "graft_sj_string" -> graft.functions.ChSimpleJsonMode.Str))
+      org.apache.spark.sql.graft.bridge.registerFunction(child, name,
+        args => {
+          require(args.size == 2, s"$name(json, 'name')")
+          graft.functions.ChSimpleJson(args(0), args(1), mode)
+        })
+    // firstSignificantSubdomain family (round 16; documented 4-name
+    // heuristic — GraftUrlFns.fsd). The cut flag arrives as a literal
+    // appended by the translator.
+    org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_fsd",
+      args => {
+        require(args.size == 2, "graft_fsd(url, cut)")
+        val cut = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_fsd: cut must be a boolean literal (got $other)")
+        }
+        graft.functions.GraftFsd(args(0), cut)
       })
     // ClickHouse MD5()/SHA1()/SHA256() return the binary digest (not
     // hex); generated SQL wraps them as lower(hex(F(x))) which composes
@@ -2623,6 +2673,9 @@ final case class ChSpillHandle(files: Seq[String], numFields: Int, schemaJson: S
 
 object EmbeddedClickHouse {
   private[client] val SpillTtlMillis: Long = 30L * 60 * 1000
+
+  /** Strips one Nullable(...) wrapper for declared-type inspection. */
+  private[client] val NullableRe = raw"^Nullable\((.+)\)$$".r
 
   /** Source tables whose materialized views are firing on THIS thread —
     * re-entrancy guard behind the create-time cycle check (fires run

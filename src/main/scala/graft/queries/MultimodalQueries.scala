@@ -97,21 +97,31 @@ object MultimodalQueries {
     // Payload-level near-dup (multimodal × dedup composition): byte-
     // shingle SimHash over the m03 quarantine's KEEP stream — d04's
     // vote law applied to opaque media bytes. The oracle recomputes the
-    // identical slicing + votes over the text bytes (char substr ==
-    // byte substr on this ASCII corpus, the accepted m02 equivalence).
+    // identical slicing + votes over the text bytes. Byte-vs-char
+    // domain (round 16, VERDICT r15 item 2): the keep stream is
+    // ASCII-ONLY by an explicit filter MIRRORED on both sides, so char
+    // substr ≡ byte substr holds BY CONSTRUCTION for every kept row —
+    // a multi-byte corpus regeneration EXCLUDES the same docs on both
+    // sides instead of silently diverging (the driver's DuckDB 1.0.0
+    // has no md5(BLOB)/substring(BLOB), so the byte windows themselves
+    // are not oracle-expressible; the engine's byte law on non-ASCII
+    // payloads is pinned first-principles in OpsSpec). encode(text)
+    // replaces text::BLOB, which THROWS on non-ASCII input.
     // Grouping on the simhash IS the bucket step: group size and the
     // canonical (min doc_id) member come from one window, no all-pairs
     // join anywhere.
     q("m04_payload_neardup",
       """WITH keep AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE text IS NOT NULL AND octet_length(text::BLOB) BETWEEN 256 AND 4000
-        |    AND ascii(text) BETWEEN 65 AND 122),
+        |  WHERE text IS NOT NULL
+        |    AND octet_length(encode(text)) BETWEEN 256 AND 4000
+        |    AND ascii(text) BETWEEN 65 AND 122
+        |    AND NOT regexp_matches(text, '[^\x00-\x7F]')),
         |sh AS (
         |  SELECT doc_id, md5(substr(text, CAST(i * 4 + 1 AS BIGINT), 8)) AS th
         |  FROM (SELECT doc_id, text,
         |          unnest(generate_series(0,
-        |            CAST(ceil(octet_length(text::BLOB) / 4.0) AS BIGINT) - 1)) AS i
+        |            CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) - 1)) AS i
         |        FROM keep)),
         |bits AS (
         |  SELECT doc_id, p,
@@ -127,8 +137,11 @@ object MultimodalQueries {
         |  CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_n,
         |  min(doc_id) OVER (PARTITION BY simhash) AS canonical
         |FROM sim""".stripMargin) { (s, _) =>
+      // ASCII-only keep stream, mirrored in the oracle's keep CTE (the
+      // byte-domain law for non-ASCII payloads is OpsSpec-pinned)
       val media = graft.ops.Multimodal.toMediaTable(
-        s.table("documents"), "doc_id", "text", kind = "doc",
+        s.table("documents").filter(!col("text").rlike("[^\\x00-\\x7F]")),
+        "doc_id", "text", kind = "doc",
         sourceCol = "source")
       val firstByte =
         conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int")
@@ -156,13 +169,15 @@ object MultimodalQueries {
     q("m05_payload_minhash_lsh",
       """WITH keep AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE text IS NOT NULL AND octet_length(text::BLOB) BETWEEN 256 AND 4000
-        |    AND ascii(text) BETWEEN 65 AND 122),
+        |  WHERE text IS NOT NULL
+        |    AND octet_length(encode(text)) BETWEEN 256 AND 4000
+        |    AND ascii(text) BETWEEN 65 AND 122
+        |    AND NOT regexp_matches(text, '[^\x00-\x7F]')),
         |sh AS (SELECT DISTINCT doc_id,
         |         substr(text, CAST(i * 4 + 1 AS BIGINT), 8) AS sh
         |       FROM (SELECT doc_id, text,
         |               unnest(generate_series(0,
-        |                 CAST(ceil(octet_length(text::BLOB) / 4.0) AS BIGINT) - 1)) AS i
+        |                 CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) - 1)) AS i
         |             FROM keep)),
         |h32 AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
         |hx AS (SELECT doc_id, i,
@@ -185,8 +200,10 @@ object MultimodalQueries {
         |JOIN hx ha ON ha.doc_id = a
         |JOIN hx hb ON hb.doc_id = b AND hb.i = ha.i
         |GROUP BY a, b""".stripMargin) { (s, _) =>
+      // ASCII-only keep stream, mirrored in the oracle's keep CTE
       val media = graft.ops.Multimodal.toMediaTable(
-        s.table("documents"), "doc_id", "text", kind = "doc",
+        s.table("documents").filter(!col("text").rlike("[^\\x00-\\x7F]")),
+        "doc_id", "text", kind = "doc",
         sourceCol = "source")
       val firstByte =
         conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int")

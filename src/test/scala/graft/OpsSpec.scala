@@ -443,4 +443,46 @@ class OpsSpec extends AnyFunSuite {
     }.sum
     assert(byId(1L) == expect, "vote law drifted from the d04 formulation")
   }
+
+  test("multimodal: payload simhash shingles BYTES on non-ASCII text — " +
+    "the windows split multi-byte chars exactly like the server's byte " +
+    "domain (round-16 pin: the m04/m05 oracles restrict to ASCII by a " +
+    "mirrored filter; THIS is the law beyond that restriction)") {
+    import spark.implicits._
+    // é is 2 bytes, ☺ is 3 — byte windows at stride 4 fall mid-char
+    val base = ("héllo☺" * 40) + ("wörld" * 10)
+    val media = Multimodal.toMediaTable(
+      Seq((1L, base)).toDF("doc_id", "text").withColumn("src", lit("t")),
+      "doc_id", "text", "doc", "src")
+    val got = Multimodal.payloadSimhash(media, shingleBytes = 8, stride = 4)
+      .collect().head.getLong(1)
+    val payload = base.getBytes("UTF-8")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = payload.length
+    val shingles = (0 until ((n + 3) / 4)).map { i =>
+      val off = i * 4
+      val w = math.min(8, n - off)
+      md.digest(java.util.Arrays.copyOfRange(payload, off, off + w))
+        .map("%02x".format(_)).mkString
+    }
+    val expect = (0 until 16).map { p =>
+      val v = shingles.map(h => if (h.charAt(p) >= '8') 1 else -1).sum
+      if (v > 0) 1L << p else 0L
+    }.sum
+    assert(got == expect, "byte-domain slicing law drifted on multi-byte text")
+    // and a CHAR-domain recompute over the same text disagrees — the
+    // assertion that makes this a byte-vs-char pin, not a tautology
+    val charShingles = (0 until ((base.length + 3) / 4)).map { i =>
+      val off = i * 4
+      val w = math.min(8, base.length - off)
+      md.digest(base.substring(off, off + w).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val charExpect = (0 until 16).map { p =>
+      val v = charShingles.map(h => if (h.charAt(p) >= '8') 1 else -1).sum
+      if (v > 0) 1L << p else 0L
+    }.sum
+    assert(charExpect != expect,
+      "test payload failed to separate byte and char domains")
+  }
 }

@@ -1,0 +1,213 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftSimpleJson
+import graft.functions.GraftUrlFns
+import graft.session.ClickHouseSession
+
+/** Documented-law pins for the round-16 function wave: the simpleJSON /
+  * visitParam byte-scanner family (every pinned value is a documented
+  * ClickHouse example from the simpleJSON docs section), the default
+  * firstSignificantSubdomain 4-name heuristic, JSONLength's polymorphic
+  * 0-default, and toStartOfInterval's calendar-origin steps (DateLUT
+  * origins: multi-week from Monday 1970-01-05, months/quarters from
+  * 1970-01, years from 1970).
+  */
+class SimpleJsonSpec extends AnyFunSuite {
+
+  private def u(s: String): UTF8String = UTF8String.fromString(s)
+
+  test("simpleJSONHas: needle law, first occurrence, canonical encoding") {
+    assert(GraftSimpleJson.sjHas(u("""{"abc":"def"}"""), u("abc")) == 1)
+    assert(GraftSimpleJson.sjHas(u("""{"abc":"def"}"""), u("bar")) == 0)
+    // assumption 2 (documented): the name matches its raw byte spelling
+    // only — an escape-encoded name does NOT match
+    assert(GraftSimpleJson.sjHas(u("{\"\\u0061\\u0062\\u0063\":\"def\"}"),
+      u("abc")) == 0)
+    // any nesting level, dumbly
+    assert(GraftSimpleJson.sjHas(u("""{"a":{"abc":1}}"""), u("abc")) == 1)
+    // no-spaces assumption: a spaced separator does not match
+    assert(GraftSimpleJson.sjHas(u("""{"abc" :1}"""), u("abc")) == 0)
+  }
+
+  test("simpleJSONExtractUInt/Int: documented front-read examples") {
+    def ui(j: String): Long =
+      GraftSimpleJson.sjUInt(u(j), u("foo")).toLong
+    assert(ui("""{"foo":"4e3"}""") == 4L)
+    assert(ui("""{"foo":3.4}""") == 3L)
+    assert(ui("""{"foo":-3.4}""") == 0L)
+    assert(ui("""{"foo":5}""") == 5L)
+    assert(ui("""{"foo":"not1number"}""") == 0L)
+    assert(ui("""{"baz":2}""") == 0L)
+    def si(j: String): Long = GraftSimpleJson.sjInt(u(j), u("foo"))
+    assert(si("""{"foo":-3.4}""") == -3L)
+    assert(si("""{"foo":"-4e3"}""") == -4L)
+    assert(si("""{"foo":5}""") == 5L)
+    assert(si("""{"baz":2}""") == 0L)
+    // UInt64 range is exact through the Decimal(20,0) rep
+    assert(GraftSimpleJson.sjUInt(
+      u("""{"foo":18446744073709551615}"""), u("foo")).toString ==
+      "18446744073709551615")
+    // overflow past the width: loud (the server's wrap is not pinnable)
+    intercept[IllegalArgumentException] {
+      GraftSimpleJson.sjUInt(u("""{"foo":18446744073709551616}"""), u("foo"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftSimpleJson.sjInt(u("""{"foo":9223372036854775808}"""), u("foo"))
+    }
+  }
+
+  test("simpleJSONExtractFloat: decimal grammar; inf/nan spellings loud") {
+    def f(j: String): Double = GraftSimpleJson.sjFloat(u(j), u("foo"))
+    assert(f("""{"foo":"4e3"}""") == 4000.0)
+    assert(f("""{"foo":-3.4}""") == -3.4)
+    assert(f("""{"foo":5}""") == 5.0)
+    assert(f("""{"foo":"not1number"}""") == 0.0)
+    assert(f("""{"baz":2}""") == 0.0)
+    intercept[IllegalArgumentException] { f("""{"foo":inf}""") }
+    intercept[IllegalArgumentException] { f("""{"foo":-Infinity}""") }
+    intercept[IllegalArgumentException] { f("""{"foo":NaN}""") }
+  }
+
+  test("simpleJSONExtractBool: literal-true prefix only") {
+    def b(j: String, k: String): Int = GraftSimpleJson.sjBool(u(j), u(k))
+    assert(b("""{"foo":false,"bar":true}""", "bar") == 1)
+    assert(b("""{"foo":false,"bar":true}""", "foo") == 0)
+    assert(b("""{"foo":"true","baz":true}""", "foo") == 0) // quoted → 0
+    assert(b("""{"foo":1}""", "foo") == 0)
+    assert(b("""{"foo":1}""", "nope") == 0)
+  }
+
+  test("simpleJSONExtractRaw: balance-scanned value incl. separators") {
+    def r(j: String): String = GraftSimpleJson.sjRaw(u(j), u("foo")).toString
+    assert(r("""{"baz":2}""") == "")
+    assert(r("""{"foo":"-4e3"}""") == "\"-4e3\"")
+    assert(r("""{"foo":-3.4}""") == "-3.4")
+    assert(r("""{"foo":5}""") == "5")
+    assert(r("""{"foo":{"def":[1,2,3]}}""") == """{"def":[1,2,3]}""")
+    // mid-object value terminates at the top-level comma
+    assert(r("""{"foo":[1,{"a":2}],"b":3}""") == """[1,{"a":2}]""")
+  }
+
+  test("simpleJSONExtractString: strict JSON unescaping, '' on failure") {
+    def s(j: String, k: String = "foo"): String =
+      GraftSimpleJson.sjString(u(j), u(k)).toString
+    assert(s("{\"foo\":\"\\n\\u0000\"}") == "\n\u0000")
+    assert(s("{\"foo\":\"\\u263a\"}") == "\u263a")
+    // 3-digit hex escape fails → ''
+    assert(s("{\"foo\":\"\\u263\"}") == "")
+    // unterminated → ''
+    assert(s("""{"foo":"hello}""") == "")
+    // non-string value → ''
+    assert(s("""{"foo":5}""") == "")
+    // surrogate pair composes; lone surrogate fails
+    assert(s("{\"foo\":\"\\ud83d\\ude00\"}") == "\ud83d\ude00")
+    assert(s("{\"foo\":\"\\ud83dx\"}") == "")
+    // first occurrence wins at any depth
+    assert(s("""{"a":{"k":"x"},"k":"y"}""", "k") == "x")
+  }
+
+  test("firstSignificantSubdomain: documented 4-name heuristic") {
+    def fsd(url: String): String = GraftUrlFns.fsd(u(url), cut = false).toString
+    def cut(url: String): String = GraftUrlFns.fsd(u(url), cut = true).toString
+    assert(fsd("https://news.clickhouse.com.tr/") == "clickhouse")
+    assert(fsd("http://www.example.com/a/b/c") == "example")
+    assert(fsd("https://clickhouse.com") == "clickhouse")
+    assert(fsd("http://a.co.uk/x") == "a")
+    assert(cut("https://news.clickhouse.com.tr/") == "clickhouse.com.tr")
+    assert(cut("http://www.example.com/a/b/c") == "example.com")
+    assert(cut("http://a.co.uk/x") == "a.co.uk")
+    // chosen instances (documented in GraftUrlFns, not server-pinned):
+    // dotless host and a heuristic step past the first label → ''
+    assert(fsd("http://localhost/") == "")
+    assert(fsd("http://com.tr/") == "")
+  }
+
+  test("chSql end to end: scanner family, JSONLength, fsd, calendar intervals") {
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("simplejson-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = Files.createTempDirectory("graft_sj_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chsj").build()
+    ch.createDatabase("db")
+    ch.newTable("db", "t").column("id", "Int64").column("j", "String")
+      .column("ts", "DateTime64(6)").engine("MergeTree").orderBy("id").create()
+    ch.insertReturningCount(
+      """INSERT INTO chsj.db.t VALUES
+        |(1, '{"k":"4e3","arr":[1,2,3],"obj":{"a":1,"b":2},"flag":true}',
+        |  timestamp'2024-03-12 10:20:30'),
+        |(2, '{"k":-3.4,"s":"hi","url":"https://news.clickhouse.com.tr/"}',
+        |  timestamp'2024-02-15 00:00:00')""".stripMargin)
+    val rows = ch.chSql(
+      """SELECT `id`,
+        |  simpleJSONHas(`j`, 'k') AS h,
+        |  simpleJSONExtractUInt(`j`, 'k') AS ui,
+        |  visitParamExtractInt(`j`, 'k') AS i,
+        |  simpleJSONExtractFloat(`j`, 'k') AS f,
+        |  simpleJSONExtractBool(`j`, 'flag') AS bl,
+        |  simpleJSONExtractRaw(`j`, 'obj') AS raw,
+        |  simpleJSONExtractString(`j`, 's') AS st,
+        |  JSONLength(`j`, 'arr') AS la,
+        |  JSONLength(`j`, 'obj') AS lo,
+        |  firstSignificantSubdomain(simpleJSONExtractString(`j`, 'url')) AS fsd,
+        |  toStartOfInterval(`ts`, INTERVAL 2 WEEK) AS w2,
+        |  toStartOfInterval(`ts`, INTERVAL 1 WEEK) AS w1,
+        |  toStartOfInterval(`ts`, INTERVAL 2 MONTH) AS m2,
+        |  toStartOfInterval(`ts`, INTERVAL 2 QUARTER) AS q2,
+        |  toStartOfInterval(`ts`, INTERVAL 5 YEAR) AS y5
+        |FROM `db`.`t` ORDER BY `id`""".stripMargin).collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getInt(1) == 1) // has
+    assert(r1.getDecimal(2).longValueExact() == 4L)
+    assert(r1.getLong(3) == 4L)
+    assert(r1.getDouble(4) == 4000.0)
+    assert(r1.getInt(5) == 1)
+    assert(r1.getString(6) == """{"a":1,"b":2}""")
+    assert(r1.getString(7) == "") // 's' missing on row 1
+    assert(r1.getLong(8) == 3L) // arr length
+    assert(r1.getLong(9) == 2L) // obj keys
+    assert(r1.getString(10) == "")
+    // 2024-03-12 → 1-week Monday 2024-03-11; 2-week bucket from the
+    // 1970-01-05 origin lands 2024-03-04; months/quarters from 1970-01;
+    // years from 1970
+    assert(r1.getDate(11).toString == "2024-03-04")
+    assert(r1.getDate(12).toString == "2024-03-11")
+    assert(r1.getDate(13).toString == "2024-03-01")
+    assert(r1.getDate(14).toString == "2024-01-01")
+    assert(r1.getDate(15).toString == "2020-01-01")
+    val r2 = rows(1)
+    assert(r2.getDecimal(2).longValueExact() == 0L) // -3.4 → UInt 0
+    assert(r2.getLong(3) == -3L)
+    assert(r2.getDouble(4) == -3.4)
+    assert(r2.getInt(5) == 0)
+    assert(r2.getString(6) == "")
+    assert(r2.getString(7) == "hi")
+    assert(r2.getLong(8) == 0L) // no arr → 0
+    assert(r2.getString(10) == "clickhouse")
+    assert(r2.getDate(13).toString == "2024-01-01") // Feb → 2-month bucket Jan
+    // pre-origin input: loud reject, never the server's wraparound garbage
+    val ex = intercept[Exception] {
+      ch.chSql("SELECT toStartOfInterval(" +
+        "toDateTime64('1969-06-01 00:00:00.000000', 6), INTERVAL 2 WEEK) " +
+        "AS v FROM `db`.`t`").collect()
+    }
+    assert(ex.getMessage != null)
+    // JSONExtractRaw (simdjson family) still rejects loudly
+    val ex2 = intercept[IllegalArgumentException] {
+      ch.chSql("SELECT JSONExtractRaw(`j`, 'k') AS v FROM `db`.`t`").collect()
+    }
+    assert(ex2.getMessage.contains("simpleJSONExtractRaw"))
+  }
+}
