@@ -356,6 +356,19 @@ object GraftHashes {
     case _ => None
   }
 
+  /** Width propagation law for `withNewChildInternal`: attribute
+    * children RECOMPUTE (a rewrite to a different column must never
+    * keep a stale width), bound references KEEP the captured width
+    * (binding strips metadata), anything else resets to None.
+    */
+  def widthThrough(newChild: Expression, prev: Option[Int]): Option[Int] =
+    newChild match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        declaredWidth(a)
+      case _: org.apache.spark.sql.catalyst.expressions.BoundReference => prev
+      case _ => None
+    }
+
   /** Unsigned 64-bit hash → Decimal(20,0) (the repo's UInt64 rep). */
   def uDec(h: Long): Decimal = {
     val bi = if (h >= 0) java.math.BigInteger.valueOf(h)
@@ -444,8 +457,18 @@ object ChHashAlgo extends Enumeration {
   * in [[GraftHashes]]' scaladoc). UInt64 result as Decimal(20,0) so the
   * `% N` sampling idiom keeps the server's unsigned arithmetic; xxHash32
   * is UInt32 → Long.
+  *
+  * `declaredW` carries the declared-unsigned narrow width ACROSS
+  * reference binding: the width is read off the resolved
+  * AttributeReference's metadata, but physical planning replaces that
+  * attribute with a metadata-less BoundReference before eval/codegen —
+  * `withNewChildInternal` recomputes on attribute children (so a
+  * rewritten reference to a DIFFERENT column can never keep a stale
+  * width), keeps the captured width through binding, and resets on
+  * expression children.
   */
-case class ChHash(child: Expression, algo: ChHashAlgo.Value)
+case class ChHash(child: Expression, algo: ChHashAlgo.Value,
+    declaredW: Option[Int] = None)
   extends UnaryExpression {
 
   override def dataType: DataType =
@@ -466,7 +489,8 @@ case class ChHash(child: Expression, algo: ChHashAlgo.Value)
   // a DIRECT reference to a catalog-declared UInt8/16/32 column hashes
   // the TRUE storage width (round 16 — field metadata carries the
   // declared type; expressions keep the resolved-type width law)
-  private lazy val narrowW: Option[Int] = GraftHashes.declaredWidth(child)
+  private def narrowW: Option[Int] =
+    GraftHashes.declaredWidth(child).orElse(declaredW)
 
   private def toBytesJava(c: String): String = (child.dataType, narrowW) match {
     case (StringType, _) => s"graft.functions.GraftHashes.bytes($c)"
@@ -526,7 +550,8 @@ case class ChHash(child: Expression, algo: ChHashAlgo.Value)
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+    copy(child = newChild,
+      declaredW = GraftHashes.widthThrough(newChild, narrowW))
 }
 
 /** Exact gcd/lcm (BigInteger law; zero boundaries reject — see
@@ -647,7 +672,8 @@ case class GraftLength(child: Expression) extends UnaryExpression {
   * time literals (the server takes a tuple literal); data follows the
   * same storage-bytes law as [[ChHash]].
   */
-case class ChSipHashKeyed(child: Expression, k0: Long, k1: Long)
+case class ChSipHashKeyed(child: Expression, k0: Long, k1: Long,
+    declaredW: Option[Int] = None)
   extends UnaryExpression {
   override def dataType: DataType = DecimalType(20, 0)
   override def prettyName: String = "ch_siphash64_keyed"
@@ -660,7 +686,8 @@ case class ChSipHashKeyed(child: Expression, k0: Long, k1: Long)
       s"$prettyName hashes String/FixedString bytes or LE storage bytes " +
         s"of Int8/16/32/64/UInt64 — got ${other.catalogString}")
   }
-  private lazy val narrowW: Option[Int] = GraftHashes.declaredWidth(child)
+  private def narrowW: Option[Int] =
+    GraftHashes.declaredWidth(child).orElse(declaredW)
   private def toBytesJava(c: String): String = (child.dataType, narrowW) match {
     case (StringType, _) => s"graft.functions.GraftHashes.bytes($c)"
     case (BinaryType, _) => c
@@ -694,7 +721,8 @@ case class ChSipHashKeyed(child: Expression, k0: Long, k1: Long)
       """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+    copy(child = newChild,
+      declaredW = GraftHashes.widthThrough(newChild, narrowW))
 }
 
 /** ClickHouse round(): BANKER'S rounding for Float inputs, away from

@@ -2938,6 +2938,72 @@ object ConnectorQueries {
           |        '.org'), '/p') AS u
           |  FROM `main`.`ord_ttl_base` WHERE `k` % 97 = 0
           |)""".stripMargin)
+    },
+
+    // ---- round-16: declared-width unsigned hashing under the ORACLE
+    // gate. Columns DECLARED UInt8/16/32 store one Spark type wider;
+    // direct references now hash the TRUE storage width via field
+    // metadata (ChHashes round-16). halfMD5 is the one hash both
+    // engines derive independently — and because this DuckDB has no
+    // md5(BLOB), the unsigned values are BUILT from ASCII-range byte
+    // components (every LE storage byte in [1,96]), so the byte window
+    // at each width IS a chr()-composable VARCHAR: the oracle md5s the
+    // exact 1/2/4-byte storage the server law prescribes. A 2-byte
+    // (Spark-width) hash of the UInt8 column would hash-mismatch every
+    // row — the gate pins the WIDTH, not just the kernel.
+    q("r91_unsigned_width",
+      """SELECT o_orderkey AS k,
+        |  CAST(CAST(('0x' || substr(md5(
+        |    chr(CAST(1 + o_orderkey % 96 AS INTEGER))), 1, 16))
+        |    AS UBIGINT) AS VARCHAR) AS h8,
+        |  CAST(CAST(('0x' || substr(md5(
+        |    chr(CAST(1 + o_orderkey % 96 AS INTEGER)) ||
+        |    chr(CAST(1 + o_orderkey % 89 AS INTEGER))), 1, 16))
+        |    AS UBIGINT) AS VARCHAR) AS h16,
+        |  CAST(CAST(('0x' || substr(md5(
+        |    chr(CAST(1 + o_orderkey % 96 AS INTEGER)) ||
+        |    chr(CAST(1 + o_orderkey % 89 AS INTEGER)) ||
+        |    chr(CAST(1 + o_orderkey % 83 AS INTEGER)) ||
+        |    chr(CAST(1 + o_orderkey % 79 AS INTEGER))), 1, 16))
+        |    AS UBIGINT) AS VARCHAR) AS h32
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"/root/repo/target/chstore_$tag"
+      ensureStore(s, dir, Seq(("clickhouse.main.u_base",
+        Seq("k", "u8", "u16", "u32"),
+        () => s.table("orders").select(
+          col("o_orderkey").as("k"),
+          (lit(1) + col("o_orderkey") % 96).cast("smallint").as("u8"),
+          ((lit(1) + col("o_orderkey") % 96)
+            + (lit(1) + col("o_orderkey") % 89) * 256).cast("int").as("u16"),
+          ((lit(1) + col("o_orderkey") % 96)
+            + (lit(1) + col("o_orderkey") % 89) * 256
+            + (lit(1) + col("o_orderkey") % 83) * 65536
+            + (lit(1) + col("o_orderkey") % 79) * 16777216L)
+            .cast("bigint").as("u32"))))) {
+        val chb = graft.session.ClickHouseSession.builder(s)
+          .storePath(root).catalogName("clickhouse").build()
+        chb.newTable("main", "u_base").column("k", "Int64")
+          .column("u8", "UInt8").column("u16", "UInt16")
+          .column("u32", "UInt32").engine("MergeTree").orderBy("k").create()
+        s.sql(
+          """INSERT INTO clickhouse.main.u_base
+            |SELECT o_orderkey,
+            |  CAST(1 + o_orderkey % 96 AS SMALLINT),
+            |  CAST((1 + o_orderkey % 96) + (1 + o_orderkey % 89) * 256 AS INT),
+            |  CAST((1 + o_orderkey % 96) + (1 + o_orderkey % 89) * 256
+            |    + (1 + o_orderkey % 83) * 65536
+            |    + (1 + o_orderkey % 79) * 16777216 AS BIGINT)
+            |FROM orders""".stripMargin)
+      }
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(root).catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `k` AS k,
+          |  toString(halfMD5(`u8`)) AS h8,
+          |  toString(halfMD5(`u16`)) AS h16,
+          |  toString(halfMD5(`u32`)) AS h32
+          |FROM `main`.`u_base` WHERE `k` % 97 = 0""".stripMargin)
     }
   )
 }

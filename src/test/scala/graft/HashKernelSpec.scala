@@ -263,4 +263,45 @@ class HashKernelSpec extends AnyFunSuite {
     assert(r.getString(2) == "gr_ft")
     assert(r.getString(3).forall(_.isDigit))
   }
+
+  test("declared-width unsigned hashing (round 16): a DIRECT reference " +
+    "to a UInt8/16/32 column hashes the TRUE storage width, not the " +
+    "wider Spark type; out-of-declared-range values fail loudly") {
+    ch.newTable("main", "ut").column("id", "Int64").column("u8", "UInt8")
+      .column("u16", "UInt16").column("u32", "UInt32").column("i16", "Int16")
+      .engine("MergeTree").orderBy("id").create()
+    spark.sql("INSERT INTO chhash.main.ut VALUES " +
+      "(1L, CAST(200 AS SMALLINT), 60000, 4000000000L, CAST(200 AS SMALLINT))")
+    def city(b: Array[Byte]): String =
+      java.lang.Long.toUnsignedString(GraftHashes.cityHash64(b, 0, b.length))
+    val r = one(
+      """SELECT toString(cityHash64(`u8`)) AS h8,
+        |  toString(cityHash64(`u16`)) AS h16,
+        |  toString(cityHash64(`u32`)) AS h32,
+        |  toString(cityHash64(`i16`)) AS hi16,
+        |  toString(sipHash64(`u8`)) AS s8,
+        |  toString(sipHash64Keyed((3, 7), `u8`)) AS sk8
+        |FROM `main`.`ut` WHERE `id` = 1""".stripMargin)
+    assert(r.getString(0) == city(GraftHashes.bytesLEWidth(200L, 1)))
+    assert(r.getString(1) == city(GraftHashes.bytesLEWidth(60000L, 2)))
+    assert(r.getString(2) == city(GraftHashes.bytesLEWidth(4000000000L, 4)))
+    // the SIGNED Int16 column keeps the signed 2-byte law — same bytes
+    // as a UInt16 of the same value, DIFFERENT from the UInt8 narrow
+    assert(r.getString(3) == city(GraftHashes.bytesLE(200.toShort)))
+    assert(r.getString(3) != r.getString(0))
+    assert(r.getString(4) == java.lang.Long.toUnsignedString(
+      GraftHashes.sipHash64(GraftHashes.bytesLEWidth(200L, 1), 0, 1)))
+    assert(r.getString(5) == java.lang.Long.toUnsignedString(
+      GraftHashes.sipHash64Keyed(3L, 7L, GraftHashes.bytesLEWidth(200L, 1), 0, 1)))
+    // a value the declared width cannot store (writable through the
+    // width-level type check) errors loudly at hash time — never a
+    // width the server would not see
+    spark.sql("INSERT INTO chhash.main.ut VALUES " +
+      "(2L, CAST(300 AS SMALLINT), 1, 1L, CAST(1 AS SMALLINT))")
+    val ex = intercept[Exception] {
+      ch.chSql("SELECT toString(cityHash64(`u8`)) AS h " +
+        "FROM `main`.`ut` WHERE `id` = 2").collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
