@@ -1210,17 +1210,21 @@ object ChSqlTranslator {
         s"cast('1.7976931348623157E308' as double) THEN (${args(0)}) " +
         s"ELSE (${args(1)}) END)")
     // single-bit tests ((a >> i) & 1 — the server's law; bitTestAll/Any
-    // fold over literal or expression positions)
+    // fold over literal or expression positions). Emitted as the
+    // shiftright FUNCTION, not the `>>` operator: Spark's ANTLR parser
+    // spuriously rejects `>>` once the surrounding statement is complex
+    // enough (found by FnFuzzSpec round 16 — `((a >> 1) & 1)` parses
+    // alone but fails at the tail of a ~2.4KB nested select list).
     s = rewriteCall(s, "bitTest", args =>
-      s"(((${args(0)}) >> (${args(1)})) & 1)")
+      s"((shiftright(${args(0)}, ${args(1)})) & 1)")
     s = rewriteCall(s, "bitTestAll", args => {
       require(args.size >= 2, "bitTestAll(a, i1, ...)")
-      args.tail.map(i => s"(((${args.head}) >> ($i)) & 1) = 1")
+      args.tail.map(i => s"((shiftright(${args.head}, $i)) & 1) = 1")
         .mkString("(CASE WHEN ", " AND ", " THEN 1 ELSE 0 END)")
     })
     s = rewriteCall(s, "bitTestAny", args => {
       require(args.size >= 2, "bitTestAny(a, i1, ...)")
-      args.tail.map(i => s"(((${args.head}) >> ($i)) & 1) = 1")
+      args.tail.map(i => s"((shiftright(${args.head}, $i)) & 1) = 1")
         .mkString("(CASE WHEN ", " OR ", " THEN 1 ELSE 0 END)")
     })
     // codepoint-law string forms riding Spark's own codepoint semantics
