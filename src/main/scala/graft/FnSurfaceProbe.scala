@@ -153,6 +153,12 @@ object FnSurfaceProbe {
       // *Custom variants still need a TLD list and stay rejected)
       "firstSignificantSubdomain('https://news.clickhouse.com.tr/')",
       "cutToFirstSignificantSubdomain('https://news.clickhouse.com.tr/')",
+      // round-16 URL additions + JSONExtractKeys
+      "cutFragment('https://x.com/a#f')",
+      "cutQueryStringAndFragment('https://x.com/a?q=1#f')",
+      "netloc('http://paul@www.example.com:80/p')",
+      "port('http://x.com:8080/p')", "port('http://x.com/p', 443)",
+      "JSONExtractKeys('{\"a\":1,\"b\":2}')",
       // calendar-origin interval steps (DateLUT origin laws)
       "toStartOfInterval(ts, INTERVAL 1 WEEK)",
       "toStartOfInterval(ts, INTERVAL 2 WEEK)",

@@ -1270,6 +1270,31 @@ object ChSqlTranslator {
           "extractURLParameter: the parameter name must be a string literal"))
       s"regexp_extract(${args.head}, '[?&]${escapeRegexLiteral(name)}=([^&#]*)', 1)"
     })
+    // round-16 URL additions (same byte-scan regex family):
+    // cutFragment drops from the first '#'; cutQueryStringAndFragment
+    // from the first '?' or '#'; netloc is everything between the
+    // optional scheme and the first /?# (userinfo+host+port, the
+    // documented example paul@www.example.com:80); port() extracts the
+    // :digits suffix of the host with the server's 0 default (or the
+    // caller's literal default in the 2-arg form)
+    s = rewriteCall(s, "cutFragment", args =>
+      s"regexp_replace(${args.head}, '#.*$$', '')")
+    s = rewriteCall(s, "cutQueryStringAndFragment", args =>
+      s"regexp_replace(${args.head}, '[?#].*$$', '')")
+    s = rewriteCall(s, "netloc", args =>
+      s"regexp_extract(${args.head}, " +
+        s"'^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)', 1)")
+    s = rewriteCall(s, "port", args => {
+      require(args.size == 1 || args.size == 2, "port(url[, default])")
+      val dflt = if (args.size == 2) {
+        require(raw"^\d+$$".r.findFirstIn(args(1).trim).isDefined,
+          "port: the default must be an integer literal")
+        args(1).trim
+      } else "0"
+      s"cast(coalesce(nullif(regexp_extract(${args.head}, " +
+        s"'^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@?#]*@)*" +
+        s"[A-Za-z0-9._-]+:(\\\\d+)', 1), ''), '$dflt') as int)"
+    })
     // Remaining JSON forms: JSONExtractString/Int/Float/Bool/JSONHas
     // already map via get_json_object (round 11, literal-key-validated,
     // LATER in this pipeline — do NOT re-add them here, the earlier
@@ -1312,6 +1337,21 @@ object ChSqlTranslator {
         }
       s"cast(coalesce(json_array_length($target), " +
         s"size(json_object_keys($target)), 0) as bigint)"
+    })
+    // JSONExtractKeys: object key list, [] outside the object shape
+    // (the simdjson family's empty default; same literal-key path
+    // contract as JSONLength)
+    s = rewriteCall(s, "JSONExtractKeys", args => {
+      require(args.nonEmpty, "JSONExtractKeys(json[, keys...])")
+      val target =
+        if (args.size == 1) args.head
+        else {
+          val keys = args.tail.map(k => stringLiteral(k).getOrElse(
+            throw new IllegalArgumentException(
+              "JSONExtractKeys: keys must be string literals")))
+          s"get_json_object(${args.head}, '$$.${keys.mkString(".")}')"
+        }
+      s"coalesce(json_object_keys($target), array())"
     })
     // JSONExtractRaw still has NO composition: get_json_object unquotes
     // string values, so the raw (quote-preserving) form cannot be

@@ -128,6 +128,43 @@ class SimpleJsonSpec extends AnyFunSuite {
     assert(fsd("http://com.tr/") == "")
   }
 
+  test("round-16 URL additions + JSONExtractKeys: documented examples") {
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("simplejson-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val root = Files.createTempDirectory("graft_sjurl_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chsjurl").build()
+    ch.createDatabase("db")
+    ch.newTable("db", "one").column("id", "Int64")
+      .engine("MergeTree").orderBy("id").create()
+    ch.insertReturningCount("INSERT INTO chsjurl.db.one VALUES (1)")
+    val r = ch.chSql(
+      """SELECT cutFragment('https://x.com/a#f') AS cf,
+        |  cutQueryStringAndFragment('https://x.com/a?q=1#f') AS cqf,
+        |  netloc('http://paul@www.example.com:80/p') AS nl,
+        |  netloc('www.example.com/p?q') AS nl2,
+        |  port('http://x.com:8080/p') AS p1,
+        |  port('http://x.com/p') AS p0,
+        |  port('http://x.com/p', 443) AS pd,
+        |  JSONExtractKeys('{"a":1,"b":2}') AS ks,
+        |  JSONExtractKeys('[1,2]') AS ke
+        |FROM `db`.`one`""".stripMargin).collect().head
+    assert(r.getString(0) == "https://x.com/a")
+    assert(r.getString(1) == "https://x.com/a")
+    assert(r.getString(2) == "paul@www.example.com:80") // the doc example
+    assert(r.getString(3) == "www.example.com")
+    assert(r.getInt(4) == 8080)
+    assert(r.getInt(5) == 0)
+    assert(r.getInt(6) == 443)
+    assert(r.getSeq[String](7) == Seq("a", "b"))
+    assert(r.getSeq[String](8) == Seq.empty)
+  }
+
   test("chSql end to end: scanner family, JSONLength, fsd, calendar intervals") {
     val spark = SparkSession.builder().master("local[4]")
       .appName("simplejson-spec")
