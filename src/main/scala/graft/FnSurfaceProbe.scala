@@ -153,6 +153,13 @@ object FnSurfaceProbe {
       // *Custom variants still need a TLD list and stay rejected)
       "firstSignificantSubdomain('https://news.clickhouse.com.tr/')",
       "cutToFirstSignificantSubdomain('https://news.clickhouse.com.tr/')",
+      // round-16: countMatches (regexp_count law), translate (Spark's
+      // builtin shares the name AND the per-char map law on the
+      // equal-length domain — the server errors on unequal from/to
+      // where Spark drops chars: error behavior, never a value lie),
+      // fixed splitByChar (regex-escaped literal separator)
+      "countMatches(s, 'l+')", "translate(s, 'lo', 'LO')",
+      "splitByChar('.', 'a.b.c')",
       // round-16 URL additions + JSONExtractKeys
       "cutFragment('https://x.com/a#f')",
       "cutQueryStringAndFragment('https://x.com/a?q=1#f')",

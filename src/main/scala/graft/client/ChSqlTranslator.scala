@@ -114,7 +114,9 @@ object ChSqlTranslator {
     "gcd" -> "graft_gcd",
     "lcm" -> "graft_lcm",
     // MySQL substring_index law in both engines (round-15 sweep 2)
-    "substringIndex" -> "substring_index")
+    "substringIndex" -> "substring_index",
+    // non-overlapping match count in both engines (round 16)
+    "countMatches" -> "regexp_count")
 
   // ---- round-14 wave helpers -------------------------------------------
 
@@ -607,8 +609,25 @@ object ChSqlTranslator {
     var s = in
     // sigmoid(x) → (1.0 / (1.0 + exp(-(x))))
     s = rewriteCall(s, "sigmoid", args => s"(1.0 / (1.0 + exp(-(${args.head}))))")
-    // splitByChar('c', s) → split(s, 'c')  (argument order swap)
-    s = rewriteCall(s, "splitByChar", args => s"split(${args(1)}, ${args(0)})")
+    // splitByChar('c', s) → split(s, 'c') (argument order swap). The
+    // separator lands in split's REGEX position, so it must be a
+    // literal and regex-escaped — splitByChar('.', s) used to split at
+    // EVERY character (round-16 fix, the splitByString pattern). The
+    // 3-arg max_substrings form rejects: the server's remainder law is
+    // setting-dependent (splitby_max_substrings_includes_remaining
+    // _string), not pinnable offline.
+    s = rewriteCall(s, "splitByChar", args => {
+      require(args.size == 2,
+        "splitByChar takes (separator, string) — the max_substrings " +
+          "form's remainder law is server-setting-dependent, not " +
+          "pinnable offline")
+      val lit = stringLiteral(args(0)).getOrElse(
+        throw new IllegalArgumentException(
+          "splitByChar: the separator must be a string literal"))
+      require(lit.length == 1,
+        s"splitByChar: the separator must be a single character (got '$lit')")
+      s"split(${args(1)}, '${escapeRegexLiteral(lit)}')"
+    })
     // arraySum(x) → aggregate(x, cast(0 as double), (a, v) -> a + v)
     s = rewriteCall(s, "arraySum",
       args => s"aggregate(${args.head}, cast(0 as double), (a, v) -> a + v)")

@@ -1525,13 +1525,17 @@ class DifferentialSpec extends AnyFunSuite {
     assert(one("arrayRotateLeft([1, 2, 3], 7)") == Seq(2, 3, 1))
     assert(one("arrayRotateLeft(array(), 3)") == Seq())
     // round-11 JSON mappings keep working (sweep-2 must not shadow
-    // them — the round-14 rule-ordering law); the uncomposable forms
-    // and calendar-origin intervals reject loudly
+    // them — the round-14 rule-ordering law). Round 16 mapped
+    // JSONLength / firstSignificantSubdomain / calendar-origin
+    // intervals (values pinned here and in SimpleJsonSpec);
+    // JSONExtractRaw stays the one loud reject (quote-preserving raw
+    // is not expressible over get_json_object).
     assert(one("JSONExtractString('{\"k\":\"v\"}', 'k')") == "v")
     assert(one("JSONHas('{\"k\":1}', 'k')") == true)
     intercept[Exception](one("JSONExtractRaw('{\"k\":{}}', 'k')"))
-    intercept[Exception](one("JSONLength('[1,2]')"))
-    intercept[Exception](one("firstSignificantSubdomain('https://a.b.com/')"))
-    intercept[Exception](one(s"toStartOfInterval($ts, INTERVAL 1 WEEK)"))
+    assert(one("JSONLength('[1,2]')") == 2L)
+    assert(one("firstSignificantSubdomain('https://a.b.com/')") == "b")
+    assert(one(s"toStartOfInterval($ts, INTERVAL 1 WEEK)").toString
+      == "2024-03-04")
   }
 }

@@ -729,8 +729,10 @@ class TranslatorSpec extends AnyFunSuite {
   }
 
   test("string literals with parens/quotes survive arg parsing") {
+    // the separator is regex-ESCAPED (round 16): the old emission
+    // split(x, '(') was an invalid regex that threw at execution
     assert(t("SELECT splitByChar('(', concat(a, '),'))") ==
-      "SELECT split(concat(a, '),'), '(')")
+      "SELECT split(concat(a, '),'), '\\\\(')")
   }
 
   test("word boundaries: no rewrite inside longer identifiers") {
