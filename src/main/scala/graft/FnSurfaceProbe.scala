@@ -160,6 +160,7 @@ object FnSurfaceProbe {
       // fixed splitByChar (regex-escaped literal separator)
       "countMatches(s, 'l+')", "translate(s, 'lo', 'LO')",
       "splitByChar('.', 'a.b.c')",
+      "multiSearchAny(s, ['World', 'xyzq'])", "hasToken(s, 'Hello')",
       // round-16 URL additions + JSONExtractKeys
       "cutFragment('https://x.com/a#f')",
       "cutQueryStringAndFragment('https://x.com/a?q=1#f')",

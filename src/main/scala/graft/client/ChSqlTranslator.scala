@@ -1289,6 +1289,45 @@ object ChSqlTranslator {
           "extractURLParameter: the parameter name must be a string literal"))
       s"regexp_extract(${args.head}, '[?&]${escapeRegexLiteral(name)}=([^&#]*)', 1)"
     })
+    // multiSearchAny(haystack, ['n1', ...]): 1 when ANY needle is a
+    // substring (byte search ≡ char search for valid-UTF-8 needles);
+    // NULL haystack propagates. Needles must be a literal array —
+    // the bracket dialect may already have rewritten [..] to array(..),
+    // so both spellings parse here.
+    s = rewriteCall(s, "multiSearchAny", args => {
+      require(args.size == 2, "multiSearchAny(haystack, [needles...])")
+      val t = args(1).trim
+      val inner =
+        if (t.startsWith("[") && t.endsWith("]")) t.substring(1, t.length - 1)
+        else if (t.toLowerCase.startsWith("array(") && t.endsWith(")"))
+          t.substring(6, t.length - 1)
+        else throw new IllegalArgumentException(
+          "multiSearchAny: needles must be a literal array of strings")
+      val needles = parseArgs(inner + ")", 0)._1.map(_.trim).map(n =>
+        stringLiteral(n).getOrElse(throw new IllegalArgumentException(
+          s"multiSearchAny: needles must be string literals (got $n)")))
+      require(needles.nonEmpty, "multiSearchAny: at least one needle")
+      val any = needles.map(n => s"instr(${args.head}, '$n') > 0")
+        .mkString(" OR ")
+      s"(CASE WHEN (${args.head}) IS NULL THEN NULL " +
+        s"WHEN $any THEN 1 ELSE 0 END)"
+    })
+    // hasToken(haystack, 'token'): token = maximal run between
+    // non-alphanumeric ASCII separators (the documented tokenizer law);
+    // the needle must itself be one alphanumeric token — the server
+    // errors otherwise, and so does the translator.
+    s = rewriteCall(s, "hasToken", args => {
+      require(args.size == 2, "hasToken(haystack, 'token')")
+      val tok = stringLiteral(args(1)).getOrElse(
+        throw new IllegalArgumentException(
+          "hasToken: the token must be a string literal"))
+      require(tok.nonEmpty && tok.forall(c => c.isLetterOrDigit && c < 128),
+        s"hasToken: '$tok' is not a single alphanumeric ASCII token — " +
+          "the server errors on needles containing separators")
+      s"(CASE WHEN (${args.head}) IS NULL THEN NULL " +
+        s"WHEN (${args.head}) rlike " +
+        s"'(^|[^A-Za-z0-9])$tok([^A-Za-z0-9]|$$)' THEN 1 ELSE 0 END)"
+    })
     // round-16 URL additions (same byte-scan regex family):
     // cutFragment drops from the first '#'; cutQueryStringAndFragment
     // from the first '?' or '#'; netloc is everything between the

@@ -3004,6 +3004,46 @@ object ConnectorQueries {
           |  toString(halfMD5(`u16`)) AS h16,
           |  toString(halfMD5(`u32`)) AS h32
           |FROM `main`.`u_base` WHERE `k` % 97 = 0""".stripMargin)
+    },
+
+    // ---- round-16 text idioms under the ORACLE gate: countMatches
+    // (regexp_count law — DuckDB recomputes via regexp_extract_all),
+    // multiSearchAny (substring OR-fold — strpos), hasToken (the
+    // documented non-alphanumeric-separator tokenizer law — the same
+    // boundary regex in DuckDB's RE2), and the FIXED splitByChar on a
+    // metachar separator ('.') whose old emission was an invalid regex.
+    q("r92_text_idioms",
+      """SELECT doc_id AS k,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS cm,
+        |  CAST(CASE WHEN text IS NULL THEN NULL
+        |    WHEN strpos(text, 'the') > 0 OR strpos(text, 'data') > 0
+        |      OR strpos(text, 'xyzq') > 0 THEN 1 ELSE 0 END AS BIGINT) AS msa,
+        |  CAST(CASE WHEN text IS NULL THEN NULL
+        |    WHEN regexp_matches(text, '(^|[^A-Za-z0-9])the([^A-Za-z0-9]|$)')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS ht,
+        |  CAST(len(string_split(substr(text, 1, 200), '.')) AS BIGINT) AS sc
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"/root/repo/target/chstore_$tag"
+      ensureStore(s, dir, Seq(("clickhouse.main.doc_text",
+        Seq("doc_id", "text"),
+        () => s.table("documents").select(col("doc_id"), col("text"))))) {
+        s.sql(
+          """CREATE TABLE clickhouse.main.doc_text (doc_id BIGINT, text STRING)
+            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'doc_id')""".stripMargin)
+        s.sql("INSERT INTO clickhouse.main.doc_text " +
+          "SELECT doc_id, text FROM documents")
+      }
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(root).catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `doc_id` AS k,
+          |  toInt64(countMatches(`text`, '[aeiou]+')) AS cm,
+          |  toInt64(multiSearchAny(`text`, ['the', 'data', 'xyzq'])) AS msa,
+          |  toInt64(hasToken(`text`, 'the')) AS ht,
+          |  toInt64(length(splitByChar('.', substringUTF8(`text`, 1, 200))))
+          |    AS sc
+          |FROM `main`.`doc_text` WHERE `doc_id` % 5 = 0""".stripMargin)
     }
   )
 }
