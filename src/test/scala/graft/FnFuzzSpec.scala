@@ -223,4 +223,58 @@ class FnFuzzSpec extends AnyFunSuite {
     }
     assert(checked >= 260 * 4, s"coverage collapsed: only $checked cells")
   }
+
+  test("aggregate-combinator fuzz: -If family over composed arguments " +
+    "≡ independent CASE renderings, grouped, bit for bit") {
+    val rng = new scala.util.Random(0xA66A16L)
+    // child fragments come in (ch, sp) pairs; sp() is a lookup
+    var pairs = Map.empty[String, String]
+    def reg(p: (String, String)): String = { pairs += (p._1 -> p._2); p._1 }
+    def sp(ch: String): String = pairs(ch)
+    val preds: Seq[(String, String) => (String, String)] = Seq(
+      (i0, s0) => (s"($i0 > 40)", s"(${sp(i0)} > 40)"),
+      (i0, s0) => (s"(($i0) % 2 = 0)", s"((${sp(i0)}) % 2 = 0)"),
+      (i0, s0) => (s"like($s0, '%l%')", s"(${sp(s0)} LIKE '%l%')"),
+      (i0, s0) => (s"(position($s0, 'l') > 0)",
+        s"(locate('l', ${sp(s0)}) > 0)"))
+    var checked = 0
+    for (batch <- 0 until 12) {
+      pairs = Map.empty
+      val i0 = reg(gen(rng, 'i', 2))
+      val i1 = reg(gen(rng, 'i', 2))
+      val s0 = reg(gen(rng, 's', 2))
+      val (chP, spP) = preds(rng.nextInt(preds.size))(i0, s0)
+      val aggs = Seq(
+        (s"countIf($chP)",
+          s"cast(sum(CASE WHEN $spP THEN 1 ELSE 0 END) as bigint)"),
+        (s"countIf($i1, $chP)",
+          s"count(CASE WHEN $spP THEN ${sp(i1)} END)"),
+        (s"sumIf($i1, $chP)", s"sum(CASE WHEN $spP THEN ${sp(i1)} END)"),
+        (s"minIf($i1, $chP)", s"min(CASE WHEN $spP THEN ${sp(i1)} END)"),
+        (s"maxIf($i1, $chP)", s"max(CASE WHEN $spP THEN ${sp(i1)} END)"),
+        (s"uniqExactIf($i1, $chP)",
+          s"count(DISTINCT CASE WHEN $spP THEN ${sp(i1)} END)"))
+      val chSqlText = "SELECT `id` % 2 AS g, " +
+        aggs.zipWithIndex.map { case ((c, _), j) => s"$c AS v$j" }
+          .mkString(", ") +
+        " FROM `main`.`t` GROUP BY `id` % 2 ORDER BY g"
+      val spSqlText = "SELECT id % 2 AS g, " +
+        aggs.zipWithIndex.map { case ((_, p), j) => s"$p AS v$j" }
+          .mkString(", ") +
+        " FROM fuzz_local GROUP BY id % 2 ORDER BY g"
+      val got = ch.chSql(chSqlText).collect()
+      val want = spark.sql(spSqlText).collect()
+      assert(got.length == want.length, s"agg batch $batch row count")
+      got.zip(want).foreach { case (g, w) =>
+        aggs.indices.foreach { j =>
+          assert(g.get(j + 1) == w.get(j + 1),
+            s"agg batch $batch v$j g=${g.get(0)}: translator " +
+              s"${g.get(j + 1)} vs independent ${w.get(j + 1)} — " +
+              s"ch: ${aggs(j)._1} | sp: ${aggs(j)._2}")
+          checked += 1
+        }
+      }
+    }
+    assert(checked >= 12 * 6 * 2, s"agg coverage collapsed: $checked cells")
+  }
 }
