@@ -161,6 +161,7 @@ object FnSurfaceProbe {
       "countMatches(s, 'l+')", "translate(s, 'lo', 'LO')",
       "splitByChar('.', 'a.b.c')",
       "multiSearchAny(s, ['World', 'xyzq'])", "hasToken(s, 'Hello')",
+      "extractGroups('abc=111', '(\\\\w+)=(\\\\w+)')",
       // round-16 URL additions + JSONExtractKeys
       "cutFragment('https://x.com/a#f')",
       "cutQueryStringAndFragment('https://x.com/a?q=1#f')",

@@ -171,6 +171,33 @@ object ChSqlTranslator {
     if (has) 1 else 0
   }
 
+  /** Count of capture groups in a literal pattern (same class-aware
+    * scan as [[extractGroupIdx]]; nested groups count — Java and RE2
+    * share that numbering). Backs extractGroups' array arity.
+    */
+  private def captureGroupCount(lit: String): Int = {
+    var i = 0
+    var n = 0
+    var inClass = false
+    var classStart = -1
+    while (i < lit.length) {
+      val c = lit.charAt(i)
+      if (c == '\\') i += 2
+      else {
+        if (inClass) {
+          if (c == ']' && i > classStart) inClass = false
+        } else if (c == '[') {
+          inClass = true
+          classStart =
+            if (i + 1 < lit.length && lit.charAt(i + 1) == '^') i + 2 else i + 1
+        } else if (c == '(' &&
+          (i + 1 >= lit.length || lit.charAt(i + 1) != '?')) n += 1
+        i += 1
+      }
+    }
+    n
+  }
+
   /** ClickHouse regex replacements reference groups as `\N`; Java (and
     * Spark) use `$N`. Literal-only, '$'-free (a raw '$' is ambiguous
     * across the dialects).
@@ -1288,6 +1315,27 @@ object ChSqlTranslator {
         throw new IllegalArgumentException(
           "extractURLParameter: the parameter name must be a string literal"))
       s"regexp_extract(${args.head}, '[?&]${escapeRegexLiteral(name)}=([^&#]*)', 1)"
+    })
+    // extractGroups(haystack, pattern): the FIRST match's capture
+    // groups as an array (the documented example law); the pattern
+    // must be a literal with ≥1 group (the server errors on
+    // group-free patterns — so does the translator). No match →
+    // empty array (chosen instance consistent with extract's
+    // ''-default; not spec-pinned).
+    s = rewriteCall(s, "extractGroups", args => {
+      require(args.size == 2, "extractGroups(haystack, 'pattern')")
+      val lit = stringLiteral(args(1)).getOrElse(
+        throw new IllegalArgumentException(
+          "extractGroups: the pattern must be a string literal"))
+      val n = captureGroupCount(lit)
+      require(n >= 1,
+        "extractGroups: the pattern must contain at least one capture " +
+          "group (the server errors otherwise)")
+      val groups = (1 to n)
+        .map(g => s"regexp_extract(${args.head}, ${args(1)}, $g)")
+        .mkString(", ")
+      s"(CASE WHEN regexp_like(${args.head}, ${args(1)}) " +
+        s"THEN array($groups) ELSE array() END)"
     })
     // multiSearchAny(haystack, ['n1', ...]): 1 when ANY needle is a
     // substring (byte search ≡ char search for valid-UTF-8 needles);

@@ -152,7 +152,10 @@ class SimpleJsonSpec extends AnyFunSuite {
         |  port('http://x.com/p') AS p0,
         |  port('http://x.com/p', 443) AS pd,
         |  JSONExtractKeys('{"a":1,"b":2}') AS ks,
-        |  JSONExtractKeys('[1,2]') AS ke
+        |  JSONExtractKeys('[1,2]') AS ke,
+        |  extractGroups('hello abc=111 world',
+        |    '("[^"]+"|\\w+)=("[^"]+"|\\w+)') AS eg,
+        |  extractGroups('no match here', '(\\d+)=(\\d+)') AS egm
         |FROM `db`.`one`""".stripMargin).collect().head
     assert(r.getString(0) == "https://x.com/a")
     assert(r.getString(1) == "https://x.com/a")
@@ -163,6 +166,9 @@ class SimpleJsonSpec extends AnyFunSuite {
     assert(r.getInt(6) == 443)
     assert(r.getSeq[String](7) == Seq("a", "b"))
     assert(r.getSeq[String](8) == Seq.empty)
+    // the documented extractGroups example; no-match → empty array
+    assert(r.getSeq[String](9) == Seq("abc", "111"))
+    assert(r.getSeq[String](10) == Seq.empty)
   }
 
   test("chSql end to end: scanner family, JSONLength, fsd, calendar intervals") {
