@@ -162,6 +162,7 @@ object FnSurfaceProbe {
       "splitByChar('.', 'a.b.c')",
       "multiSearchAny(s, ['World', 'xyzq'])", "hasToken(s, 'Hello')",
       "extractGroups('abc=111', '(\\\\w+)=(\\\\w+)')",
+      "position(s, 'l', 3)", "roundToExp2(a)", "toLastDayOfMonth(ts)",
       // round-16 URL additions + JSONExtractKeys
       "cutFragment('https://x.com/a#f')",
       "cutQueryStringAndFragment('https://x.com/a?q=1#f')",
@@ -181,12 +182,13 @@ object FnSurfaceProbe {
       // farmHash64 is farmhash's PLATFORM-SELECTED Hash64 — not stable
       // across machines even against a real server, so it stays
       // rejected (farmFingerprint64 is the stable sibling, mapped)
-      "erf(d)", "roundToExp2(a)", "farmHash64(s)", "toTypeName(a)",
+      "erf(d)", "farmHash64(s)", "toTypeName(a)",
       "parseDateTimeBestEffortOrNull(s)",
       // multi-argument hash combine chains are not pinnable offline
       "cityHash64(s, a)", "sipHash64(s, a)",
-      // 3-arg position: start_pos is a BYTE offset locate cannot express
-      "position(s, 'l', 3)",
+      // roundToExp2's FLOAT law works on the exponent field — the
+      // integral form maps (main list), the float form rejects
+      "roundToExp2(d)",
       // JSONExtractRaw keeps rejecting: get_json_object unquotes string
       // values, so the quote-preserving raw form is not expressible
       // (simpleJSONExtractRaw's scanner law is the supported raw form)

@@ -116,7 +116,9 @@ object ChSqlTranslator {
     // MySQL substring_index law in both engines (round-15 sweep 2)
     "substringIndex" -> "substring_index",
     // non-overlapping match count in both engines (round 16)
-    "countMatches" -> "regexp_count")
+    "countMatches" -> "regexp_count",
+    // calendar-exact in both engines (round 16)
+    "toLastDayOfMonth" -> "last_day")
 
   // ---- round-14 wave helpers -------------------------------------------
 
@@ -1067,16 +1069,16 @@ object ChSqlTranslator {
       if (i < 0) s"CAST($a)"
       else s"CAST(${a.substring(0, i)} AS ${sparkTypeName(a.substring(i + 4))})"
     })
-    // position(haystack, needle) → locate(needle, haystack)
-    // BYTE offset (server law) — locate counts codepoints; the 3-arg
-    // start_pos form has a byte-offset start the composition cannot
-    // express, so it rejects rather than silently ignoring the start
-    s = rewriteCall(s, "position", args => {
-      require(args.size == 2,
-        "position: only the (haystack, needle) form is supported by the " +
-          "embedded engine (the start_pos argument is a byte offset) — " +
-          "slice with substr explicitly or run against a real server")
-      s"graft_position(${args(0)}, ${args(1)})"
+    // position(haystack, needle[, start_pos]): 1-based BYTE offsets
+    // throughout (server law — locate counts codepoints). The 3-arg
+    // byte-offset start form maps since round 16 (GraftBytePositionFrom
+    // kernel; start < 1 and empty-needle-with-start stay loud rejects,
+    // not pinnable boundaries).
+    s = rewriteCall(s, "position", args => args.size match {
+      case 2 => s"graft_position(${args(0)}, ${args(1)})"
+      case 3 => s"graft_position_from(${args(0)}, ${args(1)}, ${args(2)})"
+      case n => throw new IllegalArgumentException(
+        s"position takes 2 or 3 arguments (got $n)")
     })
     // countDistinct(x...) → count(DISTINCT x...)
     s = rewriteCall(s, "countDistinct", args => s"count(DISTINCT ${args.mkString(", ")})")
@@ -1272,6 +1274,13 @@ object ChSqlTranslator {
       require(args.size >= 2, "bitTestAny(a, i1, ...)")
       args.tail.map(i => s"((shiftright(${args.head}, $i)) & 1) = 1")
         .mkString("(CASE WHEN ", " OR ", " THEN 1 ELSE 0 END)")
+    })
+    // roundToExp2 on the integral domain (exact highestOneBit law;
+    // float inputs reject at the expression's type check — the server's
+    // float law works on the exponent field, not pinnable offline)
+    s = rewriteCall(s, "roundToExp2", args => {
+      require(args.size == 1, "roundToExp2(x)")
+      s"graft_rexp2(${args.head})"
     })
     // codepoint-law string forms riding Spark's own codepoint semantics
     s = rewriteCall(s, "positionUTF8", args => {

@@ -1215,6 +1215,17 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         require(args.size == 2, "graft_position(haystack, needle)")
         graft.functions.GraftBytePosition(args(0), args(1))
       })
+    org.apache.spark.sql.graft.bridge.registerFunction(child,
+      "graft_position_from",
+      args => {
+        require(args.size == 3, "graft_position_from(haystack, needle, start)")
+        graft.functions.GraftBytePositionFrom(args(0), args(1), args(2))
+      })
+    org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_rexp2",
+      args => {
+        require(args.size == 1, "graft_rexp2(x)")
+        graft.functions.GraftRoundToExp2(args.head)
+      })
     // ClickHouse hash family (public-spec kernels, vectors pinned in
     // HashKernelSpec; single-argument law — the server's multi-arg
     // combine chain is not pinned offline, so arity != 1 rejects here)

@@ -425,6 +425,41 @@ object GraftHashes {
     0
   }
 
+  /** 3-argument position: the search starts at the 1-based BYTE offset
+    * `start`, the result stays the ABSOLUTE 1-based byte offset (0 when
+    * absent) — round 16, closes the last byte-offset knownUnmapped.
+    * `start < 1` and the empty-needle-with-start combination are not
+    * pinnable server boundaries offline — loud rejects, never a value.
+    */
+  def bytePositionFrom(haystack: UTF8String, needle: UTF8String,
+      start: Int): Int = {
+    require(start >= 1,
+      "position: start_pos is 1-based — a start below 1 is not a " +
+        "pinnable server boundary offline")
+    val h = haystack.getBytes
+    val n = needle.getBytes
+    if (n.length == 0) throw new IllegalArgumentException(
+      "position: an empty needle with an explicit start_pos is not a " +
+        "pinnable server boundary offline — drop the start argument")
+    var i = start - 1
+    val limit = h.length - n.length
+    while (i <= limit) {
+      var j = 0
+      while (j < n.length && h(i + j) == n(j)) j += 1
+      if (j == n.length) return i + 1
+      i += 1
+    }
+    0
+  }
+
+  /** roundToExp2 on the integral domain: below 1 → 0, else the largest
+    * power of two ≤ x (exact bit law — no float log2 boundary slop).
+    * Float arguments reject at type check: the server's float law works
+    * on the EXPONENT FIELD and is not pinnable offline.
+    */
+  def roundToExp2(v: Long): Long =
+    if (v < 1L) 0L else java.lang.Long.highestOneBit(v)
+
   // ---- regex replace-first ------------------------------------------
 
   private val patternCache = new ConcurrentHashMap[String, Pattern]()
@@ -757,6 +792,61 @@ case class GraftChRound(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** position(h, n, start): the byte-offset 3-argument form (law in
+  * [[GraftHashes.bytePositionFrom]]).
+  */
+case class GraftBytePositionFrom(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_position_from"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType && second.dataType == StringType &&
+      (third.dataType == IntegerType || third.dataType == LongType ||
+        third.dataType == ShortType || third.dataType == ByteType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes (string, string, integer) — got (" +
+        Seq(first, second, third).map(_.dataType.catalogString).mkString(", ") + ")")
+  override def nullSafeEval(h: Any, n: Any, s: Any): Any =
+    GraftHashes.bytePositionFrom(h.asInstanceOf[UTF8String],
+      n.asInstanceOf[UTF8String], s match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case v: Short => v.toInt
+        case v: Byte => v.toInt
+      })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, n, s) =>
+      s"graft.functions.GraftHashes.bytePositionFrom($h, $n, (int) $s)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** roundToExp2 (integral law in [[GraftHashes.roundToExp2]]). */
+case class GraftRoundToExp2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ch_round_to_exp2"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes an integer — the server's FLOAT law works on " +
+        s"the exponent field and is not pinnable offline (got ${other.catalogString})")
+  }
+  override def nullSafeEval(input: Any): Any = GraftHashes.roundToExp2(input match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case v: Short => v.toLong
+    case v: Byte => v.toLong
+  })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftHashes.roundToExp2((long) $c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** CH position(): 1-based BYTE offset (law in

@@ -217,6 +217,28 @@ class HashKernelSpec extends AnyFunSuite {
     assert(r.getInt(2) == 4, "position is a BYTE offset")
     assert(r.getLong(3) == 2L)
     assert(r.getString(4) == "héy")
+    // 3-arg position (round 16): start_pos and the result are BYTE
+    // offsets — 'héllo' has l at bytes 4 and 5; starting past the
+    // first lands the second. roundToExp2: exact highestOneBit law.
+    val r3 = one(
+      """SELECT position(`s`, 'l', 5) AS p5, position(`s`, 'l', 4) AS p4,
+        |  position(`s`, 'z', 2) AS pz,
+        |  roundToExp2(1023) AS ra, roundToExp2(1024) AS rb,
+        |  roundToExp2(1) AS rc, roundToExp2(0) AS rd, roundToExp2(-7) AS re
+        |FROM `main`.`ht` WHERE `id` = 2""".stripMargin)
+    assert(r3.getInt(0) == 5)
+    assert(r3.getInt(1) == 4)
+    assert(r3.getInt(2) == 0)
+    assert(r3.getLong(3) == 512L)
+    assert(r3.getLong(4) == 1024L)
+    assert(r3.getLong(5) == 1L)
+    assert(r3.getLong(6) == 0L)
+    assert(r3.getLong(7) == 0L)
+    // unpinnable boundaries stay loud: start below 1, float roundToExp2
+    intercept[Exception](one(
+      "SELECT position(`s`, 'l', 0) AS p FROM `main`.`ht` WHERE `id` = 2"))
+    intercept[Exception](one(
+      "SELECT roundToExp2(2.5) AS r FROM `main`.`ht` WHERE `id` = 2"))
   }
 
   test("ChHash codegen arms: UInt64 Decimal(20,0) and binary inputs " +
