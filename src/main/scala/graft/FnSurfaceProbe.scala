@@ -163,6 +163,8 @@ object FnSurfaceProbe {
       "multiSearchAny(s, ['World', 'xyzq'])", "hasToken(s, 'Hello')",
       "extractGroups('abc=111', '(\\\\w+)=(\\\\w+)')",
       "position(s, 'l', 3)", "roundToExp2(a)", "toLastDayOfMonth(ts)",
+      "windowFunnel(3600)(ts, a > 0, b > 0)",
+      "retention(a > 0, b > 0)", "uniqUpTo(3)(a)",
       // round-16 URL additions + JSONExtractKeys
       "cutFragment('https://x.com/a#f')",
       "cutQueryStringAndFragment('https://x.com/a?q=1#f')",

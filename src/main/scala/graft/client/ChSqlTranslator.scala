@@ -1921,6 +1921,43 @@ object ChSqlTranslator {
       require(args.size == 1, "topK(k)(x)")
       s"graft_topk(${args.head}, ${params.head})"
     })
+    // windowFunnel(window)(ts, cond1, ...): max funnel level (DEFAULT
+    // mode law in ChWindowFunnel's scaladoc). Mode strings are
+    // DIFFERENT documented algorithms — loud reject, never a silent
+    // default-mode answer for a strict-mode question.
+    s = rewriteParamCall(s, "windowFunnel", (params, args) => {
+      require(params.size == 1,
+        "windowFunnel: only the default mode is supported by the " +
+          "embedded engine — 'strict_*' modes are different documented " +
+          "algorithms; run against a real server")
+      val w = params.head.trim
+      require(raw"^\d+$$".r.findFirstIn(w).isDefined,
+        "windowFunnel: the window must be an integer literal")
+      require(args.size >= 2, "windowFunnel(window)(ts, cond1, ...)")
+      s"graft_window_funnel($w, ${args.mkString(", ")})"
+    })
+    // retention(cond1, ..., condN): r1 = cond1 held on some row;
+    // r_i = cond1 held AND cond_i held (independent rows — the
+    // documented law), as an array of 0/1
+    s = rewriteCall(s, "retention", args => {
+      require(args.nonEmpty && args.size <= 32,
+        "retention takes 1 to 32 conditions")
+      def hit(c: String): String = s"max(CASE WHEN $c THEN 1 ELSE 0 END)"
+      val r1 = hit(args.head)
+      val rest = args.tail.map(c => s"least($r1, ${hit(c)})")
+      s"array(${(r1 +: rest).mkString(", ")})"
+    })
+    // uniqUpTo(N)(x...): the EXACT count when ≤ N, else N + 1 — that
+    // IS the documented law, so the capped exact count is not an
+    // approximation stand-in
+    s = rewriteParamCall(s, "uniqUpTo", (params, args) => {
+      require(params.size == 1, "uniqUpTo(N)(x...)")
+      val n = params.head.trim
+      require(raw"^\d+$$".r.findFirstIn(n).isDefined,
+        "uniqUpTo: N must be an integer literal")
+      require(args.nonEmpty, "uniqUpTo(N)(x...)")
+      s"least(count(DISTINCT ${args.mkString(", ")}), ${n.toLong + 1})"
+    })
     // APPROXIMATE interpolating quantiles (reservoir sampling on the
     // server): the contract is "computes an approximate quantile", so the
     // EXACT interpolated percentile is a legal instance (the uniq rule);

@@ -1226,6 +1226,21 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         require(args.size == 1, "graft_rexp2(x)")
         graft.functions.GraftRoundToExp2(args.head)
       })
+    // windowFunnel: the window arrives as a literal prepended by the
+    // translator's parameterized-aggregate rewrite
+    org.apache.spark.sql.graft.bridge.registerFunction(child,
+      "graft_window_funnel",
+      args => {
+        require(args.size >= 3, "graft_window_funnel(window, ts, cond...)")
+        val w = args.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"windowFunnel: the window must be an integer literal (got $other)")
+        }
+        graft.functions.ChWindowFunnel(w, args(1), args.drop(2))
+          .toAggregateExpression()
+      })
     // ClickHouse hash family (public-spec kernels, vectors pinned in
     // HashKernelSpec; single-argument law — the server's multi-arg
     // combine chain is not pinned offline, so arity != 1 rejects here)

@@ -3044,6 +3044,73 @@ object ConnectorQueries {
           |  toInt64(length(splitByChar('.', substringUTF8(`text`, 1, 200))))
           |    AS sc
           |FROM `main`.`doc_text` WHERE `doc_id` % 5 = 0""".stripMargin)
+    },
+
+    // ---- round-16 behavioral-analytics aggregates under the ORACLE
+    // gate: windowFunnel (default mode — the exists-a-chain law the
+    // scan implements; the oracle SPELLS that law independently as
+    // DuckDB 2-/3-way chain joins over exact epoch micros),
+    // retention (cond1-anchored hit vector) and uniqUpTo (exact count
+    // capped at N+1 — the documented law, not an approximation).
+    // The events corpus has tie-free microsecond timestamps and the
+    // conditions are disjoint event types, so no unpinned tie law is
+    // load-bearing (ChWindowFunnel scaladoc).
+    q("r93_window_funnel",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+        |           FROM events),
+        |v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+        |l3 AS (SELECT DISTINCT v.user_id FROM v
+        |       JOIN c ON c.user_id = v.user_id
+        |         AND c.t >= v.t AND c.t <= v.t + 3600000000
+        |       JOIN p ON p.user_id = v.user_id
+        |         AND p.t >= c.t AND p.t <= v.t + 3600000000),
+        |l2 AS (SELECT DISTINCT v.user_id FROM v
+        |       JOIN c ON c.user_id = v.user_id
+        |         AND c.t >= v.t AND c.t <= v.t + 3600000000),
+        |agg AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp,
+        |    least(count(DISTINCT event_type), 4) AS ut
+        |  FROM e GROUP BY user_id)
+        |SELECT a.user_id AS u,
+        |  CAST(CASE
+        |    WHEN a.user_id IN (SELECT user_id FROM l3) THEN 3
+        |    WHEN a.user_id IN (SELECT user_id FROM l2) THEN 2
+        |    WHEN a.hv = 1 THEN 1 ELSE 0 END AS BIGINT) AS lvl,
+        |  CAST(a.hv AS BIGINT) AS r1,
+        |  CAST(least(a.hv, a.hc) AS BIGINT) AS r2,
+        |  CAST(least(a.hv, a.hp) AS BIGINT) AS r3,
+        |  CAST(a.ut AS BIGINT) AS ut
+        |FROM agg a""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"/root/repo/target/chstore_$tag"
+      ensureStore(s, dir, Seq(("clickhouse.main.ev_funnel",
+        Seq("user_id", "ts", "event_type"),
+        () => s.table("events").select("user_id", "ts", "event_type")))) {
+        s.sql(
+          """CREATE TABLE clickhouse.main.ev_funnel
+            |(user_id BIGINT, ts TIMESTAMP, event_type STRING)
+            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'user_id')""".stripMargin)
+        s.sql("INSERT INTO clickhouse.main.ev_funnel " +
+          "SELECT user_id, ts, event_type FROM events")
+      }
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(root).catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `user_id` AS u,
+          |  toInt64(windowFunnel(3600)(`ts`, `event_type` = 'view',
+          |    `event_type` = 'click', `event_type` = 'purchase')) AS lvl,
+          |  toInt64(retention(`event_type` = 'view',
+          |    `event_type` = 'click', `event_type` = 'purchase')[1]) AS r1,
+          |  toInt64(retention(`event_type` = 'view',
+          |    `event_type` = 'click', `event_type` = 'purchase')[2]) AS r2,
+          |  toInt64(retention(`event_type` = 'view',
+          |    `event_type` = 'click', `event_type` = 'purchase')[3]) AS r3,
+          |  toInt64(uniqUpTo(3)(`event_type`)) AS ut
+          |FROM `main`.`ev_funnel` GROUP BY `user_id`""".stripMargin)
     }
   )
 }

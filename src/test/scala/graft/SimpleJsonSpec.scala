@@ -171,6 +171,57 @@ class SimpleJsonSpec extends AnyFunSuite {
     assert(r.getSeq[String](10) == Seq.empty)
   }
 
+  test("windowFunnel/retention/uniqUpTo: documented-law pins over an " +
+    "integral timestamp (window inclusive; chain-restart dominance; " +
+    "conditions out of order never count; strict modes reject)") {
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("simplejson-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val root = Files.createTempDirectory("graft_wf_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chwf").build()
+    ch.createDatabase("db")
+    ch.newTable("db", "ev").column("g", "Int64").column("t", "Int64")
+      .column("e", "String").engine("MergeTree").orderBy("g").create()
+    ch.insertReturningCount(
+      """INSERT INTO chwf.db.ev VALUES
+        |(1, 0, 'A'), (1, 3600, 'B'),
+        |(2, 0, 'A'), (2, 3601, 'B'),
+        |(3, 0, 'A'), (3, 5, 'B'), (3, 6, 'A'), (3, 7, 'C'),
+        |(4, 0, 'B'), (4, 1, 'C'), (4, 2, 'A'),
+        |(5, 0, 'C'), (5, 1, 'C')""".stripMargin)
+    val rows = ch.chSql(
+      """SELECT `g`,
+        |  toInt64(windowFunnel(3600)(`t`, `e` = 'A', `e` = 'B', `e` = 'C'))
+        |    AS lvl,
+        |  toInt64(retention(`e` = 'A', `e` = 'B', `e` = 'C')[2]) AS r2,
+        |  toInt64(uniqUpTo(1)(`e`)) AS ut
+        |FROM `db`.`ev` GROUP BY `g` ORDER BY `g`""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // g=1: B exactly AT start+window — inclusive → level 2
+    assert(rows(0) == ((1L, 2L, 1L, 2L)))
+    // g=2: one tick past the window → level 1
+    assert(rows(1) == ((2L, 1L, 1L, 2L)))
+    // g=3: the A@6 restart dominates — chain A@0..B@5 extends to C@7
+    // through the propagated start (the documented scan law) → 3
+    assert(rows(2) == ((3L, 3L, 1L, 2L)))
+    // g=4: B and C BEFORE any A never count → level 1 (the trailing A);
+    // retention r2 is 1 (A held AND B held — independent rows)
+    assert(rows(3) == ((4L, 1L, 1L, 2L)))
+    // g=5: no A at all → level 0; uniqUpTo(1) caps 1 distinct at 1
+    assert(rows(4) == ((5L, 0L, 0L, 1L)))
+    // strict modes are a DIFFERENT documented algorithm — loud reject
+    val ex = intercept[Exception] {
+      ch.chSql("SELECT windowFunnel(10, 'strict_order')(`t`, `e` = 'A', " +
+        "`e` = 'B') AS v FROM `db`.`ev` GROUP BY `g`").collect()
+    }
+    assert(ex.getMessage.contains("default mode"))
+  }
+
   test("chSql end to end: scanner family, JSONLength, fsd, calendar intervals") {
     val spark = SparkSession.builder().master("local[4]")
       .appName("simplejson-spec")
