@@ -1936,6 +1936,17 @@ object ChSqlTranslator {
       require(args.size >= 2, "windowFunnel(window)(ts, cond1, ...)")
       s"graft_window_funnel($w, ${args.mkString(", ")})"
     })
+    // sequenceMatch(pattern)(ts, cond...): the subsequence-expressible
+    // pattern subset — laws and the supported token set live in
+    // ChSequenceMatch's scaladoc; unsupported tokens reject there
+    s = rewriteParamCall(s, "sequenceMatch", (params, args) => {
+      require(params.size == 1, "sequenceMatch('pattern')(ts, cond...)")
+      stringLiteral(params.head).getOrElse(
+        throw new IllegalArgumentException(
+          "sequenceMatch: the pattern must be a string literal"))
+      require(args.size >= 2, "sequenceMatch('pattern')(ts, cond1, ...)")
+      s"graft_seq_match(${params.head}, ${args.mkString(", ")})"
+    })
     // retention(cond1, ..., condN): r1 = cond1 held on some row;
     // r_i = cond1 held AND cond_i held (independent rows — the
     // documented law), as an array of 0/1

@@ -3069,6 +3069,14 @@ object ConnectorQueries {
         |l2 AS (SELECT DISTINCT v.user_id FROM v
         |       JOIN c ON c.user_id = v.user_id
         |         AND c.t >= v.t AND c.t <= v.t + 3600000000),
+        |smu AS (SELECT DISTINCT v.user_id FROM v
+        |        JOIN c ON c.user_id = v.user_id AND c.t >= v.t
+        |        JOIN p ON p.user_id = v.user_id AND p.t >= c.t),
+        |smg AS (SELECT DISTINCT v.user_id FROM v
+        |        JOIN c ON c.user_id = v.user_id
+        |          AND c.t >= v.t AND c.t <= v.t + 600000000
+        |        JOIN p ON p.user_id = v.user_id
+        |          AND p.t >= c.t AND p.t <= c.t + 600000000),
         |agg AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
@@ -3083,7 +3091,11 @@ object ConnectorQueries {
         |  CAST(a.hv AS BIGINT) AS r1,
         |  CAST(least(a.hv, a.hc) AS BIGINT) AS r2,
         |  CAST(least(a.hv, a.hp) AS BIGINT) AS r3,
-        |  CAST(a.ut AS BIGINT) AS ut
+        |  CAST(a.ut AS BIGINT) AS ut,
+        |  CAST(CASE WHEN a.user_id IN (SELECT user_id FROM smu)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS smu,
+        |  CAST(CASE WHEN a.user_id IN (SELECT user_id FROM smg)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS smg
         |FROM agg a""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val root = s"/root/repo/target/chstore_$tag"
@@ -3109,7 +3121,13 @@ object ConnectorQueries {
           |    `event_type` = 'click', `event_type` = 'purchase')[2]) AS r2,
           |  toInt64(retention(`event_type` = 'view',
           |    `event_type` = 'click', `event_type` = 'purchase')[3]) AS r3,
-          |  toInt64(uniqUpTo(3)(`event_type`)) AS ut
+          |  toInt64(uniqUpTo(3)(`event_type`)) AS ut,
+          |  toInt64(sequenceMatch('(?1)(?2)(?3)')(`ts`,
+          |    `event_type` = 'view', `event_type` = 'click',
+          |    `event_type` = 'purchase')) AS smu,
+          |  toInt64(sequenceMatch('(?1)(?t<=600)(?2)(?t<=600)(?3)')(`ts`,
+          |    `event_type` = 'view', `event_type` = 'click',
+          |    `event_type` = 'purchase')) AS smg
           |FROM `main`.`ev_funnel` GROUP BY `user_id`""".stripMargin)
     }
   )

@@ -199,21 +199,42 @@ class SimpleJsonSpec extends AnyFunSuite {
         |  toInt64(windowFunnel(3600)(`t`, `e` = 'A', `e` = 'B', `e` = 'C'))
         |    AS lvl,
         |  toInt64(retention(`e` = 'A', `e` = 'B', `e` = 'C')[2]) AS r2,
-        |  toInt64(uniqUpTo(1)(`e`)) AS ut
+        |  toInt64(uniqUpTo(1)(`e`)) AS ut,
+        |  toInt64(sequenceMatch('(?1)(?2)(?3)')(`t`, `e` = 'A',
+        |    `e` = 'B', `e` = 'C')) AS s3,
+        |  toInt64(sequenceMatch('(?1)(?t<=5)(?2)')(`t`, `e` = 'A',
+        |    `e` = 'B')) AS sle,
+        |  toInt64(sequenceMatch('(?1)(?t<5)(?2)')(`t`, `e` = 'A',
+        |    `e` = 'B')) AS slt,
+        |  toInt64(sequenceMatch('(?1).*(?2)')(`t`, `e` = 'A',
+        |    `e` = 'B')) AS sst
         |FROM `db`.`ev` GROUP BY `g` ORDER BY `g`""".stripMargin).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // g=1: B exactly AT start+window — inclusive → level 2
-    assert(rows(0) == ((1L, 2L, 1L, 2L)))
+      .map(r => (0 to 7).map(r.getLong))
+    // g=1: B exactly AT start+window — inclusive → level 2; the
+    // unconstrained subsequence (?1).*(?2) also matches
+    assert(rows(0) == Seq(1L, 2L, 1L, 2L, 0L, 0L, 0L, 1L))
     // g=2: one tick past the window → level 1
-    assert(rows(1) == ((2L, 1L, 1L, 2L)))
+    assert(rows(1) == Seq(2L, 1L, 1L, 2L, 0L, 0L, 0L, 1L))
     // g=3: the A@6 restart dominates — chain A@0..B@5 extends to C@7
-    // through the propagated start (the documented scan law) → 3
-    assert(rows(2) == ((3L, 3L, 1L, 2L)))
+    // through the propagated start (the documented scan law) → 3;
+    // (?t<=5) holds at gap 5 exactly, (?t<5) does not
+    assert(rows(2) == Seq(3L, 3L, 1L, 2L, 1L, 1L, 0L, 1L))
     // g=4: B and C BEFORE any A never count → level 1 (the trailing A);
     // retention r2 is 1 (A held AND B held — independent rows)
-    assert(rows(3) == ((4L, 1L, 1L, 2L)))
+    assert(rows(3) == Seq(4L, 1L, 1L, 2L, 0L, 0L, 0L, 0L))
     // g=5: no A at all → level 0; uniqUpTo(1) caps 1 distinct at 1
-    assert(rows(4) == ((5L, 0L, 0L, 1L)))
+    assert(rows(4) == Seq(5L, 0L, 0L, 1L, 0L, 0L, 0L, 0L))
+    // unsupported pattern tokens reject loudly
+    val exP = intercept[Exception] {
+      ch.chSql("SELECT sequenceMatch('(?1)(?t>5)(?2)')(`t`, `e` = 'A', " +
+        "`e` = 'B') AS v FROM `db`.`ev` GROUP BY `g`").collect()
+    }
+    assert(exP.getMessage != null)
+    val exDot = intercept[Exception] {
+      ch.chSql("SELECT sequenceMatch('(?1).(?2)')(`t`, `e` = 'A', " +
+        "`e` = 'B') AS v FROM `db`.`ev` GROUP BY `g`").collect()
+    }
+    assert(exDot.getMessage != null)
     // strict modes are a DIFFERENT documented algorithm — loud reject
     val ex = intercept[Exception] {
       ch.chSql("SELECT windowFunnel(10, 'strict_order')(`t`, `e` = 'A', " +
