@@ -167,6 +167,7 @@ object FnSurfaceProbe {
       "retention(a > 0, b > 0)", "uniqUpTo(3)(a)",
       "sequenceMatch('(?1)(?t<=3600)(?2)')(ts, a > 0, b > 0)",
       "sequenceMatch('(?1).*(?2)')(ts, a > 0, b > 0)",
+      "sequenceCount('(?1)(?2)')(ts, a > 0, b > 0)",
       // round-16 URL additions + JSONExtractKeys
       "cutFragment('https://x.com/a#f')",
       "cutQueryStringAndFragment('https://x.com/a?q=1#f')",

@@ -1947,6 +1947,16 @@ object ChSqlTranslator {
       require(args.size >= 2, "sequenceMatch('pattern')(ts, cond1, ...)")
       s"graft_seq_match(${params.head}, ${args.mkString(", ")})"
     })
+    // sequenceCount: the same pattern subset, counting NON-OVERLAPPING
+    // matches (a completed chain resets the search after its last event)
+    s = rewriteParamCall(s, "sequenceCount", (params, args) => {
+      require(params.size == 1, "sequenceCount('pattern')(ts, cond...)")
+      stringLiteral(params.head).getOrElse(
+        throw new IllegalArgumentException(
+          "sequenceCount: the pattern must be a string literal"))
+      require(args.size >= 2, "sequenceCount('pattern')(ts, cond1, ...)")
+      s"graft_seq_count(${params.head}, ${args.mkString(", ")})"
+    })
     // retention(cond1, ..., condN): r1 = cond1 held on some row;
     // r_i = cond1 held AND cond_i held (independent rows — the
     // documented law), as an array of 0/1

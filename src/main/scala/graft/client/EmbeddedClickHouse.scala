@@ -1254,6 +1254,19 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         graft.functions.ChSequenceMatch(pat, args(1), args.drop(2))
           .toAggregateExpression()
       })
+    org.apache.spark.sql.graft.bridge.registerFunction(child,
+      "graft_seq_count",
+      args => {
+        require(args.size >= 3, "graft_seq_count(pattern, ts, cond...)")
+        val pat = args.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            u: org.apache.spark.unsafe.types.UTF8String, _) => u.toString
+          case other => throw new IllegalArgumentException(
+            s"sequenceCount: the pattern must be a string literal (got $other)")
+        }
+        graft.functions.ChSequenceMatch(pat, args(1), args.drop(2),
+          countMode = true).toAggregateExpression()
+      })
     // ClickHouse hash family (public-spec kernels, vectors pinned in
     // HashKernelSpec; single-argument law — the server's multi-arg
     // combine chain is not pinned offline, so arity != 1 rejects here)

@@ -41,6 +41,7 @@ case class ChSequenceMatch(
     pattern: String,
     ts: Expression,
     conds: Seq[Expression],
+    countMode: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.ArrayBuffer[(Long, Int)]] {
@@ -53,8 +54,9 @@ case class ChSequenceMatch(
 
   override def children: Seq[Expression] = ts +: conds
   override def nullable: Boolean = false
-  override def dataType: DataType = IntegerType
-  override def prettyName: String = "sequenceMatch"
+  override def dataType: DataType = if (countMode) LongType else IntegerType
+  override def prettyName: String =
+    if (countMode) "sequenceCount" else "sequenceMatch"
 
   private def tsIsTimestamp: Boolean = ts.dataType match {
     case TimestampType | TimestampNTZType => true
@@ -75,8 +77,11 @@ case class ChSequenceMatch(
       case Some(c) => TypeCheckResult.TypeCheckFailure(
         s"sequenceMatch: conditions must be booleans — got ${c.dataType.catalogString}")
       case None =>
-        steps // force the pattern parse so bad patterns fail at analysis
-        TypeCheckResult.TypeCheckSuccess
+        // force the pattern parse so bad patterns fail at analysis
+        if (steps.isEmpty) TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: the pattern must contain at least one (?N) " +
+            "reference")
+        else TypeCheckResult.TypeCheckSuccess
     }
   }
 
@@ -115,34 +120,52 @@ case class ChSequenceMatch(
     buf
   }
 
-  override def eval(buf: mutable.ArrayBuffer[(Long, Int)]): Any = {
+  override def eval(buf: mutable.ArrayBuffer[(Long, Int)]): Any =
+    if (countMode) countMatches(buf)
+    else if (countMatches(buf, stopAtFirst = true) > 0L) 1 else 0
+
+  /** Latest-completion DP: done(i) with last(i) = the LATEST valid
+    * completion time of the first i+1 steps. With upper-bound gaps the
+    * latest completion strictly dominates (a later previous event
+    * shrinks the gap to any future candidate, and scan order already
+    * guarantees last(i-1) ≤ t), so overwriting a single candidate is
+    * exact — the mirror of windowFunnel's chain-START refresh, whose
+    * window is anchored at level 1 instead.
+    *
+    * Count mode is the server's non-overlapping law: a completed chain
+    * resets the search, which resumes AFTER the completing event; the
+    * DP's first completion is the earliest-ending match, so the greedy
+    * reset maximizes (and equals) the server's non-overlapping count.
+    */
+  private def countMatches(buf: mutable.ArrayBuffer[(Long, Int)],
+      stopAtFirst: Boolean = false): Long = {
     val k = steps.size
-    if (k == 0) return 1
-    if (buf.isEmpty) return 0
+    if (k == 0 || buf.isEmpty) return 0L
     val sorted = buf.sortBy(_._1)
-    // latest-completion DP: done(i) with last(i) = the LATEST valid
-    // completion time of the first i+1 steps. With upper-bound gaps
-    // the latest completion strictly dominates (a later previous event
-    // shrinks the gap to any future candidate, and scan order already
-    // guarantees last(i-1) ≤ t), so overwriting a single candidate is
-    // exact — the mirror of windowFunnel's chain-START refresh, whose
-    // window is anchored at level 1 instead.
     val last = Array.fill[Long](k)(0L)
     val done = Array.fill(k)(false)
+    var count = 0L
     sorted.foreach { case (t, mask) =>
       var i = k - 1
-      while (i >= 0) { // DESC: one event never serves two adjacent steps
+      var completed = false
+      while (i >= 0 && !completed) {
+        // DESC: one event never serves two adjacent steps
         val (condIdx, gap) = steps(i)
         if ((mask & (1 << condIdx)) != 0 &&
           (i == 0 || (done(i - 1) && gapOk(t - last(i - 1), gap)))) {
           done(i) = true
           last(i) = t
-          if (i == k - 1) return 1
+          if (i == k - 1) {
+            count += 1L
+            if (stopAtFirst) return count
+            completed = true // non-overlap: restart AFTER this event
+            java.util.Arrays.fill(done, false)
+          }
         }
         i -= 1
       }
     }
-    0
+    count
   }
 
   private def gapOk(delta: Long, gap: Option[(Long, Boolean)]): Boolean =

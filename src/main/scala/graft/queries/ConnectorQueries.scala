@@ -3056,7 +3056,7 @@ object ConnectorQueries {
     // conditions are disjoint event types, so no unpinned tie law is
     // load-bearing (ChWindowFunnel scaladoc).
     q("r93_window_funnel",
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS t, event_type
         |           FROM events),
         |v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
         |c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
@@ -3077,6 +3077,23 @@ object ConnectorQueries {
         |          AND c.t >= v.t AND c.t <= v.t + 600000000
         |        JOIN p ON p.user_id = v.user_id
         |          AND p.t >= c.t AND p.t <= c.t + 600000000),
+        |vc AS (SELECT user_id, event_type AS et,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+        |       FROM e WHERE event_type IN ('view', 'click')),
+        |walk AS (
+        |  SELECT user_id, 0 AS idx, 0 AS state, 0 AS cnt
+        |  FROM (SELECT DISTINCT user_id FROM e)
+        |  UNION ALL
+        |  SELECT w.user_id, w.idx + 1,
+        |    CASE WHEN x.et = 'view' AND w.state = 0 THEN 1
+        |         WHEN x.et = 'click' AND w.state = 1 THEN 0
+        |         ELSE w.state END,
+        |    w.cnt + CASE WHEN x.et = 'click' AND w.state = 1
+        |      THEN 1 ELSE 0 END
+        |  FROM walk w JOIN vc x
+        |    ON x.user_id = w.user_id AND x.rn = w.idx + 1),
+        |scnt AS (SELECT user_id, arg_max(cnt, idx) AS sc
+        |         FROM walk GROUP BY user_id),
         |agg AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
@@ -3095,8 +3112,9 @@ object ConnectorQueries {
         |  CAST(CASE WHEN a.user_id IN (SELECT user_id FROM smu)
         |    THEN 1 ELSE 0 END AS BIGINT) AS smu,
         |  CAST(CASE WHEN a.user_id IN (SELECT user_id FROM smg)
-        |    THEN 1 ELSE 0 END AS BIGINT) AS smg
-        |FROM agg a""".stripMargin) { (s, dir) =>
+        |    THEN 1 ELSE 0 END AS BIGINT) AS smg,
+        |  CAST(sn.sc AS BIGINT) AS sc
+        |FROM agg a JOIN scnt sn ON sn.user_id = a.user_id""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val root = s"/root/repo/target/chstore_$tag"
       ensureStore(s, dir, Seq(("clickhouse.main.ev_funnel",
@@ -3127,7 +3145,9 @@ object ConnectorQueries {
           |    `event_type` = 'purchase')) AS smu,
           |  toInt64(sequenceMatch('(?1)(?t<=600)(?2)(?t<=600)(?3)')(`ts`,
           |    `event_type` = 'view', `event_type` = 'click',
-          |    `event_type` = 'purchase')) AS smg
+          |    `event_type` = 'purchase')) AS smg,
+          |  sequenceCount('(?1)(?2)')(`ts`, `event_type` = 'view',
+          |    `event_type` = 'click') AS sc
           |FROM `main`.`ev_funnel` GROUP BY `user_id`""".stripMargin)
     }
   )

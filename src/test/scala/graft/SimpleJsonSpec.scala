@@ -193,7 +193,8 @@ class SimpleJsonSpec extends AnyFunSuite {
         |(2, 0, 'A'), (2, 3601, 'B'),
         |(3, 0, 'A'), (3, 5, 'B'), (3, 6, 'A'), (3, 7, 'C'),
         |(4, 0, 'B'), (4, 1, 'C'), (4, 2, 'A'),
-        |(5, 0, 'C'), (5, 1, 'C')""".stripMargin)
+        |(5, 0, 'C'), (5, 1, 'C'),
+        |(6, 0, 'A'), (6, 1, 'B'), (6, 2, 'A'), (6, 3, 'B'), (6, 4, 'A')""".stripMargin)
     val rows = ch.chSql(
       """SELECT `g`,
         |  toInt64(windowFunnel(3600)(`t`, `e` = 'A', `e` = 'B', `e` = 'C'))
@@ -207,23 +208,27 @@ class SimpleJsonSpec extends AnyFunSuite {
         |  toInt64(sequenceMatch('(?1)(?t<5)(?2)')(`t`, `e` = 'A',
         |    `e` = 'B')) AS slt,
         |  toInt64(sequenceMatch('(?1).*(?2)')(`t`, `e` = 'A',
-        |    `e` = 'B')) AS sst
+        |    `e` = 'B')) AS sst,
+        |  sequenceCount('(?1)(?2)')(`t`, `e` = 'A', `e` = 'B') AS sq
         |FROM `db`.`ev` GROUP BY `g` ORDER BY `g`""".stripMargin).collect()
-      .map(r => (0 to 7).map(r.getLong))
+      .map(r => (0 to 8).map(r.getLong))
     // g=1: B exactly AT start+window — inclusive → level 2; the
-    // unconstrained subsequence (?1).*(?2) also matches
-    assert(rows(0) == Seq(1L, 2L, 1L, 2L, 0L, 0L, 0L, 1L))
+    // unconstrained subsequence (?1).*(?2) also matches and counts once
+    assert(rows(0) == Seq(1L, 2L, 1L, 2L, 0L, 0L, 0L, 1L, 1L))
     // g=2: one tick past the window → level 1
-    assert(rows(1) == Seq(2L, 1L, 1L, 2L, 0L, 0L, 0L, 1L))
+    assert(rows(1) == Seq(2L, 1L, 1L, 2L, 0L, 0L, 0L, 1L, 1L))
     // g=3: the A@6 restart dominates — chain A@0..B@5 extends to C@7
     // through the propagated start (the documented scan law) → 3;
     // (?t<=5) holds at gap 5 exactly, (?t<5) does not
-    assert(rows(2) == Seq(3L, 3L, 1L, 2L, 1L, 1L, 0L, 1L))
+    assert(rows(2) == Seq(3L, 3L, 1L, 2L, 1L, 1L, 0L, 1L, 1L))
     // g=4: B and C BEFORE any A never count → level 1 (the trailing A);
     // retention r2 is 1 (A held AND B held — independent rows)
-    assert(rows(3) == Seq(4L, 1L, 1L, 2L, 0L, 0L, 0L, 0L))
+    assert(rows(3) == Seq(4L, 1L, 1L, 2L, 0L, 0L, 0L, 0L, 0L))
     // g=5: no A at all → level 0; uniqUpTo(1) caps 1 distinct at 1
-    assert(rows(4) == Seq(5L, 0L, 0L, 1L, 0L, 0L, 0L, 0L))
+    assert(rows(4) == Seq(5L, 0L, 0L, 1L, 0L, 0L, 0L, 0L, 0L))
+    // g=6 (A,B,A,B,A): sequenceCount counts NON-OVERLAPPING A→B chains
+    // → 2; the trailing A starts nothing
+    assert(rows(5) == Seq(6L, 2L, 1L, 2L, 0L, 1L, 1L, 1L, 2L))
     // unsupported pattern tokens reject loudly
     val exP = intercept[Exception] {
       ch.chSql("SELECT sequenceMatch('(?1)(?t>5)(?2)')(`t`, `e` = 'A', " +
