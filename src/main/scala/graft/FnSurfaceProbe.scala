@@ -168,6 +168,10 @@ object FnSurfaceProbe {
       "sequenceMatch('(?1)(?t<=3600)(?2)')(ts, a > 0, b > 0)",
       "sequenceMatch('(?1).*(?2)')(ts, a > 0, b > 0)",
       "sequenceCount('(?1)(?2)')(ts, a > 0, b > 0)",
+      "tupleElement(sumMap([s], [a]), 2)",
+      "tupleElement(minMap([s], [a]), 1)",
+      "tupleElement(maxMap([s], [a]), 2)",
+      "groupBitAnd(a)", "groupBitOr(a)", "groupBitXor(a)",
       // round-16 URL additions + JSONExtractKeys
       "cutFragment('https://x.com/a#f')",
       "cutQueryStringAndFragment('https://x.com/a?q=1#f')",

@@ -118,7 +118,14 @@ object ChSqlTranslator {
     // non-overlapping match count in both engines (round 16)
     "countMatches" -> "regexp_count",
     // calendar-exact in both engines (round 16)
-    "toLastDayOfMonth" -> "last_day")
+    "toLastDayOfMonth" -> "last_day",
+    // bit-fold aggregates: identical AND/OR/XOR folds, NULLs skipped
+    // in both engines (empty groups: Spark NULL where a server yields
+    // the fold identity — "no answer" vs identity, documented; gates
+    // and probes never aggregate empty groups)
+    "groupBitAnd" -> "bit_and",
+    "groupBitOr" -> "bit_or",
+    "groupBitXor" -> "bit_xor")
 
   // ---- round-14 wave helpers -------------------------------------------
 
@@ -1537,17 +1544,19 @@ object ChSqlTranslator {
         }
       seg
     }
-    // sumMap/minMap/maxMap: per-key map aggregation. The server's
-    // zero-total handling is a boundary rule this engine cannot verify
-    // offline (the docs are ambiguous on whether zero-sum keys drop) —
-    // reject BY NAME with the exact workaround rather than pick a
-    // silently divergent instance (the quantileExactWeighted policy).
-    for (f <- Seq("sumMap", "minMap", "maxMap", "sumMapWithOverflow"))
-      s = rewriteCall(s, f, _ => throw new IllegalArgumentException(
-        s"$f is not supported by the embedded engine (the server's " +
-          "zero-total key handling is not verifiable offline); " +
-          "explode the map and aggregate per key explicitly — " +
-          "arrayJoin over mapKeys/mapValues + GROUP BY key — or run " +
+    // sumMap/minMap/maxMap map since round 16 (ChMapAgg, LATER in this
+    // pipeline). The zero-total ambiguity that used to reject the whole
+    // family BY NAME (offline docs are ambiguous on whether zero-total
+    // keys drop) is now a loud EVAL-TIME reject on exactly the
+    // ambiguous instance — a zero folded total — so the common nonzero
+    // case works and no silently divergent instance is ever picked
+    // (the gcd(0,0) pattern). sumMapWithOverflow keeps the name reject:
+    // its law is wrapping overflow, which the exact Long fold refuses.
+    s = rewriteCall(s, "sumMapWithOverflow", _ =>
+      throw new IllegalArgumentException(
+        "sumMapWithOverflow is not supported by the embedded engine " +
+          "(its law is WRAPPING overflow; the embedded sumMap folds " +
+          "exactly and fails loudly on overflow) — use sumMap or run " +
           "against a real server"))
     // avgWeighted(x, w) = Σ(x·w)/Σ(w) — the exact closed form (the
     // server computes Float64 the same way; all-NULL/zero-weight groups
@@ -1957,6 +1966,20 @@ object ChSqlTranslator {
       require(args.size >= 2, "sequenceCount('pattern')(ts, cond1, ...)")
       s"graft_seq_count(${params.head}, ${args.mkString(", ")})"
     })
+    // sumMap/minMap/maxMap(keys, values): per-key folds over parallel
+    // arrays → the documented (sorted keys, folded values) tuple
+    // (ChMapAgg laws: equal-length arrays enforced per row, exact Long
+    // folds for integral values)
+    for ((ch, fn) <- Seq("sumMap" -> "graft_summap",
+      "minMap" -> "graft_minmap", "maxMap" -> "graft_maxmap"))
+      s = rewriteCall(s, ch, args => args.size match {
+        case 2 => s"$fn(${args(0)}, ${args(1)})"
+        // the 1-argument MAP form is the same fold over the map's
+        // key/value arrays
+        case 1 => s"$fn(map_keys(${args.head}), map_values(${args.head}))"
+        case n => throw new IllegalArgumentException(
+          s"$ch takes (keys_array, values_array) or (map) — got $n arguments")
+      })
     // retention(cond1, ..., condN): r1 = cond1 held on some row;
     // r_i = cond1 held AND cond_i held (independent rows — the
     // documented law), as an array of 0/1

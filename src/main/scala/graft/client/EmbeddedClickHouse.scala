@@ -1267,6 +1267,16 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         graft.functions.ChSequenceMatch(pat, args(1), args.drop(2),
           countMode = true).toAggregateExpression()
       })
+    for ((name, mode) <- Seq(
+      "graft_summap" -> graft.functions.ChMapAgg.Mode.Sum,
+      "graft_minmap" -> graft.functions.ChMapAgg.Mode.Min,
+      "graft_maxmap" -> graft.functions.ChMapAgg.Mode.Max))
+      org.apache.spark.sql.graft.bridge.registerFunction(child, name,
+        args => {
+          require(args.size == 2, s"$name(keys, values)")
+          graft.functions.ChMapAgg(args(0), args(1), mode)
+            .toAggregateExpression()
+        })
     // ClickHouse hash family (public-spec kernels, vectors pinned in
     // HashKernelSpec; single-argument law — the server's multi-arg
     // combine chain is not pinned offline, so arity != 1 rejects here)

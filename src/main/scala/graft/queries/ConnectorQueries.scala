@@ -3149,6 +3149,41 @@ object ConnectorQueries {
           |  sequenceCount('(?1)(?2)')(`ts`, `event_type` = 'view',
           |    `event_type` = 'click') AS sc
           |FROM `main`.`ev_funnel` GROUP BY `user_id`""".stripMargin)
+    },
+
+    // ---- round-16 map aggregates under the ORACLE gate: sumMap /
+    // minMap / maxMap per-key folds, rendered as comma-joined sorted
+    // key and value lists (exact integer cents — no float sums). The
+    // oracle recomputes the folds with DuckDB's own GROUP BY + ordered
+    // list aggregation.
+    q("r94_map_aggs",
+      """WITH b AS (SELECT o_orderkey % 50 AS g, o_orderstatus AS st,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |           FROM orders),
+        |pk AS (SELECT g, st, sum(c) AS s, min(c) AS mn, max(c) AS mx
+        |       FROM b GROUP BY g, st)
+        |SELECT g,
+        |  array_to_string(list(st ORDER BY st), ',') AS sk,
+        |  array_to_string(list(CAST(s AS VARCHAR) ORDER BY st), ',') AS sv,
+        |  array_to_string(list(CAST(mn AS VARCHAR) ORDER BY st), ',') AS mnv,
+        |  array_to_string(list(CAST(mx AS VARCHAR) ORDER BY st), ',') AS mxv
+        |FROM pk GROUP BY g""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ensureOrdBase(s, dir)
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `k` % 50 AS g,
+          |  arrayStringConcat(tupleElement(
+          |    sumMap([`status`], [`cents`]), 1), ',') AS sk,
+          |  arrayStringConcat(arrayMap(x -> toString(x), tupleElement(
+          |    sumMap([`status`], [`cents`]), 2)), ',') AS sv,
+          |  arrayStringConcat(arrayMap(x -> toString(x), tupleElement(
+          |    minMap([`status`], [`cents`]), 2)), ',') AS mnv,
+          |  arrayStringConcat(arrayMap(x -> toString(x), tupleElement(
+          |    maxMap([`status`], [`cents`]), 2)), ',') AS mxv
+          |FROM `main`.`ord_ttl_base` GROUP BY `k` % 50""".stripMargin)
     }
   )
 }

@@ -917,7 +917,7 @@ class TranslatorSpec extends AnyFunSuite {
   }
 
   test("round-13 session-3: brace map literals become map(); the " +
-    "sumMap family rejects by name with the explode workaround") {
+    "sumMap family maps since round 16 (both arities)") {
     assert(t("SELECT {'a': 1, 'b': 2}") == "SELECT map('a', 1, 'b', 2)")
     assert(t("SELECT {'k': [1, 2]}") == "SELECT map('k', array(1, 2))")
     assert(t("SELECT {concat('a', 'b'): if(x > 0, 1, 2)}") ==
@@ -926,9 +926,14 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT {'outer': {'in': 1}}") ==
       "SELECT map('outer', map('in', 1))")
     assert(t("SELECT {'a:b': 'c:d'}") == "SELECT map('a:b', 'c:d')")
-    val e = intercept[IllegalArgumentException](t("SELECT sumMap(m)"))
-    assert(e.getMessage.contains("arrayJoin"))
-    intercept[IllegalArgumentException](t("SELECT minMap(m)"))
+    // round 16: 2-array form → ChMapAgg; 1-arg MAP form composes over
+    // the map's own key/value arrays; the zero-total ambiguity moved
+    // from a name reject to a loud EVAL-time reject (ChMapAgg)
+    assert(t("SELECT sumMap(ka, va)") == "SELECT graft_summap(ka, va)")
+    assert(t("SELECT minMap(m)") ==
+      "SELECT graft_minmap(map_keys(m), map_values(m))")
+    val e = intercept[IllegalArgumentException](t("SELECT sumMapWithOverflow(ka, va)"))
+    assert(e.getMessage.contains("WRAPPING"))
   }
 
   test("round-13 session-3: arrayFold/arrayReduce/arraySort/arrayCount/" +
