@@ -1229,6 +1229,29 @@ object ChSqlTranslator {
             "text — pass the filler explicitly or run against a real server")
         shiftLeft(args(0), if (neg) s"-(${args(1)})" else args(1), args(2))
       })
+    // arrayDifference: first element 0, then adjacent diffs (the
+    // documented law); arrayCumSum: running prefix sums. Both compose
+    // as index transforms/folds over the element type's own arithmetic
+    // (exact for integrals; NULL elements poison their positions like
+    // the server's Nullable propagation — not pinned).
+    // (empty arrays guard the index ramp — sequence(1, 0) would emit a
+    // DESCENDING ramp, the `range` rule's law)
+    s = rewriteCall(s, "arrayDifference", args => {
+      require(args.size == 1, "arrayDifference(arr)")
+      val a = args.head
+      s"(CASE WHEN size($a) <= 0 THEN ($a) ELSE " +
+        s"transform(sequence(1, size($a)), __ad_i -> " +
+        s"CASE WHEN __ad_i = 1 THEN element_at($a, 1) - element_at($a, 1) " +
+        s"ELSE element_at($a, __ad_i) - element_at($a, __ad_i - 1) END) END)"
+    })
+    s = rewriteCall(s, "arrayCumSum", args => {
+      require(args.size == 1, "arrayCumSum(arr)")
+      val a = args.head
+      s"(CASE WHEN size($a) <= 0 THEN ($a) ELSE " +
+        s"transform(sequence(1, size($a)), __cs_i -> " +
+        s"aggregate(slice($a, 1, __cs_i), element_at($a, 1) - " +
+        s"element_at($a, 1), (__cs_acc, __cs_x) -> __cs_acc + __cs_x)) END)"
+    })
     // array rotation: wrap-around slice composition, exact for any n
     // (pmod handles negatives = the server's opposite-direction law);
     // empty arrays pass through, NULL arrays stay NULL via slice/size

@@ -155,7 +155,11 @@ class SimpleJsonSpec extends AnyFunSuite {
         |  JSONExtractKeys('[1,2]') AS ke,
         |  extractGroups('hello abc=111 world',
         |    '("[^"]+"|\\w+)=("[^"]+"|\\w+)') AS eg,
-        |  extractGroups('no match here', '(\\d+)=(\\d+)') AS egm
+        |  extractGroups('no match here', '(\\d+)=(\\d+)') AS egm,
+        |  arrayDifference([1, 5, 2]) AS ad,
+        |  arrayCumSum([1, 1, 1]) AS acs,
+        |  arrayDifference(array()) AS ade,
+        |  arrayCumSum([5]) AS acs1
         |FROM `db`.`one`""".stripMargin).collect().head
     assert(r.getString(0) == "https://x.com/a")
     assert(r.getString(1) == "https://x.com/a")
@@ -169,6 +173,12 @@ class SimpleJsonSpec extends AnyFunSuite {
     // the documented extractGroups example; no-match → empty array
     assert(r.getSeq[String](9) == Seq("abc", "111"))
     assert(r.getSeq[String](10) == Seq.empty)
+    // arrayDifference: first element 0 then adjacent diffs;
+    // arrayCumSum: prefix sums; empty/singleton pass through
+    assert(r.getSeq[Int](11) == Seq(0, 4, -3))
+    assert(r.getSeq[Int](12) == Seq(1, 2, 3))
+    assert(r.getSeq[Any](13) == Seq.empty)
+    assert(r.getSeq[Int](14) == Seq(5))
   }
 
   test("windowFunnel/retention/uniqUpTo: documented-law pins over an " +
