@@ -173,6 +173,7 @@ object FnSurfaceProbe {
       "tupleElement(maxMap([s], [a]), 2)",
       "groupBitAnd(a)", "groupBitOr(a)", "groupBitXor(a)",
       "arrayDifference(arr)", "arrayCumSum(arr)",
+      "arrayCumSumNonNegative(arr)",
       // round-16 URL additions + JSONExtractKeys
       "cutFragment('https://x.com/a#f')",
       "cutQueryStringAndFragment('https://x.com/a?q=1#f')",

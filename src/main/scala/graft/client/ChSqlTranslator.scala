@@ -1252,6 +1252,18 @@ object ChSqlTranslator {
         s"aggregate(slice($a, 1, __cs_i), element_at($a, 1) - " +
         s"element_at($a, 1), (__cs_acc, __cs_x) -> __cs_acc + __cs_x)) END)"
     })
+    // arrayCumSumNonNegative: the clamped scan f_i = max(0, f_{i-1} +
+    // x_i) (documented example [1,1,-4,1] → [1,2,0,1]) — the clamp
+    // lives INSIDE the fold, so each prefix re-folds with greatest()
+    s = rewriteCall(s, "arrayCumSumNonNegative", args => {
+      require(args.size == 1, "arrayCumSumNonNegative(arr)")
+      val a = args.head
+      val zero = s"element_at($a, 1) - element_at($a, 1)"
+      s"(CASE WHEN size($a) <= 0 THEN ($a) ELSE " +
+        s"transform(sequence(1, size($a)), __cn_i -> " +
+        s"aggregate(slice($a, 1, __cn_i), $zero, " +
+        s"(__cn_acc, __cn_x) -> greatest(__cn_acc + __cn_x, $zero))) END)"
+    })
     // array rotation: wrap-around slice composition, exact for any n
     // (pmod handles negatives = the server's opposite-direction law);
     // empty arrays pass through, NULL arrays stay NULL via slice/size

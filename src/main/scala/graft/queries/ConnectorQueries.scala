@@ -3184,6 +3184,50 @@ object ConnectorQueries {
           |  arrayStringConcat(arrayMap(x -> toString(x), tupleElement(
           |    maxMap([`status`], [`cents`]), 2)), ',') AS mxv
           |FROM `main`.`ord_ttl_base` GROUP BY `k` % 50""".stripMargin)
+    },
+
+    // ---- round-16 array scans under the ORACLE gate: arrayDifference
+    // (first element 0 then adjacent diffs), arrayCumSum (prefix sums),
+    // arrayCumSumNonNegative (the clamped scan f_i = max(0, f_{i-1} +
+    // x_i)) over per-row constructed integer arrays with sign mix. The
+    // oracle recomputes each with DuckDB's index comprehensions — the
+    // clamped scan via a 0-seeded list_reduce per prefix (the prepended
+    // 0 makes the first fold application apply the clamp, matching the
+    // law's f_0 = 0 seed).
+    q("r95_array_scans",
+      """WITH b AS (SELECT o_orderkey AS k,
+        |  [o_orderkey % 7, CAST(round(o_totalprice * 100) AS BIGINT) % 5
+        |     - 2, o_orderkey % 11 - 5, CAST(round(o_totalprice * 100)
+        |     AS BIGINT) % 13] AS l
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT k,
+        |  array_to_string([CAST(CASE WHEN i = 1 THEN 0
+        |    ELSE l[i] - l[i - 1] END AS VARCHAR)
+        |    for i in generate_series(1, len(l))], ',') AS ad,
+        |  array_to_string([CAST(CAST(list_sum(l[1:i]) AS BIGINT)
+        |    AS VARCHAR) for i in generate_series(1, len(l))], ',') AS cs,
+        |  array_to_string([CAST(CAST(list_reduce(list_prepend(0, l[1:i]),
+        |    (acc, x) -> greatest(acc + x, 0)) AS BIGINT) AS VARCHAR)
+        |    for i in generate_series(1, len(l))], ',') AS cn
+        |FROM b""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ensureOrdBase(s, dir)
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(s"/root/repo/target/chstore_$tag")
+        .catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `k` AS k,
+          |  arrayStringConcat(arrayMap(x -> toString(x),
+          |    arrayDifference(`l`)), ',') AS ad,
+          |  arrayStringConcat(arrayMap(x -> toString(x),
+          |    arrayCumSum(`l`)), ',') AS cs,
+          |  arrayStringConcat(arrayMap(x -> toString(x),
+          |    arrayCumSumNonNegative(`l`)), ',') AS cn
+          |FROM (
+          |  SELECT `k`, [`k` % 7, `cents` % 5 - 2, `k` % 11 - 5,
+          |    `cents` % 13] AS l
+          |  FROM `main`.`ord_ttl_base` WHERE `k` % 97 = 0
+          |)""".stripMargin)
     }
   )
 }

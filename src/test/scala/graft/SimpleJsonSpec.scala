@@ -159,7 +159,8 @@ class SimpleJsonSpec extends AnyFunSuite {
         |  arrayDifference([1, 5, 2]) AS ad,
         |  arrayCumSum([1, 1, 1]) AS acs,
         |  arrayDifference(array()) AS ade,
-        |  arrayCumSum([5]) AS acs1
+        |  arrayCumSum([5]) AS acs1,
+        |  arrayCumSumNonNegative([1, 1, -4, 1]) AS acn
         |FROM `db`.`one`""".stripMargin).collect().head
     assert(r.getString(0) == "https://x.com/a")
     assert(r.getString(1) == "https://x.com/a")
@@ -179,6 +180,8 @@ class SimpleJsonSpec extends AnyFunSuite {
     assert(r.getSeq[Int](12) == Seq(1, 2, 3))
     assert(r.getSeq[Any](13) == Seq.empty)
     assert(r.getSeq[Int](14) == Seq(5))
+    // the documented clamped-scan example
+    assert(r.getSeq[Int](15) == Seq(1, 2, 0, 1))
   }
 
   test("windowFunnel/retention/uniqUpTo: documented-law pins over an " +
