@@ -199,8 +199,16 @@ object ChSqlTranslator {
           inClass = true
           classStart =
             if (i + 1 < lit.length && lit.charAt(i + 1) == '^') i + 2 else i + 1
-        } else if (c == '(' &&
-          (i + 1 >= lit.length || lit.charAt(i + 1) != '?')) n += 1
+        } else if (c == '(') {
+          // plain '(' is capturing; '(?...' is capturing ONLY for the
+          // named form '(?<name>' — '(?:', '(?=', '(?!', '(?<=', '(?<!'
+          // are not (named groups DO take a number in both Java and RE2,
+          // so skipping them would drop extractGroups' trailing groups)
+          if (i + 1 >= lit.length || lit.charAt(i + 1) != '?') n += 1
+          else if (i + 2 < lit.length && lit.charAt(i + 2) == '<' &&
+            i + 3 < lit.length && lit.charAt(i + 3) != '=' &&
+            lit.charAt(i + 3) != '!') n += 1
+        }
         i += 1
       }
     }
@@ -663,6 +671,23 @@ object ChSqlTranslator {
       require(lit.length == 1,
         s"splitByChar: the separator must be a single character (got '$lit')")
       s"split(${args(1)}, '${escapeRegexLiteral(lit)}')"
+    })
+    // translate(s, from, to): Spark's builtin shares the name and the
+    // per-char map law on the EQUAL-LENGTH domain; on unequal literal
+    // lengths Spark silently DROPS characters where the server errors —
+    // validate literals here so the divergence is an error, never a
+    // silent success-with-value. Non-literal from/to pass through (no
+    // translate-time check possible).
+    s = rewriteCall(s, "translate", args => {
+      require(args.size == 3, "translate takes (string, from, to)")
+      (stringLiteral(args(1)), stringLiteral(args(2))) match {
+        case (Some(f), Some(t)) => require(f.length == t.length,
+          s"translate: 'from' (${f.length} chars) and 'to' (${t.length} " +
+            "chars) must be the same length — the server errors on a " +
+            "mismatch where Spark silently drops characters")
+        case _ =>
+      }
+      s"translate(${args.mkString(", ")})"
     })
     // arraySum(x) → aggregate(x, cast(0 as double), (a, v) -> a + v)
     s = rewriteCall(s, "arraySum",
@@ -1965,20 +1990,23 @@ object ChSqlTranslator {
       require(args.size == 1, "topK(k)(x)")
       s"graft_topk(${args.head}, ${params.head})"
     })
-    // windowFunnel(window)(ts, cond1, ...): max funnel level (DEFAULT
-    // mode law in ChWindowFunnel's scaladoc). Mode strings are
-    // DIFFERENT documented algorithms — loud reject, never a silent
-    // default-mode answer for a strict-mode question.
+    // windowFunnel(window[, modes...])(ts, cond1, ...): max funnel
+    // level. Default + the three strict modes (each a documented
+    // server algorithm — laws in ChWindowFunnel's scaladoc); unknown
+    // mode strings reject loudly there, never a silent default-mode
+    // answer for a strict-mode question.
     s = rewriteParamCall(s, "windowFunnel", (params, args) => {
-      require(params.size == 1,
-        "windowFunnel: only the default mode is supported by the " +
-          "embedded engine — 'strict_*' modes are different documented " +
-          "algorithms; run against a real server")
+      require(params.nonEmpty, "windowFunnel(window[, mode...])(ts, cond...)")
       val w = params.head.trim
       require(raw"^\d+$$".r.findFirstIn(w).isDefined,
         "windowFunnel: the window must be an integer literal")
+      val modes = params.tail.map(p => stringLiteral(p).getOrElse(
+        throw new IllegalArgumentException(
+          "windowFunnel: modes must be string literals")))
+      // validate at translate time so typos fail before planning
+      graft.functions.ChWindowFunnel.parseModes(modes)
       require(args.size >= 2, "windowFunnel(window)(ts, cond1, ...)")
-      s"graft_window_funnel($w, ${args.mkString(", ")})"
+      s"graft_window_funnel($w, '${modes.mkString(",")}', ${args.mkString(", ")})"
     })
     // sequenceMatch(pattern)(ts, cond...): the subsequence-expressible
     // pattern subset — laws and the supported token set live in

@@ -940,6 +940,16 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     * (VERDICT r15 item 2). Metadata rides AttributeReferences through
     * resolution; nothing in the read/write guards compares it (the
     * projection-swap guard is name+type only).
+    *
+    * CONTRACT (documented, not silently widened): the declared width
+    * applies to DIRECT base-table column references. An operator whose
+    * server-side result type would promote the width — a UNION of a
+    * UInt8 column with an Int16 expression keeps the FIRST branch's
+    * attribute metadata in Spark — hashes at the first branch's
+    * declared width; values outside that width still reject loudly in
+    * the hash kernels (the in-range hash agrees only when the server
+    * would not have promoted). Mixed-width unions under declared-width
+    * hash fns are outside the pinned surface.
     */
   def sparkSchema(db: String, table: String): StructType =
     StructType(fetchColumns(db, table).map { case (n, t) =>
@@ -1226,19 +1236,29 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         require(args.size == 1, "graft_rexp2(x)")
         graft.functions.GraftRoundToExp2(args.head)
       })
-    // windowFunnel: the window arrives as a literal prepended by the
-    // translator's parameterized-aggregate rewrite
+    // windowFunnel: the window and mode list arrive as literals
+    // prepended by the translator's parameterized-aggregate rewrite
     org.apache.spark.sql.graft.bridge.registerFunction(child,
       "graft_window_funnel",
       args => {
-        require(args.size >= 3, "graft_window_funnel(window, ts, cond...)")
+        require(args.size >= 4,
+          "graft_window_funnel(window, modes, ts, cond...)")
         val w = args.head match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
           case other => throw new IllegalArgumentException(
             s"windowFunnel: the window must be an integer literal (got $other)")
         }
-        graft.functions.ChWindowFunnel(w, args(1), args.drop(2))
+        val modeStr = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            u: org.apache.spark.unsafe.types.UTF8String, _) => u.toString
+          case other => throw new IllegalArgumentException(
+            s"windowFunnel: modes must be a string literal (got $other)")
+        }
+        val (so, sd, si) = graft.functions.ChWindowFunnel.parseModes(
+          modeStr.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        graft.functions.ChWindowFunnel(w, args(2), args.drop(3),
+          strictOrder = so, strictDedup = sd, strictIncrease = si)
           .toAggregateExpression()
       })
     org.apache.spark.sql.graft.bridge.registerFunction(child,

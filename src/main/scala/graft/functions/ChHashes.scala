@@ -452,6 +452,17 @@ object GraftHashes {
     0
   }
 
+  /** Long-start entry: a start past Int.MaxValue is past any possible
+    * haystack (byte lengths are < 2^31) — return 0 instead of letting a
+    * narrowing cast wrap to a small positive offset and silently search
+    * from the wrong place. In-range values share [[bytePositionFrom]]'s
+    * boundary laws (start < 1 stays a loud reject there).
+    */
+  def bytePositionFromLong(haystack: UTF8String, needle: UTF8String,
+      start: Long): Int =
+    if (start > Int.MaxValue) 0
+    else bytePositionFrom(haystack, needle, start.toInt)
+
   /** roundToExp2 on the integral domain: below 1 → 0, else the largest
     * power of two ≤ x (exact bit law — no float log2 boundary slop).
     * Float arguments reject at type check: the server's float law works
@@ -810,16 +821,16 @@ case class GraftBytePositionFrom(first: Expression, second: Expression,
       s"$prettyName takes (string, string, integer) — got (" +
         Seq(first, second, third).map(_.dataType.catalogString).mkString(", ") + ")")
   override def nullSafeEval(h: Any, n: Any, s: Any): Any =
-    GraftHashes.bytePositionFrom(h.asInstanceOf[UTF8String],
+    GraftHashes.bytePositionFromLong(h.asInstanceOf[UTF8String],
       n.asInstanceOf[UTF8String], s match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case v: Short => v.toInt
-        case v: Byte => v.toInt
+        case i: Int => i.toLong
+        case l: Long => l
+        case v: Short => v.toLong
+        case v: Byte => v.toLong
       })
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (h, n, s) =>
-      s"graft.functions.GraftHashes.bytePositionFrom($h, $n, (int) $s)")
+      s"graft.functions.GraftHashes.bytePositionFromLong($h, $n, (long) $s)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)

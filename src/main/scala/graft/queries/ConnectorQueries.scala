@@ -3151,6 +3151,175 @@ object ConnectorQueries {
           |FROM `main`.`ev_funnel` GROUP BY `user_id`""".stripMargin)
     },
 
+    // ---- round-17 behavioral strict modes + sequence gap forms under
+    // the ORACLE gate. Each windowFunnel strict mode gets its own
+    // independently-spelled recursive-CTE state machine (the join
+    // conditions and stop laws CHANGE per mode — that independence is
+    // what makes the gate meaningful); the new sequenceMatch forms
+    // (lower-bound gap, equality gap, '.' any-event step, mixed
+    // lower+upper chains) get all-pairs chain joins, exact by
+    // enumeration. strict_increase and the equality gap run on an
+    // HOUR-granularity integral timestamp — coarse on purpose, ties
+    // are the thing those laws discriminate on (426 same-hour pairs in
+    // the sf0.01 corpus); the micros columns stay tie-free so no
+    // unpinned tie law is load-bearing there.
+    q("r96_funnel_strict",
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, epoch_us(ts)//3600000000 AS th,
+        |         event_type AS et,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |users AS (SELECT DISTINCT user_id FROM e),
+        |wso AS (
+        |  SELECT user_id, 0 AS idx, CAST(NULL AS BIGINT) AS s1,
+        |         CAST(NULL AS BIGINT) AS s2, 0 AS lvl, false AS stopped
+        |  FROM users
+        |  UNION ALL
+        |  SELECT w.user_id, w.idx + 1,
+        |    CASE WHEN w.stopped THEN w.s1
+        |         WHEN x.et = 'view' THEN x.t ELSE w.s1 END,
+        |    CASE WHEN w.stopped THEN w.s2
+        |         WHEN x.et = 'click' AND w.s1 IS NOT NULL
+        |              AND x.t - w.s1 <= 3600000000 THEN w.s1 ELSE w.s2 END,
+        |    CASE WHEN w.stopped THEN w.lvl
+        |         WHEN x.et = 'view' THEN greatest(w.lvl, 1)
+        |         WHEN x.et = 'click' AND w.s1 IS NOT NULL
+        |              AND x.t - w.s1 <= 3600000000 THEN greatest(w.lvl, 2)
+        |         WHEN x.et = 'purchase' AND w.s2 IS NOT NULL
+        |              AND x.t - w.s2 <= 3600000000 THEN 3
+        |         ELSE w.lvl END,
+        |    CASE WHEN w.stopped THEN true
+        |         WHEN x.et NOT IN ('view','click','purchase')
+        |              AND w.s1 IS NOT NULL THEN true
+        |         WHEN x.et = 'purchase' AND w.s1 IS NOT NULL
+        |              AND w.s2 IS NULL THEN true
+        |         WHEN x.et = 'purchase' AND w.s2 IS NOT NULL
+        |              AND x.t - w.s2 <= 3600000000 THEN true
+        |         ELSE false END
+        |  FROM wso w JOIN e x ON x.user_id = w.user_id AND x.rn = w.idx + 1),
+        |soa AS (SELECT user_id, arg_max(lvl, idx) AS so FROM wso GROUP BY user_id),
+        |e3 AS (SELECT user_id, t, et,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+        |       FROM e WHERE et IN ('view','click','purchase')),
+        |users3 AS (SELECT DISTINCT user_id FROM e3),
+        |wsd AS (
+        |  SELECT user_id, 0 AS idx, CAST(NULL AS BIGINT) AS s1,
+        |         CAST(NULL AS BIGINT) AS s2, 0 AS lvl, CAST(NULL AS INT) AS res
+        |  FROM users3
+        |  UNION ALL
+        |  SELECT w.user_id, w.idx + 1,
+        |    CASE WHEN w.res IS NOT NULL THEN w.s1
+        |         WHEN x.et = 'view' THEN x.t ELSE w.s1 END,
+        |    CASE WHEN w.res IS NOT NULL THEN w.s2
+        |         WHEN x.et = 'click' AND w.s2 IS NULL AND w.s1 IS NOT NULL
+        |              AND x.t - w.s1 <= 3600000000 THEN w.s1 ELSE w.s2 END,
+        |    CASE WHEN w.res IS NOT NULL THEN w.lvl
+        |         WHEN x.et = 'view' THEN greatest(w.lvl, 1)
+        |         WHEN x.et = 'click' AND w.s2 IS NULL AND w.s1 IS NOT NULL
+        |              AND x.t - w.s1 <= 3600000000 THEN greatest(w.lvl, 2)
+        |         WHEN x.et = 'purchase' AND w.s2 IS NOT NULL
+        |              AND x.t - w.s2 <= 3600000000 THEN 3
+        |         ELSE w.lvl END,
+        |    CASE WHEN w.res IS NOT NULL THEN w.res
+        |         WHEN x.et = 'click' AND w.s2 IS NOT NULL THEN 2
+        |         WHEN x.et = 'purchase' AND w.s2 IS NOT NULL
+        |              AND x.t - w.s2 <= 3600000000 THEN 3
+        |         ELSE NULL END
+        |  FROM wsd w JOIN e3 x ON x.user_id = w.user_id AND x.rn = w.idx + 1),
+        |sda AS (SELECT user_id, coalesce(max(res), arg_max(lvl, idx)) AS sd
+        |        FROM wsd GROUP BY user_id),
+        |e3h AS (SELECT user_id, th, et,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY th,
+        |            CASE et WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END,
+        |            t) AS rn
+        |        FROM e WHERE et IN ('view','click','purchase')),
+        |wsi AS (
+        |  SELECT user_id, 0 AS idx, CAST(NULL AS BIGINT) AS s1,
+        |         CAST(NULL AS BIGINT) AS l1, CAST(NULL AS BIGINT) AS s2,
+        |         CAST(NULL AS BIGINT) AS l2, 0 AS lvl
+        |  FROM users3
+        |  UNION ALL
+        |  SELECT w.user_id, w.idx + 1,
+        |    CASE WHEN x.et = 'view' THEN x.th ELSE w.s1 END,
+        |    CASE WHEN x.et = 'view' THEN x.th ELSE w.l1 END,
+        |    CASE WHEN x.et = 'click' AND w.s1 IS NOT NULL
+        |              AND x.th - w.s1 <= 24 AND w.l1 < x.th THEN w.s1
+        |         ELSE w.s2 END,
+        |    CASE WHEN x.et = 'click' AND w.s1 IS NOT NULL
+        |              AND x.th - w.s1 <= 24 AND w.l1 < x.th THEN x.th
+        |         ELSE w.l2 END,
+        |    CASE WHEN x.et = 'view' THEN greatest(w.lvl, 1)
+        |         WHEN x.et = 'click' AND w.s1 IS NOT NULL
+        |              AND x.th - w.s1 <= 24 AND w.l1 < x.th THEN greatest(w.lvl, 2)
+        |         WHEN x.et = 'purchase' AND w.s2 IS NOT NULL
+        |              AND x.th - w.s2 <= 24 AND w.l2 < x.th THEN 3
+        |         ELSE w.lvl END
+        |  FROM wsi w JOIN e3h x ON x.user_id = w.user_id AND x.rn = w.idx + 1),
+        |sia AS (SELECT user_id, arg_max(lvl, idx) AS si FROM wsi GROUP BY user_id),
+        |v AS (SELECT user_id, t, th FROM e WHERE et = 'view'),
+        |c AS (SELECT user_id, t, th FROM e WHERE et = 'click'),
+        |p AS (SELECT user_id, t FROM e WHERE et = 'purchase'),
+        |smix AS (SELECT DISTINCT v.user_id FROM v
+        |  JOIN c ON c.user_id = v.user_id AND c.t - v.t > 259200000000
+        |  JOIN p ON p.user_id = v.user_id AND p.t >= c.t
+        |    AND p.t - c.t <= 86400000000),
+        |seqh AS (SELECT DISTINCT v.user_id FROM v
+        |  JOIN c ON c.user_id = v.user_id AND c.th - v.th = 1),
+        |sdot AS (SELECT DISTINCT v.user_id FROM v
+        |  JOIN e x ON x.user_id = v.user_id AND x.t > v.t
+        |    AND x.t - v.t <= 7200000000
+        |  JOIN p ON p.user_id = v.user_id AND p.t > x.t)
+        |SELECT u.user_id AS u,
+        |  CAST(soa.so AS BIGINT) AS so,
+        |  CAST(sda.sd AS BIGINT) AS sd,
+        |  CAST(sia.si AS BIGINT) AS si,
+        |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM smix)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS smix,
+        |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM seqh)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS seqh,
+        |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM sdot)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS sdot
+        |FROM users u
+        |LEFT JOIN soa ON soa.user_id = u.user_id
+        |LEFT JOIN sda ON sda.user_id = u.user_id
+        |LEFT JOIN sia ON sia.user_id = u.user_id""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"/root/repo/target/chstore_$tag"
+      ensureStore(s, dir, Seq(("clickhouse.main.ev_funnel",
+        Seq("user_id", "ts", "event_type"),
+        () => s.table("events").select("user_id", "ts", "event_type")))) {
+        s.sql(
+          """CREATE TABLE clickhouse.main.ev_funnel
+            |(user_id BIGINT, ts TIMESTAMP, event_type STRING)
+            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'user_id')""".stripMargin)
+        s.sql("INSERT INTO clickhouse.main.ev_funnel " +
+          "SELECT user_id, ts, event_type FROM events")
+      }
+      val ch = graft.session.ClickHouseSession.builder(s)
+        .storePath(root).catalogName("clickhouse").build()
+      ch.chSql(
+        """SELECT `user_id` AS u,
+          |  toInt64(windowFunnel(3600, 'strict_order')(`ts`,
+          |    `event_type` = 'view', `event_type` = 'click',
+          |    `event_type` = 'purchase')) AS so,
+          |  toInt64(windowFunnel(3600, 'strict_dedup')(`ts`,
+          |    `event_type` = 'view', `event_type` = 'click',
+          |    `event_type` = 'purchase')) AS sd,
+          |  toInt64(windowFunnel(24, 'strict_increase')(
+          |    intDiv(toUnixTimestamp(`ts`), 3600),
+          |    `event_type` = 'view', `event_type` = 'click',
+          |    `event_type` = 'purchase')) AS si,
+          |  toInt64(sequenceMatch('(?1)(?t>259200)(?2)(?t<=86400)(?3)')(
+          |    `ts`, `event_type` = 'view', `event_type` = 'click',
+          |    `event_type` = 'purchase')) AS smix,
+          |  toInt64(sequenceMatch('(?1)(?t==1)(?2)')(
+          |    intDiv(toUnixTimestamp(`ts`), 3600),
+          |    `event_type` = 'view', `event_type` = 'click')) AS seqh,
+          |  toInt64(sequenceMatch('(?1)(?t<=7200).(?2)')(`ts`,
+          |    `event_type` = 'view', `event_type` = 'purchase')) AS sdot
+          |FROM `main`.`ev_funnel` GROUP BY `user_id`""".stripMargin)
+    },
+
     // ---- round-16 map aggregates under the ORACLE gate: sumMap /
     // minMap / maxMap per-key folds, rendered as comma-joined sorted
     // key and value lists (exact integer cents — no float sums). The

@@ -35,7 +35,7 @@ class AggMergeStressSpec extends AnyFunSuite {
       ch.insertReturningCount(
         "INSERT INTO chams.db.ev VALUES " + chunk.mkString(", "))
     }
-    def run(parts: Int): Map[Long, (Long, Long, Long, String)] = {
+    def run(parts: Int): Map[Long, Seq[Any]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       ch.chSql(
         """SELECT `g`,
@@ -43,9 +43,21 @@ class AggMergeStressSpec extends AnyFunSuite {
           |  toInt64(sequenceMatch('(?1)(?t<=30)(?2)')(`t`, `e` = 'A', `e` = 'B')) AS sm,
           |  sequenceCount('(?1)(?2)')(`t`, `e` = 'A', `e` = 'B') AS sc,
           |  arrayStringConcat(arrayMap(x -> toString(x),
-          |    tupleElement(sumMap([`e`], [`t`]), 2)), ',') AS smv
+          |    tupleElement(sumMap([`e`], [`t`]), 2)), ',') AS smv,
+          |  toInt64(windowFunnel(50, 'strict_order')(`t`, `e` = 'A',
+          |    `e` = 'B', `e` = 'C')) AS wfo,
+          |  toInt64(windowFunnel(50, 'strict_dedup')(`t`, `e` = 'A',
+          |    `e` = 'B', `e` = 'C')) AS wfd,
+          |  toInt64(windowFunnel(50, 'strict_increase')(`t`, `e` = 'A',
+          |    `e` = 'B', `e` = 'C')) AS wfi,
+          |  toInt64(sequenceMatch('(?1)(?t>10)(?2)')(`t`, `e` = 'A',
+          |    `e` = 'B')) AS smg,
+          |  toInt64(sequenceMatch('(?1)(?t==7)(?2)')(`t`, `e` = 'A',
+          |    `e` = 'B')) AS sme,
+          |  toInt64(sequenceMatch('(?1).(?2)')(`t`, `e` = 'A',
+          |    `e` = 'B')) AS smd
           |FROM `db`.`ev` GROUP BY `g`""".stripMargin).collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+        .map(r => r.getLong(0) -> (1 to 10).map(r.get))
         .toMap
     }
     val a = run(1)
@@ -54,6 +66,15 @@ class AggMergeStressSpec extends AnyFunSuite {
     assert(a == b, "results differ between 1 and 17 partitions")
     assert(a == c, "results differ between 1 and 32 partitions")
     assert(a.size == 40)
-    assert(a.values.exists(_._3 > 1L), "stream too easy: no multi-count group")
+    assert(a.values.exists(v => v(2).asInstanceOf[Long] > 1L),
+      "stream too easy: no multi-count group")
+    // the strict modes and gap forms must actually discriminate on
+    // this stream (else the invariance assert proves nothing for them)
+    assert(a.values.exists(v => v(4) != v(0)),
+      "stream too easy: strict_order never differs from default")
+    assert(a.values.exists(v => v(7).asInstanceOf[Long] == 1L) &&
+      a.values.exists(v => v(8).asInstanceOf[Long] == 1L) &&
+      a.values.exists(v => v(9).asInstanceOf[Long] == 1L),
+      "stream too easy: a round-17 pattern form never matches")
   }
 }

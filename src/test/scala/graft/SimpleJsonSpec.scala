@@ -242,23 +242,143 @@ class SimpleJsonSpec extends AnyFunSuite {
     // g=6 (A,B,A,B,A): sequenceCount counts NON-OVERLAPPING A→B chains
     // → 2; the trailing A starts nothing
     assert(rows(5) == Seq(6L, 2L, 1L, 2L, 0L, 1L, 1L, 1L, 2L))
-    // unsupported pattern tokens reject loudly
-    val exP = intercept[Exception] {
-      ch.chSql("SELECT sequenceMatch('(?1)(?t>5)(?2)')(`t`, `e` = 'A', " +
-        "`e` = 'B') AS v FROM `db`.`ev` GROUP BY `g`").collect()
-    }
-    assert(exP.getMessage != null)
-    val exDot = intercept[Exception] {
-      ch.chSql("SELECT sequenceMatch('(?1).(?2)')(`t`, `e` = 'A', " +
-        "`e` = 'B') AS v FROM `db`.`ev` GROUP BY `g`").collect()
-    }
-    assert(exDot.getMessage != null)
-    // strict modes are a DIFFERENT documented algorithm — loud reject
+    // round-17: lower-bound gaps and '.' steps now evaluate (candidate-
+    // set DP) — spot-check on this corpus before the dedicated pins
+    val r17 = ch.chSql(
+      """SELECT `g`,
+        |  toInt64(sequenceMatch('(?1)(?t>5)(?2)')(`t`, `e` = 'A',
+        |    `e` = 'B')) AS sgt
+        |FROM `db`.`ev` GROUP BY `g` ORDER BY `g`""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // g=1: A@0→B@3600, gap 3600 > 5 → 1; g=3: A@0→B@5 gap NOT >5 and
+    // the later A@6 has no B after it → 0 (earliest-start dominance:
+    // keeping only the LATEST A would also give 0 here, the dedicated
+    // inversion pin lives in the round-17 test)
+    assert(r17(1L) == 1L && r17(2L) == 1L && r17(3L) == 0L)
+    // unknown mode strings still reject loudly (incl. deprecated bare
+    // 'strict' — ambiguous across server versions)
     val ex = intercept[Exception] {
-      ch.chSql("SELECT windowFunnel(10, 'strict_order')(`t`, `e` = 'A', " +
+      ch.chSql("SELECT windowFunnel(10, 'strict')(`t`, `e` = 'A', " +
         "`e` = 'B') AS v FROM `db`.`ev` GROUP BY `g`").collect()
     }
-    assert(ex.getMessage.contains("default mode"))
+    assert(ex.getMessage.contains("unknown mode"))
+  }
+
+  test("round-17 windowFunnel strict modes + sequenceMatch gap/dot " +
+    "extensions: documented-law pins with mode-discriminating patterns") {
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("simplejson-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "32m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val root = Files.createTempDirectory("graft_wf17_").toString
+    val ch = ClickHouseSession.builder(spark)
+      .storePath(root).catalogName("chwf17").build()
+    ch.createDatabase("db")
+    ch.newTable("db", "ev").column("g", "Int64").column("t", "Int64")
+      .column("e", "String").engine("MergeTree").orderBy("g").create()
+    // 'D' matches no condition — the strict_order intervener
+    ch.insertReturningCount(
+      """INSERT INTO chwf17.db.ev VALUES
+        |(10, 0, 'A'), (10, 1, 'B'), (10, 2, 'D'), (10, 3, 'C'),
+        |(11, 0, 'D'), (11, 1, 'A'), (11, 2, 'B'), (11, 3, 'C'),
+        |(12, 0, 'A'), (12, 1, 'C'), (12, 2, 'B'),
+        |(13, 0, 'A'), (13, 4000, 'B'), (13, 5000, 'A'), (13, 5001, 'B'),
+        |  (13, 5002, 'C'),
+        |(20, 0, 'A'), (20, 1, 'B'), (20, 2, 'B'), (20, 3, 'C'),
+        |(21, 0, 'A'), (21, 1, 'A'), (21, 2, 'B'),
+        |(30, 0, 'A'), (30, 5, 'B'), (30, 5, 'C'),
+        |(31, 0, 'A'), (31, 0, 'B')""".stripMargin)
+    def funnel(modes: String): Map[Long, Long] = ch.chSql(
+      s"""SELECT `g`, toInt64(windowFunnel(3600$modes)(`t`, `e` = 'A',
+         |  `e` = 'B', `e` = 'C')) AS lvl
+         |FROM `db`.`ev` GROUP BY `g`""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dflt = funnel("")
+    val so = funnel(", 'strict_order'")
+    val sd = funnel(", 'strict_dedup'")
+    val si = funnel(", 'strict_increase'")
+    // g=10 (A,B,D,C): the doc's own example — D intervenes → 2 under
+    // strict_order; default reaches 3
+    assert(dflt(10L) == 3L && so(10L) == 2L)
+    // g=11: a D BEFORE the chain starts intervenes with nothing → 3
+    assert(so(11L) == 3L)
+    // g=12 (A,C,B): C is an out-of-order FUNNEL event — intervenes the
+    // same as an other-event → 1; default skips it and reaches 2
+    assert(dflt(12L) == 2L && so(12L) == 1L)
+    // g=13: an in-order but OUT-OF-WINDOW B does not intervene (its
+    // predecessor level is reached — it merely fails to promote); the
+    // refreshed chain completes → 3 in both modes
+    assert(dflt(13L) == 3L && so(13L) == 3L)
+    // g=20 (A,B,B,C): the repeated B interrupts under strict_dedup,
+    // reporting the REPEATED condition's level → 2; default reaches 3
+    assert(dflt(20L) == 3L && sd(20L) == 2L)
+    // g=21 (A,A,B): cond1 repeats REFRESH (the refresh case precedes
+    // the dedup check) — never interrupt → 2 in both modes
+    assert(dflt(21L) == 2L && sd(21L) == 2L)
+    // g=30 (A@0, B@5, C@5): the B→C tie violates strict increase → 2;
+    // default promotes through the tie → 3
+    assert(dflt(30L) == 3L && si(30L) == 2L)
+    // g=31 (A@0, B@0): the A→B tie → 1 under strict_increase
+    assert(dflt(31L) == 2L && si(31L) == 1L)
+    // modes combine: strict_order + strict_dedup on g=20 — the repeat
+    // interrupt fires (B@2's predecessor IS reached, so order passes)
+    val both = ch.chSql(
+      """SELECT toInt64(windowFunnel(3600, 'strict_dedup',
+        |  'strict_order')(`t`, `e` = 'A', `e` = 'B', `e` = 'C')) AS lvl
+        |FROM `db`.`ev` WHERE `g` = 20 GROUP BY `g`""".stripMargin)
+      .collect().head.getLong(0)
+    assert(both == 2L)
+
+    // ---- sequenceMatch round-17 tokens; 'D' rows exercise zero-mask
+    // recording for '.' steps
+    ch.newTable("db", "sq").column("g", "Int64").column("t", "Int64")
+      .column("e", "String").engine("MergeTree").orderBy("g").create()
+    ch.insertReturningCount(
+      """INSERT INTO chwf17.db.sq VALUES
+        |(1, 0, 'A'), (1, 3, 'B'), (1, 10, 'B'),
+        |(2, 0, 'A'), (2, 8, 'A'), (2, 10, 'B'),
+        |(3, 0, 'A'), (3, 3, 'A'), (3, 7, 'B'),
+        |(4, 0, 'A'), (4, 1, 'B'),
+        |(5, 0, 'A'), (5, 1, 'D'), (5, 2, 'B'),
+        |(6, 0, 'A'), (6, 1, 'A'), (6, 2, 'B')""".stripMargin)
+    def seq(pat: String): Map[Long, Long] = ch.chSql(
+      s"""SELECT `g`, toInt64(sequenceMatch('$pat')(`t`, `e` = 'A',
+         |  `e` = 'B')) AS m
+         |FROM `db`.`sq` GROUP BY `g`""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gt5 = seq("(?1)(?t>5)(?2)")
+    // g=1: B@10 is >5 from A@0 → 1 (B@3 is not)
+    assert(gt5(1L) == 1L)
+    // g=2 is the DOMINANCE-INVERSION pin the round-16 scaladoc named:
+    // candidates A@0 and A@8 — only the EARLIEST satisfies 10-t>5; a
+    // latest-candidate scan (the round-16 law) would answer 0
+    assert(gt5(2L) == 1L)
+    // g=4: gap 1 → 0
+    assert(gt5(4L) == 0L)
+    val ge7 = seq("(?1)(?t>=7)(?2)")
+    assert(ge7(3L) == 1L && ge7(1L) == 1L && ge7(4L) == 0L)
+    // equality gaps need the full candidate SET: g=3 has A@0 and A@3
+    // with B@7 — ==4 matches only via the LATER A, ==7 only via the
+    // EARLIER; both answer 1 only if both candidates are kept
+    val eq4 = seq("(?1)(?t==4)(?2)")
+    val eq7 = seq("(?1)(?t==7)(?2)")
+    val eq5 = seq("(?1)(?t==5)(?2)")
+    assert(eq4(3L) == 1L && eq7(3L) == 1L && eq5(3L) == 0L)
+    // '.' = exactly one arbitrary event between the matched steps:
+    // adjacent A,B → 0; with a no-condition D between → 1; with a
+    // condition-matching A between → 1
+    val dot = seq("(?1).(?2)")
+    assert(dot(4L) == 0L && dot(5L) == 1L && dot(6L) == 1L)
+    // sequenceCount over lower-bound gaps rides the same DP
+    val cnt = ch.chSql(
+      """SELECT toInt64(sequenceCount('(?1)(?t>5)(?2)')(`t`,
+        |  `e` = 'A', `e` = 'B')) AS c
+        |FROM `db`.`sq` WHERE `g` = 1 GROUP BY `g`""".stripMargin)
+      .collect().head.getLong(0)
+    assert(cnt == 1L)
   }
 
   test("chSql end to end: scanner family, JSONLength, fsd, calendar intervals") {
