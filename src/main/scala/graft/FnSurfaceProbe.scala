@@ -160,6 +160,8 @@ object FnSurfaceProbe {
       // fixed splitByChar (regex-escaped literal separator)
       "countMatches(s, 'l+')", "translate(s, 'lo', 'LO')",
       "splitByChar('.', 'a.b.c')",
+      // round-17: multi-argument combine chains (pinned combiners)
+      "cityHash64(s, a)", "sipHash64(s, a)", "cityHash64(s, a, s)",
       "multiSearchAny(s, ['World', 'xyzq'])", "hasToken(s, 'Hello')",
       "extractGroups('abc=111', '(\\\\w+)=(\\\\w+)')",
       "position(s, 'l', 3)", "roundToExp2(a)", "toLastDayOfMonth(ts)",
@@ -195,8 +197,9 @@ object FnSurfaceProbe {
       // rejected (farmFingerprint64 is the stable sibling, mapped)
       "erf(d)", "farmHash64(s)", "toTypeName(a)",
       "parseDateTimeBestEffortOrNull(s)",
-      // multi-argument hash combine chains are not pinnable offline
-      "cityHash64(s, a)", "sipHash64(s, a)",
+      // multi-arg combines for the OTHER hash algos stay unmapped
+      // (cityHash64/sipHash64 chains landed round 17 — main list)
+      "xxHash64(s, a)", "halfMD5(s, a)",
       // roundToExp2's FLOAT law works on the exponent field — the
       // integral form maps (main list), the float form rejects
       "roundToExp2(d)",

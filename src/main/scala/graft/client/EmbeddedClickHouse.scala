@@ -1298,8 +1298,11 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
             .toAggregateExpression()
         })
     // ClickHouse hash family (public-spec kernels, vectors pinned in
-    // HashKernelSpec; single-argument law — the server's multi-arg
-    // combine chain is not pinned offline, so arity != 1 rejects here)
+    // HashKernelSpec). Round 17: cityHash64/sipHash64 accept the
+    // multi-argument combine chain (combiners pinned from the same
+    // public sources as the r15 kernels — ChHashChain scaladoc); the
+    // other algos keep the single-argument-only reject (their combine
+    // laws are not pinned offline).
     for ((name, algo) <- Seq(
       "graft_cityhash64" -> graft.functions.ChHashAlgo.City64,
       "graft_siphash64" -> graft.functions.ChHashAlgo.Sip64,
@@ -1309,12 +1312,15 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
       "graft_halfmd5" -> graft.functions.ChHashAlgo.HalfMd5))
       org.apache.spark.sql.graft.bridge.registerFunction(child, name,
         args => {
-          require(args.size == 1,
+          if (args.size == 1) graft.functions.ChHash(args.head, algo)
+          else if (algo == graft.functions.ChHashAlgo.City64 ||
+            algo == graft.functions.ChHashAlgo.Sip64)
+            graft.functions.ChHashChain(args, algo)
+          else throw new IllegalArgumentException(
             s"$name: only the single-argument form is supported by the " +
-              "embedded engine (the server's multi-argument combine " +
+              "embedded engine (this algo's multi-argument combine " +
               "chain is not a pinnable law offline) — concat the " +
               "arguments explicitly or run against a real server")
-          graft.functions.ChHash(args.head, algo)
         })
     org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_gcd",
       args => {

@@ -265,6 +265,32 @@ object GraftHashes {
   def sipHash64(b: Array[Byte], off: Int, len: Int): Long =
     sipHash64Keyed(0L, 0L, b, off, len)
 
+  // ---- multi-argument combine chains (round 17) -------------------------
+  // The server's multi-argument law: h = H(arg1), then
+  // h = combine(h, H(arg_i)) left to right. The combiners are the same
+  // public sources the round-15 kernels were pinned from:
+  //  - CityHash64 combines via v1.0.2's Hash128to64(uint128(h1, h2)) —
+  //    the identical arithmetic already exercised by every ≥9-byte
+  //    string vector (hashLen16 IS hash128to64 in v1.0.2), and pinned
+  //    against an independently-coded BigInt port in HashKernelSpec;
+  //  - SipHash64 combines by hashing the 16-byte little-endian
+  //    concatenation h1‖h2 with the paper-pinned SipHash-2-4 kernel.
+
+  /** CityHash v1.0.2 Hash128to64 combiner (low = h1, high = h2). */
+  def cityCombine(h1: Long, h2: Long): Long = hash128to64(h1, h2)
+
+  /** SipHash-2-4(zero key) over LE(h1) ‖ LE(h2). */
+  def sipCombine(h1: Long, h2: Long): Long = {
+    val b = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      b(i) = ((h1 >>> (8 * i)) & 0xff).toByte
+      b(8 + i) = ((h2 >>> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    sipHash64(b, 0, 16)
+  }
+
   // ---- delegated kernels ------------------------------------------------
 
   private lazy val xxFactory = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
@@ -598,6 +624,149 @@ case class ChHash(child: Expression, algo: ChHashAlgo.Value,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild,
       declaredW = GraftHashes.widthThrough(newChild, narrowW))
+}
+
+/** Multi-argument ClickHouse hash chain (round 17):
+  * `h = H(arg1); h = combine(h, H(arg_i))` left to right, with each
+  * argument hashed by its single-argument storage-byte law (identical
+  * per-type handling to [[ChHash]], including the declared-width
+  * metadata capture). Combine laws and their public provenance are in
+  * [[GraftHashes.cityCombine]]/[[GraftHashes.sipCombine]]; only
+  * City64 and Sip64 have pinned combiners — other algos reject at
+  * construction. NULL in any argument → NULL (null-intolerant, the
+  * Nullable-propagation law).
+  */
+case class ChHashChain(children: Seq[Expression], algo: ChHashAlgo.Value,
+    declaredWs: Seq[Option[Int]] = Nil)
+  extends Expression {
+
+  require(children.size >= 2, "ChHashChain needs at least two arguments")
+  require(algo == ChHashAlgo.City64 || algo == ChHashAlgo.Sip64,
+    s"$prettyName: only cityHash64/sipHash64 have pinned multi-argument " +
+      "combiners")
+
+  override def dataType: DataType = DecimalType(20, 0)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "ch_" + algo.toString.toLowerCase + "_chain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.map(_.dataType).find {
+      case StringType | BinaryType | LongType | IntegerType | ShortType |
+           ByteType => false
+      case d: DecimalType if d.precision == 20 && d.scale == 0 => false
+      case _ => true
+    } match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName hashes String/FixedString bytes or the LE storage " +
+          s"bytes of Int8/16/32/64/UInt64 — got ${bad.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+
+  private def widths: Seq[Option[Int]] = children.indices.map { i =>
+    GraftHashes.declaredWidth(children(i))
+      .orElse(declaredWs.lift(i).flatten)
+  }
+
+  private def toBytes(input: Any, w: Option[Int]): Array[Byte] =
+    (input, w) match {
+      case (s: UTF8String, _) => s.getBytes
+      case (a: Array[Byte], _) => a
+      case (v: Long, Some(ww)) => GraftHashes.bytesLEWidth(v, ww)
+      case (v: Int, Some(ww)) => GraftHashes.bytesLEWidth(v.toLong, ww)
+      case (v: Short, Some(ww)) => GraftHashes.bytesLEWidth(v.toLong, ww)
+      case (v: Long, None) => GraftHashes.bytesLE(v)
+      case (v: Int, None) => GraftHashes.bytesLE(v)
+      case (v: Short, None) => GraftHashes.bytesLE(v)
+      case (v: Byte, _) => GraftHashes.bytesLE(v)
+      case (d: Decimal, _) => GraftHashes.bytesLE(d)
+    }
+
+  private def kernel(b: Array[Byte]): Long = algo match {
+    case ChHashAlgo.City64 => GraftHashes.cityHash64(b, 0, b.length)
+    case _ => GraftHashes.sipHash64(b, 0, b.length)
+  }
+
+  private def combine(h1: Long, h2: Long): Long = algo match {
+    case ChHashAlgo.City64 => GraftHashes.cityCombine(h1, h2)
+    case _ => GraftHashes.sipCombine(h1, h2)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val ws = widths
+    var h = 0L
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      val r = kernel(toBytes(v, ws(i)))
+      h = if (i == 0) r else combine(h, r)
+      i += 1
+    }
+    GraftHashes.uDec(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = algo match {
+      case ChHashAlgo.City64 => "cityHash64"
+      case _ => "sipHash64"
+    }
+    val cb = algo match {
+      case ChHashAlgo.City64 => "cityCombine"
+      case _ => "sipCombine"
+    }
+    val ws = widths
+    val h = ctx.freshName("chainH")
+    val evals = children.map(_.genCode(ctx))
+    val steps = children.indices.map { i =>
+      val e = evals(i)
+      val bytesExpr = (children(i).dataType, ws(i)) match {
+        case (StringType, _) => s"graft.functions.GraftHashes.bytes(${e.value})"
+        case (BinaryType, _) => e.value
+        case (LongType | IntegerType | ShortType | ByteType, Some(w)) =>
+          s"graft.functions.GraftHashes.bytesLEWidth((long) ${e.value}, $w)"
+        case (LongType | IntegerType | ShortType | ByteType, None) =>
+          s"graft.functions.GraftHashes.bytesLE(${e.value})"
+        case (_: DecimalType, _) =>
+          s"graft.functions.GraftHashes.bytesLE(${e.value})"
+      }
+      val b = ctx.freshName("hb")
+      val r = ctx.freshName("hr")
+      val assign =
+        if (i == 0) s"$h = $r;"
+        else s"$h = graft.functions.GraftHashes.$cb($h, $r);"
+      s"""
+        |if (!${ev.isNull}) {
+        |  ${e.code}
+        |  if (${e.isNull}) { ${ev.isNull} = true; }
+        |  else {
+        |    byte[] $b = $bytesExpr;
+        |    long $r = graft.functions.GraftHashes.$kn($b, 0, $b.length);
+        |    $assign
+        |  }
+        |}
+      """.stripMargin
+    }
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.javaType(dataType)
+    val stepsCode = steps.mkString("\n")
+    ev.copy(code =
+      code"""
+        boolean ${ev.isNull} = false;
+        long $h = 0L;
+        $stepsCode
+        $javaType ${ev.value} = ${ev.isNull} ? null :
+          graft.functions.GraftHashes.uDec($h);
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = {
+    val ws = widths
+    copy(children = newChildren,
+      declaredWs = newChildren.indices.map(i =>
+        GraftHashes.widthThrough(newChildren(i), ws(i))))
+  }
 }
 
 /** Exact gcd/lcm (BigInteger law; zero boundaries reject — see

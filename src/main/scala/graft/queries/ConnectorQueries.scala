@@ -2815,13 +2815,20 @@ object ConnectorQueries {
         |  '14307741831258040182' AS sh,
         |  '17279342474342913821' AS xh,
         |  CAST(1282873741 AS BIGINT) AS x3,
-        |  '17615636674710880708' AS ff
+        |  '17615636674710880708' AS ff,
+        |  '1475707134710946645' AS cc2,
+        |  '12698172050587446143' AS sc2,
+        |  '16821005880652109749' AS cc3,
+        |  '4290726173816471195' AS sc3
         |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       ensureOrdBase(s, dir)
       val ch = graft.session.ClickHouseSession.builder(s)
         .storePath(s"/root/repo/target/chstore_$tag")
         .catalogName("clickhouse").build()
+      // cc2/sc2/cc3/sc3 (round 17): the multi-argument combine chains,
+      // anchored to the independent-Python-port values in HashKernelSpec
+      // (toInt64 pins the literal's storage width to LE8)
       ch.chSql(
         """SELECT `k` AS k,
           |  gcd(`k`, 1000) AS g,
@@ -2832,7 +2839,11 @@ object ConnectorQueries {
           |  toString(sipHash64('graft')) AS sh,
           |  toString(xxHash64('graft')) AS xh,
           |  xxHash32('graft') AS x3,
-          |  toString(farmFingerprint64('graft')) AS ff
+          |  toString(farmFingerprint64('graft')) AS ff,
+          |  toString(cityHash64('graft', toInt64(42))) AS cc2,
+          |  toString(sipHash64('graft', toInt64(42))) AS sc2,
+          |  toString(cityHash64('graft', toInt64(42), 'graft')) AS cc3,
+          |  toString(sipHash64('graft', toInt64(42), 'graft')) AS sc3
           |FROM `main`.`ord_ttl_base` WHERE `k` % 97 = 0""".stripMargin)
     },
 

@@ -179,6 +179,47 @@ class HashKernelSpec extends AnyFunSuite {
     assert(re.getString(1) == "2202906307356721367")
   }
 
+  test("round-17 multi-argument combine chains: cityHash64 via v1.0.2 " +
+    "Hash128to64, sipHash64 via SipHash-2-4 over LE(h1)‖LE(h2) — " +
+    "expected values from an independent Python port (same provenance " +
+    "run as the r15 kernels: the port reproduces the pinned single-arg " +
+    "anchors AND the SipHash paper vector before emitting these)") {
+    import graft.functions.GraftHashes
+    // combiner arithmetic against an independently-spelled BigInt port
+    def cityCombineBig(h1: Long, h2: Long): Long = {
+      val kMul = BigInt("9ddfea08eb382d69", 16)
+      val mask = (BigInt(1) << 64) - 1
+      def u(l: Long) = BigInt(java.lang.Long.toUnsignedString(l))
+      var a = ((u(h1) ^ u(h2)) * kMul) & mask
+      a = a ^ (a >> 47)
+      var b = ((u(h2) ^ a) * kMul) & mask
+      b = b ^ (b >> 47)
+      ((b * kMul) & mask).longValue
+    }
+    for ((h1, h2) <- Seq((1L, 2L), (0L, 0L), (-1L, 42L),
+      (0x123456789abcdefL, 0xfedcba9876543210L)))
+      assert(GraftHashes.cityCombine(h1, h2) == cityCombineBig(h1, h2),
+        s"cityCombine($h1, $h2)")
+    assert(GraftHashes.cityCombine(1L, 2L) ==
+      java.lang.Long.parseUnsignedLong("9684580150926652833")) // python port
+    assert(GraftHashes.sipCombine(1L, 2L) ==
+      java.lang.Long.parseUnsignedLong("16283186116202352693")) // python port
+    // end-to-end chains over ('graft', 42): per-arg hashes are the
+    // pinned single-arg anchors; chains fold left to right
+    val r = one(
+      """SELECT toString(cityHash64(`s`, `id`)) AS c2,
+        |  toString(sipHash64(`s`, `id`)) AS s2,
+        |  toString(cityHash64(`s`, `id`, `s`)) AS c3,
+        |  toString(sipHash64(`s`, `id`, `s`)) AS s3,
+        |  toString(cityHash64(`s`, `id`) % 8) AS cm
+        |FROM `main`.`ht` WHERE `id` = 42""".stripMargin)
+    assert(r.getString(0) == "15983442262744366738") // city('ClickHouse',42)
+    assert(r.getString(1) == "12293006813878332284") // sip('ClickHouse',42)
+    assert(r.getString(2) == "15352666314138576997") // 3-arg fold
+    assert(r.getString(3) == "2565102699217348201")
+    assert(r.getString(4) == "2") // % stays on the unsigned Decimal
+  }
+
   test("embedded xxHash64 is XXH64(bytes, 0) — NOT Spark's builtin") {
     // Spark's builtin xxhash64 (seed 42, internal layout) previously
     // resolved for this spelling via case-insensitive lookup
