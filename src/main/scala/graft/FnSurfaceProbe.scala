@@ -162,6 +162,18 @@ object FnSurfaceProbe {
       "splitByChar('.', 'a.b.c')",
       // round-17: multi-argument combine chains (pinned combiners)
       "cityHash64(s, a)", "sipHash64(s, a)", "cityHash64(s, a, s)",
+      // round-17 sweep: parseDateTime (PARSE-sharable directives),
+      // dateAdd/dateSub spellings, RFC 3986 percent-encoding,
+      // bitmask expansion
+      "parseDateTime('2024-03-07 08:05:09', '%Y-%m-%d %H:%i:%s')",
+      "parseDateTimeOrNull('garbage', '%Y-%m-%d')",
+      "parseDateTimeOrZero('garbage', '%F')",
+      "dateAdd(DAY, 3, ts)", "dateAdd('hour', 2, ts)",
+      "dateSub(MONTH, 1, ts)", "date_add(ts, INTERVAL 2 HOUR)",
+      "date_sub(ts, INTERVAL 1 DAY)",
+      "encodeURLComponent(s)", "decodeURLComponent('Hello%20World%21')",
+      "encodeURLFormComponent(s)", "decodeURLFormComponent('a+b%2B')",
+      "bitmaskToList(a)", "bitmaskToArray(a)",
       "multiSearchAny(s, ['World', 'xyzq'])", "hasToken(s, 'Hello')",
       "extractGroups('abc=111', '(\\\\w+)=(\\\\w+)')",
       "position(s, 'l', 3)", "roundToExp2(a)", "toLastDayOfMonth(ts)",
@@ -171,6 +183,7 @@ object FnSurfaceProbe {
       "sequenceMatch('(?1).*(?2)')(ts, a > 0, b > 0)",
       "sequenceCount('(?1)(?2)')(ts, a > 0, b > 0)",
       "tupleElement(sumMap([s], [a]), 2)",
+      "tupleElement(sumMapWithOverflow([s], [a]), 2)",
       "tupleElement(minMap([s], [a]), 1)",
       "tupleElement(maxMap([s], [a]), 2)",
       "groupBitAnd(a)", "groupBitOr(a)", "groupBitXor(a)",

@@ -293,6 +293,43 @@ object ChSqlTranslator {
     out.result()
   }
 
+  /** The PARSE-sharable MySQL-directive subset for parseDateTime
+    * (round 17): zero-padded canonical forms parse identically under
+    * ClickHouse's MySQL-style parser and Spark's DateTimeFormatter
+    * patterns. Format-only tokens (%a/%W day names: locale laws;
+    * %y/%D two-digit years: century bases differ; %j/%Q: not
+    * round-trippable parse directives; %p/%h: 12-hour pairing) REJECT
+    * loudly rather than parse divergently.
+    */
+  private def chDateParseToJava(fmt: String): String = {
+    val map = Map('Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'i' -> "mm", 'S' -> "ss", 's' -> "ss",
+      'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss")
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        require(i + 1 < fmt.length, s"parseDateTime: dangling '%' in '$fmt'")
+        val t = fmt.charAt(i + 1)
+        if (t == '%') out.append('%')
+        else out.append(map.getOrElse(t, throw new IllegalArgumentException(
+          s"parseDateTime: token '%$t' is not a PARSE-sharable " +
+            "directive — supported: " +
+            map.keys.toSeq.sorted.map("%" + _).mkString(", ") +
+            " (day names, 2-digit years, 12-hour forms and %j/%Q have " +
+            "divergent parse laws; run against a real server)")))
+        i += 2
+      } else {
+        require(!c.isLetter && c != '\'',
+          s"parseDateTime: literal '$c' outside a % token would be a " +
+            "Java pattern letter — only separator characters are supported")
+        out.append(c); i += 1
+      }
+    }
+    out.result()
+  }
+
   /** Elements of an `array(...)` literal (post-bracket-rewrite), or None. */
   private def splitArrayLiteral(arg: String): Option[Seq[String]] = {
     val t = arg.trim
@@ -999,6 +1036,45 @@ object ChSqlTranslator {
     s = rewriteCall(s, "rand", args =>
       "cast(floor(rand() * 4294967296) as bigint)")
     // date/time family
+    // NOTE: these run BEFORE any rule that EMITS Spark-form
+    // date_sub/date_add text (yesterday/toMonday/toStartOfWeek below) —
+    // a later position would rewrite the emitted Spark SQL (the
+    // sequential-rules shadowing law, round 17).
+    // dateAdd/dateSub spellings (round 17): the unit-first 3-argument
+    // form (identifier or string-literal unit) and the
+    // (date, INTERVAL n unit) 2-argument form, both folding onto
+    // timestampadd like the add<Unit> family above
+    locally {
+      val units = Set("SECOND", "MINUTE", "HOUR", "DAY", "WEEK",
+        "MONTH", "QUARTER", "YEAR")
+      def unitOf(arg: String, nm: String): String = {
+        val u = stringLiteral(arg).getOrElse(arg.trim)
+          .toUpperCase(java.util.Locale.ROOT)
+        require(units.contains(u),
+          s"$nm: unit '$u' is not supported (${units.toSeq.sorted.mkString("/")})")
+        u
+      }
+      val IntervalRe = raw"(?i)^INTERVAL\s+(.+?)\s+(\w+)$$".r
+      for ((nm, neg) <- Seq("dateAdd" -> false, "date_add" -> false,
+        "DATE_ADD" -> false, "dateSub" -> true, "date_sub" -> true,
+        "DATE_SUB" -> true))
+        s = rewriteCall(s, nm, args => args.size match {
+          case 3 =>
+            val u = unitOf(args(0), nm)
+            val v = if (neg) s"-(${args(1)})" else args(1)
+            s"timestampadd($u, $v, ${args(2)})"
+          case 2 => args(1).trim match {
+            case IntervalRe(v, u0) =>
+              val u = unitOf(u0, nm)
+              val v2 = if (neg) s"-($v)" else v
+              s"timestampadd($u, $v2, ${args(0)})"
+            case _ => throw new IllegalArgumentException(
+              s"$nm takes (unit, value, date) or (date, INTERVAL n unit)")
+          }
+          case n => throw new IllegalArgumentException(
+            s"$nm takes 2 or 3 arguments (got $n)")
+        })
+    }
     s = rewriteCall(s, "yesterday", _ => "date_sub(current_date(), 1)")
     s = rewriteCall(s, "toDayOfWeek", args => {
       require(args.size == 1,
@@ -1060,6 +1136,49 @@ object ChSqlTranslator {
       val fmt = stringLiteral(args(1)).getOrElse(throw new IllegalArgumentException(
         "formatDateTime: the format must be a string literal"))
       s"date_format(${args.head}, '${chDateFormatToJava(fmt)}')"
+    })
+    // parseDateTime family (round 17): MySQL-style directives on the
+    // PARSE-sharable subset (chDateParseToJava). Error laws align:
+    // parseDateTime throws on garbage like the ANSI to_timestamp;
+    // OrNull rides try_to_timestamp; OrZero falls back to the epoch
+    // (the server's zero-date). parseDateTimeBestEffort* stays
+    // rejected (heuristic format detection, not a pinnable law).
+    for ((nm, wrap) <- Seq[(String, (String, String) => String)](
+      "parseDateTime" -> ((x, f) => s"to_timestamp($x, '$f')"),
+      "parseDateTimeOrNull" -> ((x, f) => s"try_to_timestamp($x, '$f')"),
+      "parseDateTimeOrZero" -> ((x, f) =>
+        s"coalesce(try_to_timestamp($x, '$f'), " +
+          "timestamp'1970-01-01 00:00:00')")))
+      s = rewriteCall(s, nm, args => {
+        require(args.size == 2,
+          s"$nm(string, 'format') — the timezone argument is not supported")
+        val fmt = stringLiteral(args(1)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$nm: the format must be a string literal"))
+        wrap(args.head, chDateParseToJava(fmt))
+      })
+    // bitmaskToList/bitmaskToArray (round 17): powers of two summing
+    // to the input, ascending — comma-joined text / array. Negative
+    // inputs reject loudly (the sign-bit power is not representable;
+    // the server's negative law is not pinnable offline). shiftright
+    // spelled as the FUNCTION — the round-16 ANTLR rule bans '>>'.
+    def bitmaskArr(x: String): String =
+      s"transform(filter(sequence(0, 62), i -> " +
+        s"(shiftright(CAST(($x) AS BIGINT), i) & 1) = 1), " +
+        s"i -> shiftleft(CAST(1 AS BIGINT), i))"
+    def bitmaskGuard(x: String, body: String, nm: String): String =
+      s"(CASE WHEN ($x) < 0 THEN raise_error('$nm: negative input — " +
+        s"the server law on negatives is not pinnable offline') " +
+        s"ELSE $body END)"
+    s = rewriteCall(s, "bitmaskToArray", args => {
+      require(args.size == 1, "bitmaskToArray(x)")
+      bitmaskGuard(args.head, bitmaskArr(args.head), "bitmaskToArray")
+    })
+    s = rewriteCall(s, "bitmaskToList", args => {
+      require(args.size == 1, "bitmaskToList(x)")
+      bitmaskGuard(args.head,
+        s"concat_ws(',', transform(${bitmaskArr(args.head)}, " +
+          "p -> CAST(p AS STRING)))", "bitmaskToList")
     })
     // (toYYYYMM / toYYYYMMDD already map below — arithmetic forms)
     // OrNull/OrZero conversions (try_cast trims like the server's parse)
@@ -1459,6 +1578,26 @@ object ChSqlTranslator {
     // documented example paul@www.example.com:80); port() extracts the
     // :digits suffix of the host with the server's 0 default (or the
     // caller's literal default in the 2-arg form)
+    // RFC 3986 percent-encoding family (round 17 — GraftUrlCodec laws:
+    // unreserved set per the RFC, uppercase hex, UTF-8 bytes; the Form
+    // variants add the space↔'+' mapping; malformed %-sequences reject
+    // loudly at decode)
+    s = rewriteCall(s, "encodeURLComponent", args => {
+      require(args.size == 1, "encodeURLComponent(s)")
+      s"graft_encurl(${args.head})"
+    })
+    s = rewriteCall(s, "decodeURLComponent", args => {
+      require(args.size == 1, "decodeURLComponent(s)")
+      s"graft_decurl(${args.head})"
+    })
+    s = rewriteCall(s, "encodeURLFormComponent", args => {
+      require(args.size == 1, "encodeURLFormComponent(s)")
+      s"graft_encurlf(${args.head})"
+    })
+    s = rewriteCall(s, "decodeURLFormComponent", args => {
+      require(args.size == 1, "decodeURLFormComponent(s)")
+      s"graft_decurlf(${args.head})"
+    })
     s = rewriteCall(s, "cutFragment", args =>
       s"regexp_replace(${args.head}, '#.*$$', '')")
     s = rewriteCall(s, "cutQueryStringAndFragment", args =>
@@ -1610,14 +1749,18 @@ object ChSqlTranslator {
     // keys drop) is now a loud EVAL-TIME reject on exactly the
     // ambiguous instance — a zero folded total — so the common nonzero
     // case works and no silently divergent instance is ever picked
-    // (the gcd(0,0) pattern). sumMapWithOverflow keeps the name reject:
-    // its law is wrapping overflow, which the exact Long fold refuses.
-    s = rewriteCall(s, "sumMapWithOverflow", _ =>
-      throw new IllegalArgumentException(
-        "sumMapWithOverflow is not supported by the embedded engine " +
-          "(its law is WRAPPING overflow; the embedded sumMap folds " +
-          "exactly and fails loudly on overflow) — use sumMap or run " +
-          "against a real server"))
+    // (the gcd(0,0) pattern). sumMapWithOverflow maps since round 17:
+    // its law is wrapping at the value's own width (same-type result,
+    // no promotion) — ChMapAgg.SumOv wraps the Long fold at the
+    // declared-unsigned or resolved element width.
+    s = rewriteCall(s, "sumMapWithOverflow", args => args.size match {
+      case 2 => s"graft_summap_ov(${args(0)}, ${args(1)})"
+      case 1 => s"graft_summap_ov(map_keys(${args.head}), " +
+        s"map_values(${args.head}))"
+      case n => throw new IllegalArgumentException(
+        s"sumMapWithOverflow takes (keys_array, values_array) or (map)" +
+          s" — got $n arguments")
+    })
     // avgWeighted(x, w) = Σ(x·w)/Σ(w) — the exact closed form (the
     // server computes Float64 the same way; all-NULL/zero-weight groups
     // give NULL via the division, matching the server's nan→NULL edge

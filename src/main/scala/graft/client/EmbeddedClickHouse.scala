@@ -1290,11 +1290,13 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
     for ((name, mode) <- Seq(
       "graft_summap" -> graft.functions.ChMapAgg.Mode.Sum,
       "graft_minmap" -> graft.functions.ChMapAgg.Mode.Min,
-      "graft_maxmap" -> graft.functions.ChMapAgg.Mode.Max))
+      "graft_maxmap" -> graft.functions.ChMapAgg.Mode.Max,
+      "graft_summap_ov" -> graft.functions.ChMapAgg.Mode.SumOv))
       org.apache.spark.sql.graft.bridge.registerFunction(child, name,
         args => {
           require(args.size == 2, s"$name(keys, values)")
-          graft.functions.ChMapAgg(args(0), args(1), mode)
+          graft.functions.ChMapAgg(args(0), args(1), mode,
+            wrapUW = graft.functions.ChMapAgg.arrayDeclaredW(args(1)))
             .toAggregateExpression()
         })
     // ClickHouse hash family (public-spec kernels, vectors pinned in
@@ -1321,6 +1323,15 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
               "embedded engine (this algo's multi-argument combine " +
               "chain is not a pinnable law offline) — concat the " +
               "arguments explicitly or run against a real server")
+        })
+    // RFC 3986 percent-encoding family (GraftUrlCodec)
+    for ((name, enc, form) <- Seq(
+      ("graft_encurl", true, false), ("graft_decurl", false, false),
+      ("graft_encurlf", true, true), ("graft_decurlf", false, true)))
+      org.apache.spark.sql.graft.bridge.registerFunction(child, name,
+        args => {
+          require(args.size == 1, s"$name(s)")
+          graft.functions.GraftUrlCodecExpr(args.head, enc, form)
         })
     org.apache.spark.sql.graft.bridge.registerFunction(child, "graft_gcd",
       args => {

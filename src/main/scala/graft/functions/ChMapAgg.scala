@@ -36,6 +36,7 @@ case class ChMapAgg(
     keys: Expression,
     values: Expression,
     mode: ChMapAgg.Mode.Value,
+    wrapUW: Option[Int] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[Any, Any]] {
@@ -48,6 +49,7 @@ case class ChMapAgg(
     case Mode.Sum => "sumMap"
     case Mode.Min => "minMap"
     case Mode.Max => "maxMap"
+    case Mode.SumOv => "sumMapWithOverflow"
   }
 
   private def keyType: DataType =
@@ -75,8 +77,13 @@ case class ChMapAgg(
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName: keys of type ${kt.catalogString} cannot be grouped")
         else vt match {
-          case LongType | IntegerType | ShortType | ByteType | DoubleType |
-               FloatType => TypeCheckResult.TypeCheckSuccess
+          case LongType | IntegerType | ShortType | ByteType =>
+            TypeCheckResult.TypeCheckSuccess
+          case DoubleType | FloatType if mode != Mode.SumOv =>
+            TypeCheckResult.TypeCheckSuccess
+          case DoubleType | FloatType => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: wrapping overflow is an INTEGER law — float " +
+              "values have no wrap width (use sumMap)")
           case other => TypeCheckResult.TypeCheckFailure(
             s"$prettyName: values must be integral or float — got " +
               other.catalogString)
@@ -95,6 +102,28 @@ case class ChMapAgg(
     case other => other
   }
 
+  /** sumMapWithOverflow wrap width: declared-unsigned inline arrays
+    * wrap unsigned at the captured byte width (the r91 plumbing —
+    * `wrapUW` survives reference binding); everything else wraps
+    * SIGNED at the resolved element width, the server's same-type
+    * result law. Wrapping each addition equals wrapping the Long fold
+    * once (mod-2^w arithmetic is associative and 2^w divides 2^64).
+    */
+  private def wrapEffW: Option[Int] =
+    ChMapAgg.arrayDeclaredW(values).orElse(wrapUW)
+
+  private def wrapVal(v: Long): Long = wrapEffW match {
+    case Some(w) => v & ((1L << (8 * w)) - 1)
+    case None => valType match {
+      case LongType => v
+      case IntegerType => v.toInt.toLong
+      case ShortType => v.toShort.toLong
+      case ByteType => v.toByte.toLong
+      case other => throw new IllegalStateException(
+        s"$prettyName: unexpected value type $other")
+    }
+  }
+
   private def fold(a: Any, b: Any): Any =
     if (valIsIntegral) {
       val (x, y) = (a.asInstanceOf[Long], b.asInstanceOf[Long])
@@ -102,6 +131,7 @@ case class ChMapAgg(
         case Mode.Sum => math.addExact(x, y)
         case Mode.Min => math.min(x, y)
         case Mode.Max => math.max(x, y)
+        case Mode.SumOv => x + y // wrapping — the law, see wrapEffW
       }
     } else {
       val (x, y) = (a.asInstanceOf[Double], b.asInstanceOf[Double])
@@ -109,6 +139,8 @@ case class ChMapAgg(
         case Mode.Sum => x + y
         case Mode.Min => math.min(x, y)
         case Mode.Max => math.max(x, y)
+        case Mode.SumOv => throw new IllegalStateException(
+          "sumMapWithOverflow over floats rejects at type check")
       }
     }
 
@@ -161,7 +193,14 @@ case class ChMapAgg(
   }
 
   override def eval(buf: mutable.HashMap[Any, Any]): Any = {
-    val sorted = buf.toSeq.sortWith((a, b) => keyOrdering.lt(a._1, b._1))
+    val sorted0 = buf.toSeq.sortWith((a, b) => keyOrdering.lt(a._1, b._1))
+    // sumMapWithOverflow wraps the folded totals at the value width
+    // BEFORE the zero-ambiguity check (a wrapped-to-zero total is a
+    // zero total the same way)
+    val sorted =
+      if (mode == Mode.SumOv)
+        sorted0.map { case (k, v) => (k, wrapVal(v.asInstanceOf[Long])) }
+      else sorted0
     sorted.foreach { case (k, v) =>
       val isZero =
         if (valIsIntegral) v.asInstanceOf[Long] == 0L
@@ -206,11 +245,38 @@ case class ChMapAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): ChMapAgg =
-    copy(keys = newChildren(0), values = newChildren(1))
+    copy(keys = newChildren(0), values = newChildren(1),
+      wrapUW = ChMapAgg.widthThroughArray(newChildren(1), wrapEffW))
 }
 
 object ChMapAgg {
   object Mode extends Enumeration {
-    val Sum, Min, Max = Value
+    val Sum, Min, Max, SumOv = Value
+  }
+
+  /** Declared-unsigned width shared by EVERY element of an inline
+    * array literal (`[u32col]`) — the sumMapWithOverflow wrap width for
+    * declared-unsigned stores. None when elements disagree or the
+    * values expression is not an inline array (resolved signed width
+    * applies then).
+    */
+  def arrayDeclaredW(values: Expression): Option[Int] = values match {
+    case ca: org.apache.spark.sql.catalyst.expressions.CreateArray
+        if ca.children.nonEmpty =>
+      val ws = ca.children.map(GraftHashes.declaredWidth)
+      if (ws.forall(w => w.isDefined && w == ws.head)) ws.head else None
+    case _ => None
+  }
+
+  /** [[GraftHashes.widthThrough]] lifted over an inline array's
+    * elements (binding replaces the elements, not the CreateArray).
+    */
+  def widthThroughArray(newValues: Expression,
+      prev: Option[Int]): Option[Int] = newValues match {
+    case ca: org.apache.spark.sql.catalyst.expressions.CreateArray
+        if ca.children.nonEmpty =>
+      val ws = ca.children.map(c => GraftHashes.widthThrough(c, prev))
+      if (ws.forall(w => w.isDefined && w == ws.head)) ws.head else None
+    case _ => None
   }
 }

@@ -96,6 +96,97 @@ object GraftUrlFns {
   }
 }
 
+object GraftUrlCodec {
+
+  private val HEX = "0123456789ABCDEF".getBytes
+
+  /** RFC 3986 percent-encoding over the UTF-8 bytes: unreserved
+    * characters (A-Z a-z 0-9 - _ . ~) pass through, every other BYTE
+    * becomes %XX with uppercase hex (the round-17 sweep law — the RFC
+    * is the pinnable public spec). `form` additionally maps the space
+    * byte to '+' (the application/x-www-form-urlencoded variant the
+    * *FormComponent spellings use); note Java's URLEncoder is NOT this
+    * law (it keeps '*' and encodes '~').
+    */
+  def encode(s: UTF8String, form: Boolean): UTF8String = {
+    val b = s.getBytes
+    val out = new java.io.ByteArrayOutputStream(b.length * 3 / 2 + 4)
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      val unreserved = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~'
+      if (unreserved) out.write(c)
+      else if (form && c == ' ') out.write('+')
+      else {
+        out.write('%')
+        out.write(HEX((c >> 4) & 0xf))
+        out.write(HEX(c & 0xf))
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  /** Percent-decoding: %XX hex pairs (either case) decode to their
+    * byte; `form` additionally decodes '+' to space. A malformed
+    * %-sequence (truncated or non-hex) rejects LOUDLY — the server's
+    * behavior on garbage input is not a pinnable boundary offline, so
+    * no silent instance is picked.
+    */
+  def decode(s: UTF8String, form: Boolean): UTF8String = {
+    val b = s.getBytes
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c == '%') {
+        if (i + 2 >= b.length)
+          throw new IllegalArgumentException(
+            "decodeURLComponent: truncated %-sequence — the server's " +
+              "malformed-input behavior is not a pinnable law offline")
+        val h = hexVal(b(i + 1)); val l = hexVal(b(i + 2))
+        out.write((h << 4) | l)
+        i += 3
+      } else {
+        if (form && c == '+') out.write(' ') else out.write(c)
+        i += 1
+      }
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  private def hexVal(c: Byte): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else throw new IllegalArgumentException(
+      s"decodeURLComponent: non-hex byte in %-sequence — the server's " +
+        "malformed-input behavior is not a pinnable law offline")
+}
+
+/** RFC 3986 percent-encoding family (laws in [[GraftUrlCodec]]). */
+case class GraftUrlCodecExpr(child: Expression, enc: Boolean, form: Boolean)
+  extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String =
+    (if (enc) "ch_encode_url" else "ch_decode_url") +
+      (if (form) "_form" else "") + "_component"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes a string — got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    if (enc) GraftUrlCodec.encode(input.asInstanceOf[UTF8String], form)
+    else GraftUrlCodec.decode(input.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (enc) s"graft.functions.GraftUrlCodec.encode($c, $form)"
+      else s"graft.functions.GraftUrlCodec.decode($c, $form)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** See [[GraftUrlFns.fsd]]; `cut` selects the
   * cutToFirstSignificantSubdomain form.
   */

@@ -2867,7 +2867,18 @@ object ConnectorQueries {
         |    + (CASE WHEN ((o_orderkey >> 0) & 1) = 1
         |            AND ((o_orderkey >> 2) & 1) = 1 THEN 2 ELSE 0 END)
         |    + (CASE WHEN ((o_orderkey >> 1) & 1) = 1
-        |            OR ((o_orderkey >> 2) & 1) = 1 THEN 4 ELSE 0 END) AS bt
+        |            OR ((o_orderkey >> 2) & 1) = 1 THEN 4 ELSE 0 END) AS bt,
+        |  CAST(epoch(o_orderdate::TIMESTAMP
+        |    + (o_orderkey % 86399) * INTERVAL 1 SECOND) AS BIGINT) AS pdt,
+        |  CAST(epoch(o_orderdate::TIMESTAMP + INTERVAL 3 HOUR
+        |    - INTERVAL 1 DAY) AS BIGINT) AS da,
+        |  replace(replace(o_orderpriority || ' #' || o_orderkey,
+        |    ' ', '%20'), '#', '%23') AS enc,
+        |  coalesce(array_to_string(
+        |    [CAST(CAST(power(2, i) AS BIGINT) AS VARCHAR)
+        |     for i in generate_series(0, 10)
+        |     if ((o_orderkey % 1000) // CAST(power(2, i) AS BIGINT)) % 2 = 1],
+        |    ','), '') AS bml
         |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       ensureOrdBase(s, dir)
@@ -2882,7 +2893,13 @@ object ConnectorQueries {
           |  substringIndex(`pri`, '-', 1) AS si,
           |  divide(`cents`, 16) AS dv,
           |  bitTest(`k`, 0) + bitTestAll(`k`, 0, 2) * 2
-          |    + bitTestAny(`k`, 1, 2) * 4 AS bt
+          |    + bitTestAny(`k`, 1, 2) * 4 AS bt,
+          |  toUnixTimestamp(parseDateTime(formatDateTime(
+          |    addSeconds(`odate`, `k` % 86399), '%F %T'), '%F %T')) AS pdt,
+          |  toUnixTimestamp(dateAdd(HOUR, 3,
+          |    dateSub(DAY, 1, `odate`))) AS da,
+          |  encodeURLComponent(concat(`pri`, ' #', toString(`k`))) AS enc,
+          |  bitmaskToList(`k` % 1000) AS bml
           |FROM `main`.`ord_ttl_base` WHERE `k` % 97 = 0""".stripMargin)
     },
 
@@ -3340,19 +3357,27 @@ object ConnectorQueries {
       """WITH b AS (SELECT o_orderkey % 50 AS g, o_orderstatus AS st,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS c
         |           FROM orders),
-        |pk AS (SELECT g, st, sum(c) AS s, min(c) AS mn, max(c) AS mx
+        |pk AS (SELECT g, st, sum(c) AS s, min(c) AS mn, max(c) AS mx,
+        |         CAST(((sum((c * 37) % 2000000000) % 4294967296
+        |           + 4294967296 + 2147483648) % 4294967296)
+        |           - 2147483648 AS BIGINT) AS swr
         |       FROM b GROUP BY g, st)
         |SELECT g,
         |  array_to_string(list(st ORDER BY st), ',') AS sk,
         |  array_to_string(list(CAST(s AS VARCHAR) ORDER BY st), ',') AS sv,
         |  array_to_string(list(CAST(mn AS VARCHAR) ORDER BY st), ',') AS mnv,
-        |  array_to_string(list(CAST(mx AS VARCHAR) ORDER BY st), ',') AS mxv
+        |  array_to_string(list(CAST(mx AS VARCHAR) ORDER BY st), ',') AS mxv,
+        |  array_to_string(list(CAST(swr AS VARCHAR) ORDER BY st), ',') AS sov
         |FROM pk GROUP BY g""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       ensureOrdBase(s, dir)
       val ch = graft.session.ClickHouseSession.builder(s)
         .storePath(s"/root/repo/target/chstore_$tag")
         .catalogName("clickhouse").build()
+      // sov (round 17): sumMapWithOverflow wraps at the Int32 element
+      // width — the oracle builds the wrap by construction (mod
+      // arithmetic over DuckDB's exact HUGEINT sum); (c*37) % 2e9 makes
+      // every (g, st) group overflow Int32 at every SF
       ch.chSql(
         """SELECT `k` % 50 AS g,
           |  arrayStringConcat(tupleElement(
@@ -3362,7 +3387,10 @@ object ConnectorQueries {
           |  arrayStringConcat(arrayMap(x -> toString(x), tupleElement(
           |    minMap([`status`], [`cents`]), 2)), ',') AS mnv,
           |  arrayStringConcat(arrayMap(x -> toString(x), tupleElement(
-          |    maxMap([`status`], [`cents`]), 2)), ',') AS mxv
+          |    maxMap([`status`], [`cents`]), 2)), ',') AS mxv,
+          |  arrayStringConcat(arrayMap(x -> toString(x), tupleElement(
+          |    sumMapWithOverflow([`status`],
+          |      [toInt32((`cents` * 37) % 2000000000)]), 2)), ',') AS sov
           |FROM `main`.`ord_ttl_base` GROUP BY `k` % 50""".stripMargin)
     },
 

@@ -379,6 +379,87 @@ class SimpleJsonSpec extends AnyFunSuite {
         |FROM `db`.`sq` WHERE `g` = 1 GROUP BY `g`""".stripMargin)
       .collect().head.getLong(0)
     assert(cnt == 1L)
+
+    // ---- sumMapWithOverflow wrap-boundary pins: Int32 values wrap at
+    // 32 bits SIGNED (the same-type result law), declared UInt8 store
+    // columns wrap UNSIGNED at the declared byte width (r91 plumbing)
+    ch.newTable("db", "ov").column("g", "Int64").column("i32", "Int32")
+      .column("u8", "UInt8").engine("MergeTree").orderBy("g").create()
+    ch.insertReturningCount(
+      """INSERT INTO chwf17.db.ov VALUES
+        |(1, 2000000000, 200), (1, 2000000000, 100),
+        |(2, 2000000000, 7), (2, 147483648, 8)""".stripMargin)
+    val ov = ch.chSql(
+      """SELECT `g`,
+        |  tupleElement(sumMapWithOverflow(['a'], [`i32`]), 2)[1] AS w32,
+        |  tupleElement(sumMapWithOverflow(['a'], [`u8`]), 2)[1] AS w8,
+        |  tupleElement(sumMap(['a'], [`i32`]), 2)[1] AS exact
+        |FROM `db`.`ov` GROUP BY `g` ORDER BY `g`""".stripMargin).collect()
+    // g=1: 4e9 wraps to -294967296 at Int32; 300 wraps to 44 at UInt8;
+    // plain sumMap keeps the exact Long 4e9
+    assert(ov(0).getLong(1) == -294967296L)
+    assert(ov(0).getLong(2) == 44L)
+    assert(ov(0).getLong(3) == 4000000000L)
+    // g=2: the exact 2^31 boundary wraps to Int32.MinValue; 15 no wrap
+    assert(ov(1).getLong(1) == -2147483648L)
+    assert(ov(1).getLong(2) == 15L)
+
+    // ---- round-17 fn sweep pins: parseDateTime (PARSE-sharable
+    // directives), dateAdd/dateSub spellings, RFC 3986 percent
+    // encoding (the doc's own example; '~' kept and '*' encoded —
+    // NOT java.net.URLEncoder's law), bitmask expansion
+    val sw = ch.chSql(
+      """SELECT
+        |  toString(parseDateTime('2024-03-07 08:05:09',
+        |    '%Y-%m-%d %H:%i:%s')) AS pdt,
+        |  parseDateTimeOrNull('garbage', '%Y-%m-%d') AS pdn,
+        |  toString(parseDateTimeOrZero('garbage', '%F')) AS pdz,
+        |  toString(dateAdd(DAY, 3, parseDateTime('2024-03-07 08:05:09',
+        |    '%Y-%m-%d %H:%i:%s'))) AS da,
+        |  toString(date_sub(parseDateTime('2024-03-07 08:05:09',
+        |    '%Y-%m-%d %H:%i:%s'), INTERVAL 1 HOUR)) AS ds,
+        |  encodeURLComponent('http://127.0.0.1:8123/?query=SELECT 1;')
+        |    AS eu,
+        |  encodeURLComponent('a~b*c é') AS eu2,
+        |  decodeURLComponent('http%3A%2F%2F127.0.0.1%3A8123%2F%3Fquery' ||
+        |    '%3DSELECT%201%3B') AS du,
+        |  decodeURLComponent('a+b') AS dup,
+        |  encodeURLFormComponent('a b+c') AS ef,
+        |  decodeURLFormComponent('a+b%2Bc') AS df,
+        |  bitmaskToList(50) AS bl,
+        |  bitmaskToList(0) AS bl0,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    bitmaskToArray(50)), '|') AS ba
+        |FROM `db`.`ov` WHERE `g` = 1 LIMIT 1""".stripMargin).collect().head
+    assert(sw.getString(0) == "2024-03-07 08:05:09")
+    assert(sw.isNullAt(1))
+    assert(sw.getString(2) == "1970-01-01 00:00:00")
+    assert(sw.getString(3) == "2024-03-10 08:05:09")
+    assert(sw.getString(4) == "2024-03-07 07:05:09")
+    assert(sw.getString(5) ==
+      "http%3A%2F%2F127.0.0.1%3A8123%2F%3Fquery%3DSELECT%201%3B")
+    assert(sw.getString(6) == "a~b%2Ac%20%C3%A9")
+    assert(sw.getString(7) == "http://127.0.0.1:8123/?query=SELECT 1;")
+    // '+' is NOT a space under RFC 3986; it IS under the Form variant
+    assert(sw.getString(8) == "a+b")
+    assert(sw.getString(9) == "a+b%2Bc")
+    assert(sw.getString(10) == "a b+c")
+    assert(sw.getString(11) == "2,16,32") // the documented example
+    assert(sw.getString(12) == "")
+    assert(sw.getString(13) == "2|16|32")
+    // unsupported parse directives and malformed %-sequences are loud
+    intercept[Exception] {
+      ch.chSql("SELECT parseDateTime('07 Mar', '%d %a') AS v " +
+        "FROM `db`.`ov` LIMIT 1").collect()
+    }
+    intercept[Exception] {
+      ch.chSql("SELECT decodeURLComponent('bad%G1') AS v " +
+        "FROM `db`.`ov` LIMIT 1").collect()
+    }
+    intercept[Exception] {
+      ch.chSql("SELECT bitmaskToList(-1) AS v " +
+        "FROM `db`.`ov` LIMIT 1").collect()
+    }
   }
 
   test("chSql end to end: scanner family, JSONLength, fsd, calendar intervals") {

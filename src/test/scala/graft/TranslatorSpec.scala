@@ -932,8 +932,12 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT sumMap(ka, va)") == "SELECT graft_summap(ka, va)")
     assert(t("SELECT minMap(m)") ==
       "SELECT graft_minmap(map_keys(m), map_values(m))")
-    val e = intercept[IllegalArgumentException](t("SELECT sumMapWithOverflow(ka, va)"))
-    assert(e.getMessage.contains("WRAPPING"))
+    // round 17: sumMapWithOverflow maps (wrapping-at-width law in
+    // ChMapAgg.SumOv); both arities like the rest of the family
+    assert(t("SELECT sumMapWithOverflow(ka, va)") ==
+      "SELECT graft_summap_ov(ka, va)")
+    assert(t("SELECT sumMapWithOverflow(m)") ==
+      "SELECT graft_summap_ov(map_keys(m), map_values(m))")
   }
 
   test("round-13 session-3: arrayFold/arrayReduce/arraySort/arrayCount/" +
