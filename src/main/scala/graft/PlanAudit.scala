@@ -20,11 +20,27 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val byName = SparkEntry.gateQueries.map(g => g.name -> g).toMap
+    // GRAFT_PLAN_OUT=<dir>: additionally write one <query>.txt per query
+    // with the FULL `explain("formatted")` + the AQE-finalized executed
+    // plan (the optimization rounds' plans/r17/<query>_{before,after}.txt
+    // evidence files are captured this way)
+    val outDir = sys.env.get("GRAFT_PLAN_OUT")
+    outDir.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    val suffix = sys.env.getOrElse("GRAFT_PLAN_SUFFIX", "")
     names.foreach { n =>
       val df = byName(n).run(spark, sfDir)
       df.write.format("noop").mode("overwrite").save() // let AQE finalize
       println(s"==== $n ====")
-      println(df.queryExecution.executedPlan.toString.take(8000))
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val executed = df.queryExecution.executedPlan.toString
+      println(executed.take(8000))
+      outDir.foreach { d =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(d, s"$n$suffix.txt"),
+          s"==== $n — explain(formatted) ====\n$formatted\n" +
+            s"==== $n — executed plan (AQE-finalized) ====\n$executed\n")
+      }
     }
     spark.stop()
   }

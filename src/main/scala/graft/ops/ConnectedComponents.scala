@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * was never emitted as a pair.
   *
   * Scale design (100 TB corpora / billions of edges):
-  *  - No driver-side graph: every step is a groupBy-min + join over the
-  *    edge DataFrame; the driver only sees per-round edge counts.
+  *  - No driver-side graph above a bounded budget: every contraction step
+  *    is a groupBy-min + join over the edge DataFrame; the driver only
+  *    sees per-round edge counts.
   *  - Star contraction converges in O(log n) rounds even on
   *    pathological chain graphs, vs O(diameter) for naive min-label
   *    propagation — on real near-dup graphs it's 2-4 rounds.
@@ -24,6 +25,20 @@ import org.apache.spark.sql.functions._
   *    every round (and eventually overflow the planner).
   *  - Edges only ever shrink toward one star edge per non-root node, so
   *    per-round cost decreases monotonically.
+  *  - BOUNDED LOCAL FINISH (optimization round 17, guide §1.2 "the
+  *    distributed algorithm" + §5 bounded driver work): once the
+  *    canonical edge set fits `graft.cc.localFinishMaxEdges` (default
+  *    65536 edges ≈ 1 MB of longs — the same driver-budget class as the
+  *    ≤4096-centroid ANN loads), the transitive closure finishes with
+  *    one bounded collect + union-find instead of paying O(log n) more
+  *    distributed rounds of ~6 shuffles each. At 100 TB the contraction
+  *    rounds do the heavy lifting distributed and the LAST rounds (where
+  *    per-round data is tiny but per-round fixed cost is not) collapse
+  *    into one job; on small graphs the loop never spins up at all.
+  *    Results are bit-identical: union-by-min union-find computes the
+  *    same min-reachable-id labels (ConnectedComponentsSpec pins both
+  *    routes against each other; set the conf to 0 to force the pure
+  *    distributed path).
   */
 object ConnectedComponents {
 
@@ -35,6 +50,49 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct()
 
+  /** Min-root union-find over a bounded collected edge list: the root of
+    * every set is always its minimum id (unions attach the larger root
+    * under the smaller), so find(x) IS the component label. Returns
+    * (member, root) pairs for non-root members — exactly the star shape
+    * the converged distributed loop leaves behind.
+    */
+  private[ops] def unionFindStars(
+      pairs: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
+      math.max(16, pairs.length * 2))
+    def find(x: Long): Long = {
+      var r = x
+      while ({ val p = parent.get(r); p != null && p.longValue() != r }) {
+        r = parent.get(r).longValue()
+      }
+      // path compression
+      var c = x
+      while ({ val p = parent.get(c); p != null && p.longValue() != c && p.longValue() != r }) {
+        val n = parent.get(c).longValue()
+        parent.put(c, r)
+        c = n
+      }
+      r
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    pairs.foreach { case (u, v) =>
+      seen.add(u); seen.add(v)
+      val ru = find(u)
+      val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val out = Array.newBuilder[(Long, Long)]
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val id = it.next().longValue()
+      val root = find(id)
+      if (root != id) out += ((id, root))
+    }
+    out.result()
+  }
+
   /** Label every vertex with the smallest vertex id reachable from it.
     *
     * @param vertices single-column DataFrame of all vertex ids (vertices
@@ -44,43 +102,67 @@ object ConnectedComponents {
     *         connected component, so roots label themselves
     */
   def label(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val localMaxEdges = spark.conf
+      .getOption("graft.cc.localFinishMaxEdges").map(_.toLong).getOrElse(65536L)
     var e = canon(edges.toDF("u", "v")).localCheckpoint()
+    val edgeType = e.schema("u").dataType
     var eCount = e.count()
     var converged = eCount == 0L
+    // once the edge set fits the driver budget, finish the closure with
+    // ONE bounded collect + union-find (same labels by construction)
+    var localAssign: Option[DataFrame] = None
     var round = 0
-    while (!converged && round < MaxRounds) {
-      // Large-star: for every node u, hook each STRICTLY LARGER neighbor
-      // onto m(u) = min(neighbors(u) + u). Connectivity-preserving; tall
-      // chains collapse exponentially fast.
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val ls = canon(
-        sym.filter(col("v") > col("u"))
-          .join(mins, "u")
-          .select(col("v").as("u"), col("m").as("v")))
-      // Small-star: orient edges larger->smaller; hook each node and all
-      // its smaller neighbors onto the minimum of that neighborhood.
-      val dir = ls.select(col("v").as("hi"), col("u").as("lo")) // lo < hi after canon
-      val loMins = dir.groupBy("hi").agg(min("lo").as("m"))
-      val ss = canon(
-        dir.join(loMins, "hi").select(col("lo").as("u"), col("m").as("v"))
-          .union(loMins.select(col("hi").as("u"), col("m").as("v"))))
-        .localCheckpoint()
-      // Fixpoint (= the edge set is stars rooted at component minima):
-      // canonical distinct sets of equal size with an empty difference
-      // are equal. Counts are compared first so the except() job only
-      // runs on the candidate-converged round.
-      val ssCount = ss.count()
-      converged = ssCount == eCount && ss.except(e).isEmpty
-      e = ss
-      eCount = ssCount
-      round += 1
+    while (!converged && localAssign.isEmpty && round < MaxRounds) {
+      if (eCount <= localMaxEdges) {
+        val pairs = e
+          .select(col("u").cast("long"), col("v").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val stars = unionFindStars(pairs)
+        import spark.implicits._
+        localAssign = Some(
+          spark.createDataset(stars.toIndexedSeq).toDF("vl", "ul")
+            .select(col("vl").cast(edgeType).as("id"),
+              col("ul").cast(edgeType).as("component")))
+      } else {
+        // Large-star: for every node u, hook each STRICTLY LARGER neighbor
+        // onto m(u) = min(neighbors(u) + u). Connectivity-preserving; tall
+        // chains collapse exponentially fast.
+        val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        val mins = sym.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val ls = canon(
+          sym.filter(col("v") > col("u"))
+            .join(mins, "u")
+            .select(col("v").as("u"), col("m").as("v")))
+        // Small-star: orient edges larger->smaller; hook each node and all
+        // its smaller neighbors onto the minimum of that neighborhood.
+        val dir = ls.select(col("v").as("hi"), col("u").as("lo")) // lo < hi after canon
+        val loMins = dir.groupBy("hi").agg(min("lo").as("m"))
+        val ss = canon(
+          dir.join(loMins, "hi").select(col("lo").as("u"), col("m").as("v"))
+            .union(loMins.select(col("hi").as("u"), col("m").as("v"))))
+          .localCheckpoint()
+        // Fixpoint (= the edge set is stars rooted at component minima):
+        // canonical distinct sets of equal size with an empty difference
+        // are equal. Counts are compared first so the difference job only
+        // runs on the candidate-converged round (both sides are already
+        // distinct, so a left-anti join IS the set difference — no
+        // re-dedup pass like except() pays).
+        val ssCount = ss.count()
+        converged = ssCount == eCount &&
+          ss.join(e, Seq("u", "v"), "left_anti").isEmpty
+        e = ss
+        eCount = ssCount
+        round += 1
+      }
     }
-    require(converged, s"connected components did not converge in $MaxRounds rounds")
+    require(converged || localAssign.nonEmpty,
+      s"connected components did not converge in $MaxRounds rounds")
     // Converged edges are (root=min, member) stars: every non-root member
     // appears exactly once on the v side.
-    val assign = e.select(col("v").as("id"), col("u").as("component"))
+    val assign = localAssign.getOrElse(
+      e.select(col("v").as("id"), col("u").as("component")))
     vertices.toDF("id")
       .join(assign, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

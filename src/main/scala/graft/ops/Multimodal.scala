@@ -143,6 +143,20 @@ object Multimodal {
         when(col("reason") === "ok", "keep").otherwise("quarantine"))
   }
 
+  /** The keep condition of [[quarantine]] as a single predicate over the
+    * media shape — for pipelines that only need the keep STREAM (payload
+    * included), filtering directly is one narrow pass instead of deriving
+    * the (id, status) table and semi-joining the payload back (two scans
+    * + a join; optimization r17, guide §2.4). Kept in lockstep with
+    * [[quarantine]]: keep ⟺ payload non-null AND minBytes ≤ n_bytes ≤
+    * maxBytes AND magicOk (OpsSpec pins set equality of the two routes).
+    */
+  def keepPredicate(minBytes: Long, maxBytes: Long,
+      magicOk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    col("payload").isNotNull &&
+      length(col("payload")).cast("long").between(minBytes, maxBytes) &&
+      magicOk
+
   /** 16-bit SimHash over BYTE shingles of the payload — the d04 text
     * kernel's law applied to opaque media bytes, so payload-level
     * near-dup composes with the [[quarantine]] output (run it on the

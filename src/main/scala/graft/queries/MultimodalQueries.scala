@@ -145,10 +145,11 @@ object MultimodalQueries {
         sourceCol = "source")
       val firstByte =
         conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int")
-      val keepIds = graft.ops.Multimodal.quarantine(media, minBytes = 256,
-        maxBytes = 4000, magicOk = firstByte.between(65, 122))
-        .filter(col("status") === "keep").select("media_id")
-      val kept = media.join(keepIds, Seq("media_id"), "left_semi")
+      // keep stream via the quarantine keep predicate directly (same set
+      // as filtering quarantine() on status and semi-joining back — one
+      // narrow pass instead of two scans + a join; OpsSpec pins equality)
+      val kept = media.filter(graft.ops.Multimodal.keepPredicate(
+        minBytes = 256, maxBytes = 4000, magicOk = firstByte.between(65, 122)))
       val sims = graft.ops.Multimodal.payloadSimhash(
         kept, shingleBytes = 8, stride = 4)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("simhash")
@@ -207,10 +208,11 @@ object MultimodalQueries {
         sourceCol = "source")
       val firstByte =
         conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int")
-      val keepIds = graft.ops.Multimodal.quarantine(media, minBytes = 256,
-        maxBytes = 4000, magicOk = firstByte.between(65, 122))
-        .filter(col("status") === "keep").select("media_id")
-      val kept = media.join(keepIds, Seq("media_id"), "left_semi")
+      // keep stream via the quarantine keep predicate directly (same set
+      // as filtering quarantine() on status and semi-joining back — one
+      // narrow pass instead of two scans + a join; OpsSpec pins equality)
+      val kept = media.filter(graft.ops.Multimodal.keepPredicate(
+        minBytes = 256, maxBytes = 4000, magicOk = firstByte.between(65, 122)))
       val nSh = (length(col("payload")) + 3) / 4
       // distinct-on-hash vs the oracle's distinct-on-shingle is
       // min-stable (the d03 argument: duplicate h cannot change a min);

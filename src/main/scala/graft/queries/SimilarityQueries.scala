@@ -45,6 +45,19 @@ object SimilarityQueries {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.AnnIvf.IvfIndex]
 
+  /** auto-k for the sf corpus, memoized per (session, dir): the corpus is
+    * immutable within a JVM (the same contract exactPairsCache rides), so
+    * gates that need the auto-scaled k on EVERY invocation (r68/r69 probe
+    * paths — nprobe derives from it) pay the corpus count ONCE instead of
+    * a full scan+shuffle per bench iteration (optimization r17, guide
+    * §1.2: don't compute things you throw away).
+    */
+  private val autoKCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+  private def autoK(s: SparkSession, dir: String): Int =
+    autoKCache.getOrElseUpdate((s, dir),
+      graft.ops.AnnIvf.autoCells(corpus(s).count()))
+
   /** s09's half-built + incrementally-grown index (build-once like s04's). */
   private val incIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.AnnIvf.IvfIndex]
@@ -302,7 +315,7 @@ object SimilarityQueries {
         SimilarityQueries.synchronized {
         if (!verifiedIndexes.contains(s"r32:$tag"))
           graft.client.StoreLock.withLockNamed(s"ann:r32:$tag") {
-          val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
+          val expectK = autoK(s, dir)
           if (count("ivf_cells") <= 0 || count("ivf_centroids") <= 0 ||
             metaK("ivf_meta") != expectK) {
             Seq("ivf_cells", "ivf_centroids", "ivf_meta").foreach { t =>
@@ -414,7 +427,7 @@ object SimilarityQueries {
           else client.query(s"SELECT max(requested_k) AS k FROM `main`.`$t`", 1)
             ._2.flatten.headOption
             .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).getOrElse(-1L)
-        val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
+        val expectK = autoK(s, dir)
         SimilarityQueries.synchronized {
         if (!verifiedIndexes.contains(s"r68:$tag"))
           graft.client.StoreLock.withLockNamed(s"ann:r68:$tag") {
@@ -509,7 +522,7 @@ object SimilarityQueries {
         SimilarityQueries.synchronized {
         if (!verifiedIndexes.contains(s"r46:$tag"))
           graft.client.StoreLock.withLockNamed(s"ann:r46:$tag") {
-          val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
+          val expectK = autoK(s, dir)
           if (count("ivf_cells_sh") <= 0 || count("ivf_centroids_sh") <= 0 ||
             metaK != expectK) {
             s.sql(s"DROP TABLE IF EXISTS $cat.main.ivf_cells_sh")
@@ -591,7 +604,7 @@ object SimilarityQueries {
         SimilarityQueries.synchronized {
         if (!verifiedIndexes.contains(s"r69:$tag"))
           graft.client.StoreLock.withLockNamed(s"ann:r69:$tag") {
-          val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
+          val expectK = autoK(s, dir)
           if (count("ivf2_cells_sh") <= 0 || count("ivf2_super_sh") <= 0 ||
             count("ivf2_sub_sh") <= 0 || metaK != expectK) {
             Seq("ivf2_cells_sh", "ivf2_super_sh", "ivf2_sub_sh").foreach { t =>
@@ -640,7 +653,7 @@ object SimilarityQueries {
           verifiedIndexes.add(s"r69:$tag")
         }
         }
-        val expectK = graft.ops.AnnIvf.autoCells(corpus(s).count())
+        val expectK = autoK(s, dir)
         val stored = graft.ops.AnnIvf.fromTablesTwoLevel(
           s.table(s"$cat.main.ivf2_cells_sh"),
           s.table(s"$cat.main.ivf2_super_sh"),

@@ -325,6 +325,10 @@ object TextQueries {
         |        FROM sh GROUP BY phrase)
         |SELECT phrase, df, posting_md5 FROM idx
         |WHERE df BETWEEN 2 AND 50""".stripMargin) { (s, _) =>
+      // (r17 examined: a one-exchange collect_set reshape was measured
+      // SLOWER than this distinct→groupBy pair — the object-agg path over
+      // raw occurrence rows loses more to its sort-based fallback than
+      // the second, distinct-input exchange costs. Kept as is.)
       val ts = split(col("text"), " ")
       s.table("documents")
         .select(col("doc_id"), ts.as("ts"))
@@ -369,11 +373,17 @@ object TextQueries {
       val stats = docs.agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("tt"))
       val terms = s.range(1).select(
         explode(array(lit("column"), lit("scan"), lit("window"))).as("term"))
+      // tf feeds BOTH the df aggregate and the final score join: without
+      // the cache Catalyst duplicates the subtree and the corpus-wide
+      // token-filter pass runs twice (optimization r17, guide §1.2 —
+      // don't recompute what a stage already produced; the cached slice
+      // is docs-with-hits × 3 terms, corpus-bounded and narrow)
       val tf = docs.crossJoin(broadcast(terms))
         .select(col("doc_id"), col("term"),
           size(filter(col("ts"), _ === col("term"))).cast("long").as("tf"),
           size(col("ts")).cast("long").as("dl"))
         .filter(col("tf") > 0)
+        .cache()
       val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
       tf
         .join(broadcast(dfx), "term")

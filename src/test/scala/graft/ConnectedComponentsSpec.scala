@@ -31,15 +31,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
+  /** Both routes must agree with the oracle: the bounded local finish
+    * (default — these graphs all fit the driver budget) AND the pure
+    * distributed star-contraction loop (forced via the conf, so the
+    * 100 TB path stays pinned even though small specs would otherwise
+    * never exercise it).
+    */
   private def check(n: Int, edges: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
     val vertices = spark.range(n).toDF("id")
     val e = edges.toDF("u", "v")
-    val got = ConnectedComponents.label(vertices, e)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = unionFind(n, edges)
-    assert(got.size == n)
-    assert(got == want)
+    for (localMax <- Seq("65536", "0")) {
+      spark.conf.set("graft.cc.localFinishMaxEdges", localMax)
+      try {
+        val got = ConnectedComponents.label(vertices, e)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got.size == n, s"localFinishMaxEdges=$localMax")
+        assert(got == want, s"localFinishMaxEdges=$localMax")
+      } finally spark.conf.unset("graft.cc.localFinishMaxEdges")
+    }
   }
 
   test("empty edge set: every vertex is its own singleton component") {
@@ -64,6 +75,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
         .filter { case (a, b) => a != b }
       check(n, edges)
     }
+  }
+
+  test("hybrid route: distributed rounds first, local finish once under the cap") {
+    import spark.implicits._
+    // 100 triangle components: 300 canonical edges initially, 200 once
+    // contracted to stars — a cap between the two forces at least one
+    // distributed round BEFORE the local finish engages
+    val n = 300
+    val edges = (0 until 100).flatMap { c =>
+      val b = 3L * c
+      Seq((b, b + 1), (b + 1, b + 2), (b, b + 2))
+    }
+    val vertices = spark.range(n).toDF("id")
+    spark.conf.set("graft.cc.localFinishMaxEdges", "220")
+    try {
+      val got = ConnectedComponents.label(vertices, edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(n, edges))
+    } finally spark.conf.unset("graft.cc.localFinishMaxEdges")
   }
 
   test("two stars joined by a bridge merge into one component") {

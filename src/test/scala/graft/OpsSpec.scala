@@ -375,6 +375,15 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ("too_large", "quarantine"))
     assert(got(5L) == ("bad_magic", "quarantine"))
     assert(got(6L) == ("ok", "keep"))
+
+    // keepPredicate is the keep stream's single-pass form (m04/m05 ride
+    // it instead of a quarantine semi-join): the filtered id set must
+    // equal quarantine's status='keep' set on every reason class
+    val viaPredicate = media.filter(Multimodal.keepPredicate(
+      minBytes = 10, maxBytes = 50, magicOk = firstByte.between(65, 122)))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val viaStatus = got.collect { case (id, (_, "keep")) => id }.toSet
+    assert(viaPredicate == viaStatus)
   }
 
   test("multimodal: byte-histogram features are L1-normalized array<double>") {
