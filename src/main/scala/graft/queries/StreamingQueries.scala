@@ -54,15 +54,26 @@ object StreamingQueries {
   /** Drain a built streaming DataFrame with AvailableNow into a memory
     * sink; return the sink table.
     */
+  /** Stateful-shuffle partition count for drained streams: one state
+    * store (with its own checkpoint delta files per commit) per
+    * partition. r17 A/B at local[32], sf0.1 (OPTIMIZATION_r17.md):
+    * 8 beats 32 by 1.37× (state-store open/commit fanout dominates even
+    * the compute-heavy q47 batch) and beats 4 by 1.12× — 8 IS the sweet
+    * spot, measured, not assumed. GRAFT_DRAIN_PARTS overrides for
+    * experiments; at cluster scale state partitioning is sized to the
+    * key cardinality/executor count by the deployment, not this drain
+    * helper (which only serves the finite replayable-batch gates).
+    */
+  private[queries] def drainPartitions(spark: SparkSession): String =
+    sys.env.getOrElse("GRAFT_DRAIN_PARTS", "8")
+
   private[queries] def drain(spark: SparkSession, built: DataFrame, mode: String): DataFrame = {
     val sink = s"graft_stream_${runSeq.incrementAndGet()}"
     // one state-store instance per shuffle partition, each with its own
-    // checkpoint delta files: 8 is plenty for a drained finite stream and
-    // cuts per-microbatch commit fanout 4x vs the batch default; the
-    // checkpoint goes to tmpfs when available (state commit latency is
-    // fsync-bound, not compute-bound)
+    // checkpoint delta files; the checkpoint goes to tmpfs when available
+    // (state commit latency is fsync-bound, not compute-bound)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", drainPartitions(spark))
     val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
       sys.props("java.io.tmpdir")
     val ck = s"$ckBase/graft_ck_$sink"
@@ -206,7 +217,7 @@ object StreamingQueries {
 
         val sink = s"graft_stream_${runSeq.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", drainPartitions(s))
         val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
           else sys.props("java.io.tmpdir")
         val ck = s"$ckBase/graft_ck_$sink"
