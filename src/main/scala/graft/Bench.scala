@@ -76,24 +76,43 @@ object Bench {
 
     // The driver records only a bounded TAIL of stdout (~2.5 KB — the
     // round-7 record kept 58 of 138 map entries and lost the d/m/p/q
-    // prefix). The stdout line therefore uses SHORT gate keys (the
+    // prefix; the round-16 record at 191 gates with 3-decimal values
+    // truncated at the FRONT and cost round 17 its entire PERF
+    // comparison). The stdout line therefore uses SHORT gate keys (the
     // unambiguous name prefix up to the first '_', e.g. "r41") and
-    // 3-decimal values so all 138 entries fit inside the captured
-    // window; bench_gates.json keeps the full names and full precision.
+    // MINIMAL decimal values; bench_gates.json keeps the full names and
+    // full precision. Size budget (r18): wrapper = {"metric":"total",
+    // "value":NNN.NN,"unit":"sec","queries":,"sf":"/root/testdata/sf0.1"}
+    // ≈ 88 bytes; per entry = quote+key(3)+quote+colon+value+comma; value
+    // is ≤4 chars by construction (<10 s → %.2f with trailing zeros
+    // stripped, e.g. "0.15"/"1.5"/"2"; 10–99.x s → %.1f stripped;
+    // ≥100 s → %.0f), so an entry is ≤11 bytes and 200 gates cost at
+    // most 200×11 + 88 = 2288 < 2300 — inside the tail window with
+    // margin for the typical (stripped) case around 2.1 KB.
     // a prefix collision degrades to full names instead of crashing — a
     // require here would discard the entire already-measured battery
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     val short = results.map(k => shortKey(k._1)).distinct.length == results.length
     if (!short) System.err.println("[bench] short gate keys collide; using full names")
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
-    def dec3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    def decMin(v: Double): String = {
+      val s =
+        if (v < 10) String.format(java.util.Locale.ROOT, "%.2f", v)
+        else if (v < 100) String.format(java.util.Locale.ROOT, "%.1f", v)
+        else String.format(java.util.Locale.ROOT, "%.0f", v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     val qsShort = results
-      .map { case (k, v) => s""""${if (short) shortKey(k) else k}":${dec3(v)}""" }
+      .map { case (k, v) => s""""${if (short) shortKey(k) else k}":${decMin(v)}""" }
       .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // the total keeps 2 decimals un-stripped (one field, 6-7 bytes — the
+    // budget pressure is the 192-entry map, not the scalar)
+    val totalStr = String.format(java.util.Locale.ROOT, "%.2f", total)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
     // persist the full-name full-precision line to a tracked file so every
     // per-gate number survives in the round record. FULL-battery CLEAN
     // runs only: a GRAFT_BENCH_ONLY dev A/B (or a run where a gate threw

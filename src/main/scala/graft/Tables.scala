@@ -62,6 +62,18 @@ object Tables {
     }
   }
 
+  /** Change-detectable token of a corpus parquet file: (length, mtime
+    * millis). The round-13 memo law: corpus-constant memos must key on a
+    * data-version token so a regenerated corpus can never serve a stale
+    * constant. The parquet testdata has no store version counter, so the
+    * file metadata IS the token — zero-scan to compute, and any in-place
+    * regeneration (the round-6 r41/r42 poisoning class) changes it.
+    */
+  def dataToken(dir: String, table: String): (Long, Long) = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    (f.length(), f.lastModified())
+  }
+
   // one registration per (session, dir): every gate query calls register,
   // and re-reading 10 parquet footers per query dominates small-query
   // latency; key on the session so concurrent suites stay isolated

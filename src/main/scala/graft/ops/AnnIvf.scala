@@ -559,30 +559,51 @@ object AnnIvf {
       nprobe: Int = 16): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
-    val supDf = index.superCenters.zipWithIndex
-      .map { case (c, i) => (i, c) }
-      .toDF("__super", "scenter")
+    val k1 = index.superCenters.length
     val pe = col("pe")
-    val sc = col("scenter").cast("array<double>")
-    val d2s = vector.vec_dot(pe, pe) - lit(2.0) * vector.vec_dot(pe, sc) +
-      vector.vec_dot(sc, sc)
-    val wSup = Window.partitionBy("probe_id").orderBy(col("d2"), col("__super"))
-    val probeSupers = probes
-      .select(col(idCol).as("probe_id"), col(embCol).as("pe"))
-      .crossJoin(broadcast(supDf))
-      .select(col("probe_id"), col("pe"), col("__super"), d2s.as("d2"))
-      .select(col("probe_id"), col("pe"), col("__super"),
-        row_number().over(wSup).as("sr"))
-      .filter(col("sr") <= nprobeSuper)
-      .select("probe_id", "pe", "__super")
+    val probesP = probes.select(col(idCol).as("probe_id"), col(embCol).as("pe"))
+    val subs = index.subCenters
+      .withColumnRenamed("super", "__super")
+      .withColumnRenamed("cell", "__cell")
+    // Fused probe (optimization r18, guide §2.4): when the caller probes
+    // ALL supers (nprobeSuper >= k1 — the loadStored/StoredTwoLevel route
+    // and both persisted gates r68/r69 by construction), the super-
+    // ranking pass is an IDENTITY: every (probe, super) pair survives the
+    // sr filter, so the join to the sub-centroid table reproduces exactly
+    // probes × subCenters. Build that product directly and skip the
+    // super crossjoin + window + broadcast (2 exchanges and a broadcast
+    // build removed from every probe). The __super range filter keeps
+    // strict route equality even on a malformed store whose sub table
+    // carries an out-of-range super id (the join would drop such rows).
+    val cand =
+      if (nprobeSuper >= k1)
+        probesP.crossJoin(
+          subs.filter(col("__super") >= 0 && col("__super") < k1)
+            .select("__cell", "center"))
+      else {
+        val supDf = index.superCenters.zipWithIndex
+          .map { case (c, i) => (i, c) }
+          .toDF("__super", "scenter")
+        val sc = col("scenter").cast("array<double>")
+        val d2s = vector.vec_dot(pe, pe) - lit(2.0) * vector.vec_dot(pe, sc) +
+          vector.vec_dot(sc, sc)
+        val wSup = Window.partitionBy("probe_id").orderBy(col("d2"), col("__super"))
+        val probeSupers = probesP
+          .crossJoin(broadcast(supDf))
+          .select(col("probe_id"), col("pe"), col("__super"), d2s.as("d2"))
+          .select(col("probe_id"), col("pe"), col("__super"),
+            row_number().over(wSup).as("sr"))
+          .filter(col("sr") <= nprobeSuper)
+          .select("probe_id", "pe", "__super")
+        broadcast(probeSupers)
+          .join(subs, Seq("__super"))
+          .select("probe_id", "pe", "__cell", "center")
+      }
     val ce = col("center").cast("array<double>")
     val d2c = vector.vec_dot(pe, pe) - lit(2.0) * vector.vec_dot(pe, ce) +
       vector.vec_dot(ce, ce)
     val wCell = Window.partitionBy("probe_id").orderBy(col("d2"), col("__cell"))
-    val probeCells = broadcast(probeSupers)
-      .join(index.subCenters
-        .withColumnRenamed("super", "__super")
-        .withColumnRenamed("cell", "__cell"), Seq("__super"))
+    val probeCells = cand
       .select(col("probe_id"), col("pe"), col("__cell"), d2c.as("d2"))
       .select(col("probe_id"), col("pe"), col("__cell"),
         row_number().over(wCell).as("cr"))

@@ -107,6 +107,20 @@ object ConnectedComponents {
       .getOption("graft.cc.localFinishMaxEdges").map(_.toLong).getOrElse(65536L)
     var e = canon(edges.toDF("u", "v")).localCheckpoint()
     val edgeType = e.schema("u").dataType
+    // The local finish casts ids to long for the driver-side union-find.
+    // That is only lossless — and only ORDER-preserving, which the
+    // min-root label law depends on — for integral id types; a string id
+    // would cast to NULL (getLong throws) and even numeric strings order
+    // lexicographically in the distributed rounds but numerically in the
+    // union-find. Non-integral ids therefore never take the local route
+    // (r18, ADVICE): the pure distributed loop below is type-agnostic.
+    val integralIds = edgeType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     var eCount = e.count()
     var converged = eCount == 0L
     // once the edge set fits the driver budget, finish the closure with
@@ -114,7 +128,7 @@ object ConnectedComponents {
     var localAssign: Option[DataFrame] = None
     var round = 0
     while (!converged && localAssign.isEmpty && round < MaxRounds) {
-      if (eCount <= localMaxEdges) {
+      if (integralIds && eCount <= localMaxEdges) {
         val pairs = e
           .select(col("u").cast("long"), col("v").cast("long"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))

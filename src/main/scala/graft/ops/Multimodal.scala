@@ -148,14 +148,18 @@ object Multimodal {
     * included), filtering directly is one narrow pass instead of deriving
     * the (id, status) table and semi-joining the payload back (two scans
     * + a join; optimization r17, guide §2.4). Kept in lockstep with
-    * [[quarantine]]: keep ⟺ payload non-null AND minBytes ≤ n_bytes ≤
-    * maxBytes AND magicOk (OpsSpec pins set equality of the two routes).
+    * [[quarantine]] for EVERY input, including a NULL magic check:
+    * quarantine's `when(!magicOk, ...)` arm skips on NULL (falls through
+    * to keep), so the conjunct here is coalesce(magicOk, true) — keep ⟺
+    * payload non-null AND minBytes ≤ n_bytes ≤ maxBytes AND NOT
+    * (magicOk IS FALSE) (OpsSpec pins set equality of the two routes,
+    * including a NULL-magic row).
     */
   def keepPredicate(minBytes: Long, maxBytes: Long,
       magicOk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     col("payload").isNotNull &&
       length(col("payload")).cast("long").between(minBytes, maxBytes) &&
-      magicOk
+      coalesce(magicOk, lit(true))
 
   /** 16-bit SimHash over BYTE shingles of the payload — the d04 text
     * kernel's law applied to opaque media bytes, so payload-level

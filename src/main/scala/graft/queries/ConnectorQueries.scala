@@ -256,15 +256,18 @@ object ConnectorQueries {
       } catch { case _: Throwable => () }
     }
 
-  /** max(event_id) of the events corpus, memoized per (session, dir):
-    * the streaming gates (r20/r27/r45) derive their micro-batch size from
-    * it on EVERY invocation — a corpus constant, so pay the scan once per
-    * JVM instead of once per bench iteration (optimization r17).
+  /** max(event_id) of the events corpus, memoized per (session, dir,
+    * data token): the streaming gates (r20/r27/r45) derive their
+    * micro-batch size from it on EVERY invocation — a corpus constant,
+    * so pay the scan once per JVM instead of once per bench iteration
+    * (optimization r17). Keyed on [[graft.Tables.dataToken]] (r18, the
+    * round-13 memo law): a regenerated events.parquet changes the token
+    * and the memo recomputes instead of serving a stale constant.
     */
-  private val evMaxIdCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
-  private def evMaxId(s: SparkSession, dir: String): Long =
-    evMaxIdCache.getOrElseUpdate((s, dir),
+  private[queries] val evMaxIdCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, (Long, Long)), Long]
+  private[queries] def evMaxId(s: SparkSession, dir: String): Long =
+    evMaxIdCache.getOrElseUpdate((s, dir, graft.Tables.dataToken(dir, "events")),
       s.table("events").agg(max("event_id")).head().getLong(0))
 
   /** Shared append-only source table for the r27/r45 streaming-dedup
@@ -708,6 +711,15 @@ object ConnectorQueries {
       s.sql(
         """CREATE TABLE clickhouse.main.fp_index (fp STRING, first_event BIGINT)
           |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'fp')""".stripMargin)
+      // r18: the per-batch staging table is created ONCE per run; each
+      // micro-batch empties it with a metadata-speed TRUNCATE (parts
+      // removed wholesale) instead of paying two Spark-SQL DDL roundtrips
+      // + an extra store mutation per batch. Replay semantics unchanged:
+      // a re-run batch still sees an empty stage before re-staging.
+      s.sql("DROP TABLE IF EXISTS clickhouse.main.fp_stage")
+      s.sql(
+        """CREATE TABLE clickhouse.main.fp_stage (fp STRING, first_event BIGINT)
+          |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'fp')""".stripMargin)
       val maxId = evMaxId(s, dir)
       val stream = s.readStream
         .option("stream_cursor", "event_id")
@@ -719,15 +731,11 @@ object ConnectorQueries {
       try {
         val q = stream.writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val s2 = b.sparkSession
-            // per-batch staging table (cheap DDL; replay-safe: a re-run
-            // batch re-stages and the server-side NOT IN filters it out).
+            // truncate-then-stage (replay-safe: a re-run batch re-stages
+            // into an empty table and the server-side NOT IN filters it).
             // concat (not concat_ws) so a NULL event_type/props propagates
             // to a NULL fp — identical to the oracle's || semantics.
-            s2.sql("DROP TABLE IF EXISTS clickhouse.main.fp_stage")
-            s2.sql(
-              """CREATE TABLE clickhouse.main.fp_stage (fp STRING, first_event BIGINT)
-                |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'fp')""".stripMargin)
+            client.truncateTable("main", "fp_stage")
             b.select(
                 md5(concat(col("event_type"), lit("|"), col("props")).cast("binary")).as("fp"),
                 col("event_id"))
@@ -801,6 +809,11 @@ object ConnectorQueries {
       s.sql(
         s"""CREATE TABLE $cat.main.fp_index (fp STRING, first_event BIGINT)
            |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'fp')""".stripMargin)
+      // r18: stage created once per run, per-batch TRUNCATE (see r27)
+      s.sql(s"DROP TABLE IF EXISTS $cat.main.fp_stage")
+      s.sql(
+        s"""CREATE TABLE $cat.main.fp_stage (fp STRING, first_event BIGINT)
+           |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'fp')""".stripMargin)
       val maxId = evMaxId(s, dir)
       val stream = s.readStream
         .option("stream_cursor", "event_id")
@@ -812,11 +825,8 @@ object ConnectorQueries {
       try {
         val q = stream.writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val s2 = b.sparkSession
-            s2.sql(s"DROP TABLE IF EXISTS $cat.main.fp_stage")
-            s2.sql(
-              s"""CREATE TABLE $cat.main.fp_stage (fp STRING, first_event BIGINT)
-                 |TBLPROPERTIES ('engine' = 'MergeTree', 'order_by' = 'fp')""".stripMargin)
+            // per-shard metadata-speed truncate, then restage (replay-safe)
+            shClient.truncateTable("main", "fp_stage")
             b.select(
                 md5(concat(col("event_type"), lit("|"), col("props")).cast("binary")).as("fp"),
                 col("event_id"))

@@ -45,17 +45,19 @@ object SimilarityQueries {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.AnnIvf.IvfIndex]
 
-  /** auto-k for the sf corpus, memoized per (session, dir): the corpus is
-    * immutable within a JVM (the same contract exactPairsCache rides), so
+  /** auto-k for the sf corpus, memoized per (session, dir, data token):
     * gates that need the auto-scaled k on EVERY invocation (r68/r69 probe
     * paths — nprobe derives from it) pay the corpus count ONCE instead of
     * a full scan+shuffle per bench iteration (optimization r17, guide
-    * §1.2: don't compute things you throw away).
+    * §1.2: don't compute things you throw away). Keyed on
+    * [[graft.Tables.dataToken]] (r18, the round-13 memo law): a
+    * regenerated embeddings.parquet changes the token and the memo
+    * recomputes instead of serving a stale constant.
     */
-  private val autoKCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
-  private def autoK(s: SparkSession, dir: String): Int =
-    autoKCache.getOrElseUpdate((s, dir),
+  private[queries] val autoKCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, (Long, Long)), Int]
+  private[queries] def autoK(s: SparkSession, dir: String): Int =
+    autoKCache.getOrElseUpdate((s, dir, Tables.dataToken(dir, "embeddings")),
       graft.ops.AnnIvf.autoCells(corpus(s).count()))
 
   /** s09's half-built + incrementally-grown index (build-once like s04's). */

@@ -26,16 +26,29 @@ object StreamingQueries {
   private val runSeq = new AtomicInteger()
 
   /** q42's sentinel-staged input dir + the corpus max(ts) it was built
-    * from, memoized per (session, dir): the staged input (raw events file
-    * + one deterministic far-future sentinel row per user) is a pure
-    * function of the corpus, so repeated invocations (bench iterations)
-    * re-run the STREAM over it instead of re-writing the same sentinel
-    * parquet and re-scanning events for max(ts) every time (optimization
-    * r17 — input staging is build-once like ensureStore; the drain itself
-    * still runs end to end with a fresh checkpoint per invocation).
+    * from, memoized per (session, dir, data token): the staged input (raw
+    * events file + one deterministic far-future sentinel row per user) is
+    * a pure function of the corpus, so repeated invocations (bench
+    * iterations) re-run the STREAM over it instead of re-writing the same
+    * sentinel parquet and re-scanning events for max(ts) every time
+    * (optimization r17 — input staging is build-once like ensureStore;
+    * the drain itself still runs end to end with a fresh checkpoint per
+    * invocation). r18 hardening: keyed on [[graft.Tables.dataToken]]
+    * (round-13 memo law — a regenerated corpus can't serve stale
+    * staging), cache hits revalidate the staged file still exists (an
+    * external tmp cleaner removing /dev/shm contents mid-JVM triggers a
+    * rebuild, not a permanent failure), and a JVM shutdown hook reaps
+    * every staged dir (they're session-memoized, so the per-run finally
+    * can't delete them).
     */
   private val sessStageCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, Long)]
+    scala.collection.concurrent.TrieMap.empty[
+      (SparkSession, String, (Long, Long)), (String, Long)]
+  private lazy val stageReaper: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      sessStageCache.values.foreach { case (p, _) =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      }))
 
   /** A fresh streaming read of the events table, ts normalized to
     * TimestampType micros whatever the raw parquet type is (nanos-as-long
@@ -67,6 +80,21 @@ object StreamingQueries {
   private[queries] def drainPartitions(spark: SparkSession): String =
     sys.env.getOrElse("GRAFT_DRAIN_PARTS", "8")
 
+  /** State-store provider for drained streams, env-keyed for A/Bs
+    * (`GRAFT_STATE_PROVIDER=rocksdb` or a provider class name; unset =
+    * Spark's default HDFS-backed in-memory provider). Added for the r18
+    * q47 adjudication (VERDICT item 4); the measured outcome lives in
+    * OPTIMIZATION_r18.md. At 100 TB-stream scale, state that outgrows
+    * executor memory is when RocksDB pays — deployment-sized, like the
+    * partition count above.
+    */
+  private[queries] def stateProvider: Option[String] =
+    sys.env.get("GRAFT_STATE_PROVIDER").map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case other => other
+    }
+
   private[queries] def drain(spark: SparkSession, built: DataFrame, mode: String): DataFrame = {
     val sink = s"graft_stream_${runSeq.incrementAndGet()}"
     // one state-store instance per shuffle partition, each with its own
@@ -74,6 +102,8 @@ object StreamingQueries {
     // (state commit latency is fsync-bound, not compute-bound)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", drainPartitions(spark))
+    stateProvider.foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
       sys.props("java.io.tmpdir")
     val ck = s"$ckBase/graft_ck_$sink"
@@ -174,7 +204,15 @@ object StreamingQueries {
         val gap = 3600000000L // 1h in micros
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val (stagePath, maxTus) = sessStageCache.getOrElseUpdate((s, dir), {
+        stageReaper
+        val stageKey = (s, dir, graft.Tables.dataToken(dir, "events"))
+        // revalidate a cache hit: the staged events copy must still exist
+        // (tmp cleaners can reap /dev/shm mid-JVM) — rebuild on miss
+        sessStageCache.get(stageKey).foreach { case (p, _) =>
+          if (!new java.io.File(p, "events.parquet").isFile)
+            sessStageCache.remove(stageKey)
+        }
+        val (stagePath, maxTus) = sessStageCache.getOrElseUpdate(stageKey, {
           val ev = graft.Tables.load(s, dir, "events")
           val mx = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
           // stage dir: the raw events file + one sentinel row per user at
@@ -218,6 +256,8 @@ object StreamingQueries {
         val sink = s"graft_stream_${runSeq.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", drainPartitions(s))
+        stateProvider.foreach(p =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
         val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
           else sys.props("java.io.tmpdir")
         val ck = s"$ckBase/graft_ck_$sink"

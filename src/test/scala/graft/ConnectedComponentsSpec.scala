@@ -96,6 +96,27 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.cc.localFinishMaxEdges")
   }
 
+  test("non-integral (string) ids never take the local finish: the " +
+    "long-cast union-find would NULL them out — the distributed loop " +
+    "is type-agnostic and must label them correctly") {
+    import spark.implicits._
+    // two chains + a singleton, ids chosen so LEXICOGRAPHIC min (what
+    // the distributed rounds' min() computes on strings) also matters:
+    // "a10" < "a2" lexicographically
+    val edges = Seq(("a2", "a10"), ("a10", "a30"), ("b1", "b2")).toDF("u", "v")
+    val vertices = Seq("a2", "a10", "a30", "b1", "b2", "c9").toDF("id")
+    // cap far above the edge count: an integral graph WOULD local-finish
+    // here, so a correct result proves the type gate routed distributed
+    spark.conf.set("graft.cc.localFinishMaxEdges", "65536")
+    try {
+      val got = ConnectedComponents.label(vertices, edges)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map(
+        "a2" -> "a10", "a10" -> "a10", "a30" -> "a10",
+        "b1" -> "b1", "b2" -> "b1", "c9" -> "c9"))
+    } finally spark.conf.unset("graft.cc.localFinishMaxEdges")
+  }
+
   test("two stars joined by a bridge merge into one component") {
     // stars rooted at 0 and 100, bridged via an edge between leaves
     val edges = (1L to 50L).map(i => (0L, i)) ++

@@ -170,6 +170,66 @@ class OpsSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("two-level IVF fused all-supers probe (r18): results equal an " +
+    "independent local re-implementation of rank-all-sub-centroids + " +
+    "exact re-rank, and equal brute force when nprobe covers every cell") {
+    import graft.ops.AnnIvf
+    val idx2 = AnnIvf.buildIndexTwoLevel(emb, "vec_id", "embedding", numCells = 12)
+    val k1 = idx2.superCenters.length
+    val probes = emb.filter(col("vec_id") < 30)
+
+    // independent oracle computed driver-side from the index pieces:
+    // candidate cells = top-nprobe by (d2, cell asc) over ALL sub-
+    // centroids (what the super pass degenerates to at nprobeSuper=k1),
+    // then exact cosine top-5 within those cells, ties to lower id
+    val subs = idx2.subCenters.collect()
+      .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
+    val corpus = idx2.assigned
+      .select(col("vec_id"), col("__cell"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val probeVecs = probes
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // EXACTLY the kernel's expression — dot(p,p) - 2 dot(p,c) + dot(c,c)
+    // as sequential double folds, NOT sum((p-c)^2): near-tied cells must
+    // order identically in both routes
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    def oracle(nprobe: Int): Set[(Long, Long)] = probeVecs.flatMap { case (pid, pe) =>
+      val cells = subs.map { case (cell, c) => (d2(pe, c), cell) }
+        .sortBy(identity).take(nprobe).map(_._2).toSet
+      corpus.filter { case (nid, cell, _) => nid != pid && cells(cell) }
+        .map { case (nid, _, ne) => (-cos(pe, ne), nid) }
+        .sortBy(identity).take(5).map { case (_, nid) => (pid, nid) }
+    }.toSet
+
+    for (nprobe <- Seq(4, subs.length)) {
+      val ann = AnnIvf.annTopK2(idx2, probes, "vec_id", "embedding",
+        k = 5, nprobeSuper = k1, nprobe = nprobe)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ann == oracle(nprobe), s"nprobe=$nprobe")
+    }
+
+    // with nprobe covering every cell the candidate set is the whole
+    // corpus, so the fused probe must equal exact brute-force top-5
+    val bruteOracle = probeVecs.flatMap { case (pid, pe) =>
+      corpus.filter(_._1 != pid)
+        .map { case (nid, _, ne) => (-cos(pe, ne), nid) }
+        .sortBy(identity).take(5).map { case (_, nid) => (pid, nid) }
+    }.toSet
+    assert(oracle(subs.length) == bruteOracle)
+  }
+
   test("IVF fromTables rejects non-contiguous or missing centroid cells") {
     import graft.ops.AnnIvf
     import spark.implicits._
@@ -384,6 +444,20 @@ class OpsSpec extends AnyFunSuite {
       .select("media_id").collect().map(_.getLong(0)).toSet
     val viaStatus = got.collect { case (id, (_, "keep")) => id }.toSet
     assert(viaPredicate == viaStatus)
+
+    // NULL-magic lockstep (r18, ADVICE): quarantine's when(!magicOk, ...)
+    // arm SKIPS on NULL (falls through to keep), so keepPredicate must
+    // keep a NULL-magic in-bounds row too — magic NULL on row 6 ('A')
+    val nullMagic = when(firstByte === 65, lit(null).cast("boolean"))
+      .otherwise(firstByte.between(65, 122))
+    val qNull = Multimodal.quarantine(media, minBytes = 10, maxBytes = 50,
+      magicOk = nullMagic)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(qNull(6L) == "keep")
+    val pNull = media.filter(Multimodal.keepPredicate(
+      minBytes = 10, maxBytes = 50, magicOk = nullMagic))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(pNull == qNull.collect { case (id, "keep") => id }.toSet)
   }
 
   test("multimodal: byte-histogram features are L1-normalized array<double>") {
