@@ -579,13 +579,33 @@ class ChScan(
       cursor, maxPerBatch, start)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // One remote plan per (scan instance, generated SQL): AQE clones the
+  // enclosing BatchScanExec across stage re-optimizations and every clone
+  // re-calls planInputPartitions on the SAME Scan — each re-call re-ran
+  // the remote query (for the embedded transport: a full spill job).
+  // r18 (GateProfile r68: repeated spill-write/read job pairs per probe):
+  // memoize KEYED ON THE GENERATED SQL, because runtime filters arrive
+  // late through filter() and mutate generatedSql — a changed SQL MUST
+  // re-plan (the r15 runtime-filter contract; an unconditional cache
+  // would silently serve the unfiltered stream).
+  @transient private var plannedForSql: String = _
+  @transient private var plannedPartitions: Array[InputPartition] = _
+
+  override def planInputPartitions(): Array[InputPartition] = synchronized {
+    val sql = generatedSql
+    if (plannedPartitions == null || plannedForSql != sql) {
+      plannedPartitions = planPartitionsFor(sql)
+      plannedForSql = sql
+    }
+    plannedPartitions
+  }
+
+  private def planPartitionsFor(sql: String): Array[InputPartition] = {
     // Plan-time work is METADATA ONLY: the client initiates the remote
     // query and hands back one cheap handle per stream — rows are pulled
     // executor-side by the reader factory (sql.rs:304-369 semantics).
     // A non-aggregated scan of an arbitrarily large remote table never
     // touches driver memory.
-    val sql = generatedSql
     // range-split read: a plain scan (no agg/limit/order, split column in
     // the projection) splits into disjoint covering ranges when the
     // transport supports it — one huge remote scan parallelizes across
