@@ -1112,12 +1112,26 @@ final class EmbeddedClickHouse(val root: String) extends ClickHouseClient {
         // would overflow Long)
         // path tiebreak: two JVMs can mint the same wall-clock seq —
         // the order is then arbitrary but must at least be DETERMINISTIC
-        withSeq.sortBy { case (f, seq) => (seq, f) }.zipWithIndex.map { case ((f, _), i) =>
-          child.read.schema(schema).parquet(f)
-            .select(col("*"),
-              (lit(i.toLong * (1L << 40)) + col("_metadata.row_index"))
-                .as("__ch_seq"))
-        }.reduce(_ union _)
+        //
+        // r18 (GateProfile r62: the FINAL collapse read ran a 28-task job
+        // over a 28-way per-part UNION): ONE multi-file scan with the
+        // part ordinal looked up from _metadata.file_name replaces the
+        // N-way union — plan size drops from O(parts) scan relations to
+        // one, which is what survives a 10K-part table at 100 TB. Safe
+        // here (unlike registerView's order-preserving Collapsing union,
+        // which must NOT bin-pack): every consumer of this view windows
+        // over the EXPLICIT __ch_seq value, never partition order.
+        val ordered = withSeq.sortBy { case (f, seq) => (seq, f) }.zipWithIndex
+        val nameToIdx = ordered.flatMap { case ((f, _), i) =>
+          Seq(lit(Paths.get(f).getFileName.toString), lit(i.toLong))
+        }
+        val idx = org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.map(nameToIdx: _*),
+          col("_metadata.file_name"))
+        child.read.schema(schema).parquet(ordered.map(_._1._1): _*)
+          .select(col("*"),
+            (idx * lit(1L << 40) + col("_metadata.row_index"))
+              .as("__ch_seq"))
       }
     df.createOrReplaceTempView(EmbeddedClickHouse.seqViewName(db, t))
   }

@@ -82,11 +82,15 @@ object StreamingQueries {
 
   /** State-store provider for drained streams, env-keyed for A/Bs
     * (`GRAFT_STATE_PROVIDER=rocksdb` or a provider class name; unset =
-    * Spark's default HDFS-backed in-memory provider). Added for the r18
-    * q47 adjudication (VERDICT item 4); the measured outcome lives in
-    * OPTIMIZATION_r18.md. At 100 TB-stream scale, state that outgrows
-    * executor memory is when RocksDB pays — deployment-sized, like the
-    * partition count above.
+    * Spark's default HDFS-backed in-memory provider). r18 interleaved
+    * A/B ×2 per side, min-merged, drain subset at local[32]/sf0.1
+    * (OPTIMIZATION_r18.md): RocksDB measured 1.26–1.37× WORSE on
+    * q40/q41/q47/q55 (JNI + per-commit SST churn on checkpoint-lifetime
+    * state that fits comfortably in memory), flat on q54, noise-level on
+    * q42, with flat controls (q35/r27 ≈ 1.04) — the default stays. At
+    * 100 TB-stream scale, state that outgrows executor memory is exactly
+    * when RocksDB pays — deployment-sized, like the partition count
+    * above.
     */
   private[queries] def stateProvider: Option[String] =
     sys.env.get("GRAFT_STATE_PROVIDER").map {
