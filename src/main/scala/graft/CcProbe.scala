@@ -48,10 +48,16 @@ object CcProbe {
 
     println("n_edges\troute\twall_s\tcomponents")
     for (n <- sizes) {
-      // distributed-only first: at equal box state the hybrid's win is
-      // then conservative (later runs see warmer JIT, not cooler)
-      val (tD, compD) = runOnce(spark, n, chain, "0")
+      // hybrid FIRST: the second run of a size sees warmer JIT/page
+      // cache, so any ordering bias favors the DISTRIBUTED side and the
+      // hybrid's reported win is conservative. Note the expected shape:
+      // star contraction of a chain graph keeps the live edge set ~n
+      // (one edge per non-root vertex), so ABOVE the cap the local
+      // finish never engages and the two routes must read EQUAL — the
+      // parity there is the "distributed path re-engages, never a
+      // driver collect past the cap" pin; the win lives below the cap.
       val (tH, compH) = runOnce(spark, n, chain, "65536")
+      val (tD, compD) = runOnce(spark, n, chain, "0")
       require(compD == compH,
         s"route labels diverge at n=$n: $compD vs $compH components")
       println(f"$n\tdistrib\t$tD%.2f\t$compD")
